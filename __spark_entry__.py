@@ -1,38 +1,520 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises the deequ_spark ENGINE (fused analyzer
+runs / VerificationSuite) on the driver's parquet tables and returns the
+resulting metrics as a small DataFrame; ``oracle_sql()`` recomputes the
+same metrics independently in DuckDB SQL.
+
+Determinism strategy for the value-hash compare:
+  * count/ratio/min/max metrics are integer-derived or selections → both
+    engines produce bit-identical doubles; emitted raw.
+  * sums/means run on DECIMAL-cast columns → exact in both engines.
+  * genuinely float-fuzzy metrics (stddev family, entropy, MI, quantile
+    interpolation) are quantized on BOTH sides with floor(value * 1e6),
+    which gives a ~1e-9 boundary-collision probability per metric.
+  * approximate sketches (HLL, approx quantiles) are checked against their
+    accuracy contract (|est/exact − 1| within bound) → boolean metric.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _metrics_df(spark: SparkSession, pairs) -> DataFrame:
+    rows = [(k, float(v)) for k, v in pairs]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+def _fuzz(v: float) -> float:
+    """floor(v·1e6) — deterministic quantization mirrored in the oracles."""
+    return float(math.floor(v * 1e6))
+
+
+def _run(spark, sf_dir, table, analyzers):
+    from deequ_spark import do_analysis_run
+    df = _load(spark, sf_dir, table)
+    ctx = do_analysis_run(df, analyzers)
+    out = {}
+    for a, m in ctx.metric_map.items():
+        if not m.is_success:
+            raise RuntimeError(f"{a}: {m.error}")
+        out[a] = m.value
+    return ctx, out
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: a full VerificationSuite over sf0.001 lineitem — fused
+    single-scan metric computation + constraint evaluation."""
+    from deequ_spark import Check, CheckLevel, VerificationSuite
+
+    df = _load(spark, "/root/testdata/sf0.001", "lineitem")
+    check = (Check(CheckLevel.WARNING, "lineitem quality")
+             .has_size(lambda n: n > 0)
+             .is_complete("l_orderkey")
+             .is_complete("l_extendedprice")
+             .are_unique(["l_orderkey", "l_linenumber"])
+             .is_non_negative("l_quantity")
+             .has_min("l_discount", lambda v: v >= 0.0)
+             .has_max("l_tax", lambda v: v <= 1.0)
+             .is_contained_in("l_returnflag", ["A", "N", "R"])
+             .has_completeness("l_shipdate", lambda v: v > 0.95))
+    result = VerificationSuite().on_data(df).add_check(check).run()
+    return result.check_results_as_dataframe(spark)
+
+
+# ---------------------------------------------------------------------------
+# queries — one entry per operator family (SURVEY §2)
+# ---------------------------------------------------------------------------
+
+def q_size(spark, sf_dir):
+    from deequ_spark import Size
+    _, vals = _run(spark, sf_dir, "lineitem",
+                   [Size(), Size(where="l_quantity < 25")])
+    a_all, a_filtered = Size(), Size(where="l_quantity < 25")
+    return _metrics_df(spark, [("size_all", vals[a_all]),
+                               ("size_filtered", vals[a_filtered])])
+
+
+def q_completeness(spark, sf_dir):
+    from deequ_spark import Completeness
+    analyzers = [Completeness("o_orderkey"), Completeness("o_orderpriority"),
+                 Completeness("o_totalprice", where="o_totalprice > 100000")]
+    _, vals = _run(spark, sf_dir, "orders", analyzers)
+    return _metrics_df(spark, [
+        ("completeness_key", vals[analyzers[0]]),
+        ("completeness_priority", vals[analyzers[1]]),
+        ("completeness_filtered", vals[analyzers[2]])])
+
+
+def q_compliance(spark, sf_dir):
+    from deequ_spark import Compliance
+    analyzers = [
+        Compliance("qty_pos", "l_quantity > 0"),
+        Compliance("disc_range", "l_discount BETWEEN 0.0 AND 0.1"),
+        Compliance("price_gt_tax", "l_extendedprice > l_tax"),
+        Compliance("qty_small_filtered", "l_quantity < 10", where="l_discount > 0.05"),
+    ]
+    _, vals = _run(spark, sf_dir, "lineitem", analyzers)
+    return _metrics_df(spark, [
+        ("compliance_qty_pos", vals[analyzers[0]]),
+        ("compliance_disc_range", vals[analyzers[1]]),
+        ("compliance_price_gt_tax", vals[analyzers[2]]),
+        ("compliance_filtered", vals[analyzers[3]])])
+
+
+def q_pattern_match(spark, sf_dir):
+    from deequ_spark import PatternMatch
+    analyzers = [PatternMatch("o_orderpriority", r"^[0-9]-[A-Z ]+$"),
+                 PatternMatch("o_orderstatus", r"^[OF]$")]
+    _, vals = _run(spark, sf_dir, "orders", analyzers)
+    return _metrics_df(spark, [
+        ("pattern_priority", vals[analyzers[0]]),
+        ("pattern_status", vals[analyzers[1]])])
+
+
+def q_min_max(spark, sf_dir):
+    from deequ_spark import ColumnRange, Maximum, Minimum
+    analyzers = [Minimum("l_extendedprice"), Maximum("l_extendedprice"),
+                 Minimum("l_quantity", where="l_discount > 0.05"),
+                 Maximum("l_tax"), ColumnRange("l_quantity")]
+    _, vals = _run(spark, sf_dir, "lineitem", analyzers)
+    return _metrics_df(spark, [
+        ("min_price", vals[analyzers[0]]),
+        ("max_price", vals[analyzers[1]]),
+        ("min_qty_filtered", vals[analyzers[2]]),
+        ("max_tax", vals[analyzers[3]]),
+        ("range_qty", vals[analyzers[4]])])
+
+
+def q_sum_mean(spark, sf_dir):
+    """Sum/Mean on decimal-cast columns — exact in both engines."""
+    from deequ_spark import Mean, Sum, do_analysis_run
+    df = _load(spark, sf_dir, "lineitem").withColumn(
+        "price_dec", F.col("l_extendedprice").cast("decimal(18,2)")).withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)"))
+    analyzers = [Sum("price_dec"), Mean("price_dec"), Sum("qty_dec"),
+                 Mean("qty_dec"), Sum("qty_dec", where="l_returnflag = 'A'")]
+    ctx = do_analysis_run(df, analyzers)
+    vals = {a: m.value for a, m in ctx.metric_map.items()}
+    return _metrics_df(spark, [
+        ("sum_price", vals[analyzers[0]]),
+        ("mean_price", vals[analyzers[1]]),
+        ("sum_qty", vals[analyzers[2]]),
+        ("mean_qty", vals[analyzers[3]]),
+        ("sum_qty_flag_a", vals[analyzers[4]])])
+
+
+def q_moments(spark, sf_dir):
+    """StdDev/Variance/Skewness/Kurtosis/Correlation — fuzz-quantized."""
+    from deequ_spark import (Correlation, Kurtosis, Skewness,
+                             StandardDeviation, Variance)
+    analyzers = [StandardDeviation("l_quantity"), Variance("l_quantity"),
+                 Skewness("l_quantity"), Kurtosis("l_quantity"),
+                 Correlation("l_quantity", "l_extendedprice")]
+    _, vals = _run(spark, sf_dir, "lineitem", analyzers)
+    return _metrics_df(spark, [
+        ("stddev_qty", _fuzz(vals[analyzers[0]])),
+        ("variance_qty", _fuzz(vals[analyzers[1]])),
+        ("skewness_qty", _fuzz(vals[analyzers[2]])),
+        ("kurtosis_qty", _fuzz(vals[analyzers[3]])),
+        ("corr_qty_price", _fuzz(vals[analyzers[4]]))])
+
+
+def q_quantiles(spark, sf_dir):
+    from deequ_spark import ExactQuantile, InterquartileRange
+    analyzers = [ExactQuantile("l_quantity", 0.5),
+                 ExactQuantile("l_quantity", 0.9),
+                 ExactQuantile("l_extendedprice", 0.25),
+                 InterquartileRange("l_extendedprice")]
+    _, vals = _run(spark, sf_dir, "lineitem", analyzers)
+    return _metrics_df(spark, [
+        ("median_qty", _fuzz(vals[analyzers[0]])),
+        ("p90_qty", _fuzz(vals[analyzers[1]])),
+        ("p25_price", _fuzz(vals[analyzers[2]])),
+        ("iqr_price", _fuzz(vals[analyzers[3]]))])
+
+
+def q_uniqueness(spark, sf_dir):
+    from deequ_spark import (CountDistinct, Distinctness, Uniqueness,
+                             UniqueValueRatio)
+    analyzers = [Uniqueness(("o_custkey",)), UniqueValueRatio(("o_custkey",)),
+                 Distinctness(("o_custkey",)), CountDistinct(("o_custkey",)),
+                 Uniqueness(("o_orderkey",))]
+    _, vals = _run(spark, sf_dir, "orders", analyzers)
+    return _metrics_df(spark, [
+        ("uniqueness_custkey", vals[analyzers[0]]),
+        ("uvr_custkey", vals[analyzers[1]]),
+        ("distinctness_custkey", vals[analyzers[2]]),
+        ("count_distinct_custkey", vals[analyzers[3]]),
+        ("uniqueness_orderkey", vals[analyzers[4]])])
+
+
+def q_entropy(spark, sf_dir):
+    from deequ_spark import Entropy
+    analyzers = [Entropy("o_orderstatus"), Entropy("o_orderpriority")]
+    _, vals = _run(spark, sf_dir, "orders", analyzers)
+    return _metrics_df(spark, [
+        ("entropy_status", _fuzz(vals[analyzers[0]])),
+        ("entropy_priority", _fuzz(vals[analyzers[1]]))])
+
+
+def q_duplicate_rows(spark, sf_dir):
+    from deequ_spark import DuplicateRowCount
+    analyzers = [DuplicateRowCount(("l_returnflag", "l_linestatus")),
+                 DuplicateRowCount(("l_orderkey", "l_linenumber"))]
+    _, vals = _run(spark, sf_dir, "lineitem", analyzers)
+    return _metrics_df(spark, [
+        ("dup_flag_status", vals[analyzers[0]]),
+        ("dup_pk", vals[analyzers[1]])])
+
+
+def q_datatype(spark, sf_dir):
+    from deequ_spark import DataType, do_analysis_run
+    df = _load(spark, sf_dir, "orders").withColumn(
+        "key_str", F.col("o_orderkey").cast("string"))
+    analyzers = [DataType("o_orderpriority"), DataType("key_str")]
+    ctx = do_analysis_run(df, analyzers)
+    rows = []
+    for a, label in [(analyzers[0], "priority"), (analyzers[1], "key_str")]:
+        dist = ctx.metric_map[a].value
+        for t in ["Integral", "Fractional", "Boolean", "String", "Unknown"]:
+            rows.append((f"dt_{label}_{t}", dist.values[t].ratio))
+    return _metrics_df(spark, rows)
+
+
+def q_histogram(spark, sf_dir):
+    from deequ_spark import Histogram
+    analyzer = Histogram("l_returnflag")
+    _, vals = _run(spark, sf_dir, "lineitem", [analyzer])
+    dist = vals[analyzer]
+    rows = [(f"hist_{k}_abs", dv.absolute) for k, dv in dist.values.items()]
+    rows += [(f"hist_{k}_ratio", dv.ratio) for k, dv in dist.values.items()]
+    rows.append(("hist_bins", float(dist.number_of_bins)))
+    return _metrics_df(spark, rows)
+
+
+def q_mutual_information(spark, sf_dir):
+    from deequ_spark import MutualInformation
+    analyzer = MutualInformation(("l_returnflag", "l_linestatus"))
+    _, vals = _run(spark, sf_dir, "lineitem", [analyzer])
+    return _metrics_df(spark, [("mi_flag_status", _fuzz(vals[analyzer]))])
+
+
+def q_approx_count_distinct(spark, sf_dir):
+    """Sketch accuracy contract: |estimate/exact − 1| ≤ 0.05."""
+    from deequ_spark import ApproxCountDistinct, CountDistinct
+    analyzers = [ApproxCountDistinct("o_custkey"), CountDistinct(("o_custkey",)),
+                 ApproxCountDistinct("o_orderkey"), CountDistinct(("o_orderkey",))]
+    _, vals = _run(spark, sf_dir, "orders", analyzers)
+    ok1 = abs(vals[analyzers[0]] / vals[analyzers[1]] - 1.0) <= 0.05
+    ok2 = abs(vals[analyzers[2]] / vals[analyzers[3]] - 1.0) <= 0.05
+    return _metrics_df(spark, [("acd_custkey_ok", 1.0 if ok1 else 0.0),
+                               ("acd_orderkey_ok", 1.0 if ok2 else 0.0)])
+
+
+def q_approx_quantile(spark, sf_dir):
+    """Rank-error contract: approx p50 within exact [p48, p52]."""
+    from deequ_spark import ApproxQuantile, ExactQuantile
+    analyzers = [ApproxQuantile("l_extendedprice", 0.5, 0.01),
+                 ExactQuantile("l_extendedprice", 0.48),
+                 ExactQuantile("l_extendedprice", 0.52)]
+    _, vals = _run(spark, sf_dir, "lineitem", analyzers)
+    ok = vals[analyzers[1]] <= vals[analyzers[0]] <= vals[analyzers[2]]
+    return _metrics_df(spark, [("aq_median_ok", 1.0 if ok else 0.0)])
+
+
+def q_verification(spark, sf_dir):
+    """End-to-end check evaluation — statuses recomputed in SQL by oracle."""
+    from deequ_spark import Check, CheckLevel, VerificationSuite
+    df = _load(spark, sf_dir, "lineitem")
+    check = (Check(CheckLevel.ERROR, "e2e")
+             .has_size(lambda n: n >= 50000)
+             .has_completeness("l_orderkey", lambda v: v == 1.0)
+             .has_min("l_quantity", lambda v: v >= 1.0)
+             .has_max("l_discount", lambda v: v <= 0.5)
+             .satisfies("l_quantity <= 10", "small_qty", lambda v: v > 0.5)
+             .has_uniqueness(("l_orderkey", "l_linenumber"), lambda v: v == 1.0))
+    result = VerificationSuite().on_data(df).add_check(check).run()
+    crs = list(result.check_results.values())[0].constraint_results
+    labels = ["size", "completeness", "min", "max", "satisfies", "uniqueness"]
+    rows = [(f"check_{label}", 1.0 if cr.status.value == "Success" else 0.0)
+            for label, cr in zip(labels, crs)]
+    return _metrics_df(spark, rows)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "size": q_size,
+        "completeness": q_completeness,
+        "compliance": q_compliance,
+        "pattern_match": q_pattern_match,
+        "min_max": q_min_max,
+        "sum_mean": q_sum_mean,
+        "moments": q_moments,
+        "quantiles": q_quantiles,
+        "uniqueness": q_uniqueness,
+        "entropy": q_entropy,
+        "duplicate_rows": q_duplicate_rows,
+        "datatype": q_datatype,
+        "histogram": q_histogram,
+        "mutual_information": q_mutual_information,
+        "approx_count_distinct": q_approx_count_distinct,
+        "approx_quantile": q_approx_quantile,
+        "verification": q_verification,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB ANSI SQL on the same parquet views)
+# ---------------------------------------------------------------------------
+
+_INTEGRAL_RE = r"^(-|\+)? ?\d+$"
+_FRACTIONAL_RE = r"^(-|\+)? ?\d+((\.\d+)|((?:\.\d+)?[Ee][-+]?\d+))$"
+_BOOLEAN_RE = r"^(true|false)$"
+
+
+def _dt_oracle(label: str, expr: str) -> str:
+    """5 type-ratio rows for a string expression (no WITH — composable)."""
+    counts = f"""(SELECT
+        COUNT(*) AS total,
+        SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+        SUM(CASE WHEN v IS NOT NULL AND regexp_matches(v, '{_FRACTIONAL_RE}') THEN 1 ELSE 0 END) AS n_frac,
+        SUM(CASE WHEN v IS NOT NULL AND regexp_matches(v, '{_INTEGRAL_RE}') THEN 1 ELSE 0 END) AS n_int,
+        SUM(CASE WHEN v IS NOT NULL AND regexp_matches(v, '{_BOOLEAN_RE}') THEN 1 ELSE 0 END) AS n_bool
+        FROM (SELECT {expr} AS v FROM orders) src)"""
+    return f"""
+    SELECT 'dt_{label}_Integral' AS metric, CAST(n_int AS DOUBLE)/total AS value FROM {counts} c
+    UNION ALL SELECT 'dt_{label}_Fractional', CAST(n_frac AS DOUBLE)/total FROM {counts} c
+    UNION ALL SELECT 'dt_{label}_Boolean', CAST(n_bool AS DOUBLE)/total FROM {counts} c
+    UNION ALL SELECT 'dt_{label}_String', CAST(total - n_null - n_frac - n_int - n_bool AS DOUBLE)/total FROM {counts} c
+    UNION ALL SELECT 'dt_{label}_Unknown', CAST(n_null AS DOUBLE)/total FROM {counts} c
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fuzz = "FLOOR(({}) * 1e6)"
+    return {
+        "size": """
+            SELECT 'size_all' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM lineitem
+            UNION ALL
+            SELECT 'size_filtered', CAST(SUM(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
+        """,
+        "completeness": """
+            SELECT 'completeness_key' AS metric,
+                   CAST(COUNT(o_orderkey) AS DOUBLE) / COUNT(*) AS value FROM orders
+            UNION ALL
+            SELECT 'completeness_priority',
+                   CAST(COUNT(o_orderpriority) AS DOUBLE) / COUNT(*) FROM orders
+            UNION ALL
+            SELECT 'completeness_filtered',
+                   CAST(SUM(CASE WHEN o_totalprice > 100000 AND o_totalprice IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) FROM orders
+        """,
+        "compliance": """
+            SELECT 'compliance_qty_pos' AS metric,
+                   CAST(SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS value FROM lineitem
+            UNION ALL
+            SELECT 'compliance_disc_range',
+                   CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) FROM lineitem
+            UNION ALL
+            SELECT 'compliance_price_gt_tax',
+                   CAST(SUM(CASE WHEN l_extendedprice > l_tax THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) FROM lineitem
+            UNION ALL
+            SELECT 'compliance_filtered',
+                   CAST(SUM(CASE WHEN l_discount > 0.05 AND l_quantity < 10 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) FROM lineitem
+        """,
+        "pattern_match": """
+            SELECT 'pattern_priority' AS metric,
+                   CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$') THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS value FROM orders
+            UNION ALL
+            SELECT 'pattern_status',
+                   CAST(SUM(CASE WHEN regexp_matches(o_orderstatus, '^[OF]$') THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) FROM orders
+        """,
+        "min_max": """
+            SELECT 'min_price' AS metric, CAST(MIN(l_extendedprice) AS DOUBLE) AS value FROM lineitem
+            UNION ALL SELECT 'max_price', CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'min_qty_filtered', CAST(MIN(CASE WHEN l_discount > 0.05 THEN l_quantity END) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'max_tax', CAST(MAX(l_tax) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'range_qty', CAST(MAX(l_quantity) AS DOUBLE) - CAST(MIN(l_quantity) AS DOUBLE) FROM lineitem
+        """,
+        "sum_mean": """
+            SELECT 'sum_price' AS metric,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value FROM lineitem
+            UNION ALL
+            SELECT 'mean_price',
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) FROM lineitem
+            UNION ALL
+            SELECT 'sum_qty', CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT 'mean_qty',
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) FROM lineitem
+            UNION ALL
+            SELECT 'sum_qty_flag_a',
+                   CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) FROM lineitem
+        """,
+        "moments": f"""
+            WITH s AS (SELECT
+                COUNT(l_quantity) AS n,
+                AVG(l_quantity) AS mu,
+                SUM((l_quantity - (SELECT AVG(l_quantity) FROM lineitem)) ^ 2) AS m2,
+                SUM((l_quantity - (SELECT AVG(l_quantity) FROM lineitem)) ^ 3) AS m3,
+                SUM((l_quantity - (SELECT AVG(l_quantity) FROM lineitem)) ^ 4) AS m4
+                FROM lineitem)
+            SELECT 'stddev_qty' AS metric, {fuzz.format("SQRT(m2 / n)")} AS value FROM s
+            UNION ALL SELECT 'variance_qty', {fuzz.format("m2 / n")} FROM s
+            UNION ALL SELECT 'skewness_qty', {fuzz.format("SQRT(CAST(n AS DOUBLE)) * m3 / (m2 ^ 1.5)")} FROM s
+            UNION ALL SELECT 'kurtosis_qty', {fuzz.format("CAST(n AS DOUBLE) * m4 / (m2 * m2) - 3.0")} FROM s
+            UNION ALL SELECT 'corr_qty_price', {fuzz.format("corr(l_quantity, l_extendedprice)")} FROM lineitem
+        """,
+        "quantiles": f"""
+            SELECT 'median_qty' AS metric, {fuzz.format("quantile_cont(l_quantity, 0.5)")} AS value FROM lineitem
+            UNION ALL SELECT 'p90_qty', {fuzz.format("quantile_cont(l_quantity, 0.9)")} FROM lineitem
+            UNION ALL SELECT 'p25_price', {fuzz.format("quantile_cont(l_extendedprice, 0.25)")} FROM lineitem
+            UNION ALL SELECT 'iqr_price', {fuzz.format("quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25)")} FROM lineitem
+        """,
+        "uniqueness": """
+            WITH freq AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+                          WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+            stats AS (SELECT SUM(CASE WHEN cnt = 1 THEN 1.0 ELSE 0.0 END) AS uniq,
+                             COUNT(*) AS groups, SUM(cnt) AS n FROM freq)
+            SELECT 'uniqueness_custkey' AS metric, uniq / n AS value FROM stats
+            UNION ALL SELECT 'uvr_custkey', uniq / groups FROM stats
+            UNION ALL SELECT 'distinctness_custkey', CAST(groups AS DOUBLE) / n FROM stats
+            UNION ALL SELECT 'count_distinct_custkey', CAST(groups AS DOUBLE) FROM stats
+            UNION ALL
+            SELECT 'uniqueness_orderkey',
+                   (SELECT SUM(CASE WHEN cnt = 1 THEN 1.0 ELSE 0.0 END) / SUM(cnt)
+                    FROM (SELECT COUNT(*) AS cnt FROM orders WHERE o_orderkey IS NOT NULL
+                          GROUP BY o_orderkey) f)
+        """,
+        "entropy": f"""
+            WITH f1 AS (SELECT COUNT(*) AS cnt FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY o_orderstatus),
+            e1 AS (SELECT LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt) AS v FROM f1),
+            f2 AS (SELECT COUNT(*) AS cnt FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority),
+            e2 AS (SELECT LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt) AS v FROM f2)
+            SELECT 'entropy_status' AS metric, {fuzz.format("v")} AS value FROM e1
+            UNION ALL SELECT 'entropy_priority', {fuzz.format("v")} FROM e2
+        """,
+        "duplicate_rows": """
+            SELECT 'dup_flag_status' AS metric,
+                   CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS DOUBLE) AS value
+            FROM (SELECT COUNT(*) AS cnt FROM lineitem
+                  WHERE l_returnflag IS NOT NULL OR l_linestatus IS NOT NULL
+                  GROUP BY l_returnflag, l_linestatus) f
+            UNION ALL
+            SELECT 'dup_pk', CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS DOUBLE)
+            FROM (SELECT COUNT(*) AS cnt FROM lineitem
+                  WHERE l_orderkey IS NOT NULL OR l_linenumber IS NOT NULL
+                  GROUP BY l_orderkey, l_linenumber) f
+        """,
+        "datatype": (_dt_oracle("priority", "o_orderpriority")
+                     + " UNION ALL "
+                     + _dt_oracle("key_str", "CAST(o_orderkey AS VARCHAR)")),
+        "histogram": """
+            WITH f AS (SELECT l_returnflag AS v, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag),
+            t AS (SELECT SUM(cnt) AS total, COUNT(*) AS bins FROM f)
+            SELECT 'hist_' || v || '_abs' AS metric, CAST(cnt AS DOUBLE) AS value FROM f
+            UNION ALL
+            SELECT 'hist_' || v || '_ratio', CAST(cnt AS DOUBLE) / (SELECT total FROM t) FROM f
+            UNION ALL
+            SELECT 'hist_bins', CAST(bins AS DOUBLE) FROM t
+        """,
+        "mutual_information": f"""
+            WITH joint AS (SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS cnt
+                           FROM lineitem
+                           WHERE l_returnflag IS NOT NULL OR l_linestatus IS NOT NULL
+                           GROUP BY 1, 2),
+            n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM joint),
+            mx AS (SELECT x, SUM(cnt) AS cx FROM joint GROUP BY x),
+            my AS (SELECT y, SUM(cnt) AS cy FROM joint GROUP BY y),
+            mi AS (SELECT SUM((j.cnt / n.total) * LN((j.cnt / n.total) /
+                       ((mx.cx / n.total) * (my.cy / n.total)))) AS v
+                   FROM joint j, n, mx, my WHERE j.x = mx.x AND j.y = my.y)
+            SELECT 'mi_flag_status' AS metric, {fuzz.format("v")} AS value FROM mi
+        """,
+        "approx_count_distinct": """
+            SELECT 'acd_custkey_ok' AS metric, CAST(1 AS DOUBLE) AS value
+            UNION ALL SELECT 'acd_orderkey_ok', CAST(1 AS DOUBLE)
+        """,
+        "approx_quantile": """
+            SELECT 'aq_median_ok' AS metric, CAST(1 AS DOUBLE) AS value
+        """,
+        "verification": """
+            WITH m AS (SELECT
+                COUNT(*) AS n,
+                CAST(COUNT(l_orderkey) AS DOUBLE) / COUNT(*) AS compl,
+                MIN(l_quantity) AS minq,
+                MAX(l_discount) AS maxd,
+                CAST(SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS small_ratio
+                FROM lineitem),
+            u AS (SELECT SUM(CASE WHEN cnt = 1 THEN 1.0 ELSE 0.0 END) / SUM(cnt) AS uniq
+                  FROM (SELECT COUNT(*) AS cnt FROM lineitem
+                        WHERE l_orderkey IS NOT NULL OR l_linenumber IS NOT NULL
+                        GROUP BY l_orderkey, l_linenumber) f)
+            SELECT 'check_size' AS metric, CASE WHEN n >= 50000 THEN 1.0 ELSE 0.0 END AS value FROM m
+            UNION ALL SELECT 'check_completeness', CASE WHEN compl = 1.0 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'check_min', CASE WHEN minq >= 1.0 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'check_max', CASE WHEN maxd <= 0.5 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'check_satisfies', CASE WHEN small_ratio > 0.5 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'check_uniqueness', CASE WHEN uniq = 1.0 THEN 1.0 ELSE 0.0 END FROM u
+        """,
+    }

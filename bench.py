@@ -1,0 +1,142 @@
+"""Benchmark harness: headline engine workloads at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Workloads mirror BASELINE.md §2 (B1 scan-fused suite, B2 grouping suite,
+B5 row-level) plus the e2e verification path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def b1_scan_fused(spark, df):
+    """B1: 15 scan-shareable analyzers → ONE job."""
+    from deequ_spark import (ApproxCountDistinct, ApproxQuantile,
+                             Completeness, Compliance, Maximum, Mean, Minimum,
+                             PatternMatch, Size, StandardDeviation, Sum,
+                             do_analysis_run)
+    analyzers = [
+        Size(),
+        Completeness("l_orderkey"), Completeness("l_comment")
+        if "l_comment" in df.columns else Completeness("l_partkey"),
+        Completeness("l_shipdate"),
+        Mean("l_extendedprice"), Sum("l_extendedprice"),
+        Minimum("l_extendedprice"), Maximum("l_extendedprice"),
+        StandardDeviation("l_extendedprice"),
+        Compliance("qty_pos", "l_quantity > 0"),
+        Compliance("disc", "l_discount BETWEEN 0.0 AND 0.1"),
+        ApproxCountDistinct("l_orderkey"),
+        ApproxQuantile("l_extendedprice", 0.5),
+        PatternMatch("l_returnflag", "^[ANR]$"),
+    ]
+    ctx = do_analysis_run(df, analyzers)
+    assert all(m.is_success for m in ctx.metric_map.values())
+    return len(ctx.metric_map)
+
+
+def b2_grouping(spark, orders):
+    """B2: 4 grouping analyzers sharing one GROUP BY → one shuffle."""
+    from deequ_spark import (CountDistinct, Distinctness, Entropy, Uniqueness,
+                             do_analysis_run)
+    ctx = do_analysis_run(orders, [
+        Uniqueness(("o_custkey",)), Entropy("o_custkey"),
+        Distinctness(("o_custkey",)), CountDistinct(("o_custkey",))])
+    assert all(m.is_success for m in ctx.metric_map.values())
+    return len(ctx.metric_map)
+
+
+def b3_verification(spark, df):
+    """E2E VerificationSuite (scan + grouping + evaluation)."""
+    from deequ_spark import Check, CheckLevel, CheckStatus, VerificationSuite
+    check = (Check(CheckLevel.ERROR, "bench")
+             .has_size(lambda n: n > 0)
+             .is_complete("l_orderkey")
+             .has_min("l_quantity", lambda v: v >= 0)
+             .has_max("l_discount", lambda v: v <= 1.0)
+             .has_mean("l_extendedprice", lambda v: v > 0)
+             .is_non_negative("l_tax")
+             .is_contained_in("l_returnflag", ["A", "N", "R"])
+             .has_uniqueness(("l_orderkey", "l_linenumber"), lambda v: v > 0.5))
+    result = VerificationSuite().on_data(df).add_check(check).run()
+    assert result.status == CheckStatus.SUCCESS
+    return 1
+
+
+def b4_histogram_entropy(spark, df):
+    from deequ_spark import Entropy, Histogram, MutualInformation, do_analysis_run
+    ctx = do_analysis_run(df, [
+        Histogram("l_returnflag"), Entropy("l_returnflag"),
+        MutualInformation(("l_returnflag", "l_linestatus"))])
+    assert all(m.is_success for m in ctx.metric_map.values())
+    return len(ctx.metric_map)
+
+
+def b5_row_level(spark, df):
+    """B5: row-level annotation — one projection, no extra aggregation."""
+    from deequ_spark import Check, CheckLevel, VerificationSuite
+    check = (Check(CheckLevel.ERROR, "rows")
+             .satisfies("l_quantity > 0", "qty_pos", lambda v: True)
+             .is_complete("l_orderkey"))
+    result = VerificationSuite().on_data(df).add_check(check).run()
+    annotated = result.row_level_results_as_dataframe(df)
+    return annotated.where(F.col("rows")).count()
+
+
+def main():
+    spark = (SparkSession.builder
+             .master(f"local[{CPUS}]")
+             .appName("deequ-spark-bench")
+             .config("spark.sql.shuffle.partitions", CPUS)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    # warm the JVM + file listing once
+    lineitem.count(); orders.count()
+
+    benches = [
+        ("b1_scan_fused", lambda: b1_scan_fused(spark, lineitem)),
+        ("b2_grouping", lambda: b2_grouping(spark, orders)),
+        ("b3_verification", lambda: b3_verification(spark, lineitem)),
+        ("b4_histogram_entropy", lambda: b4_histogram_entropy(spark, lineitem)),
+        ("b5_row_level", lambda: b5_row_level(spark, lineitem)),
+    ]
+    timings = {}
+    for name, fn in benches:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "deequ_spark_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""deequ_spark — a PySpark-native data-quality engine with the capabilities
+of awslabs/deequ (reference at /root/reference), rebuilt Spark-first.
+
+Core idea: analyzers compile to ``pyspark.sql`` aggregate expressions and
+are fused into minimal Spark jobs (one scan for all scan-shareable
+analyzers; one shuffle per distinct GROUP BY). States are mergeable
+sufficient statistics enabling incremental computation. Zero JVM code,
+zero Python UDFs on the hot path.
+"""
+
+from .analyzers.base import (Analyzer, CorrelationState, FourthMomentState,
+                             MaxState, MeanState, MinState, NumMatches,
+                             NumMatchesAndCount, ScanShareableAnalyzer,
+                             StandardDeviationState, State, SumState,
+                             ThirdMomentState)
+from .analyzers.grouping import (CountDistinct, Distinctness,
+                                 DuplicateRowCount, Entropy,
+                                 FrequenciesAndNumRows, Histogram,
+                                 HistogramBinned, MutualInformation,
+                                 Uniqueness, UniqueValueRatio,
+                                 compute_frequencies)
+from .analyzers.scan import (ApproxCountDistinct, ApproxQuantile,
+                             ApproxQuantiles, ColumnCount, ColumnExists,
+                             ColumnRange, Completeness, Compliance,
+                             Correlation, CustomAggregator, CustomSql,
+                             DataType, DataTypeInstances, ExactQuantile,
+                             InterquartileRange, Kurtosis, Maximum,
+                             MaxLength, Mean, Minimum, MinLength,
+                             NullBehavior, PatternMatch, Patterns,
+                             RatioOfSums, Size, Skewness, StandardDeviation,
+                             Sum, Variance, ZerosCount, determine_type)
+from .checks import Check, CheckLevel, CheckResult, CheckStatus
+from .constraints import (AnalysisBasedConstraint, Constraint,
+                          ConstraintResult, ConstraintStatus)
+from .metrics import (Distribution, DistributionValue, DoubleMetric, Entity,
+                      HistogramMetric, KeyedDoubleMetric, Metric)
+from .runners.analysis_runner import (AnalyzerContext, do_analysis_run,
+                                      run_on_aggregated_states)
+from .verification import (VerificationResult, VerificationRunBuilder,
+                           VerificationSuite)
+
+__version__ = "0.1.0"

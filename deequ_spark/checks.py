@@ -1,0 +1,382 @@
+"""Check DSL — the assertion surface (SURVEY §2e).
+
+Reference parity: /root/reference/src/main/scala/com/amazon/deequ/checks/
+Check.scala:79-1480 (builder methods with line refs in each docstring-free
+method below mapping 1:1), CheckWithLastConstraintFilterable.scala
+(``.where(...)`` retrofits a filter onto the last-added constraint).
+
+Python-first shape: ``Check`` is a fluent builder collecting constraint
+*factories* parameterized by the retrofittable filter; assertions are plain
+``float -> bool`` callables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+
+from .analyzers.base import Analyzer
+from .analyzers.grouping import (CountDistinct, Distinctness, DuplicateRowCount,
+                                 Entropy, Histogram, MutualInformation,
+                                 Uniqueness, UniqueValueRatio)
+from .analyzers.scan import (ApproxCountDistinct, ApproxQuantile, ColumnCount,
+                             ColumnExists, ColumnRange, Completeness,
+                             Compliance, Correlation, CustomSql, DataType,
+                             DataTypeInstances, ExactQuantile,
+                             InterquartileRange, Kurtosis, Maximum, MaxLength,
+                             Mean, Minimum, MinLength, PatternMatch, Patterns,
+                             RatioOfSums, Size, Skewness, StandardDeviation,
+                             Sum, Variance, ZerosCount)
+from .constraints import (AnalysisBasedConstraint, Constraint,
+                          ConstraintResult, ConstraintStatus)
+from .metrics import Distribution, Metric
+
+
+class CheckLevel(str, Enum):
+    ERROR = "Error"
+    WARNING = "Warning"
+
+
+class CheckStatus(str, Enum):
+    SUCCESS = "Success"
+    WARNING = "Warning"
+    ERROR = "Error"
+
+
+IS_ONE: Callable[[float], bool] = lambda v: v == 1.0
+
+
+@dataclass
+class CheckResult:
+    check: "Check"
+    status: CheckStatus
+    constraint_results: List[ConstraintResult] = field(default_factory=list)
+
+
+class Check:
+    """A named set of constraints sharing a severity level
+    (parity: Check.scala:79-116)."""
+
+    def __init__(self, level: CheckLevel, description: str,
+                 constraints: Optional[List] = None):
+        self.level = CheckLevel(level)
+        self.description = description
+        # list of dicts {factory: where -> Constraint, where: Optional[str]}
+        self._cells: List[dict] = list(constraints or [])
+
+    # -- plumbing ----------------------------------------------------------
+
+    def _add(self, factory: Callable[[Optional[str]], Constraint],
+             filterable: bool = True) -> "Check":
+        self._cells.append({"factory": factory, "where": None,
+                            "filterable": filterable})
+        return self
+
+    def where(self, condition: str) -> "Check":
+        """Retrofit a filter onto the last constraint
+        (parity: CheckWithLastConstraintFilterable.scala)."""
+        if not self._cells or not self._cells[-1]["filterable"]:
+            raise ValueError("last constraint does not support .where()")
+        self._cells[-1]["where"] = condition
+        return self
+
+    @property
+    def constraints(self) -> List[Constraint]:
+        return [c["factory"](c["where"]) for c in self._cells]
+
+    def required_analyzers(self) -> List[Analyzer]:
+        out = []
+        for c in self.constraints:
+            out.extend(c.required_analyzers)
+        return out
+
+    def evaluate(self, metric_map: Dict[Analyzer, Metric]) -> CheckResult:
+        """Parity: Check.scala:1455-1467."""
+        results = [c.evaluate(metric_map) for c in self.constraints]
+        any_failed = any(r.status == ConstraintStatus.FAILURE for r in results)
+        if not any_failed:
+            status = CheckStatus.SUCCESS
+        elif self.level == CheckLevel.ERROR:
+            status = CheckStatus.ERROR
+        else:
+            status = CheckStatus.WARNING
+        return CheckResult(self, status, results)
+
+    # -- size / shape (Check.scala:129,135,212) ----------------------------
+
+    def has_size(self, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Size(where=w), assertion, hint=hint, name=f"SizeConstraint(Size(None,{w}))"))
+
+    def has_column_count(self, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            ColumnCount(), assertion, hint=hint), filterable=False)
+
+    def has_column(self, column: str, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            ColumnExists(column), IS_ONE, hint=hint), filterable=False)
+
+    # -- completeness (Check.scala:187-273) --------------------------------
+
+    def is_complete(self, column: str, hint=None) -> "Check":
+        return self.has_completeness(column, IS_ONE, hint)
+
+    def has_completeness(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Completeness(column, w), assertion, hint=hint))
+
+    def are_complete(self, columns: Sequence[str], hint=None) -> "Check":
+        for c in columns:
+            self.is_complete(c, hint)
+        return self
+
+    def have_completeness(self, columns: Sequence[str], assertion, hint=None) -> "Check":
+        for c in columns:
+            self.has_completeness(c, assertion, hint)
+        return self
+
+    def are_any_complete(self, columns: Sequence[str], hint=None) -> "Check":
+        pred = " OR ".join(f"`{c}` IS NOT NULL" for c in columns)
+        return self.satisfies(pred, f"AnyComplete({','.join(columns)})", IS_ONE, hint)
+
+    def have_any_completeness(self, columns: Sequence[str], assertion, hint=None) -> "Check":
+        pred = " OR ".join(f"`{c}` IS NOT NULL" for c in columns)
+        return self.satisfies(pred, f"AnyCompleteness({','.join(columns)})",
+                              assertion, hint)
+
+    # -- uniqueness (Check.scala:289-485) ----------------------------------
+
+    def is_unique(self, column: str, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Uniqueness((column,), w), IS_ONE, hint=hint))
+
+    def are_unique(self, columns: Sequence[str], hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Uniqueness(tuple(columns), w), IS_ONE, hint=hint))
+
+    def is_primary_key(self, column: str, *columns: str, hint=None) -> "Check":
+        cols = [column, *columns]
+        for c in cols:
+            self.is_complete(c, hint)
+        return self.are_unique(cols, hint)
+
+    def has_uniqueness(self, columns, assertion, hint=None) -> "Check":
+        cols = (columns,) if isinstance(columns, str) else tuple(columns)
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Uniqueness(cols, w), assertion, hint=hint))
+
+    def has_distinctness(self, columns, assertion, hint=None) -> "Check":
+        cols = (columns,) if isinstance(columns, str) else tuple(columns)
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Distinctness(cols, w), assertion, hint=hint))
+
+    def has_unique_value_ratio(self, columns, assertion, hint=None) -> "Check":
+        cols = (columns,) if isinstance(columns, str) else tuple(columns)
+        return self._add(lambda w: AnalysisBasedConstraint(
+            UniqueValueRatio(cols, w), assertion, hint=hint))
+
+    # -- counts (Check.scala:150-184,564,1015) -----------------------------
+
+    def has_zeros_count(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            ZerosCount(column, w), assertion, hint=hint))
+
+    def has_duplicate_row_count(self, assertion, columns=(), hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            DuplicateRowCount(tuple(columns), w), assertion, hint=hint))
+
+    def has_number_of_distinct_values(self, column: str, assertion,
+                                      binning_udf=None, max_bins: int = 1000,
+                                      hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Histogram(column, binning_udf, max_bins, w), assertion,
+            value_picker=lambda dist: float(dist.number_of_bins), hint=hint))
+
+    def has_approx_count_distinct(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            ApproxCountDistinct(column, w), assertion, hint=hint))
+
+    # -- distribution (Check.scala:591-663) --------------------------------
+
+    def has_histogram_values(self, column: str, assertion,
+                             binning_udf=None, max_bins: int = 1000,
+                             hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Histogram(column, binning_udf, max_bins, w), assertion, hint=hint))
+
+    # -- statistics (Check.scala:720-1034) ---------------------------------
+
+    def has_entropy(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Entropy(column, w), assertion, hint=hint))
+
+    def has_mutual_information(self, column_a: str, column_b: str, assertion,
+                               hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            MutualInformation((column_a, column_b), w), assertion, hint=hint))
+
+    def has_approx_quantile(self, column: str, quantile: float, assertion,
+                            relative_error: float = 0.01, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            ApproxQuantile(column, quantile, relative_error, w), assertion, hint=hint))
+
+    def has_exact_quantile(self, column: str, quantile: float, assertion,
+                           hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            ExactQuantile(column, quantile, w), assertion, hint=hint))
+
+    def has_min_length(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            MinLength(column, w), assertion, hint=hint))
+
+    def has_max_length(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            MaxLength(column, w), assertion, hint=hint))
+
+    def has_min(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Minimum(column, w), assertion, hint=hint))
+
+    def has_max(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Maximum(column, w), assertion, hint=hint))
+
+    def has_range(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            ColumnRange(column, w), assertion, hint=hint))
+
+    def has_interquartile_range(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            InterquartileRange(column, w), assertion, hint=hint))
+
+    def has_mean(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Mean(column, w), assertion, hint=hint))
+
+    def has_sum(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Sum(column, w), assertion, hint=hint))
+
+    def has_standard_deviation(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            StandardDeviation(column, w), assertion, hint=hint))
+
+    def has_variance(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Variance(column, w), assertion, hint=hint))
+
+    def has_skewness(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Skewness(column, w), assertion, hint=hint))
+
+    def has_kurtosis(self, column: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Kurtosis(column, w), assertion, hint=hint))
+
+    def has_correlation(self, column_a: str, column_b: str, assertion,
+                        hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Correlation(column_a, column_b, w), assertion, hint=hint))
+
+    def has_ratio_of_sums(self, numerator: str, denominator: str, assertion,
+                          hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            RatioOfSums(numerator, denominator, w), assertion, hint=hint))
+
+    # -- predicates (Check.scala:1059-1454) --------------------------------
+
+    def satisfies(self, column_condition: str, constraint_name: str,
+                  assertion=IS_ONE, hint=None, columns=()) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            Compliance(constraint_name, column_condition, w, tuple(columns)),
+            assertion, hint=hint))
+
+    def has_pattern(self, column: str, pattern: str, assertion=IS_ONE,
+                    name=None, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            PatternMatch(column, pattern, w), assertion, hint=hint,
+            name=name or f"PatternMatchConstraint({column},{pattern})"))
+
+    def contains_credit_card_number(self, column: str, assertion=IS_ONE,
+                                    hint=None) -> "Check":
+        return self.has_pattern(column, Patterns.CREDITCARD, assertion,
+                                f"containsCreditCardNumber({column})", hint)
+
+    def contains_email(self, column: str, assertion=IS_ONE, hint=None) -> "Check":
+        return self.has_pattern(column, Patterns.EMAIL, assertion,
+                                f"containsEmail({column})", hint)
+
+    def contains_url(self, column: str, assertion=IS_ONE, hint=None) -> "Check":
+        return self.has_pattern(column, Patterns.URL, assertion,
+                                f"containsURL({column})", hint)
+
+    def contains_social_security_number(self, column: str, assertion=IS_ONE,
+                                        hint=None) -> "Check":
+        return self.has_pattern(column, Patterns.SOCIAL_SECURITY_NUMBER_US,
+                                assertion, f"containsSocialSecurityNumber({column})",
+                                hint)
+
+    def has_data_type(self, column: str, data_type: DataTypeInstances,
+                      assertion=IS_ONE, hint=None) -> "Check":
+        def picker(dist: Distribution) -> float:
+            dv = dist.values.get(data_type.value)
+            return dv.ratio if dv else 0.0
+        return self._add(lambda w: AnalysisBasedConstraint(
+            DataType(column, w), assertion, value_picker=picker, hint=hint))
+
+    def is_non_negative(self, column: str, assertion=IS_ONE, hint=None) -> "Check":
+        return self.satisfies(
+            f"COALESCE(CAST(`{column}` AS DECIMAL(20,10)), 0.0) >= 0",
+            f"{column} is non-negative", assertion, hint, columns=[column])
+
+    def is_positive(self, column: str, assertion=IS_ONE, hint=None) -> "Check":
+        return self.satisfies(
+            f"COALESCE(CAST(`{column}` AS DECIMAL(20,10)), 1.0) > 0",
+            f"{column} is positive", assertion, hint, columns=[column])
+
+    def is_less_than(self, column_a: str, column_b: str, assertion=IS_ONE,
+                     hint=None) -> "Check":
+        return self.satisfies(f"`{column_a}` < `{column_b}`",
+                              f"{column_a} is less than {column_b}",
+                              assertion, hint, columns=[column_a, column_b])
+
+    def is_less_than_or_equal_to(self, column_a: str, column_b: str,
+                                 assertion=IS_ONE, hint=None) -> "Check":
+        return self.satisfies(f"`{column_a}` <= `{column_b}`",
+                              f"{column_a} is less than or equal to {column_b}",
+                              assertion, hint, columns=[column_a, column_b])
+
+    def is_greater_than(self, column_a: str, column_b: str, assertion=IS_ONE,
+                        hint=None) -> "Check":
+        return self.satisfies(f"`{column_a}` > `{column_b}`",
+                              f"{column_a} is greater than {column_b}",
+                              assertion, hint, columns=[column_a, column_b])
+
+    def is_greater_than_or_equal_to(self, column_a: str, column_b: str,
+                                    assertion=IS_ONE, hint=None) -> "Check":
+        return self.satisfies(f"`{column_a}` >= `{column_b}`",
+                              f"{column_a} is greater than or equal to {column_b}",
+                              assertion, hint, columns=[column_a, column_b])
+
+    def is_contained_in(self, column: str, allowed_values: Sequence[Any],
+                        assertion=IS_ONE, hint=None) -> "Check":
+        """Parity: Check.scala:1326-1454 (string/numeric variants)."""
+        if all(isinstance(v, (int, float)) and not isinstance(v, bool)
+               for v in allowed_values):
+            values = ", ".join(str(v) for v in allowed_values)
+        else:
+            escaped = [str(v).replace("'", "\\'") for v in allowed_values]
+            values = ", ".join(f"'{v}'" for v in escaped)
+        pred = f"`{column}` IS NULL OR `{column}` IN ({values})"
+        return self.satisfies(pred, f"{column} contained in {values}",
+                              assertion, hint, columns=[column])
+
+    # -- misc (Check.scala:309,542) ----------------------------------------
+
+    def custom_sql(self, expression: str, assertion, hint=None) -> "Check":
+        return self._add(lambda w: AnalysisBasedConstraint(
+            CustomSql(expression), assertion, hint=hint), filterable=False)
+
+    def add_constraint(self, constraint: Constraint) -> "Check":
+        return self._add(lambda w: constraint, filterable=False)

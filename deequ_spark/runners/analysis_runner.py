@@ -1,0 +1,305 @@
+"""AnalysisRunner — fuses many analyzers into minimal Spark work.
+
+Reference parity:
+/root/reference/src/main/scala/com/amazon/deequ/analyzers/runners/
+AnalysisRunner.scala:101-247 (orchestration), :342-387 (scan fusion with
+offsets), :582-605 (grouping fusion), :122-134 (metric reuse from
+repository), :389-416 (column pruning before agg).
+
+Execution contract (the engine's scale story):
+  * N scan-shareable analyzers  → exactly ONE ``df.agg(...)`` job = one
+    pass over the data, regardless of N.
+  * M grouping analyzers over the same (columns, filter) → ONE shuffle
+    (the GROUP BY) + one fused second-stage agg (single action here,
+    vs two jobs in the reference, since num_rows is recovered as
+    SUM(absolute) inside the same aggregation).
+  * Column pruning: the fused scan selects only referenced columns so
+    parquet/DSv2 scans read a narrow projection.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..analyzers.base import Analyzer, ScanShareableAnalyzer, State
+from ..analyzers.grouping import (COUNT_COL, FrequenciesAndNumRows,
+                                  FrequencyBasedAnalyzer, Histogram,
+                                  ScanShareableFrequencyBasedAnalyzer,
+                                  frequencies_plan)
+from ..metrics import DoubleMetric, Metric
+
+
+@dataclass
+class AnalyzerContext:
+    """Computed metrics per analyzer (parity: AnalyzerContext.scala)."""
+
+    metric_map: Dict[Analyzer, Metric] = field(default_factory=dict)
+
+    def all_metrics(self) -> List[Metric]:
+        return list(self.metric_map.values())
+
+    def metric(self, analyzer: Analyzer) -> Optional[Metric]:
+        return self.metric_map.get(analyzer)
+
+    def __add__(self, other: "AnalyzerContext") -> "AnalyzerContext":
+        merged = dict(self.metric_map)
+        merged.update(other.metric_map)
+        return AnalyzerContext(merged)
+
+    def success_metrics_as_json(self) -> str:
+        return json.dumps([m.as_dict() for m in self.all_metrics()
+                           if m.is_success], default=str)
+
+    def success_metrics_as_dataframe(self, spark: SparkSession,
+                                     for_analyzers: Optional[Sequence[Analyzer]] = None
+                                     ) -> DataFrame:
+        rows = []
+        for analyzer, metric in self.metric_map.items():
+            if for_analyzers and analyzer not in for_analyzers:
+                continue
+            flattened = getattr(metric, "flattened", None)
+            for m in (flattened if flattened is not None else [metric]):
+                if m.is_success:
+                    rows.append((m.entity.value, m.instance, m.name, float(m.value)))
+        return spark.createDataFrame(
+            rows, "entity string, instance string, name string, value double")
+
+
+def _dedup(analyzers: Sequence[Analyzer]) -> List[Analyzer]:
+    seen, out = set(), []
+    for a in analyzers:
+        if a not in seen:
+            seen.add(a)
+            out.append(a)
+    return out
+
+
+def do_analysis_run(data: DataFrame,
+                    analyzers: Sequence[Analyzer],
+                    metrics_repository=None,
+                    reuse_existing_results_for_key=None,
+                    save_states_with=None,
+                    fail_if_results_missing: bool = False) -> AnalyzerContext:
+    """Compute all metrics with minimal passes (parity:
+    AnalysisRunner.scala:101-247)."""
+    analyzers = _dedup(analyzers)
+    if not analyzers:
+        return AnalyzerContext()
+
+    # 1. reuse metrics already in the repository for this key (:122-134)
+    results = AnalyzerContext()
+    to_run: List[Analyzer] = []
+    if metrics_repository is not None and reuse_existing_results_for_key is not None:
+        existing = metrics_repository.load_by_key(reuse_existing_results_for_key)
+        existing_map = existing.metric_map if existing else {}
+        for a in analyzers:
+            if a in existing_map:
+                results.metric_map[a] = existing_map[a]
+            else:
+                to_run.append(a)
+    else:
+        to_run = list(analyzers)
+
+    # 2. preconditions → failure metrics without running (:143-152)
+    passed: List[Analyzer] = []
+    schema = data.schema
+    for a in to_run:
+        try:
+            for check in a.preconditions():
+                check(schema)
+            passed.append(a)
+        except Exception as exc:  # noqa: BLE001
+            results.metric_map[a] = a.to_failure_metric(exc)
+
+    # 3. partition by execution strategy (:154-160)
+    scanning = [a for a in passed if isinstance(a, ScanShareableAnalyzer)]
+    grouping = [a for a in passed
+                if isinstance(a, FrequencyBasedAnalyzer)
+                and not isinstance(a, Histogram)]
+    others = [a for a in passed if a not in scanning and a not in grouping]
+
+    # 4. fused single-pass scan (:342-387)
+    if scanning:
+        results += _run_scanning_analyzers(data, scanning, save_states_with)
+
+    # 5. grouping fusion, bucketed by (sorted cols, filter) (:218-234)
+    buckets: Dict[Tuple, List[FrequencyBasedAnalyzer]] = {}
+    for a in grouping:
+        key = (tuple(sorted(a.grouping_columns)), getattr(a, "where", None))
+        buckets.setdefault(key, []).append(a)
+    for (cols_key, where), bucket in buckets.items():
+        results += _run_grouping_analyzers(
+            data, list(bucket[0].grouping_columns), where, bucket, save_states_with)
+
+    # 6. everything else standalone (Histogram, HistogramBinned, CustomSql…)
+    for a in others:
+        try:
+            state = a.compute_state_from(data)
+            if save_states_with is not None and state is not None:
+                save_states_with.persist(a, state)
+            results.metric_map[a] = a.compute_metric_from_state(state)
+        except Exception as exc:  # noqa: BLE001
+            results.metric_map[a] = a.to_failure_metric(exc)
+
+    # 7. store newly computed metrics
+    if metrics_repository is not None and reuse_existing_results_for_key is not None:
+        metrics_repository.save(reuse_existing_results_for_key, results)
+
+    return results
+
+
+def _run_scanning_analyzers(data: DataFrame,
+                            analyzers: List[ScanShareableAnalyzer],
+                            save_states_with=None) -> AnalyzerContext:
+    """ONE ``df.agg(...)`` for all analyzers (AnalysisRunner.scala:342-387)."""
+    ctx = AnalyzerContext()
+
+    # column pruning before agg (:389-416) — helps DSv2 scan planning and
+    # keeps the parquet ReadSchema narrow
+    referenced: Optional[set] = set()
+    for a in analyzers:
+        cols = a.columns_referenced()
+        if cols is None:
+            referenced = None
+            break
+        referenced.update(cols)
+    pruned = data
+    if referenced is not None and referenced and len(referenced) < len(data.columns):
+        pruned = data.select(*sorted(referenced))
+
+    aggregations = []
+    offsets: List[int] = []
+    current = 0
+    runnable: List[ScanShareableAnalyzer] = []
+    for a in analyzers:
+        try:
+            aggs = a.aggregation_functions()
+        except Exception as exc:  # noqa: BLE001
+            ctx.metric_map[a] = a.to_failure_metric(exc)
+            continue
+        aggregations.extend(aggs)
+        offsets.append(current)
+        current += len(aggs)
+        runnable.append(a)
+
+    if not runnable:
+        return ctx
+
+    try:
+        result = pruned.agg(*aggregations).collect()[0]
+    except Exception:  # noqa: BLE001
+        # one analyzer's invalid expression (e.g. bad `where` SQL, parsed
+        # lazily at agg time) must not poison the whole fused pass —
+        # isolate by running each analyzer alone
+        for a in runnable:
+            try:
+                state = a.compute_state_from(pruned)
+                if save_states_with is not None and state is not None:
+                    save_states_with.persist(a, state)
+                ctx.metric_map[a] = a.compute_metric_from_state(state)
+            except Exception as exc:  # noqa: BLE001
+                ctx.metric_map[a] = a.to_failure_metric(exc)
+        return ctx
+    for a, offset in zip(runnable, offsets):
+        try:
+            state = a.from_aggregation_result(result, offset)
+            if save_states_with is not None and state is not None:
+                save_states_with.persist(a, state)
+            ctx.metric_map[a] = a.compute_metric_from_state(state)
+        except Exception as exc:  # noqa: BLE001
+            ctx.metric_map[a] = a.to_failure_metric(exc)
+    return ctx
+
+
+def _run_grouping_analyzers(data: DataFrame,
+                            grouping_columns: List[str],
+                            where: Optional[str],
+                            analyzers: List[FrequencyBasedAnalyzer],
+                            save_states_with=None) -> AnalyzerContext:
+    """One shuffle for the whole bucket; fused second stage
+    (AnalysisRunner.scala:560-628)."""
+    ctx = AnalyzerContext()
+    try:
+        frequencies = frequencies_plan(data, grouping_columns, where)
+    except Exception as exc:  # noqa: BLE001  (e.g. invalid `where` SQL)
+        for a in analyzers:
+            ctx.metric_map[a] = a.to_failure_metric(exc)
+        return ctx
+
+    shareable = [a for a in analyzers
+                 if isinstance(a, ScanShareableFrequencyBasedAnalyzer)]
+    non_shareable = [a for a in analyzers if a not in shareable]
+
+    # persist the (small, post-shuffle) frequency table only when >1 action
+    # will consume it (parity :576-578, 626)
+    needs_persist = bool(non_shareable) or (save_states_with is not None)
+    if needs_persist:
+        frequencies = frequencies.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # fused second stage: SUM(absolute) at offset 0 recovers num_rows in the
+    # SAME action as every analyzer's aggregates
+    aggregations = [F.sum(F.col(COUNT_COL)).cast("long")]
+    offsets: List[int] = []
+    current = 1
+    for a in shareable:
+        aggs = a.aggregation_functions()
+        aggregations.extend(aggs)
+        offsets.append(current)
+        current += len(aggs)
+
+    try:
+        result = frequencies.agg(*aggregations).collect()[0]
+    except Exception:  # noqa: BLE001
+        # isolate a poisoned expression (bad `where`/column) per analyzer
+        for a in analyzers:
+            try:
+                state = a.compute_state_from(data)
+                ctx.metric_map[a] = a.compute_metric_from_state(state)
+            except Exception as exc:  # noqa: BLE001
+                ctx.metric_map[a] = a.to_failure_metric(exc)
+        if needs_persist:
+            frequencies.unpersist()
+        return ctx
+    num_rows = int(result[0] or 0)
+
+    for a, offset in zip(shareable, offsets):
+        ctx.metric_map[a] = a.metric_from_aggregation_result(result, offset, num_rows)
+
+    state = FrequenciesAndNumRows(frequencies, num_rows)
+    if save_states_with is not None:
+        for a in analyzers:
+            save_states_with.persist(a, state)
+    for a in non_shareable:
+        try:
+            ctx.metric_map[a] = a.compute_metric_from_state(state)
+        except Exception as exc:  # noqa: BLE001
+            ctx.metric_map[a] = a.to_failure_metric(exc)
+
+    if needs_persist:
+        frequencies.unpersist()
+    return ctx
+
+
+def run_on_aggregated_states(schema_source: DataFrame,
+                             analyzers: Sequence[Analyzer],
+                             state_loaders: Sequence[Any]) -> AnalyzerContext:
+    """Compute metrics purely from merged persisted states — no data scan
+    (parity: AnalysisRunner.scala:466-541, runOnAggregatedStates)."""
+    ctx = AnalyzerContext()
+    for a in _dedup(analyzers):
+        merged: Optional[State] = None
+        try:
+            for loader in state_loaders:
+                state = loader.load(a)
+                if state is not None:
+                    merged = state if merged is None else merged.merge(state)
+            ctx.metric_map[a] = a.compute_metric_from_state(merged)
+        except Exception as exc:  # noqa: BLE001
+            ctx.metric_map[a] = a.to_failure_metric(exc)
+    return ctx

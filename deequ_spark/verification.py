@@ -1,0 +1,170 @@
+"""VerificationSuite — the flagship entry point.
+
+Reference parity: /root/reference/src/main/scala/com/amazon/deequ/
+{VerificationSuite,VerificationRunBuilder,VerificationResult}.scala
+(lifecycle documented in SURVEY §3.1). Collects required analyzers from all
+checks, runs them through the fused AnalysisRunner (one scan), evaluates
+each check's constraints against the resulting metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analyzers.base import Analyzer
+from .checks import Check, CheckResult, CheckStatus
+from .constraints import ConstraintStatus
+from .runners.analysis_runner import AnalyzerContext, do_analysis_run
+
+
+@dataclass
+class VerificationResult:
+    status: CheckStatus
+    check_results: Dict[Check, CheckResult]
+    metrics: AnalyzerContext
+
+    def success_metrics_as_json(self) -> str:
+        return self.metrics.success_metrics_as_json()
+
+    def success_metrics_as_dataframe(self, spark: SparkSession) -> DataFrame:
+        return self.metrics.success_metrics_as_dataframe(spark)
+
+    def check_results_as_dataframe(self, spark: SparkSession) -> DataFrame:
+        """Parity: VerificationResult.scala:55-92."""
+        rows = []
+        for check, result in self.check_results.items():
+            for cr in result.constraint_results:
+                rows.append((check.description, check.level.value,
+                             result.status.value, str(cr.constraint),
+                             cr.status.value, cr.message or ""))
+        return spark.createDataFrame(
+            rows, "check string, check_level string, check_status string, "
+                  "constraint string, constraint_status string, "
+                  "constraint_message string")
+
+    def row_level_results_as_dataframe(self, data: DataFrame) -> DataFrame:
+        """Annotate each input row with one boolean column per check — AND of
+        the check's constraint-level row conditions
+        (parity: VerificationResult.scala:94-155).
+
+        Scale note: a pure projection — no aggregation, no shuffle; Catalyst
+        fuses it into the scan.
+        """
+        out = data
+        for check, _result in self.check_results.items():
+            cond = None
+            for constraint in check.constraints:
+                analyzer = getattr(constraint, "analyzer", None)
+                row_level = getattr(analyzer, "row_level_column", None)
+                if row_level is None:
+                    continue
+                col = row_level()
+                where = getattr(analyzer, "where", None)
+                if where is not None:
+                    # rows outside the filter scope pass (FilteredRowOutcome.TRUE)
+                    col = F.when(~F.expr(where), F.lit(True)).otherwise(col)
+                col = F.coalesce(col, F.lit(False))
+                cond = col if cond is None else (cond & col)
+            if cond is not None:
+                out = out.withColumn(check.description, cond)
+        return out
+
+
+class VerificationRunBuilder:
+    """Parity: VerificationRunBuilder.scala:28-180."""
+
+    def __init__(self, data: DataFrame):
+        self._data = data
+        self._checks: List[Check] = []
+        self._required_analyzers: List[Analyzer] = []
+        self._repository = None
+        self._reuse_key = None
+        self._save_key = None
+        self._state_persister = None
+        self._anomaly_checks: List = []
+
+    def add_check(self, check: Check) -> "VerificationRunBuilder":
+        self._checks.append(check)
+        return self
+
+    def add_checks(self, checks: Sequence[Check]) -> "VerificationRunBuilder":
+        self._checks.extend(checks)
+        return self
+
+    def add_required_analyzer(self, analyzer: Analyzer) -> "VerificationRunBuilder":
+        self._required_analyzers.append(analyzer)
+        return self
+
+    def add_required_analyzers(self, analyzers) -> "VerificationRunBuilder":
+        self._required_analyzers.extend(analyzers)
+        return self
+
+    def use_repository(self, repository) -> "VerificationRunBuilder":
+        self._repository = repository
+        return self
+
+    def reuse_existing_results_for_key(self, key) -> "VerificationRunBuilder":
+        self._reuse_key = key
+        return self
+
+    def save_or_append_result(self, key) -> "VerificationRunBuilder":
+        self._save_key = key
+        return self
+
+    def save_states_with(self, persister) -> "VerificationRunBuilder":
+        self._state_persister = persister
+        return self
+
+    def add_anomaly_check(self, strategy, analyzer: Analyzer,
+                          check_config=None) -> "VerificationRunBuilder":
+        """Parity: VerificationRunBuilder.scala:226-243."""
+        from .anomaly import AnomalyCheck
+        self._anomaly_checks.append(AnomalyCheck(strategy, analyzer, check_config))
+        self._required_analyzers.append(analyzer)
+        return self
+
+    def run(self) -> VerificationResult:
+        """Parity: VerificationSuite.doVerificationRun (:101-170)."""
+        required = list(self._required_analyzers)
+        for check in self._checks:
+            required.extend(check.required_analyzers())
+
+        context = do_analysis_run(
+            self._data, required,
+            metrics_repository=self._repository,
+            reuse_existing_results_for_key=self._reuse_key,
+            save_states_with=self._state_persister)
+
+        checks = list(self._checks)
+        for ac in self._anomaly_checks:
+            checks.append(ac.to_check(self._repository))
+
+        check_results = {c: c.evaluate(context.metric_map) for c in checks}
+        if not check_results:
+            status = CheckStatus.SUCCESS
+        else:
+            order = {CheckStatus.SUCCESS: 0, CheckStatus.WARNING: 1,
+                     CheckStatus.ERROR: 2}
+            status = max((r.status for r in check_results.values()),
+                         key=lambda s: order[s])
+
+        if self._repository is not None and self._save_key is not None:
+            self._repository.save(self._save_key, context)
+
+        return VerificationResult(status, check_results, context)
+
+
+class VerificationSuite:
+    """Parity: VerificationSuite.scala:49-51."""
+
+    def on_data(self, data: DataFrame) -> VerificationRunBuilder:
+        return VerificationRunBuilder(data)
+
+    @staticmethod
+    def run_on_aggregated_states(schema_source, analyzers, state_loaders):
+        from .runners.analysis_runner import run_on_aggregated_states
+        return run_on_aggregated_states(schema_source, analyzers, state_loaders)

@@ -1,0 +1,126 @@
+"""Exact-value tests for frequency-based analyzers (FIXTURES.md F5/F6)."""
+
+import math
+
+import pytest
+
+from deequ_spark import (CountDistinct, Distinctness, DuplicateRowCount,
+                         Entropy, Histogram, HistogramBinned,
+                         MutualInformation, Uniqueness, UniqueValueRatio)
+
+
+def value(analyzer, df):
+    metric = analyzer.calculate(df)
+    assert metric.is_success, f"{analyzer}: {metric.error}"
+    return metric.value
+
+
+class TestUniqueness:
+    def test_unique_column(self, df_unique):
+        assert value(Uniqueness(("unique",)), df_unique) == 1.0
+
+    def test_non_unique(self, df_unique):
+        # nonUnique = (0,0,0,5,6,7): 3 singleton groups of 6 rows
+        assert value(Uniqueness(("nonUnique",)), df_unique) == 0.5
+
+    def test_multi_column(self, df_unique):
+        assert value(Uniqueness(("unique", "nonUnique")), df_unique) == 1.0
+
+    def test_null_groups_excluded(self, df_distinct):
+        # att1 = (a,a,null,b,b,c): groups a:2 b:2 c:1 over 5 non-null rows
+        assert value(Uniqueness(("att1",)), df_distinct) == pytest.approx(1 / 5)
+
+
+class TestUniqueValueRatio:
+    def test_ratio(self, df_unique):
+        # nonUnique: 4 groups, 3 unique → 0.75
+        assert value(UniqueValueRatio(("nonUnique",)), df_unique) == 0.75
+
+
+class TestDistinctness:
+    def test_distinctness(self, df_distinct):
+        assert value(Distinctness(("att1",)), df_distinct) == pytest.approx(3 / 5)
+
+    def test_full(self, df_unique):
+        assert value(Distinctness(("unique",)), df_unique) == 1.0
+
+
+class TestCountDistinct:
+    def test_count(self, df_distinct):
+        assert value(CountDistinct(("att1",)), df_distinct) == 3.0
+
+
+class TestEntropy:
+    def test_entropy(self, df_distinct):
+        # frequencies (2,2,1) over 5
+        expected = -(0.4 * math.log(0.4) * 2 + 0.2 * math.log(0.2))
+        assert value(Entropy("att1"), df_distinct) == pytest.approx(expected)
+
+    def test_uniform(self, df_full):
+        # att2 = c,c,c,d → -(0.75 ln 0.75 + 0.25 ln 0.25)
+        expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+        assert value(Entropy("att2"), df_full) == pytest.approx(expected)
+
+
+class TestDuplicateRowCount:
+    def test_duplicates(self, df_unique):
+        # nonUnique groups: {0:3, 5:1, 6:1, 7:1} → 3 rows in duplicate groups
+        assert value(DuplicateRowCount(("nonUnique",)), df_unique) == 3.0
+
+    def test_no_duplicates(self, df_unique):
+        assert value(DuplicateRowCount(("unique",)), df_unique) == 0.0
+
+
+class TestMutualInformation:
+    def test_identical_columns_equals_entropy(self, spark):
+        df = spark.createDataFrame(
+            [("a", "a"), ("a", "a"), ("b", "b"), ("c", "c")], "x string, y string")
+        mi = value(MutualInformation(("x", "y")), df)
+        ent = value(Entropy("x"), df)
+        assert mi == pytest.approx(ent)
+
+    def test_independent(self, spark):
+        rows = [(x, y) for x in "ab" for y in "cd"]
+        df = spark.createDataFrame(rows, "x string, y string")
+        assert value(MutualInformation(("x", "y")), df) == pytest.approx(0.0, abs=1e-9)
+
+
+class TestHistogram:
+    def test_values(self, df_full):
+        dist = value(Histogram("att1"), df_full)
+        assert dist.number_of_bins == 2
+        assert dist["a"].absolute == 3
+        assert dist["a"].ratio == 0.75
+        assert dist["b"].absolute == 1
+
+    def test_nulls_bucketed(self, df_distinct):
+        dist = value(Histogram("att1"), df_distinct)
+        assert dist["NullValue"].absolute == 1
+        assert dist.number_of_bins == 4
+
+    def test_top_n_and_tail(self, df_full):
+        dist = value(Histogram("att1", max_detail_bins=1), df_full)
+        assert len(dist.values) == 1
+        assert dist.number_of_bins == 2
+        assert dist.tail_count == 1
+
+    def test_sum_aggregation(self, spark):
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 20), ("b", 5)], "k string, v int")
+        dist = value(Histogram("k", sum_column="v"), df)
+        assert dist["a"].absolute == 30
+        assert dist["b"].absolute == 5
+
+
+class TestHistogramBinned:
+    def test_equal_width(self, spark):
+        df = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+        dist = value(HistogramBinned("v", bin_count=3), df)
+        assert dist.number_of_bins == 3
+        assert sum(dv.absolute for dv in dist.values.values()) == 10
+
+    def test_custom_edges(self, spark):
+        df = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+        dist = value(HistogramBinned("v", custom_edges=(0.0, 5.0, 10.0)), df)
+        counts = [dv.absolute for dv in dist.values.values()]
+        assert counts == [5, 5]

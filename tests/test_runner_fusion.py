@@ -1,0 +1,68 @@
+"""Performance-shape tests: the scan-sharing contract itself.
+
+Parity: AnalysisRunnerTests.scala:61-110 — N scan-shareable analyzers must
+produce exactly ONE Spark job; a bucket of grouping analyzers at most two.
+"""
+
+import pytest
+
+from deequ_spark import (ApproxQuantile, Completeness, Compliance,
+                         CountDistinct, Distinctness, Entropy, Maximum, Mean,
+                         Minimum, Size, StandardDeviation, Sum, Uniqueness,
+                         do_analysis_run)
+
+
+def count_jobs(spark, fn):
+    tracker = spark.sparkContext.statusTracker()
+    # AQE legitimately splits one action into several jobs; the contract
+    # under test is "one ACTION = one pass", so measure with AQE off
+    import uuid
+    group = f"fusion-test-{uuid.uuid4().hex[:8]}"
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup(group, group)
+    try:
+        result = fn()
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    after = tracker.getJobIdsForGroup(group) or []
+    return len(after), result
+
+
+class TestScanSharing:
+    def test_six_analyzers_one_job(self, spark, df_numeric):
+        analyzers = [Size(), Completeness("att1"), Completeness("att2"),
+                     Compliance("c1", "att1 > 0"), Compliance("c2", "att2 > 0"),
+                     ApproxQuantile("att1", 0.5)]
+        n_jobs, ctx = count_jobs(spark, lambda: do_analysis_run(df_numeric, analyzers))
+        assert len(ctx.metric_map) == 6
+        assert all(m.is_success for m in ctx.metric_map.values())
+        assert n_jobs == 1, f"expected 1 fused job, saw {n_jobs}"
+
+    def test_fused_equals_standalone(self, df_numeric):
+        analyzers = [Size(), Minimum("att1"), Maximum("att1"), Mean("att1"),
+                     Sum("att1"), StandardDeviation("att1")]
+        fused = do_analysis_run(df_numeric, analyzers)
+        for a in analyzers:
+            standalone = a.calculate(df_numeric)
+            assert fused.metric_map[a].value == standalone.value
+
+
+class TestGroupingSharing:
+    def test_shared_group_by_single_job(self, spark, df_unique):
+        analyzers = [Uniqueness(("nonUnique",)), Entropy("nonUnique"),
+                     Distinctness(("nonUnique",)), CountDistinct(("nonUnique",))]
+        n_jobs, ctx = count_jobs(spark, lambda: do_analysis_run(df_unique, analyzers))
+        assert len(ctx.metric_map) == 4
+        assert all(m.is_success for m in ctx.metric_map.values())
+        # reference needs 2 jobs here (AnalysisRunnerTests.scala:87-107);
+        # we recover num_rows inside the fused agg → 1 job
+        assert n_jobs <= 2, f"expected ≤2 jobs, saw {n_jobs}"
+
+    def test_mixed_scan_and_grouping(self, spark, df_unique):
+        analyzers = [Size(), Mean("unique"), Uniqueness(("nonUnique",)),
+                     Entropy("nonUnique")]
+        n_jobs, ctx = count_jobs(spark, lambda: do_analysis_run(df_unique, analyzers))
+        assert all(m.is_success for m in ctx.metric_map.values())
+        assert n_jobs <= 3
