@@ -38,5 +38,25 @@ from .runners.analysis_runner import (AnalyzerContext, do_analysis_run,
                                       run_on_aggregated_states)
 from .verification import (VerificationResult, VerificationRunBuilder,
                            VerificationSuite)
+from .repository import (FileSystemMetricsRepository,
+                         InMemoryMetricsRepository, ResultKey)
+from .states import (FileSystemStateProvider, InMemoryStateProvider,
+                     StateProvider)
+from .anomaly import (AbsoluteChangeStrategy, Anomaly, AnomalyCheckConfig,
+                      BatchNormalStrategy, HoltWinters, OnlineNormalStrategy,
+                      RateOfChangeStrategy, RelativeRateOfChangeStrategy,
+                      SimpleThresholdStrategy)
+from .comparison import (ComparisonResult, DataSynchronization,
+                         DatasetMatchAnalyzer, ReferentialIntegrity,
+                         RowCountMatch, SchemaMatch)
+from .profiles import (ColumnProfile, ColumnProfilerRunner,
+                       profile_columns)
+from .suggestions import (DEFAULT_RULES, EXTENDED_RULES, NUMERICAL_RULES,
+                          STRING_RULES, ConstraintSuggestion,
+                          ConstraintSuggestionRunner)
+from .schema_validation import (RowLevelSchema, RowLevelSchemaValidationResult,
+                                validate_schema)
+from .distance import (chi_square_p_value, chi_square_statistic, ks_distance,
+                       l_infinity_distance, psi)
 
 __version__ = "0.1.0"

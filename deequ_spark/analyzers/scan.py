@@ -886,13 +886,19 @@ class ApproxCountDistinct(ScanShareableAnalyzer):
     def preconditions(self):
         return [has_column(self.column), is_not_nested(self.column)]
 
-    def aggregation_functions(self) -> List[Column]:
+    def _selection(self) -> Column:
+        # hll_sketch_agg accepts int/long/string/binary only — canonical
+        # string form for every other type (float, double, decimal, date…)
         sel = conditional_selection(_col(self.column), self.where)
+        return sel.cast("string")
+
+    def aggregation_functions(self) -> List[Column]:
+        sel = self._selection()
         # lgConfigK=12 ≈ relative error 0.0163 ≤ reference's 0.05 contract.
         # Catalyst de-duplicates the identical hll_sketch_agg, so the
         # estimate costs nothing extra in the fused scan.
-        sketch = F.hll_sketch_agg(sel, F.lit(12))
-        return [sketch, F.hll_sketch_estimate(F.hll_sketch_agg(sel, F.lit(12)))]
+        return [F.hll_sketch_agg(sel, F.lit(12)),
+                F.hll_sketch_estimate(F.hll_sketch_agg(sel, F.lit(12)))]
 
     def from_aggregation_result(self, result: Row, offset: int):
         if result[offset] is None:

@@ -1,0 +1,279 @@
+"""Anomaly detection over metric time-series.
+
+Reference parity: /root/reference/src/main/scala/com/amazon/deequ/
+anomalydetection/{SimpleThresholdStrategy,BaseChangeStrategy,
+AbsoluteChangeStrategy,RelativeRateOfChangeStrategy,BatchNormalStrategy,
+OnlineNormalStrategy,seasonal/HoltWinters}.scala (1030 LoC).
+
+Pure driver-side numpy — input is a Vector[Double] of historical metric
+values; no Spark work. HoltWinters replaces the reference's BOBYQA
+optimizer with a coarse-to-fine grid search (no scipy dependency).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Anomaly:
+    index: int
+    value: float
+    detail: Optional[str] = None
+
+
+@dataclass
+class DetectionResult:
+    anomalies: List[Anomaly] = field(default_factory=list)
+
+
+class AnomalyDetectionStrategy:
+    def detect(self, values: Sequence[float],
+               search_interval: Optional[Tuple[int, int]] = None
+               ) -> List[Anomaly]:
+        raise NotImplementedError
+
+    def _bounds(self, values, search_interval):
+        lo, hi = (0, len(values)) if search_interval is None else search_interval
+        return max(lo, 0), min(hi, len(values))
+
+
+@dataclass
+class SimpleThresholdStrategy(AnomalyDetectionStrategy):
+    """Parity: SimpleThresholdStrategy.scala:25-60."""
+    lower_bound: float = -math.inf
+    upper_bound: float = math.inf
+
+    def detect(self, values, search_interval=None):
+        lo, hi = self._bounds(values, search_interval)
+        return [Anomaly(i, v, f"outside [{self.lower_bound}, {self.upper_bound}]")
+                for i, v in enumerate(values)
+                if lo <= i < hi and not (self.lower_bound <= v <= self.upper_bound)]
+
+
+class BaseChangeStrategy(AnomalyDetectionStrategy):
+    """Nth-order differencing with bounds
+    (parity: BaseChangeStrategy.scala:24-100)."""
+
+    def __init__(self, max_rate_decrease=-math.inf, max_rate_increase=math.inf,
+                 order: int = 1):
+        self.max_rate_decrease = max_rate_decrease
+        self.max_rate_increase = max_rate_increase
+        self.order = order
+
+    def _transform(self, arr: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def detect(self, values, search_interval=None):
+        arr = np.asarray(values, dtype=float)
+        if len(arr) <= self.order:
+            return []
+        diffs = self._transform(arr)
+        lo, hi = self._bounds(values, search_interval)
+        out = []
+        for i in range(max(lo, self.order), hi):
+            d = diffs[i - self.order]
+            if not (self.max_rate_decrease <= d <= self.max_rate_increase):
+                out.append(Anomaly(i, float(arr[i]),
+                                   f"change {d} outside "
+                                   f"[{self.max_rate_decrease}, {self.max_rate_increase}]"))
+        return out
+
+
+class AbsoluteChangeStrategy(BaseChangeStrategy):
+    """Parity: AbsoluteChangeStrategy.scala."""
+
+    def _transform(self, arr):
+        return np.diff(arr, n=self.order)
+
+
+class RelativeRateOfChangeStrategy(BaseChangeStrategy):
+    """Parity: RelativeRateOfChangeStrategy.scala — ratio v[i]/v[i-order]."""
+
+    def _transform(self, arr):
+        out = arr.copy()
+        for _ in range(self.order):
+            prev = out[:-1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where(prev != 0, out[1:] / prev, np.inf)
+        return out
+
+
+# kept under the reference's older name as an alias
+RateOfChangeStrategy = RelativeRateOfChangeStrategy
+
+
+@dataclass
+class BatchNormalStrategy(AnomalyDetectionStrategy):
+    """Mean ± k·stddev over a trailing window excluding the search interval
+    (parity: BatchNormalStrategy.scala:33-90)."""
+    lower_deviation_factor: Optional[float] = 3.0
+    upper_deviation_factor: Optional[float] = 3.0
+    include_interval: bool = False
+
+    def detect(self, values, search_interval=None):
+        arr = np.asarray(values, dtype=float)
+        lo, hi = self._bounds(values, search_interval)
+        if self.include_interval:
+            ref = arr
+        else:
+            ref = np.concatenate([arr[:lo], arr[hi:]])
+        if len(ref) == 0:
+            raise ValueError("no data points to estimate the distribution")
+        mean, std = float(np.mean(ref)), float(np.std(ref))
+        lower = (mean - self.lower_deviation_factor * std
+                 if self.lower_deviation_factor is not None else -math.inf)
+        upper = (mean + self.upper_deviation_factor * std
+                 if self.upper_deviation_factor is not None else math.inf)
+        return [Anomaly(i, float(v), f"outside [{lower}, {upper}]")
+                for i, v in enumerate(arr) if lo <= i < hi
+                and not (lower <= v <= upper)]
+
+
+@dataclass
+class OnlineNormalStrategy(AnomalyDetectionStrategy):
+    """Incremental mean/stddev that can exclude detected anomalies
+    (parity: OnlineNormalStrategy.scala:39-120)."""
+    lower_deviation_factor: Optional[float] = 3.0
+    upper_deviation_factor: Optional[float] = 3.0
+    ignore_start_percentage: float = 0.1
+    ignore_anomalies: bool = True
+
+    def detect(self, values, search_interval=None):
+        arr = np.asarray(values, dtype=float)
+        lo, hi = self._bounds(values, search_interval)
+        n_ignore = int(math.ceil(len(arr) * self.ignore_start_percentage))
+        mean, m2, count = 0.0, 0.0, 0
+        out = []
+        for i, v in enumerate(arr):
+            is_anomaly = False
+            if count >= max(n_ignore, 1):
+                std = math.sqrt(m2 / count) if count > 0 else 0.0
+                lower = (mean - self.lower_deviation_factor * std
+                         if self.lower_deviation_factor is not None else -math.inf)
+                upper = (mean + self.upper_deviation_factor * std
+                         if self.upper_deviation_factor is not None else math.inf)
+                is_anomaly = not (lower <= v <= upper)
+                if is_anomaly and lo <= i < hi:
+                    out.append(Anomaly(i, float(v),
+                                       f"outside [{lower}, {upper}]"))
+            if not (is_anomaly and self.ignore_anomalies):
+                count += 1
+                delta = v - mean
+                mean += delta / count
+                m2 += delta * (v - mean)
+        return out
+
+
+class HoltWinters(AnomalyDetectionStrategy):
+    """Additive triple exponential smoothing; anomalies = points whose
+    one-step-ahead forecast residual exceeds k·residual-sigma
+    (parity: seasonal/HoltWinters.scala, BOBYQA replaced by grid search)."""
+
+    def __init__(self, period: int = 7, deviation_factor: float = 3.0):
+        self.period = period
+        self.deviation_factor = deviation_factor
+
+    def _fit(self, arr: np.ndarray, alpha: float, beta: float, gamma: float):
+        m = self.period
+        level = float(np.mean(arr[:m]))
+        trend = float((np.mean(arr[m:2 * m]) - np.mean(arr[:m])) / m) \
+            if len(arr) >= 2 * m else 0.0
+        season = list(arr[:m] - level)
+        fitted = []
+        for i, v in enumerate(arr):
+            s = season[i % m]
+            forecast = level + trend + s
+            fitted.append(forecast)
+            last_level = level
+            level = alpha * (v - s) + (1 - alpha) * (level + trend)
+            trend = beta * (level - last_level) + (1 - beta) * trend
+            season[i % m] = gamma * (v - level) + (1 - gamma) * s
+        return np.asarray(fitted)
+
+    def detect(self, values, search_interval=None):
+        arr = np.asarray(values, dtype=float)
+        if len(arr) < 2 * self.period:
+            raise ValueError(
+                f"HoltWinters needs >= {2 * self.period} points "
+                f"(two full periods), got {len(arr)}")
+        best, best_sse = None, math.inf
+        grid = [0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9]
+        for a in grid:
+            for b in grid:
+                for g in grid:
+                    fitted = self._fit(arr, a, b, g)
+                    sse = float(np.sum((arr - fitted) ** 2))
+                    if sse < best_sse:
+                        best_sse, best = sse, (a, b, g)
+        fitted = self._fit(arr, *best)
+        residuals = arr - fitted
+        sigma = float(np.std(residuals)) or 1e-12
+        lo, hi = self._bounds(values, search_interval)
+        return [Anomaly(i, float(arr[i]),
+                        f"residual {residuals[i]:.4g} beyond "
+                        f"{self.deviation_factor}σ={self.deviation_factor * sigma:.4g}")
+                for i in range(lo, hi)
+                if abs(residuals[i]) > self.deviation_factor * sigma]
+
+
+# --- wiring into VerificationSuite -----------------------------------------
+
+@dataclass
+class AnomalyCheckConfig:
+    """Parity: applicability of isNewestPointNonAnomalous
+    (checks/Check.scala:1511-1568)."""
+    level: "object" = None  # CheckLevel; resolved lazily to avoid cycle
+    description: str = "Anomaly check"
+    with_tag_values: Optional[dict] = None
+    after_date: Optional[int] = None
+    before_date: Optional[int] = None
+
+
+class AnomalyCheck:
+    """Built by VerificationRunBuilder.add_anomaly_check
+    (parity: VerificationRunBuilder.scala:226-243)."""
+
+    def __init__(self, strategy: AnomalyDetectionStrategy, analyzer,
+                 config: Optional[AnomalyCheckConfig] = None):
+        self.strategy = strategy
+        self.analyzer = analyzer
+        self.config = config or AnomalyCheckConfig()
+
+    def to_check(self, repository):
+        from .checks import Check, CheckLevel
+        level = self.config.level or CheckLevel.WARNING
+        check = Check(level, self.config.description)
+        strategy, analyzer, config = self.strategy, self.analyzer, self.config
+
+        def assertion(current_value: float) -> bool:
+            history: List[float] = []
+            if repository is not None:
+                loader = repository.load()
+                if config.with_tag_values:
+                    loader = loader.with_tag_values(config.with_tag_values)
+                if config.after_date is not None:
+                    loader = loader.after(config.after_date)
+                if config.before_date is not None:
+                    loader = loader.before(config.before_date)
+                for _key, ctx in loader.get():
+                    for a, m in ctx.metric_map.items():
+                        if a == analyzer and m.is_success \
+                                and isinstance(m.value, (int, float)):
+                            history.append(float(m.value))
+            series = history + [current_value]
+            idx = len(series) - 1
+            anomalies = strategy.detect(series, (idx, idx + 1))
+            return len(anomalies) == 0
+
+        from .constraints import AnalysisBasedConstraint
+        check._cells.append({
+            "factory": lambda w: AnalysisBasedConstraint(
+                analyzer, assertion,
+                name=f"AnomalyConstraint({analyzer.name}({analyzer.instance}))"),
+            "where": None, "filterable": False})
+        return check

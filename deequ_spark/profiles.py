@@ -1,0 +1,183 @@
+"""Column profiler — 3-pass profile of every column.
+
+Reference parity: /root/reference/src/main/scala/com/amazon/deequ/profiles/
+{ColumnProfiler,ColumnProfile}.scala (1445 LoC):
+  pass 1 (:124-244): Size + per-column Completeness/ApproxCountDistinct/
+          DataType (+ Min/MaxLength for strings)
+  pass 2 (:295-313, 488-510): numeric stats on native-numeric columns and
+          string columns whose inferred type is numeric (cast first)
+  pass 3: full histograms for columns with approxNumDistinct ≤ threshold
+          (DEFAULT_CARDINALITY_THRESHOLD = 120, ColumnProfiler.scala:103)
+
+Every pass is ONE fused scan via do_analysis_run — the whole profile of a
+100-column table costs 3 passes + one grouping job per low-cardinality
+column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .analyzers.base import NUMERIC_TYPES
+from .analyzers.grouping import Histogram
+from .analyzers.scan import (ApproxCountDistinct, ApproxQuantiles,
+                             Completeness, DataType, DataTypeInstances,
+                             Kurtosis, Maximum, MaxLength, Mean, Minimum,
+                             MinLength, Size, Skewness, StandardDeviation,
+                             Sum, determine_type)
+from .metrics import Distribution
+from .runners.analysis_runner import do_analysis_run
+
+DEFAULT_CARDINALITY_THRESHOLD = 120
+
+
+@dataclass
+class ColumnProfile:
+    column: str
+    completeness: float = float("nan")
+    approx_num_distinct: float = float("nan")
+    data_type: DataTypeInstances = DataTypeInstances.UNKNOWN
+    is_data_type_inferred: bool = False
+    type_counts: Dict[str, int] = field(default_factory=dict)
+    histogram: Optional[Distribution] = None
+    # numeric extension (parity: NumericColumnProfile)
+    mean: Optional[float] = None
+    maximum: Optional[float] = None
+    minimum: Optional[float] = None
+    sum: Optional[float] = None
+    std_dev: Optional[float] = None
+    skewness: Optional[float] = None
+    kurtosis: Optional[float] = None
+    approx_percentiles: Optional[Dict[str, float]] = None
+    # string extension
+    min_length: Optional[float] = None
+    max_length: Optional[float] = None
+
+    @property
+    def is_numeric(self) -> bool:
+        return self.mean is not None or self.minimum is not None
+
+
+class ColumnProfilerRunner:
+    """Fluent runner (parity: ColumnProfilerRunner.scala)."""
+
+    def on_data(self, data: DataFrame) -> "ColumnProfilerRunBuilder":
+        return ColumnProfilerRunBuilder(data)
+
+
+class ColumnProfilerRunBuilder:
+    def __init__(self, data: DataFrame):
+        self._data = data
+        self._columns: Optional[List[str]] = None
+        self._low_cardinality_threshold = DEFAULT_CARDINALITY_THRESHOLD
+        self._with_histograms = True
+
+    def restrict_to_columns(self, columns: List[str]):
+        self._columns = columns
+        return self
+
+    def with_low_cardinality_histogram_threshold(self, threshold: int):
+        self._low_cardinality_threshold = threshold
+        return self
+
+    def with_histograms(self, enabled: bool):
+        self._with_histograms = enabled
+        return self
+
+    def run(self) -> Dict[str, ColumnProfile]:
+        return profile_columns(
+            self._data, self._columns,
+            low_cardinality_threshold=self._low_cardinality_threshold,
+            with_histograms=self._with_histograms)
+
+
+def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
+                    low_cardinality_threshold: int = DEFAULT_CARDINALITY_THRESHOLD,
+                    with_histograms: bool = True) -> Dict[str, ColumnProfile]:
+    cols = columns or data.columns
+    schema = {f.name: f.dataType for f in data.schema.fields}
+    profiles: Dict[str, ColumnProfile] = {c: ColumnProfile(c) for c in cols}
+
+    # ---- pass 1: generic stats, one fused scan --------------------------
+    pass1 = []
+    for c in cols:
+        pass1.append(Completeness(c))
+        pass1.append(ApproxCountDistinct(c))
+        if isinstance(schema[c], T.StringType):
+            pass1.append(DataType(c))
+            pass1.append(MinLength(c))
+            pass1.append(MaxLength(c))
+    ctx1 = do_analysis_run(data, pass1)
+    for a, m in ctx1.metric_map.items():
+        if not m.is_success:
+            continue
+        p = profiles[a.instance]
+        if a.name == "Completeness":
+            p.completeness = m.value
+        elif a.name == "ApproxCountDistinct":
+            p.approx_num_distinct = m.value
+        elif a.name == "MinLength":
+            p.min_length = m.value
+        elif a.name == "MaxLength":
+            p.max_length = m.value
+        elif a.name == "DataType":
+            p.type_counts = {k: dv.absolute for k, dv in m.value.values.items()}
+            p.data_type = determine_type(m.value)
+            p.is_data_type_inferred = True
+
+    for c in cols:
+        if isinstance(schema[c], NUMERIC_TYPES):
+            p = profiles[c]
+            p.data_type = (DataTypeInstances.FRACTIONAL
+                           if isinstance(schema[c], (T.FloatType, T.DoubleType,
+                                                     T.DecimalType))
+                           else DataTypeInstances.INTEGRAL)
+        elif isinstance(schema[c], T.BooleanType):
+            profiles[c].data_type = DataTypeInstances.BOOLEAN
+
+    # ---- pass 2: numeric stats (cast inferred-numeric strings) ----------
+    numeric_native = [c for c in cols if isinstance(schema[c], NUMERIC_TYPES)]
+    numeric_inferred = [
+        c for c in cols
+        if isinstance(schema[c], T.StringType)
+        and profiles[c].data_type in (DataTypeInstances.INTEGRAL,
+                                      DataTypeInstances.FRACTIONAL)]
+    casted = data
+    for c in numeric_inferred:
+        casted = casted.withColumn(c, F.col(c).cast("double"))
+    numeric_cols = numeric_native + numeric_inferred
+    if numeric_cols:
+        deciles = tuple(i / 10 for i in range(1, 10))
+        pass2 = []
+        for c in numeric_cols:
+            pass2 += [Minimum(c), Maximum(c), Mean(c), Sum(c),
+                      StandardDeviation(c), Skewness(c), Kurtosis(c),
+                      ApproxQuantiles(c, deciles)]
+        ctx2 = do_analysis_run(casted, pass2)
+        setters = {"Minimum": "minimum", "Maximum": "maximum", "Mean": "mean",
+                   "Sum": "sum", "StandardDeviation": "std_dev",
+                   "Skewness": "skewness", "Kurtosis": "kurtosis",
+                   "ApproxQuantiles": "approx_percentiles"}
+        for a, m in ctx2.metric_map.items():
+            if m.is_success and a.name in setters:
+                setattr(profiles[a.instance], setters[a.name], m.value)
+
+    # ---- pass 3: histograms for low-cardinality columns -----------------
+    if with_histograms:
+        hist_cols = [c for c in cols
+                     if profiles[c].approx_num_distinct == profiles[c].approx_num_distinct
+                     and profiles[c].approx_num_distinct <= low_cardinality_threshold]
+        if hist_cols:
+            ctx3 = do_analysis_run(
+                data, [Histogram(c, max_detail_bins=low_cardinality_threshold + 1)
+                       for c in hist_cols])
+            for a, m in ctx3.metric_map.items():
+                if m.is_success:
+                    profiles[a.instance].histogram = m.value
+
+    return profiles

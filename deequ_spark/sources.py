@@ -1,0 +1,35 @@
+"""Source helpers for the driver's parquet tables.
+
+The reference brings no sources of its own (callers pass DataFrames,
+SURVEY §2f); these helpers standardize reading the benchmark tables,
+including the events table whose parquet stores TIMESTAMP(NANOS) — Spark
+only reads it with ``spark.sql.legacy.parquet.nanosAsLong=true``, so we
+surface it as a proper timestamp column here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def session_builder_defaults(builder):
+    """Apply configs every session reading the benchmark tables needs."""
+    return builder.config(NANOS_CONF, "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long → timestamp (micro precision is plenty here)
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str):
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,120 @@
+"""State providers — persist/load mergeable analyzer states for
+incremental computation.
+
+Reference parity: /root/reference/src/main/scala/com/amazon/deequ/analyzers/
+StateProvider.scala:45-200 (InMemoryStateProvider, HdfsStateProvider).
+
+Spark-first storage: frequency states round-trip as parquet (distributed
+write, no driver collect); scalar states as JSON; HLL sketches as binary
+files — all formats any Spark cluster can read back.
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional
+
+from pyspark.sql import SparkSession
+
+from .analyzers import base as B
+from .analyzers import grouping as G
+from .analyzers import scan as S
+from .analyzers.base import Analyzer, State
+
+
+class StateProvider:
+    def persist(self, analyzer: Analyzer, state: State) -> None:
+        raise NotImplementedError
+
+    def load(self, analyzer: Analyzer) -> Optional[State]:
+        raise NotImplementedError
+
+
+class InMemoryStateProvider(StateProvider):
+    """Parity: StateProvider.scala InMemoryStateProvider."""
+
+    def __init__(self):
+        self._states: Dict[Analyzer, State] = {}
+
+    def persist(self, analyzer: Analyzer, state: State) -> None:
+        self._states[analyzer] = state
+
+    def load(self, analyzer: Analyzer) -> Optional[State]:
+        return self._states.get(analyzer)
+
+
+_SCALAR_STATES = {
+    "NumMatches": B.NumMatches,
+    "NumMatchesAndCount": B.NumMatchesAndCount,
+    "MinState": B.MinState,
+    "MaxState": B.MaxState,
+    "SumState": B.SumState,
+    "MeanState": B.MeanState,
+    "StandardDeviationState": B.StandardDeviationState,
+    "ThirdMomentState": B.ThirdMomentState,
+    "FourthMomentState": B.FourthMomentState,
+    "CorrelationState": B.CorrelationState,
+    "DataTypeHistogram": S.DataTypeHistogram,
+    "_RatioState": S._RatioState,
+    "RangeState": S.RangeState,
+}
+
+
+class FileSystemStateProvider(StateProvider):
+    """Directory-backed provider: one file per analyzer state.
+
+    Scalar states → JSON; HLL sketches → base64 JSON; frequency states →
+    parquet subdirectory written/read by Spark itself (stays distributed).
+    """
+
+    def __init__(self, path: str, spark: Optional[SparkSession] = None):
+        self.path = path
+        self.spark = spark
+        os.makedirs(path, exist_ok=True)
+
+    def _file_for(self, analyzer: Analyzer) -> str:
+        ident = f"{type(analyzer).__name__}-{abs(hash(analyzer)):x}"
+        return os.path.join(self.path, ident)
+
+    def persist(self, analyzer: Analyzer, state: State) -> None:
+        target = self._file_for(analyzer)
+        if isinstance(state, G.FrequenciesAndNumRows):
+            state.frequencies.write.mode("overwrite").parquet(target + ".freq.parquet")
+            with open(target + ".json", "w") as f:
+                json.dump({"stateType": "FrequenciesAndNumRows",
+                           "numRows": state.num_rows}, f)
+            return
+        if isinstance(state, S.ApproxCountDistinctState):
+            payload = {"stateType": "ApproxCountDistinctState",
+                       "sketch": base64.b64encode(state.sketch_bytes).decode()}
+        elif dataclasses.is_dataclass(state):
+            payload = {"stateType": type(state).__name__,
+                       **dataclasses.asdict(state)}
+        else:
+            raise ValueError(f"Cannot persist state {type(state).__name__}")
+        with open(target + ".json", "w") as f:
+            json.dump(payload, f)
+
+    def load(self, analyzer: Analyzer) -> Optional[State]:
+        target = self._file_for(analyzer)
+        meta_path = target + ".json"
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            payload = json.load(f)
+        stype = payload.pop("stateType")
+        if stype == "FrequenciesAndNumRows":
+            spark = self.spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError("need a SparkSession to load frequency state")
+            freq = spark.read.parquet(target + ".freq.parquet")
+            return G.FrequenciesAndNumRows(freq, payload["numRows"])
+        if stype == "ApproxCountDistinctState":
+            return S.ApproxCountDistinctState(base64.b64decode(payload["sketch"]))
+        cls = _SCALAR_STATES.get(stype)
+        if cls is None:
+            raise ValueError(f"Unknown state type {stype}")
+        return cls(**payload)

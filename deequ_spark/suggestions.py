@@ -1,0 +1,384 @@
+"""Constraint suggestion — profile the data, then apply rules that propose
+checks.
+
+Reference parity: /root/reference/src/main/scala/com/amazon/deequ/
+suggestions/ConstraintSuggestionRunner.scala:33-157 and rules/
+{CompleteIfCompleteRule,RetainCompletenessRule,RetainTypeRule,
+CategoricalRangeRule,FractionalCategoricalRangeRule,NonNegativeNumbersRule,
+UniqueIfApproximatelyUniqueRule,HasMin,HasMax,HasMean,HasStandardDeviation,
+HasMinLength,HasMaxLength}.scala (1923 LoC total).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+from pyspark.sql import DataFrame
+
+from .checks import Check, CheckLevel
+from .profiles import ColumnProfile, profile_columns
+from .analyzers.scan import DataTypeInstances
+
+
+@dataclass
+class ConstraintSuggestion:
+    constraint_name: str
+    column_name: str
+    current_value: str
+    description: str
+    rule_name: str
+    code_for_constraint: str
+    apply: Callable[[Check], Check]
+
+
+class SuggestionRule:
+    name = "SuggestionRule"
+
+    def should_be_applied(self, profile: ColumnProfile, num_records: int) -> bool:
+        raise NotImplementedError
+
+    def candidate(self, profile: ColumnProfile,
+                  num_records: int) -> ConstraintSuggestion:
+        raise NotImplementedError
+
+
+class CompleteIfCompleteRule(SuggestionRule):
+    """Parity: rules/CompleteIfCompleteRule.scala."""
+    name = "CompleteIfCompleteRule"
+
+    def should_be_applied(self, profile, num_records):
+        return profile.completeness == 1.0
+
+    def candidate(self, profile, num_records):
+        col = profile.column
+        return ConstraintSuggestion(
+            f"CompletenessConstraint({col})", col, "Completeness: 1.0",
+            f"'{col}' is not null", self.name,
+            f'.is_complete("{col}")',
+            lambda check: check.is_complete(col))
+
+
+class RetainCompletenessRule(SuggestionRule):
+    """Suggest a lower bound from a Wilson score interval
+    (parity: rules/RetainCompletenessRule.scala +
+    interval/WilsonScoreIntervalStrategy.scala)."""
+    name = "RetainCompletenessRule"
+
+    def __init__(self, min_completeness: float = 0.2,
+                 max_completeness: float = 1.0, z: float = 1.96):
+        self.min_completeness = min_completeness
+        self.max_completeness = max_completeness
+        self.z = z
+
+    def should_be_applied(self, profile, num_records):
+        return (self.min_completeness <= profile.completeness
+                < self.max_completeness)
+
+    def candidate(self, profile, num_records):
+        col = profile.column
+        p, n, z = profile.completeness, max(num_records, 1), self.z
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        margin = (z / denom) * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        lower = max(0.0, round(center - margin, 2))
+        return ConstraintSuggestion(
+            f"CompletenessConstraint({col})", col, f"Completeness: {p}",
+            f"'{col}' has less than {int((1 - lower) * 100)}% missing values",
+            self.name, f'.has_completeness("{col}", lambda v: v >= {lower})',
+            lambda check: check.has_completeness(col, lambda v: v >= lower))
+
+
+class RetainTypeRule(SuggestionRule):
+    """Parity: rules/RetainTypeRule.scala."""
+    name = "RetainTypeRule"
+
+    def should_be_applied(self, profile, num_records):
+        return (profile.is_data_type_inferred and profile.data_type in
+                (DataTypeInstances.INTEGRAL, DataTypeInstances.FRACTIONAL,
+                 DataTypeInstances.BOOLEAN))
+
+    def candidate(self, profile, num_records):
+        col, dtype = profile.column, profile.data_type
+        # Integral values are also valid Fractional values
+        target = (DataTypeInstances.FRACTIONAL
+                  if dtype == DataTypeInstances.INTEGRAL else dtype)
+        return ConstraintSuggestion(
+            f"AnalysisBasedConstraint(DataType({col}))", col,
+            f"DataType: {dtype.value}",
+            f"'{col}' has type {target.value}", self.name,
+            f'.has_data_type("{col}", DataTypeInstances.{target.name}, '
+            f'lambda v: v == 1.0)',
+            lambda check: check.has_data_type(col, target, lambda v: v == 1.0))
+
+
+class CategoricalRangeRule(SuggestionRule):
+    """Parity: rules/CategoricalRangeRule.scala — suggest is_contained_in
+    when the histogram covers the column with few distinct values."""
+    name = "CategoricalRangeRule"
+
+    def should_be_applied(self, profile, num_records):
+        if profile.histogram is None:
+            return False
+        unique_ratio = sum(1 for dv in profile.histogram.values.values()
+                           if dv.absolute == 1) / max(len(profile.histogram.values), 1)
+        return unique_ratio < 0.1
+
+    def candidate(self, profile, num_records):
+        col = profile.column
+        categories = sorted(k for k in profile.histogram.values
+                            if k != "NullValue")
+        return ConstraintSuggestion(
+            f"ComplianceConstraint({col} contained in ...)", col,
+            f"Categories: {len(categories)}",
+            f"'{col}' has value range {categories}", self.name,
+            f'.is_contained_in("{col}", {categories!r})',
+            lambda check: check.is_contained_in(col, categories))
+
+
+class FractionalCategoricalRangeRule(SuggestionRule):
+    """Parity: rules/FractionalCategoricalRangeRule.scala — top categories
+    covering ≥ targetDataCoverageFraction."""
+    name = "FractionalCategoricalRangeRule"
+
+    def __init__(self, target_coverage: float = 0.9):
+        self.target_coverage = target_coverage
+
+    def should_be_applied(self, profile, num_records):
+        if profile.histogram is None or len(profile.histogram.values) < 2:
+            return False
+        ratios = sorted((dv.ratio for dv in profile.histogram.values.values()),
+                        reverse=True)
+        top = [r for r in ratios if r > 0]
+        return sum(top[:max(1, len(top) // 2)]) >= self.target_coverage
+
+    def candidate(self, profile, num_records):
+        col = profile.column
+        items = sorted(profile.histogram.values.items(),
+                       key=lambda kv: -kv[1].ratio)
+        covered, categories = 0.0, []
+        for k, dv in items:
+            if k == "NullValue":
+                continue
+            categories.append(k)
+            covered += dv.ratio
+            if covered >= self.target_coverage:
+                break
+        threshold = round(covered * 0.9, 2)
+        return ConstraintSuggestion(
+            f"ComplianceConstraint({col} mostly contained in ...)", col,
+            f"Coverage: {covered:.3f}",
+            f"'{col}' has value range {categories} for at least "
+            f"{threshold:.0%} of values", self.name,
+            f'.is_contained_in("{col}", {sorted(categories)!r}, '
+            f'lambda v: v >= {threshold})',
+            lambda check, cats=tuple(sorted(categories)), t=threshold:
+                check.is_contained_in(col, list(cats), lambda v: v >= t))
+
+
+class NonNegativeNumbersRule(SuggestionRule):
+    """Parity: rules/NonNegativeNumbersRule.scala."""
+    name = "NonNegativeNumbersRule"
+
+    def should_be_applied(self, profile, num_records):
+        return profile.is_numeric and profile.minimum is not None \
+            and profile.minimum >= 0
+
+    def candidate(self, profile, num_records):
+        col = profile.column
+        return ConstraintSuggestion(
+            f"ComplianceConstraint({col} is non-negative)", col,
+            f"Minimum: {profile.minimum}", f"'{col}' has no negative values",
+            self.name, f'.is_non_negative("{col}")',
+            lambda check: check.is_non_negative(col))
+
+
+class UniqueIfApproximatelyUniqueRule(SuggestionRule):
+    """Parity: rules/UniqueIfApproximatelyUniqueRule.scala."""
+    name = "UniqueIfApproximatelyUniqueRule"
+
+    def should_be_applied(self, profile, num_records):
+        if num_records == 0 or math.isnan(profile.approx_num_distinct):
+            return False
+        return abs(profile.approx_num_distinct / num_records - 1.0) <= 0.08
+
+    def candidate(self, profile, num_records):
+        col = profile.column
+        return ConstraintSuggestion(
+            f"UniquenessConstraint({col})", col,
+            f"ApproxDistinctness: {profile.approx_num_distinct / max(num_records, 1)}",
+            f"'{col}' is unique", self.name, f'.is_unique("{col}")',
+            lambda check: check.is_unique(col))
+
+
+class HasMinRule(SuggestionRule):
+    name = "HasMin"
+
+    def should_be_applied(self, profile, num_records):
+        return profile.minimum is not None
+
+    def candidate(self, profile, num_records):
+        col, v = profile.column, profile.minimum
+        return ConstraintSuggestion(
+            f"MinimumConstraint({col})", col, f"Minimum: {v}",
+            f"'{col}' >= {v}", self.name,
+            f'.has_min("{col}", lambda x: x >= {v})',
+            lambda check: check.has_min(col, lambda x: x >= v))
+
+
+class HasMaxRule(SuggestionRule):
+    name = "HasMax"
+
+    def should_be_applied(self, profile, num_records):
+        return profile.maximum is not None
+
+    def candidate(self, profile, num_records):
+        col, v = profile.column, profile.maximum
+        return ConstraintSuggestion(
+            f"MaximumConstraint({col})", col, f"Maximum: {v}",
+            f"'{col}' <= {v}", self.name,
+            f'.has_max("{col}", lambda x: x <= {v})',
+            lambda check: check.has_max(col, lambda x: x <= v))
+
+
+class HasMeanRule(SuggestionRule):
+    name = "HasMean"
+
+    def should_be_applied(self, profile, num_records):
+        return profile.mean is not None
+
+    def candidate(self, profile, num_records):
+        col, v = profile.column, profile.mean
+        lo, hi = v * 0.9, v * 1.1
+        return ConstraintSuggestion(
+            f"MeanConstraint({col})", col, f"Mean: {v}",
+            f"'{col}' mean within 10% of {v}", self.name,
+            f'.has_mean("{col}", lambda x: {min(lo, hi)} <= x <= {max(lo, hi)})',
+            lambda check: check.has_mean(
+                col, lambda x: min(lo, hi) <= x <= max(lo, hi)))
+
+
+class HasStandardDeviationRule(SuggestionRule):
+    name = "HasStandardDeviation"
+
+    def should_be_applied(self, profile, num_records):
+        return profile.std_dev is not None
+
+    def candidate(self, profile, num_records):
+        col, v = profile.column, profile.std_dev
+        lo, hi = v * 0.9, v * 1.1
+        return ConstraintSuggestion(
+            f"StandardDeviationConstraint({col})", col, f"StdDev: {v}",
+            f"'{col}' stddev within 10% of {v}", self.name,
+            f'.has_standard_deviation("{col}", lambda x: {lo} <= x <= {hi})',
+            lambda check: check.has_standard_deviation(
+                col, lambda x: lo <= x <= hi))
+
+
+class HasMinLengthRule(SuggestionRule):
+    name = "HasMinLength"
+
+    def should_be_applied(self, profile, num_records):
+        return profile.min_length is not None
+
+    def candidate(self, profile, num_records):
+        col, v = profile.column, profile.min_length
+        return ConstraintSuggestion(
+            f"MinLengthConstraint({col})", col, f"MinLength: {v}",
+            f"'{col}' length >= {v}", self.name,
+            f'.has_min_length("{col}", lambda x: x >= {v})',
+            lambda check: check.has_min_length(col, lambda x: x >= v))
+
+
+class HasMaxLengthRule(SuggestionRule):
+    name = "HasMaxLength"
+
+    def should_be_applied(self, profile, num_records):
+        return profile.max_length is not None
+
+    def candidate(self, profile, num_records):
+        col, v = profile.column, profile.max_length
+        return ConstraintSuggestion(
+            f"MaxLengthConstraint({col})", col, f"MaxLength: {v}",
+            f"'{col}' length <= {v}", self.name,
+            f'.has_max_length("{col}", lambda x: x <= {v})',
+            lambda check: check.has_max_length(col, lambda x: x <= v))
+
+
+# rule sets (parity: ConstraintSuggestionRunner.scala:33-45 / Rules.scala)
+DEFAULT_RULES: List[SuggestionRule] = [
+    CompleteIfCompleteRule(), RetainCompletenessRule(), RetainTypeRule(),
+    CategoricalRangeRule(), FractionalCategoricalRangeRule(),
+    NonNegativeNumbersRule(), UniqueIfApproximatelyUniqueRule(),
+]
+STRING_RULES: List[SuggestionRule] = [HasMinLengthRule(), HasMaxLengthRule()]
+NUMERICAL_RULES: List[SuggestionRule] = [
+    HasMinRule(), HasMaxRule(), HasMeanRule(), HasStandardDeviationRule()]
+EXTENDED_RULES: List[SuggestionRule] = DEFAULT_RULES + STRING_RULES + NUMERICAL_RULES
+
+
+class ConstraintSuggestionRunner:
+    def on_data(self, data: DataFrame) -> "ConstraintSuggestionRunBuilder":
+        return ConstraintSuggestionRunBuilder(data)
+
+
+class ConstraintSuggestionRunBuilder:
+    def __init__(self, data: DataFrame):
+        self._data = data
+        self._rules: List[SuggestionRule] = []
+        self._columns: Optional[List[str]] = None
+        self._train_test_ratio: Optional[float] = None
+
+    def add_constraint_rules(self, rules: List[SuggestionRule]):
+        self._rules.extend(rules)
+        return self
+
+    def restrict_to_columns(self, columns: List[str]):
+        self._columns = columns
+        return self
+
+    def use_train_test_split_with_test_set_ratio(self, ratio: float,
+                                                 seed: int = 42):
+        self._train_test_ratio = ratio
+        self._seed = seed
+        return self
+
+    def run(self) -> Dict[str, object]:
+        """Returns {"suggestions": {column: [ConstraintSuggestion]},
+        "verification_result": optional result on the held-out split}
+        (parity: ConstraintSuggestionRunner.scala:97-157)."""
+        rules = self._rules or list(EXTENDED_RULES)
+        data = self._data
+        test_df = None
+        if self._train_test_ratio is not None:
+            train_df, test_df = data.randomSplit(
+                [1 - self._train_test_ratio, self._train_test_ratio],
+                seed=getattr(self, "_seed", 42))
+            data = train_df
+
+        num_records = data.count()
+        profiles = profile_columns(data, self._columns)
+
+        suggestions: Dict[str, List[ConstraintSuggestion]] = {}
+        for col, profile in profiles.items():
+            for rule in rules:
+                try:
+                    if rule.should_be_applied(profile, num_records):
+                        suggestions.setdefault(col, []).append(
+                            rule.candidate(profile, num_records))
+                except Exception:  # noqa: BLE001 — a rule must not kill the run
+                    continue
+
+        verification_result = None
+        if test_df is not None and suggestions:
+            from .verification import VerificationSuite
+            check = Check(CheckLevel.WARNING, "suggested constraints")
+            for col_suggestions in suggestions.values():
+                for s in col_suggestions:
+                    check = s.apply(check)
+            verification_result = (VerificationSuite().on_data(test_df)
+                                   .add_check(check).run())
+
+        return {"suggestions": suggestions,
+                "verification_result": verification_result}

@@ -10,6 +10,7 @@ def spark():
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.ui.enabled", "false")
              .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     yield spark

@@ -1,0 +1,260 @@
+"""Tests for repository, states, anomaly, comparison, profiler,
+suggestions, schema validation, distance."""
+
+import math
+
+import pytest
+
+from deequ_spark import (AbsoluteChangeStrategy, BatchNormalStrategy, Check,
+                         CheckLevel, CheckStatus, Completeness,
+                         DataSynchronization, FileSystemMetricsRepository,
+                         FileSystemStateProvider, HoltWinters,
+                         InMemoryMetricsRepository, InMemoryStateProvider,
+                         Mean, OnlineNormalStrategy, ReferentialIntegrity,
+                         RelativeRateOfChangeStrategy, ResultKey,
+                         RowCountMatch, RowLevelSchema, SchemaMatch,
+                         SimpleThresholdStrategy, Size, Uniqueness,
+                         VerificationSuite, chi_square_statistic,
+                         do_analysis_run, ks_distance, l_infinity_distance,
+                         profile_columns, psi, run_on_aggregated_states,
+                         validate_schema)
+from deequ_spark.analyzers.scan import DataTypeInstances
+
+
+class TestRepository:
+    def test_in_memory_roundtrip(self, df_missing):
+        repo = InMemoryMetricsRepository()
+        key = ResultKey.make(1000, {"env": "test"})
+        ctx = do_analysis_run(df_missing, [Size(), Completeness("att1")])
+        repo.save(key, ctx)
+        loaded = repo.load_by_key(key)
+        assert loaded.metric_map[Size()].value == 12.0
+        assert loaded.metric_map[Completeness("att1")].value == 0.5
+
+    def test_reuse_skips_recompute(self, df_missing):
+        repo = InMemoryMetricsRepository()
+        key = ResultKey.make(1000)
+        do_analysis_run(df_missing, [Size()], metrics_repository=repo,
+                        reuse_existing_results_for_key=key)
+        # second run on DIFFERENT data reuses stored metric for same key
+        ctx = do_analysis_run(df_missing.limit(3), [Size()],
+                              metrics_repository=repo,
+                              reuse_existing_results_for_key=key)
+        assert ctx.metric_map[Size()].value == 12.0
+
+    def test_filesystem_roundtrip(self, tmp_path, df_missing):
+        repo = FileSystemMetricsRepository(str(tmp_path / "metrics.json"))
+        key1 = ResultKey.make(1000, {"env": "a"})
+        key2 = ResultKey.make(2000, {"env": "b"})
+        repo.save(key1, do_analysis_run(df_missing, [Size()]))
+        repo.save(key2, do_analysis_run(df_missing, [Completeness("att1")]))
+        assert repo.load_by_key(key1).metric_map[Size()].value == 12.0
+        entries = repo.load().after(1500).get()
+        assert len(entries) == 1 and entries[0][0] == key2
+        entries = repo.load().with_tag_values({"env": "a"}).get()
+        assert len(entries) == 1 and entries[0][0] == key1
+
+
+class TestStateProviders:
+    def test_in_memory(self, df_numeric):
+        provider = InMemoryStateProvider()
+        ctx = do_analysis_run(df_numeric, [Mean("att1")],
+                              save_states_with=provider)
+        state = provider.load(Mean("att1"))
+        assert state.total == 21.0 and state.count == 6
+
+    def test_filesystem_scalar(self, tmp_path, df_numeric):
+        provider = FileSystemStateProvider(str(tmp_path / "states"))
+        do_analysis_run(df_numeric, [Mean("att1"), Size()],
+                        save_states_with=provider)
+        assert provider.load(Mean("att1")).total == 21.0
+        assert provider.load(Size()).num_matches == 6
+
+    def test_run_on_aggregated_states(self, df_numeric):
+        pa = df_numeric.filter("item <= 3")
+        pb = df_numeric.filter("item > 3")
+        prov_a, prov_b = InMemoryStateProvider(), InMemoryStateProvider()
+        analyzers = [Size(), Mean("att1")]
+        do_analysis_run(pa, analyzers, save_states_with=prov_a)
+        do_analysis_run(pb, analyzers, save_states_with=prov_b)
+        ctx = run_on_aggregated_states(df_numeric, analyzers, [prov_a, prov_b])
+        assert ctx.metric_map[Size()].value == 6.0
+        assert ctx.metric_map[Mean("att1")].value == 3.5
+
+    def test_filesystem_frequencies(self, tmp_path, spark, df_unique):
+        provider = FileSystemStateProvider(str(tmp_path / "fstates"), spark)
+        analyzer = Uniqueness(("nonUnique",))
+        do_analysis_run(df_unique, [analyzer], save_states_with=provider)
+        state = provider.load(analyzer)
+        assert state.num_rows == 6
+        metric = analyzer.compute_metric_from_state(state)
+        assert metric.value == 0.5
+
+
+class TestAnomalyStrategies:
+    def test_simple_threshold(self):
+        s = SimpleThresholdStrategy(upper_bound=1.0)
+        found = s.detect([0.5, 0.9, 1.5, 0.8])
+        assert [a.index for a in found] == [2]
+
+    def test_absolute_change(self):
+        s = AbsoluteChangeStrategy(max_rate_decrease=-2.0, max_rate_increase=2.0)
+        found = s.detect([1.0, 2.0, 10.0, 11.0])
+        assert [a.index for a in found] == [2]
+
+    def test_relative_rate(self):
+        s = RelativeRateOfChangeStrategy(max_rate_decrease=0.5,
+                                         max_rate_increase=2.0)
+        found = s.detect([10.0, 11.0, 50.0, 40.0, 4.0])
+        assert [a.index for a in found] == [2, 4]
+
+    def test_batch_normal(self):
+        values = [1.0] * 20 + [100.0]
+        s = BatchNormalStrategy()
+        found = s.detect(values, (20, 21))
+        assert [a.index for a in found] == [20]
+
+    def test_online_normal(self):
+        values = [1.0, 1.1, 0.9, 1.0, 1.05, 0.95, 1.0, 1.0, 12.0]
+        s = OnlineNormalStrategy()
+        found = s.detect(values)
+        assert 8 in [a.index for a in found]
+
+    def test_holt_winters_detects_break(self):
+        base = [10, 20, 30, 40, 50, 60, 70] * 4
+        series = [float(v) for v in base] + [500.0]
+        found = HoltWinters(period=7).detect(series,
+                                             (len(series) - 1, len(series)))
+        assert [a.index for a in found] == [len(series) - 1]
+
+    def test_anomaly_check_e2e(self, df_missing):
+        repo = InMemoryMetricsRepository()
+        for i, n in enumerate([12, 12, 12]):
+            repo.save(ResultKey.make(i),
+                      do_analysis_run(df_missing, [Size()]))
+        builder = (VerificationSuite().on_data(df_missing.limit(2))
+                   .use_repository(repo)
+                   .add_anomaly_check(
+                       AbsoluteChangeStrategy(max_rate_decrease=-1.0,
+                                              max_rate_increase=1.0),
+                       Size()))
+        result = builder.run()
+        assert result.status == CheckStatus.WARNING  # 12 → 2 is anomalous
+
+
+class TestComparison:
+    def test_referential_integrity_full(self, spark):
+        primary = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+        reference = spark.createDataFrame([(1,), (2,), (3,), (4,)], "r int")
+        res = ReferentialIntegrity.subset_check(primary, ["k"], reference, ["r"])
+        assert res.passed and res.ratio == 1.0
+
+    def test_referential_integrity_partial(self, spark):
+        primary = spark.createDataFrame([(1,), (2,), (5,), (6,)], "k int")
+        reference = spark.createDataFrame([(1,), (2,)], "r int")
+        res = ReferentialIntegrity.subset_check(
+            primary, ["k"], reference, ["r"], assertion=lambda v: v >= 0.5)
+        assert res.passed and res.ratio == 0.5
+
+    def test_data_synchronization(self, spark):
+        ds1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string")
+        ds2 = spark.createDataFrame([(1, "a"), (2, "X"), (3, "c")], "id int, v string")
+        res = DataSynchronization.column_match(
+            ds1, ds2, {"id": "id"}, assertion=lambda v: v > 0.5)
+        assert res.passed and res.ratio == pytest.approx(2 / 3)
+
+    def test_data_synchronization_row_level(self, spark):
+        ds1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+        ds2 = spark.createDataFrame([(1, "a"), (2, "X")], "id int, v string")
+        out = DataSynchronization.column_match_row_level(ds1, ds2, {"id": "id"})
+        flags = {r["id"]: r["data_sync_outcome"] for r in out.collect()}
+        assert flags == {1: True, 2: False}
+
+    def test_row_count_match(self, spark):
+        a = spark.createDataFrame([(i,) for i in range(10)], "x int")
+        b = spark.createDataFrame([(i,) for i in range(20)], "x int")
+        res = RowCountMatch.match_row_counts(a, b, assertion=lambda v: v == 0.5)
+        assert res.passed and res.ratio == 0.5
+
+    def test_schema_match(self, spark):
+        a = spark.createDataFrame([(1, "x")], "id int, v string")
+        b = spark.createDataFrame([(1, 2)], "id int, v int")
+        res = SchemaMatch.match_schema(a, b, assertion=lambda v: v == 0.5)
+        assert res.passed and res.ratio == 0.5
+
+
+class TestProfiler:
+    def test_profile_basic(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", "10"), (2, "b", "20"), (3, "a", "30"), (4, None, "40")],
+            "id int, cat string, num_str string")
+        profiles = profile_columns(df)
+        assert profiles["id"].completeness == 1.0
+        assert profiles["id"].data_type == DataTypeInstances.INTEGRAL
+        assert profiles["id"].minimum == 1.0 and profiles["id"].maximum == 4.0
+        assert profiles["cat"].completeness == 0.75
+        assert profiles["cat"].histogram is not None
+        assert profiles["num_str"].data_type == DataTypeInstances.INTEGRAL
+        # inferred-numeric string got numeric stats via cast
+        assert profiles["num_str"].mean == 25.0
+
+    def test_suggestions(self, spark):
+        from deequ_spark import ConstraintSuggestionRunner
+        df = spark.createDataFrame(
+            [(i, "x" if i % 2 else "y", float(i)) for i in range(1, 21)],
+            "id int, cat string, val double")
+        out = (ConstraintSuggestionRunner().on_data(df).run())
+        suggestions = out["suggestions"]
+        all_rules = {s.rule_name for col in suggestions.values() for s in col}
+        assert "CompleteIfCompleteRule" in all_rules
+        assert "UniqueIfApproximatelyUniqueRule" in all_rules
+        assert "NonNegativeNumbersRule" in all_rules
+        id_codes = [s.code_for_constraint for s in suggestions["id"]]
+        assert any("is_unique" in c for c in id_codes)
+
+    def test_suggestions_with_split(self, spark):
+        from deequ_spark import ConstraintSuggestionRunner
+        df = spark.createDataFrame(
+            [(i, float(i % 5)) for i in range(100)], "id int, v double")
+        out = (ConstraintSuggestionRunner().on_data(df)
+               .use_train_test_split_with_test_set_ratio(0.3).run())
+        assert out["verification_result"] is not None
+
+
+class TestSchemaValidation:
+    def test_split_valid_invalid(self, spark):
+        df = spark.createDataFrame(
+            [("1", "abc"), ("x", "de"), ("3", None), (None, "fg")],
+            "num string, txt string")
+        schema = (RowLevelSchema()
+                  .with_int_column("num", is_nullable=False, min_value=0)
+                  .with_string_column("txt", min_length=2))
+        result = validate_schema(df, schema)
+        assert result.num_valid_rows == 2   # ("1","abc") and ("3",None)
+        assert result.num_invalid_rows == 2
+        valid = result.valid_rows.collect()
+        assert {r["num"] for r in valid} == {1, 3}
+        assert dict(result.valid_rows.dtypes)["num"] == "int"
+
+
+class TestDistance:
+    def test_l_infinity(self):
+        a = {"x": 50, "y": 50}
+        b = {"x": 80, "y": 20}
+        assert l_infinity_distance(a, b) == pytest.approx(0.3)
+
+    def test_psi_zero_for_identical(self):
+        a = {"x": 10, "y": 20}
+        assert psi(a, dict(a)) == pytest.approx(0.0)
+
+    def test_chi_square(self):
+        a = {"x": 100, "y": 100}
+        b = {"x": 110, "y": 90}
+        stat = chi_square_statistic(a, b)
+        assert stat == pytest.approx((10 ** 2) / 100 * 2)
+
+    def test_ks(self):
+        q1 = [1, 2, 3, 4, 5]
+        q2 = [1, 2, 3, 4, 5]
+        assert ks_distance(q1, q2) == 0.0
+        assert ks_distance(q1, [6, 7, 8, 9, 10]) == 1.0
