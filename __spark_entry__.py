@@ -298,6 +298,121 @@ def q_verification(spark, sf_dir):
     return _metrics_df(spark, rows)
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (dedup / similarity / text analysis / multimodal)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    from deequ_spark.llm import deduplicate_exact, exact_duplicates, fingerprint
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.count()
+    n_distinct_text = deduplicate_exact(docs, ["text"]).count()
+    dup_groups = exact_duplicates(docs, ["lang", "source"]).count()
+    n_fp = docs.select(fingerprint(F.col("text")).alias("fp")) \
+        .agg(F.countDistinct("fp")).collect()[0][0]
+    return _metrics_df(spark, [
+        ("docs_total", n),
+        ("docs_distinct_text", n_distinct_text),
+        ("dup_lang_source_groups", dup_groups),
+        ("distinct_fingerprints", n_fp)])
+
+
+def q_jaccard_dedup(spark, sf_dir):
+    """Exact all-pairs n-gram Jaccard via inverted-index join."""
+    from deequ_spark.llm import jaccard_similarity_pairs
+    docs = _load(spark, sf_dir, "documents")
+    n_05 = jaccard_similarity_pairs(docs, "doc_id", "text", 0.5, 3).count()
+    n_08 = jaccard_similarity_pairs(docs, "doc_id", "text", 0.8, 3).count()
+    return _metrics_df(spark, [
+        ("jaccard_pairs_05", n_05),
+        ("jaccard_pairs_08", n_08)])
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, exact-verified (recall ≈ 1 − 7e-15 per
+    pair at j=0.8 with 32 bands × 2 rows) — oracled against the exact
+    Jaccard pair count."""
+    from deequ_spark.llm import minhash_lsh_pairs
+    docs = _load(spark, sf_dir, "documents")
+    n = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8,
+                          num_hashes=64, bands=32, shingle_n=3).count()
+    return _metrics_df(spark, [("lsh_pairs_08", n)])
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash near-dup candidates — hash-function-specific, no SQL oracle
+    (driver records rows-only check)."""
+    from deequ_spark.llm import simhash_near_duplicates
+    docs = _load(spark, sf_dir, "documents")
+    pairs = simhash_near_duplicates(docs, "doc_id", "text",
+                                    max_hamming=3, shingle_n=3)
+    n = pairs.count()
+    return _metrics_df(spark, [("simhash_pairs_h3", n)])
+
+
+def q_text_quality(spark, sf_dir):
+    from deequ_spark.llm import text_quality, token_count_regex
+    docs = _load(spark, sf_dir, "documents")
+    quality = text_quality(docs, "text")
+    agg = quality.agg(
+        F.sum("q_n_tokens").alias("tok"),
+        F.sum("q_n_chars").alias("chars"),
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))).alias("punct"),
+        F.sum(token_count_regex(F.col("text"))).alias("retok"),
+        F.sum(F.size(F.array_distinct(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda t: t != "")))).alias("dtok"),
+    ).collect()[0]
+    # ratios of integer sums → single deterministic division
+    return _metrics_df(spark, [
+        ("sum_ws_tokens", agg["tok"]),
+        ("sum_chars", agg["chars"]),
+        ("sum_regex_tokens", agg["retok"]),
+        ("punct_per_char", agg["punct"] / agg["chars"]),
+        ("distinct_token_ratio", agg["dtok"] / agg["tok"])])
+
+
+def q_language_id(spark, sf_dir):
+    from deequ_spark.llm import language_id
+    docs = _load(spark, sf_dir, "documents")
+    pred = language_id(docs, "text")
+    rows = (pred.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+            .collect())
+    counts = {r["lang_pred"]: r["n"] for r in rows}
+    agreement = (pred.where(F.col("lang_pred") == F.col("lang")).count())
+    out = [(f"pred_{lang}", counts.get(lang, 0))
+           for lang in ["de", "en", "es", "fr", "zh", "unknown"]]
+    out.append(("label_agreement", agreement))
+    return _metrics_df(spark, out)
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 of vec_id=0 (exactness baseline for ANN)."""
+    from deequ_spark.llm import brute_force_topk
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    top = (brute_force_topk(emb.where(F.col("vec_id") != 0), "vec_id",
+                            "embedding", [float(v) for v in qvec], k=10)
+           .collect())
+    return _metrics_df(spark, [(str(r["id"]), _fuzz(r["cosine"])) for r in top])
+
+
+def q_multimodal(spark, sf_dir):
+    """Binary-column plumbing: encode text → mapInPandas feature extraction
+    (Arrow batches) → aggregate; byte math oracled against DuckDB."""
+    from deequ_spark.llm import attach_binary_payload, extract_binary_features
+    docs = _load(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    feats = extract_binary_features(media)
+    agg = feats.agg(F.sum("n_bytes").alias("b"),
+                    F.countDistinct("sha256_prefix").alias("d"),
+                    F.count(F.lit(1)).alias("n")).collect()[0]
+    return _metrics_df(spark, [
+        ("total_bytes", agg["b"]),
+        ("distinct_payloads", agg["d"]),
+        ("media_rows", agg["n"])])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -317,6 +432,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_count_distinct": q_approx_count_distinct,
         "approx_quantile": q_approx_quantile,
         "verification": q_verification,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_dedup": q_jaccard_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "ann_topk": q_ann_topk,
+        "multimodal": q_multimodal,
     }
 
 
@@ -516,5 +639,112 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'check_max', CASE WHEN maxd <= 0.5 THEN 1.0 ELSE 0.0 END FROM m
             UNION ALL SELECT 'check_satisfies', CASE WHEN small_ratio > 0.5 THEN 1.0 ELSE 0.0 END FROM m
             UNION ALL SELECT 'check_uniqueness', CASE WHEN uniq = 1.0 THEN 1.0 ELSE 0.0 END FROM u
+        """,
+        "exact_dedup": r"""
+            SELECT 'docs_total' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM documents
+            UNION ALL SELECT 'docs_distinct_text', CAST(COUNT(DISTINCT text) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'dup_lang_source_groups',
+                CAST(COUNT(*) AS DOUBLE) FROM (
+                    SELECT lang, source FROM documents GROUP BY lang, source
+                    HAVING COUNT(*) > 1) g
+            UNION ALL SELECT 'distinct_fingerprints',
+                CAST(COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS DOUBLE)
+                FROM documents
+        """,
+        "jaccard_dedup": r"""
+            WITH toks AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+                FROM documents),
+            sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+                    THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in generate_series(1, len(t)-2)])
+                    ELSE [array_to_string(t, ' ')] END AS s FROM toks),
+            w AS (SELECT doc_id, unnest(s) AS s FROM sh),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+                      FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            jac AS (SELECT c * 1.0 / (sa.sz + sb.sz - c) AS jv
+                    FROM inter JOIN sizes sa ON sa.doc_id = inter.i
+                               JOIN sizes sb ON sb.doc_id = inter.j)
+            SELECT 'jaccard_pairs_05' AS metric,
+                   CAST(SUM(CASE WHEN jv >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM jac
+            UNION ALL SELECT 'jaccard_pairs_08',
+                   CAST(SUM(CASE WHEN jv >= 0.8 THEN 1 ELSE 0 END) AS DOUBLE) FROM jac
+        """,
+        "minhash_lsh": r"""
+            WITH toks AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+                FROM documents),
+            sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+                    THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in generate_series(1, len(t)-2)])
+                    ELSE [array_to_string(t, ' ')] END AS s FROM toks),
+            w AS (SELECT doc_id, unnest(s) AS s FROM sh),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+                      FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT 'lsh_pairs_08' AS metric,
+                   CAST(SUM(CASE WHEN c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS value
+            FROM inter JOIN sizes sa ON sa.doc_id = inter.i
+                       JOIN sizes sb ON sb.doc_id = inter.j
+        """,
+        "text_quality": r"""
+            WITH q AS (SELECT
+                SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS tok,
+                SUM(length(text)) AS chars,
+                SUM(len(regexp_extract_all(text, '[^\w\s]'))) AS punct,
+                SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS retok,
+                SUM(len(list_distinct(list_filter(
+                    string_split_regex(lower(text), '\s+'), x -> x <> '')))) AS dtok
+                FROM documents)
+            SELECT 'sum_ws_tokens' AS metric, CAST(tok AS DOUBLE) AS value FROM q
+            UNION ALL SELECT 'sum_chars', CAST(chars AS DOUBLE) FROM q
+            UNION ALL SELECT 'sum_regex_tokens', CAST(retok AS DOUBLE) FROM q
+            UNION ALL SELECT 'punct_per_char', CAST(punct AS DOUBLE) / chars FROM q
+            UNION ALL SELECT 'distinct_token_ratio', CAST(dtok AS DOUBLE) / tok FROM q
+        """,
+        "language_id": r"""
+            WITH scored AS (SELECT lang,
+                len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|mit|ein|eine)\b')) AS c_de,
+                len(regexp_extract_all(text, '\b(the|and|of|to|is|in|that|it|for)\b')) AS c_en,
+                len(regexp_extract_all(text, '\b(el|la|los|las|de|que|y|en|es|un|una)\b')) AS c_es,
+                len(regexp_extract_all(text, '\b(le|la|les|et|de|des|que|est|un|une)\b')) AS c_fr,
+                len(regexp_extract_all(text, '[一-鿿]')) AS c_zh
+                FROM documents),
+            pred AS (SELECT lang, CASE
+                WHEN greatest(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'unknown'
+                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                WHEN c_fr >= c_zh THEN 'fr'
+                ELSE 'zh' END AS p FROM scored)
+            SELECT 'pred_de' AS metric, CAST(SUM(CASE WHEN p = 'de' THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM pred
+            UNION ALL SELECT 'pred_en', CAST(SUM(CASE WHEN p = 'en' THEN 1 ELSE 0 END) AS DOUBLE) FROM pred
+            UNION ALL SELECT 'pred_es', CAST(SUM(CASE WHEN p = 'es' THEN 1 ELSE 0 END) AS DOUBLE) FROM pred
+            UNION ALL SELECT 'pred_fr', CAST(SUM(CASE WHEN p = 'fr' THEN 1 ELSE 0 END) AS DOUBLE) FROM pred
+            UNION ALL SELECT 'pred_zh', CAST(SUM(CASE WHEN p = 'zh' THEN 1 ELSE 0 END) AS DOUBLE) FROM pred
+            UNION ALL SELECT 'pred_unknown', CAST(SUM(CASE WHEN p = 'unknown' THEN 1 ELSE 0 END) AS DOUBLE) FROM pred
+            UNION ALL SELECT 'label_agreement', CAST(SUM(CASE WHEN p = lang THEN 1 ELSE 0 END) AS DOUBLE) FROM pred
+        """,
+        "ann_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT CAST(vec_id AS VARCHAR) AS metric,
+                   FLOOR(list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+                         * 1e6) AS value
+            FROM e, q WHERE vec_id <> 0
+            ORDER BY list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "multimodal": """
+            SELECT 'total_bytes' AS metric, CAST(SUM(strlen(text)) AS DOUBLE) AS value FROM documents
+            UNION ALL SELECT 'distinct_payloads', CAST(COUNT(DISTINCT text) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'media_rows', CAST(COUNT(*) AS DOUBLE) FROM documents
         """,
     }

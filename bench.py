@@ -97,6 +97,44 @@ def b5_row_level(spark, df):
     return annotated.where(F.col("rows")).count()
 
 
+def b6_dedup_lsh(spark, docs):
+    """MinHash-LSH near-dup pairs, exact-verified."""
+    from deequ_spark.llm import minhash_lsh_pairs
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8,
+                             num_hashes=64, bands=32, shingle_n=3).count()
+
+
+def b7_ann(spark, emb):
+    """Brute-force cosine top-10 + 10-query knn join."""
+    from deequ_spark.llm import brute_force_topk, knn_join
+    from pyspark.sql import functions as F
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    n1 = brute_force_topk(emb, "vec_id", "embedding",
+                          [float(v) for v in qvec], k=10).count()
+    queries = emb.where(F.col("vec_id") < 10)
+    n2 = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=5).count()
+    return n1 + n2
+
+
+def b8_text_analysis(spark, docs):
+    from deequ_spark.llm import language_id, text_quality, token_count_regex
+    from pyspark.sql import functions as F
+    quality = text_quality(language_id(docs, "text"), "text")
+    row = quality.agg(
+        F.sum("q_n_tokens"), F.avg("q_punct_ratio"),
+        F.sum(token_count_regex(F.col("text"))),
+        F.count(F.when(F.col("lang_pred") == F.col("lang"), 1))).collect()[0]
+    return int(row[0])
+
+
+def b9_multimodal(spark, docs):
+    from deequ_spark.llm import attach_binary_payload, extract_binary_features
+    from pyspark.sql import functions as F
+    media = attach_binary_payload(docs, "text", "doc_id")
+    feats = extract_binary_features(media)
+    return feats.agg(F.sum("n_bytes")).collect()[0][0]
+
+
 def main():
     spark = (SparkSession.builder
              .master(f"local[{CPUS}]")
@@ -111,8 +149,10 @@ def main():
 
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     # warm the JVM + file listing once
-    lineitem.count(); orders.count()
+    lineitem.count(); orders.count(); docs.count(); emb.count()
 
     benches = [
         ("b1_scan_fused", lambda: b1_scan_fused(spark, lineitem)),
@@ -120,6 +160,10 @@ def main():
         ("b3_verification", lambda: b3_verification(spark, lineitem)),
         ("b4_histogram_entropy", lambda: b4_histogram_entropy(spark, lineitem)),
         ("b5_row_level", lambda: b5_row_level(spark, lineitem)),
+        ("b6_dedup_lsh", lambda: b6_dedup_lsh(spark, docs)),
+        ("b7_ann", lambda: b7_ann(spark, emb)),
+        ("b8_text_analysis", lambda: b8_text_analysis(spark, docs)),
+        ("b9_multimodal", lambda: b9_multimodal(spark, docs)),
     ]
     timings = {}
     for name, fn in benches:

@@ -1,0 +1,15 @@
+"""LLM-data-pipeline operators (beyond the reference's surface, mandated by
+BASELINE.json's north star): deduplication, similarity search, text
+analysis, multimodal column plumbing — all expression-first DataFrame ops
+designed for 100 TB scale."""
+
+from .dedup import (deduplicate_exact, embedding_near_duplicates,
+                    exact_duplicates, jaccard_similarity_pairs,
+                    minhash_lsh_pairs, minhash_signatures, simhash,
+                    simhash_near_duplicates, word_shingles)
+from .similarity import (brute_force_topk, cosine_similarity_expr,
+                         hyperplane_lsh_topk, knn_join)
+from .text import (fingerprint, language_id, text_quality,
+                   token_count_regex, token_count_whitespace)
+from .multimodal import (attach_binary_payload, decode_audio, decode_image,
+                         extract_binary_features, sample_chunks)

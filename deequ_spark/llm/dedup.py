@@ -1,0 +1,236 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+All hot paths are pure Spark SQL expressions (no Python UDFs):
+  * shingling via ``transform``/``sequence``/``slice`` array exprs
+  * minhash via ``array_min(transform(shingles, xxhash64(…, seed)))``
+  * LSH banding via ``explode`` + self-join on (band, hash) — the join is
+    a shuffle on band-hash keys, which is the scalable alternative to the
+    O(n²) cross join at 100 TB
+  * exact Jaccard verification via inverted-index token join (explode +
+    join on token) — linear in total postings, not quadratic in documents
+
+Scale notes: every self-join here keys on content-derived hashes, so skew
+only arises from degenerate content (e.g. empty docs) — filter those
+first. At 1000 executors the band join partitions by (band_idx, hash),
+giving uniform fan-out for ~uniform shingle distributions.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Groups occurring more than once: hash-groupBy, one shuffle."""
+    return (df.groupBy(*columns)
+            .agg(F.count(F.lit(1)).alias("dup_count"))
+            .where(F.col("dup_count") > 1))
+
+
+def deduplicate_exact(df: DataFrame, columns: Optional[Sequence[str]] = None
+                      ) -> DataFrame:
+    """Keep one row per key — Spark's dropDuplicates (map-side partial
+    aggregation, no window shuffle)."""
+    return df.dropDuplicates(list(columns) if columns else None)
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as an array<string> — pure array exprs."""
+    toks = _tokens(text)
+    if n <= 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " "))))
+
+
+def jaccard_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
+                             threshold: float, shingle_n: int = 3
+                             ) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ threshold via an inverted-index join —
+    the scalable sparse-similarity plan (explode shingles → join on
+    shingle → count intersections → filter). Returns (id_a, id_b, jaccard)
+    with id_a < id_b."""
+    base = df.select(F.col(id_col).alias("id"),
+                     word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    postings = base.select("id", F.explode("sh").alias("s"))
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+            .withColumn("jaccard", F.col("inter") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+    """(id, signature array<long>) — k independent minhashes per doc,
+    each ``array_min`` over seeded xxhash64 of the shingles. One scan,
+    no shuffle, entirely whole-stage codegen."""
+    # stage the shingle array in its own projection — inlining it into all
+    # k minhash expressions would recompute the (expensive) shingling k×
+    staged = df.select(F.col(id_col).alias("id"),
+                       word_shingles(F.col(text_col), shingle_n).alias("__sh"))
+
+    def hasher(seed: int):
+        # MUST be arity-1: a two-arg lambda would be interpreted by
+        # F.transform as an (element, index) lambda, silently binding the
+        # second parameter to the array index
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(*[F.array_min(F.transform(F.col("__sh"), hasher(seed)))
+                    for seed in range(num_hashes)])
+    return staged.select("id", sig.alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.8, num_hashes: int = 64,
+                      bands: int = 32, shingle_n: int = 3,
+                      verify_exact: bool = True) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding.
+
+    bands=32 × rows=2 (num_hashes=64) gives miss probability
+    (1 − j²)³² ≈ 7e-15 at j=0.8 — effectively exact recall — while
+    pruning the candidate space to colliding band buckets.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.xxhash64(*[F.col("signature")[i * rows + r]
+                              for r in range(rows)]).alias("bh"))
+        for i in range(bands)]))
+    buckets = sigs.select("id", band_cols.alias("band_struct")).select(
+        "id", F.col("band_struct.band").alias("band"),
+        F.col("band_struct.bh").alias("bh"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                         & (F.col("a.bh") == F.col("b.bh"))
+                         & (F.col("a.id") < F.col("b.id")))
+                  .select(F.col("a.id").alias("id_a"),
+                          F.col("b.id").alias("id_b"))
+                  .distinct())
+    if not verify_exact:
+        return candidates
+    # verify ONLY the candidate pairs: join the shingle arrays back and
+    # compute exact Jaccard per pair with array_intersect — O(candidates),
+    # never the all-pairs cost
+    shingled = df.select(F.col(id_col).alias("id"),
+                         word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (candidates.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("jaccard", F.col("inter") /
+                        (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            shingle_n: int = 2, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document — per-bit weighted majority over
+    shingle hashes, expressed with aggregate/zip_with (no UDF).
+
+    Shift amounts must be Python ints for shiftright/shiftleft, so the
+    per-bit expressions are generated in a Python loop; the data-dependent
+    part stays in one array-aggregate pass.
+    """
+    sh = word_shingles(F.col(text_col), shingle_n)
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    # fold shingles into per-bit ±1 counters
+    counters = F.aggregate(
+        sh, zero,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.shiftright(F.xxhash64(s), b)
+                       .bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long"))
+                .otherwise(F.lit(-1).cast("long"))
+                for b in range(bits)]),
+            lambda x, y: x + y))
+    # materialize the counter array in its own projection so the (large)
+    # aggregate expression appears once, not 64× in the bit-packing
+    staged = df.select(F.col(id_col).alias("id"), counters.alias("__ctr"))
+    fingerprint = None
+    for b in range(bits):
+        bit = F.when(F.element_at(F.col("__ctr"), b + 1) > 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    return staged.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            max_hamming: int = 3, shingle_n: int = 2
+                            ) -> DataFrame:
+    """Pairs with Hamming distance ≤ k via the block trick: split 64 bits
+    into k+1 blocks — any pair within distance k must share one block
+    exactly; join per block, then verify with bit_count(xor)."""
+    hashes = simhash(df, id_col, text_col, shingle_n)
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    block_cols = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("blk"),
+                 F.shiftright(F.col("simhash"), i * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"))
+        for i in range(blocks)]))
+    keyed = hashes.select("id", "simhash", block_cols.alias("b")).select(
+        "id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(
+                        F.col("b.simhash"))).alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_hamming))
+
+
+def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
+                              threshold: float = 0.95, planes: int = 16,
+                              seed: int = 42) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane LSH signature buckets
+    prune candidates, exact cosine verifies. Hyperplanes are derived
+    deterministically from seeded hashes of the dimension index (no
+    driver-side randomness to ship)."""
+    from .similarity import cosine_similarity_expr
+    dims = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    # deterministic pseudo-random hyperplanes: sign pattern from xxhash64
+    sig_bits = []
+    for p in range(planes):
+        signs = [1.0 if hash((seed, p, i)) % 2 else -1.0 for i in range(dims)]
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col),
+                       F.array(*[F.lit(s) for s in signs]),
+                       lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sig_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    signature = F.concat_ws("", *[b.cast("string") for b in sig_bits])
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      signature.alias("sig"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (a.join(b, (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    cosine_similarity_expr(F.col("a.v"), F.col("b.v"))
+                    .alias("cosine"))
+            .where(F.col("cosine") >= threshold))

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exactness baseline; random-hyperplane LSH
+bucketing is the scale path (prunes the candidate set before scoring).
+Dot products are pure ``zip_with``/``aggregate`` expressions — JVM-side,
+no Python. Vectors are cast to double before multiplication so results
+are deterministic and match a DOUBLE[] oracle bit-for-bit.
+
+Scale notes (100 TB): brute-force against a single query is a scan +
+top-k (no shuffle — TakeOrdered). knn_join broadcasts the (small) query
+side. LSH top-k shuffles once on bucket signature.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
+                     query_vector: Sequence[float], k: int = 10) -> DataFrame:
+    """Exact top-k by cosine against one literal query vector.
+    Plan: scan → projection → TakeOrdered(k) — no shuffle."""
+    q = F.array(*[F.lit(float(v)) for v in query_vector])
+    return (df.select(F.col(id_col).alias("id"),
+                      cosine_similarity_expr(F.col(vec_col), q).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("id"))
+            .limit(k))
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, query_id: str,
+             corpus_id: str, vec_col: str, k: int = 10) -> DataFrame:
+    """Exact k-NN of every query against the corpus: broadcast the query
+    side, rank per query with a window. Returns (query, neighbor, cosine,
+    rank)."""
+    q = queries.select(F.col(query_id).alias("qid"),
+                       F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(corpus_id).alias("cid"),
+                      F.col(vec_col).alias("cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .select("qid", "cid",
+                      cosine_similarity_expr(F.col("qv"), F.col("cv"))
+                      .alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def _hyperplane_signature(vec: Column, dims: int, planes: int,
+                          seed: int = 42) -> Column:
+    bits = []
+    for p in range(planes):
+        signs = [1.0 if hash((seed, p, i)) % 2 else -1.0 for i in range(dims)]
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(s) for s in signs]),
+                       lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hyperplane_lsh_topk(df: DataFrame, id_col: str, vec_col: str,
+                        query_vector: Sequence[float], k: int = 10,
+                        planes: int = 8, seed: int = 42,
+                        dims: Optional[int] = None) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane signature
+    matches the query's (expected candidate fraction ≈ 2^-planes +
+    near-boundary neighbors). The scale path: the signature predicate
+    prunes the scan before any scoring."""
+    if dims is None:
+        dims = len(query_vector)
+    sig = _hyperplane_signature(F.col(vec_col), dims, planes, seed)
+    # query signature computed driver-side with the same sign pattern
+    qsig = ""
+    for p in range(planes):
+        signs = [1.0 if hash((seed, p, i)) % 2 else -1.0 for i in range(dims)]
+        dot = sum(s * float(v) for s, v in zip(signs, query_vector))
+        qsig += "1" if dot >= 0 else "0"
+    q = F.array(*[F.lit(float(v)) for v in query_vector])
+    return (df.where(sig == F.lit(qsig))
+            .select(F.col(id_col).alias("id"),
+                    cosine_similarity_expr(F.col(vec_col), q).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("id"))
+            .limit(k))

@@ -1,0 +1,204 @@
+"""Tests for LLM-pipeline operators: dedup, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deequ_spark.llm import (attach_binary_payload, brute_force_topk,
+                             cosine_similarity_expr, deduplicate_exact,
+                             embedding_near_duplicates, exact_duplicates,
+                             extract_binary_features, fingerprint,
+                             hyperplane_lsh_topk, jaccard_similarity_pairs,
+                             knn_join, language_id, minhash_lsh_pairs,
+                             minhash_signatures, sample_chunks, simhash,
+                             simhash_near_duplicates, text_quality,
+                             token_count_regex, token_count_whitespace,
+                             word_shingles)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different text about spark engines here"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "unrelated short document"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_exact_duplicates(self, docs):
+        dups = exact_duplicates(docs, ["text"]).collect()
+        assert len(dups) == 1
+        assert dups[0]["dup_count"] == 2
+
+    def test_deduplicate(self, docs):
+        assert deduplicate_exact(docs, ["text"]).count() == 4
+
+
+class TestShingles:
+    def test_word_shingles(self, spark):
+        df = spark.createDataFrame([("a b c d",)], "t string")
+        sh = df.select(word_shingles(F.col("t"), 2).alias("s")).collect()[0]["s"]
+        assert sorted(sh) == ["a b", "b c", "c d"]
+
+    def test_short_text(self, spark):
+        df = spark.createDataFrame([("one two",)], "t string")
+        sh = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+        assert sh == ["one two"]
+
+
+class TestJaccardPairs:
+    def test_finds_near_and_exact_dups(self, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in jaccard_similarity_pairs(docs, "doc_id", "text",
+                                                   0.5, shingle_n=2).collect()}
+        assert pairs[(0, 3)] == 1.0            # exact duplicate
+        assert 0.5 <= pairs[(0, 1)] < 1.0      # near duplicate
+        assert (0, 2) not in pairs
+
+    def test_threshold_excludes(self, docs):
+        pairs = jaccard_similarity_pairs(docs, "doc_id", "text", 0.99,
+                                         shingle_n=2).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 3)}
+
+
+class TestMinHashLSH:
+    def test_signatures_shape(self, docs):
+        sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16,
+                                  shingle_n=2).collect()
+        assert all(len(r["signature"]) == 16 for r in sigs)
+        by_id = {r["id"]: r["signature"] for r in sigs}
+        assert by_id[0] == by_id[3]  # identical docs → identical signatures
+
+    def test_lsh_finds_planted_pairs(self, docs):
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in minhash_lsh_pairs(docs, "doc_id", "text", 0.5,
+                                            num_hashes=32, bands=16,
+                                            shingle_n=2).collect()}
+        assert (0, 3) in pairs and (0, 1) in pairs
+        assert (0, 2) not in pairs
+
+    def test_lsh_agrees_with_exact(self, docs):
+        lsh = {(r["id_a"], r["id_b"])
+               for r in minhash_lsh_pairs(docs, "doc_id", "text", 0.5,
+                                          num_hashes=64, bands=32,
+                                          shingle_n=2).collect()}
+        exact = {(r["id_a"], r["id_b"])
+                 for r in jaccard_similarity_pairs(docs, "doc_id", "text",
+                                                   0.5, shingle_n=2).collect()}
+        assert lsh == exact
+
+
+class TestSimHash:
+    def test_identical_docs_same_hash(self, docs):
+        hashes = {r["id"]: r["simhash"]
+                  for r in simhash(docs, "doc_id", "text").collect()}
+        assert hashes[0] == hashes[3]
+
+    def test_near_duplicates(self, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in simhash_near_duplicates(docs, "doc_id", "text",
+                                                  max_hamming=16).collect()}
+        assert pairs.get((0, 3)) == 0
+        assert (0, 1) in pairs
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+            (4, [1.0, 0.01, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_brute_force_topk(self, vectors):
+        top = brute_force_topk(vectors, "vec_id", "embedding",
+                               [1.0, 0.0, 0.0], k=3).collect()
+        assert [r["id"] for r in top] == [0, 4, 1]
+        assert top[0]["cosine"] == pytest.approx(1.0)
+
+    def test_knn_join(self, vectors):
+        out = knn_join(vectors.where("vec_id = 0"), vectors,
+                       "vec_id", "vec_id", "embedding", k=2).collect()
+        assert {r["cid"] for r in out} == {0, 4}
+
+    def test_lsh_topk_contains_best(self, vectors):
+        top = hyperplane_lsh_topk(vectors, "vec_id", "embedding",
+                                  [1.0, 0.0, 0.0], k=3, planes=2).collect()
+        assert 0 in [r["id"] for r in top]
+
+    def test_embedding_near_duplicates(self, vectors):
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in embedding_near_duplicates(
+                     vectors, "vec_id", "embedding", 0.99,
+                     planes=2).collect()}
+        assert (0, 4) in pairs
+        assert (0, 3) not in pairs
+
+
+class TestText:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([("hello, world! two",)], "t string")
+        r = df.select(token_count_whitespace(F.col("t")).alias("ws"),
+                      token_count_regex(F.col("t")).alias("re")).collect()[0]
+        assert r["ws"] == 3
+        assert r["re"] == 5  # hello , world ! two
+
+    def test_language_id(self, spark):
+        rows = [("the cat is on the mat and it is happy",),
+                ("der hund ist nicht mit der katze",),
+                ("el perro y la gata en la casa",),
+                ("xyzzy qwerty",)]
+        df = spark.createDataFrame(rows, "text string")
+        preds = [r["lang_pred"] for r in language_id(df, "text").collect()]
+        assert preds == ["en", "de", "es", "unknown"]
+
+    def test_text_quality(self, spark):
+        df = spark.createDataFrame([("Hello world hello world!",)], "t string")
+        r = text_quality(df, "t").collect()[0]
+        assert r["q_n_tokens"] == 4
+        assert r["q_n_chars"] == 24
+        # tokens: hello, world, hello, "world!" → 3 distinct of 4
+        assert r["q_distinct_ratio"] == 0.75
+        assert r["q_punct_ratio"] == pytest.approx(1 / 24)
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [("Hello  World",), ("hello world",), ("different",)], "t string")
+        fps = [r["fp"] for r in df.select(
+            fingerprint(F.col("t")).alias("fp")).collect()]
+        assert fps[0] == fps[1] != fps[2]
+
+
+class TestMultimodal:
+    def test_full_plumbing(self, docs):
+        media = attach_binary_payload(docs, "text", "doc_id")
+        assert dict(media.dtypes)["payload"] == "binary"
+        feats = extract_binary_features(media).collect()
+        assert len(feats) == 5
+        by_id = {r["media_id"]: r for r in feats}
+        assert by_id[0]["n_bytes"] == len(
+            "the quick brown fox jumps over the lazy dog".encode())
+        # identical payloads → identical digests (deterministic decoder)
+        assert by_id[0]["sha256_prefix"] == by_id[3]["sha256_prefix"]
+
+    def test_decode_stubs_raise(self):
+        from deequ_spark.llm import decode_audio, decode_image
+        with pytest.raises(NotImplementedError):
+            decode_image(b"xx")
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"xx")
+
+    def test_sample_chunks(self, docs):
+        media = attach_binary_payload(docs, "text", "doc_id")
+        chunks = sample_chunks(media, chunk_bytes=10, stride=2).collect()
+        assert all(len(r["chunk"]) <= 10 for r in chunks)
+        doc0 = [r for r in chunks if r["media_id"] == 0]
+        # 43 bytes → 5 chunks → sampled indices 0,2,4 → 3 chunks
+        assert len(doc0) == 3
