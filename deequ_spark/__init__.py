@@ -29,6 +29,9 @@ from .analyzers.scan import (ApproxCountDistinct, ApproxQuantile,
                              NullBehavior, PatternMatch, Patterns,
                              RatioOfSums, Size, Skewness, StandardDeviation,
                              Sum, Variance, ZerosCount, determine_type)
+from .analyzers.kll import (BucketDistribution, BucketValue, KLLMetric,
+                            KLLParameters, KLLSketch, KLLState,
+                            compute_kll_states)
 from .checks import Check, CheckLevel, CheckResult, CheckStatus
 from .constraints import (AnalysisBasedConstraint, Constraint,
                           ConstraintResult, ConstraintStatus)

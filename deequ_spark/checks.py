@@ -18,8 +18,9 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Union
 
 from .analyzers.base import Analyzer
 from .analyzers.grouping import (CountDistinct, Distinctness, DuplicateRowCount,
-                                 Entropy, Histogram, MutualInformation,
-                                 Uniqueness, UniqueValueRatio)
+                                 Entropy, Histogram, HistogramBinned,
+                                 MutualInformation, Uniqueness,
+                                 UniqueValueRatio)
 from .analyzers.scan import (ApproxCountDistinct, ApproxQuantile, ColumnCount,
                              ColumnExists, ColumnRange, Completeness,
                              Compliance, Correlation, CustomSql, DataType,
@@ -204,6 +205,30 @@ class Check:
                              hint=None) -> "Check":
         return self._add(lambda w: AnalysisBasedConstraint(
             Histogram(column, binning_udf, max_bins, w), assertion, hint=hint))
+
+    def has_histogram_binned_values(self, column: str, assertion,
+                                    bin_count: Optional[int] = None,
+                                    custom_edges=None, hint=None) -> "Check":
+        """Assertion over the binned Distribution (Check.scala:615-638)."""
+        return self._add(lambda w: AnalysisBasedConstraint(
+            HistogramBinned(column, bin_count, custom_edges, w),
+            assertion, hint=hint))
+
+    def has_histogram_binned_bins(self, column: str, assertion,
+                                  bin_count: Optional[int] = None,
+                                  custom_edges=None, hint=None) -> "Check":
+        """Assertion over the number of bins (Check.scala:639-662)."""
+        return self._add(lambda w: AnalysisBasedConstraint(
+            HistogramBinned(column, bin_count, custom_edges, w),
+            lambda dist: assertion(dist.number_of_bins), hint=hint))
+
+    def kll_sketch_satisfies(self, column: str, assertion,
+                             kll_parameters=None, hint=None) -> "Check":
+        """Assertion over the KLL BucketDistribution (Check.scala:663-719)."""
+        from .analyzers.kll import KLLSketch
+        return self._add(lambda w: AnalysisBasedConstraint(
+            KLLSketch(column, kll_parameters), assertion, hint=hint),
+            filterable=False)
 
     # -- statistics (Check.scala:720-1034) ---------------------------------
 

@@ -118,15 +118,32 @@ def do_analysis_run(data: DataFrame,
             results.metric_map[a] = a.to_failure_metric(exc)
 
     # 3. partition by execution strategy (:154-160)
+    from ..analyzers.kll import KLLSketch, compute_kll_states
     scanning = [a for a in passed if isinstance(a, ScanShareableAnalyzer)]
     grouping = [a for a in passed
                 if isinstance(a, FrequencyBasedAnalyzer)
                 and not isinstance(a, Histogram)]
-    others = [a for a in passed if a not in scanning and a not in grouping]
+    klls = [a for a in passed if isinstance(a, KLLSketch)]
+    others = [a for a in passed
+              if a not in scanning and a not in grouping and a not in klls]
 
     # 4. fused single-pass scan (:342-387)
     if scanning:
         results += _run_scanning_analyzers(data, scanning, save_states_with)
+
+    # 4b. ONE extra Arrow pass for ALL KLL columns combined
+    # (parity: KLLRunner.computeKLLSketchesInExtraPass, :162-167)
+    if klls:
+        try:
+            kll_states = compute_kll_states(data, klls)
+            for a in klls:
+                state = kll_states.get(a)
+                if save_states_with is not None and state is not None:
+                    save_states_with.persist(a, state)
+                results.metric_map[a] = a.compute_metric_from_state(state)
+        except Exception as exc:  # noqa: BLE001
+            for a in klls:
+                results.metric_map[a] = a.to_failure_metric(exc)
 
     # 5. grouping fusion, bucketed by (sorted cols, filter) (:218-234)
     buckets: Dict[Tuple, List[FrequencyBasedAnalyzer]] = {}
