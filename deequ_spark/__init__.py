@@ -50,8 +50,8 @@ from .anomaly import (AbsoluteChangeStrategy, Anomaly, AnomalyCheckConfig,
                       RateOfChangeStrategy, RelativeRateOfChangeStrategy,
                       SimpleThresholdStrategy)
 from .comparison import (ComparisonResult, DataSynchronization,
-                         DatasetMatchAnalyzer, ReferentialIntegrity,
-                         RowCountMatch, SchemaMatch)
+                         DatasetMatchAnalyzer, DatasetMatchState,
+                         ReferentialIntegrity, RowCountMatch, SchemaMatch)
 from .profiles import (ColumnProfile, ColumnProfilerRunner,
                        profile_columns)
 from .suggestions import (DEFAULT_RULES, EXTENDED_RULES, NUMERICAL_RULES,

@@ -403,5 +403,47 @@ class Check:
         return self._add(lambda w: AnalysisBasedConstraint(
             CustomSql(expression), assertion, hint=hint), filterable=False)
 
+    def does_dataset_match(self, other: Any, col_key_map: Dict[str, str],
+                           assertion, match_col_map: Optional[Dict[str, str]] = None,
+                           hint=None) -> "Check":
+        """Row-match ratio against another DataFrame joined on a key map
+        (parity: Check.scala:542-563 doesDatasetMatch)."""
+        from .comparison import DatasetMatchAnalyzer
+        return self._add(lambda w: AnalysisBasedConstraint(
+            DatasetMatchAnalyzer(other, col_key_map, match_col_map),
+            assertion, hint=hint), filterable=False)
+
+    def is_newest_point_non_anomalous(self, repository, strategy,
+                                      analyzer: Analyzer,
+                                      with_tag_values: Optional[Dict[str, str]] = None,
+                                      after_date: Optional[int] = None,
+                                      before_date: Optional[int] = None,
+                                      hint=None) -> "Check":
+        """Anomaly gate: the metric's newest value, appended to its
+        repository history, must not be flagged by the strategy
+        (parity: Check.scala:689-719, 1511-1568)."""
+        def assertion(current_value: float) -> bool:
+            history = []
+            loader = repository.load()
+            if with_tag_values:
+                loader = loader.with_tag_values(with_tag_values)
+            if after_date is not None:
+                loader = loader.after(after_date)
+            if before_date is not None:
+                loader = loader.before(before_date)
+            for _key, ctx in loader.get():
+                for a, m in ctx.metric_map.items():
+                    if a == analyzer and m.is_success \
+                            and isinstance(m.value, (int, float)):
+                        history.append(float(m.value))
+            series = history + [float(current_value)]
+            idx = len(series) - 1
+            return len(strategy.detect(series, (idx, idx + 1))) == 0
+
+        return self._add(lambda w: AnalysisBasedConstraint(
+            analyzer, assertion,
+            name=f"AnomalyConstraint({analyzer.name}({analyzer.instance}))",
+            hint=hint), filterable=False)
+
     def add_constraint(self, constraint: Constraint) -> "Check":
         return self._add(lambda w: constraint, filterable=False)

@@ -20,6 +20,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .analyzers.base import Analyzer
 from .metrics import DoubleMetric, Entity, metric_from_failure
 
 
@@ -76,6 +77,36 @@ class DataSynchronization:
                    .collect()[0]["m"]) or 0
         ratio = matched / n1 if n1 else 0.0
         return ComparisonResult(assertion(ratio), ratio)
+
+    @staticmethod
+    def match_counts(ds1: DataFrame, ds2: DataFrame,
+                     col_key_map: Dict[str, str],
+                     comp_cols: Optional[Dict[str, str]] = None
+                     ) -> "tuple[int, int]":
+        """(matched rows, ds1 rows) — the mergeable sufficient statistic
+        behind DatasetMatchState (parity: DatasetMatchAnalyzer.scala:66-95)."""
+        if comp_cols is None:
+            keys1 = set(col_key_map.keys())
+            keys2 = set(col_key_map.values())
+            non_key1 = [c for c in ds1.columns if c not in keys1]
+            non_key2 = [c for c in ds2.columns if c not in keys2]
+            common = sorted(set(non_key1) & set(non_key2))
+            comp_cols = {c: c for c in common}
+        a, b = ds1.alias("a"), ds2.alias("b")
+        join_cond = None
+        for k1, k2 in col_key_map.items():
+            eq = F.col(f"a.{k1}").eqNullSafe(F.col(f"b.{k2}"))
+            join_cond = eq if join_cond is None else (join_cond & eq)
+        match_cond = F.lit(True)
+        for c1, c2 in comp_cols.items():
+            match_cond = match_cond & F.col(f"a.{c1}").eqNullSafe(F.col(f"b.{c2}"))
+        # ONE job: total via count over ds1, matched via join agg — fused
+        # by computing both sides of a union-free agg on the left join
+        joined = a.join(b, join_cond, "left")
+        row = joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(match_cond, 1).otherwise(0)).alias("m")).collect()[0]
+        return int(row["m"] or 0), int(row["n"] or 0)
 
     @staticmethod
     def column_match_row_level(ds1: DataFrame, ds2: DataFrame,
@@ -176,16 +207,36 @@ class SchemaMatch:
         return ComparisonResult(assertion(ratio), ratio)
 
 
-@dataclass(frozen=True, eq=False)
-class DatasetMatchAnalyzer:
+@dataclass
+class DatasetMatchState:
+    """Mergeable (matched, total) pair
+    (parity: DatasetMatchState.scala:35-41)."""
+
+    matched: int
+    total: int
+
+    def merge(self, other: "DatasetMatchState") -> "DatasetMatchState":
+        return DatasetMatchState(self.matched + other.matched,
+                                 self.total + other.total)
+
+    __add__ = merge
+
+    @property
+    def ratio(self) -> float:
+        return self.matched / self.total if self.total else 0.0
+
+
+class DatasetMatchAnalyzer(Analyzer):
     """Analyzer wrapper over DataSynchronization so dataset matching joins
-    the regular metric pipeline (parity: DatasetMatchAnalyzer.scala:66-110)."""
+    the regular metric pipeline — usable in VerificationSuite /
+    do_analysis_run like any other analyzer
+    (parity: DatasetMatchAnalyzer.scala:66-110)."""
 
     def __init__(self, df_to_compare: DataFrame, col_key_map: Dict[str, str],
                  match_col_map: Optional[Dict[str, str]] = None):
-        object.__setattr__(self, "df_to_compare", df_to_compare)
-        object.__setattr__(self, "col_key_map", dict(col_key_map))
-        object.__setattr__(self, "match_col_map", match_col_map)
+        self.df_to_compare = df_to_compare
+        self.col_key_map = dict(col_key_map)
+        self.match_col_map = dict(match_col_map) if match_col_map else None
 
     name = "DatasetMatch"
     entity = Entity.DATASET
@@ -196,13 +247,49 @@ class DatasetMatchAnalyzer:
 
     def _key(self):
         return (type(self).__name__, tuple(sorted(self.col_key_map.items())),
+                tuple(sorted(self.match_col_map.items()))
+                if self.match_col_map else None,
                 id(self.df_to_compare))
 
+    def __eq__(self, other):
+        return (isinstance(other, DatasetMatchAnalyzer)
+                and self._key() == other._key())
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def preconditions(self):
+        def keys_exist(schema):
+            for k in self.col_key_map:
+                if k not in [f.name for f in schema.fields]:
+                    raise ValueError(
+                        f"Input data does not include column {k}!")
+        return [keys_exist]
+
+    def columns_referenced(self):
+        return None  # joins the full row set; no pruning
+
+    def compute_state_from(self, df: DataFrame) -> Optional[DatasetMatchState]:
+        matched, total = DataSynchronization.match_counts(
+            df, self.df_to_compare, self.col_key_map, self.match_col_map)
+        return DatasetMatchState(matched, total)
+
+    def compute_metric_from_state(self, state):
+        if state is None or state.total == 0:
+            return metric_from_failure(
+                ValueError("No rows to match"), self.name, self.instance,
+                Entity.DATASET)
+        return DoubleMetric(Entity.DATASET, self.name, self.instance,
+                            state.ratio)
+
+    def to_failure_metric(self, exc: BaseException):
+        return metric_from_failure(exc, self.name, self.instance,
+                                   Entity.DATASET)
+
     def calculate(self, df: DataFrame):
-        result = DataSynchronization.column_match(
-            df, self.df_to_compare, self.col_key_map, self.match_col_map,
-            assertion=lambda v: True)
-        if result.error:
-            return metric_from_failure(RuntimeError(result.error), self.name,
-                                       self.instance, Entity.DATASET)
-        return DoubleMetric(Entity.DATASET, self.name, self.instance, result.ratio)
+        try:
+            for check in self.preconditions():
+                check(df.schema)
+            return self.compute_metric_from_state(self.compute_state_from(df))
+        except Exception as exc:  # noqa: BLE001
+            return self.to_failure_metric(exc)

@@ -22,9 +22,14 @@ from .runners.analysis_runner import AnalyzerContext
 
 @dataclass(frozen=True)
 class ResultKey:
-    """Parity: MetricsRepository.scala:25-30."""
+    """Parity: MetricsRepository.scala:25-30. ``tags`` accepts a dict (as in
+    the reference API) and is normalized to a sorted tuple so keys hash."""
     dataset_date: int
     tags: Tuple[Tuple[str, str], ...] = ()
+
+    def __post_init__(self):
+        if isinstance(self.tags, dict):
+            object.__setattr__(self, "tags", tuple(sorted(self.tags.items())))
 
     @staticmethod
     def make(dataset_date: Optional[int] = None,

@@ -1,0 +1,71 @@
+"""Checks-DSL completion tests: doesDatasetMatch, isNewestPointNonAnomalous
+(parity: Check.scala:542-563, 689-719, 1511-1568)."""
+
+import pytest
+
+from deequ_spark import (AbsoluteChangeStrategy, Check, CheckLevel,
+                        CheckStatus, InMemoryMetricsRepository, ResultKey,
+                        Size, VerificationSuite, do_analysis_run)
+from deequ_spark.comparison import DatasetMatchAnalyzer, DatasetMatchState
+
+
+@pytest.fixture()
+def ds_pair(spark):
+    ds1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id int, s string, v int")
+    ds2 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (3, "c", 30)], "id int, s string, v int")
+    return ds1, ds2
+
+
+def test_does_dataset_match(ds_pair):
+    ds1, ds2 = ds_pair
+    result = (VerificationSuite().on_data(ds1)
+              .add_check(Check(CheckLevel.ERROR, "match")
+                         .does_dataset_match(ds2, {"id": "id"},
+                                             lambda v: v == pytest.approx(2 / 3)))
+              .run())
+    assert result.status == CheckStatus.SUCCESS
+
+
+def test_dataset_match_analyzer_in_run(ds_pair):
+    ds1, ds2 = ds_pair
+    a = DatasetMatchAnalyzer(ds2, {"id": "id"}, {"v": "v"})
+    ctx = do_analysis_run(ds1, [a, Size()])
+    m = ctx.metric(a)
+    assert m.is_success and m.value == pytest.approx(2 / 3)
+
+
+def test_dataset_match_state_merges():
+    s = DatasetMatchState(2, 3) + DatasetMatchState(4, 5)
+    assert (s.matched, s.total) == (6, 8)
+
+
+def test_dataset_match_missing_key(ds_pair):
+    ds1, ds2 = ds_pair
+    m = DatasetMatchAnalyzer(ds2, {"nope": "id"}).calculate(ds1)
+    assert not m.is_success
+
+
+def test_is_newest_point_non_anomalous(spark, df_full):
+    repo = InMemoryMetricsRepository()
+    # seed history: size=4 at two past dates
+    for date in (1000, 2000):
+        ctx = do_analysis_run(df_full, [Size()])
+        repo.save(ResultKey(date, {}), ctx)
+
+    strategy = AbsoluteChangeStrategy(max_rate_increase=1.0,
+                                      max_rate_decrease=-1.0)
+    ok = (VerificationSuite().on_data(df_full)
+          .add_check(Check(CheckLevel.ERROR, "anomaly")
+                     .is_newest_point_non_anomalous(repo, strategy, Size()))
+          .run())
+    assert ok.status == CheckStatus.SUCCESS
+
+    # 3x the rows → size jumps 4 → 12, beyond +-1 change → anomalous
+    bigger = df_full.union(df_full).union(df_full)
+    bad = (VerificationSuite().on_data(bigger)
+           .add_check(Check(CheckLevel.ERROR, "anomaly")
+                      .is_newest_point_non_anomalous(repo, strategy, Size()))
+           .run())
+    assert bad.status == CheckStatus.ERROR
