@@ -61,5 +61,7 @@ from .schema_validation import (RowLevelSchema, RowLevelSchemaValidationResult,
                                 validate_schema)
 from .distance import (chi_square_p_value, chi_square_statistic, ks_distance,
                        l_infinity_distance, psi)
+from .streaming import (StreamingBatchResult, StreamingVerification,
+                        verify_stream)
 
 __version__ = "0.1.0"

@@ -1,0 +1,79 @@
+"""Streaming verification tests — incremental state merge over
+foreachBatch must equal batch computation over the union of all data."""
+
+import os
+
+import pytest
+
+from deequ_spark import (Check, CheckLevel, CheckStatus, Completeness,
+                        CountDistinct, Mean, Size, Sum, Uniqueness,
+                        do_analysis_run)
+from deequ_spark.streaming import StreamingVerification, verify_stream
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Three single-file parquet 'arrivals' of 100 rows each."""
+    base = tmp_path_factory.mktemp("stream_src")
+    for i in range(3):
+        rows = [(i * 100 + j, float(j), "grp%d" % (j % 7)) for j in range(100)]
+        (spark.createDataFrame(rows, "id long, v double, g string")
+         .coalesce(1).write.parquet(str(base / f"chunk{i}")))
+    # flatten the part files into one source dir
+    src = tmp_path_factory.mktemp("stream_flat")
+    n = 0
+    for i in range(3):
+        d = base / f"chunk{i}"
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(d / f, src / f"part{n}.parquet")
+                n += 1
+    return str(src)
+
+
+def test_streaming_cumulative_equals_batch(spark, stream_dir):
+    analyzers = [Size(), Completeness("v"), Mean("v"), Sum("v"),
+                 Uniqueness(("id",)), CountDistinct(("g",))]
+    stream = (spark.readStream
+              .schema("id long, v double, g string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(stream_dir))
+    sv = StreamingVerification(analyzers=analyzers)
+    q = (stream.writeStream.foreachBatch(sv.foreach_batch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    assert len(sv.results) == 3          # one batch per file
+    static = spark.read.parquet(stream_dir)
+    expected = do_analysis_run(static, analyzers)
+    got = sv.results[-1].context
+    for a in analyzers:
+        assert got.metric(a).value == pytest.approx(
+            expected.metric(a).value, rel=1e-9), str(a)
+
+
+def test_streaming_checks_and_batch_mode(spark, stream_dir):
+    check = (Check(CheckLevel.ERROR, "stream")
+             .has_size(lambda n: n == 100)      # per-batch size
+             .is_complete("id"))
+    stream = (spark.readStream
+              .schema("id long, v double, g string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(stream_dir))
+    sv = verify_stream(stream, [check], mode="batch")
+    assert len(sv.results) == 3
+    assert all(r.status == CheckStatus.SUCCESS for r in sv.results)
+    assert all(r.rows_in_batch == 100 for r in sv.results)
+
+
+def test_streaming_cumulative_check_transitions(spark, stream_dir):
+    # fails once cumulative rows exceed 150 — first batch OK, later ERROR
+    check = Check(CheckLevel.ERROR, "cap").has_size(lambda n: n <= 150)
+    stream = (spark.readStream
+              .schema("id long, v double, g string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(stream_dir))
+    sv = verify_stream(stream, [check])
+    statuses = [r.status for r in sv.results]
+    assert statuses[0] == CheckStatus.SUCCESS
+    assert statuses[-1] == CheckStatus.ERROR
