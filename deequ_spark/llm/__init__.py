@@ -8,7 +8,8 @@ from .dedup import (deduplicate_exact, embedding_near_duplicates,
                     minhash_lsh_pairs, minhash_signatures, simhash,
                     simhash_near_duplicates, word_shingles)
 from .similarity import (brute_force_topk, cosine_similarity_expr,
-                         hyperplane_lsh_topk, knn_join)
+                         hyperplane_lsh_topk, ivf_assign, ivf_topk,
+                         kmeans_centroids, knn_join)
 from .text import (fingerprint, language_id, text_quality,
                    token_count_regex, token_count_whitespace)
 from .multimodal import (attach_binary_payload, decode_audio, decode_image,

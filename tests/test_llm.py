@@ -133,6 +133,24 @@ class TestSimilarity:
                                   [1.0, 0.0, 0.0], k=3, planes=2).collect()
         assert 0 in [r["id"] for r in top]
 
+    def test_ivf_topk_exact_when_probing_all(self, vectors):
+        from deequ_spark.llm import ivf_topk, kmeans_centroids
+        cents = kmeans_centroids(vectors, "embedding", n_centroids=2)
+        # nprobe == n_centroids → no pruning → must equal brute force
+        top = ivf_topk(vectors, "vec_id", "embedding", [1.0, 0.0, 0.0],
+                       k=3, centroids=cents, nprobe=2).collect()
+        assert [r["id"] for r in top] == [0, 4, 1]
+
+    def test_ivf_assign_partitions_corpus(self, vectors):
+        from deequ_spark.llm import ivf_assign, kmeans_centroids
+        cents = kmeans_centroids(vectors, "embedding", n_centroids=2)
+        assigned = ivf_assign(vectors, "embedding", cents)
+        rows = assigned.collect()
+        assert all(0 <= r["ivf_list"] < 2 for r in rows)
+        # opposite vectors 0 and 3 must land in different lists
+        by_id = {r["vec_id"]: r["ivf_list"] for r in rows}
+        assert by_id[0] != by_id[3]
+
     def test_embedding_near_duplicates(self, vectors):
         pairs = {(r["id_a"], r["id_b"])
                  for r in embedding_near_duplicates(
