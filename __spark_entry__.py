@@ -413,6 +413,213 @@ def q_multimodal(spark, sf_dir):
         ("media_rows", agg["n"])])
 
 
+def q_length_zeros_ratio(spark, sf_dir):
+    """MinLength/MaxLength/ZerosCount/RatioOfSums in one fused scan."""
+    from deequ_spark import (MaxLength, MinLength, RatioOfSums, ZerosCount,
+                             do_analysis_run)
+    df = _load(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")).withColumn(
+        "key_dec", F.col("o_orderkey").cast("decimal(18,2)"))
+    analyzers = [MinLength("o_orderpriority"), MaxLength("o_orderpriority"),
+                 MinLength("o_orderstatus", where="o_totalprice > 100000"),
+                 RatioOfSums("price_dec", "key_dec")]
+    ctx = do_analysis_run(df, analyzers)
+    vals = {a: m.value for a, m in ctx.metric_map.items()}
+    li = _load(spark, sf_dir, "lineitem")
+    zctx = do_analysis_run(li, [ZerosCount("l_discount")])
+    zeros = list(zctx.metric_map.values())[0].value
+    return _metrics_df(spark, [
+        ("min_len_priority", vals[analyzers[0]]),
+        ("max_len_priority", vals[analyzers[1]]),
+        ("min_len_status_filtered", vals[analyzers[2]]),
+        ("ratio_price_key", _fuzz(vals[analyzers[3]])),
+        ("zeros_discount", zeros)])
+
+
+def q_histogram_binned(spark, sf_dir):
+    """Custom-edge numeric histogram (width_bucket path); .5 edges so no
+    value sits on a boundary in either engine."""
+    from deequ_spark import HistogramBinned, do_analysis_run
+    df = _load(spark, sf_dir, "lineitem")
+    analyzer = HistogramBinned("l_quantity",
+                               custom_edges=[0.5, 10.5, 20.5, 30.5, 40.5, 50.5])
+    ctx = do_analysis_run(df, [analyzer])
+    dist = ctx.metric_map[analyzer].value
+    rows = [(f"bin_{i}", dv.absolute)
+            for i, dv in enumerate(dist.values.values())]
+    rows.append(("bins", float(dist.number_of_bins)))
+    return _metrics_df(spark, rows)
+
+
+def q_referential_integrity(spark, sf_dir):
+    from deequ_spark import ReferentialIntegrity
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    fwd = ReferentialIntegrity.subset_check(
+        orders, ["o_custkey"], customer, ["c_custkey"], lambda v: True)
+    rev = ReferentialIntegrity.subset_check(
+        customer, ["c_custkey"], orders, ["o_custkey"], lambda v: True)
+    return _metrics_df(spark, [
+        ("ri_orders_in_customer", fwd.ratio),
+        ("ri_customer_in_orders", rev.ratio)])
+
+
+def q_dataset_match(spark, sf_dir):
+    """DatasetMatch against a derived copy with every 3rd key perturbed —
+    ratio = fraction of keys with o_orderkey % 3 != 0."""
+    from deequ_spark.comparison import DatasetMatchAnalyzer
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    perturbed = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")))
+    m = DatasetMatchAnalyzer(perturbed, {"o_orderkey": "o_orderkey"},
+                             {"o_totalprice": "o_totalprice"}).calculate(orders)
+    if not m.is_success:
+        raise RuntimeError(str(m.error))
+    return _metrics_df(spark, [("match_ratio", m.value)])
+
+
+def q_row_count_match(spark, sf_dir):
+    from deequ_spark import RowCountMatch, SchemaMatch
+    orders = _load(spark, sf_dir, "orders")
+    lineitem = _load(spark, sf_dir, "lineitem")
+    rc = RowCountMatch.match_row_counts(orders, lineitem, lambda v: True)
+    sm_same = SchemaMatch.match_schema(orders, orders)
+    sm_diff = SchemaMatch.match_schema(orders, _load(spark, sf_dir, "customer"))
+    return _metrics_df(spark, [
+        ("rowcount_orders_lineitem", rc.ratio),
+        ("schema_orders_orders", sm_same.ratio),
+        ("schema_orders_customer", sm_diff.ratio)])
+
+
+def q_kll(spark, sf_dir):
+    """KLL sketch contract: quantile estimates inside exact rank bands
+    (±5 percentile points), bucket counts conserve mass."""
+    from deequ_spark import ExactQuantile, KLLParameters, KLLSketch, do_analysis_run
+    df = _load(spark, sf_dir, "lineitem")
+    kll = KLLSketch("l_extendedprice", KLLParameters(2048, 0.64, 100))
+    exacts = [ExactQuantile("l_extendedprice", q)
+              for q in (0.20, 0.30, 0.45, 0.55, 0.70, 0.80)]
+    ctx = do_analysis_run(df, [kll] + exacts)
+    dist = ctx.metric_map[kll].value
+    ex = {q: ctx.metric_map[a].value for q, a in
+          zip((0.20, 0.30, 0.45, 0.55, 0.70, 0.80), exacts)}
+    ok25 = ex[0.20] <= dist.quantile(0.25) <= ex[0.30]
+    ok50 = ex[0.45] <= dist.quantile(0.5) <= ex[0.55]
+    ok75 = ex[0.70] <= dist.quantile(0.75) <= ex[0.80]
+    n = int(sum(b.count for b in dist.buckets))
+    return _metrics_df(spark, [
+        ("kll_p25_ok", 1.0 if ok25 else 0.0),
+        ("kll_p50_ok", 1.0 if ok50 else 0.0),
+        ("kll_p75_ok", 1.0 if ok75 else 0.0),
+        ("kll_mass", float(n)),
+        ("kll_buckets", float(len(dist.buckets)))])
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup pairs, exact-cosine verified —
+    oracled against the exact all-pairs SQL (recall ≈ 0.9998/pair)."""
+    from deequ_spark.llm import embedding_near_duplicates
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, "vec_id", "embedding",
+                                      threshold=0.45).collect()
+    rows = [(f"{r['id_a']}_{r['id_b']}", _fuzz(r["cosine"])) for r in pairs]
+    rows.sort()
+    rows.append(("near_dup_pairs", float(len(pairs))))
+    return _metrics_df(spark, rows)
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF top-k probing ALL lists (pruning disabled → must equal brute
+    force, which the SQL oracle computes); the pruned path (nprobe < lists)
+    is covered by unit tests."""
+    from deequ_spark.llm import ivf_topk, kmeans_centroids
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = kmeans_centroids(emb, "embedding", n_centroids=8)
+    top = ivf_topk(emb.where(F.col("vec_id") != 0), "vec_id", "embedding",
+                   qvec, k=10, centroids=cents, nprobe=8).collect()
+    return _metrics_df(spark, [(str(r["id"]), _fuzz(r["cosine"])) for r in top])
+
+
+def q_streaming(spark, sf_dir):
+    """Structured Streaming cumulative verification: 4 micro-batches of
+    orders; final merged-state metrics must equal the static values the
+    SQL oracle computes over the whole table."""
+    import os
+    import shutil
+    from deequ_spark import (Completeness, CountDistinct, Mean, Size, Sum,
+                             Uniqueness)
+    from deequ_spark.streaming import StreamingVerification
+
+    src = f"/tmp/deequ_stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(src, ignore_errors=True)
+    (_load(spark, sf_dir, "orders")
+     .withColumn("price_dec", F.col("o_totalprice").cast("decimal(18,2)"))
+     .repartition(4).write.parquet(src))
+
+    static = spark.read.parquet(src)
+    analyzers = [Size(), Completeness("o_custkey"), Sum("price_dec"),
+                 Mean("price_dec"), Uniqueness(("o_orderkey",)),
+                 CountDistinct(("o_orderstatus",))]
+    sv = StreamingVerification(analyzers=analyzers)
+    q = (spark.readStream.schema(static.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(sv.foreach_batch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    vals = {a: m.value for a, m in sv.results[-1].context.metric_map.items()}
+    return _metrics_df(spark, [
+        ("stream_batches", float(len(sv.results))),
+        ("stream_size", vals[analyzers[0]]),
+        ("stream_completeness", vals[analyzers[1]]),
+        ("stream_sum_price", vals[analyzers[2]]),
+        ("stream_mean_price", vals[analyzers[3]]),
+        ("stream_uniqueness_key", vals[analyzers[4]]),
+        ("stream_distinct_status", vals[analyzers[5]])])
+
+
+def q_row_level(spark, sf_dir):
+    """Row-level annotation: count of rows passing ALL constraints —
+    one projection over the scan, no extra aggregation job."""
+    from deequ_spark import Check, CheckLevel, VerificationSuite
+    df = _load(spark, sf_dir, "lineitem")
+    check = (Check(CheckLevel.ERROR, "rl")
+             .is_complete("l_orderkey")
+             .satisfies("l_quantity <= 10", "small", lambda v: True)
+             .satisfies("l_discount >= 0.02", "disc", lambda v: True))
+    result = VerificationSuite().on_data(df).add_check(check).run()
+    annotated = result.row_level_results_as_dataframe(df)
+    n_pass = annotated.where(F.col("rl")).count()
+    n_all = annotated.count()
+    return _metrics_df(spark, [("rows_pass", float(n_pass)),
+                               ("rows_total", float(n_all))])
+
+
+def q_profile(spark, sf_dir):
+    """Column profiler (3-pass): deterministic fields of a numeric and a
+    string column profile."""
+    from deequ_spark import profile_columns
+    df = _load(spark, sf_dir, "customer")
+    profiles = profile_columns(df, ["c_acctbal", "c_mktsegment"],
+                               with_histograms=True)
+    num = profiles["c_acctbal"]
+    cat = profiles["c_mktsegment"]
+    seg_hist = cat.histogram
+    rows = [
+        ("prof_completeness", num.completeness),
+        ("prof_min", num.minimum),
+        ("prof_max", num.maximum),
+        ("prof_mean", _fuzz(num.mean)),
+        ("prof_stddev", _fuzz(num.std_dev)),
+        ("prof_seg_complete", cat.completeness),
+        ("prof_seg_bins", float(len(seg_hist.values)) if seg_hist else -1.0),
+    ]
+    return _metrics_df(spark, rows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -440,6 +647,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "ann_topk": q_ann_topk,
         "multimodal": q_multimodal,
+        "length_zeros_ratio": q_length_zeros_ratio,
+        "histogram_binned": q_histogram_binned,
+        "referential_integrity": q_referential_integrity,
+        "dataset_match": q_dataset_match,
+        "row_count_match": q_row_count_match,
+        "kll": q_kll,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ivf_ann": q_ivf_ann,
+        "streaming": q_streaming,
+        "row_level": q_row_level,
+        "profile": q_profile,
     }
 
 
@@ -746,5 +964,117 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'total_bytes' AS metric, CAST(SUM(strlen(text)) AS DOUBLE) AS value FROM documents
             UNION ALL SELECT 'distinct_payloads', CAST(COUNT(DISTINCT text) AS DOUBLE) FROM documents
             UNION ALL SELECT 'media_rows', CAST(COUNT(*) AS DOUBLE) FROM documents
+        """,
+        "length_zeros_ratio": f"""
+            SELECT 'min_len_priority' AS metric, CAST(MIN(LENGTH(o_orderpriority)) AS DOUBLE) AS value FROM orders
+            UNION ALL SELECT 'max_len_priority', CAST(MAX(LENGTH(o_orderpriority)) AS DOUBLE) FROM orders
+            UNION ALL SELECT 'min_len_status_filtered',
+                CAST(MIN(CASE WHEN o_totalprice > 100000 THEN LENGTH(o_orderstatus) END) AS DOUBLE) FROM orders
+            UNION ALL SELECT 'ratio_price_key',
+                {fuzz.format("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)")} FROM orders
+            UNION ALL SELECT 'zeros_discount',
+                CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
+        """,
+        "histogram_binned": """
+            SELECT 'bin_0' AS metric, CAST(SUM(CASE WHEN l_quantity >= 0.5 AND l_quantity < 10.5 THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM lineitem
+            UNION ALL SELECT 'bin_1', CAST(SUM(CASE WHEN l_quantity >= 10.5 AND l_quantity < 20.5 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'bin_2', CAST(SUM(CASE WHEN l_quantity >= 20.5 AND l_quantity < 30.5 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'bin_3', CAST(SUM(CASE WHEN l_quantity >= 30.5 AND l_quantity < 40.5 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'bin_4', CAST(SUM(CASE WHEN l_quantity >= 40.5 AND l_quantity <= 50.5 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'bins', 5.0
+        """,
+        "referential_integrity": """
+            SELECT 'ri_orders_in_customer' AS metric,
+                   (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders
+                    WHERE o_custkey IN (SELECT c_custkey FROM customer))
+                   / (SELECT COUNT(*) FROM orders) AS value
+            UNION ALL
+            SELECT 'ri_customer_in_orders',
+                   (SELECT CAST(COUNT(*) AS DOUBLE) FROM customer
+                    WHERE c_custkey IN (SELECT o_custkey FROM orders))
+                   / (SELECT COUNT(*) FROM customer)
+        """,
+        "dataset_match": """
+            SELECT 'match_ratio' AS metric,
+                   CAST(SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS value FROM orders
+        """,
+        "row_count_match": """
+            SELECT 'rowcount_orders_lineitem' AS metric,
+                   (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders)
+                   / (SELECT COUNT(*) FROM lineitem) AS value
+            UNION ALL SELECT 'schema_orders_orders', 1.0
+            UNION ALL SELECT 'schema_orders_customer', 0.0
+        """,
+        "kll": """
+            SELECT 'kll_p25_ok' AS metric, 1.0 AS value
+            UNION ALL SELECT 'kll_p50_ok', 1.0
+            UNION ALL SELECT 'kll_p75_ok', 1.0
+            UNION ALL SELECT 'kll_mass', CAST(COUNT(l_extendedprice) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'kll_buckets', 100.0
+        """,
+        "embedding_near_dup": """
+            WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+                   FROM n a JOIN n b ON a.vec_id < b.vec_id),
+            nd AS (SELECT * FROM pairs WHERE cos >= 0.45)
+            SELECT CAST(ia AS VARCHAR) || '_' || CAST(ib AS VARCHAR) AS metric,
+                   FLOOR(cos * 1e6) AS value FROM nd
+            UNION ALL SELECT 'near_dup_pairs', CAST(COUNT(*) AS DOUBLE) FROM nd
+        """,
+        "ivf_ann": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT CAST(vec_id AS VARCHAR) AS metric,
+                   FLOOR(list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+                         * 1e6) AS value
+            FROM e, q WHERE vec_id <> 0
+            ORDER BY list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "streaming": f"""
+            WITH u AS (SELECT SUM(CASE WHEN cnt = 1 THEN 1.0 ELSE 0.0 END) / SUM(cnt) AS uniq
+                       FROM (SELECT COUNT(*) AS cnt FROM orders
+                             WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey) f)
+            SELECT 'stream_batches' AS metric, 4.0 AS value
+            UNION ALL SELECT 'stream_size', CAST(COUNT(*) AS DOUBLE) FROM orders
+            UNION ALL SELECT 'stream_completeness',
+                CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*) FROM orders
+            UNION ALL SELECT 'stream_sum_price',
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders
+            UNION ALL SELECT 'stream_mean_price',
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                / COUNT(o_totalprice) FROM orders
+            UNION ALL SELECT 'stream_uniqueness_key', uniq FROM u
+            UNION ALL SELECT 'stream_distinct_status',
+                CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) FROM orders
+        """,
+        "row_level": """
+            SELECT 'rows_pass' AS metric,
+                   CAST(SUM(CASE WHEN l_orderkey IS NOT NULL
+                                 AND l_quantity <= 10
+                                 AND l_discount >= 0.02 THEN 1 ELSE 0 END) AS DOUBLE) AS value
+            FROM lineitem
+            UNION ALL SELECT 'rows_total', CAST(COUNT(*) AS DOUBLE) FROM lineitem
+        """,
+        "profile": f"""
+            WITH s AS (SELECT COUNT(c_acctbal) AS n, AVG(c_acctbal) AS mu,
+                       SUM((c_acctbal - (SELECT AVG(c_acctbal) FROM customer)) ^ 2) AS m2
+                       FROM customer)
+            SELECT 'prof_completeness' AS metric,
+                   CAST(COUNT(c_acctbal) AS DOUBLE) / COUNT(*) AS value FROM customer
+            UNION ALL SELECT 'prof_min', CAST(MIN(c_acctbal) AS DOUBLE) FROM customer
+            UNION ALL SELECT 'prof_max', CAST(MAX(c_acctbal) AS DOUBLE) FROM customer
+            UNION ALL SELECT 'prof_mean', {fuzz.format("mu")} FROM s
+            UNION ALL SELECT 'prof_stddev', {fuzz.format("SQRT(m2 / n)")} FROM s
+            UNION ALL SELECT 'prof_seg_complete',
+                CAST(COUNT(c_mktsegment) AS DOUBLE) / COUNT(*) FROM customer
+            UNION ALL SELECT 'prof_seg_bins',
+                CAST(COUNT(DISTINCT c_mktsegment) AS DOUBLE) FROM customer
         """,
     }
