@@ -151,12 +151,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     buckets = sigs.select("id", band_cols.alias("band_struct")).select(
         "id", F.col("band_struct.band").alias("band"),
         F.col("band_struct.bh").alias("bh"))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                         & (F.col("a.bh") == F.col("b.bh"))
-                         & (F.col("a.id") < F.col("b.id")))
-                  .select(F.col("a.id").alias("id_a"),
-                          F.col("b.id").alias("id_b"))
+    # ONE shuffle: group ids per (band, bucket) and expand in-bucket pairs
+    # JVM-side — beats a bucket self-join (two shuffled sides) and keeps
+    # the quadratic blow-up confined to each bucket
+    groups = (buckets.groupBy("band", "bh")
+              .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+              .where(F.size("ids") > 1))
+    pairs_expr = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    candidates = (groups.select(F.explode(pairs_expr).alias("p"))
+                  .select("p.id_a", "p.id_b")
                   .distinct())
     if not verify_exact:
         return candidates
