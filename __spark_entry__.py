@@ -620,6 +620,28 @@ def q_profile(spark, sf_dir):
     return _metrics_df(spark, rows)
 
 
+def q_dqdl(spark, sf_dir):
+    """Declarative DQDL ruleset → one fused verification run; outcomes
+    recomputed by the SQL oracle."""
+    from deequ_spark.dqdl import EvaluateDataQuality
+    df = _load(spark, sf_dir, "orders")
+    out = EvaluateDataQuality.process(df, """Rules = [
+        RowCount > 1000,
+        ColumnCount = 6,
+        IsComplete "o_orderkey",
+        IsUnique "o_orderkey",
+        Completeness "o_custkey" >= 1.0,
+        ColumnValues "o_orderstatus" in ["O", "F"],
+        ColumnValues "o_totalprice" > 0,
+        ColumnLength "o_orderpriority" between 4 and 16,
+        DistinctValuesCount "o_orderstatus" = 2,
+        (RowCount < 5) or (IsComplete "o_totalprice"),
+        CustomSql "select count(*) from primary where o_totalprice <= 0" = 0 ]""")
+    rows = [(r["Rule"], 1.0 if r["Outcome"] == "Passed" else 0.0)
+            for r in out.collect()]
+    return _metrics_df(spark, rows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -658,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming": q_streaming,
         "row_level": q_row_level,
         "profile": q_profile,
+        "dqdl": q_dqdl,
     }
 
 
@@ -1061,6 +1084,34 @@ def oracle_sql() -> dict[str, str]:
                                  AND l_discount >= 0.02 THEN 1 ELSE 0 END) AS DOUBLE) AS value
             FROM lineitem
             UNION ALL SELECT 'rows_total', CAST(COUNT(*) AS DOUBLE) FROM lineitem
+        """,
+        "dqdl": """
+            WITH m AS (SELECT COUNT(*) AS n,
+                CAST(COUNT(o_orderkey) AS DOUBLE) / COUNT(*) AS compl_key,
+                CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*) AS compl_cust,
+                CAST(COUNT(o_totalprice) AS DOUBLE) / COUNT(*) AS compl_price,
+                CAST(SUM(CASE WHEN o_orderstatus IN ('O','F') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS status_in,
+                CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS price_pos,
+                CAST(SUM(CASE WHEN LENGTH(o_orderpriority) BETWEEN 4 AND 16 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS len_ok,
+                COUNT(DISTINCT o_orderstatus) AS n_status,
+                SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_bad_price
+                FROM orders),
+            u AS (SELECT SUM(CASE WHEN cnt = 1 THEN 1.0 ELSE 0.0 END) / SUM(cnt) AS uniq
+                  FROM (SELECT COUNT(*) AS cnt FROM orders
+                        WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey) f)
+            SELECT 'RowCount > 1000' AS metric, CASE WHEN n > 1000 THEN 1.0 ELSE 0.0 END AS value FROM m
+            UNION ALL SELECT 'ColumnCount = 6', 1.0
+            UNION ALL SELECT 'IsComplete "o_orderkey"', CASE WHEN compl_key = 1.0 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'IsUnique "o_orderkey"', CASE WHEN uniq = 1.0 THEN 1.0 ELSE 0.0 END FROM u
+            UNION ALL SELECT 'Completeness "o_custkey" >= 1', CASE WHEN compl_cust >= 1.0 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'ColumnValues "o_orderstatus" in ["O", "F"]', CASE WHEN status_in = 1.0 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'ColumnValues "o_totalprice" > 0', CASE WHEN price_pos = 1.0 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'ColumnLength "o_orderpriority" between 4 and 16', CASE WHEN len_ok = 1.0 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'DistinctValuesCount "o_orderstatus" = 2', CASE WHEN n_status = 2 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT '(RowCount < 5) or (IsComplete "o_totalprice")',
+                CASE WHEN n < 5 OR compl_price = 1.0 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'CustomSql "select count(*) from primary where o_totalprice <= 0" = 0',
+                CASE WHEN n_bad_price = 0 THEN 1.0 ELSE 0.0 END FROM m
         """,
         "profile": f"""
             WITH s AS (SELECT COUNT(c_acctbal) AS n, AVG(c_acctbal) AS mu,

@@ -63,5 +63,6 @@ from .distance import (chi_square_p_value, chi_square_statistic, ks_distance,
                        l_infinity_distance, psi)
 from .streaming import (StreamingBatchResult, StreamingVerification,
                         verify_stream)
+from .dqdl import EvaluateDataQuality
 
 __version__ = "0.1.0"

@@ -1,0 +1,431 @@
+"""DQDL — declarative Data Quality Definition Language (subset).
+
+Reference parity: /root/reference/src/main/scala/com/amazon/deequ/dqdl/
+(4275 LoC). The reference delegates parsing to an external Java ANTLR
+parser (util/DefaultDQDLParser.scala:49-60) and translates rules via
+DQDLRuleTranslator.scala:69-160; this is an independent recursive-descent
+implementation of the same language surface:
+
+    Rules = [ RowCount > 10, IsComplete "col",
+              Completeness "col" >= 0.95,
+              ColumnValues "col" between 1 and 100 where "other > 0",
+              ColumnLength "col" < 32,
+              CustomSql "select count(*) from primary" = 5,
+              (IsComplete "a") and (IsUnique "a") ]
+
+Supported rule types: RowCount, ColumnCount, ColumnExists, IsComplete,
+Completeness, IsUnique, IsPrimaryKey, Uniqueness, DistinctValuesCount,
+Entropy, Mean, Sum, StandardDeviation, ColumnValues, ColumnLength,
+CustomSql, and composite rules with ``and`` / ``or``.
+Conditions: ``> >= < <= = !=``, ``between a and b``, ``in [..]``,
+``not in [..]``, ``matches "regex"``; optional ``where "<sql>"``.
+
+Execution batches every rule into ONE VerificationSuite run, so all
+aggregate rules share a single fused scan (parity:
+DQDLExecutor.scala:28-60).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .checks import Check, CheckLevel, CheckStatus
+
+
+class DQDLParseError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<number>-?\d+(?:\.\d+)?)
+    | (?P<op><=|>=|!=|=|<|>)
+    | (?P<punct>[\[\](),])
+    | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
+    )""", re.VERBOSE)
+
+
+def _tokenize(text: str) -> List[Tuple[str, str]]:
+    tokens, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            if text[pos:].strip() == "":
+                break
+            raise DQDLParseError(f"Unexpected character at {pos}: "
+                                 f"{text[pos:pos + 20]!r}")
+        pos = m.end()
+        for kind in ("string", "number", "op", "punct", "word"):
+            val = m.group(kind)
+            if val is not None:
+                tokens.append((kind, val))
+                break
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Condition:
+    """One of: cmp(op, value) / between(lo, hi) / in_set(values, negated) /
+    matches(regex)."""
+    kind: str
+    op: Optional[str] = None
+    value: Any = None
+    low: Optional[float] = None
+    high: Optional[float] = None
+    values: Optional[List[Any]] = None
+    negated: bool = False
+
+    def assertion(self) -> Callable[[float], bool]:
+        """Metric-level assertion for aggregate rules."""
+        if self.kind == "cmp":
+            v = float(self.value)
+            return {
+                ">": lambda x: x > v, ">=": lambda x: x >= v,
+                "<": lambda x: x < v, "<=": lambda x: x <= v,
+                "=": lambda x: x == v, "!=": lambda x: x != v,
+            }[self.op]
+        if self.kind == "between":
+            lo, hi = self.low, self.high
+            return lambda x: lo <= x <= hi
+        if self.kind == "in":
+            vals = {float(v) for v in self.values}
+            if self.negated:
+                return lambda x: x not in vals
+            return lambda x: x in vals
+        raise DQDLParseError(f"condition {self.kind} not valid here")
+
+    def sql_predicate(self, expr: str) -> str:
+        """Row-level SQL predicate for ColumnValues / ColumnLength."""
+        def lit(v):
+            return f"'{v}'" if isinstance(v, str) else repr(v)
+        if self.kind == "cmp":
+            op = "<>" if self.op == "!=" else self.op
+            return f"{expr} {op} {lit(self.value)}"
+        if self.kind == "between":
+            return f"{expr} BETWEEN {self.low} AND {self.high}"
+        if self.kind == "in":
+            items = ", ".join(lit(v) for v in self.values)
+            neg = "NOT " if self.negated else ""
+            return f"{expr} {neg}IN ({items})"
+        if self.kind == "matches":
+            return f"{expr} RLIKE '{self.value}'"
+        raise DQDLParseError(f"condition {self.kind} not valid here")
+
+    def describe(self) -> str:
+        def fmt(v):
+            if isinstance(v, float):
+                return f"{v:g}"
+            if isinstance(v, str):
+                return f'"{v}"'
+            return str(v)
+        if self.kind == "cmp":
+            return f"{self.op} {fmt(self.value)}"
+        if self.kind == "between":
+            return f"between {fmt(self.low)} and {fmt(self.high)}"
+        if self.kind == "in":
+            body = "[" + ", ".join(fmt(v) for v in self.values) + "]"
+            return ("not in " if self.negated else "in ") + body
+        if self.kind == "matches":
+            return f"matches \"{self.value}\""
+        return self.kind
+
+
+@dataclass
+class DQRule:
+    rule_type: str
+    parameters: List[str] = field(default_factory=list)
+    condition: Optional[Condition] = None
+    where: Optional[str] = None
+
+    def describe(self) -> str:
+        parts = [self.rule_type] + [f'"{p}"' for p in self.parameters]
+        if self.condition:
+            parts.append(self.condition.describe())
+        if self.where:
+            parts.append(f'where "{self.where}"')
+        return " ".join(parts)
+
+
+@dataclass
+class DQCompositeRule:
+    operator: str                     # "and" | "or"
+    rules: List["DQRule"]
+
+    def describe(self) -> str:
+        op = f" {self.operator} "
+        return op.join(f"({r.describe()})" for r in self.rules)
+
+
+@dataclass
+class DQRuleset:
+    rules: List[Any]                  # DQRule | DQCompositeRule
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, tokens: List[Tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, offset: int = 0) -> Optional[Tuple[str, str]]:
+        j = self.i + offset
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Tuple[str, str]:
+        if self.i >= len(self.toks):
+            raise DQDLParseError("Unexpected end of input")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, value: str) -> None:
+        kind, val = self.next()
+        if val.lower() != value.lower():
+            raise DQDLParseError(f"Expected {value!r}, got {val!r}")
+
+    def _string(self) -> str:
+        kind, val = self.next()
+        if kind != "string":
+            raise DQDLParseError(f"Expected quoted string, got {val!r}")
+        return val[1:-1].replace('\\"', '"').strip()
+
+    def _number(self) -> float:
+        kind, val = self.next()
+        if kind != "number":
+            raise DQDLParseError(f"Expected number, got {val!r}")
+        return float(val)
+
+    def _value(self) -> Any:
+        kind, val = self.next()
+        if kind == "string":
+            return val[1:-1].replace('\\"', '"')
+        if kind == "number":
+            return float(val)
+        if kind == "word" and val.upper() == "NULL":
+            return None
+        raise DQDLParseError(f"Expected literal, got {val!r}")
+
+    def parse_ruleset(self) -> DQRuleset:
+        self.expect("Rules")
+        self.expect("=")
+        self.expect("[")
+        rules = [self.parse_rule()]
+        while self.peek() and self.peek()[1] == ",":
+            self.next()
+            rules.append(self.parse_rule())
+        self.expect("]")
+        return DQRuleset(rules)
+
+    def parse_rule(self):
+        # composite: (Rule) and (Rule) ...
+        if self.peek() and self.peek()[1] == "(":
+            members, operator = [], None
+            while True:
+                self.expect("(")
+                members.append(self.parse_simple_rule())
+                self.expect(")")
+                nxt = self.peek()
+                if nxt and nxt[0] == "word" and nxt[1].lower() in ("and", "or"):
+                    op = self.next()[1].lower()
+                    if operator and op != operator:
+                        raise DQDLParseError("mixed and/or without parens")
+                    operator = op
+                    continue
+                break
+            if len(members) == 1:
+                return members[0]
+            return DQCompositeRule(operator or "and", members)
+        return self.parse_simple_rule()
+
+    def parse_simple_rule(self) -> DQRule:
+        kind, rtype = self.next()
+        if kind != "word":
+            raise DQDLParseError(f"Expected rule type, got {rtype!r}")
+        rule = DQRule(rtype)
+        # parameters: one or more quoted strings
+        while self.peek() and self.peek()[0] == "string":
+            rule.parameters.append(self._string())
+        rule.condition = self.parse_condition()
+        # where clause
+        nxt = self.peek()
+        if nxt and nxt[0] == "word" and nxt[1].lower() == "where":
+            self.next()
+            rule.where = self._string()
+        return rule
+
+    def parse_condition(self) -> Optional[Condition]:
+        nxt = self.peek()
+        if nxt is None:
+            return None
+        kind, val = nxt
+        if kind == "op":
+            self.next()
+            return Condition("cmp", op=val, value=self._value())
+        if kind == "word" and val.lower() == "between":
+            self.next()
+            lo = self._number()
+            self.expect("and")
+            return Condition("between", low=lo, high=self._number())
+        if kind == "word" and val.lower() == "in":
+            self.next()
+            return Condition("in", values=self._bracket_list())
+        if kind == "word" and val.lower() == "not":
+            self.next()
+            self.expect("in")
+            return Condition("in", values=self._bracket_list(), negated=True)
+        if kind == "word" and val.lower() == "matches":
+            self.next()
+            return Condition("matches", value=self._string())
+        return None
+
+    def _bracket_list(self) -> List[Any]:
+        self.expect("[")
+        vals = [self._value()]
+        while self.peek() and self.peek()[1] == ",":
+            self.next()
+            vals.append(self._value())
+        self.expect("]")
+        return vals
+
+
+def parse(ruleset: str) -> DQRuleset:
+    return _Parser(_tokenize(ruleset)).parse_ruleset()
+
+
+# ---------------------------------------------------------------------------
+# translation to Checks (parity: DQDLRuleTranslator.scala:69-160)
+# ---------------------------------------------------------------------------
+
+_AGG_RULES = {
+    "RowCount": lambda c, r, a: c.has_size(a),
+    "ColumnCount": lambda c, r, a: c.has_column_count(a),
+    "Completeness": lambda c, r, a: c.has_completeness(r.parameters[0], a),
+    "Uniqueness": lambda c, r, a: c.has_uniqueness(tuple(r.parameters), a),
+    "DistinctValuesCount": lambda c, r, a:
+        c.has_number_of_distinct_values(r.parameters[0], a),
+    "Entropy": lambda c, r, a: c.has_entropy(r.parameters[0], a),
+    "Mean": lambda c, r, a: c.has_mean(r.parameters[0], a),
+    "Sum": lambda c, r, a: c.has_sum(r.parameters[0], a),
+    "StandardDeviation": lambda c, r, a:
+        c.has_standard_deviation(r.parameters[0], a),
+}
+
+
+def _quote_col(col: str) -> str:
+    return f"`{col}`" if (" " in col or "." in col) else col
+
+
+def _translate_into(check: Check, rule: DQRule) -> Check:
+    rt = rule.rule_type
+    cond = rule.condition
+    if rt in _AGG_RULES:
+        if cond is None:
+            raise DQDLParseError(f"{rt} requires a condition")
+        check = _AGG_RULES[rt](check, rule, cond.assertion())
+    elif rt == "ColumnExists":
+        check = check.has_column(rule.parameters[0])
+    elif rt == "IsComplete":
+        check = check.is_complete(rule.parameters[0])
+    elif rt == "IsUnique":
+        check = check.is_unique(rule.parameters[0])
+    elif rt == "IsPrimaryKey":
+        check = check.is_primary_key(*rule.parameters)
+    elif rt == "ColumnValues":
+        if cond is None:
+            raise DQDLParseError("ColumnValues requires a condition")
+        pred = cond.sql_predicate(_quote_col(rule.parameters[0]))
+        check = check.satisfies(pred, rule.describe(), lambda v: v == 1.0)
+    elif rt == "ColumnLength":
+        if cond is None:
+            raise DQDLParseError("ColumnLength requires a condition")
+        pred = cond.sql_predicate(f"length({_quote_col(rule.parameters[0])})")
+        check = check.satisfies(pred, rule.describe(), lambda v: v == 1.0)
+    elif rt == "CustomSql":
+        if cond is None:
+            raise DQDLParseError("CustomSql requires a condition")
+        check = check.custom_sql(rule.parameters[0], cond.assertion())
+    else:
+        raise DQDLParseError(f"Unsupported DQDL rule type: {rt}")
+    if rule.where:
+        check = check.where(rule.where)
+    return check
+
+
+def to_checks(ruleset: DQRuleset,
+              level: CheckLevel = CheckLevel.ERROR) -> List[Check]:
+    """One Check per rule so each rule reports its own outcome; all checks
+    run in ONE suite (shared fused scan)."""
+    checks = []
+    for rule in ruleset.rules:
+        if isinstance(rule, DQCompositeRule):
+            check = Check(level, rule.describe())
+            for member in rule.rules:
+                check = _translate_into(check, member)
+            check._dqdl_operator = rule.operator  # noqa: SLF001
+        else:
+            check = Check(level, rule.describe())
+            check = _translate_into(check, rule)
+            check._dqdl_operator = "and"  # noqa: SLF001
+        checks.append(check)
+    return checks
+
+
+# ---------------------------------------------------------------------------
+# execution (parity: EvaluateDataQuality.scala:48-69)
+# ---------------------------------------------------------------------------
+
+class EvaluateDataQuality:
+    @staticmethod
+    def process(df: DataFrame, ruleset: str,
+                level: CheckLevel = CheckLevel.ERROR) -> DataFrame:
+        """Run a DQDL ruleset against a DataFrame; returns one row per rule:
+        (Rule, Outcome, FailureReason, EvaluatedMetrics)."""
+        from .verification import VerificationSuite
+
+        spark = df.sparkSession
+        # CustomSql refers to the dataset as `primary`
+        df.createOrReplaceTempView("primary")
+        parsed = parse(ruleset)
+        checks = to_checks(parsed, level)
+        suite = VerificationSuite().on_data(df)
+        for c in checks:
+            suite = suite.add_check(c)
+        result = suite.run()
+
+        rows = []
+        for check, check_result in result.check_results.items():
+            op = getattr(check, "_dqdl_operator", "and")
+            statuses = [cr.status.value == "Success"
+                        for cr in check_result.constraint_results]
+            passed = any(statuses) if op == "or" else all(statuses)
+            reasons = "; ".join(
+                str(cr.message) for cr in check_result.constraint_results
+                if cr.status.value != "Success" and cr.message)
+            metrics = {f"{cr.metric.name}({cr.metric.instance})":
+                       float(cr.metric.value)
+                       for cr in check_result.constraint_results
+                       if cr.metric is not None and cr.metric.is_success
+                       and isinstance(cr.metric.value, (int, float))}
+            rows.append((check.description,
+                         "Passed" if passed else "Failed",
+                         reasons or None,
+                         metrics))
+        return spark.createDataFrame(
+            rows, "Rule string, Outcome string, FailureReason string, "
+                  "EvaluatedMetrics map<string,double>")
