@@ -620,6 +620,31 @@ def q_profile(spark, sf_dir):
     return _metrics_df(spark, rows)
 
 
+def q_windowed(spark, sf_dir):
+    """Per-day windowed quality metrics over the events stream table —
+    one fused groupBy(window).agg job for all analyzers × windows."""
+    from deequ_spark import Completeness, Compliance, Size, Sum
+    from deequ_spark.sources import load_table
+    from deequ_spark.windowed import windowed_metrics
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = (load_table(spark, sf_dir, "events")
+              .withColumn("value_dec", F.col("value").cast("decimal(18,2)")))
+        out = windowed_metrics(
+            ev, "ts", "1 week",
+            [Size(), Sum("value_dec"), Completeness("user_id"),
+             Compliance("purchase_ratio", "event_type = 'purchase'")])
+        rows = [(f"{r['name']}_{r['instance']}_"
+                 f"{r['window_start'].strftime('%Y-%m-%d')}", r["value"])
+                for r in out.collect()]
+        return _metrics_df(spark, rows)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_dqdl(spark, sf_dir):
     """Declarative DQDL ruleset → one fused verification run; outcomes
     recomputed by the SQL oracle."""
@@ -681,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_level": q_row_level,
         "profile": q_profile,
         "dqdl": q_dqdl,
+        "windowed": q_windowed,
     }
 
 
@@ -1084,6 +1110,20 @@ def oracle_sql() -> dict[str, str]:
                                  AND l_discount >= 0.02 THEN 1 ELSE 0 END) AS DOUBLE) AS value
             FROM lineitem
             UNION ALL SELECT 'rows_total', CAST(COUNT(*) AS DOUBLE) FROM lineitem
+        """,
+        "windowed": """
+            WITH w AS (SELECT to_timestamp(CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800) AS ws,
+                              user_id, event_type, value FROM events),
+            g AS (SELECT ws, COUNT(*) AS n,
+                         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                         CAST(COUNT(user_id) AS DOUBLE) / COUNT(*) AS c,
+                         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+                             / COUNT(*) AS p
+                  FROM w GROUP BY ws)
+            SELECT 'Size_*_' || strftime(ws, '%Y-%m-%d') AS metric, CAST(n AS DOUBLE) AS value FROM g
+            UNION ALL SELECT 'Sum_value_dec_' || strftime(ws, '%Y-%m-%d'), s FROM g
+            UNION ALL SELECT 'Completeness_user_id_' || strftime(ws, '%Y-%m-%d'), c FROM g
+            UNION ALL SELECT 'Compliance_purchase_ratio_' || strftime(ws, '%Y-%m-%d'), p FROM g
         """,
         "dqdl": """
             WITH m AS (SELECT COUNT(*) AS n,

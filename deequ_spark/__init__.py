@@ -64,5 +64,7 @@ from .distance import (chi_square_p_value, chi_square_statistic, ks_distance,
 from .streaming import (StreamingBatchResult, StreamingVerification,
                         verify_stream)
 from .dqdl import EvaluateDataQuality
+from .windowed import windowed_agg_plan, windowed_metrics
+from .applicability import Applicability, ApplicabilityResult
 
 __version__ = "0.1.0"

@@ -26,8 +26,9 @@ def session_builder_defaults(builder):
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long → timestamp (micro precision is plenty here)
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # nanos-as-long → timestamp; integer div keeps exact micros (a
+        # double division of ~1e18 nanos would round the low bits)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

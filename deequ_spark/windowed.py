@@ -1,0 +1,82 @@
+"""Windowed metrics — data-quality metrics per event-time window.
+
+Beyond the reference (which has no time-windowing at all): compute any set
+of scan-shareable analyzers per tumbling/sliding event-time window in ONE
+``groupBy(window(ts)).agg(...)`` job — the windowed generalization of the
+engine's fused scan (runners/analysis_runner.py). The same aggregation
+plan applied to a streaming DataFrame with a watermark gives late-data-
+tolerant streaming quality metrics (Structured Streaming windowed aggs).
+
+Scale notes: one shuffle keyed by window bucket; partial aggregation
+happens map-side, so the shuffled volume is O(windows × analyzers), not
+O(rows). Skew only arises if one window holds most events — use smaller
+windows or sliding offsets then.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analyzers.base import ScanShareableAnalyzer
+
+
+def _fused_aggregations(analyzers: Sequence[ScanShareableAnalyzer]
+                        ) -> Tuple[List, List[int]]:
+    aggregations, offsets, current = [], [], 0
+    for a in analyzers:
+        aggs = a.aggregation_functions()
+        aggregations.extend(aggs)
+        offsets.append(current)
+        current += len(aggs)
+    return aggregations, offsets
+
+
+def windowed_agg_plan(df: DataFrame, ts_col: str, window_duration: str,
+                      analyzers: Sequence[ScanShareableAnalyzer],
+                      slide_duration: Optional[str] = None,
+                      watermark: Optional[str] = None) -> DataFrame:
+    """The lazy fused plan: one row per window with every analyzer's raw
+    aggregate columns. Works on batch AND streaming DataFrames (pass
+    ``watermark`` for streams so state can be evicted)."""
+    for a in analyzers:
+        if not isinstance(a, ScanShareableAnalyzer):
+            raise ValueError(f"{type(a).__name__} is not scan-shareable; "
+                             "windowed metrics fuse scan analyzers only")
+    aggregations, _ = _fused_aggregations(analyzers)
+    data = df
+    if watermark is not None:
+        data = data.withWatermark(ts_col, watermark)
+    win = (F.window(ts_col, window_duration, slide_duration)
+           if slide_duration else F.window(ts_col, window_duration))
+    return data.groupBy(win.alias("window")).agg(*aggregations)
+
+
+def windowed_metrics(df: DataFrame, ts_col: str, window_duration: str,
+                     analyzers: Sequence[ScanShareableAnalyzer],
+                     slide_duration: Optional[str] = None) -> DataFrame:
+    """(window_start, window_end, entity, instance, name, value) — one
+    fused job over all windows and analyzers. Metric extraction runs on
+    the driver over one collected row per window (windows ≪ rows)."""
+    plan = windowed_agg_plan(df, ts_col, window_duration, analyzers,
+                             slide_duration)
+    _, offsets = _fused_aggregations(analyzers)
+    rows = plan.collect()
+    out = []
+    for row in rows:
+        start, end = row["window"]["start"], row["window"]["end"]
+        for a, offset in zip(analyzers, offsets):
+            try:
+                state = a.from_aggregation_result(row, offset + 1)
+                metric = a.compute_metric_from_state(state)
+            except Exception as exc:  # noqa: BLE001
+                metric = a.to_failure_metric(exc)
+            if metric.is_success and isinstance(metric.value, (int, float)):
+                out.append((start, end, metric.entity.value,
+                            metric.instance, metric.name,
+                            float(metric.value)))
+    return df.sparkSession.createDataFrame(
+        out, "window_start timestamp, window_end timestamp, entity string, "
+             "instance string, name string, value double")

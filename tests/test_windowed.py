@@ -1,0 +1,62 @@
+"""Windowed metrics tests — fused per-window analyzer aggregation."""
+
+import datetime
+
+import pytest
+
+from deequ_spark import Completeness, Mean, Size, Sum
+from deequ_spark.windowed import windowed_agg_plan, windowed_metrics
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for h in range(3):                      # three hours
+        for i in range(10):
+            rows.append((base + datetime.timedelta(hours=h, minutes=i),
+                         float(h * 100 + i),
+                         None if (h == 1 and i < 5) else "u%d" % i))
+    return spark.createDataFrame(rows, "ts timestamp, v double, u string")
+
+
+def test_windowed_metrics_values(events):
+    out = windowed_metrics(events, "ts", "1 hour",
+                           [Size(), Mean("v"), Completeness("u")])
+    rows = {(r["window_start"].hour, r["name"], r["instance"]): r["value"]
+            for r in out.collect()}
+    assert rows[(0, "Size", "*")] == 10.0
+    assert rows[(1, "Size", "*")] == 10.0
+    assert rows[(0, "Mean", "v")] == pytest.approx(4.5)
+    assert rows[(1, "Mean", "v")] == pytest.approx(104.5)
+    assert rows[(2, "Mean", "v")] == pytest.approx(204.5)
+    assert rows[(0, "Completeness", "u")] == 1.0
+    assert rows[(1, "Completeness", "u")] == 0.5
+
+
+def test_windowed_rejects_grouping_analyzers(events):
+    from deequ_spark import Uniqueness
+    with pytest.raises(ValueError):
+        windowed_metrics(events, "ts", "1 hour", [Uniqueness(("u",))])
+
+
+def test_sliding_windows(events):
+    out = windowed_metrics(events, "ts", "2 hours", [Size()],
+                           slide_duration="1 hour")
+    sizes = sorted(r["value"] for r in out.collect())
+    # windows: [-1h,1h)=10, [0,2h)=20, [1h,3h)=20, [2h,4h)=10
+    assert sizes == [10.0, 10.0, 20.0, 20.0]
+
+
+def test_streaming_windowed_plan(spark, events, tmp_path):
+    src = str(tmp_path / "ev")
+    events.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(events.schema).parquet(src))
+    plan = windowed_agg_plan(stream, "ts", "1 hour",
+                             [Size(), Sum("v")], watermark="2 hours")
+    assert plan.isStreaming
+    q = (plan.writeStream.format("memory").queryName("win_metrics")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("select count(*) c from win_metrics").collect()[0]["c"]
+    assert got == 3
