@@ -42,7 +42,8 @@ from .runners.analysis_runner import (AnalyzerContext, do_analysis_run,
 from .verification import (VerificationResult, VerificationRunBuilder,
                            VerificationSuite)
 from .repository import (FileSystemMetricsRepository,
-                         InMemoryMetricsRepository, ResultKey)
+                         InMemoryMetricsRepository,
+                         SparkTableMetricsRepository, ResultKey)
 from .states import (FileSystemStateProvider, InMemoryStateProvider,
                      StateProvider)
 from .anomaly import (AbsoluteChangeStrategy, Anomaly, AnomalyCheckConfig,

@@ -241,3 +241,47 @@ class FileSystemMetricsRepository(MetricsRepository):
     def load(self) -> MetricsRepositoryMultipleResultsLoader:
         return MetricsRepositoryMultipleResultsLoader(
             [deserialize_context(e) for e in self._read_all()])
+
+
+class SparkTableMetricsRepository(MetricsRepository):
+    """Metrics as rows of a Spark table (append-only; any catalog/format)
+    so the metric time-series is queryable with plain SQL at cluster scale
+    (parity: sparktable/SparkMetricsRepository.scala)."""
+
+    SCHEMA = ("dataset_date long, tags map<string,string>, "
+              "serialized_context string")
+
+    def __init__(self, spark, table_name: str, path: Optional[str] = None):
+        self.spark = spark
+        self.table = table_name
+        self.path = path
+
+    def _table_exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def save(self, key: ResultKey, context: AnalyzerContext) -> None:
+        row = [(key.dataset_date, key.tag_dict,
+                json.dumps(serialize_context(key, context), default=str))]
+        writer = (self.spark.createDataFrame(row, self.SCHEMA)
+                  .write.mode("append").format("parquet"))
+        if self.path:
+            writer = writer.option("path", self.path)
+        writer.saveAsTable(self.table)
+
+    def _entries(self) -> List[Tuple[ResultKey, AnalyzerContext]]:
+        if not self._table_exists():
+            return []
+        merged: Dict[ResultKey, AnalyzerContext] = {}
+        for r in self.spark.table(self.table).collect():
+            k, ctx = deserialize_context(json.loads(r["serialized_context"]))
+            merged[k] = merged[k] + ctx if k in merged else ctx
+        return list(merged.items())
+
+    def load_by_key(self, key: ResultKey) -> Optional[AnalyzerContext]:
+        for k, ctx in self._entries():
+            if k == key:
+                return ctx
+        return None
+
+    def load(self) -> MetricsRepositoryMultipleResultsLoader:
+        return MetricsRepositoryMultipleResultsLoader(self._entries())

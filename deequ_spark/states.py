@@ -87,7 +87,16 @@ class FileSystemStateProvider(StateProvider):
                 json.dump({"stateType": "FrequenciesAndNumRows",
                            "numRows": state.num_rows}, f)
             return
-        if isinstance(state, S.ApproxCountDistinctState):
+        from .analyzers.kll import KLLState
+        if isinstance(state, KLLState):
+            import pickle
+            payload = {"stateType": "KLLState",
+                       "sketch": base64.b64encode(
+                           pickle.dumps(state.sketch)).decode(),
+                       "parameters": [state.parameters.sketch_size,
+                                      state.parameters.shrinking_factor,
+                                      state.parameters.number_of_buckets]}
+        elif isinstance(state, S.ApproxCountDistinctState):
             payload = {"stateType": "ApproxCountDistinctState",
                        "sketch": base64.b64encode(state.sketch_bytes).decode()}
         elif dataclasses.is_dataclass(state):
@@ -112,6 +121,11 @@ class FileSystemStateProvider(StateProvider):
                 raise RuntimeError("need a SparkSession to load frequency state")
             freq = spark.read.parquet(target + ".freq.parquet")
             return G.FrequenciesAndNumRows(freq, payload["numRows"])
+        if stype == "KLLState":
+            import pickle
+            from .analyzers.kll import KLLParameters, KLLState
+            return KLLState(pickle.loads(base64.b64decode(payload["sketch"])),
+                            KLLParameters(*payload["parameters"]))
         if stype == "ApproxCountDistinctState":
             return S.ApproxCountDistinctState(base64.b64decode(payload["sketch"]))
         cls = _SCALAR_STATES.get(stype)

@@ -81,6 +81,30 @@ class TestStateProviders:
         assert ctx.metric_map[Size()].value == 6.0
         assert ctx.metric_map[Mean("att1")].value == 3.5
 
+    def test_filesystem_kll_state(self, tmp_path, df_numeric):
+        from deequ_spark import KLLSketch
+        provider = FileSystemStateProvider(str(tmp_path / "kll"))
+        analyzer = KLLSketch("att1")
+        do_analysis_run(df_numeric, [analyzer], save_states_with=provider)
+        state = provider.load(analyzer)
+        assert state.sketch.count == 6
+        metric = analyzer.compute_metric_from_state(state)
+        assert metric.value.min_value == 1.0
+        assert metric.value.max_value == 6.0
+
+    def test_spark_table_repository(self, tmp_path, spark, df_numeric):
+        from deequ_spark import ResultKey, SparkTableMetricsRepository
+        repo = SparkTableMetricsRepository(
+            spark, "dq_metrics_test", path=str(tmp_path / "dq_metrics"))
+        ctx = do_analysis_run(df_numeric, [Size(), Mean("att1")])
+        repo.save(ResultKey(1000, {"env": "t"}), ctx)
+        repo.save(ResultKey(2000, {"env": "t"}), ctx)
+        loaded = repo.load_by_key(ResultKey(1000, {"env": "t"}))
+        assert loaded.metric_map[Size()].value == 6.0
+        entries = repo.load().with_tag_values({"env": "t"}).get()
+        assert [k.dataset_date for k, _ in entries] == [1000, 2000]
+        spark.sql("DROP TABLE IF EXISTS dq_metrics_test")
+
     def test_filesystem_frequencies(self, tmp_path, spark, df_unique):
         provider = FileSystemStateProvider(str(tmp_path / "fstates"), spark)
         analyzer = Uniqueness(("nonUnique",))
