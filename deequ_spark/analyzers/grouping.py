@@ -188,6 +188,18 @@ class Uniqueness(ScanShareableFrequencyBasedAnalyzer):
             return None
         return float(result[offset]) / num_rows
 
+    def row_level_column(self) -> Column:
+        """Per-row uniqueness via a window count over the grouping columns
+        — the reference's only window-function use
+        (GroupingAnalyzers.scala:100-106, UNIQUENESS_ID trick)."""
+        from pyspark.sql import Window
+        w = Window.partitionBy(*[F.col(c) for c in self.columns])
+        in_scope = None
+        for c in self.columns:
+            nn = F.col(c).isNotNull()
+            in_scope = nn if in_scope is None else (in_scope | nn)
+        return (F.count(F.lit(1)).over(w) == 1) & in_scope
+
 
 @dataclass(frozen=True, eq=False)
 class UniqueValueRatio(ScanShareableFrequencyBasedAnalyzer):

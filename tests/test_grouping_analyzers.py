@@ -124,3 +124,17 @@ class TestHistogramBinned:
         dist = value(HistogramBinned("v", custom_edges=(0.0, 5.0, 10.0)), df)
         counts = [dv.absolute for dv in dist.values.values()]
         assert counts == [5, 5]
+
+
+class TestRowLevelUniqueness:
+    def test_row_level_column(self, spark):
+        from deequ_spark import Check, CheckLevel, CheckStatus, VerificationSuite
+        df = spark.createDataFrame(
+            [("1", "a"), ("2", "a"), ("3", "b"), ("4", None)],
+            "id string, g string")
+        check = Check(CheckLevel.ERROR, "uniq").is_unique("g")
+        result = VerificationSuite().on_data(df).add_check(check).run()
+        annotated = result.row_level_results_as_dataframe(df)
+        got = {r["id"]: r["uniq"] for r in annotated.collect()}
+        # duplicated 'a' rows and the null group fail; 'b' passes
+        assert got == {"1": False, "2": False, "3": True, "4": False}
