@@ -645,6 +645,20 @@ def q_windowed(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_suggestions(spark, sf_dir):
+    """Constraint suggestion (profile → rules) — rule hits are
+    engine-specific heuristics, so the driver records a rows-only check."""
+    from deequ_spark import DEFAULT_RULES, ConstraintSuggestionRunner
+    df = _load(spark, sf_dir, "customer")
+    result = (ConstraintSuggestionRunner().on_data(df)
+              .add_constraint_rules(list(DEFAULT_RULES)).run())
+    by_rule = {}
+    for col_suggestions in result["suggestions"].values():
+        for s in col_suggestions:
+            by_rule[s.rule_name] = by_rule.get(s.rule_name, 0) + 1
+    return _metrics_df(spark, sorted(by_rule.items()))
+
+
 def q_dqdl(spark, sf_dir):
     """Declarative DQDL ruleset → one fused verification run; outcomes
     recomputed by the SQL oracle."""
@@ -707,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "dqdl": q_dqdl,
         "windowed": q_windowed,
+        "suggestions": q_suggestions,
     }
 
 

@@ -174,6 +174,33 @@ def b12_streaming(spark, sf_dir):
     return sv.results[-1].rows_in_batch
 
 
+def b13_profile(spark, sf_dir):
+    """B3: 3-pass column profile of customer (all columns)."""
+    from deequ_spark import profile_columns
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    profiles = profile_columns(customer)
+    assert len(profiles) == len(customer.columns)
+    return len(profiles)
+
+
+def b14_incremental(spark, df):
+    """B4: states on two halves merged vs recompute — merge is scan-free."""
+    from deequ_spark import (Completeness, InMemoryStateProvider, Mean, Size,
+                             StandardDeviation, Sum, do_analysis_run,
+                             run_on_aggregated_states)
+    analyzers = [Size(), Completeness("l_orderkey"), Mean("l_extendedprice"),
+                 Sum("l_quantity"), StandardDeviation("l_extendedprice")]
+    pa, pb = InMemoryStateProvider(), InMemoryStateProvider()
+    do_analysis_run(df.where("l_orderkey % 2 = 0"), analyzers, save_states_with=pa)
+    do_analysis_run(df.where("l_orderkey % 2 = 1"), analyzers, save_states_with=pb)
+    t0 = time.perf_counter()
+    ctx = run_on_aggregated_states(df, analyzers, [pa, pb])
+    merge_time = time.perf_counter() - t0
+    assert merge_time < 1.0, f"state merge took {merge_time}s (should be ~0)"
+    assert all(m.is_success for m in ctx.metric_map.values())
+    return len(ctx.metric_map)
+
+
 def main():
     spark = (SparkSession.builder
              .master(f"local[{CPUS}]")
@@ -206,6 +233,8 @@ def main():
         ("b10_kll", lambda: b10_kll(spark, lineitem)),
         ("b11_embedding_near_dup", lambda: b11_embedding_near_dup(spark, emb)),
         ("b12_streaming", lambda: b12_streaming(spark, SF_DIR)),
+        ("b13_profile", lambda: b13_profile(spark, SF_DIR)),
+        ("b14_incremental", lambda: b14_incremental(spark, lineitem)),
     ]
     timings = {}
     for name, fn in benches:
