@@ -645,6 +645,23 @@ def q_windowed(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_distance(spark, sf_dir):
+    """Distribution distances (L∞, PSI, chi²) between the l_returnflag
+    distributions of the high-discount slice vs the rest — frequencies via
+    one Spark aggregation, distance math on the driver, recomputed
+    closed-form by the SQL oracle."""
+    from deequ_spark import (chi_square_statistic, l_infinity_distance, psi)
+    df = _load(spark, sf_dir, "lineitem")
+    freqs = (df.groupBy(F.col("l_discount") > 0.05, "l_returnflag")
+             .count().collect())
+    hi = {r["l_returnflag"]: float(r["count"]) for r in freqs if r[0]}
+    lo = {r["l_returnflag"]: float(r["count"]) for r in freqs if not r[0]}
+    return _metrics_df(spark, [
+        ("linf", _fuzz(l_infinity_distance(hi, lo))),
+        ("psi", _fuzz(psi(lo, hi))),
+        ("chi2", _fuzz(chi_square_statistic(lo, hi)))])
+
+
 def q_suggestions(spark, sf_dir):
     """Constraint suggestion (profile → rules) — rule hits are
     engine-specific heuristics, so the driver records a rows-only check."""
@@ -722,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dqdl": q_dqdl,
         "windowed": q_windowed,
         "suggestions": q_suggestions,
+        "distance": q_distance,
     }
 
 
@@ -1125,6 +1143,25 @@ def oracle_sql() -> dict[str, str]:
                                  AND l_discount >= 0.02 THEN 1 ELSE 0 END) AS DOUBLE) AS value
             FROM lineitem
             UNION ALL SELECT 'rows_total', CAST(COUNT(*) AS DOUBLE) FROM lineitem
+        """,
+        "distance": f"""
+            WITH f AS (SELECT (l_discount > 0.05) AS hi, l_returnflag AS k, COUNT(*) AS c
+                       FROM lineitem GROUP BY 1, 2),
+            tot AS (SELECT SUM(CASE WHEN hi THEN c END) AS na,
+                           SUM(CASE WHEN NOT hi THEN c END) AS ne FROM f),
+            p AS (SELECT k, SUM(CASE WHEN hi THEN c ELSE 0 END) AS ca,
+                         SUM(CASE WHEN NOT hi THEN c ELSE 0 END) AS ce
+                  FROM f GROUP BY k),
+            m AS (SELECT
+                MAX(ABS(CAST(ca AS DOUBLE)/na - CAST(ce AS DOUBLE)/ne)) AS linf,
+                SUM((CAST(ca AS DOUBLE)/na - CAST(ce AS DOUBLE)/ne)
+                    * LN((CAST(ca AS DOUBLE)/na)/(CAST(ce AS DOUBLE)/ne))) AS psi_v,
+                SUM(POWER(ca - CAST(ce AS DOUBLE)/ne*na, 2)
+                    / (CAST(ce AS DOUBLE)/ne*na)) AS chi2
+              FROM p, tot)
+            SELECT 'linf' AS metric, {fuzz.format("linf")} AS value FROM m
+            UNION ALL SELECT 'psi', {fuzz.format("psi_v")} FROM m
+            UNION ALL SELECT 'chi2', {fuzz.format("chi2")} FROM m
         """,
         "windowed": """
             WITH w AS (SELECT to_timestamp(CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800) AS ws,
