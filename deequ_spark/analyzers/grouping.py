@@ -52,20 +52,14 @@ class FrequenciesAndNumRows(State):
     num_rows: int
 
     def merge(self, other: "FrequenciesAndNumRows") -> "FrequenciesAndNumRows":
+        """Union + re-aggregate (one shuffle with map-side partial agg) —
+        semantically the reference's null-safe outer join
+        (GroupingAnalyzers.scala:173-181: groupBy groups NULL keys together
+        exactly like eqNullSafe), but a far cheaper plan at scale."""
         cols = [c for c in self.frequencies.columns if c != COUNT_COL]
-        this = self.frequencies.alias("this")
-        that = other.frequencies.alias("other")
-        cond = None
-        for c in cols:
-            eq = F.col(f"this.{c}").eqNullSafe(F.col(f"other.{c}"))
-            cond = eq if cond is None else (cond & eq)
-        projection = [
-            F.coalesce(F.col(f"this.{c}"), F.col(f"other.{c}")).alias(c) for c in cols
-        ] + [
-            (F.coalesce(F.col(f"this.{COUNT_COL}"), F.lit(0))
-             + F.coalesce(F.col(f"other.{COUNT_COL}"), F.lit(0))).alias(COUNT_COL)
-        ]
-        merged = this.join(that, cond, "outer").select(*projection)
+        merged = (self.frequencies.unionByName(other.frequencies)
+                  .groupBy(*cols)
+                  .agg(F.sum(F.col(COUNT_COL)).alias(COUNT_COL)))
         return FrequenciesAndNumRows(merged, self.num_rows + other.num_rows)
 
 

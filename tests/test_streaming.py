@@ -31,6 +31,20 @@ def stream_dir(spark, tmp_path_factory):
     return str(src)
 
 
+def test_streaming_kll_state_merges(spark, stream_dir):
+    from deequ_spark import KLLSketch
+    analyzers = [KLLSketch("v")]
+    stream = (spark.readStream
+              .schema("id long, v double, g string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(stream_dir))
+    sv = verify_stream(stream, [], analyzers=analyzers)
+    dist = sv.latest_metrics()[analyzers[0]]
+    # 300 rows of v in [0, 99] ×3 files
+    assert sum(b.count for b in dist.buckets) == 300
+    assert dist.min_value == 0.0 and dist.max_value == 99.0
+
+
 def test_streaming_cumulative_equals_batch(spark, stream_dir):
     analyzers = [Size(), Completeness("v"), Mean("v"), Sum("v"),
                  Uniqueness(("id",)), CountDistinct(("g",))]
