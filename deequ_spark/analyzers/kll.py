@@ -110,20 +110,34 @@ class KLLSketchCore:
         # nothing exceeded capacity (can happen right after merge): done
         self.size = sum(c.size for c in self.compactors)
 
+    def copy(self) -> "KLLSketchCore":
+        import copy as _copy
+        dup = KLLSketchCore.__new__(KLLSketchCore)
+        dup.k, dup.c = self.k, self.c
+        dup.compactors = [arr.copy() for arr in self.compactors]
+        dup.size, dup.max_size = self.size, self.max_size
+        dup.count = self.count
+        dup.min_value, dup.max_value = self.min_value, self.max_value
+        dup._rng = _copy.deepcopy(self._rng)
+        return dup
+
     def merge(self, other: "KLLSketchCore") -> "KLLSketchCore":
-        while len(self.compactors) < len(other.compactors):
-            self._grow()
+        """Pure semigroup merge: returns a NEW sketch, never mutates either
+        input (provider-held states must survive repeated merges)."""
+        out = self.copy()
+        while len(out.compactors) < len(other.compactors):
+            out._grow()
         for lvl, items in enumerate(other.compactors):
             if items.size:
-                self.compactors[lvl] = np.concatenate(
-                    [self.compactors[lvl], items])
-        self.size = sum(c.size for c in self.compactors)
-        self.count += other.count
-        self.min_value = min(self.min_value, other.min_value)
-        self.max_value = max(self.max_value, other.max_value)
-        while self.size >= self.max_size:
-            self._compress()
-        return self
+                out.compactors[lvl] = np.concatenate(
+                    [out.compactors[lvl], items])
+        out.size = sum(c.size for c in out.compactors)
+        out.count += other.count
+        out.min_value = min(out.min_value, other.min_value)
+        out.max_value = max(out.max_value, other.max_value)
+        while out.size >= out.max_size:
+            out._compress()
+        return out
 
     # -- queries ----------------------------------------------------------
 
@@ -385,7 +399,7 @@ def compute_kll_states(data: DataFrame,
     for row in rows:
         sk = pickle.loads(row["sketch"])
         if row["column"] in merged:
-            merged[row["column"]].merge(sk)
+            merged[row["column"]] = merged[row["column"]].merge(sk)
         else:
             merged[row["column"]] = sk
 
@@ -393,5 +407,7 @@ def compute_kll_states(data: DataFrame,
     for a in analyzers:
         sk = merged.get(a.column)
         if sk is not None and sk.count > 0:
-            out[a] = KLLState(sk, a.kll_parameters)
+            # each analyzer gets its OWN sketch so a later per-analyzer
+            # state merge cannot double-count through a shared object
+            out[a] = KLLState(sk.copy(), a.kll_parameters)
     return out

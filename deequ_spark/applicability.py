@@ -79,7 +79,10 @@ class Applicability:
 
     def is_applicable(self, check_or_analyzers, schema: T.StructType
                       ) -> ApplicabilityResult:
-        data = generate_random_data(self.spark, schema)
+        try:
+            data = generate_random_data(self.spark, schema)
+        except Exception as exc:  # noqa: BLE001 — unsupported field type
+            return ApplicabilityResult(False, {"<schema>": str(exc)})
         failures: Dict[str, str] = {}
         if isinstance(check_or_analyzers, Check):
             from .verification import VerificationSuite

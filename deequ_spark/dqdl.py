@@ -110,18 +110,29 @@ class Condition:
     def sql_predicate(self, expr: str) -> str:
         """Row-level SQL predicate for ColumnValues / ColumnLength."""
         def lit(v):
-            return f"'{v}'" if isinstance(v, str) else repr(v)
+            if v is None:
+                return "NULL"
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return f"{v:g}" if isinstance(v, float) else repr(v)
         if self.kind == "cmp":
             op = "<>" if self.op == "!=" else self.op
             return f"{expr} {op} {lit(self.value)}"
         if self.kind == "between":
             return f"{expr} BETWEEN {self.low} AND {self.high}"
         if self.kind == "in":
-            items = ", ".join(lit(v) for v in self.values)
-            neg = "NOT " if self.negated else ""
-            return f"{expr} {neg}IN ({items})"
+            non_null = [v for v in self.values if v is not None]
+            has_null = len(non_null) < len(self.values)
+            items = ", ".join(lit(v) for v in non_null)
+            base = f"{expr} IN ({items})" if non_null else "FALSE"
+            if has_null:
+                base = f"({base} OR {expr} IS NULL)"
+            if self.negated:
+                return f"NOT {base}" if has_null else f"NOT ({base})"
+            return base
         if self.kind == "matches":
-            return f"{expr} RLIKE '{self.value}'"
+            pattern = str(self.value).replace("'", "''")
+            return f"{expr} RLIKE '{pattern}'"
         raise DQDLParseError(f"condition {self.kind} not valid here")
 
     def describe(self) -> str:
@@ -334,6 +345,7 @@ def _quote_col(col: str) -> str:
 def _translate_into(check: Check, rule: DQRule) -> Check:
     rt = rule.rule_type
     cond = rule.condition
+    n_before = len(check._cells)  # noqa: SLF001 — for where retrofitting
     if rt in _AGG_RULES:
         if cond is None:
             raise DQDLParseError(f"{rt} requires a condition")
@@ -363,25 +375,36 @@ def _translate_into(check: Check, rule: DQRule) -> Check:
     else:
         raise DQDLParseError(f"Unsupported DQDL rule type: {rt}")
     if rule.where:
-        check = check.where(rule.where)
+        # retrofit the filter onto EVERY constraint this rule added (a rule
+        # like IsPrimaryKey expands to several constraints)
+        new_cells = check._cells[n_before:]  # noqa: SLF001
+        filterable = [c for c in new_cells if c["filterable"]]
+        if not filterable:
+            raise DQDLParseError(
+                f"{rt} does not support a where clause")
+        for cell in filterable:
+            cell["where"] = rule.where
     return check
 
 
 def to_checks(ruleset: DQRuleset,
               level: CheckLevel = CheckLevel.ERROR) -> List[Check]:
     """One Check per rule so each rule reports its own outcome; all checks
-    run in ONE suite (shared fused scan)."""
+    run in ONE suite (shared fused scan). For composite rules the check
+    records each member's constraint range so and/or evaluates per MEMBER
+    rule, not per constraint (IsPrimaryKey expands to several)."""
     checks = []
     for rule in ruleset.rules:
-        if isinstance(rule, DQCompositeRule):
-            check = Check(level, rule.describe())
-            for member in rule.rules:
-                check = _translate_into(check, member)
-            check._dqdl_operator = rule.operator  # noqa: SLF001
-        else:
-            check = Check(level, rule.describe())
-            check = _translate_into(check, rule)
-            check._dqdl_operator = "and"  # noqa: SLF001
+        members = rule.rules if isinstance(rule, DQCompositeRule) else [rule]
+        operator = rule.operator if isinstance(rule, DQCompositeRule) else "and"
+        check = Check(level, rule.describe())
+        spans = []
+        for member in members:
+            start = len(check._cells)  # noqa: SLF001
+            check = _translate_into(check, member)
+            spans.append((start, len(check._cells)))  # noqa: SLF001
+        check._dqdl_operator = operator  # noqa: SLF001
+        check._dqdl_member_spans = spans  # noqa: SLF001
         checks.append(check)
     return checks
 
@@ -413,7 +436,10 @@ class EvaluateDataQuality:
             op = getattr(check, "_dqdl_operator", "and")
             statuses = [cr.status.value == "Success"
                         for cr in check_result.constraint_results]
-            passed = any(statuses) if op == "or" else all(statuses)
+            spans = getattr(check, "_dqdl_member_spans",
+                            [(0, len(statuses))])
+            member_ok = [all(statuses[s:e]) for s, e in spans]
+            passed = any(member_ok) if op == "or" else all(member_ok)
             reasons = "; ".join(
                 str(cr.message) for cr in check_result.constraint_results
                 if cr.status.value != "Success" and cr.message)

@@ -87,7 +87,9 @@ def jaccard_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
              .agg(F.count(F.lit(1)).alias("inter")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    # no broadcast hint: the sizes table is one row per DOCUMENT — huge at
+    # corpus scale; AQE picks broadcast automatically when it is small
+    return (inter.join(sa, "id_a").join(sb, "id_b")
             .withColumn("jaccard", F.col("inter") /
                         (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
             .where(F.col("jaccard") >= threshold)

@@ -121,6 +121,11 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
     the filter becomes partition pruning), the build step is skipped."""
     import numpy as np
 
+    if list_col in df.columns and centroids is None:
+        raise ValueError(
+            f"df already carries '{list_col}' but no centroids were given — "
+            "fresh k-means centroids would not match the stored list "
+            "assignments; pass the centroids the index was built with")
     if centroids is None:
         centroids = kmeans_centroids(df, vec_col, n_centroids, seed=seed)
     if list_col not in df.columns:

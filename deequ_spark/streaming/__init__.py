@@ -89,16 +89,16 @@ class StreamingVerification:
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_states = InMemoryStateProvider()
         # fused single-pass scan + grouping over THIS batch only
-        do_analysis_run(batch_df, self.analyzers,
-                        save_states_with=batch_states)
+        batch_ctx = do_analysis_run(batch_df, self.analyzers,
+                                    save_states_with=batch_states)
 
         if self.mode == "cumulative":
             self._merge_into_cumulative(batch_states)
             ctx = run_on_aggregated_states(
                 batch_df, self.analyzers, [self._cumulative])
         else:
-            ctx = run_on_aggregated_states(
-                batch_df, self.analyzers, [batch_states])
+            # the batch context IS the result — no recompute needed
+            ctx = batch_ctx
 
         check_results = {c: c.evaluate(ctx.metric_map) for c in self.checks}
         order = {CheckStatus.SUCCESS: 0, CheckStatus.WARNING: 1,
@@ -106,7 +106,9 @@ class StreamingVerification:
         status = max((r.status for r in check_results.values()),
                      key=lambda s: order[s], default=CheckStatus.SUCCESS)
 
-        rows = next((int(m.value) for a, m in ctx.metric_map.items()
+        # batch row count from the BATCH context/states (in cumulative mode
+        # the evaluated ctx holds the running total, not this batch's rows)
+        rows = next((int(m.value) for a, m in batch_ctx.metric_map.items()
                      if type(a).__name__ == "Size" and m.is_success), -1)
         self.results.append(StreamingBatchResult(
             int(batch_id), status, check_results, ctx, rows))

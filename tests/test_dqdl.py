@@ -109,3 +109,34 @@ class TestExecution:
         out = EvaluateDataQuality.process(df_full, 'Rules = [RowCount = 4]')
         row = out.collect()[0]
         assert row["EvaluatedMetrics"] == {"Size(*)": 4.0}
+
+    def test_composite_or_multi_constraint_member(self, df_full):
+        """IsPrimaryKey expands to several constraints; 'or' must evaluate
+        per MEMBER rule (regression: per-constraint any())."""
+        # att1 is complete but NOT unique; att2 is complete but not unique
+        out = EvaluateDataQuality.process(
+            df_full, 'Rules = [(IsPrimaryKey "att1") or (IsUnique "att2")]')
+        assert all(v == "Failed" for v in _outcomes(out).values())
+        out2 = EvaluateDataQuality.process(
+            df_full, 'Rules = [(IsPrimaryKey "att1") or (IsUnique "item")]')
+        assert all(v == "Passed" for v in _outcomes(out2).values())
+
+    def test_where_applies_to_all_member_constraints(self, df_missing):
+        # att1 is null for items 3,6,7,10,11,12 — restrict to item <= 2
+        # where IsPrimaryKey's completeness AND uniqueness both hold
+        out = EvaluateDataQuality.process(
+            df_missing,
+            'Rules = [IsPrimaryKey "att1" where "CAST(item AS INT) <= 2"]')
+        assert all(v == "Passed" for v in _outcomes(out).values())
+
+    def test_quote_escaping_in_literals(self, spark):
+        df = spark.createDataFrame([("O'Brien",), ("Smith",)], "name string")
+        out = EvaluateDataQuality.process(
+            df, 'Rules = [ColumnValues "name" in ["O\'Brien", "Smith"]]')
+        assert all(v == "Passed" for v in _outcomes(out).values())
+
+    def test_in_with_null_keyword(self, df_missing):
+        # att1 in {a, b, NULL} covers every row of F1
+        out = EvaluateDataQuality.process(
+            df_missing, 'Rules = [ColumnValues "att1" in ["a", "b", NULL]]')
+        assert all(v == "Passed" for v in _outcomes(out).values())

@@ -10,7 +10,8 @@ import pytest
 
 from deequ_spark import (Check, CheckLevel, CheckStatus, Completeness,
                          KLLParameters, KLLSketch, Mean, Size,
-                         VerificationSuite, do_analysis_run)
+                         VerificationSuite, do_analysis_run,
+                         run_on_aggregated_states)
 from deequ_spark.analyzers.kll import KLLSketchCore, compute_kll_states
 
 
@@ -59,12 +60,29 @@ def test_kll_merge_matches_union():
     a.update_batch(data[:25_000])
     b.update_batch(data[25_000:])
     u.update_batch(data)
-    a.merge(b)
-    assert a.count == u.count == 50_000
-    assert a.min_value == u.min_value
-    assert a.max_value == u.max_value
+    m = a.merge(b)
+    assert m.count == u.count == 50_000
+    assert m.min_value == u.min_value
+    assert m.max_value == u.max_value
     for q in (0.25, 0.5, 0.75):
-        assert a.quantile(q) == pytest.approx(u.quantile(q), rel=0.02)
+        assert m.quantile(q) == pytest.approx(u.quantile(q), rel=0.02)
+    # merge is PURE: inputs unchanged, so provider-held states survive
+    assert a.count == 25_000 and b.count == 25_000
+
+
+def test_kll_aggregated_states_idempotent(df_uniform):
+    """run_on_aggregated_states twice over the same providers must not
+    double-count (regression: in-place sketch merge)."""
+    from deequ_spark import InMemoryStateProvider, run_on_aggregated_states
+    pa, pb = InMemoryStateProvider(), InMemoryStateProvider()
+    analyzer = KLLSketch("v")
+    do_analysis_run(df_uniform.where("v <= 500"), [analyzer], save_states_with=pa)
+    do_analysis_run(df_uniform.where("v > 500"), [analyzer], save_states_with=pb)
+    first = run_on_aggregated_states(df_uniform, [analyzer], [pa, pb])
+    second = run_on_aggregated_states(df_uniform, [analyzer], [pa, pb])
+    n1 = sum(b.count for b in first.metric_map[analyzer].value.buckets)
+    n2 = sum(b.count for b in second.metric_map[analyzer].value.buckets)
+    assert n1 == n2 == 1000
 
 
 def test_kll_shares_one_pass_with_scan_analyzers(df_uniform):
