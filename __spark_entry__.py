@@ -676,6 +676,27 @@ def q_suggestions(spark, sf_dir):
     return _metrics_df(spark, sorted(by_rule.items()))
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events table (window lag + running
+    sum) — session counts recomputed by the SQL oracle."""
+    from deequ_spark.sources import load_table
+    from deequ_spark.streaming.sessionize import session_stats
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    stats = session_stats(ev, "user_id", "ts", gap_seconds=1800)
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("sessions"),
+        F.max("n_events").alias("max_ev"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("singletons"),
+        F.countDistinct("user_id").alias("users")).collect()[0]
+    return _metrics_df(spark, [
+        ("n_sessions", agg["sessions"]),
+        ("max_session_events", agg["max_ev"]),
+        ("n_singleton_sessions", agg["singletons"]),
+        ("n_users", agg["users"])])
+
+
 def q_dqdl(spark, sf_dir):
     """Declarative DQDL ruleset → one fused verification run; outcomes
     recomputed by the SQL oracle."""
@@ -740,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed": q_windowed,
         "suggestions": q_suggestions,
         "distance": q_distance,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1143,6 +1165,25 @@ def oracle_sql() -> dict[str, str]:
                                  AND l_discount >= 0.02 THEN 1 ELSE 0 END) AS DOUBLE) AS value
             FROM lineitem
             UNION ALL SELECT 'rows_total', CAST(COUNT(*) AS DOUBLE) FROM lineitem
+        """,
+        "sessionize": """
+            WITH o AS (SELECT user_id, ts,
+                              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                       FROM events),
+            b AS (SELECT user_id, ts,
+                         CASE WHEN prev IS NULL
+                              OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS brk
+                  FROM o),
+            s AS (SELECT user_id,
+                         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) - 1 AS sid
+                  FROM b),
+            g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2)
+            SELECT 'n_sessions' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM g
+            UNION ALL SELECT 'max_session_events', CAST(MAX(n) AS DOUBLE) FROM g
+            UNION ALL SELECT 'n_singleton_sessions',
+                CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) FROM g
+            UNION ALL SELECT 'n_users', CAST(COUNT(DISTINCT user_id) AS DOUBLE) FROM g
         """,
         "distance": f"""
             WITH f AS (SELECT (l_discount > 0.05) AS hi, l_returnflag AS k, COUNT(*) AS c
