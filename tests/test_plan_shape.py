@@ -1,0 +1,113 @@
+"""Plan-shape regression tests — the scale contract, asserted on
+`.explain` output (BASELINE.md structural invariants).
+
+These complement the job-count tests in test_runner_fusion.py: job counts
+prove fusion happened; plan shapes prove the scan stays narrow, shuffles
+stay minimal, and joins pick the intended strategy.
+"""
+
+import pytest
+
+from deequ_spark import (Completeness, Maximum, Mean, Minimum, Size,
+                         do_analysis_run)
+
+
+def explain_str(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def count_nodes(plan: str, name: str) -> int:
+    """Count physical nodes in 'formatted' output (each node appears once
+    as a numbered detail header '(N) <Name>')."""
+    import re
+    return len(re.findall(rf"^\(\d+\) {name}", plan, re.MULTILINE))
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+
+def test_fused_scan_prunes_columns(lineitem):
+    """The fused agg over 5 analyzers referencing 3 columns must push a
+    3-column ReadSchema to the parquet scan."""
+    analyzers = [Size(), Completeness("l_orderkey"), Mean("l_extendedprice"),
+                 Minimum("l_quantity"), Maximum("l_quantity")]
+    referenced = set()
+    for a in analyzers:
+        cols = a.columns_referenced()
+        if cols:
+            referenced.update(cols)
+    pruned = lineitem.select(*sorted(referenced))
+    aggs = []
+    for a in analyzers:
+        aggs.extend(a.aggregation_functions())
+    plan = explain_str(pruned.agg(*aggs))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema
+    assert "l_quantity" in read_schema
+    assert "l_extendedprice" in read_schema
+    # the 8 unreferenced lineitem columns must NOT be read
+    for col in ("l_partkey", "l_suppkey", "l_tax", "l_returnflag",
+                "l_shipdate", "l_discount"):
+        assert col not in read_schema, f"{col} leaked into ReadSchema"
+
+
+def test_fused_scan_single_exchange(lineitem):
+    """One fused aggregation = partial agg -> ONE exchange -> final agg."""
+    aggs = []
+    for a in [Size(), Mean("l_extendedprice"), Minimum("l_quantity")]:
+        aggs.extend(a.aggregation_functions())
+    plan = explain_str(lineitem.agg(*aggs))
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "HashAggregate") == 2   # partial + final
+
+
+def test_grouping_plan_single_shuffle(spark, lineitem):
+    """The shared frequency table = ONE shuffle on the grouping columns."""
+    from deequ_spark.analyzers.grouping import frequencies_plan
+    freq = frequencies_plan(lineitem, ["l_returnflag"], None)
+    plan = explain_str(freq)
+    assert count_nodes(plan, "Exchange") == 1
+
+
+def test_knn_join_broadcasts_query_side(spark):
+    """knn_join must broadcast the (small) query side — no shuffle of the
+    corpus."""
+    from deequ_spark.llm import knn_join
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = explain_str(knn_join(emb.limit(3), emb, "vec_id", "vec_id",
+                                "embedding", k=2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_row_level_annotation_is_projection_only(spark, lineitem):
+    """Row-level results must compile to a projection over the scan — no
+    aggregation in the annotated plan."""
+    from deequ_spark import Check, CheckLevel, VerificationSuite
+    check = (Check(CheckLevel.ERROR, "rl")
+             .is_complete("l_orderkey")
+             .satisfies("l_quantity > 0", "pos", lambda v: True))
+    result = VerificationSuite().on_data(lineitem).add_check(check).run()
+    annotated = result.row_level_results_as_dataframe(lineitem)
+    plan = explain_str(annotated)
+    assert "HashAggregate" not in plan
+    assert "Exchange" not in plan
+
+
+def test_minhash_signatures_single_shingle_eval(spark):
+    """The minhash plan must contain exactly ONE shingling expression
+    (regression: CollapseProject re-inlining it k times)."""
+    from deequ_spark.llm import minhash_signatures
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    plan = sigs._jdf.queryExecution().optimizedPlan().toString()
+    # ONE min-reduce aggregate over the shingles — not 16 array_min
+    # columns each re-inlining the shingling (CollapseProject regression)
+    assert plan.count("array_min") == 0
+    assert plan.count("aggregate(transform(") == 1
+    # intra-expression repeats of the token split are fine (codegen CSE),
+    # but the count must not scale with num_hashes
+    assert plan.count("split(lower") < 16
