@@ -676,6 +676,32 @@ def q_suggestions(spark, sf_dir):
     return _metrics_df(spark, sorted(by_rule.items()))
 
 
+def q_anomaly(spark, sf_dir):
+    """Anomaly detection over a metric time-series: weekly event counts →
+    AbsoluteChange (order-1 differencing) + SimpleThreshold flags; the
+    oracle recomputes both with SQL window lag."""
+    from deequ_spark import AbsoluteChangeStrategy, SimpleThresholdStrategy
+    from deequ_spark.sources import load_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (ev.groupBy(F.floor(F.unix_timestamp("ts") / 604800)
+                         .alias("wk"))
+              .count().orderBy("wk").collect())
+    series = [float(r["count"]) for r in weekly]
+    thresh = SimpleThresholdStrategy(lower_bound=0.5 * max(series))
+    chg = AbsoluteChangeStrategy(max_rate_decrease=-500.0,
+                                 max_rate_increase=500.0)
+    flags_t = {a.index for a in thresh.detect(series)}
+    flags_c = {a.index for a in chg.detect(series)}
+    rows = [(f"thresh_{i}", 1.0 if i in flags_t else 0.0)
+            for i in range(len(series))]
+    rows += [(f"change_{i}", 1.0 if i in flags_c else 0.0)
+             for i in range(len(series))]
+    rows.append(("n_points", float(len(series))))
+    return _metrics_df(spark, rows)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events table (window lag + running
     sum) — session counts recomputed by the SQL oracle."""
@@ -762,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggestions": q_suggestions,
         "distance": q_distance,
         "sessionize": q_sessionize,
+        "anomaly": q_anomaly,
     }
 
 
@@ -1165,6 +1192,21 @@ def oracle_sql() -> dict[str, str]:
                                  AND l_discount >= 0.02 THEN 1 ELSE 0 END) AS DOUBLE) AS value
             FROM lineitem
             UNION ALL SELECT 'rows_total', CAST(COUNT(*) AS DOUBLE) FROM lineitem
+        """,
+        "anomaly": """
+            WITH w AS (SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1),
+            o AS (SELECT wk, n, ROW_NUMBER() OVER (ORDER BY wk) - 1 AS i,
+                         lag(n) OVER (ORDER BY wk) AS prev FROM w),
+            mx AS (SELECT MAX(n) AS m FROM o)
+            SELECT 'thresh_' || i AS metric,
+                   CASE WHEN n < 0.5 * m THEN 1.0 ELSE 0.0 END AS value FROM o, mx
+            UNION ALL
+            SELECT 'change_' || i,
+                   CASE WHEN prev IS NOT NULL AND ABS(n - prev) > 500
+                        THEN 1.0 ELSE 0.0 END FROM o
+            UNION ALL SELECT 'n_points', CAST(COUNT(*) AS DOUBLE) FROM o
         """,
         "sessionize": """
             WITH o AS (SELECT user_id, ts,
