@@ -87,6 +87,7 @@ class Condition:
     high: Optional[float] = None
     values: Optional[List[Any]] = None
     negated: bool = False
+    unit: Optional[str] = None         # days/hours/minutes (DataFreshness)
 
     def assertion(self) -> Callable[[float], bool]:
         """Metric-level assertion for aggregate rules."""
@@ -287,7 +288,12 @@ class _Parser:
         kind, val = nxt
         if kind == "op":
             self.next()
-            return Condition("cmp", op=val, value=self._value())
+            cond = Condition("cmp", op=val, value=self._value())
+            nxt2 = self.peek()
+            if nxt2 and nxt2[0] == "word" and nxt2[1].lower() in (
+                    "days", "day", "hours", "hour", "minutes", "minute"):
+                cond.unit = self.next()[1].lower().rstrip("s") + "s"
+            return cond
         if kind == "word" and val.lower() == "between":
             self.next()
             lo = self._number()
@@ -322,6 +328,61 @@ def parse(ruleset: str) -> DQRuleset:
 # ---------------------------------------------------------------------------
 # translation to Checks (parity: DQDLRuleTranslator.scala:69-160)
 # ---------------------------------------------------------------------------
+
+class ColumnNamesMatchPattern:
+    """Schema-level analyzer: fraction of column NAMES fully matching a
+    regex (parity: DQDL ColumnNamesMatchPattern,
+    DQDLRuleTranslator.scala:109-160 special types). Metadata-only — no
+    data scan."""
+
+    from .metrics import Entity as _Entity
+    name = "ColumnNamesMatchPattern"
+    entity = _Entity.DATASET
+
+    def __init__(self, pattern: str):
+        self.pattern = pattern
+
+    @property
+    def instance(self) -> str:
+        return self.pattern
+
+    def __eq__(self, other):
+        return (isinstance(other, ColumnNamesMatchPattern)
+                and self.pattern == other.pattern)
+
+    def __hash__(self):
+        return hash(("ColumnNamesMatchPattern", self.pattern))
+
+    def preconditions(self):
+        return []
+
+    def columns_referenced(self):
+        return []
+
+    def compute_state_from(self, df: DataFrame):
+        from .analyzers.base import NumMatchesAndCount
+        rx = re.compile(self.pattern)
+        names = [f.name for f in df.schema.fields]
+        matching = sum(1 for n in names if rx.fullmatch(n))
+        return NumMatchesAndCount(matching, len(names))
+
+    def compute_metric_from_state(self, state):
+        from .metrics import DoubleMetric, Entity
+        if state is None or state.count == 0:
+            return self.to_failure_metric(ValueError("no columns"))
+        return DoubleMetric(Entity.DATASET, self.name, self.instance,
+                            state.num_matches / state.count)
+
+    def to_failure_metric(self, exc: BaseException):
+        from .metrics import Entity, metric_from_failure
+        return metric_from_failure(exc, self.name, self.instance,
+                                   Entity.DATASET)
+
+    def calculate(self, df: DataFrame):
+        try:
+            return self.compute_metric_from_state(self.compute_state_from(df))
+        except Exception as exc:  # noqa: BLE001
+            return self.to_failure_metric(exc)
 
 _AGG_RULES = {
     "RowCount": lambda c, r, a: c.has_size(a),
@@ -372,6 +433,23 @@ def _translate_into(check: Check, rule: DQRule) -> Check:
         if cond is None:
             raise DQDLParseError("CustomSql requires a condition")
         check = check.custom_sql(rule.parameters[0], cond.assertion())
+    elif rt == "ColumnNamesMatchPattern":
+        from .constraints import AnalysisBasedConstraint
+        analyzer = ColumnNamesMatchPattern(rule.parameters[0])
+        check._cells.append({  # noqa: SLF001
+            "factory": lambda w: AnalysisBasedConstraint(
+                analyzer, lambda ratio: ratio == 1.0),
+            "where": None, "filterable": False})
+    elif rt == "DataFreshness":
+        if cond is None or cond.kind != "cmp" or cond.op not in ("<=", "<"):
+            raise DQDLParseError(
+                "DataFreshness requires '<= N days|hours|minutes'")
+        seconds = {"days": 86400, "hours": 3600, "minutes": 60}[
+            cond.unit or "days"] * float(cond.value)
+        col = _quote_col(rule.parameters[0])
+        pred = (f"(unix_timestamp(current_timestamp()) - "
+                f"unix_timestamp({col})) {cond.op} {seconds}")
+        check = check.satisfies(pred, rule.describe(), lambda v: v == 1.0)
     else:
         raise DQDLParseError(f"Unsupported DQDL rule type: {rt}")
     if rule.where:

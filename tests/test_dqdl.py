@@ -135,6 +135,27 @@ class TestExecution:
             df, 'Rules = [ColumnValues "name" in ["O\'Brien", "Smith"]]')
         assert all(v == "Passed" for v in _outcomes(out).values())
 
+    def test_column_names_match_pattern(self, df_full):
+        out = EvaluateDataQuality.process(
+            df_full, 'Rules = [ColumnNamesMatchPattern "(item|att.*)"]')
+        assert all(v == "Passed" for v in _outcomes(out).values())
+        out2 = EvaluateDataQuality.process(
+            df_full, 'Rules = [ColumnNamesMatchPattern "att.*"]')
+        assert all(v == "Failed" for v in _outcomes(out2).values())
+
+    def test_data_freshness(self, spark):
+        import datetime
+        now = datetime.datetime.now()
+        df = spark.createDataFrame(
+            [(now - datetime.timedelta(hours=1),),
+             (now - datetime.timedelta(hours=2),)], "ts timestamp")
+        fresh = EvaluateDataQuality.process(
+            df, 'Rules = [DataFreshness "ts" <= 1 days]')
+        assert all(v == "Passed" for v in _outcomes(fresh).values())
+        stale = EvaluateDataQuality.process(
+            df, 'Rules = [DataFreshness "ts" <= 30 minutes]')
+        assert all(v == "Failed" for v in _outcomes(stale).values())
+
     def test_in_with_null_keyword(self, df_missing):
         # att1 in {a, b, NULL} covers every row of F1
         out = EvaluateDataQuality.process(
