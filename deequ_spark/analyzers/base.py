@@ -410,9 +410,3 @@ class ScanShareableAnalyzer(Analyzer):
         except Exception as exc:  # noqa: BLE001
             return self.to_failure_metric(exc)
 
-
-class StandardScanShareableAnalyzer(ScanShareableAnalyzer):
-    """Scan-shareable analyzer over a single column producing a DoubleMetric."""
-
-    def preconditions(self) -> List[Any]:
-        return list(self.additional_preconditions())

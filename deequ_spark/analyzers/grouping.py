@@ -76,9 +76,10 @@ def frequencies_plan(data: DataFrame, grouping_columns: Sequence[str],
         c = _col(name).isNotNull()
         at_least_one = c if at_least_one is None else (at_least_one | c)
 
-    projected = data.select(*[_col(c) for c in columns]).where(at_least_one)
-    if where is not None:
-        projected = projected.filter(where)
+    # filter BEFORE projecting: the where may reference non-grouping
+    # columns (Catalyst pushes the filter into the scan either way)
+    filtered = data.filter(where) if where is not None else data
+    projected = filtered.select(*[_col(c) for c in columns]).where(at_least_one)
 
     return (projected
             .groupBy(*[_col(c) for c in columns])
@@ -492,6 +493,9 @@ class HistogramBinned(Analyzer):
     def compute_state_from(self, df: DataFrame):
         data = df.filter(self.where) if self.where else df
         col = _col(self.column).cast("double")
+        # NULLs never belong to a bin (width_bucket(NULL) is NULL, and a
+        # least/greatest clamp would silently coerce it into bin 1)
+        data = data.where(col.isNotNull())
         if self.custom_edges is not None:
             edges = list(self.custom_edges)
         else:
@@ -507,13 +511,16 @@ class HistogramBinned(Analyzer):
         bucket = F.width_bucket(col, F.lit(edges[0]), F.lit(edges[-1]),
                                 F.lit(n_buckets)) if self.custom_edges is None else None
         if bucket is None:
-            # custom (possibly non-uniform) edges: CASE-chain through sorted edges
+            # custom (possibly non-uniform) edges: CASE-chain through sorted
+            # edges; out-of-range values stay NULL and are excluded below
             bucket = F.lit(None).cast("long")
             for i in range(n_buckets, 0, -1):
                 upper_ok = (col < F.lit(edges[i])) if i < n_buckets else (col <= F.lit(edges[i]))
                 bucket = F.when((col >= F.lit(edges[i - 1])) & upper_ok, F.lit(i)).otherwise(bucket)
-        # clamp width_bucket's overflow buckets (0 and n+1) into range
-        bucket = F.least(F.greatest(bucket, F.lit(1)), F.lit(n_buckets))
+        else:
+            # equal-width path: edges derive from this data's min/max, so the
+            # only overflow is max itself (width_bucket → n+1); clamp it in
+            bucket = F.least(F.greatest(bucket, F.lit(1)), F.lit(n_buckets))
         freq = (data.select(bucket.alias("bucket"))
                 .where(F.col("bucket").isNotNull())
                 .groupBy("bucket").agg(F.count(F.lit(1)).alias(COUNT_COL)))

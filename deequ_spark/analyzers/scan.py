@@ -197,10 +197,6 @@ class Patterns:
     CREDITCARD = r"""\b(?:3[47]\d{2}([\ \-]?)\d{6}\1\d|(?:(?:4\d|5[1-5]|65)\d{2}|6011)([\ \-]?)\d{4}\2\d{4}\2)\d{4}\b"""
 
 
-def _double_valued(cls_name):
-    """Mixin-free helper: shared compute_metric for single-double states."""
-
-
 @dataclass(frozen=True, eq=False)
 class Minimum(ScanShareableAnalyzer):
     """Parity: Minimum.scala:45-80."""
@@ -861,6 +857,11 @@ class ApproxCountDistinctState(State):
 
     def merge(self, other):
         from .hll import merge_hll_sketches
+        # empty sketch (zero rows seen) is the semigroup identity
+        if not self.sketch_bytes:
+            return other
+        if not other.sketch_bytes:
+            return self
         return ApproxCountDistinctState(
             merge_hll_sketches(self.sketch_bytes, other.sketch_bytes))
 
@@ -902,7 +903,9 @@ class ApproxCountDistinct(ScanShareableAnalyzer):
 
     def from_aggregation_result(self, result: Row, offset: int):
         if result[offset] is None:
-            return None
+            # empty/all-NULL input: the reference's HLL++ yields an empty
+            # sketch estimating 0.0 (StatefulHyperloglogPlus), not a failure
+            return ApproxCountDistinctState(b"", 0.0)
         return ApproxCountDistinctState(bytes(result[offset]),
                                         float(result[offset + 1]))
 
@@ -911,8 +914,11 @@ class ApproxCountDistinct(ScanShareableAnalyzer):
             return self.to_failure_metric(EmptyStateError("Empty state"))
         est = state.estimate
         if est is None:
-            from .hll import estimate_hll
-            est = float(estimate_hll(state.sketch_bytes))
+            if not state.sketch_bytes:
+                est = 0.0
+            else:
+                from .hll import estimate_hll
+                est = float(estimate_hll(state.sketch_bytes))
         return DoubleMetric(self.entity, self.name, self.instance, est)
 
 

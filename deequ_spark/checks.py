@@ -352,12 +352,12 @@ class Check:
 
     def is_non_negative(self, column: str, assertion=IS_ONE, hint=None) -> "Check":
         return self.satisfies(
-            f"COALESCE(CAST(`{column}` AS DECIMAL(20,10)), 0.0) >= 0",
+            f"COALESCE(CAST(`{column}` AS DOUBLE), 0.0) >= 0",
             f"{column} is non-negative", assertion, hint, columns=[column])
 
     def is_positive(self, column: str, assertion=IS_ONE, hint=None) -> "Check":
         return self.satisfies(
-            f"COALESCE(CAST(`{column}` AS DECIMAL(20,10)), 1.0) > 0",
+            f"COALESCE(CAST(`{column}` AS DOUBLE), 1.0) > 0",
             f"{column} is positive", assertion, hint, columns=[column])
 
     def is_less_than(self, column_a: str, column_b: str, assertion=IS_ONE,
@@ -387,6 +387,9 @@ class Check:
     def is_contained_in(self, column: str, allowed_values: Sequence[Any],
                         assertion=IS_ONE, hint=None) -> "Check":
         """Parity: Check.scala:1326-1454 (string/numeric variants)."""
+        if not allowed_values:
+            raise ValueError(
+                "is_contained_in requires at least one allowed value")
         if all(isinstance(v, (int, float)) and not isinstance(v, bool)
                for v in allowed_values):
             values = ", ".join(str(v) for v in allowed_values)

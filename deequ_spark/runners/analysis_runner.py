@@ -84,22 +84,25 @@ def do_analysis_run(data: DataFrame,
                     analyzers: Sequence[Analyzer],
                     metrics_repository=None,
                     reuse_existing_results_for_key=None,
+                    save_or_append_results_with_key=None,
                     save_states_with=None,
                     fail_if_results_missing: bool = False) -> AnalyzerContext:
     """Compute all metrics with minimal passes (parity:
-    AnalysisRunner.scala:101-247)."""
+    AnalysisRunner.scala:101-247). Reuse and save are SEPARATE keys (as in
+    the reference): passing a reuse key never writes back — otherwise a
+    transient failure metric would poison the repository for that key."""
     analyzers = _dedup(analyzers)
     if not analyzers:
         return AnalyzerContext()
 
-    # 1. reuse metrics already in the repository for this key (:122-134)
+    # 1. reuse SUCCESSFUL metrics already in the repository (:122-134)
     results = AnalyzerContext()
     to_run: List[Analyzer] = []
     if metrics_repository is not None and reuse_existing_results_for_key is not None:
         existing = metrics_repository.load_by_key(reuse_existing_results_for_key)
         existing_map = existing.metric_map if existing else {}
         for a in analyzers:
-            if a in existing_map:
+            if a in existing_map and existing_map[a].is_success:
                 results.metric_map[a] = existing_map[a]
             else:
                 to_run.append(a)
@@ -164,9 +167,9 @@ def do_analysis_run(data: DataFrame,
         except Exception as exc:  # noqa: BLE001
             results.metric_map[a] = a.to_failure_metric(exc)
 
-    # 7. store newly computed metrics
-    if metrics_repository is not None and reuse_existing_results_for_key is not None:
-        metrics_repository.save(reuse_existing_results_for_key, results)
+    # 7. store newly computed metrics ONLY under an explicit save key
+    if metrics_repository is not None and save_or_append_results_with_key is not None:
+        metrics_repository.save(save_or_append_results_with_key, results)
 
     return results
 
@@ -188,7 +191,10 @@ def _run_scanning_analyzers(data: DataFrame,
         referenced.update(cols)
     pruned = data
     if referenced is not None and referenced and len(referenced) < len(data.columns):
-        pruned = data.select(*sorted(referenced))
+        # backtick names so a literal dot/space in a column name is not
+        # parsed as nested-field access
+        pruned = data.select(
+            *[F.col(f"`{c}`") for c in sorted(referenced)])
 
     aggregations = []
     offsets: List[int] = []

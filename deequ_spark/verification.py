@@ -65,8 +65,10 @@ class VerificationResult:
                 col = row_level()
                 where = getattr(analyzer, "where", None)
                 if where is not None:
-                    # rows outside the filter scope pass (FilteredRowOutcome.TRUE)
-                    col = F.when(~F.expr(where), F.lit(True)).otherwise(col)
+                    # rows outside the filter scope pass, INCLUDING rows
+                    # where the predicate is NULL (FilteredRowOutcome.TRUE —
+                    # the aggregates skip those rows too)
+                    col = F.when(F.expr(where), col).otherwise(F.lit(True))
                 col = F.coalesce(col, F.lit(False))
                 cond = col if cond is None else (cond & col)
             if cond is not None:

@@ -60,23 +60,75 @@ def windowed_metrics(df: DataFrame, ts_col: str, window_duration: str,
     """(window_start, window_end, entity, instance, name, value) — one
     fused job over all windows and analyzers. Metric extraction runs on
     the driver over one collected row per window (windows ≪ rows)."""
-    plan = windowed_agg_plan(df, ts_col, window_duration, analyzers,
-                             slide_duration)
-    _, offsets = _fused_aggregations(analyzers)
-    rows = plan.collect()
+    # a non-scan-shareable analyzer is a programming error, not a data
+    # error — raise, don't convert to a failure row
+    for a in analyzers:
+        if not isinstance(a, ScanShareableAnalyzer):
+            raise ValueError(f"{type(a).__name__} is not scan-shareable; "
+                             "windowed metrics fuse scan analyzers only")
     out = []
+
+    # screen preconditions against the schema first (mirrors the batch
+    # runner): a bad column/type yields an error row with a NULL window
+    # instead of failing the whole fused aggregation at analysis time
+    schema = df.schema
+    runnable: List[ScanShareableAnalyzer] = []
+    for a in analyzers:
+        try:
+            for check in a.preconditions():
+                check(schema)
+            runnable.append(a)
+        except Exception as exc:  # noqa: BLE001
+            _append_metric_rows(out, None, None, a.to_failure_metric(exc))
+    if not runnable:
+        return _rows_to_df(df.sparkSession, out)
+
+    _, offsets = _fused_aggregations(runnable)
+    try:
+        rows = windowed_agg_plan(df, ts_col, window_duration, runnable,
+                                 slide_duration).collect()
+    except Exception:  # noqa: BLE001
+        # lazily-parsed expression errors (e.g. bad `where` SQL) surface at
+        # plan-build or collect time — isolate with one windowed agg per
+        # analyzer
+        for a in runnable:
+            try:
+                single = windowed_agg_plan(df, ts_col, window_duration, [a],
+                                           slide_duration).collect()
+                for row in single:
+                    state = a.from_aggregation_result(row, 1)
+                    _append_metric_rows(
+                        out, row["window"]["start"], row["window"]["end"],
+                        a.compute_metric_from_state(state))
+            except Exception as exc:  # noqa: BLE001
+                _append_metric_rows(out, None, None, a.to_failure_metric(exc))
+        return _rows_to_df(df.sparkSession, out)
     for row in rows:
         start, end = row["window"]["start"], row["window"]["end"]
-        for a, offset in zip(analyzers, offsets):
+        for a, offset in zip(runnable, offsets):
             try:
                 state = a.from_aggregation_result(row, offset + 1)
                 metric = a.compute_metric_from_state(state)
             except Exception as exc:  # noqa: BLE001
                 metric = a.to_failure_metric(exc)
-            if metric.is_success and isinstance(metric.value, (int, float)):
-                out.append((start, end, metric.entity.value,
-                            metric.instance, metric.name,
-                            float(metric.value)))
-    return df.sparkSession.createDataFrame(
+            _append_metric_rows(out, start, end, metric)
+    return _rows_to_df(df.sparkSession, out)
+
+
+def _append_metric_rows(out: List, start, end, metric) -> None:
+    """Keyed metrics flatten to one row per sub-metric; failures surface
+    as NULL value + error text, never vanish."""
+    flat = getattr(metric, "flattened", None)
+    for m in (flat if flat is not None else [metric]):
+        if m.is_success and isinstance(m.value, (int, float)):
+            out.append((start, end, m.entity.value, m.instance,
+                        m.name, float(m.value), None))
+        else:
+            out.append((start, end, m.entity.value, m.instance,
+                        m.name, None, str(m.error)))
+
+
+def _rows_to_df(spark, out: List) -> DataFrame:
+    return spark.createDataFrame(
         out, "window_start timestamp, window_end timestamp, entity string, "
-             "instance string, name string, value double")
+             "instance string, name string, value double, error string")

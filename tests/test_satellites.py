@@ -35,8 +35,9 @@ class TestRepository:
         repo = InMemoryMetricsRepository()
         key = ResultKey.make(1000)
         do_analysis_run(df_missing, [Size()], metrics_repository=repo,
-                        reuse_existing_results_for_key=key)
+                        save_or_append_results_with_key=key)
         # second run on DIFFERENT data reuses stored metric for same key
+        # (reuse and save are separate keys, as in the reference)
         ctx = do_analysis_run(df_missing.limit(3), [Size()],
                               metrics_repository=repo,
                               reuse_existing_results_for_key=key)
