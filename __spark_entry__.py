@@ -745,6 +745,35 @@ def q_dqdl(spark, sf_dir):
     return _metrics_df(spark, rows)
 
 
+def q_dqdl_extended(spark, sf_dir):
+    """The remainder of DQDL's converter map (numeric stats, ColumnDataType)
+    plus the dataset-level rules (RowCountMatch, ReferentialIntegrity,
+    DatasetMatch, AggregateMatch) resolved against additional_datasets;
+    outcomes recomputed by the SQL oracle."""
+    from deequ_spark.dqdl import EvaluateDataQuality
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    out = EvaluateDataQuality.process(orders, """Rules = [
+        ZerosCount "o_totalprice" = 0,
+        UniqueValueRatio "o_orderkey" = 1.0,
+        Range "o_totalprice" > 0,
+        InterquartileRange "o_totalprice" > 0,
+        Variance "o_totalprice" > 1,
+        Skewness "o_totalprice" between -10 and 10,
+        Kurtosis "o_totalprice" between -10 and 10,
+        ColumnCorrelation "o_custkey" "o_totalprice" between -1 and 1,
+        DuplicateRowCount = 0,
+        ColumnDataType "o_orderstatus" != "INTEGER",
+        RowCountMatch "customer" > 1.0,
+        ReferentialIntegrity "o_custkey" "customer.{c_custkey}" = 1.0,
+        DatasetMatch "ordersref" "o_orderkey->o_orderkey" = 1.0,
+        AggregateMatch "avg(o_totalprice)" "avg(customer.c_acctbal)" > 1.0 ]""",
+        additional_datasets={"customer": customer, "ordersref": orders})
+    rows = [(r["Rule"], 1.0 if r["Outcome"] == "Passed" else 0.0)
+            for r in out.collect()]
+    return _metrics_df(spark, rows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -784,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_level": q_row_level,
         "profile": q_profile,
         "dqdl": q_dqdl,
+        "dqdl_extended": q_dqdl_extended,
         "windowed": q_windowed,
         "suggestions": q_suggestions,
         "distance": q_distance,
@@ -1287,6 +1317,62 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN n < 5 OR compl_price = 1.0 THEN 1.0 ELSE 0.0 END FROM m
             UNION ALL SELECT 'CustomSql "select count(*) from primary where o_totalprice <= 0" = 0',
                 CASE WHEN n_bad_price = 0 THEN 1.0 ELSE 0.0 END FROM m
+        """,
+        "dqdl_extended": """
+            WITH m AS (SELECT COUNT(*) AS n,
+                SUM(CASE WHEN o_totalprice = 0 THEN 1 ELSE 0 END) AS zeros,
+                MAX(o_totalprice) - MIN(o_totalprice) AS rng,
+                quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25) AS iqr,
+                var_pop(o_totalprice) AS varp,
+                skewness(o_totalprice) AS skew,
+                kurtosis(o_totalprice) AS kurt,
+                corr(o_custkey, o_totalprice) AS correl,
+                AVG(o_totalprice) AS avg_tp,
+                CAST(SUM(CASE WHEN (TRY_CAST(o_orderstatus AS INTEGER) IS NULL
+                                    AND o_orderstatus IS NOT NULL)
+                                 OR o_orderstatus IS NULL
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS not_int
+                FROM orders),
+            u AS (SELECT SUM(CASE WHEN cnt = 1 THEN 1.0 ELSE 0.0 END)
+                             / COUNT(*) AS uvr
+                  FROM (SELECT COUNT(*) AS cnt FROM orders
+                        WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey) f),
+            dup AS (SELECT COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS dups
+                    FROM (SELECT COUNT(*) AS cnt FROM orders
+                          GROUP BY o_orderkey, o_custkey, o_orderstatus,
+                                   o_totalprice, o_orderdate, o_orderpriority) f),
+            c AS (SELECT COUNT(*) AS cust_n, AVG(c_acctbal) AS avg_bal FROM customer),
+            ri AS (SELECT 1.0 - CAST((SELECT COUNT(*) FROM orders o
+                                      WHERE NOT EXISTS (SELECT 1 FROM customer c2
+                                                        WHERE c2.c_custkey = o.o_custkey))
+                                     AS DOUBLE) / (SELECT COUNT(*) FROM orders) AS frac)
+            SELECT 'ZerosCount "o_totalprice" = 0' AS metric,
+                   CASE WHEN zeros = 0 THEN 1.0 ELSE 0.0 END AS value FROM m
+            UNION ALL SELECT 'UniqueValueRatio "o_orderkey" = 1',
+                   CASE WHEN uvr = 1.0 THEN 1.0 ELSE 0.0 END FROM u
+            UNION ALL SELECT 'Range "o_totalprice" > 0',
+                   CASE WHEN rng > 0 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'InterquartileRange "o_totalprice" > 0',
+                   CASE WHEN iqr > 0 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'Variance "o_totalprice" > 1',
+                   CASE WHEN varp > 1 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'Skewness "o_totalprice" between -10 and 10',
+                   CASE WHEN skew BETWEEN -10 AND 10 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'Kurtosis "o_totalprice" between -10 and 10',
+                   CASE WHEN kurt BETWEEN -10 AND 10 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'ColumnCorrelation "o_custkey" "o_totalprice" between -1 and 1',
+                   CASE WHEN correl BETWEEN -1 AND 1 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'DuplicateRowCount = 0',
+                   CASE WHEN dups = 0 THEN 1.0 ELSE 0.0 END FROM dup
+            UNION ALL SELECT 'ColumnDataType "o_orderstatus" != "INTEGER"',
+                   CASE WHEN not_int = 1.0 THEN 1.0 ELSE 0.0 END FROM m
+            UNION ALL SELECT 'RowCountMatch "customer" > 1',
+                   CASE WHEN CAST(n AS DOUBLE) / cust_n > 1 THEN 1.0 ELSE 0.0 END FROM m, c
+            UNION ALL SELECT 'ReferentialIntegrity "o_custkey" "customer.{c_custkey}" = 1',
+                   CASE WHEN frac = 1.0 THEN 1.0 ELSE 0.0 END FROM ri
+            UNION ALL SELECT 'DatasetMatch "ordersref" "o_orderkey->o_orderkey" = 1', 1.0
+            UNION ALL SELECT 'AggregateMatch "avg(o_totalprice)" "avg(customer.c_acctbal)" > 1',
+                   CASE WHEN avg_tp / avg_bal > 1 THEN 1.0 ELSE 0.0 END FROM m, c
         """,
         "profile": f"""
             WITH s AS (SELECT COUNT(c_acctbal) AS n, AVG(c_acctbal) AS mu,

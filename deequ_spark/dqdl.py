@@ -13,10 +13,17 @@ implementation of the same language surface:
               CustomSql "select count(*) from primary" = 5,
               (IsComplete "a") and (IsUnique "a") ]
 
-Supported rule types: RowCount, ColumnCount, ColumnExists, IsComplete,
-Completeness, IsUnique, IsPrimaryKey, Uniqueness, DistinctValuesCount,
-Entropy, Mean, Sum, StandardDeviation, ColumnValues, ColumnLength,
-CustomSql, and composite rules with ``and`` / ``or``.
+Supported rule types — the reference's full 25-entry converter map
+(DQDLRuleTranslator.scala:69-94): RowCount, ColumnCount, ColumnExists,
+IsComplete, Completeness, IsUnique, IsPrimaryKey, Uniqueness,
+UniqueValueRatio, DistinctValuesCount, Entropy, Mean, Sum,
+StandardDeviation, Variance, Skewness, Kurtosis, ZerosCount, Range,
+InterquartileRange, ColumnCorrelation, DuplicateRowCount, ColumnValues,
+ColumnLength, CustomSql — plus the specially-handled types
+(:109-160): ColumnDataType, ColumnNamesMatchPattern, DataFreshness,
+composite ``and``/``or``, and the dataset-level rules RowCountMatch,
+SchemaMatch, ReferentialIntegrity, DatasetMatch, AggregateMatch
+(resolved against ``additional_datasets`` aliases).
 Conditions: ``> >= < <= = !=``, ``between a and b``, ``in [..]``,
 ``not in [..]``, ``matches "regex"``; optional ``where "<sql>"``.
 
@@ -396,7 +403,38 @@ _AGG_RULES = {
     "Sum": lambda c, r, a: c.has_sum(r.parameters[0], a),
     "StandardDeviation": lambda c, r, a:
         c.has_standard_deviation(r.parameters[0], a),
+    # remainder of the reference's 25-entry converter map
+    # (DQDLRuleTranslator.scala:69-94)
+    "ZerosCount": lambda c, r, a: c.has_zeros_count(r.parameters[0], a),
+    "UniqueValueRatio": lambda c, r, a:
+        c.has_unique_value_ratio(tuple(r.parameters), a),
+    "Range": lambda c, r, a: c.has_range(r.parameters[0], a),
+    "InterquartileRange": lambda c, r, a:
+        c.has_interquartile_range(r.parameters[0], a),
+    "Variance": lambda c, r, a: c.has_variance(r.parameters[0], a),
+    "Skewness": lambda c, r, a: c.has_skewness(r.parameters[0], a),
+    "Kurtosis": lambda c, r, a: c.has_kurtosis(r.parameters[0], a),
+    "ColumnCorrelation": lambda c, r, a:
+        c.has_correlation(r.parameters[0], r.parameters[1], a),
+    "DuplicateRowCount": lambda c, r, a:
+        c.has_duplicate_row_count(a, columns=tuple(r.parameters)),
 }
+
+# ColumnDataType "col" = "TYPE" (parity: ColumnDataTypeRule.scala:88-101)
+_DQDL_TYPE_MAP = {
+    "BOOLEAN": "boolean", "DATE": "date", "TIMESTAMP": "timestamp",
+    "INTEGER": "int", "DOUBLE": "double", "FLOAT": "float", "LONG": "bigint",
+}
+_DECIMAL_RE = re.compile(r"DECIMAL\((\d+),\s*(\d+)\)", re.IGNORECASE)
+
+# dataset-level rules need additional datasets and dedicated executors
+# (parity: DQDLExecutor.scala:28-60 non-deequ branch)
+_DATASET_RULE_TYPES = {"RowCountMatch", "SchemaMatch", "ReferentialIntegrity",
+                       "DatasetMatch", "AggregateMatch"}
+
+
+def _is_dataset_rule(rule) -> bool:
+    return getattr(rule, "rule_type", None) in _DATASET_RULE_TYPES
 
 
 def _quote_col(col: str) -> str:
@@ -440,6 +478,31 @@ def _translate_into(check: Check, rule: DQRule) -> Check:
             "factory": lambda w: AnalysisBasedConstraint(
                 analyzer, lambda ratio: ratio == 1.0),
             "where": None, "filterable": False})
+    elif rt == "ColumnDataType":
+        if cond is None or cond.kind != "cmp" or cond.op not in ("=", "!=") \
+                or not isinstance(cond.value, str):
+            raise DQDLParseError(
+                'ColumnDataType requires = "TYPE" or != "TYPE"')
+        type_name = cond.value.upper()
+        dec = _DECIMAL_RE.fullmatch(type_name)
+        spark_type = (f"decimal({dec.group(1)},{dec.group(2)})" if dec
+                      else _DQDL_TYPE_MAP.get(type_name))
+        if spark_type is None:
+            raise DQDLParseError(
+                f"Unsupported ColumnDataType {cond.value!r}")
+        col = _quote_col(rule.parameters[0])
+        # try_cast (never throws under ANSI mode): a value HAS the type iff
+        # it casts cleanly; NULLs are out of scope like the reference's
+        # FilteredRowOutcome.TRUE
+        ok = (f"(try_cast({col} AS {spark_type}) IS NOT NULL"
+              f" OR {col} IS NULL)")
+        pred = ok if cond.op == "=" else f"(NOT {ok} OR {col} IS NULL)"
+        check = check.satisfies(pred, rule.describe(), lambda v: v == 1.0)
+    elif rt in _DATASET_RULE_TYPES:
+        raise DQDLParseError(
+            f"{rt} is dataset-level: it runs through "
+            "EvaluateDataQuality.process (with additional_datasets) as a "
+            "top-level rule, not inside a composite")
     elif rt == "DataFreshness":
         if cond is None or cond.kind != "cmp" or cond.op not in ("<=", "<"):
             raise DQDLParseError(
@@ -488,48 +551,245 @@ def to_checks(ruleset: DQRuleset,
 
 
 # ---------------------------------------------------------------------------
-# execution (parity: EvaluateDataQuality.scala:48-69)
+# execution (parity: EvaluateDataQuality.scala:48-69, DQDLExecutor.scala:28-60)
 # ---------------------------------------------------------------------------
+
+_AGG_EXPR_RE = re.compile(r"(sum|avg)\s*\((.+)\)\s*$", re.IGNORECASE)
+
+
+def _execute_dataset_rule(df: DataFrame, rule: DQRule,
+                          additional_datasets) -> tuple:
+    """Dedicated executors for the reference's non-deequ rule types
+    (DQDLExecutor.scala:28-60; executors/ package): RowCountMatch,
+    SchemaMatch, ReferentialIntegrity, DatasetMatch, AggregateMatch.
+    Returns one result row (Rule, Outcome, FailureReason, metrics)."""
+    from pyspark.sql import functions as F
+    from .comparison import (ComparisonResult, DataSynchronization,
+                             ReferentialIntegrity, RowCountMatch, SchemaMatch)
+
+    rt, cond = rule.rule_type, rule.condition
+    try:
+        if cond is None:
+            raise DQDLParseError(f"{rt} requires a numeric condition")
+        if rule.where:
+            raise DQDLParseError(f"{rt} does not support a where clause")
+        assertion = cond.assertion()
+
+        def ref(alias: str) -> DataFrame:
+            if alias == "primary":
+                return df
+            if not additional_datasets or alias not in additional_datasets:
+                raise DQDLParseError(
+                    f"unknown dataset alias {alias!r}; pass it via "
+                    "additional_datasets")
+            return additional_datasets[alias]
+
+        if rt == "RowCountMatch":
+            res = RowCountMatch.match_row_counts(
+                df, ref(rule.parameters[0]), assertion)
+        elif rt == "SchemaMatch":
+            res = SchemaMatch.match_schema(
+                df, ref(rule.parameters[0]), assertion)
+        elif rt == "ReferentialIntegrity":
+            # params: "pcol1,pcol2" and "alias.{rcol1,rcol2}" | "alias.rcol"
+            # (parity: ReferentialIntegrityRule.scala patterns)
+            pcols = [c.strip() for c in rule.parameters[0].split(",")]
+            m = re.fullmatch(r"(.+?)\.\{(.+)\}", rule.parameters[1]) \
+                or re.fullmatch(r"(.+)\.([^.{}]+)", rule.parameters[1])
+            if m is None:
+                raise DQDLParseError(
+                    "ReferentialIntegrity reference must be "
+                    '"alias.column" or "alias.{col1,col2}"')
+            rcols = [c.strip() for c in m.group(2).split(",")]
+            res = ReferentialIntegrity.subset_check(
+                df, pcols, ref(m.group(1)), rcols, assertion)
+        elif rt == "DatasetMatch":
+            # params: alias, "k1->r1,k2", optional match mappings
+            # (parity: DatasetMatchRule.parseColumnMappings)
+            def mappings(spec):
+                out = {}
+                for part in spec.split(","):
+                    halves = [p.strip() for p in part.split("->")]
+                    out[halves[0]] = halves[1] if len(halves) == 2 \
+                        else halves[0]
+                return out
+            key_map = mappings(rule.parameters[1])
+            comp = (mappings(rule.parameters[2])
+                    if len(rule.parameters) > 2 else None)
+            res = DataSynchronization.column_match(
+                df, ref(rule.parameters[0]), key_map, comp, assertion)
+        elif rt == "AggregateMatch":
+            # params: "sum(col)" and "sum(alias.col)" — ratio of the two
+            # aggregates (parity: AggregateMatchRule.scala)
+            def agg_value(expr: str) -> float:
+                m = _AGG_EXPR_RE.fullmatch(expr.strip())
+                if m is None:
+                    raise DQDLParseError(
+                        f"AggregateMatch supports sum()/avg(), got {expr!r}")
+                op, colref = m.group(1).lower(), m.group(2).strip()
+                alias, _, col = colref.rpartition(".")
+                alias = alias or "primary"
+                fn = F.sum if op == "sum" else F.avg
+                row = ref(alias).agg(fn(F.col(f"`{col}`"))).collect()[0]
+                if row[0] is None:
+                    raise DQDLParseError(f"{expr!r} aggregated to NULL")
+                return float(row[0])
+            v2 = agg_value(rule.parameters[1])
+            if v2 == 0.0:
+                res = ComparisonResult(None,
+                                       error="reference aggregate is 0")
+            else:
+                ratio = agg_value(rule.parameters[0]) / v2
+                res = ComparisonResult(assertion(ratio), ratio)
+        else:  # pragma: no cover — guarded by _is_dataset_rule
+            raise DQDLParseError(f"Unsupported dataset rule {rt}")
+    except Exception as exc:  # noqa: BLE001 — rule errors never kill the run
+        return (rule.describe(), "Failed", str(exc), {})
+
+    metrics = {rt: float(res.ratio)} if res.ratio is not None else {}
+    outcome = "Passed" if res.passed else "Failed"
+    return (rule.describe(), outcome, res.error, metrics)
+
 
 class EvaluateDataQuality:
     @staticmethod
     def process(df: DataFrame, ruleset: str,
-                level: CheckLevel = CheckLevel.ERROR) -> DataFrame:
+                level: CheckLevel = CheckLevel.ERROR,
+                additional_datasets=None) -> DataFrame:
         """Run a DQDL ruleset against a DataFrame; returns one row per rule:
-        (Rule, Outcome, FailureReason, EvaluatedMetrics)."""
+        (Rule, Outcome, FailureReason, EvaluatedMetrics). Rules needing a
+        second dataset (RowCountMatch, SchemaMatch, ReferentialIntegrity,
+        DatasetMatch, AggregateMatch) resolve aliases from
+        ``additional_datasets`` (dict alias -> DataFrame)."""
         from .verification import VerificationSuite
 
         spark = df.sparkSession
-        # CustomSql refers to the dataset as `primary`
+        # CustomSql refers to the dataset as `primary`; additional datasets
+        # are registered under their aliases (parity:
+        # CustomSqlRowLevelExecutor.scala:34-90)
         df.createOrReplaceTempView("primary")
+        for alias, d in (additional_datasets or {}).items():
+            d.createOrReplaceTempView(alias)
         parsed = parse(ruleset)
-        checks = to_checks(parsed, level)
-        suite = VerificationSuite().on_data(df)
-        for c in checks:
-            suite = suite.add_check(c)
-        result = suite.run()
+        deequ_rules = [r for r in parsed.rules if not _is_dataset_rule(r)]
+        checks = to_checks(DQRuleset(deequ_rules), level)
+        check_results = {}
+        if checks:
+            suite = VerificationSuite().on_data(df)
+            for c in checks:
+                suite = suite.add_check(c)
+            check_results = suite.run().check_results
 
+        # emit rows in ruleset order: deequ-backed rules pull from the one
+        # suite run, dataset rules run through their dedicated executors
+        check_iter = iter(checks)
         rows = []
-        for check, check_result in result.check_results.items():
-            op = getattr(check, "_dqdl_operator", "and")
-            statuses = [cr.status.value == "Success"
-                        for cr in check_result.constraint_results]
-            spans = getattr(check, "_dqdl_member_spans",
-                            [(0, len(statuses))])
-            member_ok = [all(statuses[s:e]) for s, e in spans]
-            passed = any(member_ok) if op == "or" else all(member_ok)
-            reasons = "; ".join(
-                str(cr.message) for cr in check_result.constraint_results
-                if cr.status.value != "Success" and cr.message)
-            metrics = {f"{cr.metric.name}({cr.metric.instance})":
-                       float(cr.metric.value)
-                       for cr in check_result.constraint_results
-                       if cr.metric is not None and cr.metric.is_success
-                       and isinstance(cr.metric.value, (int, float))}
-            rows.append((check.description,
-                         "Passed" if passed else "Failed",
-                         reasons or None,
-                         metrics))
+        for rule in parsed.rules:
+            if _is_dataset_rule(rule):
+                rows.append(_execute_dataset_rule(df, rule,
+                                                  additional_datasets))
+            else:
+                check = next(check_iter)
+                rows.append(_check_result_row(check, check_results[check]))
         return spark.createDataFrame(
             rows, "Rule string, Outcome string, FailureReason string, "
                   "EvaluatedMetrics map<string,double>")
+
+    @staticmethod
+    def process_rows(df: DataFrame, ruleset: str,
+                     level: CheckLevel = CheckLevel.ERROR,
+                     additional_datasets=None) -> DataFrame:
+        """Row-level outcomes (parity: EvaluateDataQuality.processRows,
+        EvaluateDataQuality.scala:96-139): the input rows annotated with one
+        boolean column per row-level-capable rule (named by the rule text).
+        Aggregate-only rules (RowCount, Mean, …) and dataset-level rules
+        without row semantics (RowCountMatch, SchemaMatch, AggregateMatch)
+        add no column; ReferentialIntegrity and DatasetMatch annotate via
+        their join executors.
+
+        Scale note: the deequ-backed columns are a pure projection fused
+        into the scan; each join-backed rule adds one (broadcastable)
+        left join."""
+        return _process_rows_impl(df, ruleset, level, additional_datasets)
+
+
+def _process_rows_impl(df: DataFrame, ruleset: str, level: CheckLevel,
+                       additional_datasets) -> DataFrame:
+    from .verification import VerificationSuite
+    from .comparison import DataSynchronization, ReferentialIntegrity
+
+    df.createOrReplaceTempView("primary")
+    for alias, d in (additional_datasets or {}).items():
+        d.createOrReplaceTempView(alias)
+    parsed = parse(ruleset)
+    deequ_rules = [r for r in parsed.rules if not _is_dataset_rule(r)]
+    out = df
+    if deequ_rules:
+        checks = to_checks(DQRuleset(deequ_rules), level)
+        suite = VerificationSuite().on_data(df)
+        for c in checks:
+            suite = suite.add_check(c)
+        out = suite.run().row_level_results_as_dataframe(df)
+
+    def ref(alias: str) -> DataFrame:
+        if alias == "primary":
+            return df
+        if not additional_datasets or alias not in additional_datasets:
+            raise DQDLParseError(
+                f"unknown dataset alias {alias!r}; pass it via "
+                "additional_datasets")
+        return additional_datasets[alias]
+
+    # row-level-capable dataset rules annotate via their join executors
+    # (parity: ReferentialIntegrity.scala:94-120,
+    # DataSynchronization.scala:155-207); RowCountMatch / SchemaMatch /
+    # AggregateMatch are dataset-level only and add no column
+    for rule in parsed.rules:
+        if getattr(rule, "rule_type", None) == "ReferentialIntegrity":
+            pcols = [c.strip() for c in rule.parameters[0].split(",")]
+            m = re.fullmatch(r"(.+?)\.\{(.+)\}", rule.parameters[1]) \
+                or re.fullmatch(r"(.+)\.([^.{}]+)", rule.parameters[1])
+            if m is None:
+                raise DQDLParseError(
+                    "ReferentialIntegrity reference must be "
+                    '"alias.column" or "alias.{col1,col2}"')
+            rcols = [c.strip() for c in m.group(2).split(",")]
+            out = ReferentialIntegrity.subset_check_row_level(
+                out, pcols, ref(m.group(1)), rcols,
+                outcome_column=rule.describe())
+        elif getattr(rule, "rule_type", None) == "DatasetMatch":
+            key_map = {}
+            for part in rule.parameters[1].split(","):
+                halves = [p.strip() for p in part.split("->")]
+                key_map[halves[0]] = halves[1] if len(halves) == 2 \
+                    else halves[0]
+            comp = None
+            if len(rule.parameters) > 2:
+                comp = {}
+                for part in rule.parameters[2].split(","):
+                    halves = [p.strip() for p in part.split("->")]
+                    comp[halves[0]] = halves[1] if len(halves) == 2 \
+                        else halves[0]
+            out = DataSynchronization.column_match_row_level(
+                out, ref(rule.parameters[0]), key_map, comp,
+                outcome_column=rule.describe())
+    return out
+
+
+def _check_result_row(check, check_result) -> tuple:
+    op = getattr(check, "_dqdl_operator", "and")
+    statuses = [cr.status.value == "Success"
+                for cr in check_result.constraint_results]
+    spans = getattr(check, "_dqdl_member_spans", [(0, len(statuses))])
+    member_ok = [all(statuses[s:e]) for s, e in spans]
+    passed = any(member_ok) if op == "or" else all(member_ok)
+    reasons = "; ".join(
+        str(cr.message) for cr in check_result.constraint_results
+        if cr.status.value != "Success" and cr.message)
+    metrics = {f"{cr.metric.name}({cr.metric.instance})":
+               float(cr.metric.value)
+               for cr in check_result.constraint_results
+               if cr.metric is not None and cr.metric.is_success
+               and isinstance(cr.metric.value, (int, float))}
+    return (check.description, "Passed" if passed else "Failed",
+            reasons or None, metrics)

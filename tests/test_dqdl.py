@@ -161,3 +161,139 @@ class TestExecution:
         out = EvaluateDataQuality.process(
             df_missing, 'Rules = [ColumnValues "att1" in ["a", "b", NULL]]')
         assert all(v == "Passed" for v in _outcomes(out).values())
+
+
+class TestExtendedRuleTypes:
+    """The remainder of the reference's 25-entry converter map plus the
+    specially-handled dataset-level rules (DQDLRuleTranslator.scala:69-160)."""
+
+    def test_numeric_converter_map(self, df_numeric):
+        out = EvaluateDataQuality.process(df_numeric, """Rules = [
+            ZerosCount "att2" = 3,
+            UniqueValueRatio "att1" = 1.0,
+            Range "att1" = 5,
+            InterquartileRange "att1" between 2 and 4,
+            Variance "att1" between 2.9 and 3.0,
+            Skewness "att1" between -1 and 1,
+            Kurtosis "att1" between -2 and 2,
+            ColumnCorrelation "att1" "att2" > 0.8,
+            DuplicateRowCount = 0 ]""")
+        oc = _outcomes(out)
+        assert all(v == "Passed" for v in oc.values()), oc
+
+    def test_column_data_type(self, spark):
+        df = spark.createDataFrame(
+            [("1",), ("2",), ("x",), (None,)], "v string")
+        out = EvaluateDataQuality.process(
+            df, 'Rules = [ColumnDataType "v" = "INTEGER"]')
+        # 2 of 3 non-null values cast cleanly -> Failed
+        assert all(v == "Failed" for v in _outcomes(out).values())
+        ints = spark.createDataFrame([("1",), ("2",), (None,)], "v string")
+        out2 = EvaluateDataQuality.process(
+            ints, 'Rules = [ColumnDataType "v" = "INTEGER"]')
+        assert all(v == "Passed" for v in _outcomes(out2).values())
+
+    def test_column_data_type_unsupported(self, df_full):
+        with pytest.raises(DQDLParseError):
+            EvaluateDataQuality.process(
+                df_full, 'Rules = [ColumnDataType "att1" = "BLOB"]')
+
+    def test_dataset_rules(self, spark, df_full):
+        ref = spark.createDataFrame(
+            [("1", "a"), ("2", "a"), ("3", "a"), ("4", "b")],
+            "item string, att1 string")
+        out = EvaluateDataQuality.process(df_full, """Rules = [
+            RowCountMatch "ref" = 1.0,
+            SchemaMatch "ref" between 0.6 and 0.7,
+            ReferentialIntegrity "item" "ref.item" = 1.0,
+            DatasetMatch "ref" "item->item" "att1->att1" = 1.0,
+            AggregateMatch "sum(att1)" "sum(ref.att1)" = 1.0 ]""",
+            additional_datasets={"ref": ref})
+        oc = _outcomes(out)
+        # AggregateMatch on a string column fails (sums are NULL); the
+        # other four dataset rules pass
+        assert oc['RowCountMatch "ref" = 1'] == "Passed"
+        assert oc['SchemaMatch "ref" between 0.6 and 0.7'] == "Passed"
+        assert oc['ReferentialIntegrity "item" "ref.item" = 1'] == "Passed"
+        assert oc['DatasetMatch "ref" "item->item" "att1->att1" = 1'] == "Passed"
+        assert oc['AggregateMatch "sum(att1)" "sum(ref.att1)" = 1'] == "Failed"
+
+    def test_aggregate_match_numeric(self, spark, df_numeric):
+        half = df_numeric.limit(3)
+        out = EvaluateDataQuality.process(df_numeric, """Rules = [
+            AggregateMatch "sum(att1)" "sum(half.att1)" = 3.5,
+            AggregateMatch "avg(att1)" "avg(half.att1)" = 1.75 ]""",
+            additional_datasets={"half": half})
+        assert all(v == "Passed" for v in _outcomes(out).values())
+
+    def test_referential_integrity_partial(self, spark, df_full):
+        ref = spark.createDataFrame([("1",), ("2",)], "item string")
+        out = EvaluateDataQuality.process(
+            df_full,
+            'Rules = [ReferentialIntegrity "item" "ref.item" = 0.5]',
+            additional_datasets={"ref": ref})
+        assert all(v == "Passed" for v in _outcomes(out).values())
+
+    def test_dataset_rule_missing_alias(self, df_full):
+        out = EvaluateDataQuality.process(
+            df_full, 'Rules = [RowCountMatch "nope" = 1.0]')
+        rows = out.collect()
+        assert rows[0]["Outcome"] == "Failed"
+        assert "nope" in rows[0]["FailureReason"]
+
+    def test_dataset_rule_in_composite_rejected(self, df_full):
+        with pytest.raises(DQDLParseError):
+            EvaluateDataQuality.process(
+                df_full,
+                'Rules = [(RowCount > 0) and (RowCountMatch "x" = 1.0)]')
+
+    def test_mixed_order_preserved(self, spark, df_full):
+        ref = spark.createDataFrame([("1",)], "item string")
+        out = EvaluateDataQuality.process(df_full, """Rules = [
+            RowCount = 4,
+            RowCountMatch "ref" = 4.0,
+            IsComplete "att1" ]""", additional_datasets={"ref": ref})
+        rules = [r["Rule"] for r in out.collect()]
+        assert rules == ['RowCount = 4', 'RowCountMatch "ref" = 4',
+                         'IsComplete "att1"']
+        assert all(v == "Passed" for v in _outcomes(out).values())
+
+
+class TestProcessRows:
+    """Parity: EvaluateDataQuality.processRows (EvaluateDataQuality.scala:96-139)."""
+
+    def test_row_level_columns(self, df_full):
+        out = EvaluateDataQuality.process_rows(df_full, """Rules = [
+            ColumnValues "att1" in ["a"],
+            IsComplete "att2" ]""")
+        rows = out.collect()
+        assert len(rows) == 4
+        # att1 = 'b' on item 4 only
+        by_item = {r["item"]: r['ColumnValues "att1" in ["a"]'] for r in rows}
+        assert by_item == {"1": True, "2": True, "3": True, "4": False}
+        assert all(r['IsComplete "att2"'] for r in rows)
+
+    def test_aggregate_rules_add_no_column(self, df_full):
+        out = EvaluateDataQuality.process_rows(
+            df_full, 'Rules = [RowCount = 4]')
+        assert out.columns == df_full.columns
+
+    def test_referential_integrity_row_level(self, spark, df_full):
+        ref = spark.createDataFrame([("1",), ("2",)], "item string")
+        out = EvaluateDataQuality.process_rows(
+            df_full,
+            'Rules = [ReferentialIntegrity "item" "ref.item" = 0.5]',
+            additional_datasets={"ref": ref})
+        col = 'ReferentialIntegrity "item" "ref.item" = 0.5'
+        by_item = {r["item"]: r[col] for r in out.collect()}
+        assert by_item == {"1": True, "2": True, "3": False, "4": False}
+
+    def test_dataset_match_row_level(self, spark, df_full):
+        ref = df_full.limit(2)
+        out = EvaluateDataQuality.process_rows(
+            df_full,
+            'Rules = [DatasetMatch "ref" "item->item" = 0.5]',
+            additional_datasets={"ref": ref})
+        col = 'DatasetMatch "ref" "item->item" = 0.5'
+        matched = sum(1 for r in out.collect() if r[col])
+        assert matched == 2
