@@ -109,6 +109,15 @@ def do_analysis_run(data: DataFrame,
     else:
         to_run = list(analyzers)
 
+    # 1b. strict-reuse mode: the caller asserted every metric is already in
+    # the repository (parity: VerificationRunBuilder.scala:195-205,
+    # ReusingNotPossibleResultsMissingException)
+    if fail_if_results_missing and to_run:
+        missing = ", ".join(str(a) for a in to_run)
+        raise ValueError(
+            "fail_if_results_missing is set but these analyzers have no "
+            f"stored metrics for the reuse key: {missing}")
+
     # 2. preconditions → failure metrics without running (:143-152)
     passed: List[Analyzer] = []
     schema = data.schema

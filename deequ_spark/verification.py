@@ -85,6 +85,7 @@ class VerificationRunBuilder:
         self._required_analyzers: List[Analyzer] = []
         self._repository = None
         self._reuse_key = None
+        self._fail_if_results_missing = False
         self._save_key = None
         self._state_persister = None
         self._anomaly_checks: List = []
@@ -109,8 +110,12 @@ class VerificationRunBuilder:
         self._repository = repository
         return self
 
-    def reuse_existing_results_for_key(self, key) -> "VerificationRunBuilder":
+    def reuse_existing_results_for_key(
+            self, key,
+            fail_if_results_missing: bool = False) -> "VerificationRunBuilder":
+        """Parity: VerificationRunBuilder.scala:195-205."""
         self._reuse_key = key
+        self._fail_if_results_missing = fail_if_results_missing
         return self
 
     def save_or_append_result(self, key) -> "VerificationRunBuilder":
@@ -139,6 +144,7 @@ class VerificationRunBuilder:
             self._data, required,
             metrics_repository=self._repository,
             reuse_existing_results_for_key=self._reuse_key,
+            fail_if_results_missing=self._fail_if_results_missing,
             save_states_with=self._state_persister)
 
         checks = list(self._checks)

@@ -283,3 +283,26 @@ class TestDistance:
         q2 = [1, 2, 3, 4, 5]
         assert ks_distance(q1, q2) == 0.0
         assert ks_distance(q1, [6, 7, 8, 9, 10]) == 1.0
+
+
+class TestFailIfResultsMissing:
+    def test_strict_reuse_raises_on_missing(self, df_missing):
+        from deequ_spark.repository import InMemoryMetricsRepository, ResultKey
+        from deequ_spark.runners.analysis_runner import do_analysis_run
+        from deequ_spark.analyzers.scan import Size, Completeness
+        repo = InMemoryMetricsRepository()
+        key = ResultKey.make(1000)
+        do_analysis_run(df_missing, [Size()], metrics_repository=repo,
+                        save_or_append_results_with_key=key)
+        # Size is stored; Completeness is not -> strict reuse must raise
+        with pytest.raises(ValueError, match="Completeness"):
+            do_analysis_run(df_missing, [Size(), Completeness("att1")],
+                            metrics_repository=repo,
+                            reuse_existing_results_for_key=key,
+                            fail_if_results_missing=True)
+        # all stored -> no scan needed, succeeds
+        ctx = do_analysis_run(df_missing.limit(1), [Size()],
+                              metrics_repository=repo,
+                              reuse_existing_results_for_key=key,
+                              fail_if_results_missing=True)
+        assert ctx.metric_map[Size()].value == 12.0
