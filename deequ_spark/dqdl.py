@@ -21,7 +21,8 @@ StandardDeviation, Variance, Skewness, Kurtosis, ZerosCount, Range,
 InterquartileRange, ColumnCorrelation, DuplicateRowCount, ColumnValues,
 ColumnLength, CustomSql — plus the specially-handled types
 (:109-160): ColumnDataType, ColumnNamesMatchPattern, DataFreshness,
-composite ``and``/``or``, and the dataset-level rules RowCountMatch,
+composite ``and``/``or``, row-level CustomSql (no condition → the SQL
+selects the passing rows), and the dataset-level rules RowCountMatch,
 SchemaMatch, ReferentialIntegrity, DatasetMatch, AggregateMatch
 (resolved against ``additional_datasets`` aliases).
 Conditions: ``> >= < <= = !=``, ``between a and b``, ``in [..]``,
@@ -434,7 +435,60 @@ _DATASET_RULE_TYPES = {"RowCountMatch", "SchemaMatch", "ReferentialIntegrity",
 
 
 def _is_dataset_rule(rule) -> bool:
-    return getattr(rule, "rule_type", None) in _DATASET_RULE_TYPES
+    rt = getattr(rule, "rule_type", None)
+    # CustomSql WITHOUT a numeric condition is the row-level variant and
+    # runs through a dedicated executor (parity: DQDLRuleTranslator
+    # CustomSql branch + CustomSqlRowLevelExecutor.scala)
+    return rt in _DATASET_RULE_TYPES or (
+        rt == "CustomSql" and getattr(rule, "condition", None) is None)
+
+
+def _custom_sql_row_level(df: DataFrame, sql: str, outcome_col: str):
+    """Row-level CustomSql (parity: CustomSqlRowLevelExecutor.scala:34-150):
+    the statement selects the PASSING rows of `primary`; they are matched
+    back to the input rows by null-safe equality on every returned column.
+    Returns (annotated_df, ratio, error) — exactly one of ratio/error set.
+
+    Unlike the reference we de-duplicate the SQL result before the left
+    join so a duplicated match can never multiply primary rows."""
+    from pyspark.sql import functions as F
+    spark = df.sparkSession
+    total = df.count()
+    if total == 0:
+        return None, None, ("Custom SQL rule could not be evaluated due to "
+                            "data frame being empty")
+    try:
+        sql_df = spark.sql(sql)
+        sql_cols = list(sql_df.columns)
+        df_cols = set(df.columns)
+        if not any(c in df_cols for c in sql_cols):
+            return None, None, (
+                "The output from CustomSQL must contain at least one column "
+                "that matches the input dataset")
+        extra = [c for c in sql_cols if c not in df_cols]
+        if extra:
+            return None, None, (
+                "The columns returned from the SQL statement should only "
+                f"belong to the primary table. Columns not found: "
+                f"{', '.join(extra)}")
+        renamed = [f"__dq_{c}" for c in sql_cols]
+        matches = (sql_df
+                   .select(*[F.col(c).alias(r)
+                             for c, r in zip(sql_cols, renamed)])
+                   .dropDuplicates(renamed)
+                   .withColumn("__dq_match", F.lit(True)))
+        join_cond = None
+        for c, r in zip(sql_cols, renamed):
+            eq = df[c].eqNullSafe(F.col(r))
+            join_cond = eq if join_cond is None else (join_cond & eq)
+        out = (df.join(matches, join_cond, "left")
+               .withColumn(outcome_col,
+                           F.coalesce(F.col("__dq_match"), F.lit(False)))
+               .drop(*renamed, "__dq_match"))
+        matched = out.filter(F.col(f"`{outcome_col}`")).count()
+        return out, matched / total, None
+    except Exception as exc:  # noqa: BLE001
+        return None, None, f"Error executing SQL statement: {exc}"
 
 
 def _quote_col(col: str) -> str:
@@ -569,6 +623,18 @@ def _execute_dataset_rule(df: DataFrame, rule: DQRule,
 
     rt, cond = rule.rule_type, rule.condition
     try:
+        if rt == "CustomSql":          # row-level variant (no condition)
+            _, ratio, error = _custom_sql_row_level(
+                df, rule.parameters[0], "__dq_outcome")
+            if error is not None:
+                return (rule.describe(), "Failed", error, {})
+            # all returned rows must pass (parity: CustomSqlRowLevelRule
+            # default assertion)
+            outcome = "Passed" if ratio == 1.0 else "Failed"
+            reason = None if ratio == 1.0 else \
+                f"Value: {ratio} does not meet the constraint requirement."
+            return (rule.describe(), outcome, reason,
+                    {"CustomSQL.Compliance": float(ratio)})
         if cond is None:
             raise DQDLParseError(f"{rt} requires a numeric condition")
         if rule.where:
@@ -715,6 +781,7 @@ class EvaluateDataQuality:
 
 def _process_rows_impl(df: DataFrame, ruleset: str, level: CheckLevel,
                        additional_datasets) -> DataFrame:
+    from pyspark.sql import functions as F
     from .verification import VerificationSuite
     from .comparison import DataSynchronization, ReferentialIntegrity
 
@@ -745,7 +812,15 @@ def _process_rows_impl(df: DataFrame, ruleset: str, level: CheckLevel,
     # DataSynchronization.scala:155-207); RowCountMatch / SchemaMatch /
     # AggregateMatch are dataset-level only and add no column
     for rule in parsed.rules:
-        if getattr(rule, "rule_type", None) == "ReferentialIntegrity":
+        if getattr(rule, "rule_type", None) == "CustomSql" \
+                and getattr(rule, "condition", None) is None:
+            annotated, _, error = _custom_sql_row_level(
+                out, rule.parameters[0], rule.describe())
+            if error is not None:
+                out = out.withColumn(rule.describe(), F.lit(False))
+            else:
+                out = annotated
+        elif getattr(rule, "rule_type", None) == "ReferentialIntegrity":
             pcols = [c.strip() for c in rule.parameters[0].split(",")]
             m = re.fullmatch(r"(.+?)\.\{(.+)\}", rule.parameters[1]) \
                 or re.fullmatch(r"(.+)\.([^.{}]+)", rule.parameters[1])

@@ -297,3 +297,48 @@ class TestProcessRows:
         col = 'DatasetMatch "ref" "item->item" = 0.5'
         matched = sum(1 for r in out.collect() if r[col])
         assert matched == 2
+
+
+class TestCustomSqlRowLevel:
+    """CustomSql WITHOUT a numeric condition is the row-level variant: the
+    SQL selects the PASSING rows (parity: CustomSqlRowLevelExecutor)."""
+
+    def test_outcome_and_ratio(self, df_full):
+        out = EvaluateDataQuality.process(
+            df_full,
+            'Rules = [CustomSql "select item from primary where att1 = \'a\'"]')
+        row = out.collect()[0]
+        assert row["Outcome"] == "Failed"         # only 3 of 4 rows pass
+        assert row["EvaluatedMetrics"]["CustomSQL.Compliance"] == 0.75
+
+    def test_all_rows_pass(self, df_full):
+        out = EvaluateDataQuality.process(
+            df_full, 'Rules = [CustomSql "select item from primary"]')
+        assert out.collect()[0]["Outcome"] == "Passed"
+
+    def test_row_level_column(self, df_full):
+        rule = 'CustomSql "select item from primary where att1 = \'a\'"'
+        out = EvaluateDataQuality.process_rows(df_full, f"Rules = [{rule}]")
+        assert out.count() == 4                   # join never multiplies rows
+        by_item = {r["item"]: r[rule] for r in out.collect()}
+        assert by_item == {"1": True, "2": True, "3": True, "4": False}
+
+    def test_invalid_sql_fails_gracefully(self, df_full):
+        out = EvaluateDataQuality.process(
+            df_full, 'Rules = [CustomSql "select broken (("]')
+        row = out.collect()[0]
+        assert row["Outcome"] == "Failed"
+        assert "Error executing SQL" in row["FailureReason"]
+
+    def test_foreign_column_rejected(self, df_full):
+        out = EvaluateDataQuality.process(
+            df_full,
+            'Rules = [CustomSql "select item, 1 as not_a_col from primary"]')
+        row = out.collect()[0]
+        assert row["Outcome"] == "Failed"
+        assert "not_a_col" in row["FailureReason"]
+
+    def test_numeric_condition_still_aggregate(self, df_full):
+        out = EvaluateDataQuality.process(
+            df_full, 'Rules = [CustomSql "select count(*) from primary" = 4]')
+        assert out.collect()[0]["Outcome"] == "Passed"
