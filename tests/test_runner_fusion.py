@@ -66,3 +66,28 @@ class TestGroupingSharing:
         n_jobs, ctx = count_jobs(spark, lambda: do_analysis_run(df_unique, analyzers))
         assert all(m.is_success for m in ctx.metric_map.values())
         assert n_jobs <= 3
+
+
+class TestDQDLFusion:
+    def test_aggregate_rules_one_fused_scan(self, spark, df_numeric):
+        """All aggregate DQDL rules batch into ONE VerificationSuite run
+        with ONE fused scan job (parity: DQDLExecutor.scala:28-60)."""
+        from deequ_spark.dqdl import EvaluateDataQuality
+        rules = """Rules = [
+            RowCount > 0,
+            Completeness "att1" >= 0,
+            Mean "att1" > 0,
+            Sum "att1" > 0,
+            StandardDeviation "att1" >= 0,
+            ZerosCount "att2" >= 0,
+            Variance "att1" >= 0,
+            Skewness "att1" between -10 and 10,
+            Kurtosis "att1" between -10 and 10,
+            ColumnCorrelation "att1" "att2" between -1 and 1,
+            Range "att1" >= 0 ]"""
+        n_jobs, out = count_jobs(
+            spark, lambda: EvaluateDataQuality.process(df_numeric, rules)
+            .collect())
+        # 1 fused scan + 1 createDataFrame job for the result rows
+        assert n_jobs <= 2, f"expected <=2 jobs for 11 rules, saw {n_jobs}"
+        assert all(r["Outcome"] == "Passed" for r in out)
