@@ -54,6 +54,7 @@ class ColumnProfile:
     skewness: Optional[float] = None
     kurtosis: Optional[float] = None
     approx_percentiles: Optional[Dict[str, float]] = None
+    kll: Optional[object] = None       # BucketDistribution when enabled
     # string extension
     min_length: Optional[float] = None
     max_length: Optional[float] = None
@@ -76,6 +77,7 @@ class ColumnProfilerRunBuilder:
         self._columns: Optional[List[str]] = None
         self._low_cardinality_threshold = DEFAULT_CARDINALITY_THRESHOLD
         self._with_histograms = True
+        self._kll_parameters = None
 
     def restrict_to_columns(self, columns: List[str]):
         self._columns = columns
@@ -89,16 +91,27 @@ class ColumnProfilerRunBuilder:
         self._with_histograms = enabled
         return self
 
+    def with_kll_profiling(self, kll_parameters=None):
+        """Attach a KLL quantile sketch to each numeric profile (parity:
+        ColumnProfilerRunBuilder.withKLLProfiling/setKLLParameters,
+        ColumnProfilerRunBuilder.scala:116-131). All KLL columns share ONE
+        extra Arrow pass."""
+        from .analyzers.kll import KLLParameters
+        self._kll_parameters = kll_parameters or KLLParameters()
+        return self
+
     def run(self) -> Dict[str, ColumnProfile]:
         return profile_columns(
             self._data, self._columns,
             low_cardinality_threshold=self._low_cardinality_threshold,
-            with_histograms=self._with_histograms)
+            with_histograms=self._with_histograms,
+            kll_parameters=self._kll_parameters)
 
 
 def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
                     low_cardinality_threshold: int = DEFAULT_CARDINALITY_THRESHOLD,
-                    with_histograms: bool = True) -> Dict[str, ColumnProfile]:
+                    with_histograms: bool = True,
+                    kll_parameters=None) -> Dict[str, ColumnProfile]:
     cols = columns or data.columns
     schema = {f.name: f.dataType for f in data.schema.fields}
     profiles: Dict[str, ColumnProfile] = {c: ColumnProfile(c) for c in cols}
@@ -158,11 +171,16 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
             pass2 += [Minimum(c), Maximum(c), Mean(c), Sum(c),
                       StandardDeviation(c), Skewness(c), Kurtosis(c),
                       ApproxQuantiles(c, deciles)]
+        if kll_parameters is not None:
+            # the runner routes all KLL analyzers to ONE shared Arrow pass
+            from .analyzers.kll import KLLSketch
+            pass2 += [KLLSketch(c, kll_parameters) for c in numeric_cols]
         ctx2 = do_analysis_run(casted, pass2)
         setters = {"Minimum": "minimum", "Maximum": "maximum", "Mean": "mean",
                    "Sum": "sum", "StandardDeviation": "std_dev",
                    "Skewness": "skewness", "Kurtosis": "kurtosis",
-                   "ApproxQuantiles": "approx_percentiles"}
+                   "ApproxQuantiles": "approx_percentiles",
+                   "KLL": "kll"}
         for a, m in ctx2.metric_map.items():
             if m.is_success and a.name in setters:
                 setattr(profiles[a.instance], setters[a.name], m.value)

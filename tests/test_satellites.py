@@ -306,3 +306,28 @@ class TestFailIfResultsMissing:
                               reuse_existing_results_for_key=key,
                               fail_if_results_missing=True)
         assert ctx.metric_map[Size()].value == 12.0
+
+
+class TestKLLProfiling:
+    def test_profiler_attaches_kll(self, df_numeric):
+        from deequ_spark.profiles import ColumnProfilerRunner
+        profiles = (ColumnProfilerRunner().on_data(df_numeric)
+                    .with_kll_profiling().run())
+        p = profiles["att1"]
+        assert p.kll is not None
+        assert p.kll.min_value == 1.0 and p.kll.max_value == 6.0
+        # item holds numeric STRINGS -> inferred INTEGRAL, cast, and
+        # KLL-profiled too (reference casts inferred-numeric strings)
+        assert profiles["item"].kll is not None
+        assert p.mean == 3.5
+
+    def test_non_numeric_column_gets_no_kll(self, df_full):
+        from deequ_spark.profiles import ColumnProfilerRunner
+        profiles = (ColumnProfilerRunner().on_data(df_full)
+                    .with_kll_profiling().run())
+        assert profiles["att1"].kll is None    # values 'a'/'b'
+
+    def test_no_kll_by_default(self, df_numeric):
+        from deequ_spark.profiles import profile_columns
+        profiles = profile_columns(df_numeric)
+        assert profiles["att1"].kll is None
