@@ -339,15 +339,65 @@ def q_minhash_lsh(spark, sf_dir):
     return _metrics_df(spark, [("lsh_pairs_08", n)])
 
 
+# simhash oracle parameters — shared by q_simhash and _simhash_oracle_sql
+_SIMHASH_N, _SIMHASH_BITS, _SIMHASH_MAXH = 3, 32, 3
+
+
 def q_simhash(spark, sf_dir):
-    """SimHash near-dup candidates — hash-function-specific, no SQL oracle
-    (driver records rows-only check)."""
-    from deequ_spark.llm import simhash_near_duplicates
+    """SimHash near-dup PAIR SET, fully oracled: fingerprints use the
+    31-bit portable polynomial shingle hash (identical in DuckDB), the
+    engine finds pairs via the k+1-block pigeonhole join, and the oracle
+    brute-forces bit_count(xor(a,b)) <= k over all pairs — verifying both
+    the fingerprint computation and the block-join's exact recall."""
+    from deequ_spark.llm import portable_shingle_hash, simhash_near_duplicates
     docs = _load(spark, sf_dir, "documents")
-    pairs = simhash_near_duplicates(docs, "doc_id", "text",
-                                    max_hamming=3, shingle_n=3)
-    n = pairs.count()
-    return _metrics_df(spark, [("simhash_pairs_h3", n)])
+    return (simhash_near_duplicates(docs, "doc_id", "text",
+                                    max_hamming=_SIMHASH_MAXH,
+                                    shingle_n=_SIMHASH_N, bits=_SIMHASH_BITS,
+                                    hash_fn=portable_shingle_hash)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("id_a", "id_b"))
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB brute-force oracle for q_simhash: recompute the portable
+    simhash fingerprints (same shingling, same 31-bit polynomial hash,
+    same per-bit majority), then all-pairs bit_count(xor) filter."""
+    n, bits, maxh, p31 = (_SIMHASH_N, _SIMHASH_BITS, _SIMHASH_MAXH,
+                          (1 << 31) - 1)
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(t) >= {n}
+    THEN [array_to_string(t[i:i+{n - 1}], ' ')
+          for i in range(1, len(t) - {n} + 2)]
+    ELSE [array_to_string(t, ' ')] END) AS shingles
+  FROM toks
+), hashed AS (
+  SELECT doc_id, unnest(list_transform(shingles, s ->
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                             [CAST(ascii(c) AS BIGINT)
+                              for c in string_split(s, '')]),
+                (acc, x) -> (acc * 131 + x) % {p31}))) AS h
+  FROM sh
+), fp AS (
+  SELECT doc_id, {bit_terms} AS f
+  FROM hashed GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= {maxh}
+ORDER BY id_a, id_b
+"""
 
 
 def q_text_quality(spark, sf_dir):
@@ -663,17 +713,133 @@ def q_distance(spark, sf_dir):
 
 
 def q_suggestions(spark, sf_dir):
-    """Constraint suggestion (profile → rules) — rule hits are
-    engine-specific heuristics, so the driver records a rows-only check."""
+    """Constraint suggestion (profile → DEFAULT_RULES) as a canonical
+    (column_name, rule_name, code) table — the oracle re-derives every
+    rule trigger AND every constraint-code string from SQL over the same
+    customer table. The only engine-specific profile input is the HLL
+    approx-distinct estimate behind UniqueIfApproximatelyUniqueRule (and
+    the ≤120-cardinality histogram gate); the oracle substitutes exact
+    distinct counts, equivalent here because every column sits far from
+    the 0.08 / 120 decision bands (ratios ≈ 0.99-1.01 fire, ≤ 0.17
+    don't; cardinalities 5/25 vs ~1500)."""
     from deequ_spark import DEFAULT_RULES, ConstraintSuggestionRunner
     df = _load(spark, sf_dir, "customer")
     result = (ConstraintSuggestionRunner().on_data(df)
               .add_constraint_rules(list(DEFAULT_RULES)).run())
-    by_rule = {}
-    for col_suggestions in result["suggestions"].values():
-        for s in col_suggestions:
-            by_rule[s.rule_name] = by_rule.get(s.rule_name, 0) + 1
-    return _metrics_df(spark, sorted(by_rule.items()))
+    rows = sorted((col, s.rule_name, s.code_for_constraint)
+                  for col, ss in result["suggestions"].items() for s in ss)
+    return spark.createDataFrame(
+        rows, "column_name string, rule_name string, code string")
+
+
+def _suggestions_oracle_sql() -> str:
+    """DuckDB oracle for q_suggestions: replays the 7 DEFAULT_RULES
+    triggers (ConstraintSuggestionRunner.scala:33-45 semantics) in SQL —
+    completeness, Wald interval, regex-based type inference
+    (DataType.scala classification), categorical histogram coverage,
+    non-negative minimum, approximate uniqueness — and reconstructs the
+    exact Python constraint-code strings the engine emits."""
+    num_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    str_cols = ["c_name", "c_mktsegment"]
+    z = 1.959963984540054        # Φ⁻¹(0.975), reference defaultConfidence
+    integral_re = r"^(-|\+)? ?\d+$"
+    fractional_re = r"^(-|\+)? ?\d+((\.\d+)|((?:\.\d+)?[Ee][-+]?\d+))$"
+    boolean_re = r"^(true|false)$"
+
+    def fmt2(expr: str) -> str:
+        # Python str() of a 2-decimal double: '0.50'→'0.5', '0.46' stays
+        return (f"CASE WHEN printf('%.2f', {expr}) LIKE '%0' "
+                f"THEN substr(printf('%.2f', {expr}), 1, "
+                f"len(printf('%.2f', {expr})) - 1) "
+                f"ELSE printf('%.2f', {expr}) END")
+
+    ctes, selects = [], []
+    for c in num_cols + str_cols:
+        if c in str_cols:
+            type_counts = f"""
+         SUM(CASE WHEN {c} IS NOT NULL
+                   AND NOT regexp_matches({c}, '{boolean_re}')
+                   AND NOT regexp_matches({c}, '{integral_re}')
+                   AND NOT regexp_matches({c}, '{fractional_re}')
+             THEN 1 ELSE 0 END) AS n_plain,
+         SUM(CASE WHEN {c} IS NOT NULL AND regexp_matches({c}, '{boolean_re}') THEN 1 ELSE 0 END) AS n_bool,
+         SUM(CASE WHEN {c} IS NOT NULL AND regexp_matches({c}, '{integral_re}') THEN 1 ELSE 0 END) AS n_int,
+         SUM(CASE WHEN {c} IS NOT NULL AND regexp_matches({c}, '{fractional_re}') THEN 1 ELSE 0 END) AS n_frac,
+         MIN(TRY_CAST({c} AS DOUBLE)) AS mn,
+         FALSE AS native_num"""
+        else:
+            type_counts = f"""
+         0 AS n_plain, 0 AS n_bool, 0 AS n_int, 0 AS n_frac,
+         CAST(MIN({c}) AS DOUBLE) AS mn, TRUE AS native_num"""
+        ctes.append(f"""st_{c} AS (
+  SELECT COUNT(*) AS n, COUNT({c}) AS nn, COUNT(DISTINCT {c}) AS nd,{type_counts}
+  FROM customer)""")
+        ctes.append(f"""hist_{c} AS (
+  SELECT COALESCE(CAST({c} AS VARCHAR), 'NullValue') AS v, COUNT(*) AS cnt
+  FROM customer GROUP BY 1)""")
+        ctes.append(f"""hstat_{c} AS (
+  SELECT COUNT(*) AS ndv, SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS singletons,
+         SUM(cnt) AS total FROM hist_{c})""")
+        ctes.append(f"""cats_{c} AS (
+  SELECT COALESCE(string_agg(chr(39) || v || chr(39), ', ' ORDER BY v), '') AS cat_list
+  FROM hist_{c} WHERE v <> 'NullValue')""")
+        # fractional-categorical greedy cut set (ratio-desc until ≥ 0.9);
+        # engine tie order within equal ratios is histogram insertion order,
+        # v ASC here — only reachable under exact ratio ties at the cut
+        ctes.append(f"""fsel_{c} AS (
+  SELECT v, r, SUM(r) OVER (ORDER BY r DESC, v) AS cum
+  FROM (SELECT v, cnt * 1.0 / (SELECT total FROM hstat_{c}) AS r
+        FROM hist_{c} WHERE v <> 'NullValue') t)""")
+        ctes.append(f"""fr_{c} AS (
+  SELECT COALESCE(MAX(cum), 0.0) AS covered,
+         COALESCE(string_agg(chr(39) || v || chr(39), ', ' ORDER BY v), '') AS fcats,
+         (SELECT COALESCE(SUM(r), 0.0) FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r DESC, v) AS rk
+            FROM fsel_{c}) q
+          WHERE rk <= (SELECT GREATEST(1, ndv // 2) FROM hstat_{c})) AS topsum
+  FROM fsel_{c} WHERE cum - r < 0.9)""")
+
+        wald_lower = (f"GREATEST(0.0, FLOOR((nn * 1.0 / n - {z} * "
+                      f"sqrt((nn * 1.0 / n) * (1 - nn * 1.0 / n) / n)) "
+                      f"* 100 + 1e-9) / 100)")
+        selects.append(f"""
+SELECT '{c}' AS column_name, 'CompleteIfCompleteRule' AS rule_name,
+       '.is_complete("{c}")' AS code
+FROM st_{c} WHERE n > 0 AND nn = n
+UNION ALL
+SELECT '{c}', 'RetainCompletenessRule',
+       '.has_completeness("{c}", lambda v: v >= ' || {fmt2(wald_lower)} || ')'
+FROM st_{c} WHERE n > 0 AND nn * 1.0 / n >= 0.2 AND nn * 1.0 / n < 1.0
+UNION ALL
+SELECT '{c}', 'UniqueIfApproximatelyUniqueRule', '.is_unique("{c}")'
+FROM st_{c} WHERE n > 0 AND ABS(nd * 1.0 / n - 1.0) <= 0.08
+UNION ALL
+SELECT '{c}', 'NonNegativeNumbersRule', '.is_non_negative("{c}")'
+FROM st_{c} WHERE mn IS NOT NULL AND mn >= 0
+  AND (native_num OR (nn > 0 AND n_plain = 0 AND n_bool = 0))
+UNION ALL
+SELECT '{c}', 'CategoricalRangeRule',
+       '.is_contained_in("{c}", [' || (SELECT cat_list FROM cats_{c}) || '])'
+FROM st_{c}, hstat_{c}
+WHERE nd <= 120 AND singletons * 1.0 / GREATEST(ndv, 1) < 0.1
+UNION ALL
+SELECT '{c}', 'FractionalCategoricalRangeRule',
+       '.is_contained_in("{c}", [' || fcats || '], lambda v: v >= '
+        || {fmt2("ROUND(covered * 0.9, 2)")} || ')'
+FROM st_{c}, hstat_{c}, fr_{c}
+WHERE nd <= 120 AND ndv >= 2 AND topsum >= 0.9""")
+        if c in str_cols:
+            selects.append(f"""
+SELECT '{c}', 'RetainTypeRule',
+       '.has_data_type("{c}", DataTypeInstances.'
+        || (CASE WHEN n_bool > 0 THEN 'BOOLEAN' ELSE 'FRACTIONAL' END)
+        || ', lambda v: v == 1.0)'
+FROM st_{c}
+WHERE nn > 0 AND n_plain = 0
+  AND NOT (n_bool > 0 AND (n_int > 0 OR n_frac > 0))""")
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n"
+            + "\nUNION ALL".join(selects)
+            + "\n) ORDER BY column_name, rule_name")
 
 
 def q_anomaly(spark, sf_dir):
@@ -1070,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = inter.i
                        JOIN sizes sb ON sb.doc_id = inter.j
         """,
+        "simhash": _simhash_oracle_sql(),
         "text_quality": r"""
             WITH q AS (SELECT
                 SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS tok,
@@ -1290,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'Completeness_user_id_' || strftime(ws, '%Y-%m-%d'), c FROM g
             UNION ALL SELECT 'Compliance_purchase_ratio_' || strftime(ws, '%Y-%m-%d'), p FROM g
         """,
+        "suggestions": _suggestions_oracle_sql(),
         "dqdl": """
             WITH m AS (SELECT COUNT(*) AS n,
                 CAST(COUNT(o_orderkey) AS DOUBLE) / COUNT(*) AS compl_key,

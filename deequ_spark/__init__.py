@@ -56,8 +56,10 @@ from .comparison import (ComparisonResult, DataSynchronization,
 from .profiles import (ColumnProfile, ColumnProfilerRunner,
                        profile_columns)
 from .suggestions import (DEFAULT_RULES, EXTENDED_RULES, NUMERICAL_RULES,
-                          STRING_RULES, ConstraintSuggestion,
-                          ConstraintSuggestionRunner)
+                          STRING_RULES, ConfidenceInterval,
+                          ConfidenceIntervalStrategy, ConstraintSuggestion,
+                          ConstraintSuggestionRunner, WaldIntervalStrategy,
+                          WilsonScoreIntervalStrategy)
 from .schema_validation import (RowLevelSchema, RowLevelSchemaValidationResult,
                                 validate_schema)
 from .distance import (chi_square_p_value, chi_square_statistic, ks_distance,

@@ -103,8 +103,10 @@ class RelativeRateOfChangeStrategy(BaseChangeStrategy):
         return out
 
 
-# kept under the reference's older name as an alias
-RateOfChangeStrategy = RelativeRateOfChangeStrategy
+# deprecated backwards-compat alias: the reference's old RateOfChangeStrategy
+# "actually detects absolute changes so it has been migrated to
+# AbsoluteChangeStrategy" (RateOfChangeStrategy.scala:19-31)
+RateOfChangeStrategy = AbsoluteChangeStrategy
 
 
 @dataclass

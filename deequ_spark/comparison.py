@@ -46,10 +46,14 @@ class DataSynchronization:
         if missing1 or missing2:
             return ComparisonResult(None, error=f"missing key columns "
                                                 f"{missing1 + missing2}")
-        # key uniqueness precondition (parity :101-113)
+        # key uniqueness precondition on BOTH sides (parity :224-243 —
+        # duplicate keys on either side multiply join rows, so matched
+        # could exceed n1 and the ratio could exceed 1.0)
         n1 = ds1.count()
         if ds1.select(*col_key_map.keys()).distinct().count() != n1:
             return ComparisonResult(None, error="keys not unique in ds1")
+        if ds2.select(*col_key_map.values()).distinct().count() != ds2.count():
+            return ComparisonResult(None, error="keys not unique in ds2")
 
         if comp_cols is None:
             keys1 = set(col_key_map.keys())
@@ -84,7 +88,19 @@ class DataSynchronization:
                      comp_cols: Optional[Dict[str, str]] = None
                      ) -> "tuple[int, int]":
         """(matched rows, ds1 rows) — the mergeable sufficient statistic
-        behind DatasetMatchState (parity: DatasetMatchAnalyzer.scala:66-95)."""
+        behind DatasetMatchState (parity: DatasetMatchAnalyzer.scala:66-95).
+
+        Raises ValueError when the join keys are not unique in either
+        dataset (parity: DataSynchronization.scala:224-243) — duplicate
+        keys would multiply left-join rows and silently inflate both
+        matched and total.
+        """
+        if ds1.select(*col_key_map.keys()).distinct().count() != ds1.count():
+            raise ValueError("DatasetMatch: join keys are not unique in the "
+                             "primary dataset")
+        if ds2.select(*col_key_map.values()).distinct().count() != ds2.count():
+            raise ValueError("DatasetMatch: join keys are not unique in the "
+                             "dataset to compare")
         if comp_cols is None:
             keys1 = set(col_key_map.keys())
             keys2 = set(col_key_map.values())

@@ -69,17 +69,35 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def jaccard_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
-                             threshold: float, shingle_n: int = 3
+                             threshold: float, shingle_n: int = 3,
+                             max_shingle_df: Optional[int] = None
                              ) -> DataFrame:
     """EXACT all-pairs Jaccard ≥ threshold via an inverted-index join —
     the scalable sparse-similarity plan (explode shingles → join on
     shingle → count intersections → filter). Returns (id_a, id_b, jaccard)
-    with id_a < id_b."""
+    with id_a < id_b.
+
+    ``max_shingle_df`` caps the hot-bucket blow-up: a shingle shared by m
+    documents produces m² join rows, so one boilerplate shingle (licence
+    headers, navigation chrome) can dominate the whole join. Setting a cap
+    drops shingles whose document frequency exceeds it BEFORE the
+    self-join (the standard prefix-filter trick) — the join cost becomes
+    Σ min(df, cap)² instead of Σ df². Capped shingles no longer count
+    toward intersections (sizes keep the full shingle sets), so the
+    computed Jaccard is a lower bound for pairs sharing hot shingles —
+    exactly the boilerplate you don't want driving near-dup decisions. At
+    corpus scale ALWAYS set a cap; None keeps the result exact.
+    """
     df = ensure_parallelism(df)
     base = df.select(F.col(id_col).alias("id"),
                      word_shingles(F.col(text_col), shingle_n).alias("sh"))
     sizes = base.select("id", F.size("sh").alias("sz"))
     postings = base.select("id", F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        # the hot set is small by definition (df > cap) → broadcast anti-join
+        hot = (postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") > max_shingle_df).select("s"))
+        postings = postings.join(F.broadcast(hot), "s", "left_anti")
     a, b = postings.alias("a"), postings.alias("b")
     inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
                     & (F.col("a.id") < F.col("b.id")))
@@ -184,25 +202,52 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "jaccard"))
 
 
+P31 = (1 << 31) - 1  # Mersenne prime 2³¹−1
+
+
+def portable_shingle_hash(s: Column) -> Column:
+    """31-bit polynomial rolling hash h = fold(h·131 + codepoint) mod 2³¹−1.
+
+    Unlike xxhash64 this is expressible identically in any ANSI-SQL engine
+    (DuckDB: ``list_reduce(... (acc,x) -> (acc*131+x) % 2147483647)``), so
+    simhash fingerprints built from it are engine-independent — the oracle
+    for the simhash near-dup query recomputes them in DuckDB and brute-
+    forces the pair set with ``bit_count(xor(a,b))``. All arithmetic stays
+    below 2³⁸, safe under ANSI-mode LONG overflow checks.
+    """
+    return F.aggregate(
+        F.split(s, ""), F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * 131 + F.ascii(ch), F.lit(P31)))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str,
-            shingle_n: int = 2, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document — per-bit weighted majority over
-    shingle hashes, expressed with aggregate/zip_with (no UDF).
+            shingle_n: int = 2, bits: int = 64,
+            hash_fn=None) -> DataFrame:
+    """SimHash per document — per-bit weighted majority over shingle
+    hashes, expressed with aggregate/zip_with (no UDF).
+
+    ``hash_fn`` maps a shingle Column to a LONG hash Column; the default is
+    ``xxhash64`` (fast JVM path). Pass ``portable_shingle_hash`` for
+    engine-independent fingerprints (used by the correctness oracle). With
+    ``bits`` < 64 only the low bits of the hash feed the fingerprint.
 
     Shift amounts must be Python ints for shiftright/shiftleft, so the
     per-bit expressions are generated in a Python loop; the data-dependent
-    part stays in one array-aggregate pass.
+    part stays in one array-aggregate pass. Each shingle is hashed exactly
+    ONCE (explicit transform) — never once per bit.
     """
     df = ensure_parallelism(df)
+    hash_fn = hash_fn or F.xxhash64
     sh = word_shingles(F.col(text_col), shingle_n)
+    hashes = F.transform(sh, lambda s: hash_fn(s))
     zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
-    # fold shingles into per-bit ±1 counters
+    # fold shingle hashes into per-bit ±1 counters
     counters = F.aggregate(
-        sh, zero,
-        lambda acc, s: F.zip_with(
+        hashes, zero,
+        lambda acc, h: F.zip_with(
             acc,
             F.array(*[
-                F.when(F.shiftright(F.xxhash64(s), b)
+                F.when(F.shiftright(h, b)
                        .bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long"))
                 .otherwise(F.lit(-1).cast("long"))
                 for b in range(bits)]),
@@ -220,14 +265,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
-                            max_hamming: int = 3, shingle_n: int = 2
-                            ) -> DataFrame:
-    """Pairs with Hamming distance ≤ k via the block trick: split 64 bits
-    into k+1 blocks — any pair within distance k must share one block
-    exactly; join per block, then verify with bit_count(xor)."""
-    hashes = simhash(df, id_col, text_col, shingle_n)
+                            max_hamming: int = 3, shingle_n: int = 2,
+                            bits: int = 64, hash_fn=None) -> DataFrame:
+    """Pairs with Hamming distance ≤ k via the block trick: split the
+    fingerprint into k+1 blocks — any pair within distance k must share one
+    block exactly (pigeonhole); join per block, then verify with
+    bit_count(xor). Bits beyond blocks·width don't block (slightly more
+    candidates) but still count in the verified Hamming distance."""
+    hashes = simhash(df, id_col, text_col, shingle_n, bits, hash_fn)
     blocks = max_hamming + 1
-    width = 64 // blocks
+    width = max(1, bits // blocks)
     block_cols = F.explode(F.array(*[
         F.struct(F.lit(i).alias("blk"),
                  F.shiftright(F.col("simhash"), i * width)

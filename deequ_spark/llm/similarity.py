@@ -49,31 +49,107 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
 
 
 def knn_join(queries: DataFrame, corpus: DataFrame, query_id: str,
-             corpus_id: str, vec_col: str, k: int = 10) -> DataFrame:
-    """Exact k-NN of every query against the corpus: broadcast the query
-    side, rank per query with a window. Returns (query, neighbor, cosine,
-    rank)."""
-    q = queries.select(F.col(query_id).alias("qid"),
-                       F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("cid"),
-                      F.col(vec_col).alias("cv"))
-    scored = (c.crossJoin(F.broadcast(q))
-              .select("qid", "cid",
-                      cosine_similarity_expr(F.col("qv"), F.col("cv"))
-                      .alias("cosine")))
+             corpus_id: str, vec_col: str, k: int = 10,
+             batch_buffer: int = 8) -> DataFrame:
+    """Exact k-NN of every query against the corpus. Returns (qid, cid,
+    cosine, rank).
+
+    Scale plan (100 TB corpus): the query side is small by contract — it is
+    collected once and shipped in the Arrow UDF closure. The corpus is
+    scanned exactly ONCE through ``mapInPandas``: each Arrow batch is
+    scored against ALL queries with one BLAS matmul and reduced to its
+    local top-(k+batch_buffer) per query, so only ~(k+buffer)·batches rows
+    per query ride the final shuffle — never the |corpus|×|queries| scored
+    cross product (the old window-rank plan shuffled every scored row).
+    The matmul score is only used for PRUNING; each local winner's cosine
+    is then recomputed with sequential-order float64 arithmetic (cumsum =
+    the same left-fold the JVM ``aggregate`` expression performs), so
+    emitted cosines match brute_force_topk bit-for-bit. Per-batch top-k is
+    a superset of the global top-k, and the buffer absorbs float ties at
+    the pruning boundary.
+    """
+    import math
+
+    import numpy as np
+
+    qrows = queries.select(query_id, vec_col).collect()
+    if not qrows:
+        raise ValueError("knn_join: query side is empty")
+    qids = [r[0] for r in qrows]
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = (Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)).T
+    # query norms with the SAME sequential fold the JVM expression uses
+    qnorms = [math.sqrt(float(np.cumsum(q * q)[-1])) for q in Q]
+    kb = k + batch_buffer
+
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    cid_type = corpus.schema[corpus_id].dataType.simpleString()
+    cand_schema = f"qid {qid_type}, cid {cid_type}, cosine double"
+
+    def local_topk(batches):
+        import pandas as pd
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-12)
+            S = Xn @ Qn                                  # rows × queries
+            n = len(pdf)
+            take = min(kb, n)
+            cids = pdf[corpus_id].to_numpy()
+            out_qid, out_cid, out_cos = [], [], []
+            for j, qid in enumerate(qids):
+                # argpartition: O(n) per query instead of a full sort
+                idx = (np.argpartition(-S[:, j], take - 1)[:take]
+                       if take < n else np.arange(n))
+                for i in idx:
+                    x = X[i]
+                    # exact left-fold order: 0.0 + Σ xᵢ·qᵢ, matching the
+                    # JVM aggregate(zip_with(...)) evaluation bit-for-bit
+                    dot = float(np.cumsum(x * Q[j])[-1])
+                    nx = math.sqrt(float(np.cumsum(x * x)[-1]))
+                    out_qid.append(qid)
+                    out_cid.append(cids[i])
+                    out_cos.append(dot / (nx * qnorms[j]))
+            yield pd.DataFrame({"qid": out_qid, "cid": out_cid,
+                                "cosine": out_cos})
+
+    # no forced repartition: the per-batch matmul is vectorized (cheap per
+    # row), so parallelism comes from the input's own splits — at corpus
+    # scale those are thousands of files; forcing defaultParallelism here
+    # would only spawn idle Python workers for small inputs
+    cand = (corpus.select(corpus_id, vec_col)
+            .mapInPandas(local_topk, cand_schema))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
 
 
 def kmeans_centroids(df: DataFrame, vec_col: str, n_centroids: int = 16,
                      sample_rows: int = 20000, iters: int = 10,
                      seed: int = 42) -> List[List[float]]:
-    """Driver-side k-means over a bounded sample (Lloyd's, numpy).
+    """Driver-side k-means over a bounded RANDOM sample (Lloyd's, numpy).
     The sample is O(sample_rows·dims) — constant wrt table size; the
-    centroids are tiny and shipped as literals/broadcast."""
+    centroids are tiny and shipped as literals/broadcast.
+
+    The sample must be unbiased: ``limit(n)`` would take the first rows of
+    the first partitions, so on sorted/clustered data the centroids would
+    be trained on one region and nprobe recall would degrade silently at
+    scale. A seeded ``sample(fraction)`` (one extra count to size the
+    fraction) touches every partition uniformly instead.
+    """
     import numpy as np
-    sample = df.select(vec_col).limit(sample_rows).collect()
+    total = df.count()
+    if total == 0:
+        raise ValueError("kmeans_centroids: input is empty")
+    if total <= sample_rows:
+        sample = df.select(vec_col).collect()
+    else:
+        # 1.2× oversampling so the post-limit rarely undershoots
+        fraction = min(1.0, 1.2 * sample_rows / total)
+        sample = (df.select(vec_col).sample(fraction=fraction, seed=seed)
+                  .limit(sample_rows).collect())
     X = np.array([row[0] for row in sample], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -145,17 +221,29 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
             .limit(k))
 
 
-def _hyperplane_signature(vec: Column, dims: int, planes: int,
-                          seed: int = 42) -> Column:
-    bits = []
-    for p in range(planes):
-        signs = [1.0 if hash((seed, p, i)) % 2 else -1.0 for i in range(dims)]
+def _hyperplane_matrix(dims: int, planes: int, seed: int):
+    """Deterministic Gaussian hyperplanes — seeded numpy, identical across
+    processes/Python versions (builtin hash() is randomized per process and
+    implementation-defined; the previous implementation used it and was not
+    reproducible across interpreters). Same machinery as
+    dedup.embedding_near_duplicates."""
+    import numpy as np
+    return np.random.default_rng(seed).standard_normal((planes, dims))
+
+
+def _hyperplane_signature(vec: Column, W) -> Column:
+    """Integer bit-packed signature: bit p = [vec·W[p] ≥ 0]."""
+    sig = None
+    for p, row in enumerate(W):
         dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(s) for s in signs]),
+            F.zip_with(vec, F.array(*[F.lit(float(w)) for w in row]),
                        lambda x, w: x.cast("double") * w),
             F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+        term = F.shiftleft(bit, p)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sig
 
 
 def hyperplane_lsh_topk(df: DataFrame, id_col: str, vec_col: str,
@@ -166,15 +254,14 @@ def hyperplane_lsh_topk(df: DataFrame, id_col: str, vec_col: str,
     matches the query's (expected candidate fraction ≈ 2^-planes +
     near-boundary neighbors). The scale path: the signature predicate
     prunes the scan before any scoring."""
+    import numpy as np
     if dims is None:
         dims = len(query_vector)
-    sig = _hyperplane_signature(F.col(vec_col), dims, planes, seed)
-    # query signature computed driver-side with the same sign pattern
-    qsig = ""
-    for p in range(planes):
-        signs = [1.0 if hash((seed, p, i)) % 2 else -1.0 for i in range(dims)]
-        dot = sum(s * float(v) for s, v in zip(signs, query_vector))
-        qsig += "1" if dot >= 0 else "0"
+    W = _hyperplane_matrix(dims, planes, seed)
+    sig = _hyperplane_signature(F.col(vec_col), W)
+    # query signature computed driver-side from the SAME plane matrix
+    qbits = (W @ np.array(query_vector, dtype=np.float64)) >= 0
+    qsig = int((qbits.astype("int64") << np.arange(planes)).sum())
     q = F.array(*[F.lit(float(v)) for v in query_vector])
     return (df.where(sig == F.lit(qsig))
             .select(F.col(id_col).alias("id"),

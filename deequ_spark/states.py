@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import base64
 import dataclasses
+import hashlib
 import json
 import os
 from typing import Any, Dict, Optional
@@ -76,7 +77,19 @@ class FileSystemStateProvider(StateProvider):
         os.makedirs(path, exist_ok=True)
 
     def _file_for(self, analyzer: Analyzer) -> str:
-        ident = f"{type(analyzer).__name__}-{abs(hash(analyzer)):x}"
+        # The identity must be stable ACROSS driver processes (states written
+        # by one run are loaded by the next): built-in hash() of strings is
+        # randomized per process (PYTHONHASHSEED), so derive the name from
+        # the serialized analyzer parameters instead.
+        from .repository import serialize_analyzer
+        try:
+            payload = json.dumps(serialize_analyzer(analyzer), sort_keys=True,
+                                 default=str)
+        except TypeError:
+            payload = repr(sorted(analyzer.__dict__.items(),
+                                  key=lambda kv: kv[0]))
+        digest = hashlib.sha1(payload.encode()).hexdigest()[:16]
+        ident = f"{type(analyzer).__name__}-{digest}"
         return os.path.join(self.path, ident)
 
     def persist(self, analyzer: Analyzer, state: State) -> None:

@@ -60,17 +60,92 @@ class CompleteIfCompleteRule(SuggestionRule):
             lambda check: check.is_complete(col))
 
 
+@dataclass
+class ConfidenceInterval:
+    """Parity: interval/ConfidenceIntervalStrategy.scala ConfidenceInterval."""
+    lower_bound: float
+    upper_bound: float
+
+
+def _round2(value: float, up: bool) -> float:
+    """BigDecimal setScale(2, DOWN/UP) semantics — truncate toward / away
+    from zero at two decimals (parity: Wald/WilsonScoreIntervalStrategy)."""
+    from decimal import ROUND_DOWN, ROUND_UP, Decimal
+    return float(Decimal(value).quantize(
+        Decimal("0.01"), rounding=ROUND_UP if up else ROUND_DOWN))
+
+
+class ConfidenceIntervalStrategy:
+    """Parity: interval/ConfidenceIntervalStrategy.scala."""
+
+    DEFAULT_CONFIDENCE = 0.95
+
+    def calculate_target_confidence_interval(
+            self, p_hat: float, num_records: int,
+            confidence: float = DEFAULT_CONFIDENCE) -> ConfidenceInterval:
+        raise NotImplementedError
+
+    @staticmethod
+    def _validate(p_hat: float, confidence: float) -> None:
+        if not 0.0 <= p_hat <= 1.0:
+            raise ValueError("pHat must be between 0.0 and 1.0")
+        if not 0.0 <= confidence <= 1.0:
+            raise ValueError("confidence must be between 0.0 and 1.0")
+
+    @staticmethod
+    def calculate_z_score(confidence: float) -> float:
+        from statistics import NormalDist
+        return NormalDist().inv_cdf(1 - (1.0 - confidence) / 2.0)
+
+
+class WaldIntervalStrategy(ConfidenceIntervalStrategy):
+    """p ± z·√(p(1−p)/n) — the reference's (deprecated but DEFAULT)
+    strategy (parity: interval/WaldIntervalStrategy.scala)."""
+
+    def calculate_target_confidence_interval(
+            self, p_hat, num_records,
+            confidence=ConfidenceIntervalStrategy.DEFAULT_CONFIDENCE):
+        self._validate(p_hat, confidence)
+        margin = (self.calculate_z_score(confidence)
+                  * math.sqrt(p_hat * (1 - p_hat) / num_records))
+        return ConfidenceInterval(_round2(p_hat - margin, up=False),
+                                  _round2(p_hat + margin, up=True))
+
+
+class WilsonScoreIntervalStrategy(ConfidenceIntervalStrategy):
+    """Wilson score interval — better coverage for small n / extreme p
+    (parity: interval/WilsonScoreIntervalStrategy.scala)."""
+
+    def calculate_target_confidence_interval(
+            self, p_hat, num_records,
+            confidence=ConfidenceIntervalStrategy.DEFAULT_CONFIDENCE):
+        self._validate(p_hat, confidence)
+        z = self.calculate_z_score(confidence)
+        z_sq_over_n = z * z / num_records
+        factor = 1.0 / (1 + z_sq_over_n)
+        adjusted = p_hat + z_sq_over_n / 2
+        margin = z * math.sqrt(p_hat * (1 - p_hat) / num_records
+                               + z_sq_over_n / (4 * num_records))
+        return ConfidenceInterval(_round2(factor * (adjusted - margin), up=False),
+                                  _round2(factor * (adjusted + margin), up=True))
+
+
+DEFAULT_INTERVAL_STRATEGY: ConfidenceIntervalStrategy = WaldIntervalStrategy()
+
+
 class RetainCompletenessRule(SuggestionRule):
-    """Suggest a lower bound from a Wilson score interval
-    (parity: rules/RetainCompletenessRule.scala +
-    interval/WilsonScoreIntervalStrategy.scala)."""
+    """Suggest a lower bound from a binomial confidence interval —
+    strategy selectable, reference default Wald
+    (parity: rules/RetainCompletenessRule.scala:37-66 +
+    interval/{Wald,WilsonScore}IntervalStrategy.scala)."""
     name = "RetainCompletenessRule"
 
     def __init__(self, min_completeness: float = 0.2,
-                 max_completeness: float = 1.0, z: float = 1.96):
+                 max_completeness: float = 1.0,
+                 interval_strategy: Optional[ConfidenceIntervalStrategy] = None):
         self.min_completeness = min_completeness
         self.max_completeness = max_completeness
-        self.z = z
+        self.interval_strategy = interval_strategy or DEFAULT_INTERVAL_STRATEGY
 
     def should_be_applied(self, profile, num_records):
         return (self.min_completeness <= profile.completeness
@@ -78,11 +153,9 @@ class RetainCompletenessRule(SuggestionRule):
 
     def candidate(self, profile, num_records):
         col = profile.column
-        p, n, z = profile.completeness, max(num_records, 1), self.z
-        denom = 1 + z * z / n
-        center = (p + z * z / (2 * n)) / denom
-        margin = (z / denom) * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
-        lower = max(0.0, round(center - margin, 2))
+        p, n = profile.completeness, max(num_records, 1)
+        interval = self.interval_strategy.calculate_target_confidence_interval(p, n)
+        lower = max(0.0, interval.lower_bound)
         return ConstraintSuggestion(
             f"CompletenessConstraint({col})", col, f"Completeness: {p}",
             f"'{col}' has less than {int((1 - lower) * 100)}% missing values",

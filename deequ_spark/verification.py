@@ -21,6 +21,26 @@ from .constraints import ConstraintStatus
 from .runners.analysis_runner import AnalyzerContext, do_analysis_run
 
 
+def _write_text_dfs(spark: Optional[SparkSession], path: str, content: str,
+                    overwrite: bool = True) -> None:
+    """Write a small text file through the Hadoop FileSystem API so that
+    hdfs:// s3:// file:// paths all work on a real cluster
+    (parity: io/DfsUtils.scala:43-75 writeToTextFileOnDfs)."""
+    try:
+        jvm = spark._jvm  # type: ignore[union-attr]
+        conf = spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(conf)
+        out = fs.create(hpath, overwrite)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+    except Exception:  # pragma: no cover — Spark Connect / no JVM gateway
+        with open(path, "w" if overwrite else "x", encoding="utf-8") as f:
+            f.write(content)
+
+
 @dataclass
 class VerificationResult:
     status: CheckStatus
@@ -29,6 +49,23 @@ class VerificationResult:
 
     def success_metrics_as_json(self) -> str:
         return self.metrics.success_metrics_as_json()
+
+    def check_results_as_json(self) -> str:
+        """JSON array of simplified per-constraint results
+        (parity: VerificationResult.scala:106-124 checkResultsAsJson)."""
+        import json
+        rows = []
+        for check, result in self.check_results.items():
+            for cr in result.constraint_results:
+                rows.append({
+                    "check": check.description,
+                    "check_level": check.level.value,
+                    "check_status": result.status.value,
+                    "constraint": str(cr.constraint),
+                    "constraint_status": cr.status.value,
+                    "constraint_message": cr.message or "",
+                })
+        return json.dumps(rows, sort_keys=True)
 
     def success_metrics_as_dataframe(self, spark: SparkSession) -> DataFrame:
         return self.metrics.success_metrics_as_dataframe(spark)
@@ -55,6 +92,7 @@ class VerificationResult:
         fuses it into the scan.
         """
         out = data
+        used_names = set(data.columns)
         for check, _result in self.check_results.items():
             cond = None
             for constraint in check.constraints:
@@ -72,7 +110,14 @@ class VerificationResult:
                 col = F.coalesce(col, F.lit(False))
                 cond = col if cond is None else (cond & col)
             if cond is not None:
-                out = out.withColumn(check.description, cond)
+                # two checks sharing a description must not silently
+                # overwrite each other's outcome column — suffix an index
+                name, i = check.description, 1
+                while name in used_names:
+                    i += 1
+                    name = f"{check.description}_{i}"
+                used_names.add(name)
+                out = out.withColumn(name, cond)
         return out
 
 
@@ -89,6 +134,10 @@ class VerificationRunBuilder:
         self._save_key = None
         self._state_persister = None
         self._anomaly_checks: List = []
+        self._spark: Optional[SparkSession] = None
+        self._save_check_results_json_path: Optional[str] = None
+        self._save_success_metrics_json_path: Optional[str] = None
+        self._overwrite_output_files = True
 
     def add_check(self, check: Check) -> "VerificationRunBuilder":
         self._checks.append(check)
@@ -120,6 +169,28 @@ class VerificationRunBuilder:
 
     def save_or_append_result(self, key) -> "VerificationRunBuilder":
         self._save_key = key
+        return self
+
+    def use_spark_session(self, spark: SparkSession) -> "VerificationRunBuilder":
+        """Enable DFS file outputs (parity:
+        VerificationRunBuilderWithSparkSession, VerificationRunBuilder.scala:246-263)."""
+        self._spark = spark
+        return self
+
+    def save_check_results_json_to_path(self, path: str) -> "VerificationRunBuilder":
+        """Write check results JSON to a DFS path (e.g. S3) after the run
+        (parity: VerificationRunBuilder.scala:252-260)."""
+        self._save_check_results_json_path = path
+        return self
+
+    def save_success_metrics_json_to_path(self, path: str) -> "VerificationRunBuilder":
+        """Write success metrics JSON to a DFS path after the run
+        (parity: VerificationRunBuilder.scala:262-271)."""
+        self._save_success_metrics_json_path = path
+        return self
+
+    def overwrite_previous_files(self, overwrite: bool) -> "VerificationRunBuilder":
+        self._overwrite_output_files = overwrite
         return self
 
     def save_states_with(self, persister) -> "VerificationRunBuilder":
@@ -163,7 +234,21 @@ class VerificationRunBuilder:
         if self._repository is not None and self._save_key is not None:
             self._repository.save(self._save_key, context)
 
-        return VerificationResult(status, check_results, context)
+        result = VerificationResult(status, check_results, context)
+
+        # JSON file outputs (parity: VerificationSuite.scala:141-160
+        # saveJsonOutputsToFilesystemIfNecessary)
+        spark = self._spark or self._data.sparkSession
+        if self._save_check_results_json_path is not None:
+            _write_text_dfs(spark, self._save_check_results_json_path,
+                            result.check_results_as_json(),
+                            self._overwrite_output_files)
+        if self._save_success_metrics_json_path is not None:
+            _write_text_dfs(spark, self._save_success_metrics_json_path,
+                            result.success_metrics_as_json(),
+                            self._overwrite_output_files)
+
+        return result
 
 
 class VerificationSuite:

@@ -220,3 +220,130 @@ class TestMultimodal:
         doc0 = [r for r in chunks if r["media_id"] == 0]
         # 43 bytes → 5 chunks → sampled indices 0,2,4 → 3 chunks
         assert len(doc0) == 3
+
+
+class TestKnnJoinScale:
+    """knn_join must never shuffle the scored cross product — candidates
+    come from per-batch local top-k, the final window sees only them."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        rows = [(i, [float(v) for v in rng.standard_normal(8)])
+                for i in range(300)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_matches_brute_force_per_query(self, corpus):
+        from deequ_spark.llm import brute_force_topk, knn_join
+        queries = corpus.where("vec_id < 3")
+        out = knn_join(queries, corpus, "vec_id", "vec_id", "embedding",
+                       k=5).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["qid"], []).append((r["rank"], r["cid"],
+                                                  r["cosine"]))
+        for qrow in queries.collect():
+            expected = [(r["id"], r["cosine"]) for r in brute_force_topk(
+                corpus, "vec_id", "embedding",
+                list(qrow["embedding"]), k=5).collect()]
+            got = [(cid, cos) for _, cid, cos in
+                   sorted(by_q[qrow["vec_id"]])]
+            # ids AND cosines bit-identical with the JVM expression path
+            assert got == expected
+
+    def test_empty_queries_raise(self, corpus):
+        from deequ_spark.llm import knn_join
+        with pytest.raises(ValueError, match="empty"):
+            knn_join(corpus.where("vec_id < 0"), corpus, "vec_id",
+                     "vec_id", "embedding", k=5)
+
+
+class TestKmeansSampleUnbiased:
+    def test_clustered_sorted_input_recall(self, spark):
+        """With limit()-based sampling the centroid sample would contain
+        ONLY the first cluster of a sorted input; the seeded random sample
+        must cover all clusters so nprobe=1 still finds the right list."""
+        import numpy as np
+        from deequ_spark.llm import ivf_topk, kmeans_centroids
+        rng = np.random.default_rng(11)
+        centers = [np.array([10.0, 0, 0, 0]), np.array([0, 10.0, 0, 0]),
+                   np.array([0, 0, 10.0, 0])]
+        rows = []
+        for c_idx, c in enumerate(centers):        # sorted by cluster
+            for i in range(200):
+                v = c + rng.standard_normal(4) * 0.1
+                rows.append((c_idx * 200 + i, [float(x) for x in v]))
+        # multiple partitions in input order → limit() would see cluster 0 only
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>").coalesce(3)
+        cents = kmeans_centroids(df, "embedding", n_centroids=3,
+                                 sample_rows=90, seed=5)
+        got = np.array(cents)
+        # every true cluster direction must be represented by some centroid
+        for c in centers:
+            cn = c / np.linalg.norm(c)
+            assert (got @ cn).max() > 0.9
+        # and nprobe=1 must find the true nearest neighbor of a LAST-cluster query
+        q = [0.0, 0.0, 10.0, 0.0]
+        top = ivf_topk(df, "vec_id", "embedding", q, k=1,
+                       centroids=cents, nprobe=1).collect()
+        assert 400 <= top[0]["id"] < 600
+
+
+class TestJaccardDfCap:
+    def test_boilerplate_shingles_capped(self, spark):
+        """Docs sharing ONLY a boilerplate header must not pair up when the
+        header's shingles exceed the document-frequency cap."""
+        from deequ_spark.llm import jaccard_similarity_pairs
+        boiler = "all rights reserved license header "
+        rows = [(i, boiler + f"unique content number {i} " * 3)
+                for i in range(12)]
+        rows += [(100, "genuine duplicate text body here"),
+                 (101, "genuine duplicate text body here")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = jaccard_similarity_pairs(
+            docs, "doc_id", "text", threshold=0.15, shingle_n=3)
+        capped = jaccard_similarity_pairs(
+            docs, "doc_id", "text", threshold=0.15, shingle_n=3,
+            max_shingle_df=5)
+        capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        uncapped_pairs = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+        assert (100, 101) in capped_pairs          # real dup survives
+        boiler_pairs = {p for p in capped_pairs if p[0] < 100}
+        assert not boiler_pairs                    # boilerplate-only pairs gone
+        assert {p for p in uncapped_pairs if p[0] < 100}  # …that existed before
+
+    def test_cap_none_is_exact(self, docs):
+        from deequ_spark.llm import jaccard_similarity_pairs
+        a = jaccard_similarity_pairs(docs, "doc_id", "text", 0.5)
+        b = jaccard_similarity_pairs(docs, "doc_id", "text", 0.5,
+                                     max_shingle_df=None)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestHyperplaneDeterminism:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+                (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0]),
+                (4, [1.0, 0.01, 0.0])]
+        return spark.createDataFrame(rows,
+                                     "vec_id long, embedding array<float>")
+
+    def test_signature_stable_and_seeded(self, vectors):
+        from deequ_spark.llm import hyperplane_lsh_topk
+        a = hyperplane_lsh_topk(vectors, "vec_id", "embedding",
+                                [1.0, 0.0, 0.0], k=3, planes=4).collect()
+        b = hyperplane_lsh_topk(vectors, "vec_id", "embedding",
+                                [1.0, 0.0, 0.0], k=3, planes=4).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert 0 in [r["id"] for r in a]
+
+    def test_plane_matrix_is_numpy_seeded(self):
+        """Planes must come from seeded numpy, not builtin hash() (which is
+        randomized per process)."""
+        import numpy as np
+        from deequ_spark.llm.similarity import _hyperplane_matrix
+        expected = np.random.default_rng(42).standard_normal((4, 3))
+        assert np.array_equal(_hyperplane_matrix(3, 4, 42), expected)

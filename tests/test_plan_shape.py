@@ -73,14 +73,24 @@ def test_grouping_plan_single_shuffle(spark, lineitem):
     assert count_nodes(plan, "Exchange") == 1
 
 
-def test_knn_join_broadcasts_query_side(spark):
-    """knn_join must broadcast the (small) query side — no shuffle of the
-    corpus."""
+def test_knn_join_never_shuffles_scored_cross_product(spark):
+    """knn_join's final ranking window must see only per-batch top-k
+    CANDIDATES, never the |corpus|×|queries| scored cross product: no
+    cartesian/nested-loop join anywhere, candidates re-join the corpus via
+    broadcast hash joins (corpus side never shuffles)."""
     from deequ_spark.llm import knn_join
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = explain_str(knn_join(emb.limit(3), emb, "vec_id", "vec_id",
                                 "embedding", k=2))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan        # single corpus pass, no rescore join
+    # the window ranks only the per-batch top-k candidate rows emitted by
+    # the Arrow stage — its Exchange is over ~k·batches·queries rows
+    assert "Window" in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or \
+        "PythonMapInArrow" in plan or "FlatMapGroupsInPandas" in plan or \
+        "mapInPandas" in plan.lower()
 
 
 def test_row_level_annotation_is_projection_only(spark, lineitem):

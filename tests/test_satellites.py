@@ -331,3 +331,172 @@ class TestKLLProfiling:
         from deequ_spark.profiles import profile_columns
         profiles = profile_columns(df_numeric)
         assert profiles["att1"].kll is None
+
+
+class TestConfidenceIntervals:
+    """Parity: interval/{Wald,WilsonScore}IntervalStrategy.scala — values
+    hand-derived from the reference formulas (z = Φ⁻¹(0.975) =
+    1.959963984540054, 2-decimal DOWN/UP rounding)."""
+
+    def test_wald_values(self):
+        from deequ_spark import WaldIntervalStrategy
+        iv = WaldIntervalStrategy().calculate_target_confidence_interval(
+            0.9, 100)
+        # margin = 1.959964·√(0.09/100) = 0.0587989
+        assert iv.lower_bound == 0.84
+        assert iv.upper_bound == 0.96
+        iv2 = WaldIntervalStrategy().calculate_target_confidence_interval(
+            0.5, 100)
+        assert iv2.lower_bound == 0.40
+        assert iv2.upper_bound == 0.60
+
+    def test_wilson_values(self):
+        from deequ_spark import WilsonScoreIntervalStrategy
+        iv = WilsonScoreIntervalStrategy().calculate_target_confidence_interval(
+            0.9, 100)
+        assert iv.lower_bound == 0.82
+        assert iv.upper_bound == 0.95
+
+    def test_default_strategy_is_wald(self):
+        # parity: ConfidenceIntervalStrategy.scala defaultIntervalStrategy
+        from deequ_spark.suggestions import (DEFAULT_INTERVAL_STRATEGY,
+                                             WaldIntervalStrategy)
+        assert isinstance(DEFAULT_INTERVAL_STRATEGY, WaldIntervalStrategy)
+
+    def test_retain_completeness_strategy_selectable(self, df_missing):
+        from deequ_spark.suggestions import (RetainCompletenessRule,
+                                             WilsonScoreIntervalStrategy)
+        from deequ_spark.profiles import profile_columns
+        profiles = profile_columns(df_missing, ["att2"])
+        wald = RetainCompletenessRule()
+        wilson = RetainCompletenessRule(
+            interval_strategy=WilsonScoreIntervalStrategy())
+        assert wald.should_be_applied(profiles["att2"], 12)
+        c_wald = wald.candidate(profiles["att2"], 12)
+        c_wilson = wilson.candidate(profiles["att2"], 12)
+        # p = 0.75, n = 12: Wald lower = 0.50, Wilson lower = 0.46
+        assert 'v >= 0.5' in c_wald.code_for_constraint
+        assert 'v >= 0.46' in c_wilson.code_for_constraint
+
+    def test_validation(self):
+        from deequ_spark import WaldIntervalStrategy
+        with pytest.raises(ValueError):
+            WaldIntervalStrategy().calculate_target_confidence_interval(
+                1.5, 100)
+
+
+class TestRateOfChangeAlias:
+    def test_alias_is_absolute(self):
+        """The reference's deprecated RateOfChangeStrategy 'actually
+        detects absolute changes' (RateOfChangeStrategy.scala:19-26)."""
+        from deequ_spark import RateOfChangeStrategy
+        assert RateOfChangeStrategy is AbsoluteChangeStrategy
+        anomalies = RateOfChangeStrategy(
+            max_rate_increase=5.0).detect([1.0, 2.0, 20.0, 21.0])
+        assert [a.index for a in anomalies] == [2]
+
+
+class TestStateFilenameDeterminism:
+    def test_same_params_same_file(self, tmp_path):
+        provider = FileSystemStateProvider(str(tmp_path))
+        assert (provider._file_for(Completeness("att1"))
+                == provider._file_for(Completeness("att1")))
+        assert (provider._file_for(Completeness("att1"))
+                != provider._file_for(Completeness("att2")))
+
+    def test_filename_not_process_hash_dependent(self, tmp_path):
+        """The name must derive from serialized params (sha1), never from
+        builtin hash() which is randomized per process."""
+        import hashlib
+        import json as _json
+        from deequ_spark.repository import serialize_analyzer
+        provider = FileSystemStateProvider(str(tmp_path))
+        a = Mean("att1")
+        payload = _json.dumps(serialize_analyzer(a), sort_keys=True,
+                              default=str)
+        digest = hashlib.sha1(payload.encode()).hexdigest()[:16]
+        assert provider._file_for(a).endswith(f"Mean-{digest}")
+
+
+class TestJsonFileOutputs:
+    def test_check_results_json_roundtrip(self, tmp_path, df_missing):
+        import json as _json
+        check = (Check(CheckLevel.ERROR, "output check")
+                 .has_size(lambda n: n == 12)
+                 .is_complete("att1"))
+        chk_path = str(tmp_path / "check_results.json")
+        met_path = str(tmp_path / "success_metrics.json")
+        result = (VerificationSuite().on_data(df_missing)
+                  .add_check(check)
+                  .use_spark_session(df_missing.sparkSession)
+                  .save_check_results_json_to_path(chk_path)
+                  .save_success_metrics_json_to_path(met_path)
+                  .run())
+        with open(chk_path) as f:
+            rows = _json.load(f)
+        assert {r["constraint_status"] for r in rows} == {"Success", "Failure"}
+        assert all(r["check"] == "output check" for r in rows)
+        assert _json.loads(result.check_results_as_json()) == rows
+        with open(met_path) as f:
+            metrics = _json.load(f)
+        by_name = {(m["name"], m["instance"]): m["value"] for m in metrics}
+        assert by_name[("Size", "*")] == 12.0
+        assert by_name[("Completeness", "att1")] == 0.5
+
+    def test_overwrite_false_raises_on_existing(self, tmp_path, df_missing):
+        chk_path = str(tmp_path / "existing.json")
+        with open(chk_path, "w") as f:
+            f.write("[]")
+        builder = (VerificationSuite().on_data(df_missing)
+                   .add_check(Check(CheckLevel.ERROR, "c").has_size(
+                       lambda n: n > 0))
+                   .save_check_results_json_to_path(chk_path)
+                   .overwrite_previous_files(False))
+        with pytest.raises(Exception):
+            builder.run()
+
+
+class TestComparisonKeyUniqueness:
+    def test_match_counts_raises_on_dup_compare_keys(self, spark):
+        ds1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+        ds2 = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")],
+                                    "id int, v string")
+        with pytest.raises(ValueError, match="not unique"):
+            DataSynchronization.match_counts(ds1, ds2, {"id": "id"})
+
+    def test_match_counts_raises_on_dup_primary_keys(self, spark):
+        ds1 = spark.createDataFrame([(1, "a"), (1, "a")], "id int, v string")
+        ds2 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+        with pytest.raises(ValueError, match="not unique"):
+            DataSynchronization.match_counts(ds1, ds2, {"id": "id"})
+
+    def test_column_match_errors_on_dup_ds2_keys(self, spark):
+        ds1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+        ds2 = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")],
+                                    "id int, v string")
+        res = DataSynchronization.column_match(ds1, ds2, {"id": "id"})
+        assert res.passed is None
+        assert "ds2" in res.error
+
+    def test_dataset_match_analyzer_failure_metric_on_dups(self, spark):
+        from deequ_spark import DatasetMatchAnalyzer
+        ds1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+        ds2 = spark.createDataFrame([(1, "a"), (1, "a")], "id int, v string")
+        metric = DatasetMatchAnalyzer(ds2, {"id": "id"}).calculate(ds1)
+        assert not metric.is_success
+
+
+class TestRowLevelColumnCollision:
+    def test_duplicate_descriptions_get_distinct_columns(self, df_missing):
+        c1 = Check(CheckLevel.ERROR, "same name").is_complete("att1")
+        c2 = Check(CheckLevel.ERROR, "same name").is_complete("att2")
+        result = (VerificationSuite().on_data(df_missing)
+                  .add_check(c1).add_check(c2).run())
+        annotated = result.row_level_results_as_dataframe(df_missing)
+        new_cols = [c for c in annotated.columns
+                    if c not in df_missing.columns]
+        assert len(new_cols) == 2  # not silently overwritten
+        rows = annotated.collect()
+        # att1 has 6 nulls, att2 has 3 → the two columns must differ
+        flags = [(r[new_cols[0]], r[new_cols[1]]) for r in rows]
+        assert sum(1 for a, _ in flags if a) != sum(1 for _, b in flags if b)
