@@ -144,11 +144,12 @@ def b10_kll(spark, df):
 
 
 def b11_embedding_near_dup(spark, emb):
-    """Banded hyperplane-LSH near-dup pairs, exact-verified (deep bands →
-    strong candidate pruning at tight thresholds)."""
+    """Banded hyperplane-LSH near-dup pairs, exact-verified; auto-tuned
+    band shape (planes ≈ log₂ n) keeps random candidates linear in corpus
+    size instead of quadratic."""
     from deequ_spark.llm import embedding_near_duplicates
     return embedding_near_duplicates(emb, "vec_id", "embedding",
-                                     threshold=0.9).count()
+                                     threshold=0.9, auto_tune=True).count()
 
 
 def b12_streaming(spark, sf_dir):

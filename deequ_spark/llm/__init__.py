@@ -7,7 +7,7 @@ from .dedup import (deduplicate_exact, embedding_near_duplicates,
                     exact_duplicates, jaccard_similarity_pairs,
                     minhash_lsh_pairs, minhash_signatures,
                     portable_shingle_hash, simhash,
-                    simhash_near_duplicates, word_shingles)
+                    simhash_near_duplicates, tune_band_shape, word_shingles)
 from .similarity import (brute_force_topk, cosine_similarity_expr,
                          hyperplane_lsh_topk, ivf_assign, ivf_topk,
                          kmeans_centroids, knn_join)

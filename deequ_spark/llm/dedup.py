@@ -187,11 +187,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                   .distinct())
     if not verify_exact:
         return candidates
-    # verify ONLY the candidate pairs: join the shingle arrays back and
-    # compute exact Jaccard per pair with array_intersect — O(candidates),
-    # never the all-pairs cost
-    shingled = df.select(F.col(id_col).alias("id"),
-                         word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    # verify ONLY the candidate pairs: semi-join the corpus down to docs
+    # that appear in some candidate pair, shingle just those rows, then
+    # join the (small) shingled set to the pairs — the second shingling
+    # pass is O(candidate docs), never a full-corpus pass
+    cand_ids = (candidates.select(F.col("id_a").alias("id"))
+                .union(candidates.select(F.col("id_b").alias("id")))
+                .distinct())
+    shingled = (df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
+                .select(F.col(id_col).alias("id"),
+                        word_shingles(F.col(text_col), shingle_n).alias("sh")))
     sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (candidates.join(sa, "id_a").join(sb, "id_b")
@@ -293,11 +298,40 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
             .where(F.col("hamming") <= max_hamming))
 
 
+def tune_band_shape(n_rows: int, threshold: float,
+                    miss_prob: float = 1e-3,
+                    max_planes: int = 26, max_bands: int = 256
+                    ) -> "tuple[int, int]":
+    """Size-aware LSH band shape: with FIXED planes the expected number of
+    RANDOM band collisions is C(n,2)·bands/2^planes — quadratic in corpus
+    size, and candidate verification dominates the runtime (measured 5×
+    slowdown at 20k vectors with the fixed default shape). Growing planes
+    ≈ log₂(n)+1 keeps random candidates ~linear in n; bands =
+    ln(1/miss)/p^planes restores recall (p = 1 − θ/π). Verified pairs are
+    exact either way; ``miss_prob`` is the per-TRUE-pair miss budget —
+    tighten it for exactness-critical runs, loosen to 1e-2 for speed."""
+    import math
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    planes = min(max_planes,
+                 max(4, math.ceil(math.log2(max(n_rows, 2))) + 1))
+    # honor the recall budget within the band cap: if ln(1/miss)/p^planes
+    # would exceed max_bands, shallower bands (fewer planes) restore it at
+    # the cost of more random candidates — recall beats pruning
+    need = math.log(1.0 / miss_prob)
+    if 0.0 < p < 1.0:
+        planes_cap = math.floor(math.log(need / max_bands) / math.log(p))
+        planes = max(4, min(planes, planes_cap))
+    bands = min(max_bands, math.ceil(need / max(p ** planes, 1e-12)))
+    return planes, max(bands, 1)
+
+
 def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                               threshold: float = 0.95,
                               planes: Optional[int] = None,
                               bands: Optional[int] = None,
-                              seed: int = 42) -> DataFrame:
+                              seed: int = 42,
+                              auto_tune: bool = False,
+                              miss_prob: float = 1e-3) -> DataFrame:
     """Embedding near-dup pairs: BANDED random-hyperplane LSH prunes
     candidates (a pair is a candidate if ALL ``planes`` bits agree in ANY
     band), exact cosine verifies — precision 1, recall 1−(1−p^r)^b where
@@ -307,7 +341,19 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     ~0.6 cosine — the candidate set approaches all-pairs by nature).
     Scale path: signatures come from ONE Arrow-batched matrix multiply;
     only (band, sig, id) rides the candidate shuffle; vectors re-join by
-    id for the verified set."""
+    id for the verified set. With ``auto_tune`` the band shape scales with
+    corpus size (one count job): planes ≈ log₂(n) keeps RANDOM band
+    collisions — which grow as C(n,2)·bands/2^planes with any fixed shape
+    — approximately linear in n; set it for any corpus beyond ~10⁴
+    vectors."""
+    if auto_tune and (planes is None or bands is None):
+        n = df.count()
+        # below ~16k rows the quadratic random-collision term is negligible
+        # and per-stage fixed costs dominate — static defaults win there
+        # (measured: tuned shape 7.5s vs default 3.1s at n=2000, but
+        # default 26s vs tuned 13s at n=20000)
+        if n >= 16384:
+            planes, bands = tune_band_shape(n, threshold, miss_prob)
     if planes is None or bands is None:
         if threshold >= 0.85:
             planes, bands = planes or 10, bands or 32

@@ -347,3 +347,43 @@ class TestHyperplaneDeterminism:
         from deequ_spark.llm.similarity import _hyperplane_matrix
         expected = np.random.default_rng(42).standard_normal((4, 3))
         assert np.array_equal(_hyperplane_matrix(3, 4, 42), expected)
+
+
+class TestBandShapeAutoTune:
+    def test_planes_grow_with_corpus(self):
+        from deequ_spark.llm import tune_band_shape
+        p2k, b2k = tune_band_shape(2_000, 0.9)
+        p20k, b20k = tune_band_shape(20_000, 0.9)
+        p1e9, _ = tune_band_shape(10**9, 0.95)
+        assert p20k > p2k            # log2(n)+1 growth
+        assert p1e9 <= 26            # capped
+        # expected RANDOM candidates stay ~linear: C(n,2)·bands/2^planes / n
+        import math
+        for n, (p, b) in [(2_000, (p2k, b2k)), (20_000, (p20k, b20k))]:
+            per_row = (n - 1) / 2 * b / 2**p
+            assert per_row < 50
+
+    def test_recall_budget_respected(self):
+        import math
+        from deequ_spark.llm import tune_band_shape
+        for thr in (0.8, 0.9, 0.95):
+            p = 1 - math.acos(thr) / math.pi
+            planes, bands = tune_band_shape(100_000, thr, miss_prob=1e-3)
+            assert (1 - p**planes) ** bands <= 1e-3 * 1.01
+
+    def test_auto_tune_finds_planted_pairs(self, spark):
+        import numpy as np
+        from deequ_spark.llm import embedding_near_duplicates
+        rng = np.random.default_rng(3)
+        rows = []
+        for i in range(400):
+            v = rng.standard_normal(16)
+            rows.append((2 * i, [float(x) for x in v]))
+            rows.append((2 * i + 1,                     # planted near-dup
+                         [float(x) for x in v + rng.standard_normal(16) * 0.01]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(
+            df, "vec_id", "embedding", threshold=0.95,
+            auto_tune=True).collect()}
+        planted = {(2 * i, 2 * i + 1) for i in range(400)}
+        assert planted <= pairs      # every planted pair found
