@@ -422,6 +422,72 @@ def q_text_quality(spark, sf_dir):
         ("distinct_token_ratio", agg["dtok"] / agg["tok"])])
 
 
+def q_pii(spark, sf_dir):
+    """PII scrubbing (training-data cleaning): deterministic synthetic PII
+    (emails, IPs, SSNs, phones, cards) is salted onto the documents table
+    IDENTICALLY in both engines, then per-kind counts + redaction totals
+    are compared. Verifies that every PII pattern matches and redacts the
+    same spans under Java regex (Spark) and RE2 (DuckDB)."""
+    from deequ_spark.llm import PII_PATTERNS, pii_counts, redact_pii
+    docs = _load(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" contact u"),
+                        F.col("doc_id").cast("string"), F.lit("@ex.com ip 10."),
+                        (F.col("doc_id") % 256).cast("string"), F.lit(".0.1")))
+         .when(F.col("doc_id") % 3 == 1,
+               F.concat(F.col("text"),
+                        F.lit(" ssn 123-45-6789 call 555-123-4567"
+                              " card 4111-1111-1111-1111")))
+         .otherwise(F.col("text")).alias("text"))
+    counted = pii_counts(salted, "text")
+    red = redact_pii(F.col("text"))
+    row = counted.agg(
+        *[F.sum(f"pii_{k}").alias(k) for k in PII_PATTERNS],
+        F.sum(F.length(red)).alias("redacted_len"),
+        F.sum(F.length("text")).alias("original_len"),
+        F.sum((red != F.col("text")).cast("long")).alias("docs_changed"),
+    ).collect()[0]
+    return _metrics_df(spark, [(k, row[k]) for k in PII_PATTERNS] + [
+        ("redacted_len", row["redacted_len"]),
+        ("original_len", row["original_len"]),
+        ("docs_changed", row["docs_changed"])])
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB oracle for q_pii — same salt expression, same patterns
+    (RE2-compatible by construction), chained global regexp_replace in
+    PII_PATTERNS order."""
+    from deequ_spark.llm import PII_PATTERNS
+    red = "text"
+    for pat in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '[PII]', 'g')"
+    count_rows = "\n            UNION ALL ".join(
+        f"SELECT '{k}' AS metric, CAST(SUM(len(regexp_extract_all(text, "
+        f"'{pat}'))) AS DOUBLE) AS value FROM salted"
+        for k, pat in PII_PATTERNS.items())
+    return f"""
+            WITH salted AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN text || ' contact u' ||
+                          CAST(doc_id AS VARCHAR) || '@ex.com ip 10.' ||
+                          CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                     WHEN doc_id % 3 = 1 THEN text ||
+                          ' ssn 123-45-6789 call 555-123-4567 card 4111-1111-1111-1111'
+                     ELSE text END AS text
+              FROM documents)
+            {count_rows}
+            UNION ALL SELECT 'redacted_len',
+                CAST(SUM(length({red})) AS DOUBLE) FROM salted
+            UNION ALL SELECT 'original_len',
+                CAST(SUM(length(text)) AS DOUBLE) FROM salted
+            UNION ALL SELECT 'docs_changed',
+                CAST(SUM(CASE WHEN {red} <> text THEN 1 ELSE 0 END) AS DOUBLE)
+                FROM salted
+    """
+
+
 def q_language_id(spark, sf_dir):
     from deequ_spark.llm import language_id
     docs = _load(spark, sf_dir, "documents")
@@ -965,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
+        "pii": q_pii,
         "ann_topk": q_ann_topk,
         "multimodal": q_multimodal,
         "length_zeros_ratio": q_length_zeros_ratio,
@@ -1237,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sizes sb ON sb.doc_id = inter.j
         """,
         "simhash": _simhash_oracle_sql(),
+        "pii": _pii_oracle_sql(),
         "text_quality": r"""
             WITH q AS (SELECT
                 SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS tok,

@@ -11,7 +11,8 @@ from .dedup import (deduplicate_exact, embedding_near_duplicates,
 from .similarity import (brute_force_topk, cosine_similarity_expr,
                          hyperplane_lsh_topk, ivf_assign, ivf_topk,
                          kmeans_centroids, knn_join)
-from .text import (fingerprint, language_id, text_quality,
-                   token_count_regex, token_count_whitespace)
+from .text import (PII_PATTERNS, fingerprint, language_id, pii_counts,
+                   redact_pii, text_quality, token_count_regex,
+                   token_count_whitespace)
 from .multimodal import (attach_binary_payload, decode_audio, decode_image,
                          extract_binary_features, sample_chunks)

@@ -72,6 +72,46 @@ def text_quality(df: DataFrame, text_col: str) -> DataFrame:
             .withColumn("q_distinct_ratio", distinct_ratio))
 
 
+# PII patterns for training-data scrubbing — ordered so that broader
+# patterns (email, card) are redacted before their substrings could match
+# narrower ones; every pattern is valid in both Java regex and RE2, so
+# DuckDB oracles replay them verbatim
+PII_PATTERNS: "Dict[str, str]" = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(df: DataFrame, text_col: str,
+               kinds: Optional[Sequence[str]] = None,
+               prefix: str = "pii_") -> DataFrame:
+    """One count column per PII kind (``pii_email``, ``pii_ssn``, …) in a
+    single projection — regexp_count stays JVM-side, no shuffle."""
+    out = df
+    for kind in (kinds or PII_PATTERNS):
+        out = out.withColumn(prefix + kind,
+                             F.regexp_count(F.col(text_col),
+                                            F.lit(PII_PATTERNS[kind])))
+    return out
+
+
+def redact_pii(text: Column, replacement: str = "[PII]",
+               kinds: Optional[Sequence[str]] = None) -> Column:
+    """Replace every PII match with ``replacement`` — a chained
+    regexp_replace projection (Spark replaces globally by default; a
+    DuckDB oracle needs the 'g' flag). Order follows PII_PATTERNS so
+    emails/cards are consumed before their digit-substrings can match
+    narrower patterns."""
+    out = text
+    for kind in (kinds or PII_PATTERNS):
+        out = F.regexp_replace(out, F.lit(PII_PATTERNS[kind]),
+                               F.lit(replacement))
+    return out
+
+
 def fingerprint(text: Column, normalize: bool = True) -> Column:
     """64-bit content fingerprint (xxhash64 of the normalized text) —
     the exact-dedup key at scale (hash-groupBy instead of comparing

@@ -387,3 +387,33 @@ class TestBandShapeAutoTune:
             auto_tune=True).collect()}
         planted = {(2 * i, 2 * i + 1) for i in range(400)}
         assert planted <= pairs      # every planted pair found
+
+
+class TestPII:
+    def test_counts_and_redaction(self, spark):
+        from deequ_spark.llm import pii_counts, redact_pii
+        rows = [(0, "mail me at a.user+x@site.org or call 555-123-4567"),
+                (1, "ssn 123-45-6789 card 4111-1111-1111-1111 ip 10.0.0.1"),
+                (2, "no pii here at all")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        counted = pii_counts(df, "text").collect()
+        by_id = {r["id"]: r for r in counted}
+        assert by_id[0]["pii_email"] == 1 and by_id[0]["pii_phone"] == 1
+        assert by_id[1]["pii_ssn"] == 1 and by_id[1]["pii_credit_card"] == 1
+        assert by_id[1]["pii_ipv4"] == 1
+        assert all(by_id[2][f"pii_{k}"] == 0
+                   for k in ("email", "phone", "ssn", "credit_card", "ipv4"))
+        red = {r["id"]: r["r"] for r in df.select(
+            "id", redact_pii(F.col("text")).alias("r")).collect()}
+        assert red[0] == "mail me at [PII] or call [PII]"
+        assert red[1] == "ssn [PII] card [PII] ip [PII]"
+        assert red[2] == "no pii here at all"
+
+    def test_redaction_order_email_before_digits(self, spark):
+        from deequ_spark.llm import redact_pii
+        df = spark.createDataFrame([("reach 123.456.7890@digits.co now",)],
+                                   "text string")
+        out = df.select(redact_pii(F.col("text")).alias("r")).collect()[0]["r"]
+        # the whole email goes first; its digit prefix must not leak a
+        # phone match afterwards
+        assert out == "reach [PII] now"
