@@ -1,0 +1,244 @@
+"""Property-based tests (hypothesis) for the mergeable-state algebra and
+sketches — SURVEY §5 point (d): ``metric(merge(state(A), state(B))) ==
+metric(state(A ∪ B))`` for arbitrary partitions of arbitrary data, plus
+associativity/commutativity, KLL rank-error contracts, and interval
+strategy invariants. Pure Python — no SparkSession needed, so these run
+in milliseconds and explore thousands of inputs.
+
+Reference parity: the reference asserts merge==recompute only on fixed
+fixtures (StateAggregationIntegrationTest.scala); property testing is
+strictly stronger.
+"""
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deequ_spark.analyzers.base import (CorrelationState, FourthMomentState,
+                                        MaxState, MeanState, MinState,
+                                        NumMatches, NumMatchesAndCount,
+                                        StandardDeviationState, SumState,
+                                        ThirdMomentState)
+
+finite = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                   allow_infinity=False)
+datasets = st.lists(finite, min_size=1, max_size=60)
+
+
+def mean_state(xs):
+    return MeanState(sum(xs), len(xs))
+
+
+def stddev_state(xs):
+    n = len(xs)
+    avg = sum(xs) / n
+    return StandardDeviationState(n, avg, sum((x - avg) ** 2 for x in xs))
+
+
+def third_state(xs):
+    n = len(xs)
+    avg = sum(xs) / n
+    return ThirdMomentState(n, avg, sum((x - avg) ** 2 for x in xs),
+                            sum((x - avg) ** 3 for x in xs))
+
+
+def fourth_state(xs):
+    n = len(xs)
+    avg = sum(xs) / n
+    return FourthMomentState(n, avg,
+                             sum((x - avg) ** 2 for x in xs),
+                             sum((x - avg) ** 3 for x in xs),
+                             sum((x - avg) ** 4 for x in xs))
+
+
+def corr_state(pairs):
+    n = len(pairs)
+    xa = sum(p[0] for p in pairs) / n
+    ya = sum(p[1] for p in pairs) / n
+    return CorrelationState(
+        n, xa, ya,
+        sum((p[0] - xa) * (p[1] - ya) for p in pairs),
+        sum((p[0] - xa) ** 2 for p in pairs),
+        sum((p[1] - ya) ** 2 for p in pairs))
+
+
+def close(a, b, tol=1e-6):
+    return math.isclose(a, b, rel_tol=tol, abs_tol=tol)
+
+
+class TestMergeEqualsRecompute:
+    """Partition-invariance: state(A) ⊕ state(B) ≡ state(A ∪ B)."""
+
+    @given(datasets, datasets)
+    @settings(max_examples=300, deadline=None)
+    def test_mean(self, a, b):
+        merged = mean_state(a).merge(mean_state(b))
+        assert close(merged.metric_value, mean_state(a + b).metric_value)
+
+    @given(datasets, datasets)
+    @settings(max_examples=300, deadline=None)
+    def test_variance_parallel_welford(self, a, b):
+        merged = stddev_state(a).merge(stddev_state(b))
+        whole = stddev_state(a + b)
+        # m2 is a sum of squares — compare with a scale-relative tolerance
+        scale = max(abs(whole.m2), 1.0)
+        assert abs(merged.m2 - whole.m2) <= 1e-7 * scale
+        assert close(merged.n, whole.n) and close(merged.avg, whole.avg,
+                                                  tol=1e-7)
+
+    @given(datasets, datasets)
+    @settings(max_examples=300, deadline=None)
+    def test_third_moment(self, a, b):
+        merged = third_state(a).merge(third_state(b))
+        whole = third_state(a + b)
+        # m3 suffers catastrophic cancellation for near-symmetric data;
+        # what matters downstream is skewness = √n·m3/m2^1.5, so condition
+        # the tolerance on the denominator's magnitude
+        scale = max(abs(whole.m3), abs(merged.m3), whole.m2 ** 1.5, 1.0)
+        assert abs(merged.m3 - whole.m3) <= 1e-9 * scale
+
+    @given(datasets, datasets)
+    @settings(max_examples=300, deadline=None)
+    def test_fourth_moment(self, a, b):
+        merged = fourth_state(a).merge(fourth_state(b))
+        whole = fourth_state(a + b)
+        # kurtosis = n·m4/m2² — condition on the denominator's magnitude
+        scale = max(abs(whole.m4), abs(merged.m4), whole.m2 ** 2, 1.0)
+        assert abs(merged.m4 - whole.m4) <= 1e-9 * scale
+
+    @given(st.lists(st.tuples(finite, finite), min_size=2, max_size=60),
+           st.lists(st.tuples(finite, finite), min_size=2, max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def test_correlation(self, a, b):
+        merged = corr_state(a).merge(corr_state(b))
+        whole = corr_state(a + b)
+        # correlation = ck/√(x_mk·y_mk) — condition on that denominator,
+        # plus an absolute term for cancellation dust that scales with the
+        # magnitude of the means (ulp of (x−x̄)(y−ȳ) products)
+        denom = max((whole.x_mk * whole.y_mk) ** 0.5, 1.0)
+        dust = 1e-9 * (abs(whole.x_avg) + 1.0) * (abs(whole.y_avg) + 1.0)
+        for f in ("ck", "x_mk", "y_mk"):
+            scale = max(abs(getattr(whole, f)), denom, 1.0)
+            assert abs(getattr(merged, f) - getattr(whole, f)) \
+                <= 1e-6 * scale + dust
+
+    @given(datasets, datasets)
+    @settings(max_examples=200, deadline=None)
+    def test_min_max_sum_counts(self, a, b):
+        assert MinState(min(a)).merge(MinState(min(b))).min_value == min(a + b)
+        assert MaxState(max(a)).merge(MaxState(max(b))).max_value == max(a + b)
+        assert close(SumState(sum(a)).merge(SumState(sum(b))).sum_value,
+                     sum(a + b), tol=1e-9)
+        nm = NumMatches(len(a)).merge(NumMatches(len(b)))
+        assert nm.num_matches == len(a) + len(b)
+        nmc = (NumMatchesAndCount(len(a) // 2, len(a))
+               .merge(NumMatchesAndCount(len(b) // 2, len(b))))
+        assert nmc.count == len(a) + len(b)
+
+
+class TestMergeAlgebra:
+    """The states form a commutative semigroup — order and grouping of
+    partitions must not change the result (this is what makes the
+    streaming/incremental path correct for ANY partitioning)."""
+
+    @given(datasets, datasets, datasets)
+    @settings(max_examples=200, deadline=None)
+    def test_associative_commutative_stddev(self, a, b, c):
+        sa, sb, sc = stddev_state(a), stddev_state(b), stddev_state(c)
+        left = sa.merge(sb).merge(sc)
+        right = sa.merge(sb.merge(sc))
+        swapped = sc.merge(sb).merge(sa)
+        for other in (right, swapped):
+            scale = max(abs(left.m2), 1.0)
+            assert abs(left.m2 - other.m2) <= 1e-6 * scale
+            assert close(left.n, other.n)
+            assert close(left.avg, other.avg, tol=1e-6)
+
+
+class TestKLLProperties:
+    @given(st.lists(finite, min_size=10, max_size=400),
+           st.integers(min_value=1, max_value=9))
+    @settings(max_examples=100, deadline=None)
+    def test_quantile_rank_error(self, xs, decile):
+        import numpy as np
+
+        from deequ_spark.analyzers.kll import KLLSketchCore
+        sk = KLLSketchCore(k=256)
+        sk.update_batch(np.array(xs, dtype=np.float64))
+        q = decile / 10
+        est = sk.quantile(q)
+        srt = sorted(xs)
+        # two-sided rank band — duplicates make the ≤-rank jump, so the
+        # correct contract is: strict-rank − ε ≤ q ≤ ≤-rank + ε
+        lo_rank = sum(1 for v in srt if v < est) / len(srt)
+        hi_rank = sum(1 for v in srt if v <= est) / len(srt)
+        assert lo_rank - 0.15 <= q <= hi_rank + 0.15
+        assert srt[0] <= est <= srt[-1]
+
+    @given(st.lists(finite, min_size=5, max_size=200),
+           st.lists(finite, min_size=5, max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_merge_conserves_mass_and_bounds(self, a, b):
+        import numpy as np
+
+        from deequ_spark.analyzers.kll import KLLSketchCore
+        sa, sb = KLLSketchCore(k=128), KLLSketchCore(k=128)
+        sa.update_batch(np.array(a, dtype=np.float64))
+        sb.update_batch(np.array(b, dtype=np.float64))
+        merged = sa.merge(sb)
+        assert merged.count == len(a) + len(b)
+        assert merged.min_value == min(a + b)
+        assert merged.max_value == max(a + b)
+
+
+class TestIntervalProperties:
+    @given(st.floats(min_value=0.01, max_value=0.99),
+           st.integers(min_value=2, max_value=10**6))
+    @settings(max_examples=300, deadline=None)
+    def test_interval_brackets_p(self, p, n):
+        from deequ_spark import WaldIntervalStrategy, WilsonScoreIntervalStrategy
+        for strat in (WaldIntervalStrategy(), WilsonScoreIntervalStrategy()):
+            iv = strat.calculate_target_confidence_interval(p, n)
+            # rounding is DOWN for lower / UP for upper, so the interval
+            # always brackets the point estimate
+            assert iv.lower_bound <= p + 1e-9
+            assert iv.upper_bound >= p - 1e-9
+            assert iv.lower_bound <= iv.upper_bound
+
+    @given(st.floats(min_value=0.05, max_value=0.95))
+    @settings(max_examples=100, deadline=None)
+    def test_wald_narrows_with_n(self, p):
+        from deequ_spark import WaldIntervalStrategy
+        w = WaldIntervalStrategy()
+        small = w.calculate_target_confidence_interval(p, 50)
+        big = w.calculate_target_confidence_interval(p, 50_000)
+        assert (big.upper_bound - big.lower_bound) <= \
+            (small.upper_bound - small.lower_bound) + 1e-9
+
+
+class TestMinHashProperty:
+    """Carter-Wegman minhash agreement rate estimates Jaccard — checked
+    driver-side with the same P31 hash family the Spark expressions use."""
+
+    @given(st.sets(st.integers(min_value=0, max_value=10**6), min_size=5,
+                   max_size=80),
+           st.sets(st.integers(min_value=0, max_value=10**6), min_size=5,
+                   max_size=80))
+    @settings(max_examples=60, deadline=None)
+    def test_signature_agreement_tracks_jaccard(self, sa, sb):
+        import random
+        P31 = (1 << 31) - 1
+        rng = random.Random(0x5EED)
+        coeffs = [(rng.randrange(1, P31), rng.randrange(P31))
+                  for _ in range(256)]
+
+        def sig(items):
+            return [min((a * (h % P31) + b) % P31 for h in items)
+                    for a, b in coeffs]
+
+        true_j = len(sa & sb) / len(sa | sb)
+        agree = sum(x == y for x, y in zip(sig(sa), sig(sb))) / 256
+        # 256 hashes → standard error ≤ 0.031; 6σ band
+        assert abs(agree - true_j) <= 0.2
