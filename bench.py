@@ -220,6 +220,17 @@ def main():
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     # warm the JVM + file listing once
     lineitem.count(); orders.count(); docs.count(); emb.count()
+    # warm the Python/Arrow worker pool once (first pandas_udf stage pays
+    # ~1-2s of worker spawn — startup cost, not workload cost)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(v):  # pragma: no cover — trivial identity
+        return v
+    n_workers = int(CPUS) if str(CPUS).isdigit() else 32
+    spark.range(0, n_workers * 100, 1, n_workers) \
+        .select(_warm(F.col("id").cast("double"))).count()
 
     benches = [
         ("b1_scan_fused", lambda: b1_scan_fused(spark, lineitem)),

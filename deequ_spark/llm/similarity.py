@@ -50,7 +50,7 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
 
 def knn_join(queries: DataFrame, corpus: DataFrame, query_id: str,
              corpus_id: str, vec_col: str, k: int = 10,
-             batch_buffer: int = 8) -> DataFrame:
+             batch_buffer: int = 8, max_queries: int = 100_000) -> DataFrame:
     """Exact k-NN of every query against the corpus. Returns (qid, cid,
     cosine, rank).
 
@@ -72,9 +72,15 @@ def knn_join(queries: DataFrame, corpus: DataFrame, query_id: str,
 
     import numpy as np
 
-    qrows = queries.select(query_id, vec_col).collect()
+    qrows = queries.select(query_id, vec_col).limit(max_queries + 1).collect()
     if not qrows:
         raise ValueError("knn_join: query side is empty")
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_join: query side exceeds max_queries={max_queries}; the "
+            "query set is collected to the driver and shipped to every "
+            "task — for query sets this large use an index (ivf_topk per "
+            "query list, or embedding_near_duplicates for all-pairs)")
     qids = [r[0] for r in qrows]
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Qn = (Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)).T
@@ -184,6 +190,24 @@ def ivf_assign(df: DataFrame, vec_col: str,
         return pd.Series((X @ cent.T).argmax(axis=1).astype("int32"))
 
     return df.withColumn(list_col, nearest(F.col(vec_col)))
+
+
+def ivf_write_index(df: DataFrame, path: str, vec_col: str,
+                    centroids: Optional[Sequence[Sequence[float]]] = None,
+                    n_centroids: int = 16, list_col: str = "ivf_list",
+                    seed: int = 42) -> List[List[float]]:
+    """Build an IVF index ON DISK: assign every vector to its nearest
+    centroid and write the table ``partitionBy(list_col)``, so an
+    ``ivf_topk`` probe filter over the read-back table becomes PARTITION
+    PRUNING — a 100 TB corpus probe touches nprobe/n_centroids of the
+    files instead of scanning everything. Returns the centroids; keep
+    them with the index (fresh k-means would not match the stored list
+    assignments)."""
+    if centroids is None:
+        centroids = kmeans_centroids(df, vec_col, n_centroids, seed=seed)
+    assigned = ivf_assign(df, vec_col, centroids, list_col)
+    assigned.write.partitionBy(list_col).mode("overwrite").parquet(path)
+    return [[float(v) for v in c] for c in centroids]
 
 
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str,

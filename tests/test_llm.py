@@ -417,3 +417,31 @@ class TestPII:
         # the whole email goes first; its digit prefix must not leak a
         # phone match afterwards
         assert out == "reach [PII] now"
+
+
+class TestIvfIndexOnDisk:
+    def test_probe_filter_becomes_partition_pruning(self, spark, tmp_path):
+        import numpy as np
+        from deequ_spark.llm import (brute_force_topk, ivf_topk,
+                                     ivf_write_index)
+        rng = np.random.default_rng(9)
+        rows = [(i, [float(v) for v in rng.standard_normal(8)])
+                for i in range(500)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        path = str(tmp_path / "ivf_index")
+        cents = ivf_write_index(df, path, "embedding", n_centroids=4, seed=9)
+        index = spark.read.parquet(path)
+        q = [float(v) for v in rng.standard_normal(8)]
+        top = ivf_topk(index, "vec_id", "embedding", q, k=5,
+                       centroids=cents, nprobe=4)        # probe ALL lists
+        # nprobe == n_centroids → must equal brute force exactly
+        expected = brute_force_topk(df, "vec_id", "embedding", q, k=5)
+        assert [r["id"] for r in top.collect()] == \
+            [r["id"] for r in expected.collect()]
+        # the probe filter must reach the PartitionFilters of the scan —
+        # at 100 TB this is what makes a probe touch nprobe/n lists
+        pruned = ivf_topk(index, "vec_id", "embedding", q, k=5,
+                          centroids=cents, nprobe=1)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [ivf_list" in plan.replace("#", " #") or \
+            "ivf_list" in plan.split("PartitionFilters")[1].split("]")[0]
