@@ -343,6 +343,70 @@ def q_minhash_lsh(spark, sf_dir):
 _SIMHASH_N, _SIMHASH_BITS, _SIMHASH_MAXH = 3, 32, 3
 
 
+def q_near_dedup(spark, sf_dir):
+    """End-to-end near-dedup: exact Jaccard pairs → connected components
+    (iterative min-label propagation) → one representative per component.
+    Oracle recomputes the same pairs and components with a recursive-CTE
+    transitive closure, then compares the component labeling AND the
+    deduplicated corpus size."""
+    from deequ_spark.llm import (deduplicate_near, jaccard_similarity_pairs,
+                                 near_duplicate_components)
+    docs = _load(spark, sf_dir, "documents")
+    pairs = jaccard_similarity_pairs(docs, "doc_id", "text",
+                                     threshold=0.5, shingle_n=3)
+    comp = near_duplicate_components(pairs)
+    kept = deduplicate_near(docs, "doc_id", pairs).count()
+    rows = [(int(r["id"]), int(r["component"]))
+            for r in comp.orderBy("id").collect()]
+    rows.append((-1, kept))  # sentinel row: deduplicated corpus size
+    return spark.createDataFrame(rows, "id long, component long")
+
+
+_NEAR_DEDUP_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+    ELSE [array_to_string(t, ' ')] END) AS shingles
+  FROM toks
+), w AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+  FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT i, j FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.i
+  JOIN sizes sb ON sb.doc_id = inter.j
+  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+), edges AS (
+  SELECT i AS src, j AS dst FROM pairs
+  UNION SELECT j, i FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+), comp AS (
+  SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
+)
+SELECT id, component FROM comp
+UNION ALL
+SELECT -1 AS id,
+       (SELECT COUNT(*) FROM documents) -
+       (SELECT COUNT(*) FROM comp WHERE id <> component) AS component
+ORDER BY id
+"""
+
+
 def q_simhash(spark, sf_dir):
     """SimHash near-dup PAIR SET, fully oracled: fingerprints use the
     31-bit portable polynomial shingle hash (identical in DuckDB), the
@@ -1028,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_dedup": q_jaccard_dedup,
         "minhash_lsh": q_minhash_lsh,
+        "near_dedup": q_near_dedup,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
@@ -1304,6 +1369,7 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sizes sb ON sb.doc_id = inter.j
         """,
         "simhash": _simhash_oracle_sql(),
+        "near_dedup": _NEAR_DEDUP_ORACLE,
         "pii": _pii_oracle_sql(),
         "text_quality": r"""
             WITH q AS (SELECT

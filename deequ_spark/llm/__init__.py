@@ -3,9 +3,10 @@ BASELINE.json's north star): deduplication, similarity search, text
 analysis, multimodal column plumbing — all expression-first DataFrame ops
 designed for 100 TB scale."""
 
-from .dedup import (deduplicate_exact, embedding_near_duplicates,
-                    exact_duplicates, jaccard_similarity_pairs,
-                    minhash_lsh_pairs, minhash_signatures,
+from .dedup import (deduplicate_exact, deduplicate_near,
+                    embedding_near_duplicates, exact_duplicates,
+                    jaccard_similarity_pairs, minhash_lsh_pairs,
+                    minhash_signatures, near_duplicate_components,
                     portable_shingle_hash, simhash,
                     simhash_near_duplicates, tune_band_shape, word_shingles)
 from .similarity import (brute_force_topk, cosine_similarity_expr,

@@ -338,6 +338,71 @@ def tune_band_shape(n_rows: int, threshold: float,
     return planes, max(bands, 1)
 
 
+def near_duplicate_components(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → (id,
+    component) where component = MIN id reachable from the node.
+
+    Iterative min-label propagation in pure DataFrame ops: each round
+    (1) takes the min label across edges, then (2) shortcuts through the
+    label's own label (pointer doubling), so even path graphs converge in
+    O(log diameter) rounds — real near-dup clusters (dense, diameter
+    ≤ 2-3) converge in 2-3. Per round: two join shuffles + one groupBy,
+    lineage cut with localCheckpoint so plans stay bounded. The pair graph
+    is |pairs| edges — tiny next to the corpus at any scale.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (edges.union(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .distinct().localCheckpoint(eager=False))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("component", F.col("id")))
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges["dst"] == labels["id"])
+                        .groupBy("src")
+                        .agg(F.min("component").alias("nbr_component")))
+        stepped = (labels.join(neighbor_min,
+                               labels["id"] == neighbor_min["src"], "left")
+                   .select(labels["id"],
+                           F.least(F.col("component"),
+                                   F.coalesce(F.col("nbr_component"),
+                                              F.col("component")))
+                           .alias("component")))
+        # pointer doubling: component := min(component, label[component])
+        parent = stepped.select(F.col("id").alias("pid"),
+                                F.col("component").alias("pcomponent"))
+        updated = (stepped.join(parent,
+                                stepped["component"] == parent["pid"], "left")
+                   .select(stepped["id"],
+                           F.least(stepped["component"],
+                                   F.coalesce(F.col("pcomponent"),
+                                              stepped["component"]))
+                           .alias("component"))
+                   .localCheckpoint(eager=True))
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "id")
+                   .where(F.col("u.component") != F.col("l.component"))
+                   .count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def deduplicate_near(df: DataFrame, id_col: str, pairs: DataFrame,
+                     id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Drop near-duplicates: keep ONE representative (the min id) per
+    connected component of the pair graph; rows in no pair pass through
+    untouched. The non-representative id set is component-sized — a
+    broadcast anti-join, so the corpus never shuffles."""
+    components = near_duplicate_components(pairs, id_a, id_b)
+    losers = (components.where(F.col("id") != F.col("component"))
+              .select("id"))
+    return df.join(F.broadcast(losers), df[id_col] == losers["id"],
+                   "left_anti")
+
+
 def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                               threshold: float = 0.95,
                               planes: Optional[int] = None,

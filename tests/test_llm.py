@@ -445,3 +445,34 @@ class TestIvfIndexOnDisk:
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [ivf_list" in plan.replace("#", " #") or \
             "ivf_list" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+class TestNearDedupComponents:
+    @pytest.fixture(scope="class")
+    def pairs(self, spark):
+        # components: {1,2,3,4} (a chain), {7,9}; 5 and 6 untouched
+        rows = [(1, 2), (2, 3), (3, 4), (7, 9)]
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    def test_components_min_label(self, spark, pairs):
+        from deequ_spark.llm import near_duplicate_components
+        comp = {r["id"]: r["component"]
+                for r in near_duplicate_components(pairs).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+    def test_deduplicate_near_keeps_representatives(self, spark, pairs):
+        from deequ_spark.llm import deduplicate_near
+        df = spark.createDataFrame([(i, f"doc {i}") for i in range(1, 10)],
+                                   "doc_id long, text string")
+        kept = {r["doc_id"]
+                for r in deduplicate_near(df, "doc_id", pairs).collect()}
+        # chain collapses to 1, pair collapses to 7, untouched rows stay
+        assert kept == {1, 5, 6, 7, 8}
+
+    def test_long_chain_converges(self, spark):
+        from deequ_spark.llm import near_duplicate_components
+        chain = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                      "id_a long, id_b long")
+        comp = {r["id"]: r["component"]
+                for r in near_duplicate_components(chain).collect()}
+        assert set(comp.values()) == {0}      # one 31-node component
