@@ -65,7 +65,8 @@ from .schema_validation import (RowLevelSchema, RowLevelSchemaValidationResult,
 from .distance import (chi_square_p_value, chi_square_statistic, ks_distance,
                        l_infinity_distance, psi)
 from .streaming import (StreamingBatchResult, StreamingVerification,
-                        verify_stream)
+                        streaming_deduplicate, streaming_deduplicate_exact,
+                        streaming_fingerprint_deduplicate, verify_stream)
 from .dqdl import EvaluateDataQuality
 from .windowed import windowed_agg_plan, windowed_metrics
 from .applicability import Applicability, ApplicabilityResult

@@ -175,3 +175,8 @@ def verify_stream(stream_df: DataFrame,
     if await_termination:
         query.awaitTermination()
     return sv
+
+
+from .dedup import (streaming_deduplicate,  # noqa: E402,F401
+                    streaming_deduplicate_exact,
+                    streaming_fingerprint_deduplicate)

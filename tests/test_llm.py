@@ -476,3 +476,13 @@ class TestNearDedupComponents:
         comp = {r["id"]: r["component"]
                 for r in near_duplicate_components(chain).collect()}
         assert set(comp.values()) == {0}      # one 31-node component
+
+
+class TestNearDedupEdgeCases:
+    def test_empty_pairs_noop(self, spark):
+        from deequ_spark.llm import deduplicate_near, near_duplicate_components
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        assert near_duplicate_components(empty).count() == 0
+        df = spark.createDataFrame([(i, f"d{i}") for i in range(5)],
+                                   "doc_id long, text string")
+        assert deduplicate_near(df, "doc_id", empty).count() == 5

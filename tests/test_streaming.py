@@ -91,3 +91,56 @@ def test_streaming_cumulative_check_transitions(spark, stream_dir):
     statuses = [r.status for r in sv.results]
     assert statuses[0] == CheckStatus.SUCCESS
     assert statuses[-1] == CheckStatus.ERROR
+
+
+class TestStreamingDedup:
+    def _drain(self, spark, stream, tmp_path):
+        out = []
+
+        def sink(batch_df, _bid):
+            out.extend(batch_df.collect())
+
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return out
+
+    def test_watermarked_dedup_bounded_state(self, spark, tmp_path):
+        import shutil
+        from deequ_spark.streaming import streaming_deduplicate
+        src = str(tmp_path / "src")
+        rows = [(1, "a", "2024-01-01 00:00:00"),
+                (1, "a", "2024-01-01 00:00:30"),   # dup within window
+                (2, "b", "2024-01-01 00:01:00"),
+                (1, "a", "2024-01-01 00:02:00")]   # dup within window
+        df = (spark.createDataFrame(rows, "k int, v string, ts string")
+              .withColumn("ts", spark_col_ts()))
+        df.write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        deduped = streaming_deduplicate(stream, ["k"], "ts",
+                                        delay="10 minutes")
+        out = self._drain(spark, deduped, tmp_path)
+        assert sorted(r["k"] for r in out) == [1, 2]
+
+    def test_fingerprint_dedup_drops_same_content(self, spark, tmp_path):
+        from deequ_spark.streaming import streaming_fingerprint_deduplicate
+        src = str(tmp_path / "srcfp")
+        rows = [(1, "Same   Doc", "2024-01-01 00:00:00"),
+                (2, "same doc", "2024-01-01 00:00:10"),    # normalized dup
+                (3, "different doc", "2024-01-01 00:00:20")]
+        df = (spark.createDataFrame(rows, "id int, text string, ts string")
+              .withColumn("ts", spark_col_ts()))
+        df.write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(df.schema).parquet(src))
+        deduped = streaming_fingerprint_deduplicate(stream, "text", "ts")
+        out = self._drain(spark, deduped, tmp_path)
+        ids = sorted(r["id"] for r in out)
+        assert len(ids) == 2 and 3 in ids
+        assert "__fp" not in df.columns
+
+
+def spark_col_ts():
+    from pyspark.sql import functions as F
+    return F.to_timestamp(F.col("ts"))
