@@ -147,10 +147,16 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     coeffs = [(rng.randrange(1, P31), rng.randrange(P31))
               for _ in range(num_hashes)]
 
+    # the coefficients ride as LITERAL ARRAYS and one zip_with lambda —
+    # k separate pmod subtrees (each duplicating h) made the analyzed plan
+    # ~k× larger and dominated first-call latency with Catalyst analysis
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
+
     def per_shingle(s: Column) -> Column:
         h = F.pmod(F.xxhash64(s), F.lit(P31))
-        return F.array(*[F.pmod(h * F.lit(a) + F.lit(b), F.lit(P31))
-                         for a, b in coeffs])
+        return F.zip_with(a_arr, b_arr,
+                          lambda a, b: F.pmod(h * a + b, F.lit(P31)))
 
     sig = F.aggregate(
         F.transform(word_shingles(F.col(text_col), shingle_n), per_shingle),
@@ -172,11 +178,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     rows = num_hashes // bands
     df = ensure_parallelism(df)
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_cols = F.explode(F.array(*[
-        F.struct(F.lit(i).alias("band"),
-                 F.xxhash64(*[F.col("signature")[i * rows + r]
-                              for r in range(rows)]).alias("bh"))
-        for i in range(bands)]))
+    # one lambda over a band-index sequence instead of `bands` separate
+    # struct subtrees — same banding, ~bands× smaller analyzed plan;
+    # the bucket hash is xxhash64 of the band's signature slice (hashing
+    # the array is equivalent to hashing its elements for bucketing)
+    band_cols = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.struct(
+            i.alias("band"),
+            F.xxhash64(F.slice(F.col("signature"), i * rows + 1, rows))
+            .alias("bh"))))
     buckets = sigs.select("id", band_cols.alias("band_struct")).select(
         "id", F.col("band_struct.band").alias("band"),
         F.col("band_struct.bh").alias("bh"))
