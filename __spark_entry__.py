@@ -736,13 +736,18 @@ def q_streaming(spark, sf_dir):
 
     src = f"/tmp/deequ_stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(src, ignore_errors=True)
+    # integer CENTS: per-batch sums are exact integers < 2⁵³, so the
+    # cross-batch state merge is float-exact in ANY order — a decimal→
+    # float sum differed from the oracle in the last ulp at some SFs
     (_load(spark, sf_dir, "orders")
-     .withColumn("price_dec", F.col("o_totalprice").cast("decimal(18,2)"))
+     .withColumn("price_cents",
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("long"))
      .repartition(4).write.parquet(src))
 
     static = spark.read.parquet(src)
-    analyzers = [Size(), Completeness("o_custkey"), Sum("price_dec"),
-                 Mean("price_dec"), Uniqueness(("o_orderkey",)),
+    analyzers = [Size(), Completeness("o_custkey"), Sum("price_cents"),
+                 Mean("price_cents"), Uniqueness(("o_orderkey",)),
                  CountDistinct(("o_orderstatus",))]
     sv = StreamingVerification(analyzers=analyzers)
     q = (spark.readStream.schema(static.schema)
@@ -1508,9 +1513,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'stream_completeness',
                 CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*) FROM orders
             UNION ALL SELECT 'stream_sum_price',
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS DOUBLE) FROM orders
             UNION ALL SELECT 'stream_mean_price',
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS DOUBLE)
                 / COUNT(o_totalprice) FROM orders
             UNION ALL SELECT 'stream_uniqueness_key', uniq FROM u
             UNION ALL SELECT 'stream_distinct_status',
