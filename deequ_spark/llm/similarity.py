@@ -117,7 +117,10 @@ def knn_join(queries: DataFrame, corpus: DataFrame, query_id: str,
                     nx = math.sqrt(float(np.cumsum(x * x)[-1]))
                     out_qid.append(qid)
                     out_cid.append(cids[i])
-                    out_cos.append(dot / (nx * qnorms[j]))
+                    # zero-norm vectors: JVM x/0.0 yields NULL/NaN, never a
+                    # ZeroDivisionError — mirror that instead of crashing
+                    denom = nx * qnorms[j]
+                    out_cos.append(dot / denom if denom else float("nan"))
             yield pd.DataFrame({"qid": out_qid, "cid": out_cid,
                                 "cosine": out_cos})
 
@@ -143,7 +146,10 @@ def kmeans_centroids(df: DataFrame, vec_col: str, n_centroids: int = 16,
     the first partitions, so on sorted/clustered data the centroids would
     be trained on one region and nprobe recall would degrade silently at
     scale. A seeded ``sample(fraction)`` (one extra count to size the
-    fraction) touches every partition uniformly instead.
+    fraction) touches every partition uniformly; the whole oversampled set
+    (~1.2·sample_rows rows — driver-trivial) is collected and truncated
+    driver-side with the seeded rng, because a distributed ``limit()``
+    after the sample would again prefer the first partitions.
     """
     import numpy as np
     total = df.count()
@@ -152,10 +158,13 @@ def kmeans_centroids(df: DataFrame, vec_col: str, n_centroids: int = 16,
     if total <= sample_rows:
         sample = df.select(vec_col).collect()
     else:
-        # 1.2× oversampling so the post-limit rarely undershoots
+        # 1.2× oversampling so the driver-side truncation rarely undershoots
         fraction = min(1.0, 1.2 * sample_rows / total)
-        sample = (df.select(vec_col).sample(fraction=fraction, seed=seed)
-                  .limit(sample_rows).collect())
+        sample = df.select(vec_col).sample(fraction=fraction, seed=seed).collect()
+        if len(sample) > sample_rows:
+            pick = np.random.default_rng(seed).choice(
+                len(sample), size=sample_rows, replace=False)
+            sample = [sample[i] for i in pick]
     X = np.array([row[0] for row in sample], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -71,7 +71,10 @@ def _round2(value: float, up: bool) -> float:
     """BigDecimal setScale(2, DOWN/UP) semantics — truncate toward / away
     from zero at two decimals (parity: Wald/WilsonScoreIntervalStrategy)."""
     from decimal import ROUND_DOWN, ROUND_UP, Decimal
-    return float(Decimal(value).quantize(
+    # Decimal(repr(value)) — the shortest decimal string, matching Scala's
+    # BigDecimal(double) construction; Decimal(value) would expand the exact
+    # binary fraction (0.30 → 0.29999...) and truncate DOWN one cent short
+    return float(Decimal(repr(value)).quantize(
         Decimal("0.01"), rounding=ROUND_UP if up else ROUND_DOWN))
 
 
