@@ -223,12 +223,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                         word_shingles(F.col(text_col), shingle_n).alias("sh")))
     sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (candidates.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-            .withColumn("jaccard", F.col("inter") /
-                        (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    verified = (candidates.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("jaccard", F.col("inter") /
+                            (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
+                .where(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+    # the cache-manager entry for `candidates` is never GC-reclaimed, so a
+    # long-lived session calling this repeatedly would accumulate cached
+    # blocks; materialize the (tiny) verified pair set eagerly — its
+    # localCheckpoint blocks ARE ContextCleaner-managed — and release the
+    # candidate cache before returning
+    verified = verified.localCheckpoint(eager=True)
+    candidates.unpersist()
+    return verified
 
 
 P31 = (1 << 31) - 1  # Mersenne prime 2³¹−1
@@ -405,13 +413,18 @@ def deduplicate_near(df: DataFrame, id_col: str, pairs: DataFrame,
                      id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Drop near-duplicates: keep ONE representative (the min id) per
     connected component of the pair graph; rows in no pair pass through
-    untouched. The non-representative id set is component-sized — a
-    broadcast anti-join, so the corpus never shuffles."""
+    untouched.
+
+    The anti-join side is deliberately NOT hinted: a web-scale corpus
+    routinely carries 30-50% near-duplicates, so the loser id set is
+    corpus-sized and a forced ``F.broadcast`` would OOM the driver. A
+    plain left_anti lets AQE pick the strategy at runtime — it still
+    broadcasts when the loser set turns out small, and falls back to a
+    shuffled join when it does not."""
     components = near_duplicate_components(pairs, id_a, id_b)
     losers = (components.where(F.col("id") != F.col("component"))
               .select("id"))
-    return df.join(F.broadcast(losers), df[id_col] == losers["id"],
-                   "left_anti")
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")
 
 
 def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
