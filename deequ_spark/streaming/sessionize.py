@@ -25,8 +25,21 @@ from typing import Iterator, Optional, Tuple
 
 import pandas
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_seconds(col: Column) -> Column:
+    """Timestamp-ish column -> epoch seconds as double.
+
+    ``CAST(x AS DOUBLE)`` is legal for TIMESTAMP but not TIMESTAMP_NTZ
+    (parquet written with isAdjustedToUTC=0 reads back as NTZ), so go
+    through an intermediate TIMESTAMP cast first. Session arithmetic only
+    uses *differences*, so the session-local-zone interpretation the
+    intermediate cast applies is immaterial. Numeric inputs survive the
+    round-trip unchanged.
+    """
+    return col.cast("timestamp").cast("double")
 
 
 def sessionize(df: DataFrame, key_col: str, ts_col: str,
@@ -38,8 +51,8 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str,
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
     prev_ts = F.lag(F.col(ts_col)).over(w)
     is_break = (prev_ts.isNull()
-                | (F.col(ts_col).cast("double")
-                   - prev_ts.cast("double") > gap_seconds))
+                | (_epoch_seconds(F.col(ts_col))
+                   - _epoch_seconds(prev_ts) > gap_seconds))
     return df.withColumn(
         session_col,
         F.sum(is_break.cast("long")).over(w) - F.lit(1))
@@ -55,8 +68,8 @@ def session_stats(df: DataFrame, key_col: str, ts_col: str,
                  F.min(ts_col).alias("session_start"),
                  F.max(ts_col).alias("session_end"))
             .withColumn("duration_sec",
-                        F.col("session_end").cast("double")
-                        - F.col("session_start").cast("double")))
+                        _epoch_seconds(F.col("session_end"))
+                        - _epoch_seconds(F.col("session_start"))))
 
 
 def sessionize_stream(events: DataFrame, key_col: str, ts_col: str,
@@ -113,7 +126,8 @@ def sessionize_stream(events: DataFrame, key_col: str, ts_col: str,
     timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
                     if timeout_ms is not None
                     else GroupStateTimeout.NoTimeout)
-    prepared = events.withColumn("__ts_sec", F.col(ts_col).cast("double"))
+    prepared = events.withColumn("__ts_sec",
+                                 _epoch_seconds(F.col(ts_col)))
     return (prepared.groupBy(key_col)
             .applyInPandasWithState(close_sessions, output_schema,
                                     state_schema, "append", timeout_conf))
