@@ -1075,6 +1075,144 @@ def q_dqdl_extended(spark, sf_dir):
     return _metrics_df(spark, rows)
 
 
+def q_custom_aggregator(spark, sf_dir):
+    """CustomAggregator (scan.py CustomAggregator, parity
+    CustomAggregator.scala:40-75): a fixed callable producing per-key
+    metrics (row counts per l_returnflag), run once through the full
+    analysis runner AND once through the split-state semigroup merge —
+    both must reproduce the oracle's plain GROUP BY counts."""
+    from deequ_spark import do_analysis_run
+    from deequ_spark.analyzers.scan import CustomAggregator
+
+    df = _load(spark, sf_dir, "lineitem")
+
+    def flag_counts(d):
+        return {r["l_returnflag"]: float(r["cnt"])
+                for r in (d.groupBy("l_returnflag")
+                          .agg(F.count(F.lit(1)).alias("cnt")).collect())}
+
+    agg = CustomAggregator(flag_counts, instance_name="returnflag_counts")
+    ctx = do_analysis_run(df, [agg])
+    metric = next(iter(ctx.metric_map.values()))
+    if not metric.is_success:
+        raise RuntimeError(str(metric.error))
+    rows = [(f"cnt_{k}", v) for k, v in metric.value.items()]
+    # mergeable-state path: two disjoint partitions, merged keyed state
+    s_even = agg.compute_state_from(df.where("l_orderkey % 2 = 0"))
+    s_odd = agg.compute_state_from(df.where("l_orderkey % 2 = 1"))
+    merged = agg.compute_metric_from_state(s_even.merge(s_odd))
+    rows += [(f"merged_cnt_{k}", v) for k, v in merged.value.items()]
+    return _metrics_df(spark, sorted(rows))
+
+
+def q_schema_validation(spark, sf_dir):
+    """Row-level schema validation (schema_validation.py, parity
+    RowLevelSchemaValidator.scala:183-282): declared schema over orders
+    splits valid/invalid rows in one scan; the oracle recomputes the
+    predicate split and the casted-column aggregates with try_cast."""
+    from deequ_spark.schema_validation import RowLevelSchema, validate_schema
+
+    df = _load(spark, sf_dir, "orders")
+    schema = (RowLevelSchema()
+              .with_string_column("o_orderpriority", is_nullable=False,
+                                  matches="^[1-3]-")
+              .with_int_column("o_custkey", is_nullable=False, min_value=1)
+              .with_decimal_column("o_totalprice", 12, 2, is_nullable=False)
+              .with_string_column("o_orderstatus", max_length=1))
+    res = validate_schema(df, schema)
+    valid_aggs = (res.valid_rows
+                  .agg(F.sum("o_custkey").alias("ck"),
+                       F.sum("o_totalprice").alias("tp"))
+                  .collect()[0])
+    rows = [("num_valid", float(res.num_valid_rows)),
+            ("num_invalid", float(res.num_invalid_rows)),
+            ("valid_ncols", float(len(res.valid_rows.columns))),
+            ("valid_custkey_sum", float(valid_aggs["ck"])),
+            ("valid_totalprice_sum", float(valid_aggs["tp"]))]
+    return _metrics_df(spark, sorted(rows))
+
+
+def q_applicability(spark, sf_dir):
+    """Applicability checker (applicability.py, parity
+    Applicability.scala:47-244): per-analyzer and per-check verdicts on a
+    fixed schema (seeded synthetic rows, no real data scanned). The
+    verdicts are schema-determined, so the oracle is the literal truth
+    table."""
+    from pyspark.sql import types as T
+
+    from deequ_spark import (Check, CheckLevel, Completeness, Compliance,
+                             Maximum, Mean, Minimum)
+    from deequ_spark.applicability import Applicability
+
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("qty", T.IntegerType()),
+        T.StructField("price", T.DoubleType()),
+    ])
+    app = Applicability(spark)
+    probes = [
+        ("Completeness_name", [Completeness("name")]),
+        ("Mean_qty", [Mean("qty")]),
+        ("Mean_name_string", [Mean("name")]),            # numeric on string
+        ("Minimum_price", [Minimum("price")]),
+        ("Maximum_missing_col", [Maximum("nope")]),      # absent column
+        ("Compliance_qty", [Compliance("qty_pos", "qty >= 0")]),
+    ]
+    rows = [(label, 1.0 if app.is_applicable(analyzers, schema).is_applicable
+             else 0.0)
+            for label, analyzers in probes]
+    strict = (Check(CheckLevel.ERROR, "strict")
+              .has_size(lambda n: n > 1e12))             # failing assertion
+    rows.append(("check_failed_assertion_still_applicable",
+                 1.0 if app.is_applicable(strict, schema).is_applicable
+                 else 0.0))
+    bad = Check(CheckLevel.ERROR, "bad").has_mean("name", lambda v: True)
+    rows.append(("check_mean_on_string_inapplicable",
+                 0.0 if not app.is_applicable(bad, schema).is_applicable
+                 else 1.0))
+    return _metrics_df(spark, sorted(rows))
+
+
+def q_repository(spark, sf_dir):
+    """Spark-table metrics repository (repository.py, parity
+    sparktable/SparkMetricsRepository.scala): save two keyed analysis
+    contexts to a Spark table, read them back through load_by_key and the
+    after()/with_tag_values() query DSL — metric values must survive the
+    serde round-trip bit-for-bit (the oracle recomputes them from the
+    source tables)."""
+    import tempfile
+
+    from deequ_spark import (Completeness, ResultKey, Size,
+                             SparkTableMetricsRepository, do_analysis_run)
+
+    table = "deequ_oracle_metrics"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    repo = SparkTableMetricsRepository(
+        spark, table, path=tempfile.mkdtemp(prefix="deequ_repo_"))
+    key1 = ResultKey.make(1000, {"env": "test"})
+    key2 = ResultKey.make(2000, {"env": "prod"})
+    repo.save(key1, do_analysis_run(_load(spark, sf_dir, "nation"),
+                                    [Size(), Completeness("n_name")]))
+    repo.save(key2, do_analysis_run(_load(spark, sf_dir, "region"), [Size()]))
+
+    ctx1 = repo.load_by_key(key1)
+    ctx2 = repo.load_by_key(key2)
+    after = repo.load().after(1500).get()
+    tagged = repo.load().with_tag_values({"env": "test"}).get()
+    rows = [("k1_size", ctx1.metric_map[Size()].value),
+            ("k1_completeness_n_name",
+             ctx1.metric_map[Completeness("n_name")].value),
+            ("k2_size", ctx2.metric_map[Size()].value),
+            ("n_entries_after_1500", float(len(after))),
+            ("after_entry_size",
+             after[0][1].metric_map[Size()].value if after else -1.0),
+            ("n_entries_tag_env_test", float(len(tagged))),
+            ("tagged_entry_date",
+             float(tagged[0][0].dataset_date) if tagged else -1.0)]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return _metrics_df(spark, sorted(rows))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -1122,6 +1260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance": q_distance,
         "sessionize": q_sessionize,
         "anomaly": q_anomaly,
+        "custom_aggregator": q_custom_aggregator,
+        "schema_validation": q_schema_validation,
+        "applicability": q_applicability,
+        "repository": q_repository,
     }
 
 
@@ -1697,5 +1839,57 @@ def oracle_sql() -> dict[str, str]:
                 CAST(COUNT(c_mktsegment) AS DOUBLE) / COUNT(*) FROM customer
             UNION ALL SELECT 'prof_seg_bins',
                 CAST(COUNT(DISTINCT c_mktsegment) AS DOUBLE) FROM customer
+        """,
+        "custom_aggregator": """
+            WITH c AS (SELECT l_returnflag AS f, CAST(COUNT(*) AS DOUBLE) AS n
+                       FROM lineitem GROUP BY l_returnflag)
+            SELECT 'cnt_' || f AS metric, n AS value FROM c
+            UNION ALL SELECT 'merged_cnt_' || f, n FROM c
+        """,
+        "schema_validation": """
+            WITH v AS (SELECT *,
+                (o_orderpriority IS NOT NULL
+                 AND regexp_matches(o_orderpriority, '^[1-3]-')
+                 AND o_custkey IS NOT NULL
+                 AND TRY_CAST(o_custkey AS INTEGER) IS NOT NULL
+                 AND TRY_CAST(o_custkey AS INTEGER) >= 1
+                 AND o_totalprice IS NOT NULL
+                 AND TRY_CAST(o_totalprice AS DECIMAL(12,2)) IS NOT NULL
+                 AND (o_orderstatus IS NULL OR LENGTH(o_orderstatus) <= 1))
+                AS ok FROM orders)
+            SELECT 'num_valid' AS metric,
+                   CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM v
+            UNION ALL SELECT 'num_invalid',
+                   CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS DOUBLE) FROM v
+            UNION ALL SELECT 'valid_ncols', 4.0
+            UNION ALL SELECT 'valid_custkey_sum',
+                   CAST(SUM(CASE WHEN ok THEN TRY_CAST(o_custkey AS INTEGER) END) AS DOUBLE) FROM v
+            UNION ALL SELECT 'valid_totalprice_sum',
+                   CAST(SUM(CASE WHEN ok THEN TRY_CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) FROM v
+        """,
+        "applicability": """
+            SELECT * FROM (VALUES
+                ('Completeness_name', 1.0),
+                ('Mean_qty', 1.0),
+                ('Mean_name_string', 0.0),
+                ('Minimum_price', 1.0),
+                ('Maximum_missing_col', 0.0),
+                ('Compliance_qty', 1.0),
+                ('check_failed_assertion_still_applicable', 1.0),
+                ('check_mean_on_string_inapplicable', 0.0)
+            ) AS t(metric, value)
+        """,
+        "repository": """
+            WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+                              CAST(COUNT(n_name) AS DOUBLE) / COUNT(*) AS c
+                       FROM nation),
+                 r AS (SELECT CAST(COUNT(*) AS DOUBLE) AS rn FROM region)
+            SELECT 'k1_size' AS metric, nn AS value FROM n
+            UNION ALL SELECT 'k1_completeness_n_name', c FROM n
+            UNION ALL SELECT 'k2_size', rn FROM r
+            UNION ALL SELECT 'n_entries_after_1500', 1.0
+            UNION ALL SELECT 'after_entry_size', rn FROM r
+            UNION ALL SELECT 'n_entries_tag_env_test', 1.0
+            UNION ALL SELECT 'tagged_entry_date', 1000.0
         """,
     }
