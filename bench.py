@@ -227,6 +227,9 @@ def main():
 
     @pandas_udf("double")
     def _warm(v):  # pragma: no cover — trivial identity
+        # importing numpy here pulls BLAS init into the (startup-cost)
+        # warmup instead of the first mapInPandas bench query
+        import numpy  # noqa: F401
         return v
     n_workers = int(CPUS) if str(CPUS).isdigit() else 32
     spark.range(0, n_workers * 100, 1, n_workers) \

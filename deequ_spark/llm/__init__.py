@@ -11,7 +11,8 @@ from .dedup import (deduplicate_exact, deduplicate_near,
                     simhash_near_duplicates, tune_band_shape, word_shingles)
 from .similarity import (brute_force_topk, cosine_similarity_expr,
                          hyperplane_lsh_topk, ivf_assign, ivf_topk,
-                         ivf_write_index, kmeans_centroids, knn_join)
+                         ivf_write_index, kmeans_centroids, knn_candidates,
+                         knn_join)
 from .text import (PII_PATTERNS, fingerprint, language_id, pii_counts,
                    redact_pii, text_quality, token_count_regex,
                    token_count_whitespace)

@@ -48,25 +48,35 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
             .limit(k))
 
 
-def knn_join(queries: DataFrame, corpus: DataFrame, query_id: str,
-             corpus_id: str, vec_col: str, k: int = 10,
-             batch_buffer: int = 8, max_queries: int = 100_000) -> DataFrame:
-    """Exact k-NN of every query against the corpus. Returns (qid, cid,
-    cosine, rank).
+def knn_candidates(queries: DataFrame, corpus: DataFrame, query_id: str,
+                   corpus_id: str, vec_col: str, k: int = 10,
+                   batch_buffer: int = 8,
+                   max_queries: int = 100_000) -> DataFrame:
+    """The pre-rank candidate stream of :func:`knn_join` — per TASK, the
+    top-(k+batch_buffer) corpus rows per query with exact cosines
+    (unranked). ``knn_join`` = this + a per-query rank window; exposed so
+    callers (and the two-stage plan test) can consume scores without the
+    final shuffle.
 
     Scale plan (100 TB corpus): the query side is small by contract — it is
     collected once and shipped in the Arrow UDF closure. The corpus is
-    scanned exactly ONCE through ``mapInPandas``: each Arrow batch is
-    scored against ALL queries with one BLAS matmul and reduced to its
-    local top-(k+batch_buffer) per query, so only ~(k+buffer)·batches rows
-    per query ride the final shuffle — never the |corpus|×|queries| scored
-    cross product (the old window-rank plan shuffled every scored row).
-    The matmul score is only used for PRUNING; each local winner's cosine
-    is then recomputed with sequential-order float64 arithmetic (cumsum =
-    the same left-fold the JVM ``aggregate`` expression performs), so
-    emitted cosines match brute_force_topk bit-for-bit. Per-batch top-k is
-    a superset of the global top-k, and the buffer absorbs float ties at
-    the pruning boundary.
+    scanned exactly ONCE through ``mapInPandas``, two-stage:
+
+    * stage 1 (per Arrow batch): score the batch against ALL queries with
+      one BLAS matmul, keep the batch-local top-(k+batch_buffer) per query
+      (pruning scores + raw vectors only — no exact recompute yet);
+    * stage 2 (per TASK, at iterator end): merge every batch's survivors
+      into one task-level top-(k+buffer) per query and emit only those —
+      so the final shuffle carries O(queries·(k+buffer)·tasks) rows, not
+      ·batches, and never the |corpus|×|queries| scored cross product.
+
+    The matmul score is only used for PRUNING; each task-level winner's
+    cosine is then recomputed with sequential-order float64 arithmetic
+    (cumsum = the same left-fold the JVM ``aggregate`` expression
+    performs), so emitted cosines match brute_force_topk bit-for-bit.
+    Each per-batch/per-task top-k is a superset of the global top-k
+    restricted to its rows, and the buffer absorbs float ties at the
+    pruning boundary.
     """
     import math
 
@@ -94,6 +104,12 @@ def knn_join(queries: DataFrame, corpus: DataFrame, query_id: str,
 
     def local_topk(batches):
         import pandas as pd
+        # stage 1: batch-local survivors, accumulated per query across all
+        # of this task's Arrow batches (kb rows/batch → the buffer stays
+        # O(queries·kb·batches_in_task), tiny next to the batch itself)
+        buf_score = [[] for _ in qids]
+        buf_cid = [[] for _ in qids]
+        buf_vec = [[] for _ in qids]
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -104,32 +120,58 @@ def knn_join(queries: DataFrame, corpus: DataFrame, query_id: str,
             n = len(pdf)
             take = min(kb, n)
             cids = pdf[corpus_id].to_numpy()
-            out_qid, out_cid, out_cos = [], [], []
-            for j, qid in enumerate(qids):
+            for j in range(len(qids)):
                 # argpartition: O(n) per query instead of a full sort
                 idx = (np.argpartition(-S[:, j], take - 1)[:take]
                        if take < n else np.arange(n))
-                for i in idx:
-                    x = X[i]
-                    # exact left-fold order: 0.0 + Σ xᵢ·qᵢ, matching the
-                    # JVM aggregate(zip_with(...)) evaluation bit-for-bit
-                    dot = float(np.cumsum(x * Q[j])[-1])
-                    nx = math.sqrt(float(np.cumsum(x * x)[-1]))
-                    out_qid.append(qid)
-                    out_cid.append(cids[i])
-                    # zero-norm vectors: JVM x/0.0 yields NULL/NaN, never a
-                    # ZeroDivisionError — mirror that instead of crashing
-                    denom = nx * qnorms[j]
-                    out_cos.append(dot / denom if denom else float("nan"))
+                buf_score[j].append(S[idx, j])
+                buf_cid[j].append(cids[idx])
+                buf_vec[j].append(X[idx])
+        # stage 2: ONE task-level top-kb per query; only these winners get
+        # the exact recompute and leave the task
+        out_qid, out_cid, out_cos = [], [], []
+        for j, qid in enumerate(qids):
+            if not buf_score[j]:
+                continue
+            scores = np.concatenate(buf_score[j])
+            cids = np.concatenate(buf_cid[j])
+            vecs = np.concatenate(buf_vec[j])
+            take = min(kb, len(scores))
+            idx = (np.argpartition(-scores, take - 1)[:take]
+                   if take < len(scores) else np.arange(len(scores)))
+            for i in idx:
+                x = vecs[i]
+                # exact left-fold order: 0.0 + Σ xᵢ·qᵢ, matching the
+                # JVM aggregate(zip_with(...)) evaluation bit-for-bit
+                dot = float(np.cumsum(x * Q[j])[-1])
+                nx = math.sqrt(float(np.cumsum(x * x)[-1]))
+                out_qid.append(qid)
+                out_cid.append(cids[i])
+                # zero-norm vectors: JVM x/0.0 yields NULL/NaN, never a
+                # ZeroDivisionError — mirror that instead of crashing
+                denom = nx * qnorms[j]
+                out_cos.append(dot / denom if denom else float("nan"))
+        if out_qid:
             yield pd.DataFrame({"qid": out_qid, "cid": out_cid,
                                 "cosine": out_cos})
 
-    # no forced repartition: the per-batch matmul is vectorized (cheap per
-    # row), so parallelism comes from the input's own splits — at corpus
-    # scale those are thousands of files; forcing defaultParallelism here
-    # would only spawn idle Python workers for small inputs
-    cand = (corpus.select(corpus_id, vec_col)
+    # no forced repartition: parquet scans already split large files by
+    # spark.sql.files.maxPartitionBytes, so a single-task input implies a
+    # small corpus where one BLAS matmul beats paying a full-corpus
+    # shuffle of the vector payloads + per-partition Python worker spawn
+    # (measured: repartition(32) on a 2k-row corpus was ~2x slower)
+    return (corpus.select(corpus_id, vec_col)
             .mapInPandas(local_topk, cand_schema))
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, query_id: str,
+             corpus_id: str, vec_col: str, k: int = 10,
+             batch_buffer: int = 8, max_queries: int = 100_000) -> DataFrame:
+    """Exact k-NN of every query against the corpus. Returns (qid, cid,
+    cosine, rank). See :func:`knn_candidates` for the scale plan — the
+    window here ranks only O(queries·(k+buffer)·tasks) candidate rows."""
+    cand = knn_candidates(queries, corpus, query_id, corpus_id, vec_col,
+                          k, batch_buffer, max_queries)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))

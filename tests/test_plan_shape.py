@@ -121,3 +121,41 @@ def test_minhash_signatures_single_shingle_eval(spark):
     # intra-expression repeats of the token split are fine (codegen CSE),
     # but the count must not scale with num_hashes
     assert plan.count("split(lower") < 16
+
+
+def test_knn_candidates_two_stage_task_level_topk(spark):
+    """The candidate stream must emit ONE task-level top-(k+buffer) per
+    query — O(queries·kb·tasks) rows — not one per Arrow batch
+    (regression: per-batch emission made the final window shuffle scale
+    with ·batches)."""
+    from pyspark.sql import functions as F
+
+    from deequ_spark.llm import knn_candidates, knn_join
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        corpus = (spark.range(100)
+                  .select(F.col("id"),
+                          F.array(F.col("id").cast("double"),
+                                  F.lit(1.0)).alias("vec")))
+        queries = corpus.where(F.col("id") < 2)
+        k, buffer = 3, 2
+        per_task = k + buffer
+        n_tasks = spark.sparkContext.defaultParallelism
+        cand = knn_candidates(queries, corpus, "id", "id", "vec",
+                              k=k, batch_buffer=buffer)
+        # each TASK emits at most kb rows per query, regardless of how
+        # many Arrow batches it consumed — per-batch emission with
+        # 10-row batches would exceed this bound
+        for r in cand.groupBy("qid").count().collect():
+            assert r["count"] <= per_task * n_tasks, (
+                f"qid {r['qid']} emitted {r['count']} candidates — "
+                "per-batch (not per-task) emission")
+        # and knn_join still agrees with the exact answer
+        out = {(r["qid"], r["rank"]): r["cid"]
+               for r in knn_join(queries, corpus, "id", "id", "vec",
+                                 k=k).collect()}
+        assert out[(0, 1)] == 0 and out[(1, 1)] == 1
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
