@@ -179,21 +179,34 @@ def knn_join(queries: DataFrame, corpus: DataFrame, query_id: str,
 
 def kmeans_centroids(df: DataFrame, vec_col: str, n_centroids: int = 16,
                      sample_rows: int = 20000, iters: int = 10,
-                     seed: int = 42) -> List[List[float]]:
-    """Driver-side k-means over a bounded RANDOM sample (Lloyd's, numpy).
-    The sample is O(sample_rows·dims) — constant wrt table size; the
-    centroids are tiny and shipped as literals/broadcast.
+                     seed: int = 42,
+                     distributed_threshold: int = 256) -> List[List[float]]:
+    """k-means centroids for IVF list training, auto-routed by size.
 
-    The sample must be unbiased: ``limit(n)`` would take the first rows of
-    the first partitions, so on sorted/clustered data the centroids would
-    be trained on one region and nprobe recall would degrade silently at
-    scale. A seeded ``sample(fraction)`` (one extra count to size the
-    fraction) touches every partition uniformly; the whole oversampled set
-    (~1.2·sample_rows rows — driver-trivial) is collected and truncated
-    driver-side with the seeded rng, because a distributed ``limit()``
-    after the sample would again prefer the first partitions.
+    * ``n_centroids <= distributed_threshold``: driver-side Lloyd's (numpy)
+      over a bounded RANDOM sample — O(sample_rows·dims), constant wrt
+      table size; the centroids are tiny and shipped as literals/broadcast.
+    * ``n_centroids > distributed_threshold``: ``pyspark.ml`` KMeans over
+      the FULL table. A 100 TB index wants ~√n lists (tens of thousands) —
+      a 20k-row driver sample cannot train that many distinct centroids
+      (most lists would be empty or duplicated), and the driver matmul is
+      O(sample·k·dims). The ML path is the same Lloyd's, distributed, with
+      L2-normalized features so Euclidean == spherical (cosine) k-means on
+      the unit sphere — matching ivf_assign's cosine assignment.
+
+    The driver sample must be unbiased: ``limit(n)`` would take the first
+    rows of the first partitions, so on sorted/clustered data the
+    centroids would be trained on one region and nprobe recall would
+    degrade silently at scale. A seeded ``sample(fraction)`` (one extra
+    count to size the fraction) touches every partition uniformly; the
+    whole oversampled set (~1.2·sample_rows rows — driver-trivial) is
+    collected and truncated driver-side with the seeded rng, because a
+    distributed ``limit()`` after the sample would again prefer the first
+    partitions.
     """
     import numpy as np
+    if n_centroids > distributed_threshold:
+        return _kmeans_centroids_ml(df, vec_col, n_centroids, iters, seed)
     total = df.count()
     if total == 0:
         raise ValueError("kmeans_centroids: input is empty")
@@ -220,6 +233,37 @@ def kmeans_centroids(df: DataFrame, vec_col: str, n_centroids: int = 16,
                 m = members.mean(axis=0)
                 cent[c] = m / max(float(np.linalg.norm(m)), 1e-12)
     return [[float(v) for v in c] for c in cent]
+
+
+def _kmeans_centroids_ml(df: DataFrame, vec_col: str, n_centroids: int,
+                         iters: int, seed: int) -> List[List[float]]:
+    """Distributed spherical k-means via ``pyspark.ml`` KMeans: the
+    training set never leaves the executors, so list counts can scale to
+    the ~√n a large index needs. Features are L2-normalized JVM-side
+    (ml.feature.Normalizer — no Python in the loop); returned centers are
+    re-normalized so downstream cosine assignment sees unit centroids."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("__raw"))
+    unit = Normalizer(inputCol="__raw", outputCol="features",
+                      p=2.0).transform(feats).select("features")
+    # KMeans iterates over the features — persist across iterations
+    unit = unit.persist()
+    try:
+        model = KMeans(k=n_centroids, maxIter=iters, seed=seed,
+                       featuresCol="features").fit(unit)
+    finally:
+        unit.unpersist()
+    out = []
+    for c in model.clusterCenters():
+        arr = np.asarray(c, dtype=np.float64)
+        arr = arr / max(float(np.linalg.norm(arr)), 1e-12)
+        out.append([float(v) for v in arr])
+    return out
 
 
 def ivf_assign(df: DataFrame, vec_col: str,

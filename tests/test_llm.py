@@ -151,6 +151,44 @@ class TestSimilarity:
         by_id = {r["vec_id"]: r["ivf_list"] for r in rows}
         assert by_id[0] != by_id[3]
 
+    def test_distributed_kmeans_ivf_recall(self, spark):
+        """n_centroids above the threshold routes through pyspark.ml
+        KMeans (full-table, no driver sample); the resulting IVF index
+        must reach high recall vs brute force on the 10x embeddings
+        table — the scale path a √n-list 100 TB index needs."""
+        from deequ_spark.llm import (brute_force_topk, ivf_topk,
+                                     kmeans_centroids)
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        cents = kmeans_centroids(emb, "embedding", n_centroids=300,
+                                 iters=5, distributed_threshold=256)
+        assert len(cents) == 300
+        # unit-norm centroids (spherical k-means contract)
+        import math
+        for c in cents[:10]:
+            assert math.isclose(sum(v * v for v in c), 1.0, rel_tol=1e-6)
+        qvec = [float(v) for v in emb.where("vec_id = 7")
+                .select("embedding").collect()[0][0]]
+        exact = {r["id"] for r in brute_force_topk(
+            emb, "vec_id", "embedding", qvec, k=10).collect()}
+        approx = {r["id"] for r in ivf_topk(
+            emb, "vec_id", "embedding", qvec, k=10,
+            centroids=cents, nprobe=60).collect()}
+        recall = len(exact & approx) / 10
+        assert recall >= 0.7, f"recall@10={recall} with nprobe=60/300"
+
+    def test_small_n_centroids_stays_on_driver_lloyds(self, vectors,
+                                                      monkeypatch):
+        """Below the threshold the driver Lloyd's path runs — the ML
+        path must NOT be invoked (it pays a full-table distributed fit)."""
+        import deequ_spark.llm.similarity as sim
+
+        def boom(*a, **k):
+            raise AssertionError("ML path used for small n_centroids")
+
+        monkeypatch.setattr(sim, "_kmeans_centroids_ml", boom)
+        cents = sim.kmeans_centroids(vectors, "embedding", n_centroids=2)
+        assert len(cents) == 2
+
     def test_embedding_near_duplicates(self, vectors):
         pairs = {(r["id_a"], r["id_b"])
                  for r in embedding_near_duplicates(
