@@ -55,7 +55,7 @@ class DQDLParseError(ValueError):
 _TOKEN_RE = re.compile(r"""
     \s*(?:
       (?P<string>"(?:[^"\\]|\\.)*")
-    | (?P<number>-?\d+(?:\.\d+)?)
+    | (?P<number>-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)
     | (?P<op><=|>=|!=|=|<|>)
     | (?P<punct>[\[\](),])
     | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
@@ -330,7 +330,13 @@ class _Parser:
 
 
 def parse(ruleset: str) -> DQRuleset:
-    return _Parser(_tokenize(ruleset)).parse_ruleset()
+    parser = _Parser(_tokenize(ruleset))
+    parsed = parser.parse_ruleset()
+    trailing = parser.peek()
+    if trailing is not None:
+        raise DQDLParseError(
+            f"Unexpected input after ruleset: {trailing[1]!r}")
+    return parsed
 
 
 # ---------------------------------------------------------------------------
