@@ -566,6 +566,88 @@ def q_language_id(spark, sf_dir):
     return _metrics_df(spark, out)
 
 
+# one fixed sample sentence per language (no apostrophes — both engines
+# see these as plain string literals); the trigram classifier must label
+# every one correctly, and the oracle replays the FULL argmax in SQL
+_LANG_SAMPLES = {
+    "en": "the king and the queen were standing in the garden of the palace",
+    "de": "der alte mann und die junge frau gehen durch einen schönen wald",
+    "es": "la casa de mis padres que está en la ciudad es muy grande",
+    "fr": "le chien de la voisine est dans le jardin avec les enfants",
+    "it": "il libro che ho letto di questo autore non era molto lungo",
+    "pt": "a casa de meus pais não é longe da estação de comboios",
+    "nl": "de kinderen van de buren spelen in het park met een bal",
+    "sv": "jag tycker om att läsa böcker och att skriva långa brev",
+    "da": "det er en god dag at gå en tur og se på byen til aften",
+    "fi": "minä olen ollut tässä kaupungissa monta vuotta ja pidän siitä",
+    "pl": "nie wiem czy on przyjdzie na spotkanie w przyszłym tygodniu",
+    "cs": "to je velmi dobrý nápad a myslím že se nám to podaří",
+    "hu": "az egyetemen sok érdekes előadást hallgattam meg tavaly",
+    "tr": "bu şehirde yaşayan insanlar için daha iyi bir gelecek istiyoruz",
+    "ro": "în orașul nostru copiii învață multe lucruri despre știință și artă",
+    "ru": "мы пошли на прогулку по набережной после длинного рабочего дня",
+    "ar": "ذهبنا في الصباح الى السوق لشراء الخضار من المزارعين",
+    "zh": "我们在一个很大的城市里生活了很多年是很好的",
+    "ja": "わたしは毎日の朝に公園を散歩するのが好きだった",
+    "ko": "우리는 주말에 가족과 함께 공원에 가는 것을 좋아한다",
+}
+
+
+def q_language_id_trigram(spark, sf_dir):
+    """20-language char-n-gram ID (llm/text.py TRIGRAM_PROFILES): classify
+    one fixed sample per language and report per-sample correctness plus
+    the true-language profile score; the oracle recomputes BOTH — the
+    scores via the same length/replace arithmetic and the argmax via a
+    rank window — entirely in SQL."""
+    from deequ_spark.llm import language_id_trigrams, trigram_score
+
+    samples = spark.createDataFrame(sorted(_LANG_SAMPLES.items()),
+                                    "lang string, text string")
+    pred = language_id_trigrams(samples, "text")
+    rows = []
+    for r in pred.select(
+            "lang", "lang_pred",
+            *[trigram_score(F.col("text"), lang).alias(f"s_{lang}")
+              for lang in _LANG_SAMPLES]).collect():
+        rows.append((f"pred_{r['lang']}",
+                     1.0 if r["lang_pred"] == r["lang"] else 0.0))
+        rows.append((f"score_{r['lang']}", float(r[f"s_{r['lang']}"])))
+    return _metrics_df(spark, sorted(rows))
+
+
+def _language_id_trigram_oracle_sql() -> str:
+    from deequ_spark.llm import TRIGRAM_PROFILES
+    values = ",\n        ".join(
+        f"('{lang}', '{text}')" for lang, text in sorted(_LANG_SAMPLES.items()))
+
+    def score_expr(lang):
+        terms = [
+            f"(length(p) - length(replace(p, '{t}', ''))) / {len(t)}"
+            for t in TRIGRAM_PROFILES[lang]]
+        return " + ".join(terms)
+
+    score_selects = "\n        UNION ALL ".join(
+        f"SELECT lang, '{cand}' AS cand, {score_expr(cand)} AS score FROM padded"
+        for cand in sorted(TRIGRAM_PROFILES))
+    return f"""
+        WITH samples(lang, text) AS (VALUES
+        {values}),
+        padded AS (SELECT lang, ' ' || lower(text) || ' ' AS p FROM samples),
+        scores AS (
+        {score_selects}),
+        best AS (SELECT lang, cand, score,
+                        ROW_NUMBER() OVER (PARTITION BY lang
+                                           ORDER BY score DESC, cand ASC) AS rn
+                 FROM scores)
+        SELECT 'pred_' || lang AS metric,
+               CASE WHEN score > 0 AND cand = lang THEN 1.0 ELSE 0.0 END AS value
+        FROM best WHERE rn = 1
+        UNION ALL
+        SELECT 'score_' || lang, CAST(score AS DOUBLE)
+        FROM scores WHERE cand = lang
+    """
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-10 of vec_id=0 (exactness baseline for ANN)."""
     from deequ_spark.llm import brute_force_topk
@@ -1260,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance": q_distance,
         "sessionize": q_sessionize,
         "anomaly": q_anomaly,
+        "language_id_trigram": q_language_id_trigram,
         "custom_aggregator": q_custom_aggregator,
         "schema_validation": q_schema_validation,
         "applicability": q_applicability,
@@ -1840,6 +1923,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'prof_seg_bins',
                 CAST(COUNT(DISTINCT c_mktsegment) AS DOUBLE) FROM customer
         """,
+        "language_id_trigram": _language_id_trigram_oracle_sql(),
         "custom_aggregator": """
             WITH c AS (SELECT l_returnflag AS f, CAST(COUNT(*) AS DOUBLE) AS n
                        FROM lineitem GROUP BY l_returnflag)

@@ -21,6 +21,81 @@ LANGUAGE_MARKERS: Dict[str, str] = {
 }
 
 
+# Character n-gram profiles for 20 languages — the Cavnar–Trenkle-style
+# "top n-grams" idea reduced to literal arrays of each language's most
+# frequent character sequences (public corpus frequency knowledge; mixed
+# lengths — CJK/Hangul single characters count as 1-grams). Scoring uses
+# only length/replace arithmetic, so any ANSI-SQL engine replays it
+# bit-for-bit: count(t) = (len(x) − len(replace(x, t, ''))) / len(t).
+TRIGRAM_PROFILES: Dict[str, List[str]] = {
+    "en": ["the", "he ", " th", "ing", "and", " an", "nd ", " of", "of ", "ed "],
+    "de": ["er ", "en ", "ch ", "der", " de", "ie ", "ein", "sch", "die", "und"],
+    "es": [" de", "de ", "os ", " la", "la ", "ión", "ar ", "es ", " es", "que"],
+    "fr": [" de", "es ", "de ", "le ", " le", "ent", "la ", " la", "ait", "oir"],
+    "it": [" di", "re ", "la ", "to ", " co", "che", " ch", "no ", "di ", "ion"],
+    "pt": [" de", "de ", "os ", " co", "ão ", "ção", "da ", " da", "ar ", "em "],
+    "nl": ["en ", "de ", " de", "an ", "er ", " ve", "van", "het", " he", "aar"],
+    "sv": ["en ", "et ", "ar ", " oc", "och", "ch ", "för", " fö", "att", " at"],
+    "da": ["er ", "en ", " og", "og ", "det", " de", "at ", " at", "ger", "til"],
+    "fi": ["en ", "in ", " on", "on ", "ssa", "aan", "än ", "tä ", "sta", "lla"],
+    "pl": ["ie ", "nie", " ni", "na ", " na", "ego", " po", "ch ", "em ", "rze"],
+    "cs": [" po", "ou ", " na", "na ", "ní ", "se ", " se", "je ", " je", "ho "],
+    "hu": [" az", "az ", " me", "gy ", "egy", "ek ", "et ", "tt ", " el", "en "],
+    "tr": ["lar", "an ", "ın ", " bi", "bir", "ir ", "da ", "de ", " ka", "en "],
+    "ro": ["ă", "ș", "ț", " în", "în ", "ul ", "ii ", " de", "de ", "are"],
+    "ru": [" по", "го ", " на", "на ", "ть ", "ого", " пр", "ние", "ет ", "ов "],
+    "ar": ["ال", " ال", "في", " في", " من", "ة ", "ين", "ان", "ها", "ات"],
+    "zh": ["的", "是", "在", "一", "了", "我", "很", "有", "大", "不"],
+    "ja": ["の", "に", "は", "を", "た", "が", "する", "した", "です", "って"],
+    "ko": ["의", "이", "는", "을", "가", "하", "에 ", "다", "고 ", "한"],
+}
+
+
+def _padded_lower(text: Column) -> Column:
+    """' ' || lower(text) || ' ' so word-boundary n-grams match at the
+    edges — same padding the SQL oracle applies."""
+    return F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+
+
+def trigram_score(text: Column, lang: str) -> Column:
+    """Occurrences of every profile n-gram of ``lang`` in the padded
+    lowered text — pure length/replace arithmetic (no regex), identical
+    in Spark and any ANSI-SQL oracle."""
+    padded = _padded_lower(text)
+    score: Optional[Column] = None
+    for t in TRIGRAM_PROFILES[lang]:
+        cnt = (F.length(padded) - F.length(F.replace(padded, F.lit(t)))) \
+            / F.lit(len(t))
+        score = cnt if score is None else score + cnt
+    return score
+
+
+def _argmax_lang(scores: Dict[str, Column]) -> Column:
+    """Argmax with alphabetical tie-break and ``unknown`` at score 0, as
+    ONE ``array_max`` over (score, −rank, lang) structs — each score
+    expression appears exactly once in the plan. (A chained
+    when/otherwise argmax embeds every previous score twice per step:
+    exponential expression growth that OOMs codegen around ~20 branches.)
+    """
+    entries = [F.struct(scores[lang].alias("s"),
+                        F.lit(-i).alias("r"),      # earlier lang wins ties
+                        F.lit(lang).alias("l"))
+               for i, lang in enumerate(sorted(scores))]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("unknown"))
+
+
+def language_id_trigrams(df: DataFrame, text_col: str,
+                         output_col: str = "lang_pred") -> DataFrame:
+    """20-language ID by char-n-gram profile scoring: argmax of
+    :func:`trigram_score` with alphabetical tie-break, ``unknown`` when no
+    profile matches at all. One projection, whole-stage codegen — no UDF,
+    no shuffle; at 100 TB this is a map-only pass."""
+    scores = {lang: trigram_score(F.col(text_col), lang)
+              for lang in TRIGRAM_PROFILES}
+    return df.withColumn(output_col, _argmax_lang(scores))
+
+
 def token_count_whitespace(text: Column) -> Column:
     """Whitespace tokens (empty strings dropped)."""
     return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
@@ -36,15 +111,7 @@ def language_id(df: DataFrame, text_col: str,
     """Deterministic marker-count argmax with alphabetical tie-break."""
     counts = {lang: F.regexp_count(F.col(text_col), F.lit(pat))
               for lang, pat in LANGUAGE_MARKERS.items()}
-    langs = sorted(counts)  # alphabetical tie-break: first max wins
-    best_lang = F.lit(langs[0])
-    best_count = counts[langs[0]]
-    for lang in langs[1:]:
-        is_better = counts[lang] > best_count
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_count = F.when(is_better, counts[lang]).otherwise(best_count)
-    pred = F.when(best_count > 0, best_lang).otherwise(F.lit("unknown"))
-    return df.withColumn(output_col, pred)
+    return df.withColumn(output_col, _argmax_lang(counts))
 
 
 def text_quality(df: DataFrame, text_col: str) -> DataFrame:

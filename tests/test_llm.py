@@ -215,6 +215,44 @@ class TestText:
         preds = [r["lang_pred"] for r in language_id(df, "text").collect()]
         assert preds == ["en", "de", "es", "unknown"]
 
+    def test_language_id_trigrams_20_languages(self, spark):
+        """Every language's representative sample classifies correctly;
+        garbage/empty is unknown; one-projection plan (no shuffle)."""
+        from deequ_spark.llm import TRIGRAM_PROFILES, language_id_trigrams
+        samples = {
+            "en": "the king and the queen were standing in the garden",
+            "de": "der alte mann und die junge frau gehen durch den wald",
+            "es": "la casa de mis padres que está en la ciudad es grande",
+            "fr": "le chien de la voisine est dans le jardin avec les enfants",
+            "it": "il libro che ho letto di questo autore non era lungo",
+            "pt": "a casa de meus pais não é longe da estação de comboios",
+            "nl": "de kinderen van de buren spelen in het park met een bal",
+            "sv": "jag tycker om att läsa böcker och att skriva långa brev",
+            "da": "det er en god dag at gå en tur og se på byen til aften",
+            "fi": "minä olen ollut tässä kaupungissa monta vuotta ja pidän",
+            "pl": "nie wiem czy on przyjdzie na spotkanie w tygodniu",
+            "cs": "to je velmi dobrý nápad a myslím že se nám to podaří",
+            "hu": "az egyetemen sok érdekes előadást hallgattam meg tavaly",
+            "tr": "bu şehirde yaşayan insanlar için daha iyi bir gelecek",
+            "ro": "în orașul nostru copiii învață multe lucruri despre artă",
+            "ru": "мы пошли на прогулку по набережной после рабочего дня",
+            "ar": "ذهبنا في الصباح الى السوق لشراء الخضار من المزارعين",
+            "zh": "我们在一个很大的城市里生活了很多年是很好的",
+            "ja": "わたしは毎日の朝に公園を散歩するのが好きだった",
+            "ko": "우리는 주말에 가족과 함께 공원에 가는 것을 좋아한다",
+        }
+        assert set(samples) == set(TRIGRAM_PROFILES)
+        rows = list(samples.items()) + [("??", "012345 9876!"), ("??", "")]
+        df = spark.createDataFrame(rows, "lang string, text string")
+        out = language_id_trigrams(df, "text")
+        got = {r["lang"]: r["lang_pred"] for r in out.collect()
+               if r["lang"] != "??"}
+        assert got == {k: k for k in samples}
+        unknowns = [r["lang_pred"] for r in out.collect() if r["lang"] == "??"]
+        assert unknowns == ["unknown", "unknown"]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan         # map-only projection
+
     def test_text_quality(self, spark):
         df = spark.createDataFrame([("Hello world hello world!",)], "t string")
         r = text_quality(df, "t").collect()[0]
