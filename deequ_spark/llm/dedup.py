@@ -174,6 +174,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     bands=32 × rows=2 (num_hashes=64) gives miss probability
     (1 − j²)³² ≈ 7e-15 at j=0.8 — effectively exact recall — while
     pruning the candidate space to colliding band buckets.
+
+    With ``verify_exact=True`` the returned DataFrame is EAGERLY
+    materialized (localCheckpoint) at call time — the full
+    signature/banding/verify job runs here, not at the caller's first
+    action — so the candidate cache can be released before returning
+    (repeated calls must not accumulate CacheManager entries).
+    localCheckpoint blocks live unreplicated on executors: under dynamic
+    allocation, losing an executor makes the checkpointed pair set
+    unrecoverable — callers in decommission-prone clusters should persist
+    the (small) result to durable storage, or manage their own
+    persist/unpersist around a lazy variant.
     """
     rows = num_hashes // bands
     df = ensure_parallelism(df)
