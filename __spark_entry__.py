@@ -806,6 +806,72 @@ def q_ivf_ann(spark, sf_dir):
     return _metrics_df(spark, [(str(r["id"]), _fuzz(r["cosine"])) for r in top])
 
 
+def q_ivf_index_disk(spark, sf_dir):
+    """On-disk IVF index (llm/similarity.py ivf_write_index): build the
+    partitioned index, read it back, probe ALL lists — must equal the SQL
+    oracle's brute force exactly (same contract as ivf_ann, but through
+    the disk round-trip + partition-pruned scan path)."""
+    import tempfile
+
+    from deequ_spark.llm import ivf_topk, ivf_write_index
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    corpus = emb.where(F.col("vec_id") != 0)
+    path = tempfile.mkdtemp(prefix="deequ_ivf_idx_")
+    cents = ivf_write_index(corpus, path, "embedding", n_centroids=8)
+    index = spark.read.parquet(path)
+    top = ivf_topk(index, "vec_id", "embedding", qvec, k=10,
+                   centroids=cents, nprobe=8).collect()
+    return _metrics_df(spark, [(str(r["id"]), _fuzz(r["cosine"]))
+                               for r in top])
+
+
+def q_lsh_ann_contract(spark, sf_dir):
+    """Hyperplane-LSH top-k (llm/similarity.py hyperplane_lsh_topk): the
+    operator's CONTRACT is 'exact top-k restricted to the query's bucket'
+    — the signature predicate only PRUNES; scoring/ordering is the same
+    JVM expression as brute force. Checks (booleans, oracle = truth
+    table): result == brute-force top-k over the bucket's candidate set,
+    every returned cosine bit-exact vs the full-corpus scores, and the
+    bucket is a strict subset of the corpus (pruning actually happened).
+    Recall itself is data-dependent (random vectors are LSH-hostile), so
+    it is deliberately NOT a gate here."""
+    from deequ_spark.llm import brute_force_topk, hyperplane_lsh_topk
+    from deequ_spark.llm.similarity import (_hyperplane_matrix,
+                                            _hyperplane_signature)
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    corpus = emb.where(F.col("vec_id") != 0)
+    planes = 3
+    got = hyperplane_lsh_topk(corpus, "vec_id", "embedding", qvec,
+                              k=10, planes=planes).collect()
+
+    import numpy as np
+    W = _hyperplane_matrix(len(qvec), planes, seed=42)
+    qbits = (W @ np.array(qvec, dtype=np.float64)) >= 0
+    qsig = int((qbits.astype("int64") << np.arange(planes)).sum())
+    bucket = corpus.where(
+        _hyperplane_signature(F.col("embedding"), W) == F.lit(qsig))
+    n_bucket = bucket.count()
+    expect = brute_force_topk(bucket, "vec_id", "embedding", qvec,
+                              k=10).collect()
+    same = ([(r["id"], r["cosine"]) for r in got]
+            == [(r["id"], r["cosine"]) for r in expect])
+    all_exact = {r["id"]: r["cosine"]
+                 for r in brute_force_topk(corpus, "vec_id", "embedding",
+                                           qvec, k=1_000_000).collect()}
+    cosines_exact = all(r["cosine"] == all_exact[r["id"]] for r in got)
+    rows = [("lsh_equals_bucket_bruteforce", 1.0 if same else 0.0),
+            ("lsh_cosines_bit_exact", 1.0 if cosines_exact else 0.0),
+            ("lsh_bucket_prunes",
+             1.0 if 0 < n_bucket < corpus.count() else 0.0)]
+    return _metrics_df(spark, sorted(rows))
+
+
 def q_streaming(spark, sf_dir):
     """Structured Streaming cumulative verification: 4 micro-batches of
     orders; final merged-state metrics must equal the static values the
@@ -1343,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "anomaly": q_anomaly,
         "language_id_trigram": q_language_id_trigram,
+        "ivf_index_disk": q_ivf_index_disk,
+        "lsh_ann_contract": q_lsh_ann_contract,
         "custom_aggregator": q_custom_aggregator,
         "schema_validation": q_schema_validation,
         "applicability": q_applicability,
@@ -1924,6 +1992,26 @@ def oracle_sql() -> dict[str, str]:
                 CAST(COUNT(DISTINCT c_mktsegment) AS DOUBLE) FROM customer
         """,
         "language_id_trigram": _language_id_trigram_oracle_sql(),
+        "ivf_index_disk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT CAST(vec_id AS VARCHAR) AS metric,
+                   FLOOR(list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+                         * 1e6) AS value
+            FROM e, q WHERE vec_id <> 0
+            ORDER BY list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "lsh_ann_contract": """
+            SELECT * FROM (VALUES
+                ('lsh_bucket_prunes', 1.0),
+                ('lsh_cosines_bit_exact', 1.0),
+                ('lsh_equals_bucket_bruteforce', 1.0)
+            ) AS t(metric, value)
+        """,
         "custom_aggregator": """
             WITH c AS (SELECT l_returnflag AS f, CAST(COUNT(*) AS DOUBLE) AS n
                        FROM lineitem GROUP BY l_returnflag)

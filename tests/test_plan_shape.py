@@ -159,3 +159,27 @@ def test_knn_candidates_two_stage_task_level_topk(spark):
         assert out[(0, 1)] == 0 and out[(1, 1)] == 1
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_ivf_disk_index_probe_is_partition_pruned(spark, tmp_path):
+    """An nprobe filter over the read-back partitionBy(ivf_list) index
+    must reach the scan as PartitionFilters (file pruning — the on-disk
+    IVF contract: a probe touches nprobe/n_centroids of a 100 TB index)."""
+    from pyspark.sql import functions as F
+
+    from deequ_spark.llm import ivf_topk, ivf_write_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    cents = ivf_write_index(emb, path, "embedding", n_centroids=4)
+    index = spark.read.parquet(path)
+    probe = ivf_topk(index, "vec_id", "embedding",
+                     [float(v) for v in
+                      emb.select("embedding").limit(1).collect()[0][0]],
+                     k=5, centroids=cents, nprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_list" in m.group(1), (
+        "probe filter did not reach the scan as a partition filter:\n"
+        + plan[:2000])
