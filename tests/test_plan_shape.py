@@ -74,10 +74,10 @@ def test_grouping_plan_single_shuffle(spark, lineitem):
 
 
 def test_knn_join_never_shuffles_scored_cross_product(spark):
-    """knn_join's final ranking window must see only per-batch top-k
+    """knn_join's final ranking window must see only per-task top-k
     CANDIDATES, never the |corpus|×|queries| scored cross product: no
-    cartesian/nested-loop join anywhere, candidates re-join the corpus via
-    broadcast hash joins (corpus side never shuffles)."""
+    cartesian/nested-loop join anywhere, no join at all — one corpus
+    pass emits candidates with exact cosines already attached."""
     from deequ_spark.llm import knn_join
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = explain_str(knn_join(emb.limit(3), emb, "vec_id", "vec_id",
@@ -85,8 +85,8 @@ def test_knn_join_never_shuffles_scored_cross_product(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" not in plan        # single corpus pass, no rescore join
-    # the window ranks only the per-batch top-k candidate rows emitted by
-    # the Arrow stage — its Exchange is over ~k·batches·queries rows
+    # the window ranks only the per-task top-k candidate rows emitted by
+    # the Arrow stage — its Exchange is over ~k·tasks·queries rows
     assert "Window" in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan or \
         "PythonMapInArrow" in plan or "FlatMapGroupsInPandas" in plan or \
