@@ -478,6 +478,9 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     from pyspark.sql.functions import pandas_udf
     from .similarity import cosine_similarity_expr
 
+    # NULL vectors are unscorable — drop scan-side instead of crashing
+    # the signature matmul (also keeps the dims probe non-NULL)
+    df = df.where(F.col(vec_col).isNotNull())
     dims = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
     # deterministic Gaussian hyperplanes; tiny (dims × planes·bands) matrix
     # captured in the UDF closure

@@ -85,6 +85,11 @@ def knn_candidates(queries: DataFrame, corpus: DataFrame, query_id: str,
     qrows = queries.select(query_id, vec_col).limit(max_queries + 1).collect()
     if not qrows:
         raise ValueError("knn_join: query side is empty")
+    null_q = [r[0] for r in qrows if r[1] is None]
+    if null_q:
+        raise ValueError(
+            f"knn_join: query vectors are NULL for ids {null_q[:5]} — a "
+            "NULL query cannot be scored; filter the query side first")
     if len(qrows) > max_queries:
         raise ValueError(
             f"knn_join: query side exceeds max_queries={max_queries}; the "
@@ -159,8 +164,11 @@ def knn_candidates(queries: DataFrame, corpus: DataFrame, query_id: str,
     # spark.sql.files.maxPartitionBytes, so a single-task input implies a
     # small corpus where one BLAS matmul beats paying a full-corpus
     # shuffle of the vector payloads + per-partition Python worker spawn
-    # (measured: repartition(32) on a 2k-row corpus was ~2x slower)
+    # (measured: repartition(32) on a 2k-row corpus was ~2x slower).
+    # NULL corpus vectors are unscorable — drop them scan-side (SQL
+    # comparison-with-NULL semantics) instead of crashing the matmul
     return (corpus.select(corpus_id, vec_col)
+            .where(F.col(vec_col).isNotNull())
             .mapInPandas(local_topk, cand_schema))
 
 
@@ -205,6 +213,7 @@ def kmeans_centroids(df: DataFrame, vec_col: str, n_centroids: int = 16,
     partitions.
     """
     import numpy as np
+    df = df.where(F.col(vec_col).isNotNull())   # NULLs are untrainable
     if n_centroids > distributed_threshold:
         return _kmeans_centroids_ml(df, vec_col, n_centroids, iters, seed)
     total = df.count()
@@ -271,10 +280,12 @@ def ivf_assign(df: DataFrame, vec_col: str,
                list_col: str = "ivf_list") -> DataFrame:
     """Assign every vector to its nearest (cosine) centroid with ONE
     vectorized Arrow-batched pandas UDF — the IVF build step. At scale,
-    write the result partitioned by ``list_col`` so probes prune files."""
+    write the result partitioned by ``list_col`` so probes prune files.
+    Rows with NULL vectors are dropped — they cannot be indexed."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    df = df.where(F.col(vec_col).isNotNull())
     cent = np.array(centroids, dtype=np.float64)
 
     @pandas_udf("int")

@@ -562,3 +562,78 @@ class TestNearDedupEdgeCases:
         df = spark.createDataFrame([(i, f"d{i}") for i in range(5)],
                                    "doc_id long, text string")
         assert deduplicate_near(df, "doc_id", empty).count() == 5
+
+
+class TestNullRobustness:
+    """A 100 TB corpus WILL contain NULL text and NULL embeddings; every
+    operator must follow SQL semantics (NULL in → NULL/dropped out),
+    never crash an Arrow UDF."""
+
+    @pytest.fixture(scope="class")
+    def null_docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, None), (3, ""), (4, "   "),
+             (5, "the quick brown fox jumps over the lazy dog")],
+            "id long, text string")
+
+    @pytest.fixture(scope="class")
+    def null_vecs(self, spark):
+        return spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]),
+             (4, [1.0, 0.001])],
+            "id long, vec array<double>")
+
+    def test_language_id_null_is_unknown(self, null_docs):
+        from deequ_spark.llm import language_id, language_id_trigrams
+        for fn in (language_id, language_id_trigrams):
+            got = {r["id"]: r["lang_pred"]
+                   for r in fn(null_docs, "text").collect()}
+            assert got[1] == "en" and got[5] == "en"
+            assert got[2] == "unknown"        # NULL text
+            assert got[3] == "unknown"        # empty text
+
+    def test_text_quality_null_propagates(self, null_docs):
+        from deequ_spark.llm import text_quality
+        got = {r["id"]: r for r in text_quality(null_docs, "text").collect()}
+        assert got[2]["q_n_tokens"] is None   # NULL in → NULL out
+        assert got[3]["q_n_tokens"] == 0
+
+    def test_minhash_null_and_empty_docs(self, null_docs):
+        from deequ_spark.llm import minhash_lsh_pairs
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in minhash_lsh_pairs(null_docs, "id", "text",
+                                            threshold=0.8).collect()}
+        assert (1, 5) in pairs                # the real duplicate
+        # empty and whitespace-only docs have identical (empty) shingle
+        # sets — they ARE duplicates of each other by definition
+        assert (3, 4) in pairs
+        # NULL text pairs with nothing
+        assert not any(2 in p for p in pairs)
+
+    def test_knn_join_drops_null_corpus_vectors(self, null_vecs):
+        from deequ_spark.llm import knn_join
+        out = knn_join(null_vecs.where("id = 1"), null_vecs,
+                       "id", "id", "vec", k=10).collect()
+        assert {r["cid"] for r in out} == {1, 3, 4}   # NULL row dropped
+
+    def test_knn_join_null_query_vector_raises(self, null_vecs):
+        from deequ_spark.llm import knn_join
+        with pytest.raises(ValueError, match="NULL"):
+            knn_join(null_vecs.where("id = 2"), null_vecs,
+                     "id", "id", "vec", k=3)
+
+    def test_embedding_near_dup_drops_null_vectors(self, null_vecs):
+        from deequ_spark.llm import embedding_near_duplicates
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in embedding_near_duplicates(
+                     null_vecs, "id", "vec", 0.99, planes=2).collect()}
+        assert (1, 4) in pairs
+        assert not any(2 in p for p in pairs)
+
+    def test_ivf_build_drops_null_vectors(self, null_vecs):
+        from deequ_spark.llm import ivf_assign, kmeans_centroids
+        cents = kmeans_centroids(null_vecs, "vec", n_centroids=2)
+        assert len(cents) == 2
+        assigned = ivf_assign(null_vecs, "vec", cents)
+        assert {r["id"] for r in assigned.collect()} == {1, 3, 4}
