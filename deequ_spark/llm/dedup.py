@@ -482,6 +482,8 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     # the signature matmul (also keeps the dims probe non-NULL)
     df = df.where(F.col(vec_col).isNotNull())
     dims = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    # rows with a different vector length would make the batch ragged
+    df = df.where(F.size(F.col(vec_col)) == dims)
     # deterministic Gaussian hyperplanes; tiny (dims × planes·bands) matrix
     # captured in the UDF closure
     W = np.random.default_rng(seed).standard_normal((dims, planes * bands))

@@ -165,10 +165,13 @@ def knn_candidates(queries: DataFrame, corpus: DataFrame, query_id: str,
     # small corpus where one BLAS matmul beats paying a full-corpus
     # shuffle of the vector payloads + per-partition Python worker spawn
     # (measured: repartition(32) on a 2k-row corpus was ~2x slower).
-    # NULL corpus vectors are unscorable — drop them scan-side (SQL
-    # comparison-with-NULL semantics) instead of crashing the matmul
+    # NULL or dimension-mismatched corpus vectors are unscorable — drop
+    # them scan-side (SQL comparison-with-NULL semantics) instead of
+    # crashing the matmul on a ragged batch
+    dims = Q.shape[1]
     return (corpus.select(corpus_id, vec_col)
-            .where(F.col(vec_col).isNotNull())
+            .where(F.col(vec_col).isNotNull()
+                   & (F.size(F.col(vec_col)) == dims))
             .mapInPandas(local_topk, cand_schema))
 
 
@@ -285,8 +288,9 @@ def ivf_assign(df: DataFrame, vec_col: str,
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    df = df.where(F.col(vec_col).isNotNull())
     cent = np.array(centroids, dtype=np.float64)
+    df = df.where(F.col(vec_col).isNotNull()
+                  & (F.size(F.col(vec_col)) == cent.shape[1]))
 
     @pandas_udf("int")
     def nearest(vecs: "pandas.Series") -> "pandas.Series":

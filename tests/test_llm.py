@@ -637,3 +637,18 @@ class TestNullRobustness:
         assert len(cents) == 2
         assigned = ivf_assign(null_vecs, "vec", cents)
         assert {r["id"] for r in assigned.collect()} == {1, 3, 4}
+
+    def test_ragged_dimension_vectors_dropped(self, spark):
+        """A corrupt row with a different vector length must be dropped
+        scan-side, not crash the Arrow matmul with a ragged batch."""
+        from deequ_spark.llm import embedding_near_duplicates, knn_join
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.5, 0.5, 0.5]), (3, [1.0, 0.001])],
+            "id long, vec array<double>")
+        out = knn_join(vecs.where("id = 1"), vecs, "id", "id", "vec",
+                       k=10).collect()
+        assert {r["cid"] for r in out} == {1, 3}
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in embedding_near_duplicates(
+                     vecs, "id", "vec", 0.99, planes=2).collect()}
+        assert (1, 3) in pairs and not any(2 in p for p in pairs)
