@@ -806,6 +806,78 @@ def q_ivf_ann(spark, sf_dir):
     return _metrics_df(spark, [(str(r["id"]), _fuzz(r["cosine"])) for r in top])
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rules (llm/text.py gopher_quality_flags,
+    Rae et al. 2021 §A1.1 heuristics) over documents: per-rule pass
+    counts + kept-document count, each recomputed independently by the
+    SQL oracle from the same split/filter/regexp arithmetic."""
+    from deequ_spark.llm import gopher_quality_flags
+
+    docs = _load(spark, sf_dir, "documents")
+    flagged = gopher_quality_flags(docs, "text", min_words=20)
+    flag_cols = [c for c in flagged.columns if c.startswith("gq_")]
+    row = flagged.agg(*[F.sum(F.col(c).cast("long")).alias(c)
+                        for c in flag_cols]).collect()[0]
+    return _metrics_df(spark, sorted((c, float(row[c])) for c in flag_cols))
+
+
+_GOPHER_ORACLE_SQL = """
+    WITH f AS (
+      SELECT
+        list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words,
+        string_split_regex(lower(text), '\\s+') AS lwords,
+        string_split(text, chr(10)) AS lines,
+        text
+      FROM documents),
+    m AS (
+      SELECT
+        len(words) AS n_words,
+        greatest(len(words), 1) AS safe_n,
+        CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+            / greatest(len(words), 1) AS mean_wl,
+        CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+             AS DOUBLE) / greatest(len(words), 1) AS alpha_ratio,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+                        s -> list_contains(lwords, s))) AS stop_hits,
+        CAST(len(regexp_extract_all(text, '#'))
+             + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)
+            / greatest(len(words), 1) AS sym_ratio,
+        CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+             AS DOUBLE) / greatest(len(lines), 1) AS bullet_ratio,
+        CAST(len(list_filter(lines,
+                             l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+             AS DOUBLE) / greatest(len(lines), 1) AS ellipsis_ratio,
+        1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+            / greatest(len(lines), 1) AS dup_ratio
+      FROM f),
+    flags AS (
+      SELECT
+        (n_words >= 20 AND n_words <= 100000) AS f_word_count,
+        (mean_wl >= 3.0 AND mean_wl <= 10.0) AS f_mean_word_len,
+        sym_ratio <= 0.1 AS f_symbol_ratio,
+        bullet_ratio <= 0.9 AS f_bullet_lines,
+        ellipsis_ratio <= 0.3 AS f_ellipsis_lines,
+        alpha_ratio >= 0.8 AS f_alpha_words,
+        stop_hits >= 2 AS f_stopwords,
+        dup_ratio <= 0.3 AS f_dup_lines
+      FROM m)
+    SELECT 'gq_word_count' AS metric,
+           CAST(SUM(CASE WHEN f_word_count THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM flags
+    UNION ALL SELECT 'gq_mean_word_len', CAST(SUM(CASE WHEN f_mean_word_len THEN 1 ELSE 0 END) AS DOUBLE) FROM flags
+    UNION ALL SELECT 'gq_symbol_ratio', CAST(SUM(CASE WHEN f_symbol_ratio THEN 1 ELSE 0 END) AS DOUBLE) FROM flags
+    UNION ALL SELECT 'gq_bullet_lines', CAST(SUM(CASE WHEN f_bullet_lines THEN 1 ELSE 0 END) AS DOUBLE) FROM flags
+    UNION ALL SELECT 'gq_ellipsis_lines', CAST(SUM(CASE WHEN f_ellipsis_lines THEN 1 ELSE 0 END) AS DOUBLE) FROM flags
+    UNION ALL SELECT 'gq_alpha_words', CAST(SUM(CASE WHEN f_alpha_words THEN 1 ELSE 0 END) AS DOUBLE) FROM flags
+    UNION ALL SELECT 'gq_stopwords', CAST(SUM(CASE WHEN f_stopwords THEN 1 ELSE 0 END) AS DOUBLE) FROM flags
+    UNION ALL SELECT 'gq_dup_lines', CAST(SUM(CASE WHEN f_dup_lines THEN 1 ELSE 0 END) AS DOUBLE) FROM flags
+    UNION ALL SELECT 'gq_keep',
+        CAST(SUM(CASE WHEN f_word_count AND f_mean_word_len AND f_symbol_ratio
+                      AND f_bullet_lines AND f_ellipsis_lines AND f_alpha_words
+                      AND f_stopwords AND f_dup_lines THEN 1 ELSE 0 END) AS DOUBLE)
+    FROM flags
+"""
+
+
 def q_ivf_index_disk(spark, sf_dir):
     """On-disk IVF index (llm/similarity.py ivf_write_index): build the
     partitioned index, read it back, probe ALL lists — must equal the SQL
@@ -1411,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_trigram": q_language_id_trigram,
         "ivf_index_disk": q_ivf_index_disk,
         "lsh_ann_contract": q_lsh_ann_contract,
+        "gopher_quality": q_gopher_quality,
         "custom_aggregator": q_custom_aggregator,
         "schema_validation": q_schema_validation,
         "applicability": q_applicability,
@@ -2012,6 +2085,7 @@ def oracle_sql() -> dict[str, str]:
                 ('lsh_equals_bucket_bruteforce', 1.0)
             ) AS t(metric, value)
         """,
+        "gopher_quality": _GOPHER_ORACLE_SQL,
         "custom_aggregator": """
             WITH c AS (SELECT l_returnflag AS f, CAST(COUNT(*) AS DOUBLE) AS n
                        FROM lineitem GROUP BY l_returnflag)

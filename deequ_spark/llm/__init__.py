@@ -13,7 +13,8 @@ from .similarity import (brute_force_topk, cosine_similarity_expr,
                          hyperplane_lsh_topk, ivf_assign, ivf_topk,
                          ivf_write_index, kmeans_centroids, knn_candidates,
                          knn_join)
-from .text import (PII_PATTERNS, TRIGRAM_PROFILES, fingerprint, language_id,
+from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
+                   fingerprint, gopher_quality_flags, language_id,
                    language_id_trigrams, pii_counts, redact_pii, text_quality,
                    token_count_regex, token_count_whitespace, trigram_score)
 from .multimodal import (attach_binary_payload, decode_audio, decode_image,

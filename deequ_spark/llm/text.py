@@ -187,3 +187,69 @@ def fingerprint(text: Column, normalize: bool = True) -> Column:
     if normalize:
         norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.xxhash64(norm)
+
+
+# Gopher-style document quality rules (public heuristics from "Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher",
+# Rae et al. 2021, §A1.1). Thresholds are the published defaults; every
+# rule is a pure column expression (split/filter/aggregate + one regexp
+# per rule), so the whole filter set is a map-only projection and any
+# ANSI-SQL engine can replay it.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str,
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_word_ratio: float = 0.1,
+                         max_bullet_line_ratio: float = 0.9,
+                         max_ellipsis_line_ratio: float = 0.3,
+                         min_alpha_word_ratio: float = 0.8,
+                         min_stopword_hits: int = 2,
+                         max_dup_line_ratio: float = 0.3,
+                         prefix: str = "gq_") -> DataFrame:
+    """One boolean column per Gopher quality rule plus ``gq_keep`` (the
+    conjunction). NULL text fails every rule (NULL-in → not kept)."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_word_len = (F.aggregate(words, F.lit(0).cast("long"),
+                                 lambda acc, w: acc + F.length(w))
+                     / safe_n)
+    alpha_ratio = (F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+                   / safe_n)
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(F.split(F.lower(text), r"\s+"), s)))
+    # '#' and ellipsis occurrences per word (symbol-to-word ratio)
+    n_symbols = (F.regexp_count(text, F.lit("#"))
+                 + F.regexp_count(text, F.lit(r"\.\.\.|…")))
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_ratio = (F.size(F.filter(
+        lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines)
+    ellipsis_ratio = (F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines)
+    dup_line_ratio = (F.lit(1.0)
+                      - F.size(F.array_distinct(lines)) / n_lines)
+
+    flags = {
+        "word_count": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len": ((mean_word_len >= min_mean_word_len)
+                          & (mean_word_len <= max_mean_word_len)),
+        "symbol_ratio": (n_symbols / safe_n) <= max_symbol_word_ratio,
+        "bullet_lines": bullet_ratio <= max_bullet_line_ratio,
+        "ellipsis_lines": ellipsis_ratio <= max_ellipsis_line_ratio,
+        "alpha_words": alpha_ratio >= min_alpha_word_ratio,
+        "stopwords": stop_hits >= min_stopword_hits,
+        "dup_lines": dup_line_ratio <= max_dup_line_ratio,
+    }
+    out = df
+    keep = F.lit(True)
+    for name, cond in flags.items():
+        cond = F.coalesce(cond, F.lit(False))   # NULL text fails the rule
+        out = out.withColumn(prefix + name, cond)
+        keep = keep & cond
+    return out.withColumn(prefix + "keep", keep)

@@ -652,3 +652,46 @@ class TestNullRobustness:
                  for r in embedding_near_duplicates(
                      vecs, "id", "vec", 0.99, planes=2).collect()}
         assert (1, 3) in pairs and not any(2 in p for p in pairs)
+
+
+class TestGopherQuality:
+    def test_each_rule_pass_and_fail(self, spark):
+        from deequ_spark.llm import gopher_quality_flags
+        good = ("the results of the experiment have been consistent with "
+                "that theory and we be happy to report the findings along "
+                "with a detailed analysis of the method and the data used")
+        rows = [
+            ("good", good),
+            ("short", "the cat and dog have that be with of"),     # word_count
+            ("longwords", " ".join(["the", "be", "of"] + ["antidisestablishmentarianism"] * 30)),
+            ("symbols", "the be of with " + "# " * 30),            # symbol_ratio
+            ("bullets", "\n".join(["- the be of with item"] * 30)),  # bullets + dup
+            ("ellipsis", "\n".join(f"the be of with more {i}..." for i in range(30))),
+            ("nonalpha", "the be " + " ".join(str(i) for i in range(40))),
+            ("nostops", " ".join(f"w{i}" for i in range(60))),     # stopwords
+            ("dup", "\n".join(["the be of with repeated line"] * 40)),
+            ("null", None),
+        ]
+        df = spark.createDataFrame(rows, "id string, text string")
+        got = {r["id"]: r for r in
+               gopher_quality_flags(df, "text", min_words=20).collect()}
+        assert got["good"]["gq_keep"]
+        assert not got["short"]["gq_word_count"]
+        assert not got["longwords"]["gq_mean_word_len"]
+        assert not got["symbols"]["gq_symbol_ratio"]
+        assert not got["bullets"]["gq_bullet_lines"]
+        assert not got["ellipsis"]["gq_ellipsis_lines"]
+        assert not got["nonalpha"]["gq_alpha_words"]
+        assert not got["nostops"]["gq_stopwords"]
+        assert not got["dup"]["gq_dup_lines"]
+        assert not got["null"]["gq_keep"]          # NULL text never kept
+        for rid in ("short", "longwords", "symbols", "bullets", "ellipsis",
+                    "nonalpha", "nostops", "dup", "null"):
+            assert not got[rid]["gq_keep"]
+
+    def test_map_only_plan(self, spark):
+        from deequ_spark.llm import gopher_quality_flags
+        df = spark.createDataFrame([("x", "the be of")], "id string, text string")
+        plan = (gopher_quality_flags(df, "text")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
