@@ -878,6 +878,69 @@ _GOPHER_ORACLE_SQL = """
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher repetition signal (llm/text.py top_ngram_char_fraction):
+    per-doc fraction of characters covered by the most frequent word
+    2-/3-gram, aggregated as order-independent integer sums of the
+    floor(f*1e6) quantization. The Spark side computes it as ONE sorted
+    array fold per doc (no shuffle); the oracle recomputes via
+    unnest + GROUP BY + rank — completely different plan, same values."""
+    from deequ_spark.llm import top_ngram_char_fraction
+
+    docs = _load(spark, sf_dir, "documents")
+    proj = docs.select(
+        F.floor(top_ngram_char_fraction(F.col("text"), 2) * 1e6).alias("f2"),
+        F.floor(top_ngram_char_fraction(F.col("text"), 3) * 1e6).alias("f3"))
+    row = proj.agg(
+        F.sum("f2").alias("s2"), F.max("f2").alias("m2"),
+        F.count(F.when(F.col("f2") > 200_000, 1)).alias("a2"),
+        F.sum("f3").alias("s3"), F.max("f3").alias("m3"),
+        F.count(F.when(F.col("f3") > 200_000, 1)).alias("a3")).collect()[0]
+    return _metrics_df(spark, sorted([
+        ("sum_fuzz_top2", float(row["s2"])), ("max_fuzz_top2", float(row["m2"])),
+        ("n_above20_top2", float(row["a2"])),
+        ("sum_fuzz_top3", float(row["s3"])), ("max_fuzz_top3", float(row["m3"])),
+        ("n_above20_top3", float(row["a3"]))]))
+
+
+def _repetition_oracle_sql() -> str:
+    def per_n(n):
+        gram_expr = (
+            "CASE WHEN len(t) >= {n} THEN "
+            "list_transform(range(1, len(t) - {nm2}), i -> {concat}) "
+            "ELSE [array_to_string(t, ' ')] END"
+        ).format(n=n, nm2=n - 2,
+                 concat=" || ' ' || ".join(f"t[i+{j}]" if j else "t[i]"
+                                           for j in range(n)))
+        return f"""
+    toks{n} AS (SELECT doc_id, length(text) AS tl,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w <> '') AS t
+                FROM documents),
+    ex{n} AS (SELECT doc_id, tl, unnest({gram_expr}) AS gram FROM toks{n}),
+    cnt{n} AS (SELECT doc_id, tl, gram, COUNT(*) AS c
+               FROM ex{n} GROUP BY 1, 2, 3),
+    best{n} AS (SELECT doc_id,
+                       FLOOR(CAST(c * length(gram) AS DOUBLE)
+                             / greatest(tl, 1) * 1e6) AS f,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, gram ASC) AS rn
+                FROM cnt{n})"""
+
+    return f"""
+    WITH {per_n(2)}, {per_n(3)}
+    SELECT 'max_fuzz_top2' AS metric, CAST(MAX(f) AS DOUBLE) AS value
+    FROM best2 WHERE rn = 1
+    UNION ALL SELECT 'max_fuzz_top3', CAST(MAX(f) AS DOUBLE) FROM best3 WHERE rn = 1
+    UNION ALL SELECT 'n_above20_top2',
+        CAST(SUM(CASE WHEN f > 200000 THEN 1 ELSE 0 END) AS DOUBLE) FROM best2 WHERE rn = 1
+    UNION ALL SELECT 'n_above20_top3',
+        CAST(SUM(CASE WHEN f > 200000 THEN 1 ELSE 0 END) AS DOUBLE) FROM best3 WHERE rn = 1
+    UNION ALL SELECT 'sum_fuzz_top2', CAST(SUM(f) AS DOUBLE) FROM best2 WHERE rn = 1
+    UNION ALL SELECT 'sum_fuzz_top3', CAST(SUM(f) AS DOUBLE) FROM best3 WHERE rn = 1
+    """
+
+
 def q_ivf_index_disk(spark, sf_dir):
     """On-disk IVF index (llm/similarity.py ivf_write_index): build the
     partitioned index, read it back, probe ALL lists — must equal the SQL
@@ -1484,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_disk": q_ivf_index_disk,
         "lsh_ann_contract": q_lsh_ann_contract,
         "gopher_quality": q_gopher_quality,
+        "repetition": q_repetition,
         "custom_aggregator": q_custom_aggregator,
         "schema_validation": q_schema_validation,
         "applicability": q_applicability,
@@ -2086,6 +2150,7 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(metric, value)
         """,
         "gopher_quality": _GOPHER_ORACLE_SQL,
+        "repetition": _repetition_oracle_sql(),
         "custom_aggregator": """
             WITH c AS (SELECT l_returnflag AS f, CAST(COUNT(*) AS DOUBLE) AS n
                        FROM lineitem GROUP BY l_returnflag)

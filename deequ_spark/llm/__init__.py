@@ -7,7 +7,7 @@ from .dedup import (deduplicate_exact, deduplicate_near,
                     embedding_near_duplicates, exact_duplicates,
                     jaccard_similarity_pairs, minhash_lsh_pairs,
                     minhash_signatures, near_duplicate_components,
-                    portable_shingle_hash, simhash,
+                    portable_shingle_hash, simhash, word_ngrams,
                     simhash_near_duplicates, tune_band_shape, word_shingles)
 from .similarity import (brute_force_topk, cosine_similarity_expr,
                          hyperplane_lsh_topk, ivf_assign, ivf_topk,
@@ -15,6 +15,7 @@ from .similarity import (brute_force_topk, cosine_similarity_expr,
                          knn_join)
 from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
                    fingerprint, gopher_quality_flags, language_id,
+                   top_ngram_char_fraction,
                    language_id_trigrams, pii_counts, redact_pii, text_quality,
                    token_count_regex, token_count_whitespace, trigram_score)
 from .multimodal import (attach_binary_payload, decode_audio, decode_image,

@@ -56,8 +56,9 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as an array<string> — pure array exprs.
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """ALL word n-grams in order (duplicates kept) as an array<string> —
+    pure array exprs.
 
     Built by zip_with-ing the token array against its own shifted copies
     (n−1 zips of O(tokens) each) instead of a per-index slice+array_join
@@ -65,7 +66,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     faster at 50k documents, byte-identical output."""
     toks = _tokens(text)
     if n <= 1:
-        return F.array_distinct(toks)
+        return toks
     sz = F.size(toks)
     grams = toks
     for j in range(1, n):
@@ -73,8 +74,12 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         grams = F.zip_with(F.slice(grams, 1, keep),
                            F.slice(toks, j + 1, keep),
                            lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(
-        F.when(sz >= n, grams).otherwise(F.array(F.array_join(toks, " "))))
+    return F.when(sz >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """DISTINCT word n-grams (the shingle SET for Jaccard/MinHash)."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def jaccard_similarity_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -253,3 +253,35 @@ def gopher_quality_flags(df: DataFrame, text_col: str,
         out = out.withColumn(prefix + name, cond)
         keep = keep & cond
     return out.withColumn(prefix + "keep", keep)
+
+
+def top_ngram_char_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of document characters covered by occurrences of the most
+    frequent word n-gram — Gopher's repetition signal (rule: fraction ≤
+    threshold for n=2..4). Pure expressions: shingle → array_sort → ONE
+    fold tracking the longest equal-run (struct accumulator), so the most
+    frequent shingle of a sorted array falls out without any shuffle; on
+    count ties the lexicographically smallest shingle wins (sorted order).
+    Returns 0.0 for docs with no n-grams; NULL for NULL text.
+    """
+    from .dedup import word_ngrams
+
+    sh = F.array_sort(word_ngrams(text, n))
+    init = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit("").alias("best"),
+                    F.lit(0).cast("long").alias("best_run"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        better = run > acc["best_run"]
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+            F.when(better, run).otherwise(acc["best_run"]).alias("best_run"))
+
+    folded = F.aggregate(sh, init, step)
+    covered = folded["best_run"] * F.length(folded["best"])
+    return (F.when(F.size(sh) > 0,
+                   covered / F.greatest(F.length(text), F.lit(1)))
+            .otherwise(F.lit(0.0)))

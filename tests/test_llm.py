@@ -695,3 +695,31 @@ class TestGopherQuality:
         plan = (gopher_quality_flags(df, "text")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestRepetition:
+    def test_top_ngram_char_fraction(self, spark):
+        from deequ_spark.llm import top_ngram_char_fraction
+        df = spark.createDataFrame(
+            [(1, "spam ham spam ham spam ham spam ham"),
+             (2, "all words here are completely distinct tokens now"),
+             (3, ""), (4, None), (5, "solo")],
+            "id long, text string")
+        got = {r["id"]: r["f"] for r in df.select(
+            "id", top_ngram_char_fraction(F.col("text"), 2).alias("f"))
+            .collect()}
+        # "spam ham" occurs 4x, 8 chars each, text is 35 chars
+        assert got[1] == pytest.approx(4 * 8 / 35)
+        # all-distinct doc: top gram occurs once (lexicographic winner)
+        assert got[2] == pytest.approx(len("all words") / 49)
+        assert got[3] == 0.0
+        assert got[4] is None
+        assert got[5] == pytest.approx(4 / 4)   # < n words → joined tokens
+
+    def test_word_ngrams_keeps_duplicates(self, spark):
+        from deequ_spark.llm import word_ngrams, word_shingles
+        df = spark.createDataFrame([("a b a b",)], "t string")
+        raw = df.select(word_ngrams(F.col("t"), 2).alias("g")).collect()[0]["g"]
+        assert raw == ["a b", "b a", "a b"]
+        dedup = df.select(word_shingles(F.col("t"), 2).alias("g")).collect()[0]["g"]
+        assert sorted(dedup) == ["a b", "b a"]
