@@ -941,6 +941,58 @@ def _repetition_oracle_sql() -> str:
     """
 
 
+def q_chunking(spark, sf_dir):
+    """Document chunking (llm/text.py chunk_text): 64-token windows with
+    8-token overlap over documents; the oracle regenerates every window
+    with DuckDB list slicing and must agree on chunk counts, token
+    counts, and total chunk characters (which pins the join/slice
+    arithmetic exactly)."""
+    from deequ_spark.llm import chunk_text
+
+    docs = _load(spark, sf_dir, "documents")
+    chunks = chunk_text(docs, "doc_id", "text",
+                        chunk_tokens=64, overlap=8)
+    row = chunks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chunk_tokens").alias("ntok"),
+        F.sum(F.length("chunk")).alias("nchars"),
+        F.countDistinct("doc_id").alias("docs")).collect()[0]
+    per_doc_max = (chunks.groupBy("doc_id").count()
+                   .agg(F.max("count")).collect()[0][0])
+    return _metrics_df(spark, sorted([
+        ("n_chunks", float(row["n"])),
+        ("sum_chunk_tokens", float(row["ntok"])),
+        ("sum_chunk_chars", float(row["nchars"])),
+        ("n_docs_chunked", float(row["docs"])),
+        ("max_chunks_per_doc", float(per_doc_max))]))
+
+
+_CHUNKING_ORACLE_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
+      FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    wins AS (
+      SELECT doc_id, t, n,
+             unnest(range(0, greatest((n - 8 + 55) // 56, 1))) AS w
+      FROM sized),
+    chunks AS (
+      SELECT doc_id,
+             least(n - w * 56, 64) AS ntok,
+             length(array_to_string(t[w * 56 + 1 : w * 56 + 64], ' ')) AS nchars
+      FROM wins)
+    SELECT 'max_chunks_per_doc' AS metric,
+           CAST(MAX(c) AS DOUBLE) AS value
+    FROM (SELECT COUNT(*) AS c FROM chunks GROUP BY doc_id) g
+    UNION ALL SELECT 'n_chunks', CAST(COUNT(*) AS DOUBLE) FROM chunks
+    UNION ALL SELECT 'n_docs_chunked',
+        CAST(COUNT(DISTINCT doc_id) AS DOUBLE) FROM chunks
+    UNION ALL SELECT 'sum_chunk_chars', CAST(SUM(nchars) AS DOUBLE) FROM chunks
+    UNION ALL SELECT 'sum_chunk_tokens', CAST(SUM(ntok) AS DOUBLE) FROM chunks
+"""
+
+
 def q_ivf_index_disk(spark, sf_dir):
     """On-disk IVF index (llm/similarity.py ivf_write_index): build the
     partitioned index, read it back, probe ALL lists — must equal the SQL
@@ -1548,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_contract": q_lsh_ann_contract,
         "gopher_quality": q_gopher_quality,
         "repetition": q_repetition,
+        "chunking": q_chunking,
         "custom_aggregator": q_custom_aggregator,
         "schema_validation": q_schema_validation,
         "applicability": q_applicability,
@@ -2151,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher_quality": _GOPHER_ORACLE_SQL,
         "repetition": _repetition_oracle_sql(),
+        "chunking": _CHUNKING_ORACLE_SQL,
         "custom_aggregator": """
             WITH c AS (SELECT l_returnflag AS f, CAST(COUNT(*) AS DOUBLE) AS n
                        FROM lineitem GROUP BY l_returnflag)

@@ -285,3 +285,51 @@ def top_ngram_char_fraction(text: Column, n: int = 2) -> Column:
     return (F.when(F.size(sh) > 0,
                    covered / F.greatest(F.length(text), F.lit(1)))
             .otherwise(F.lit(0.0)))
+
+
+def chunk_text(df: DataFrame, id_col: str, text_col: str,
+               chunk_tokens: int = 512, overlap: int = 64,
+               chunk_id_col: str = "chunk_id",
+               chunk_col: str = "chunk") -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard training-data chunking step. Returns one row per chunk:
+    (id, chunk_id, chunk, n_chunk_tokens).
+
+    Pure expressions: tokenize once, build the window-start sequence, and
+    ``posexplode`` the slices — a map-only pass (the explode multiplies
+    rows but moves no data across the cluster). Stride = chunk_tokens −
+    overlap; the last window keeps the tail (may be shorter); documents
+    with no tokens produce no rows (NULL text included).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("chunk_text: overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    # windows: 0, stride, 2*stride, … — only starts that contribute NEW
+    # tokens (a window whose span is entirely inside the previous one's
+    # overlap is redundant): ceil((n − overlap)/stride), min 1 for
+    # non-empty docs; integer ceil division, no floats
+    n_windows = F.greatest(
+        ((n - F.lit(overlap) + F.lit(stride - 1)).cast("long")
+         / F.lit(stride)).cast("long"),
+        F.lit(1).cast("long"))
+    starts = F.sequence(F.lit(0).cast("long"), n_windows - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("cid"),
+            F.array_join(F.slice(toks, i * stride + 1, chunk_tokens),
+                         " ").alias("txt"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("ntok")))
+    exploded = (df.where(n > 0)
+                .select(F.col(id_col),
+                        F.explode(chunks).alias("c"))
+                .select(F.col(id_col),
+                        F.col("c.cid").alias(chunk_id_col),
+                        F.col("c.txt").alias(chunk_col),
+                        F.col("c.ntok").alias("n_chunk_tokens")))
+    # drop pure-overlap tail windows that start past the end (possible
+    # when n <= overlap of the previous window never happens with ceil
+    # division, but keep the guard cheap and explicit)
+    return exploded.where(F.col("n_chunk_tokens") > 0)

@@ -723,3 +723,46 @@ class TestRepetition:
         assert raw == ["a b", "b a", "a b"]
         dedup = df.select(word_shingles(F.col("t"), 2).alias("g")).collect()[0]["g"]
         assert sorted(dedup) == ["a b", "b a"]
+
+
+class TestChunking:
+    def test_windows_cover_and_overlap(self, spark):
+        from deequ_spark.llm import chunk_text
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10))),
+             (2, "a b"), (3, ""), (4, None)],
+            "id long, text string")
+        rows = sorted(chunk_text(df, "id", "text", chunk_tokens=4,
+                                 overlap=1).collect(),
+                      key=lambda r: (r["id"], r["chunk_id"]))
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["id"], []).append(r)
+        # doc 1: stride 3 → windows at 0,3,6 — full coverage, no
+        # pure-overlap tail window
+        assert [r["chunk"] for r in by_doc[1]] == [
+            "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+        # short doc → one window with everything
+        assert [r["chunk"] for r in by_doc[2]] == ["a b"]
+        # empty / NULL docs produce no chunks
+        assert 3 not in by_doc and 4 not in by_doc
+        # consecutive windows share exactly `overlap` tokens
+        w = [r["chunk"].split() for r in by_doc[1]]
+        for a, b in zip(w, w[1:]):
+            assert a[-1:] == b[:1]
+
+    def test_tail_chunk_keeps_remainder(self, spark):
+        from deequ_spark.llm import chunk_text
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(12)))],
+            "id long, text string")
+        rows = chunk_text(df, "id", "text", chunk_tokens=4,
+                          overlap=1).collect()
+        assert [r["n_chunk_tokens"] for r in
+                sorted(rows, key=lambda r: r["chunk_id"])] == [4, 4, 4, 3]
+
+    def test_bad_overlap_raises(self, spark):
+        from deequ_spark.llm import chunk_text
+        df = spark.createDataFrame([(1, "x")], "id long, text string")
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_text(df, "id", "text", chunk_tokens=4, overlap=4)
