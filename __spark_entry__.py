@@ -941,6 +941,79 @@ def _repetition_oracle_sql() -> str:
     """
 
 
+def q_embedding_quality(spark, sf_dir):
+    """EmbeddingQuality analyzer (analyzers/embedding.py): fused-scan
+    quality metrics for the embeddings table — completeness, dimension
+    contract, NaN/zero-norm counts, L2-norm distribution (accumulated as
+    exact integer micro-units). Runs once through the analysis runner
+    and once through the split-state semigroup merge; the oracle
+    recomputes every value in DuckDB list arithmetic."""
+    from deequ_spark import EmbeddingQuality, do_analysis_run
+
+    emb = _load(spark, sf_dir, "embeddings")
+    a = EmbeddingQuality("embedding", expected_dim=64)
+    ctx = do_analysis_run(emb, [a])
+    m = next(iter(ctx.metric_map.values()))
+    if not m.is_success:
+        raise RuntimeError(str(m.error))
+    rows = [(k, v) for k, v in m.value.items()]
+    s1 = a.compute_state_from(emb.where("vec_id % 2 = 0"))
+    s2 = a.compute_state_from(emb.where("vec_id % 2 = 1"))
+    merged = a.compute_metric_from_state(s1.merge(s2))
+    rows += [(f"merged_{k}", v) for k, v in merged.value.items()]
+    return _metrics_df(spark, sorted(rows))
+
+
+_EMBEDDING_QUALITY_ORACLE_SQL = """
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (
+      SELECT
+        COUNT(*) AS n,
+        SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+        SUM(CASE WHEN v IS NOT NULL AND len(v) <> 64 THEN 1 ELSE 0 END) AS n_dim,
+        SUM(CASE WHEN v IS NOT NULL AND len(v) = 64
+                  AND len(list_filter(v, x -> isnan(x))) > 0
+                 THEN 1 ELSE 0 END) AS n_nan,
+        SUM(CASE WHEN v IS NOT NULL AND len(v) = 64
+                  AND len(list_filter(v, x -> isnan(x))) = 0
+                  AND FLOOR(sqrt(list_dot_product(v, v)) * 1e6) = 0
+                 THEN 1 ELSE 0 END) AS n_zero,
+        SUM(CASE WHEN v IS NOT NULL AND len(v) = 64
+                  AND len(list_filter(v, x -> isnan(x))) = 0
+                 THEN 1 ELSE 0 END) AS n_valid,
+        SUM(CASE WHEN v IS NOT NULL AND len(v) = 64
+                  AND len(list_filter(v, x -> isnan(x))) = 0
+                 THEN CAST(FLOOR(sqrt(list_dot_product(v, v)) * 1e6) AS BIGINT)
+                 ELSE 0 END) AS sum_micro,
+        MIN(CASE WHEN v IS NOT NULL AND len(v) = 64
+                  AND len(list_filter(v, x -> isnan(x))) = 0
+                 THEN CAST(FLOOR(sqrt(list_dot_product(v, v)) * 1e6) AS BIGINT)
+                 END) AS min_micro,
+        MAX(CASE WHEN v IS NOT NULL AND len(v) = 64
+                  AND len(list_filter(v, x -> isnan(x))) = 0
+                 THEN CAST(FLOOR(sqrt(list_dot_product(v, v)) * 1e6) AS BIGINT)
+                 END) AS max_micro
+      FROM e),
+    vals AS (
+      SELECT 'n_rows' AS k, CAST(n AS DOUBLE) AS val FROM m
+      UNION ALL SELECT 'n_null', CAST(n_null AS DOUBLE) FROM m
+      UNION ALL SELECT 'n_dim_mismatch', CAST(n_dim AS DOUBLE) FROM m
+      UNION ALL SELECT 'n_nan', CAST(n_nan AS DOUBLE) FROM m
+      UNION ALL SELECT 'n_zero_norm', CAST(n_zero AS DOUBLE) FROM m
+      UNION ALL SELECT 'n_valid', CAST(n_valid AS DOUBLE) FROM m
+      UNION ALL SELECT 'mean_norm',
+          CASE WHEN n_valid > 0
+               THEN (CAST(sum_micro AS DOUBLE) / n_valid) / 1e6
+               ELSE 0.0 END FROM m
+      UNION ALL SELECT 'min_norm',
+          COALESCE(CAST(min_micro AS DOUBLE) / 1e6, 0.0) FROM m
+      UNION ALL SELECT 'max_norm',
+          COALESCE(CAST(max_micro AS DOUBLE) / 1e6, 0.0) FROM m)
+    SELECT k AS metric, val AS value FROM vals
+    UNION ALL SELECT 'merged_' || k, val FROM vals
+"""
+
+
 def q_chunking(spark, sf_dir):
     """Document chunking (llm/text.py chunk_text): 64-token windows with
     8-token overlap over documents; the oracle regenerates every window
@@ -1601,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "repetition": q_repetition,
         "chunking": q_chunking,
+        "embedding_quality": q_embedding_quality,
         "custom_aggregator": q_custom_aggregator,
         "schema_validation": q_schema_validation,
         "applicability": q_applicability,
@@ -2205,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _GOPHER_ORACLE_SQL,
         "repetition": _repetition_oracle_sql(),
         "chunking": _CHUNKING_ORACLE_SQL,
+        "embedding_quality": _EMBEDDING_QUALITY_ORACLE_SQL,
         "custom_aggregator": """
             WITH c AS (SELECT l_returnflag AS f, CAST(COUNT(*) AS DOUBLE) AS n
                        FROM lineitem GROUP BY l_returnflag)

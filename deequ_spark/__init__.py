@@ -29,6 +29,7 @@ from .analyzers.scan import (ApproxCountDistinct, ApproxQuantile,
                              NullBehavior, PatternMatch, Patterns,
                              RatioOfSums, Size, Skewness, StandardDeviation,
                              Sum, Variance, ZerosCount, determine_type)
+from .analyzers.embedding import EmbeddingQuality, EmbeddingStatsState
 from .analyzers.kll import (BucketDistribution, BucketValue, KLLMetric,
                             KLLParameters, KLLSketch, KLLState,
                             compute_kll_states)

@@ -181,3 +181,49 @@ class TestCustomSql:
     def test_bad_shape(self, df_numeric):
         metric = CustomSql("SELECT att1 FROM primary").calculate(df_numeric)
         assert not metric.is_success
+
+
+class TestEmbeddingQuality:
+    """Fused-scan quality metrics for vector columns (beyond-reference;
+    analyzers/embedding.py)."""
+
+    @pytest.fixture(scope="class")
+    def vec_df(self, spark):
+        return spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, None), (3, [1.0]),
+             (4, [float("nan"), 1.0]), (5, [0.0, 0.0]), (6, [6.0, 8.0])],
+            "id long, vec array<double>")
+
+    def test_metrics(self, vec_df):
+        from deequ_spark import EmbeddingQuality, do_analysis_run
+        ctx = do_analysis_run(vec_df, [EmbeddingQuality("vec", 2)])
+        m = next(iter(ctx.metric_map.values()))
+        assert m.is_success, m.error
+        v = m.value
+        assert v["n_rows"] == 6 and v["n_null"] == 1
+        assert v["n_dim_mismatch"] == 1 and v["n_nan"] == 1
+        assert v["n_zero_norm"] == 1 and v["n_valid"] == 3
+        assert v["mean_norm"] == pytest.approx(5.0)     # norms 0, 5, 10
+        assert v["min_norm"] == 0.0 and v["max_norm"] == 10.0
+
+    def test_state_merge_exact(self, vec_df):
+        from deequ_spark import EmbeddingQuality
+        a = EmbeddingQuality("vec", 2)
+        merged = a.compute_state_from(vec_df.where("id <= 3")).merge(
+            a.compute_state_from(vec_df.where("id > 3")))
+        direct = a.compute_state_from(vec_df)
+        assert merged == direct                 # integer micro-unit state
+
+    def test_fuses_with_other_analyzers(self, vec_df, spark):
+        """EmbeddingQuality must share the single fused scan."""
+        from deequ_spark import EmbeddingQuality, Size, do_analysis_run
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        ctx = do_analysis_run(vec_df, [Size(), EmbeddingQuality("vec", 2)])
+        assert all(m.is_success for m in ctx.metric_map.values())
+
+    def test_missing_column_fails_cleanly(self, vec_df):
+        from deequ_spark import EmbeddingQuality, do_analysis_run
+        ctx = do_analysis_run(vec_df, [EmbeddingQuality("nope", 2)])
+        m = next(iter(ctx.metric_map.values()))
+        assert not m.is_success
