@@ -230,6 +230,18 @@ class Check:
             KLLSketch(column, kll_parameters), assertion, hint=hint),
             filterable=False)
 
+    def has_embedding_quality(self, column: str, expected_dim: int,
+                              assertion, hint=None) -> "Check":
+        """Assertion over the EmbeddingQuality keyed-metric dict
+        (``n_rows``/``n_null``/``n_dim_mismatch``/``n_nan``/
+        ``n_zero_norm``/``n_valid``/``mean_norm``/``min_norm``/
+        ``max_norm``) — vector-column data quality inside a normal
+        verification run (beyond the reference)."""
+        from .analyzers.embedding import EmbeddingQuality
+        return self._add(lambda w: AnalysisBasedConstraint(
+            EmbeddingQuality(column, expected_dim, where=w), assertion,
+            hint=hint))
+
     # -- statistics (Check.scala:720-1034) ---------------------------------
 
     def has_entropy(self, column: str, assertion, hint=None) -> "Check":

@@ -227,3 +227,19 @@ class TestEmbeddingQuality:
         ctx = do_analysis_run(vec_df, [EmbeddingQuality("nope", 2)])
         m = next(iter(ctx.metric_map.values()))
         assert not m.is_success
+
+    def test_check_dsl_integration(self, vec_df):
+        """has_embedding_quality runs inside a normal VerificationSuite."""
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 VerificationSuite)
+        strict = (Check(CheckLevel.ERROR, "vectors ok")
+                  .has_embedding_quality(
+                      "vec", 2, lambda v: v["n_dim_mismatch"] == 0
+                      and v["n_nan"] == 0))
+        lenient = (Check(CheckLevel.ERROR, "norms sane")
+                   .has_embedding_quality(
+                       "vec", 2, lambda v: v["max_norm"] <= 10.0))
+        result = (VerificationSuite().on_data(vec_df)
+                  .add_check(strict).add_check(lenient).run())
+        assert result.check_results[strict].status == CheckStatus.ERROR
+        assert result.check_results[lenient].status == CheckStatus.SUCCESS
