@@ -214,13 +214,12 @@ class TestEmbeddingQuality:
         direct = a.compute_state_from(vec_df)
         assert merged == direct                 # integer micro-unit state
 
-    def test_fuses_with_other_analyzers(self, vec_df, spark):
-        """EmbeddingQuality must share the single fused scan."""
+    def test_fuses_with_other_analyzers(self, vec_df):
+        """EmbeddingQuality shares the fused scan with scan analyzers."""
         from deequ_spark import EmbeddingQuality, Size, do_analysis_run
-        tracker = spark.sparkContext.statusTracker()
-        before = len(tracker.getJobIdsForGroup(None) or [])
         ctx = do_analysis_run(vec_df, [Size(), EmbeddingQuality("vec", 2)])
         assert all(m.is_success for m in ctx.metric_map.values())
+        assert ctx.metric_map[Size()].value == 6.0
 
     def test_missing_column_fails_cleanly(self, vec_df):
         from deequ_spark import EmbeddingQuality, do_analysis_run
