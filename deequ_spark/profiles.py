@@ -26,7 +26,8 @@ from pyspark.sql import types as T
 from .analyzers.base import NUMERIC_TYPES
 from .analyzers.grouping import Histogram
 from .analyzers.scan import (ApproxCountDistinct, ApproxQuantiles,
-                             Completeness, DataType, DataTypeInstances,
+                             Completeness, Compliance, DataType,
+                             DataTypeInstances,
                              Kurtosis, Maximum, MaxLength, Mean, Minimum,
                              MinLength, Size, Skewness, StandardDeviation,
                              Sum, determine_type)
@@ -119,7 +120,13 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
     # ---- pass 1: generic stats, one fused scan --------------------------
     pass1 = []
     for c in cols:
-        pass1.append(Completeness(c))
+        if isinstance(schema[c], (T.ArrayType, T.MapType, T.StructType)):
+            # Completeness keeps reference parity (rejects nested types);
+            # the profiler still wants a completeness number for vector/
+            # struct columns — an IS NOT NULL Compliance is the same ratio
+            pass1.append(Compliance(c, f"`{c}` IS NOT NULL"))
+        else:
+            pass1.append(Completeness(c))
         pass1.append(ApproxCountDistinct(c))
         if isinstance(schema[c], T.StringType):
             pass1.append(DataType(c))
@@ -130,7 +137,7 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
         if not m.is_success:
             continue
         p = profiles[a.instance]
-        if a.name == "Completeness":
+        if a.name in ("Completeness", "Compliance"):
             p.completeness = m.value
         elif a.name == "ApproxCountDistinct":
             p.approx_num_distinct = m.value

@@ -500,3 +500,16 @@ class TestRowLevelColumnCollision:
         # att1 has 6 nulls, att2 has 3 → the two columns must differ
         flags = [(r[new_cols[0]], r[new_cols[1]]) for r in rows]
         assert sum(1 for a, _ in flags if a) != sum(1 for _, b in flags if b)
+
+
+def test_profile_nested_column_completeness(spark):
+    """Vector/struct columns get a real completeness in the profile (via
+    an IS NOT NULL Compliance — the Completeness analyzer itself keeps
+    reference parity and rejects nested types)."""
+    from deequ_spark import profile_columns
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0]), (4, [5.0, 6.0])],
+        "id long, vec array<double>")
+    profs = profile_columns(df, with_histograms=False)
+    assert profs["vec"].completeness == 0.75
+    assert profs["id"].completeness == 1.0
