@@ -144,3 +144,41 @@ class TestStreamingDedup:
 def spark_col_ts():
     from pyspark.sql import functions as F
     return F.to_timestamp(F.col("ts"))
+
+
+def test_streaming_embedding_quality_merges_exactly(spark, tmp_path):
+    """EmbeddingQuality's integer micro-unit state is a semigroup, so
+    StreamingVerification merges it across micro-batches EXACTLY (==,
+    not approx) to the full-table values — vector-table data quality
+    over a stream, no new code paths."""
+    import os
+
+    from deequ_spark import EmbeddingQuality, do_analysis_run
+    from deequ_spark.streaming import StreamingVerification
+
+    src = tmp_path / "vecs"
+    os.makedirs(src)
+    for i in range(3):
+        rows = [(i * 50 + j,
+                 None if j % 17 == 0 else [float(j % 9), float(i + 1)])
+                for j in range(50)]
+        (spark.createDataFrame(rows, "id long, vec array<double>")
+         .coalesce(1).write.parquet(str(tmp_path / f"c{i}")))
+        for f in os.listdir(tmp_path / f"c{i}"):
+            if f.endswith(".parquet"):
+                os.rename(tmp_path / f"c{i}" / f, src / f"part{i}.parquet")
+
+    analyzers = [EmbeddingQuality("vec", 2)]
+    stream = (spark.readStream.schema("id long, vec array<double>")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sv = StreamingVerification(analyzers=analyzers)
+    q = (stream.writeStream.foreachBatch(sv.foreach_batch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(sv.results) == 3
+
+    static = spark.read.parquet(str(src))
+    expected = do_analysis_run(static, analyzers).metric(analyzers[0]).value
+    got = sv.results[-1].context.metric(analyzers[0]).value
+    assert got == expected               # exact, including mean_norm
+    assert got["n_rows"] == 150 and got["n_null"] == 9
