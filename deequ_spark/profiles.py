@@ -59,6 +59,10 @@ class ColumnProfile:
     # string extension
     min_length: Optional[float] = None
     max_length: Optional[float] = None
+    # array extension (beyond reference): element-count range — equal
+    # min/max means a consistent embedding dimension
+    min_size: Optional[float] = None
+    max_size: Optional[float] = None
 
     @property
     def is_numeric(self) -> bool:
@@ -118,6 +122,12 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
     profiles: Dict[str, ColumnProfile] = {c: ColumnProfile(c) for c in cols}
 
     # ---- pass 1: generic stats, one fused scan --------------------------
+    # array columns get a derived size column so their element-count range
+    # (the embedding dimension, when min == max) rides the same fused scan
+    array_cols = [c for c in cols if isinstance(schema[c], T.ArrayType)]
+    aug = data
+    for c in array_cols:
+        aug = aug.withColumn(f"__dq_size_{c}", F.size(F.col(c)))
     pass1 = []
     for c in cols:
         if isinstance(schema[c], (T.ArrayType, T.MapType, T.StructType)):
@@ -132,9 +142,19 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
             pass1.append(DataType(c))
             pass1.append(MinLength(c))
             pass1.append(MaxLength(c))
-    ctx1 = do_analysis_run(data, pass1)
+    for c in array_cols:
+        pass1.append(Minimum(f"__dq_size_{c}"))
+        pass1.append(Maximum(f"__dq_size_{c}"))
+    ctx1 = do_analysis_run(aug, pass1)
     for a, m in ctx1.metric_map.items():
         if not m.is_success:
+            continue
+        if a.instance.startswith("__dq_size_"):
+            p = profiles[a.instance[len("__dq_size_"):]]
+            if a.name == "Minimum":
+                p.min_size = m.value
+            elif a.name == "Maximum":
+                p.max_size = m.value
             continue
         p = profiles[a.instance]
         if a.name in ("Completeness", "Compliance"):

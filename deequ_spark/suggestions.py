@@ -383,10 +383,38 @@ class HasMaxLengthRule(SuggestionRule):
 
 
 # rule sets (parity: ConstraintSuggestionRunner.scala:33-45 / Rules.scala)
+class EmbeddingQualityIfVectorRule(SuggestionRule):
+    """Beyond the reference: an array column whose element count is
+    CONSTANT across the profile (min_size == max_size > 0) is treated as
+    an embedding column — suggest pinning its dimension contract and
+    NaN-freeness via has_embedding_quality."""
+    name = "EmbeddingQualityIfVectorRule"
+
+    def should_be_applied(self, profile, num_records):
+        return (profile.min_size is not None
+                and profile.max_size is not None
+                and profile.min_size == profile.max_size
+                and profile.min_size > 0)
+
+    def candidate(self, profile, num_records):
+        col, dim = profile.column, int(profile.min_size)
+        return ConstraintSuggestion(
+            f"EmbeddingQualityConstraint({col})", col,
+            f"EmbeddingDim: {dim}",
+            f"'{col}' vectors are {dim}-dimensional without NaNs",
+            self.name,
+            f'.has_embedding_quality("{col}", {dim}, lambda v: '
+            'v["n_dim_mismatch"] == 0 and v["n_nan"] == 0)',
+            lambda check: check.has_embedding_quality(
+                col, dim,
+                lambda v: v["n_dim_mismatch"] == 0 and v["n_nan"] == 0))
+
+
 DEFAULT_RULES: List[SuggestionRule] = [
     CompleteIfCompleteRule(), RetainCompletenessRule(), RetainTypeRule(),
     CategoricalRangeRule(), FractionalCategoricalRangeRule(),
     NonNegativeNumbersRule(), UniqueIfApproximatelyUniqueRule(),
+    EmbeddingQualityIfVectorRule(),
 ]
 STRING_RULES: List[SuggestionRule] = [HasMinLengthRule(), HasMaxLengthRule()]
 NUMERICAL_RULES: List[SuggestionRule] = [

@@ -513,3 +513,20 @@ def test_profile_nested_column_completeness(spark):
     profs = profile_columns(df, with_histograms=False)
     assert profs["vec"].completeness == 0.75
     assert profs["id"].completeness == 1.0
+
+
+def test_suggest_embedding_quality_for_vector_columns(spark):
+    """Profiling a vector table suggests the embedding-dimension contract;
+    the suggested constraint must verify green on the same data."""
+    from deequ_spark import (Check, CheckLevel, CheckStatus, DEFAULT_RULES,
+                             ConstraintSuggestionRunner, VerificationSuite)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    result = (ConstraintSuggestionRunner().on_data(emb)
+              .add_constraint_rules(list(DEFAULT_RULES)).run())
+    sugg = [s for ss in result["suggestions"].values() for s in ss
+            if s.rule_name == "EmbeddingQualityIfVectorRule"]
+    assert len(sugg) == 1
+    assert 'has_embedding_quality("embedding", 64' in sugg[0].code_for_constraint
+    check = sugg[0].apply(Check(CheckLevel.ERROR, "suggested"))
+    vr = VerificationSuite().on_data(emb).add_check(check).run()
+    assert vr.check_results[check].status == CheckStatus.SUCCESS
