@@ -486,7 +486,13 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     # NULL vectors are unscorable — drop scan-side instead of crashing
     # the signature matmul (also keeps the dims probe non-NULL)
     df = df.where(F.col(vec_col).isNotNull())
-    dims = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not probe:
+        # empty (or all-NULL) corpus: no pairs, typed like the real output
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double")
+    dims = probe[0]["d"]
     # rows with a different vector length would make the batch ragged
     df = df.where(F.size(F.col(vec_col)) == dims)
     # deterministic Gaussian hyperplanes; tiny (dims × planes·bands) matrix

@@ -766,3 +766,17 @@ class TestChunking:
         df = spark.createDataFrame([(1, "x")], "id long, text string")
         with pytest.raises(ValueError, match="overlap"):
             chunk_text(df, "id", "text", chunk_tokens=4, overlap=4)
+
+    def test_empty_corpus_yields_empty_pairs(self, spark):
+        """Empty (or all-NULL) corpus: embedding_near_duplicates returns a
+        typed empty result instead of crashing the dims probe."""
+        from deequ_spark.llm import embedding_near_duplicates
+        empty = spark.createDataFrame([], "id string, vec array<double>")
+        out = embedding_near_duplicates(empty, "id", "vec", 0.9)
+        assert out.count() == 0
+        assert dict(out.dtypes) == {"id_a": "string", "id_b": "string",
+                                    "cosine": "double"}
+        all_null = spark.createDataFrame([("a", None)],
+                                         "id string, vec array<double>")
+        assert embedding_near_duplicates(all_null, "id", "vec",
+                                         0.9, auto_tune=True).count() == 0
