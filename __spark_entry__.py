@@ -941,6 +941,57 @@ def _repetition_oracle_sql() -> str:
     """
 
 
+def q_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate removal (llm/text.py
+    remove_boilerplate_lines): lines shared by >= 2 documents are
+    deleted everywhere; the oracle independently recomputes the
+    boilerplate set, per-doc removal counts, and the exact cleaned-text
+    character total (sum of kept-line lengths + separators)."""
+    from deequ_spark.llm import remove_boilerplate_lines
+
+    docs = _load(spark, sf_dir, "documents")
+    out = remove_boilerplate_lines(docs, "doc_id", "text", min_docs=2)
+    row = out.agg(
+        F.count(F.when(F.col("n_removed_lines") > 0, 1)).alias("changed"),
+        F.sum("n_removed_lines").alias("removed"),
+        F.sum(F.length("cleaned")).alias("chars")).collect()[0]
+    lines = docs.select(
+        F.explode(F.split(F.col("text"), "\n")).alias("l"), "doc_id")
+    n_boiler = (lines.where(F.length(F.trim("l")) >= 4)
+                .groupBy("l").agg(F.countDistinct("doc_id").alias("d"))
+                .where(F.col("d") >= 2).count())
+    return _metrics_df(spark, sorted([
+        ("n_boilerplate_lines", float(n_boiler)),
+        ("n_docs_changed", float(row["changed"])),
+        ("sum_removed_lines", float(row["removed"])),
+        ("sum_cleaned_chars", float(row["chars"]))]))
+
+
+_BOILERPLATE_ORACLE_SQL = """
+    WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+               FROM documents),
+    b AS (SELECT line FROM l WHERE length(trim(line)) >= 4
+          GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+    kept AS (SELECT doc_id, line FROM l
+             WHERE line NOT IN (SELECT line FROM b)),
+    rem AS (SELECT doc_id, COUNT(*) AS c FROM l
+            WHERE line IN (SELECT line FROM b) GROUP BY doc_id),
+    klen AS (SELECT doc_id, SUM(length(line)) AS s, COUNT(*) AS n
+             FROM kept GROUP BY doc_id),
+    cl AS (SELECT d.doc_id,
+                  COALESCE(k.s + GREATEST(k.n - 1, 0), 0) AS clen
+           FROM documents d LEFT JOIN klen k USING (doc_id))
+    SELECT 'n_boilerplate_lines' AS metric,
+           CAST((SELECT COUNT(*) FROM b) AS DOUBLE) AS value
+    UNION ALL SELECT 'n_docs_changed',
+        CAST((SELECT COUNT(*) FROM rem WHERE c > 0) AS DOUBLE)
+    UNION ALL SELECT 'sum_removed_lines',
+        CAST(COALESCE((SELECT SUM(c) FROM rem), 0) AS DOUBLE)
+    UNION ALL SELECT 'sum_cleaned_chars',
+        CAST((SELECT SUM(clen) FROM cl) AS DOUBLE)
+"""
+
+
 def q_embedding_quality(spark, sf_dir):
     """EmbeddingQuality analyzer (analyzers/embedding.py): fused-scan
     quality metrics for the embeddings table — completeness, dimension
@@ -1675,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "chunking": q_chunking,
         "embedding_quality": q_embedding_quality,
+        "boilerplate": q_boilerplate,
         "custom_aggregator": q_custom_aggregator,
         "schema_validation": q_schema_validation,
         "applicability": q_applicability,
@@ -2280,6 +2332,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition": _repetition_oracle_sql(),
         "chunking": _CHUNKING_ORACLE_SQL,
         "embedding_quality": _EMBEDDING_QUALITY_ORACLE_SQL,
+        "boilerplate": _BOILERPLATE_ORACLE_SQL,
         "custom_aggregator": """
             WITH c AS (SELECT l_returnflag AS f, CAST(COUNT(*) AS DOUBLE) AS n
                        FROM lineitem GROUP BY l_returnflag)

@@ -15,7 +15,8 @@ from .similarity import (brute_force_topk, cosine_similarity_expr,
                          knn_join)
 from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
                    fingerprint, gopher_quality_flags, language_id,
-                   chunk_text, top_ngram_char_fraction,
+                   chunk_text, remove_boilerplate_lines,
+                   top_ngram_char_fraction,
                    language_id_trigrams, pii_counts, redact_pii, text_quality,
                    token_count_regex, token_count_whitespace, trigram_score)
 from .multimodal import (attach_binary_payload, decode_audio, decode_image,

@@ -333,3 +333,50 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str,
     # when n <= overlap of the previous window never happens with ceil
     # division, but keep the guard cheap and explicit)
     return exploded.where(F.col("n_chunk_tokens") > 0)
+
+
+def remove_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
+                             min_docs: int = 10,
+                             min_line_chars: int = 4,
+                             cleaned_col: str = "cleaned") -> DataFrame:
+    """Corpus-level boilerplate removal: a line occurring in at least
+    ``min_docs`` DISTINCT documents (headers, nav bars, terms-of-service
+    blocks) is deleted from every document. Returns the input plus
+    ``cleaned`` (the text with boilerplate lines removed, line order
+    preserved) and ``n_removed_lines``.
+
+    Scale plan: explode lines → one groupBy(line) with a distinct-doc
+    count (map-side partial aggregation) → the boilerplate set is tiny
+    relative to the corpus, so the anti-semi-join back is broadcast by
+    AQE → one groupBy(id) to reassemble. Lines shorter than
+    ``min_line_chars`` are never treated as boilerplate (blank lines and
+    separators stay)."""
+    lines = (df.select(F.col(id_col).alias("__bid"),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                       .alias("__pos", "__line")))
+    boiler = (lines
+              .where(F.length(F.trim(F.col("__line"))) >= min_line_chars)
+              .groupBy("__line")
+              .agg(F.countDistinct("__bid").alias("__docs"))
+              .where(F.col("__docs") >= min_docs)
+              .select("__line"))
+    kept = lines.join(boiler, "__line", "left_anti")
+    removed = (lines.join(boiler, "__line", "left_semi")
+               .groupBy("__bid").agg(F.count(F.lit(1)).alias("__nrm")))
+    rebuilt = (kept.groupBy("__bid")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("__pos"), F.col("__line")))),
+                       lambda s: s["__line"]),
+                   "\n").alias(cleaned_col)))
+    out = (df.join(rebuilt, df[id_col] == rebuilt["__bid"], "left")
+           .drop("__bid")
+           .join(removed, df[id_col] == removed["__bid"], "left")
+           .drop("__bid"))
+    return (out
+            .withColumn(cleaned_col, F.coalesce(F.col(cleaned_col),
+                                                F.lit("")))
+            .withColumn("n_removed_lines",
+                        F.coalesce(F.col("__nrm"), F.lit(0).cast("long")))
+            .drop("__nrm"))

@@ -780,3 +780,38 @@ class TestChunking:
                                          "id string, vec array<double>")
         assert embedding_near_duplicates(all_null, "id", "vec",
                                          0.9, auto_tune=True).count() == 0
+
+
+class TestBoilerplate:
+    def test_shared_lines_removed_order_preserved(self, spark):
+        from deequ_spark.llm import remove_boilerplate_lines
+        docs = spark.createDataFrame(
+            [(i, f"COMMON HEADER\ncontent body {i}\nfooter text")
+             for i in range(5)] + [(9, "unique doc\nno boilerplate here")],
+            "id long, text string")
+        out = {r["id"]: r for r in remove_boilerplate_lines(
+            docs, "id", "text", min_docs=3).collect()}
+        for i in range(5):
+            assert out[i]["cleaned"] == f"content body {i}"
+            assert out[i]["n_removed_lines"] == 2
+        assert out[9]["cleaned"] == "unique doc\nno boilerplate here"
+        assert out[9]["n_removed_lines"] == 0
+
+    def test_short_lines_never_boilerplate(self, spark):
+        from deequ_spark.llm import remove_boilerplate_lines
+        docs = spark.createDataFrame(
+            [(i, f"---\nbody {i}\n---") for i in range(5)],
+            "id long, text string")
+        out = remove_boilerplate_lines(docs, "id", "text", min_docs=2,
+                                       min_line_chars=4).collect()
+        assert all(r["n_removed_lines"] == 0 for r in out)
+        assert all(r["cleaned"] == r["text"] for r in out)
+
+    def test_fully_boilerplate_doc_becomes_empty(self, spark):
+        from deequ_spark.llm import remove_boilerplate_lines
+        docs = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "same text")],
+            "id long, text string")
+        out = remove_boilerplate_lines(docs, "id", "text", min_docs=2).collect()
+        assert all(r["cleaned"] == "" and r["n_removed_lines"] == 1
+                   for r in out)
