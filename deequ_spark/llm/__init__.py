@@ -21,3 +21,4 @@ from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
                    token_count_regex, token_count_whitespace, trigram_score)
 from .multimodal import (attach_binary_payload, decode_audio, decode_image,
                          extract_binary_features, sample_chunks)
+from .pipeline import prepare_training_corpus

@@ -1,0 +1,89 @@
+"""End-to-end training-corpus preparation: the standard RefinedWeb/Gopher
+cleanup sequence composed from this package's operators, each stage a
+DataFrame → DataFrame transform so Catalyst sees one lazy plan per stage.
+
+Stage order follows the published pipelines (cheap row-local filters
+before corpus-wide shuffles):
+
+1. quality gate   — :func:`gopher_quality_flags` (map-only projection)
+2. boilerplate    — :func:`remove_boilerplate_lines` (corpus-level)
+3. exact dedup    — fingerprint hash-groupBy (one shuffle)
+4. near dedup     — MinHash-LSH pairs → connected components → drop
+                    losers (bucketed, never all-pairs)
+5. chunking       — :func:`chunk_text` fixed token windows (map-only)
+
+Each stage can be toggled; ``prepare_training_corpus`` returns the final
+chunk table plus a small stats dict (one count job per enabled stage —
+callers that don't want the counts can pass ``collect_stats=False``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import deduplicate_near, minhash_lsh_pairs
+from .text import (chunk_text, fingerprint, gopher_quality_flags,
+                   remove_boilerplate_lines)
+
+
+def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
+                            min_words: int = 50,
+                            boilerplate_min_docs: int = 10,
+                            near_dup_threshold: float = 0.8,
+                            chunk_tokens: int = 512,
+                            chunk_overlap: int = 64,
+                            quality_filter: bool = True,
+                            boilerplate: bool = True,
+                            exact_dedup: bool = True,
+                            near_dedup: bool = True,
+                            chunk: bool = True,
+                            collect_stats: bool = True
+                            ) -> Tuple[DataFrame, Dict[str, int]]:
+    """Run the full cleanup pipeline; returns (result, stage_stats).
+
+    The result carries (id, text[, chunk columns]); ``stage_stats`` maps
+    stage name → surviving row count (empty when ``collect_stats`` is
+    off). Disabled stages pass through untouched.
+    """
+    stats: Dict[str, int] = {}
+
+    def note(stage: str, frame: DataFrame) -> DataFrame:
+        if collect_stats:
+            stats[stage] = frame.count()
+        return frame
+
+    out = note("input", df.select(id_col, text_col))
+
+    if quality_filter:
+        flagged = gopher_quality_flags(out, text_col, min_words=min_words)
+        out = note("quality", flagged.where(F.col("gq_keep"))
+                   .select(id_col, text_col))
+
+    if boilerplate:
+        cleaned = remove_boilerplate_lines(out, id_col, text_col,
+                                           min_docs=boilerplate_min_docs)
+        out = note("boilerplate", cleaned
+                   .select(id_col, F.col("cleaned").alias(text_col))
+                   .where(F.length(text_col) > 0))
+
+    if exact_dedup:
+        # keep one representative (min id) per identical normalized text
+        w_fp = out.withColumn("__fp", fingerprint(F.col(text_col)))
+        keep = (w_fp.groupBy("__fp")
+                .agg(F.min(id_col).alias(id_col)).select(id_col))
+        out = note("exact_dedup",
+                   out.join(keep, id_col, "left_semi"))
+
+    if near_dedup:
+        pairs = minhash_lsh_pairs(out, id_col, text_col,
+                                  threshold=near_dup_threshold)
+        out = note("near_dedup", deduplicate_near(out, id_col, pairs))
+
+    if chunk:
+        out = note("chunks", chunk_text(out, id_col, text_col,
+                                        chunk_tokens=chunk_tokens,
+                                        overlap=chunk_overlap))
+    return out, stats

@@ -815,3 +815,57 @@ class TestBoilerplate:
         out = remove_boilerplate_lines(docs, "id", "text", min_docs=2).collect()
         assert all(r["cleaned"] == "" and r["n_removed_lines"] == 1
                    for r in out)
+
+
+class TestPipeline:
+    def test_full_pipeline_stages(self, spark):
+        from deequ_spark.llm import prepare_training_corpus
+        bodies = [
+            ("the results of the experiment have been consistent with "
+             "that theory and we be happy to report the findings along "
+             "with a detailed analysis of the method and the data"),
+            ("we went to the market in the morning and the vendors were "
+             "selling fruit and bread and the children played near the "
+             "fountain while the band played music to be heard with joy"),
+            ("the library of the university holds many books that have "
+             "been collected over the years and students come to be "
+             "reading them with great interest and care every single day"),
+        ]
+        rows = (
+            # 0-2: genuinely distinct good docs with a shared header
+            [(i, f"SHARED SITE HEADER LINE\n{bodies[i]}")
+             for i in range(3)]
+            # 3: exact duplicate of 0 (after boilerplate removal)
+            + [(3, f"SHARED SITE HEADER LINE\n{bodies[0]}")]
+            # 4: near-duplicate of 1 (one word changed)
+            + [(4, "SHARED SITE HEADER LINE\n"
+                   + bodies[1].replace("fountain", "statue"))]
+            # 5: fails the quality gate (no stopwords)
+            + [(5, " ".join(f"w{i}" for i in range(80)))])
+        docs = spark.createDataFrame(rows, "id long, text string")
+        out, stats = prepare_training_corpus(
+            docs, "id", "text", min_words=20, boilerplate_min_docs=3,
+            near_dup_threshold=0.7, chunk_tokens=16, chunk_overlap=2)
+        assert stats["input"] == 6
+        assert stats["quality"] == 5          # doc 5 dropped
+        assert stats["boilerplate"] == 5      # header removed, docs kept
+        assert stats["exact_dedup"] == 4      # doc 3 == doc 0
+        assert stats["near_dedup"] == 3       # doc 4 folded into doc 1
+        assert stats["chunks"] >= 6           # ~30 words / 14-token stride
+        # chunks come only from surviving docs
+        assert {r["id"] for r in out.select("id").distinct().collect()} \
+            == {0, 1, 2}
+        # boilerplate header is gone from every chunk
+        assert not any("SHARED SITE HEADER" in r["chunk"]
+                       for r in out.collect())
+
+    def test_stages_can_be_disabled(self, spark):
+        from deequ_spark.llm import prepare_training_corpus
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+            "id long, text string")
+        out, stats = prepare_training_corpus(
+            docs, "id", "text", quality_filter=False, boilerplate=False,
+            near_dedup=False, chunk=False)
+        assert stats == {"input": 2, "exact_dedup": 1}
+        assert out.columns == ["id", "text"]
