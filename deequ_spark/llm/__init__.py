@@ -20,5 +20,6 @@ from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
                    language_id_trigrams, pii_counts, redact_pii, text_quality,
                    token_count_regex, token_count_whitespace, trigram_score)
 from .multimodal import (attach_binary_payload, decode_audio, decode_image,
+                         fake_resize, resize_media,
                          extract_binary_features, sample_chunks)
 from .pipeline import prepare_training_corpus

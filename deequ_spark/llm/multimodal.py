@@ -113,3 +113,49 @@ def sample_chunks(df: DataFrame, chunk_bytes: int = 1024,
         lambda i: F.substring(F.col("payload"), i * chunk_bytes + 1, chunk_bytes))
     return df.select("media_id",
                      F.posexplode(chunks).alias("chunk_index", "chunk"))
+
+
+RESIZE_SCHEMA = ("media_id long, target_width int, target_height int, "
+                 "resized binary")
+
+
+def real_resize(data: bytes, width: int, height: int) -> bytes:
+    """STUB — image resizing needs PIL/opencv (absent here). Integration
+    point: decode, ``img.resize((width, height))``, re-encode. Swap in
+    for ``resizer`` when media libs are present."""
+    raise NotImplementedError(
+        "image resize requires PIL/opencv — not available in this "
+        "environment; use fake_resize for plumbing tests")
+
+
+def fake_resize(data: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resizer: tiles/truncates the byte stream to
+    exactly width*height bytes, so output sizes are checkable without a
+    real codec."""
+    need = width * height
+    if not data:
+        return b"\x00" * need
+    reps = need // len(data) + 1
+    return (data * reps)[:need]
+
+
+def resize_media(df: DataFrame, target_width: int, target_height: int,
+                 resizer: Callable[[bytes, int, int], bytes] = real_resize
+                 ) -> DataFrame:
+    """mapInPandas resize plumbing over binary payloads — Arrow batch in,
+    Arrow batch out, one resizer call per blob. The Spark side (schema,
+    batching, memory bounds) is real; the default ``resizer`` is the
+    documented PIL integration stub."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "target_width": target_width,
+                "target_height": target_height,
+                "resized": [resizer(bytes(p), target_width, target_height)
+                            for p in pdf["payload"]],
+            })
+
+    return df.select("media_id", "payload").mapInPandas(do_resize,
+                                                        RESIZE_SCHEMA)

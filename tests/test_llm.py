@@ -869,3 +869,22 @@ class TestPipeline:
             near_dedup=False, chunk=False)
         assert stats == {"input": 2, "exact_dedup": 1}
         assert out.columns == ["id", "text"]
+
+
+class TestResize:
+    def test_resize_plumbing_with_fake_resizer(self, spark, docs):
+        from deequ_spark.llm import (attach_binary_payload, fake_resize,
+                                     resize_media)
+        media = attach_binary_payload(docs, "text", "doc_id")
+        out = resize_media(media, 8, 4, resizer=fake_resize).collect()
+        assert len(out) == 5
+        assert all(len(r["resized"]) == 32 for r in out)
+        assert all(r["target_width"] == 8 and r["target_height"] == 4
+                   for r in out)
+
+    def test_default_resizer_is_documented_stub(self, spark, docs):
+        from deequ_spark.llm import attach_binary_payload, resize_media
+        import pytest as _pytest
+        media = attach_binary_payload(docs, "text", "doc_id")
+        with _pytest.raises(Exception, match="PIL|opencv|NotImplemented"):
+            resize_media(media, 8, 4).collect()
