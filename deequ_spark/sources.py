@@ -34,3 +34,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str):
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols,
+                   n_buckets: int = 32,
+                   sort_cols=None, path: str | None = None) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join/agg
+    keys. Joins and aggregations between tables bucketed the SAME way on
+    the SAME keys skip their shuffle entirely — the co-location is baked
+    into the file layout, which is THE preparation step for repeated
+    100 TB fact-to-fact joins (a broadcast can't help when both sides are
+    huge). Requires a saveAsTable target (bucket metadata lives in the
+    catalog, not the parquet files)."""
+    bucket_cols = list(bucket_cols) if not isinstance(bucket_cols, str) \
+        else [bucket_cols]
+    writer = df.write.mode("overwrite").format("parquet")
+    if path:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

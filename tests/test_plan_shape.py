@@ -183,3 +183,37 @@ def test_ivf_disk_index_probe_is_partition_pruned(spark, tmp_path):
     assert m and "ivf_list" in m.group(1), (
         "probe filter did not reach the scan as a partition filter:\n"
         + plan[:2000])
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join with NO
+    Exchange on either side — the co-located layout replaces the shuffle
+    (the 100 TB fact-to-fact join preparation)."""
+    from pyspark.sql import functions as F
+
+    from deequ_spark.sources import write_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(orders, "b_orders", "o_orderkey", 8,
+                   path=str(tmp_path / "bo"))
+    write_bucketed(lineitem, "b_lineitem", "l_orderkey", 8,
+                   path=str(tmp_path / "bl"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (spark.table("b_orders").alias("o")
+                  .join(spark.table("b_lineitem").alias("l"),
+                        F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+                  .groupBy("o.o_orderkey")
+                  .agg(F.sum("l.l_quantity").alias("q")))
+        plan = explain_str(joined)
+        assert count_nodes(plan, "Exchange") == 0, plan[:1500]
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("b_orders", "b_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
