@@ -137,3 +137,28 @@ def test_empty_and_whitespace_rejected():
 def test_unterminated_string_rejected():
     with pytest.raises(DQDLParseError):
         parse('Rules = [ IsComplete "unterminated ]')
+
+
+@given(st.lists(simple_rules(), min_size=1, max_size=4, unique_by=lambda r: r[0]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_generated_rules_execute_end_to_end(spark_session_holder, rules):
+    """Any parseable generated ruleset must also TRANSLATE and EXECUTE:
+    EvaluateDataQuality.process returns per-rule outcomes (Passed/Failed),
+    never an exception — rules referencing absent columns fail gracefully
+    with an error outcome."""
+    from deequ_spark.dqdl import EvaluateDataQuality
+    spark = spark_session_holder["spark"]
+    df = spark_session_holder["df"]
+    text = "Rules = [ " + ", ".join(r[0] for r in rules) + " ]"
+    out = EvaluateDataQuality.process(df, text).collect()
+    assert len(out) == len(rules)
+    assert all(r["Outcome"] in ("Passed", "Failed") for r in out)
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    df = spark.createDataFrame(
+        [(i, float(i), f"s{i}") for i in range(10)],
+        "a long, b double, c string")
+    return {"spark": spark, "df": df}
