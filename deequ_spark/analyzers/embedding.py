@@ -115,7 +115,11 @@ class EmbeddingQuality(ScanShareableAnalyzer):
                 F.max(vmicro)]
 
     def from_aggregation_result(self, result: Row, offset: int):
-        if not if_no_nulls_in(result, offset, 1):
+        # the 6 count/csum fields are NULL exactly when the input had no
+        # rows (SQL SUM over zero rows) → clean empty state, matching the
+        # other analyzers' EmptyStateError path; min/max stay legitimately
+        # NULL whenever no row is valid, so they are NOT part of the check
+        if not if_no_nulls_in(result, offset, 6):
             return None
         return EmbeddingStatsState(
             int(result[offset]), int(result[offset + 1]),

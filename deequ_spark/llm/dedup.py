@@ -484,9 +484,15 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     from .similarity import cosine_similarity_expr
 
     # NULL vectors are unscorable — drop scan-side instead of crashing
-    # the signature matmul (also keeps the dims probe non-NULL)
+    # the signature matmul
     df = df.where(F.col(vec_col).isNotNull())
-    probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    # corpus dimension = the MAJORITY vector length (one cheap agg over
+    # sizes) — a limit(1) probe is partition-order-dependent and a single
+    # corrupt short row could silently select the wrong dimension and
+    # filter out the entire valid corpus
+    probe = (df.groupBy(F.size(F.col(vec_col)).alias("d"))
+             .count().orderBy(F.desc("count"), F.asc("d"))
+             .limit(1).collect())
     if not probe:
         # empty (or all-NULL) corpus: no pairs, typed like the real output
         id_type = df.schema[id_col].dataType.simpleString()

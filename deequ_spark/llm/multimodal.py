@@ -153,7 +153,11 @@ def resize_media(df: DataFrame, target_width: int, target_height: int,
                 "media_id": pdf["media_id"].values,
                 "target_width": target_width,
                 "target_height": target_height,
-                "resized": [resizer(bytes(p), target_width, target_height)
+                # NULL payloads propagate as NULL (SQL semantics), never
+                # crash the worker
+                "resized": [None if p is None
+                            else resizer(bytes(p), target_width,
+                                         target_height)
                             for p in pdf["payload"]],
             })
 

@@ -49,10 +49,18 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     off). Disabled stages pass through untouched.
     """
     stats: Dict[str, int] = {}
+    cached: list = []        # previous stage's persisted frame, if any
 
     def note(stage: str, frame: DataFrame) -> DataFrame:
         if collect_stats:
+            # persist before counting so each stage's count materializes
+            # its result ONCE and later stages (and their counts) build on
+            # the cache instead of re-executing the whole upstream lineage
+            frame = frame.persist()
             stats[stage] = frame.count()
+            if cached:
+                cached.pop().unpersist()
+            cached.append(frame)
         return frame
 
     out = note("input", df.select(id_col, text_col))
@@ -86,4 +94,6 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
         out = note("chunks", chunk_text(out, id_col, text_col,
                                         chunk_tokens=chunk_tokens,
                                         overlap=chunk_overlap))
+    # the final frame stays persisted for the caller (its rows are already
+    # materialized by the last count); callers can .unpersist() when done
     return out, stats

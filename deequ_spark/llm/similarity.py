@@ -109,12 +109,15 @@ def knn_candidates(queries: DataFrame, corpus: DataFrame, query_id: str,
 
     def local_topk(batches):
         import pandas as pd
-        # stage 1: batch-local survivors, accumulated per query across all
-        # of this task's Arrow batches (kb rows/batch → the buffer stays
-        # O(queries·kb·batches_in_task), tiny next to the batch itself)
-        buf_score = [[] for _ in qids]
-        buf_cid = [[] for _ in qids]
-        buf_vec = [[] for _ in qids]
+        # stage 1: a BOUNDED running top-kb per query — each batch's local
+        # survivors merge into the running set and truncate back to kb, so
+        # task memory is O(queries·kb·dims) REGARDLESS of how many Arrow
+        # batches the task consumes (an append-per-batch buffer holding
+        # raw vectors would grow ~queries·kb·dims per batch and OOM long
+        # tasks at the 100k-query contract)
+        buf_score = [None] * len(qids)
+        buf_cid = [None] * len(qids)
+        buf_vec = [None] * len(qids)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -129,22 +132,29 @@ def knn_candidates(queries: DataFrame, corpus: DataFrame, query_id: str,
                 # argpartition: O(n) per query instead of a full sort
                 idx = (np.argpartition(-S[:, j], take - 1)[:take]
                        if take < n else np.arange(n))
-                buf_score[j].append(S[idx, j])
-                buf_cid[j].append(cids[idx])
-                buf_vec[j].append(X[idx])
-        # stage 2: ONE task-level top-kb per query; only these winners get
-        # the exact recompute and leave the task
+                if buf_score[j] is None:
+                    merged_s = S[idx, j]
+                    merged_c = cids[idx]
+                    merged_v = X[idx]
+                else:
+                    merged_s = np.concatenate([buf_score[j], S[idx, j]])
+                    merged_c = np.concatenate([buf_cid[j], cids[idx]])
+                    merged_v = np.concatenate([buf_vec[j], X[idx]])
+                if len(merged_s) > kb:
+                    keep = np.argpartition(-merged_s, kb - 1)[:kb]
+                    merged_s, merged_c, merged_v = (
+                        merged_s[keep], merged_c[keep], merged_v[keep])
+                buf_score[j], buf_cid[j], buf_vec[j] = (
+                    merged_s, merged_c, merged_v)
+        # stage 2: the running sets ARE the task-level top-kb; only these
+        # winners get the exact recompute and leave the task
         out_qid, out_cid, out_cos = [], [], []
         for j, qid in enumerate(qids):
-            if not buf_score[j]:
+            if buf_score[j] is None:
                 continue
-            scores = np.concatenate(buf_score[j])
-            cids = np.concatenate(buf_cid[j])
-            vecs = np.concatenate(buf_vec[j])
-            take = min(kb, len(scores))
-            idx = (np.argpartition(-scores, take - 1)[:take]
-                   if take < len(scores) else np.arange(len(scores)))
-            for i in idx:
+            cids = buf_cid[j]
+            vecs = buf_vec[j]
+            for i in range(len(buf_score[j])):
                 x = vecs[i]
                 # exact left-fold order: 0.0 + Σ xᵢ·qᵢ, matching the
                 # JVM aggregate(zip_with(...)) evaluation bit-for-bit

@@ -63,6 +63,8 @@ class ColumnProfile:
     # min/max means a consistent embedding dimension
     min_size: Optional[float] = None
     max_size: Optional[float] = None
+    # True when the array's element type is numeric (schema fact, no scan)
+    numeric_elements: Optional[bool] = None
 
     @property
     def is_numeric(self) -> bool:
@@ -128,6 +130,8 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
     aug = data
     for c in array_cols:
         aug = aug.withColumn(f"__dq_size_{c}", F.size(F.col(c)))
+        profiles[c].numeric_elements = isinstance(
+            schema[c].elementType, NUMERIC_TYPES)
     pass1 = []
     for c in cols:
         if isinstance(schema[c], (T.ArrayType, T.MapType, T.StructType)):

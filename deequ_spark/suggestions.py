@@ -391,10 +391,14 @@ class EmbeddingQualityIfVectorRule(SuggestionRule):
     name = "EmbeddingQualityIfVectorRule"
 
     def should_be_applied(self, profile, num_records):
+        # numeric_elements gates out e.g. constant-size array<string>
+        # columns — EmbeddingQuality's isnan/x*x expressions would throw
+        # on them under ANSI, breaking the suggested-constraint contract
         return (profile.min_size is not None
                 and profile.max_size is not None
                 and profile.min_size == profile.max_size
-                and profile.min_size > 0)
+                and profile.min_size > 0
+                and profile.numeric_elements is True)
 
     def candidate(self, profile, num_records):
         col, dim = profile.column, int(profile.min_size)

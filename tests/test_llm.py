@@ -888,3 +888,53 @@ class TestResize:
         media = attach_binary_payload(docs, "text", "doc_id")
         with _pytest.raises(Exception, match="PIL|opencv|NotImplemented"):
             resize_media(media, 8, 4).collect()
+
+
+class TestReviewFixes:
+    """Round-4 self-review findings, pinned."""
+
+    def test_near_dup_dims_majority_vote(self, spark):
+        """A corrupt short row in the FIRST partition must not select the
+        wrong corpus dimension (limit(1) probe regression)."""
+        from deequ_spark.llm import embedding_near_duplicates
+        rows = [("bad", [1.0])] + [(f"v{i}", [float(i), 1.0, 0.5])
+                                   for i in range(20)]
+        rows += [("dup", [19.0, 1.0, 0.5])]        # near-dup of v19
+        vecs = spark.createDataFrame(rows, "id string, vec array<double>") \
+            .coalesce(1)                            # corrupt row scans first
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in embedding_near_duplicates(
+                     vecs, "id", "vec", 0.999999, planes=2).collect()}
+        assert ("dup", "v19") in pairs or ("v19", "dup") in pairs
+
+    def test_resize_null_payload_propagates(self, spark):
+        from deequ_spark.llm import (attach_binary_payload, fake_resize,
+                                     resize_media)
+        docs = spark.createDataFrame([(1, "text"), (2, None)],
+                                     "doc_id long, text string")
+        media = attach_binary_payload(docs, "text", "doc_id")
+        out = {r["media_id"]: r["resized"]
+               for r in resize_media(media, 4, 4,
+                                     resizer=fake_resize).collect()}
+        assert len(out[1]) == 16
+        assert out[2] is None
+
+    def test_embedding_quality_empty_input_is_empty_state(self, spark):
+        from deequ_spark import EmbeddingQuality, do_analysis_run
+        empty = spark.createDataFrame([], "id long, vec array<double>")
+        a = EmbeddingQuality("vec", 2)
+        ctx = do_analysis_run(empty, [a])
+        m = next(iter(ctx.metric_map.values()))
+        assert not m.is_success
+        assert "Empty state" in str(m.error)
+        assert a.compute_state_from(empty) is None
+
+    def test_vector_rule_skips_non_numeric_arrays(self, spark):
+        from deequ_spark import DEFAULT_RULES, ConstraintSuggestionRunner
+        df = spark.createDataFrame(
+            [(1, ["a", "b", "c"]), (2, ["d", "e", "f"])],
+            "id long, tags array<string>")
+        result = (ConstraintSuggestionRunner().on_data(df)
+                  .add_constraint_rules(list(DEFAULT_RULES)).run())
+        assert not any(s.rule_name == "EmbeddingQualityIfVectorRule"
+                       for ss in result["suggestions"].values() for s in ss)
