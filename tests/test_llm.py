@@ -858,6 +858,7 @@ class TestPipeline:
         # boilerplate header is gone from every chunk
         assert not any("SHARED SITE HEADER" in r["chunk"]
                        for r in out.collect())
+        out.unpersist()                    # pipeline returns it persisted
 
     def test_stages_can_be_disabled(self, spark):
         from deequ_spark.llm import prepare_training_corpus

@@ -101,6 +101,11 @@ def test_minhash_lsh_pairs_releases_candidate_cache(spark):
     def cache_manager_empty():
         return spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
+    # other tests may legitimately leave session-scoped caches behind
+    # (e.g. prepare_training_corpus returns its final frame persisted);
+    # this test asserts minhash adds NOTHING, so start from a clean slate
+    spark.catalog.clearCache()
+
     minhash_lsh_pairs(docs, "id", "text", threshold=0.5).collect()
     after_first = cached_rdd_count()
     assert cache_manager_empty(), (
