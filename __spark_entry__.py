@@ -992,6 +992,71 @@ _BOILERPLATE_ORACLE_SQL = """
 """
 
 
+def q_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (llm/dedup.py, Schleimer et al. SIGMOD'03)
+    over documents with the portable 31-bit polynomial k-gram hash — the
+    oracle recomputes every fingerprint (normalize → k-grams → hash →
+    window minima → distinct) and the candidate-pair stats in DuckDB."""
+    from deequ_spark.llm import winnowing_fingerprints
+
+    docs = _load(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    r1 = fps.agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("fingerprint").alias("d")).collect()[0]
+    # per-doc max/min fingerprint counts pin the window-minima selection
+    per_doc = (fps.groupBy("id").count()
+               .agg(F.max("count").alias("mx"),
+                    F.min("count").alias("mn")).collect()[0])
+    # pair-level candidate stats are deliberately NOT oracled on this
+    # corpus: the synthetic docs share so much vocabulary that char-8-gram
+    # fingerprints pair nearly every doc with every other (a quadratic
+    # result set on both engines); winnowing_candidates semantics are
+    # pinned by pytest on crafted documents instead
+    return _metrics_df(spark, sorted([
+        ("sum_doc_fingerprints", float(r1["n"])),
+        ("n_global_fingerprints", float(r1["d"])),
+        ("max_doc_fingerprints", float(per_doc["mx"])),
+        ("min_doc_fingerprints", float(per_doc["mn"]))]))
+
+
+_WINNOWING_ORACLE_SQL = """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= 8
+                  THEN [t[i:i+7] FOR i IN range(1, length(t) - 6)]
+                  ELSE [t] END AS gs
+      FROM norm),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(gs, s ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                        [CAST(ascii(c) AS BIGINT)
+                                         FOR c IN string_split(s, '')]),
+                           (acc, x) -> (acc * 131 + x) % 2147483647)) AS h
+      FROM grams),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(h) >= 4
+                  THEN [list_min(h[j:j+3]) FOR j IN range(1, len(h) - 2)]
+                  ELSE [list_min(h)] END) AS fps
+      FROM hashed),
+    fp AS (SELECT doc_id, unnest(fps) AS f FROM wins),
+    per_doc AS (SELECT doc_id, COUNT(*) AS c FROM fp GROUP BY doc_id)
+    SELECT 'sum_doc_fingerprints' AS metric,
+           CAST((SELECT COUNT(*) FROM fp) AS DOUBLE) AS value
+    UNION ALL SELECT 'n_global_fingerprints',
+        CAST((SELECT COUNT(DISTINCT f) FROM fp) AS DOUBLE)
+    UNION ALL SELECT 'max_doc_fingerprints',
+        CAST((SELECT MAX(c) FROM per_doc) AS DOUBLE)
+    UNION ALL SELECT 'min_doc_fingerprints',
+        CAST((SELECT MIN(c) FROM per_doc) AS DOUBLE)
+"""
+
+
 def q_embedding_quality(spark, sf_dir):
     """EmbeddingQuality analyzer (analyzers/embedding.py): fused-scan
     quality metrics for the embeddings table — completeness, dimension
@@ -1727,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunking": q_chunking,
         "embedding_quality": q_embedding_quality,
         "boilerplate": q_boilerplate,
+        "winnowing": q_winnowing,
         "custom_aggregator": q_custom_aggregator,
         "schema_validation": q_schema_validation,
         "applicability": q_applicability,
@@ -2333,6 +2399,7 @@ def oracle_sql() -> dict[str, str]:
         "chunking": _CHUNKING_ORACLE_SQL,
         "embedding_quality": _EMBEDDING_QUALITY_ORACLE_SQL,
         "boilerplate": _BOILERPLATE_ORACLE_SQL,
+        "winnowing": _WINNOWING_ORACLE_SQL,
         "custom_aggregator": """
             WITH c AS (SELECT l_returnflag AS f, CAST(COUNT(*) AS DOUBLE) AS n
                        FROM lineitem GROUP BY l_returnflag)

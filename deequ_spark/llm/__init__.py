@@ -7,7 +7,8 @@ from .dedup import (deduplicate_exact, deduplicate_near,
                     embedding_near_duplicates, exact_duplicates,
                     jaccard_similarity_pairs, minhash_lsh_pairs,
                     minhash_signatures, near_duplicate_components,
-                    portable_shingle_hash, simhash, word_ngrams,
+                    portable_shingle_hash, simhash, winnowing_candidates,
+                    winnowing_fingerprints, word_ngrams,
                     simhash_near_duplicates, tune_band_shape, word_shingles)
 from .similarity import (brute_force_topk, cosine_similarity_expr,
                          hyperplane_lsh_topk, ivf_assign, ivf_topk,

@@ -533,3 +533,83 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                     cosine_similarity_expr(F.col("va"), F.col("vb"))
                     .alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 8, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 §3 — the local fingerprinting algorithm behind MOSS): hash
+    every character k-gram of the whitespace-normalized text, slide a
+    window of ``window`` consecutive hashes, keep each window's MINIMUM.
+    Guarantee: any shared substring of length ≥ k+window−1 between two
+    documents yields at least one shared fingerprint, with ~2/(window+1)
+    of positions selected — a compact sketch for substring-level overlap
+    (plagiarism/quotation detection), complementary to MinHash's
+    bag-of-shingles similarity.
+
+    Returns (id, fingerprint) — per-doc DISTINCT fingerprints, exploded.
+    Pure expressions: the k-gram hash is the portable 31-bit polynomial
+    (engine-independent, SQL-replayable); window minima are one transform
+    over one hash array per row — map-only, no shuffle, no UDF.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   r"\s+", " "))
+    n = F.length(norm)
+    g = F.greatest(n - F.lit(k - 1), F.lit(1))   # k-gram count (min 1)
+    grams = F.transform(F.sequence(F.lit(1), g),
+                        lambda i: F.substring(norm, i, k))
+    hashes = F.transform(grams, portable_shingle_hash)
+    # sliding-window minima as ONE fold over the hash array: the state
+    # carries a (window−1)-element ring buffer, the emitted minima, and a
+    # running global min (the n < window fallback). The hash array is the
+    # fold's input, so it is evaluated exactly ONCE per row — a
+    # transform(sequence, j -> array_min(slice(hashes, j, w))) variant
+    # re-inlines the whole k-gram hashing per WINDOW (CollapseProject),
+    # turning an O(n·w) row into O(n²·k) — measured as a multi-minute
+    # hang on 300-char docs.
+    init = F.struct(
+        F.array().cast("array<bigint>").alias("buf"),
+        F.array().cast("array<bigint>").alias("out"),
+        F.lit(None).cast("bigint").alias("mn"))
+
+    def step(acc, x):
+        full = F.concat(acc["buf"], F.array(x))
+        is_full = F.size(full) >= window
+        return F.struct(
+            F.when(is_full, F.slice(full, 2, window - 1))
+            .otherwise(full).alias("buf"),
+            F.when(is_full,
+                   F.concat(acc["out"], F.array(F.array_min(full))))
+            .otherwise(acc["out"]).alias("out"),
+            F.least(acc["mn"], x).alias("mn"))
+
+    folded = F.aggregate(hashes, init, step)
+    mins = F.when(F.size(folded["out"]) > 0, folded["out"]) \
+        .otherwise(F.array(folded["mn"]))
+    return (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(mins)).alias("fingerprint")))
+
+
+def winnowing_candidates(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 8, window: int = 4,
+                         max_fp_df: int = 1000) -> DataFrame:
+    """Candidate pairs of documents sharing ≥ 1 winnowing fingerprint —
+    grouped per fingerprint with JVM-side in-bucket pair expansion (ONE
+    shuffle, the MinHash-bucket pattern). ``max_fp_df`` drops degenerate
+    fingerprints shared by more than that many docs (stop-phrase
+    buckets), capping the quadratic in-bucket blow-up like
+    ``max_shingle_df`` does for Jaccard."""
+    fps = winnowing_fingerprints(df, id_col, text_col, k, window)
+    groups = (fps.groupBy("fingerprint")
+              .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+              .where((F.size("ids") > 1) & (F.size("ids") <= max_fp_df)))
+    pairs_expr = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (groups.select(F.explode(pairs_expr).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_fingerprints")))

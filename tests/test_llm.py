@@ -939,3 +939,46 @@ class TestReviewFixes:
                   .add_constraint_rules(list(DEFAULT_RULES)).run())
         assert not any(s.rule_name == "EmbeddingQualityIfVectorRule"
                        for ss in result["suggestions"].values() for s in ss)
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantee(self, spark):
+        """Winnowing guarantee: a shared substring of length >= k+window-1
+        always yields at least one shared fingerprint."""
+        from deequ_spark.llm import winnowing_candidates
+        shared = "identical plagiarized passage of text"   # 37 chars >> 11
+        docs = spark.createDataFrame(
+            [(1, f"aaa bbb ccc {shared} ddd eee"),
+             (2, f"zzz yyy {shared} xxx www vvv"),
+             (3, "totally different content 0123 without overlap qqqq")],
+            "id long, text string")
+        cand = {(r["id_a"], r["id_b"]): r["shared_fingerprints"]
+                for r in winnowing_candidates(docs, "id", "text",
+                                              k=8, window=4).collect()}
+        assert (1, 2) in cand and cand[(1, 2)] >= 1
+        assert not any(3 in p for p in cand)
+
+    def test_fingerprints_deterministic_and_normalized(self, spark):
+        """Whitespace/case normalization: same content, different spacing
+        and case -> identical fingerprint sets."""
+        from deequ_spark.llm import winnowing_fingerprints
+        docs = spark.createDataFrame(
+            [(1, "The Quick   Brown\nFox jumps"),
+             (2, "the quick brown fox JUMPS")],
+            "id long, text string")
+        fps = winnowing_fingerprints(docs, "id", "text").collect()
+        by_id = {}
+        for r in fps:
+            by_id.setdefault(r["id"], set()).add(r["fingerprint"])
+        assert by_id[1] == by_id[2]
+
+    def test_short_and_null_docs(self, spark):
+        from deequ_spark.llm import winnowing_fingerprints
+        docs = spark.createDataFrame(
+            [(1, "tiny"), (2, None), (3, "")],
+            "id long, text string")
+        fps = winnowing_fingerprints(docs, "id", "text").collect()
+        ids = {r["id"] for r in fps}
+        assert 1 in ids            # short doc: one whole-text fingerprint
+        assert 2 not in ids        # NULL text dropped
+        assert len([r for r in fps if r["id"] == 1]) == 1
