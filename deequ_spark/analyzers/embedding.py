@@ -87,7 +87,12 @@ class EmbeddingQuality(ScanShareableAnalyzer):
         vec = F.col(self.column)
         is_null = vec.isNull()
         dim_ok = ~is_null & (F.size(vec) == self.expected_dim)
-        has_nan = dim_ok & F.exists(vec, lambda x: F.isnan(x.cast("double")))
+        # coalesce: a NULL *element* makes EXISTS(isnan) NULL (three-valued
+        # logic), which would leave the row outside every bucket; count it
+        # as NaN-like so n_null+n_dim_mismatch+n_nan+n_valid == n_rows
+        has_nan = dim_ok & F.coalesce(
+            F.exists(vec, lambda x: x.isNull() | F.isnan(x.cast("double"))),
+            F.lit(True))
         valid = dim_ok & ~has_nan
         norm = F.sqrt(F.aggregate(
             F.transform(vec, lambda x: x.cast("double") * x.cast("double")),

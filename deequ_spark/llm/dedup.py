@@ -595,8 +595,10 @@ def winnowing_candidates(df: DataFrame, id_col: str, text_col: str,
                          k: int = 8, window: int = 4,
                          max_fp_df: int = 1000) -> DataFrame:
     """Candidate pairs of documents sharing ≥ 1 winnowing fingerprint —
-    grouped per fingerprint with JVM-side in-bucket pair expansion (ONE
-    shuffle, the MinHash-bucket pattern). ``max_fp_df`` drops degenerate
+    grouped per fingerprint with JVM-side in-bucket pair expansion (the
+    MinHash-bucket pattern: one bucketing shuffle on fingerprint, plus one
+    small pair-aggregation shuffle over candidate pairs only to count
+    shared fingerprints). ``max_fp_df`` drops degenerate
     fingerprints shared by more than that many docs (stop-phrase
     buckets), capping the quadratic in-bucket blow-up like
     ``max_shingle_df`` does for Jaccard."""

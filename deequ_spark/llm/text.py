@@ -282,8 +282,11 @@ def top_ngram_char_fraction(text: Column, n: int = 2) -> Column:
 
     folded = F.aggregate(sh, init, step)
     covered = folded["best_run"] * F.length(folded["best"])
-    return (F.when(F.size(sh) > 0,
-                   covered / F.greatest(F.length(text), F.lit(1)))
+    # explicit NULL guard: for NULL text the shingle array is NULL, so
+    # size(sh) > 0 is NULL and the when() would fall through to 0.0
+    return (F.when(text.isNull(), F.lit(None).cast("double"))
+            .when(F.size(sh) > 0,
+                  covered / F.greatest(F.length(text), F.lit(1)))
             .otherwise(F.lit(0.0)))
 
 

@@ -27,18 +27,28 @@ import pandas
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 
-def _epoch_seconds(col: Column) -> Column:
-    """Timestamp-ish column -> epoch seconds as double.
+def _epoch_seconds(col: Column, dtype=None) -> Column:
+    """Timestamp-ish column -> seconds-since-epoch as double.
 
-    ``CAST(x AS DOUBLE)`` is legal for TIMESTAMP but not TIMESTAMP_NTZ
-    (parquet written with isAdjustedToUTC=0 reads back as NTZ), so go
-    through an intermediate TIMESTAMP cast first. Session arithmetic only
-    uses *differences*, so the session-local-zone interpretation the
-    intermediate cast applies is immaterial. Numeric inputs survive the
-    round-trip unchanged.
+    TIMESTAMP stores an instant, so ``CAST(x AS DOUBLE)`` is exact and
+    DST-free. TIMESTAMP_NTZ (parquet with isAdjustedToUTC=0) stores
+    zone-less wall-clock fields; routing it through a TIMESTAMP cast
+    interprets those fields in the *session* zone, and across a DST
+    transition two wall clocks 30 min apart can map to instants 90 min
+    apart (fall-back), wrongly splitting/merging sessions. So when the
+    caller tells us the column is NTZ we compute wall-clock seconds
+    directly from the date/time fields — no time zone is consulted
+    anywhere, so the result is the same in every session zone. Numeric
+    inputs survive the timestamp round-trip unchanged.
     """
+    if isinstance(dtype, TimestampNTZType):
+        return (F.unix_date(col.cast("date")).cast("double") * 86400.0
+                + F.hour(col).cast("double") * 3600.0
+                + F.minute(col).cast("double") * 60.0
+                + F.date_part(F.lit("SECOND"), col).cast("double"))
     return col.cast("timestamp").cast("double")
 
 
@@ -48,11 +58,12 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str,
     """Assign a per-key session index (0-based, ordered by time) to every
     event. A session breaks when the gap to the previous event exceeds
     ``gap_seconds``."""
+    ts_type = df.schema[ts_col].dataType
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
     prev_ts = F.lag(F.col(ts_col)).over(w)
     is_break = (prev_ts.isNull()
-                | (_epoch_seconds(F.col(ts_col))
-                   - _epoch_seconds(prev_ts) > gap_seconds))
+                | (_epoch_seconds(F.col(ts_col), ts_type)
+                   - _epoch_seconds(prev_ts, ts_type) > gap_seconds))
     return df.withColumn(
         session_col,
         F.sum(is_break.cast("long")).over(w) - F.lit(1))
@@ -61,6 +72,7 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str,
 def session_stats(df: DataFrame, key_col: str, ts_col: str,
                   gap_seconds: int = 1800) -> DataFrame:
     """One row per (key, session): event count, start, end, duration."""
+    ts_type = df.schema[ts_col].dataType
     with_sessions = sessionize(df, key_col, ts_col, gap_seconds)
     return (with_sessions
             .groupBy(key_col, "session_id")
@@ -68,8 +80,8 @@ def session_stats(df: DataFrame, key_col: str, ts_col: str,
                  F.min(ts_col).alias("session_start"),
                  F.max(ts_col).alias("session_end"))
             .withColumn("duration_sec",
-                        _epoch_seconds(F.col("session_end"))
-                        - _epoch_seconds(F.col("session_start"))))
+                        _epoch_seconds(F.col("session_end"), ts_type)
+                        - _epoch_seconds(F.col("session_start"), ts_type)))
 
 
 def sessionize_stream(events: DataFrame, key_col: str, ts_col: str,
@@ -126,8 +138,9 @@ def sessionize_stream(events: DataFrame, key_col: str, ts_col: str,
     timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
                     if timeout_ms is not None
                     else GroupStateTimeout.NoTimeout)
-    prepared = events.withColumn("__ts_sec",
-                                 _epoch_seconds(F.col(ts_col)))
+    prepared = events.withColumn(
+        "__ts_sec",
+        _epoch_seconds(F.col(ts_col), events.schema[ts_col].dataType))
     return (prepared.groupBy(key_col)
             .applyInPandasWithState(close_sessions, output_schema,
                                     state_schema, "append", timeout_conf))

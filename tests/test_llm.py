@@ -716,6 +716,20 @@ class TestRepetition:
         assert got[4] is None
         assert got[5] == pytest.approx(4 / 4)   # < n words → joined tokens
 
+    def test_top_ngram_null_text_is_null_for_unigrams(self, spark):
+        """r4 advice: for n<=1 the NULL token array made size(sh) NULL and
+        the when() fell through to 0.0; the explicit text.isNull() guard
+        must return NULL for NULL text at every n."""
+        from deequ_spark.llm import top_ngram_char_fraction
+        df = spark.createDataFrame([(1, None), (2, "a a")],
+                                   "id long, text string")
+        for n in (1, 2, 3):
+            got = {r["id"]: r["f"] for r in df.select(
+                "id", top_ngram_char_fraction(F.col("text"), n).alias("f"))
+                .collect()}
+            assert got[1] is None, f"n={n}"
+            assert got[2] is not None
+
     def test_word_ngrams_keeps_duplicates(self, spark):
         from deequ_spark.llm import word_ngrams, word_shingles
         df = spark.createDataFrame([("a b a b",)], "t string")

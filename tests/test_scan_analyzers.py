@@ -227,6 +227,21 @@ class TestEmbeddingQuality:
         m = next(iter(ctx.metric_map.values()))
         assert not m.is_success
 
+    def test_null_elements_count_as_nan_bucket(self, spark):
+        """r4 advice: a right-dim vector containing NULL elements made
+        EXISTS(isnan) NULL, leaving the row outside every bucket. It must
+        land in n_nan so the buckets partition n_rows."""
+        from deequ_spark import EmbeddingQuality, do_analysis_run
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [None, 1.0]), (3, [1.0, None]),
+             (4, None), (5, [1.0])],
+            "id long, vec array<double>")
+        ctx = do_analysis_run(df, [EmbeddingQuality("vec", 2)])
+        v = next(iter(ctx.metric_map.values())).value
+        assert v["n_nan"] == 2.0 and v["n_valid"] == 1.0
+        assert (v["n_null"] + v["n_dim_mismatch"] + v["n_nan"]
+                + v["n_valid"]) == v["n_rows"] == 5.0
+
     def test_check_dsl_integration(self, vec_df):
         """has_embedding_quality runs inside a normal VerificationSuite."""
         from deequ_spark import (Check, CheckLevel, CheckStatus,

@@ -136,3 +136,26 @@ def test_streaming_closed_sessions_match_batch(spark, clicks, tmp_path):
     expected = {(r["user"], r["session_start"].timestamp(), r["n_events"])
                 for r in session_stats(clicks, "user", "ts", 1800).collect()}
     assert got == expected
+
+
+def test_sessionize_ntz_dst_fallback(spark):
+    """NTZ wall-clock differences must not be warped by a DST transition
+    in the session timezone (r4 advice): events 30 wall-minutes apart
+    straddling the America/New_York 2025-11-02 fall-back would map to
+    instants 90 minutes apart under a session-zone cast, wrongly
+    splitting a gap<=1800s session. The field-arithmetic NTZ path is
+    zone-free, so the three events stay one session in ANY zone."""
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rows = [(1, datetime.datetime(2025, 11, 2, 1, 15)),
+                (1, datetime.datetime(2025, 11, 2, 1, 45)),
+                (1, datetime.datetime(2025, 11, 2, 2, 15))]
+        df = spark.createDataFrame(rows, "user long, ts timestamp_ntz")
+        out = sessionize(df, "user", "ts", gap_seconds=1800).collect()
+        assert sorted(r["session_id"] for r in out) == [0, 0, 0]
+        stats = session_stats(df, "user", "ts", 1800).collect()
+        assert len(stats) == 1
+        assert stats[0]["duration_sec"] == 3600.0  # pure wall-clock
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
