@@ -699,17 +699,27 @@ def q_length_zeros_ratio(spark, sf_dir):
 
 
 def q_histogram_binned(spark, sf_dir):
-    """Custom-edge numeric histogram (width_bucket path); .5 edges so no
-    value sits on a boundary in either engine."""
+    """Custom-edge numeric histogram; .5 edges so no value sits on a
+    boundary in either engine. Second analyzer: NARROW custom edges with
+    include_overflow_bins=True (HistogramBinned.scala:62-120) — out-of-range
+    values land in the ±Inf under/overflow bins instead of being dropped,
+    and the last interior bin keeps its upper edge inclusive."""
     from deequ_spark import HistogramBinned, do_analysis_run
     df = _load(spark, sf_dir, "lineitem")
     analyzer = HistogramBinned("l_quantity",
                                custom_edges=[0.5, 10.5, 20.5, 30.5, 40.5, 50.5])
-    ctx = do_analysis_run(df, [analyzer])
+    overflow = HistogramBinned("l_quantity",
+                               custom_edges=[10.5, 20.5, 30.5],
+                               include_overflow_bins=True)
+    ctx = do_analysis_run(df, [analyzer, overflow])
     dist = ctx.metric_map[analyzer].value
     rows = [(f"bin_{i}", dv.absolute)
             for i, dv in enumerate(dist.values.values())]
     rows.append(("bins", float(dist.number_of_bins)))
+    odist = ctx.metric_map[overflow].value
+    rows += [(f"ovf_bin_{i}", dv.absolute)
+             for i, dv in enumerate(odist.values.values())]
+    rows.append(("ovf_bins", float(odist.number_of_bins)))
     return _metrics_df(spark, rows)
 
 
@@ -1307,6 +1317,61 @@ def q_row_level(spark, sf_dir):
                                ("rows_total", float(n_all))])
 
 
+def q_row_level_filtered(spark, sf_dir):
+    """Row-level outcomes across the where-filter × FilteredRowOutcome ×
+    per-row-assertion truth tables (reference Analyzer.scala:277-292,
+    Constraint.scala:1214-1288; parity suite tests/test_reference_parity.py).
+    Each rule's three-valued outcome column is reduced to (n_true, n_null)
+    counts; n_false falls out of the total. Still a pure projection over
+    one scan (plus one window for the uniqueness rule) — no extra shuffle
+    beyond the uniqueness partitionBy."""
+    from deequ_spark import (AnalyzerOptions, Check, CheckLevel,
+                             FilteredRowOutcome, VerificationSuite)
+    df = _load(spark, sf_dir, "customer")
+    null_opts = AnalyzerOptions(filtered_row=FilteredRowOutcome.NULL)
+    checks = [
+        # filtered rows default to TRUE
+        Check(CheckLevel.ERROR, "c1_true")
+        .satisfies("c_acctbal >= 0", "pos", lambda v: True)
+        .where("c_mktsegment = 'BUILDING'"),
+        # filtered rows become NULL
+        Check(CheckLevel.ERROR, "c2_null")
+        .satisfies("c_acctbal >= 0", "pos", lambda v: True,
+                   analyzer_options=null_opts)
+        .where("c_mktsegment = 'BUILDING'"),
+        # per-row min assertion on the in-scope subset, filtered -> TRUE
+        Check(CheckLevel.ERROR, "c3_min")
+        .has_min("c_acctbal", lambda v: v >= 0)
+        .where("c_nationkey < 10"),
+        # per-row length assertion, filtered -> NULL
+        Check(CheckLevel.ERROR, "c4_len")
+        .has_max_length("c_name", lambda v: v <= 17,
+                        analyzer_options=null_opts)
+        .where("c_mktsegment = 'AUTOMOBILE'"),
+        # windowed uniqueness over the in-scope subset, filtered -> TRUE
+        Check(CheckLevel.ERROR, "c5_uniq")
+        .is_unique("c_nationkey")
+        .where("c_custkey <= 100"),
+    ]
+    suite = VerificationSuite().on_data(df)
+    for c in checks:
+        suite.add_check(c)
+    annotated = suite.run().row_level_results_as_dataframe(df)
+    aggs = []
+    for c in checks:
+        name = c.description
+        aggs.append(F.sum(F.when(F.col(name), 1).otherwise(0))
+                    .alias(f"{name}_t"))
+        aggs.append(F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
+                    .alias(f"{name}_n"))
+    row = annotated.agg(*aggs).collect()[0]
+    pairs = []
+    for c in checks:
+        pairs.append((f"{c.description}_true", float(row[f"{c.description}_t"])))
+        pairs.append((f"{c.description}_null", float(row[f"{c.description}_n"])))
+    return _metrics_df(spark, pairs)
+
+
 def q_profile(spark, sf_dir):
     """Column profiler (3-pass): deterministic fields of a numeric and a
     string column profile."""
@@ -1776,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "streaming": q_streaming,
         "row_level": q_row_level,
+        "row_level_filtered": q_row_level_filtered,
         "profile": q_profile,
         "dqdl": q_dqdl,
         "dqdl_extended": q_dqdl_extended,
@@ -2124,6 +2190,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'bin_3', CAST(SUM(CASE WHEN l_quantity >= 30.5 AND l_quantity < 40.5 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
             UNION ALL SELECT 'bin_4', CAST(SUM(CASE WHEN l_quantity >= 40.5 AND l_quantity <= 50.5 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
             UNION ALL SELECT 'bins', 5.0
+            -- overflow variant: edges [10.5, 20.5, 30.5] + ±Inf bins;
+            -- last interior upper edge (30.5) inclusive, overflow strictly above
+            UNION ALL SELECT 'ovf_bin_0', CAST(SUM(CASE WHEN l_quantity < 10.5 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'ovf_bin_1', CAST(SUM(CASE WHEN l_quantity >= 10.5 AND l_quantity < 20.5 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'ovf_bin_2', CAST(SUM(CASE WHEN l_quantity >= 20.5 AND l_quantity <= 30.5 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'ovf_bin_3', CAST(SUM(CASE WHEN l_quantity > 30.5 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'ovf_bins', 4.0
         """,
         "referential_integrity": """
             SELECT 'ri_orders_in_customer' AS metric,
@@ -2205,6 +2278,49 @@ def oracle_sql() -> dict[str, str]:
                                  AND l_discount >= 0.02 THEN 1 ELSE 0 END) AS DOUBLE) AS value
             FROM lineitem
             UNION ALL SELECT 'rows_total', CAST(COUNT(*) AS DOUBLE) FROM lineitem
+        """,
+        "row_level_filtered": """
+            WITH o AS (
+              SELECT
+                -- c1: Compliance, filtered (incl. where-NULL) -> TRUE
+                CASE WHEN NOT (c_mktsegment = 'BUILDING') THEN TRUE
+                     ELSE c_acctbal >= 0 END AS c1,
+                -- c2: Compliance, FilteredRowOutcome.NULL
+                CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal >= 0
+                     ELSE NULL END AS c2,
+                -- c3: Minimum per-row assertion (v >= 0), filtered -> TRUE
+                CASE WHEN c_nationkey < 10 THEN c_acctbal >= 0
+                     ELSE TRUE END AS c3,
+                -- c4: MaxLength per-row assertion (len <= 17), filtered -> NULL
+                CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN length(c_name) <= 17
+                     ELSE NULL END AS c4,
+                -- c5: windowed uniqueness over the in-scope subset,
+                -- filtered -> TRUE
+                CASE WHEN NOT (c_custkey <= 100) THEN TRUE
+                     WHEN COUNT(CASE WHEN c_custkey <= 100 THEN 1 END)
+                          OVER (PARTITION BY c_nationkey) = 1 THEN TRUE
+                     ELSE FALSE END AS c5
+              FROM customer)
+            SELECT 'c1_true_true' AS metric,
+                   CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM o
+            UNION ALL SELECT 'c1_true_null',
+                   CAST(SUM(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM o
+            UNION ALL SELECT 'c2_null_true',
+                   CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS DOUBLE) FROM o
+            UNION ALL SELECT 'c2_null_null',
+                   CAST(SUM(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM o
+            UNION ALL SELECT 'c3_min_true',
+                   CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS DOUBLE) FROM o
+            UNION ALL SELECT 'c3_min_null',
+                   CAST(SUM(CASE WHEN c3 IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM o
+            UNION ALL SELECT 'c4_len_true',
+                   CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS DOUBLE) FROM o
+            UNION ALL SELECT 'c4_len_null',
+                   CAST(SUM(CASE WHEN c4 IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM o
+            UNION ALL SELECT 'c5_uniq_true',
+                   CAST(SUM(CASE WHEN c5 THEN 1 ELSE 0 END) AS DOUBLE) FROM o
+            UNION ALL SELECT 'c5_uniq_null',
+                   CAST(SUM(CASE WHEN c5 IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM o
         """,
         "anomaly": """
             WITH w AS (SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk,

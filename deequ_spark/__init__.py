@@ -19,11 +19,12 @@ from .analyzers.grouping import (CountDistinct, Distinctness,
                                  HistogramBinned, MutualInformation,
                                  Uniqueness, UniqueValueRatio,
                                  compute_frequencies)
-from .analyzers.scan import (ApproxCountDistinct, ApproxQuantile,
-                             ApproxQuantiles, ColumnCount, ColumnExists,
-                             ColumnRange, Completeness, Compliance,
-                             Correlation, CustomAggregator, CustomSql,
-                             DataType, DataTypeInstances, ExactQuantile,
+from .analyzers.scan import (AnalyzerOptions, ApproxCountDistinct,
+                             ApproxQuantile, ApproxQuantiles, ColumnCount,
+                             ColumnExists, ColumnRange, Completeness,
+                             Compliance, Correlation, CustomAggregator,
+                             CustomSql, DataType, DataTypeInstances,
+                             ExactQuantile, FilteredRowOutcome,
                              InterquartileRange, Kurtosis, Maximum,
                              MaxLength, Mean, Minimum, MinLength,
                              NullBehavior, PatternMatch, Patterns,

@@ -162,18 +162,47 @@ class ScanShareableFrequencyBasedAnalyzer(FrequencyBasedAnalyzer):
         return DoubleMetric(self.entity, self.name, self.instance, value)
 
 
+def _grouped_row_level_results(columns, where, analyzer_options) -> Column:
+    """Per-row uniqueness via a window count over the grouping columns —
+    the reference's only window-function use (GroupingAnalyzers.scala:100-106
+    count(when(where, UNIQUENESS_ID)).over(partitionBy(columns)), outcome
+    shape Uniqueness.scala:44-55 / UniqueValueRatio.scala:40-51):
+    where FALSE → filtered outcome (TRUE default / NULL per options);
+    otherwise true iff exactly one *in-scope* row shares the value. A lone
+    NULL group counts as unique (the window partitions NULLs together, it
+    does not drop them). Scale: one window shuffle on the grouping columns,
+    same keys as the frequency aggregation itself."""
+    from pyspark.sql import Window
+    from .scan import FilteredRowOutcome
+
+    w = Window.partitionBy(*[F.col(c) for c in columns])
+    if where is None:
+        cnt = F.count(F.lit(1)).over(w)
+        return F.when(cnt == 1, F.lit(True)).otherwise(F.lit(False))
+    cond = F.expr(where)
+    cnt = F.count(F.when(cond, F.lit(1))).over(w)
+    filtered = (F.lit(None).cast("boolean")
+                if analyzer_options is not None
+                and analyzer_options.filtered_row == FilteredRowOutcome.NULL
+                else F.lit(True))
+    return (F.when(~cond, filtered)
+            .when(cnt == 1, F.lit(True)).otherwise(F.lit(False)))
+
+
 @dataclass(frozen=True, eq=False)
 class Uniqueness(ScanShareableFrequencyBasedAnalyzer):
     """Fraction of values occurring exactly once. Parity: Uniqueness.scala:35-77."""
     columns: Tuple[str, ...]
     where: Optional[str] = None
+    analyzer_options: Optional["AnalyzerOptions"] = None
 
     name = "Uniqueness"
 
-    def __init__(self, columns, where=None):
+    def __init__(self, columns, where=None, analyzer_options=None):
         cols = (columns,) if isinstance(columns, str) else tuple(columns)
         object.__setattr__(self, "columns", cols)
         object.__setattr__(self, "where", where)
+        object.__setattr__(self, "analyzer_options", analyzer_options)
 
     def aggregation_functions(self) -> List[Column]:
         return [F.sum((F.col(COUNT_COL) == 1).cast("double"))]
@@ -184,16 +213,11 @@ class Uniqueness(ScanShareableFrequencyBasedAnalyzer):
         return float(result[offset]) / num_rows
 
     def row_level_column(self) -> Column:
-        """Per-row uniqueness via a window count over the grouping columns
-        — the reference's only window-function use
-        (GroupingAnalyzers.scala:100-106, UNIQUENESS_ID trick)."""
-        from pyspark.sql import Window
-        w = Window.partitionBy(*[F.col(c) for c in self.columns])
-        in_scope = None
-        for c in self.columns:
-            nn = F.col(c).isNotNull()
-            in_scope = nn if in_scope is None else (in_scope | nn)
-        return (F.count(F.lit(1)).over(w) == 1) & in_scope
+        return self.row_level_results()
+
+    def row_level_results(self, assertion=None) -> Column:
+        return _grouped_row_level_results(self.columns, self.where,
+                                          self.analyzer_options)
 
 
 @dataclass(frozen=True, eq=False)
@@ -201,17 +225,23 @@ class UniqueValueRatio(ScanShareableFrequencyBasedAnalyzer):
     """unique groups / distinct groups. Parity: UniqueValueRatio.scala:28-66."""
     columns: Tuple[str, ...]
     where: Optional[str] = None
+    analyzer_options: Optional["AnalyzerOptions"] = None
 
     name = "UniqueValueRatio"
 
-    def __init__(self, columns, where=None):
+    def __init__(self, columns, where=None, analyzer_options=None):
         cols = (columns,) if isinstance(columns, str) else tuple(columns)
         object.__setattr__(self, "columns", cols)
         object.__setattr__(self, "where", where)
+        object.__setattr__(self, "analyzer_options", analyzer_options)
 
     def aggregation_functions(self) -> List[Column]:
         return [F.sum((F.col(COUNT_COL) == 1).cast("double")),
                 F.count(F.lit(1))]
+
+    def row_level_results(self, assertion=None) -> Column:
+        return _grouped_row_level_results(self.columns, self.where,
+                                          self.analyzer_options)
 
     def value_from(self, result: Row, offset: int, num_rows: int) -> Optional[float]:
         if result[offset] is None or not result[offset + 1]:
@@ -470,15 +500,19 @@ class HistogramBinned(Analyzer):
     bin_count: Optional[int] = None
     custom_edges: Optional[Tuple[float, ...]] = None
     where: Optional[str] = None
+    include_overflow_bins: bool = False
 
     name = "Histogram"  # reference reports binned histograms under Histogram
 
-    def __init__(self, column, bin_count=None, custom_edges=None, where=None):
+    def __init__(self, column, bin_count=None, custom_edges=None, where=None,
+                 include_overflow_bins=False):
         object.__setattr__(self, "column", column)
         object.__setattr__(self, "bin_count", bin_count)
         object.__setattr__(self, "custom_edges",
                            tuple(custom_edges) if custom_edges else None)
         object.__setattr__(self, "where", where)
+        object.__setattr__(self, "include_overflow_bins",
+                           bool(include_overflow_bins))
 
     @property
     def instance(self) -> str:
@@ -488,7 +522,23 @@ class HistogramBinned(Analyzer):
         def edges_or_count(schema):
             if (self.bin_count is None) == (self.custom_edges is None):
                 raise ValueError("specify exactly one of bin_count / custom_edges")
+            if (self.include_overflow_bins and self.bin_count is not None
+                    and self.bin_count < 3):
+                # 2 overflow + at least 1 interior (HistogramBinned.scala:104-107)
+                raise ValueError("bin_count must be at least 3 when "
+                                 "include_overflow_bins is true")
         return [has_column(self.column), is_numeric(self.column), edges_or_count]
+
+    def _with_overflow_edges(self, edges):
+        """±Inf under/overflow bins (HistogramBinned.scala:236-241): only
+        added when not already present."""
+        if not self.include_overflow_bins:
+            return edges
+        if edges[0] != float("-inf"):
+            edges = [float("-inf")] + edges
+        if edges[-1] != float("inf"):
+            edges = edges + [float("inf")]
+        return edges
 
     def compute_state_from(self, df: DataFrame):
         data = df.filter(self.where) if self.where else df
@@ -497,7 +547,7 @@ class HistogramBinned(Analyzer):
         # least/greatest clamp would silently coerce it into bin 1)
         data = data.where(col.isNotNull())
         if self.custom_edges is not None:
-            edges = list(self.custom_edges)
+            edges = self._with_overflow_edges(sorted(self.custom_edges))
         else:
             row = data.agg(F.min(col), F.max(col)).collect()[0]
             if row[0] is None:
@@ -505,22 +555,40 @@ class HistogramBinned(Analyzer):
             lo, hi = float(row[0]), float(row[1])
             if lo == hi:
                 hi = lo + 1.0
-            step = (hi - lo) / self.bin_count
-            edges = [lo + i * step for i in range(self.bin_count)] + [hi]
+            interior = (self.bin_count - 2 if self.include_overflow_bins
+                        else self.bin_count)
+            step = (hi - lo) / interior
+            edges = self._with_overflow_edges(
+                [lo + i * step for i in range(interior)] + [hi])
         n_buckets = len(edges) - 1
-        bucket = F.width_bucket(col, F.lit(edges[0]), F.lit(edges[-1]),
-                                F.lit(n_buckets)) if self.custom_edges is None else None
-        if bucket is None:
-            # custom (possibly non-uniform) edges: CASE-chain through sorted
-            # edges; out-of-range values stay NULL and are excluded below
-            bucket = F.lit(None).cast("long")
-            for i in range(n_buckets, 0, -1):
-                upper_ok = (col < F.lit(edges[i])) if i < n_buckets else (col <= F.lit(edges[i]))
-                bucket = F.when((col >= F.lit(edges[i - 1])) & upper_ok, F.lit(i)).otherwise(bucket)
-        else:
-            # equal-width path: edges derive from this data's min/max, so the
-            # only overflow is max itself (width_bucket → n+1); clamp it in
+        if self.custom_edges is None and not self.include_overflow_bins:
+            # equal-width path: the built-in width_bucket does the O(log b)
+            # binary search JVM-side; edges derive from this data's min/max,
+            # so the only overflow is max itself (width_bucket → n+1) —
+            # clamp it into the last bin
+            bucket = F.width_bucket(col, F.lit(edges[0]), F.lit(edges[-1]),
+                                    F.lit(n_buckets))
             bucket = F.least(F.greatest(bucket, F.lit(1)), F.lit(n_buckets))
+        else:
+            # custom (possibly non-uniform) and/or ±Inf edges: bucket =
+            # |{edges ≤ value}| over ONE sorted array literal — a single
+            # flat expression per row (no b-deep when-nesting that would
+            # stress codegen at the 1000-bin cap). Lower-inclusive half-open
+            # bins fall out directly; the one inclusive upper boundary (the
+            # last finite edge — HistogramBinned.scala:168-178 keeps the
+            # data max in the last interior bin) is clamped back explicitly.
+            edge_arr = F.array(*[F.lit(e) for e in edges])
+            raw = F.size(F.filter(edge_arr, lambda e: e <= col))
+            finite_uppers = [i for i in range(1, len(edges))
+                             if edges[i] != float("inf")]
+            incl_idx = finite_uppers[-1] if finite_uppers else None
+            bucket = raw
+            if incl_idx is not None and incl_idx >= 1:
+                # value == last finite edge belongs to the bin BELOW it
+                bucket = (F.when(col == F.lit(edges[incl_idx]),
+                                 F.lit(incl_idx)).otherwise(raw))
+            # out-of-range (only possible without overflow bins): drop
+            bucket = F.when((bucket >= 1) & (bucket <= n_buckets), bucket)
         freq = (data.select(bucket.alias("bucket"))
                 .where(F.col("bucket").isNotNull())
                 .groupBy("bucket").agg(F.count(F.lit(1)).alias(COUNT_COL)))

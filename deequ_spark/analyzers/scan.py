@@ -22,6 +22,8 @@ from dataclasses import dataclass, field
 from enum import Enum
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
+import pandas
+
 from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,6 +47,64 @@ class NullBehavior(str, Enum):
     IGNORE = "Ignore"
     EMPTY_STRING = "EmptyString"
     FAIL = "Fail"
+
+
+class FilteredRowOutcome(str, Enum):
+    """Row-level outcome for rows excluded by an analyzer's ``where``
+    filter. Parity: Analyzer.scala:285-292 (default TRUE per
+    https://github.com/awslabs/deequ issue 530)."""
+    TRUE = "TRUE"
+    NULL = "NULL"
+
+
+@dataclass(frozen=True)
+class AnalyzerOptions:
+    """Row-level behavior knobs. Parity: Analyzer.scala:277-278."""
+    null_behavior: NullBehavior = NullBehavior.IGNORE
+    filtered_row: FilteredRowOutcome = FilteredRowOutcome.TRUE
+
+
+# Scala Double.MinValue/MaxValue — the NullBehavior.Fail sentinels the
+# reference injects for NULL strings so the min/max metric itself fails the
+# assertion (MinLength.scala:64, MaxLength.scala:64). NOT sys.float_info.min
+# (smallest positive); Scala Double.MinValue is the most-negative double.
+DOUBLE_MIN_VALUE = -1.7976931348623157e308
+DOUBLE_MAX_VALUE = 1.7976931348623157e308
+
+
+def _filtered_outcome_expr(options: Optional[AnalyzerOptions]) -> Column:
+    fr = options.filtered_row if options is not None else FilteredRowOutcome.TRUE
+    if fr == FilteredRowOutcome.TRUE:
+        return F.lit(True)
+    return F.lit(None).cast("boolean")
+
+
+def _assertion_column(value: Column, assertion) -> Column:
+    """Apply a Python ``float -> bool`` assertion per row, Arrow-vectorized.
+
+    The reference ships the assertion to executors as a row-at-a-time Scala
+    UDF (Constraint.scala:1227 sparkAssertion); we use a pandas_udf so the
+    transfer is Arrow-batched. Fast path: try the assertion directly on the
+    pandas Series — comparison-style lambdas (``lambda v: v >= 3``) are
+    already elementwise. Fall back to a per-element map for assertions that
+    don't broadcast (``lambda v: 0 < v < 10`` raises on a Series).
+    NULL in → NULL out (the caller decides NULL semantics separately).
+    """
+    @F.pandas_udf("boolean")
+    def _apply(s: pandas.Series) -> pandas.Series:
+        notna = s.notna()
+        try:
+            out = assertion(s)
+            if not hasattr(out, "__len__") or len(out) != len(s):
+                raise TypeError("assertion did not broadcast")
+            out = pandas.Series(out, index=s.index).astype("boolean")
+        except Exception:
+            out = s.map(lambda v: (None if pandas.isna(v)
+                                   else bool(assertion(float(v))))
+                        ).astype("boolean")
+        return out.where(notna, None)
+
+    return _apply(value)
 
 
 # ---------------------------------------------------------------------------
@@ -84,6 +144,7 @@ class Completeness(ScanShareableAnalyzer):
     """Fraction of non-null values. Parity: Completeness.scala:30-84."""
     column: str
     where: Optional[str] = None
+    analyzer_options: Optional[AnalyzerOptions] = None
 
     name = "Completeness"
 
@@ -112,6 +173,20 @@ class Completeness(ScanShareableAnalyzer):
     def row_level_column(self) -> Column:
         return _col(self.column).isNotNull()
 
+    def row_level_results(self, assertion=None) -> Column:
+        """Truth table (Completeness.scala:79-84
+        conditionalSelectionFilteredFromColumns):
+        where TRUE → isNotNull; where FALSE → filtered outcome (TRUE/NULL
+        per options); where NULL → NULL (neither when-branch matches).
+        The metric-level assertion is NOT applied per row (the reference
+        wraps Completeness in a plain RowLevelConstraint)."""
+        base = _col(self.column).isNotNull()
+        if self.where is None:
+            return base
+        w = F.expr(self.where)
+        return (F.when(~w, _filtered_outcome_expr(self.analyzer_options))
+                .when(w, base))
+
 
 @dataclass(frozen=True, eq=False)
 class Compliance(ScanShareableAnalyzer):
@@ -123,6 +198,7 @@ class Compliance(ScanShareableAnalyzer):
     predicate: str
     where: Optional[str] = None
     columns: Tuple[str, ...] = ()
+    analyzer_options: Optional[AnalyzerOptions] = None
 
     name = "Compliance"
 
@@ -151,6 +227,20 @@ class Compliance(ScanShareableAnalyzer):
     def row_level_column(self) -> Column:
         return F.expr(self.predicate)
 
+    def row_level_results(self, assertion=None) -> Column:
+        """Truth table (Compliance.scala:75-86 rowLevelResults):
+        TRUE treatment: where FALSE *or NULL* → true; where TRUE → raw
+        predicate (may be NULL for three-valued predicates over NULLs).
+        NULL treatment: where TRUE → raw predicate; else NULL."""
+        p = F.expr(self.predicate)
+        if self.where is None:
+            return p
+        w = F.expr(self.where)
+        opts = self.analyzer_options
+        if opts is not None and opts.filtered_row == FilteredRowOutcome.NULL:
+            return F.when(w, p)
+        return F.when(~w | w.isNull(), F.lit(True)).otherwise(p)
+
 
 @dataclass(frozen=True, eq=False)
 class PatternMatch(ScanShareableAnalyzer):
@@ -158,6 +248,7 @@ class PatternMatch(ScanShareableAnalyzer):
     column: str
     pattern: str
     where: Optional[str] = None
+    analyzer_options: Optional[AnalyzerOptions] = None
 
     name = "PatternMatch"
 
@@ -188,6 +279,23 @@ class PatternMatch(ScanShareableAnalyzer):
     def row_level_column(self) -> Column:
         return F.regexp_extract(_col(self.column), self.pattern, 0) != F.lit("")
 
+    def row_level_results(self, assertion=None) -> Column:
+        """Truth table (PatternMatch.scala:89-101 rowLevelResults):
+        match expr is when(match,1).otherwise(0) — NULL column → 0 (false),
+        never NULL in scope. TRUE treatment: where FALSE → true; where NULL
+        falls through to the match expr (the reference's whereNotCondition
+        omits the isNull arm Compliance has — asymmetry kept for parity).
+        NULL treatment: where TRUE → match; FALSE/NULL → NULL."""
+        match01 = (F.when(F.regexp_extract(_col(self.column), self.pattern, 0)
+                          != F.lit(""), F.lit(1)).otherwise(F.lit(0)))
+        if self.where is None:
+            return match01.cast("boolean")
+        w = F.expr(self.where)
+        opts = self.analyzer_options
+        if opts is not None and opts.filtered_row == FilteredRowOutcome.NULL:
+            return F.when(w, match01).cast("boolean")
+        return F.when(~w, F.lit(1)).otherwise(match01).cast("boolean")
+
 
 class Patterns:
     """Built-in patterns. Parity: checks/Check.scala:1106-1177 (Patterns object)."""
@@ -197,11 +305,38 @@ class Patterns:
     CREDITCARD = r"""\b(?:3[47]\d{2}([\ \-]?)\d{6}\1\d|(?:(?:4\d|5[1-5]|65)\d{2}|6011)([\ \-]?)\d{4}\2\d{4}\2)\d{4}\b"""
 
 
+def _asserted_value_row_level(value: Column, raw_is_null: Column,
+                              assertion, where: Optional[str],
+                              options: Optional[AnalyzerOptions],
+                              null_value_outcome: Column) -> Column:
+    """Shared truth table for value-asserted row-level outcomes
+    (Constraint.scala:1214-1242 getUpdatedRowLevelAssertion +
+    Analyzer.scala:528-541 conditionalSelectionWithAugmentedOutcome):
+    where FALSE *or NULL* → filtered outcome (TRUE/NULL per options);
+    in scope, value NULL → ``null_value_outcome`` (Fail → false, else NULL);
+    in scope, value present → assertion(value) per row."""
+    asserted = _assertion_column(value, assertion) if assertion is not None \
+        else value.isNotNull()
+    in_scope = F.when(raw_is_null, null_value_outcome).otherwise(asserted)
+    if where is None:
+        return in_scope
+    w = F.expr(where)
+    return F.when(w, in_scope).otherwise(_filtered_outcome_expr(options))
+
+
+def _null_value_outcome(options: Optional[AnalyzerOptions]) -> Column:
+    nb = options.null_behavior if options is not None else NullBehavior.IGNORE
+    if nb == NullBehavior.FAIL:
+        return F.lit(False)
+    return F.lit(None).cast("boolean")
+
+
 @dataclass(frozen=True, eq=False)
 class Minimum(ScanShareableAnalyzer):
     """Parity: Minimum.scala:45-80."""
     column: str
     where: Optional[str] = None
+    analyzer_options: Optional[AnalyzerOptions] = None
 
     name = "Minimum"
 
@@ -225,12 +360,19 @@ class Minimum(ScanShareableAnalyzer):
             return self.to_failure_metric(EmptyStateError("Empty state"))
         return DoubleMetric(self.entity, self.name, self.instance, state.min_value)
 
+    def row_level_results(self, assertion=None) -> Column:
+        value = _col(self.column).cast("double")
+        return _asserted_value_row_level(
+            value, _col(self.column).isNull(), assertion, self.where,
+            self.analyzer_options, _null_value_outcome(self.analyzer_options))
+
 
 @dataclass(frozen=True, eq=False)
 class Maximum(ScanShareableAnalyzer):
     """Parity: Maximum.scala:45-80."""
     column: str
     where: Optional[str] = None
+    analyzer_options: Optional[AnalyzerOptions] = None
 
     name = "Maximum"
 
@@ -254,27 +396,36 @@ class Maximum(ScanShareableAnalyzer):
             return self.to_failure_metric(EmptyStateError("Empty state"))
         return DoubleMetric(self.entity, self.name, self.instance, state.max_value)
 
+    def row_level_results(self, assertion=None) -> Column:
+        value = _col(self.column).cast("double")
+        return _asserted_value_row_level(
+            value, _col(self.column).isNull(), assertion, self.where,
+            self.analyzer_options, _null_value_outcome(self.analyzer_options))
 
-def _length_selection(column: str, where: Optional[str],
-                      null_behavior: NullBehavior) -> Column:
-    """Parity: MinLength.scala/MaxLength.scala NullBehavior handling."""
+
+def _length_value(column: str, null_behavior: NullBehavior,
+                  fail_sentinel: float) -> Column:
+    """NullBehavior-transformed length value (MinLength.scala:60-71,
+    MaxLength.scala:60-71): EmptyString → NULL reads as length 0; Fail →
+    NULL reads as the Scala Double.MinValue/MaxValue sentinel so the
+    min/max metric itself trips the assertion; Ignore → NULL stays NULL
+    (excluded from min/max, row-level outcome NULL)."""
     col = _col(column)
     if null_behavior == NullBehavior.EMPTY_STRING:
         col = F.coalesce(col, F.lit(""))
     length = F.length(col).cast("double")
     if null_behavior == NullBehavior.FAIL:
-        length = F.when(_col(column).isNull(), F.lit(float("nan"))).otherwise(length)
-    return conditional_selection(length, where)
+        length = F.when(_col(column).isNull(),
+                        F.lit(fail_sentinel)).otherwise(length)
+    return length
 
 
-@dataclass(frozen=True, eq=False)
-class MinLength(ScanShareableAnalyzer):
-    """Parity: MinLength.scala:34-80."""
-    column: str
-    where: Optional[str] = None
-    null_behavior: NullBehavior = NullBehavior.IGNORE
 
-    name = "MinLength"
+
+class _LengthAnalyzer(ScanShareableAnalyzer):
+    """Shared NullBehavior/row-level machinery for MinLength/MaxLength."""
+
+    _fail_sentinel: float = 0.0
 
     @property
     def instance(self) -> str:
@@ -283,8 +434,41 @@ class MinLength(ScanShareableAnalyzer):
     def preconditions(self):
         return [has_column(self.column), is_string(self.column)]
 
+    def effective_null_behavior(self) -> NullBehavior:
+        """analyzer_options wins over the legacy null_behavior field."""
+        if self.analyzer_options is not None:
+            return self.analyzer_options.null_behavior
+        return self.null_behavior
+
+    def _value(self) -> Column:
+        return _length_value(self.column, self.effective_null_behavior(),
+                             self._fail_sentinel)
+
+    def row_level_results(self, assertion=None) -> Column:
+        """Constraint.scala:1244-1274
+        getUpdatedRowLevelAssertionForLengthConstraint: the assertion runs
+        on the NullBehavior-transformed length, so Fail's sentinel fails it
+        and EmptyString asserts on 0.0; a NULL value (only possible under
+        Ignore) → NULL outcome."""
+        value = self._value()
+        return _asserted_value_row_level(
+            value, value.isNull(), assertion, self.where,
+            self.analyzer_options, F.lit(None).cast("boolean"))
+
+
+@dataclass(frozen=True, eq=False)
+class MinLength(_LengthAnalyzer):
+    """Parity: MinLength.scala:34-80."""
+    column: str
+    where: Optional[str] = None
+    null_behavior: NullBehavior = NullBehavior.IGNORE
+    analyzer_options: Optional[AnalyzerOptions] = None
+
+    name = "MinLength"
+    _fail_sentinel = DOUBLE_MIN_VALUE
+
     def aggregation_functions(self) -> List[Column]:
-        return [F.min(_length_selection(self.column, self.where, self.null_behavior))]
+        return [F.min(conditional_selection(self._value(), self.where))]
 
     def from_aggregation_result(self, result: Row, offset: int):
         if not if_no_nulls_in(result, offset):
@@ -298,23 +482,18 @@ class MinLength(ScanShareableAnalyzer):
 
 
 @dataclass(frozen=True, eq=False)
-class MaxLength(ScanShareableAnalyzer):
+class MaxLength(_LengthAnalyzer):
     """Parity: MaxLength.scala:34-80."""
     column: str
     where: Optional[str] = None
     null_behavior: NullBehavior = NullBehavior.IGNORE
+    analyzer_options: Optional[AnalyzerOptions] = None
 
     name = "MaxLength"
-
-    @property
-    def instance(self) -> str:
-        return self.column
-
-    def preconditions(self):
-        return [has_column(self.column), is_string(self.column)]
+    _fail_sentinel = DOUBLE_MAX_VALUE
 
     def aggregation_functions(self) -> List[Column]:
-        return [F.max(_length_selection(self.column, self.where, self.null_behavior))]
+        return [F.max(conditional_selection(self._value(), self.where))]
 
     def from_aggregation_result(self, result: Row, offset: int):
         if not if_no_nulls_in(result, offset):

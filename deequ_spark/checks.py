@@ -120,12 +120,14 @@ class Check:
 
     # -- completeness (Check.scala:187-273) --------------------------------
 
-    def is_complete(self, column: str, hint=None) -> "Check":
-        return self.has_completeness(column, IS_ONE, hint)
+    def is_complete(self, column: str, hint=None,
+                    analyzer_options=None) -> "Check":
+        return self.has_completeness(column, IS_ONE, hint, analyzer_options)
 
-    def has_completeness(self, column: str, assertion, hint=None) -> "Check":
+    def has_completeness(self, column: str, assertion, hint=None,
+                         analyzer_options=None) -> "Check":
         return self._add(lambda w: AnalysisBasedConstraint(
-            Completeness(column, w), assertion, hint=hint))
+            Completeness(column, w, analyzer_options), assertion, hint=hint))
 
     def are_complete(self, columns: Sequence[str], hint=None) -> "Check":
         for c in columns:
@@ -148,34 +150,39 @@ class Check:
 
     # -- uniqueness (Check.scala:289-485) ----------------------------------
 
-    def is_unique(self, column: str, hint=None) -> "Check":
+    def is_unique(self, column: str, hint=None,
+                  analyzer_options=None) -> "Check":
         return self._add(lambda w: AnalysisBasedConstraint(
-            Uniqueness((column,), w), IS_ONE, hint=hint))
+            Uniqueness((column,), w, analyzer_options), IS_ONE, hint=hint))
 
-    def are_unique(self, columns: Sequence[str], hint=None) -> "Check":
+    def are_unique(self, columns: Sequence[str], hint=None,
+                   analyzer_options=None) -> "Check":
         return self._add(lambda w: AnalysisBasedConstraint(
-            Uniqueness(tuple(columns), w), IS_ONE, hint=hint))
+            Uniqueness(tuple(columns), w, analyzer_options), IS_ONE, hint=hint))
 
-    def is_primary_key(self, column: str, *columns: str, hint=None) -> "Check":
+    def is_primary_key(self, column: str, *columns: str, hint=None,
+                       analyzer_options=None) -> "Check":
         cols = [column, *columns]
         for c in cols:
-            self.is_complete(c, hint)
-        return self.are_unique(cols, hint)
+            self.is_complete(c, hint, analyzer_options)
+        return self.are_unique(cols, hint, analyzer_options)
 
-    def has_uniqueness(self, columns, assertion, hint=None) -> "Check":
+    def has_uniqueness(self, columns, assertion, hint=None,
+                       analyzer_options=None) -> "Check":
         cols = (columns,) if isinstance(columns, str) else tuple(columns)
         return self._add(lambda w: AnalysisBasedConstraint(
-            Uniqueness(cols, w), assertion, hint=hint))
+            Uniqueness(cols, w, analyzer_options), assertion, hint=hint))
 
     def has_distinctness(self, columns, assertion, hint=None) -> "Check":
         cols = (columns,) if isinstance(columns, str) else tuple(columns)
         return self._add(lambda w: AnalysisBasedConstraint(
             Distinctness(cols, w), assertion, hint=hint))
 
-    def has_unique_value_ratio(self, columns, assertion, hint=None) -> "Check":
+    def has_unique_value_ratio(self, columns, assertion, hint=None,
+                               analyzer_options=None) -> "Check":
         cols = (columns,) if isinstance(columns, str) else tuple(columns)
         return self._add(lambda w: AnalysisBasedConstraint(
-            UniqueValueRatio(cols, w), assertion, hint=hint))
+            UniqueValueRatio(cols, w, analyzer_options), assertion, hint=hint))
 
     # -- counts (Check.scala:150-184,564,1015) -----------------------------
 
@@ -208,18 +215,22 @@ class Check:
 
     def has_histogram_binned_values(self, column: str, assertion,
                                     bin_count: Optional[int] = None,
-                                    custom_edges=None, hint=None) -> "Check":
+                                    custom_edges=None, hint=None,
+                                    include_overflow_bins=False) -> "Check":
         """Assertion over the binned Distribution (Check.scala:615-638)."""
         return self._add(lambda w: AnalysisBasedConstraint(
-            HistogramBinned(column, bin_count, custom_edges, w),
+            HistogramBinned(column, bin_count, custom_edges, w,
+                            include_overflow_bins),
             assertion, hint=hint))
 
     def has_histogram_binned_bins(self, column: str, assertion,
                                   bin_count: Optional[int] = None,
-                                  custom_edges=None, hint=None) -> "Check":
+                                  custom_edges=None, hint=None,
+                                  include_overflow_bins=False) -> "Check":
         """Assertion over the number of bins (Check.scala:639-662)."""
         return self._add(lambda w: AnalysisBasedConstraint(
-            HistogramBinned(column, bin_count, custom_edges, w),
+            HistogramBinned(column, bin_count, custom_edges, w,
+                            include_overflow_bins),
             lambda dist: assertion(dist.number_of_bins), hint=hint))
 
     def kll_sketch_satisfies(self, column: str, assertion,
@@ -263,21 +274,27 @@ class Check:
         return self._add(lambda w: AnalysisBasedConstraint(
             ExactQuantile(column, quantile, w), assertion, hint=hint))
 
-    def has_min_length(self, column: str, assertion, hint=None) -> "Check":
+    def has_min_length(self, column: str, assertion, hint=None,
+                       analyzer_options=None) -> "Check":
         return self._add(lambda w: AnalysisBasedConstraint(
-            MinLength(column, w), assertion, hint=hint))
+            MinLength(column, w, analyzer_options=analyzer_options),
+            assertion, hint=hint))
 
-    def has_max_length(self, column: str, assertion, hint=None) -> "Check":
+    def has_max_length(self, column: str, assertion, hint=None,
+                       analyzer_options=None) -> "Check":
         return self._add(lambda w: AnalysisBasedConstraint(
-            MaxLength(column, w), assertion, hint=hint))
+            MaxLength(column, w, analyzer_options=analyzer_options),
+            assertion, hint=hint))
 
-    def has_min(self, column: str, assertion, hint=None) -> "Check":
+    def has_min(self, column: str, assertion, hint=None,
+                analyzer_options=None) -> "Check":
         return self._add(lambda w: AnalysisBasedConstraint(
-            Minimum(column, w), assertion, hint=hint))
+            Minimum(column, w, analyzer_options), assertion, hint=hint))
 
-    def has_max(self, column: str, assertion, hint=None) -> "Check":
+    def has_max(self, column: str, assertion, hint=None,
+                analyzer_options=None) -> "Check":
         return self._add(lambda w: AnalysisBasedConstraint(
-            Maximum(column, w), assertion, hint=hint))
+            Maximum(column, w, analyzer_options), assertion, hint=hint))
 
     def has_range(self, column: str, assertion, hint=None) -> "Check":
         return self._add(lambda w: AnalysisBasedConstraint(
@@ -324,15 +341,18 @@ class Check:
     # -- predicates (Check.scala:1059-1454) --------------------------------
 
     def satisfies(self, column_condition: str, constraint_name: str,
-                  assertion=IS_ONE, hint=None, columns=()) -> "Check":
+                  assertion=IS_ONE, hint=None, columns=(),
+                  analyzer_options=None) -> "Check":
         return self._add(lambda w: AnalysisBasedConstraint(
-            Compliance(constraint_name, column_condition, w, tuple(columns)),
+            Compliance(constraint_name, column_condition, w, tuple(columns),
+                       analyzer_options),
             assertion, hint=hint))
 
     def has_pattern(self, column: str, pattern: str, assertion=IS_ONE,
-                    name=None, hint=None) -> "Check":
+                    name=None, hint=None, analyzer_options=None) -> "Check":
         return self._add(lambda w: AnalysisBasedConstraint(
-            PatternMatch(column, pattern, w), assertion, hint=hint,
+            PatternMatch(column, pattern, w, analyzer_options),
+            assertion, hint=hint,
             name=name or f"PatternMatchConstraint({column},{pattern})"))
 
     def contains_credit_card_number(self, column: str, assertion=IS_ONE,
@@ -397,7 +417,8 @@ class Check:
                               assertion, hint, columns=[column_a, column_b])
 
     def is_contained_in(self, column: str, allowed_values: Sequence[Any],
-                        assertion=IS_ONE, hint=None) -> "Check":
+                        assertion=IS_ONE, hint=None,
+                        analyzer_options=None) -> "Check":
         """Parity: Check.scala:1326-1454 (string/numeric variants)."""
         if not allowed_values:
             raise ValueError(
@@ -410,7 +431,23 @@ class Check:
             values = ", ".join(f"'{v}'" for v in escaped)
         pred = f"`{column}` IS NULL OR `{column}` IN ({values})"
         return self.satisfies(pred, f"{column} contained in {values}",
-                              assertion, hint, columns=[column])
+                              assertion, hint, columns=[column],
+                              analyzer_options=analyzer_options)
+
+    def is_contained_in_range(self, column: str, lower_bound: float,
+                              upper_bound: float,
+                              include_lower_bound: bool = True,
+                              include_upper_bound: bool = True,
+                              hint=None, analyzer_options=None) -> "Check":
+        """Numeric-interval variant; NULLs pass (completeness is a separate
+        concern). Parity: Check.scala:1430-1448 isContainedIn(lower,upper)."""
+        lo = ">=" if include_lower_bound else ">"
+        hi = "<=" if include_upper_bound else "<"
+        pred = (f"`{column}` IS NULL OR "
+                f"(`{column}` {lo} {lower_bound} AND `{column}` {hi} {upper_bound})")
+        return self.satisfies(
+            pred, f"{column} between {lower_bound} and {upper_bound}",
+            IS_ONE, hint, columns=[column], analyzer_options=analyzer_options)
 
     # -- misc (Check.scala:309,542) ----------------------------------------
 

@@ -77,6 +77,16 @@ class AnalysisBasedConstraint(Constraint):
             return ConstraintResult(self, ConstraintStatus.FAILURE,
                                     MISSING_ANALYSIS_MSG, None)
         if not metric.is_success:
+            # Empty state caused by the analyzer's own WHERE clause → no
+            # matching rows exist to violate the constraint → Success
+            # (parity: AnalysisBasedConstraint.scala:94-113
+            # isEmptyDueToFilter; same FilterableAnalyzer assumption — the
+            # analyzer's `where` field IS its filter condition).
+            from .analyzers.base import EmptyStateError
+            if (isinstance(metric.error, EmptyStateError)
+                    and getattr(self.analyzer, "where", None) is not None):
+                return ConstraintResult(self, ConstraintStatus.SUCCESS,
+                                        None, metric)
             return ConstraintResult(
                 self, ConstraintStatus.FAILURE,
                 f"metric computation failed: {metric.error}", metric)

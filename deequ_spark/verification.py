@@ -97,17 +97,18 @@ class VerificationResult:
             cond = None
             for constraint in check.constraints:
                 analyzer = getattr(constraint, "analyzer", None)
-                row_level = getattr(analyzer, "row_level_column", None)
+                row_level = getattr(analyzer, "row_level_results", None)
                 if row_level is None:
                     continue
-                col = row_level()
-                where = getattr(analyzer, "where", None)
-                if where is not None:
-                    # rows outside the filter scope pass, INCLUDING rows
-                    # where the predicate is NULL (FilteredRowOutcome.TRUE —
-                    # the aggregates skip those rows too)
-                    col = F.when(F.expr(where), col).otherwise(F.lit(True))
-                col = F.coalesce(col, F.lit(False))
+                # Each analyzer encodes its own (where × null-behavior ×
+                # filtered-row-outcome) truth table — three-valued: filtered
+                # rows are TRUE by default or NULL via
+                # AnalyzerOptions(filtered_row=NULL), in-scope NULLs follow
+                # NullBehavior (parity: VerificationResult.scala:128-147,
+                # Constraint.scala:1214-1288). Value-asserted analyzers
+                # (min/max/length) apply the constraint's assertion per row.
+                col = row_level(getattr(constraint, "assertion", None))
+                # three-valued AND, as the reference's metrics.reduce(_ and _)
                 cond = col if cond is None else (cond & col)
             if cond is not None:
                 # two checks sharing a description must not silently

@@ -136,5 +136,73 @@ class TestRowLevelUniqueness:
         result = VerificationSuite().on_data(df).add_check(check).run()
         annotated = result.row_level_results_as_dataframe(df)
         got = {r["id"]: r["uniq"] for r in annotated.collect()}
-        # duplicated 'a' rows and the null group fail; 'b' passes
-        assert got == {"1": False, "2": False, "3": True, "4": False}
+        # duplicated 'a' rows fail; 'b' passes; a LONE null group is unique
+        # (reference UniquenessTest "row-level results for uniqueness with
+        # null": uniqueWithNulls → all true — the window count partitions
+        # NULLs together rather than dropping them)
+        assert got == {"1": False, "2": False, "3": True, "4": True}
+
+    def test_row_level_uniqueness_two_nulls_fail(self, spark):
+        from deequ_spark import Check, CheckLevel, VerificationSuite
+        df = spark.createDataFrame(
+            [("1", "a"), ("2", None), ("3", None)], "id string, g string")
+        check = Check(CheckLevel.ERROR, "uniq").is_unique("g")
+        result = VerificationSuite().on_data(df).add_check(check).run()
+        got = {r["id"]: r["uniq"] for r in
+               result.row_level_results_as_dataframe(df).collect()}
+        assert got == {"1": True, "2": False, "3": False}
+
+
+class TestHistogramBinnedOverflow:
+    """include_overflow_bins parity (HistogramBinned.scala:62-268): ±Inf
+    under/overflow bins capture out-of-range values; the last interior
+    bin's upper edge becomes inclusive so the data max stays interior."""
+
+    def test_custom_edges_overflow(self, spark):
+        from deequ_spark import HistogramBinned, do_analysis_run
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (2.0,), (5.0,), (7.0,), (10.0,), (99.0,)],
+            "v double")
+        a = HistogramBinned("v", custom_edges=(0.0, 5.0, 10.0),
+                            include_overflow_bins=True)
+        dist = do_analysis_run(df, [a]).metric_map[a].value
+        counts = [dv.absolute for dv in dist.values.values()]
+        # [-inf,0): -5 | [0,5): 0,2 | [5,10]: 5,7,10 (max inclusive) | (10,inf]: 99
+        assert counts == [1, 2, 3, 1]
+        assert dist.number_of_bins == 4
+
+    def test_custom_edges_without_overflow_drops(self, spark):
+        from deequ_spark import HistogramBinned, do_analysis_run
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (2.0,), (5.0,), (7.0,), (10.0,), (99.0,)],
+            "v double")
+        a = HistogramBinned("v", custom_edges=(0.0, 5.0, 10.0))
+        dist = do_analysis_run(df, [a]).metric_map[a].value
+        counts = [dv.absolute for dv in dist.values.values()]
+        # out-of-range (-5, 99) silently excluded; last bin inclusive
+        assert counts == [2, 3]
+
+    def test_equal_width_overflow(self, spark):
+        from deequ_spark import HistogramBinned, do_analysis_run
+        df = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+        a = HistogramBinned("v", bin_count=4, include_overflow_bins=True)
+        dist = do_analysis_run(df, [a]).metric_map[a].value
+        counts = [dv.absolute for dv in dist.values.values()]
+        # interior = 2 bins over [0,9]: [0,4.5) → 5 values, [4.5,9] → 5;
+        # ±Inf bins empty but PRESENT
+        assert counts == [0, 5, 5, 0]
+        assert dist.number_of_bins == 4
+
+    def test_bin_count_minimum_with_overflow(self, spark):
+        from deequ_spark import HistogramBinned, do_analysis_run
+        df = spark.createDataFrame([(1.0,)], "v double")
+        a = HistogramBinned("v", bin_count=2, include_overflow_bins=True)
+        m = do_analysis_run(df, [a]).metric_map[a]
+        assert not m.is_success  # binCount >= 3 required (scala :104-107)
+
+    def test_unsorted_custom_edges_are_sorted(self, spark):
+        from deequ_spark import HistogramBinned, do_analysis_run
+        df = spark.createDataFrame([(1.0,), (6.0,)], "v double")
+        a = HistogramBinned("v", custom_edges=(10.0, 0.0, 5.0))
+        dist = do_analysis_run(df, [a]).metric_map[a].value
+        assert [dv.absolute for dv in dist.values.values()] == [1, 1]

@@ -13,7 +13,16 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+import os
+
+_args = sys.argv[1:]
+SF_DIR = "/root/testdata/sf0.01"
+ONLY = []
+for a in _args:
+    if os.path.isdir(a):
+        SF_DIR = a
+    else:
+        ONLY.append(a)  # restrict the run to these query names
 
 
 def main():
@@ -29,6 +38,11 @@ def main():
                     f"read_parquet('{SF_DIR}/{t}.parquet')")
 
     queries = entry_mod.queries()
+    if ONLY:
+        unknown = [n for n in ONLY if n not in queries]
+        if unknown:
+            sys.exit(f"unknown query names: {unknown}")
+        queries = {n: queries[n] for n in ONLY}
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in queries.items():
