@@ -1372,6 +1372,38 @@ def q_row_level_filtered(spark, sf_dir):
     return _metrics_df(spark, pairs)
 
 
+def q_pipeline(spark, sf_dir):
+    """End-to-end prepare_training_corpus oracle (llm/pipeline.py:32):
+    quality gate -> corpus boilerplate removal -> exact dedup -> chunking,
+    near-dedup disabled here because MinHash is not SQL-replayable (its
+    own oracles `minhash_lsh`/`near_dedup` cover it). Pins the composed
+    WIRING: per-stage survivor counts plus a final chunk-table contract
+    (docs, tokens, chars) that breaks on column renames or stage-order
+    regressions even when every stage passes alone."""
+    from deequ_spark.llm import prepare_training_corpus
+    df = _load(spark, sf_dir, "documents")
+    out, stats = prepare_training_corpus(
+        df, "doc_id", "text",
+        min_words=20, boilerplate_min_docs=2,
+        chunk_tokens=64, chunk_overlap=8,
+        near_dedup=False,
+        gopher_kwargs={"min_stopword_hits": 1})
+    agg = out.agg(
+        F.countDistinct("doc_id").alias("docs"),
+        F.sum("n_chunk_tokens").alias("toks"),
+        F.sum(F.length("chunk")).alias("chars")).collect()[0]
+    out.unpersist()
+    return _metrics_df(spark, [
+        ("st_input", stats["input"]),
+        ("st_quality", stats["quality"]),
+        ("st_boilerplate", stats["boilerplate"]),
+        ("st_exact", stats["exact_dedup"]),
+        ("st_chunks", stats["chunks"]),
+        ("n_docs_chunked", float(agg["docs"])),
+        ("sum_chunk_tokens", float(agg["toks"])),
+        ("sum_chunk_chars", float(agg["chars"]))])
+
+
 def q_profile(spark, sf_dir):
     """Column profiler (3-pass): deterministic fields of a numeric and a
     string column profile."""
@@ -1842,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming": q_streaming,
         "row_level": q_row_level,
         "row_level_filtered": q_row_level_filtered,
+        "pipeline": q_pipeline,
         "profile": q_profile,
         "dqdl": q_dqdl,
         "dqdl_extended": q_dqdl_extended,
@@ -2278,6 +2311,64 @@ def oracle_sql() -> dict[str, str]:
                                  AND l_discount >= 0.02 THEN 1 ELSE 0 END) AS DOUBLE) AS value
             FROM lineitem
             UNION ALL SELECT 'rows_total', CAST(COUNT(*) AS DOUBLE) FROM lineitem
+        """,
+        "pipeline": """
+            WITH f AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words,
+                     string_split_regex(lower(text), '\\s+') AS lwords,
+                     string_split(text, chr(10)) AS lines
+              FROM documents),
+            q AS (
+              SELECT doc_id, text FROM f WHERE
+                len(words) BETWEEN 20 AND 100000
+                AND (CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                     / greatest(len(words), 1)) BETWEEN 3.0 AND 10.0
+                AND (CAST(len(regexp_extract_all(text, '#'))
+                          + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)
+                     / greatest(len(words), 1)) <= 0.1
+                AND (CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+                     / greatest(len(lines), 1)) <= 0.9
+                AND (CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+                     / greatest(len(lines), 1)) <= 0.3
+                AND (CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                     / greatest(len(words), 1)) >= 0.8
+                AND len(list_filter(['the','be','to','of','and','that','have','with'],
+                                    s -> list_contains(lwords, s))) >= 1
+                AND (1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                     / greatest(len(lines), 1)) <= 0.3),
+            ql AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM q),
+            b AS (SELECT COALESCE(list(line), []) AS bl FROM
+                  (SELECT line FROM ql WHERE length(trim(line)) >= 4
+                   GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2) t),
+            cl AS (
+              SELECT doc_id,
+                     array_to_string(list_filter(string_split(q.text, chr(10)),
+                                                 ln -> NOT list_contains(b.bl, ln)),
+                                     chr(10)) AS text
+              FROM q CROSS JOIN b),
+            cne AS (SELECT * FROM cl WHERE length(text) > 0),
+            e AS (SELECT MIN(doc_id) AS doc_id FROM cne
+                  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+            d AS (SELECT cne.* FROM cne JOIN e USING (doc_id)),
+            toks AS (SELECT doc_id,
+                            list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
+                     FROM d),
+            sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+            wins AS (SELECT doc_id, t, n,
+                            unnest(range(0, greatest((n - 8 + 55) // 56, 1))) AS w
+                     FROM sized),
+            chunks AS (SELECT doc_id, least(n - w * 56, 64) AS ntok,
+                              length(array_to_string(t[w * 56 + 1 : w * 56 + 64], ' ')) AS nchars
+                       FROM wins)
+            SELECT 'st_input' AS metric, CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS value
+            UNION ALL SELECT 'st_quality', CAST((SELECT COUNT(*) FROM q) AS DOUBLE)
+            UNION ALL SELECT 'st_boilerplate', CAST((SELECT COUNT(*) FROM cne) AS DOUBLE)
+            UNION ALL SELECT 'st_exact', CAST((SELECT COUNT(*) FROM d) AS DOUBLE)
+            UNION ALL SELECT 'st_chunks', CAST((SELECT COUNT(*) FROM chunks) AS DOUBLE)
+            UNION ALL SELECT 'n_docs_chunked', CAST(COUNT(DISTINCT doc_id) AS DOUBLE) FROM chunks
+            UNION ALL SELECT 'sum_chunk_tokens', CAST(SUM(ntok) AS DOUBLE) FROM chunks
+            UNION ALL SELECT 'sum_chunk_chars', CAST(SUM(nchars) AS DOUBLE) FROM chunks
         """,
         "row_level_filtered": """
             WITH o AS (

@@ -40,7 +40,8 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                             exact_dedup: bool = True,
                             near_dedup: bool = True,
                             chunk: bool = True,
-                            collect_stats: bool = True
+                            collect_stats: bool = True,
+                            gopher_kwargs: Optional[dict] = None
                             ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full cleanup pipeline; returns (result, stage_stats).
 
@@ -66,7 +67,10 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     out = note("input", df.select(id_col, text_col))
 
     if quality_filter:
-        flagged = gopher_quality_flags(out, text_col, min_words=min_words)
+        # gopher_kwargs: extra thresholds forwarded to gopher_quality_flags
+        # (corpora differ — e.g. code corpora rarely hit 2 English stopwords)
+        flagged = gopher_quality_flags(out, text_col, min_words=min_words,
+                                       **(gopher_kwargs or {}))
         out = note("quality", flagged.where(F.col("gq_keep"))
                    .select(id_col, text_col))
 
