@@ -25,6 +25,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
+import pandas
+
 from pyspark.sql import Column, DataFrame, Row
 from pyspark.sql import functions as F
 
@@ -449,8 +451,7 @@ class Histogram(FrequencyBasedAnalyzer):
             data = data.filter(self.where)
         col = _col(self.column)
         if self.binning_udf is not None:
-            from pyspark.sql.functions import udf
-            col = udf(self.binning_udf)(col)
+            col = self._apply_binning(col)
         selected = col.cast("string")
         selected = F.coalesce(selected, F.lit(NULL_FIELD_REPLACEMENT))
         if self.sum_column is not None:
@@ -464,6 +465,37 @@ class Histogram(FrequencyBasedAnalyzer):
                     .agg(F.count(F.lit(1)).alias(COUNT_COL)))
             total = freq.agg(F.sum(COUNT_COL)).collect()[0][0] or 0
         return FrequenciesAndNumRows(freq, int(total))
+
+    def _apply_binning(self, col: Column) -> Column:
+        """Contract for ``binning_udf``, fastest first:
+
+        1. A callable that ACCEPTS AND RETURNS a ``pyspark.sql.Column``
+           (e.g. ``lambda c: F.when(c < 10, "small").otherwise("big")``) —
+           stays a pure JVM expression, zero Python in the scan. This is
+           the documented fast path; at 100× data a row-at-a-time hook
+           serializes the entire column through Python.
+        2. Any other callable — applied per value through an
+           Arrow-batched ``pandas_udf`` (``Series.map``), ~10-100× the
+           throughput of the reference's row-at-a-time UDF
+           (Histogram.scala:88 binningUdf, a plain Scala function).
+        """
+        try:
+            out = self.binning_udf(col)
+            if isinstance(out, Column):
+                return out
+        except Exception:  # noqa: BLE001 — scalar-only callable; fall back
+            pass
+        fn = self.binning_udf
+
+        @F.pandas_udf("string")
+        def _bin(s: pandas.Series) -> pandas.Series:
+            # NULL in → NULL out (numeric nulls arrive as NaN), matching a
+            # primitive-typed Scala UDF: the NullValue replacement happens
+            # downstream, not inside the binning hook
+            return s.map(lambda v: None if pandas.isna(v) else str(fn(v))
+                         ).astype(object)
+
+        return _bin(col)
 
     def compute_metric_from_state(self, state: Optional[FrequenciesAndNumRows]) -> Metric:
         if state is None:

@@ -376,18 +376,28 @@ def _hyperplane_matrix(dims: int, planes: int, seed: int):
 
 
 def _hyperplane_signature(vec: Column, W) -> Column:
-    """Integer bit-packed signature: bit p = [vec·W[p] ≥ 0]."""
-    sig = None
-    for p, row in enumerate(W):
-        dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(w)) for w in row]),
-                       lambda x, w: x.cast("double") * w),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long"))
-        term = F.shiftleft(bit, p)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return sig
+    """Integer bit-packed signature: bit p = [vec·W[p] ≥ 0].
+
+    ONE expression subtree regardless of plane count (r4 advice item): the
+    plane matrix is a single array-of-arrays literal, the per-plane dots a
+    ``transform`` over it, and the bit-packing a single fold carrying
+    (signature, power-of-two) — vs the previous per-plane
+    ``aggregate(zip_with(...))`` subtrees whose codegen size (and
+    re-materialization of the zipped array) grew linearly with ``planes``.
+    The planes·dims multiply-adds are inherent; the tree no longer is."""
+    wlit = F.array(*[F.array(*[F.lit(float(w)) for w in row]) for row in W])
+    dots = F.transform(wlit, lambda wrow: F.aggregate(
+        F.zip_with(vec, wrow, lambda x, w: x.cast("double") * w),
+        F.lit(0.0), lambda acc, x: acc + x))
+    init = F.struct(F.lit(0).cast("long").alias("sig"),
+                    F.lit(1).cast("long").alias("pw"))
+    return F.aggregate(
+        dots, init,
+        lambda acc, d: F.struct(
+            (acc["sig"] + F.when(d >= 0, acc["pw"])
+             .otherwise(F.lit(0).cast("long"))).alias("sig"),
+            (acc["pw"] * F.lit(2).cast("long")).alias("pw")),
+        lambda acc: acc["sig"])
 
 
 def hyperplane_lsh_topk(df: DataFrame, id_col: str, vec_col: str,

@@ -206,3 +206,45 @@ class TestHistogramBinnedOverflow:
         a = HistogramBinned("v", custom_edges=(10.0, 0.0, 5.0))
         dist = do_analysis_run(df, [a]).metric_map[a].value
         assert [dv.absolute for dv in dist.values.values()] == [1, 1]
+
+
+class TestHistogramBinningUdf:
+    """binning_udf contract (r4 advice): a Column-returning callable stays
+    a pure JVM expression; scalar callables route through an Arrow-batched
+    pandas_udf — never a row-at-a-time Python UDF."""
+
+    def test_column_expression_fast_path(self, spark):
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([(1,), (5,), (20,), (30,)], "v int")
+        a = Histogram("v", binning_udf=lambda c: F.when(c < 10, "small")
+                      .otherwise("big"))
+        dist = value(a, df)
+        assert dist["small"].absolute == 2 and dist["big"].absolute == 2
+
+    def test_column_fast_path_plan_has_no_python(self, spark):
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([(1,), (20,)], "v int")
+        a = Histogram("v", binning_udf=lambda c: F.when(c < 10, "small")
+                      .otherwise("big"))
+        state = a.compute_state_from(df)
+        plan = (state.frequencies._jdf.queryExecution().executedPlan()
+                .toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_scalar_callable_uses_arrow_not_row_udf(self, spark):
+        df = spark.createDataFrame([(1,), (5,), (20,), (30,)], "v int")
+        a = Histogram("v", binning_udf=lambda v: "small" if v < 10 else "big")
+        state = a.compute_state_from(df)
+        plan = (state.frequencies._jdf.queryExecution().executedPlan()
+                .toString())
+        assert "BatchEvalPython" not in plan     # no pickled row-at-a-time
+        dist = a.compute_metric_from_state(state).value
+        assert dist["small"].absolute == 2 and dist["big"].absolute == 2
+
+    def test_scalar_callable_null_passthrough(self, spark):
+        df = spark.createDataFrame([(1,), (None,)], "v int")
+        a = Histogram("v", binning_udf=lambda v: "x")
+        dist = value(a, df)
+        assert dist["x"].absolute == 1
+        assert dist["NullValue"].absolute == 1
