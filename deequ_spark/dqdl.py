@@ -98,7 +98,12 @@ class Condition:
     unit: Optional[str] = None         # days/hours/minutes (DataFreshness)
 
     def assertion(self) -> Callable[[float], bool]:
-        """Metric-level assertion for aggregate rules."""
+        """Metric-level assertion for aggregate rules.
+
+        ``between`` is EXCLUSIVE on both ends — Glue DQDL semantics pinned
+        by the reference's own spec corpus (EvaluateDataQualitySpec.scala:
+        "ColumnCount between 4 and 5" is Failed at count 4, "between 3.9
+        and 6" Passed); ``not between`` is its complement."""
         if self.kind == "cmp":
             v = float(self.value)
             return {
@@ -108,7 +113,9 @@ class Condition:
             }[self.op]
         if self.kind == "between":
             lo, hi = self.low, self.high
-            return lambda x: lo <= x <= hi
+            if self.negated:
+                return lambda x: not (lo < x < hi)
+            return lambda x: lo < x < hi
         if self.kind == "in":
             vals = {float(v) for v in self.values}
             if self.negated:
@@ -125,19 +132,42 @@ class Condition:
                 return "'" + v.replace("'", "''") + "'"
             return f"{v:g}" if isinstance(v, float) else repr(v)
         if self.kind == "cmp":
-            op = "<>" if self.op == "!=" else self.op
-            return f"{expr} {op} {lit(self.value)}"
+            if self.value is None:
+                # "= NULL" / "!= NULL" (NullNumericOperand,
+                # ColumnValuesRuleSpec.scala:320-340)
+                return (f"{expr} IS NULL" if self.op == "="
+                        else f"{expr} IS NOT NULL")
+            if self.op == "!=":
+                # NULLs PASS a not-equals rule (ColumnValuesRuleSpec.scala:
+                # 284-298 "status IS NULL OR status != 0.0")
+                return f"({expr} IS NULL OR {expr} <> {lit(self.value)})"
+            return f"{expr} {self.op} {lit(self.value)}"
         if self.kind == "between":
-            return f"{expr} BETWEEN {self.low} AND {self.high}"
+            if self.negated:
+                # NULLs FAIL not-between (ColumnValuesRuleSpec.scala:300-318
+                # "value IS NOT NULL AND (value <= 10.0 OR value >= 20.0)")
+                return (f"({expr} IS NOT NULL AND ({expr} <= {self.low}"
+                        f" OR {expr} >= {self.high}))")
+            # EXCLUSIVE bounds (ColumnValuesRuleSpec.scala:88-99 "BETWEEN
+            # numeric rule with exclusive bounds"); NULL comparisons are
+            # NULL → the row fails, matching the reference's paired
+            # isComplete constraint
+            return f"({expr} > {self.low} AND {expr} < {self.high})"
         if self.kind == "in":
             non_null = [v for v in self.values if v is not None]
             has_null = len(non_null) < len(self.values)
             items = ", ".join(lit(v) for v in non_null)
+            if self.negated:
+                # NULLs PASS not-in (ColumnValuesRuleSpec.scala:116-126
+                # "error_code IS NULL OR error_code NOT IN (500.0, 503.0)")
+                # — unless NULL is itself listed, in which case NULL fails
+                base = f"{expr} NOT IN ({items})" if non_null else "TRUE"
+                if has_null:
+                    return f"({expr} IS NOT NULL AND {base})"
+                return f"({expr} IS NULL OR {base})"
             base = f"{expr} IN ({items})" if non_null else "FALSE"
             if has_null:
                 base = f"({base} OR {expr} IS NULL)"
-            if self.negated:
-                return f"NOT {base}" if has_null else f"NOT ({base})"
             return base
         if self.kind == "matches":
             pattern = str(self.value).replace("'", "''")
@@ -154,7 +184,8 @@ class Condition:
         if self.kind == "cmp":
             return f"{self.op} {fmt(self.value)}"
         if self.kind == "between":
-            return f"between {fmt(self.low)} and {fmt(self.high)}"
+            neg = "not " if self.negated else ""
+            return f"{neg}between {fmt(self.low)} and {fmt(self.high)}"
         if self.kind == "in":
             body = "[" + ", ".join(fmt(v) for v in self.values) + "]"
             return ("not in " if self.negated else "in ") + body
@@ -312,6 +343,13 @@ class _Parser:
             return Condition("in", values=self._bracket_list())
         if kind == "word" and val.lower() == "not":
             self.next()
+            nxt2 = self.peek()
+            if nxt2 and nxt2[0] == "word" and nxt2[1].lower() == "between":
+                self.next()
+                lo = self._number()
+                self.expect("and")
+                return Condition("between", low=lo, high=self._number(),
+                                 negated=True)
             self.expect("in")
             return Condition("in", values=self._bracket_list(), negated=True)
         if kind == "word" and val.lower() == "matches":

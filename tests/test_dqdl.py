@@ -342,3 +342,136 @@ class TestCustomSqlRowLevel:
         out = EvaluateDataQuality.process(
             df_full, 'Rules = [CustomSql "select count(*) from primary" = 4]')
         assert out.collect()[0]["Outcome"] == "Passed"
+
+
+class TestReferenceDQDLParity:
+    """Outcome parity against the reference's own DQDL spec corpus —
+    rule strings and expected outcomes transcribed from
+    /root/reference/src/test/scala/com/amazon/deequ/dqdl/
+    EvaluateDataQualitySpec.scala (ColumnCount operator table :80-150) and
+    translation/rules/ColumnValuesRuleSpec.scala (NULL/bound semantics:
+    BETWEEN exclusive :88, IN null-fails :102, NOT IN null-passes :116,
+    != null-passes :284, NOT BETWEEN null-fails :300, = NULL :320)."""
+
+    # EvaluateDataQualitySpec.scala:80-150 — 4-column DataFrame
+    COLUMN_COUNT_CASES = {
+        "ColumnCount = 4": True, "ColumnCount = 3": False,
+        "ColumnCount = 5": False, "ColumnCount = 4.0": True,
+        "ColumnCount = 4.9": False,
+        "ColumnCount != 4": False, "ColumnCount != 3": True,
+        "ColumnCount != 5": True,
+        "ColumnCount > 3": True, "ColumnCount > 4": False,
+        "ColumnCount > 5": False, "ColumnCount > 3.9": True,
+        "ColumnCount > 3.01": True, "ColumnCount > 10": False,
+        "ColumnCount > 10.0": False,
+        "ColumnCount >= 4": True, "ColumnCount >= 3": True,
+        "ColumnCount >= 5": False, "ColumnCount >= 5.554": False,
+        "ColumnCount < 5": True, "ColumnCount < 4": False,
+        "ColumnCount < 3": False, "ColumnCount < 4.1": True,
+        "ColumnCount <= 4": True, "ColumnCount <= 5": True,
+        "ColumnCount <= 3": False, "ColumnCount <= 5.2": True,
+        # between is EXCLUSIVE on both ends
+        "ColumnCount between 2 and 5": True,
+        "ColumnCount between 4 and 5": False,
+        "ColumnCount between 3 and 4": False,
+        "ColumnCount between 5 and 6": False,
+        "ColumnCount between 1 and 3": False,
+        "ColumnCount between 3.9 and 6": True,
+        "ColumnCount between 2 and 5.4454": True,
+        "ColumnCount between 3.5 and 4.5": True,
+        "ColumnCount not between 5 and 6": True,
+        "ColumnCount not between 4 and 5": True,
+        "ColumnCount not between 3 and 5": False,
+        "ColumnCount not between 1 and 10": False,
+        "ColumnCount not in [1,4]": False,
+        "ColumnCount not in [10,40]": True,
+        "ColumnCount not in [1,2,3]": True,
+        "ColumnCount not in [4]": False,
+        "ColumnCount not in [1,2,3,5,6]": True,
+    }
+
+    def test_column_count_operator_table(self, spark):
+        df = spark.createDataFrame(
+            [("JFK14", 15, "New York", "NY"), ("SEA53", 20, "Seattle", "WA")],
+            "building string, floors int, city string, state string")
+        for rule, expect_pass in self.COLUMN_COUNT_CASES.items():
+            out = EvaluateDataQuality.process(df, f"Rules=[{rule}]")
+            oc = _outcomes(out)
+            got = list(oc.values())[0]
+            assert got == ("Passed" if expect_pass else "Failed"), \
+                f"{rule}: got {got}"
+
+    def test_between_exclusive_bounds_row_level(self, spark):
+        # boundary values 18 and 65 FAIL an exclusive between
+        df = spark.createDataFrame([(18,), (30,), (65,)], "age int")
+        out = EvaluateDataQuality.process(
+            df, 'Rules=[ColumnValues "age" between 18 and 65]')
+        assert list(_outcomes(out).values()) == ["Failed"]
+        interior = spark.createDataFrame([(19,), (30,), (64,)], "age int")
+        out2 = EvaluateDataQuality.process(
+            interior, 'Rules=[ColumnValues "age" between 18 and 65]')
+        assert list(_outcomes(out2).values()) == ["Passed"]
+
+    def test_between_null_fails(self, spark):
+        df = spark.createDataFrame([(30,), (None,)], "age int")
+        out = EvaluateDataQuality.process(
+            df, 'Rules=[ColumnValues "age" between 18 and 65]')
+        assert list(_outcomes(out).values()) == ["Failed"]
+
+    def test_in_nulls_fail(self, spark):
+        df = spark.createDataFrame([(1,), (None,)], "status_code int")
+        out = EvaluateDataQuality.process(
+            df, 'Rules=[ColumnValues "status_code" in [1, 2, 3]]')
+        assert list(_outcomes(out).values()) == ["Failed"]
+
+    def test_not_in_nulls_pass(self, spark):
+        df = spark.createDataFrame([(None,), (200,)], "error_code int")
+        out = EvaluateDataQuality.process(
+            df, 'Rules=[ColumnValues "error_code" not in [500, 503]]')
+        assert list(_outcomes(out).values()) == ["Passed"]
+
+    def test_not_equals_nulls_pass(self, spark):
+        df = spark.createDataFrame([(None,), (1,)], "status int")
+        out = EvaluateDataQuality.process(
+            df, 'Rules=[ColumnValues "status" != 0]')
+        assert list(_outcomes(out).values()) == ["Passed"]
+
+    def test_not_between_nulls_fail(self, spark):
+        df = spark.createDataFrame([(5,), (25,)], "value int")
+        out = EvaluateDataQuality.process(
+            df, 'Rules=[ColumnValues "value" not between 10 and 20]')
+        assert list(_outcomes(out).values()) == ["Passed"]
+        # boundary values pass not-between (complement of exclusive)
+        df2 = spark.createDataFrame([(10,), (20,)], "value int")
+        out2 = EvaluateDataQuality.process(
+            df2, 'Rules=[ColumnValues "value" not between 10 and 20]')
+        assert list(_outcomes(out2).values()) == ["Passed"]
+        df3 = spark.createDataFrame([(5,), (None,)], "value int")
+        out3 = EvaluateDataQuality.process(
+            df3, 'Rules=[ColumnValues "value" not between 10 and 20]')
+        assert list(_outcomes(out3).values()) == ["Failed"]
+
+    def test_equals_null(self, spark):
+        df = spark.createDataFrame(
+            [(None,), (None,)], "optional_field int")
+        out = EvaluateDataQuality.process(
+            df, 'Rules=[ColumnValues "optional_field" = NULL]')
+        assert list(_outcomes(out).values()) == ["Passed"]
+        df2 = spark.createDataFrame([(None,), (1,)], "optional_field int")
+        out2 = EvaluateDataQuality.process(
+            df2, 'Rules=[ColumnValues "optional_field" = NULL]')
+        assert list(_outcomes(out2).values()) == ["Failed"]
+
+    def test_row_count_and_failure_fields(self, spark):
+        """EvaluateDataQualitySpec.scala:48-60, 410-430."""
+        df = spark.createDataFrame(
+            [("1", "a", "c"), ("2", "b", "c"), ("3", "a", "c"),
+             ("4", "b", "d")], "item string, att1 string, att2 string")
+        out = EvaluateDataQuality.process(df, "Rules=[RowCount < 10]")
+        row = out.collect()[0]
+        assert row["Outcome"] == "Passed"
+        assert row["FailureReason"] is None
+        out2 = EvaluateDataQuality.process(df, "Rules=[ColumnCount = 10]")
+        row2 = out2.collect()[0]
+        assert row2["Outcome"] == "Failed"
+        assert row2["FailureReason"]
