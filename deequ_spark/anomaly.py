@@ -48,6 +48,12 @@ class SimpleThresholdStrategy(AnomalyDetectionStrategy):
     lower_bound: float = -math.inf
     upper_bound: float = math.inf
 
+    def __post_init__(self):
+        # parity: SimpleThresholdStrategy.scala require(lower <= upper)
+        if self.lower_bound > self.upper_bound:
+            raise ValueError("The lower bound must be smaller or equal to "
+                             "the upper bound.")
+
     def detect(self, values, search_interval=None):
         lo, hi = self._bounds(values, search_interval)
         return [Anomaly(i, v, f"outside [{self.lower_bound}, {self.upper_bound}]")
@@ -92,15 +98,17 @@ class AbsoluteChangeStrategy(BaseChangeStrategy):
 
 
 class RelativeRateOfChangeStrategy(BaseChangeStrategy):
-    """Parity: RelativeRateOfChangeStrategy.scala — ratio v[i]/v[i-order]."""
+    """Parity: RelativeRateOfChangeStrategy.scala — the DIRECT ratio
+    v[i]/v[i-order], NOT an iterated ratio-of-ratios (the reference's own
+    diff fixtures pin this: diff([1,2,4,1,2,8], 2) = [4, 0.5, 0.5, 8] =
+    v[i]/v[i-2]; RelativeRateOfChangeStrategyTest.scala:80-100). Division
+    follows IEEE: x/0 = ±Inf, 0/0 = NaN — NaN fails both bounds, so a
+    0-to-0 step reads as an anomaly, same as the reference's Scala
+    doubles."""
 
     def _transform(self, arr):
-        out = arr.copy()
-        for _ in range(self.order):
-            prev = out[:-1]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                out = np.where(prev != 0, out[1:] / prev, np.inf)
-        return out
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return arr[self.order:] / arr[:-self.order]
 
 
 # deprecated backwards-compat alias: the reference's old RateOfChangeStrategy
@@ -139,36 +147,66 @@ class BatchNormalStrategy(AnomalyDetectionStrategy):
 @dataclass
 class OnlineNormalStrategy(AnomalyDetectionStrategy):
     """Incremental mean/stddev that can exclude detected anomalies
-    (parity: OnlineNormalStrategy.scala:39-120)."""
+    (parity: OnlineNormalStrategy.scala:39-140, verified against the
+    reference's own Gaussian fixtures in tests/test_anomaly_parity.py).
+
+    Reference-exact details: the running stats are updated with the
+    current value BEFORE the bound check (so a point is compared against
+    statistics that include it); the first ``len·ignore_start_percentage``
+    indices and points outside the search interval are never anomalies
+    and always enter the stats; a missing deviation factor behaves as
+    Double.MaxValue (bound collapses to the mean when stddev is 0)."""
     lower_deviation_factor: Optional[float] = 3.0
     upper_deviation_factor: Optional[float] = 3.0
     ignore_start_percentage: float = 0.1
     ignore_anomalies: bool = True
 
-    def detect(self, values, search_interval=None):
+    def __post_init__(self):
+        if self.lower_deviation_factor is None \
+                and self.upper_deviation_factor is None:
+            raise ValueError("At least one factor has to be specified.")
+        if (self.lower_deviation_factor or 0) < 0 \
+                or (self.upper_deviation_factor or 0) < 0:
+            raise ValueError("Factors cannot be smaller than zero.")
+        if not 0 <= self.ignore_start_percentage <= 1:
+            raise ValueError("Percentage of start values to ignore must "
+                             "be in interval [0, 1].")
+
+    def compute_stats_and_anomalies(self, values, search_interval=None):
+        """(mean, stddev, is_anomaly) per index —
+        OnlineNormalStrategy.scala:66-118 computeStatsAndAnomalies."""
         arr = np.asarray(values, dtype=float)
         lo, hi = self._bounds(values, search_interval)
-        n_ignore = int(math.ceil(len(arr) * self.ignore_start_percentage))
-        mean, m2, count = 0.0, 0.0, 0
+        max_f = 1.7976931348623157e308           # Double.MaxValue getOrElse
+        lo_f = (self.lower_deviation_factor
+                if self.lower_deviation_factor is not None else max_f)
+        up_f = (self.upper_deviation_factor
+                if self.upper_deviation_factor is not None else max_f)
+        skip = len(arr) * self.ignore_start_percentage
+        mean = var = sn = 0.0
         out = []
         for i, v in enumerate(arr):
-            is_anomaly = False
-            if count >= max(n_ignore, 1):
-                std = math.sqrt(m2 / count) if count > 0 else 0.0
-                lower = (mean - self.lower_deviation_factor * std
-                         if self.lower_deviation_factor is not None else -math.inf)
-                upper = (mean + self.upper_deviation_factor * std
-                         if self.upper_deviation_factor is not None else math.inf)
-                is_anomaly = not (lower <= v <= upper)
-                if is_anomaly and lo <= i < hi:
-                    out.append(Anomaly(i, float(v),
-                                       f"outside [{lower}, {upper}]"))
-            if not (is_anomaly and self.ignore_anomalies):
-                count += 1
-                delta = v - mean
-                mean += delta / count
-                m2 += delta * (v - mean)
+            last_mean, last_var, last_sn = mean, var, sn
+            mean = v if i == 0 else last_mean + (v - last_mean) / (i + 1)
+            sn += (v - last_mean) * (v - mean)
+            var = sn / (i + 1)
+            std = math.sqrt(var)
+            upper = mean + up_f * std
+            lower = mean - lo_f * std
+            if i < skip or i < lo or i >= hi or lower <= v <= upper:
+                out.append((mean, std, False))
+            else:
+                if self.ignore_anomalies:
+                    mean, var, sn = last_mean, last_var, last_sn
+                out.append((mean, std, True))
         return out
+
+    def detect(self, values, search_interval=None):
+        lo, hi = self._bounds(values, search_interval)
+        stats = self.compute_stats_and_anomalies(values, search_interval)
+        return [Anomaly(i, float(values[i]),
+                        f"mean {stats[i][0]}, stddev {stats[i][1]}")
+                for i in range(lo, hi) if stats[i][2]]
 
 
 class HoltWinters(AnomalyDetectionStrategy):

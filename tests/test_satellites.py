@@ -141,7 +141,10 @@ class TestAnomalyStrategies:
 
     def test_online_normal(self):
         values = [1.0, 1.1, 0.9, 1.0, 1.05, 0.95, 1.0, 1.0, 12.0]
-        s = OnlineNormalStrategy()
+        # reference semantics (OnlineNormalStrategy.scala:66-118): the
+        # running stats INCLUDE the tested value, so a lone spike inflates
+        # its own sigma — the reference's own fixtures use 1.5sigma factors
+        s = OnlineNormalStrategy(1.5, 1.5)
         found = s.detect(values)
         assert 8 in [a.index for a in found]
 
