@@ -210,55 +210,85 @@ class OnlineNormalStrategy(AnomalyDetectionStrategy):
 
 
 class HoltWinters(AnomalyDetectionStrategy):
-    """Additive triple exponential smoothing; anomalies = points whose
-    one-step-ahead forecast residual exceeds k·residual-sigma
-    (parity: seasonal/HoltWinters.scala, BOBYQA replaced by grid search)."""
+    """Additive triple exponential smoothing (ETS(A,A)) with the
+    reference's train/forecast split: fit on the data BEFORE the search
+    interval, forecast into it, and flag points whose absolute forecast
+    error exceeds 1.96 × the sample stddev of the |training residuals|
+    (parity: seasonal/HoltWinters.scala:90-250, outcome-verified against
+    HoltWintersTest.scala fixtures in tests/test_anomaly_parity.py).
+    The reference's breeze LBFGSB parameter search is replaced by a grid
+    over (alpha, beta, gamma) minimizing the same training RSS — the
+    container has no scipy, and the fixtures are threshold-robust."""
 
-    def __init__(self, period: int = 7, deviation_factor: float = 3.0):
+    def __init__(self, period: int = 7):
         self.period = period
-        self.deviation_factor = deviation_factor
 
-    def _fit(self, arr: np.ndarray, alpha: float, beta: float, gamma: float):
+    def _additive_holt_winters(self, series, n_forecast, a, b, g):
+        """HoltWinters.scala:90-140 additiveHoltWinters: returns
+        (forecasts, training residuals)."""
         m = self.period
-        level = float(np.mean(arr[:m]))
-        trend = float((np.mean(arr[m:2 * m]) - np.mean(arr[:m])) / m) \
-            if len(arr) >= 2 * m else 0.0
-        season = list(arr[:m] - level)
-        fitted = []
-        for i, v in enumerate(arr):
-            s = season[i % m]
-            forecast = level + trend + s
-            fitted.append(forecast)
-            last_level = level
-            level = alpha * (v - s) + (1 - alpha) * (level + trend)
-            trend = beta * (level - last_level) + (1 - beta) * trend
-            season[i % m] = gamma * (v - level) + (1 - gamma) * s
-        return np.asarray(fitted)
+        level = [float(sum(series[:m])) / m]
+        trend = [(float(sum(series[m:2 * m])) - float(sum(series[:m])))
+                 / (m * m)]
+        season = [float(v) - level[0] for v in series[:m]]
+        y = [level[0] + trend[0] + season[0]]
+        full = list(series)
+        n = len(series)
+        for t in range(n + n_forecast):
+            if t >= n:
+                full.append(level[-1] + trend[-1] + season[len(season) - m])
+            level.append(a * (full[t] - season[t])
+                         + (1 - a) * (level[t] + trend[t]))
+            trend.append(b * (level[t + 1] - level[t]) + (1 - b) * trend[t])
+            season.append(g * (full[t] - level[t] - trend[t])
+                          + (1 - g) * season[t])
+            y.append(level[t + 1] + trend[t + 1] + season[t + 1])
+        residuals = [sv - fv for fv, sv in zip(y, series)]
+        return full[n:], residuals
 
     def detect(self, values, search_interval=None):
+        # requirement parity: seasonal/HoltWinters.scala:204-217 requires
+        # (messages pinned by HoltWintersTest.scala:33-68)
         arr = np.asarray(values, dtype=float)
-        if len(arr) < 2 * self.period:
+        if search_interval is None:
+            # reference default (0, IntMax) can never satisfy
+            # start >= 2·period; our no-interval convenience trains on the
+            # first two cycles and tests everything after
+            search_interval = (2 * self.period, 2 ** 31 - 1)
+        start, end = search_interval
+        if start >= end:
+            raise ValueError("Start must be before end")
+        if start < 0 or end < 0:
             raise ValueError(
-                f"HoltWinters needs >= {2 * self.period} points "
-                f"(two full periods), got {len(arr)}")
-        best, best_sse = None, math.inf
-        grid = [0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9]
+                "The search interval needs to be strictly positive")
+        if len(arr) == 0:
+            raise ValueError("Provided data series is empty")
+        if start < 2 * self.period:
+            raise ValueError(
+                "Need at least two full cycles of data to estimate model")
+
+        n_forecast = (1 if start >= len(arr)
+                      else min(end, len(arr)) - start)
+        training = arr[:start]
+        grid = [0.0, 0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9, 1.0]
+        best, best_rss = None, math.inf
         for a in grid:
             for b in grid:
                 for g in grid:
-                    fitted = self._fit(arr, a, b, g)
-                    sse = float(np.sum((arr - fitted) ** 2))
-                    if sse < best_sse:
-                        best_sse, best = sse, (a, b, g)
-        fitted = self._fit(arr, *best)
-        residuals = arr - fitted
-        sigma = float(np.std(residuals)) or 1e-12
-        lo, hi = self._bounds(values, search_interval)
-        return [Anomaly(i, float(arr[i]),
-                        f"residual {residuals[i]:.4g} beyond "
-                        f"{self.deviation_factor}σ={self.deviation_factor * sigma:.4g}")
-                for i in range(lo, hi)
-                if abs(residuals[i]) > self.deviation_factor * sigma]
+                    _, resid = self._additive_holt_winters(
+                        training, n_forecast, a, b, g)
+                    rss = float(sum(r * r for r in resid))
+                    if rss < best_rss:
+                        best_rss, best = rss, (a, b, g)
+        forecasts, residuals = self._additive_holt_winters(
+            training, n_forecast, *best)
+        abs_resid = np.abs(residuals)
+        sd = float(np.std(abs_resid, ddof=1)) if len(abs_resid) > 1 else 0.0
+        test = arr[start:]
+        return [Anomaly(start + i, float(v),
+                        f"Forecasted {f} for observed value {v}")
+                for i, (v, f) in enumerate(zip(test, forecasts))
+                if abs(v - f) > 1.96 * sd]
 
 
 # --- wiring into VerificationSuite -----------------------------------------

@@ -247,3 +247,74 @@ class TestOnlineNormalParity:
             OnlineNormalStrategy(-1.0, 1.0)
         with pytest.raises(ValueError):
             OnlineNormalStrategy(1.0, 1.0, ignore_start_percentage=1.5)
+
+
+class TestHoltWintersParity:
+    """seasonal/HoltWintersTest.scala:25-140 — weekly seasonality
+    (period 7), deviation-based anomaly on the search interval. The
+    Gaussian base series uses scala.util.Random(42), which delegates to
+    java.util.Random — replicated bit-exactly by JavaRandom."""
+
+    @pytest.fixture(scope="class")
+    def two_weeks(self):
+        r = JavaRandom(42)
+        base = [1, 1, 1.2, 1.3, 1.5, 2.1, 1.9] * 2
+        return [b + r.next_gaussian() for b in base]
+
+    def _hw(self):
+        from deequ_spark.anomaly import HoltWinters
+        return HoltWinters(period=7)
+
+    def test_start_after_end_raises(self, two_weeks):
+        with pytest.raises(ValueError, match="Start must be before end"):
+            self._hw().detect(two_weeks, (1, 1))
+
+    def test_empty_series_raises(self):
+        with pytest.raises(ValueError, match="empty"):
+            self._hw().detect([], (0, 2 ** 31 - 1))
+
+    def test_negative_interval_raises(self, two_weeks):
+        with pytest.raises(ValueError, match="strictly positive"):
+            self._hw().detect(two_weeks, (-2, -1))
+
+    def test_too_few_data_raises(self):
+        with pytest.raises(ValueError, match="two full cycles"):
+            self._hw().detect([1.0, 2.0, 3.0], (0, 2 ** 31 - 1))
+
+    def test_interval_beyond_series_empty(self, two_weeks):
+        assert self._hw().detect(two_weeks, (100, 110)) == []
+
+    def test_no_anomaly_for_normal_errors(self, two_weeks):
+        series = two_weeks + [two_weeks[0]]
+        assert self._hw().detect(series, (14, 15)) == []
+
+    def test_predict_an_anomaly(self, two_weeks):
+        series = two_weeks + [0.0]
+        found = self._hw().detect(series, (14, 2 ** 31 - 1))
+        assert _indices(found) == [14]
+
+    def test_no_anomalies_on_longer_series(self, two_weeks):
+        series = two_weeks + two_weeks
+        assert self._hw().detect(series, (26, 2 ** 31 - 1)) == []
+
+    def test_constant_series_no_anomalies(self):
+        series = [1.0] * 21
+        assert self._hw().detect(series, (14, 2 ** 31 - 1)) == []
+
+    def test_constant_with_single_error(self):
+        series = [1.0] * 20 + [0.0]
+        found = self._hw().detect(series, (14, 2 ** 31 - 1))
+        assert _indices(found) == [20]
+
+    def test_exact_linear_trend_no_anomalies(self):
+        series = [float(t) for t in range(48)]
+        assert self._hw().detect(series, (36, 2 ** 31 - 1)) == []
+
+    def test_linear_plus_seasonal_no_anomalies(self):
+        series = [math.sin(2 * math.pi / 7 * t) + t for t in range(48)]
+        assert self._hw().detect(series, (36, 2 ** 31 - 1)) == []
+
+    def test_wrong_training_data(self):
+        series = [0.0, 1, 1, 1, 1, 1, 1] * 2 + [1.0] * 7
+        found = self._hw().detect(series, (14, 21))
+        assert _indices(found) == [14]
