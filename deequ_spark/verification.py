@@ -91,23 +91,47 @@ class VerificationResult:
         Scale note: a pure projection — no aggregation, no shuffle; Catalyst
         fuses it into the scan.
         """
+        from .analyzers.base import EmptyStateError
+        from .analyzers.grouping import FrequencyBasedAnalyzer
+
         out = data
         used_names = set(data.columns)
-        for check, _result in self.check_results.items():
+        for check, result in self.check_results.items():
             cond = None
-            for constraint in check.constraints:
+            for cr in result.constraint_results:
+                constraint = cr.constraint
                 analyzer = getattr(constraint, "analyzer", None)
                 row_level = getattr(analyzer, "row_level_results", None)
                 if row_level is None:
                     continue
-                # Each analyzer encodes its own (where × null-behavior ×
-                # filtered-row-outcome) truth table — three-valued: filtered
-                # rows are TRUE by default or NULL via
-                # AnalyzerOptions(filtered_row=NULL), in-scope NULLs follow
-                # NullBehavior (parity: VerificationResult.scala:128-147,
-                # Constraint.scala:1214-1288). Value-asserted analyzers
-                # (min/max/length) apply the constraint's assertion per row.
-                col = row_level(getattr(constraint, "assertion", None))
+                # A metric that failed for any reason other than
+                # where-filtered-everything (e.g. a precondition like
+                # isNumeric/isString) contributes lit(false) — grouped
+                # (uniqueness) constraints contribute nothing (parity:
+                # VerificationResult.scala:145-155 constraintResultToColumn
+                # orElse(lit(false)) / None for RowLevelGroupedConstraint).
+                # This also keeps one bad column from poisoning the whole
+                # projection with an AnalysisException.
+                metric = cr.metric
+                usable = metric is not None and (
+                    metric.is_success
+                    or (isinstance(metric.error, EmptyStateError)
+                        and getattr(analyzer, "where", None) is not None))
+                if not usable:
+                    if isinstance(analyzer, FrequencyBasedAnalyzer):
+                        continue
+                    col = F.lit(False)
+                else:
+                    # Each analyzer encodes its own (where × null-behavior ×
+                    # filtered-row-outcome) truth table — three-valued:
+                    # filtered rows are TRUE by default or NULL via
+                    # AnalyzerOptions(filtered_row=NULL), in-scope NULLs
+                    # follow NullBehavior (parity:
+                    # VerificationResult.scala:128-147,
+                    # Constraint.scala:1214-1288). Value-asserted analyzers
+                    # (min/max/length) apply the constraint's assertion
+                    # per row.
+                    col = row_level(getattr(constraint, "assertion", None))
                 # three-valued AND, as the reference's metrics.reduce(_ and _)
                 cond = col if cond is None else (cond & col)
             if cond is not None:

@@ -592,3 +592,291 @@ class TestLengthFailSentinelMetrics:
         ctx = do_analysis_run(df, [mn, mx])
         assert ctx.metric_map[mn].value == 0.0
         assert ctx.metric_map[mx].value == 3.0
+
+
+@pytest.fixture(scope="module")
+def df_where_clause(spark):
+    """getDfForWhereClause (FixtureSupport.scala:438-447)."""
+    return spark.createDataFrame(
+        [(1, "Acme", "90210", "CA", "Los Angeles"),
+         (2, "Acme", "90211", "CA", "Los Angeles"),
+         (3, "Robocorp", None, "NJ", None),
+         (4, "Robocorp", None, "NY", "New York")],
+        "ID int, Company string, ZipCode string, State string, City string")
+
+
+class TestEqualityMinMaxFilteredRows:
+    """VerificationSuiteTest.scala:1673-1795 "== based Min/Max checks and
+    filtered row behavior" on getDfWithNumericValues."""
+
+    def _checks(self, opts):
+        return [
+            Check(CheckLevel.ERROR, "equality-check-1")
+            .has_min("att1", lambda v: v == 4, analyzer_options=opts)
+            .where("att1 > 3")
+            .has_max("att1", lambda v: v == 4, analyzer_options=opts)
+            .where("att1 > 3"),
+            Check(CheckLevel.ERROR, "equality-check-2")
+            .has_min("att2", lambda v: v == 7, analyzer_options=opts)
+            .where("att2 > 4")
+            .has_max("att2", lambda v: v == 7, analyzer_options=opts)
+            .where("att2 > 4"),
+            Check(CheckLevel.ERROR, "equality-check-3")
+            .has_min("att3", lambda v: v == 0, analyzer_options=opts)
+            .where("att3 = 0")
+            .has_max("att3", lambda v: v == 0, analyzer_options=opts)
+            .where("att3 = 0"),
+        ]
+
+    def _assert_all(self, df_numeric, opts, filtered):
+        result, annotated = _run_row_level(df_numeric, self._checks(opts))
+        statuses = {c.description: r.status
+                    for c, r in result.check_results.items()}
+        assert statuses["equality-check-1"] == CheckStatus.ERROR
+        assert statuses["equality-check-2"] == CheckStatus.ERROR
+        assert statuses["equality-check-3"] == CheckStatus.SUCCESS
+        f = filtered
+        expected = {
+            # att1: 1,2,3 filtered; in-scope 4,5,6 → ==4: [T,F,F]
+            "equality-check-1": [f, f, f, True, False, False],
+            # att2: 0,0,0 filtered (not > 4); 5,6,7 → ==7: [F,F,T]
+            "equality-check-2": [f, f, f, False, False, True],
+            # att3: 0,0,0 in scope → ==0 all T; 4,6,7 filtered
+            "equality-check-3": [True, True, True, f, f, f],
+        }
+        for rule, exp in expected.items():
+            assert _column(annotated, "item", rule) == exp, rule
+        metrics = {(m.instance, m.name): m.value
+                   for m in result.metrics.metric_map.values()
+                   if m.is_success}
+        assert metrics[("att1", "Minimum")] == 4.0
+        assert metrics[("att1", "Maximum")] == 6.0
+        assert metrics[("att2", "Minimum")] == 5.0
+        assert metrics[("att2", "Maximum")] == 7.0
+        assert metrics[("att3", "Minimum")] == 0.0
+        assert metrics[("att3", "Maximum")] == 0.0
+
+    def test_filtered_null(self, df_numeric):
+        self._assert_all(df_numeric,
+                         AnalyzerOptions(filtered_row=FilteredRowOutcome.NULL),
+                         None)
+
+    def test_filtered_true(self, df_numeric):
+        self._assert_all(df_numeric,
+                         AnalyzerOptions(filtered_row=FilteredRowOutcome.TRUE),
+                         True)
+
+
+class TestEqualityMinMaxNullRows:
+    """VerificationSuiteTest.scala:1784-1878 "== based Min/Max checks and
+    null row behavior" on attNull = [null,null,null,5,6,7]."""
+
+    def _run(self, df_numeric, opts):
+        check = (Check(CheckLevel.ERROR, "equality-check")
+                 .has_min("attNull", lambda v: v == 6, analyzer_options=opts)
+                 .has_max("attNull", lambda v: v == 6, analyzer_options=opts))
+        return _run_row_level(df_numeric, [check])
+
+    def test_null_rows_stay_null(self, df_numeric):
+        result, annotated = self._run(
+            df_numeric, AnalyzerOptions(null_behavior=NullBehavior.IGNORE))
+        assert list(result.check_results.values())[0].status \
+            == CheckStatus.ERROR
+        assert _column(annotated, "item", "equality-check") == \
+            [None, None, None, False, True, False]
+
+    def test_null_rows_fail(self, df_numeric):
+        result, annotated = self._run(
+            df_numeric, AnalyzerOptions(null_behavior=NullBehavior.FAIL))
+        assert list(result.check_results.values())[0].status \
+            == CheckStatus.ERROR
+        assert _column(annotated, "item", "equality-check") == \
+            [False, False, False, False, True, False]
+
+
+class TestEqualityLengthFilteredRows:
+    """VerificationSuiteTest.scala:1879-1960 "==/!= based MinLength/
+    MaxLength checks and filtered row behavior" on getDfForWhereClause."""
+
+    def _checks(self, opts):
+        return [
+            Check(CheckLevel.ERROR, "length-equality-check-1")
+            .has_min_length("Company", lambda v: v == 8,
+                            analyzer_options=opts).where("ID > 2")
+            .has_max_length("Company", lambda v: v == 8,
+                            analyzer_options=opts).where("ID > 2"),
+            Check(CheckLevel.ERROR, "length-equality-check-2")
+            .has_min_length("ZipCode", lambda v: v == 4,
+                            analyzer_options=opts).where("ID in (1, 2, 3)")
+            .has_max_length("ZipCode", lambda v: v == 4,
+                            analyzer_options=opts).where("ID in (1, 2, 3)"),
+            Check(CheckLevel.ERROR, "length-equality-check-3")
+            .has_min_length("City", lambda v: v != 0,
+                            analyzer_options=opts).where("ID <= 2")
+            .has_max_length("City", lambda v: v != 0,
+                            analyzer_options=opts).where("ID <= 2"),
+        ]
+
+    def _assert_all(self, df_where_clause, opts, f):
+        result, annotated = _run_row_level(df_where_clause,
+                                           self._checks(opts))
+        statuses = {c.description: r.status
+                    for c, r in result.check_results.items()}
+        assert statuses["length-equality-check-1"] == CheckStatus.SUCCESS
+        assert statuses["length-equality-check-2"] == CheckStatus.ERROR
+        assert statuses["length-equality-check-3"] == CheckStatus.SUCCESS
+        expected = {
+            # Company len: Acme=4 (filtered rows 1,2), Robocorp=8 → ==8
+            "length-equality-check-1": [f, f, True, True],
+            # ZipCode len: 5,5,null (in scope 1-3) → ==4 fails; row4 filtered
+            "length-equality-check-2": [False, False, False, f],
+            # City: rows 1,2 in scope len 11 → !=0 true; rows 3,4 filtered
+            "length-equality-check-3": [True, True, f, f],
+        }
+        for rule, exp in expected.items():
+            assert _column(annotated, "ID", rule) == exp, rule
+
+    def test_filtered_null(self, df_where_clause):
+        # NullBehavior.EmptyString so the in-scope NULL ZipCode row stays
+        # definite-false (len 0 != 4), as the reference fixture expects
+        self._assert_all(df_where_clause, AnalyzerOptions(
+            null_behavior=NullBehavior.EMPTY_STRING,
+            filtered_row=FilteredRowOutcome.NULL), None)
+
+    def test_filtered_true(self, df_where_clause):
+        self._assert_all(df_where_clause, AnalyzerOptions(
+            null_behavior=NullBehavior.EMPTY_STRING,
+            filtered_row=FilteredRowOutcome.TRUE), True)
+
+
+class TestEqualityLengthNullRows:
+    """VerificationSuiteTest.scala:1969-2060 "==/!= based MinLength/
+    MaxLength checks and null row behavior" — City lengths 11,11,null,8;
+    assertion 0 <= len <= 8."""
+
+    def _run(self, df_where_clause, opts):
+        assertion = lambda d: (d >= 0.0) & (d <= 8.0)  # noqa: E731
+        check = (Check(CheckLevel.ERROR, "length-check")
+                 .has_min_length("City", assertion, analyzer_options=opts)
+                 .has_max_length("City", assertion, analyzer_options=opts))
+        return _run_row_level(df_where_clause, [check])
+
+    def _metrics(self, result):
+        return {(m.instance, m.name): m.value
+                for m in result.metrics.metric_map.values() if m.is_success}
+
+    def test_ignore(self, df_where_clause):
+        result, annotated = self._run(
+            df_where_clause, AnalyzerOptions(null_behavior=NullBehavior.IGNORE))
+        assert _column(annotated, "ID", "length-check") == \
+            [False, False, None, True]
+        m = self._metrics(result)
+        assert m[("City", "MinLength")] == 8.0
+        assert m[("City", "MaxLength")] == 11.0
+
+    def test_fail(self, df_where_clause):
+        from deequ_spark.analyzers.scan import (DOUBLE_MAX_VALUE,
+                                                DOUBLE_MIN_VALUE)
+        result, annotated = self._run(
+            df_where_clause, AnalyzerOptions(null_behavior=NullBehavior.FAIL))
+        assert _column(annotated, "ID", "length-check") == \
+            [False, False, False, True]
+        m = self._metrics(result)
+        assert m[("City", "MinLength")] == DOUBLE_MIN_VALUE
+        assert m[("City", "MaxLength")] == DOUBLE_MAX_VALUE
+
+    def test_empty_string(self, df_where_clause):
+        result, annotated = self._run(
+            df_where_clause,
+            AnalyzerOptions(null_behavior=NullBehavior.EMPTY_STRING))
+        assert _column(annotated, "ID", "length-check") == \
+            [False, False, True, True]
+        m = self._metrics(result)
+        assert m[("City", "MinLength")] == 0.0
+        assert m[("City", "MaxLength")] == 11.0
+
+
+class TestInvalidColumnTypeRowLevel:
+    """VerificationSuiteTest.scala:2061-2117: a constraint whose metric
+    failed a precondition (numeric analyzer on a string column, pattern on
+    an int column) contributes lit(false) to its check's row-level
+    column."""
+
+    def test_invalid_columns_all_false(self, spark):
+        df = spark.createDataFrame(
+            [("1", 1, "blue"), ("2", 2, "green"), ("3", 3, "blue"),
+             ("4", 4, "red"), ("5", 5, "purple")],
+            "id string, id2 int, color string")
+        checks = [
+            Check(CheckLevel.ERROR, "min check on id")
+            .has_min("id", lambda v: v >= 3).is_complete("id"),
+            Check(CheckLevel.ERROR, "min check on id2")
+            .has_min("id2", lambda v: v >= 3).is_complete("id2"),
+            Check(CheckLevel.ERROR, "pattern check on id2")
+            .has_pattern("id2", "[0-3]+"),
+            Check(CheckLevel.ERROR, "pattern check on id")
+            .has_pattern("id", "[0-3]+"),
+        ]
+        _, annotated = _run_row_level(df, checks)
+        expected = {
+            "min check on id": [False] * 5,
+            "min check on id2": [False, False, True, True, True],
+            "pattern check on id2": [False] * 5,
+            "pattern check on id": [True, True, True, False, False],
+        }
+        for rule, exp in expected.items():
+            assert _column(annotated, "id2", rule) == exp, rule
+
+
+class TestSatisfiesRowLevel:
+    """VerificationSuiteTest.scala:2117-2200 "yield correct results for
+    satisfies check" — 14 assertion/where combinations."""
+
+    def test_satisfies_matrix(self, spark):
+        df = spark.createDataFrame(
+            [(1, "blue"), (2, "green"), (3, "blue"), (4, "red"),
+             (5, "purple")], "id int, color string")
+        cond, where = "color in ('blue')", "id <= 3"
+        cfg = [
+            ("check with >", lambda d: d > 0.5, CheckStatus.ERROR, None),
+            ("check with >=", lambda d: d >= 0.35, CheckStatus.SUCCESS, None),
+            ("check with <", lambda d: d < 0.3, CheckStatus.ERROR, None),
+            ("check with <=", lambda d: d <= 0.4, CheckStatus.SUCCESS, None),
+            ("check with =", lambda d: d == 0.4, CheckStatus.SUCCESS, None),
+            ("check with > / <", lambda d: (d > 0.0) and (d < 0.5),
+             CheckStatus.SUCCESS, None),
+            ("check with >= / <=", lambda d: (d >= 0.41) and (d <= 1.1),
+             CheckStatus.ERROR, None),
+            ("check w/ where and with >", lambda d: d > 0.7,
+             CheckStatus.ERROR, where),
+            ("check w/ where and with >=", lambda d: d >= 0.66,
+             CheckStatus.SUCCESS, where),
+            ("check w/ where and with <", lambda d: d < 0.6,
+             CheckStatus.ERROR, where),
+            ("check w/ where and with <=", lambda d: d <= 0.67,
+             CheckStatus.SUCCESS, where),
+            ("check w/ where and with =", lambda d: d == 0.66,
+             CheckStatus.ERROR, where),
+            ("check w/ where and with > / <", lambda d: (d > 0.0) and (d < 0.5),
+             CheckStatus.ERROR, where),
+            ("check w/ where and with >= / <=",
+             lambda d: (d >= 0.41) and (d <= 1.1), CheckStatus.SUCCESS, where),
+        ]
+        checks = []
+        for name, assertion, _status, w in cfg:
+            c = (Check(CheckLevel.ERROR, name)
+                 .satisfies(cond, f"Constraint for check: {name}", assertion))
+            if w:
+                c = c.where(w)
+            checks.append(c)
+        result, annotated = _run_row_level(df, checks)
+        statuses = {c.description: r.status
+                    for c, r in result.check_results.items()}
+        for name, _a, status, _w in cfg:
+            assert statuses[name] == status, name
+        for name, _a, _s, w in cfg:
+            got = _column(annotated, "id", name)
+            if w:
+                assert got == [True, False, True, True, True], name
+            else:
+                assert got == [True, False, True, False, False], name
