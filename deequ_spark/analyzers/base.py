@@ -305,9 +305,13 @@ class CorrelationState(State):
 
     @property
     def correlation(self) -> float:
+        # zero variance → NaN, not an error: the reference's Scala double
+        # division yields Success(NaN) and its own CheckTest asserts
+        # hasCorrelation(..., isNaN) SUCCEEDS on a constant column
+        # (CheckTest.scala:973-976 contextUninformative)
         denom = (self.x_mk * self.y_mk) ** 0.5
         if denom == 0:
-            raise EmptyStateError("Zero variance — correlation undefined")
+            return float("nan")
         return self.ck / denom
 
 

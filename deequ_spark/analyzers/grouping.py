@@ -309,13 +309,23 @@ class Entropy(ScanShareableFrequencyBasedAnalyzer):
 
     def aggregation_functions(self) -> List[Column]:
         # −Σ (cnt/n)·ln(cnt/n) = ln n − (1/n)·Σ cnt·ln cnt, so the aggregate
-        # itself needs no num_rows: collect Σ cnt·ln(cnt) only.
+        # itself needs no num_rows: collect Σ cnt·ln(cnt) plus max(cnt) to
+        # recognize the single-group case exactly.
         cnt = F.col(COUNT_COL).cast("double")
-        return [F.sum(F.when(F.col(COUNT_COL) == 0, 0.0).otherwise(cnt * F.log(cnt)))]
+        return [F.sum(F.when(F.col(COUNT_COL) == 0, 0.0)
+                      .otherwise(cnt * F.log(cnt))),
+                F.max(F.col(COUNT_COL))]
 
     def value_from(self, result: Row, offset: int, num_rows: int) -> Optional[float]:
         if result[offset] is None or num_rows == 0:
             return None
+        # one group covering every row → entropy is EXACTLY 0.0 — the
+        # reference's per-group formula −Σ p·ln p gives ln(1.0) = 0 and its
+        # CheckTest asserts `_ == 0` strictly on a filtered-to-constant
+        # column (CheckTest.scala:905-910); the closed form below would
+        # leave ~1e-16 of floating residue
+        if result[offset + 1] is not None and int(result[offset + 1]) == num_rows:
+            return 0.0
         import math
         return math.log(num_rows) - float(result[offset]) / num_rows
 

@@ -190,7 +190,12 @@ class Check:
         return self._add(lambda w: AnalysisBasedConstraint(
             ZerosCount(column, w), assertion, hint=hint))
 
-    def has_duplicate_row_count(self, assertion, columns=(), hint=None) -> "Check":
+    def has_duplicate_row_count(self, columns, assertion=None, hint=None) -> "Check":
+        """Reference arg order: hasDuplicateRowCount(Seq(cols), assertion)
+        (Check.scala). A bare callable first argument still works
+        (legacy call style: all-columns duplicate count)."""
+        if callable(columns):
+            columns, assertion = (), columns
         return self._add(lambda w: AnalysisBasedConstraint(
             DuplicateRowCount(tuple(columns), w), assertion, hint=hint))
 

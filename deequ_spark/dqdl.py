@@ -462,7 +462,7 @@ _AGG_RULES = {
     "ColumnCorrelation": lambda c, r, a:
         c.has_correlation(r.parameters[0], r.parameters[1], a),
     "DuplicateRowCount": lambda c, r, a:
-        c.has_duplicate_row_count(a, columns=tuple(r.parameters)),
+        c.has_duplicate_row_count(tuple(r.parameters), a),
 }
 
 # ColumnDataType "col" = "TYPE" (parity: ColumnDataTypeRule.scala:88-101)

@@ -1,0 +1,556 @@
+"""Check-status parity fixtures transcribed from the reference's
+checks/CheckTest.scala (case names cited per class). These pin METRIC-level
+check/constraint outcomes — the complement of the row-level truth tables in
+test_reference_parity.py. Fixture data from utils/FixtureSupport.scala."""
+
+import math
+
+import pytest
+
+from deequ_spark import (AnalyzerOptions, Check, CheckLevel, CheckStatus,
+                         ConstraintStatus, DataTypeInstances, NullBehavior,
+                         VerificationSuite)
+
+
+def _run(df, *checks):
+    suite = VerificationSuite().on_data(df)
+    for c in checks:
+        suite.add_check(c)
+    result = suite.run()
+    return {c.description: r for c, r in result.check_results.items()}, result
+
+
+def _statuses(result_for_check):
+    return [cr.status for cr in result_for_check.constraint_results]
+
+
+@pytest.fixture(scope="module")
+def df_full(spark):
+    """getDfFull (FixtureSupport.scala:127-136)."""
+    return spark.createDataFrame(
+        [("1", "a", "c"), ("2", "a", "c"), ("3", "a", "c"), ("4", "b", "d")],
+        "item string, att1 string, att2 string")
+
+
+@pytest.fixture(scope="module")
+def df_incomplete(spark):
+    """getDfCompleteAndInCompleteColumns (FixtureSupport.scala:149-160)."""
+    return spark.createDataFrame(
+        [("1", "a", "f"), ("2", "b", "d"), ("3", "a", None),
+         ("4", "a", "f"), ("5", "b", None), ("6", "a", "f")],
+        "item string, att1 string, att2 string")
+
+
+@pytest.fixture(scope="module")
+def df_numeric(spark):
+    return spark.createDataFrame(
+        [("1", 1, 0, 0, None), ("2", 2, 0, 0, None), ("3", 3, 0, 0, None),
+         ("4", 4, 5, 4, 5), ("5", 5, 6, 6, 6), ("6", 6, 7, 7, 7)],
+        "item string, att1 int, att2 int, att3 int, attNull int")
+
+
+@pytest.fixture(scope="module")
+def df_unique_cols(spark):
+    return spark.createDataFrame(
+        [("1", "0", "3", "1", "5", "0"), ("2", "0", "3", "2", "6", "0"),
+         ("3", "0", "3", None, "7", "0"), ("4", "5", None, "3", "0", "4"),
+         ("5", "6", None, "4", "0", "5"), ("6", "7", None, "5", "0", "6")],
+        "unique string, nonUnique string, nonUniqueWithNulls string, "
+        "uniqueWithNulls string, onlyUniqueWithOtherNonUnique string, "
+        "halfUniqueCombinedWithNonUnique string")
+
+
+@pytest.fixture(scope="module")
+def df_distinct(spark):
+    """getDfWithDistinctValues (FixtureSupport.scala:341-352)."""
+    return spark.createDataFrame(
+        [("a", None), ("a", None), (None, "x"), ("b", "x"), ("b", "x"),
+         ("c", "y")], "att1 string, att2 string")
+
+
+class TestCompletenessStatus:
+    """CheckTest.scala:53-110."""
+
+    def test_completeness_levels_and_filters(self, df_incomplete):
+        check1 = (Check(CheckLevel.ERROR, "group-1")
+                  .is_complete("att1")
+                  .has_completeness("att1", lambda v: v == 1.0))
+        check2 = (Check(CheckLevel.ERROR, "group-2-E")
+                  .has_completeness("att2", lambda v: v > 0.8))   # 0.75 is wrong: 4/6
+        check3 = (Check(CheckLevel.WARNING, "group-2-W")
+                  .has_completeness("att2", lambda v: v > 0.8))
+        check4 = (Check(CheckLevel.ERROR, "group-3")
+                  .is_complete("att2").where("att2 is NOT NULL")
+                  .has_completeness("att2", lambda v: v == 1.0)
+                  .where("att2 is NOT NULL"))
+        got, _ = _run(df_incomplete, check1, check2, check3, check4)
+        assert got["group-1"].status == CheckStatus.SUCCESS
+        assert got["group-2-E"].status == CheckStatus.ERROR
+        assert got["group-2-W"].status == CheckStatus.WARNING
+        assert got["group-3"].status == CheckStatus.SUCCESS
+
+    def test_completeness_with_where(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Acme", "90210", "CA", "Los Angeles"),
+             (2, "Acme", "90211", "CA", "Los Angeles"),
+             (3, "Robocorp", None, "NJ", None),
+             (4, "Robocorp", None, "NY", "New York")],
+            "ID int, Company string, ZipCode string, State string, "
+            "City string")
+        check = (Check(CheckLevel.ERROR, "group-3")
+                 .has_completeness("ZipCode", lambda v: v > 0.6)
+                 .where("City is NOT NULL"))
+        got, _ = _run(df, check)
+        assert got["group-3"].status == CheckStatus.SUCCESS
+
+
+class TestUniquenessStatus:
+    """CheckTest.scala:171-315."""
+
+    def test_is_unique_variants(self, df_unique_cols):
+        check = (Check(CheckLevel.ERROR, "group-1")
+                 .is_unique("unique")
+                 .is_unique("uniqueWithNulls")
+                 .is_unique("halfUniqueCombinedWithNonUnique")
+                 .where("nonUnique > 0")
+                 .is_unique("nonUnique")
+                 .is_unique("nonUniqueWithNulls")
+                 .are_unique(["nonUnique", "onlyUniqueWithOtherNonUnique"])
+                 .are_unique(["nonUnique", "halfUniqueCombinedWithNonUnique"]))
+        got, _ = _run(df_unique_cols, check)
+        r = _statuses(got["group-1"])
+        assert r[0] == ConstraintStatus.SUCCESS
+        assert r[1] == ConstraintStatus.SUCCESS
+        assert r[2] == ConstraintStatus.SUCCESS
+        assert r[3] == ConstraintStatus.FAILURE
+        assert r[4] == ConstraintStatus.FAILURE
+        assert r[5] == ConstraintStatus.SUCCESS
+        assert r[6] == ConstraintStatus.FAILURE
+        assert got["group-1"].status == CheckStatus.ERROR
+
+    def test_primary_key(self, df_unique_cols):
+        check = (Check(CheckLevel.ERROR, "primary-key-check")
+                 .is_primary_key("unique")
+                 .is_primary_key("halfUniqueCombinedWithNonUnique",
+                                 "onlyUniqueWithOtherNonUnique")
+                 .is_primary_key("halfUniqueCombinedWithNonUnique")
+                 .where("nonUnique > 0")
+                 .is_primary_key("nonUnique"))
+        got, _ = _run(df_unique_cols, check)
+        r = _statuses(got["primary-key-check"])
+        # each is_primary_key(col) = completeness + uniqueness constraints;
+        # first three succeed, the last (nonUnique) fails on uniqueness
+        assert all(s == ConstraintStatus.SUCCESS for s in r[:-1])
+        assert r[-1] == ConstraintStatus.FAILURE
+
+    def test_distinctness(self, df_distinct):
+        check = (Check(CheckLevel.ERROR, "distinctness-check")
+                 .has_distinctness(["att1"], lambda v: v == 3.0 / 5)
+                 .has_distinctness(["att1"], lambda v: v == 2.0 / 3)
+                 .where("att2 is not null")
+                 .has_distinctness(["att1", "att2"], lambda v: v == 4.0 / 6)
+                 .has_distinctness(["att2"], lambda v: v == 1.0))
+        got, _ = _run(df_distinct, check)
+        r = _statuses(got["distinctness-check"])
+        assert r == [ConstraintStatus.SUCCESS, ConstraintStatus.SUCCESS,
+                     ConstraintStatus.SUCCESS, ConstraintStatus.FAILURE]
+
+    def test_has_uniqueness_fractions(self, df_unique_cols):
+        is_one = lambda v: v == 1.0  # noqa: E731
+        check = (Check(CheckLevel.ERROR, "group-1-u")
+                 .has_uniqueness("nonUnique", lambda f: f == 0.5)
+                 .has_uniqueness("nonUnique", lambda f: f < 0.6)
+                 .has_uniqueness(["halfUniqueCombinedWithNonUnique",
+                                  "nonUnique"], lambda f: f == 0.5)
+                 .has_uniqueness(["onlyUniqueWithOtherNonUnique",
+                                  "nonUnique"], is_one)
+                 .has_uniqueness("unique", is_one)
+                 .has_uniqueness("uniqueWithNulls", is_one)
+                 .has_uniqueness(["nonUnique",
+                                  "halfUniqueCombinedWithNonUnique"], is_one)
+                 .where("nonUnique > 0")
+                 .has_uniqueness("halfUniqueCombinedWithNonUnique", is_one)
+                 .where("nonUnique > 0"))
+        got, _ = _run(df_unique_cols, check)
+        assert got["group-1-u"].status == CheckStatus.SUCCESS
+
+    def test_duplicate_row_count(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("a", 1), ("c", 3)], "col1 string, col2 int")
+        check = (Check(CheckLevel.ERROR, "duplicate-row-count-check")
+                 .has_duplicate_row_count(["col1", "col2"], lambda v: v == 2))
+        got, _ = _run(df, check)
+        assert got["duplicate-row-count-check"].status == CheckStatus.SUCCESS
+
+    def test_unique_value_ratio(self, df_unique_cols):
+        check = (Check(CheckLevel.ERROR, "unique-value-ratio-check")
+                 .has_unique_value_ratio(
+                     ["nonUnique", "halfUniqueCombinedWithNonUnique"],
+                     lambda v: v == 0.75)
+                 .has_unique_value_ratio(
+                     ["nonUnique", "halfUniqueCombinedWithNonUnique"],
+                     lambda v: v == 1.0).where("nonUnique > 0")
+                 .has_unique_value_ratio(["nonUnique"], lambda v: v == 1.0)
+                 .where("nonUnique > 0"))
+        got, _ = _run(df_unique_cols, check)
+        assert got["unique-value-ratio-check"].status == CheckStatus.SUCCESS
+
+
+class TestSizeAndSatisfiesStatus:
+    """CheckTest.scala:317-382."""
+
+    def test_size_levels(self, df_incomplete):
+        n = df_incomplete.count()
+        c1 = Check(CheckLevel.ERROR, "group-1-S-1").has_size(lambda s: s == n)
+        c2 = Check(CheckLevel.WARNING, "group-1-S-2").has_size(lambda s: s == n)
+        c3 = Check(CheckLevel.ERROR, "group-1-E").has_size(lambda s: s != n)
+        c4 = Check(CheckLevel.WARNING, "group-1-W").has_size(lambda s: s != n)
+        c5 = (Check(CheckLevel.WARNING, "group-1-W-Range")
+              .has_size(lambda s: (s > 0) and (s < n + 1)))
+        got, _ = _run(df_incomplete, c1, c2, c3, c4, c5)
+        assert got["group-1-S-1"].status == CheckStatus.SUCCESS
+        assert got["group-1-S-2"].status == CheckStatus.SUCCESS
+        assert got["group-1-E"].status == CheckStatus.ERROR
+        assert got["group-1-W"].status == CheckStatus.WARNING
+        assert got["group-1-W-Range"].status == CheckStatus.SUCCESS
+
+    def test_satisfies_columns(self, df_numeric):
+        c1 = (Check(CheckLevel.ERROR, "group-1")
+              .satisfies("att1 > 0", "rule1", columns=["att1"]))
+        c2 = (Check(CheckLevel.ERROR, "group-2-to-fail")
+              .satisfies("att1 > 3", "rule2", columns=["att1"]))
+        c3 = (Check(CheckLevel.ERROR, "group-2-to-succeed")
+              .satisfies("att1 > 3", "rule3", lambda v: v == 0.5,
+                         columns=["att1"]))
+        got, _ = _run(df_numeric, c1, c2, c3)
+        assert got["group-1"].status == CheckStatus.SUCCESS
+        assert got["group-2-to-fail"].status == CheckStatus.ERROR
+        assert got["group-2-to-succeed"].status == CheckStatus.SUCCESS
+
+    def test_conditional_satisfies(self, df_numeric):
+        ok = (Check(CheckLevel.ERROR, "group-1a")
+              .satisfies("att1 < att2", "rule1", columns=["att1"])
+              .where("att1 > 3"))
+        fail = (Check(CheckLevel.ERROR, "group-1b")
+                .satisfies("att2 > 0", "rule2", columns=["att1"])
+                .where("att1 > 0"))
+        half = (Check(CheckLevel.ERROR, "group-1c")
+                .satisfies("att2 > 0", "rule3", lambda v: v == 0.5,
+                           columns=["att1"]).where("att1 > 0"))
+        got, _ = _run(df_numeric, ok, fail, half)
+        assert got["group-1a"].status == CheckStatus.SUCCESS
+        assert got["group-1b"].status == CheckStatus.ERROR
+        assert got["group-1c"].status == CheckStatus.SUCCESS
+
+
+class TestComparisonStatus:
+    """CheckTest.scala:383-527."""
+
+    def test_less_than(self, df_numeric):
+        cases = [
+            ("lt-where", Check(CheckLevel.ERROR, "lt-where")
+             .is_less_than("att1", "att2").where("item > 3"), CheckStatus.SUCCESS),
+            ("lt", Check(CheckLevel.ERROR, "lt")
+             .is_less_than("att1", "att2"), CheckStatus.ERROR),
+            ("lt-half", Check(CheckLevel.ERROR, "lt-half")
+             .is_less_than("att1", "att2", lambda v: v == 0.5),
+             CheckStatus.SUCCESS),
+            ("lt-wrong", Check(CheckLevel.ERROR, "lt-wrong")
+             .is_less_than("att1", "att2", lambda v: v == 0.4),
+             CheckStatus.ERROR),
+            ("le-where", Check(CheckLevel.ERROR, "le-where")
+             .is_less_than_or_equal_to("att1", "att3").where("item > 3"),
+             CheckStatus.SUCCESS),
+            ("le", Check(CheckLevel.ERROR, "le")
+             .is_less_than_or_equal_to("att1", "att3"), CheckStatus.ERROR),
+            ("gt-where", Check(CheckLevel.ERROR, "gt-where")
+             .is_greater_than("att2", "att1").where("item > 3"),
+             CheckStatus.SUCCESS),
+            ("gt", Check(CheckLevel.ERROR, "gt")
+             .is_greater_than("att2", "att1"), CheckStatus.ERROR),
+            ("ge-where", Check(CheckLevel.ERROR, "ge-where")
+             .is_greater_than_or_equal_to("att3", "att1").where("item > 3"),
+             CheckStatus.SUCCESS),
+            ("ge", Check(CheckLevel.ERROR, "ge")
+             .is_greater_than_or_equal_to("att3", "att1"), CheckStatus.ERROR),
+        ]
+        got, _ = _run(df_numeric, *[c for _, c, _s in cases])
+        for name, _c, status in cases:
+            assert got[name].status == status, name
+
+    def test_non_negative_positive(self, df_numeric):
+        c1 = Check(CheckLevel.ERROR, "nn").is_non_negative("item")
+        c2 = Check(CheckLevel.ERROR, "pos").is_positive("item")
+        got, _ = _run(df_numeric, c1, c2)
+        assert got["nn"].status == CheckStatus.SUCCESS
+        assert got["pos"].status == CheckStatus.SUCCESS
+
+    def test_space_column_names(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (-1, "d")],
+            "`my column` long, other string")
+        check = (Check(CheckLevel.ERROR, "space check")
+                 .is_non_negative("my column"))
+        got, _ = _run(df, check)
+        assert got["space check"].status == CheckStatus.ERROR
+
+    def test_negative_bigint(self, spark):
+        df = spark.createDataFrame([(-99999999999,), (1,), (2,)], "val long")
+        check = Check(CheckLevel.ERROR, "bigint check").is_non_negative("val")
+        got, _ = _run(df, check)
+        assert got["bigint check"].status == CheckStatus.ERROR
+
+    def test_positive_zero_fails(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (0, "c")], "`my column` long, other string")
+        check = Check(CheckLevel.ERROR, "space check").is_positive("my column")
+        got, _ = _run(df, check)
+        assert got["space check"].status == CheckStatus.ERROR
+
+    def test_space_names_in_comparison(self, spark):
+        df = spark.createDataFrame([(1, 2), (3, 4), (5, 0)],
+                                   "`col a` int, `col b` int")
+        check = (Check(CheckLevel.ERROR, "comparison check")
+                 .is_less_than("col a", "col b"))
+        got, _ = _run(df, check)
+        assert got["comparison check"].status == CheckStatus.ERROR
+
+
+class TestRangeStatus:
+    """CheckTest.scala:528-600 — set and interval isContainedIn."""
+
+    def test_value_sets(self, df_distinct):
+        c1 = (Check(CheckLevel.ERROR, "a1")
+              .is_contained_in("att1", ["a", "b", "c"]))
+        c2 = (Check(CheckLevel.ERROR, "a2")
+              .is_contained_in("att1", ["a", "b"]))
+        c3 = (Check(CheckLevel.ERROR, "a3")
+              .is_contained_in("att1", ["a"], lambda v: v == 0.5))
+        got, _ = _run(df_distinct, c1, c2, c3)
+        assert got["a1"].status == CheckStatus.SUCCESS
+        assert got["a2"].status == CheckStatus.ERROR
+        # 'a' rows = 2 of 6, NULL row passes → 3/6 = 0.5
+        assert got["a3"].status == CheckStatus.SUCCESS
+
+    def test_numeric_intervals(self, df_numeric):
+        # att2 = 0,0,0,5,6,7
+        cases = [
+            ("nr1", 0, 7, True, True, CheckStatus.SUCCESS),
+            ("nr2", 1, 7, True, True, CheckStatus.ERROR),
+            ("nr3", 0, 6, True, True, CheckStatus.ERROR),
+            ("nr4", 0, 7, False, False, CheckStatus.ERROR),
+            ("nr5", -1, 8, False, False, CheckStatus.SUCCESS),
+            ("nr6", 0, 7, True, False, CheckStatus.ERROR),
+            ("nr7", 0, 8, True, False, CheckStatus.SUCCESS),
+            ("nr8", 0, 7, False, True, CheckStatus.ERROR),
+            ("nr9", -1, 7, False, True, CheckStatus.SUCCESS),
+        ]
+        checks = [Check(CheckLevel.ERROR, name)
+                  .is_contained_in_range("att2", lo, hi, ilo, ihi)
+                  for name, lo, hi, ilo, ihi, _s in cases]
+        got, _ = _run(df_numeric, *checks)
+        for name, _lo, _hi, _ilo, _ihi, status in cases:
+            assert got[name].status == status, name
+
+    def test_single_quotes_in_values(self, spark):
+        df = spark.createDataFrame(
+            [("a", None, "Already Has "), ("a", None, " Can't Proceed"),
+             (None, "can't", "Already Has "), ("b", "help", " Can't Proceed"),
+             ("b", "but", "Already Has "), ("c", "wouldn't", " Can't Proceed")],
+            "att1 string, att2 string, reason string")
+        check = (Check(CheckLevel.ERROR, "a")
+                 .is_contained_in("att2", ["can't", "help", "but",
+                                           "wouldn't"]))
+        got, _ = _run(df, check)
+        assert got["a"].status == CheckStatus.SUCCESS
+
+
+class TestStatsStatus:
+    """CheckTest.scala:901-1041 — entropy/MI/basic stats/quantiles."""
+
+    def test_entropy(self, df_full):
+        expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+        c1 = (Check(CheckLevel.ERROR, "e1")
+              .has_entropy("att1", lambda v: abs(v - expected) < 1e-12))
+        c2 = (Check(CheckLevel.ERROR, "e2")
+              .has_entropy("att1", lambda v: v == 0).where("att2 = 'c'"))
+        c3 = (Check(CheckLevel.ERROR, "e3")
+              .has_entropy("att1", lambda v: abs(v - expected) > 1e-12))
+        got, _ = _run(df_full, c1, c2, c3)
+        assert got["e1"].status == CheckStatus.SUCCESS
+        assert got["e2"].status == CheckStatus.SUCCESS
+        assert got["e3"].status == CheckStatus.ERROR
+
+    def test_mutual_information(self, df_full):
+        c1 = (Check(CheckLevel.ERROR, "mi")
+              .has_mutual_information(
+                  "att1", "att2", lambda v: abs(v - 0.5623) < 0.0001))
+        c2 = (Check(CheckLevel.ERROR, "mi-where")
+              .has_mutual_information("att1", "att2", lambda v: v == 0)
+              .where("att2 = 'c'"))
+        got, _ = _run(df_full, c1, c2)
+        assert got["mi"].status == CheckStatus.SUCCESS
+        assert got["mi-where"].status == CheckStatus.SUCCESS
+
+    def test_basic_stats(self, df_numeric):
+        check = (Check(CheckLevel.ERROR, "stats")
+                 .has_min("att1", lambda v: v == 1.0)
+                 .has_max("att1", lambda v: v == 6.0)
+                 .has_range("att1", lambda v: v == 5.0)
+                 .has_interquartile_range("att1", lambda v: v == 2.5)
+                 .has_mean("att1", lambda v: v == 3.5)
+                 .has_sum("att1", lambda v: v == 21.0)
+                 .has_standard_deviation(
+                     "att1", lambda v: abs(v - 1.707825127659933) < 1e-12)
+                 .has_variance(
+                     "att1", lambda v: abs(v - 2.9166666666666665) < 1e-12)
+                 .has_skewness("att1", lambda v: abs(v) < 1e-12)
+                 .has_kurtosis("att1", lambda v: v < 0.0)
+                 .has_approx_count_distinct("att1", lambda v: v == 6.0)
+                 .has_approx_quantile("att1", 0.5, lambda v: v == 3.0)
+                 .has_exact_quantile("att1", 0.5, lambda v: v == 3.5))
+        got, _ = _run(df_numeric, check)
+        assert got["stats"].status == CheckStatus.SUCCESS, \
+            [(str(cr.constraint), cr.message)
+             for cr in got["stats"].constraint_results
+             if cr.status != ConstraintStatus.SUCCESS]
+
+    def test_correlation_informative_and_nan(self, spark):
+        informative = spark.createDataFrame(
+            [(1, 4), (2, 5), (3, 6)], "att1 int, att2 int")
+        uninformative = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 0)], "att1 int, att2 int")
+        c1 = (Check(CheckLevel.ERROR, "corr")
+              .has_correlation("att1", "att2", lambda v: v == 1.0))
+        got1, _ = _run(informative, c1)
+        assert got1["corr"].status == CheckStatus.SUCCESS
+        c2 = (Check(CheckLevel.ERROR, "corr-nan")
+              .has_correlation("att1", "att2", math.isnan))
+        got2, _ = _run(uninformative, c2)
+        assert got2["corr-nan"].status == CheckStatus.SUCCESS
+
+    def test_mean_and_quantiles_with_filter(self, df_numeric):
+        checks = [
+            Check(CheckLevel.ERROR, "m1").has_mean("att1", lambda v: v == 3.5),
+            Check(CheckLevel.ERROR, "m2")
+            .has_mean("att1", lambda v: v == 5.0).where("att2 > 0"),
+            Check(CheckLevel.ERROR, "q1")
+            .has_approx_quantile("att1", 0.5, lambda v: v == 3.0),
+            Check(CheckLevel.ERROR, "q2")
+            .has_approx_quantile("att1", 0.5, lambda v: v == 5.0)
+            .where("att2 > 0"),
+            Check(CheckLevel.ERROR, "eq1")
+            .has_exact_quantile("att1", 0.5, lambda v: v == 3.5),
+            Check(CheckLevel.ERROR, "eq2")
+            .has_exact_quantile("att1", 0.5, lambda v: v == 5.0)
+            .where("att2 > 0"),
+        ]
+        got, _ = _run(df_numeric, *checks)
+        for name in ("m1", "m2", "q1", "q2", "eq1", "eq2"):
+            assert got[name].status == CheckStatus.SUCCESS, name
+
+    def test_length_stats(self, spark):
+        df = spark.createDataFrame([("",), ("a",), ("bb",), ("ccc",),
+                                    ("dddd",)], "att1 string")
+        check = (Check(CheckLevel.ERROR, "len")
+                 .has_min_length("att1", lambda v: v == 0.0)
+                 .has_max_length("att1", lambda v: v == 4.0))
+        got, _ = _run(df, check)
+        assert got["len"].status == CheckStatus.SUCCESS
+
+    def test_length_stats_with_where(self, spark):
+        df = spark.createDataFrame(
+            [("1", "a", "f", 1, 1), ("22", "b", "d", 2, None),
+             ("333", "a", None, 3, 3), ("4444", "a", "f", 4, 4),
+             ("55555", "b", None, 5, None), ("666666", "a", "f", 6, 6)],
+            "item string, att1 string, att2 string, val1 int, val2 int")
+        opts = AnalyzerOptions(null_behavior=NullBehavior.EMPTY_STRING)
+        check = (Check(CheckLevel.ERROR, "len-where")
+                 .has_min_length("item", lambda v: v >= 4.0,
+                                 analyzer_options=opts).where("val1 > 3")
+                 .has_max_length("item", lambda v: v <= 3.0,
+                                 analyzer_options=opts).where("val1 <= 3"))
+        got, _ = _run(df, check)
+        assert got["len-where"].status == CheckStatus.SUCCESS
+
+
+class TestPatternStatus:
+    """CheckTest.scala:1043-1260 — built-in pattern families and data
+    types, each with a where-filtered variant."""
+
+    def _two_row(self, spark, valid, invalid):
+        return spark.createDataFrame([(valid, "valid"), (invalid, "invalid")],
+                                     "value string, type string")
+
+    def test_email(self, spark):
+        df = self._two_row(spark, "someone@somewhere.org", "someone@else")
+        c1 = (Check(CheckLevel.ERROR, "e1")
+              .contains_email("value", lambda v: v == 0.5))
+        c2 = (Check(CheckLevel.ERROR, "e2")
+              .contains_email("value", lambda v: v == 1.0)
+              .where("type = 'valid'"))
+        got, _ = _run(df, c1, c2)
+        assert got["e1"].status == CheckStatus.SUCCESS
+        assert got["e2"].status == CheckStatus.SUCCESS
+
+    def test_credit_card(self, spark):
+        df = self._two_row(spark, "4111 1111 1111 1111", "9999888877776666")
+        c1 = (Check(CheckLevel.ERROR, "cc1")
+              .contains_credit_card_number("value", lambda v: v == 0.5))
+        c2 = (Check(CheckLevel.ERROR, "cc2")
+              .contains_credit_card_number("value", lambda v: v == 1.0)
+              .where("type = 'valid'"))
+        got, _ = _run(df, c1, c2)
+        assert got["cc1"].status == CheckStatus.SUCCESS
+        assert got["cc2"].status == CheckStatus.SUCCESS
+
+    def test_ssn(self, spark):
+        df = self._two_row(spark, "111-05-1130", "something else")
+        c1 = (Check(CheckLevel.ERROR, "s1")
+              .contains_social_security_number("value", lambda v: v == 0.5))
+        c2 = (Check(CheckLevel.ERROR, "s2")
+              .contains_social_security_number("value", lambda v: v == 1.0)
+              .where("type = 'valid'"))
+        got, _ = _run(df, c1, c2)
+        assert got["s1"].status == CheckStatus.SUCCESS
+        assert got["s2"].status == CheckStatus.SUCCESS
+
+    def test_url(self, spark):
+        df = self._two_row(
+            spark, "https://www.example.com/foo/?bar=baz&inga=42&quux",
+            "http:// shouldfail.com")
+        c1 = (Check(CheckLevel.ERROR, "u1")
+              .contains_url("value", lambda v: v == 0.5))
+        c2 = (Check(CheckLevel.ERROR, "u2")
+              .contains_url("value", lambda v: v == 1.0)
+              .where("type = 'valid'"))
+        got, _ = _run(df, c1, c2)
+        assert got["u1"].status == CheckStatus.SUCCESS
+        assert got["u2"].status == CheckStatus.SUCCESS
+
+    def test_data_type(self, spark):
+        df = self._two_row(spark, "2", "1.0")
+        c1 = (Check(CheckLevel.ERROR, "dt1")
+              .has_data_type("value", DataTypeInstances.INTEGRAL,
+                             lambda v: v == 0.5))
+        c2 = (Check(CheckLevel.ERROR, "dt2")
+              .has_data_type("value", DataTypeInstances.INTEGRAL,
+                             lambda v: v == 1.0).where("type = 'integral'"))
+        # fixture uses ("2","integral"), ("1.0","fractional")
+        df = spark.createDataFrame([("2", "integral"), ("1.0", "fractional")],
+                                   "value string, type string")
+        got, _ = _run(df, c1, c2)
+        assert got["dt1"].status == CheckStatus.SUCCESS
+        assert got["dt2"].status == CheckStatus.SUCCESS
+
+    def test_scientific_notation_fractional(self, spark):
+        df = spark.createDataFrame(
+            [("1.0",), ("1.0000",), ("1.0001",), ("1.0E-3",), ("1.0e-3",),
+             ("1E-3",)], "val string")
+        c1 = (Check(CheckLevel.ERROR, "they're all fractional")
+              .has_data_type("val", DataTypeInstances.FRACTIONAL,
+                             lambda v: v == 1.0))
+        c2 = Check(CheckLevel.ERROR, "they're positive").is_non_negative("val")
+        got, _ = _run(df, c1, c2)
+        assert got["they're all fractional"].status == CheckStatus.SUCCESS
+        assert got["they're positive"].status == CheckStatus.SUCCESS
