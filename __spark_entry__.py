@@ -1548,16 +1548,17 @@ def _suggestions_oracle_sql() -> str:
         FROM hist_{c} WHERE v <> 'NullValue') t)""")
         ctes.append(f"""fr_{c} AS (
   SELECT COALESCE(MAX(cum), 0.0) AS covered,
-         COALESCE(string_agg(chr(39) || v || chr(39), ', ' ORDER BY v), '') AS fcats,
-         (SELECT COALESCE(SUM(r), 0.0) FROM (
-            SELECT r, ROW_NUMBER() OVER (ORDER BY r DESC, v) AS rk
-            FROM fsel_{c}) q
-          WHERE rk <= (SELECT GREATEST(1, ndv // 2) FROM hstat_{c})) AS topsum
+         COALESCE(string_agg(chr(39) || v || chr(39), ', ' ORDER BY v), '') AS fcats
   FROM fsel_{c} WHERE cum - r < 0.9)""")
 
         wald_lower = (f"GREATEST(0.0, FLOOR((nn * 1.0 / n - {z} * "
                       f"sqrt((nn * 1.0 / n) * (1 - nn * 1.0 / n) / n)) "
                       f"* 100 + 1e-9) / 100)")
+        # FractionalCategoricalRangeRule threshold: Wald lower bound on the
+        # top-categories coverage p (reference :81-84), 2-decimal truncation
+        frac_wald_lower = (f"GREATEST(0.0, FLOOR((LEAST(covered, 1.0) - {z} * "
+                           f"sqrt(LEAST(covered, 1.0) * (1 - LEAST(covered, 1.0)) / n)) "
+                           f"* 100 + 1e-9) / 100)")
         selects.append(f"""
 SELECT '{c}' AS column_name, 'CompleteIfCompleteRule' AS rule_name,
        '.is_complete("{c}")' AS code
@@ -1577,13 +1578,14 @@ UNION ALL
 SELECT '{c}', 'CategoricalRangeRule',
        '.is_contained_in("{c}", [' || (SELECT cat_list FROM cats_{c}) || '])'
 FROM st_{c}, hstat_{c}
-WHERE nd <= 120 AND singletons * 1.0 / GREATEST(ndv, 1) < 0.1
+WHERE nd <= 120 AND singletons * 1.0 / GREATEST(ndv, 1) <= 0.1
 UNION ALL
 SELECT '{c}', 'FractionalCategoricalRangeRule',
        '.is_contained_in("{c}", [' || fcats || '], lambda v: v >= '
-        || {fmt2("ROUND(covered * 0.9, 2)")} || ')'
+        || {fmt2(frac_wald_lower)} || ')'
 FROM st_{c}, hstat_{c}, fr_{c}
-WHERE nd <= 120 AND ndv >= 2 AND topsum >= 0.9""")
+WHERE nd <= 120 AND singletons * 1.0 / GREATEST(ndv, 1) <= 0.4
+  AND covered < 1""")
         if c in str_cols:
             selects.append(f"""
 SELECT '{c}', 'RetainTypeRule',

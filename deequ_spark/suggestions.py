@@ -195,11 +195,18 @@ class CategoricalRangeRule(SuggestionRule):
     name = "CategoricalRangeRule"
 
     def should_be_applied(self, profile, num_records):
-        if profile.histogram is None:
+        """CategoricalRangeRule.scala:35-52: String/Integral columns only;
+        ratio of distinct values occurring once must be ≤ 0.1 (an empty
+        histogram is 0/0 = NaN in the reference and fails the check)."""
+        if profile.histogram is None or profile.data_type not in (
+                DataTypeInstances.STRING, DataTypeInstances.INTEGRAL):
             return False
-        unique_ratio = sum(1 for dv in profile.histogram.values.values()
-                           if dv.absolute == 1) / max(len(profile.histogram.values), 1)
-        return unique_ratio < 0.1
+        entries = profile.histogram.values
+        if not entries:
+            return False
+        unique_ratio = sum(1 for dv in entries.values()
+                           if dv.absolute == 1) / len(entries)
+        return unique_ratio <= 0.1
 
     def candidate(self, profile, num_records):
         col = profile.column
@@ -218,34 +225,56 @@ class FractionalCategoricalRangeRule(SuggestionRule):
     covering ≥ targetDataCoverageFraction."""
     name = "FractionalCategoricalRangeRule"
 
-    def __init__(self, target_coverage: float = 0.9):
+    def __init__(self, target_coverage: float = 0.9,
+                 interval_strategy: Optional[ConfidenceIntervalStrategy] = None):
         self.target_coverage = target_coverage
+        self.interval_strategy = interval_strategy or DEFAULT_INTERVAL_STRATEGY
+
+    def _top_categories(self, profile):
+        """Categories by ratio desc until cumulative coverage reaches the
+        target — the one crossing the line is included
+        (FractionalCategoricalRangeRule.scala:105-124); key tiebreak for
+        determinism (Scala Map order is arbitrary on ties)."""
+        items = sorted(profile.histogram.values.items(),
+                       key=lambda kv: (-kv[1].ratio, kv[0]))
+        covered, top = 0.0, []
+        for k, dv in items:
+            if covered < self.target_coverage:
+                covered += dv.ratio
+                top.append((k, dv))
+        return top, covered
 
     def should_be_applied(self, profile, num_records):
-        if profile.histogram is None or len(profile.histogram.values) < 2:
+        """FractionalCategoricalRangeRule.scala:40-61: String/Integral
+        columns; once-occurring distinct ratio ≤ 0.4 AND the top
+        categories covering the target leave some tail (ratio sum < 1 —
+        otherwise the non-fractional CategoricalRangeRule applies)."""
+        if profile.histogram is None or profile.data_type not in (
+                DataTypeInstances.STRING, DataTypeInstances.INTEGRAL):
             return False
-        ratios = sorted((dv.ratio for dv in profile.histogram.values.values()),
-                        reverse=True)
-        top = [r for r in ratios if r > 0]
-        return sum(top[:max(1, len(top) // 2)]) >= self.target_coverage
+        entries = profile.histogram.values
+        if not entries:
+            return False
+        unique_ratio = sum(1 for dv in entries.values()
+                           if dv.absolute == 1) / len(entries)
+        _top, ratio_sums = self._top_categories(profile)
+        return unique_ratio <= 0.4 and ratio_sums < 1
 
     def candidate(self, profile, num_records):
         col = profile.column
-        items = sorted(profile.histogram.values.items(),
-                       key=lambda kv: -kv[1].ratio)
-        covered, categories = 0.0, []
-        for k, dv in items:
-            if k == "NullValue":
-                continue
-            categories.append(k)
-            covered += dv.ratio
-            if covered >= self.target_coverage:
-                break
-        threshold = round(covered * 0.9, 2)
+        top, ratio_sums = self._top_categories(profile)
+        categories = [k for k, _ in top if k != "NullValue"]
+        # assertion threshold = lower bound of the binomial confidence
+        # interval around the observed coverage
+        # (FractionalCategoricalRangeRule.scala:81-84)
+        threshold = max(0.0, self.interval_strategy
+                        .calculate_target_confidence_interval(
+                            min(ratio_sums, 1.0), max(num_records, 1))
+                        .lower_bound)
         return ConstraintSuggestion(
             f"ComplianceConstraint({col} mostly contained in ...)", col,
-            f"Coverage: {covered:.3f}",
-            f"'{col}' has value range {categories} for at least "
+            f"Coverage: {ratio_sums:.3f}",
+            f"'{col}' has value range {sorted(categories)} for at least "
             f"{threshold:.0%} of values", self.name,
             f'.is_contained_in("{col}", {sorted(categories)!r}, '
             f'lambda v: v >= {threshold})',

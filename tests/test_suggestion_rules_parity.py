@@ -1,0 +1,196 @@
+"""Suggestion-rule parity: shouldBeApplied decision tables transcribed from
+/root/reference/src/test/scala/com/amazon/deequ/suggestions/rules/
+ConstraintRulesTest.scala (fake-profile fixtures, :39-820). These are pure
+driver-side predicates — no Spark session needed."""
+
+import pytest
+
+from deequ_spark import DataTypeInstances
+from deequ_spark.metrics import Distribution, DistributionValue
+from deequ_spark.profiles import ColumnProfile
+from deequ_spark.suggestions import (CategoricalRangeRule,
+                                     CompleteIfCompleteRule,
+                                     FractionalCategoricalRangeRule,
+                                     NonNegativeNumbersRule,
+                                     RetainCompletenessRule, RetainTypeRule,
+                                     UniqueIfApproximatelyUniqueRule,
+                                     WaldIntervalStrategy)
+
+
+def string_profile(completeness=1.0, approx_distinct=100,
+                   data_type=DataTypeInstances.STRING, inferred=False,
+                   histogram=None, column="col1"):
+    return ColumnProfile(column, completeness, approx_distinct, data_type,
+                         inferred, {}, histogram)
+
+
+def numeric_profile(minimum, completeness=1.0,
+                    data_type=DataTypeInstances.FRACTIONAL):
+    return ColumnProfile("col1", completeness, 100, data_type, False, {},
+                         None, mean=10.0, maximum=100.0, minimum=minimum,
+                         sum=10000.0, std_dev=1.0)
+
+
+def dist(pairs, n_bins=None):
+    return Distribution({k: DistributionValue(a, r) for k, a, r in pairs},
+                        number_of_bins=n_bins or len(pairs))
+
+
+class TestCompleteIfCompleteRule:
+    """ConstraintRulesTest.scala:39-85."""
+
+    def test_decision_table(self):
+        complete = string_profile(1.0)
+        incomplete = string_profile(0.25)
+        assert CompleteIfCompleteRule().should_be_applied(complete, 1000)
+        assert not CompleteIfCompleteRule().should_be_applied(incomplete, 1000)
+
+
+class TestRetainCompletenessRule:
+    """ConstraintRulesTest.scala:134-150."""
+
+    def test_decision_table(self):
+        complete = string_profile(1.0)
+        ten_percent = string_profile(0.1)
+        incomplete = string_profile(0.25)
+        wald = WaldIntervalStrategy()
+        assert not RetainCompletenessRule().should_be_applied(complete, 1000)
+        assert not RetainCompletenessRule(0.05, 0.9).should_be_applied(
+            complete, 1000)
+        assert RetainCompletenessRule(0.05, 0.9).should_be_applied(
+            ten_percent, 1000)
+        assert RetainCompletenessRule(0.0).should_be_applied(ten_percent, 1000)
+        assert RetainCompletenessRule(0.0).should_be_applied(incomplete, 1000)
+        assert RetainCompletenessRule().should_be_applied(incomplete, 1000)
+        assert not RetainCompletenessRule(
+            interval_strategy=wald).should_be_applied(complete, 1000)
+        assert RetainCompletenessRule(0.05, 0.9, wald).should_be_applied(
+            ten_percent, 1000)
+
+
+class TestUniqueIfApproximatelyUniqueRule:
+    """ConstraintRulesTest.scala:237-252."""
+
+    def test_decision_table(self):
+        assert UniqueIfApproximatelyUniqueRule().should_be_applied(
+            string_profile(approx_distinct=100), 100)
+        assert UniqueIfApproximatelyUniqueRule().should_be_applied(
+            string_profile(approx_distinct=95), 100)
+        assert not UniqueIfApproximatelyUniqueRule().should_be_applied(
+            string_profile(approx_distinct=91), 100)
+        assert not UniqueIfApproximatelyUniqueRule().should_be_applied(
+            string_profile(approx_distinct=20), 100)
+
+
+class TestRetainTypeRule:
+    """ConstraintRulesTest.scala:300-340."""
+
+    def test_decision_table(self):
+        D = DataTypeInstances
+        for dt in (D.STRING, D.UNKNOWN):
+            assert not RetainTypeRule().should_be_applied(
+                string_profile(data_type=dt, inferred=True), 100), dt
+        for dt in (D.STRING, D.BOOLEAN, D.FRACTIONAL, D.INTEGRAL):
+            assert not RetainTypeRule().should_be_applied(
+                string_profile(data_type=dt, inferred=False), 100), dt
+        for dt in (D.BOOLEAN, D.FRACTIONAL, D.INTEGRAL):
+            assert RetainTypeRule().should_be_applied(
+                string_profile(data_type=dt, inferred=True), 100), dt
+
+
+class TestCategoricalRangeRule:
+    """ConstraintRulesTest.scala:380-470."""
+
+    NON_SKEWED = [("a", 5, 0.0), ("b", 10, 0.0), ("c", 1, 0.0)] + \
+        [(chr(ord("d") + i), 4, 0.0) for i in range(8)]
+    SKEWED = [("a", 17, 0.85), ("b", 1, 0.05), ("c", 1, 0.05),
+              ("d", 1, 0.05)]
+    FLG = [("0", 6, 0.6), ("1", 4, 0.4)]
+
+    def test_decision_table(self):
+        D = DataTypeInstances
+        rule = CategoricalRangeRule()
+        assert rule.should_be_applied(
+            string_profile(histogram=dist(self.NON_SKEWED)), 100)
+        assert rule.should_be_applied(
+            string_profile(data_type=D.INTEGRAL,
+                           histogram=dist(self.NON_SKEWED)), 100)
+        assert rule.should_be_applied(
+            string_profile(histogram=dist(self.FLG)), 10)
+        assert rule.should_be_applied(
+            string_profile(data_type=D.INTEGRAL,
+                           histogram=dist(self.FLG)), 10)
+        assert not rule.should_be_applied(
+            string_profile(histogram=dist(self.SKEWED)), 100)
+        assert not rule.should_be_applied(string_profile(), 100)
+        assert not rule.should_be_applied(
+            string_profile(data_type=D.BOOLEAN), 100)
+        # empty histogram: the reference's 0/0 is NaN and fails the check
+        assert not rule.should_be_applied(
+            string_profile(data_type=D.BOOLEAN, histogram=dist([], 0)), 20)
+        assert not rule.should_be_applied(
+            string_profile(histogram=dist([], 0)), 20)
+
+
+class TestFractionalCategoricalRangeRule:
+    """ConstraintRulesTest.scala:557-660."""
+
+    FRACTIONAL_RANGE = [("Y", 42, 0.42), ("'Y'", 1, 0.01), ("N", 57, 0.57)]
+    ACTUAL_RANGE = [("Y", 5, 0.4), ("N", 10, 0.6)]
+    SOMEWHAT_SKEWED = [("a", 85, 0.85), ("b", 7, 0.07), ("c", 2, 0.07),
+                       ("d", 1, 0.01)]
+    SKEWED = [("a", 17, 0.79), ("b", 1, 0.07), ("c", 1, 0.07),
+              ("d", 1, 0.07)]
+
+    def test_decision_table(self):
+        D = DataTypeInstances
+        rule = FractionalCategoricalRangeRule()
+        for dt in (D.STRING, D.INTEGRAL):
+            assert rule.should_be_applied(
+                string_profile(data_type=dt,
+                               histogram=dist(self.SOMEWHAT_SKEWED)), 100), dt
+            assert rule.should_be_applied(
+                string_profile(data_type=dt,
+                               histogram=dist(self.FRACTIONAL_RANGE)), 100), dt
+            assert not rule.should_be_applied(
+                string_profile(data_type=dt,
+                               histogram=dist(self.SKEWED)), 100), dt
+            assert not rule.should_be_applied(
+                string_profile(data_type=dt,
+                               histogram=dist(self.ACTUAL_RANGE)), 100), dt
+            assert not rule.should_be_applied(
+                string_profile(data_type=dt), 100), dt
+        assert not rule.should_be_applied(
+            string_profile(data_type=D.BOOLEAN), 100)
+        assert not rule.should_be_applied(
+            string_profile(data_type=D.BOOLEAN, histogram=dist([], 0)), 20)
+
+
+class TestNonNegativeNumbersRule:
+    """ConstraintRulesTest.scala:757-795."""
+
+    def test_decision_table(self):
+        assert not NonNegativeNumbersRule().should_be_applied(
+            numeric_profile(-1.76), 100)
+        assert NonNegativeNumbersRule().should_be_applied(
+            numeric_profile(0.0), 100)
+        assert NonNegativeNumbersRule().should_be_applied(
+            numeric_profile(0.05), 100)
+
+
+class TestRetainCompletenessCandidateBounds:
+    """ConstraintRulesTest.scala:186-210: the Wald/Wilson interval lower
+    bound becomes the suggested completeness threshold (2-decimal
+    truncation semantics)."""
+
+    def test_wald_bound(self):
+        from deequ_spark.suggestions import WaldIntervalStrategy
+        interval = WaldIntervalStrategy().calculate_target_confidence_interval(
+            0.5, 100)
+        assert interval.lower_bound == 0.4
+
+    def test_wilson_bound(self):
+        from deequ_spark.suggestions import WilsonScoreIntervalStrategy
+        interval = (WilsonScoreIntervalStrategy()
+                    .calculate_target_confidence_interval(0.4, 100))
+        assert interval.lower_bound == 0.3
