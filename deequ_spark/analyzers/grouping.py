@@ -560,15 +560,25 @@ class HistogramBinned(Analyzer):
     def instance(self) -> str:
         return self.column
 
+    MAX_ALLOWED_BINS = 1000   # HistogramBinned.scala MaximumAllowedDetailBins
+
     def preconditions(self):
         def edges_or_count(schema):
             if (self.bin_count is None) == (self.custom_edges is None):
                 raise ValueError("specify exactly one of bin_count / custom_edges")
+            if self.custom_edges is not None and len(self.custom_edges) < 2:
+                raise ValueError("Custom edges must have at least 2 values")
             if (self.include_overflow_bins and self.bin_count is not None
                     and self.bin_count < 3):
                 # 2 overflow + at least 1 interior (HistogramBinned.scala:104-107)
                 raise ValueError("bin_count must be at least 3 when "
                                  "include_overflow_bins is true")
+            n_bins = (self.bin_count if self.bin_count is not None
+                      else len(self._with_overflow_edges(
+                          sorted(self.custom_edges))) - 1)
+            if n_bins > self.MAX_ALLOWED_BINS:
+                raise ValueError(f"Cannot return histogram values for more "
+                                 f"than {self.MAX_ALLOWED_BINS} bins")
         return [has_column(self.column), is_numeric(self.column), edges_or_count]
 
     def _with_overflow_edges(self, edges):
@@ -585,71 +595,89 @@ class HistogramBinned(Analyzer):
     def compute_state_from(self, df: DataFrame):
         data = df.filter(self.where) if self.where else df
         col = _col(self.column).cast("double")
-        # NULLs never belong to a bin (width_bucket(NULL) is NULL, and a
-        # least/greatest clamp would silently coerce it into bin 1)
-        data = data.where(col.isNotNull())
         if self.custom_edges is not None:
             edges = self._with_overflow_edges(sorted(self.custom_edges))
         else:
             row = data.agg(F.min(col), F.max(col)).collect()[0]
             if row[0] is None:
-                return None
+                # no non-null data and no user edges → zero data bins, all
+                # rows counted as NULLs — a SUCCESS metric, not an error
+                # (HistogramBinnedTest.scala:298-315 "handle all null data
+                # gracefully")
+                n_null = data.count()
+                return _BinnedState((), (), 0, n_null)
             lo, hi = float(row[0]), float(row[1])
             if lo == hi:
-                hi = lo + 1.0
-            interior = (self.bin_count - 2 if self.include_overflow_bins
-                        else self.bin_count)
-            step = (hi - lo) / interior
-            edges = self._with_overflow_edges(
-                [lo + i * step for i in range(interior)] + [hi])
+                # single distinct value → ONE [v, v] bin, bin_count ignored
+                # (HistogramBinned.scala:246-249, Test :1035-1090)
+                edges = self._with_overflow_edges([lo, hi])
+            else:
+                interior = (self.bin_count - 2 if self.include_overflow_bins
+                            else self.bin_count)
+                step = (hi - lo) / interior
+                edges = self._with_overflow_edges(
+                    [lo + i * step for i in range(interior)] + [hi])
         n_buckets = len(edges) - 1
-        if self.custom_edges is None and not self.include_overflow_bins:
+        uniform = (self.custom_edges is None
+                   and not self.include_overflow_bins
+                   and edges[0] != edges[-1])
+        if uniform:
             # equal-width path: the built-in width_bucket does the O(log b)
             # binary search JVM-side; edges derive from this data's min/max,
             # so the only overflow is max itself (width_bucket → n+1) —
             # clamp it into the last bin
-            bucket = F.width_bucket(col, F.lit(edges[0]), F.lit(edges[-1]),
+            assign = F.width_bucket(col, F.lit(edges[0]), F.lit(edges[-1]),
                                     F.lit(n_buckets))
-            bucket = F.least(F.greatest(bucket, F.lit(1)), F.lit(n_buckets))
+            assign = F.least(F.greatest(assign, F.lit(1)), F.lit(n_buckets))
         else:
-            # custom (possibly non-uniform) and/or ±Inf edges: bucket =
-            # |{edges ≤ value}| over ONE sorted array literal — a single
-            # flat expression per row (no b-deep when-nesting that would
-            # stress codegen at the 1000-bin cap). Lower-inclusive half-open
-            # bins fall out directly; the one inclusive upper boundary (the
-            # last finite edge — HistogramBinned.scala:168-178 keeps the
-            # data max in the last interior bin) is clamped back explicitly.
+            # custom (possibly non-uniform), degenerate [v,v], and/or ±Inf
+            # edges: bucket = |{edges ≤ value}| over ONE sorted array
+            # literal — a single flat expression per row (no b-deep
+            # when-nesting that would stress codegen at the 1000-bin cap).
+            # Lower-inclusive half-open bins fall out directly; the one
+            # inclusive upper boundary (the last finite edge —
+            # HistogramBinned.scala:168-178 keeps the data max in the last
+            # interior bin) is clamped back explicitly.
             edge_arr = F.array(*[F.lit(e) for e in edges])
             raw = F.size(F.filter(edge_arr, lambda e: e <= col))
             finite_uppers = [i for i in range(1, len(edges))
                              if edges[i] != float("inf")]
             incl_idx = finite_uppers[-1] if finite_uppers else None
-            bucket = raw
+            assign = raw
             if incl_idx is not None and incl_idx >= 1:
                 # value == last finite edge belongs to the bin BELOW it
-                bucket = (F.when(col == F.lit(edges[incl_idx]),
+                assign = (F.when(col == F.lit(edges[incl_idx]),
                                  F.lit(incl_idx)).otherwise(raw))
             # out-of-range (only possible without overflow bins): drop
-            bucket = F.when((bucket >= 1) & (bucket <= n_buckets), bucket)
+            assign = F.when((assign >= 1) & (assign <= n_buckets), assign)
+        # NULLs ride along as sentinel bucket 0 — ONE groupBy counts data
+        # bins, out-of-range drops, and the null tally together (parity:
+        # the reference's NullFieldReplacement label, Test :163-218,750)
+        bucket = F.when(col.isNull(), F.lit(0)).otherwise(assign)
         freq = (data.select(bucket.alias("bucket"))
                 .where(F.col("bucket").isNotNull())
                 .groupBy("bucket").agg(F.count(F.lit(1)).alias(COUNT_COL)))
         rows = freq.collect()
         counts = {int(r["bucket"]): int(r[COUNT_COL]) for r in rows}
+        null_count = counts.pop(0, 0)
         total = sum(counts.values())
         return _BinnedState(tuple(edges), tuple(counts.get(i + 1, 0)
-                                                for i in range(n_buckets)), total)
+                                                for i in range(n_buckets)),
+                            total, null_count)
 
     def compute_metric_from_state(self, state) -> Metric:
         if state is None:
             return self.to_failure_metric(EmptyStateError("Empty state"))
-        total = max(state.total, 1)
+        # ratios are over ALL in-scope rows including NULLs, matching the
+        # reference's aggregateFunction.total(data) denominator
+        total = max(state.total + state.null_count, 1)
         values = {}
         for i, cnt in enumerate(state.counts):
             label = f"[{state.edges[i]:.6g}, {state.edges[i + 1]:.6g}" + (
                 "]" if i == len(state.counts) - 1 else ")")
             values[label] = DistributionValue(cnt, cnt / total)
-        dist = Distribution(values, number_of_bins=len(state.counts))
+        dist = Distribution(values, number_of_bins=len(state.counts),
+                            null_count=state.null_count)
         return HistogramMetric(Entity.COLUMN, self.name, self.instance, dist)
 
 
@@ -658,10 +686,12 @@ class _BinnedState(State):
     edges: Tuple[float, ...]
     counts: Tuple[int, ...]
     total: int
+    null_count: int = 0
 
     def merge(self, other):
         if self.edges != other.edges:
             raise ValueError("cannot merge binned histograms with different edges")
         return _BinnedState(self.edges,
                             tuple(a + b for a, b in zip(self.counts, other.counts)),
-                            self.total + other.total)
+                            self.total + other.total,
+                            self.null_count + other.null_count)

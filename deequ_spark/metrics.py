@@ -36,6 +36,9 @@ class Distribution:
     values: Dict[str, DistributionValue]
     number_of_bins: int
     tail_count: int = 0
+    # binned histograms track NULLs separately from data bins
+    # (parity: HistogramBinned.scala DistributionBinned.nullCount)
+    null_count: int = 0
 
     def __getitem__(self, key: str) -> DistributionValue:
         return self.values[key]

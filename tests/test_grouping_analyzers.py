@@ -248,3 +248,140 @@ class TestHistogramBinningUdf:
         dist = value(a, df)
         assert dist["x"].absolute == 1
         assert dist["NullValue"].absolute == 1
+
+
+class TestHistogramBinnedReferenceFixtures:
+    """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/
+    analyzers/HistogramBinnedTest.scala (line refs per test)."""
+
+    def _bins(self, dist):
+        return [dv.absolute for dv in dist.values.values()]
+
+    def test_equal_width_integer(self, spark):
+        """:34-82 — 14 values, 5 equal bins over [1, 30]."""
+        data = spark.createDataFrame(
+            [(v,) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 15, 20, 25, 30]],
+            "values int")
+        dist = value(HistogramBinned("values", bin_count=5), data)
+        assert dist.number_of_bins == 5
+        assert self._bins(dist) == [6, 4, 1, 1, 2]
+        ratios = [dv.ratio for dv in dist.values.values()]
+        assert ratios[0] == pytest.approx(6 / 14, abs=0.001)
+        assert ratios[4] == pytest.approx(2 / 14, abs=0.001)
+
+    def test_all_null_data(self, spark):
+        """:298-315 — SUCCESS with zero bins, nulls tracked separately."""
+        data = spark.createDataFrame([(None,)] * 4, "values double")
+        dist = value(HistogramBinned("values", bin_count=3), data)
+        assert dist.number_of_bins == 0
+        assert dist.values == {}
+        assert dist.null_count == 4
+
+    def test_empty_bins_and_nulls(self, spark):
+        """:317-345 — gaps keep empty bins; nulls separate."""
+        data = spark.createDataFrame([(1.0,), (None,), (9.0,), (None,)],
+                                     "values double")
+        dist = value(HistogramBinned("values", bin_count=5), data)
+        assert dist.number_of_bins == 5
+        assert self._bins(dist) == [1, 0, 0, 0, 1]
+        assert dist.null_count == 2
+
+    def test_boundary_values(self, spark):
+        """:549-577 — edge-exact values, last custom bin inclusive."""
+        data = spark.createDataFrame(
+            [(v,) for v in [0.0, 5.0, 10.0, 15.0, 20.0]], "values double")
+        dist = value(HistogramBinned(
+            "values", custom_edges=(0.0, 5.0, 10.0, 20.0)), data)
+        assert self._bins(dist) == [1, 1, 3]
+
+    def test_gaps_with_empty_bins(self, spark):
+        """:578-603."""
+        data = spark.createDataFrame([(1.0,), (19.0,)], "values double")
+        dist = value(HistogramBinned(
+            "values", custom_edges=(0.0, 5.0, 10.0, 15.0, 20.0)), data)
+        assert self._bins(dist) == [1, 0, 0, 1]
+
+    def test_overflow_custom_edges(self, spark):
+        """:674-703."""
+        data = spark.createDataFrame(
+            [(v,) for v in [1.0, 5.0, 15.0, 25.0]], "values double")
+        dist = value(HistogramBinned("values", custom_edges=(0.0, 10.0, 20.0),
+                                     include_overflow_bins=True), data)
+        assert dist.number_of_bins == 4
+        assert self._bins(dist) == [0, 2, 1, 1]
+
+    def test_overflow_auto_edges(self, spark):
+        """:705-727 — binCount 5 with overflow = 3 interior + 2 empty
+        overflow; max stays interior."""
+        data = spark.createDataFrame(
+            [(float(v),) for v in range(1, 6)], "values double")
+        dist = value(HistogramBinned("values", bin_count=5,
+                                     include_overflow_bins=True), data)
+        assert dist.number_of_bins == 5
+        bins = self._bins(dist)
+        assert bins[0] == 0 and bins[4] == 0
+        assert sum(bins) == 5
+
+    def test_no_duplicate_infinity_edges(self, spark):
+        """:729-749 — user-provided ±Inf edges are not duplicated; the
+        boundary value 20.0 stays in the last interior bin."""
+        data = spark.createDataFrame(
+            [(v,) for v in [1.0, 5.0, 20.0, 25.0]], "values double")
+        dist = value(HistogramBinned(
+            "values",
+            custom_edges=(float("-inf"), 0.0, 10.0, 20.0, float("inf")),
+            include_overflow_bins=True), data)
+        assert dist.number_of_bins == 4
+        assert self._bins(dist) == [0, 2, 1, 1]
+
+    def test_nulls_separate_from_overflow(self, spark):
+        """:750-776."""
+        data = spark.createDataFrame(
+            [(-5.0,), (None,), (5.0,), (25.0,), (None,)], "values double")
+        dist = value(HistogramBinned("values", custom_edges=(0.0, 10.0, 20.0),
+                                     include_overflow_bins=True), data)
+        assert dist.number_of_bins == 4
+        assert self._bins(dist) == [1, 1, 0, 1]
+        assert dist.null_count == 2
+
+    def test_out_of_range_dropped_nulls_counted(self, spark):
+        """:975-997 — overflow disabled: out-of-range silently dropped,
+        nulls still tallied."""
+        data = spark.createDataFrame(
+            [(-5.0,), (None,), (5.0,), (25.0,)], "values double")
+        dist = value(HistogramBinned("values",
+                                     custom_edges=(0.0, 10.0, 20.0)), data)
+        assert self._bins(dist) == [1, 0]
+        assert dist.null_count == 1
+
+    def test_single_value_single_bin(self, spark):
+        """:1035-1050 — constant column → ONE [v, v] bin, bin_count
+        ignored."""
+        data = spark.createDataFrame([(5.0,)] * 5, "values double")
+        dist = value(HistogramBinned("values", bin_count=10), data)
+        assert dist.number_of_bins == 1
+        assert self._bins(dist) == [5]
+
+    def test_single_value_with_overflow(self, spark):
+        """:1051-1071."""
+        data = spark.createDataFrame([(5.0,)] * 3, "values double")
+        dist = value(HistogramBinned("values", bin_count=5,
+                                     include_overflow_bins=True), data)
+        assert dist.number_of_bins == 3
+        assert self._bins(dist) == [0, 3, 0]
+
+    def test_single_value_with_nulls(self, spark):
+        """:1072-1090."""
+        data = spark.createDataFrame(
+            [(5.0,), (None,), (5.0,), (None,), (5.0,)], "values double")
+        dist = value(HistogramBinned("values", bin_count=10), data)
+        assert dist.number_of_bins == 1
+        assert self._bins(dist) == [3]
+        assert dist.null_count == 2
+
+    def test_too_few_custom_edges_fails(self, spark):
+        """:1128-1133."""
+        data = spark.createDataFrame([(1.0,)], "values double")
+        from deequ_spark import do_analysis_run
+        a = HistogramBinned("values", custom_edges=(1.0,))
+        assert not do_analysis_run(data, [a]).metric_map[a].is_success
