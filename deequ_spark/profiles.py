@@ -25,12 +25,12 @@ from pyspark.sql import types as T
 
 from .analyzers.base import NUMERIC_TYPES
 from .analyzers.grouping import Histogram
-from .analyzers.scan import (ApproxCountDistinct, ApproxQuantiles,
-                             Completeness, Compliance, DataType,
-                             DataTypeInstances,
+from .analyzers.scan import (AnalyzerOptions, ApproxCountDistinct,
+                             ApproxQuantiles, Completeness, Compliance,
+                             DataType, DataTypeInstances,
                              Kurtosis, Maximum, MaxLength, Mean, Minimum,
-                             MinLength, Size, Skewness, StandardDeviation,
-                             Sum, determine_type)
+                             MinLength, NullBehavior, Size, Skewness,
+                             StandardDeviation, Sum, determine_type)
 from .metrics import Distribution
 from .runners.analysis_runner import do_analysis_run
 
@@ -144,8 +144,12 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
         pass1.append(ApproxCountDistinct(c))
         if isinstance(schema[c], T.StringType):
             pass1.append(DataType(c))
-            pass1.append(MinLength(c))
-            pass1.append(MaxLength(c))
+            # the profiler reads NULL strings as length 0, so min_length of
+            # a nullable column is 0 (ColumnProfiler.scala:272-277
+            # AnalyzerOptions(NullBehavior.EmptyString))
+            empty = AnalyzerOptions(null_behavior=NullBehavior.EMPTY_STRING)
+            pass1.append(MinLength(c, analyzer_options=empty))
+            pass1.append(MaxLength(c, analyzer_options=empty))
     for c in array_cols:
         pass1.append(Minimum(f"__dq_size_{c}"))
         pass1.append(Maximum(f"__dq_size_{c}"))

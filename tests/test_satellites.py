@@ -533,3 +533,35 @@ def test_suggest_embedding_quality_for_vector_columns(spark):
     check = sugg[0].apply(Check(CheckLevel.ERROR, "suggested"))
     vr = VerificationSuite().on_data(emb).add_check(check).run()
     assert vr.check_results[check].status == CheckStatus.SUCCESS
+
+
+class TestProfilerReferenceParity:
+    """ColumnProfilerTest.scala:53-100: string profiles read NULLs as
+    length 0 and tally them as Unknown type counts."""
+
+    def test_string_profile_att2(self, spark):
+        from deequ_spark import profile_columns
+        df = spark.createDataFrame(
+            [("1", "a", "f"), ("2", "b", "d"), ("3", "a", None),
+             ("4", "a", "f"), ("5", "b", None), ("6", "a", "f")],
+            "item string, att1 string, att2 string")
+        p = profile_columns(df, ["att2"])["att2"]
+        assert p.completeness == pytest.approx(2 / 3)
+        assert p.approx_num_distinct == 2
+        assert p.is_data_type_inferred
+        assert p.type_counts == {"Boolean": 0, "Fractional": 0,
+                                 "Integral": 0, "Unknown": 2, "String": 4}
+        assert p.min_length == 0.0    # NULL reads as empty string
+        assert p.max_length == 1.0
+
+    def test_string_profile_lengths_with_spaces(self, spark):
+        from deequ_spark import profile_columns
+        df = spark.createDataFrame(
+            [("1", "ab", "abc1"), ("2", "bc", None), ("3", "a", "abc1e3g"),
+             ("4", "abc", "abc1"), ("5", "b", None)],
+            "`item item` string, `att 1` string, `att 2` string")
+        profiles = profile_columns(df, ["att 1", "att 2"])
+        assert profiles["att 1"].min_length == 1.0
+        assert profiles["att 1"].max_length == 3.0
+        assert profiles["att 2"].min_length == 0.0
+        assert profiles["att 2"].max_length == 7.0
