@@ -39,7 +39,8 @@ from .constraints import (AnalysisBasedConstraint, Constraint,
                           ConstraintResult, ConstraintStatus)
 from .metrics import (Distribution, DistributionValue, DoubleMetric, Entity,
                       HistogramMetric, KeyedDoubleMetric, Metric)
-from .runners.analysis_runner import (AnalyzerContext, do_analysis_run,
+from .runners.analysis_runner import (AnalysisRunBuilder, AnalysisRunner,
+                                      AnalyzerContext, do_analysis_run,
                                       run_on_aggregated_states)
 from .verification import (VerificationResult, VerificationRunBuilder,
                            VerificationSuite)

@@ -335,3 +335,71 @@ def run_on_aggregated_states(schema_source: DataFrame,
         except Exception as exc:  # noqa: BLE001
             ctx.metric_map[a] = a.to_failure_metric(exc)
     return ctx
+
+
+class AnalysisRunBuilder:
+    """Fluent analysis entry point (parity: runners/AnalysisRunBuilder.scala
+    + AnalysisRunner.scala onData). Adding the SAME analyzer twice is an
+    error, matching the reference builder's require (AnalysisRunnerTests
+    "should give error for duplicate analyzers"); distinct where-filtered
+    variants of one analyzer coexist fine."""
+
+    def __init__(self, data: DataFrame):
+        self._data = data
+        self._analyzers: List[Analyzer] = []
+        self._repository = None
+        self._reuse_key = None
+        self._save_key = None
+        self._fail_if_results_missing = False
+        self._state_provider = None
+
+    def add_analyzer(self, analyzer: Analyzer) -> "AnalysisRunBuilder":
+        if analyzer in self._analyzers:
+            raise ValueError(f"Analyzer {analyzer} can only be added once")
+        self._analyzers.append(analyzer)
+        return self
+
+    def add_analyzers(self, analyzers: Sequence[Analyzer]) -> "AnalysisRunBuilder":
+        for a in analyzers:
+            self.add_analyzer(a)
+        return self
+
+    def use_repository(self, repository) -> "AnalysisRunBuilder":
+        self._repository = repository
+        return self
+
+    def reuse_existing_results_for_key(
+            self, key, fail_if_results_missing: bool = False
+    ) -> "AnalysisRunBuilder":
+        self._reuse_key = key
+        self._fail_if_results_missing = fail_if_results_missing
+        return self
+
+    def save_or_append_result(self, key) -> "AnalysisRunBuilder":
+        self._save_key = key
+        return self
+
+    def save_states_with(self, provider) -> "AnalysisRunBuilder":
+        self._state_provider = provider
+        return self
+
+    def run(self) -> AnalyzerContext:
+        return do_analysis_run(
+            self._data, self._analyzers,
+            metrics_repository=self._repository,
+            reuse_existing_results_for_key=self._reuse_key,
+            save_or_append_results_with_key=self._save_key,
+            save_states_with=self._state_provider,
+            fail_if_results_missing=self._fail_if_results_missing)
+
+
+class AnalysisRunner:
+    """Parity: AnalysisRunner.scala onData/run entry points."""
+
+    @staticmethod
+    def on_data(data: DataFrame) -> AnalysisRunBuilder:
+        return AnalysisRunBuilder(data)
+
+    @staticmethod
+    def run(data: DataFrame, analyzers: Sequence[Analyzer]) -> AnalyzerContext:
+        return do_analysis_run(data, analyzers)

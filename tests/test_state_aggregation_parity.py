@@ -79,3 +79,43 @@ def test_approx_count_distinct_merge(split_data):
               .merge(analyzer.compute_state_from(b)))
     assert analyzer.compute_metric_from_state(merged).value == \
         analyzer.calculate(ab).value
+
+
+class TestAnalysisRunnerBuilder:
+    """AnalysisRunnerTests.scala:373-410 builder semantics."""
+
+    def test_duplicate_analyzers_raise(self, spark):
+        from deequ_spark import AnalysisRunner
+        df = spark.createDataFrame([(1,)], "att1 int")
+        with pytest.raises(ValueError):
+            (AnalysisRunner.on_data(df)
+             .add_analyzers([Size(), Completeness("att1"), Size()]))
+
+    def test_filtered_variants_coexist(self, spark):
+        from deequ_spark import AnalysisRunner
+        df = spark.createDataFrame([(0, 1), (2, 3)], "att1 int, att2 int")
+        ctx = (AnalysisRunner.on_data(df)
+               .add_analyzers([Size(), Size(where="att1 = 0"),
+                               Size(where="att2 > 0")])
+               .run())
+        vals = {a.where: m.value for a, m in ctx.metric_map.items()}
+        assert vals == {None: 2.0, "att1 = 0": 1.0, "att2 > 0": 2.0}
+
+    def test_no_size_added_for_frequency_only(self, spark):
+        from deequ_spark import AnalysisRunner
+        df = spark.createDataFrame([("a",), ("b",)], "att1 string")
+        ctx = (AnalysisRunner.on_data(df)
+               .add_analyzer(Distinctness(("att1",))).run())
+        assert not any(type(a).__name__ == "Size"
+                       for a in ctx.metric_map)
+
+    def test_builder_with_repository(self, spark):
+        from deequ_spark import (AnalysisRunner, InMemoryMetricsRepository,
+                                 ResultKey)
+        df = spark.createDataFrame([(1,), (2,)], "att1 int")
+        repo = InMemoryMetricsRepository()
+        key = ResultKey.make(1000)
+        ctx = (AnalysisRunner.on_data(df).add_analyzer(Size())
+               .use_repository(repo).save_or_append_result(key).run())
+        assert ctx.metric_map[Size()].value == 2.0
+        assert repo.load_by_key(key).metric_map[Size()].value == 2.0
