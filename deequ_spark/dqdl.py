@@ -57,7 +57,7 @@ _TOKEN_RE = re.compile(r"""
       (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<number>-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)
     | (?P<op><=|>=|!=|=|<|>)
-    | (?P<punct>[\[\](),])
+    | (?P<punct>[\[\](),+-])
     | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
     )""", re.VERBOSE)
 
@@ -83,6 +83,22 @@ def _tokenize(text: str) -> List[Tuple[str, str]]:
 # ---------------------------------------------------------------------------
 # AST
 # ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class NowExpr:
+    """Dynamic `now()` operand, optionally offset: `(now() - 3 days)`
+    (Glue DQDL date expressions, EvaluateDataQualitySpec.scala:1993-2005).
+    Rendered lazily as SQL so `now` is evaluation time, not parse time."""
+    sign: str = ""            # "", "-" or "+"
+    amount: float = 0.0
+    unit: str = "days"        # days / hours / minutes
+
+    def sql(self) -> str:
+        if not self.sign:
+            return "current_timestamp()"
+        return (f"(current_timestamp() {self.sign} "
+                f"INTERVAL {self.amount:g} {self.unit.upper()})")
+
 
 @dataclass
 class Condition:
@@ -128,6 +144,8 @@ class Condition:
         def lit(v):
             if v is None:
                 return "NULL"
+            if isinstance(v, NowExpr):
+                return v.sql()
             if isinstance(v, str):
                 return "'" + v.replace("'", "''") + "'"
             return f"{v:g}" if isinstance(v, float) else repr(v)
@@ -146,13 +164,13 @@ class Condition:
             if self.negated:
                 # NULLs FAIL not-between (ColumnValuesRuleSpec.scala:300-318
                 # "value IS NOT NULL AND (value <= 10.0 OR value >= 20.0)")
-                return (f"({expr} IS NOT NULL AND ({expr} <= {self.low}"
-                        f" OR {expr} >= {self.high}))")
+                return (f"({expr} IS NOT NULL AND ({expr} <= {lit(self.low)}"
+                        f" OR {expr} >= {lit(self.high)}))")
             # EXCLUSIVE bounds (ColumnValuesRuleSpec.scala:88-99 "BETWEEN
             # numeric rule with exclusive bounds"); NULL comparisons are
             # NULL → the row fails, matching the reference's paired
             # isComplete constraint
-            return f"({expr} > {self.low} AND {expr} < {self.high})"
+            return f"({expr} > {lit(self.low)} AND {expr} < {lit(self.high)})"
         if self.kind == "in":
             non_null = [v for v in self.values if v is not None]
             has_null = len(non_null) < len(self.values)
@@ -272,6 +290,38 @@ class _Parser:
             return None
         raise DQDLParseError(f"Expected literal, got {val!r}")
 
+    def _operand(self) -> Any:
+        """A condition operand: literal, or a dynamic date expression —
+        `now()` / `(now() - 3 days)` (Glue DQDL date operands)."""
+        nxt = self.peek()
+        if nxt and nxt[1] == "(":
+            self.next()
+            expr = self._now_expr()
+            kind, val = self.next()
+            if val != ")":
+                raise DQDLParseError(f"Expected ')', got {val!r}")
+            return expr
+        if nxt and nxt[0] == "word" and nxt[1].lower() == "now":
+            return self._now_expr()
+        return self._value()
+
+    def _now_expr(self) -> NowExpr:
+        kind, val = self.next()
+        if kind != "word" or val.lower() != "now":
+            raise DQDLParseError(f"Expected now(), got {val!r}")
+        if self.next()[1] != "(" or self.next()[1] != ")":
+            raise DQDLParseError("Expected now()")
+        nxt = self.peek()
+        if nxt and nxt[1] in ("-", "+"):
+            sign = self.next()[1]
+            amount = self._number()
+            kind, unit = self.next()
+            unit_l = unit.lower().rstrip("s") + "s"
+            if kind != "word" or unit_l not in ("days", "hours", "minutes"):
+                raise DQDLParseError(f"Expected days/hours/minutes, got {unit!r}")
+            return NowExpr(sign, amount, unit_l)
+        return NowExpr()
+
     def parse_ruleset(self) -> DQRuleset:
         self.expect("Rules")
         self.expect("=")
@@ -327,7 +377,7 @@ class _Parser:
         kind, val = nxt
         if kind == "op":
             self.next()
-            cond = Condition("cmp", op=val, value=self._value())
+            cond = Condition("cmp", op=val, value=self._operand())
             nxt2 = self.peek()
             if nxt2 and nxt2[0] == "word" and nxt2[1].lower() in (
                     "days", "day", "hours", "hour", "minutes", "minute"):
@@ -335,9 +385,9 @@ class _Parser:
             return cond
         if kind == "word" and val.lower() == "between":
             self.next()
-            lo = self._number()
+            lo = self._operand()
             self.expect("and")
-            return Condition("between", low=lo, high=self._number())
+            return Condition("between", low=lo, high=self._operand())
         if kind == "word" and val.lower() == "in":
             self.next()
             return Condition("in", values=self._bracket_list())
@@ -346,9 +396,9 @@ class _Parser:
             nxt2 = self.peek()
             if nxt2 and nxt2[0] == "word" and nxt2[1].lower() == "between":
                 self.next()
-                lo = self._number()
+                lo = self._operand()
                 self.expect("and")
-                return Condition("between", low=lo, high=self._number(),
+                return Condition("between", low=lo, high=self._operand(),
                                  negated=True)
             self.expect("in")
             return Condition("in", values=self._bracket_list(), negated=True)

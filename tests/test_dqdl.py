@@ -475,3 +475,89 @@ class TestReferenceDQDLParity:
         row2 = out2.collect()[0]
         assert row2["Outcome"] == "Failed"
         assert row2["FailureReason"]
+
+
+class TestDQDLDateValues:
+    """Date-operand ColumnValues parity
+    (EvaluateDataQualitySpec.scala:1880-2040)."""
+
+    def _dates(self, spark, vals=("2022-02-01", "2022-03-01", "2022-04-01"),
+               col="order_date"):
+        return spark.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(vals)],
+            f"id int, `{col}` string")
+
+    def _outcome(self, df, ruleset):
+        return list(_outcomes(EvaluateDataQuality.process(df, ruleset)).values())[0]
+
+    def test_greater_than(self, spark):
+        df = self._dates(spark)
+        assert self._outcome(
+            df, 'Rules=[ColumnValues "order_date" > "2022-01-01"]') == "Passed"
+        assert self._outcome(
+            df, 'Rules=[ColumnValues "order_date" > "2023-01-01"]') == "Failed"
+
+    def test_less_than(self, spark):
+        df = self._dates(spark)
+        assert self._outcome(
+            df, 'Rules=[ColumnValues "order_date" < "2023-01-01"]') == "Passed"
+
+    def test_between_dates(self, spark):
+        df = self._dates(spark)
+        assert self._outcome(
+            df, 'Rules=[ColumnValues "order_date" between "2022-01-01" '
+                'and "2022-12-31"]') == "Passed"
+
+    def test_date_in_set(self, spark):
+        df = self._dates(spark, ("2022-01-05", "2022-01-05", "2022-03-15"))
+        assert self._outcome(
+            df, 'Rules=[ColumnValues "order_date" in '
+                '["2022-01-05", "2022-03-15"]]') == "Passed"
+
+    def test_typed_date_column(self, spark):
+        from pyspark.sql import functions as F
+        df = self._dates(spark, ("2022-02-01", "2022-03-01", "2022-07-01"))
+        df = df.withColumn("order_date", F.col("order_date").cast("date"))
+        assert self._outcome(
+            df, 'Rules=[ColumnValues "order_date" >= "2022-02-01"]') == "Passed"
+
+    def test_column_name_with_spaces(self, spark):
+        df = self._dates(spark, col="Some Date")
+        assert self._outcome(
+            df, 'Rules=[ColumnValues "Some Date" > "2022-01-01"]') == "Passed"
+
+    def test_nulls_fail_comparison_but_pass_not_equals(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2022-02-01"), (2, None), (3, "2022-04-01")],
+            "id int, order_date string")
+        assert self._outcome(
+            df, 'Rules=[ColumnValues "order_date" > "2022-01-01"]') == "Failed"
+        assert self._outcome(
+            df, 'Rules=[ColumnValues "order_date" != "2099-01-01"]') == "Passed"
+        assert self._outcome(
+            df, 'Rules=[ColumnValues "order_date" not in ["2099-01-01"]]'
+        ) == "Passed"
+
+    def test_where_clause(self, spark):
+        df = self._dates(spark, ("2021-06-01", "2022-03-01", "2022-04-01"))
+        assert self._outcome(
+            df, 'Rules=[ColumnValues "order_date" > "2022-01-01" '
+                'where "id > 1"]') == "Passed"
+
+    def test_dynamic_now_expression(self, spark):
+        df = self._dates(spark)
+        assert self._outcome(
+            df, 'Rules=[ColumnValues "order_date" < (now() - 1 days)]'
+        ) == "Passed"
+
+    def test_null_in_where_column_filters_row(self, spark):
+        df = spark.createDataFrame(
+            [("1", "USA", "AUS"), ("2", "GER", "AUS"), ("3", "USA", None),
+             ("4", "GER", None), ("5", "USA", "USA")],
+            "item string, championnationality string, "
+            "runnerupnationality string")
+        out = EvaluateDataQuality.process(
+            df, 'Rules=[ColumnValues "championnationality" in ["USA","AUS"] '
+                'where "runnerupnationality = \'AUS\'"]')
+        row = out.collect()[0]
+        assert row["Outcome"] == "Failed"   # 1 of 2 in-scope rows passes
