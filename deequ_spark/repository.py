@@ -104,9 +104,22 @@ def serialize_context(key: ResultKey, context: AnalyzerContext) -> Dict[str, Any
 
 def deserialize_context(data: Dict[str, Any]) -> Tuple[ResultKey, AnalyzerContext]:
     rk = data["resultKey"]
-    key = ResultKey(rk["dataSetDate"], tuple(sorted(rk.get("tags", {}).items())))
+    key = ResultKey(rk["dataSetDate"],
+                    tuple(sorted((rk.get("tags") or {}).items())))
     ctx = AnalyzerContext()
-    for item in data["analyzerContext"]:
+    ac = data["analyzerContext"]
+    if isinstance(ac, dict) and "metricMap" in ac:
+        # the reference engine's wire format (AnalysisResultSerde.scala) —
+        # a repository written by it loads here unchanged
+        for item in ac["metricMap"]:
+            try:
+                analyzer = deserialize_reference_analyzer(item["analyzer"])
+                ctx.metric_map[analyzer] = \
+                    deserialize_reference_metric(item["metric"])
+            except Exception:  # noqa: BLE001 — skip unknown entries
+                continue
+        return key, ctx
+    for item in ac:
         try:
             analyzer = deserialize_analyzer(item["analyzer"])
         except Exception:  # noqa: BLE001 — skip unknown analyzers
@@ -201,8 +214,13 @@ class FileSystemMetricsRepository(MetricsRepository):
     """JSON-file-backed repository
     (parity: fs/FileSystemMetricsRepository.scala)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, format: str = "native"):
+        """``format="deequ"`` writes the reference engine's JSON wire
+        format (readable by it); reads auto-detect either format."""
+        if format not in ("native", "deequ"):
+            raise ValueError("format must be 'native' or 'deequ'")
         self.path = path
+        self.format = format
 
     def _read_all(self) -> List[Dict[str, Any]]:
         if not os.path.exists(self.path):
@@ -228,7 +246,10 @@ class FileSystemMetricsRepository(MetricsRepository):
                 merged = existing + merged
             else:
                 kept.append(e)
-        kept.append(serialize_context(key, merged))
+        if self.format == "deequ":
+            kept.append(json.loads(to_deequ_json([(key, merged)]))[0])
+        else:
+            kept.append(serialize_context(key, merged))
         self._write_all(kept)
 
     def load_by_key(self, key: ResultKey) -> Optional[AnalyzerContext]:
@@ -285,3 +306,215 @@ class SparkTableMetricsRepository(MetricsRepository):
 
     def load(self) -> MetricsRepositoryMultipleResultsLoader:
         return MetricsRepositoryMultipleResultsLoader(self._entries())
+
+
+# --- reference wire-format interop ------------------------------------------
+# Read/write the reference engine's repository JSON
+# (repository/AnalysisResultSerde.scala) so an existing metrics repository
+# written by it can be loaded here unchanged, and vice versa:
+#   [{"resultKey": {"dataSetDate": ..., "tags": {...}},
+#     "analyzerContext": {"metricMap": [{"analyzer": {"analyzerName": ...},
+#                                        "metric": {"metricName": ...}}]}}]
+
+def _ref_opts_load(obj):
+    from .analyzers.scan import (AnalyzerOptions, FilteredRowOutcome,
+                                 NullBehavior)
+    o = obj.get("analyzerOptions")
+    if not o:
+        return None
+    return AnalyzerOptions(NullBehavior(o["nullBehavior"]),
+                           FilteredRowOutcome(o["filteredRow"]))
+
+
+def _ref_opts_dump(analyzer):
+    opts = getattr(analyzer, "analyzer_options", None)
+    if opts is None:
+        return None
+    return {"nullBehavior": opts.null_behavior.value,
+            "filteredRow": opts.filtered_row.value}
+
+
+def deserialize_reference_analyzer(obj: Dict[str, Any]) -> Analyzer:
+    """AnalysisResultSerde.scala:478-700 AnalyzerDeserializer."""
+    from .analyzers import grouping, scan
+
+    name = obj["analyzerName"]
+    col = obj.get("column")
+    where = obj.get("where")
+    cols = tuple(obj.get("columns") or ())
+    opts = _ref_opts_load(obj)
+
+    if name == "Size":
+        return scan.Size(where=where)
+    if name == "Compliance":
+        return scan.Compliance(obj["instance"], obj["predicate"], where,
+                               cols, opts)
+    if name == "PatternMatch":
+        return scan.PatternMatch(col, obj["pattern"], where, opts)
+    if name == "RatioOfSums":
+        return scan.RatioOfSums(obj["numerator"], obj["denominator"], where)
+    if name == "Correlation":
+        return scan.Correlation(obj["firstColumn"], obj["secondColumn"],
+                                where)
+    if name == "ApproxQuantile":
+        return scan.ApproxQuantile(col, obj["quantile"],
+                                   obj.get("relativeError", 0.01), where)
+    if name == "ApproxQuantiles":
+        qs = tuple(float(q) for q in str(obj["quantiles"]).split(","))
+        return scan.ApproxQuantiles(col, qs, obj.get("relativeError", 0.01))
+    if name == "ExactQuantile":
+        return scan.ExactQuantile(col, obj["quantile"], where)
+    if name == "Histogram":
+        return grouping.Histogram(
+            col, max_detail_bins=obj.get("maxDetailBins", 1000), where=where,
+            sum_column=obj.get("aggregateColumn"))
+    if name == "HistogramBinned":
+        edges = obj.get("customEdges")
+        return grouping.HistogramBinned(
+            col, bin_count=obj.get("binCount"),
+            custom_edges=tuple(edges) if edges else None, where=where,
+            include_overflow_bins=bool(obj.get("includeOverflowBins")))
+    if name == "KLLSketch":
+        from .analyzers.kll import KLLParameters, KLLSketch
+        params = None
+        if "sketchSize" in obj:
+            params = KLLParameters(obj["sketchSize"], obj["shrinkingFactor"],
+                                   obj["numberOfBuckets"])
+        return KLLSketch(col, params)
+    if name == "Range":
+        return scan.ColumnRange(col, where)
+    if name in ("Minimum", "Maximum", "MinLength", "MaxLength",
+                "Completeness"):
+        return getattr(scan, name)(col, where, analyzer_options=opts)
+    if name in ("ZerosCount", "Sum", "Mean", "StandardDeviation", "Variance",
+                "Skewness", "Kurtosis", "DataType", "ApproxCountDistinct",
+                "InterquartileRange", "Entropy"):
+        cls = getattr(scan, name, None) or getattr(grouping, name)
+        return cls(col, where)
+    if name in ("Uniqueness", "UniqueValueRatio"):
+        return getattr(grouping, name)(cols, where, analyzer_options=opts)
+    if name in ("CountDistinct", "Distinctness", "MutualInformation",
+                "DuplicateRowCount"):
+        kwargs = {} if name == "CountDistinct" else {"where": where}
+        return getattr(grouping, name)(cols, **kwargs)
+    raise ValueError(f"Unknown reference analyzer {name}")
+
+
+def serialize_reference_analyzer(analyzer: Analyzer) -> Dict[str, Any]:
+    """Inverse mapping — emits the reference's analyzer JSON shape."""
+    name = type(analyzer).__name__
+    out: Dict[str, Any] = {}
+    ref_name = {"ColumnRange": "Range"}.get(name, name)
+    out["analyzerName"] = ref_name
+    for our, ref in (("column", "column"), ("where", "where"),
+                     ("instance_name", "instance"), ("predicate", "predicate"),
+                     ("numerator", "numerator"), ("denominator", "denominator"),
+                     ("first_column", "firstColumn"),
+                     ("second_column", "secondColumn"),
+                     ("quantile", "quantile"),
+                     ("relative_error", "relativeError"),
+                     ("max_detail_bins", "maxDetailBins"),
+                     ("bin_count", "binCount"),
+                     ("include_overflow_bins", "includeOverflowBins"),
+                     ("sum_column", "aggregateColumn")):
+        v = getattr(analyzer, our, None)
+        if v is not None and v is not False:
+            out[ref] = v
+    if name == "Entropy":
+        # the reference serializes Entropy with a single COLUMN field
+        out["column"] = analyzer.columns[0]
+    elif getattr(analyzer, "columns", None) and name != "Histogram":
+        out["columns"] = list(analyzer.columns)
+        out.pop("column", None)
+    if getattr(analyzer, "custom_edges", None):
+        out["customEdges"] = list(analyzer.custom_edges)
+    if getattr(analyzer, "quantiles", None):
+        out["quantiles"] = ",".join(f"{q:g}" for q in analyzer.quantiles)
+    opts = _ref_opts_dump(analyzer)
+    if opts:
+        out["analyzerOptions"] = opts
+    if "where" not in out:
+        out["where"] = None
+    return out
+
+
+def deserialize_reference_metric(obj: Dict[str, Any]) -> Metric:
+    """AnalysisResultSerde.scala:829-900 MetricDeserializer."""
+    kind = obj["metricName"]
+    if kind == "DoubleMetric":
+        return DoubleMetric(Entity(obj["entity"]), obj["name"],
+                            obj["instance"], float(obj["value"]))
+    if kind == "KeyedDoubleMetric":
+        return KeyedDoubleMetric(Entity(obj["entity"]), obj["name"],
+                                 obj["instance"], dict(obj["value"]))
+    if kind in ("HistogramMetric", "HistogramBinnedMetric"):
+        value = obj["value"]
+        if "bins" in value:   # DistributionBinned
+            values = {
+                f"[{b['binStart']:.6g}, {b['binEnd']:.6g}"
+                + ("]" if i == len(value["bins"]) - 1 else ")"):
+                DistributionValue(b["frequency"], b.get("ratio", 0.0))
+                for i, b in enumerate(value["bins"])}
+            dist = Distribution(values, value.get("numberOfBins", len(values)),
+                                null_count=value.get("nullCount", 0))
+        else:
+            dist = Distribution(
+                {k: DistributionValue(v["absolute"], v["ratio"])
+                 for k, v in value["values"].items()},
+                value.get("numberOfBins", len(value["values"])))
+        return HistogramMetric(Entity.COLUMN, "Histogram", obj["column"], dist)
+    raise ValueError(f"Unknown reference metric {kind}")
+
+
+def serialize_reference_metric(metric: Metric) -> Dict[str, Any]:
+    if not metric.is_success:
+        raise ValueError("Unable to serialize failed metrics.")
+    if isinstance(metric, KeyedDoubleMetric):
+        return {"metricName": "KeyedDoubleMetric",
+                "entity": metric.entity.value, "instance": metric.instance,
+                "name": metric.name, "value": dict(metric.value)}
+    if isinstance(metric, HistogramMetric):
+        dist = metric.value
+        return {"metricName": "HistogramMetric", "column": metric.instance,
+                "numberOfBins": dist.number_of_bins,
+                "value": {"numberOfBins": dist.number_of_bins, "values": {
+                    k: {"absolute": v.absolute, "ratio": v.ratio}
+                    for k, v in dist.values.items()}}}
+    return {"metricName": "DoubleMetric", "entity": metric.entity.value,
+            "instance": metric.instance, "name": metric.name,
+            "value": float(metric.value)}
+
+
+def from_deequ_json(text: str) -> List[Tuple[ResultKey, AnalyzerContext]]:
+    """Load entries from the reference engine's serialized repository."""
+    out = []
+    for rec in json.loads(text):
+        rk = rec["resultKey"]
+        key = ResultKey(rk["dataSetDate"],
+                        tuple(sorted((rk.get("tags") or {}).items())))
+        ctx = AnalyzerContext()
+        for item in rec["analyzerContext"]["metricMap"]:
+            try:
+                analyzer = deserialize_reference_analyzer(item["analyzer"])
+                ctx.metric_map[analyzer] = \
+                    deserialize_reference_metric(item["metric"])
+            except Exception:  # noqa: BLE001 — skip unknown entries
+                continue
+        out.append((key, ctx))
+    return out
+
+
+def to_deequ_json(entries: List[Tuple[ResultKey, AnalyzerContext]]) -> str:
+    """Serialize entries in the reference engine's repository format."""
+    recs = []
+    for key, ctx in entries:
+        metric_map = []
+        for a, m in ctx.metric_map.items():
+            if not m.is_success:
+                continue
+            metric_map.append({"analyzer": serialize_reference_analyzer(a),
+                               "metric": serialize_reference_metric(m)})
+        recs.append({"resultKey": {"dataSetDate": key.dataset_date,
+                                   "tags": key.tag_dict},
+                     "analyzerContext": {"metricMap": metric_map}})
+    return json.dumps(recs)

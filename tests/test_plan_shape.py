@@ -217,3 +217,27 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for t in ("b_orders", "b_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_row_level_boolean_path_stays_jvm(spark):
+    """Completeness/Compliance/PatternMatch row-level truth tables are pure
+    expressions — the annotated projection must contain NO Python eval
+    nodes; min/max assertion constraints may add ArrowEvalPython (never
+    row-at-a-time BatchEvalPython)."""
+    from deequ_spark import Check, CheckLevel, VerificationSuite
+    df = spark.createDataFrame([(1, "a"), (2, None)], "v int, s string")
+    check = (Check(CheckLevel.ERROR, "bools")
+             .is_complete("s")
+             .satisfies("v > 0", "pos", lambda r: True)
+             .has_pattern("s", "[a-z]"))
+    result = VerificationSuite().on_data(df).add_check(check).run()
+    plan = (result.row_level_results_as_dataframe(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
+
+    check2 = (Check(CheckLevel.ERROR, "asserted")
+              .has_min("v", lambda x: x >= 0))
+    result2 = VerificationSuite().on_data(df).add_check(check2).run()
+    plan2 = (result2.row_level_results_as_dataframe(df)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan2   # Arrow-batched, never pickled

@@ -565,3 +565,115 @@ class TestProfilerReferenceParity:
         assert profiles["att 1"].max_length == 3.0
         assert profiles["att 2"].min_length == 0.0
         assert profiles["att 2"].max_length == 7.0
+
+
+class TestReferenceRepositoryInterop:
+    """Wire-format interop with the reference engine's repository JSON
+    (repository/AnalysisResultSerde.scala): its files load here unchanged,
+    and format='deequ' writes files it can read."""
+
+    REFERENCE_JSON = """[{
+      "resultKey": {"dataSetDate": 1630,
+                    "tags": {"Region": "EU"}},
+      "analyzerContext": {"metricMap": [
+        {"analyzer": {"analyzerName": "Size", "where": null},
+         "metric": {"metricName": "DoubleMetric", "entity": "Dataset",
+                    "instance": "*", "name": "Size", "value": 4.0}},
+        {"analyzer": {"analyzerName": "Completeness", "column": "att1",
+                      "where": null},
+         "metric": {"metricName": "DoubleMetric", "entity": "Column",
+                    "instance": "att1", "name": "Completeness",
+                    "value": 1.0}},
+        {"analyzer": {"analyzerName": "Compliance", "instance": "rule1",
+                      "predicate": "att1 > 3", "where": null,
+                      "columns": ["att1"]},
+         "metric": {"metricName": "DoubleMetric", "entity": "Column",
+                    "instance": "rule1", "name": "Compliance",
+                    "value": 0.5}},
+        {"analyzer": {"analyzerName": "Uniqueness",
+                      "columns": ["a", "b"], "where": null},
+         "metric": {"metricName": "DoubleMetric", "entity": "Multicolumn",
+                    "instance": "a,b", "name": "Uniqueness", "value": 0.9}},
+        {"analyzer": {"analyzerName": "Minimum", "column": "v",
+                      "where": "v > 0",
+                      "analyzerOptions": {"nullBehavior": "Fail",
+                                          "filteredRow": "NULL"}},
+         "metric": {"metricName": "DoubleMetric", "entity": "Column",
+                    "instance": "v", "name": "Minimum", "value": 1.5}},
+        {"analyzer": {"analyzerName": "Histogram", "column": "cat",
+                      "maxDetailBins": 1000, "where": null},
+         "metric": {"metricName": "HistogramMetric", "column": "cat",
+                    "numberOfBins": 2,
+                    "value": {"numberOfBins": 2, "values": {
+                        "x": {"absolute": 3, "ratio": 0.75},
+                        "y": {"absolute": 1, "ratio": 0.25}}}}}
+      ]}}]"""
+
+    def test_load_reference_file(self, tmp_path):
+        from deequ_spark import (Completeness, Compliance,
+                                 FileSystemMetricsRepository, Minimum,
+                                 ResultKey, Size, Uniqueness)
+        from deequ_spark.analyzers.scan import (AnalyzerOptions,
+                                                FilteredRowOutcome,
+                                                NullBehavior)
+        path = tmp_path / "deequ_metrics.json"
+        path.write_text(self.REFERENCE_JSON)
+        repo = FileSystemMetricsRepository(str(path))
+        key = ResultKey(1630, (("Region", "EU"),))
+        ctx = repo.load_by_key(key)
+        assert ctx is not None
+        assert ctx.metric_map[Size()].value == 4.0
+        assert ctx.metric_map[Completeness("att1")].value == 1.0
+        assert ctx.metric_map[Compliance(
+            "rule1", "att1 > 3", columns=("att1",))].value == 0.5
+        assert ctx.metric_map[Uniqueness(("a", "b"))].value == 0.9
+        m = ctx.metric_map[Minimum("v", "v > 0", AnalyzerOptions(
+            NullBehavior.FAIL, FilteredRowOutcome.NULL))]
+        assert m.value == 1.5
+        hist = ctx.metric_map[
+            [a for a in ctx.metric_map if type(a).__name__ == "Histogram"][0]]
+        assert hist.value["x"].absolute == 3
+
+    def test_round_trip_reference_format(self, spark, tmp_path, df_numeric):
+        from deequ_spark import (FileSystemMetricsRepository, Mean, ResultKey,
+                                 Size, do_analysis_run)
+        path = str(tmp_path / "out.json")
+        repo = FileSystemMetricsRepository(path, format="deequ")
+        key = ResultKey.make(1000, {"env": "x"})
+        repo.save(key, do_analysis_run(df_numeric, [Size(), Mean("att1")]))
+        # file parses as reference shape
+        import json
+        rec = json.load(open(path))[0]
+        assert "metricMap" in rec["analyzerContext"]
+        names = {e["analyzer"]["analyzerName"]
+                 for e in rec["analyzerContext"]["metricMap"]}
+        assert names == {"Size", "Mean"}
+        # and reads back through the auto-detecting loader
+        back = FileSystemMetricsRepository(path).load_by_key(key)
+        assert back.metric_map[Size()].value == 6.0
+        assert back.metric_map[Mean("att1")].value == 3.5
+
+    def test_round_trip_many_analyzer_types(self, spark, df_numeric):
+        from deequ_spark import (ApproxQuantile, ColumnRange, Correlation,
+                                 CountDistinct, Distinctness, Entropy,
+                                 Kurtosis, Maximum, Mean, Minimum, Size,
+                                 StandardDeviation, Sum, Uniqueness,
+                                 do_analysis_run)
+        from deequ_spark.repository import from_deequ_json, to_deequ_json
+        from deequ_spark.repository import ResultKey
+        analyzers = [Size(), Mean("att1"), Sum("att1"), Minimum("att1"),
+                     Maximum("att1"), StandardDeviation("att1"),
+                     Kurtosis("att1"), ColumnRange("att1"),
+                     ApproxQuantile("att1", 0.5),
+                     Correlation("att1", "att2"), Entropy("item"),
+                     Uniqueness(("item",)), Distinctness(("att1",)),
+                     CountDistinct(("att1",))]
+        ctx = do_analysis_run(df_numeric, analyzers)
+        key = ResultKey(42, ())
+        entries = from_deequ_json(to_deequ_json([(key, ctx)]))
+        (k2, ctx2), = entries
+        assert k2 == key
+        for a in analyzers:
+            assert a in ctx2.metric_map, type(a).__name__
+            assert ctx2.metric_map[a].value == pytest.approx(
+                ctx.metric_map[a].value)
