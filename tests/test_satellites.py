@@ -677,3 +677,51 @@ class TestReferenceRepositoryInterop:
             assert a in ctx2.metric_map, type(a).__name__
             assert ctx2.metric_map[a].value == pytest.approx(
                 ctx.metric_map[a].value)
+
+
+class TestAddAnomalyCheckParity:
+    """VerificationSuiteTest.scala:1014-1110 addAnomalyCheck with a
+    repository holding Size history [1,2] (Region=EU) + [3,4] (Region=NA)."""
+
+    def _repo_with_history(self):
+        from deequ_spark import DoubleMetric
+        from deequ_spark.metrics import Entity
+        repo = InMemoryMetricsRepository()
+        from deequ_spark.runners.analysis_runner import AnalyzerContext
+        for ts, region in ((1, "EU"), (2, "EU"), (3, "NA"), (4, "NA")):
+            ac = AnalyzerContext({Size(): DoubleMetric(
+                Entity.COLUMN, "", "", float(ts))})
+            repo.save(ResultKey(ts, (("Region", region),)), ac)
+        return repo
+
+    def test_add_anomaly_check(self, spark):
+        from deequ_spark import AnomalyCheckConfig
+        df = spark.range(11).toDF("item")
+        repo = self._repo_with_history()
+        key = ResultKey(5, ())
+
+        r1 = (VerificationSuite().on_data(df).use_repository(repo)
+              .add_required_analyzers([Completeness("item")])
+              .save_or_append_result(key)
+              .add_anomaly_check(
+                  AbsoluteChangeStrategy(-2.0, 2.0), Size(),
+                  AnomalyCheckConfig(CheckLevel.WARNING,
+                                     "Anomaly check to fail"))
+              .run())
+        r2 = (VerificationSuite().on_data(df).use_repository(repo)
+              .add_required_analyzers([Completeness("item")])
+              .save_or_append_result(key)
+              .add_anomaly_check(
+                  AbsoluteChangeStrategy(-7.0, 7.0), Size(),
+                  AnomalyCheckConfig(CheckLevel.ERROR,
+                                     "Anomaly check to succeed",
+                                     {}, 0, 11))
+              .run())
+        r3 = (VerificationSuite().on_data(df).use_repository(repo)
+              .add_required_analyzers([Completeness("item")])
+              .save_or_append_result(key)
+              .add_anomaly_check(AbsoluteChangeStrategy(-7.0, 7.0), Size())
+              .run())
+        assert list(r1.check_results.values())[0].status == CheckStatus.WARNING
+        assert list(r2.check_results.values())[0].status == CheckStatus.SUCCESS
+        assert list(r3.check_results.values())[0].status == CheckStatus.SUCCESS
