@@ -554,3 +554,63 @@ class TestPatternStatus:
         got, _ = _run(df, c1, c2)
         assert got["they're all fractional"].status == CheckStatus.SUCCESS
         assert got["they're positive"].status == CheckStatus.SUCCESS
+
+
+class TestDatasetMatchStatus:
+    """CheckTest.scala:1499-1630 doesDatasetMatch on the informative
+    (att1=1,2,3 / att2=4,5,6) fixture."""
+
+    @pytest.fixture(scope="class")
+    def informative(self, spark):
+        return spark.createDataFrame([(1, 4), (2, 5), (3, 6)],
+                                     "att1 int, att2 int")
+
+    def test_basic_sync(self, informative):
+        c1 = (Check(CheckLevel.ERROR, "sync1")
+              .does_dataset_match(informative, {"att1": "att1"},
+                                  lambda v: v > 0.9))
+        c2 = (Check(CheckLevel.ERROR, "sync2")
+              .does_dataset_match(informative, {"att1": "att1"},
+                                  lambda v: v > 0.9,
+                                  match_col_map={"att1": "att1"}))
+        got, _ = _run(informative, c1, c2)
+        assert got["sync1"].status == CheckStatus.SUCCESS
+        assert got["sync2"].status == CheckStatus.SUCCESS
+
+    def test_missing_column_fails(self, informative):
+        renamed = informative.withColumnRenamed("att1", "att1_renamed")
+        check = (Check(CheckLevel.ERROR, "missing-col")
+                 .does_dataset_match(renamed, {"att1": "att1"},
+                                     lambda v: v > 0.9))
+        got, _ = _run(informative, check)
+        assert got["missing-col"].status == CheckStatus.ERROR
+
+    def test_row_count_mismatch_fails(self, informative):
+        filtered = informative.filter("att1 > 2")
+        check = (Check(CheckLevel.ERROR, "rowcount")
+                 .does_dataset_match(filtered, {"att1": "att1"},
+                                     lambda v: v > 0.9))
+        got, _ = _run(informative, check)
+        assert got["rowcount"].status == CheckStatus.ERROR
+
+    def test_partial_match_thresholds(self, informative, spark):
+        from pyspark.sql import functions as F
+        modified = informative.withColumn(
+            "att1", F.when(F.col("att1") == 3, 4).otherwise(F.col("att1")))
+        strict = (Check(CheckLevel.ERROR, "strict")
+                  .does_dataset_match(modified, {"att1": "att1"},
+                                      lambda v: v > 0.9))
+        loose = (Check(CheckLevel.ERROR, "loose")
+                 .does_dataset_match(modified, {"att1": "att1"},
+                                     lambda v: v > 0.6))
+        got, _ = _run(informative, strict, loose)
+        assert got["strict"].status == CheckStatus.ERROR
+        assert got["loose"].status == CheckStatus.SUCCESS
+
+    def test_multi_column_key(self, informative):
+        check = (Check(CheckLevel.ERROR, "multi")
+                 .does_dataset_match(informative,
+                                     {"att1": "att1", "att2": "att2"},
+                                     lambda v: v > 0.9))
+        got, _ = _run(informative, check)
+        assert got["multi"].status == CheckStatus.SUCCESS
