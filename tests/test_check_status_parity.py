@@ -614,3 +614,55 @@ class TestDatasetMatchStatus:
                                      lambda v: v > 0.9))
         got, _ = _run(informative, check)
         assert got["multi"].status == CheckStatus.SUCCESS
+
+
+class TestIllDefinedCheckIsolation:
+    """VerificationSuiteTest.scala:1242-1390: ill-defined checks (missing
+    columns, type mismatches, throwing assertions) fail ALONE — sibling
+    well-defined checks in the same fused run still succeed."""
+
+    @pytest.fixture(scope="class")
+    def name_age(self, spark):
+        return spark.createDataFrame(
+            [("Max", 21), ("Sarah", 34), ("Ayman", 19)],
+            "name string, age int")
+
+    def test_missing_columns_and_type_errors_isolated(self, name_age):
+        ok = Check(CheckLevel.ERROR, "shouldSucceedForValue").is_complete("name")
+        missing = Check(CheckLevel.ERROR, "missingComplete").is_complete("fake")
+        age_ok = (Check(CheckLevel.ERROR, "shouldSucceedForAge")
+                  .is_contained_in_range("age", 1, 100))
+        age_fail = (Check(CheckLevel.ERROR, "shouldFailForAge")
+                    .is_contained_in_range("age", 1, 19))
+        missing_range = (Check(CheckLevel.ERROR, "missingRange")
+                         .is_contained_in_range("fakeColumn", 10, 90))
+        string_range = (Check(CheckLevel.ERROR, "stringRange")
+                        .is_contained_in_range("name", 1, 3))
+        missing_completeness = (Check(CheckLevel.ERROR, "missingCompleteness")
+                                .has_completeness("fake", lambda x: x > 0))
+        sync = (Check(CheckLevel.ERROR, "syncOk")
+                .does_dataset_match(name_age, {"age": "age"},
+                                    lambda v: v > 0.99))
+        got, _ = _run(name_age, ok, missing, age_ok, age_fail, missing_range,
+                      string_range, missing_completeness, sync)
+        assert got["shouldSucceedForValue"].status == CheckStatus.SUCCESS
+        assert got["shouldSucceedForAge"].status == CheckStatus.SUCCESS
+        assert got["syncOk"].status == CheckStatus.SUCCESS
+        for bad in ("missingComplete", "shouldFailForAge", "missingRange",
+                    "stringRange", "missingCompleteness"):
+            assert got[bad].status == CheckStatus.ERROR, bad
+        # missing-column failures carry the column name in the message
+        msg = got["missingComplete"].constraint_results[0].message
+        assert "fake" in msg
+
+    def test_throwing_assertion_isolated(self, name_age):
+        ok = Check(CheckLevel.ERROR, "fine").is_complete("name")
+
+        def boom(_):
+            raise ValueError("borked")
+
+        throwing = Check(CheckLevel.ERROR, "shouldThrow").has_size(boom)
+        got, _ = _run(name_age, ok, throwing)
+        assert got["fine"].status == CheckStatus.SUCCESS
+        assert got["shouldThrow"].status == CheckStatus.ERROR
+        assert "borked" in got["shouldThrow"].constraint_results[0].message
