@@ -65,8 +65,9 @@ from .suggestions import (DEFAULT_RULES, EXTENDED_RULES, NUMERICAL_RULES,
                           WilsonScoreIntervalStrategy)
 from .schema_validation import (RowLevelSchema, RowLevelSchemaValidationResult,
                                 validate_schema)
-from .distance import (chi_square_p_value, chi_square_statistic, ks_distance,
-                       l_infinity_distance, psi)
+from .distance import (categorical_distance, chi_square_p_value,
+                       chi_square_statistic, ks_distance,
+                       l_infinity_distance, numerical_distance, psi)
 from .streaming import (StreamingBatchResult, StreamingVerification,
                         streaming_deduplicate, streaming_deduplicate_exact,
                         streaming_fingerprint_deduplicate, verify_stream)
