@@ -142,3 +142,16 @@ class TestCategoricalChiSquare:
         got = categorical_distance({"a": 30}, {"a": 20, "b": 20},
                                    method="chisquare")
         assert got == pytest.approx(4.3204630539861455e-8, rel=1e-9)
+
+
+class TestPSIParity:
+    """KLLDistanceTest.scala:215-232 — PSI over decile buckets."""
+
+    def test_psi_deciles(self):
+        from deequ_spark.distance import psi
+        expected = dict(zip(
+            "abcdefghij", [428, 425, 414, 427, 440, 447, 380, 386, 444, 386]))
+        actual = dict(zip(
+            "abcdefghij", [426, 437, 429, 391, 469, 433, 360, 443, 371, 418]))
+        got = psi(expected, actual)
+        assert got == pytest.approx(0.007406694184014186, rel=1e-12)
