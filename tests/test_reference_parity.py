@@ -880,3 +880,66 @@ class TestSatisfiesRowLevel:
                 assert got == [True, False, True, True, True], name
             else:
                 assert got == [True, False, True, False, False], name
+
+
+class TestPatternMatchRowLevelFixtures:
+    """analyzers/PatternMatchTest.scala:28-105 on getDfWithStringColumns
+    (space-containing column names, NULL addresses on ids 4 and 7)."""
+
+    @pytest.fixture(scope="class")
+    def df_addresses(self, spark):
+        rows = [
+            (0, "India", "Xavier House, 2nd Floor",
+             "St. Peter Colony, Perry Road", "Bandra (West)"),
+            (1, "India", "503 Godavari", "Sir Pochkhanwala Road", "Worli"),
+            (2, "India", "4/4 Seema Society", "N Dutta Road, Four Bungalows",
+             "Andheri"),
+            (3, "India", "1001D Abhishek Apartments", "Juhu Versova Road",
+             "Andheri"),
+            (4, "India", "95, Hill Road", None, None),
+            (5, "India", "90 Cuffe Parade", "Taj President Hotel",
+             "Cuffe Parade"),
+            (6, "India", "4, Seven PM", "Sir Pochkhanwala Rd", "Worli"),
+            (7, "India", "1453 Sahar Road", None, None),
+        ]
+        return spark.createDataFrame(
+            rows, "id int, Country string, `Address Line 1` string, "
+                  "`Address Line 2` string, `Address Line 3` string")
+
+    def _row_level(self, df, column, pattern, where=None, options=None):
+        from deequ_spark import PatternMatch
+        from pyspark.sql import functions as F
+        a = PatternMatch(column, pattern, where, options)
+        col = a.row_level_results()
+        return [r["new"] for r in
+                df.withColumn("new", col).orderBy("id").collect()]
+
+    def test_digits_anywhere(self, df_addresses):
+        got = self._row_level(df_addresses, "Address Line 1", r"\d")
+        assert got == [True] * 8
+
+    def test_starts_with_digit(self, df_addresses):
+        got = self._row_level(df_addresses, "Address Line 1", r"(^[0-4])")
+        assert got == [False, False, True, True, False, False, True, True]
+
+    def test_starts_with_digit_filtered_true(self, df_addresses):
+        got = self._row_level(
+            df_addresses, "Address Line 1", r"(^[0-4])", where="id < 5",
+            options=AnalyzerOptions(filtered_row=FilteredRowOutcome.TRUE))
+        assert got == [False, False, True, True, False, True, True, True]
+
+    def test_nulls_are_false(self, df_addresses):
+        got = self._row_level(df_addresses, "Address Line 2", r"\w")
+        assert got == [True, True, True, True, False, True, True, False]
+
+    def test_nulls_filtered_true(self, df_addresses):
+        got = self._row_level(
+            df_addresses, "Address Line 2", r"\w", where="id < 5",
+            options=AnalyzerOptions(filtered_row=FilteredRowOutcome.TRUE))
+        assert got == [True, True, True, True, False, True, True, True]
+
+    def test_nulls_filtered_null(self, df_addresses):
+        got = self._row_level(
+            df_addresses, "Address Line 2", r"\w", where="id < 5",
+            options=AnalyzerOptions(filtered_row=FilteredRowOutcome.NULL))
+        assert got == [True, True, True, True, False, None, None, None]
