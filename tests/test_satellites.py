@@ -725,3 +725,26 @@ class TestAddAnomalyCheckParity:
         assert list(r1.check_results.values())[0].status == CheckStatus.WARNING
         assert list(r2.check_results.values())[0].status == CheckStatus.SUCCESS
         assert list(r3.check_results.values())[0].status == CheckStatus.SUCCESS
+
+
+class TestProfilerNumericStringParity:
+    """ColumnProfilerTest.scala:155-205: a STRING column of numeric strings
+    is profiled as a NUMERIC column with exact stats."""
+
+    def test_numeric_string_column_profile(self, spark):
+        from deequ_spark import profile_columns
+        df = spark.createDataFrame(
+            [("1", "a", "f"), ("2", "b", "d"), ("3", "a", None),
+             ("4", "a", "f"), ("5", "b", None), ("6", "a", "f")],
+            "item string, att1 string, att2 string")
+        p = profile_columns(df, ["item"])["item"]
+        assert p.data_type == DataTypeInstances.INTEGRAL
+        assert p.is_data_type_inferred
+        assert p.type_counts["Integral"] == 6
+        assert p.completeness == 1.0
+        assert p.approx_num_distinct == 6
+        assert p.mean == 3.5
+        assert p.minimum == 1.0 and p.maximum == 6.0
+        assert p.sum == 21.0
+        assert p.std_dev == pytest.approx(1.707825127659933, rel=1e-12)
+        assert p.kurtosis == pytest.approx(-1.2685714285714285, rel=1e-12)
