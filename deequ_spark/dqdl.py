@@ -794,13 +794,15 @@ def _execute_dataset_rule(df: DataFrame, rule: DQRule,
                 if row[0] is None:
                     raise DQDLParseError(f"{expr!r} aggregated to NULL")
                 return float(row[0])
+            v1 = agg_value(rule.parameters[0])
             v2 = agg_value(rule.parameters[1])
             if v2 == 0.0:
-                res = ComparisonResult(None,
-                                       error="reference aggregate is 0")
+                # 0/0 counts as a perfect match (EvaluateDataQualitySpec
+                # "divide by zero (0/0 = 1.0)"); nonzero/0 is infinitely off
+                ratio = 1.0 if v1 == 0.0 else float("inf")
             else:
-                ratio = agg_value(rule.parameters[0]) / v2
-                res = ComparisonResult(assertion(ratio), ratio)
+                ratio = v1 / v2
+            res = ComparisonResult(assertion(ratio), ratio)
         else:  # pragma: no cover — guarded by _is_dataset_rule
             raise DQDLParseError(f"Unsupported dataset rule {rt}")
     except Exception as exc:  # noqa: BLE001 — rule errors never kill the run

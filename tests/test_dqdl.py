@@ -561,3 +561,89 @@ class TestDQDLDateValues:
                 'where "runnerupnationality = \'AUS\'"]')
         row = out.collect()[0]
         assert row["Outcome"] == "Failed"   # 1 of 2 in-scope rows passes
+
+
+class TestDQDLDatasetRulesParity:
+    """Dataset-level rule parity (EvaluateDataQualitySpec.scala:965-1870)."""
+
+    def _one(self, df, ruleset, refs=None):
+        out = EvaluateDataQuality.process(df, ruleset,
+                                          additional_datasets=refs or {})
+        return out.collect()[0]
+
+    def test_row_count_match(self, spark):
+        primary = spark.createDataFrame(
+            [(str(i), n) for i, n in enumerate(
+                ["Alice", "Bob", "Charlie", "Joshua Z"], 1)],
+            "id string, name string")
+        ref = spark.createDataFrame(
+            [(str(i), n) for i, n in enumerate(
+                ["Dave", "Eve", "Frank", "Grace", "Henry", "Ivy", "Jack"], 1)],
+            "id string, name string")
+        row = self._one(primary, 'Rules=[RowCountMatch "ref" >= 0.5]',
+                        {"ref": ref})
+        assert row["Outcome"] == "Passed"
+
+    def test_referential_integrity_partial(self, spark):
+        primary = spark.createDataFrame(
+            [("California", "CA"), ("New York", "NY"), ("New York", "NY"),
+             ("Texas", "TX")],
+            "`State Name` string, `State Abbreviation` string")
+        ref = spark.createDataFrame([("CA",), ("NY",), ("FL",)],
+                                    "`State Abbreviation` string")
+        row = self._one(
+            primary, 'Rules=[ReferentialIntegrity "State Abbreviation" '
+                     '"ref.State Abbreviation" > 0.6]', {"ref": ref})
+        assert row["Outcome"] == "Passed"
+        strict = self._one(
+            primary, 'Rules=[ReferentialIntegrity "State Abbreviation" '
+                     '"ref.State Abbreviation" > 0.9]', {"ref": ref})
+        assert strict["Outcome"] == "Failed"
+
+    def test_referential_integrity_multi_column(self, spark):
+        primary = spark.createDataFrame(
+            [("Canada", "CA"), ("New York", "NY")],
+            "`State Name` string, `State Abbreviation` string")
+        ref = spark.createDataFrame(
+            [("California", "CA"), ("New York", "NY"), ("Texas", "TX")],
+            "`State Name` string, `State Abbreviation` string")
+        row = self._one(
+            primary,
+            'Rules=[ReferentialIntegrity "State Name,State Abbreviation" '
+            '"ref.{State Name,State Abbreviation}" > 0.4]', {"ref": ref})
+        assert row["Outcome"] == "Passed"
+
+    def test_referential_integrity_renamed_columns(self, spark):
+        primary = spark.createDataFrame(
+            [("Seattle", "WA"), ("Portland", "OR")],
+            "city string, state string")
+        ref = spark.createDataFrame(
+            [("Seattle", "WA"), ("Portland", "OR"), ("Denver", "CO")],
+            "ref_city string, ref_state string")
+        row = self._one(
+            primary, 'Rules=[ReferentialIntegrity "city,state" '
+                     '"ref.{ref_city,ref_state}" = 1.0]', {"ref": ref})
+        assert row["Outcome"] == "Passed"
+
+    def test_aggregate_match_same_dataset(self, spark):
+        df = spark.createDataFrame(
+            [(100.0, 100.0), (200.0, 200.0), (300.0, 300.0)],
+            "colA double, colB double")
+        row = self._one(df, 'Rules=[AggregateMatch "sum(colA)" '
+                            '"sum(colB)" = 1.0]')
+        assert row["Outcome"] == "Passed"
+
+    def test_aggregate_match_zero_over_zero_is_one(self, spark):
+        primary = spark.createDataFrame([(0.0,)], "value double")
+        ref = spark.createDataFrame([(0.0,)], "value double")
+        row = self._one(primary, 'Rules=[AggregateMatch "sum(value)" '
+                                 '"sum(ref.value)" = 1.0]', {"ref": ref})
+        assert row["Outcome"] == "Passed"
+
+    def test_aggregate_match_avg_ignores_nulls(self, spark):
+        primary = spark.createDataFrame(
+            [(10.0,), (None,), (20.0,), (None,)], "value double")
+        ref = spark.createDataFrame([(15.0,), (15.0,)], "value double")
+        row = self._one(primary, 'Rules=[AggregateMatch "avg(value)" '
+                                 '"avg(ref.value)" = 1.0]', {"ref": ref})
+        assert row["Outcome"] == "Passed"
