@@ -647,3 +647,39 @@ class TestDQDLDatasetRulesParity:
         row = self._one(primary, 'Rules=[AggregateMatch "avg(value)" '
                                  '"avg(ref.value)" = 1.0]', {"ref": ref})
         assert row["Outcome"] == "Passed"
+
+
+class TestColumnNamesMatchPatternParity:
+    """EvaluateDataQualitySpec.scala:1508-1600."""
+
+    def _one(self, df, ruleset):
+        return EvaluateDataQuality.process(df, ruleset).collect()[0]
+
+    def test_all_match(self, spark):
+        df = spark.createDataFrame([("a", "b")], "col_one string, col_two string")
+        row = self._one(df, 'Rules=[ColumnNamesMatchPattern "col_.*"]')
+        assert row["Outcome"] == "Passed"
+
+    def test_one_nonmatching_fails(self, spark):
+        df = spark.createDataFrame([("a", "b", "c")],
+                                   "col_one string, col_two string, other string")
+        row = self._one(df, 'Rules=[ColumnNamesMatchPattern "col_.*"]')
+        assert row["Outcome"] == "Failed"
+
+    def test_zero_matches_fails(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b")], "`State Name` string, `State Abbreviation` string")
+        row = self._one(df, 'Rules=[ColumnNamesMatchPattern "Province.*"]')
+        assert row["Outcome"] == "Failed"
+
+    def test_character_class_pattern(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b", "c")],
+            "`Building Code` string, `Building_Code` string, "
+            "`Building.Code` string")
+        row = self._one(
+            df, r'Rules = [ ColumnNamesMatchPattern "Building[\s|_|\.]Code" ]')
+        assert row["Outcome"] == "Passed"
+        partial = self._one(
+            df, r'Rules = [ ColumnNamesMatchPattern "Building\s*Code" ]')
+        assert partial["Outcome"] == "Failed"
