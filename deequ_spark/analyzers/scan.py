@@ -1263,15 +1263,18 @@ class ColumnExists(Analyzer):
 @dataclass(frozen=True, eq=False)
 class CustomSql(Analyzer):
     """Arbitrary SQL producing exactly one numeric cell.
-    Parity: CustomSql.scala:40-95."""
+    Parity: CustomSql.scala:40-95; ``disambiguator`` overrides the metric
+    instance so two statements don't collide in the metric map
+    (CustomSqlTest.scala:89-104)."""
     expression: str
+    disambiguator: Optional[str] = None
 
     name = "CustomSQL"
     entity = Entity.DATASET
 
     @property
     def instance(self) -> str:
-        return self.expression
+        return self.disambiguator or self.expression
 
     def compute_state_from(self, df: DataFrame):
         spark = df.sparkSession

@@ -666,3 +666,65 @@ class TestIllDefinedCheckIsolation:
         assert got["fine"].status == CheckStatus.SUCCESS
         assert got["shouldThrow"].status == CheckStatus.ERROR
         assert "borked" in got["shouldThrow"].constraint_results[0].message
+
+
+class TestCustomSqlParity:
+    """analyzers/CustomSqlTest.scala:31-104 on getDfWithStringColumns."""
+
+    @pytest.fixture(scope="class")
+    def df_addr(self, spark):
+        rows = [
+            (0, "India", "Xavier House, 2nd Floor",
+             "St. Peter Colony, Perry Road", "Bandra (West)"),
+            (1, "India", "503 Godavari", "Sir Pochkhanwala Road", "Worli"),
+            (2, "India", "4/4 Seema Society", "N Dutta Road, Four Bungalows",
+             "Andheri"),
+            (3, "India", "1001D Abhishek Apartments", "Juhu Versova Road",
+             "Andheri"),
+            (4, "India", "95, Hill Road", None, None),
+            (5, "India", "90 Cuffe Parade", "Taj President Hotel",
+             "Cuffe Parade"),
+            (6, "India", "4, Seven PM", "Sir Pochkhanwala Rd", "Worli"),
+            (7, "India", "1453 Sahar Road", None, None),
+        ]
+        return spark.createDataFrame(
+            rows, "id int, Country string, `Address Line 1` string, "
+                  "`Address Line 2` string, `Address Line 3` string")
+
+    def test_single_value(self, df_addr):
+        from deequ_spark import CustomSql
+        m = CustomSql("SELECT COUNT(*) FROM primary "
+                      "WHERE `Address Line 2` IS NOT NULL").calculate(df_addr)
+        assert m.is_success and m.value == 6.0
+
+    def test_multiple_rows_fail(self, df_addr):
+        from deequ_spark import CustomSql
+        m = CustomSql("SELECT `Address Line 2` FROM primary "
+                      "WHERE `Address Line 2` IS NOT NULL").calculate(df_addr)
+        assert not m.is_success
+        assert "row" in str(m.error)
+
+    def test_multiple_columns_fail(self, df_addr):
+        from deequ_spark import CustomSql
+        m = CustomSql(
+            "SELECT `Address Line 1`, `Address Line 2` FROM primary "
+            "WHERE `Address Line 3` like 'Bandra%'").calculate(df_addr)
+        assert not m.is_success
+        assert "column" in str(m.error)
+
+    def test_syntax_error_carries_message(self, df_addr):
+        from deequ_spark import CustomSql
+        m = CustomSql("SELECT `foo` FROM primary").calculate(df_addr)
+        assert not m.is_success
+        assert "foo" in str(m.error)
+
+    def test_disambiguator_becomes_instance(self, df_addr):
+        from deequ_spark import CustomSql
+        from deequ_spark.metrics import Entity
+        a = CustomSql("SELECT COUNT(*) FROM primary "
+                      "WHERE `Address Line 2` IS NOT NULL", "statement1")
+        m = a.calculate(df_addr)
+        assert m.is_success and m.value == 6.0
+        assert m.name == "CustomSQL"
+        assert m.entity == Entity.DATASET
+        assert m.instance == "statement1"
