@@ -728,3 +728,54 @@ class TestCustomSqlParity:
         assert m.name == "CustomSQL"
         assert m.entity == Entity.DATASET
         assert m.instance == "statement1"
+
+
+class TestZerosCountParity:
+    """analyzers/ZerosCountTest.scala:34-125."""
+
+    def test_fixture_values(self, spark, df_numeric):
+        from deequ_spark import ZerosCount
+        assert ZerosCount("att2").calculate(df_numeric).value == 3.0
+        assert ZerosCount("att1").calculate(df_numeric).value == 0.0
+        assert ZerosCount("att2", where="item != '1'") \
+            .calculate(df_numeric).value == 2.0
+        m = ZerosCount("att1").calculate(df_numeric)
+        from deequ_spark.metrics import Entity
+        assert m.entity == Entity.COLUMN and m.name == "ZerosCount" \
+            and m.instance == "att1"
+
+    def test_all_zero_and_types(self, spark):
+        from deequ_spark import ZerosCount
+        assert ZerosCount("v").calculate(
+            spark.createDataFrame([(0.0,)] * 3, "v double")).value == 3.0
+        assert ZerosCount("v").calculate(
+            spark.createDataFrame([(0,), (1,), (0,), (2,), (0,)],
+                                  "v int")).value == 3.0
+        assert ZerosCount("v").calculate(
+            spark.createDataFrame([(0,), (1,), (0,)], "v long")).value == 2.0
+        from decimal import Decimal
+        assert ZerosCount("v").calculate(
+            spark.createDataFrame([(Decimal("0.00"),), (Decimal("1.00"),),
+                                   (Decimal("0.00"),)],
+                                  "v decimal(10,2)")).value == 2.0
+
+    def test_nulls_not_zeros(self, spark):
+        from deequ_spark import ZerosCount
+        df = spark.createDataFrame(
+            [(0.0,), (None,), (0.0,), (None,), (5.0,)], "value double")
+        assert ZerosCount("value").calculate(df).value == 2.0
+        all_null = spark.createDataFrame([(None,)] * 3, "value double")
+        assert ZerosCount("value").calculate(all_null).value == 0.0
+
+    def test_non_numeric_fails(self, spark, df_full):
+        from deequ_spark import ZerosCount
+        assert not ZerosCount("att1").calculate(df_full).is_success
+
+    def test_merge_states(self, spark, df_numeric):
+        from deequ_spark import ZerosCount
+        a = ZerosCount("att2")
+        half1 = df_numeric.where("item <= 3")
+        half2 = df_numeric.where("item > 3")
+        merged = a.compute_state_from(half1).merge(a.compute_state_from(half2))
+        assert a.compute_metric_from_state(merged).value == \
+            a.calculate(df_numeric).value
