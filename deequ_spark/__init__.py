@@ -19,7 +19,8 @@ from .analyzers.grouping import (CountDistinct, Distinctness,
                                  HistogramBinned, MutualInformation,
                                  Uniqueness, UniqueValueRatio,
                                  compute_frequencies)
-from .analyzers.scan import (AnalyzerOptions, ApproxCountDistinct,
+from .analyzers.scan import (AggregatedMetricState, AnalyzerOptions,
+                             ApproxCountDistinct,
                              ApproxQuantile, ApproxQuantiles, ColumnCount,
                              ColumnExists, ColumnRange, Completeness,
                              Compliance, Correlation, CustomAggregator,

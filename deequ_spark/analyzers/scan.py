@@ -1293,11 +1293,37 @@ class CustomSql(Analyzer):
         return DoubleMetric(self.entity, self.name, self.instance, state.sum_value)
 
 
+@dataclass(frozen=True)
+class AggregatedMetricState:
+    """The reference's CustomAggregator state shape: attribute COUNTS plus
+    a total, rendered as count/total ratios in the metric
+    (analyzers/CustomAggregator.scala AggregatedMetricState). Counts and
+    totals merge additively, so merged partitions yield exact combined
+    ratios — merging the ratios themselves would not."""
+    counts: Dict[str, int]
+    total: int
+
+    def merge(self, other: "AggregatedMetricState") -> "AggregatedMetricState":
+        merged = dict(self.counts)
+        for k, v in other.counts.items():
+            merged[k] = merged.get(k, 0) + v
+        return AggregatedMetricState(merged, self.total + other.total)
+
+    @property
+    def ratios(self) -> Dict[str, float]:
+        if self.total <= 0:
+            raise ValueError("Metric computation failed: total is not positive")
+        return {k: v / self.total for k, v in self.counts.items()}
+
+
 @dataclass(frozen=True, eq=False)
 class CustomAggregator(Analyzer):
-    """User-supplied DataFrame → dict aggregation → keyed metric.
-    Parity: CustomAggregator.scala:40-75."""
-    agg_function: Callable[[DataFrame], Dict[str, float]]
+    """User-supplied DataFrame → aggregation → keyed metric.
+    Parity: CustomAggregator.scala:40-75. The function may return either a
+    plain ``{key: value}`` dict (values reported as-is) or an
+    ``AggregatedMetricState(counts, total)`` (reported as count/total
+    ratios, the reference contract)."""
+    agg_function: Callable[[DataFrame], Any]
     instance_name: str = "custom"
 
     name = "CustomAggregator"
@@ -1311,12 +1337,17 @@ class CustomAggregator(Analyzer):
         return (type(self).__name__, self.instance_name, id(self.agg_function))
 
     def compute_state_from(self, df: DataFrame):
-        return _KeyedState(dict(self.agg_function(df)))
+        result = self.agg_function(df)
+        if isinstance(result, AggregatedMetricState):
+            return result
+        return _KeyedState(dict(result))
 
     def compute_metric_from_state(self, state) -> Metric:
         if state is None:
             return self.to_failure_metric(EmptyStateError("Empty state"))
-        return KeyedDoubleMetric(self.entity, self.name, self.instance, state.values)
+        values = (state.ratios if isinstance(state, AggregatedMetricState)
+                  else state.values)
+        return KeyedDoubleMetric(self.entity, self.name, self.instance, values)
 
 
 @dataclass(frozen=True)

@@ -779,3 +779,46 @@ class TestZerosCountParity:
         merged = a.compute_state_from(half1).merge(a.compute_state_from(half2))
         assert a.compute_metric_from_state(merged).value == \
             a.calculate(df_numeric).value
+
+
+class TestCustomAggregatorParity:
+    """analyzers/CustomAggregatorTest.scala:40-110: the reference's
+    (counts, total) state shape renders count/total ratios; lambda and
+    zero-total failures surface as failure metrics."""
+
+    def test_counts_become_ratios(self, spark):
+        from deequ_spark import AggregatedMetricState, CustomAggregator
+        df = spark.createDataFrame([(1,)], "id int")
+        a = CustomAggregator(
+            lambda _: AggregatedMetricState({"ProductA": 50, "ProductB": 45},
+                                            100), "ProductSales")
+        m = a.calculate(df)
+        assert m.is_success
+        assert m.value["ProductA"] == 0.5
+        assert m.value["ProductB"] == 0.45
+
+    def test_empty_counts_ok(self, spark):
+        from deequ_spark import AggregatedMetricState, CustomAggregator
+        df = spark.createDataFrame([(1,)], "id int")
+        a = CustomAggregator(lambda _: AggregatedMetricState({}, 100),
+                             "WebsiteTraffic")
+        m = a.calculate(df)
+        assert m.is_success and m.value == {}
+
+    def test_lambda_failure_is_failure_metric(self, spark):
+        from deequ_spark import CustomAggregator
+        df = spark.createDataFrame([(1,)], "id int")
+
+        def boom(_):
+            raise RuntimeError("Test failure")
+
+        m = CustomAggregator(boom, "ProductSales").calculate(df)
+        assert not m.is_success
+        assert "Test failure" in str(m.error)
+
+    def test_state_merge_sums_counts(self, spark):
+        from deequ_spark import AggregatedMetricState
+        merged = (AggregatedMetricState({"a": 2}, 10)
+                  .merge(AggregatedMetricState({"a": 3, "b": 5}, 10)))
+        assert merged.counts == {"a": 5, "b": 5} and merged.total == 20
+        assert merged.ratios == {"a": 0.25, "b": 0.25}
