@@ -1404,6 +1404,24 @@ def q_pipeline(spark, sf_dir):
         ("sum_chunk_chars", float(agg["chars"]))])
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (llm/text.py decontaminate): documents
+    sharing any normalized 5-gram with a benchmark built from the first
+    three documents are dropped. The oracle replays the n-gram overlap in
+    DuckDB list arithmetic."""
+    from deequ_spark.llm import decontaminate
+    docs = _load(spark, sf_dir, "documents")
+    benchmark = docs.where("doc_id < 3").select("text")
+    clean, contaminated = decontaminate(docs, "doc_id", "text",
+                                        benchmark, "text", n=5)
+    n_cont = contaminated.count()
+    id_sum = (contaminated.agg(F.sum("doc_id")).collect()[0][0] or 0)
+    return _metrics_df(spark, [
+        ("n_contaminated", float(n_cont)),
+        ("n_clean", float(clean.count())),
+        ("contaminated_id_sum", float(id_sum))])
+
+
 def q_profile(spark, sf_dir):
     """Column profiler (3-pass): deterministic fields of a numeric and a
     string column profile."""
@@ -1877,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_level": q_row_level,
         "row_level_filtered": q_row_level_filtered,
         "pipeline": q_pipeline,
+        "decontamination": q_decontamination,
         "profile": q_profile,
         "dqdl": q_dqdl,
         "dqdl_extended": q_dqdl_extended,
@@ -2371,6 +2390,34 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'n_docs_chunked', CAST(COUNT(DISTINCT doc_id) AS DOUBLE) FROM chunks
             UNION ALL SELECT 'sum_chunk_tokens', CAST(SUM(ntok) AS DOUBLE) FROM chunks
             UNION ALL SELECT 'sum_chunk_chars', CAST(SUM(nchars) AS DOUBLE) FROM chunks
+        """,
+        "decontamination": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                         '\\s+'), w -> w <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 5
+                          THEN list_distinct(list_transform(
+                              range(1, len(t) - 3),
+                              i -> array_to_string(t[i:i+4], ' ')))
+                          ELSE [array_to_string(t, ' ')] END AS g
+              FROM toks),
+            bg AS (SELECT DISTINCT unnest(g) AS gram FROM grams
+                   WHERE doc_id < 3),
+            eg AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+            cont AS (SELECT DISTINCT doc_id FROM eg
+                     WHERE gram IN (SELECT gram FROM bg))
+            SELECT 'n_contaminated' AS metric,
+                   CAST((SELECT COUNT(*) FROM cont) AS DOUBLE) AS value
+            UNION ALL SELECT 'n_clean',
+                   CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                   - CAST((SELECT COUNT(*) FROM cont) AS DOUBLE)
+            UNION ALL SELECT 'contaminated_id_sum',
+                   CAST(COALESCE((SELECT SUM(doc_id) FROM cont), 0) AS DOUBLE)
         """,
         "row_level_filtered": """
             WITH o AS (

@@ -19,7 +19,8 @@ from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
                    chunk_text, remove_boilerplate_lines,
                    top_ngram_char_fraction,
                    language_id_trigrams, pii_counts, redact_pii, text_quality,
-                   token_count_regex, token_count_whitespace, trigram_score)
+                   token_count_regex, token_count_whitespace, trigram_score,
+                   decontaminate)
 from .multimodal import (attach_binary_payload, decode_audio, decode_image,
                          fake_resize, resize_media,
                          extract_binary_features, sample_chunks)

@@ -4,7 +4,7 @@ counting, document fingerprinting — all single-pass column expressions.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -383,3 +383,38 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
             .withColumn("n_removed_lines",
                         F.coalesce(F.col("__nrm"), F.lit(0).cast("long")))
             .drop("__nrm"))
+
+
+def decontaminate(corpus: DataFrame, id_col: str, text_col: str,
+                  benchmark: DataFrame, bench_text_col: str,
+                  n: int = 13) -> Tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: drop corpus documents sharing ANY word
+    ``n``-gram with an evaluation/benchmark set — the standard 13-gram
+    exact-collision rule used to keep test sets out of training corpora
+    (GPT-3 appendix C / PaLM-style decontamination; public methodology).
+    Returns ``(clean_corpus, contaminated_ids)``.
+
+    Scale plan for a 100 TB corpus vs a small benchmark: the benchmark's
+    distinct n-gram set is tiny (eval sets are MBs), so it BROADCASTS —
+    the corpus side is one map-only explode followed by a broadcast
+    semi-join (no corpus shuffle), then one id anti-join. Normalization
+    (lowercase, whitespace collapse) is applied on both sides so cosmetic
+    edits don't defeat the filter."""
+    from .dedup import word_shingles
+
+    def norm_grams(col):
+        return word_shingles(
+            F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), n)
+
+    bench_grams = (benchmark
+                   .select(F.explode(norm_grams(F.col(bench_text_col)))
+                           .alias("__gram"))
+                   .distinct())
+    corpus_grams = (corpus.select(
+        F.col(id_col), F.explode(norm_grams(F.col(text_col)))
+        .alias("__gram")))
+    contaminated = (corpus_grams
+                    .join(F.broadcast(bench_grams), "__gram", "left_semi")
+                    .select(id_col).distinct())
+    clean = corpus.join(contaminated, id_col, "left_anti")
+    return clean, contaminated

@@ -996,3 +996,52 @@ class TestWinnowing:
         assert 1 in ids            # short doc: one whole-text fingerprint
         assert 2 not in ids        # NULL text dropped
         assert len([r for r in fps if r["id"] == 1]) == 1
+
+
+class TestDecontamination:
+    """Benchmark decontamination: drop training docs sharing any word
+    n-gram with an eval set (standard 13-gram rule; n shrunk here for
+    fixture size)."""
+
+    def test_contaminated_docs_dropped(self, spark):
+        from deequ_spark.llm import decontaminate
+        corpus = spark.createDataFrame([
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about pyspark aggregation plans"),
+            (3, "Thing one. The QUICK   brown fox jumps over pastures."),
+            (4, "another clean document with its own unique words here"),
+        ], "doc_id long, text string")
+        benchmark = spark.createDataFrame(
+            [("benchmark says the quick brown fox jumps over things",)],
+            "text string")
+        clean, contaminated = decontaminate(
+            corpus, "doc_id", "text", benchmark, "text", n=5)
+        # docs 1 and 3 share the 5-gram "the quick brown fox jumps"
+        # (normalization collapses case and repeated whitespace)
+        assert sorted(r["doc_id"] for r in contaminated.collect()) == [1, 3]
+        assert sorted(r["doc_id"] for r in clean.collect()) == [2, 4]
+
+    def test_no_overlap_keeps_everything(self, spark):
+        from deequ_spark.llm import decontaminate
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string")
+        benchmark = spark.createDataFrame(
+            [("one two three four five six",)], "text string")
+        clean, contaminated = decontaminate(
+            corpus, "doc_id", "text", benchmark, "text", n=3)
+        assert contaminated.count() == 0 and clean.count() == 1
+
+    def test_benchmark_side_broadcasts(self, spark):
+        """The benchmark n-gram set must reach the corpus via a broadcast
+        join — no corpus-side shuffle for candidate detection."""
+        from deequ_spark.llm import decontaminate
+        corpus = spark.createDataFrame(
+            [(i, f"words {i} unique to document number {i} indeed")
+             for i in range(50)], "doc_id long, text string")
+        benchmark = spark.createDataFrame([("held out eval text",)],
+                                          "text string")
+        _, contaminated = decontaminate(corpus, "doc_id", "text",
+                                        benchmark, "text", n=3)
+        plan = contaminated._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
