@@ -822,3 +822,93 @@ class TestCustomAggregatorParity:
                   .merge(AggregatedMetricState({"a": 3, "b": 5}, 10)))
         assert merged.counts == {"a": 5, "b": 5} and merged.total == 20
         assert merged.ratios == {"a": 0.25, "b": 0.25}
+
+
+class TestHistogramConstraintStatus:
+    """CheckTest.scala:595-700 "check status for histogram constraints" on
+    getDfCompleteAndInCompleteColumns (att1 a×4/b×2; att2 f×3,d×1,null×2)."""
+
+    def test_value_and_ratio_assertions(self, df_incomplete):
+        c1 = (Check(CheckLevel.ERROR, "basic-categorical-tests")
+              .has_number_of_distinct_values("att1", lambda v: v < 10)
+              .has_histogram_values("att1", lambda d: d["a"].absolute == 4)
+              .has_histogram_values("att1", lambda d: d["b"].absolute == 2)
+              .has_histogram_values("att1", lambda d: d["a"].ratio > 0.6)
+              .has_histogram_values("att1", lambda d: d["b"].ratio < 0.4))
+        c2 = (Check(CheckLevel.ERROR, "filtered-constraint-tests")
+              .has_histogram_values("att1", lambda d: d["a"].absolute == 3)
+              .where("att2 is not null")
+              .has_histogram_values("att1", lambda d: d["b"].absolute == 1)
+              .where("att2 is not null"))
+        c3 = (Check(CheckLevel.ERROR, "null-handling-tests")
+              .has_number_of_distinct_values("att2", lambda v: v == 3)
+              .has_number_of_distinct_values("att2", lambda v: v == 2)
+              .where("att1 = 'a'")
+              .has_histogram_values("att2", lambda d: d["f"].absolute == 3)
+              .has_histogram_values("att2", lambda d: d["d"].absolute == 1)
+              .has_histogram_values(
+                  "att2", lambda d: d["NullValue"].absolute == 2)
+              .has_histogram_values("att2", lambda d: d["f"].ratio == 3 / 6.0)
+              .has_histogram_values("att2", lambda d: d["d"].ratio == 1 / 6.0)
+              .has_histogram_values(
+                  "att2", lambda d: d["NullValue"].ratio == 2 / 6.0))
+        c4 = (Check(CheckLevel.ERROR, "edge-case-tests")
+              .has_histogram_values(
+                  "att1", lambda d: "nonexistent" not in d.values)
+              .has_histogram_values("att2", lambda d: d["f"].ratio <= 1.0)
+              .has_histogram_values("att2", lambda d: d["d"].ratio >= 0.0))
+        c5 = (Check(CheckLevel.ERROR, "complex-filter-tests")
+              .has_histogram_values("att1", lambda d: d["a"].absolute >= 1)
+              .where("att2 = 'f'")
+              .has_histogram_values("att2", lambda d: d["f"].absolute >= 2)
+              .where("att1 in ('a', 'b')"))
+        c6 = (Check(CheckLevel.ERROR, "maxBins-parameter-tests")
+              .has_histogram_values("att1", lambda d: d["a"].absolute == 4,
+                                    max_bins=10)
+              .has_histogram_values("att2", lambda d: d["f"].absolute == 3,
+                                    max_bins=5)
+              .has_histogram_values("att2", lambda d: "d" not in d.values,
+                                    max_bins=1))
+        c8 = (Check(CheckLevel.ERROR, "failure-tests")
+              .has_number_of_distinct_values("unKnownColumn",
+                                             lambda v: v == 3))
+        got, _ = _run(df_incomplete, c1, c2, c3, c4, c5, c6, c8)
+        for ok in ("basic-categorical-tests", "filtered-constraint-tests",
+                   "null-handling-tests", "edge-case-tests",
+                   "complex-filter-tests", "maxBins-parameter-tests"):
+            assert got[ok].status == CheckStatus.SUCCESS, (
+                ok, [(str(cr.constraint), cr.message)
+                     for cr in got[ok].constraint_results
+                     if cr.status != ConstraintStatus.SUCCESS])
+        assert got["failure-tests"].status == CheckStatus.ERROR
+
+    def test_count_aggregation_default(self, spark):
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 20), ("b", 30), ("b", 40)],
+            "category string, value int")
+        check = (Check(CheckLevel.ERROR, "aggregate-function-tests")
+                 .has_histogram_values("category",
+                                       lambda d: d["a"].absolute == 2))
+        got, _ = _run(df, check)
+        assert got["aggregate-function-tests"].status == CheckStatus.SUCCESS
+
+    def test_column_named_count(self, spark):
+        """CheckTest.scala:673-695 — a user column named 'count' must not
+        collide with internal frequency bookkeeping."""
+        df = spark.createDataFrame(
+            [("id_0", 1), ("id_1", 2), ("id_2", 3)], "id string, count int")
+        check = (Check(CheckLevel.ERROR, "count column check")
+                 .has_number_of_distinct_values("count", lambda v: v == 3))
+        got, _ = _run(df, check)
+        assert got["count column check"].status == CheckStatus.SUCCESS
+
+    def test_sum_aggregation_with_count_column(self, spark):
+        from deequ_spark import AnalysisRunner, Histogram
+        df = spark.createDataFrame(
+            [("a", 10, 1), ("a", 20, 2), ("b", 30, 3)],
+            "category string, value int, count int")
+        analyzer = Histogram("category", sum_column="value")
+        ctx = AnalysisRunner.on_data(df).add_analyzer(analyzer).run()
+        m = ctx.metric_map[analyzer]
+        assert m.is_success
+        assert m.value["a"].absolute == 30
