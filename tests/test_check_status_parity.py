@@ -912,3 +912,60 @@ class TestHistogramConstraintStatus:
         m = ctx.metric_map[analyzer]
         assert m.is_success
         assert m.value["a"].absolute == 30
+
+
+class TestHistogramBinnedConstraintStatus:
+    """CheckTest.scala:700-780 "check status for histogram binned
+    constraints" re-expressed in this engine's Distribution shape (ordered
+    label→DistributionValue dict + null_count)."""
+
+    @pytest.fixture(scope="class")
+    def df_binned(self, spark):
+        vals = [10.0, 12.0, 15.0, 18.0, 20.0, 25.0, 28.0, 30.0, 32.0, 35.0,
+                40.0, 42.0, 45.0, 48.0, 50.0, 55.0, 58.0, 60.0, 65.0, None]
+        return spark.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(vals)], "id int, value double")
+
+    def _freqs(self, dist):
+        return [dv.absolute for dv in dist.values.values()]
+
+    def test_binned_constraints(self, df_binned):
+        checks = [
+            Check(CheckLevel.ERROR, "bin-specific-tests")
+            .has_histogram_binned_values(
+                "value", lambda d: self._freqs(d)[0] >= 1, bin_count=5)
+            .has_histogram_binned_values(
+                "value", lambda d: self._freqs(d)[-1] >= 0, bin_count=5),
+            Check(CheckLevel.ERROR, "null-handling-tests")
+            .has_histogram_binned_values(
+                "value", lambda d: d.null_count == 1, bin_count=5),
+            Check(CheckLevel.ERROR, "distribution-shape-tests")
+            .has_histogram_binned_values(
+                "value",
+                lambda d: sum(1 for f in self._freqs(d) if f > 0) >= 3,
+                bin_count=5)
+            .has_histogram_binned_values(
+                "value", lambda d: any(f > 2 for f in self._freqs(d)),
+                bin_count=5)
+            .has_histogram_binned_values(
+                "value", lambda d: all(f <= 20 for f in self._freqs(d)),
+                bin_count=5),
+            Check(CheckLevel.ERROR, "bin-structure-tests")
+            .has_histogram_binned_bins("value", lambda n: n >= 5, bin_count=5)
+            .has_histogram_binned_values(
+                "value", lambda d: d.number_of_bins >= 5, bin_count=5),
+            Check(CheckLevel.ERROR, "filtered-binned-tests")
+            .has_histogram_binned_values(
+                "value", lambda d: any(f > 0 for f in self._freqs(d)),
+                bin_count=5).where("id <= 10")
+            .has_histogram_binned_bins(
+                "value", lambda n: n >= 3, bin_count=5).where("value > 20"),
+        ]
+        got, _ = _run(df_binned, *checks)
+        for name in ("bin-specific-tests", "null-handling-tests",
+                     "distribution-shape-tests", "bin-structure-tests",
+                     "filtered-binned-tests"):
+            assert got[name].status == CheckStatus.SUCCESS, (
+                name, [(str(cr.constraint), cr.message)
+                       for cr in got[name].constraint_results
+                       if cr.status != ConstraintStatus.SUCCESS])
