@@ -112,6 +112,8 @@ class Condition:
     values: Optional[List[Any]] = None
     negated: bool = False
     unit: Optional[str] = None         # days/hours/minutes (DataFreshness)
+    low_unit: Optional[str] = None     # per-operand duration units
+    high_unit: Optional[str] = None
 
     def assertion(self) -> Callable[[float], bool]:
         """Metric-level assertion for aggregate rules.
@@ -305,6 +307,17 @@ class _Parser:
             return self._now_expr()
         return self._value()
 
+    def _maybe_unit(self) -> Optional[str]:
+        """Consume a trailing duration word (days/hours/minutes) if present
+        — DQDL duration operands like `between 12 hours and 60 hours`."""
+        nxt = self.peek()
+        if nxt and nxt[0] == "word":
+            unit = nxt[1].lower().rstrip("s") + "s"
+            if unit in ("days", "hours", "minutes"):
+                self.next()
+                return unit
+        return None
+
     def _now_expr(self) -> NowExpr:
         kind, val = self.next()
         if kind != "word" or val.lower() != "now":
@@ -386,8 +399,13 @@ class _Parser:
         if kind == "word" and val.lower() == "between":
             self.next()
             lo = self._operand()
+            lo_unit = self._maybe_unit()
             self.expect("and")
-            return Condition("between", low=lo, high=self._operand())
+            hi = self._operand()
+            hi_unit = self._maybe_unit()
+            return Condition("between", low=lo, high=hi,
+                             unit=lo_unit or hi_unit,
+                             low_unit=lo_unit, high_unit=hi_unit)
         if kind == "word" and val.lower() == "in":
             self.next()
             return Condition("in", values=self._bracket_list())
@@ -397,9 +415,13 @@ class _Parser:
             if nxt2 and nxt2[0] == "word" and nxt2[1].lower() == "between":
                 self.next()
                 lo = self._operand()
+                lo_unit = self._maybe_unit()
                 self.expect("and")
-                return Condition("between", low=lo, high=self._operand(),
-                                 negated=True)
+                hi = self._operand()
+                hi_unit = self._maybe_unit()
+                return Condition("between", low=lo, high=hi, negated=True,
+                                 unit=lo_unit or hi_unit,
+                                 low_unit=lo_unit, high_unit=hi_unit)
             self.expect("in")
             return Condition("in", values=self._bracket_list(), negated=True)
         if kind == "word" and val.lower() == "matches":
@@ -586,7 +608,13 @@ def _custom_sql_row_level(df: DataFrame, sql: str, outcome_col: str):
 
 
 def _quote_col(col: str) -> str:
-    return f"`{col}`" if (" " in col or "." in col) else col
+    """Spaces get backticks; explicit user backticks pass through (a
+    LITERAL dotted column name, e.g. `Some.Date`); bare dots are struct
+    field access and stay unquoted (DataFreshnessSpec "nested columns" vs
+    "columns with . in name")."""
+    if "`" in col:
+        return col
+    return f"`{col}`" if " " in col else col
 
 
 def _translate_into(check: Check, rule: DQRule) -> Check:
@@ -652,15 +680,37 @@ def _translate_into(check: Check, rule: DQRule) -> Check:
             "EvaluateDataQuality.process (with additional_datasets) as a "
             "top-level rule, not inside a composite")
     elif rt == "DataFreshness":
-        if cond is None or cond.kind != "cmp" or cond.op not in ("<=", "<"):
-            raise DQDLParseError(
-                "DataFreshness requires '<= N days|hours|minutes'")
-        seconds = {"days": 86400, "hours": 3600, "minutes": 60}[
-            cond.unit or "days"] * float(cond.value)
+        def to_sec(v, unit):
+            return {"days": 86400, "hours": 3600, "minutes": 60}[
+                unit or "days"] * float(v)
         col = _quote_col(rule.parameters[0])
-        pred = (f"(unix_timestamp(current_timestamp()) - "
-                f"unix_timestamp({col})) {cond.op} {seconds}")
+        # try_cast-to-timestamp: accepts date-only strings, fractional
+        # seconds, and typed date/timestamp columns; malformed values go
+        # NULL (row fails) instead of throwing under ANSI mode
+        age = (f"(unix_timestamp(current_timestamp()) - "
+               f"unix_timestamp(try_cast({col} AS TIMESTAMP)))")
+        if cond is not None and cond.kind == "cmp":
+            op = "<>" if cond.op == "!=" else cond.op
+            pred = f"{age} {op} {to_sec(cond.value, cond.unit)}"
+        elif cond is not None and cond.kind == "between":
+            lo = to_sec(cond.low, cond.low_unit or cond.unit)
+            hi = to_sec(cond.high, cond.high_unit or cond.unit)
+            if cond.negated:
+                pred = (f"({age} IS NOT NULL AND "
+                        f"({age} <= {lo} OR {age} >= {hi}))")
+            else:
+                pred = f"({age} > {lo} AND {age} < {hi})"
+        else:
+            raise DQDLParseError(
+                "DataFreshness requires a comparison or between condition "
+                "with days|hours|minutes units")
+        # where='true' is a no-op filter that routes an EMPTY input through
+        # the empty-state-due-to-filter carve-out → Passed, matching the
+        # reference's RuleEvaluationHelper totalCount==0 → Passed
+        # (RuleEvaluationHelper.scala:70, DataFreshnessSpec "work for empty
+        # dataframes")
         check = check.satisfies(pred, rule.describe(), lambda v: v == 1.0)
+        check._cells[-1]["where"] = "true"  # noqa: SLF001
     else:
         raise DQDLParseError(f"Unsupported DQDL rule type: {rt}")
     if rule.where:

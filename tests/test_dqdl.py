@@ -683,3 +683,70 @@ class TestColumnNamesMatchPatternParity:
         partial = self._one(
             df, r'Rules = [ ColumnNamesMatchPattern "Building\s*Code" ]')
         assert partial["Outcome"] == "Failed"
+
+
+class TestDataFreshnessParity:
+    """dqdl/DataFreshnessSpec.scala:28-150 — freshness over nested
+    columns, dotted literal names, empty frames, and the full operator
+    surface with duration units."""
+
+    def _one(self, df, ruleset):
+        return EvaluateDataQuality.process(df, ruleset).collect()[0]
+
+    def _state_df(self, spark):
+        import datetime
+        now = datetime.datetime.now()
+        rows = [(i + 1, name, abbr,
+                 (now - datetime.timedelta(days=d)).isoformat(sep=" "))
+                for i, (name, abbr, d) in enumerate([
+                    ("California", "CA", 1), ("New York", "NY", 2),
+                    ("New Jersey", "NJ", 3), ("Oregon", "OR", 5)])]
+        return spark.createDataFrame(
+            rows, "ID int, `State Name` string, `State Abbreviation` string, "
+                  "`Some Date` string")
+
+    def test_nested_column(self, spark):
+        import datetime
+        today = datetime.date.today()
+        rows = [(i, ((today - datetime.timedelta(days=i)).isoformat(), st))
+                for i, st in enumerate(["NY", "WI", "TX", "CA"], 1)]
+        df = spark.createDataFrame(
+            rows, "id int, state struct<_1: string, _2: string>")
+        row = self._one(df, 'Rules=[DataFreshness "state._1" < 200 hours]')
+        assert row["Outcome"] == "Passed"
+
+    def test_dotted_literal_column(self, spark):
+        import datetime
+        today = datetime.date.today()
+        df = spark.createDataFrame(
+            [("California", "CA",
+              (today - datetime.timedelta(days=1)).isoformat())],
+            "`State Name` string, `State Abbreviation` string, "
+            "`Some.Date` string")
+        row = self._one(df, 'Rules=[DataFreshness "`Some.Date`" < 200 hours]')
+        assert row["Outcome"] == "Passed"
+
+    def test_empty_dataframe_passes(self, spark):
+        df = spark.createDataFrame(
+            [], "`State Name` string, `State Abbreviation` string, "
+                "`Some Date` string")
+        row = self._one(df, 'Rules=[DataFreshness "Some Date" < 200 hours]')
+        assert row["Outcome"] == "Passed"
+
+    def test_between_operators(self, spark):
+        df = self._state_df(spark)
+        assert self._one(df, 'Rules=[DataFreshness "Some Date" '
+                             'between 12 hours and 60 hours]'
+                         )["Outcome"] == "Failed"
+        assert self._one(df, 'Rules=[DataFreshness "Some Date" '
+                             'not between 50 hours and 90 hours]'
+                         )["Outcome"] == "Failed"
+
+    def test_comparison_operators(self, spark):
+        df = self._state_df(spark)
+        assert self._one(df, 'Rules=[DataFreshness "Some Date" >= 50 hours]'
+                         )["Outcome"] == "Failed"
+        assert self._one(df, 'Rules=[DataFreshness "Some Date" > 1 minutes]'
+                         )["Outcome"] == "Passed"
+        assert self._one(df, 'Rules=[DataFreshness "Some Date" < 10 days]'
+                         )["Outcome"] == "Passed"
