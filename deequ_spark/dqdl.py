@@ -907,22 +907,75 @@ class EvaluateDataQuality:
             rows, "Rule string, Outcome string, FailureReason string, "
                   "EvaluatedMetrics map<string,double>")
 
+    ORIGINAL_DATA_KEY = "originalData"
+    RULE_OUTCOMES_KEY = "ruleOutcomes"
+    ROW_LEVEL_OUTCOMES_KEY = "rowLevelOutcomes"
+    ANNOTATED_DATA_KEY = "annotatedData"   # extra: per-rule boolean columns
+    ROW_LEVEL_PASS = "DataQualityRulesPass"
+    ROW_LEVEL_FAIL = "DataQualityRulesFail"
+    ROW_LEVEL_SKIP = "DataQualityRulesSkip"
+    ROW_LEVEL_OUTCOME_COLUMN = "DataQualityEvaluationResult"
+
     @staticmethod
     def process_rows(df: DataFrame, ruleset: str,
                      level: CheckLevel = CheckLevel.ERROR,
-                     additional_datasets=None) -> DataFrame:
-        """Row-level outcomes (parity: EvaluateDataQuality.processRows,
-        EvaluateDataQuality.scala:96-139): the input rows annotated with one
-        boolean column per row-level-capable rule (named by the rule text).
-        Aggregate-only rules (RowCount, Mean, …) and dataset-level rules
-        without row semantics (RowCountMatch, SchemaMatch, AggregateMatch)
-        add no column; ReferentialIntegrity and DatasetMatch annotate via
-        their join executors.
+                     additional_datasets=None) -> dict:
+        """Row-level outcomes in the reference's processRows contract
+        (EvaluateDataQuality.scala:37-39,96-139 +
+        execution/RowLevelResultHelper.scala:26-29): a dict with
+        ``originalData`` (unchanged input), ``ruleOutcomes`` (the
+        per-rule outcome table of :meth:`process`), and
+        ``rowLevelOutcomes`` — the input rows plus
+        ``DataQualityRulesPass`` / ``DataQualityRulesFail`` /
+        ``DataQualityRulesSkip`` (arrays of rule strings) and
+        ``DataQualityEvaluationResult`` ("Passed" iff no rule failed on
+        the row; rules without row semantics land in skip). The extra
+        ``annotatedData`` key exposes the underlying per-rule boolean
+        columns (this engine's richer surface; a NULL there means the rule
+        filtered the row out — counted in neither pass nor fail).
 
         Scale note: the deequ-backed columns are a pure projection fused
         into the scan; each join-backed rule adds one (broadcastable)
-        left join."""
-        return _process_rows_impl(df, ruleset, level, additional_datasets)
+        left join; the pass/fail arrays are array-literal expressions on
+        top — still no shuffle."""
+        from pyspark.sql import functions as F
+
+        parsed = parse(ruleset)
+        annotated = _process_rows_impl(df, ruleset, level,
+                                       additional_datasets)
+        rule_names = [r.describe() for r in parsed.rules]
+        row_level_cols = [n for n in rule_names if n in annotated.columns]
+        skip = [n for n in rule_names if n not in annotated.columns]
+
+        def arr(pred):
+            items = [F.when(pred(F.col(f"`{n}`")), F.lit(n)) for n in
+                     row_level_cols]
+            if not items:
+                return F.array().cast("array<string>")
+            return F.filter(F.array(*items), lambda x: x.isNotNull())
+
+        passes = arr(lambda c: c == True)  # noqa: E712 — three-valued
+        fails = arr(lambda c: c == False)  # noqa: E712
+        row_level = (annotated
+                     .withColumn(EvaluateDataQuality.ROW_LEVEL_PASS, passes)
+                     .withColumn(EvaluateDataQuality.ROW_LEVEL_FAIL, fails)
+                     .withColumn(EvaluateDataQuality.ROW_LEVEL_SKIP,
+                                 F.array(*[F.lit(n) for n in skip])
+                                 .cast("array<string>"))
+                     .withColumn(
+                         EvaluateDataQuality.ROW_LEVEL_OUTCOME_COLUMN,
+                         F.when(F.size(F.col(
+                             EvaluateDataQuality.ROW_LEVEL_FAIL)) == 0,
+                             F.lit("Passed")).otherwise(F.lit("Failed"))))
+        row_level = row_level.drop(*row_level_cols)
+        return {
+            EvaluateDataQuality.ORIGINAL_DATA_KEY: df,
+            EvaluateDataQuality.RULE_OUTCOMES_KEY:
+                EvaluateDataQuality.process(df, ruleset, level,
+                                            additional_datasets),
+            EvaluateDataQuality.ROW_LEVEL_OUTCOMES_KEY: row_level,
+            EvaluateDataQuality.ANNOTATED_DATA_KEY: annotated,
+        }
 
 
 def _process_rows_impl(df: DataFrame, ruleset: str, level: CheckLevel,

@@ -265,7 +265,7 @@ class TestProcessRows:
     def test_row_level_columns(self, df_full):
         out = EvaluateDataQuality.process_rows(df_full, """Rules = [
             ColumnValues "att1" in ["a"],
-            IsComplete "att2" ]""")
+            IsComplete "att2" ]""")["annotatedData"]
         rows = out.collect()
         assert len(rows) == 4
         # att1 = 'b' on item 4 only
@@ -275,7 +275,7 @@ class TestProcessRows:
 
     def test_aggregate_rules_add_no_column(self, df_full):
         out = EvaluateDataQuality.process_rows(
-            df_full, 'Rules = [RowCount = 4]')
+            df_full, 'Rules = [RowCount = 4]')["annotatedData"]
         assert out.columns == df_full.columns
 
     def test_referential_integrity_row_level(self, spark, df_full):
@@ -283,7 +283,7 @@ class TestProcessRows:
         out = EvaluateDataQuality.process_rows(
             df_full,
             'Rules = [ReferentialIntegrity "item" "ref.item" = 0.5]',
-            additional_datasets={"ref": ref})
+            additional_datasets={"ref": ref})["annotatedData"]
         col = 'ReferentialIntegrity "item" "ref.item" = 0.5'
         by_item = {r["item"]: r[col] for r in out.collect()}
         assert by_item == {"1": True, "2": True, "3": False, "4": False}
@@ -293,7 +293,7 @@ class TestProcessRows:
         out = EvaluateDataQuality.process_rows(
             df_full,
             'Rules = [DatasetMatch "ref" "item->item" = 0.5]',
-            additional_datasets={"ref": ref})
+            additional_datasets={"ref": ref})["annotatedData"]
         col = 'DatasetMatch "ref" "item->item" = 0.5'
         matched = sum(1 for r in out.collect() if r[col])
         assert matched == 2
@@ -318,7 +318,8 @@ class TestCustomSqlRowLevel:
 
     def test_row_level_column(self, df_full):
         rule = 'CustomSql "select item from primary where att1 = \'a\'"'
-        out = EvaluateDataQuality.process_rows(df_full, f"Rules = [{rule}]")
+        out = EvaluateDataQuality.process_rows(
+            df_full, f"Rules = [{rule}]")["annotatedData"]
         assert out.count() == 4                   # join never multiplies rows
         by_item = {r["item"]: r[rule] for r in out.collect()}
         assert by_item == {"1": True, "2": True, "3": True, "4": False}
@@ -750,3 +751,67 @@ class TestDataFreshnessParity:
                          )["Outcome"] == "Passed"
         assert self._one(df, 'Rules=[DataFreshness "Some Date" < 10 days]'
                          )["Outcome"] == "Passed"
+
+
+class TestProcessRowsReferenceContract:
+    """EvaluateDataQualityRowLevelSpec.scala:29-180 — the processRows
+    result-map contract."""
+
+    def test_three_keys_and_original_unchanged(self, df_full):
+        results = EvaluateDataQuality.process_rows(
+            df_full, 'Rules=[IsComplete "item"]')
+        for key in ("originalData", "ruleOutcomes", "rowLevelOutcomes"):
+            assert key in results, key
+        assert results["originalData"].collect() == df_full.collect()
+        outcomes = results["ruleOutcomes"].collect()
+        assert len(outcomes) == 1 and outcomes[0]["Outcome"] == "Passed"
+
+    def test_row_level_schema_and_all_passed(self, df_full):
+        rl = EvaluateDataQuality.process_rows(
+            df_full, 'Rules=[IsComplete "item"]')["rowLevelOutcomes"]
+        for c in ("DataQualityRulesPass", "DataQualityRulesFail",
+                  "DataQualityRulesSkip", "DataQualityEvaluationResult"):
+            assert c in rl.columns, c
+        rows = rl.collect()
+        assert len(rows) == 4
+        assert all(r["DataQualityEvaluationResult"] == "Passed" for r in rows)
+        # original data columns preserved
+        for c in df_full.columns:
+            assert c in rl.columns
+
+    def test_pass_fail_arrays(self, spark):
+        df = spark.createDataFrame([("1", "a"), (None, "b")],
+                                   "id string, value string")
+        rule = 'IsComplete "id"'
+        rl = EvaluateDataQuality.process_rows(
+            df, f"Rules=[{rule}]")["rowLevelOutcomes"]
+        by_val = {r["value"]: r for r in rl.collect()}
+        assert rule in by_val["a"]["DataQualityRulesPass"]
+        assert by_val["a"]["DataQualityRulesFail"] == []
+        assert by_val["b"]["DataQualityRulesPass"] == []
+        assert rule in by_val["b"]["DataQualityRulesFail"]
+
+    def test_mixed_pass_fail_outcomes(self, spark):
+        df = spark.createDataFrame(
+            [("1", "a"), (None, "b"), ("3", None)],
+            "id string, name string")
+        rl = EvaluateDataQuality.process_rows(
+            df, 'Rules=[IsComplete "id", IsComplete "name"]'
+        )["rowLevelOutcomes"]
+        got = sorted((r["id"] or "NULL", r["DataQualityEvaluationResult"])
+                     for r in rl.collect())
+        assert got == [("1", "Passed"), ("3", "Failed"), ("NULL", "Failed")]
+
+    def test_aggregate_rules_in_skip(self, df_full):
+        rl = EvaluateDataQuality.process_rows(
+            df_full, "Rules=[RowCount > 0]")["rowLevelOutcomes"]
+        for r in rl.collect():
+            assert r["DataQualityRulesSkip"] != []
+
+    def test_row_count_preserved(self, spark):
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "item int, att1 double")
+        rl = EvaluateDataQuality.process_rows(
+            df, 'Rules=[IsComplete "item", IsUnique "item", RowCount > 0]'
+        )["rowLevelOutcomes"]
+        assert rl.count() == df.count()
