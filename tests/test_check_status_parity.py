@@ -969,3 +969,28 @@ class TestHistogramBinnedConstraintStatus:
                 name, [(str(cr.constraint), cr.message)
                        for cr in got[name].constraint_results
                        if cr.status != ConstraintStatus.SUCCESS])
+
+
+class TestFilterableCheckBuild:
+    """checks/FilterableCheckTest.scala:32-66 — .where() retrofits the
+    filter onto exactly the LAST constraint."""
+
+    def test_where_targets_last_constraint_only(self):
+        from deequ_spark import Completeness, Compliance
+        check = (Check(CheckLevel.ERROR, "someCheck")
+                 .is_complete("col1")
+                 .is_complete("col2").where("marketplace = 'EU'")
+                 .has_completeness("col3", lambda v: v >= 0.9)
+                 .where("marketplace = 'NA'")
+                 .satisfies("someCol > 5", "const1", columns=["someCol"])
+                 .satisfies("someCol > 10", "const2", columns=["someCol"])
+                 .where("marketplace = 'EU'"))
+        completeness = sorted(
+            (a for a in check.required_analyzers()
+             if isinstance(a, Completeness)), key=lambda a: a.column)
+        assert [a.where for a in completeness] == \
+            [None, "marketplace = 'EU'", "marketplace = 'NA'"]
+        compliance = sorted(
+            (a for a in check.required_analyzers()
+             if isinstance(a, Compliance)), key=lambda a: a.instance)
+        assert [a.where for a in compliance] == [None, "marketplace = 'EU'"]
