@@ -94,3 +94,57 @@ class TestRowLevelAnnotation:
         got = {r["id"]: r["outcome"] for r in out.collect()}
         assert got == {1: True, 2: True, 3: True, 4: False, 5: False,
                        6: False}
+
+
+class TestReferentialIntegrityFixtures:
+    """comparison/ReferentialIntegrityTest.scala:216-400 — subsetCheck
+    ratios (duplicate primary rows COUNT toward the ratio) and
+    missing-column errors."""
+
+    @pytest.fixture(scope="class")
+    def primary(self, spark):
+        return spark.createDataFrame(
+            [(1, "John", "NY"), (2, "Javier", "WI"), (3, "Helena", "TX"),
+             (3, "Helena", "TX")], "id int, name string, state string")
+
+    @pytest.fixture(scope="class")
+    def reference(self, spark):
+        return spark.createDataFrame(
+            [(1, "John", "NY"), (2, "Javier", "WI"), (3, "Helena", "TX"),
+             (5, "Tyler", "FL"), (6, "Megan", "TX")],
+            "new_id int, name string, state string")
+
+    def test_id_match_full(self, primary, reference):
+        from deequ_spark import ReferentialIntegrity
+        r = ReferentialIntegrity.subset_check(
+            primary, ["id"], reference, ["new_id"], lambda v: v >= 1.0)
+        assert r.passed and r.ratio == 1.0
+
+    def test_reverse_id_match_060(self, primary, reference):
+        from deequ_spark import ReferentialIntegrity
+        r = ReferentialIntegrity.subset_check(
+            reference, ["new_id"], primary, ["id"], lambda v: v == 0.6)
+        assert r.passed and r.ratio == pytest.approx(0.6)
+
+    def test_state_with_wrong_column_zero(self, primary, reference):
+        from deequ_spark import ReferentialIntegrity
+        # states matched against names: nothing matches
+        r = ReferentialIntegrity.subset_check(
+            primary, ["state"], reference, ["name"], lambda v: v > 0)
+        assert r.passed is False and r.ratio == 0.0
+
+    def test_missing_columns_error(self, primary, reference):
+        from deequ_spark import ReferentialIntegrity
+        r1 = ReferentialIntegrity.subset_check(
+            primary, ["col1"], reference, ["new_id"], lambda v: True)
+        assert r1.passed is None and r1.error
+        r2 = ReferentialIntegrity.subset_check(
+            primary, ["id"], reference, ["col2"], lambda v: True)
+        assert r2.passed is None and r2.error
+
+    def test_multiple_columns(self, primary, reference):
+        from deequ_spark import ReferentialIntegrity
+        r = ReferentialIntegrity.subset_check(
+            primary, ["name", "state"], reference, ["name", "state"],
+            lambda v: v >= 1.0)
+        assert r.passed and r.ratio == 1.0
