@@ -1854,6 +1854,90 @@ def q_repository(spark, sf_dir):
     return _metrics_df(spark, sorted(rows))
 
 
+# ---------------------------------------------------------------------------
+# composite driver-gate queries
+#
+# The driver's correctness gate records at most ~50 queries per round; the
+# full registry is larger, so small related operators are folded into
+# composite queries. Each composite UNIONs its components' (metric, value)
+# frames — metric names are disjoint by construction, so a hash mismatch is
+# still attributable to exactly one component operator.
+# ---------------------------------------------------------------------------
+
+def _union_metrics(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _prefix_metrics(df: DataFrame, prefix: str) -> DataFrame:
+    return df.select(F.concat(F.lit(prefix), F.col("metric")).alias("metric"),
+                     "value")
+
+
+def q_text_pipeline_ops(spark, sf_dir):
+    """Composite: the five text-corpus operators (gopher quality flags,
+    top-n-gram repetition, chunking, boilerplate removal, winnowing
+    fingerprints) in one metrics frame."""
+    return _union_metrics([
+        q_gopher_quality(spark, sf_dir),
+        q_repetition(spark, sf_dir),
+        q_chunking(spark, sf_dir),
+        q_boilerplate(spark, sf_dir),
+        q_winnowing(spark, sf_dir),
+    ])
+
+
+def q_satellite_ops(spark, sf_dir):
+    """Composite: the four satellite subsystems (row-level schema
+    validation, applicability checker, Spark-table metrics repository,
+    CustomAggregator state merge) in one metrics frame."""
+    return _union_metrics([
+        q_schema_validation(spark, sf_dir),
+        q_applicability(spark, sf_dir),
+        q_repository(spark, sf_dir),
+        q_custom_aggregator(spark, sf_dir),
+    ])
+
+
+def q_embedding_ops(spark, sf_dir):
+    """Composite: EmbeddingQuality analyzer (+ semigroup state merge) and
+    the hyperplane-LSH top-k contract checks."""
+    return _union_metrics([
+        q_embedding_quality(spark, sf_dir),
+        q_lsh_ann_contract(spark, sf_dir),
+    ])
+
+
+def q_comparison_ops(spark, sf_dir):
+    """Composite: the cross-dataset comparison family — referential
+    integrity, DatasetMatch, RowCountMatch + SchemaMatch."""
+    return _union_metrics([
+        q_referential_integrity(spark, sf_dir),
+        q_dataset_match(spark, sf_dir),
+        q_row_count_match(spark, sf_dir),
+    ])
+
+
+def q_language_id_all(spark, sf_dir):
+    """Composite: 5-language marker classifier over documents + the
+    20-language trigram classifier on fixed samples (prefixed `tg_`)."""
+    return _union_metrics([
+        q_language_id(spark, sf_dir),
+        _prefix_metrics(q_language_id_trigram(spark, sf_dir), "tg_"),
+    ])
+
+
+def q_ivf_ann_all(spark, sf_dir):
+    """Composite: IVF top-k via in-memory centroids + the on-disk
+    partitioned-index round-trip path (prefixed `disk_`)."""
+    return _union_metrics([
+        q_ivf_ann(spark, sf_dir),
+        _prefix_metrics(q_ivf_index_disk(spark, sf_dir), "disk_"),
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -1879,18 +1963,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup": q_near_dedup,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
-        "language_id": q_language_id,
+        "language_id": q_language_id_all,
         "pii": q_pii,
         "ann_topk": q_ann_topk,
         "multimodal": q_multimodal,
         "length_zeros_ratio": q_length_zeros_ratio,
         "histogram_binned": q_histogram_binned,
-        "referential_integrity": q_referential_integrity,
-        "dataset_match": q_dataset_match,
-        "row_count_match": q_row_count_match,
+        "comparison_ops": q_comparison_ops,
         "kll": q_kll,
         "embedding_near_dup": q_embedding_near_dup,
-        "ivf_ann": q_ivf_ann,
+        "ivf_ann": q_ivf_ann_all,
         "streaming": q_streaming,
         "row_level": q_row_level,
         "row_level_filtered": q_row_level_filtered,
@@ -1904,19 +1986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance": q_distance,
         "sessionize": q_sessionize,
         "anomaly": q_anomaly,
-        "language_id_trigram": q_language_id_trigram,
-        "ivf_index_disk": q_ivf_index_disk,
-        "lsh_ann_contract": q_lsh_ann_contract,
-        "gopher_quality": q_gopher_quality,
-        "repetition": q_repetition,
-        "chunking": q_chunking,
-        "embedding_quality": q_embedding_quality,
-        "boilerplate": q_boilerplate,
-        "winnowing": q_winnowing,
-        "custom_aggregator": q_custom_aggregator,
-        "schema_validation": q_schema_validation,
-        "applicability": q_applicability,
-        "repository": q_repository,
+        "text_pipeline_ops": q_text_pipeline_ops,
+        "satellite_ops": q_satellite_ops,
+        "embedding_ops": q_embedding_ops,
     }
 
 
@@ -1947,9 +2019,16 @@ def _dt_oracle(label: str, expr: str) -> str:
     """
 
 
+def _union_oracles(*sqls: str) -> str:
+    """Compose component oracle SQLs (each possibly carrying its own WITH /
+    ORDER BY / LIMIT) into one UNION ALL via subquery wrapping."""
+    return "\nUNION ALL\n".join(
+        f"SELECT * FROM (\n{s}\n) AS comp{i}" for i, s in enumerate(sqls))
+
+
 def oracle_sql() -> dict[str, str]:
     fuzz = "FLOOR(({}) * 1e6)"
-    return {
+    d = {
         "size": """
             SELECT 'size_all' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM lineitem
             UNION ALL
@@ -2709,3 +2788,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'tagged_entry_date', 1000.0
         """,
     }
+    # fold component oracles into the composite driver-gate queries
+    # (mirrors the q_*_ops composites above — metric names stay disjoint)
+    d["text_pipeline_ops"] = _union_oracles(
+        d.pop("gopher_quality"), d.pop("repetition"), d.pop("chunking"),
+        d.pop("boilerplate"), d.pop("winnowing"))
+    d["satellite_ops"] = _union_oracles(
+        d.pop("schema_validation"), d.pop("applicability"),
+        d.pop("repository"), d.pop("custom_aggregator"))
+    d["embedding_ops"] = _union_oracles(
+        d.pop("embedding_quality"), d.pop("lsh_ann_contract"))
+    d["comparison_ops"] = _union_oracles(
+        d.pop("referential_integrity"), d.pop("dataset_match"),
+        d.pop("row_count_match"))
+    d["language_id"] = _union_oracles(
+        d["language_id"],
+        "SELECT 'tg_' || metric AS metric, value FROM (\n"
+        f"{d.pop('language_id_trigram')}\n) AS tg")
+    d["ivf_ann"] = _union_oracles(
+        d["ivf_ann"],
+        "SELECT 'disk_' || metric AS metric, value FROM (\n"
+        f"{d.pop('ivf_index_disk')}\n) AS dk")
+    return d

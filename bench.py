@@ -2,7 +2,14 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: median_sec}, "spread": {name: {"min", "max"}},
+"runs": N, "sf": ...}.
+
+Each workload runs $SPARK_GRAFT_BENCH_RUNS times (default 3) in the same
+JVM, INTERLEAVED round-robin (r1: all workloads, r2: all, ...), and
+"queries" reports the per-workload MEDIAN. A single sample per round
+manufactured a phantom +124% regression in r5 (session noise is ±30%);
+medians with min/max spread make round-over-round comparison trustworthy.
 
 Workloads mirror BASELINE.md §2 (B1 scan-fused suite, B2 grouping suite,
 B5 row-level) plus the e2e verification path.
@@ -258,11 +265,17 @@ def main():
         ("b13_profile", lambda: b13_profile(spark, SF_DIR)),
         ("b14_incremental", lambda: b14_incremental(spark, lineitem)),
     ]
-    timings = {}
-    for name, fn in benches:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples = {name: [] for name, _ in benches}
+    for _ in range(n_runs):
+        for name, fn in benches:
+            t0 = time.perf_counter()
+            fn()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+
+    import statistics
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {n: {"min": min(s), "max": max(s)} for n, s in samples.items()}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -271,6 +284,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -27,6 +27,7 @@ from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import pandas
 
+from pyspark.errors import PySparkValueError
 from pyspark.sql import Column, DataFrame, Row
 from pyspark.sql import functions as F
 
@@ -49,9 +50,22 @@ class FrequenciesAndNumRows(State):
 
     DataFrame-valued state: ``frequencies`` has the grouping columns plus
     ``absolute`` (the group count); ``num_rows`` counts in-scope rows.
+
+    ``num_rows`` is LAZY: when constructed without it, the count is
+    recovered as SUM(absolute) fused into the consumer's second-stage
+    aggregation (one job) — or on first ``.num_rows`` access as a
+    fallback. The reference always pays a separate count
+    (GroupingAnalyzers.scala:93-97).
     """
     frequencies: DataFrame
-    num_rows: int
+    _num_rows: Optional[int] = None
+
+    @property
+    def num_rows(self) -> int:
+        if self._num_rows is None:
+            self._num_rows = int(
+                self.frequencies.agg(F.sum(COUNT_COL)).collect()[0][0] or 0)
+        return self._num_rows
 
     def merge(self, other: "FrequenciesAndNumRows") -> "FrequenciesAndNumRows":
         """Union + re-aggregate (one shuffle with map-side partial agg) —
@@ -90,13 +104,13 @@ def frequencies_plan(data: DataFrame, grouping_columns: Sequence[str],
 
 def compute_frequencies(data: DataFrame, grouping_columns: Sequence[str],
                         where: Optional[str] = None) -> FrequenciesAndNumRows:
-    """Materialized state for the standalone path. num_rows is derived with
-    one aggregate over the (already shuffled, typically small) frequency
-    table — not a second scan of the base data as in the reference
+    """State for the standalone path. num_rows stays LAZY — consumers fuse
+    SUM(absolute) into their own second-stage aggregate over the (already
+    shuffled, typically small) frequency table, so building the state runs
+    no job at all; the reference pays a second scan of the base data here
     (GroupingAnalyzers.scala:93-97)."""
     frequencies = frequencies_plan(data, grouping_columns, where)
-    num_rows = frequencies.agg(F.sum(COUNT_COL)).collect()[0][0] or 0
-    return FrequenciesAndNumRows(frequencies, int(num_rows))
+    return FrequenciesAndNumRows(frequencies)
 
 
 class FrequencyBasedAnalyzer(Analyzer):
@@ -150,7 +164,14 @@ class ScanShareableFrequencyBasedAnalyzer(FrequencyBasedAnalyzer):
         if state is None:
             return self.to_failure_metric(EmptyStateError("Empty state"))
         aggs = self.aggregation_functions()
-        result = state.frequencies.agg(*aggs).collect()[0]
+        # fuse num_rows recovery (SUM(absolute)) into the same job as the
+        # analyzer's own second-stage aggregates — trailing column, so the
+        # positional offsets of ``aggs`` are unchanged
+        result = (state.frequencies
+                  .agg(*aggs, F.sum(COUNT_COL).alias("__num_rows"))
+                  .collect()[0])
+        if state._num_rows is None:
+            state._num_rows = int(result["__num_rows"] or 0)
         return self.metric_from_aggregation_result(result, 0, state.num_rows)
 
     def metric_from_aggregation_result(self, result: Row, offset: int,
@@ -468,13 +489,14 @@ class Histogram(FrequencyBasedAnalyzer):
             freq = (data.select(selected.alias(self.column), _col(self.sum_column))
                     .groupBy(self.column)
                     .agg(F.sum(_col(self.sum_column)).cast("long").alias(COUNT_COL)))
-            total = freq.agg(F.sum(COUNT_COL)).collect()[0][0] or 0
         else:
             freq = (data.select(selected.alias(self.column))
                     .groupBy(self.column)
                     .agg(F.count(F.lit(1)).alias(COUNT_COL)))
-            total = freq.agg(F.sum(COUNT_COL)).collect()[0][0] or 0
-        return FrequenciesAndNumRows(freq, int(total))
+        # num_rows stays lazy — compute_metric_from_state recovers it as
+        # SUM(absolute) fused into the n_bins job (one job fewer per
+        # histogram than collecting the total here)
+        return FrequenciesAndNumRows(freq)
 
     def _apply_binning(self, col: Column) -> Column:
         """Contract for ``binning_udf``, fastest first:
@@ -493,8 +515,18 @@ class Histogram(FrequencyBasedAnalyzer):
             out = self.binning_udf(col)
             if isinstance(out, Column):
                 return out
-        except Exception:  # noqa: BLE001 — scalar-only callable; fall back
+        except (TypeError, PySparkValueError):
+            # scalar-only callable: its body rejects a Column operand —
+            # TypeError from len()/str-ops/dict-lookups, PySparkValueError
+            # from branching on it (``if v < 5`` → bool(Column) is
+            # forbidden). Those are exactly the scalar idioms; route them
+            # to the Arrow pandas path.
             pass
+        # any OTHER exception propagates: a Column-accepting hook that
+        # raises (typo'd column reference, bad F.* usage, a genuine bug in
+        # the lambda) must surface at analysis time, not be silently
+        # retried as a row-at-a-time pandas_udf and fail confusingly
+        # executor-side
         fn = self.binning_udf
 
         @F.pandas_udf("string")
@@ -511,7 +543,17 @@ class Histogram(FrequencyBasedAnalyzer):
         if state is None:
             return self.to_failure_metric(EmptyStateError("Empty state"))
         try:
-            n_bins = state.frequencies.count()
+            # one job recovers both the bin count and (if still lazy) the
+            # frequency-table total — the reference derives numRows in the
+            # same pass family; a separate count() here would be an extra
+            # post-shuffle job per histogram
+            stats = (state.frequencies
+                     .agg(F.count(F.lit(1)).alias("__n_bins"),
+                          F.sum(COUNT_COL).alias("__num_rows"))
+                     .collect()[0])
+            n_bins = int(stats["__n_bins"])
+            if state._num_rows is None:
+                state._num_rows = int(stats["__num_rows"] or 0)
             top = (state.frequencies
                    .orderBy(F.desc(COUNT_COL))
                    .limit(self.max_detail_bins)

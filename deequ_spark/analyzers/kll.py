@@ -110,6 +110,28 @@ class KLLSketchCore:
         # nothing exceeded capacity (can happen right after merge): done
         self.size = sum(c.size for c in self.compactors)
 
+    @classmethod
+    def reconstruct(cls, k: int, c: float,
+                    data: Sequence[Sequence[float]]) -> "KLLSketchCore":
+        """Rebuild a sketch from per-level compactor arrays (parity:
+        QuantileNonSample.scala:46-60 ``reconstruct`` — the serde surface
+        the reference test fixtures use). Level i items carry weight 2^i;
+        ``count`` is recovered as the total weight."""
+        s = cls(k, c)
+        s.compactors = [np.asarray(level, dtype=np.float64)
+                        for level in data]
+        if not s.compactors:
+            s.compactors = [np.empty(0)]
+        s.size = sum(lvl.size for lvl in s.compactors)
+        s.max_size = s._total_capacity()
+        s.count = int(sum(lvl.size * (1 << i)
+                          for i, lvl in enumerate(s.compactors)))
+        nonempty = [lvl for lvl in s.compactors if lvl.size]
+        if nonempty:
+            s.min_value = float(min(lvl.min() for lvl in nonempty))
+            s.max_value = float(max(lvl.max() for lvl in nonempty))
+        return s
+
     def copy(self) -> "KLLSketchCore":
         import copy as _copy
         dup = KLLSketchCore.__new__(KLLSketchCore)

@@ -249,6 +249,21 @@ class TestHistogramBinningUdf:
         assert dist["x"].absolute == 1
         assert dist["NullValue"].absolute == 1
 
+    def test_raising_column_callable_surfaces_at_analysis_time(self, spark):
+        """A Column-accepting hook with a genuine bug must surface its own
+        error at analysis time — NOT be silently retried as a pandas_udf
+        and fail confusingly executor-side (r5 verdict finding #2)."""
+        from deequ_spark import do_analysis_run
+        df = spark.createDataFrame([(1,)], "v int")
+
+        def buggy_hook(c):
+            raise RuntimeError("typo in binning hook")
+
+        a = Histogram("v", binning_udf=buggy_hook)
+        m = do_analysis_run(df, [a]).metric_map[a]
+        assert not m.is_success
+        assert "typo in binning hook" in str(m.error)
+
 
 class TestHistogramBinnedReferenceFixtures:
     """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/

@@ -122,3 +122,98 @@ def test_histogram_binned_check_methods(df_uniform):
                              bin_count=5))
               .run())
     assert result.status == CheckStatus.SUCCESS
+
+
+class TestReferenceParityFixtures:
+    """Exact-value fixtures transcribed from the reference KLL suites.
+
+    The reference compactor is DETERMINISTIC (NonSampleCompactor.scala:43-68
+    — the random-offset branch is commented out; the offset just toggles),
+    so its test fixtures pin exact sketch states. We rebuild those states
+    through ``KLLSketchCore.reconstruct`` (the same serde surface the
+    reference fixtures use, QuantileNonSample.scala:46-60) and must
+    reproduce the exact published outputs.
+    """
+
+    def test_profile_fixture_six_values(self):
+        """KLLProfileTest.scala:59-76 — att1 = 1.0..6.0 profiled with
+        KLLParameters(2, 0.64, 2); sketch state data=[[5,6],[1,3]],
+        expected BucketDistribution [1.0,3.5)→4, [3.5,6.0]→2."""
+        from deequ_spark.analyzers.kll import _bucket_distribution
+        s = KLLSketchCore.reconstruct(2, 0.64, [[5.0, 6.0], [1.0, 3.0]])
+        assert s.count == 6
+        assert (s.min_value, s.max_value) == (1.0, 6.0)
+        dist = _bucket_distribution(s, KLLParameters(2, 0.64, 2))
+        assert [(b.low_value, b.high_value, b.count)
+                for b in dist.buckets] == [(1.0, 3.5, 4), (3.5, 6.0, 2)]
+
+    def test_profile_fixture_thirty_values(self):
+        """KLLProfileTest.scala:100-135 — att1 = 1.0..30.0 with
+        KLLParameters(2, 0.64, 2); state data=[[27,28,29,30],[25],
+        [1,6,10,15,19,23]], expected [1.0,15.5)→16, [15.5,30.0]→14."""
+        from deequ_spark.analyzers.kll import _bucket_distribution
+        s = KLLSketchCore.reconstruct(
+            2, 0.64, [[27.0, 28.0, 29.0, 30.0], [25.0],
+                      [1.0, 6.0, 10.0, 15.0, 19.0, 23.0]])
+        assert s.count == 30
+        dist = _bucket_distribution(s, KLLParameters(2, 0.64, 2))
+        assert [(b.low_value, b.high_value, b.count)
+                for b in dist.buckets] == [(1.0, 15.5, 16), (15.5, 30.0, 14)]
+
+    def test_rank_inclusive_semantics(self):
+        """QuantileNonSample.scala:163-171 getRank: inclusive weighted rank
+        (the state is the one KLLDistanceTest.scala:31-38 reconstructs)."""
+        s = KLLSketchCore.reconstruct(4, 0.64, [[1.0, 2.0, 3.0, 4.0]])
+        assert [s.rank(v) for v in (0.5, 1.0, 2.0, 4.0, 9.0)] == \
+            [0.0, 1.0, 2.0, 4.0, 4.0]
+
+    def test_exact_mode_quantiles(self):
+        """n < sketchSize → zero compaction → quantiles are EXACT order
+        statistics (both engines agree bit-for-bit in exact mode)."""
+        s = KLLSketchCore(2048, 0.64)
+        s.update_batch(np.arange(1.0, 101.0))
+        assert sum(1 for c in s.compactors if c.size) == 1  # no compaction
+        assert s.quantile(0.25) == 25.0
+        assert s.quantile(0.5) == 50.0
+        assert s.quantile(0.75) == 75.0
+        assert s.rank(50.0) == 50.0
+
+
+class TestKLLProbabilisticBands:
+    """Behavioral transcription of KLLProbTest.scala (stream length scaled
+    1e6 → 1e5 for test time; same epsilon = 100/k error contract)."""
+
+    @pytest.mark.parametrize("k", [100, 1000, 50000])
+    def test_zoom_in_stream_rank_band(self, k):
+        """KLLProbTest.scala:28-56 — stream 1, n, 2, n-1, ...; every
+        sampled rank estimate within epsilon * n."""
+        n = 100_000
+        eps = 100.0 / k
+        s = KLLSketchCore(k, 0.64)
+        arr = np.empty(n)
+        arr[0::2] = np.arange(1, n // 2 + 1)
+        arr[1::2] = n + 1 - np.arange(1, n // 2 + 1)
+        s.update_batch(arr)
+        step = max(int(np.ceil(eps * 0.2 * n)), 1)
+        for counter in range(1, n, step):
+            assert abs(s.rank(counter) - counter) < eps * n
+
+    @pytest.mark.parametrize("k", [100, 1000])
+    def test_merged_stream_rank_band(self, k):
+        """KLLProbTest.scala:89-122 — 10 sketches over consecutive 10k
+        blocks (zoom-in order within each), merged; same error band."""
+        part, merges = 10_000, 10
+        eps = 100.0 / k
+        merged = KLLSketchCore(k, 0.64)
+        for m in range(merges):
+            nxt = KLLSketchCore(k, 0.64, seed=100 + m)
+            arr = np.empty(part)
+            arr[0::2] = np.arange(1, part // 2 + 1) + m * part
+            arr[1::2] = m * part + part + 1 - np.arange(1, part // 2 + 1)
+            nxt.update_batch(arr)
+            merged = merged.merge(nxt)
+        n = part * merges
+        assert merged.count == n
+        step = max(int(np.ceil(eps * 0.2 * n)), 1)
+        for counter in range(1, n, step):
+            assert abs(merged.rank(counter) - counter) < eps * n
