@@ -660,8 +660,14 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_multimodal(spark, sf_dir):
-    """Binary-column plumbing: encode text → mapInPandas feature extraction
-    (Arrow batches) → aggregate; byte math oracled against DuckDB."""
+    """Binary-column plumbing + REAL stdlib decoders (llm/multimodal.py):
+    (a) encode text → mapInPandas feature extraction (Arrow batches) →
+    aggregate, byte math oracled against DuckDB; (b) per-doc synthetic
+    BMP/WAV payloads (dimensions derived from doc_id arithmetic) pushed
+    through encode_bmp → decode_image → real_resize (nearest-neighbor)
+    and encode_wav_pcm16 → decode_audio — decoded width/height/frame/
+    duration sums recomputed by the oracle from the same doc_id
+    arithmetic, which pins the full encode→decode round-trip."""
     from deequ_spark.llm import attach_binary_payload, extract_binary_features
     docs = _load(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "text", "doc_id")
@@ -669,10 +675,57 @@ def q_multimodal(spark, sf_dir):
     agg = feats.agg(F.sum("n_bytes").alias("b"),
                     F.countDistinct("sha256_prefix").alias("d"),
                     F.count(F.lit(1)).alias("n")).collect()[0]
+
+    import numpy as np
+    import pandas as pd
+    from deequ_spark.llm.multimodal import (decode_audio, decode_image,
+                                            encode_bmp, encode_wav_pcm16,
+                                            real_resize)
+
+    dec_schema = ("img_w int, img_h int, rs_w int, rs_h int, "
+                  "wav_frames int, wav_rate int")
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("img_w", "img_h", "rs_w", "rs_h",
+                                   "wav_frames", "wav_rate")}
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                img = np.full((1 + i % 5, 1 + i % 7, 3), i % 251,
+                              dtype=np.uint8)
+                dh, dw, _, _ = decode_image(encode_bmp(img))
+                rh, rw, _, _ = decode_image(
+                    real_resize(encode_bmp(img), 4, 3))
+                n = 8 + (i % 9) * 4
+                rate, samples = decode_audio(
+                    encode_wav_pcm16(np.arange(n, dtype=np.int16), 8000))
+                assert samples.shape == (n, 1)
+                out["img_w"].append(dw)
+                out["img_h"].append(dh)
+                out["rs_w"].append(rw)
+                out["rs_h"].append(rh)
+                out["wav_frames"].append(len(samples))
+                out["wav_rate"].append(rate)
+            yield pd.DataFrame(out)
+
+    dec = (docs.select("doc_id")
+           .mapInPandas(synth_and_decode, dec_schema)
+           .agg(F.sum("img_w").alias("w"), F.sum("img_h").alias("h"),
+                F.sum("rs_w").alias("rw"), F.sum("rs_h").alias("rh"),
+                F.sum("wav_frames").alias("fr"),
+                F.countDistinct("wav_rate").alias("rates"))
+           .collect()[0])
     return _metrics_df(spark, [
         ("total_bytes", agg["b"]),
         ("distinct_payloads", agg["d"]),
-        ("media_rows", agg["n"])])
+        ("media_rows", agg["n"]),
+        ("decoded_width_sum", dec["w"]),
+        ("decoded_height_sum", dec["h"]),
+        ("resized_width_sum", dec["rw"]),
+        ("resized_height_sum", dec["rh"]),
+        ("wav_frames_sum", dec["fr"]),
+        ("wav_duration_ms_sum", dec["fr"] / 8.0),
+        ("wav_rates_distinct", dec["rates"])])
 
 
 def q_length_zeros_ratio(spark, sf_dir):
@@ -2305,6 +2358,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'total_bytes' AS metric, CAST(SUM(strlen(text)) AS DOUBLE) AS value FROM documents
             UNION ALL SELECT 'distinct_payloads', CAST(COUNT(DISTINCT text) AS DOUBLE) FROM documents
             UNION ALL SELECT 'media_rows', CAST(COUNT(*) AS DOUBLE) FROM documents
+            -- real BMP/WAV round-trip: dimensions are doc_id arithmetic,
+            -- so the decode sums are exactly recomputable
+            UNION ALL SELECT 'decoded_width_sum', CAST(SUM(1 + doc_id % 7) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'decoded_height_sum', CAST(SUM(1 + doc_id % 5) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'resized_width_sum', CAST(4 * COUNT(*) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'resized_height_sum', CAST(3 * COUNT(*) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'wav_frames_sum', CAST(SUM(8 + (doc_id % 9) * 4) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'wav_duration_ms_sum', CAST(SUM(8 + (doc_id % 9) * 4) AS DOUBLE) / 8.0 FROM documents
+            UNION ALL SELECT 'wav_rates_distinct', 1.0
         """,
         "length_zeros_ratio": f"""
             SELECT 'min_len_priority' AS metric, CAST(MIN(LENGTH(o_orderpriority)) AS DOUBLE) AS value FROM orders

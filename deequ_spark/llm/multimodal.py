@@ -2,11 +2,15 @@
 columns with typed metadata; decode / feature-extract / chunk-sample as
 Arrow-batched ``mapInPandas`` stages.
 
-The actual media decoding libraries (PIL/ffmpeg/librosa) are NOT in this
-container, so the decode step is STUBBED — ``decode_image``/``decode_audio``
-raise NotImplementedError with the integration point documented, and a
-deterministic fake decoder exercises the full Spark-side plumbing
-(schema, batching, partitioning, UDF signature) which IS real and tested.
+Decoders: the heavyweight media libraries (PIL/ffmpeg/librosa) are NOT in
+this container, so the REAL decode path covers the stdlib-parseable
+formats — uncompressed BMP (``struct`` header parsing + numpy pixel
+reshape) and PCM WAV (``wave`` module) — plus matching encoders so the
+round-trip is testable without any native codec. Compressed formats
+(png/jpeg/mp3/mp4) raise NotImplementedError at the documented
+integration point; a deterministic fake decoder additionally exercises
+the Spark-side plumbing (schema, batching, partitioning, UDF signature)
+independent of any format.
 
 Scale notes: mapInPandas streams Arrow record batches — memory is bounded
 by ``spark.sql.execution.arrow.maxRecordsPerBatch``; set it low (e.g. 64)
@@ -16,8 +20,12 @@ for large blobs so a batch of images fits in executor memory.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Callable, Iterator, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,21 +42,93 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Encode an (height, width, 3) uint8 BGR array as an uncompressed
+    24-bit BMP (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) —
+    pure ``struct``/numpy, no codec library."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_bmp expects (height, width, 3) uint8")
+    height, width = arr.shape[:2]
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    padded = row_bytes + pad
+    pixel_bytes = bytearray()
+    for y in range(height - 1, -1, -1):      # bottom-up storage order
+        pixel_bytes += arr[y].tobytes() + b"\x00" * pad
+    data_offset = 14 + 40
+    file_size = data_offset + len(pixel_bytes)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       height * padded, 2835, 2835, 0, 0)
+    return header + info + bytes(pixel_bytes)
+
+
 def decode_image(data: bytes):
-    """STUB — image decoding needs PIL/opencv, not present in this
-    container. Integration point: return (height, width, channels,
-    ndarray). Swap in e.g. ``PIL.Image.open(io.BytesIO(data))``."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv — not available in this "
-        "environment; use fake_decode for plumbing tests")
+    """Decode an uncompressed 8/24/32-bit BMP with ``struct`` + numpy
+    (no PIL/opencv needed). Returns ``(height, width, channels, pixels)``
+    where ``pixels`` is a (height, width, channels) uint8 array in
+    top-down row order. Compressed/other formats raise
+    NotImplementedError at the documented PIL integration point."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise NotImplementedError(
+            "only uncompressed BMP is decodable without PIL/opencv — "
+            "swap in PIL.Image.open(io.BytesIO(data)) for other formats")
+    data_offset = struct.unpack_from("<I", data, 10)[0]
+    (hdr_size, width, height, _planes, bpp,
+     compression) = struct.unpack_from("<IiiHHI", data, 14)
+    if hdr_size < 40 or compression != 0 or bpp not in (8, 24, 32):
+        raise NotImplementedError(
+            f"BMP variant not supported without PIL (headerSize={hdr_size},"
+            f" bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    channels = bpp // 8
+    row_bytes = width * channels
+    padded = row_bytes + ((-row_bytes) % 4)
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=height * padded, offset=data_offset
+    ).reshape(height, padded)[:, :row_bytes]
+    pixels = rows.reshape(height, width, channels)
+    if not top_down:
+        pixels = pixels[::-1]
+    return height, width, channels, np.ascontiguousarray(pixels)
+
+
+def encode_wav_pcm16(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Encode a 1-D int16 array as a PCM WAV via the stdlib ``wave``
+    module — no soundfile/librosa needed."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
 
 
 def decode_audio(data: bytes):
-    """STUB — audio decoding needs soundfile/librosa (absent here).
-    Integration point: return (sample_rate, ndarray)."""
-    raise NotImplementedError(
-        "audio decode requires soundfile/librosa — not available in this "
-        "environment; use fake_decode for plumbing tests")
+    """Decode a PCM WAV with the stdlib ``wave`` module (no
+    soundfile/librosa needed). Returns ``(sample_rate, samples)`` with
+    ``samples`` a (n_frames, n_channels) int array (int16/int32 by sample
+    width; 8-bit WAV is unsigned uint8 per the spec). Compressed audio
+    raises NotImplementedError at the documented integration point."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            n_channels = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(n_frames)
+    except (wave.Error, EOFError) as exc:
+        raise NotImplementedError(
+            "only PCM WAV is decodable without soundfile/librosa — swap "
+            f"in soundfile.read for other formats ({exc})") from exc
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    samples = np.frombuffer(raw, dtype=dtype).reshape(-1, n_channels)
+    return rate, samples
 
 
 def fake_decode(data: bytes) -> dict:
@@ -120,12 +200,17 @@ RESIZE_SCHEMA = ("media_id long, target_width int, target_height int, "
 
 
 def real_resize(data: bytes, width: int, height: int) -> bytes:
-    """STUB — image resizing needs PIL/opencv (absent here). Integration
-    point: decode, ``img.resize((width, height))``, re-encode. Swap in
-    for ``resizer`` when media libs are present."""
-    raise NotImplementedError(
-        "image resize requires PIL/opencv — not available in this "
-        "environment; use fake_resize for plumbing tests")
+    """Real resize for uncompressed BMP payloads: decode (struct+numpy),
+    nearest-neighbor resample via integer index maps, re-encode 24-bit
+    BMP. Other formats raise NotImplementedError from ``decode_image`` at
+    the documented PIL integration point."""
+    src_h, src_w, channels, pixels = decode_image(data)
+    ys = np.minimum((np.arange(height) * src_h) // height, src_h - 1)
+    xs = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
+    resized = pixels[ys][:, xs]
+    if channels == 1:
+        resized = np.repeat(resized, 3, axis=2)
+    return encode_bmp(resized[:, :, :3])
 
 
 def fake_resize(data: bytes, width: int, height: int) -> bytes:

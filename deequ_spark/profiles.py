@@ -27,10 +27,11 @@ from .analyzers.base import NUMERIC_TYPES
 from .analyzers.grouping import Histogram
 from .analyzers.scan import (AnalyzerOptions, ApproxCountDistinct,
                              ApproxQuantiles, Completeness, Compliance,
-                             DataType, DataTypeInstances,
+                             DataType, DataTypeInstances, ExactQuantile,
                              Kurtosis, Maximum, MaxLength, Mean, Minimum,
                              MinLength, NullBehavior, Size, Skewness,
-                             StandardDeviation, Sum, determine_type)
+                             StandardDeviation, Sum, Variance, ZerosCount,
+                             determine_type)
 from .metrics import Distribution
 from .runners.analysis_runner import do_analysis_run
 
@@ -54,6 +55,10 @@ class ColumnProfile:
     std_dev: Optional[float] = None
     skewness: Optional[float] = None
     kurtosis: Optional[float] = None
+    variance: Optional[float] = None
+    zeros_count: Optional[int] = None
+    range: Optional[float] = None
+    interquartile_range: Optional[float] = None
     approx_percentiles: Optional[Dict[str, float]] = None
     kll: Optional[object] = None       # BucketDistribution when enabled
     # string extension
@@ -205,6 +210,8 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
         for c in numeric_cols:
             pass2 += [Minimum(c), Maximum(c), Mean(c), Sum(c),
                       StandardDeviation(c), Skewness(c), Kurtosis(c),
+                      Variance(c), ZerosCount(c),
+                      ExactQuantile(c, 0.25), ExactQuantile(c, 0.75),
                       ApproxQuantiles(c, deciles)]
         if kll_parameters is not None:
             # the runner routes all KLL analyzers to ONE shared Arrow pass
@@ -214,11 +221,24 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
         setters = {"Minimum": "minimum", "Maximum": "maximum", "Mean": "mean",
                    "Sum": "sum", "StandardDeviation": "std_dev",
                    "Skewness": "skewness", "Kurtosis": "kurtosis",
+                   "Variance": "variance", "ZerosCount": "zeros_count",
                    "ApproxQuantiles": "approx_percentiles",
                    "KLL": "kll"}
+        quartiles: Dict[str, Dict[float, float]] = {}
         for a, m in ctx2.metric_map.items():
-            if m.is_success and a.name in setters:
+            if not m.is_success:
+                continue
+            if a.name == "ExactQuantile":
+                quartiles.setdefault(a.instance, {})[a.quantile] = m.value
+            elif a.name in setters:
                 setattr(profiles[a.instance], setters[a.name], m.value)
+        for c in numeric_cols:
+            p = profiles[c]
+            if p.maximum is not None and p.minimum is not None:
+                p.range = p.maximum - p.minimum
+            q = quartiles.get(c, {})
+            if 0.25 in q and 0.75 in q:
+                p.interquartile_range = q[0.75] - q[0.25]
 
     # ---- pass 3: histograms for low-cardinality columns -----------------
     if with_histograms:

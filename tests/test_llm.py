@@ -282,12 +282,66 @@ class TestMultimodal:
         # identical payloads → identical digests (deterministic decoder)
         assert by_id[0]["sha256_prefix"] == by_id[3]["sha256_prefix"]
 
-    def test_decode_stubs_raise(self):
+    def test_unsupported_formats_raise(self):
+        """Compressed formats still raise at the PIL/soundfile
+        integration point (the container has no media libs)."""
         from deequ_spark.llm import decode_audio, decode_image
         with pytest.raises(NotImplementedError):
-            decode_image(b"xx")
+            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
         with pytest.raises(NotImplementedError):
-            decode_audio(b"xx")
+            decode_audio(b"ID3\x03" + b"\x00" * 64)
+
+    def test_bmp_roundtrip_exact(self):
+        """Real stdlib BMP codec: encode (h,w,3) uint8 → decode gives the
+        identical array back (row padding + bottom-up order handled)."""
+        import numpy as np
+        from deequ_spark.llm.multimodal import decode_image, encode_bmp
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)  # w*3 pads
+        h, w, c, px = decode_image(encode_bmp(img))
+        assert (h, w, c) == (5, 7, 3)
+        assert np.array_equal(px, img)
+
+    def test_wav_roundtrip_exact(self):
+        import numpy as np
+        from deequ_spark.llm.multimodal import decode_audio, encode_wav_pcm16
+        s = (np.sin(np.arange(100)) * 1000).astype(np.int16)
+        rate, back = decode_audio(encode_wav_pcm16(s, 8000))
+        assert rate == 8000
+        assert back.shape == (100, 1)
+        assert np.array_equal(back[:, 0], s)
+
+    def test_real_resize_nearest_neighbor(self):
+        """2x upsample keeps every source pixel at even indices; 1x1
+        downsample picks pixel (0,0) — the exact integer index map."""
+        import numpy as np
+        from deequ_spark.llm.multimodal import (decode_image, encode_bmp,
+                                                real_resize)
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+        bmp = encode_bmp(img)
+        h, w, _, up = decode_image(real_resize(bmp, 12, 8))
+        assert (h, w) == (8, 12)
+        assert np.array_equal(up[0::2][:, 0::2], img)
+        h1, w1, _, one = decode_image(real_resize(bmp, 1, 1))
+        assert (h1, w1) == (1, 1) and np.array_equal(one[0, 0], img[0, 0])
+
+    def test_resize_media_real_path(self, spark):
+        """resize_media's default resizer is now REAL for BMP payloads —
+        mapInPandas round-trip through encode/decode on executors."""
+        import numpy as np
+        from deequ_spark.llm.multimodal import (decode_image, encode_bmp,
+                                                resize_media)
+        rows = [(i, encode_bmp(np.full((2 + i, 3 + i, 3), i, dtype=np.uint8)))
+                for i in range(4)]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = {r["media_id"]: r for r in
+               resize_media(df, 4, 3).collect()}
+        assert len(out) == 4
+        for i in range(4):
+            h, w, _, px = decode_image(bytes(out[i]["resized"]))
+            assert (h, w) == (3, 4)
+            assert int(px[0, 0, 0]) == i  # constant-color source survives
 
     def test_sample_chunks(self, docs):
         media = attach_binary_payload(docs, "text", "doc_id")

@@ -249,6 +249,143 @@ class TestProfiler:
         assert out["verification_result"] is not None
 
 
+class TestProfilerReferenceParity:
+    """Expected-profile fixtures transcribed from
+    /root/reference/src/test/scala/com/amazon/deequ/profiles/
+    ColumnProfilerTest.scala (line refs per test). The fixture data is
+    FixtureSupport.getDfCompleteAndInCompleteColumns:149-160 —
+    item=("1".."6"), att1=(a,b,a,a,b,a), att2=(f,d,null,f,null,f)."""
+
+    @pytest.fixture(scope="class")
+    def df_cic(self, spark):
+        rows = [("1", "a", "f"), ("2", "b", "d"), ("3", "a", None),
+                ("4", "a", "f"), ("5", "b", None), ("6", "a", "f")]
+        return spark.createDataFrame(rows, "item string, att1 string, att2 string")
+
+    def test_string_profile_att2(self, df_cic):
+        """ColumnProfilerTest.scala:53-79 — StringColumnProfile fixture."""
+        p = profile_columns(df_cic, ["att2"], with_histograms=False)["att2"]
+        assert p.completeness == 2.0 / 3.0
+        assert abs(p.approx_num_distinct - 2) <= 1
+        assert p.data_type == DataTypeInstances.STRING
+        assert p.is_data_type_inferred
+        assert p.type_counts == {"Boolean": 0, "Fractional": 0,
+                                 "Integral": 0, "Unknown": 2, "String": 4}
+        # NullBehavior.EmptyString: nulls count as length 0 (:74-75)
+        assert p.min_length == 0.0
+        assert p.max_length == 1.0
+
+    def test_string_profiles_with_spaces_in_names(self, spark):
+        """ColumnProfilerTest.scala:81-100 — length bounds on escaped
+        column names (FixtureSupport:175-186)."""
+        rows = [("1", "ab", "abc1"), ("2", "bc", None),
+                ("3", "ab", "def2ghi"), ("4", "ab", None),
+                ("5", "bcd", "ab"), ("6", "a", "pqrs")]
+        df = spark.createDataFrame(
+            rows, ["some item", "att 1", "att 2"])
+        profiles = profile_columns(df, ["att 1", "att 2"],
+                                   with_histograms=False)
+        assert (profiles["att 1"].min_length,
+                profiles["att 1"].max_length) == (1.0, 3.0)
+        assert (profiles["att 2"].min_length,
+                profiles["att 2"].max_length) == (0.0, 7.0)
+
+    def test_numeric_string_profile_item(self, df_cic):
+        """ColumnProfilerTest.scala:155-199 — item infers Integral and
+        gets the full numeric profile via cast."""
+        p = profile_columns(df_cic, ["item"], with_histograms=False)["item"]
+        assert p.completeness == 1.0
+        assert abs(p.approx_num_distinct - 6) <= 1
+        assert p.data_type == DataTypeInstances.INTEGRAL
+        assert p.is_data_type_inferred
+        assert p.type_counts == {"Boolean": 0, "Fractional": 0,
+                                 "Integral": 6, "Unknown": 0, "String": 0}
+        assert p.mean == 3.5
+        assert p.maximum == 6.0 and p.minimum == 1.0
+        assert p.sum == 21.0
+        assert p.std_dev == 1.707825127659933
+        assert p.variance == 2.9166666666666665
+        assert p.skewness == 0.0
+        assert p.kurtosis == -1.2685714285714285
+        assert p.zeros_count == 0
+        assert p.range == 5.0
+        assert p.interquartile_range == 2.5
+
+    def test_numeric_profile_native_fractional(self, spark):
+        """ColumnProfilerTest.scala:330-368 — att1 of
+        getDfWithNumericFractionalValues (FixtureSupport:278-288):
+        native DoubleType, dataType Fractional NOT inferred."""
+        rows = [("1", 1.0, 0.0), ("2", 2.0, 0.0), ("3", 3.0, 0.0),
+                ("4", 4.0, 5.0), ("5", 5.0, 6.0), ("6", 6.0, 7.0)]
+        df = spark.createDataFrame(rows, "item string, att1 double, att2 double")
+        p = profile_columns(df, ["att1"], with_histograms=False)["att1"]
+        assert p.completeness == 1.0
+        assert p.data_type == DataTypeInstances.FRACTIONAL
+        assert not p.is_data_type_inferred
+        assert p.mean == 3.5 and p.sum == 21.0
+        assert p.std_dev == 1.707825127659933
+        assert p.variance == 2.9166666666666665
+        assert p.kurtosis == -1.2685714285714285
+        assert p.zeros_count == 0
+        assert p.range == 5.0 and p.interquartile_range == 2.5
+
+    def test_histogram_string_column(self, df_cic):
+        """ColumnProfilerTest.scala:370-399 — att2 histogram with
+        lowCardinalityThreshold 10: {d:1, f:3, NullValue:2}, 3 bins."""
+        p = profile_columns(df_cic, ["att2"],
+                            low_cardinality_threshold=10)["att2"]
+        assert p.histogram is not None
+        h = p.histogram.values
+        assert (h["f"].absolute, h["f"].ratio) == (3, 0.5)
+        assert (h["d"].absolute, h["d"].ratio) == (1, 1 / 6)
+        assert (h["NullValue"].absolute, h["NullValue"].ratio) == (2, 1 / 3)
+        assert len(h) == 3
+
+    def test_histogram_boolean_column(self, spark):
+        """ColumnProfilerTest.scala:401-428."""
+        df = spark.createDataFrame(
+            [(True,), (True,), (True,), (False,), (False,), (None,)],
+            "attribute boolean")
+        p = profile_columns(df)["attribute"]
+        h = p.histogram.values
+        assert (h["true"].absolute, h["true"].ratio) == (3, 0.5)
+        assert (h["false"].absolute, h["false"].ratio) == (2, 2 / 6)
+        assert (h["NullValue"].absolute, h["NullValue"].ratio) == (1, 1 / 6)
+
+    @pytest.mark.parametrize("sql_type,values,keys", [
+        ("int", [2147483647, 2147483647, 2147483647, 2, 2, None],
+         ("2147483647", "2")),                        # :430-457
+        ("long", [1, 1, 1, 2, 2, None], ("1", "2")),  # :459-486
+        ("double", [1.0, 1.0, 1.0, 2.0, 2.0, None],
+         ("1.0", "2.0")),                             # :488-515
+        ("float", [1.0, 1.0, 1.0, 2.0, 2.0, None],
+         ("1.0", "2.0")),                             # :517-544
+        ("short", [1, 1, 1, 2, 2, None], ("1", "2")),  # :546-573
+    ])
+    def test_histogram_numeric_types(self, spark, sql_type, values, keys):
+        """ColumnProfilerTest.scala:430-573 — per-type histogram grid:
+        3/6, 2/6, 1-null across Integer/Long/Double/Float/Short."""
+        df = spark.createDataFrame([(v,) for v in values],
+                                   f"attribute {sql_type}")
+        p = profile_columns(df)["attribute"]
+        h = p.histogram.values
+        k3, k2 = keys
+        assert (h[k3].absolute, h[k3].ratio) == (3, 0.5)
+        assert (h[k2].absolute, h[k2].ratio) == (2, 2 / 6)
+        assert (h["NullValue"].absolute, h["NullValue"].ratio) == (1, 1 / 6)
+
+    def test_profile_escaped_column_name(self, spark):
+        """ColumnProfilerTest.scala:575-603 — numeric column whose name
+        needs escaping (leading space); keyed by the original name."""
+        rows = [("setosa", 5), ("setosa", 4), ("versicolor", 6),
+                ("versicolor", 7), ("virginica", 6)]
+        df = spark.createDataFrame(rows, ["flower_type", " length"])
+        p = profile_columns(df)[" length"]
+        assert p.data_type == DataTypeInstances.INTEGRAL
+        assert p.completeness == 1.0
+        assert p.maximum == 7.0 and p.minimum == 4.0
+
+
 class TestSchemaValidation:
     def test_split_valid_invalid(self, spark):
         df = spark.createDataFrame(
@@ -533,38 +670,6 @@ def test_suggest_embedding_quality_for_vector_columns(spark):
     check = sugg[0].apply(Check(CheckLevel.ERROR, "suggested"))
     vr = VerificationSuite().on_data(emb).add_check(check).run()
     assert vr.check_results[check].status == CheckStatus.SUCCESS
-
-
-class TestProfilerReferenceParity:
-    """ColumnProfilerTest.scala:53-100: string profiles read NULLs as
-    length 0 and tally them as Unknown type counts."""
-
-    def test_string_profile_att2(self, spark):
-        from deequ_spark import profile_columns
-        df = spark.createDataFrame(
-            [("1", "a", "f"), ("2", "b", "d"), ("3", "a", None),
-             ("4", "a", "f"), ("5", "b", None), ("6", "a", "f")],
-            "item string, att1 string, att2 string")
-        p = profile_columns(df, ["att2"])["att2"]
-        assert p.completeness == pytest.approx(2 / 3)
-        assert p.approx_num_distinct == 2
-        assert p.is_data_type_inferred
-        assert p.type_counts == {"Boolean": 0, "Fractional": 0,
-                                 "Integral": 0, "Unknown": 2, "String": 4}
-        assert p.min_length == 0.0    # NULL reads as empty string
-        assert p.max_length == 1.0
-
-    def test_string_profile_lengths_with_spaces(self, spark):
-        from deequ_spark import profile_columns
-        df = spark.createDataFrame(
-            [("1", "ab", "abc1"), ("2", "bc", None), ("3", "a", "abc1e3g"),
-             ("4", "abc", "abc1"), ("5", "b", None)],
-            "`item item` string, `att 1` string, `att 2` string")
-        profiles = profile_columns(df, ["att 1", "att 2"])
-        assert profiles["att 1"].min_length == 1.0
-        assert profiles["att 1"].max_length == 3.0
-        assert profiles["att 2"].min_length == 0.0
-        assert profiles["att 2"].max_length == 7.0
 
 
 class TestReferenceRepositoryInterop:
