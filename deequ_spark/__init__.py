@@ -58,7 +58,7 @@ from .comparison import (ComparisonResult, DataSynchronization,
                          DatasetMatchAnalyzer, DatasetMatchState,
                          ReferentialIntegrity, RowCountMatch, SchemaMatch)
 from .profiles import (ColumnProfile, ColumnProfilerRunner,
-                       profile_columns)
+                       column_profiles_to_json, profile_columns)
 from .suggestions import (DEFAULT_RULES, EXTENDED_RULES, NUMERICAL_RULES,
                           STRING_RULES, ConfidenceInterval,
                           ConfidenceIntervalStrategy, ConstraintSuggestion,

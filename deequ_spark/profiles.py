@@ -90,6 +90,11 @@ class ColumnProfilerRunBuilder:
         self._low_cardinality_threshold = DEFAULT_CARDINALITY_THRESHOLD
         self._with_histograms = True
         self._kll_parameters = None
+        self._repository = None
+        self._reuse_key = None
+        self._fail_if_results_missing = False
+        self._save_key = None
+        self._json_path: Optional[str] = None
 
     def restrict_to_columns(self, columns: List[str]):
         self._columns = columns
@@ -112,18 +117,68 @@ class ColumnProfilerRunBuilder:
         self._kll_parameters = kll_parameters or KLLParameters()
         return self
 
+    def use_repository(self, repository) -> "ColumnProfilerRunBuilder":
+        """Parity: ColumnProfilerRunBuilder.useRepository."""
+        self._repository = repository
+        return self
+
+    def reuse_existing_results_for_key(
+            self, key, fail_if_results_missing: bool = False
+    ) -> "ColumnProfilerRunBuilder":
+        """Parity: ColumnProfilerRunBuilder.reuseExistingResultsForKey —
+        stored metrics satisfy the profile passes without re-scanning;
+        with ``fail_if_results_missing`` a gap raises instead of running
+        (ColumnProfilerRunnerTest.scala:162-174)."""
+        self._reuse_key = key
+        self._fail_if_results_missing = fail_if_results_missing
+        return self
+
+    def save_or_append_result(self, key) -> "ColumnProfilerRunBuilder":
+        """Parity: ColumnProfilerRunBuilder.saveOrAppendResult — the
+        profile passes' analyzer metrics land in the repository so OTHER
+        runners can reuse them (ColumnProfilerRunnerTest.scala:68-86)."""
+        self._save_key = key
+        return self
+
+    def save_column_profiles_json_to_path(
+            self, path: str) -> "ColumnProfilerRunBuilder":
+        """Parity: saveColumnProfilesJsonToPath
+        (ColumnProfilerRunnerTest.scala:145-160)."""
+        self._json_path = path
+        return self
+
     def run(self) -> Dict[str, ColumnProfile]:
-        return profile_columns(
+        profiles = profile_columns(
             self._data, self._columns,
             low_cardinality_threshold=self._low_cardinality_threshold,
             with_histograms=self._with_histograms,
-            kll_parameters=self._kll_parameters)
+            kll_parameters=self._kll_parameters,
+            metrics_repository=self._repository,
+            reuse_existing_results_for_key=self._reuse_key,
+            fail_if_results_missing=self._fail_if_results_missing,
+            save_or_append_results_with_key=self._save_key)
+        if self._json_path is not None:
+            with open(self._json_path, "w", encoding="utf-8") as f:
+                f.write(column_profiles_to_json(profiles))
+        return profiles
 
 
 def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
                     low_cardinality_threshold: int = DEFAULT_CARDINALITY_THRESHOLD,
                     with_histograms: bool = True,
-                    kll_parameters=None) -> Dict[str, ColumnProfile]:
+                    kll_parameters=None,
+                    metrics_repository=None,
+                    reuse_existing_results_for_key=None,
+                    fail_if_results_missing: bool = False,
+                    save_or_append_results_with_key=None) -> Dict[str, ColumnProfile]:
+    # repository args thread into every underlying analysis pass, so a
+    # profile run saves reusable analyzer metrics / replays stored ones
+    # with zero Spark jobs (ColumnProfilerRunner.scala + its tests)
+    repo_kwargs = dict(
+        metrics_repository=metrics_repository,
+        reuse_existing_results_for_key=reuse_existing_results_for_key,
+        fail_if_results_missing=fail_if_results_missing,
+        save_or_append_results_with_key=save_or_append_results_with_key)
     cols = columns or data.columns
     schema = {f.name: f.dataType for f in data.schema.fields}
     profiles: Dict[str, ColumnProfile] = {c: ColumnProfile(c) for c in cols}
@@ -137,7 +192,10 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
         aug = aug.withColumn(f"__dq_size_{c}", F.size(F.col(c)))
         profiles[c].numeric_elements = isinstance(
             schema[c].elementType, NUMERIC_TYPES)
-    pass1 = []
+    # Size rides the fused scan like the reference's pass 1
+    # (ColumnProfiler.scala:124-244) — it isn't part of any column's
+    # profile, but a repository-saving run stores it for other runners
+    pass1: List = [Size()]
     for c in cols:
         if isinstance(schema[c], (T.ArrayType, T.MapType, T.StructType)):
             # Completeness keeps reference parity (rejects nested types);
@@ -158,7 +216,7 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
     for c in array_cols:
         pass1.append(Minimum(f"__dq_size_{c}"))
         pass1.append(Maximum(f"__dq_size_{c}"))
-    ctx1 = do_analysis_run(aug, pass1)
+    ctx1 = do_analysis_run(aug, pass1, **repo_kwargs)
     for a, m in ctx1.metric_map.items():
         if not m.is_success:
             continue
@@ -169,6 +227,8 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
             elif a.name == "Maximum":
                 p.max_size = m.value
             continue
+        if a.name == "Size":
+            continue                      # dataset-level, not a column fact
         p = profiles[a.instance]
         if a.name in ("Completeness", "Compliance"):
             p.completeness = m.value
@@ -217,7 +277,7 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
             # the runner routes all KLL analyzers to ONE shared Arrow pass
             from .analyzers.kll import KLLSketch
             pass2 += [KLLSketch(c, kll_parameters) for c in numeric_cols]
-        ctx2 = do_analysis_run(casted, pass2)
+        ctx2 = do_analysis_run(casted, pass2, **repo_kwargs)
         setters = {"Minimum": "minimum", "Maximum": "maximum", "Mean": "mean",
                    "Sum": "sum", "StandardDeviation": "std_dev",
                    "Skewness": "skewness", "Kurtosis": "kurtosis",
@@ -248,9 +308,69 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
         if hist_cols:
             ctx3 = do_analysis_run(
                 data, [Histogram(c, max_detail_bins=low_cardinality_threshold + 1)
-                       for c in hist_cols])
+                       for c in hist_cols], **repo_kwargs)
             for a, m in ctx3.metric_map.items():
                 if m.is_success:
                     profiles[a.instance].histogram = m.value
 
     return profiles
+
+
+def column_profiles_to_json(profiles: Dict[str, ColumnProfile]) -> str:
+    """Serialize profiles to the reference's JSON wire shape
+    (ColumnProfile.scala:86-214 ``ColumnProfiles.toJson``): a
+    ``{"columns": [...]}`` document, numeric fields only when present,
+    histograms as [{value, count, ratio}], KLL as
+    {buckets, sketch:{parameters:{c,k}, data}}."""
+    import json
+
+    columns = []
+    for profile in profiles.values():
+        d: Dict[str, Any] = {
+            "column": profile.column,
+            "dataType": profile.data_type.value
+            if hasattr(profile.data_type, "value") else str(profile.data_type),
+            "isDataTypeInferred": str(profile.is_data_type_inferred).lower(),
+            "completeness": profile.completeness,
+            "approximateNumDistinctValues": profile.approx_num_distinct,
+        }
+        if profile.histogram is not None:
+            d["histogram"] = [
+                {"value": name, "count": dv.absolute, "ratio": dv.ratio}
+                for name, dv in profile.histogram.values.items()]
+        for attr, key in (("zeros_count", "zerosCount"), ("mean", "mean"),
+                          ("maximum", "maximum"), ("minimum", "minimum"),
+                          ("range", "range"),
+                          ("interquartile_range", "interquartileRange"),
+                          ("sum", "sum"), ("std_dev", "stdDev"),
+                          ("variance", "variance"),
+                          ("skewness", "skewness"),
+                          ("kurtosis", "kurtosis"),
+                          ("min_length", "minLength"),
+                          ("max_length", "maxLength")):
+            v = getattr(profile, attr)
+            if v is not None:
+                d[key] = v
+        if profile.kll is not None:
+            kll = profile.kll
+            d["kll"] = {
+                "buckets": [{"low_value": b.low_value,
+                             "high_value": b.high_value,
+                             "count": b.count} for b in kll.buckets],
+                "sketch": {
+                    "parameters": {
+                        "c": kll.parameters.shrinking_factor,
+                        "k": float(kll.parameters.sketch_size),
+                    },
+                    # the reference stores compactor data as a JSON string
+                    "data": json.dumps([
+                        [float(v) for v in level]
+                        for level in kll.sketch.compactors if len(level)]),
+                },
+            }
+        if profile.approx_percentiles:
+            d["approxPercentiles"] = [
+                profile.approx_percentiles[q]
+                for q in sorted(profile.approx_percentiles)]
+        columns.append(d)
+    return json.dumps({"columns": columns}, indent=2)

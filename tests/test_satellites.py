@@ -853,3 +853,121 @@ class TestProfilerNumericStringParity:
         assert p.sum == 21.0
         assert p.std_dev == pytest.approx(1.707825127659933, rel=1e-12)
         assert p.kurtosis == pytest.approx(-1.2685714285714285, rel=1e-12)
+
+
+class TestProfilerRunnerReferenceParity:
+    """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/
+    profiles/ColumnProfilerRunnerTest.scala (line refs per test). Fixture:
+    FixtureSupport.getDfWithNumericValues — item 1..6, att1 numeric."""
+
+    @pytest.fixture(scope="class")
+    def df_numeric_vals(self, spark):
+        rows = [("1", 1, 0, 0), ("2", 2, 0, 0), ("3", 3, 0, 0),
+                ("4", 4, 5, 4), ("5", 5, 6, 6), ("6", 6, 7, 7)]
+        return spark.createDataFrame(rows,
+                                     "item string, att1 int, att2 int, att3 int")
+
+    def test_save_and_reuse_profile_runs_zero_jobs(self, spark,
+                                                   df_numeric_vals):
+        """:35-66 — a profile run saved to a repository replays from the
+        repository with ZERO Spark jobs and identical profiles."""
+        import uuid
+        from deequ_spark import (ColumnProfilerRunner,
+                                 InMemoryMetricsRepository, ResultKey)
+        repo = InMemoryMetricsRepository()
+        key = ResultKey.make(0, {})
+        first = (ColumnProfilerRunner().on_data(df_numeric_vals)
+                 .use_repository(repo).save_or_append_result(key).run())
+
+        group = f"profile-reuse-{uuid.uuid4().hex[:8]}"
+        tracker = spark.sparkContext.statusTracker()
+        spark.sparkContext.setJobGroup(group, group)
+        try:
+            reused = (ColumnProfilerRunner().on_data(df_numeric_vals)
+                      .use_repository(repo)
+                      .reuse_existing_results_for_key(key).run())
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        assert len(tracker.getJobIdsForGroup(group) or []) == 0
+        for c in first:
+            assert reused[c].completeness == first[c].completeness
+            assert reused[c].mean == first[c].mean
+            assert reused[c].data_type == first[c].data_type
+            if first[c].histogram is not None:
+                assert {k: v.absolute
+                        for k, v in reused[c].histogram.values.items()} == \
+                       {k: v.absolute
+                        for k, v in first[c].histogram.values.items()}
+
+    def test_saved_profile_metrics_reusable_by_analysis_runner(
+            self, df_numeric_vals):
+        """:68-86 — Size/Completeness computed by a later AnalysisRunner
+        are a subset of what the profile run stored."""
+        from deequ_spark import (ColumnProfilerRunner, Completeness,
+                                 InMemoryMetricsRepository, ResultKey, Size,
+                                 do_analysis_run)
+        repo = InMemoryMetricsRepository()
+        key = ResultKey.make(0, {})
+        (ColumnProfilerRunner().on_data(df_numeric_vals)
+         .use_repository(repo).save_or_append_result(key).run())
+        ctx = do_analysis_run(df_numeric_vals, [Size(), Completeness("item")])
+        stored = repo.load_by_key(key).metric_map
+        for a, m in ctx.metric_map.items():
+            assert a in stored and stored[a].value == m.value
+
+    def test_new_results_preferred_on_conflict(self, df_numeric_vals):
+        """:116-143 — a stale Size=100 in the repository is overwritten by
+        the profile run's fresh value."""
+        from deequ_spark import (ColumnProfilerRunner,
+                                 InMemoryMetricsRepository, ResultKey, Size)
+        from deequ_spark.metrics import DoubleMetric, Entity
+        from deequ_spark.runners.analysis_runner import AnalyzerContext
+        repo = InMemoryMetricsRepository()
+        key = ResultKey.make(0, {})
+        stale = AnalyzerContext({Size(): DoubleMetric(
+            Entity.DATASET, "Size", "*", 100.0)})
+        repo.save(key, stale)
+        (ColumnProfilerRunner().on_data(df_numeric_vals)
+         .use_repository(repo).save_or_append_result(key).run())
+        assert repo.load_by_key(key).metric_map[Size()].value == 6.0
+
+    def test_fail_if_results_missing(self, df_numeric_vals):
+        """:162-174 — strict reuse over an EMPTY repository raises."""
+        from deequ_spark import (ColumnProfilerRunner,
+                                 InMemoryMetricsRepository, ResultKey)
+        with pytest.raises(ValueError, match="no stored metrics"):
+            (ColumnProfilerRunner().on_data(df_numeric_vals)
+             .use_repository(InMemoryMetricsRepository())
+             .reuse_existing_results_for_key(ResultKey.make(0, {}),
+                                             fail_if_results_missing=True)
+             .run())
+
+    def test_save_profiles_json_to_path(self, df_numeric_vals, tmp_path):
+        """:145-160 — profiles serialize to the reference JSON shape
+        (ColumnProfile.scala:86-214) at the given path."""
+        import json
+        from deequ_spark import ColumnProfilerRunner
+        path = str(tmp_path / "column-profiles.json")
+        (ColumnProfilerRunner().on_data(df_numeric_vals)
+         .save_column_profiles_json_to_path(path).run())
+        with open(path, encoding="utf-8") as f:
+            doc = json.load(f)
+        cols = {c["column"]: c for c in doc["columns"]}
+        assert set(cols) == {"item", "att1", "att2", "att3"}
+        assert cols["att1"]["mean"] == 3.5
+        assert cols["att1"]["completeness"] == 1.0
+        assert cols["att1"]["dataType"] == "Integral"
+        assert {h["value"]: h["count"]
+                for h in cols["att1"]["histogram"]} == {
+                    "1": 1, "2": 1, "3": 1, "4": 1, "5": 1, "6": 1}
+
+    def test_kll_disabled_by_default_enabled_on_request(self, df_numeric_vals):
+        """:176-199 — no KLL by default; withKLLProfiling attaches one to
+        every numeric profile."""
+        from deequ_spark import ColumnProfilerRunner
+        plain = ColumnProfilerRunner().on_data(df_numeric_vals).run()
+        assert all(plain[c].kll is None for c in ("att1", "att2", "att3"))
+        with_kll = (ColumnProfilerRunner().on_data(df_numeric_vals)
+                    .with_kll_profiling().run())
+        assert all(with_kll[c].kll is not None
+                   for c in ("att1", "att2", "att3"))
