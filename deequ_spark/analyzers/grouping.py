@@ -470,6 +470,9 @@ class Histogram(FrequencyBasedAnalyzer):
 
     def preconditions(self):
         def bins_ok(schema):
+            if self.max_detail_bins < 1:
+                # Histogram.scala:65-66 IllegalAnalyzerParameterException
+                raise ValueError("maxDetailBins must be at least 1")
             if self.max_detail_bins > self.MAX_ALLOWED_DETAIL_BINS:
                 raise ValueError(
                     f"Cannot return histogram values for more than "
@@ -554,8 +557,10 @@ class Histogram(FrequencyBasedAnalyzer):
             n_bins = int(stats["__n_bins"])
             if state._num_rows is None:
                 state._num_rows = int(stats["__num_rows"] or 0)
+            # descending frequency, ties broken by value ascending
+            # (Histogram.scala:112-115)
             top = (state.frequencies
-                   .orderBy(F.desc(COUNT_COL))
+                   .orderBy(F.desc(COUNT_COL), F.asc(self.column))
                    .limit(self.max_detail_bins)
                    .collect())
             total = max(state.num_rows, 1)
@@ -565,7 +570,11 @@ class Histogram(FrequencyBasedAnalyzer):
                 key = row[self.column]
                 absolute = int(row[COUNT_COL])
                 covered += absolute
-                ratio = (absolute / total) if self.compute_frequencies_as_ratio else 0.0
+                # with ratios disabled the reference divides by a total of
+                # 1, i.e. ratio == absolute (Histogram.scala:77-81)
+                ratio = (absolute / total
+                         if self.compute_frequencies_as_ratio
+                         else float(absolute))
                 values[key] = DistributionValue(absolute, ratio)
             dist = Distribution(values, number_of_bins=n_bins,
                                 tail_count=state.num_rows - covered)

@@ -130,6 +130,10 @@ class HistogramMetric(Metric):
         for k, dv in self.value.values.items():
             out.append(DoubleMetric(Entity.COLUMN, f"{self.name}.abs.{k}", self.instance, float(dv.absolute)))
             out.append(DoubleMetric(Entity.COLUMN, f"{self.name}.ratio.{k}", self.instance, dv.ratio))
+        # tailCount only when a tail exists (HistogramMetric.scala:55-59)
+        if self.value.tail_count > 0:
+            out.append(DoubleMetric(Entity.COLUMN, f"{self.name}.tailCount",
+                                    self.instance, float(self.value.tail_count)))
         return out
 
 

@@ -400,3 +400,271 @@ class TestHistogramBinnedReferenceFixtures:
         from deequ_spark import do_analysis_run
         a = HistogramBinned("values", custom_edges=(1.0,))
         assert not do_analysis_run(data, [a]).metric_map[a].is_success
+
+
+class TestHistogramReferenceFixtures:
+    """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/
+    analyzers/HistogramTest.scala (line refs per test)."""
+
+    def _dist(self, analyzer, df):
+        from deequ_spark import do_analysis_run
+        m = do_analysis_run(df, [analyzer]).metric_map[analyzer]
+        assert m.is_success, m.error
+        return m.value
+
+    def test_sorted_keys_with_ratio(self, spark):
+        """:30-62 — keys descend by frequency; ratios over the total."""
+        colors = ["Blue"] * 4 + ["Green"] * 3 + ["Red"] + ["Yellow"] * 5
+        df = spark.createDataFrame([(c,) for c in colors], "colors string")
+        dist = self._dist(Histogram("colors"), df)
+        keys = list(dist.values.keys())
+        assert keys[0] == "Yellow" and keys[-1] == "Red"
+        assert [dist.values[k].absolute
+                for k in ("Yellow", "Blue", "Green", "Red")] == [5, 4, 3, 1]
+        assert dist.values["Yellow"].ratio == 5.0 / 13.0
+        assert dist.values["Red"].ratio == 1.0 / 13.0
+
+    def test_ratio_disabled_means_absolute(self, spark):
+        """:64-103 — computeFrequenciesAsRatio=false divides by 1, so
+        ratio == absolute (Histogram.scala:77-81)."""
+        sat = (["Very Satisfied"] * 6 + ["Satisfied"] * 4 + ["Neutral"] * 3
+               + ["Dissatisfied"] * 2 + ["Very Dissatisfied"])
+        df = spark.createDataFrame([(s,) for s in sat], "satisfaction string")
+        dist = self._dist(
+            Histogram("satisfaction", compute_frequencies_as_ratio=False), df)
+        keys = list(dist.values.keys())
+        assert keys[0] == "Very Satisfied" and keys[-1] == "Very Dissatisfied"
+        assert dist.values["Very Satisfied"].ratio == 6.0
+        assert dist.values["Satisfied"].ratio == 4.0
+        assert dist.values["Very Dissatisfied"].ratio == 1.0
+
+    def test_boolean_column(self, spark):
+        """:105-124."""
+        df = spark.createDataFrame(
+            [(v,) for v in (True, True, True, False, False, True)],
+            "Binary boolean")
+        dist = self._dist(Histogram("Binary",
+                                    compute_frequencies_as_ratio=False), df)
+        keys = list(dist.values.keys())
+        assert keys == ["true", "false"]
+        assert dist.values["true"].absolute == 4
+        assert dist.values["false"].absolute == 2
+
+    def test_max_detail_bins_truncates(self, spark):
+        """:126-180 — 10 distinct values, top 5 detailed."""
+        vals = sum(([chr(65 + i)] * (10 - i) for i in range(10)), [])
+        df = spark.createDataFrame([(v,) for v in vals], "values string")
+        dist = self._dist(Histogram("values", max_detail_bins=5,
+                                    compute_frequencies_as_ratio=False), df)
+        assert dist.number_of_bins == 10
+        assert len(dist.values) == 5
+        keys = list(dist.values.keys())
+        assert keys[0] == "A" and keys[-1] == "E"
+        assert [dist.values[k].absolute for k in "ABCDE"] == [10, 9, 8, 7, 6]
+        assert all(k not in dist.values for k in "FGHIJ")
+
+    def test_binning_udf_categorical(self, spark):
+        """:182-211 — scalar binning hook groups sentiment labels."""
+        vals = ["excellent", "very good", "good", "okay", "poor",
+                "terrible", "excellent", "good"]
+        df = spark.createDataFrame([(v,) for v in vals], "satisfaction string")
+        groups = {"excellent": "positive", "very good": "positive",
+                  "good": "neutral", "okay": "neutral",
+                  "poor": "negative", "terrible": "negative"}
+        dist = self._dist(
+            Histogram("satisfaction", binning_udf=lambda v: groups[v]), df)
+        assert dist.number_of_bins == 3 and len(dist.values) == 3
+        assert dist.values["positive"].absolute == 3
+        assert dist.values["neutral"].absolute == 3
+        assert dist.values["negative"].absolute == 2
+
+    def test_binning_udf_age_ranges(self, spark):
+        """:213-241 — numeric binning hook."""
+        df = spark.createDataFrame(
+            [(v,) for v in (15, 25, 35, 45, 70, 80, 16, 30)], "age int")
+        dist = self._dist(
+            Histogram("age", binning_udf=lambda a: (
+                "minor" if a < 18 else "adult" if a < 65 else "senior")), df)
+        assert dist.values["minor"].absolute == 2
+        assert dist.values["adult"].absolute == 4
+        assert dist.values["senior"].absolute == 2
+
+    def test_sum_aggregation(self, spark):
+        """:243-275 — Histogram.Sum aggregates sales instead of counts."""
+        rows = [("Electronics", 100), ("Electronics", 200),
+                ("Furniture", 150), ("Electronics", 300),
+                ("Furniture", 250), ("Cosmetics", 75)]
+        df = spark.createDataFrame(rows, "category string, sales int")
+        dist = self._dist(Histogram("category", sum_column="sales",
+                                    compute_frequencies_as_ratio=False), df)
+        assert dist.number_of_bins == 3
+        assert dist.values["Electronics"].absolute == 600
+        assert dist.values["Furniture"].absolute == 400
+        assert dist.values["Cosmetics"].absolute == 75
+        keys = list(dist.values.keys())
+        assert keys[0] == "Electronics" and keys[-1] == "Cosmetics"
+
+    def test_sum_aggregation_with_nulls(self, spark):
+        """:277-311 — null categories pool under NullValue; null sales
+        contribute 0 to their group's sum."""
+        rows = [("Electronics", 100), (None, 999), ("Electronics", 200),
+                ("Furniture", None), ("Electronics", 300),
+                ("Furniture", 250), ("Cosmetics", 75), (None, 888)]
+        df = spark.createDataFrame(rows, "category string, sales int")
+        dist = self._dist(Histogram("category", sum_column="sales"), df)
+        assert dist.number_of_bins == 4 and len(dist.values) == 4
+        assert dist.values["Electronics"].absolute == 600
+        assert dist.values["Furniture"].absolute == 250
+        assert dist.values["Cosmetics"].absolute == 75
+        assert dist.values["NullValue"].absolute == 1887
+        keys = list(dist.values.keys())
+        assert keys[0] == "NullValue" and keys[1] == "Electronics"
+
+    def test_tied_frequencies_sort_alphabetically(self, spark):
+        """:313-328 — desc frequency, ties ascending by value."""
+        vals = (["Iris-setosa"] * 51 + ["Iris-virginica"] * 50
+                + ["Iris-versicolor"] * 50 + ["Iris-xiphium"] * 10)
+        df = spark.createDataFrame([(v,) for v in vals], "class string")
+        dist = self._dist(Histogram("class",
+                                    compute_frequencies_as_ratio=False), df)
+        assert list(dist.values.keys()) == [
+            "Iris-setosa", "Iris-versicolor", "Iris-virginica",
+            "Iris-xiphium"]
+
+    def test_all_null_column(self, spark):
+        """:330-346 — all nulls collapse to one NullValue bin."""
+        df = spark.createDataFrame([(None,)] * 4, "values double")
+        dist = self._dist(Histogram("values", max_detail_bins=5,
+                                    compute_frequencies_as_ratio=False), df)
+        assert dist.number_of_bins == 1 and len(dist.values) == 1
+        assert dist.values["NullValue"].absolute == 4
+
+    # ---- tail section (:349-620) ----------------------------------------
+
+    def test_tail_count_basic(self, spark):
+        """:350-378."""
+        vals = ["A"] * 5 + ["B"] * 4 + ["C"] * 3 + ["D"] * 2 + ["E"]
+        df = spark.createDataFrame([(v,) for v in vals], "category string")
+        dist = self._dist(Histogram("category", max_detail_bins=3), df)
+        assert len(dist.values) == 3
+        assert [dist.values[k].absolute for k in "ABC"] == [5, 4, 3]
+        assert dist.tail_count == 3
+        assert dist.number_of_bins == 5
+
+    def test_tail_zero_when_fits(self, spark):
+        """:380-393 and :395-408."""
+        df = spark.createDataFrame(
+            [("A",), ("A",), ("B",), ("B",), ("C",)], "category string")
+        assert self._dist(Histogram("category", max_detail_bins=10),
+                          df).tail_count == 0
+        df2 = spark.createDataFrame(
+            [("A",), ("A",), ("B",), ("C",)], "category string")
+        assert self._dist(Histogram("category", max_detail_bins=3),
+                          df2).tail_count == 0
+
+    def test_tail_with_max_detail_bins_one(self, spark):
+        """:410-425."""
+        vals = ["A"] * 3 + ["B"] * 2 + ["C"]
+        df = spark.createDataFrame([(v,) for v in vals], "category string")
+        dist = self._dist(Histogram("category", max_detail_bins=1), df)
+        assert len(dist.values) == 1
+        assert dist.values["A"].absolute == 3
+        assert dist.tail_count == 3
+
+    def test_tail_with_nulls(self, spark):
+        """:427-442 — top 2 = A and NullValue (tie at 2, name order)."""
+        df = spark.createDataFrame(
+            [("A",), ("A",), ("B",), (None,), ("C",), (None,)],
+            "category string")
+        dist = self._dist(Histogram("category", max_detail_bins=2), df)
+        assert len(dist.values) == 2
+        assert set(dist.values) == {"A", "NullValue"}
+        assert dist.tail_count == 2
+
+    def test_tail_with_sum_aggregation(self, spark):
+        """:444-466 — tail is the SUM of untruncated groups, not count."""
+        rows = [("A", 100), ("A", 200), ("B", 50), ("B", 75),
+                ("C", 10), ("D", 5)]
+        df = spark.createDataFrame(rows, "category string, amount int")
+        dist = self._dist(Histogram("category", max_detail_bins=2,
+                                    sum_column="amount"), df)
+        assert dist.values["A"].absolute == 300
+        assert dist.values["B"].absolute == 125
+        assert dist.tail_count == 15
+
+    def test_tail_larger_than_top_bin(self, spark):
+        """:468-488."""
+        vals = (["Top1"] * 10 + ["Top2"] * 8 + ["Top3"] * 6
+                + [f"Rare{i}" for i in range(1, 51) for _ in range(2)])
+        df = spark.createDataFrame([(v,) for v in vals], "category string")
+        dist = self._dist(Histogram("category", max_detail_bins=3), df)
+        assert len(dist.values) == 3
+        assert dist.values["Top1"].absolute == 10
+        assert dist.tail_count == 100
+
+    def test_tail_tie_break_alphabetical(self, spark):
+        """:490-513 — all frequency 2: Apple+Banana kept, 4 in tail."""
+        vals = ["Banana", "Banana", "Apple", "Apple", "Cherry", "Cherry",
+                "Date", "Date"]
+        df = spark.createDataFrame([(v,) for v in vals], "category string")
+        dist = self._dist(Histogram("category", max_detail_bins=2), df)
+        assert set(dist.values) == {"Apple", "Banana"}
+        assert dist.tail_count == 4
+
+    def test_ratios_relative_to_total_including_tail(self, spark):
+        """:515-534."""
+        vals = ["A"] * 5 + ["B"] * 3 + ["C"] * 2
+        df = spark.createDataFrame([(v,) for v in vals], "category string")
+        dist = self._dist(Histogram("category", max_detail_bins=2), df)
+        assert dist.values["A"].ratio == pytest.approx(0.5, abs=1e-3)
+        assert dist.values["B"].ratio == pytest.approx(0.3, abs=1e-3)
+        assert dist.tail_count == 2
+
+    def test_zero_max_detail_bins_fails(self, spark):
+        """:536-548 — maxDetailBins must be >= 1; failure metric, not a
+        crash (Histogram.scala:65-66)."""
+        from deequ_spark import do_analysis_run
+        df = spark.createDataFrame([("A",), ("B",)], "category string")
+        a = Histogram("category", max_detail_bins=0)
+        m = do_analysis_run(df, [a]).metric_map[a]
+        assert not m.is_success
+        assert "at least 1" in str(m.error)
+
+    def test_tail_with_where_filter(self, spark):
+        """:550-571."""
+        rows = [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"),
+                (6, "C"), (7, "C"), (8, "D")]
+        df = spark.createDataFrame(rows, "id int, category string")
+        dist = self._dist(Histogram("category", max_detail_bins=2,
+                                    where="id <= 6"), df)
+        assert len(dist.values) == 2
+        assert dist.values["A"].absolute == 3
+        assert dist.values["B"].absolute == 2
+        assert dist.tail_count == 1
+
+    def test_tail_with_binning_udf(self, spark):
+        """:573-596 — tail computed after UDF grouping."""
+        vals = ["US", "USA", "UK", "GB", "France", "Germany", "Italy"]
+        df = spark.createDataFrame([(v,) for v in vals], "country string")
+        norm = {"US": "US", "USA": "US", "UK": "UK", "GB": "UK"}
+        dist = self._dist(
+            Histogram("country", max_detail_bins=2,
+                      binning_udf=lambda s: norm.get(s, s)), df)
+        assert len(dist.values) == 2
+        assert dist.tail_count == 3
+
+    def test_flatten_emits_tail_count_only_when_present(self, spark):
+        """:598-620 — Histogram.tailCount appears in the flattened metrics
+        iff a tail exists."""
+        from deequ_spark import do_analysis_run
+        df = spark.createDataFrame(
+            [("A",), ("A",), ("A",), ("B",), ("B",), ("C",)],
+            "category string")
+        a = Histogram("category", max_detail_bins=1)
+        m = do_analysis_run(df, [a]).metric_map[a]
+        flat = {dm.name: dm.value for dm in m.flattened}
+        assert flat["Histogram.tailCount"] == 3.0
+        df2 = spark.createDataFrame([("A",), ("B",)], "category string")
+        a2 = Histogram("category", max_detail_bins=10)
+        m2 = do_analysis_run(df2, [a2]).metric_map[a2]
+        assert all(dm.name != "Histogram.tailCount" for dm in m2.flattened)
