@@ -35,7 +35,8 @@ from .analyzers.embedding import EmbeddingQuality, EmbeddingStatsState
 from .analyzers.kll import (BucketDistribution, BucketValue, KLLMetric,
                             KLLParameters, KLLSketch, KLLState,
                             compute_kll_states)
-from .checks import Check, CheckLevel, CheckResult, CheckStatus
+from .checks import (Check, CheckLevel, CheckResult, CheckStatus,
+                     ConstrainableDataTypes)
 from .constraints import (AnalysisBasedConstraint, Constraint,
                           ConstraintResult, ConstraintStatus)
 from .metrics import (Distribution, DistributionValue, DoubleMetric, Entity,

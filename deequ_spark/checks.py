@@ -48,6 +48,17 @@ class CheckStatus(str, Enum):
 IS_ONE: Callable[[float], bool] = lambda v: v == 1.0
 
 
+class ConstrainableDataTypes(str, Enum):
+    """Parity: ConstrainableDataTypes in Constraint.scala — the type
+    vocabulary hasDataType accepts (NUMERIC sums Fractional+Integral)."""
+    NULL = "Null"
+    FRACTIONAL = "Fractional"
+    INTEGRAL = "Integral"
+    BOOLEAN = "Boolean"
+    STRING = "String"
+    NUMERIC = "Numeric"
+
+
 @dataclass
 class CheckResult:
     check: "Check"
@@ -379,11 +390,33 @@ class Check:
                                 assertion, f"containsSocialSecurityNumber({column})",
                                 hint)
 
-    def has_data_type(self, column: str, data_type: DataTypeInstances,
+    def has_data_type(self, column: str, data_type,
                       assertion=IS_ONE, hint=None) -> "Check":
+        """Accepts ConstrainableDataTypes or DataTypeInstances. Reference
+        semantics (Constraint.scala:1108-1132, 1178-1202): typed ratios
+        exclude Unknown (NULL) rows from the DENOMINATOR; Numeric =
+        Fractional + Integral; Null/Unknown uses the plain all-rows
+        ratio."""
+        def pure(dist: Distribution, key: str) -> float:
+            dv = dist.values.get(key)
+            absolute = dv.absolute if dv else 0
+            if absolute == 0:
+                return 0.0
+            total = sum(v.absolute for v in dist.values.values())
+            unknown_dv = dist.values.get("Unknown")
+            unknown = unknown_dv.absolute if unknown_dv else 0
+            return absolute / (total - unknown)
+
+        type_name = getattr(data_type, "name", str(data_type)).upper()
+
         def picker(dist: Distribution) -> float:
-            dv = dist.values.get(data_type.value)
-            return dv.ratio if dv else 0.0
+            if type_name in ("NULL", "UNKNOWN"):
+                dv = dist.values.get("Unknown")
+                return dv.ratio if dv else 0.0
+            if type_name == "NUMERIC":
+                return pure(dist, "Fractional") + pure(dist, "Integral")
+            return pure(dist, type_name.capitalize())
+
         return self._add(lambda w: AnalysisBasedConstraint(
             DataType(column, w), assertion, value_picker=picker, hint=hint))
 

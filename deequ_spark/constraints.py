@@ -47,8 +47,10 @@ class Constraint:
         return self.name
 
 
-MISSING_ANALYSIS_MSG = "Missing analysis, can't run the constraint!"
+# exact reference wording (AnalysisBasedConstraint.scala:137-139)
+MISSING_ANALYSIS_MSG = "Missing Analysis, can't run the constraint!"
 ASSERTION_EXCEPTION_MSG = "Can't execute the assertion"
+PROBLEMATIC_PICKER_MSG = "Can't retrieve the value to assert on"
 
 
 class AnalysisBasedConstraint(Constraint):
@@ -90,15 +92,22 @@ class AnalysisBasedConstraint(Constraint):
             return ConstraintResult(
                 self, ConstraintStatus.FAILURE,
                 f"metric computation failed: {metric.error}", metric)
+        # value-picker failures and assertion failures carry DISTINCT
+        # messages (AnalysisBasedConstraint.scala:87-92, 118-129)
         try:
             value = metric.value
             if self.value_picker is not None:
                 value = self.value_picker(value)
+        except Exception as exc:  # noqa: BLE001
+            return ConstraintResult(
+                self, ConstraintStatus.FAILURE,
+                f"{PROBLEMATIC_PICKER_MSG}: {exc}!", metric)
+        try:
             ok = bool(self.assertion(value))
         except Exception as exc:  # noqa: BLE001
             return ConstraintResult(
                 self, ConstraintStatus.FAILURE,
-                f"{ASSERTION_EXCEPTION_MSG}: {exc}", metric)
+                f"{ASSERTION_EXCEPTION_MSG}: {exc}!", metric)
         if ok:
             return ConstraintResult(self, ConstraintStatus.SUCCESS, None, metric)
         msg = (f"Value: {value} does not meet the constraint requirement!"

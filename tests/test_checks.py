@@ -148,3 +148,182 @@ class TestStateMerge:
         merged = analyzer.compute_state_from(part_a).merge(
             analyzer.compute_state_from(part_b))
         assert analyzer.compute_metric_from_state(merged).value == 6.0
+
+
+class TestAnalysisBasedConstraintReferenceParity:
+    """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/
+    constraints/AnalysisBasedConstraintTest.scala (line refs per test).
+    The SampleAnalyzer stand-in is Completeness on the F4 fixture, whose
+    metric value for a complete column is 1.0 — same shape as the
+    reference's sample (1.0 iff the column exists)."""
+
+    def _evaluate(self, constraint, df):
+        from deequ_spark import do_analysis_run
+        ctx = do_analysis_run(df, constraint.required_analyzers)
+        return constraint.evaluate(ctx.metric_map)
+
+    def test_assertion_on_metric_value(self, df_numeric):
+        """:100-127 — success/failure/exact failure message."""
+        from deequ_spark import Completeness
+        from deequ_spark.constraints import (AnalysisBasedConstraint,
+                                             ConstraintStatus)
+        ok = self._evaluate(
+            AnalysisBasedConstraint(Completeness("att1"), lambda v: v == 1.0),
+            df_numeric)
+        assert ok.status == ConstraintStatus.SUCCESS
+        assert ok.message is None and ok.metric is not None
+
+        bad = self._evaluate(
+            AnalysisBasedConstraint(Completeness("att1"), lambda v: v != 1.0),
+            df_numeric)
+        assert bad.status == ConstraintStatus.FAILURE
+        assert bad.message == \
+            "Value: 1.0 does not meet the constraint requirement!"
+        assert bad.metric is not None
+
+        missing_col = self._evaluate(
+            AnalysisBasedConstraint(Completeness("someMissingColumn"),
+                                    lambda v: v == 1.0), df_numeric)
+        assert missing_col.status == ConstraintStatus.FAILURE
+        assert missing_col.metric is not None
+
+    def test_value_picker_applied(self, df_numeric):
+        """:129-148 — picker transforms the metric value before assert."""
+        from deequ_spark import Completeness
+        from deequ_spark.constraints import (AnalysisBasedConstraint,
+                                             ConstraintStatus)
+        doubler = lambda v: v * 2  # noqa: E731 — the reference valueDoubler
+        assert self._evaluate(
+            AnalysisBasedConstraint(Completeness("att1"), lambda v: v == 2.0,
+                                    value_picker=doubler),
+            df_numeric).status == ConstraintStatus.SUCCESS
+        assert self._evaluate(
+            AnalysisBasedConstraint(Completeness("att1"), lambda v: v != 2.0,
+                                    value_picker=doubler),
+            df_numeric).status == ConstraintStatus.FAILURE
+
+    def test_missing_analysis_message(self, df_numeric):
+        """:150-177 — evaluating against an empty metric map fails with
+        the exact MissingAnalysis wording and NO metric."""
+        from deequ_spark import Completeness
+        from deequ_spark.constraints import (AnalysisBasedConstraint,
+                                             ConstraintStatus)
+        c = AnalysisBasedConstraint(Completeness("att1"), lambda v: v == 1.0)
+        result = c.evaluate({})
+        assert result.status == ConstraintStatus.FAILURE
+        assert result.message == "Missing Analysis, can't run the constraint!"
+        assert result.metric is None
+
+    def test_problematic_value_picker_message(self, df_numeric):
+        """:191-227 — a raising picker fails with the exact
+        ProblematicMetricPicker wording and the metric still attached."""
+        from deequ_spark import Completeness
+        from deequ_spark.constraints import (AnalysisBasedConstraint,
+                                             ConstraintStatus)
+
+        def problematic(value):
+            raise RuntimeError("Something wrong with this picker")
+
+        c = AnalysisBasedConstraint(Completeness("att1"), lambda v: v == 1.0,
+                                    value_picker=problematic)
+        result = self._evaluate(c, df_numeric)
+        assert result.status == ConstraintStatus.FAILURE
+        assert result.message.startswith(
+            "Can't retrieve the value to assert on")
+        assert result.message.endswith("!")
+        assert result.metric is not None
+        # against an empty map the missing-analysis path wins (:220-225)
+        empty = c.evaluate({})
+        assert empty.message == "Missing Analysis, can't run the constraint!"
+        assert empty.metric is None
+
+    def test_hint_appended_to_failure(self, df_numeric):
+        """:229-245 — hint text appends to the exact failure message."""
+        from deequ_spark import Completeness
+        from deequ_spark.constraints import (AnalysisBasedConstraint,
+                                             ConstraintStatus)
+        c = AnalysisBasedConstraint(Completeness("att1"), lambda v: v == 0.9,
+                                    hint="Value should be like ...!")
+        result = self._evaluate(c, df_numeric)
+        assert result.status == ConstraintStatus.FAILURE
+        assert result.message == ("Value: 1.0 does not meet the constraint "
+                                  "requirement! Value should be like ...!")
+
+    def test_throwing_assertion_message(self, df_numeric):
+        """:247-262 — assertion exception message wrapped exactly."""
+        from deequ_spark import Completeness
+        from deequ_spark.constraints import (AnalysisBasedConstraint,
+                                             ConstraintStatus)
+
+        def failing(value):
+            raise RuntimeError("-test-")
+
+        result = self._evaluate(
+            AnalysisBasedConstraint(Completeness("att1"), failing),
+            df_numeric)
+        assert result.status == ConstraintStatus.FAILURE
+        assert result.message == "Can't execute the assertion: -test-!"
+        assert result.metric is not None
+
+
+class TestDataTypeConstraintReferenceParity:
+    """Transcribed from ConstraintsTest.scala:280-300 — typed ratios
+    exclude NULL rows from the denominator; Numeric = Fractional +
+    Integral (Constraint.scala:1108-1132, 1178-1202)."""
+
+    def _status(self, spark, rows, schema, dtype, assertion):
+        from deequ_spark import (Check, CheckLevel, ConstrainableDataTypes,
+                                 VerificationSuite)
+        df = spark.createDataFrame(rows, schema)
+        check = Check(CheckLevel.ERROR, "dt").has_data_type(
+            "column", dtype, assertion)
+        result = VerificationSuite().on_data(df).add_check(check).run()
+        return list(result.check_results[check].constraint_results
+                    )[0].status
+
+    def test_fractional_double_column(self, spark):
+        """:283-287 — native doubles are 100% Fractional."""
+        from deequ_spark import ConstrainableDataTypes
+        from deequ_spark.constraints import ConstraintStatus
+        assert self._status(spark, [(1.0,), (2.0,)], "column double",
+                            ConstrainableDataTypes.FRACTIONAL,
+                            lambda v: v == 1.0) == ConstraintStatus.SUCCESS
+
+    def test_fractional_string_column_half(self, spark):
+        """:289-293 — ["1", "2.0"]: one Integral + one Fractional →
+        Fractional ratio 0.5."""
+        from deequ_spark import ConstrainableDataTypes
+        from deequ_spark.constraints import ConstraintStatus
+        assert self._status(spark, [("1",), ("2.0",)], "column string",
+                            ConstrainableDataTypes.FRACTIONAL,
+                            lambda v: v == 0.5) == ConstraintStatus.SUCCESS
+
+    def test_numeric_sums_fractional_and_integral(self, spark):
+        """:295-299 — Numeric over ["1", "2.0"] = 0.5 + 0.5 = 1.0."""
+        from deequ_spark import ConstrainableDataTypes
+        from deequ_spark.constraints import ConstraintStatus
+        assert self._status(spark, [("1",), ("2.0",)], "column string",
+                            ConstrainableDataTypes.NUMERIC,
+                            lambda v: v == 1.0) == ConstraintStatus.SUCCESS
+
+    def test_null_rows_excluded_from_typed_denominator(self, spark):
+        """Constraint.scala:1178-1196 — ["1", "2", null]: Integral ratio
+        is 2/2 = 1.0 (Unknown excluded), while NULL ratio is 1/3."""
+        from deequ_spark import ConstrainableDataTypes
+        from deequ_spark.constraints import ConstraintStatus
+        rows = [("1",), ("2",), (None,)]
+        assert self._status(spark, rows, "column string",
+                            ConstrainableDataTypes.INTEGRAL,
+                            lambda v: v == 1.0) == ConstraintStatus.SUCCESS
+        assert self._status(spark, rows, "column string",
+                            ConstrainableDataTypes.NULL,
+                            lambda v: abs(v - 1 / 3) < 1e-12) == \
+            ConstraintStatus.SUCCESS
+
+    def test_absent_type_is_zero(self, spark):
+        """ratioTypes: absolute == 0 → 0.0 (no division)."""
+        from deequ_spark import ConstrainableDataTypes
+        from deequ_spark.constraints import ConstraintStatus
+        assert self._status(spark, [("abc",), ("def",)], "column string",
+                            ConstrainableDataTypes.BOOLEAN,
+                            lambda v: v == 0.0) == ConstraintStatus.SUCCESS
