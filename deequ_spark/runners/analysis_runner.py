@@ -52,23 +52,36 @@ class AnalyzerContext:
         merged.update(other.metric_map)
         return AnalyzerContext(merged)
 
-    def success_metrics_as_json(self) -> str:
-        return json.dumps([m.as_dict() for m in self.all_metrics()
-                           if m.is_success], default=str)
-
-    def success_metrics_as_dataframe(self, spark: SparkSession,
-                                     for_analyzers: Optional[Sequence[Analyzer]] = None
-                                     ) -> DataFrame:
+    def _simplified_rows(self, for_analyzers=None):
+        """Flattened (entity, instance, name, value) rows with the metric
+        name decorated by the analyzer's filter, exactly as the reference
+        renders them (AnalyzerContext.scala:78-127: FilterableAnalyzer →
+        'Name (where: cond)')."""
         rows = []
         for analyzer, metric in self.metric_map.items():
             if for_analyzers and analyzer not in for_analyzers:
                 continue
+            where = getattr(analyzer, "where", None)
             flattened = getattr(metric, "flattened", None)
             for m in (flattened if flattened is not None else [metric]):
                 if m.is_success:
-                    rows.append((m.entity.value, m.instance, m.name, float(m.value)))
+                    name = (f"{m.name} (where: {where})" if where is not None
+                            else m.name)
+                    rows.append((m.entity.value, m.instance, name,
+                                 float(m.value)))
+        return rows
+
+    def success_metrics_as_json(self, for_analyzers=None) -> str:
+        return json.dumps([
+            {"entity": e, "instance": i, "name": n, "value": v}
+            for e, i, n, v in self._simplified_rows(for_analyzers)])
+
+    def success_metrics_as_dataframe(self, spark: SparkSession,
+                                     for_analyzers: Optional[Sequence[Analyzer]] = None
+                                     ) -> DataFrame:
         return spark.createDataFrame(
-            rows, "entity string, instance string, name string, value double")
+            self._simplified_rows(for_analyzers),
+            "entity string, instance string, name string, value double")
 
 
 def _dedup(analyzers: Sequence[Analyzer]) -> List[Analyzer]:

@@ -327,3 +327,70 @@ class TestDataTypeConstraintReferenceParity:
         assert self._status(spark, [("abc",), ("def",)], "column string",
                             ConstrainableDataTypes.BOOLEAN,
                             lambda v: v == 0.0) == ConstraintStatus.SUCCESS
+
+
+class TestAnalyzerContextReferenceParity:
+    """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/
+    analyzers/runners/AnalyzerContextTest.scala over getDfFull
+    (FixtureSupport:127-136)."""
+
+    @pytest.fixture(scope="class")
+    def results(self, spark):
+        from deequ_spark import (Completeness, Distinctness, Histogram,
+                                 Size, Uniqueness, do_analysis_run)
+        df = spark.createDataFrame(
+            [("1", "a", "c"), ("2", "a", "c"), ("3", "a", "c"),
+             ("4", "b", "d")], "item string, att1 string, att2 string")
+        return do_analysis_run(df, [
+            Size(), Size(where="att2 == 'd'"), Distinctness(("item",)),
+            Completeness("att1"), Uniqueness(("att1", "att2")),
+            Histogram("att1")])
+
+    EXPECTED = {
+        ("Column", "att1", "Histogram.abs.a", 3.0),
+        ("Dataset", "*", "Size", 4.0),
+        ("Multicolumn", "att1,att2", "Uniqueness", 0.25),
+        ("Column", "att1", "Histogram.bins", 2.0),
+        ("Column", "att1", "Completeness", 1.0),
+        ("Column", "item", "Distinctness", 1.0),
+        ("Column", "att1", "Histogram.abs.b", 1.0),
+        ("Column", "att1", "Histogram.ratio.a", 0.75),
+        ("Dataset", "*", "Size (where: att2 == 'd')", 1.0),
+        ("Column", "att1", "Histogram.ratio.b", 0.25),
+    }
+
+    def test_success_metrics_as_dataframe(self, spark, results):
+        """:33-55 — flattened rows with the filtered Size decorated as
+        'Size (where: ...)' (AnalyzerContext.scala:117-127)."""
+        got = {tuple(r) for r in
+               results.success_metrics_as_dataframe(spark).collect()}
+        assert got == self.EXPECTED
+
+    def test_restrict_to_requested_analyzers(self, spark, results):
+        """:57-75."""
+        from deequ_spark import Completeness, Uniqueness
+        got = {tuple(r) for r in results.success_metrics_as_dataframe(
+            spark, [Completeness("att1"),
+                    Uniqueness(("att1", "att2"))]).collect()}
+        assert got == {
+            ("Column", "att1", "Completeness", 1.0),
+            ("Multicolumn", "att1,att2", "Uniqueness", 0.25)}
+
+    def test_success_metrics_as_json(self, results):
+        """:77-101 — same rows through the JSON surface."""
+        import json
+        rows = json.loads(results.success_metrics_as_json())
+        got = {(r["entity"], r["instance"], r["name"], r["value"])
+               for r in rows}
+        assert got == self.EXPECTED
+
+    def test_json_restricted(self, results):
+        """:103-121."""
+        import json
+        from deequ_spark import Completeness, Uniqueness
+        rows = json.loads(results.success_metrics_as_json(
+            [Completeness("att1"), Uniqueness(("att1", "att2"))]))
+        assert {(r["entity"], r["instance"], r["name"], r["value"])
+                for r in rows} == {
+            ("Column", "att1", "Completeness", 1.0),
+            ("Multicolumn", "att1,att2", "Uniqueness", 0.25)}
