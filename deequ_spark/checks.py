@@ -118,12 +118,18 @@ class Check:
     # -- size / shape (Check.scala:129,135,212) ----------------------------
 
     def has_size(self, assertion, hint=None) -> "Check":
+        # the reference asserts on Long (Constraint.scala:126-128,
+        # valuePicker _.toLong) — failure messages read "Value: 4", not
+        # "Value: 4.0"
         return self._add(lambda w: AnalysisBasedConstraint(
-            Size(where=w), assertion, hint=hint, name=f"SizeConstraint(Size(None,{w}))"))
+            Size(where=w), assertion, value_picker=lambda v: int(v),
+            hint=hint, name=f"SizeConstraint(Size(None,{w}))"))
 
     def has_column_count(self, assertion, hint=None) -> "Check":
+        # Long-valued like Size (Constraint.scala:133-135)
         return self._add(lambda w: AnalysisBasedConstraint(
-            ColumnCount(), assertion, hint=hint), filterable=False)
+            ColumnCount(), assertion, value_picker=lambda v: int(v),
+            hint=hint), filterable=False)
 
     def has_column(self, column: str, hint=None) -> "Check":
         return self._add(lambda w: AnalysisBasedConstraint(

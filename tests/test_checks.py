@@ -394,3 +394,42 @@ class TestAnalyzerContextReferenceParity:
                 for r in rows} == {
             ("Column", "att1", "Completeness", 1.0),
             ("Multicolumn", "att1,att2", "Uniqueness", 0.25)}
+
+
+class TestVerificationResultReferenceParity:
+    """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/
+    VerificationResultTest.scala:122-147 — the check-results DataFrame
+    shape and exact failure messages (Size renders as Long)."""
+
+    def test_check_results_dataframe_rows(self, spark):
+        from deequ_spark import (Check, CheckLevel, VerificationSuite)
+        df = spark.createDataFrame(
+            [("1", "a", "c"), ("2", "a", "c"), ("3", "a", "c"),
+             ("4", "b", "d")], "item string, att1 string, att2 string")
+        c1 = Check(CheckLevel.ERROR, "group-1").is_complete("att1")
+        c2 = (Check(CheckLevel.ERROR, "group-2-E")
+              .has_size(lambda n: n > 5, hint="Should be greater than 5!")
+              .is_complete("att2"))
+        c3 = Check(CheckLevel.WARNING, "group-2-W").has_distinctness(
+            ("item",), lambda v: v < 0.8, hint="Should be smaller than 0.8!")
+        result = (VerificationSuite().on_data(df)
+                  .add_check(c1).add_check(c2).add_check(c3).run())
+        rows = {(r["check"], r["constraint_status"], r["constraint_message"])
+                for r in result.check_results_as_dataframe(spark).collect()}
+        # Size asserts on Long → "Value: 4", not "Value: 4.0"
+        assert ("group-2-E", "Failure",
+                "Value: 4 does not meet the constraint requirement! "
+                "Should be greater than 5!") in rows
+        assert ("group-2-W", "Failure",
+                "Value: 1.0 does not meet the constraint requirement! "
+                "Should be smaller than 0.8!") in rows
+        assert ("group-1", "Success", "") in rows
+        out = result.check_results_as_dataframe(spark)
+        assert out.columns == ["check", "check_level", "check_status",
+                               "constraint", "constraint_status",
+                               "constraint_message"]
+        levels = {r["check"]: (r["check_level"], r["check_status"])
+                  for r in out.collect()}
+        assert levels["group-1"] == ("Error", "Success")
+        assert levels["group-2-E"] == ("Error", "Error")
+        assert levels["group-2-W"] == ("Warning", "Warning")
