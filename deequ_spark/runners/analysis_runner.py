@@ -99,14 +99,33 @@ def do_analysis_run(data: DataFrame,
                     reuse_existing_results_for_key=None,
                     save_or_append_results_with_key=None,
                     save_states_with=None,
+                    aggregate_with=None,
                     fail_if_results_missing: bool = False) -> AnalyzerContext:
     """Compute all metrics with minimal passes (parity:
     AnalysisRunner.scala:101-247). Reuse and save are SEPARATE keys (as in
     the reference): passing a reuse key never writes back — otherwise a
-    transient failure metric would poison the repository for that key."""
+    transient failure metric would poison the repository for that key.
+
+    ``aggregate_with`` (parity: AnalysisRunner aggregateWith) is a state
+    loader holding PRIOR states: the data (typically a delta partition) is
+    scanned once with the usual fusion, its states are merged with the
+    prior ones, and metrics come from the merged states — the incremental
+    pattern (IncrementalAnalysisTest.scala:30-105). ``save_states_with``
+    then persists the MERGED states, so consecutive deltas chain."""
     analyzers = _dedup(analyzers)
     if not analyzers:
         return AnalyzerContext()
+
+    if aggregate_with is not None:
+        from ..states import InMemoryStateProvider
+        delta_states = InMemoryStateProvider()
+        do_analysis_run(data, analyzers, save_states_with=delta_states)
+        ctx = run_on_aggregated_states(
+            data, analyzers, [aggregate_with, delta_states],
+            save_states_with=save_states_with)
+        if metrics_repository is not None and save_or_append_results_with_key is not None:
+            metrics_repository.save(save_or_append_results_with_key, ctx)
+        return ctx
 
     # 1. reuse SUCCESSFUL metrics already in the repository (:122-134)
     results = AnalyzerContext()
@@ -333,9 +352,11 @@ def _run_grouping_analyzers(data: DataFrame,
 
 def run_on_aggregated_states(schema_source: DataFrame,
                              analyzers: Sequence[Analyzer],
-                             state_loaders: Sequence[Any]) -> AnalyzerContext:
+                             state_loaders: Sequence[Any],
+                             save_states_with=None) -> AnalyzerContext:
     """Compute metrics purely from merged persisted states — no data scan
-    (parity: AnalysisRunner.scala:466-541, runOnAggregatedStates)."""
+    (parity: AnalysisRunner.scala:466-541, runOnAggregatedStates).
+    ``save_states_with`` persists the merged states (saveStatesWith)."""
     ctx = AnalyzerContext()
     for a in _dedup(analyzers):
         merged: Optional[State] = None
@@ -344,6 +365,8 @@ def run_on_aggregated_states(schema_source: DataFrame,
                 state = loader.load(a)
                 if state is not None:
                     merged = state if merged is None else merged.merge(state)
+            if save_states_with is not None and merged is not None:
+                save_states_with.persist(a, merged)
             ctx.metric_map[a] = a.compute_metric_from_state(merged)
         except Exception as exc:  # noqa: BLE001
             ctx.metric_map[a] = a.to_failure_metric(exc)
@@ -396,6 +419,13 @@ class AnalysisRunBuilder:
         self._state_provider = provider
         return self
 
+    def aggregate_with(self, loader) -> "AnalysisRunBuilder":
+        """Merge this run's states with PRIOR states from ``loader``
+        before computing metrics — the incremental pattern
+        (AnalysisRunner.scala aggregateWith)."""
+        self._aggregate_with = loader
+        return self
+
     def run(self) -> AnalyzerContext:
         return do_analysis_run(
             self._data, self._analyzers,
@@ -403,6 +433,7 @@ class AnalysisRunBuilder:
             reuse_existing_results_for_key=self._reuse_key,
             save_or_append_results_with_key=self._save_key,
             save_states_with=self._state_provider,
+            aggregate_with=getattr(self, "_aggregate_with", None),
             fail_if_results_missing=self._fail_if_results_missing)
 
 
@@ -414,5 +445,8 @@ class AnalysisRunner:
         return AnalysisRunBuilder(data)
 
     @staticmethod
-    def run(data: DataFrame, analyzers: Sequence[Analyzer]) -> AnalyzerContext:
-        return do_analysis_run(data, analyzers)
+    def run(data: DataFrame, analyzers: Sequence[Analyzer],
+            aggregate_with=None, save_states_with=None) -> AnalyzerContext:
+        return do_analysis_run(data, analyzers,
+                               aggregate_with=aggregate_with,
+                               save_states_with=save_states_with)

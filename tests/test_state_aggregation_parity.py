@@ -119,3 +119,89 @@ class TestAnalysisRunnerBuilder:
                .use_repository(repo).save_or_append_result(key).run())
         assert ctx.metric_map[Size()].value == 2.0
         assert repo.load_by_key(key).metric_map[Size()].value == 2.0
+
+
+class TestIncrementalAnalysisParity:
+    """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/
+    analyzers/IncrementalAnalysisTest.scala (line refs per test): a delta
+    scanned with aggregate_with=<prior states> must reproduce the
+    non-incremental metrics over initial ∪ delta exactly."""
+
+    def test_incremental_equals_full(self, spark, split_data):
+        """:30-58 — Size/Uniqueness/Completeness/Entropy via the runner's
+        aggregate_with path."""
+        from deequ_spark import InMemoryStateProvider, do_analysis_run
+        initial, delta, _ = split_data
+        everything = initial.union(delta)
+        analyzers = [Size(), Uniqueness(("attribute",)),
+                     Completeness("item"), Entropy("attribute"),
+                     Completeness("attribute"), Entropy("value")]
+        prior = InMemoryStateProvider()
+        do_analysis_run(initial, analyzers, save_states_with=prior)
+        incremental = do_analysis_run(delta, analyzers,
+                                      aggregate_with=prior)
+        full = do_analysis_run(everything, analyzers)
+        for a in analyzers:
+            assert incremental.metric_map[a].value == \
+                pytest.approx(full.metric_map[a].value, rel=1e-12), str(a)
+
+    def test_incremental_shared_scan_compliances(self, spark, split_data):
+        """:60-85 — compliances sharing one fused scan stay exact."""
+        from deequ_spark import InMemoryStateProvider, do_analysis_run
+        initial, delta, _ = split_data
+        everything = initial.union(delta)
+        analyzers = [
+            Compliance("attributeNonNull", "attribute IS NOT NULL"),
+            Compliance("categoryAttribute", "attribute LIKE 'facets%'"),
+            Compliance("attributeKeyword", "attribute LIKE '%keyword%'"),
+            Completeness("item"), Completeness("attribute")]
+        prior = InMemoryStateProvider()
+        do_analysis_run(initial, analyzers, save_states_with=prior)
+        results = do_analysis_run(delta, analyzers, aggregate_with=prior)
+        for a, m in results.metric_map.items():
+            assert m.value == pytest.approx(
+                a.calculate(everything).value, rel=1e-12), str(a)
+
+    def test_incremental_grouping_metrics(self, spark, split_data):
+        """:87-105 — Uniqueness+Entropy on the shared frequency table."""
+        from deequ_spark import InMemoryStateProvider, do_analysis_run
+        initial, delta, _ = split_data
+        everything = initial.union(delta)
+        analyzers = [Uniqueness(("value",)), Entropy("value")]
+        prior = InMemoryStateProvider()
+        do_analysis_run(initial, analyzers, save_states_with=prior)
+        results = do_analysis_run(delta, analyzers, aggregate_with=prior)
+        for a, m in results.metric_map.items():
+            assert m.value == pytest.approx(
+                a.calculate(everything).value, rel=1e-12), str(a)
+
+    def test_chained_deltas_via_saved_merged_states(self, spark, split_data):
+        """aggregate_with + save_states_with chains: the merged states
+        persisted after delta 1 feed delta 2."""
+        from deequ_spark import InMemoryStateProvider, do_analysis_run
+        initial, delta, _ = split_data
+        d1 = delta.where("item < 'item30'")
+        d2 = delta.where("item >= 'item30'")
+        analyzers = [Size(), Mean("numbersA"), Uniqueness(("attribute",))]
+        s0, s1 = InMemoryStateProvider(), InMemoryStateProvider()
+        do_analysis_run(initial, analyzers, save_states_with=s0)
+        do_analysis_run(d1, analyzers, aggregate_with=s0,
+                        save_states_with=s1)
+        final = do_analysis_run(d2, analyzers, aggregate_with=s1)
+        full = do_analysis_run(initial.union(delta), analyzers)
+        for a in analyzers:
+            assert final.metric_map[a].value == \
+                pytest.approx(full.metric_map[a].value, rel=1e-12), str(a)
+
+    def test_builder_aggregate_with(self, spark, split_data):
+        """AnalysisRunBuilder fluent surface for aggregateWith."""
+        from deequ_spark import InMemoryStateProvider
+        from deequ_spark.runners.analysis_runner import AnalysisRunner
+        initial, delta, _ = split_data
+        prior = InMemoryStateProvider()
+        (AnalysisRunner.on_data(initial).add_analyzer(Size())
+         .save_states_with(prior).run())
+        ctx = (AnalysisRunner.on_data(delta).add_analyzer(Size())
+               .aggregate_with(prior).run())
+        assert ctx.metric_map[Size()].value == \
+            initial.count() + delta.count()
