@@ -222,6 +222,12 @@ class VerificationRunBuilder:
         self._state_persister = persister
         return self
 
+    def aggregate_with(self, loader) -> "VerificationRunBuilder":
+        """Merge this run's states with PRIOR states from ``loader``
+        before evaluating checks (VerificationRunBuilder.scala:111-116)."""
+        self._state_loader = loader
+        return self
+
     def add_anomaly_check(self, strategy, analyzer: Analyzer,
                           check_config=None) -> "VerificationRunBuilder":
         """Parity: VerificationRunBuilder.scala:226-243."""
@@ -241,7 +247,8 @@ class VerificationRunBuilder:
             metrics_repository=self._repository,
             reuse_existing_results_for_key=self._reuse_key,
             fail_if_results_missing=self._fail_if_results_missing,
-            save_states_with=self._state_persister)
+            save_states_with=self._state_persister,
+            aggregate_with=getattr(self, "_state_loader", None))
 
         checks = list(self._checks)
         for ac in self._anomaly_checks:

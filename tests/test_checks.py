@@ -433,3 +433,27 @@ class TestVerificationResultReferenceParity:
         assert levels["group-1"] == ("Error", "Success")
         assert levels["group-2-E"] == ("Error", "Error")
         assert levels["group-2-W"] == ("Warning", "Warning")
+
+
+class TestVerificationAggregateWith:
+    """VerificationRunBuilder.aggregateWith parity
+    (VerificationRunBuilder.scala:98-116): checks evaluate against the
+    merged initial+delta states."""
+
+    def test_check_sees_cumulative_size(self, spark):
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 InMemoryStateProvider, Size,
+                                 VerificationSuite, do_analysis_run)
+        initial = spark.createDataFrame([(i,) for i in range(8)], "v int")
+        delta = spark.createDataFrame([(i,) for i in range(4)], "v int")
+        prior = InMemoryStateProvider()
+        do_analysis_run(initial, [Size()], save_states_with=prior)
+        # 12 rows only exist across BOTH partitions
+        check = Check(CheckLevel.ERROR, "cumulative").has_size(
+            lambda n: n == 12)
+        result = (VerificationSuite().on_data(delta).add_check(check)
+                  .aggregate_with(prior).run())
+        assert result.status == CheckStatus.SUCCESS
+        # without the prior states the same check fails
+        alone = VerificationSuite().on_data(delta).add_check(check).run()
+        assert alone.status == CheckStatus.ERROR
