@@ -52,7 +52,8 @@ from .repository import (FileSystemMetricsRepository,
 from .states import (FileSystemStateProvider, InMemoryStateProvider,
                      StateProvider)
 from .anomaly import (AbsoluteChangeStrategy, Anomaly, AnomalyCheckConfig,
-                      BatchNormalStrategy, HoltWinters, OnlineNormalStrategy,
+                      AnomalyDetector, BatchNormalStrategy, DataPoint,
+                      DetectionResult, HoltWinters, OnlineNormalStrategy,
                       RateOfChangeStrategy, RelativeRateOfChangeStrategy,
                       SimpleThresholdStrategy)
 from .comparison import (ComparisonResult, DataSynchronization,

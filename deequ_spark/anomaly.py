@@ -12,6 +12,7 @@ optimizer with a coarse-to-fine grid search (no scipy dependency).
 
 from __future__ import annotations
 
+import bisect
 import math
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
@@ -29,6 +30,66 @@ class Anomaly:
 @dataclass
 class DetectionResult:
     anomalies: List[Anomaly] = field(default_factory=list)
+
+
+@dataclass
+class DataPoint:
+    """Timestamped metric observation (parity:
+    anomalydetection/AnomalyDetector.scala DataPoint[Double] — a None
+    metric_value marks a missing observation)."""
+    time: int
+    metric_value: Optional[float] = None
+
+
+class AnomalyDetector:
+    """Timeline wrapper around a strategy (parity: AnomalyDetector.scala):
+    drops missing values, sorts by time, maps the [start, end) TIME
+    interval onto index space via insertion points, and keys detected
+    anomalies back by their original timestamps."""
+
+    def __init__(self, strategy: "AnomalyDetectionStrategy"):
+        self.strategy = strategy
+
+    def is_new_point_anomalous(self, historical_data_points: Sequence[DataPoint],
+                               new_point: DataPoint) -> DetectionResult:
+        """Parity: AnomalyDetector.scala:38-64 isNewPointAnomalous."""
+        if not historical_data_points:
+            raise ValueError("historicalDataPoints must not be empty!")
+        sorted_points = sorted(historical_data_points, key=lambda p: p.time)
+        last_time = sorted_points[-1].time
+        if last_time >= new_point.time:
+            raise ValueError(
+                "Can't decide which range to use for anomaly detection. "
+                f"New data point with time {new_point.time} is in history "
+                f"range ({sorted_points[0].time} - {last_time})!")
+        return self.detect_anomalies_in_history(
+            list(sorted_points) + [new_point],
+            (new_point.time, _MAX_TIME))
+
+    def detect_anomalies_in_history(
+            self, data_series: Sequence[DataPoint],
+            search_interval: Tuple[int, int] = None) -> DetectionResult:
+        """Parity: AnomalyDetector.scala:66-101 — search_interval is a
+        half-open [start, end) TIME window; anomalies come back keyed by
+        timestamp (Anomaly.index carries the time)."""
+        start, end = search_interval if search_interval is not None \
+            else (_MIN_TIME, _MAX_TIME)
+        if start > end:
+            raise ValueError("The first interval element has to be smaller "
+                             "or equal to the last.")
+        present = [p for p in data_series if p.metric_value is not None]
+        present.sort(key=lambda p: p.time)
+        times = [p.time for p in present]
+        values = [float(p.metric_value) for p in present]
+        lower = bisect.bisect_left(times, start)
+        upper = bisect.bisect_left(times, end)
+        found = self.strategy.detect(values, (lower, upper))
+        return DetectionResult([
+            Anomaly(times[a.index], a.value, a.detail) for a in found])
+
+
+_MIN_TIME = -(2 ** 63)
+_MAX_TIME = 2 ** 63 - 1
 
 
 class AnomalyDetectionStrategy:

@@ -318,3 +318,82 @@ class TestHoltWintersParity:
         series = [0.0, 1, 1, 1, 1, 1, 1] * 2 + [1.0] * 7
         found = self._hw().detect(series, (14, 21))
         assert _indices(found) == [14]
+
+
+class TestAnomalyDetectorTimeline:
+    """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/
+    anomalydetection/AnomalyDetectorTest.scala (line refs per test) —
+    the mocked strategy is replaced by SimpleThresholdStrategy instances
+    whose index-space behavior is fully determined."""
+
+    def test_ignores_missing_values(self):
+        """:33-43 — None points drop out before index mapping."""
+        from deequ_spark import (AnomalyDetector, DataPoint,
+                                 SimpleThresholdStrategy)
+        data = [DataPoint(0, 1.0), DataPoint(1, 2.0),
+                DataPoint(2, None), DataPoint(3, 1.0)]
+        detector = AnomalyDetector(SimpleThresholdStrategy(upper_bound=1.5))
+        result = detector.detect_anomalies_in_history(data, (0, 4))
+        assert [(a.index, a.value) for a in result.anomalies] == [(1, 2.0)]
+
+    def test_only_detects_in_time_range(self):
+        """:45-52 — [2, 4) time window maps to index window (2, 4)."""
+        from deequ_spark import (AnomalyDetector, DataPoint,
+                                 SimpleThresholdStrategy)
+        data = [DataPoint(0, -1.0), DataPoint(1, 2.0),
+                DataPoint(2, 3.0), DataPoint(3, 0.5)]
+        detector = AnomalyDetector(
+            SimpleThresholdStrategy(lower_bound=-0.5, upper_bound=1.0))
+        result = detector.detect_anomalies_in_history(data, (2, 4))
+        # -1.0 (t=0) and 2.0 (t=1) are outside the window; 3.0 at t=2 hits
+        assert [(a.index, a.value) for a in result.anomalies] == [(2, 3.0)]
+
+    def test_unordered_interval_raises(self):
+        """:54-58."""
+        from deequ_spark import (AnomalyDetector, DataPoint,
+                                 SimpleThresholdStrategy)
+        detector = AnomalyDetector(SimpleThresholdStrategy(upper_bound=1.0))
+        with pytest.raises(ValueError):
+            detector.detect_anomalies_in_history(
+                [DataPoint(0, 1.0)], (4, 2))
+
+    def test_time_gaps_map_to_indices(self):
+        """:60-74 — times 200..2000 step 200; window [200, 401) covers
+        exactly the first two points, anomalies keyed by original time."""
+        from deequ_spark import (AnomalyDetector, DataPoint,
+                                 SimpleThresholdStrategy)
+        data = [DataPoint(i * 200, 5.0) for i in range(1, 11)]
+        detector = AnomalyDetector(SimpleThresholdStrategy(upper_bound=1.0))
+        result = detector.detect_anomalies_in_history(data, (200, 401))
+        assert [(a.index, a.value) for a in result.anomalies] == \
+            [(200, 5.0), (400, 5.0)]
+
+    def test_unordered_input_sorted_by_time(self):
+        """:76-105 — unordered input sorts by time; anomalies come back
+        keyed by the original timestamps in time order."""
+        from deequ_spark import (AnomalyDetector, DataPoint,
+                                 SimpleThresholdStrategy)
+        data = [DataPoint(10, -1.0), DataPoint(25, 2.0),
+                DataPoint(11, 3.0), DataPoint(0, 0.5)]
+        detector = AnomalyDetector(
+            SimpleThresholdStrategy(lower_bound=-0.5, upper_bound=1.0))
+        result = detector.detect_anomalies_in_history(data)
+        assert [(a.index, a.value) for a in result.anomalies] == \
+            [(10, -1.0), (11, 3.0), (25, 2.0)]
+
+    def test_is_new_point_anomalous(self):
+        """AnomalyDetector.scala:38-64 — history guard + windowed check of
+        only the new point."""
+        from deequ_spark import (AnomalyDetector, DataPoint,
+                                 SimpleThresholdStrategy)
+        detector = AnomalyDetector(
+            SimpleThresholdStrategy(lower_bound=-0.5, upper_bound=1.0))
+        history = [DataPoint(0, 0.5), DataPoint(1, 0.9)]
+        hit = detector.is_new_point_anomalous(history, DataPoint(2, 5.0))
+        assert [(a.index, a.value) for a in hit.anomalies] == [(2, 5.0)]
+        ok = detector.is_new_point_anomalous(history, DataPoint(2, 0.1))
+        assert ok.anomalies == []
+        with pytest.raises(ValueError, match="in history range"):
+            detector.is_new_point_anomalous(history, DataPoint(1, 0.1))
+        with pytest.raises(ValueError, match="must not be empty"):
+            detector.is_new_point_anomalous([], DataPoint(2, 0.1))
