@@ -92,6 +92,21 @@ _MIN_TIME = -(2 ** 63)
 _MAX_TIME = 2 ** 63 - 1
 
 
+def extract_metric_value(metric) -> Optional[float]:
+    """Optional metric → optional value (parity: HistoryUtils.scala:44-46
+    — failed metrics read as missing observations)."""
+    if metric is None or not metric.is_success:
+        return None
+    return metric.value
+
+
+def extract_metric_values(dated_metrics) -> List[DataPoint]:
+    """Seq[(date, Option[Metric])] → Seq[DataPoint] (parity:
+    HistoryUtils.scala:33-35)."""
+    return [DataPoint(date, extract_metric_value(m))
+            for date, m in dated_metrics]
+
+
 class AnomalyDetectionStrategy:
     def detect(self, values: Sequence[float],
                search_interval: Optional[Tuple[int, int]] = None
@@ -382,7 +397,7 @@ class AnomalyCheck:
         strategy, analyzer, config = self.strategy, self.analyzer, self.config
 
         def assertion(current_value: float) -> bool:
-            history: List[float] = []
+            points: List[DataPoint] = []
             if repository is not None:
                 loader = repository.load()
                 if config.with_tag_values:
@@ -391,15 +406,24 @@ class AnomalyCheck:
                     loader = loader.after(config.after_date)
                 if config.before_date is not None:
                     loader = loader.before(config.before_date)
-                for _key, ctx in loader.get():
-                    for a, m in ctx.metric_map.items():
-                        if a == analyzer and m.is_success \
-                                and isinstance(m.value, (int, float)):
-                            history.append(float(m.value))
-            series = history + [current_value]
-            idx = len(series) - 1
-            anomalies = strategy.detect(series, (idx, idx + 1))
-            return len(anomalies) == 0
+                points = extract_metric_values(
+                    (key.dataset_date,
+                     next((m for a, m in ctx.metric_map.items()
+                           if a == analyzer), None))
+                    for key, ctx in loader.get())
+                points = [p for p in points
+                          if isinstance(p.metric_value, (int, float, type(None)))]
+            if not points:
+                # no usable history: only the point itself can flag (e.g.
+                # SimpleThresholdStrategy); change/normal strategies pass
+                anomalies = strategy.detect([current_value], (0, 1))
+                return len(anomalies) == 0
+            # reference isNewestPointNonAnomalous: history keyed and
+            # SORTED by ResultKey.dataSetDate, new point strictly after
+            new_time = max(p.time for p in points) + 1
+            result = AnomalyDetector(strategy).is_new_point_anomalous(
+                points, DataPoint(new_time, float(current_value)))
+            return len(result.anomalies) == 0
 
         from .constraints import AnalysisBasedConstraint
         check._cells.append({

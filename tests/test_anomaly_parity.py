@@ -397,3 +397,27 @@ class TestAnomalyDetectorTimeline:
             detector.is_new_point_anomalous(history, DataPoint(1, 0.1))
         with pytest.raises(ValueError, match="must not be empty"):
             detector.is_new_point_anomalous([], DataPoint(2, 0.1))
+
+
+class TestHistoryUtils:
+    """Transcribed from anomalydetection/HistoryUtilsTest.scala:26-47."""
+
+    def test_extract_metric_value(self):
+        from deequ_spark.anomaly import extract_metric_value
+        from deequ_spark.metrics import DoubleMetric, Entity
+        failed = DoubleMetric(Entity.COLUMN, "metric-name", "instance-name",
+                              None, ValueError("x"))
+        ok = DoubleMetric(Entity.COLUMN, "metric-name", "instance-name", 50.0)
+        assert extract_metric_value(None) is None
+        assert extract_metric_value(failed) is None
+        assert extract_metric_value(ok) == 50.0
+
+    def test_extract_metric_values(self):
+        from deequ_spark.anomaly import DataPoint, extract_metric_values
+        from deequ_spark.metrics import DoubleMetric, Entity
+        failed = DoubleMetric(Entity.COLUMN, "metric-name", "instance-name",
+                              None, ValueError("x"))
+        ok = DoubleMetric(Entity.COLUMN, "metric-name", "instance-name", 50.0)
+        out = extract_metric_values([(0, None), (1, failed), (2, ok)])
+        assert out == [DataPoint(0, None), DataPoint(1, None),
+                       DataPoint(2, 50.0)]
