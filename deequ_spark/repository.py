@@ -176,8 +176,49 @@ class MetricsRepositoryMultipleResultsLoader:
                 out.append((key, ctx))
         return sorted(out, key=lambda e: e[0].dataset_date)
 
+    def _simplified_rows(self):
+        """Flattened successful metrics joined with their ResultKey: one
+        column per tag seen across ANY key (null where a key lacks it),
+        plus dataset_date (parity:
+        MetricsRepositoryMultipleResultsLoader.scala
+        getSuccessMetricsAsDataFrame/Json and its test expectations)."""
+        entries = self.get()
+        tag_names = sorted({t for key, _ in entries for t in key.tag_dict})
+        rows = []
+        for key, ctx in entries:
+            tags = key.tag_dict
+            for analyzer, metric in ctx.metric_map.items():
+                where = getattr(analyzer, "where", None)
+                flattened = getattr(metric, "flattened", None)
+                for m in (flattened if flattened is not None else [metric]):
+                    if not m.is_success:
+                        continue
+                    name = (f"{m.name} (where: {where})"
+                            if where is not None else m.name)
+                    row = {"entity": m.entity.value, "instance": m.instance,
+                           "name": name, "value": float(m.value),
+                           "dataset_date": key.dataset_date}
+                    for t in tag_names:
+                        row[t] = tags.get(t)
+                    rows.append(row)
+        return rows, tag_names
+
+    def get_success_metrics_as_dataframe(self, spark) -> "Any":
+        from pyspark.sql import types as T
+        rows, tag_names = self._simplified_rows()
+        schema = T.StructType(
+            [T.StructField("entity", T.StringType()),
+             T.StructField("instance", T.StringType()),
+             T.StructField("name", T.StringType()),
+             T.StructField("value", T.DoubleType()),
+             T.StructField("dataset_date", T.LongType())]
+            + [T.StructField(t, T.StringType()) for t in tag_names])
+        return spark.createDataFrame(
+            [tuple(r[f.name] for f in schema.fields) for r in rows], schema)
+
     def get_success_metrics_as_json(self) -> str:
-        return json.dumps([serialize_context(k, c) for k, c in self.get()])
+        rows, _ = self._simplified_rows()
+        return json.dumps(rows)
 
 
 class MetricsRepository:

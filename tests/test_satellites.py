@@ -971,3 +971,89 @@ class TestProfilerRunnerReferenceParity:
                     .with_kll_profiling().run())
         assert all(with_kll[c].kll is not None
                    for c in ("att1", "att2", "att3"))
+
+
+class TestMultipleResultsLoaderReferenceParity:
+    """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/
+    repository/MetricsRepositoryMultipleResultsLoaderTest.scala (line refs
+    per test) over the getDfFull fixture."""
+
+    DATE_ONE = 123
+    DATE_TWO = 987
+
+    @pytest.fixture(scope="class")
+    def repo_and_results(self, spark):
+        from deequ_spark import (Completeness, Distinctness,
+                                 InMemoryMetricsRepository, Size,
+                                 Uniqueness, do_analysis_run)
+        df = spark.createDataFrame(
+            [("1", "a", "c"), ("2", "a", "c"), ("3", "a", "c"),
+             ("4", "b", "d")], "item string, att1 string, att2 string")
+        results = do_analysis_run(df, [
+            Size(), Distinctness(("item",)), Completeness("att1"),
+            Uniqueness(("att1", "att2"))])
+        return InMemoryMetricsRepository(), results
+
+    def test_dataframe_with_tag_columns(self, spark, repo_and_results):
+        """:42-71 — rows carry dataset_date + a column per tag."""
+        from deequ_spark import ResultKey
+        repo, results = repo_and_results
+        repo.save(ResultKey(self.DATE_ONE, {"region": "EU"}), results)
+        repo.save(ResultKey(self.DATE_TWO, {"region": "NA"}), results)
+        got = {tuple(r) for r in
+               repo.load().get_success_metrics_as_dataframe(spark).collect()}
+        expected = set()
+        for date, region in ((self.DATE_ONE, "EU"), (self.DATE_TWO, "NA")):
+            expected |= {
+                ("Dataset", "*", "Size", 4.0, date, region),
+                ("Column", "item", "Distinctness", 1.0, date, region),
+                ("Column", "att1", "Completeness", 1.0, date, region),
+                ("Multicolumn", "att1,att2", "Uniqueness", 0.25, date,
+                 region)}
+        assert got == expected
+
+    def test_json_rows(self, repo_and_results):
+        """:74-107."""
+        import json
+        from deequ_spark import ResultKey
+        repo, results = repo_and_results
+        repo.save(ResultKey(self.DATE_ONE, {"region": "EU"}), results)
+        rows = json.loads(repo.load().get_success_metrics_as_json())
+        assert {(r["entity"], r["name"], r["value"], r["region"],
+                 r["dataset_date"]) for r in rows} >= {
+            ("Dataset", "Size", 4.0, "EU", self.DATE_ONE),
+            ("Multicolumn", "Uniqueness", 0.25, "EU", self.DATE_ONE)}
+
+    def test_after_before_conjunction_empty(self, spark, repo_and_results):
+        """:110-145 — after(DATE_TWO).before(DATE_ONE) is an empty set."""
+        from deequ_spark import ResultKey
+        repo, results = repo_and_results
+        repo.save(ResultKey(self.DATE_ONE, {"region": "EU"}), results)
+        repo.save(ResultKey(self.DATE_TWO, {"region": "NA"}), results)
+        df = (repo.load().after(self.DATE_TWO).before(self.DATE_ONE)
+              .get_success_metrics_as_dataframe(spark))
+        assert df.count() == 0
+
+    def test_disjoint_tag_sets_null_fill(self, spark, repo_and_results):
+        """:150-196 — keys with DIFFERENT tags union their tag columns,
+        null where a key lacks the tag."""
+        from deequ_spark import ResultKey
+        repo, results = repo_and_results
+        repo.save(ResultKey(self.DATE_ONE,
+                            {"region": "EU", "dataset_name": "Some"}),
+                  results)
+        repo.save(ResultKey(self.DATE_TWO,
+                            {"region": "NA", "dataset_version": "2.0"}),
+                  results)
+        df = repo.load().get_success_metrics_as_dataframe(spark)
+        assert set(df.columns) == {"entity", "instance", "name", "value",
+                                   "dataset_date", "region",
+                                   "dataset_name", "dataset_version"}
+        by_date = {r["dataset_date"]: r for r in df.collect()
+                   if r["name"] == "Size"}
+        eu = by_date[self.DATE_ONE]
+        assert (eu["region"], eu["dataset_name"],
+                eu["dataset_version"]) == ("EU", "Some", None)
+        na = by_date[self.DATE_TWO]
+        assert (na["region"], na["dataset_name"],
+                na["dataset_version"]) == ("NA", None, "2.0")
