@@ -455,6 +455,87 @@ NUMERICAL_RULES: List[SuggestionRule] = [
 EXTENDED_RULES: List[SuggestionRule] = DEFAULT_RULES + STRING_RULES + NUMERICAL_RULES
 
 
+# exact reference wording per rule (rules/*.scala ruleDescription)
+RULE_DESCRIPTIONS = {
+    "CategoricalRangeRule": "If we see a categorical range for a column, "
+        "we suggest an IS IN (...) constraint",
+    "CompleteIfCompleteRule": "If a column is complete in the sample, "
+        "we suggest a NOT NULL constraint",
+    "FractionalCategoricalRangeRule": "If we see a categorical range for "
+        "most values in a column, we suggest an IS IN (...) constraint "
+        "that should hold for most values",
+    "HasMax": "If we see a numeric column, we suggest a corresponding "
+        "Maximum value constraint",
+    "HasMaxLength": "If we see a string column, we suggest a corresponding "
+        "Maximum length constraint",
+    "HasMean": "If we see a numeric column, we suggest a corresponding "
+        "Mean value constraint",
+    "HasMin": "If we see a numeric column, we suggest a corresponding "
+        "Minimum value constraint",
+    "HasMinLength": "If we see a string column, we suggest a corresponding "
+        "Minimum length constraint",
+    "HasStandardDeviation": "If we see a numeric column, we suggest a "
+        "corresponding standard deviation value constraint",
+    "NonNegativeNumbersRule": "If we see only non-negative numbers in a "
+        "column, we suggest a corresponding constraint",
+    "RetainCompletenessRule": "If a column is incomplete in the sample, "
+        "we model its completeness as a binomial variable, estimate a "
+        "confidence interval and use this to define a lower bound for the "
+        "completeness",
+    "RetainTypeRule": "If we detect a non-string type, we suggest a "
+        "type constraint",
+    "UniqueIfApproximatelyUniqueRule": "If the ratio of approximate num "
+        "distinct values in a column is close to the number of records "
+        "(within the error of the HLL sketch), we suggest a UNIQUE "
+        "constraint",
+}
+
+
+def _suggestion_json_obj(s: ConstraintSuggestion) -> Dict[str, object]:
+    return {
+        "constraint_name": s.constraint_name,
+        "column_name": s.column_name,
+        "current_value": s.current_value,
+        "description": s.description,
+        "suggesting_rule": s.rule_name,
+        "rule_description": RULE_DESCRIPTIONS.get(s.rule_name, ""),
+        "code_for_constraint": s.code_for_constraint,
+    }
+
+
+def constraint_suggestions_to_json(
+        suggestions: Dict[str, List[ConstraintSuggestion]]) -> str:
+    """Parity: ConstraintSuggestion.scala:57-79 ConstraintSuggestions
+    .toJson — {"constraint_suggestions": [shared properties...]}."""
+    import json
+    flat = [s for col in suggestions.values() for s in col]
+    return json.dumps(
+        {"constraint_suggestions": [_suggestion_json_obj(s) for s in flat]},
+        indent=2)
+
+
+def evaluation_results_to_json(
+        suggestions: Dict[str, List[ConstraintSuggestion]],
+        verification_result) -> str:
+    """Parity: ConstraintSuggestion.scala:81-118 evaluationResultsToJson —
+    each suggestion zipped with its constraint's status on the test set
+    ("Unknown" when no result exists)."""
+    import json
+    flat = [s for col in suggestions.values() for s in col]
+    statuses: List[str] = []
+    if verification_result is not None and verification_result.check_results:
+        first = next(iter(verification_result.check_results.values()))
+        statuses = [r.status.value if hasattr(r.status, "value")
+                    else str(r.status) for r in first.constraint_results]
+    rows = []
+    for i, s in enumerate(flat):
+        obj = _suggestion_json_obj(s)
+        obj["constraint_result_on_test_set"] = (
+            statuses[i] if i < len(statuses) else "Unknown")
+        rows.append(obj)
+    return json.dumps({"constraint_suggestions": rows}, indent=2)
+
+
 class ConstraintSuggestionRunner:
     def on_data(self, data: DataFrame) -> "ConstraintSuggestionRunBuilder":
         return ConstraintSuggestionRunBuilder(data)
@@ -466,6 +547,13 @@ class ConstraintSuggestionRunBuilder:
         self._rules: List[SuggestionRule] = []
         self._columns: Optional[List[str]] = None
         self._train_test_ratio: Optional[float] = None
+        self._repository = None
+        self._reuse_key = None
+        self._fail_if_results_missing = False
+        self._save_key = None
+        self._suggestions_json_path: Optional[str] = None
+        self._profiles_json_path: Optional[str] = None
+        self._evaluation_json_path: Optional[str] = None
 
     def add_constraint_rules(self, rules: List[SuggestionRule]):
         self._rules.extend(rules)
@@ -481,6 +569,38 @@ class ConstraintSuggestionRunBuilder:
         self._seed = seed
         return self
 
+    def use_repository(self, repository):
+        """Parity: ConstraintSuggestionRunBuilder.useRepository."""
+        self._repository = repository
+        return self
+
+    def reuse_existing_results_for_key(self, key,
+                                       fail_if_results_missing: bool = False):
+        """Parity: reuseExistingResultsForKey
+        (ConstraintSuggestionRunnerTest.scala:41-84)."""
+        self._reuse_key = key
+        self._fail_if_results_missing = fail_if_results_missing
+        return self
+
+    def save_or_append_result(self, key):
+        """Parity: saveOrAppendResult — the profiling passes' analyzer
+        metrics land in the repository for other runners
+        (ConstraintSuggestionRunnerTest.scala:86-137)."""
+        self._save_key = key
+        return self
+
+    def save_constraint_suggestions_json_to_path(self, path: str):
+        self._suggestions_json_path = path
+        return self
+
+    def save_column_profiles_json_to_path(self, path: str):
+        self._profiles_json_path = path
+        return self
+
+    def save_evaluation_results_json_to_path(self, path: str):
+        self._evaluation_json_path = path
+        return self
+
     def run(self) -> Dict[str, object]:
         """Returns {"suggestions": {column: [ConstraintSuggestion]},
         "verification_result": optional result on the held-out split}
@@ -494,8 +614,25 @@ class ConstraintSuggestionRunBuilder:
                 seed=getattr(self, "_seed", 42))
             data = train_df
 
-        num_records = data.count()
-        profiles = profile_columns(data, self._columns)
+        # numRecords comes from the Size analyzer run through the same
+        # repository plumbing — with reuse_existing_results_for_key a
+        # replayed run needs ZERO Spark jobs, like the reference
+        # (ConstraintSuggestionRunnerTest.scala:41-66 jobNumberReusing == 0)
+        from .analyzers.scan import Size
+        from .runners.analysis_runner import do_analysis_run
+        size_ctx = do_analysis_run(
+            data, [Size()],
+            metrics_repository=self._repository,
+            reuse_existing_results_for_key=self._reuse_key,
+            fail_if_results_missing=self._fail_if_results_missing,
+            save_or_append_results_with_key=self._save_key)
+        num_records = int(size_ctx.metric_map[Size()].value)
+        profiles = profile_columns(
+            data, self._columns,
+            metrics_repository=self._repository,
+            reuse_existing_results_for_key=self._reuse_key,
+            fail_if_results_missing=self._fail_if_results_missing,
+            save_or_append_results_with_key=self._save_key)
 
         suggestions: Dict[str, List[ConstraintSuggestion]] = {}
         for col, profile in profiles.items():
@@ -516,6 +653,18 @@ class ConstraintSuggestionRunBuilder:
                     check = s.apply(check)
             verification_result = (VerificationSuite().on_data(test_df)
                                    .add_check(check).run())
+
+        if self._suggestions_json_path is not None:
+            with open(self._suggestions_json_path, "w", encoding="utf-8") as f:
+                f.write(constraint_suggestions_to_json(suggestions))
+        if self._profiles_json_path is not None:
+            from .profiles import column_profiles_to_json
+            with open(self._profiles_json_path, "w", encoding="utf-8") as f:
+                f.write(column_profiles_to_json(profiles))
+        if self._evaluation_json_path is not None:
+            with open(self._evaluation_json_path, "w", encoding="utf-8") as f:
+                f.write(evaluation_results_to_json(suggestions,
+                                                   verification_result))
 
         return {"suggestions": suggestions,
                 "verification_result": verification_result}

@@ -1057,3 +1057,96 @@ class TestMultipleResultsLoaderReferenceParity:
         na = by_date[self.DATE_TWO]
         assert (na["region"], na["dataset_name"],
                 na["dataset_version"]) == ("NA", None, "2.0")
+
+
+class TestSuggestionRunnerReferenceParity:
+    """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/
+    suggestions/ConstraintSuggestionRunnerTest.scala (line refs per
+    test)."""
+
+    @pytest.fixture(scope="class")
+    def df_numeric_vals(self, spark):
+        rows = [("1", 1, 0, 0), ("2", 2, 0, 0), ("3", 3, 0, 0),
+                ("4", 4, 5, 4), ("5", 5, 6, 6), ("6", 6, 7, 7)]
+        return spark.createDataFrame(rows,
+                                     "item string, att1 int, att2 int, att3 int")
+
+    def test_save_and_reuse_suggestion_run(self, spark, df_numeric_vals):
+        """:41-84 — repository-saved metrics replay a suggestion run with
+        zero Spark jobs and identical suggestions."""
+        import uuid
+        from deequ_spark import (ConstraintSuggestionRunner,
+                                 InMemoryMetricsRepository, ResultKey)
+        repo = InMemoryMetricsRepository()
+        key = ResultKey.make(0, {})
+        first = (ConstraintSuggestionRunner().on_data(df_numeric_vals)
+                 .use_repository(repo).save_or_append_result(key).run())
+        group = f"sugg-reuse-{uuid.uuid4().hex[:8]}"
+        tracker = spark.sparkContext.statusTracker()
+        spark.sparkContext.setJobGroup(group, group)
+        try:
+            reused = (ConstraintSuggestionRunner().on_data(df_numeric_vals)
+                      .use_repository(repo)
+                      .reuse_existing_results_for_key(key).run())
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        # numRecords replays from the stored Size metric — zero jobs
+        # (ConstraintSuggestionRunnerTest.scala:63 jobNumberReusing == 0)
+        assert len(tracker.getJobIdsForGroup(group) or []) == 0
+        names = lambda out: {(c, s.rule_name)  # noqa: E731
+                             for c, ss in out["suggestions"].items()
+                             for s in ss}
+        assert names(reused) == names(first)
+
+    def test_saved_metrics_reusable_by_analysis_runner(self, df_numeric_vals):
+        """:86-113."""
+        from deequ_spark import (Completeness, ConstraintSuggestionRunner,
+                                 InMemoryMetricsRepository, ResultKey, Size,
+                                 do_analysis_run)
+        repo = InMemoryMetricsRepository()
+        key = ResultKey.make(0, {})
+        (ConstraintSuggestionRunner().on_data(df_numeric_vals)
+         .use_repository(repo).save_or_append_result(key).run())
+        ctx = do_analysis_run(df_numeric_vals, [Size(), Completeness("item")])
+        stored = repo.load_by_key(key).metric_map
+        for a, m in ctx.metric_map.items():
+            assert a in stored and stored[a].value == m.value
+
+    def test_suggestions_json_wire_shape(self, df_numeric_vals, tmp_path):
+        """ConstraintSuggestion.scala:57-79 + addSharedProperties:120-134:
+        the constraint_suggestions JSON document."""
+        import json
+        from deequ_spark import ConstraintSuggestionRunner
+        path = str(tmp_path / "suggestions.json")
+        (ConstraintSuggestionRunner().on_data(df_numeric_vals)
+         .save_constraint_suggestions_json_to_path(path).run())
+        with open(path, encoding="utf-8") as f:
+            doc = json.load(f)
+        rows = doc["constraint_suggestions"]
+        assert rows, "no suggestions emitted"
+        required = {"constraint_name", "column_name", "current_value",
+                    "description", "suggesting_rule", "rule_description",
+                    "code_for_constraint"}
+        assert all(required <= set(r) for r in rows)
+        complete = [r for r in rows
+                    if r["suggesting_rule"] == "CompleteIfCompleteRule"]
+        assert complete
+        assert complete[0]["rule_description"] == (
+            "If a column is complete in the sample, we suggest a NOT NULL "
+            "constraint")
+
+    def test_evaluation_results_json(self, df_numeric_vals, tmp_path):
+        """ConstraintSuggestion.scala:81-118 — every suggestion carries a
+        constraint_result_on_test_set."""
+        import json
+        from deequ_spark import ConstraintSuggestionRunner
+        path = str(tmp_path / "evaluation.json")
+        (ConstraintSuggestionRunner().on_data(df_numeric_vals)
+         .use_train_test_split_with_test_set_ratio(0.3)
+         .save_evaluation_results_json_to_path(path).run())
+        with open(path, encoding="utf-8") as f:
+            doc = json.load(f)
+        rows = doc["constraint_suggestions"]
+        assert rows
+        assert all(r["constraint_result_on_test_set"]
+                   in ("Success", "Failure", "Unknown") for r in rows)
