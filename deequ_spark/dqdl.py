@@ -220,6 +220,10 @@ class DQRule:
     parameters: List[str] = field(default_factory=list)
     condition: Optional[Condition] = None
     where: Optional[str] = None
+    # Glue `with threshold <cond>` (rule.getThresholdCondition in the
+    # reference's DQDL model) — asserts on the passing-row RATIO for
+    # row-level rules instead of requiring all rows to pass
+    threshold_condition: Optional[Condition] = None
 
     def describe(self) -> str:
         parts = [self.rule_type] + [f'"{p}"' for p in self.parameters]
@@ -227,6 +231,9 @@ class DQRule:
             parts.append(self.condition.describe())
         if self.where:
             parts.append(f'where "{self.where}"')
+        if self.threshold_condition:
+            parts.append(f"with threshold "
+                         f"{self.threshold_condition.describe()}")
         return " ".join(parts)
 
 
@@ -376,11 +383,24 @@ class _Parser:
         while self.peek() and self.peek()[0] == "string":
             rule.parameters.append(self._string())
         rule.condition = self.parse_condition()
-        # where clause
-        nxt = self.peek()
-        if nxt and nxt[0] == "word" and nxt[1].lower() == "where":
-            self.next()
-            rule.where = self._string()
+        # optional trailing clauses in any order: where "...", with
+        # threshold <cond> (CustomSqlRowLevelRule.scala:30-34,
+        # ColumnDataTypeRule.scala:168-171)
+        while True:
+            nxt = self.peek()
+            if nxt and nxt[0] == "word" and nxt[1].lower() == "where":
+                self.next()
+                rule.where = self._string()
+                continue
+            if nxt and nxt[0] == "word" and nxt[1].lower() == "with":
+                self.next()
+                self.expect("threshold")
+                rule.threshold_condition = self.parse_condition()
+                if rule.threshold_condition is None:
+                    raise DQDLParseError(
+                        "Expected a condition after 'with threshold'")
+                continue
+            break
         return rule
 
     def parse_condition(self) -> Optional[Condition]:
@@ -673,7 +693,12 @@ def _translate_into(check: Check, rule: DQRule) -> Check:
         ok = (f"(try_cast({col} AS {spark_type}) IS NOT NULL"
               f" OR {col} IS NULL)")
         pred = ok if cond.op == "=" else f"(NOT {ok} OR {col} IS NULL)"
-        check = check.satisfies(pred, rule.describe(), lambda v: v == 1.0)
+        # `with threshold` asserts the matching RATIO instead of 1.0
+        # (ColumnDataTypeRule.scala:168-175 getAssertion)
+        assertion = (rule.threshold_condition.assertion()
+                     if rule.threshold_condition is not None
+                     else (lambda v: v == 1.0))
+        check = check.satisfies(pred, rule.describe(), assertion)
     elif rt in _DATASET_RULE_TYPES:
         raise DQDLParseError(
             f"{rt} is dataset-level: it runs through "
@@ -772,10 +797,15 @@ def _execute_dataset_rule(df: DataFrame, rule: DQRule,
                 df, rule.parameters[0], "__dq_outcome")
             if error is not None:
                 return (rule.describe(), "Failed", error, {})
-            # all returned rows must pass (parity: CustomSqlRowLevelRule
-            # default assertion)
-            outcome = "Passed" if ratio == 1.0 else "Failed"
-            reason = None if ratio == 1.0 else \
+            # default: all returned rows must pass; `with threshold <cond>`
+            # asserts the passing-row ratio instead
+            # (CustomSqlRowLevelRule.scala:30-34)
+            if rule.threshold_condition is not None:
+                passed = rule.threshold_condition.assertion()(ratio)
+            else:
+                passed = ratio == 1.0
+            outcome = "Passed" if passed else "Failed"
+            reason = None if passed else \
                 f"Value: {ratio} does not meet the constraint requirement."
             return (rule.describe(), outcome, reason,
                     {"CustomSQL.Compliance": float(ratio)})

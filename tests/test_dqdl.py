@@ -815,3 +815,101 @@ class TestProcessRowsReferenceContract:
             df, 'Rules=[IsComplete "item", IsUnique "item", RowCount > 0]'
         )["rowLevelOutcomes"]
         assert rl.count() == df.count()
+
+
+class TestCustomSqlRowLevelSpec:
+    """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/
+    dqdl/CustomSqlRowLevelSpec.scala (line refs per test)."""
+
+    RULESET = ('Rules=[CustomSql "SELECT id, name FROM primary '
+               'WHERE name IS NOT NULL"]')
+
+    def _run(self, spark, rows, ruleset):
+        df = spark.createDataFrame(rows, "id string, name string")
+        return df, EvaluateDataQuality.process_rows(df, ruleset)
+
+    def _row_outcomes(self, res, df):
+        rl = res["rowLevelOutcomes"]
+        by_id = {r["id"]: r["DataQualityEvaluationResult"]
+                 for r in rl.collect()}
+        return [by_id[r["id"]] for r in df.orderBy("id").collect()]
+
+    def test_pass_when_all_rows_match(self, spark):
+        """:28-44."""
+        df, res = self._run(spark, [("1", "Alice"), ("2", "Bob"),
+                                    ("3", "Charlie")], self.RULESET)
+        assert res["ruleOutcomes"].collect()[0]["Outcome"] == "Passed"
+        assert self._row_outcomes(res, df) == ["Passed"] * 3
+
+    def test_fail_when_not_all_rows_match(self, spark):
+        """:46-64 — incl. the exact compliance metric key and value."""
+        df, res = self._run(spark, [("1", "Alice"), ("2", None),
+                                    ("3", "Charlie")], self.RULESET)
+        rule_row = res["ruleOutcomes"].collect()[0]
+        assert rule_row["Outcome"] == "Failed"
+        metrics = rule_row["EvaluatedMetrics"]
+        key = next(k for k in metrics if "CustomSQL.Compliance" in k)
+        assert abs(metrics[key] - 2.0 / 3.0) < 0.01
+        assert self._row_outcomes(res, df) == ["Passed", "Failed", "Passed"]
+
+    def test_threshold_pass(self, spark):
+        """:66-83 — with threshold > 0.5 passes at 2/3; per-row outcomes
+        stay row-accurate."""
+        ruleset = ('Rules=[CustomSql "SELECT id, name FROM primary '
+                   'WHERE name IS NOT NULL" with threshold > 0.5]')
+        df, res = self._run(spark, [("1", "Alice"), ("2", None),
+                                    ("3", "Charlie")], ruleset)
+        assert res["ruleOutcomes"].collect()[0]["Outcome"] == "Passed"
+        assert self._row_outcomes(res, df) == ["Passed", "Failed", "Passed"]
+
+    def test_threshold_fail(self, spark):
+        """:85-102 — with threshold > 0.9 fails at 2/3."""
+        ruleset = ('Rules=[CustomSql "SELECT id, name FROM primary '
+                   'WHERE name IS NOT NULL" with threshold > 0.9]')
+        df, res = self._run(spark, [("1", "Alice"), ("2", None),
+                                    ("3", "Charlie")], ruleset)
+        assert res["ruleOutcomes"].collect()[0]["Outcome"] == "Failed"
+        assert self._row_outcomes(res, df) == ["Passed", "Failed", "Passed"]
+
+    def test_scalar_custom_sql_still_deequ_path(self, spark):
+        """:104-114 — a CustomSql WITH a condition stays aggregate."""
+        df = spark.createDataFrame([("1", "Alice"), ("2", "Bob")],
+                                   "id string, name string")
+        out = EvaluateDataQuality.process(
+            df, 'Rules=[CustomSql "SELECT COUNT(*) FROM primary" > 0]')
+        assert out.collect()[0]["Outcome"] == "Passed"
+
+    def test_invalid_sql_fails_rule_and_rows(self, spark):
+        """:116-130."""
+        df, res = self._run(
+            spark, [("1", "Alice")],
+            'Rules=[CustomSql "SELECT nonexistent FROM primary"]')
+        assert res["ruleOutcomes"].collect()[0]["Outcome"] == "Failed"
+        rl = res["rowLevelOutcomes"].collect()
+        assert all(r["DataQualityEvaluationResult"] == "Failed" for r in rl)
+
+    def test_empty_dataframe_fails(self, spark):
+        """:152-161."""
+        df = spark.createDataFrame([], "id string, name string")
+        res = EvaluateDataQuality.process_rows(
+            df, 'Rules=[CustomSql "SELECT id, name FROM primary"]')
+        assert res["ruleOutcomes"].collect()[0]["Outcome"] == "Failed"
+
+
+class TestColumnDataTypeThreshold:
+    """ColumnDataTypeRule.scala:168-175 — `with threshold` asserts the
+    matching ratio instead of requiring every row to cast."""
+
+    def test_threshold_pass_and_fail(self, spark):
+        df = spark.createDataFrame(
+            [("1",), ("2",), ("x",), ("4",)], "v string")
+        out = EvaluateDataQuality.process(
+            df, 'Rules=[ColumnDataType "v" = "INTEGER" with threshold > 0.7]')
+        assert out.collect()[0]["Outcome"] == "Passed"   # 3/4 = 0.75
+        out2 = EvaluateDataQuality.process(
+            df, 'Rules=[ColumnDataType "v" = "INTEGER" with threshold > 0.8]')
+        assert out2.collect()[0]["Outcome"] == "Failed"
+        # without a threshold every row must cast
+        out3 = EvaluateDataQuality.process(
+            df, 'Rules=[ColumnDataType "v" = "INTEGER"]')
+        assert out3.collect()[0]["Outcome"] == "Failed"
