@@ -85,6 +85,14 @@ def _tokenize(text: str) -> List[Tuple[str, str]]:
 # ---------------------------------------------------------------------------
 
 @dataclass(frozen=True)
+class KeywordOperand:
+    """Glue DQDL special keyword inside an in-list: EMPTY (empty string)
+    or WHITESPACES_ONLY (parity: KeywordStringOperand,
+    ColumnValuesRuleSpec.scala:184-264). NULL is modeled as plain None."""
+    name: str  # "EMPTY" | "WHITESPACES_ONLY"
+
+
+@dataclass(frozen=True)
 class NowExpr:
     """Dynamic `now()` operand, optionally offset: `(now() - 3 days)`
     (Glue DQDL date expressions, EvaluateDataQualitySpec.scala:1993-2005).
@@ -174,21 +182,43 @@ class Condition:
             # isComplete constraint
             return f"({expr} > {lit(self.low)} AND {expr} < {lit(self.high)})"
         if self.kind == "in":
-            non_null = [v for v in self.values if v is not None]
-            has_null = len(non_null) < len(self.values)
-            items = ", ".join(lit(v) for v in non_null)
+            # exact mirror of the reference's constructComplianceCondition
+            # (ColumnValuesRule.scala:237-270) + the numeric IN/NOT_IN
+            # null-handling grid (:147-163): positive terms OR-join,
+            # negated terms AND-join; listed values only match non-NULL
+            # rows explicitly
+            plain = [v for v in self.values
+                     if v is not None and not isinstance(v, KeywordOperand)]
+            has_null = any(v is None for v in self.values)
+            keywords = {v.name for v in self.values
+                        if isinstance(v, KeywordOperand)}
+            items = ", ".join(lit(v) for v in plain)
+            conds = []
             if self.negated:
-                # NULLs PASS not-in (ColumnValuesRuleSpec.scala:116-126
-                # "error_code IS NULL OR error_code NOT IN (500.0, 503.0)")
-                # — unless NULL is itself listed, in which case NULL fails
-                base = f"{expr} NOT IN ({items})" if non_null else "TRUE"
                 if has_null:
-                    return f"({expr} IS NOT NULL AND {base})"
-                return f"({expr} IS NULL OR {base})"
-            base = f"{expr} IN ({items})" if non_null else "FALSE"
+                    conds.append(f"{expr} IS NOT NULL")
+                if "EMPTY" in keywords:
+                    conds.append(f"{expr} != ''")
+                if "WHITESPACES_ONLY" in keywords:
+                    conds.append(f"(LENGTH(TRIM({expr})) > 0"
+                                 f" OR LENGTH({expr}) = 0)")
+                if plain:
+                    conds.append(f"({expr} IS NULL"
+                                 f" OR {expr} NOT IN ({items}))")
+                return ("(" + " AND ".join(conds) + ")") if conds else "TRUE"
             if has_null:
-                base = f"({base} OR {expr} IS NULL)"
-            return base
+                conds.append(f"{expr} IS NULL")
+            if "EMPTY" in keywords:
+                conds.append(f"{expr} = ''")
+            if "WHITESPACES_ONLY" in keywords:
+                conds.append(f"(LENGTH(TRIM({expr})) = 0"
+                             f" AND LENGTH({expr}) > 0)")
+            if plain:
+                conds.append(f"({expr} IS NOT NULL"
+                             f" AND {expr} IN ({items}))")
+            if not conds:
+                return "FALSE"
+            return conds[0] if len(conds) == 1 else "(" + " OR ".join(conds) + ")"
         if self.kind == "matches":
             pattern = str(self.value).replace("'", "''")
             return f"{expr} RLIKE '{pattern}'"
@@ -196,6 +226,8 @@ class Condition:
 
     def describe(self) -> str:
         def fmt(v):
+            if isinstance(v, KeywordOperand):
+                return v.name
             if isinstance(v, float):
                 return f"{v:g}"
             if isinstance(v, str):
@@ -297,6 +329,8 @@ class _Parser:
             return float(val)
         if kind == "word" and val.upper() == "NULL":
             return None
+        if kind == "word" and val.upper() in ("EMPTY", "WHITESPACES_ONLY"):
+            return KeywordOperand(val.upper())
         raise DQDLParseError(f"Expected literal, got {val!r}")
 
     def _operand(self) -> Any:

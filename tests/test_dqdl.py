@@ -913,3 +913,73 @@ class TestColumnDataTypeThreshold:
         out3 = EvaluateDataQuality.process(
             df, 'Rules=[ColumnDataType "v" = "INTEGER"]')
         assert out3.collect()[0]["Outcome"] == "Failed"
+
+
+class TestColumnValuesKeywordOperands:
+    """Glue keyword operands inside ColumnValues in-lists (transcribed
+    from ColumnValuesRuleSpec.scala:168-264): NULL / EMPTY /
+    WHITESPACES_ONLY with exact predicate semantics."""
+
+    @pytest.fixture(scope="class")
+    def df_kw(self, spark):
+        rows = [("1", "x"), ("2", ""), ("3", "  "), ("4", None)]
+        return spark.createDataFrame(rows, "id string, v string")
+
+    def _row_map(self, df, ruleset):
+        rl = EvaluateDataQuality.process_rows(df, ruleset)["rowLevelOutcomes"]
+        return {r["id"]: r["DataQualityEvaluationResult"]
+                for r in rl.collect()}
+
+    def test_in_null_keyword(self, df_kw):
+        """:168-183 — in [NULL] passes exactly the NULL rows."""
+        got = self._row_map(df_kw, 'Rules=[ColumnValues "v" in [NULL]]')
+        assert got == {"1": "Failed", "2": "Failed", "3": "Failed",
+                       "4": "Passed"}
+
+    def test_in_empty_keyword(self, df_kw):
+        """:184-199 — in [EMPTY] means v = '' (bare predicate as the
+        reference emits it: a NULL row evaluates NULL and follows the
+        row-level NULL mapping, it is NOT explicitly failed)."""
+        got = self._row_map(df_kw, 'Rules=[ColumnValues "v" in [EMPTY]]')
+        assert got["1"] == "Failed" and got["2"] == "Passed"
+        assert got["3"] == "Failed"
+
+    def test_in_whitespaces_only_keyword(self, df_kw):
+        """:200-216 — whitespace-only but NOT empty."""
+        got = self._row_map(
+            df_kw, 'Rules=[ColumnValues "v" in [WHITESPACES_ONLY]]')
+        assert got["1"] == "Failed" and got["2"] == "Failed"
+        assert got["3"] == "Passed"
+
+    def test_plain_in_list_nulls_fail(self, df_kw):
+        """ColumnValuesRuleSpec.scala:101-113 — numeric/plain IN emits
+        `col IS NOT NULL AND col IN (...)`: NULL rows FAIL explicitly."""
+        got = self._row_map(df_kw, 'Rules=[ColumnValues "v" in ["x", ""]]')
+        assert got == {"1": "Passed", "2": "Passed", "3": "Failed",
+                       "4": "Failed"}
+
+    def test_not_in_null_keyword_nulls_fail(self, df_kw):
+        """:217-232 — not in [NULL] == IS NOT NULL."""
+        got = self._row_map(df_kw, 'Rules=[ColumnValues "v" not in [NULL]]')
+        assert got == {"1": "Passed", "2": "Passed", "3": "Passed",
+                       "4": "Failed"}
+
+    def test_not_in_empty_keyword(self, df_kw):
+        """:233-248 — not in [EMPTY]: NULLs pass (not listed)."""
+        got = self._row_map(df_kw, 'Rules=[ColumnValues "v" not in [EMPTY]]')
+        assert got == {"1": "Passed", "2": "Failed", "3": "Passed",
+                       "4": "Passed"}
+
+    def test_not_in_whitespaces_only(self, df_kw):
+        """:249-264."""
+        got = self._row_map(
+            df_kw, 'Rules=[ColumnValues "v" not in [WHITESPACES_ONLY]]')
+        assert got == {"1": "Passed", "2": "Passed", "3": "Failed",
+                       "4": "Passed"}
+
+    def test_mixed_keywords_and_literals(self, df_kw):
+        """in ["x", EMPTY, NULL] — literals + keywords compose as OR."""
+        got = self._row_map(
+            df_kw, 'Rules=[ColumnValues "v" in ["x", EMPTY, NULL]]')
+        assert got == {"1": "Passed", "2": "Passed", "3": "Failed",
+                       "4": "Passed"}
