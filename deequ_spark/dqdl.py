@@ -388,25 +388,42 @@ class _Parser:
         return DQRuleset(rules)
 
     def parse_rule(self):
-        # composite: (Rule) and (Rule) ...
+        # composite: (Rule) and (Rule) ... — ARBITRARILY NESTED, e.g.
+        # ((A) and (B)) or ((C) and (D))
+        # (EvaluateDataQualitySpec.scala:1625-1683 nested composite rules)
         if self.peek() and self.peek()[1] == "(":
-            members, operator = [], None
-            while True:
-                self.expect("(")
-                members.append(self.parse_simple_rule())
-                self.expect(")")
-                nxt = self.peek()
-                if nxt and nxt[0] == "word" and nxt[1].lower() in ("and", "or"):
-                    op = self.next()[1].lower()
-                    if operator and op != operator:
-                        raise DQDLParseError("mixed and/or without parens")
-                    operator = op
-                    continue
-                break
-            if len(members) == 1:
-                return members[0]
-            return DQCompositeRule(operator or "and", members)
+            return self._parse_composite_chain()
         return self.parse_simple_rule()
+
+    def _parse_composite_chain(self, depth: int = 0):
+        members, operator = [self._parse_term(depth)], None
+        while True:
+            nxt = self.peek()
+            if nxt and nxt[0] == "word" and nxt[1].lower() in ("and", "or"):
+                op = self.next()[1].lower()
+                if operator and op != operator:
+                    raise DQDLParseError("mixed and/or without parens")
+                operator = op
+                members.append(self._parse_term(depth))
+                continue
+            break
+        if len(members) == 1:
+            return members[0]
+        return DQCompositeRule(operator or "and", members)
+
+    MAX_COMPOSITE_DEPTH = 50   # stack-safety cap for hostile inputs
+
+    def _parse_term(self, depth: int = 0):
+        if depth > self.MAX_COMPOSITE_DEPTH:
+            raise DQDLParseError(
+                f"composite nesting deeper than {self.MAX_COMPOSITE_DEPTH}")
+        self.expect("(")
+        if self.peek() and self.peek()[1] == "(":
+            node = self._parse_composite_chain(depth + 1)
+        else:
+            node = self.parse_simple_rule()
+        self.expect(")")
+        return node
 
     def parse_simple_rule(self) -> DQRule:
         kind, rtype = self.next()
@@ -793,16 +810,20 @@ def to_checks(ruleset: DQRuleset,
     rule, not per constraint (IsPrimaryKey expands to several)."""
     checks = []
     for rule in ruleset.rules:
-        members = rule.rules if isinstance(rule, DQCompositeRule) else [rule]
-        operator = rule.operator if isinstance(rule, DQCompositeRule) else "and"
         check = Check(level, rule.describe())
-        spans = []
-        for member in members:
+
+        def build(node):
+            # returns an eval-tree node over constraint index spans —
+            # nested composites evaluate recursively
+            nonlocal check
+            if isinstance(node, DQCompositeRule):
+                return {"op": node.operator,
+                        "children": [build(m) for m in node.rules]}
             start = len(check._cells)  # noqa: SLF001
-            check = _translate_into(check, member)
-            spans.append((start, len(check._cells)))  # noqa: SLF001
-        check._dqdl_operator = operator  # noqa: SLF001
-        check._dqdl_member_spans = spans  # noqa: SLF001
+            check = _translate_into(check, node)
+            return {"span": (start, len(check._cells))}  # noqa: SLF001
+
+        check._dqdl_eval_tree = build(rule)  # noqa: SLF001
         checks.append(check)
     return checks
 
@@ -1115,12 +1136,18 @@ def _process_rows_impl(df: DataFrame, ruleset: str, level: CheckLevel,
 
 
 def _check_result_row(check, check_result) -> tuple:
-    op = getattr(check, "_dqdl_operator", "and")
     statuses = [cr.status.value == "Success"
                 for cr in check_result.constraint_results]
-    spans = getattr(check, "_dqdl_member_spans", [(0, len(statuses))])
-    member_ok = [all(statuses[s:e]) for s, e in spans]
-    passed = any(member_ok) if op == "or" else all(member_ok)
+
+    def ev(node):
+        if "span" in node:
+            s, e = node["span"]
+            return all(statuses[s:e])
+        vals = [ev(c) for c in node["children"]]
+        return any(vals) if node["op"] == "or" else all(vals)
+
+    tree = getattr(check, "_dqdl_eval_tree", None)
+    passed = ev(tree) if tree is not None else all(statuses)
     reasons = "; ".join(
         str(cr.message) for cr in check_result.constraint_results
         if cr.status.value != "Success" and cr.message)

@@ -983,3 +983,59 @@ class TestColumnValuesKeywordOperands:
             df_kw, 'Rules=[ColumnValues "v" in ["x", EMPTY, NULL]]')
         assert got == {"1": "Passed", "2": "Passed", "3": "Failed",
                        "4": "Passed"}
+
+
+class TestNestedCompositeRules:
+    """Transcribed from EvaluateDataQualitySpec.scala:1602-1683 —
+    arbitrarily nested and/or composites. Fixture:
+    FixtureSupport getDfWithNumericValues (4 columns)."""
+
+    @pytest.fixture(scope="class")
+    def df_numeric_values(self, spark):
+        rows = [("1", 1, 0, 0), ("2", 2, 0, 0), ("3", 3, 0, 0),
+                ("4", 4, 5, 4), ("5", 5, 6, 6), ("6", 6, 7, 7)]
+        return spark.createDataFrame(
+            rows, "item string, att1 int, att2 int, att3 int")
+
+    def _outcome(self, df, ruleset):
+        row = EvaluateDataQuality.process(df, ruleset).collect()[0]
+        return row["Outcome"], row
+
+    def test_nested_or_of_and(self, df_numeric_values):
+        """:1625-1634."""
+        out, _ = self._outcome(
+            df_numeric_values,
+            'Rules=[(RowCount > 0) or '
+            '((IsComplete "att2") and (IsUnique "att2"))]')
+        assert out == "Passed"
+
+    def test_complex_nested(self, df_numeric_values):
+        """:1673-1683."""
+        out, _ = self._outcome(
+            df_numeric_values,
+            'Rules=[((RowCount > 0) and (ColumnCount = 4)) or '
+            '((Mean "att2" > 0) and (Sum "att3" > 0))]')
+        assert out == "Passed"
+
+    def test_nested_all_branches_fail(self, df_numeric_values):
+        out, _ = self._outcome(
+            df_numeric_values,
+            'Rules=[((RowCount < 0) and (ColumnCount = 4)) or '
+            '((Mean "att2" > 100) and (Sum "att3" > 0))]')
+        assert out == "Failed"
+
+    def test_and_failure_has_reason_and_metrics(self, df_numeric_values):
+        """:1636-1671 — failed composite carries a FailureReason; metrics
+        collected from ALL nested rules."""
+        out, row = self._outcome(
+            df_numeric_values,
+            'Rules=[(Mean "att2" > 100) and (Sum "att3" > 100)]')
+        assert out == "Failed"
+        assert row["FailureReason"]
+        out2, row2 = self._outcome(
+            df_numeric_values,
+            'Rules=[(Mean "att2" > 0) and (Sum "att3" > 0)]')
+        assert out2 == "Passed"
+        metrics = row2["EvaluatedMetrics"]
+        assert any("Mean" in k and "att2" in k for k in metrics)
+        assert any("Sum" in k and "att3" in k for k in metrics)

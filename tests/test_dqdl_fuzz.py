@@ -110,10 +110,16 @@ def test_wide_composite_chain_no_hang():
 
 
 def test_deep_bracket_nesting_rejected_cleanly():
-    for depth in (10, 1000):
-        with pytest.raises(DQDLParseError):
-            parse("Rules = [ " + "(" * depth + 'IsComplete "a"'
-                  + ")" * depth + " ]")
+    # moderate nesting is now LEGAL (nested composites,
+    # EvaluateDataQualitySpec.scala:1625-1683)...
+    rule = parse("Rules = [ " + "(" * 10 + 'IsComplete "a"'
+                 + ")" * 10 + " ]").rules[0]
+    assert rule.rule_type == "IsComplete"
+    # ...but hostile depth still fails with a clean parse error, never a
+    # RecursionError
+    with pytest.raises(DQDLParseError, match="nesting deeper"):
+        parse("Rules = [ " + "(" * 1000 + 'IsComplete "a"'
+              + ")" * 1000 + " ]")
 
 
 def test_mixed_and_or_without_parens_rejected():
