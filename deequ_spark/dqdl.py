@@ -554,19 +554,38 @@ class ColumnNamesMatchPattern:
     def columns_referenced(self):
         return []
 
+    def compile(self):
+        """Invalid regexes raise out of the run like the reference's
+        IllegalArgumentException
+        (ColumnNamesMatchPatternExecutor.scala:32-35)."""
+        try:
+            return re.compile(self.pattern)
+        except re.error as exc:
+            raise ValueError(
+                f"Invalid regex pattern '{self.pattern}' for "
+                f"ColumnNamesMatchPattern rule") from exc
+
+    def unmatched_columns(self, df: DataFrame):
+        rx = self.compile()
+        # SEARCH semantics (findAllMatchIn), not full match
+        # (ColumnNamesMatchPatternExecutor.scala:38)
+        return [n for n in df.columns if rx.search(n) is None]
+
     def compute_state_from(self, df: DataFrame):
         from .analyzers.base import NumMatchesAndCount
-        rx = re.compile(self.pattern)
         names = [f.name for f in df.schema.fields]
-        matching = sum(1 for n in names if rx.fullmatch(n))
+        matching = len(names) - len(self.unmatched_columns(df))
         return NumMatchesAndCount(matching, len(names))
 
     def compute_metric_from_state(self, state):
         from .metrics import DoubleMetric, Entity
-        if state is None or state.count == 0:
-            return self.to_failure_metric(ValueError("no columns"))
-        return DoubleMetric(Entity.DATASET, self.name, self.instance,
-                            state.num_matches / state.count)
+        if state is None:
+            return self.to_failure_metric(ValueError("no state"))
+        # zero columns → NaN ratio with a PASSED outcome downstream
+        # (ColumnNamesMatchPatternExecutor.scala:39-46, spec :1587-1601)
+        value = (float("nan") if state.count == 0
+                 else state.num_matches / state.count)
+        return DoubleMetric(Entity.DATASET, self.name, self.instance, value)
 
     def to_failure_metric(self, exc: BaseException):
         from .metrics import Entity, metric_from_failure
@@ -719,11 +738,16 @@ def _translate_into(check: Check, rule: DQRule) -> Check:
             raise DQDLParseError("CustomSql requires a condition")
         check = check.custom_sql(rule.parameters[0], cond.assertion())
     elif rt == "ColumnNamesMatchPattern":
+        import math as _math
         from .constraints import AnalysisBasedConstraint
         analyzer = ColumnNamesMatchPattern(rule.parameters[0])
+        analyzer.compile()   # invalid regex raises BEFORE any Spark work
+        # zero-column frames yield a NaN ratio and PASS (no unmatched
+        # columns exist, ColumnNamesMatchPatternExecutor.scala:39-46)
         check._cells.append({  # noqa: SLF001
             "factory": lambda w: AnalysisBasedConstraint(
-                analyzer, lambda ratio: ratio == 1.0),
+                analyzer,
+                lambda ratio: _math.isnan(ratio) or ratio == 1.0),
             "where": None, "filterable": False})
     elif rt == "ColumnDataType":
         if cond is None or cond.kind != "cmp" or cond.op not in ("=", "!=") \
@@ -814,14 +838,18 @@ def to_checks(ruleset: DQRuleset,
 
         def build(node):
             # returns an eval-tree node over constraint index spans —
-            # nested composites evaluate recursively
+            # nested composites evaluate recursively; leaves carry their
+            # rule type + params so EvaluatedMetrics keys can use the
+            # DQDL metric vocabulary
             nonlocal check
             if isinstance(node, DQCompositeRule):
                 return {"op": node.operator,
                         "children": [build(m) for m in node.rules]}
             start = len(check._cells)  # noqa: SLF001
             check = _translate_into(check, node)
-            return {"span": (start, len(check._cells))}  # noqa: SLF001
+            return {"span": (start, len(check._cells)),  # noqa: SLF001
+                    "rule_type": node.rule_type,
+                    "params": list(node.parameters)}
 
         check._dqdl_eval_tree = build(rule)  # noqa: SLF001
         checks.append(check)
@@ -875,8 +903,8 @@ def _execute_dataset_rule(df: DataFrame, rule: DQRule,
                 return df
             if not additional_datasets or alias not in additional_datasets:
                 raise DQDLParseError(
-                    f"unknown dataset alias {alias!r}; pass it via "
-                    "additional_datasets")
+                    f"Dataset {alias!r} not found in additional data "
+                    "sources; pass it via additional_datasets")
             return additional_datasets[alias]
 
         if rt == "RowCountMatch":
@@ -1087,8 +1115,8 @@ def _process_rows_impl(df: DataFrame, ruleset: str, level: CheckLevel,
             return df
         if not additional_datasets or alias not in additional_datasets:
             raise DQDLParseError(
-                f"unknown dataset alias {alias!r}; pass it via "
-                "additional_datasets")
+                f"Dataset {alias!r} not found in additional data sources; "
+                "pass it via additional_datasets")
         return additional_datasets[alias]
 
     # row-level-capable dataset rules annotate via their join executors
@@ -1135,6 +1163,41 @@ def _process_rows_impl(df: DataFrame, ruleset: str, level: CheckLevel,
     return out
 
 
+# deequ metric name → Glue DQDL metric vocabulary
+# (DeequMetricMapping entries in dqdl/translation/rules/*.scala)
+_DQDL_METRIC_NAMES = {
+    "Size": "RowCount",
+    "MinLength": "MinimumLength",
+    "MaxLength": "MaximumLength",
+    "Correlation": "ColumnCorrelation",
+    "CountDistinct": "DistinctValuesCount",
+    "Histogram.bins": "DistinctValuesCount",
+}
+
+
+def _metric_key(cr, rule_type: Optional[str], params) -> str:
+    """EvaluatedMetrics key in the reference's 'Entity.instance.Name'
+    shape (ExecutableRule.scala evaluatedMetricName + the
+    DeequMetricMapping vocabulary)."""
+    m = cr.metric
+    entity, instance, name = m.entity.value, m.instance, m.name
+    if name == "Compliance":
+        # our Compliance instance is the rule description — the reference
+        # keys by the TARGET column with a rule-typed compliance name
+        if rule_type == "ColumnValues":
+            return f"Column.{params[0]}.ColumnValues.Compliance"
+        if rule_type == "ColumnLength":
+            return f"Column.{params[0]}.LengthCompliance"
+        if rule_type == "ColumnDataType":
+            return f"Column.{params[0]}.ColumnDataType.Compliance"
+        if rule_type == "CustomSql":
+            return "Dataset.*.CustomSQL"
+    if rule_type == "ColumnNamesMatchPattern":
+        return "Dataset.*.ColumnNamesPatternMatchRatio"
+    name = _DQDL_METRIC_NAMES.get(name, name)
+    return f"{entity}.{instance}.{name}"
+
+
 def _check_result_row(check, check_result) -> tuple:
     statuses = [cr.status.value == "Success"
                 for cr in check_result.constraint_results]
@@ -1148,13 +1211,30 @@ def _check_result_row(check, check_result) -> tuple:
 
     tree = getattr(check, "_dqdl_eval_tree", None)
     passed = ev(tree) if tree is not None else all(statuses)
+
+    # constraint index → owning simple rule (for DQDL metric naming)
+    rule_at: Dict[int, Tuple[Optional[str], list]] = {}
+
+    def index_leaves(node):
+        if node is None:
+            return
+        if "span" in node:
+            s, e = node["span"]
+            for i in range(s, e):
+                rule_at[i] = (node.get("rule_type"), node.get("params", []))
+        else:
+            for c in node["children"]:
+                index_leaves(c)
+
+    index_leaves(tree)
     reasons = "; ".join(
         str(cr.message) for cr in check_result.constraint_results
         if cr.status.value != "Success" and cr.message)
-    metrics = {f"{cr.metric.name}({cr.metric.instance})":
-               float(cr.metric.value)
-               for cr in check_result.constraint_results
-               if cr.metric is not None and cr.metric.is_success
-               and isinstance(cr.metric.value, (int, float))}
+    metrics = {}
+    for i, cr in enumerate(check_result.constraint_results):
+        if (cr.metric is not None and cr.metric.is_success
+                and isinstance(cr.metric.value, (int, float))):
+            rt, params = rule_at.get(i, (None, []))
+            metrics[_metric_key(cr, rt, params)] = float(cr.metric.value)
     return (check.description, "Passed" if passed else "Failed",
             reasons or None, metrics)

@@ -106,9 +106,12 @@ class TestExecution:
         assert all(v == "Failed" for v in _outcomes(out).values())
 
     def test_evaluated_metrics_exposed(self, df_full):
+        """Keys use the Glue DQDL vocabulary 'Entity.instance.Name'
+        (ExecutableRule.scala evaluatedMetricName: Size maps to
+        Dataset.*.RowCount)."""
         out = EvaluateDataQuality.process(df_full, 'Rules = [RowCount = 4]')
         row = out.collect()[0]
-        assert row["EvaluatedMetrics"] == {"Size(*)": 4.0}
+        assert row["EvaluatedMetrics"] == {"Dataset.*.RowCount": 4.0}
 
     def test_composite_or_multi_constraint_member(self, df_full):
         """IsPrimaryKey expands to several constraints; 'or' must evaluate
@@ -1039,3 +1042,87 @@ class TestNestedCompositeRules:
         metrics = row2["EvaluatedMetrics"]
         assert any("Mean" in k and "att2" in k for k in metrics)
         assert any("Sum" in k and "att3" in k for k in metrics)
+
+
+class TestEvaluatedMetricsVocabulary:
+    """EvaluatedMetrics keys use the reference's DQDL metric vocabulary
+    (DeequMetricMapping entries in dqdl/translation/rules/*.scala and
+    EvaluateDataQualitySpec expectations like 'Column.att2.Mean')."""
+
+    @pytest.fixture(scope="class")
+    def df_vocab(self, spark):
+        rows = [("1", 1, 0), ("2", 2, 5), ("3", 3, 6)]
+        return spark.createDataFrame(rows, "item string, att1 int, att2 int")
+
+    def _metrics(self, df, ruleset):
+        return EvaluateDataQuality.process(df, ruleset).collect()[0][
+            "EvaluatedMetrics"]
+
+    def test_mean_and_sum_keys(self, df_vocab):
+        m = self._metrics(df_vocab,
+                          'Rules=[(Mean "att1" > 0) and (Sum "att2" > 0)]')
+        assert m["Column.att1.Mean"] == 2.0
+        assert m["Column.att2.Sum"] == 11.0
+
+    def test_size_maps_to_rowcount(self, df_vocab):
+        assert self._metrics(df_vocab, "Rules=[RowCount > 0]") == \
+            {"Dataset.*.RowCount": 3.0}
+
+    def test_length_keys(self, df_vocab):
+        m = self._metrics(
+            df_vocab, 'Rules=[ColumnLength "item" between 0 and 5]')
+        assert "Column.item.LengthCompliance" in m
+
+    def test_column_values_compliance_key(self, df_vocab):
+        m = self._metrics(df_vocab, 'Rules=[ColumnValues "att1" > 0]')
+        assert "Column.att1.ColumnValues.Compliance" in m
+        assert m["Column.att1.ColumnValues.Compliance"] == 1.0
+
+    def test_correlation_key(self, df_vocab):
+        m = self._metrics(
+            df_vocab,
+            'Rules=[ColumnCorrelation "att1" "att2" between -1.1 and 1.1]')
+        assert any(k.endswith(".ColumnCorrelation") for k in m)
+
+
+class TestColumnNamesMatchPatternEdgeCases:
+    """EvaluateDataQualitySpec.scala:1574-1601 + the executor semantics
+    (ColumnNamesMatchPatternExecutor.scala:32-46)."""
+
+    def test_invalid_regex_raises(self, spark):
+        """:1574-1586 — an invalid pattern raises OUT of process with the
+        exact message, never a failure row."""
+        df = spark.createDataFrame([("a", "b")],
+                                   ["col_one", "col_two"])
+        with pytest.raises(ValueError, match="Invalid regex pattern"):
+            EvaluateDataQuality.process(
+                df, 'Rules = [ ColumnNamesMatchPattern "[invalid(" ]')
+
+    def test_empty_dataframe_passes_with_nan(self, spark):
+        """:1587-1601 — zero columns: Passed with a NaN ratio metric."""
+        import math
+        from pyspark.sql import types as T
+        df = spark.createDataFrame([], T.StructType([]))
+        row = EvaluateDataQuality.process(
+            df, 'Rules=[ColumnNamesMatchPattern "col_.*"]').collect()[0]
+        assert row["Outcome"] == "Passed"
+        assert math.isnan(
+            row["EvaluatedMetrics"]["Dataset.*.ColumnNamesPatternMatchRatio"])
+
+    def test_search_not_fullmatch(self, spark):
+        """Executor uses findAllMatchIn (SEARCH semantics): a pattern
+        matching a SUBSTRING of every name passes."""
+        df = spark.createDataFrame([("a", "b")],
+                                   ["prefix_col_one", "col_two_suffix"])
+        row = EvaluateDataQuality.process(
+            df, 'Rules=[ColumnNamesMatchPattern "col_"]').collect()[0]
+        assert row["Outcome"] == "Passed"
+
+    def test_missing_reference_failure_reason(self, spark):
+        """:1064-1076 — RowCountMatch against an unknown alias fails with
+        'not found in additional data sources'."""
+        df = spark.createDataFrame([("1", "a")], "id string, value string")
+        row = EvaluateDataQuality.process(
+            df, 'Rules=[RowCountMatch "missing" >= 0.5]').collect()[0]
+        assert row["Outcome"] == "Failed"
+        assert "not found in additional data sources" in row["FailureReason"]
