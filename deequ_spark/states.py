@@ -61,6 +61,7 @@ _SCALAR_STATES = {
     "DataTypeHistogram": S.DataTypeHistogram,
     "_RatioState": S._RatioState,
     "RangeState": S.RangeState,
+    "_QuantileState": S._QuantileState,
 }
 
 
@@ -71,9 +72,14 @@ class FileSystemStateProvider(StateProvider):
     parquet subdirectory written/read by Spark itself (stays distributed).
     """
 
-    def __init__(self, path: str, spark: Optional[SparkSession] = None):
+    def __init__(self, path: str, spark: Optional[SparkSession] = None,
+                 allow_overwrite: bool = False):
+        """``allow_overwrite`` mirrors HdfsStateProvider.allowOverwrite
+        (StateProviderTest.scala:134-176): by default a second persist of
+        the SAME analyzer fails with 'already exists'."""
         self.path = path
         self.spark = spark
+        self.allow_overwrite = allow_overwrite
         os.makedirs(path, exist_ok=True)
 
     def _file_for(self, analyzer: Analyzer) -> str:
@@ -94,6 +100,10 @@ class FileSystemStateProvider(StateProvider):
 
     def persist(self, analyzer: Analyzer, state: State) -> None:
         target = self._file_for(analyzer)
+        if not self.allow_overwrite and os.path.exists(target + ".json"):
+            raise FileExistsError(
+                f"State for {analyzer} already exists at {target}; pass "
+                "allow_overwrite=True to replace it")
         if isinstance(state, G.FrequenciesAndNumRows):
             state.frequencies.write.mode("overwrite").parquet(target + ".freq.parquet")
             with open(target + ".json", "w") as f:

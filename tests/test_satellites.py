@@ -1150,3 +1150,18 @@ class TestSuggestionRunnerReferenceParity:
         assert rows
         assert all(r["constraint_result_on_test_set"]
                    in ("Success", "Failure", "Unknown") for r in rows)
+
+
+class TestDatatypeSuggestion:
+    """Transcribed from DatatypeSuggestionTest.scala:29-41 — profiling an
+    all-empty-string column infers String (not Integral/Unknown), fixture
+    FixtureSupport.getEmptyColumnDataDf:31-42."""
+
+    def test_empty_string_column_infers_string(self, spark):
+        rows = [(i, "", "a" if i % 3 else "b",
+                 "f" if i % 2 == 0 else None) for i in range(6)]
+        df = spark.createDataFrame(rows,
+                                   "id int, att1 string, att2 string, att3 string")
+        p = profile_columns(df, ["att1"])["att1"]
+        assert p.is_data_type_inferred
+        assert p.data_type == DataTypeInstances.STRING

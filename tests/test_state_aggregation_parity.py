@@ -205,3 +205,87 @@ class TestIncrementalAnalysisParity:
                .aggregate_with(prior).run())
         assert ctx.metric_map[Size()].value == \
             initial.count() + delta.count()
+
+
+class TestStateProviderRestoreGrid:
+    """Transcribed from analyzers/StateProviderTest.scala:34-131 — for
+    every state-ful analyzer: persist its state through a provider, load
+    it back, and the metric computed FROM THE RESTORED STATE must equal a
+    direct computation. Runs the same grid over InMemory and FileSystem
+    providers."""
+
+    @pytest.fixture(scope="class")
+    def some_data(self, spark):
+        # StateProviderTest someData shape: item/att1/count/price
+        rows = [("1", "a", 17, 1.3), ("2", None, 12, 76.0),
+                ("3", "b", 15, 89.0), ("4", "b", 12, 12.7),
+                ("5", None, 1, 1.0), ("6", "a", 21, 78.0),
+                ("7", None, 12, 0.0)]
+        return spark.createDataFrame(
+            rows, "item string, att1 string, count int, price double")
+
+    def _grid(self):
+        from deequ_spark import (ApproxCountDistinct, DuplicateRowCount,
+                                 Kurtosis, MaxLength, MinLength,
+                                 PatternMatch)
+        from deequ_spark.analyzers.scan import (ColumnRange, DataType,
+                                                ExactQuantile,
+                                                InterquartileRange,
+                                                ZerosCount)
+        return [
+            Size(), ZerosCount("price"), Completeness("att1"),
+            Compliance("att1eq", "att1 = 'b'"),
+            PatternMatch("att1", r"[a-z]"),
+            Sum("price"), Mean("price"), Minimum("price"), Maximum("price"),
+            ColumnRange("price"), InterquartileRange("price"),
+            StandardDeviation("price"), Variance("price"),
+            Skewness("price"), Kurtosis("price"),
+            MaxLength("att1"), MinLength("att1"),
+            DataType("item"), ApproxCountDistinct("att1"),
+            Correlation("count", "price"),
+            Uniqueness(("att1",)), Uniqueness(("att1", "count")),
+            Entropy("att1"), DuplicateRowCount(("att1", "count")),
+            ExactQuantile("price", 0.5),
+        ]
+
+    def _assert_restores(self, provider, analyzers, data):
+        from deequ_spark import do_analysis_run
+        direct = do_analysis_run(data, analyzers)
+        for a in analyzers:
+            state = a.compute_state_from(data)
+            provider.persist(a, state)
+        for a in analyzers:
+            restored = provider.load(a)
+            assert restored is not None, str(a)
+            m = a.compute_metric_from_state(restored)
+            d = direct.metric_map[a]
+            assert m.is_success and d.is_success, str(a)
+            if isinstance(m.value, float) and isinstance(d.value, float):
+                assert m.value == pytest.approx(d.value, rel=1e-9), str(a)
+
+    def test_in_memory_restore(self, some_data):
+        from deequ_spark import InMemoryStateProvider
+        self._assert_restores(InMemoryStateProvider(), self._grid(),
+                              some_data)
+
+    def test_filesystem_restore(self, tmp_path, spark, some_data):
+        from deequ_spark import FileSystemStateProvider
+        provider = FileSystemStateProvider(str(tmp_path / "grid"), spark)
+        self._assert_restores(provider, self._grid(), some_data)
+
+    def test_filesystem_overwrite_guard(self, tmp_path, some_data):
+        """StateProviderTest.scala:134-176 — a second persist fails
+        unless allow_overwrite=True."""
+        from deequ_spark import FileSystemStateProvider
+        provider = FileSystemStateProvider(str(tmp_path / "guard"))
+        a = Mean("price")
+        state = a.compute_state_from(some_data)
+        provider.persist(a, state)
+        with pytest.raises(FileExistsError, match="already exists"):
+            provider.persist(a, state)
+        lax = FileSystemStateProvider(str(tmp_path / "lax"),
+                                      allow_overwrite=True)
+        lax.persist(a, state)
+        lax.persist(a, state)      # overwrite succeeds
+        m = a.compute_metric_from_state(lax.load(a))
+        assert m.value == pytest.approx(36.857142857142854)
