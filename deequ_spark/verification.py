@@ -290,6 +290,31 @@ class VerificationSuite:
         return VerificationRunBuilder(data)
 
     @staticmethod
-    def run_on_aggregated_states(schema_source, analyzers, state_loaders):
+    def run_on_aggregated_states(schema_source, analyzers=None,
+                                 state_loaders=(), checks=None,
+                                 metrics_repository=None,
+                                 save_or_append_results_with_key=None):
+        """Evaluate analyzers AND/OR whole checks purely from merged
+        partition states — no data scan (parity:
+        VerificationSuite.runOnAggregatedStates, the partitioned-table
+        pattern in PartitionedTableIntegrationTest.scala:39-110). Returns
+        a VerificationResult when checks are given, else the
+        AnalyzerContext."""
         from .runners.analysis_runner import run_on_aggregated_states
-        return run_on_aggregated_states(schema_source, analyzers, state_loaders)
+        checks = list(checks or [])
+        required = list(analyzers or [])
+        for check in checks:
+            required.extend(check.required_analyzers())
+        context = run_on_aggregated_states(schema_source, required,
+                                           state_loaders)
+        if metrics_repository is not None \
+                and save_or_append_results_with_key is not None:
+            metrics_repository.save(save_or_append_results_with_key, context)
+        if not checks:
+            return context
+        check_results = {c: c.evaluate(context.metric_map) for c in checks}
+        order = {CheckStatus.SUCCESS: 0, CheckStatus.WARNING: 1,
+                 CheckStatus.ERROR: 2}
+        status = max((r.status for r in check_results.values()),
+                     key=lambda s: order[s])
+        return VerificationResult(status, check_results, context)

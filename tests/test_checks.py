@@ -457,3 +457,63 @@ class TestVerificationAggregateWith:
         # without the prior states the same check fails
         alone = VerificationSuite().on_data(delta).add_check(check).run()
         assert alone.status == CheckStatus.ERROR
+
+
+class TestPartitionedTableIntegration:
+    """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/
+    analyzers/PartitionedTableIntegrationTest.scala — verify each
+    partition independently (saving states + per-partition metrics),
+    then verify the WHOLE table scan-free from the merged states."""
+
+    def test_partitioned_verification(self, spark, tmp_path):
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 FileSystemMetricsRepository,
+                                 InMemoryStateProvider, ResultKey, Size,
+                                 VerificationSuite)
+        check = (Check(CheckLevel.ERROR, "table checks")
+                 .is_complete("item")
+                 .is_complete("origin")
+                 .is_contained_in("marketplace", ["EU", "NA"])
+                 .is_non_negative("sales"))
+        part_a = spark.createDataFrame(
+            [("item1", "DE", 10, "EU"), ("item2", "FR", 20, "EU"),
+             ("item3", None, 5, "EU")],
+            "item string, origin string, sales int, marketplace string")
+        part_b = spark.createDataFrame(
+            [("item4", "US", 3, "NA"), ("item5", "US", 14, "NA")],
+            "item string, origin string, sales int, marketplace string")
+        repo = FileSystemMetricsRepository(str(tmp_path / "metrics.json"))
+        now = 1700000000
+        states = []
+        for name, data in (("partitionA", part_a), ("partitionB", part_b)):
+            provider = InMemoryStateProvider()
+            result = (VerificationSuite().on_data(data).add_check(check)
+                      .save_states_with(provider)
+                      .use_repository(repo)
+                      .save_or_append_result(
+                          ResultKey(now, {"target": name}))
+                      .run())
+            states.append(provider)
+            # partitionA has a null origin → is_complete("origin") fails
+            expected = (CheckStatus.ERROR if name == "partitionA"
+                        else CheckStatus.SUCCESS)
+            assert result.status == expected, name
+        table_key = ResultKey(now, {"target": "table"})
+        table_result = VerificationSuite.run_on_aggregated_states(
+            part_a, checks=[check], state_loaders=states,
+            metrics_repository=repo,
+            save_or_append_results_with_key=table_key)
+        # the union still carries the null origin
+        assert table_result.status == CheckStatus.ERROR
+        from deequ_spark import Completeness
+        stored = repo.load_by_key(table_key).metric_map
+        assert stored[Completeness("item")].value == 1.0
+        # merged completeness of origin = 4 present / 5 rows
+        assert stored[Completeness("origin")].value == pytest.approx(0.8)
+        by_constraint = {str(cr.constraint): cr.status.value
+                         for cr in table_result.check_results[check]
+                         .constraint_results}
+        assert any("origin" in k and v == "Failure"
+                   for k, v in by_constraint.items())
+        assert sum(1 for v in by_constraint.values()
+                   if v == "Success") == 3
