@@ -98,11 +98,13 @@ class VerificationResult:
         used_names = set(data.columns)
         for check, result in self.check_results.items():
             cond = None
+            per_constraint: List = []   # index-aligned row columns
             for cr in result.constraint_results:
                 constraint = cr.constraint
                 analyzer = getattr(constraint, "analyzer", None)
                 row_level = getattr(analyzer, "row_level_results", None)
                 if row_level is None:
+                    per_constraint.append(None)
                     continue
                 # A metric that failed for any reason other than
                 # where-filtered-everything (e.g. a precondition like
@@ -119,6 +121,7 @@ class VerificationResult:
                         and getattr(analyzer, "where", None) is not None))
                 if not usable:
                     if isinstance(analyzer, FrequencyBasedAnalyzer):
+                        per_constraint.append(None)
                         continue
                     col = F.lit(False)
                 else:
@@ -132,8 +135,34 @@ class VerificationResult:
                     # (min/max/length) apply the constraint's assertion
                     # per row.
                     col = row_level(getattr(constraint, "assertion", None))
+                per_constraint.append(col)
                 # three-valued AND, as the reference's metrics.reduce(_ and _)
                 cond = col if cond is None else (cond & col)
+            # DQDL composite checks carry an eval tree: the row outcome
+            # follows the rule's and/or structure per MEMBER rule, not a
+            # flat AND (EvaluateDataQualityRowLevelSpec.scala:275-345)
+            tree = getattr(check, "_dqdl_eval_tree", None)
+            if tree is not None and "children" in tree:
+                def row_tree(node):
+                    if "span" in node:
+                        s, e = node["span"]
+                        cols = [c for c in per_constraint[s:e]
+                                if c is not None]
+                        if not cols:
+                            return None
+                        acc = cols[0]
+                        for c in cols[1:]:
+                            acc = acc & c
+                        return acc
+                    parts = [row_tree(c) for c in node["children"]]
+                    parts = [p for p in parts if p is not None]
+                    if not parts:
+                        return None
+                    acc = parts[0]
+                    for p in parts[1:]:
+                        acc = (acc | p) if node["op"] == "or" else (acc & p)
+                    return acc
+                cond = row_tree(tree)
             if cond is not None:
                 # two checks sharing a description must not silently
                 # overwrite each other's outcome column — suffix an index

@@ -1126,3 +1126,54 @@ class TestColumnNamesMatchPatternEdgeCases:
             df, 'Rules=[RowCountMatch "missing" >= 0.5]').collect()[0]
         assert row["Outcome"] == "Failed"
         assert "not found in additional data sources" in row["FailureReason"]
+
+
+class TestRowLevelComposites:
+    """Transcribed from EvaluateDataQualityRowLevelSpec.scala:275-345 —
+    composite rules evaluate PER ROW following their and/or structure."""
+
+    def _outcomes(self, spark, rows, schema, ruleset):
+        df = spark.createDataFrame(rows, schema)
+        rl = EvaluateDataQuality.process_rows(df, ruleset)["rowLevelOutcomes"]
+        return [r["DataQualityEvaluationResult"] for r in rl.collect()]
+
+    def test_or_composite(self, spark):
+        """:275-292."""
+        got = self._outcomes(
+            spark, [("1", "a"), (None, "b"), ("3", None), (None, None)],
+            "id string, name string",
+            'Rules=[(IsComplete "id") or (IsComplete "name")]')
+        assert got == ["Passed", "Passed", "Passed", "Failed"]
+
+    def test_and_composite(self, spark):
+        """:294-311."""
+        got = self._outcomes(
+            spark, [("1", "a"), (None, "b"), ("3", None), (None, None)],
+            "id string, name string",
+            'Rules=[(IsComplete "id") and (IsComplete "name")]')
+        assert got == ["Passed", "Failed", "Failed", "Failed"]
+
+    def test_nested_composite(self, spark):
+        """:313-329."""
+        got = self._outcomes(
+            spark, [("1", "a", "x"), (None, "b", "y"), (None, None, "z")],
+            "id string, name string, code string",
+            'Rules=[(IsComplete "id") or '
+            '((IsComplete "name") and (IsComplete "code"))]')
+        assert got == ["Passed", "Passed", "Failed"]
+
+    def test_multiple_independent_composites(self, spark):
+        """:331-345 — overall row outcome fails if ANY rule fails."""
+        got = self._outcomes(
+            spark, [("1", "a"), (None, "b")], "id string, name string",
+            'Rules=[(IsComplete "id") or (IsComplete "name"), '
+            '(IsComplete "id") and (IsComplete "name")]')
+        assert got == ["Passed", "Failed"]
+
+    def test_null_values_in_composite(self, spark):
+        """:446-465 shape — OR rescues rows failing one member."""
+        got = self._outcomes(
+            spark, [("a", None), (None, "b"), (None, None)],
+            "x string, y string",
+            'Rules=[(IsComplete "x") or (IsComplete "y")]')
+        assert got == ["Passed", "Passed", "Failed"]
