@@ -234,7 +234,8 @@ class Condition:
                 return f'"{v}"'
             return str(v)
         if self.kind == "cmp":
-            return f"{self.op} {fmt(self.value)}"
+            base = f"{self.op} {fmt(self.value)}"
+            return f"{base} {self.unit}" if self.unit else base
         if self.kind == "between":
             neg = "not " if self.negated else ""
             return f"{neg}between {fmt(self.low)} and {fmt(self.high)}"
@@ -1057,8 +1058,14 @@ class EvaluateDataQuality:
         annotated = _process_rows_impl(df, ruleset, level,
                                        additional_datasets)
         rule_names = [r.describe() for r in parsed.rules]
-        row_level_cols = [n for n in rule_names if n in annotated.columns]
-        skip = [n for n in rule_names if n not in annotated.columns]
+        # DataFreshness is dataset-level in the reference executor — its
+        # row column (our richer internal surface) is demoted to SKIP
+        # (EvaluateDataQualityRowLevelSpec.scala:467-486)
+        no_row_level = {r.describe() for r in parsed.rules
+                        if getattr(r, "rule_type", None) == "DataFreshness"}
+        row_level_cols = [n for n in rule_names
+                          if n in annotated.columns and n not in no_row_level]
+        skip = [n for n in rule_names if n not in row_level_cols]
 
         def arr(pred):
             items = [F.when(pred(F.col(f"`{n}`")), F.lit(n)) for n in

@@ -1177,3 +1177,47 @@ class TestRowLevelComposites:
             "x string, y string",
             'Rules=[(IsComplete "x") or (IsComplete "y")]')
         assert got == ["Passed", "Passed", "Failed"]
+
+
+class TestRowLevelSpecEdges:
+    """EvaluateDataQualityRowLevelSpec.scala remaining edges."""
+
+    def test_data_freshness_is_skip(self, spark):
+        """:467-486 — DataFreshness has no row-level support: every row
+        lists it under DataQualityRulesSkip."""
+        import datetime
+        today = datetime.date.today()
+        df = spark.createDataFrame(
+            [("1", str(today - datetime.timedelta(days=1))),
+             ("2", str(today - datetime.timedelta(days=5))),
+             ("3", str(today))], "id string, date string")
+        rl = EvaluateDataQuality.process_rows(
+            df, 'Rules=[DataFreshness "date" <= 3 days]')["rowLevelOutcomes"]
+        for r in rl.collect():
+            assert 'DataFreshness "date" <= 3 days' in r["DataQualityRulesSkip"]
+
+    def test_is_complete_with_where(self, spark):
+        """:488-505 — out-of-scope rows pass (FilteredRowOutcome TRUE)."""
+        df = spark.createDataFrame(
+            [("1", "a", "active"), (None, "b", "active"),
+             ("3", "c", "inactive"), (None, "d", "inactive")],
+            "id string, name string, status string")
+        rl = EvaluateDataQuality.process_rows(
+            df, "Rules=[IsComplete \"id\" where \"status = 'active'\"]"
+        )["rowLevelOutcomes"]
+        got = [r["DataQualityEvaluationResult"] for r in rl.collect()]
+        assert got == ["Passed", "Failed", "Passed", "Passed"]
+
+    def test_referential_integrity_row_level(self, spark):
+        """:507-530 — RI rule passes at 2/3 >= 0.6 and preserves row
+        count in the row-level frame."""
+        prim = spark.createDataFrame(
+            [("CA", "California"), ("TX", "Texas"), ("ZZ", "Invalid")],
+            "code string, name string")
+        ref = spark.createDataFrame([("CA",), ("NY",), ("TX",)],
+                                    "state_code string")
+        res = EvaluateDataQuality.process_rows(
+            prim, 'Rules=[ReferentialIntegrity "code" "ref.state_code" >= 0.6]',
+            additional_datasets={"ref": ref})
+        assert res["ruleOutcomes"].collect()[0]["Outcome"] == "Passed"
+        assert res["rowLevelOutcomes"].count() == 3
