@@ -120,7 +120,10 @@ class HistogramMetric(Metric):
     @property
     def flattened(self):
         if not self.is_success:
-            return [DoubleMetric(Entity.COLUMN, self.name, self.instance, None, self.error)]
+            # failure flattens to ONE .bins metric carrying the error
+            # (MetricsTests.scala "flatten ... in case of an error")
+            return [DoubleMetric(Entity.COLUMN, f"{self.name}.bins",
+                                 self.instance, None, self.error)]
         out = [
             DoubleMetric(
                 Entity.COLUMN, f"{self.name}.bins", self.instance,

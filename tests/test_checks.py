@@ -517,3 +517,37 @@ class TestPartitionedTableIntegration:
                    for k, v in by_constraint.items())
         assert sum(1 for v in by_constraint.values()
                    if v == "Success") == 3
+
+
+class TestMetricFlattenParity:
+    """Transcribed from metrics/MetricsTests.scala:25-66."""
+
+    def test_double_metric_flattens_to_itself(self):
+        from deequ_spark.metrics import DoubleMetric, Entity
+        ok = DoubleMetric(Entity.COLUMN, "metric-name", "instance-name", 50.0)
+        assert ok.flattened == [ok]
+        bad = DoubleMetric(Entity.COLUMN, "metric-name", "instance-name",
+                           None, ValueError("x"))
+        assert bad.flattened == [bad]
+
+    def test_histogram_metric_flatten(self):
+        from deequ_spark.metrics import (Distribution, DistributionValue,
+                                         Entity, HistogramMetric)
+        dist = Distribution({"a": DistributionValue(6, 0.6),
+                             "b": DistributionValue(4, 0.4)}, 2)
+        metric = HistogramMetric(Entity.COLUMN, "Histogram",
+                                 "instance-name", dist)
+        got = {(m.name, m.value) for m in metric.flattened}
+        assert got == {("Histogram.bins", 2.0), ("Histogram.abs.a", 6.0),
+                       ("Histogram.abs.b", 4.0), ("Histogram.ratio.a", 0.6),
+                       ("Histogram.ratio.b", 0.4)}
+
+    def test_histogram_metric_flatten_error(self):
+        from deequ_spark.metrics import Entity, HistogramMetric
+        exc = ValueError("boom")
+        metric = HistogramMetric(Entity.COLUMN, "Histogram",
+                                 "instance-name", None, exc)
+        flat = metric.flattened
+        assert len(flat) == 1
+        assert flat[0].name == "Histogram.bins"
+        assert not flat[0].is_success and flat[0].error is exc
