@@ -221,6 +221,14 @@ class MetricsRepositoryMultipleResultsLoader:
         return json.dumps(rows)
 
 
+def _successful_only(context: AnalyzerContext) -> AnalyzerContext:
+    """Repositories persist only SUCCESSFUL metrics (parity:
+    FileSystemMetricsRepositoryTest.scala:67-92 'save should ignore
+    failed result metrics when saving')."""
+    return AnalyzerContext({a: m for a, m in context.metric_map.items()
+                            if m.is_success})
+
+
 class MetricsRepository:
     def save(self, key: ResultKey, context: AnalyzerContext) -> None:
         raise NotImplementedError
@@ -239,6 +247,7 @@ class InMemoryMetricsRepository(MetricsRepository):
         self._store: Dict[ResultKey, AnalyzerContext] = {}
 
     def save(self, key: ResultKey, context: AnalyzerContext) -> None:
+        context = _successful_only(context)
         existing = self._store.get(key)
         if existing is not None:
             context = existing + context
@@ -279,7 +288,7 @@ class FileSystemMetricsRepository(MetricsRepository):
     def save(self, key: ResultKey, context: AnalyzerContext) -> None:
         entries = self._read_all()
         serialized_key = {"dataSetDate": key.dataset_date, "tags": key.tag_dict}
-        merged = context
+        merged = _successful_only(context)
         kept = []
         for e in entries:
             if e["resultKey"] == serialized_key:
@@ -322,6 +331,7 @@ class SparkTableMetricsRepository(MetricsRepository):
         return self.spark.catalog.tableExists(self.table)
 
     def save(self, key: ResultKey, context: AnalyzerContext) -> None:
+        context = _successful_only(context)
         row = [(key.dataset_date, key.tag_dict,
                 json.dumps(serialize_context(key, context), default=str))]
         writer = (self.spark.createDataFrame(row, self.SCHEMA)

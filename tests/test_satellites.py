@@ -1165,3 +1165,43 @@ class TestDatatypeSuggestion:
         p = profile_columns(df, ["att1"])["att1"]
         assert p.is_data_type_inferred
         assert p.data_type == DataTypeInstances.STRING
+
+
+class TestRepositorySaveSemantics:
+    """FileSystemMetricsRepositoryTest.scala:67-92 and :216-235 — failed
+    metrics are dropped on save; for_analyzers([]) yields nothing."""
+
+    def _mixed_context(self):
+        from deequ_spark.metrics import DoubleMetric, Entity
+        from deequ_spark.runners.analysis_runner import AnalyzerContext
+        return AnalyzerContext({
+            Size(): DoubleMetric(Entity.DATASET, "Size", "*", 5.0),
+            Completeness("ColumnA"): DoubleMetric(
+                Entity.COLUMN, "Completeness", "ColumnA", None,
+                RuntimeError("error")),
+        })
+
+    def test_save_drops_failed_metrics_in_memory(self):
+        repo = InMemoryMetricsRepository()
+        key = ResultKey.make(123, {"region": "EU"})
+        repo.save(key, self._mixed_context())
+        loaded = repo.load_by_key(key).metric_map
+        assert Size() in loaded and loaded[Size()].value == 5.0
+        assert Completeness("ColumnA") not in loaded
+
+    def test_save_drops_failed_metrics_filesystem(self, tmp_path):
+        repo = FileSystemMetricsRepository(str(tmp_path / "m.json"))
+        key = ResultKey.make(123, {"region": "EU"})
+        repo.save(key, self._mixed_context())
+        loaded = repo.load_by_key(key).metric_map
+        assert Size() in loaded
+        assert Completeness("ColumnA") not in loaded
+
+    def test_for_analyzers_empty_yields_nothing(self, spark, df_numeric):
+        repo = InMemoryMetricsRepository()
+        key = ResultKey.make(123, {"region": "EU"})
+        repo.save(key, do_analysis_run(df_numeric,
+                                       [Size(), Completeness("att1")]))
+        df = (repo.load().for_analyzers([])
+              .get_success_metrics_as_dataframe(spark))
+        assert df.count() == 0
