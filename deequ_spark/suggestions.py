@@ -177,16 +177,16 @@ class RetainTypeRule(SuggestionRule):
 
     def candidate(self, profile, num_records):
         col, dtype = profile.column, profile.data_type
-        # Integral values are also valid Fractional values
-        target = (DataTypeInstances.FRACTIONAL
-                  if dtype == DataTypeInstances.INTEGRAL else dtype)
+        # suggest the DETECTED type (RetainTypeRule.scala:42-57) — an
+        # Integral→Fractional widening would FAIL when applied, since the
+        # Fractional regex rejects plain integers
         return ConstraintSuggestion(
             f"AnalysisBasedConstraint(DataType({col}))", col,
             f"DataType: {dtype.value}",
-            f"'{col}' has type {target.value}", self.name,
-            f'.has_data_type("{col}", DataTypeInstances.{target.name}, '
+            f"'{col}' has type {dtype.value}", self.name,
+            f'.has_data_type("{col}", DataTypeInstances.{dtype.name}, '
             f'lambda v: v == 1.0)',
-            lambda check: check.has_data_type(col, target, lambda v: v == 1.0))
+            lambda check: check.has_data_type(col, dtype, lambda v: v == 1.0))
 
 
 class CategoricalRangeRule(SuggestionRule):

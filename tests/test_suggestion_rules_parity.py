@@ -194,3 +194,27 @@ class TestRetainCompletenessCandidateBounds:
         interval = (WilsonScoreIntervalStrategy()
                     .calculate_target_confidence_interval(0.4, 100))
         assert interval.lower_bound == 0.3
+
+
+class TestRetainTypeSuggestsDetectedType:
+    """RetainTypeRule.scala:40-58 — the suggested type IS the detected
+    type, and the applied constraint must SUCCEED on the same data (an
+    Integral→Fractional widening fails: the Fractional regex rejects
+    plain integers)."""
+
+    def test_integral_column_suggests_integral_and_passes(self, spark):
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 ConstraintSuggestionRunner,
+                                 VerificationSuite)
+        df = spark.createDataFrame([(str(i),) for i in range(1, 7)],
+                                   "item string")
+        out = ConstraintSuggestionRunner().on_data(df).run()
+        retain = [s for ss in out["suggestions"].values() for s in ss
+                  if s.rule_name == "RetainTypeRule"]
+        assert retain, "RetainTypeRule did not fire"
+        s = retain[0]
+        assert "INTEGRAL" in s.code_for_constraint
+        assert "has type Integral" in s.description
+        check = s.apply(Check(CheckLevel.ERROR, "retain"))
+        result = VerificationSuite().on_data(df).add_check(check).run()
+        assert result.status == CheckStatus.SUCCESS
