@@ -189,7 +189,8 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
     array_cols = [c for c in cols if isinstance(schema[c], T.ArrayType)]
     aug = data
     for c in array_cols:
-        aug = aug.withColumn(f"__dq_size_{c}", F.size(F.col(c)))
+        aug = aug.withColumn(f"__dq_size_{c}",
+                             F.size(F.col(f"`{c}`")))
         profiles[c].numeric_elements = isinstance(
             schema[c].elementType, NUMERIC_TYPES)
     # Size rides the fused scan like the reference's pass 1
@@ -262,7 +263,9 @@ def profile_columns(data: DataFrame, columns: Optional[List[str]] = None,
                                       DataTypeInstances.FRACTIONAL)]
     casted = data
     for c in numeric_inferred:
-        casted = casted.withColumn(c, F.col(c).cast("double"))
+        # backtick-escape: a period in a column name must not parse
+        # as struct access (SuggestionAndVerificationIntegrationTest)
+        casted = casted.withColumn(c, F.col(f"`{c}`").cast("double"))
     numeric_cols = numeric_native + numeric_inferred
     if numeric_cols:
         deciles = tuple(i / 10 for i in range(1, 10))

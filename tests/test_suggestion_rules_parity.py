@@ -218,3 +218,49 @@ class TestRetainTypeSuggestsDetectedType:
         check = s.apply(Check(CheckLevel.ERROR, "retain"))
         result = VerificationSuite().on_data(df).add_check(check).run()
         assert result.status == CheckStatus.SUCCESS
+
+
+class TestSuggestionAndVerificationIntegration:
+    """Transcribed from SuggestionAndVerificationIntegrationTest.scala:
+    every suggested constraint must SUCCEED when verified against the
+    data it was suggested from — incl. a period in a column name
+    (FixtureSupport.getDfWithPeriodInName:427-436)."""
+
+    def _assert_all_suggestions_pass(self, spark, df):
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 ConstraintSuggestionRunner,
+                                 VerificationSuite)
+        from deequ_spark.suggestions import (DEFAULT_RULES,
+                                             UniqueIfApproximatelyUniqueRule)
+        # the reference test runs Rules.DEFAULT + the uniqueness rule —
+        # numeric-stat rules (HasMin etc.) are NOT in the self-verifying
+        # set (they bind to the UNCASTED column, both engines)
+        out = (ConstraintSuggestionRunner().on_data(df)
+               .add_constraint_rules(list(DEFAULT_RULES)
+                                     + [UniqueIfApproximatelyUniqueRule()])
+               .run())
+        check = Check(CheckLevel.ERROR, "group-1")
+        n = 0
+        for ss in out["suggestions"].values():
+            for s in ss:
+                check = s.apply(check)
+                n += 1
+        assert n > 0, "no suggestions produced"
+        result = VerificationSuite().on_data(df).add_check(check).run()
+        failing = [str(cr.constraint)
+                   for cr in result.check_results[check].constraint_results
+                   if cr.status.value != "Success"]
+        assert result.status == CheckStatus.SUCCESS, failing
+
+    def test_period_in_column_name(self, spark):
+        df = spark.createDataFrame(
+            [("1", "a", "c"), ("2", "a", "c"), ("3", "a", "c"),
+             ("4", "b", "d")], ["item.one", "att1", "att2"])
+        self._assert_all_suggestions_pass(spark, df)
+
+    def test_mixed_types_fixture(self, spark):
+        """Same property over a numeric/string/null mix."""
+        rows = [(i, float(i) if i % 5 else 0.0,
+                 None if i % 4 == 0 else f"cat{i % 3}") for i in range(1, 41)]
+        df = spark.createDataFrame(rows, "id int, val double, cat string")
+        self._assert_all_suggestions_pass(spark, df)
