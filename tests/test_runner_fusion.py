@@ -122,3 +122,91 @@ class TestHistogramJobFusion:
         assert m.is_success and abs(m.value - 0.5) < 1e-12
         assert state._num_rows == 6             # recovered inside the agg
         assert n_jobs == 1, f"expected 1 fused job, saw {n_jobs}"
+
+
+class TestAnalysisRunnerReferenceParity:
+    """Remaining AnalysisRunnerTests.scala behaviors (line refs per
+    test), over the getDfWithNumericValues fixture."""
+
+    @pytest.fixture(scope="class")
+    def df_nv(self, spark):
+        rows = [("1", 1, 0, 0), ("2", 2, 0, 0), ("3", 3, 0, 0),
+                ("4", 4, 5, 4), ("5", 5, 6, 6), ("6", 6, 7, 7)]
+        return spark.createDataFrame(
+            rows, "item string, att1 int, att2 int, att3 int")
+
+    def test_histogram_binning_udf_runner_equals_direct(self, df_nv):
+        """:42-59 — Histogram with a binning hook computes the same via
+        the runner as via direct calculate()."""
+        from deequ_spark import Histogram
+        a = Histogram("att1", binning_udf=lambda v: v > 2)
+        direct = a.calculate(df_nv).value
+        via_runner = do_analysis_run(df_nv, [a]).metric_map[a].value
+        assert {k: v.absolute for k, v in direct.values.items()} == \
+               {k: v.absolute for k, v in via_runner.values.items()}
+
+    def test_fused_equals_separate_with_shared_names(self, df_nv):
+        """:61-86 — same Compliance NAME with different predicates
+        coexists; fused results equal separate calculate() calls."""
+        from deequ_spark import ApproxQuantile
+        analyzers = [Completeness("att1"),
+                     Compliance("rule1", "att1 > 3"),
+                     Completeness("att2"),
+                     Compliance("rule1", "att1 > 2"),
+                     Compliance("rule1", "att2 > 2"),
+                     ApproxQuantile("att2", 0.5)]
+        fused = do_analysis_run(df_nv, analyzers)
+        for a in analyzers:
+            assert fused.metric_map[a].value == \
+                pytest.approx(a.calculate(df_nv).value), str(a)
+
+    def test_grouping_with_distinct_filters_not_fused(self, spark, df_nv):
+        """:178-210 — same grouping columns with DIFFERENT where filters
+        form separate buckets but still match standalone results."""
+        from deequ_spark import UniqueValueRatio
+        analyzers = [UniqueValueRatio(("att1",)),
+                     Uniqueness(("att1",), where="att3 > 0"),
+                     Uniqueness(("att1",), where="att3 = 0")]
+        ctx = do_analysis_run(df_nv, analyzers)
+        for a in analyzers:
+            direct = a.calculate(df_nv)
+            assert ctx.metric_map[a].value == \
+                pytest.approx(direct.value), str(a)
+        # distinct filters → distinct metric values (half the groups each)
+        assert ctx.metric_map[analyzers[1]].value == 1.0
+        assert ctx.metric_map[analyzers[2]].value == 1.0
+
+    def test_partial_reuse_runs_only_missing(self, spark, df_nv):
+        """:212-247 — with one analyzer's result stored, only the OTHER
+        grouping analyzer computes (2 jobs: its shuffle + second stage)."""
+        import uuid
+        from deequ_spark import (Distinctness, InMemoryMetricsRepository,
+                                 ResultKey)
+        stored_analyzer = Distinctness(("att1", "att2"))
+        repo = InMemoryMetricsRepository()
+        key = ResultKey.make(0, {})
+        do_analysis_run(df_nv, [stored_analyzer], metrics_repository=repo,
+                        save_or_append_results_with_key=key)
+        analyzers = [stored_analyzer, Uniqueness(("att2", "item"))]
+        tracker = spark.sparkContext.statusTracker()
+        group = f"partial-reuse-{uuid.uuid4().hex[:8]}"
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.sparkContext.setJobGroup(group, group)
+        try:
+            ctx = do_analysis_run(df_nv, analyzers, metrics_repository=repo,
+                                  reuse_existing_results_for_key=key)
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        n_jobs = len(tracker.getJobIdsForGroup(group) or [])
+        assert n_jobs <= 2, f"expected <=2 jobs with partial reuse, saw {n_jobs}"
+        for a in analyzers:
+            assert ctx.metric_map[a].value == \
+                pytest.approx(a.calculate(df_nv).value), str(a)
+
+    def test_no_implicit_size_for_grouping_only(self, df_nv):
+        """:400-409 — a frequency-only run adds no Size() metric."""
+        from deequ_spark import Distinctness, Size
+        ctx = do_analysis_run(df_nv, [Distinctness(("att1",))])
+        assert not any(isinstance(a, Size) for a in ctx.metric_map)
