@@ -551,3 +551,35 @@ class TestMetricFlattenParity:
         assert len(flat) == 1
         assert flat[0].name == "Histogram.bins"
         assert not flat[0].is_success and flat[0].error is exc
+
+
+class TestVerificationSuiteTail:
+    """Remaining VerificationSuiteTest.scala behaviors."""
+
+    def test_no_constraints_still_runs_analysis(self, spark):
+        """:888-906 — required analyzers without any check: Success
+        status, metrics computed."""
+        from deequ_spark import (CheckStatus, Size, VerificationSuite)
+        df = spark.createDataFrame(
+            [("1", "a", "c"), ("2", "a", "c"), ("3", "a", "c"),
+             ("4", "b", "d")], "item string, att1 string, att2 string")
+        result = (VerificationSuite().on_data(df)
+                  .add_required_analyzer(Size()).run())
+        assert result.status == CheckStatus.SUCCESS
+        rows = {tuple(r) for r in
+                result.success_metrics_as_dataframe(spark).collect()}
+        assert rows == {("Dataset", "*", "Size", 4.0)}
+
+    def test_constraint_result_order_preserved(self, spark):
+        """:1185-1212 — constraint_results keep the add order and pair
+        1:1 with the check's constraints."""
+        from deequ_spark import Check, CheckLevel, VerificationSuite
+        df = spark.createDataFrame([(1,), (2,), (3,)], "att1 int")
+        check = (Check(CheckLevel.ERROR, "check")
+                 .is_complete("att1")
+                 .satisfies("att1 > 0", "att1 is positive", lambda v: v == 1.0))
+        result = VerificationSuite().on_data(df).add_check(check).run()
+        crs = result.check_results[check].constraint_results
+        names = [str(cr.constraint) for cr in crs]
+        assert "Completeness" in names[0]
+        assert "positive" in names[1] or "Compliance" in names[1]
