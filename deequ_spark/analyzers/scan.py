@@ -1274,7 +1274,9 @@ class CustomSql(Analyzer):
 
     @property
     def instance(self) -> str:
-        return self.disambiguator or self.expression
+        # the reference's default disambiguator is "*"
+        # (CustomSql.scala:40) — the metric reads Dataset.*.CustomSQL
+        return self.disambiguator if self.disambiguator is not None else "*"
 
     def compute_state_from(self, df: DataFrame):
         spark = df.sparkSession

@@ -583,3 +583,44 @@ class TestVerificationSuiteTail:
         names = [str(cr.constraint) for cr in crs]
         assert "Completeness" in names[0]
         assert "positive" in names[1] or "Compliance" in names[1]
+
+
+class TestCustomSqlCheckParity:
+    """Transcribed from checks/CustomSqlCheckTest.scala:28-80 — the
+    CustomSQL metric reads Dataset.*.CustomSQL by default."""
+
+    @pytest.fixture(scope="class")
+    def df_cic(self, spark):
+        rows = [("1", "a", "f"), ("2", "b", "d"), ("3", "a", None),
+                ("4", "a", "f"), ("5", "b", None), ("6", "a", "f")]
+        return spark.createDataFrame(rows,
+                                     "item string, att1 string, att2 string")
+
+    def test_succeeds_and_metric_identity(self, spark, df_cic):
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 VerificationSuite)
+        check = Check(CheckLevel.ERROR, "custom-sql-test").custom_sql(
+            "SELECT COUNT(*) FROM primary", lambda v: v == 6.0)
+        result = VerificationSuite().on_data(df_cic).add_check(check).run()
+        assert result.status == CheckStatus.SUCCESS
+        rows = [tuple(r) for r in
+                result.success_metrics_as_dataframe(spark).collect()
+                if r["name"] == "CustomSQL"]
+        assert rows == [("Dataset", "*", "CustomSQL", 6.0)]
+
+    def test_fails_when_assertion_fails(self, df_cic):
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 VerificationSuite)
+        check = Check(CheckLevel.ERROR, "custom-sql-test").custom_sql(
+            "SELECT COUNT(*) FROM primary", lambda v: v > 10.0)
+        assert (VerificationSuite().on_data(df_cic).add_check(check).run()
+                .status == CheckStatus.ERROR)
+
+    def test_complex_query(self, df_cic):
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 VerificationSuite)
+        check = Check(CheckLevel.ERROR, "custom-sql-test").custom_sql(
+            "SELECT COUNT(*) FROM primary WHERE att2 IS NOT NULL",
+            lambda v: v == 4.0)
+        assert (VerificationSuite().on_data(df_cic).add_check(check).run()
+                .status == CheckStatus.SUCCESS)
