@@ -543,3 +543,11 @@ class Check:
 
     def add_constraint(self, constraint: Constraint) -> "Check":
         return self._add(lambda w: constraint, filterable=False)
+
+    @staticmethod
+    def from_constraint(constraint: Constraint, description: str,
+                        level: "CheckLevel" = None) -> "Check":
+        """Build a one-constraint Check (parity: Check.fromConstraint,
+        AnalysisBasedConstraintTest.scala:82-98)."""
+        return Check(level or CheckLevel.ERROR,
+                     description).add_constraint(constraint)

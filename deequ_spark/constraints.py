@@ -118,3 +118,10 @@ class AnalysisBasedConstraint(Constraint):
 def named_constraint(constraint: Constraint, name: str) -> Constraint:
     constraint.name = name
     return constraint
+
+
+def from_analyzer(analyzer: Analyzer, assertion: Callable[[Any], bool],
+                  hint: Optional[str] = None) -> Constraint:
+    """Generic analyzer→constraint bridge (parity: Constraint.fromAnalyzer,
+    AnalysisBasedConstraintTest.scala:82-98)."""
+    return AnalysisBasedConstraint(analyzer, assertion, hint=hint)

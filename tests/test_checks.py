@@ -624,3 +624,21 @@ class TestCustomSqlCheckParity:
             lambda v: v == 4.0)
         assert (VerificationSuite().on_data(df_cic).add_check(check).run()
                 .status == CheckStatus.SUCCESS)
+
+
+class TestFromAnalyzerFromConstraint:
+    """AnalysisBasedConstraintTest.scala:82-98 — convert any analyzer to
+    a constraint and a constraint to a Check."""
+
+    def test_convert_analyzer_to_check(self, spark, df_missing):
+        from deequ_spark import (Check, CheckStatus, Completeness, Size,
+                                 VerificationSuite)
+        from deequ_spark.constraints import from_analyzer
+        c1 = from_analyzer(Completeness("att1"), lambda d: d > 1)
+        check1 = Check.from_constraint(c1, "Completeness att1")
+        result = VerificationSuite().on_data(df_missing).add_check(check1).run()
+        assert result.status == CheckStatus.ERROR  # completeness <= 1
+        c2 = from_analyzer(Size(), lambda n: n > 0)
+        check2 = Check.from_constraint(c2, "Size")
+        ok = VerificationSuite().on_data(df_missing).add_check(check2).run()
+        assert ok.status == CheckStatus.SUCCESS
