@@ -642,3 +642,45 @@ class TestFromAnalyzerFromConstraint:
         check2 = Check.from_constraint(c2, "Size")
         ok = VerificationSuite().on_data(df_missing).add_check(check2).run()
         assert ok.status == CheckStatus.SUCCESS
+
+
+class TestColumnConditionParity:
+    """Behavioral transcription of checks/ColumnConditionTest.scala:26-38
+    — isEachNotNull is the AND of per-column IS NOT NULL, isAnyNotNull
+    the OR — via areComplete / areAnyComplete."""
+
+    @pytest.fixture(scope="class")
+    def df_cc(self, spark):
+        rows = [("a", "x", "1"), ("b", None, "2"), (None, None, "3"),
+                (None, None, None)]
+        return spark.createDataFrame(rows,
+                                     "att1 string, att2 string, att3 string")
+
+    def test_are_complete_is_each_not_null(self, spark, df_cc):
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 VerificationSuite)
+        # rows where ALL of (att1, att2) non-null: 1 of 4 → fails
+        check = Check(CheckLevel.ERROR, "each").are_complete(
+            ["att1", "att2"])
+        result = VerificationSuite().on_data(df_cc).add_check(check).run()
+        assert result.status == CheckStatus.ERROR
+        ok = Check(CheckLevel.ERROR, "each3").are_complete(["att3"])
+        res3 = (VerificationSuite()
+                .on_data(df_cc.where("att3 IS NOT NULL"))
+                .add_check(ok).run())
+        assert res3.status == CheckStatus.SUCCESS
+
+    def test_are_any_complete_is_any_not_null(self, spark, df_cc):
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 VerificationSuite)
+        # rows where ANY of (att1, att3) non-null: 3 rows pass, last
+        # all-null row fails the 1.0 assertion
+        check = Check(CheckLevel.ERROR, "any").are_any_complete(
+            ["att1", "att3"])
+        result = VerificationSuite().on_data(df_cc).add_check(check).run()
+        assert result.status == CheckStatus.ERROR
+        sub = df_cc.where("att1 IS NOT NULL OR att3 IS NOT NULL")
+        ok = Check(CheckLevel.ERROR, "any2").are_any_complete(
+            ["att1", "att3"])
+        assert (VerificationSuite().on_data(sub).add_check(ok).run()
+                .status == CheckStatus.SUCCESS)
