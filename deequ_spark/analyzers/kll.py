@@ -281,6 +281,28 @@ class KLLMetric(Metric):
             d["error"] = str(self.error)
         return d
 
+    @property
+    def flattened(self):
+        """Parity: KLLMetric.scala:103-120 — one ``KLL.buckets`` count
+        metric plus per-bucket ``KLL.low``/``KLL.high``/``KLL.count``
+        DoubleMetrics; a failed metric flattens to a single failed
+        ``KLL.buckets``. Without this, success_metrics_as_json /
+        _simplified_rows would call float() on a BucketDistribution."""
+        from ..metrics import DoubleMetric
+        if not self.is_success:
+            return [DoubleMetric(self.entity, f"{self.name}.buckets",
+                                 self.instance, None, self.error)]
+        out = [DoubleMetric(self.entity, f"{self.name}.buckets",
+                            self.instance, float(len(self.value.buckets)))]
+        for b in self.value.buckets:
+            out.append(DoubleMetric(self.entity, f"{self.name}.low",
+                                    self.instance, float(b.low_value)))
+            out.append(DoubleMetric(self.entity, f"{self.name}.high",
+                                    self.instance, float(b.high_value)))
+            out.append(DoubleMetric(self.entity, f"{self.name}.count",
+                                    self.instance, float(b.count)))
+        return out
+
 
 def _bucket_distribution(sketch: KLLSketchCore,
                          params: KLLParameters) -> BucketDistribution:

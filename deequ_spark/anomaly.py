@@ -411,8 +411,14 @@ class AnomalyCheck:
                      next((m for a, m in ctx.metric_map.items()
                            if a == analyzer), None))
                     for key, ctx in loader.get())
-                points = [p for p in points
-                          if isinstance(p.metric_value, (int, float, type(None)))]
+                # non-numeric successful metrics (e.g. a Distribution)
+                # become MISSING observations — the date stays on the
+                # timeline rather than vanishing; bool is excluded
+                # explicitly (it is an int subclass, not a metric value)
+                points = [p if (isinstance(p.metric_value, (int, float))
+                                and not isinstance(p.metric_value, bool))
+                          else DataPoint(p.time, None)
+                          for p in points]
             if not points:
                 # no usable history: only the point itself can flag (e.g.
                 # SimpleThresholdStrategy); change/normal strategies pass

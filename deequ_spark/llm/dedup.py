@@ -170,15 +170,59 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
+def capped_pair_expr(ids: Column, hot_bucket_cap: int) -> Column:
+    """In-bucket candidate-pair expansion with a HOT-BUCKET CAP.
+
+    Buckets of m ≤ ``hot_bucket_cap`` expand all C(m,2) pairs (so
+    pair-level verification sees every in-bucket pair where full
+    precision matters). Buckets ABOVE the cap — duplicate mega-clusters:
+    boilerplate pages, empty docs, 10⁶ copies of one press release —
+    emit STAR pairs ``(min_id, other)`` instead: O(m) pairs, not O(m²).
+
+    Star expansion is lossless for connected-components dedup
+    (``near_duplicate_components``): within a true duplicate cluster
+    every star edge passes verification, so the component is identical
+    to the full-expansion one. A *distinct* duplicate cluster that
+    merely co-collided into the hot bucket in this band loses its
+    in-bucket edges here, but its members still collide in their OWN
+    bucket in the other bands (banding miss probability ≈ (1−j^r)^b,
+    e.g. 7e-15 at the minhash defaults), so pair recall is preserved by
+    band redundancy rather than by in-bucket completeness.
+
+    Without the cap, one bucket of m ids materializes m²/2 pairs inside
+    a single task — at 100 TB a 10⁶-doc duplicate cluster means 5·10¹¹
+    structs in one task → job death. ``ids`` must be sorted ascending
+    (``sort_array``) so ``ids[0]`` is the min id.
+    """
+    all_pairs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    star_pairs = F.transform(
+        F.slice(ids, 2, F.size(ids)),
+        lambda y: F.struct(F.element_at(ids, 1).alias("id_a"),
+                           y.alias("id_b")))
+    return F.when(F.size(ids) > F.lit(hot_bucket_cap),
+                  star_pairs).otherwise(all_pairs)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.8, num_hashes: int = 64,
                       bands: int = 32, shingle_n: int = 3,
-                      verify_exact: bool = True) -> DataFrame:
+                      verify_exact: bool = True,
+                      hot_bucket_cap: int = 256) -> DataFrame:
     """Near-duplicate pairs via MinHash banding.
 
     bands=32 × rows=2 (num_hashes=64) gives miss probability
     (1 − j²)³² ≈ 7e-15 at j=0.8 — effectively exact recall — while
     pruning the candidate space to colliding band buckets.
+
+    ``hot_bucket_cap`` bounds the in-bucket pair expansion: buckets
+    above the cap emit O(m) star pairs instead of O(m²) all-pairs (see
+    ``capped_pair_expr``) so duplicate mega-clusters cannot blow up a
+    single task — candidate count stays linear in corpus size even on
+    duplicate-heavy web corpora.
 
     With ``verify_exact=True`` the returned DataFrame is EAGERLY
     materialized (localCheckpoint) at call time — the full
@@ -213,12 +257,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     groups = (buckets.groupBy("band", "bh")
               .agg(F.sort_array(F.collect_list("id")).alias("ids"))
               .where(F.size("ids") > 1))
-    pairs_expr = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-    candidates = (groups.select(F.explode(pairs_expr).alias("p"))
+    candidates = (groups.select(
+                      F.explode(capped_pair_expr(F.col("ids"),
+                                                 hot_bucket_cap))
+                      .alias("p"))
                   .select("p.id_a", "p.id_b")
                   .distinct())
     if not verify_exact:
@@ -449,11 +491,14 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                               bands: Optional[int] = None,
                               seed: int = 42,
                               auto_tune: bool = False,
-                              miss_prob: float = 1e-3) -> DataFrame:
+                              miss_prob: float = 1e-3,
+                              hot_bucket_cap: int = 256) -> DataFrame:
     """Embedding near-dup pairs: BANDED random-hyperplane LSH prunes
     candidates (a pair is a candidate if ALL ``planes`` bits agree in ANY
     band), exact cosine verifies — precision 1, recall 1−(1−p^r)^b where
-    p = 1−θ/π. Band shape defaults adapt to the threshold: tight
+    p = 1−θ/π. ``hot_bucket_cap`` star-expands (band, sig) buckets above
+    the cap — O(m) pairs per mega-bucket instead of O(m²), lossless for
+    connected-components dedup. Band shape defaults adapt to the threshold: tight
     thresholds get deep bands (strong pruning, recall ≥ 0.999), loose
     thresholds get shallow bands (hyperplane LSH cannot prune much below
     ~0.6 cosine — the candidate set approaches all-pairs by nature).
@@ -514,17 +559,26 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         return pandas.Series(sigs.astype("int64").tolist())
 
     # candidates shuffle ONLY (band, sig, id) — vectors never ride the
-    # explode/join; they re-join by id for the (small) verified set
+    # explode/grouping; they re-join by id for the (small) verified set.
+    # ONE groupBy shuffle (vs a bucket self-join's two shuffled sides)
+    # with capped in-bucket expansion: auto_tune keeps RANDOM collisions
+    # linear, but a duplicate mega-cluster (m copies of one embedding)
+    # collides deterministically in EVERY band — the hot-bucket cap turns
+    # that O(m²)-per-bucket term into O(m) star pairs (lossless for
+    # connected-components dedup; see capped_pair_expr).
     keyed = df.select(F.col(id_col).alias("id"),
                       band_sigs(F.col(vec_col)).alias("sigs"))
     exploded = keyed.select(
         "id", F.posexplode("sigs").alias("band", "sig"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                         & (F.col("a.sig") == F.col("b.sig"))
-                         & (F.col("a.id") < F.col("b.id")))
-                  .select(F.col("a.id").alias("id_a"),
-                          F.col("b.id").alias("id_b"))
+    groups = (exploded.groupBy("band", "sig")
+              .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+              .where(F.size("ids") > 1))
+    candidates = (groups.select(
+                      F.explode(capped_pair_expr(F.col("ids"),
+                                                 hot_bucket_cap))
+                      .alias("p"))
+                  .select("p.id_a", "p.id_b")
+                  .where(F.col("id_a") < F.col("id_b"))
                   .distinct())
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

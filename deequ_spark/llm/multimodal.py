@@ -5,10 +5,11 @@ Arrow-batched ``mapInPandas`` stages.
 Decoders: the heavyweight media libraries (PIL/ffmpeg/librosa) are NOT in
 this container, so the REAL decode path covers the stdlib-parseable
 formats — uncompressed BMP (``struct`` header parsing + numpy pixel
-reshape) and PCM WAV (``wave`` module) — plus matching encoders so the
-round-trip is testable without any native codec. Compressed formats
-(png/jpeg/mp3/mp4) raise NotImplementedError at the documented
-integration point; a deterministic fake decoder additionally exercises
+reshape), non-interlaced 8-bit PNG (``zlib`` inflate + the five PNG
+scanline filters) and PCM WAV (``wave`` module) — plus matching encoders
+so the round-trips are testable without any native codec. The remaining
+compressed formats (jpeg/mp3/mp4) raise NotImplementedError at the
+documented integration point; a deterministic fake decoder additionally exercises
 the Spark-side plumbing (schema, batching, partitioning, UDF signature)
 independent of any format.
 
@@ -23,6 +24,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from typing import Callable, Iterator, Optional
 
 import numpy as np
@@ -64,16 +66,124 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
     return header + info + bytes(pixel_bytes)
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """Encode a (height, width[, channels]) uint8 array as a
+    non-interlaced 8-bit PNG — grayscale (1ch), gray+alpha (2ch), RGB
+    (3ch) or RGBA (4ch) by channel count. Pure ``struct`` + ``zlib``
+    (filter type 0 per scanline), no PIL."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("encode_png expects (h, w[, 1|2|3|4]) uint8")
+    height, width, channels = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(height))
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes):
+    """Decode a non-interlaced 8-bit-depth PNG with ``struct`` + ``zlib``
+    + numpy — no PIL. Covers color types 0 (gray), 2 (RGB), 3 (palette,
+    expanded to RGB via PLTE), 4 (gray+alpha) and 6 (RGBA), with all five
+    scanline filters (None/Sub/Up/Average/Paeth) unapplied per the spec
+    (PNG §9 'Filtering'). Returns ``(height, width, channels, pixels)``
+    top-down, matching ``decode_image``'s BMP contract. Adam7 interlace
+    and sub-byte/16-bit depths raise NotImplementedError at the
+    documented PIL integration point."""
+    if data[:8] != PNG_SIGNATURE:
+        raise NotImplementedError("not a PNG stream")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT chunks")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant needs PIL (bitDepth={depth}, interlace="
+            f"{interlace}) — only non-interlaced 8-bit is stdlib-decodable")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None or (ctype == 3 and plte is None):
+        raise NotImplementedError(f"PNG color type {ctype} unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise NotImplementedError("PNG scanline data length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    bpp = channels
+    at = 0
+    for y in range(height):
+        ftype = raw[at]
+        row = bytearray(raw[at + 1:at + 1 + stride])
+        at += 1 + stride
+        if ftype == 1:                                   # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:                                 # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:                                 # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:                                 # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(row), np.uint8)
+        prev = row
+    pixels = out.reshape(height, width, channels)
+    if ctype == 3:
+        pixels = np.ascontiguousarray(plte[pixels[:, :, 0]])
+        channels = 3
+    return height, width, channels, pixels
+
+
 def decode_image(data: bytes):
-    """Decode an uncompressed 8/24/32-bit BMP with ``struct`` + numpy
-    (no PIL/opencv needed). Returns ``(height, width, channels, pixels)``
+    """Decode an uncompressed 8/24/32-bit BMP (``struct`` + numpy) or a
+    non-interlaced 8-bit PNG (``struct`` + ``zlib``; see ``decode_png``)
+    — no PIL/opencv needed. Returns ``(height, width, channels, pixels)``
     where ``pixels`` is a (height, width, channels) uint8 array in
-    top-down row order. Compressed/other formats raise
+    top-down row order. JPEG and other compressed formats raise
     NotImplementedError at the documented PIL integration point."""
+    if data[:8] == PNG_SIGNATURE:
+        return decode_png(data)
     if len(data) < 54 or data[:2] != b"BM":
         raise NotImplementedError(
-            "only uncompressed BMP is decodable without PIL/opencv — "
-            "swap in PIL.Image.open(io.BytesIO(data)) for other formats")
+            "only uncompressed BMP and non-interlaced 8-bit PNG are "
+            "decodable without PIL/opencv — swap in "
+            "PIL.Image.open(io.BytesIO(data)) for other formats")
     data_offset = struct.unpack_from("<I", data, 10)[0]
     (hdr_size, width, height, _planes, bpp,
      compression) = struct.unpack_from("<IiiHHI", data, 14)
@@ -200,14 +310,17 @@ RESIZE_SCHEMA = ("media_id long, target_width int, target_height int, "
 
 
 def real_resize(data: bytes, width: int, height: int) -> bytes:
-    """Real resize for uncompressed BMP payloads: decode (struct+numpy),
-    nearest-neighbor resample via integer index maps, re-encode 24-bit
-    BMP. Other formats raise NotImplementedError from ``decode_image`` at
-    the documented PIL integration point."""
+    """Real resize for BMP/PNG payloads: decode (struct+numpy/zlib),
+    nearest-neighbor resample via integer index maps, re-encode in the
+    INPUT's format (PNG stays PNG with its channel count; BMP re-encodes
+    24-bit). Other formats raise NotImplementedError from
+    ``decode_image`` at the documented PIL integration point."""
     src_h, src_w, channels, pixels = decode_image(data)
     ys = np.minimum((np.arange(height) * src_h) // height, src_h - 1)
     xs = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
     resized = pixels[ys][:, xs]
+    if data[:8] == PNG_SIGNATURE:
+        return encode_png(resized)
     if channels == 1:
         resized = np.repeat(resized, 3, axis=2)
     return encode_bmp(resized[:, :, :3])

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
@@ -184,6 +185,19 @@ class MetricsRepositoryMultipleResultsLoader:
         getSuccessMetricsAsDataFrame/Json and its test expectations)."""
         entries = self.get()
         tag_names = sorted({t for key, _ in entries for t in key.tag_dict})
+        # tag → output column, parity AnalysisResult.scala:110-135
+        # (formatTagColumnNameInDataFrame/Json): strip non-[A-Za-z0-9_],
+        # lowercase, and suffix '_2' when the name collides with a metric
+        # column — so a tag named 'name' or 'value' can never silently
+        # overwrite metric data in the simplified output
+        taken = {"entity", "instance", "name", "value", "dataset_date"}
+        col_for = {}
+        for t in tag_names:
+            col = re.sub(r"[^A-Za-z0-9_]", "", t).lower()
+            while col in taken:
+                col = col + "_2"
+            taken.add(col)
+            col_for[t] = col
         rows = []
         for key, ctx in entries:
             tags = key.tag_dict
@@ -191,7 +205,8 @@ class MetricsRepositoryMultipleResultsLoader:
                 where = getattr(analyzer, "where", None)
                 flattened = getattr(metric, "flattened", None)
                 for m in (flattened if flattened is not None else [metric]):
-                    if not m.is_success:
+                    if not m.is_success or isinstance(m.value, bool) \
+                            or not isinstance(m.value, (int, float)):
                         continue
                     name = (f"{m.name} (where: {where})"
                             if where is not None else m.name)
@@ -199,9 +214,9 @@ class MetricsRepositoryMultipleResultsLoader:
                            "name": name, "value": float(m.value),
                            "dataset_date": key.dataset_date}
                     for t in tag_names:
-                        row[t] = tags.get(t)
+                        row[col_for[t]] = tags.get(t)
                     rows.append(row)
-        return rows, tag_names
+        return rows, [col_for[t] for t in tag_names]
 
     def get_success_metrics_as_dataframe(self, spark) -> "Any":
         from pyspark.sql import types as T

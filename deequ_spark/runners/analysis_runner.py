@@ -64,7 +64,11 @@ class AnalyzerContext:
             where = getattr(analyzer, "where", None)
             flattened = getattr(metric, "flattened", None)
             for m in (flattened if flattened is not None else [metric]):
-                if m.is_success:
+                # flattened metrics are DoubleMetrics by contract; a
+                # custom Metric subclass without a `flattened` property
+                # and a non-numeric payload is skipped, not crashed on
+                if m.is_success and isinstance(m.value, (int, float)) \
+                        and not isinstance(m.value, bool):
                     name = (f"{m.name} (where: {where})" if where is not None
                             else m.name)
                     rows.append((m.entity.value, m.instance, name,
@@ -111,7 +115,11 @@ def do_analysis_run(data: DataFrame,
     scanned once with the usual fusion, its states are merged with the
     prior ones, and metrics come from the merged states — the incremental
     pattern (IncrementalAnalysisTest.scala:30-105). ``save_states_with``
-    then persists the MERGED states, so consecutive deltas chain."""
+    then persists the MERGED states, so consecutive deltas chain. When
+    both point at the SAME FileSystemStateProvider path, construct it
+    with ``allow_overwrite=True`` — the merged write replaces the prior
+    state file, and the default (HdfsStateProvider parity) refuses
+    overwrites."""
     analyzers = _dedup(analyzers)
     if not analyzers:
         return AnalyzerContext()

@@ -76,7 +76,15 @@ class FileSystemStateProvider(StateProvider):
                  allow_overwrite: bool = False):
         """``allow_overwrite`` mirrors HdfsStateProvider.allowOverwrite
         (StateProviderTest.scala:134-176): by default a second persist of
-        the SAME analyzer fails with 'already exists'."""
+        the SAME analyzer fails with 'already exists'.
+
+        BEHAVIOR CHANGE vs pre-r6 releases of this package: the default
+        used to silently overwrite. Callers that persist twice to one
+        path — in particular chaining ``do_analysis_run(aggregate_with=
+        provider, save_states_with=provider)`` on the SAME provider,
+        which loads prior states then writes the merged ones back —
+        must pass ``allow_overwrite=True`` (or point
+        ``save_states_with`` at a distinct path)."""
         self.path = path
         self.spark = spark
         self.allow_overwrite = allow_overwrite

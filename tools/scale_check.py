@@ -94,6 +94,44 @@ def main() -> None:
         ("b11_embedding_near_dup", bench.b11_embedding_near_dup, emb1, emb10),
     ]
     out = {}
+    # Candidate-growth gate (VERDICT r6 #2): minhash-LSH candidate pairs
+    # must stay ~LINEAR in corpus size. Before the hot-bucket cap, sf1
+    # showed 364,859 candidates for 50k docs (7.3/doc, quadratic term
+    # visible); capped, the per-doc rate stays near the sf0.1 rate
+    # (0.77/doc). The bound below (3/doc) sits well above measured noise
+    # and well below the uncapped blow-up, so reintroducing quadratic
+    # expansion fails this gate.
+    from pyspark.sql import functions as F
+
+    from deequ_spark.llm import minhash_lsh_pairs
+
+    CAND_PER_DOC = 3.0
+    growth = {}
+    for label, d in (("1x", docs1), ("10x", docs10)):
+        n_docs = d.count()
+        n_cand = minhash_lsh_pairs(d, "doc_id", "text", 0.8,
+                                   verify_exact=False).count()
+        bound = int(CAND_PER_DOC * n_docs)
+        growth[label] = {"docs": n_docs, "candidate_pairs": n_cand,
+                         "bound": bound, "ok": n_cand <= bound}
+        assert n_cand <= bound, (
+            f"minhash candidate growth superlinear at {label}: "
+            f"{n_cand} pairs > {bound} (= {CAND_PER_DOC}/doc)")
+    # 50k-copy duplicate mega-cluster: must COMPLETE with O(m) star
+    # candidates (m−1 = 49,999), never O(m²) (1.25e9 pairs in one task)
+    mega = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate page body on every mirror "
+              "of this site, repeated verbatim across the crawl")
+        .alias("text"))
+    n_mega = minhash_lsh_pairs(mega, "doc_id", "text", 0.8,
+                               verify_exact=False).count()
+    growth["mega_cluster_50k"] = {"docs": 50_000, "candidate_pairs": n_mega,
+                                  "bound": 49_999, "ok": n_mega == 49_999}
+    assert n_mega == 49_999, (
+        f"mega-cluster star expansion broken: {n_mega} != 49999")
+    out["candidate_growth"] = growth
+
     for name, fn, small, big in workloads:
         fn(spark, small)                              # warm the path once
         t0 = time.perf_counter()
