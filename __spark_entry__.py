@@ -667,7 +667,10 @@ def q_multimodal(spark, sf_dir):
     through encode_bmp → decode_image → real_resize (nearest-neighbor)
     and encode_wav_pcm16 → decode_audio — decoded width/height/frame/
     duration sums recomputed by the oracle from the same doc_id
-    arithmetic, which pins the full encode→decode round-trip."""
+    arithmetic, which pins the full encode→decode round-trip; (c) NEW r7:
+    per-doc synthetic PNGs (zlib + scanline filters, channels cycling
+    1..4) through encode_png → decode_image (pixel-exact asserted
+    in-task) and real_resize (format-preserving PNG→PNG)."""
     from deequ_spark.llm import attach_binary_payload, extract_binary_features
     docs = _load(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "text", "doc_id")
@@ -679,15 +682,17 @@ def q_multimodal(spark, sf_dir):
     import numpy as np
     import pandas as pd
     from deequ_spark.llm.multimodal import (decode_audio, decode_image,
-                                            encode_bmp, encode_wav_pcm16,
-                                            real_resize)
+                                            encode_bmp, encode_png,
+                                            encode_wav_pcm16, real_resize)
 
     dec_schema = ("img_w int, img_h int, rs_w int, rs_h int, "
+                  "png_w int, png_h int, png_c int, png_rs_w int, "
                   "wav_frames int, wav_rate int")
 
     def synth_and_decode(batches):
         for pdf in batches:
             out = {k: [] for k in ("img_w", "img_h", "rs_w", "rs_h",
+                                   "png_w", "png_h", "png_c", "png_rs_w",
                                    "wav_frames", "wav_rate")}
             for i in pdf["doc_id"].astype("int64"):
                 i = int(i)
@@ -696,6 +701,13 @@ def q_multimodal(spark, sf_dir):
                 dh, dw, _, _ = decode_image(encode_bmp(img))
                 rh, rw, _, _ = decode_image(
                     real_resize(encode_bmp(img), 4, 3))
+                png_img = np.full((1 + i % 6, 1 + i % 8, 1 + i % 4),
+                                  (i * 37) % 251, dtype=np.uint8)
+                ph, pw, pc, ppx = decode_image(encode_png(png_img))
+                assert np.array_equal(ppx, png_img)    # pixel-exact
+                prh, prw, prc, _ = decode_image(
+                    real_resize(encode_png(png_img), 5, 2))
+                assert (prh, prw, prc) == (2, 5, png_img.shape[2])
                 n = 8 + (i % 9) * 4
                 rate, samples = decode_audio(
                     encode_wav_pcm16(np.arange(n, dtype=np.int16), 8000))
@@ -704,6 +716,10 @@ def q_multimodal(spark, sf_dir):
                 out["img_h"].append(dh)
                 out["rs_w"].append(rw)
                 out["rs_h"].append(rh)
+                out["png_w"].append(pw)
+                out["png_h"].append(ph)
+                out["png_c"].append(pc)
+                out["png_rs_w"].append(prw)
                 out["wav_frames"].append(len(samples))
                 out["wav_rate"].append(rate)
             yield pd.DataFrame(out)
@@ -712,6 +728,9 @@ def q_multimodal(spark, sf_dir):
            .mapInPandas(synth_and_decode, dec_schema)
            .agg(F.sum("img_w").alias("w"), F.sum("img_h").alias("h"),
                 F.sum("rs_w").alias("rw"), F.sum("rs_h").alias("rh"),
+                F.sum("png_w").alias("pw"), F.sum("png_h").alias("ph"),
+                F.sum("png_c").alias("pc"),
+                F.sum("png_rs_w").alias("prw"),
                 F.sum("wav_frames").alias("fr"),
                 F.countDistinct("wav_rate").alias("rates"))
            .collect()[0])
@@ -723,6 +742,10 @@ def q_multimodal(spark, sf_dir):
         ("decoded_height_sum", dec["h"]),
         ("resized_width_sum", dec["rw"]),
         ("resized_height_sum", dec["rh"]),
+        ("png_width_sum", dec["pw"]),
+        ("png_height_sum", dec["ph"]),
+        ("png_channels_sum", dec["pc"]),
+        ("png_resized_width_sum", dec["prw"]),
         ("wav_frames_sum", dec["fr"]),
         ("wav_duration_ms_sum", dec["fr"] / 8.0),
         ("wav_rates_distinct", dec["rates"])])
@@ -2364,6 +2387,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'decoded_height_sum', CAST(SUM(1 + doc_id % 5) AS DOUBLE) FROM documents
             UNION ALL SELECT 'resized_width_sum', CAST(4 * COUNT(*) AS DOUBLE) FROM documents
             UNION ALL SELECT 'resized_height_sum', CAST(3 * COUNT(*) AS DOUBLE) FROM documents
+            -- PNG round-trip (zlib codec): dims/channels are doc_id
+            -- arithmetic (w = 1+id%8, h = 1+id%6, c = 1+id%4); palette
+            -- expansion not used here. Resize target is 5x2, format kept.
+            UNION ALL SELECT 'png_width_sum', CAST(SUM(1 + doc_id % 8) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'png_height_sum', CAST(SUM(1 + doc_id % 6) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'png_channels_sum', CAST(SUM(1 + doc_id % 4) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'png_resized_width_sum', CAST(5 * COUNT(*) AS DOUBLE) FROM documents
             UNION ALL SELECT 'wav_frames_sum', CAST(SUM(8 + (doc_id % 9) * 4) AS DOUBLE) FROM documents
             UNION ALL SELECT 'wav_duration_ms_sum', CAST(SUM(8 + (doc_id % 9) * 4) AS DOUBLE) / 8.0 FROM documents
             UNION ALL SELECT 'wav_rates_distinct', 1.0
