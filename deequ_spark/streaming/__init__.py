@@ -177,6 +177,47 @@ def verify_stream(stream_df: DataFrame,
     return sv
 
 
+def verify_file_stream(spark, path: str,
+                       checks: Sequence[Check] = (),
+                       analyzers: Optional[Sequence[Analyzer]] = None,
+                       mode: str = "cumulative",
+                       source_format: str = "parquet",
+                       schema=None,
+                       max_files_per_trigger: Optional[int] = None,
+                       max_bytes_per_trigger: Optional[str] = None,
+                       available_now: bool = True,
+                       checkpoint_location: Optional[str] = None,
+                       await_termination: bool = True
+                       ) -> StreamingVerification:
+    """File-source streaming verification with the MICRO-BATCH SIZE knobs
+    surfaced — the knob that governs throughput at scale.
+
+    Each micro-batch pays a fixed scheduling + state-merge cost of
+    ~0.2-0.35 s regardless of how many rows it carries (measured,
+    tools/AB_B12_NOTE.md), so total cost ≈ batches × fixed + rows ×
+    per-row. At 100 TB the failure mode is inheriting a tiny-batch shape
+    (e.g. one small file per trigger → thousands of batches paying fixed
+    cost); size batches in the hundreds-of-MB via
+    ``max_bytes_per_trigger`` (e.g. ``"512m"``) or bound file count via
+    ``max_files_per_trigger``. Leaving BOTH unset lets AvailableNow take
+    everything pending in one batch — the cheapest drain for backfills.
+
+    ``schema`` defaults to a one-time batch-read inference of ``path``
+    (file streams require an explicit schema)."""
+    if schema is None:
+        schema = spark.read.format(source_format).load(path).schema
+    reader = spark.readStream.format(source_format).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    return verify_stream(reader.load(path), checks=checks,
+                         analyzers=analyzers, mode=mode,
+                         available_now=available_now,
+                         checkpoint_location=checkpoint_location,
+                         await_termination=await_termination)
+
+
 from .dedup import (streaming_deduplicate,  # noqa: E402,F401
                     streaming_deduplicate_exact,
                     streaming_fingerprint_deduplicate)

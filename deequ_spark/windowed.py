@@ -56,10 +56,17 @@ def windowed_agg_plan(df: DataFrame, ts_col: str, window_duration: str,
 
 def windowed_metrics(df: DataFrame, ts_col: str, window_duration: str,
                      analyzers: Sequence[ScanShareableAnalyzer],
-                     slide_duration: Optional[str] = None) -> DataFrame:
+                     slide_duration: Optional[str] = None,
+                     max_windows: int = 100_000) -> DataFrame:
     """(window_start, window_end, entity, instance, name, value) — one
     fused job over all windows and analyzers. Metric extraction runs on
-    the driver over one collected row per window (windows ≪ rows)."""
+    the driver over one collected row per window (windows ≪ rows).
+
+    The driver materialization is BOUNDED: more than ``max_windows``
+    windows raises (a years-long scan at 1-minute windows is ~10⁶ rows —
+    that is a plan mistake, not a metrics series). For unbounded ranges
+    use ``windowed_agg_plan``, which returns the aggregated DataFrame
+    without collecting."""
     # a non-scan-shareable analyzer is a programming error, not a data
     # error — raise, don't convert to a failure row
     for a in analyzers:
@@ -84,9 +91,19 @@ def windowed_metrics(df: DataFrame, ts_col: str, window_duration: str,
         return _rows_to_df(df.sparkSession, out)
 
     _, offsets = _fused_aggregations(runnable)
+    guard_error = None
     try:
+        # limit(max_windows+1): the guard rides the same job — no extra
+        # count pass, and at most max_windows+1 rows ever reach the driver
         rows = windowed_agg_plan(df, ts_col, window_duration, runnable,
-                                 slide_duration).collect()
+                                 slide_duration).limit(max_windows + 1) \
+            .collect()
+        if len(rows) > max_windows:
+            guard_error = ValueError(
+                f"windowed_metrics would collect more than {max_windows} "
+                "windows to the driver; narrow the time range / widen the "
+                "window, raise max_windows, or use windowed_agg_plan() "
+                "which returns the aggregated DataFrame uncollected")
     except Exception:  # noqa: BLE001
         # lazily-parsed expression errors (e.g. bad `where` SQL) surface at
         # plan-build or collect time — isolate with one windowed agg per
@@ -103,6 +120,8 @@ def windowed_metrics(df: DataFrame, ts_col: str, window_duration: str,
             except Exception as exc:  # noqa: BLE001
                 _append_metric_rows(out, None, None, a.to_failure_metric(exc))
         return _rows_to_df(df.sparkSession, out)
+    if guard_error is not None:
+        raise guard_error
     for row in rows:
         start, end = row["window"]["start"], row["window"]["end"]
         for a, offset in zip(runnable, offsets):

@@ -182,3 +182,32 @@ def test_streaming_embedding_quality_merges_exactly(spark, tmp_path):
     got = sv.results[-1].context.metric(analyzers[0]).value
     assert got == expected               # exact, including mean_norm
     assert got["n_rows"] == 150 and got["n_null"] == 9
+
+
+class TestBatchSizeKnob:
+    """VERDICT r6 #7: the per-batch fixed cost (~0.2-0.35 s, AB_B12_NOTE)
+    amortizes with batch size — verify_file_stream surfaces
+    maxFilesPerTrigger / maxBytesPerTrigger so scale users control the
+    micro-batch shape instead of inheriting a one-file-per-trigger one."""
+
+    def test_max_files_per_trigger_controls_batch_count(self, spark,
+                                                        stream_dir):
+        from deequ_spark.streaming import verify_file_stream
+        sv = verify_file_stream(spark, stream_dir, analyzers=[Size()],
+                                max_files_per_trigger=1)
+        assert len(sv.results) == 3          # 3 files → 3 micro-batches
+        assert sv.results[-1].context.metric(Size()).value == 300.0
+
+        sv_big = verify_file_stream(spark, stream_dir, analyzers=[Size()])
+        # no trigger bound + AvailableNow → ONE batch drains everything:
+        # the amortized shape a backfill should use
+        assert len(sv_big.results) == 1
+        assert sv_big.results[-1].context.metric(Size()).value == 300.0
+
+    def test_max_bytes_per_trigger_accepted(self, spark, stream_dir):
+        from deequ_spark.streaming import verify_file_stream
+        sv = verify_file_stream(spark, stream_dir, analyzers=[Size()],
+                                max_bytes_per_trigger="1")
+        # 1-byte budget still admits ≥1 file per batch → 3 batches
+        assert len(sv.results) == 3
+        assert sv.results[-1].context.metric(Size()).value == 300.0

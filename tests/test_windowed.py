@@ -3,6 +3,7 @@
 import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from deequ_spark import Completeness, Mean, Size, Sum
 from deequ_spark.windowed import windowed_agg_plan, windowed_metrics
@@ -60,3 +61,30 @@ def test_streaming_windowed_plan(spark, events, tmp_path):
     q.awaitTermination()
     got = spark.sql("select count(*) c from win_metrics").collect()[0]["c"]
     assert got == 3
+
+
+class TestMaxWindowsGuard:
+    """VERDICT r6 #6: windowed_metrics collects one row per window — the
+    guard hard-errors beyond max_windows instead of silently pulling an
+    unbounded series to the driver; windowed_agg_plan stays lazy."""
+
+    def test_over_limit_raises(self, spark):
+        from deequ_spark import Size
+        from deequ_spark.windowed import windowed_agg_plan, windowed_metrics
+        df = spark.range(100).select(
+            (F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 60))
+            .alias("ts"), F.col("id").alias("v"))
+        with pytest.raises(ValueError, match="max_windows"):
+            windowed_metrics(df, "ts", "1 minute", [Size()], max_windows=10)
+        # the lazy plan is the documented unbounded escape hatch
+        assert windowed_agg_plan(df, "ts", "1 minute", [Size()]).count() == 100
+
+    def test_at_limit_passes(self, spark):
+        from deequ_spark import Size
+        from deequ_spark.windowed import windowed_metrics
+        df = spark.range(10).select(
+            (F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 60))
+            .alias("ts"), F.col("id").alias("v"))
+        out = windowed_metrics(df, "ts", "1 minute", [Size()],
+                               max_windows=10)
+        assert out.count() == 10
