@@ -473,6 +473,7 @@ def serialize_reference_analyzer(analyzer: Analyzer) -> Dict[str, Any]:
     ref_name = {"ColumnRange": "Range"}.get(name, name)
     out["analyzerName"] = ref_name
     for our, ref in (("column", "column"), ("where", "where"),
+                     ("pattern", "pattern"),
                      ("instance_name", "instance"), ("predicate", "predicate"),
                      ("numerator", "numerator"), ("denominator", "denominator"),
                      ("first_column", "firstColumn"),
@@ -496,6 +497,15 @@ def serialize_reference_analyzer(analyzer: Analyzer) -> Dict[str, Any]:
         out["customEdges"] = list(analyzer.custom_edges)
     if getattr(analyzer, "quantiles", None):
         out["quantiles"] = ",".join(f"{q:g}" for q in analyzer.quantiles)
+    if getattr(analyzer, "sum_column", None):
+        # AnalysisResultSerde.scala Histogram.Sum branch: the aggregate
+        # function rides as a discriminator next to aggregateColumn
+        out["aggregateFunction"] = "sum"
+    if name == "KLLSketch":
+        p = analyzer.kll_parameters
+        out["sketchSize"] = p.sketch_size
+        out["shrinkingFactor"] = p.shrinking_factor
+        out["numberOfBuckets"] = p.number_of_buckets
     opts = _ref_opts_dump(analyzer)
     if opts:
         out["analyzerOptions"] = opts
@@ -527,25 +537,94 @@ def deserialize_reference_metric(obj: Dict[str, Any]) -> Metric:
             dist = Distribution(
                 {k: DistributionValue(v["absolute"], v["ratio"])
                  for k, v in value["values"].items()},
-                value.get("numberOfBins", len(value["values"])))
+                value.get("numberOfBins", len(value["values"])),
+                tail_count=value.get("tailCount", 0))
         return HistogramMetric(Entity.COLUMN, "Histogram", obj["column"], dist)
+    if kind == "KLLMetric":
+        # AnalysisResultSerde.scala:874-881 + BucketDistribution(De)Serializer
+        # :1005-1071: value = {buckets[{lowValue,highValue,count}],
+        # parameters[sketchSize, shrinkingFactor], data[[level-0…]…]}
+        from .analyzers.kll import (BucketDistribution, BucketValue,
+                                    KLLMetric, KLLParameters, KLLSketchCore)
+        v = obj["value"]
+        params = KLLParameters(int(v["parameters"][0]),
+                               float(v["parameters"][1]),
+                               max(len(v["buckets"]), 1))
+        sketch = KLLSketchCore.reconstruct(
+            params.sketch_size, params.shrinking_factor, v["data"])
+        buckets = [BucketValue(float(b["lowValue"]), float(b["highValue"]),
+                               int(b["count"])) for b in v["buckets"]]
+        return KLLMetric(Entity.COLUMN, "KLL", obj["column"],
+                         BucketDistribution(buckets, params, sketch))
     raise ValueError(f"Unknown reference metric {kind}")
 
 
-def serialize_reference_metric(metric: Metric) -> Dict[str, Any]:
+_BIN_LABEL = None  # compiled lazily
+
+
+def _parse_bin_label(label: str):
+    """Invert the '[lo, hi)' / '[lo, hi]' interval labels our binned
+    histograms use as Distribution keys back to (binStart, binEnd)."""
+    global _BIN_LABEL
+    if _BIN_LABEL is None:
+        _BIN_LABEL = re.compile(r"^\[([^,]+), ([^)\]]+)[)\]]$")
+    m = _BIN_LABEL.match(label)
+    if not m:
+        return None
+    try:
+        return float(m.group(1)), float(m.group(2))
+    except ValueError:
+        return None
+
+
+def serialize_reference_metric(metric: Metric,
+                               analyzer: Optional[Analyzer] = None
+                               ) -> Dict[str, Any]:
     if not metric.is_success:
         raise ValueError("Unable to serialize failed metrics.")
     if isinstance(metric, KeyedDoubleMetric):
         return {"metricName": "KeyedDoubleMetric",
                 "entity": metric.entity.value, "instance": metric.instance,
                 "name": metric.name, "value": dict(metric.value)}
+    if type(metric).__name__ == "KLLMetric":
+        bd = metric.value
+        return {"metricName": "KLLMetric", "column": metric.instance,
+                "value": {
+                    "buckets": [{"lowValue": b.low_value,
+                                 "highValue": b.high_value,
+                                 "count": b.count} for b in bd.buckets],
+                    "parameters": [float(bd.parameters.sketch_size),
+                                   float(bd.parameters.shrinking_factor)],
+                    "data": [[float(x) for x in lvl]
+                             for lvl in bd.sketch.compactors]}}
     if isinstance(metric, HistogramMetric):
         dist = metric.value
-        return {"metricName": "HistogramMetric", "column": metric.instance,
+        # a BINNED histogram (HistogramBinned analyzer, or interval keys
+        # throughout) serializes as the reference's HistogramBinnedMetric
+        # bins array — binStart/binEnd recovered from the interval labels;
+        # ±inf overflow edges survive (json emits them as ±Infinity,
+        # matching gson's lenient writer)
+        parsed = [(_parse_bin_label(k), v) for k, v in dist.values.items()]
+        is_binned = (type(analyzer).__name__ == "HistogramBinned"
+                     or (parsed and all(p[0] is not None for p in parsed)))
+        if is_binned and all(p[0] is not None for p in parsed):
+            value: Dict[str, Any] = {
                 "numberOfBins": dist.number_of_bins,
-                "value": {"numberOfBins": dist.number_of_bins, "values": {
-                    k: {"absolute": v.absolute, "ratio": v.ratio}
-                    for k, v in dist.values.items()}}}
+                "bins": [{"binStart": lo, "binEnd": hi,
+                          "frequency": dv.absolute, "ratio": dv.ratio}
+                         for (lo, hi), dv in parsed]}
+            if dist.null_count:
+                value["nullCount"] = dist.null_count
+            return {"metricName": "HistogramBinnedMetric",
+                    "column": metric.instance,
+                    "numberOfBins": dist.number_of_bins, "value": value}
+        value = {"numberOfBins": dist.number_of_bins, "values": {
+            k: {"absolute": v.absolute, "ratio": v.ratio}
+            for k, v in dist.values.items()}}
+        if dist.tail_count:
+            value["tailCount"] = dist.tail_count
+        return {"metricName": "HistogramMetric", "column": metric.instance,
+                "numberOfBins": dist.number_of_bins, "value": value}
     return {"metricName": "DoubleMetric", "entity": metric.entity.value,
             "instance": metric.instance, "name": metric.name,
             "value": float(metric.value)}
@@ -576,10 +655,12 @@ def to_deequ_json(entries: List[Tuple[ResultKey, AnalyzerContext]]) -> str:
     for key, ctx in entries:
         metric_map = []
         for a, m in ctx.metric_map.items():
-            if not m.is_success:
-                continue
+            # a FAILED metric is a serialization error, matching
+            # AnalysisResultSerdeTest 'with mixed Values should fail'
+            # (callers that want lenient writes filter with
+            # _successful_only first, as the repositories do)
             metric_map.append({"analyzer": serialize_reference_analyzer(a),
-                               "metric": serialize_reference_metric(m)})
+                               "metric": serialize_reference_metric(m, a)})
         recs.append({"resultKey": {"dataSetDate": key.dataset_date,
                                    "tags": key.tag_dict},
                      "analyzerContext": {"metricMap": metric_map}})
