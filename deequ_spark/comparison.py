@@ -14,6 +14,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -199,14 +200,23 @@ class RowCountMatch:
                          assertion: Callable[[float], bool] = lambda v: v == 1.0
                          ) -> ComparisonResult:
         ref_count = reference.count()
+        primary_count = primary.count()
+        # Glue edge semantics (RowCountMatchTest.scala:139-159): empty
+        # reference → ratio = Infinity (NaN when BOTH are empty); the
+        # assertion still runs — NaN comparisons are all False, so a
+        # threshold assertion fails while a tautology passes
         if ref_count == 0:
-            return ComparisonResult(None, error="reference dataset is empty")
-        ratio = primary.count() / ref_count
-        return ComparisonResult(assertion(ratio), ratio)
+            ratio = math.inf if primary_count > 0 else math.nan
+        else:
+            ratio = primary_count / ref_count
+        return ComparisonResult(bool(assertion(ratio)), ratio)
 
 
 class SchemaMatch:
-    """Fraction of (name, type) pairs matching (parity: SchemaMatch.scala:30-60)."""
+    """Fraction of the PRIMARY's (name, type) pairs present identically in
+    the reference (parity: SchemaMatch.scala:30-51 — ratio denominator is
+    the primary column count; empty schemas and differing column counts
+    hard-fail at ratio 0 without running the assertion)."""
 
     @staticmethod
     def match_schema(primary: DataFrame, reference: DataFrame,
@@ -214,13 +224,15 @@ class SchemaMatch:
                      ) -> ComparisonResult:
         p = {f.name: f.dataType.simpleString() for f in primary.schema.fields}
         r = {f.name: f.dataType.simpleString() for f in reference.schema.fields}
-        all_names = set(p) | set(r)
-        if not all_names:
-            return ComparisonResult(None, error="both schemas empty")
-        matching = sum(1 for name in all_names
-                       if name in p and name in r and p[name] == r[name])
-        ratio = matching / len(all_names)
-        return ComparisonResult(assertion(ratio), ratio)
+        if not p or not r:
+            return ComparisonResult(
+                False, 0.0, error="One or both DataFrames have no columns")
+        if len(p) != len(r):
+            return ComparisonResult(False, 0.0,
+                                    error="Column counts do not match")
+        matching = sum(1 for name, tpe in p.items() if r.get(name) == tpe)
+        ratio = matching / len(p)
+        return ComparisonResult(bool(assertion(ratio)), ratio)
 
 
 @dataclass

@@ -202,9 +202,12 @@ class TestExtendedRuleTypes:
                 df_full, 'Rules = [ColumnDataType "att1" = "BLOB"]')
 
     def test_dataset_rules(self, spark, df_full):
+        # SchemaMatch needs EQUAL column counts (SchemaMatch.scala:38-40
+        # hard-fails on a count mismatch): 3 columns with one renamed →
+        # ratio 2/3, inside the between bound
         ref = spark.createDataFrame(
-            [("1", "a"), ("2", "a"), ("3", "a"), ("4", "b")],
-            "item string, att1 string")
+            [("1", "a", "x"), ("2", "a", "y"), ("3", "a", "z"),
+             ("4", "b", "w")], "item string, att1 string, other string")
         out = EvaluateDataQuality.process(df_full, """Rules = [
             RowCountMatch "ref" = 1.0,
             SchemaMatch "ref" between 0.6 and 0.7,

@@ -524,6 +524,32 @@ class TestConfidenceIntervals:
             WaldIntervalStrategy().calculate_target_confidence_interval(
                 1.5, 100)
 
+    @pytest.mark.parametrize("strategy,p_hat,n,lower,upper", [
+        # IntervalStrategyTest.scala:36-51 — the full reference table
+        ("wald", 1.0, 20, 1.0, 1.0),
+        ("wald", 0.5, 100, 0.4, 0.6),
+        ("wald", 0.4, 100, 0.3, 0.5),
+        ("wald", 0.6, 100, 0.5, 0.7),
+        ("wald", 0.9, 100, 0.84, 0.96),
+        ("wald", 1.0, 100, 1.0, 1.0),
+        ("wilson", 0.01, 20, 0.00, 0.18),
+        ("wilson", 1.0, 20, 0.83, 1.0),
+        ("wilson", 0.5, 100, 0.4, 0.6),
+        ("wilson", 0.4, 100, 0.3, 0.5),
+        ("wilson", 0.6, 100, 0.5, 0.7),
+        ("wilson", 0.9, 100, 0.82, 0.95),
+        ("wilson", 1.0, 100, 0.96, 1.0),
+    ])
+    def test_reference_interval_table(self, strategy, p_hat, n, lower,
+                                      upper):
+        """IntervalStrategyTest.scala:30-57 'be calculated correctly'."""
+        from deequ_spark import (WaldIntervalStrategy,
+                                 WilsonScoreIntervalStrategy)
+        impl = (WaldIntervalStrategy() if strategy == "wald"
+                else WilsonScoreIntervalStrategy())
+        iv = impl.calculate_target_confidence_interval(p_hat, n)
+        assert (iv.lower_bound, iv.upper_bound) == (lower, upper)
+
 
 class TestRateOfChangeAlias:
     def test_alias_is_absolute(self):
@@ -1312,3 +1338,70 @@ class TestAdviceR6Fixes:
                     else DataPoint(p.time, None) for p in points]
         times = [(p.time, p.metric_value) for p in filtered]
         assert times == [(1, 4.0), (2, None), (3, None), (4, 5.0)]
+
+
+class TestSparkTableRepositoryReferenceParity:
+    """Transcribed from /root/reference/src/test/scala/com/amazon/deequ/
+    repository/sparktable/SparkTableMetricsRepositoryTest.scala (line refs
+    per test). The iceberg variant (:104-123) is catalog-bound — the
+    same save/load contract runs here against the default parquet
+    catalog, which is what that test asserts once the catalog resolves."""
+
+    @staticmethod
+    def _metric(name, value):
+        from deequ_spark.metrics import DoubleMetric, Entity
+        return DoubleMetric(Entity.COLUMN, name, "", float(value))
+
+    @staticmethod
+    def _ctx(analyzer, metric):
+        from deequ_spark.runners.analysis_runner import AnalyzerContext
+        ctx = AnalyzerContext()
+        ctx.metric_map[analyzer] = metric
+        return ctx
+
+    def test_save_and_load_single_metric(self, spark, tmp_path):
+        """:38-53 'save and load a single metric'."""
+        from deequ_spark import ResultKey, Size, SparkTableMetricsRepository
+        repo = SparkTableMetricsRepository(
+            spark, "stm_single", path=str(tmp_path / "t1"))
+        key = ResultKey(1_700_000_000_000, {"tag": "value"})
+        metric = self._metric("m1", 100)
+        repo.save(key, self._ctx(Size(), metric))
+        loaded = repo.load_by_key(key)
+        assert loaded is not None
+        got = loaded.metric_map[Size()]
+        assert (got.name, got.value) == ("m1", 100.0)
+        spark.sql("DROP TABLE IF EXISTS stm_single")
+
+    def test_save_multiple_metrics_and_load(self, spark, tmp_path):
+        """:55-75 'save multiple metrics and load them'."""
+        from deequ_spark import ResultKey, Size, SparkTableMetricsRepository
+        repo = SparkTableMetricsRepository(
+            spark, "stm_multi", path=str(tmp_path / "t2"))
+        repo.save(ResultKey(1, {"tag": "tagValue1"}),
+                  self._ctx(Size(), self._metric("m1", 100)))
+        repo.save(ResultKey(2, {"tag": "tagValue2"}),
+                  self._ctx(Size(), self._metric("m2", 101)))
+        loaded = repo.load().get()
+        assert len(loaded) == 2
+        tags = {t for key, _ in loaded for t in key.tag_dict.values()}
+        assert tags == {"tagValue1", "tagValue2"}
+        spark.sql("DROP TABLE IF EXISTS stm_multi")
+
+    def test_with_tag_values_and_for_analyzers(self, spark, tmp_path):
+        """:77-102 'save and load metrics with tag' — withTagValues
+        filters to the matching key; forAnalyzers keeps both entries."""
+        from deequ_spark import ResultKey, Size, SparkTableMetricsRepository
+        repo = SparkTableMetricsRepository(
+            spark, "stm_tags", path=str(tmp_path / "t3"))
+        repo.save(ResultKey(1, {"tag": "A"}),
+                  self._ctx(Size(), self._metric("m1", 100)))
+        repo.save(ResultKey(2, {"tag": "B"}),
+                  self._ctx(Size(), self._metric("m2", 101)))
+        for_a = repo.load().with_tag_values({"tag": "A"}).get()
+        assert len(for_a) == 1
+        tags_a = {t: v for key, _ in for_a for t, v in key.tag_dict.items()}
+        assert tags_a == {"tag": "A"}
+        both = repo.load().for_analyzers([Size()]).get()
+        assert len(both) == 2
+        spark.sql("DROP TABLE IF EXISTS stm_tags")
