@@ -246,8 +246,9 @@ class ThirdMomentState(State):
 
     @property
     def skewness(self) -> float:
+        # all values identical → 0.0, not an error (Skewness.scala:36-40)
         if self.m2 == 0:
-            raise EmptyStateError("Zero variance — skewness undefined")
+            return 0.0
         return (self.n ** 0.5) * self.m3 / (self.m2 ** 1.5)
 
 
@@ -277,8 +278,9 @@ class FourthMomentState(State):
 
     @property
     def kurtosis(self) -> float:
+        # all values identical → 0.0, not an error (Kurtosis.scala:36-39)
         if self.m2 == 0:
-            raise EmptyStateError("Zero variance — kurtosis undefined")
+            return 0.0
         return self.n * self.m4 / (self.m2 * self.m2) - 3.0
 
 

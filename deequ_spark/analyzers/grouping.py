@@ -389,6 +389,18 @@ class DuplicateRowCount(ScanShareableFrequencyBasedAnalyzer):
         # zero in-scope rows → zero duplicates, not a failure
         return 0.0 if result[offset] is None else float(result[offset])
 
+    def row_level_results(self, assertion=None) -> Optional[Column]:
+        """Row-level outcome (DuplicateRowCountTest.scala:188-213): TRUE
+        for rows whose group appears exactly once, FALSE for rows
+        participating in a duplicate group. Empty columns can't resolve
+        to "all columns" inside a Column expression — those constraints
+        contribute no row-level column, matching the reference's
+        NamedConstraint fallback (:231-239); callers that want row-level
+        resolve the column list first (:241-253)."""
+        if not self.columns:
+            return None
+        return _grouped_row_level_results(self.columns, self.where, None)
+
 
 @dataclass(frozen=True, eq=False)
 class MutualInformation(FrequencyBasedAnalyzer):

@@ -361,12 +361,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                             max_hamming: int = 3, shingle_n: int = 2,
-                            bits: int = 64, hash_fn=None) -> DataFrame:
+                            bits: int = 64, hash_fn=None,
+                            hot_bucket_cap: int = 256) -> DataFrame:
     """Pairs with Hamming distance ≤ k via the block trick: split the
     fingerprint into k+1 blocks — any pair within distance k must share one
-    block exactly (pigeonhole); join per block, then verify with
+    block exactly (pigeonhole); group per block value, then verify with
     bit_count(xor). Bits beyond blocks·width don't block (slightly more
-    candidates) but still count in the verified Hamming distance."""
+    candidates) but still count in the verified Hamming distance.
+
+    Same hot-bucket treatment as minhash: identical documents share an
+    identical fingerprint, so a duplicate mega-cluster collides in EVERY
+    block — buckets above ``hot_bucket_cap`` star-expand to O(m) pairs
+    (``capped_pair_expr``; the ids ride with their simhash in a struct so
+    the Hamming verification still sees both fingerprints)."""
     hashes = simhash(df, id_col, text_col, shingle_n, bits, hash_fn)
     blocks = max_hamming + 1
     width = max(1, bits // blocks)
@@ -377,14 +384,22 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         for i in range(blocks)]))
     keyed = hashes.select("id", "simhash", block_cols.alias("b")).select(
         "id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
-    a, b = keyed.alias("a"), keyed.alias("b")
-    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
-                   & (F.col("a.bv") == F.col("b.bv"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.bit_count(F.col("a.simhash").bitwiseXOR(
-                        F.col("b.simhash"))).alias("hamming"))
-            .distinct()
+    # ONE groupBy shuffle (vs two shuffled self-join sides); members are
+    # (id, simhash) structs sorted by id, so pair expansion keeps both
+    # fingerprints for the JVM-side xor verification
+    groups = (keyed.groupBy("blk", "bv")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct(F.col("id"), F.col("simhash")))).alias("ids"))
+              .where(F.size("ids") > 1))
+    pairs = (groups.select(
+                 F.explode(capped_pair_expr(F.col("ids"), hot_bucket_cap))
+                 .alias("p"))
+             .select(F.col("p.id_a.id").alias("id_a"),
+                     F.col("p.id_b.id").alias("id_b"),
+                     F.bit_count(F.col("p.id_a.simhash").bitwiseXOR(
+                         F.col("p.id_b.simhash"))).alias("hamming"))
+             .where(F.col("id_a") < F.col("id_b")))
+    return (pairs.distinct()
             .where(F.col("hamming") <= max_hamming))
 
 

@@ -135,6 +135,13 @@ class VerificationResult:
                     # (min/max/length) apply the constraint's assertion
                     # per row.
                     col = row_level(getattr(constraint, "assertion", None))
+                    if col is None:
+                        # analyzer declares no row-level form for this
+                        # configuration (e.g. DuplicateRowCount with empty
+                        # columns) — contributes nothing, like grouped
+                        # constraints
+                        per_constraint.append(None)
+                        continue
                 per_constraint.append(col)
                 # three-valued AND, as the reference's metrics.reduce(_ and _)
                 cond = col if cond is None else (cond & col)

@@ -1307,3 +1307,18 @@ class TestPngCodec:
         h, w, c, up = decode_image(out)
         assert (h, w, c) == (8, 12, 4)
         assert np.array_equal(up[0::2][:, 0::2], img)
+
+    def test_simhash_mega_cluster_linear(self, spark):
+        """Identical docs share identical fingerprints in EVERY pigeonhole
+        block — the cap keeps the pair set star-shaped (m−1), and the
+        xor verification still sees both fingerprints."""
+        m = 400
+        rows = [(i, "same footer boilerplate text replicated everywhere")
+                for i in range(m)]
+        rows += [(m, "completely different unique article body here")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = simhash_near_duplicates(docs, "doc_id", "text",
+                                        max_hamming=3, hot_bucket_cap=64)
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+        assert set(got) == {(0, j) for j in range(1, m)}
+        assert all(h == 0 for h in got.values())
