@@ -219,8 +219,13 @@ class Check:
     def has_number_of_distinct_values(self, column: str, assertion,
                                       binning_udf=None, max_bins: int = 1000,
                                       hint=None) -> "Check":
+        # computeFrequenciesAsRatio=false (Check.scala:564-574): the
+        # distinct-value count needs no total, so the backing histogram's
+        # ratio slot carries the ABSOLUTE frequency (DistinctnessTest
+        # :60-83 pins this quirk)
         return self._add(lambda w: AnalysisBasedConstraint(
-            Histogram(column, binning_udf, max_bins, w), assertion,
+            Histogram(column, binning_udf, max_bins, w,
+                      compute_frequencies_as_ratio=False), assertion,
             value_picker=lambda dist: float(dist.number_of_bins), hint=hint))
 
     def has_approx_count_distinct(self, column: str, assertion, hint=None) -> "Check":

@@ -385,3 +385,59 @@ class TestWhereFiltersAllRows:
         m = calc(df_numeric_values, Completeness("att1",
                                                  where="att1 > 100"))
         assert not m.is_success
+
+
+class TestDistinctnessVsCountDistinct:
+    """DistinctnessTest.scala:39-83 — the two analyzers disagree on
+    NULLs: Distinctness excludes the null group (3 non-null distinct / 5
+    non-null rows = 0.6) while hasNumberOfDistinctValues counts the
+    NullValue histogram bin (4 bins); in distinct-value mode the
+    histogram's 'ratio' carries the ABSOLUTE frequency."""
+
+    @pytest.fixture(scope="class")
+    def df_distinct(self, spark):
+        return spark.createDataFrame(
+            [("a", None), ("a", None), (None, "x"), ("b", "x"),
+             ("b", "x"), ("c", "y")], "att1 string, att2 string")
+
+    def test_null_behaviors_differ(self, df_distinct):
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 VerificationSuite)
+        result = (VerificationSuite().on_data(df_distinct.select("att1"))
+                  .add_check(Check(CheckLevel.ERROR, "d1").has_distinctness(
+                      ("att1",), lambda v: abs(v - 0.6) < 0.01))
+                  .add_check(Check(CheckLevel.ERROR, "d2")
+                             .has_number_of_distinct_values(
+                                 "att1", lambda v: v == 4))
+                  .run())
+        assert result.status == CheckStatus.SUCCESS
+
+    def test_distinct_value_count_histogram(self, df_distinct):
+        """:60-83 — the backing HistogramMetric carries absolute
+        frequencies in the ratio slot, with the NullValue bin present."""
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 VerificationSuite)
+        result = (VerificationSuite().on_data(df_distinct)
+                  .add_check(Check(CheckLevel.ERROR, "d1")
+                             .has_number_of_distinct_values(
+                                 "att1", lambda v: v == 4.0))
+                  .run())
+        assert result.status == CheckStatus.SUCCESS
+        (metric,) = list(result.metrics.metric_map.values())
+        dist = {k: v.ratio for k, v in metric.value.values.items()}
+        assert dist == {"a": 2.0, "b": 2.0, "c": 1.0, "NullValue": 1.0}
+
+
+class TestColumnCountParity:
+    """ColumnCountTest.scala:31-44 — column count of the 5-column
+    string fixture, via state and via metric."""
+
+    def test_column_count(self, spark):
+        from deequ_spark.analyzers.scan import ColumnCount
+        df = spark.createDataFrame(
+            [("a", "b", "c", "d", "e")],
+            "`Address Line 1` string, `Address Line 2` string, "
+            "`Address Line 3` string, city string, state string")
+        a = ColumnCount()
+        m = calc(df, a)
+        assert m.is_success and m.value == 5.0

@@ -7,9 +7,12 @@ Synthesis (DuckDB, deterministic):
 * lineitem/orders/customer — 10 key-shifted copies (copy c shifts every
   join/uniqueness key by c*1e8), preserving uniqueness ratios, the
   orders->customer FK, and per-copy value distributions;
-* documents — copy 0 = originals, copies 1..9 word-shuffled per doc so
-  trigram sets differ between copies and the LSH near-dup pair structure
-  stays that of the originals (same trick as tools/scale_check.py);
+* documents — copy 0 = originals, copies 1..9 remap every word to
+  md5(word|copy): an intra-copy isomorphism (identical shingle/LSH pair
+  structure per copy) with cross-copy-DISJOINT vocabularies, so 10x
+  candidates ≈ 10 × 1x candidates (same trick as tools/scale_check.py;
+  the earlier word-shuffle collapsed similar word bags into an
+  artifactual cross-copy near-dup soup — 327k spurious pairs at 10x);
 * embeddings — 20k fresh seeded uniform vectors (near-dup structure of
   random vectors is density-driven; fresh draws keep it realistic).
 
@@ -67,11 +70,8 @@ COPY (
   SELECT c * 1000000 + doc_id AS doc_id,
          CASE WHEN c = 0 THEN text
               ELSE array_to_string(
-                     [p.w FOR p IN list_sort(
-                        list_transform(string_split(text, ' '),
-                          (w, i) -> {{'k': hash(w || '|' || i || '|' || c
-                                              || '|' || doc_id), 'w': w}}),
-                        'ASC')], ' ')
+                     list_transform(string_split(text, ' '),
+                       w -> substr(md5(w || '|' || c), 1, 8)), ' ')
          END AS text,
          lang, source, n_chars
   FROM base, copies

