@@ -177,14 +177,17 @@ class MetricsRepositoryMultipleResultsLoader:
                 out.append((key, ctx))
         return sorted(out, key=lambda e: e[0].dataset_date)
 
-    def _simplified_rows(self):
+    def _simplified_rows(self, with_tags=None):
         """Flattened successful metrics joined with their ResultKey: one
         column per tag seen across ANY key (null where a key lacks it),
         plus dataset_date (parity:
         MetricsRepositoryMultipleResultsLoader.scala
-        getSuccessMetricsAsDataFrame/Json and its test expectations)."""
+        getSuccessMetricsAsDataFrame/Json and its test expectations).
+        ``with_tags`` restricts which tags become columns
+        (AnalysisResult.scala getSuccessMetricsAsDataFrame withTags)."""
         entries = self.get()
-        tag_names = sorted({t for key, _ in entries for t in key.tag_dict})
+        tag_names = sorted({t for key, _ in entries for t in key.tag_dict
+                            if with_tags is None or t in with_tags})
         # tag → output column, parity AnalysisResult.scala:110-135
         # (formatTagColumnNameInDataFrame/Json): strip non-[A-Za-z0-9_],
         # lowercase, and suffix '_2' when the name collides with a metric
@@ -218,9 +221,10 @@ class MetricsRepositoryMultipleResultsLoader:
                     rows.append(row)
         return rows, [col_for[t] for t in tag_names]
 
-    def get_success_metrics_as_dataframe(self, spark) -> "Any":
+    def get_success_metrics_as_dataframe(self, spark,
+                                         with_tags=None) -> "Any":
         from pyspark.sql import types as T
-        rows, tag_names = self._simplified_rows()
+        rows, tag_names = self._simplified_rows(with_tags)
         schema = T.StructType(
             [T.StructField("entity", T.StringType()),
              T.StructField("instance", T.StringType()),
@@ -231,8 +235,8 @@ class MetricsRepositoryMultipleResultsLoader:
         return spark.createDataFrame(
             [tuple(r[f.name] for f in schema.fields) for r in rows], schema)
 
-    def get_success_metrics_as_json(self) -> str:
-        rows, _ = self._simplified_rows()
+    def get_success_metrics_as_json(self, with_tags=None) -> str:
+        rows, _ = self._simplified_rows(with_tags)
         return json.dumps(rows)
 
 

@@ -1405,3 +1405,104 @@ class TestSparkTableRepositoryReferenceParity:
         both = repo.load().for_analyzers([Size()]).get()
         assert len(both) == 2
         spark.sql("DROP TABLE IF EXISTS stm_tags")
+
+
+class TestAnomalyDetectionRepositoryIntegration:
+    """Transcribed from repository/
+    MetricsRepositoryAnomalyDetectionIntegrationTest.scala:41-215 — the
+    full addAnomalyCheck flow against BOTH repository kinds: 30 days of
+    July-2018 history per marketplace, EU-filtered + date-windowed
+    configs, AbsoluteChange Size check (new size 8 < last 10 → ERROR)
+    and OnlineNormal Mean check (206.625 within 2σ of (1..30)·7 →
+    SUCCESS), plus saveOrAppendResult of the current run."""
+
+    @staticmethod
+    def _date(y, m, d):
+        import datetime
+        return int(datetime.datetime(y, m, d,
+                                     tzinfo=datetime.timezone.utc)
+                   .timestamp() * 1000)
+
+    def _test_data(self, spark):
+        return spark.createDataFrame(
+            [("item1", "US", 100, "EU"), ("item1", "US", 1000, "EU"),
+             ("item1", "US", 20, "EU"), ("item2", "DE", 20, "EU"),
+             ("item2", "DE", 333, "EU"), ("item3", None, 12, "EU"),
+             ("item4", None, 45, "EU"), ("item5", None, 123, "EU")],
+            "item string, origin string, sales int, marketplace string")
+
+    def _fill_history(self, repo):
+        import math
+        from deequ_spark import Mean, ResultKey, Size
+        from deequ_spark.metrics import DoubleMetric, Entity
+        from deequ_spark.runners.analysis_runner import AnalyzerContext
+        for past_day in range(1, 31):
+            eu, na = AnalyzerContext(), AnalyzerContext()
+            eu.metric_map[Size()] = DoubleMetric(
+                Entity.DATASET, "Size", "*", math.floor(past_day / 3))
+            eu.metric_map[Mean("sales")] = DoubleMetric(
+                Entity.COLUMN, "Mean", "sales", past_day * 7.0)
+            na.metric_map[Size()] = DoubleMetric(
+                Entity.DATASET, "Size", "*", float(past_day))
+            na.metric_map[Mean("sales")] = DoubleMetric(
+                Entity.COLUMN, "Mean", "sales", past_day * 9.0)
+            dt = self._date(2018, 7, past_day)
+            repo.save(ResultKey(dt, {"marketplace": "EU"}), eu)
+            repo.save(ResultKey(dt, {"marketplace": "NA"}), na)
+
+    def _run(self, spark, repo):
+        from deequ_spark import (AbsoluteChangeStrategy, Check, CheckLevel,
+                                 Maximum, Mean, Minimum,
+                                 OnlineNormalStrategy, ResultKey, Size,
+                                 VerificationSuite)
+        from deequ_spark.anomaly import AnomalyCheckConfig
+        data = self._test_data(spark)
+        self._fill_history(repo)
+        other = (Check(CheckLevel.ERROR, "check")
+                 .is_complete("item").is_complete("origin")
+                 .is_contained_in("marketplace", ["EU"])
+                 .is_non_negative("sales"))
+        filter_eu = {"marketplace": "EU"}
+        after, before = self._date(2018, 1, 1), self._date(2018, 8, 1)
+        size_cfg = AnomalyCheckConfig(
+            CheckLevel.ERROR, "Size only increases", filter_eu, after,
+            before)
+        mean_cfg = AnomalyCheckConfig(
+            CheckLevel.WARNING, "Sales mean within 2 standard deviations",
+            filter_eu, after, before)
+        return (VerificationSuite().on_data(data)
+                .add_check(other)
+                .add_required_analyzers([Maximum("sales"),
+                                         Minimum("sales")])
+                .use_repository(repo)
+                .add_anomaly_check(AbsoluteChangeStrategy(max_rate_decrease=0),
+                                   Size(), size_cfg)
+                .add_anomaly_check(
+                    OnlineNormalStrategy(upper_deviation_factor=2,
+                                         ignore_anomalies=False),
+                    Mean("sales"), mean_cfg)
+                .save_or_append_result(
+                    ResultKey(self._date(2018, 8, 1),
+                              {"marketplace": "EU"}))
+                .run())
+
+    def _assert_result(self, result):
+        from deequ_spark import CheckStatus
+        by_desc = {c.description: r for c, r in result.check_results.items()}
+        # new Size 8 < last value 10 → anomaly → ERROR
+        assert by_desc["Size only increases"].status == CheckStatus.ERROR
+        # new Mean 206.625 within 2σ of the EU history → SUCCESS
+        assert by_desc["Sales mean within 2 standard deviations"].status \
+            == CheckStatus.SUCCESS
+
+    def test_in_memory_repository(self, spark):
+        """:43-49."""
+        from deequ_spark import InMemoryMetricsRepository
+        self._assert_result(self._run(spark, InMemoryMetricsRepository()))
+
+    def test_filesystem_repository(self, spark, tmp_path):
+        """:51-57."""
+        from deequ_spark import FileSystemMetricsRepository
+        repo = FileSystemMetricsRepository(
+            str(tmp_path / "repository-test.json"))
+        self._assert_result(self._run(spark, repo))

@@ -490,3 +490,106 @@ class TestSimpleResultSerde:
             value, region, date = got[k]
             assert value == v, k
             assert (region, date) == ("EU", 1507975810)
+
+
+class TestAnalysisResultParity:
+    """Transcribed from repository/AnalysisResultTest.scala (line refs
+    per test): the simplified success-metric surface of ONE analysis
+    result — exact rows, tag-name sanitization, duplicate-column
+    suffixing, withTags / forAnalyzers restriction, empty context."""
+
+    DATE_ONE = 1507975810
+
+    EXPECTED = {
+        ("Dataset", "*", "Size"): 4.0,
+        ("Column", "item", "Distinctness"): 1.0,
+        ("Column", "att1", "Completeness"): 1.0,
+        ("Multicolumn", "att1,att2", "Uniqueness"): 0.25,
+    }
+
+    @pytest.fixture(scope="class")
+    def results(self, spark):
+        from deequ_spark import (Completeness, Distinctness, Size,
+                                 Uniqueness, do_analysis_run)
+        df = spark.createDataFrame(
+            [("1", "a", "c"), ("2", "a", "c"), ("3", "a", "c"),
+             ("4", "b", "d")], "item string, att1 string, att2 string")
+        return do_analysis_run(df, [Size(), Distinctness(("item",)),
+                                    Completeness("att1"),
+                                    Uniqueness(("att1", "att2"))])
+
+    def _loader(self, tags, results):
+        from deequ_spark import InMemoryMetricsRepository
+        repo = InMemoryMetricsRepository()
+        repo.save(ResultKey(self.DATE_ONE, tags), results)
+        return repo.load()
+
+    def test_dataframe_formatted_as_expected(self, spark, results):
+        """:43-63."""
+        df = self._loader({"Region": "EU"}, results) \
+            .get_success_metrics_as_dataframe(spark)
+        assert set(df.columns) == {"entity", "instance", "name", "value",
+                                   "dataset_date", "region"}
+        got = {(r["entity"], r["instance"], r["name"]):
+               (r["value"], r["dataset_date"], r["region"])
+               for r in df.collect()}
+        assert got == {k: (v, self.DATE_ONE, "EU")
+                       for k, v in self.EXPECTED.items()}
+
+    def test_json_formatted_as_expected(self, results):
+        """:65-88."""
+        rows = json.loads(self._loader({"Region": "EU"}, results)
+                          .get_success_metrics_as_json())
+        got = {(r["entity"], r["instance"], r["name"]):
+               (r["value"], r["dataset_date"], r["region"]) for r in rows}
+        assert got == {k: (v, self.DATE_ONE, "EU")
+                       for k, v in self.EXPECTED.items()}
+
+    def test_invalid_tag_name_sanitized(self, spark, results):
+        """:138-183 — tag 'Re%%^gion!/' becomes column 'region'."""
+        df = self._loader({"Re%%^gion!/": "EU"}, results) \
+            .get_success_metrics_as_dataframe(spark)
+        assert "region" in df.columns
+        assert {r["region"] for r in df.collect()} == {"EU"}
+        rows = json.loads(self._loader({"Re%%^gion!/": "EU"}, results)
+                          .get_success_metrics_as_json())
+        assert all(r["region"] == "EU" for r in rows)
+
+    def test_duplicate_column_name_suffixed(self, spark, results):
+        """:185-232 — tag 'name' collides with the metric column →
+        'name_2'."""
+        df = self._loader({"name": "EU"}, results) \
+            .get_success_metrics_as_dataframe(spark)
+        assert "name_2" in df.columns and "name" in df.columns
+        by_name = {r["name"]: r["name_2"] for r in df.collect()}
+        assert by_name == {"Size": "EU", "Distinctness": "EU",
+                           "Completeness": "EU", "Uniqueness": "EU"}
+
+    def test_with_tags_restriction(self, spark, results):
+        """:234-281 — only the requested tag becomes a column."""
+        loader = self._loader({"Region": "EU", "Env": "test"}, results)
+        df = loader.get_success_metrics_as_dataframe(
+            spark, with_tags=["Region"])
+        assert "region" in df.columns and "env" not in df.columns
+        rows = json.loads(loader.get_success_metrics_as_json(
+            with_tags=["Region"]))
+        assert all("env" not in r and r["region"] == "EU" for r in rows)
+
+    def test_for_analyzers_restriction(self, spark, results):
+        """:90-136 'only include requested metrics'."""
+        from deequ_spark import Completeness, Size
+        loader = self._loader({"Region": "EU"}, results) \
+            .for_analyzers([Size(), Completeness("att1")])
+        df = loader.get_success_metrics_as_dataframe(spark)
+        assert {(r["entity"], r["name"]) for r in df.collect()} == \
+            {("Dataset", "Size"), ("Column", "Completeness")}
+
+    def test_empty_context_empty_dataframe(self, spark):
+        """:283-300."""
+        from deequ_spark import InMemoryMetricsRepository
+        from deequ_spark.runners.analysis_runner import AnalyzerContext
+        repo = InMemoryMetricsRepository()
+        repo.save(ResultKey(self.DATE_ONE, {"Region": "EU"}),
+                  AnalyzerContext())
+        df = repo.load().get_success_metrics_as_dataframe(spark)
+        assert df.count() == 0
