@@ -339,6 +339,38 @@ def q_minhash_lsh(spark, sf_dir):
     return _metrics_df(spark, [("lsh_pairs_08", n)])
 
 
+def q_hot_bucket_cap(spark, sf_dir):
+    """Hot-bucket cap contract (deequ_spark/llm/dedup.py capped_pair_expr,
+    VERDICT r6 #1): a duplicate cluster ABOVE the cap star-expands to
+    exactly m−1 candidate pairs; clusters below the cap keep the full
+    C(m,2) expansion; connected-components dedup keeps one
+    representative per cluster either way. The corpus is constructed
+    arithmetically (1 mega-cluster of 400 identical docs + 19 clusters
+    of 30, disjoint vocabularies), so the oracle is the closed form."""
+    from deequ_spark.llm import deduplicate_near, minhash_lsh_pairs
+    n_mega, n_sub, sub_sz = 400, 19, 30
+    total = n_mega + n_sub * sub_sz
+    docs = (spark.range(total).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_mega, F.lit(0))
+        .otherwise(F.floor((F.col("id") - n_mega) / sub_sz) + 1)
+        .cast("long").alias("cluster")))
+    token = F.concat(F.lit("t"), F.col("cluster").cast("string"))
+    docs = docs.withColumn("text",
+                           F.array_join(F.array_repeat(token, 6), " "))
+    cands = minhash_lsh_pairs(docs, "doc_id", "text", 0.8,
+                              verify_exact=False)
+    n_cand = cands.count()
+    n_star = cands.where((F.col("id_a") < n_mega)
+                         & (F.col("id_b") < n_mega)).count()
+    verified = minhash_lsh_pairs(docs, "doc_id", "text", 0.8)
+    kept = deduplicate_near(docs, "doc_id", verified).count()
+    return _metrics_df(spark, [
+        ("candidates_total", n_cand),
+        ("mega_star_pairs", n_star),
+        ("kept_after_dedup", kept)])
+
+
 # simhash oracle parameters — shared by q_simhash and _simhash_oracle_sql
 _SIMHASH_N, _SIMHASH_BITS, _SIMHASH_MAXH = 3, 32, 3
 
@@ -2036,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_dedup": q_jaccard_dedup,
         "minhash_lsh": q_minhash_lsh,
+        "hot_bucket_cap": q_hot_bucket_cap,
         "near_dedup": q_near_dedup,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
@@ -2376,6 +2409,16 @@ def oracle_sql() -> dict[str, str]:
                      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
                      vec_id ASC
             LIMIT 10
+        """,
+        "hot_bucket_cap": """
+            -- closed form of the capped expansion on the constructed
+            -- corpus: mega cluster 400 > cap 256 -> star m-1 = 399 pairs;
+            -- 19 sub-cap clusters of 30 -> C(30,2) = 435 pairs each;
+            -- one representative survives per cluster (20 total)
+            SELECT 'candidates_total' AS metric,
+                   CAST(399 + 19 * (30 * 29 / 2) AS DOUBLE) AS value
+            UNION ALL SELECT 'mega_star_pairs', 399.0
+            UNION ALL SELECT 'kept_after_dedup', 20.0
         """,
         "multimodal": """
             SELECT 'total_bytes' AS metric, CAST(SUM(strlen(text)) AS DOUBLE) AS value FROM documents
