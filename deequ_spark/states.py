@@ -62,6 +62,8 @@ _SCALAR_STATES = {
     "_RatioState": S._RatioState,
     "RangeState": S.RangeState,
     "_QuantileState": S._QuantileState,
+    # HistogramBinned edges/counts (StateProviderTest.scala:194-210)
+    "_BinnedState": G._BinnedState,
 }
 
 
@@ -162,4 +164,8 @@ class FileSystemStateProvider(StateProvider):
         cls = _SCALAR_STATES.get(stype)
         if cls is None:
             raise ValueError(f"Unknown state type {stype}")
+        # JSON turns tuple fields (e.g. _BinnedState.edges/counts) into
+        # lists — coerce back so merges against fresh states compare equal
+        payload = {k: tuple(v) if isinstance(v, list) else v
+                   for k, v in payload.items()}
         return cls(**payload)

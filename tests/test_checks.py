@@ -684,3 +684,46 @@ class TestColumnConditionParity:
             ["att1", "att3"])
         assert (VerificationSuite().on_data(sub).add_check(ok).run()
                 .status == CheckStatus.SUCCESS)
+
+
+class TestFilterableCheckParity:
+    """FilterableCheckTest.scala:31-64 'build correctly' — .where()
+    retrofits onto the LAST constraint only, visible through
+    required_analyzers()."""
+
+    def test_build_correctly(self):
+        from deequ_spark import Check, CheckLevel
+        from deequ_spark.analyzers.scan import Completeness, Compliance
+        check = (Check(CheckLevel.ERROR, "someCheck")
+                 .is_complete("col1")
+                 .is_complete("col2").where("marketplace = 'EU'")
+                 .has_completeness("col3", lambda v: v >= 0.9)
+                 .where("marketplace = 'NA'")
+                 .satisfies("someCol > 5", "const1", columns=("someCol",))
+                 .satisfies("someCol > 10", "const2", columns=("someCol",))
+                 .where("marketplace = 'EU'"))
+        completeness = sorted(
+            [a for a in check.required_analyzers()
+             if isinstance(a, Completeness)], key=lambda a: a.column)
+        assert [a.where for a in completeness] == \
+            [None, "marketplace = 'EU'", "marketplace = 'NA'"]
+        compliance = sorted(
+            [a for a in check.required_analyzers()
+             if isinstance(a, Compliance)], key=lambda a: a.instance_name)
+        assert [a.where for a in compliance] == [None, "marketplace = 'EU'"]
+
+
+class TestFrequencyStateMerge:
+    """StatesTest.scala:27-60 'merge correctly' — FrequenciesAndNumRows
+    of two splits union-merge to the combined frequency table."""
+
+    def test_merge(self, spark):
+        from deequ_spark.analyzers.grouping import compute_frequencies
+        da = spark.createDataFrame([("A",), ("A",), ("B",)], "att1 string")
+        db = spark.createDataFrame([("A",), ("C",), ("C",)], "att1 string")
+        merged = compute_frequencies(da, ["att1"]).merge(
+            compute_frequencies(db, ["att1"]))
+        freqs = {r["att1"]: r["absolute"]
+                 for r in merged.frequencies.collect()}
+        assert freqs == {"A": 3, "B": 1, "C": 2}
+        assert merged.num_rows == 6

@@ -1506,3 +1506,46 @@ class TestAnomalyDetectionRepositoryIntegration:
         repo = FileSystemMetricsRepository(
             str(tmp_path / "repository-test.json"))
         self._assert_result(self._run(spark, repo))
+
+
+class TestStateProviderHistogramParity:
+    """StateProviderTest.scala:177-210 — Histogram and HistogramBinned
+    states are storable and loadable; loaded states recompute the
+    original metrics (memory AND filesystem)."""
+
+    def test_histogram_states_both_providers(self, spark, tmp_path,
+                                             df_numeric):
+        from deequ_spark.analyzers.grouping import Histogram, HistogramBinned
+        for provider in (InMemoryStateProvider(),
+                         FileSystemStateProvider(str(tmp_path / "h"),
+                                                 spark)):
+            hist = Histogram("att1")
+            binned = HistogramBinned("att1", bin_count=3)
+            do_analysis_run(df_numeric, [hist, binned],
+                            save_states_with=provider)
+            hs = provider.load(hist)
+            assert hs is not None
+            m = hist.compute_metric_from_state(hs)
+            assert m.is_success and m.value.number_of_bins == 6
+            bs = provider.load(binned)
+            assert bs is not None
+            bm = binned.compute_metric_from_state(bs)
+            assert bm.is_success and bm.value.number_of_bins == 3
+            assert sum(v.absolute for v in bm.value.values.values()) == 6
+
+    def test_binned_state_merges_after_filesystem_roundtrip(self, spark,
+                                                            tmp_path,
+                                                            df_numeric):
+        """Loaded binned states merge with fresh ones (tuple fields
+        survive the JSON round trip) — the incremental-binned path."""
+        from deequ_spark.analyzers.grouping import HistogramBinned
+        analyzer = HistogramBinned("att1", custom_edges=(0.5, 3.5, 6.5))
+        prov = FileSystemStateProvider(str(tmp_path / "inc"), spark)
+        do_analysis_run(df_numeric, [analyzer], save_states_with=prov)
+        loaded = prov.load(analyzer)
+        mem = InMemoryStateProvider()
+        do_analysis_run(df_numeric, [analyzer], save_states_with=mem)
+        fresh = mem.load(analyzer)
+        merged = loaded.merge(fresh)   # JSON-round-tripped × in-memory
+        m = analyzer.compute_metric_from_state(merged)
+        assert sum(v.absolute for v in m.value.values.values()) == 12
