@@ -468,10 +468,14 @@ class Check:
     def is_contained_in(self, column: str, allowed_values: Sequence[Any],
                         assertion=IS_ONE, hint=None,
                         analyzer_options=None) -> "Check":
-        """Parity: Check.scala:1326-1454 (string/numeric variants)."""
+        """Parity: Check.scala:1326-1454 (string/numeric variants). An
+        EMPTY value list behaves as [''] — the reference's
+        mkString("'", "','", "'") yields '' for an empty array, so the
+        predicate admits only empty strings and NULLs
+        (VerificationSuiteTest.scala:1410-1439 pins 0.125 on the
+        escape-character fixture for both [] and [''])."""
         if not allowed_values:
-            raise ValueError(
-                "is_contained_in requires at least one allowed value")
+            allowed_values = [""]
         if all(isinstance(v, (int, float)) and not isinstance(v, bool)
                for v in allowed_values):
             values = ", ".join(str(v) for v in allowed_values)

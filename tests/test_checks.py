@@ -727,3 +727,268 @@ class TestFrequencyStateMerge:
                  for r in merged.frequencies.collect()}
         assert freqs == {"A": 3, "B": 1, "C": 2}
         assert merged.num_rows == 6
+
+
+class TestVerificationSuiteRowLevelAggregation:
+    """VerificationSuiteTest.scala:143-234 — the two remaining top-of-file
+    fixtures: multi-constraint row-level aggregation (:143) and the
+    7-check uniqueness battery over getDfWithUniqueColumns (:168)."""
+
+    def test_aggregates_all_constraint_results(self, spark):
+        """:143-166 — a check's row column is the AND of its constraint
+        rows; column order is data columns then check columns."""
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 VerificationSuite)
+        data = spark.createDataFrame(
+            [("1", "a", "f"), ("2", "b", "d"), ("3", "a", None),
+             ("4", "a", "f"), ("5", "b", None), ("6", "a", "f")],
+            "item string, att1 string, att2 string")
+        check = (Check(CheckLevel.ERROR, "rule1")
+                 .is_complete("att1").is_complete("att2"))
+        result = VerificationSuite().on_data(data).add_check(check).run()
+        assert result.status == CheckStatus.ERROR
+        rl = result.row_level_results_as_dataframe(data)
+        assert rl.columns == ["item", "att1", "att2", "rule1"]
+        got = [r["rule1"] for r in rl.orderBy("item").collect()]
+        assert got == [True, True, False, True, False, True]
+
+    def test_uniqueness_battery(self, spark):
+        """:168-233 — hasUniqueness / isUnique / isPrimaryKey /
+        hasUniqueValueRatio row-level truth over the uniqueness-spectrum
+        fixture (FixtureSupport.scala:326-339)."""
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 VerificationSuite)
+        data = spark.createDataFrame(
+            [("1", "0", "3", "1", "5", "0"),
+             ("2", "0", "3", "2", "6", "0"),
+             ("3", "0", "3", None, "7", "0"),
+             ("4", "5", None, "3", "0", "4"),
+             ("5", "6", None, "4", "0", "5"),
+             ("6", "7", None, "5", "0", "6")],
+            "unique string, nonUnique string, nonUniqueWithNulls string, "
+            "uniqueWithNulls string, onlyUniqueWithOtherNonUnique string, "
+            "halfUniqueCombinedWithNonUnique string")
+        is_one = lambda v: v == 1.0  # noqa: E731 — Check.IsOne
+        checks = [
+            Check(CheckLevel.ERROR, "rule1").has_uniqueness(
+                ("nonUnique", "halfUniqueCombinedWithNonUnique"), is_one),
+            Check(CheckLevel.ERROR, "rule2").has_uniqueness(
+                ("nonUnique", "onlyUniqueWithOtherNonUnique"), is_one),
+            Check(CheckLevel.ERROR, "rule3").has_uniqueness(
+                ("unique", "nonUniqueWithNulls"), is_one),
+            Check(CheckLevel.ERROR, "rule4").is_unique("unique"),
+            Check(CheckLevel.ERROR, "rule5").is_unique("nonUnique"),
+            Check(CheckLevel.ERROR, "rule6").is_primary_key(
+                "uniqueWithNulls"),
+            Check(CheckLevel.ERROR, "rule7").has_unique_value_ratio(
+                ("nonUnique",), lambda v: v == 0.75),
+        ]
+        suite = VerificationSuite().on_data(data)
+        for c in checks:
+            suite = suite.add_check(c)
+        result = suite.run()
+        assert result.status == CheckStatus.ERROR
+        rl = result.row_level_results_as_dataframe(data)
+        assert set(rl.columns) == set(data.columns) | {
+            f"rule{i}" for i in range(1, 8)}
+        rows = rl.orderBy("unique").collect()
+        expected = {
+            "rule1": [False, False, False, True, True, True],
+            "rule2": [True] * 6,
+            "rule3": [True] * 6,
+            "rule4": [True] * 6,
+            "rule5": [False, False, False, True, True, True],
+            # DELIBERATE divergence: the reference currently lets NULL
+            # key rows pass isPrimaryKey row-level and carries a TODO
+            # "fix how primaryKey works (nulls should be false)"
+            # (VerificationSuiteTest.scala:227-229). We implement the
+            # TO-BE behavior: a NULL primary-key row fails.
+            "rule6": [True, True, False, True, True, True],
+            "rule7": [False, False, False, True, True, True],
+        }
+        for rule, exp in expected.items():
+            assert [r[rule] for r in rows] == exp, rule
+
+
+class TestVerificationSuiteAnalysisConfig:
+    """VerificationSuiteTest.scala:818-1013 — required analyzers merge
+    into the checks' fused run; repository save/reuse/overwrite
+    semantics."""
+
+    @pytest.fixture()
+    def df_full4(self, spark):
+        return spark.createDataFrame(
+            [("1", "a", "c"), ("2", "a", "c"), ("3", "a", "c"),
+             ("4", "b", "d")], "item string, att1 string, att2 string")
+
+    @pytest.fixture()
+    def df_ci(self, spark):
+        return spark.createDataFrame(
+            [("1", "a", "f"), ("2", "b", "d"), ("3", "a", None),
+             ("4", "a", "f"), ("5", "b", None), ("6", "a", "f")],
+            "item string, att1 string, att2 string")
+
+    def _success_rows(self, spark, result):
+        from deequ_spark.runners.analysis_runner import AnalyzerContext
+        ctx = AnalyzerContext(result.metrics.metric_map)
+        return {tuple(r) for r in
+                ctx.success_metrics_as_dataframe(spark).collect()}
+
+    def test_mandatory_analysis(self, spark, df_full4):
+        """:818-854 — exact success-metric rows incl. MutualInformation
+        −(0.75·ln0.75 + 0.25·ln0.25)."""
+        import math
+
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 Completeness, MutualInformation, Size,
+                                 Uniqueness, VerificationSuite)
+        check = (Check(CheckLevel.ERROR, "group-1")
+                 .is_complete("att1")
+                 .has_completeness("att1", lambda v: v == 1.0))
+        result = (VerificationSuite().on_data(df_full4).add_check(check)
+                  .add_required_analyzers([
+                      Size(), Completeness("att2"), Uniqueness(("att2",)),
+                      MutualInformation(("att1", "att2"))]).run())
+        assert result.status == CheckStatus.SUCCESS
+        mi = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+        got = self._success_rows(spark, result)
+        assert {("Dataset", "*", "Size", 4.0),
+                ("Column", "att1", "Completeness", 1.0),
+                ("Column", "att2", "Completeness", 1.0),
+                ("Column", "att2", "Uniqueness", 0.25)} <= got
+        (mi_row,) = [r for r in got if r[2] == "MutualInformation"]
+        assert mi_row[3] == pytest.approx(mi)
+
+    def test_mandatory_analysis_with_filters(self, spark, df_ci):
+        """:856-886 — where-decorated metric names with the filter."""
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 VerificationSuite)
+        c1 = (Check(CheckLevel.ERROR, "group-1")
+              .has_completeness("att2", lambda v: v > 0.7)
+              .where("att1 = 'a'"))
+        c2 = (Check(CheckLevel.ERROR, "group-2")
+              .is_unique("att1").where("item < 3"))
+        result = (VerificationSuite().on_data(df_ci)
+                  .add_check(c1).add_check(c2).run())
+        assert result.status == CheckStatus.SUCCESS
+        got = self._success_rows(spark, result)
+        assert ("Column", "att2", "Completeness (where: att1 = 'a')",
+                0.75) in got
+        assert ("Column", "att1", "Uniqueness (where: item < 3)",
+                1.0) in got
+
+    def test_save_results_if_specified(self, spark, df_numeric):
+        """:944-963 — saveOrAppendResult persists exactly the run's
+        metrics."""
+        from deequ_spark import (Completeness, InMemoryMetricsRepository,
+                                 ResultKey, Size, VerificationSuite)
+        repo = InMemoryMetricsRepository()
+        key = ResultKey(0, {})
+        result = (VerificationSuite().on_data(df_numeric)
+                  .use_repository(repo)
+                  .add_required_analyzers([Size(), Completeness("item")])
+                  .save_or_append_result(key).run())
+        loaded = repo.load_by_key(key)
+        assert loaded is not None
+        for a, m in result.metrics.metric_map.items():
+            assert loaded.metric_map[a].value == m.value
+
+    def test_conflicting_saved_value_overwritten(self, spark, df_numeric):
+        """:989-1013 — saveOrAppendResult OVERWRITES a previously stored
+        metric for the same analyzer under the same key."""
+        from deequ_spark import (Completeness, InMemoryMetricsRepository,
+                                 ResultKey, Size, VerificationSuite)
+        from deequ_spark.metrics import DoubleMetric, Entity
+        from deequ_spark.runners.analysis_runner import AnalyzerContext
+        repo = InMemoryMetricsRepository()
+        key = ResultKey(0, {})
+        analyzers = [Size(), Completeness("item")]
+        expected = (VerificationSuite().on_data(df_numeric)
+                    .use_repository(repo)
+                    .add_required_analyzers(analyzers).run())
+        stale = AnalyzerContext()
+        stale.metric_map[Size()] = DoubleMetric(Entity.DATASET, "", "",
+                                                100.0)
+        repo.save(key, stale)
+        (VerificationSuite().on_data(df_numeric).use_repository(repo)
+         .add_required_analyzers(analyzers)
+         .save_or_append_result(key).run())
+        loaded = repo.load_by_key(key)
+        assert loaded.metric_map[Size()].value == \
+            expected.metrics.metric_map[Size()].value == 6.0
+
+    def test_reuse_existing_results(self, spark, df_numeric):
+        """:908-942 (behavioral part) — metrics reused from the
+        repository equal freshly computed ones."""
+        from deequ_spark import (Distinctness, InMemoryMetricsRepository,
+                                 ResultKey, Uniqueness, VerificationSuite)
+        reused = Distinctness(("att1", "att2"))
+        first = (VerificationSuite().on_data(df_numeric)
+                 .add_required_analyzer(reused).run())
+        repo = InMemoryMetricsRepository()
+        key = ResultKey(0, {})
+        from deequ_spark.runners.analysis_runner import AnalyzerContext
+        repo.save(key, AnalyzerContext(first.metrics.metric_map))
+        analyzers = [reused, Uniqueness(("att2", "item"))]
+        second = (VerificationSuite().on_data(df_numeric)
+                  .use_repository(repo)
+                  .reuse_existing_results_for_key(key)
+                  .add_required_analyzers(analyzers).run())
+        vals = {type(a).__name__: m.value
+                for a, m in second.metrics.metric_map.items()}
+        assert vals["Distinctness"] == first.metrics.metric_map[reused].value
+        assert "Uniqueness" in vals
+
+
+class TestContainedInEscaping:
+    """VerificationSuiteTest.scala:1391-1440 + :1633-1671 — isContainedIn
+    must survive single quotes and the full special-character zoo in
+    allowed values (SQL-injection-shaped strings escape correctly)."""
+
+    SPECIAL = ("Trying !o include: @ll the #$peci@l charac%ers possib^e & "
+               "test* that (out)~[here] {which} i`s great?\";")
+
+    @pytest.fixture()
+    def df_escape(self, spark):
+        rows = [("'foo'", 50), ("Yes This's My Name", 29), ("It's foo", 33),
+                ("foo", 22), ("foo '' name", 22), ("'''", 25), ("", 25),
+                (self.SPECIAL, 25)]
+        return spark.createDataFrame(rows, "name string, age int")
+
+    def test_escape_characters(self, df_escape):
+        """:1391-1440 — succeed on the full value list; empty and subset
+        lists fail with the exact 0.125 message."""
+        name_data = ["'foo'", "Yes This's My Name", "It's foo", "foo",
+                     "foo '' name", "'''", "", self.SPECIAL]
+        ok_name = (Check(CheckLevel.ERROR, "shouldSucceedForName")
+                   .is_contained_in("name", name_data))
+        ok_age = (Check(CheckLevel.ERROR, "shouldSucceedForAge")
+                  .is_contained_in("age", ["22", "25", "29", "33", "50"]))
+        fail_empty = (Check(CheckLevel.ERROR, "shouldFailForEmptyName")
+                      .is_contained_in("name", []))
+        fail_subset = (Check(CheckLevel.ERROR, "shouldFailForSubsetNameList")
+                       .is_contained_in("name", [""]))
+        result = (VerificationSuite().on_data(df_escape)
+                  .add_checks([ok_name, ok_age, fail_empty, fail_subset])
+                  .run())
+        assert result.check_results[ok_name].status == CheckStatus.SUCCESS
+        assert result.check_results[ok_age].status == CheckStatus.SUCCESS
+        for bad in (fail_empty, fail_subset):
+            cr = result.check_results[bad]
+            assert cr.status == CheckStatus.ERROR
+            assert cr.constraint_results[0].message == \
+                "Value: 0.125 does not meet the constraint requirement!"
+
+    def test_single_quotes(self, spark):
+        """:1633-1671 — quoted variety values, metric exactly 1.0."""
+        df = spark.createDataFrame(
+            [("Versicolor",), ("Virginica's",), ("Setosa",),
+             ("Versicolor",), ("Virginica's",)], "variety string")
+        check = (Check(CheckLevel.ERROR, "single quote check")
+                 .is_contained_in("variety",
+                                  ["Versicolor", "Virginica's", "Setosa"]))
+        result = VerificationSuite().on_data(df).add_check(check).run()
+        assert result.status == CheckStatus.SUCCESS
+        (cr,) = result.check_results[check].constraint_results
+        assert cr.status == ConstraintStatus.SUCCESS
+        assert cr.metric is not None and cr.metric.value == 1.0
