@@ -992,3 +992,38 @@ class TestContainedInEscaping:
         (cr,) = result.check_results[check].constraint_results
         assert cr.status == ConstraintStatus.SUCCESS
         assert cr.metric is not None and cr.metric.value == 1.0
+
+
+class TestVerificationSuiteStateHooks:
+    """VerificationSuiteTest.scala:1138-1183 — saveStatesWith persists
+    the run's states (Sum 18, Completeness 6/6); aggregateWith doubles
+    them against stored priors (Sum 36, Completeness 6/12 = 0.5)."""
+
+    def test_save_states_with(self, df_numeric):
+        """:1138-1159."""
+        from deequ_spark import (Completeness, InMemoryStateProvider, Sum,
+                                 VerificationSuite)
+        provider = InMemoryStateProvider()
+        (VerificationSuite().on_data(df_numeric)
+         .add_required_analyzers([Sum("att2"), Completeness("att1")])
+         .save_states_with(provider).run())
+        assert provider.load(Sum("att2")).sum_value == 18.0
+        cs = provider.load(Completeness("att1"))
+        assert (cs.num_matches, cs.count) == (6, 6)
+
+    def test_aggregate_with(self, df_numeric):
+        """:1161-1183 — priors SumState(18) + NumMatchesAndCount(0, 6)."""
+        from deequ_spark import (Completeness, InMemoryStateProvider, Sum,
+                                 VerificationSuite)
+        from deequ_spark.analyzers.base import NumMatchesAndCount, SumState
+        prior = InMemoryStateProvider()
+        prior.persist(Sum("att2"), SumState(18.0))
+        prior.persist(Completeness("att1"), NumMatchesAndCount(0, 6))
+        result = (VerificationSuite().on_data(df_numeric)
+                  .add_required_analyzers([Sum("att2"),
+                                           Completeness("att1")])
+                  .aggregate_with(prior).run())
+        metrics = {type(a).__name__: m.value
+                   for a, m in result.metrics.metric_map.items()}
+        assert metrics["Sum"] == 36.0
+        assert metrics["Completeness"] == 0.5
