@@ -606,11 +606,12 @@ class HistogramBinned(Analyzer):
     custom_edges: Optional[Tuple[float, ...]] = None
     where: Optional[str] = None
     include_overflow_bins: bool = False
+    sum_column: Optional[str] = None
 
     name = "Histogram"  # reference reports binned histograms under Histogram
 
     def __init__(self, column, bin_count=None, custom_edges=None, where=None,
-                 include_overflow_bins=False):
+                 include_overflow_bins=False, sum_column=None):
         object.__setattr__(self, "column", column)
         object.__setattr__(self, "bin_count", bin_count)
         object.__setattr__(self, "custom_edges",
@@ -618,6 +619,9 @@ class HistogramBinned(Analyzer):
         object.__setattr__(self, "where", where)
         object.__setattr__(self, "include_overflow_bins",
                            bool(include_overflow_bins))
+        # Histogram.Sum aggregate (HistogramBinnedTest.scala:219-296):
+        # per-bin tallies SUM this column instead of counting rows
+        object.__setattr__(self, "sum_column", sum_column)
 
     @property
     def instance(self) -> str:
@@ -642,7 +646,12 @@ class HistogramBinned(Analyzer):
             if n_bins > self.MAX_ALLOWED_BINS:
                 raise ValueError(f"Cannot return histogram values for more "
                                  f"than {self.MAX_ALLOWED_BINS} bins")
-        return [has_column(self.column), is_numeric(self.column), edges_or_count]
+        checks = [has_column(self.column), is_numeric(self.column),
+                  edges_or_count]
+        if self.sum_column is not None:
+            checks += [has_column(self.sum_column),
+                       is_numeric(self.sum_column)]
+        return checks
 
     def _with_overflow_edges(self, edges):
         """±Inf under/overflow bins (HistogramBinned.scala:236-241): only
@@ -667,7 +676,12 @@ class HistogramBinned(Analyzer):
                 # rows counted as NULLs — a SUCCESS metric, not an error
                 # (HistogramBinnedTest.scala:298-315 "handle all null data
                 # gracefully")
-                n_null = data.count()
+                if self.sum_column is not None:
+                    n_null = int(data.agg(F.sum(F.coalesce(
+                        _col(self.sum_column).cast("long"),
+                        F.lit(0)))).collect()[0][0] or 0)
+                else:
+                    n_null = data.count()
                 return _BinnedState((), (), 0, n_null)
             lo, hi = float(row[0]), float(row[1])
             if lo == hi:
@@ -717,9 +731,13 @@ class HistogramBinned(Analyzer):
         # bins, out-of-range drops, and the null tally together (parity:
         # the reference's NullFieldReplacement label, Test :163-218,750)
         bucket = F.when(col.isNull(), F.lit(0)).otherwise(assign)
-        freq = (data.select(bucket.alias("bucket"))
+        # per-bucket tally: COUNT(*) by default; SUM(sum_column) with NULL
+        # tallies as 0 under Histogram.Sum (HistogramBinnedTest.scala:280)
+        tally = (F.coalesce(_col(self.sum_column).cast("long"), F.lit(0))
+                 if self.sum_column is not None else F.lit(1))
+        freq = (data.select(bucket.alias("bucket"), tally.alias("__tally"))
                 .where(F.col("bucket").isNotNull())
-                .groupBy("bucket").agg(F.count(F.lit(1)).alias(COUNT_COL)))
+                .groupBy("bucket").agg(F.sum("__tally").alias(COUNT_COL)))
         rows = freq.collect()
         counts = {int(r["bucket"]): int(r[COUNT_COL]) for r in rows}
         null_count = counts.pop(0, 0)

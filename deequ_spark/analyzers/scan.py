@@ -960,6 +960,39 @@ class InterquartileRange(ScanShareableAnalyzer):
         return DoubleMetric(self.entity, self.name, self.instance, state.value)
 
 
+@dataclass
+class ApproxQuantileState(State):
+    """MERGEABLE quantile state — a KLL sketch over the column (parity:
+    ApproxQuantileState's percentileDigest, which merges across
+    partitions/snapshots; we back it with the same KLL core the KLLSketch
+    analyzer uses — identical rank-error class to the digest).
+
+    The FUSED scan path keeps Spark's ``approx_percentile`` (JVM-side,
+    whole-stage-codegen) and yields a scalar `_QuantileState` snapshot;
+    this sketch state comes from ``compute_state_from`` and is the one to
+    persist when incremental merging is needed
+    (IncrementalAnalyzerTest.scala:177-201)."""
+
+    sketch: Any
+
+    def merge(self, other: "ApproxQuantileState") -> "ApproxQuantileState":
+        return ApproxQuantileState(self.sketch.merge(other.sketch))
+
+
+def _quantile_sketch_state(df, column: str, where: Optional[str],
+                           relative_error: float):
+    """One Arrow pass building the mergeable KLL-backed quantile state."""
+    from .kll import KLLParameters, KLLSketch, compute_kll_states
+    data = df.filter(where) if where is not None else df
+    # sketch size from the requested error: k ≈ 2/ε bounds rank error ~ε
+    k = max(2048, int(2.0 / max(relative_error, 1e-6)))
+    probe = KLLSketch(column, KLLParameters(sketch_size=k))
+    state = compute_kll_states(data, [probe]).get(probe)
+    if state is None or state.sketch.count == 0:
+        return None
+    return ApproxQuantileState(state.sketch)
+
+
 @dataclass(frozen=True, eq=False)
 class ApproxQuantile(ScanShareableAnalyzer):
     """Approximate quantile (Greenwald-Khanna via Spark's approx_percentile).
@@ -988,10 +1021,20 @@ class ApproxQuantile(ScanShareableAnalyzer):
             return None
         return _QuantileState(float(result[offset]))
 
+    def compute_state_from(self, df):
+        """Standalone state is the MERGEABLE sketch (see
+        ApproxQuantileState); the fused runner path stays on
+        approx_percentile."""
+        return _quantile_sketch_state(df, self.column, self.where,
+                                      self.relative_error)
+
     def compute_metric_from_state(self, state) -> DoubleMetric:
         if state is None:
             return self.to_failure_metric(EmptyStateError("Empty state"))
-        return DoubleMetric(self.entity, self.name, self.instance, state.value)
+        value = (state.sketch.quantile(self.quantile)
+                 if isinstance(state, ApproxQuantileState) else state.value)
+        return DoubleMetric(self.entity, self.name, self.instance,
+                            float(value))
 
 
 @dataclass(frozen=True, eq=False)
@@ -1023,10 +1066,20 @@ class ApproxQuantiles(ScanShareableAnalyzer):
         return _QuantileState(
             {str(q): float(v) for q, v in zip(self.quantiles, result[offset])})
 
+    def compute_state_from(self, df):
+        """Mergeable sketch state, as for ApproxQuantile."""
+        return _quantile_sketch_state(df, self.column, self.where,
+                                      self.relative_error)
+
     def compute_metric_from_state(self, state) -> Metric:
         if state is None:
             return self.to_failure_metric(EmptyStateError("Empty state"))
-        return KeyedDoubleMetric(self.entity, self.name, self.instance, state.value)
+        if isinstance(state, ApproxQuantileState):
+            value = {str(q): float(state.sketch.quantile(q))
+                     for q in self.quantiles}
+        else:
+            value = state.value
+        return KeyedDoubleMetric(self.entity, self.name, self.instance, value)
 
 
 @dataclass(frozen=True)

@@ -132,6 +132,11 @@ class FileSystemStateProvider(StateProvider):
         elif isinstance(state, S.ApproxCountDistinctState):
             payload = {"stateType": "ApproxCountDistinctState",
                        "sketch": base64.b64encode(state.sketch_bytes).decode()}
+        elif isinstance(state, S.ApproxQuantileState):
+            import pickle
+            payload = {"stateType": "ApproxQuantileState",
+                       "sketch": base64.b64encode(
+                           pickle.dumps(state.sketch)).decode()}
         elif dataclasses.is_dataclass(state):
             payload = {"stateType": type(state).__name__,
                        **dataclasses.asdict(state)}
@@ -161,6 +166,10 @@ class FileSystemStateProvider(StateProvider):
                             KLLParameters(*payload["parameters"]))
         if stype == "ApproxCountDistinctState":
             return S.ApproxCountDistinctState(base64.b64decode(payload["sketch"]))
+        if stype == "ApproxQuantileState":
+            import pickle
+            return S.ApproxQuantileState(
+                pickle.loads(base64.b64decode(payload["sketch"])))
         cls = _SCALAR_STATES.get(stype)
         if cls is None:
             raise ValueError(f"Unknown state type {stype}")

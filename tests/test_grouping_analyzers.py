@@ -668,3 +668,70 @@ class TestHistogramReferenceFixtures:
         a2 = Histogram("category", max_detail_bins=10)
         m2 = do_analysis_run(df2, [a2]).metric_map[a2]
         assert all(dm.name != "Histogram.tailCount" for dm in m2.flattened)
+
+
+class TestHistogramBinnedSumAggregate:
+    """HistogramBinnedTest.scala:219-296, :629-672, :868-889 — the
+    Histogram.Sum aggregate: per-bin tallies SUM a second column instead
+    of counting rows; NULL tallies contribute 0; NULL keys tally into
+    nullCount; edges stay count-independent."""
+
+    def test_sum_equal_width(self, spark):
+        """:219-254 — revenue sums per equal-width price bin."""
+        from deequ_spark.analyzers.grouping import HistogramBinned
+        df = spark.createDataFrame(
+            [(100.0, 50), (150.0, 75), (250.0, 100), (300.0, 125),
+             (450.0, 200), (500.0, 250)], "price double, revenue int")
+        a = HistogramBinned("price", bin_count=3, sum_column="revenue")
+        m = a.calculate(df)
+        assert m.is_success
+        dist = m.value
+        assert dist.number_of_bins == 3
+        sums = [v.absolute for v in dist.values.values()]
+        assert sums == [125, 225, 450]
+        labels = list(dist.values)
+        assert labels[0].startswith("[100") and labels[-1].endswith("500]")
+
+    def test_sum_with_nulls(self, spark):
+        """:256-296 — null revenue → 0; null price rows' revenue lands in
+        nullCount (999 + 888 = 1887); edges from non-null prices only."""
+        from deequ_spark.analyzers.grouping import HistogramBinned
+        df = spark.createDataFrame(
+            [(100.0, 50), (None, 999), (150.0, 75), (250.0, None),
+             (300.0, 125), (450.0, 200), (None, 888)],
+            "price double, revenue int")
+        a = HistogramBinned("price", bin_count=3, sum_column="revenue")
+        m = a.calculate(df)
+        assert m.is_success
+        dist = m.value
+        assert dist.number_of_bins == 3
+        assert [v.absolute for v in dist.values.values()] == [125, 125, 200]
+        assert dist.null_count == 1887
+
+    def test_sum_custom_edges(self, spark):
+        """:629-672 — tax collected per income bracket."""
+        from deequ_spark.analyzers.grouping import HistogramBinned
+        df = spark.createDataFrame(
+            [(25000.0, 2500), (35000.0, 4200), (45000.0, 6750),
+             (75000.0, 15000), (120000.0, 28800), (200000.0, 54000)],
+            "income double, tax_paid int")
+        a = HistogramBinned("income",
+                            custom_edges=(0.0, 40000.0, 100000.0, 300000.0),
+                            sum_column="tax_paid")
+        m = a.calculate(df)
+        assert m.is_success
+        assert [v.absolute for v in m.value.values.values()] == \
+            [6700, 21750, 82800]
+
+    def test_sum_with_overflow(self, spark):
+        """:868-889 — overflow bins tally sums too."""
+        from deequ_spark.analyzers.grouping import HistogramBinned
+        df = spark.createDataFrame(
+            [(-5.0, 100), (5.0, 200), (15.0, 300), (25.0, 400)],
+            "values double, amount int")
+        a = HistogramBinned("values", custom_edges=(0.0, 10.0, 20.0),
+                            include_overflow_bins=True, sum_column="amount")
+        m = a.calculate(df)
+        assert m.is_success
+        assert [v.absolute for v in m.value.values.values()] == \
+            [100, 200, 300, 400]

@@ -1549,3 +1549,23 @@ class TestStateProviderHistogramParity:
         merged = loaded.merge(fresh)   # JSON-round-tripped × in-memory
         m = analyzer.compute_metric_from_state(merged)
         assert sum(v.absolute for v in m.value.values.values()) == 12
+
+
+class TestApproxQuantileStatePersistence:
+    """The mergeable KLL-backed ApproxQuantileState round-trips through
+    FileSystemStateProvider and still answers quantile queries."""
+
+    def test_filesystem_roundtrip(self, spark, tmp_path):
+        from deequ_spark import ApproxQuantile
+        df = spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                                   "v double")
+        a = ApproxQuantile("v", 0.5)
+        prov = FileSystemStateProvider(str(tmp_path / "aq"), spark)
+        state = a.compute_state_from(df)
+        prov.persist(a, state)
+        loaded = prov.load(a)
+        m = a.compute_metric_from_state(loaded)
+        assert m.is_success and abs(m.value - 50.0) <= 2.0
+        merged = loaded.merge(state)
+        m2 = a.compute_metric_from_state(merged)
+        assert abs(m2.value - 50.0) <= 2.0

@@ -289,3 +289,121 @@ class TestStateProviderRestoreGrid:
         lax.persist(a, state)      # overwrite succeeds
         m = a.compute_metric_from_state(lax.load(a))
         assert m.value == pytest.approx(36.857142857142854)
+
+
+class TestIncrementalAnalyzerParity:
+    """Transcribed from analyzers/IncrementalAnalyzerTest.scala (line
+    refs per test): initial (3 rows) + delta (2 rows) + moreDelta
+    snapshots — per-analyzer initial/delta/merged EXACT values."""
+
+    @pytest.fixture(scope="class")
+    def initial(self, spark):
+        return spark.createDataFrame(
+            [("1", "a", 12), ("2", None, 12), ("3", "b", 12)],
+            "item string, att1 string, count int")
+
+    @pytest.fixture(scope="class")
+    def delta(self, spark):
+        return spark.createDataFrame(
+            [("4", "b", 12), ("5", None, 12)],
+            "item string, att1 string, count int")
+
+    @pytest.fixture(scope="class")
+    def more_delta(self, spark):
+        return spark.createDataFrame(
+            [("6", "a", 12), ("7", None, 12)],
+            "item string, att1 string, count int")
+
+    def _trio(self, analyzer, initial, delta):
+        s1 = analyzer.compute_state_from(initial)
+        s2 = analyzer.compute_state_from(delta)
+        return (analyzer.compute_metric_from_state(s1).value,
+                analyzer.compute_metric_from_state(s2).value,
+                analyzer.compute_metric_from_state(s1.merge(s2)).value)
+
+    def test_size(self, initial, delta):
+        """:32-53."""
+        from deequ_spark import Size
+        assert self._trio(Size(), initial, delta) == (3.0, 2.0, 5.0)
+
+    def test_compliance(self, initial, delta):
+        """:56-78 — 1/3, 1/2, merged 2/5."""
+        from deequ_spark import Compliance
+        i, d, m = self._trio(Compliance("att1", "att1 = 'b'",
+                                        columns=("att1",)), initial, delta)
+        assert i == pytest.approx(1 / 3) and d == 0.5 and m == 0.4
+
+    def test_completeness(self, initial, delta):
+        """:80-102 — 2/3, 1/2, merged 3/5."""
+        from deequ_spark import Completeness
+        i, d, m = self._trio(Completeness("att1"), initial, delta)
+        assert i == pytest.approx(2 / 3) and d == 0.5 and m == 0.6
+
+    def test_uniqueness_single(self, initial, delta):
+        """:104-124 — 1.0, 1.0, merged 1/3."""
+        from deequ_spark import Uniqueness
+        i, d, m = self._trio(Uniqueness(("att1",)), initial, delta)
+        assert (i, d) == (1.0, 1.0) and m == pytest.approx(1 / 3)
+
+    def test_uniqueness_combination(self, initial, delta):
+        """:126-148 — (att1, count): 1.0, 1.0, merged 0.2."""
+        from deequ_spark import Uniqueness
+        i, d, m = self._trio(Uniqueness(("att1", "count")), initial, delta)
+        assert (i, d) == (1.0, 1.0) and m == pytest.approx(0.2)
+
+    def test_entropy(self, initial, delta):
+        """:150-174 — incremental equals non-incremental."""
+        from deequ_spark import Entropy
+        a = Entropy("att1")
+        i, d, m = self._trio(a, initial, delta)
+        assert i == pytest.approx(a.calculate(initial).value)
+        assert d == pytest.approx(a.calculate(delta).value)
+        assert m == pytest.approx(a.calculate(initial.union(delta)).value)
+
+    def test_approx_quantile_merge(self, spark):
+        """:177-201 — median of merged KLL/approx states == exact 0.0."""
+        from deequ_spark import ApproxQuantile
+        first = spark.createDataFrame(
+            [("1", 0.0), ("2", 1.0), ("3", 2.0)], "item string, att1 double")
+        second = spark.createDataFrame(
+            [("1", -2.0), ("2", -1.0)], "item string, att1 double")
+        a = ApproxQuantile("att1", 0.5)
+        merged = a.compute_state_from(first).merge(
+            a.compute_state_from(second))
+        summed = a.compute_metric_from_state(merged).value
+        direct = a.calculate(first.union(second)).value
+        assert direct == 0.0 and summed == direct
+
+    def test_entropy_three_snapshots(self, initial, delta, more_delta):
+        """:203-241 — chained merges track the non-incremental series."""
+        from deequ_spark import Entropy
+        a = Entropy("att1")
+        s1 = a.compute_state_from(initial)
+        s12 = s1.merge(a.compute_state_from(delta))
+        s123 = s12.merge(a.compute_state_from(more_delta))
+        assert a.compute_metric_from_state(s1).value == \
+            pytest.approx(a.calculate(initial).value)
+        assert a.compute_metric_from_state(s12).value == \
+            pytest.approx(a.calculate(initial.union(delta)).value)
+        assert a.compute_metric_from_state(s123).value == \
+            pytest.approx(a.calculate(
+                initial.union(delta).union(more_delta)).value)
+
+    def test_histogram_state_sum_no_error(self, spark):
+        """StateAggregationIntegrationTest.scala:269-284 (DEEQU-189) —
+        summing two histogram states of the same data does not throw."""
+        from deequ_spark.analyzers.grouping import Histogram
+        data = spark.createDataFrame(
+            [(1, "Thingy A", "awesome thing.", "high", 0),
+             (2, "Thingy B", "available at http://thingb.com", None, 0),
+             (3, None, None, "low", 5),
+             (4, "Thingy D", "checkout https://thingd.ca", "low", 10),
+             (5, "Thingy E", None, "high", 12)],
+            "id int, productName string, description string, "
+            "priority string, numViews int")
+        a = Histogram("id")
+        s1 = a.compute_state_from(data)
+        s2 = a.compute_state_from(data)
+        merged = s1.merge(s2)
+        m = a.compute_metric_from_state(merged)
+        assert m.is_success and m.value.number_of_bins == 5
