@@ -828,6 +828,17 @@ def q_histogram_binned(spark, sf_dir):
     rows += [(f"ovf_bin_{i}", dv.absolute)
              for i, dv in enumerate(odist.values.values())]
     rows.append(("ovf_bins", float(odist.number_of_bins)))
+    # Histogram.Sum aggregate (r7): per-bin tallies SUM l_extendedprice
+    # (cast to long) instead of counting rows
+    summed = HistogramBinned("l_quantity",
+                             custom_edges=[0.5, 25.5, 50.5],
+                             sum_column="l_extendedprice")
+    sctx = do_analysis_run(
+        df.withColumn("l_extendedprice",
+                      F.col("l_extendedprice").cast("long")), [summed])
+    sdist = sctx.metric_map[summed].value
+    rows += [(f"sum_bin_{i}", dv.absolute)
+             for i, dv in enumerate(sdist.values.values())]
     return _metrics_df(spark, rows)
 
 
@@ -2465,6 +2476,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'ovf_bin_2', CAST(SUM(CASE WHEN l_quantity >= 20.5 AND l_quantity <= 30.5 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
             UNION ALL SELECT 'ovf_bin_3', CAST(SUM(CASE WHEN l_quantity > 30.5 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
             UNION ALL SELECT 'ovf_bins', 4.0
+            -- Sum aggregate: per-bin SUM of l_extendedprice (long cast)
+            UNION ALL SELECT 'sum_bin_0', CAST(SUM(CASE WHEN l_quantity >= 0.5 AND l_quantity < 25.5 THEN CAST(FLOOR(l_extendedprice) AS BIGINT) ELSE 0 END) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'sum_bin_1', CAST(SUM(CASE WHEN l_quantity >= 25.5 AND l_quantity <= 50.5 THEN CAST(FLOOR(l_extendedprice) AS BIGINT) ELSE 0 END) AS DOUBLE) FROM lineitem
         """,
         "referential_integrity": """
             SELECT 'ri_orders_in_customer' AS metric,
