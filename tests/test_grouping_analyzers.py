@@ -735,3 +735,118 @@ class TestHistogramBinnedSumAggregate:
         assert m.is_success
         assert [v.absolute for v in m.value.values.values()] == \
             [100, 200, 300, 400]
+
+
+class TestHistogramBinnedEdgeRouting:
+    """HistogramBinnedTest.scala edge-routing fixtures not yet mirrored
+    (line refs per test): float precision, duplicate boundary values,
+    single bin, negative edges, on-edge routing with overflow, extreme
+    doubles, where+overflow, empty/all-null with overflow."""
+
+    @staticmethod
+    def _freqs(spark, rows, schema, **kwargs):
+        from deequ_spark.analyzers.grouping import HistogramBinned
+        df = spark.createDataFrame(rows, schema)
+        m = HistogramBinned("values", **kwargs).calculate(df)
+        assert m.is_success, m.error
+        return [v.absolute for v in m.value.values.values()], m.value
+
+    def test_float_precision_at_boundaries(self, spark):
+        """:431-448 — 9.999999999 below, 10.0 and 10.000000001 above."""
+        freqs, _ = self._freqs(
+            spark, [(9.999999999,), (10.0,), (10.000000001,)],
+            "values double", custom_edges=(0.0, 10.0, 20.0))
+        assert freqs == [1, 2]
+
+    def test_null_values_with_custom_edges(self, spark):
+        """:450-480."""
+        freqs, dist = self._freqs(
+            spark, [(1.0,), (None,), (3.0,), (None,), (5.0,), (7.0,),
+                    (None,), (9.0,)],
+            "values double", custom_edges=(0.0, 4.0, 8.0, 10.0))
+        assert freqs == [2, 2, 1] and dist.null_count == 3
+
+    def test_duplicates_at_boundaries(self, spark):
+        """:482-502 — boundary duplicates land lower-inclusive."""
+        freqs, _ = self._freqs(
+            spark, [(5.0,)] * 3 + [(10.0,)] * 2 + [(15.0,)],
+            "values double", custom_edges=(0.0, 5.0, 10.0, 20.0))
+        assert freqs == [0, 3, 3]
+
+    def test_single_bin_two_edges(self, spark):
+        """:504-524 — one [0, 10] bin takes everything."""
+        freqs, dist = self._freqs(
+            spark, [(float(i),) for i in range(1, 6)], "values double",
+            custom_edges=(0.0, 10.0))
+        assert dist.number_of_bins == 1 and freqs == [5]
+
+    def test_negative_edges(self, spark):
+        """:526-548."""
+        freqs, _ = self._freqs(
+            spark, [(-10.0,), (-5.0,), (0.0,), (5.0,), (10.0,)],
+            "values double", custom_edges=(-15.0, -2.0, 3.0, 12.0))
+        assert freqs == [2, 1, 2]
+
+    def test_boundary_values(self, spark):
+        """:549-577 — on-edge values lower-inclusive; last bin takes its
+        upper edge."""
+        freqs, _ = self._freqs(
+            spark, [(0.0,), (5.0,), (10.0,), (15.0,), (20.0,)],
+            "values double", custom_edges=(0.0, 5.0, 10.0, 20.0))
+        assert freqs == [1, 1, 3]
+
+    def test_on_edge_routing_with_overflow(self, spark):
+        """:833-851 + :1012-1032 — with ±Inf overflow the LAST INTERIOR
+        edge stays inclusive; the first edge routes into the first
+        interior bin, leaving both overflow bins empty."""
+        freqs, _ = self._freqs(
+            spark, [(0.0,), (10.0,), (20.0,)], "values double",
+            custom_edges=(0.0, 10.0, 20.0), include_overflow_bins=True)
+        assert freqs == [0, 1, 2, 0]
+        freqs2, _ = self._freqs(
+            spark, [(0.0,), (5.0,), (10.0,), (15.0,), (20.0,)],
+            "values double", custom_edges=(0.0, 10.0, 20.0),
+            include_overflow_bins=True)
+        assert freqs2 == [0, 2, 3, 0]
+
+    def test_single_edge_pair_with_overflow(self, spark):
+        """:853-866."""
+        freqs, dist = self._freqs(
+            spark, [(-1.0,), (5.0,), (15.0,)], "values double",
+            custom_edges=(0.0, 10.0), include_overflow_bins=True)
+        assert dist.number_of_bins == 3 and freqs == [1, 1, 1]
+
+    def test_extreme_values_in_overflow(self, spark):
+        """:945-957 — ±1e308 and Double.Min/MaxValue route to overflow."""
+        import sys
+        freqs, _ = self._freqs(
+            spark, [(-sys.float_info.max,), (-1e308,), (5.0,), (1e308,),
+                    (sys.float_info.max,)], "values double",
+            custom_edges=(0.0, 10.0), include_overflow_bins=True)
+        assert freqs == [2, 1, 2]
+
+    def test_where_with_overflow(self, spark):
+        """:890-910."""
+        from deequ_spark.analyzers.grouping import HistogramBinned
+        df = spark.createDataFrame(
+            [(1, -5.0), (2, 5.0), (3, 15.0), (4, 25.0)],
+            "id int, values double")
+        m = HistogramBinned("values", custom_edges=(0.0, 10.0, 20.0),
+                            include_overflow_bins=True,
+                            where="id <= 2").calculate(df)
+        assert [v.absolute for v in m.value.values.values()] == [1, 1, 0, 0]
+
+    def test_empty_data_with_overflow(self, spark):
+        """:912-925."""
+        freqs, dist = self._freqs(
+            spark, [], "values double", custom_edges=(0.0, 10.0, 20.0),
+            include_overflow_bins=True)
+        assert dist.number_of_bins == 4 and freqs == [0, 0, 0, 0]
+
+    def test_all_nulls_with_overflow(self, spark):
+        """:927-943."""
+        freqs, dist = self._freqs(
+            spark, [(None,)] * 3, "values double",
+            custom_edges=(0.0, 10.0, 20.0), include_overflow_bins=True)
+        assert dist.number_of_bins == 4 and freqs == [0, 0, 0, 0]
+        assert dist.null_count == 3
