@@ -1224,3 +1224,85 @@ class TestRowLevelSpecEdges:
             additional_datasets={"ref": ref})
         assert res["ruleOutcomes"].collect()[0]["Outcome"] == "Passed"
         assert res["rowLevelOutcomes"].count() == 3
+
+
+class TestColumnLengthRuleSpecParity:
+    """Transcribed from dqdl/translation/rules/ColumnLengthRuleSpec.scala
+    (behavioral form: each operator shape evaluated over a fixture whose
+    expected outcome is hand-derived; line refs per test)."""
+
+    @pytest.fixture(scope="class")
+    def df_len(self, spark):
+        # lengths: 1, 3, 5, 7
+        return spark.createDataFrame(
+            [("a", "x"), ("abc", "x"), ("abcde", "y"), ("abcdefg", "y")],
+            "`Col A` string, grp string")
+
+    def _outcome(self, df, ruleset):
+        row = EvaluateDataQuality.process(df, ruleset).collect()[0]
+        return row["Outcome"]
+
+    def test_greater_than(self, df_len):
+        """:30-46."""
+        assert self._outcome(df_len,
+                             'Rules=[ColumnLength "Col A" > 0]') == "Passed"
+        assert self._outcome(df_len,
+                             'Rules=[ColumnLength "Col A" > 3]') == "Failed"
+
+    def test_less_than(self, df_len):
+        """:48-62."""
+        assert self._outcome(df_len,
+                             'Rules=[ColumnLength "Col A" < 8]') == "Passed"
+        assert self._outcome(df_len,
+                             'Rules=[ColumnLength "Col A" < 7]') == "Failed"
+
+    def test_between_bounds_exclusive(self, df_len):
+        """:64-79 — Glue between is EXCLUSIVE both ends."""
+        assert self._outcome(
+            df_len, 'Rules=[ColumnLength "Col A" between 0 and 8]') == \
+            "Passed"
+        assert self._outcome(
+            df_len, 'Rules=[ColumnLength "Col A" between 1 and 8]') == \
+            "Failed"
+
+    def test_equals_constant_length(self, spark):
+        """:81-96."""
+        df = spark.createDataFrame([("ab", 1), ("cd", 2)],
+                                   "`Col A` string, n int")
+        assert self._outcome(df, 'Rules=[ColumnLength "Col A" = 2]') == \
+            "Passed"
+        assert self._outcome(df, 'Rules=[ColumnLength "Col A" = 3]') == \
+            "Failed"
+
+    def test_quoted_column_name(self, df_len):
+        """:98-110 — space-bearing column names survive quoting."""
+        assert self._outcome(df_len,
+                             'Rules=[ColumnLength "Col A" >= 1]') == "Passed"
+
+    def test_where_clause(self, df_len):
+        """:112-144 — GREATER_THAN and BETWEEN with where clauses."""
+        assert self._outcome(
+            df_len,
+            'Rules=[ColumnLength "Col A" > 4 where "grp = \'y\'"]') == \
+            "Passed"
+        assert self._outcome(
+            df_len,
+            'Rules=[ColumnLength "Col A" between 2 and 8 '
+            'where "grp = \'y\'"]') == "Passed"
+        assert self._outcome(
+            df_len,
+            'Rules=[ColumnLength "Col A" > 4 where "grp = \'x\'"]') == \
+            "Failed"
+
+    def test_in_and_not_in(self, df_len):
+        """:146-176 — IN / NOT_IN over length sets."""
+        assert self._outcome(
+            df_len, 'Rules=[ColumnLength "Col A" in [1, 3, 5, 7]]') == \
+            "Passed"
+        assert self._outcome(
+            df_len, 'Rules=[ColumnLength "Col A" in [1, 3]]') == "Failed"
+        assert self._outcome(
+            df_len, 'Rules=[ColumnLength "Col A" not in [2, 4, 6]]') == \
+            "Passed"
+        assert self._outcome(
+            df_len, 'Rules=[ColumnLength "Col A" not in [1]]') == "Failed"
