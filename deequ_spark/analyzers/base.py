@@ -56,10 +56,39 @@ class EmptyStateError(ValueError):
     """Raised when a metric is requested from an empty (no-data) state."""
 
 
+class IllegalAnalyzerParameterError(PreconditionError):
+    """Parity: runners.IllegalAnalyzerParameterException — an analyzer was
+    constructed with an out-of-range parameter; surfaces as a failure
+    metric through the precondition machinery, never as a thrown error
+    from the run (AnalysisTest.scala:228-262)."""
+
+
+def _case_sensitive_resolution() -> bool:
+    """Mirror of Analyzer.scala:340-343 — column lookups follow the
+    session's spark.sql.caseSensitive (default false)."""
+    try:
+        from pyspark.sql import SparkSession
+        session = SparkSession.getActiveSession()
+        if session is not None:
+            return session.conf.get(
+                "spark.sql.caseSensitive", "false").lower() == "true"
+    except Exception:
+        pass
+    return False
+
+
 def find_field(schema: T.StructType, column: str) -> T.StructField:
+    # Accept user-quoted names ("`item.one`") like the reference, whose
+    # analyzers resolve them through Spark (AnalysisTest.scala:63-86)
+    lookup = (column[1:-1] if len(column) >= 2 and column.startswith("`")
+              and column.endswith("`") else column)
     for f in schema.fields:
-        if f.name == column:
+        if f.name == lookup:
             return f
+    if not _case_sensitive_resolution():  # Analyzer.scala:354-361
+        for f in schema.fields:
+            if f.name.lower() == lookup.lower():
+                return f
     raise NoSuchColumnError(f"Input data does not include column {column}!")
 
 

@@ -39,6 +39,8 @@ from .base import (Analyzer, CorrelationState, EmptyStateError,
 
 
 def _col(name: str) -> Column:
+    if len(name) >= 2 and name.startswith("`") and name.endswith("`"):
+        return F.col(name)  # user-quoted (reference accepts "`item.one`")
     return F.col(f"`{name}`") if "." in name or " " in name else F.col(name)
 
 
@@ -979,6 +981,26 @@ class ApproxQuantileState(State):
         return ApproxQuantileState(self.sketch.merge(other.sketch))
 
 
+def _quantile_param_checks(quantiles, relative_error: float):
+    """Parity: ApproxQuantile.scala:58-67 PARAM_CHECKS — quantile and
+    relativeError must both lie in the closed interval [0, 1]; violations
+    become failure metrics via preconditions (AnalysisTest.scala:237-262),
+    with the reference's exact messages."""
+    from .base import IllegalAnalyzerParameterError
+
+    def check(schema) -> None:
+        for q in quantiles:
+            if q < 0.0 or q > 1.0:
+                raise IllegalAnalyzerParameterError(
+                    "Quantile parameter must be in the closed interval "
+                    f"[0, 1]. Currently, the value is: {q}!")
+        if relative_error < 0.0 or relative_error > 1.0:
+            raise IllegalAnalyzerParameterError(
+                "Relative error parameter must be in the closed interval "
+                f"[0, 1]. Currently, the value is: {relative_error}!")
+    return check
+
+
 def _quantile_sketch_state(df, column: str, where: Optional[str],
                            relative_error: float):
     """One Arrow pass building the mergeable KLL-backed quantile state."""
@@ -1002,14 +1024,20 @@ class ApproxQuantile(ScanShareableAnalyzer):
     relative_error: float = 0.01
     where: Optional[str] = None
 
-    name = "ApproxQuantile"
+    @property
+    def name(self) -> str:
+        """Metric name embeds the quantile — ApproxQuantile.scala:97
+        emits s"ApproxQuantile-$quantile" (AnalysisTest.scala:139 asserts
+        "ApproxQuantile-0.5")."""
+        return f"ApproxQuantile-{self.quantile}"
 
     @property
     def instance(self) -> str:
         return self.column
 
     def preconditions(self):
-        return [has_column(self.column), is_numeric(self.column)]
+        return [_quantile_param_checks((self.quantile,), self.relative_error),
+                has_column(self.column), is_numeric(self.column)]
 
     def aggregation_functions(self) -> List[Column]:
         sel = conditional_selection(_col(self.column), self.where).cast("double")
@@ -1052,7 +1080,8 @@ class ApproxQuantiles(ScanShareableAnalyzer):
         return self.column
 
     def preconditions(self):
-        return [has_column(self.column), is_numeric(self.column)]
+        return [_quantile_param_checks(self.quantiles, self.relative_error),
+                has_column(self.column), is_numeric(self.column)]
 
     def aggregation_functions(self) -> List[Column]:
         sel = conditional_selection(_col(self.column), self.where).cast("double")

@@ -253,8 +253,12 @@ def _run_scanning_analyzers(data: DataFrame,
         try:
             aggs = a.aggregation_functions()
         except Exception as exc:  # noqa: BLE001
-            ctx.metric_map[a] = a.to_failure_metric(exc)
-            continue
+            # Parity AnalysisTest.scala:342-365: a failure while BUILDING
+            # the fused aggregation fails every analyzer in the scan group
+            # (the expressions were to be computed in one shared pass)
+            for other in analyzers:
+                ctx.metric_map[other] = other.to_failure_metric(exc)
+            return ctx
         aggregations.extend(aggs)
         offsets.append(current)
         current += len(aggs)
@@ -320,7 +324,16 @@ def _run_grouping_analyzers(data: DataFrame,
     offsets: List[int] = []
     current = 1
     for a in shareable:
-        aggs = a.aggregation_functions()
+        try:
+            aggs = a.aggregation_functions()
+        except Exception as exc:  # noqa: BLE001
+            # Parity AnalysisTest.scala:398-427: failure while building the
+            # fused second stage fails every analyzer sharing the GROUP BY
+            for other in analyzers:
+                ctx.metric_map[other] = other.to_failure_metric(exc)
+            if needs_persist:
+                frequencies.unpersist()
+            return ctx
         aggregations.extend(aggs)
         offsets.append(current)
         current += len(aggs)

@@ -441,3 +441,285 @@ class TestColumnCountParity:
         a = ColumnCount()
         m = calc(df, a)
         assert m.is_success and m.value == 5.0
+
+
+# ---------------------------------------------------------------------------
+# ComplianceTest.scala — fullColumn row-level truth tables, transcribed
+# case-for-case (line refs per test). The reference asserts on
+# metric.fullColumn selected against the input df; our equivalent surface
+# is Compliance.row_level_results().
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def df_nationality(spark):
+    """ComplianceTest.scala:76-84 inline fixture (NULL in where column)."""
+    return spark.createDataFrame(
+        [("1", "USA", "AUS"), ("2", "GER", "AUS"), ("3", "USA", None),
+         ("4", "GER", None), ("5", "USA", "USA")],
+        "item string, championnationality string, runnerupnationality string")
+
+
+def _row_level(df, analyzer, order="item"):
+    rows = (df.withColumn("new", analyzer.row_level_results())
+            .orderBy(order).collect())
+    return [r["new"] for r in rows]
+
+
+class TestComplianceFullColumnParity:
+    """ComplianceTest.scala:27-235 (every case in the file)."""
+
+    def _mk(self, **kw):
+        from deequ_spark import Compliance
+        return Compliance(**kw)
+
+    def test_row_level_for_columns(self, df_numeric_values):
+        """:28-37 — att1 > 3."""
+        a = self._mk(instance_name="rule1", predicate="att1 > 3",
+                     columns=("att1",))
+        assert _row_level(df_numeric_values, a) == \
+            [False, False, False, True, True, True]
+
+    def test_row_level_for_null_columns(self, df_numeric_values):
+        """:39-48 — attNull > 3: three-valued SQL keeps NULL rows NULL."""
+        a = self._mk(instance_name="rule1", predicate="attNull > 3",
+                     columns=("att1",))
+        assert _row_level(df_numeric_values, a) == \
+            [None, None, None, True, True, True]
+
+    def test_filtered_with_null(self, df_numeric_values):
+        """:50-61 — att1 > 4 where att2 != 0, FilteredRowOutcome.NULL."""
+        from deequ_spark import AnalyzerOptions, FilteredRowOutcome
+        a = self._mk(instance_name="rule1", predicate="att1 > 4",
+                     where="att2 != 0",
+                     analyzer_options=AnalyzerOptions(
+                         filtered_row=FilteredRowOutcome.NULL))
+        assert _row_level(df_numeric_values, a) == \
+            [None, None, None, False, True, True]
+
+    def test_filtered_with_true(self, df_numeric_values):
+        """:63-74 — same rule, FilteredRowOutcome.TRUE."""
+        from deequ_spark import AnalyzerOptions, FilteredRowOutcome
+        a = self._mk(instance_name="rule1", predicate="att1 > 4",
+                     where="att2 != 0",
+                     analyzer_options=AnalyzerOptions(
+                         filtered_row=FilteredRowOutcome.TRUE))
+        assert _row_level(df_numeric_values, a) == \
+            [True, True, True, False, True, True]
+
+    def test_null_in_where_column_treated_as_filtered(self, df_nationality):
+        """:76-103 — NULL in the where column ⇒ row is filtered ⇒ TRUE."""
+        from deequ_spark import AnalyzerOptions, FilteredRowOutcome
+        a = self._mk(instance_name="rule1",
+                     predicate="championnationality IN ('USA', 'AUS')",
+                     where="runnerupnationality = 'AUS'",
+                     analyzer_options=AnalyzerOptions(
+                         filtered_row=FilteredRowOutcome.TRUE))
+        assert _row_level(df_nationality, a) == \
+            [True, False, True, True, True]
+
+    PRED_BOUNDS = ("`att1` IS NULL OR (`att1` >= 2 AND `att1` <= 5)")
+
+    def test_compliance_in_bounds(self, df_numeric_values):
+        """:105-124 — isContainedIn-range style predicate."""
+        a = self._mk(instance_name="att1 between 2 and 5",
+                     predicate=self.PRED_BOUNDS, columns=("att3",))
+        assert _row_level(df_numeric_values, a) == \
+            [False, True, True, True, True, False]
+
+    def test_in_bounds_filtered_as_null(self, df_numeric_values):
+        """:126-147 — where att1 < 4, NULL outcome for filtered rows."""
+        from deequ_spark import AnalyzerOptions, FilteredRowOutcome
+        a = self._mk(instance_name="att1 between 2 and 5",
+                     predicate=self.PRED_BOUNDS, where="att1 < 4",
+                     columns=("att3",),
+                     analyzer_options=AnalyzerOptions(
+                         filtered_row=FilteredRowOutcome.NULL))
+        assert _row_level(df_numeric_values, a) == \
+            [False, True, True, None, None, None]
+
+    def test_in_bounds_filtered_as_true(self, df_numeric_values):
+        """:149-170 — TRUE outcome for filtered rows."""
+        from deequ_spark import AnalyzerOptions, FilteredRowOutcome
+        a = self._mk(instance_name="att1 between 2 and 5",
+                     predicate=self.PRED_BOUNDS, where="att1 < 4",
+                     columns=("att3",),
+                     analyzer_options=AnalyzerOptions(
+                         filtered_row=FilteredRowOutcome.TRUE))
+        assert _row_level(df_numeric_values, a) == \
+            [False, True, True, True, True, True]
+
+    PRED_ARRAY = "`att1` IS NULL OR `att1` IN ('3','4','5')"
+
+    def test_compliance_in_array(self, df_numeric_values):
+        """:172-191 — isContainedIn-values style predicate."""
+        a = self._mk(instance_name="att1 contained in 3,4,5",
+                     predicate=self.PRED_ARRAY, columns=("att3",))
+        assert _row_level(df_numeric_values, a) == \
+            [False, False, True, True, True, False]
+
+    def test_in_array_filtered_as_null(self, df_numeric_values):
+        """:193-214 — where att1 < 5, NULL outcome."""
+        from deequ_spark import AnalyzerOptions, FilteredRowOutcome
+        a = self._mk(instance_name="att1 contained in 3,4,5",
+                     predicate=self.PRED_ARRAY, where="att1 < 5",
+                     columns=("att3",),
+                     analyzer_options=AnalyzerOptions(
+                         filtered_row=FilteredRowOutcome.NULL))
+        assert _row_level(df_numeric_values, a) == \
+            [False, False, True, True, None, None]
+
+    def test_in_array_filtered_as_true(self, df_numeric_values):
+        """:216-237 — TRUE outcome."""
+        from deequ_spark import AnalyzerOptions, FilteredRowOutcome
+        a = self._mk(instance_name="att1 contained in 3,4,5",
+                     predicate=self.PRED_ARRAY, where="att1 < 5",
+                     columns=("att3",),
+                     analyzer_options=AnalyzerOptions(
+                         filtered_row=FilteredRowOutcome.TRUE))
+        assert _row_level(df_numeric_values, a) == \
+            [False, False, True, True, True, True]
+
+    def test_preserve_full_column_when_where_filters_all_rows(
+            self, df_numeric_values):
+        """:239-250 — empty state, failed metric, row-level still defined
+        (all rows filtered ⇒ TRUE under the default treatment)."""
+        a = self._mk(instance_name="att1 positive", predicate="att1 > 0",
+                     where="att1 > 100")
+        state = a.compute_state_from(df_numeric_values)
+        assert state is None
+        m = a.compute_metric_from_state(state)
+        assert not m.is_success
+        assert _row_level(df_numeric_values, a) == [True] * 6
+
+    def test_null_row_level_when_where_filters_all_rows(
+            self, df_numeric_values):
+        """:252-268 — with FilteredRowOutcome.NULL every outcome is NULL."""
+        from deequ_spark import AnalyzerOptions, FilteredRowOutcome
+        a = self._mk(instance_name="att1 positive", predicate="att1 > 0",
+                     where="att1 > 100",
+                     analyzer_options=AnalyzerOptions(
+                         filtered_row=FilteredRowOutcome.NULL))
+        assert _row_level(df_numeric_values, a) == [None] * 6
+
+
+# ---------------------------------------------------------------------------
+# MinLengthTest.scala / MaxLengthTest.scala — the reference asserts on
+# element_at(fullColumn, 2): the per-row NullBehavior-transformed length.
+# Our equivalent is the analyzer's internal _value() column.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def df_empty_column(spark):
+    """FixtureSupport.getEmptyColumnDataDf (FixtureSupport.scala:31-42)."""
+    return spark.createDataFrame(
+        [(0, "", "a", "f"), (1, "", "b", "d"), (2, "", "a", None),
+         (3, "", "a", "f"), (4, "", "b", None), (5, "", "a", "f")],
+        "id int, att1 string, att2 string, att3 string")
+
+
+@pytest.fixture(scope="module")
+def df_string_columns(spark):
+    """FixtureSupport.getDfWithStringColumns (:411-425) — Country is
+    'India' in all 8 rows."""
+    rows = [
+        (0, "India", "Xavier House, 2nd Floor",
+         "St. Peter Colony, Perry Road", "Bandra (West)"),
+        (1, "India", "503 Godavari", "Sir Pochkhanwala Road", "Worli"),
+        (2, "India", "4/4 Seema Society", "N Dutta Road, Four Bungalows",
+         "Andheri"),
+        (3, "India", "1001D Abhishek Apartments", "Juhu Versova Road",
+         "Andheri"),
+        (4, "India", "95, Hill Road", None, None),
+        (5, "India", "90 Cuffe Parade", "Taj President Hotel",
+         "Cuffe Parade"),
+        (6, "India", "4, Seven PM", "Sir Pochkhanwala Rd", "Worli"),
+        (7, "India", "1453 Sahar Road", None, None),
+    ]
+    return spark.createDataFrame(
+        rows, "id int, Country string, `Address Line 1` string, "
+              "`Address Line 2` string, `Address Line 3` string")
+
+
+def _lengths(df, analyzer):
+    rows = (df.withColumn("new", analyzer._value().cast("double"))
+            .orderBy("id").collect())
+    return [r["new"] for r in rows]
+
+
+class TestMinLengthFullColumnParity:
+    """MinLengthTest.scala (line refs per case)."""
+
+    def test_non_null_columns(self, df_string_columns):
+        """:40-49 — Country is 'India' everywhere → 5.0 per row."""
+        from deequ_spark import MinLength
+        a = MinLength("Country")
+        assert a.compute_state_from(df_string_columns).min_value == 5.0
+        assert _lengths(df_string_columns, a) == [5.0] * 8
+
+    def test_null_columns_default_ignore(self, df_empty_column):
+        """:51-61 — NULL rows stay NULL under Ignore."""
+        from deequ_spark import MinLength
+        a = MinLength("att3")
+        assert _lengths(df_empty_column, a) == \
+            [1.0, 1.0, None, 1.0, None, 1.0]
+
+    def test_null_behavior_fail(self, df_empty_column):
+        """:63-74 — NULL → Double.MinValue sentinel."""
+        from deequ_spark import AnalyzerOptions, MinLength, NullBehavior
+        from deequ_spark.analyzers.scan import DOUBLE_MIN_VALUE
+        a = MinLength("att3", None,
+                      analyzer_options=AnalyzerOptions(
+                          null_behavior=NullBehavior.FAIL))
+        assert _lengths(df_empty_column, a) == \
+            [1.0, 1.0, DOUBLE_MIN_VALUE, 1.0, DOUBLE_MIN_VALUE, 1.0]
+
+    def test_null_behavior_empty_string(self, df_empty_column):
+        """:76-87 — NULL → length 0."""
+        from deequ_spark import AnalyzerOptions, MinLength, NullBehavior
+        a = MinLength("att3", None,
+                      analyzer_options=AnalyzerOptions(
+                          null_behavior=NullBehavior.EMPTY_STRING))
+        assert _lengths(df_empty_column, a) == \
+            [1.0, 1.0, 0.0, 1.0, 0.0, 1.0]
+
+    def test_blank_strings(self, df_empty_column):
+        """:89-98 — att1 is '' everywhere → 0.0 per row."""
+        from deequ_spark import MinLength
+        a = MinLength("att1")
+        assert a.compute_state_from(df_empty_column).min_value == 0.0
+        assert _lengths(df_empty_column, a) == [0.0] * 6
+
+
+class TestMaxLengthFullColumnParity:
+    """MaxLengthTest.scala (line refs per case)."""
+
+    def test_non_null_columns(self, df_string_columns):
+        """:40-49."""
+        from deequ_spark import MaxLength
+        a = MaxLength("Country")
+        assert a.compute_state_from(df_string_columns).max_value == 5.0
+        assert _lengths(df_string_columns, a) == [5.0] * 8
+
+    def test_null_columns_default_ignore(self, df_empty_column):
+        """:51-61."""
+        from deequ_spark import MaxLength
+        a = MaxLength("att3")
+        assert _lengths(df_empty_column, a) == \
+            [1.0, 1.0, None, 1.0, None, 1.0]
+
+    def test_null_behavior_fail(self, df_empty_column):
+        """:63-74 — NULL → Double.MaxValue sentinel."""
+        from deequ_spark import AnalyzerOptions, MaxLength, NullBehavior
+        from deequ_spark.analyzers.scan import DOUBLE_MAX_VALUE
+        a = MaxLength("att3", None,
+                      analyzer_options=AnalyzerOptions(
+                          null_behavior=NullBehavior.FAIL))
+        assert _lengths(df_empty_column, a) == \
+            [1.0, 1.0, DOUBLE_MAX_VALUE, 1.0, DOUBLE_MAX_VALUE, 1.0]
+
+    def test_blank_strings(self, df_empty_column):
+        """:76-85."""
+        from deequ_spark import MaxLength
+        a = MaxLength("att1")
+        assert a.compute_state_from(df_empty_column).max_value == 0.0
+        assert _lengths(df_empty_column, a) == [0.0] * 6

@@ -421,3 +421,21 @@ class TestHistoryUtils:
         out = extract_metric_values([(0, None), (1, failed), (2, ok)])
         assert out == [DataPoint(0, None), DataPoint(1, None),
                        DataPoint(2, 50.0)]
+
+
+class TestRateOfChangeStrategyAlias:
+    """RateOfChangeStrategyTest.scala:26-45 — the deprecated
+    RateOfChangeStrategy is AbsoluteChangeStrategy by another name
+    (RateOfChangeStrategy.scala:19-31); the whole test file is one case."""
+
+    def test_detect_all_anomalies_if_no_interval_specified(self):
+        from deequ_spark.anomaly import RateOfChangeStrategy
+        data = [1.0 if i < 20 or i > 30 else
+                (float(i) if i % 2 == 0 else float(-i))
+                for i in range(51)]
+        s = RateOfChangeStrategy(-2.0, 2.0)
+        anomalies = s.detect(data)
+        assert _indices(anomalies) == list(range(20, 32))
+        # Anomaly(Option(data(i)), 1.0): each anomaly carries the raw value
+        for a in anomalies:
+            assert a.value == data[a.index]

@@ -1569,3 +1569,130 @@ class TestApproxQuantileStatePersistence:
         merged = loaded.merge(state)
         m2 = a.compute_metric_from_state(merged)
         assert abs(m2.value - 50.0) <= 2.0
+
+
+class TestInMemoryRepositoryReferenceParity:
+    """InMemoryMetricsRepositoryTest.scala (line refs per test): the
+    evaluate() helper runs Size + Distinctness(item) + Completeness(att1)
+    + Uniqueness(att1,att2) over getDfFull; dates are epoch-seconds and
+    the tag map is {'Region': 'EU'/'NA'} (capital R — the simplified
+    DataFrame lowercases it to a 'region' column)."""
+
+    import datetime as _dt
+    DATE_ONE = int(_dt.datetime(2017, 10, 14, 10, 10, 10,
+                                tzinfo=_dt.timezone.utc).timestamp())
+    DATE_TWO = int(_dt.datetime(2017, 10, 15, 10, 10, 10,
+                                tzinfo=_dt.timezone.utc).timestamp())
+    DATE_THREE = int(_dt.datetime(2017, 10, 16, 10, 10, 10,
+                                  tzinfo=_dt.timezone.utc).timestamp())
+    REGION_EU = {"Region": "EU"}
+    REGION_NA = {"Region": "NA"}
+
+    def _evaluate(self, spark):
+        from deequ_spark import (Completeness, Distinctness,
+                                 InMemoryMetricsRepository, Size,
+                                 Uniqueness, do_analysis_run)
+        df = spark.createDataFrame(
+            [("1", "a", "c"), ("2", "a", "c"), ("3", "a", "c"),
+             ("4", "b", "d")], "item string, att1 string, att2 string")
+        results = do_analysis_run(df, [
+            Size(), Distinctness(("item",)), Completeness("att1"),
+            Uniqueness(("att1", "att2"))])
+        return results, InMemoryMetricsRepository()
+
+    def _expected(self, *date_regions):
+        rows = set()
+        for date, region in date_regions:
+            rows |= {("Dataset", "*", "Size", 4.0, date, region),
+                     ("Column", "item", "Distinctness", 1.0, date, region),
+                     ("Column", "att1", "Completeness", 1.0, date, region),
+                     ("Multicolumn", "att1,att2", "Uniqueness", 0.25,
+                      date, region)}
+        return rows
+
+    def test_save_and_retrieve_analyzer_contexts(self, spark):
+        """:44-59 — loadByKey round-trips the exact AnalyzerContext."""
+        from deequ_spark import ResultKey
+        results, repo = self._evaluate(spark)
+        key = ResultKey(self.DATE_ONE, self.REGION_EU)
+        repo.save(key, results)
+        loaded = repo.load_by_key(key)
+        assert loaded.metric_map == results.metric_map
+
+    def test_save_ignores_failed_metrics(self, spark):
+        """:61-85 — only successful metrics survive the save."""
+        from deequ_spark import (AnalyzerContext, Completeness,
+                                 InMemoryMetricsRepository, ResultKey, Size)
+        from deequ_spark.metrics import DoubleMetric, Entity
+        size_m = DoubleMetric(Entity.DATASET, "Size", "*", 5.0)
+        fail_m = Completeness("ColumnA").to_failure_metric(
+            RuntimeError("error"))
+        ctx = AnalyzerContext({Size(): size_m,
+                               Completeness("ColumnA"): fail_m})
+        repo = InMemoryMetricsRepository()
+        key = ResultKey(self.DATE_ONE, self.REGION_EU)
+        repo.save(key, ctx)
+        loaded = repo.load_by_key(key)
+        assert loaded.metric_map == {Size(): size_m}
+
+    def test_save_and_retrieve_analysis_results(self, spark):
+        """:87-115 — after(DATE_ONE) inclusive: both keys, 'Region' tag
+        lowercased into the 'region' column."""
+        from deequ_spark import ResultKey
+        results, repo = self._evaluate(spark)
+        repo.save(ResultKey(self.DATE_ONE, self.REGION_EU), results)
+        repo.save(ResultKey(self.DATE_TWO, self.REGION_NA), results)
+        df = (repo.load().after(self.DATE_ONE)
+              .get_success_metrics_as_dataframe(spark))
+        assert set(df.columns) == {"entity", "instance", "name", "value",
+                                   "dataset_date", "region"}
+        assert {tuple(r) for r in df.collect()} == self._expected(
+            (self.DATE_ONE, "EU"), (self.DATE_TWO, "NA"))
+
+    def test_time_frame_restriction(self, spark):
+        """:117-143 — after(TWO).before(TWO) pins exactly DATE_TWO."""
+        from deequ_spark import ResultKey
+        results, repo = self._evaluate(spark)
+        repo.save(ResultKey(self.DATE_ONE, self.REGION_EU), results)
+        repo.save(ResultKey(self.DATE_TWO, self.REGION_NA), results)
+        repo.save(ResultKey(self.DATE_THREE, self.REGION_NA), results)
+        df = (repo.load().after(self.DATE_TWO).before(self.DATE_TWO)
+              .get_success_metrics_as_dataframe(spark))
+        assert {tuple(r) for r in df.collect()} == self._expected(
+            (self.DATE_TWO, "NA"))
+
+    def test_tag_value_restriction(self, spark):
+        """:145-169 — withTagValues({'Region': 'EU'})."""
+        from deequ_spark import ResultKey
+        results, repo = self._evaluate(spark)
+        repo.save(ResultKey(self.DATE_ONE, self.REGION_EU), results)
+        repo.save(ResultKey(self.DATE_TWO, self.REGION_NA), results)
+        df = (repo.load().after(self.DATE_ONE)
+              .with_tag_values(self.REGION_EU)
+              .get_success_metrics_as_dataframe(spark))
+        assert {tuple(r) for r in df.collect()} == self._expected(
+            (self.DATE_ONE, "EU"))
+
+    def test_for_analyzers_restriction(self, spark):
+        """:171-199 — forAnalyzers keeps only the named analyzers."""
+        from deequ_spark import Completeness, ResultKey, Uniqueness
+        results, repo = self._evaluate(spark)
+        repo.save(ResultKey(self.DATE_ONE, self.REGION_EU), results)
+        repo.save(ResultKey(self.DATE_TWO, self.REGION_NA), results)
+        df = (repo.load().after(self.DATE_ONE)
+              .for_analyzers([Completeness("att1"),
+                              Uniqueness(("att1", "att2"))])
+              .get_success_metrics_as_dataframe(spark))
+        expected = {r for r in self._expected((self.DATE_ONE, "EU"),
+                                              (self.DATE_TWO, "NA"))
+                    if r[2] in ("Completeness", "Uniqueness")}
+        assert {tuple(r) for r in df.collect()} == expected
+
+    def test_too_restrictive_returns_empty(self, spark):
+        """:201-228 — after(TWO).before(ONE) yields no results."""
+        from deequ_spark import ResultKey
+        results, repo = self._evaluate(spark)
+        repo.save(ResultKey(self.DATE_ONE, self.REGION_EU), results)
+        repo.save(ResultKey(self.DATE_TWO, self.REGION_NA), results)
+        assert (repo.load().after(self.DATE_TWO).before(self.DATE_ONE)
+                .get()) == []
