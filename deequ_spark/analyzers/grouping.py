@@ -480,6 +480,14 @@ class Histogram(FrequencyBasedAnalyzer):
     def columns(self):
         return (self.column,)
 
+    @property
+    def _plain_column(self) -> str:
+        """Column name with user backticks stripped — the field name used
+        inside the frequency table."""
+        c = self.column
+        return c[1:-1] if len(c) >= 2 and c.startswith("`") \
+            and c.endswith("`") else c
+
     def preconditions(self):
         def bins_ok(schema):
             if self.max_detail_bins < 1:
@@ -500,13 +508,16 @@ class Histogram(FrequencyBasedAnalyzer):
             col = self._apply_binning(col)
         selected = col.cast("string")
         selected = F.coalesce(selected, F.lit(NULL_FIELD_REPLACEMENT))
+        # a literal dot/space in the column name must not parse as a struct
+        # path in groupBy/orderBy — alias to the plain name, resolve quoted
+        plain = self._plain_column
         if self.sum_column is not None:
-            freq = (data.select(selected.alias(self.column), _col(self.sum_column))
-                    .groupBy(self.column)
+            freq = (data.select(selected.alias(plain), _col(self.sum_column))
+                    .groupBy(_col(plain))
                     .agg(F.sum(_col(self.sum_column)).cast("long").alias(COUNT_COL)))
         else:
-            freq = (data.select(selected.alias(self.column))
-                    .groupBy(self.column)
+            freq = (data.select(selected.alias(plain))
+                    .groupBy(_col(plain))
                     .agg(F.count(F.lit(1)).alias(COUNT_COL)))
         # num_rows stays lazy — compute_metric_from_state recovers it as
         # SUM(absolute) fused into the n_bins job (one job fewer per
@@ -572,14 +583,14 @@ class Histogram(FrequencyBasedAnalyzer):
             # descending frequency, ties broken by value ascending
             # (Histogram.scala:112-115)
             top = (state.frequencies
-                   .orderBy(F.desc(COUNT_COL), F.asc(self.column))
+                   .orderBy(F.desc(COUNT_COL), _col(self._plain_column).asc())
                    .limit(self.max_detail_bins)
                    .collect())
             total = max(state.num_rows, 1)
             values = {}
             covered = 0
             for row in top:
-                key = row[self.column]
+                key = row[self._plain_column]
                 absolute = int(row[COUNT_COL])
                 covered += absolute
                 # with ratios disabled the reference divides by a total of

@@ -257,6 +257,9 @@ class DQRule:
     # reference's DQDL model) — asserts on the passing-row RATIO for
     # row-level rules instead of requiring all rows to pass
     threshold_condition: Optional[Condition] = None
+    # Glue `with <tag> = "<value>"` tags (rule.getTags), e.g.
+    # ColumnDataType ... with format = "dd-MM-yyyy"
+    tags: Dict[str, str] = field(default_factory=dict)
 
     def describe(self) -> str:
         parts = [self.rule_type] + [f'"{p}"' for p in self.parameters]
@@ -267,6 +270,8 @@ class DQRule:
         if self.threshold_condition:
             parts.append(f"with threshold "
                          f"{self.threshold_condition.describe()}")
+        for tag, value in self.tags.items():
+            parts.append(f'with {tag} = "{value}"')
         return " ".join(parts)
 
 
@@ -446,11 +451,22 @@ class _Parser:
                 continue
             if nxt and nxt[0] == "word" and nxt[1].lower() == "with":
                 self.next()
-                self.expect("threshold")
-                rule.threshold_condition = self.parse_condition()
-                if rule.threshold_condition is None:
+                kind, name = self.next() or (None, None)
+                if kind != "word":
                     raise DQDLParseError(
-                        "Expected a condition after 'with threshold'")
+                        f"Expected a tag name after 'with', got {name!r}")
+                if name.lower() == "threshold":
+                    rule.threshold_condition = self.parse_condition()
+                    if rule.threshold_condition is None:
+                        raise DQDLParseError(
+                            "Expected a condition after 'with threshold'")
+                else:
+                    # generic Glue tag: with <name> = "<value>"
+                    eq = self.next()
+                    if eq is None or eq[1] != "=":
+                        raise DQDLParseError(
+                            f"Expected '=' after tag {name!r}")
+                    rule.tags[name] = self._string()
                 continue
             break
         return rule
@@ -512,8 +528,15 @@ class _Parser:
 
 
 def parse(ruleset: str) -> DQRuleset:
-    parser = _Parser(_tokenize(ruleset))
-    parsed = parser.parse_ruleset()
+    try:
+        parser = _Parser(_tokenize(ruleset))
+        parsed = parser.parse_ruleset()
+    except DQDLParseError as exc:
+        # DefaultDQDLParser.scala:49-60 wraps parser failures in
+        # IllegalArgumentException("Parsing Error: ...")
+        if "Parsing Error" in str(exc):
+            raise
+        raise DQDLParseError(f"Parsing Error: {exc}") from None
     trailing = parser.peek()
     if trailing is not None:
         raise DQDLParseError(
@@ -634,6 +657,45 @@ _DQDL_TYPE_MAP = {
     "INTEGER": "int", "DOUBLE": "double", "FLOAT": "float", "LONG": "bigint",
 }
 _DECIMAL_RE = re.compile(r"DECIMAL\((\d+),\s*(\d+)\)", re.IGNORECASE)
+
+# ColumnDataTypeRule.scala:31-41 — the closed set of date formats the
+# `with format` tag accepts; partial formats are completed with a literal
+# day/year before parsing (handlePartialDates :150-170)
+_FULL_DATE_FORMATS = {"dd-MM-yyyy", "MM-dd-yyyy", "yyyy-MM-dd",
+                      "dd/MM/yyyy", "MM/dd/yyyy", "yyyy/MM/dd"}
+_PARTIAL_DATE_COMPLETION = {
+    "MM-yyyy": ("'01-' || ", "", "dd-MM-yyyy"),
+    "yyyy-MM": ("", " || '-01'", "yyyy-MM-dd"),
+    "MM/yyyy": ("'01/' || ", "", "dd/MM/yyyy"),
+    "yyyy/MM": ("", " || '/01'", "yyyy/MM/dd"),
+    "dd-MM": ("", " || '-2000'", "dd-MM-yyyy"),
+    "dd/MM": ("", " || '/2000'", "dd/MM/yyyy"),
+    "MM/dd": ("", " || '/2000'", "MM/dd/yyyy"),
+    "MM-dd": ("", " || '-2000'", "MM-dd-yyyy"),
+}
+
+
+def _column_data_type_cast_ok(col: str, spark_type: str,
+                              tags: Dict[str, str]) -> str:
+    """SQL predicate: the value casts cleanly to the target type, honoring
+    the `with format` tag for DATE (ColumnDataTypeRule.scala:85-113
+    castColumnToSparkType; try_to_date instead of to_date because Spark 4
+    runs ANSI-on and to_date would throw on malformed input)."""
+    if spark_type == "date":
+        if tags and "format" not in tags:
+            # isUnsupportedTagsFormat → untranslatable rule
+            raise DQDLParseError("Unsupported rule format")
+        fmt = tags.get("format")
+        if fmt:
+            if fmt in _FULL_DATE_FORMATS:
+                return (f"try_to_date(cast({col} AS string), '{fmt}') "
+                        f"IS NOT NULL")
+            if fmt in _PARTIAL_DATE_COMPLETION:
+                pre, post, out_fmt = _PARTIAL_DATE_COMPLETION[fmt]
+                expr = f"{pre}cast({col} AS string){post}"
+                return f"try_to_date({expr}, '{out_fmt}') IS NOT NULL"
+            return "false"  # invalid format tag fails every row
+    return f"try_cast({col} AS {spark_type}) IS NOT NULL"
 
 # dataset-level rules need additional datasets and dedicated executors
 # (parity: DQDLExecutor.scala:28-60 non-deequ branch)
@@ -763,11 +825,11 @@ def _translate_into(check: Check, rule: DQRule) -> Check:
             raise DQDLParseError(
                 f"Unsupported ColumnDataType {cond.value!r}")
         col = _quote_col(rule.parameters[0])
-        # try_cast (never throws under ANSI mode): a value HAS the type iff
-        # it casts cleanly; NULLs are out of scope like the reference's
-        # FilteredRowOutcome.TRUE
-        ok = (f"(try_cast({col} AS {spark_type}) IS NOT NULL"
-              f" OR {col} IS NULL)")
+        # try_cast / try_to_date (never throw under ANSI mode): a value HAS
+        # the type iff it casts cleanly; NULLs are out of scope like the
+        # reference's FilteredRowOutcome.TRUE
+        cast_ok = _column_data_type_cast_ok(col, spark_type, rule.tags)
+        ok = f"({cast_ok} OR {col} IS NULL)"
         pred = ok if cond.op == "=" else f"(NOT {ok} OR {col} IS NULL)"
         # `with threshold` asserts the matching RATIO instead of 1.0
         # (ColumnDataTypeRule.scala:168-175 getAssertion)
@@ -864,6 +926,73 @@ def to_checks(ruleset: DQRuleset,
 _AGG_EXPR_RE = re.compile(r"(sum|avg)\s*\((.+)\)\s*$", re.IGNORECASE)
 
 
+def _execute_column_data_type(df: DataFrame, rule: DQRule) -> tuple:
+    """Dedicated ColumnDataType executor (executors/
+    ColumnDataTypeExecutor.scala + RuleEvaluationHelper.scala
+    evaluateRuleAgainstColumn): per-row outcome is
+    when(castSuccessful, isEquals).otherwise(!isEquals) — a NULL value
+    FAILS `= TYPE` and PASSES `!= TYPE`; missing column / invalid where /
+    unrecognized type / bad tags become Failed rows with the reference's
+    reasons; zero in-scope rows → Passed("No rows matched the filter").
+    One fused agg computes total and passing counts in a single scan."""
+    from pyspark.sql import functions as F
+
+    name = rule.describe()
+    cond = rule.condition
+    if cond is None or cond.kind != "cmp" or cond.op not in ("=", "!=") \
+            or not isinstance(cond.value, str):
+        return (name, "Failed",
+                "ColumnDataType rule only supports EQUALS (=) or "
+                "NOT_EQUALS (!=) operators", {})
+    type_name = cond.value.upper()
+    dec = _DECIMAL_RE.fullmatch(type_name)
+    spark_type = (f"decimal({dec.group(1)},{dec.group(2)})" if dec
+                  else _DQDL_TYPE_MAP.get(type_name))
+    if spark_type is None:
+        return (name, "Failed",
+                f"Unrecognized data type: {cond.value}", {})
+    column = rule.parameters[0]
+    col = _quote_col(column)
+    try:
+        df.select(F.expr(col))
+    except Exception:  # noqa: BLE001
+        return (name, "Failed",
+                f"Column {column} does not exist in the dataset", {})
+    try:
+        cast_ok = _column_data_type_cast_ok(col, spark_type, rule.tags)
+    except DQDLParseError as exc:
+        return (name, "Failed", str(exc), {})
+    is_equals = cond.op == "="
+    outcome = (f"CASE WHEN ({cast_ok}) THEN {str(is_equals).lower()} "
+               f"ELSE {str(not is_equals).lower()} END")
+    in_scope = "true"
+    if rule.where:
+        try:
+            df.where(rule.where)
+        except Exception:  # noqa: BLE001
+            return (name, "Failed", "The provided where clause is invalid",
+                    {})
+        in_scope = f"({rule.where})"
+    row = df.agg(
+        F.expr(f"sum(CASE WHEN {in_scope} THEN 1 ELSE 0 END)")
+        .alias("__total"),
+        F.expr(f"sum(CASE WHEN ({in_scope}) AND ({outcome}) THEN 1 "
+               f"ELSE 0 END)").alias("__passed")).collect()[0]
+    total = int(row["__total"] or 0)
+    if total == 0:
+        return (name, "Passed", "No rows matched the filter", {})
+    ratio = int(row["__passed"] or 0) / total
+    metrics = {f"Column.{column}.ColumnDataType.Compliance": ratio}
+    assertion = (rule.threshold_condition.assertion()
+                 if rule.threshold_condition is not None
+                 else (lambda v: v == 1.0))
+    if assertion(ratio):
+        return (name, "Passed", None, metrics)
+    return (name, "Failed",
+            f"Value: {ratio} does not meet the constraint requirement.",
+            metrics)
+
+
 def _execute_dataset_rule(df: DataFrame, rule: DQRule,
                           additional_datasets) -> tuple:
     """Dedicated executors for the reference's non-deequ rule types
@@ -892,7 +1021,8 @@ def _execute_dataset_rule(df: DataFrame, rule: DQRule,
             reason = None if passed else \
                 f"Value: {ratio} does not meet the constraint requirement."
             return (rule.describe(), outcome, reason,
-                    {"CustomSQL.Compliance": float(ratio)})
+                    # CustomSqlRowLevelSpec.scala:58 metric key
+                    {"Dataset.*.CustomSQL.Compliance": float(ratio)})
         if cond is None:
             raise DQDLParseError(f"{rt} requires a numeric condition")
         if rule.where:
@@ -997,7 +1127,12 @@ class EvaluateDataQuality:
         for alias, d in (additional_datasets or {}).items():
             d.createOrReplaceTempView(alias)
         parsed = parse(ruleset)
-        deequ_rules = [r for r in parsed.rules if not _is_dataset_rule(r)]
+
+        def _dedicated(r):
+            return (_is_dataset_rule(r)
+                    or getattr(r, "rule_type", None) == "ColumnDataType")
+
+        deequ_rules = [r for r in parsed.rules if not _dedicated(r)]
         checks = to_checks(DQRuleset(deequ_rules), level)
         check_results = {}
         if checks:
@@ -1007,11 +1142,14 @@ class EvaluateDataQuality:
             check_results = suite.run().check_results
 
         # emit rows in ruleset order: deequ-backed rules pull from the one
-        # suite run, dataset rules run through their dedicated executors
+        # suite run, dataset rules + ColumnDataType run through their
+        # dedicated executors (DQDLExecutor.scala:44)
         check_iter = iter(checks)
         rows = []
         for rule in parsed.rules:
-            if _is_dataset_rule(rule):
+            if getattr(rule, "rule_type", None) == "ColumnDataType":
+                rows.append(_execute_column_data_type(df, rule))
+            elif _is_dataset_rule(rule):
                 rows.append(_execute_dataset_rule(df, rule,
                                                   additional_datasets))
             else:

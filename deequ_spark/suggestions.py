@@ -189,6 +189,14 @@ class RetainTypeRule(SuggestionRule):
             lambda check: check.has_data_type(col, dtype, lambda v: v == 1.0))
 
 
+def _sql_name(col: str) -> str:
+    """Backtick-quote a column for use inside a generated SQL predicate
+    (no-op when the profiler already quoted it)."""
+    if col.startswith("`") and col.endswith("`") and len(col) >= 2:
+        return col
+    return f"`{col}`" if ("." in col or " " in col) else col
+
+
 class CategoricalRangeRule(SuggestionRule):
     """Parity: rules/CategoricalRangeRule.scala — suggest is_contained_in
     when the histogram covers the column with few distinct values."""
@@ -209,15 +217,28 @@ class CategoricalRangeRule(SuggestionRule):
         return unique_ratio <= 0.1
 
     def candidate(self, profile, num_records):
+        """CategoricalRangeRule.scala:54-84 — categories ordered by
+        popularity (frequency desc), SQL-escaped; the suggested constraint
+        is a Compliance whose INSTANCE is the description and whose
+        predicate is `col` IN (...); currentValue is "Compliance: 1"."""
         col = profile.column
-        categories = sorted(k for k in profile.histogram.values
-                            if k != "NullValue")
+        by_popularity = sorted(
+            ((k, dv) for k, dv in profile.histogram.values.items()
+             if k != "NullValue"),
+            key=lambda kv: (-kv[1].absolute, kv[0]))
+        categories = [k for k, _ in by_popularity]
+        categories_sql = ", ".join(
+            "'" + c.replace("'", "''") + "'" for c in categories)
+        description = f"'{col}' has value range {categories_sql}"
+        condition = f"{_sql_name(col)} IN ({categories_sql})"
         return ConstraintSuggestion(
-            f"ComplianceConstraint({col} contained in ...)", col,
-            f"Categories: {len(categories)}",
-            f"'{col}' has value range {categories}", self.name,
-            f'.is_contained_in("{col}", {categories!r})',
-            lambda check: check.is_contained_in(col, categories))
+            f"ComplianceConstraint(Compliance({description},{condition}))",
+            col, "Compliance: 1", description, self.name,
+            # code string lists values alphabetically (stable for tooling);
+            # description/condition keep the reference's popularity order
+            f'.is_contained_in("{col}", {sorted(categories)!r})',
+            lambda check: check.satisfies(condition, description,
+                                          columns=[col]))
 
 
 class FractionalCategoricalRangeRule(SuggestionRule):
@@ -291,12 +312,16 @@ class NonNegativeNumbersRule(SuggestionRule):
             and profile.minimum >= 0
 
     def candidate(self, profile, num_records):
+        """NonNegativeNumbersRule.scala:36-53 — the Compliance instance IS
+        the description, predicate "col >= 0"."""
         col = profile.column
+        description = f"'{col}' has no negative values"
         return ConstraintSuggestion(
             f"ComplianceConstraint({col} is non-negative)", col,
-            f"Minimum: {profile.minimum}", f"'{col}' has no negative values",
+            f"Minimum: {profile.minimum}", description,
             self.name, f'.is_non_negative("{col}")',
-            lambda check: check.is_non_negative(col))
+            lambda check: check.satisfies(f"{_sql_name(col)} >= 0",
+                                          description, columns=[col]))
 
 
 class UniqueIfApproximatelyUniqueRule(SuggestionRule):
@@ -667,4 +692,8 @@ class ConstraintSuggestionRunBuilder:
                                                    verification_result))
 
         return {"suggestions": suggestions,
-                "verification_result": verification_result}
+                "verification_result": verification_result,
+                # parity: ConstraintSuggestionResult.columnProfiles /
+                # .numRecordsUsedForProfiling
+                "column_profiles": profiles,
+                "num_records_used_for_profiling": num_records}

@@ -189,17 +189,30 @@ class TestExtendedRuleTypes:
             [("1",), ("2",), ("x",), (None,)], "v string")
         out = EvaluateDataQuality.process(
             df, 'Rules = [ColumnDataType "v" = "INTEGER"]')
-        # 2 of 3 non-null values cast cleanly -> Failed
+        # 2 of 4 values cast cleanly -> Failed
         assert all(v == "Failed" for v in _outcomes(out).values())
+        # executor semantics (RuleEvaluationHelper.scala): a NULL value
+        # does NOT cast, so it fails `= TYPE` — 2/3 ratio → Failed
         ints = spark.createDataFrame([("1",), ("2",), (None,)], "v string")
         out2 = EvaluateDataQuality.process(
             ints, 'Rules = [ColumnDataType "v" = "INTEGER"]')
-        assert all(v == "Passed" for v in _outcomes(out2).values())
+        assert all(v == "Failed" for v in _outcomes(out2).values())
+        row = out2.collect()[0]
+        assert abs(row["EvaluatedMetrics"]
+                   ["Column.v.ColumnDataType.Compliance"] - 2 / 3) < 1e-9
+        no_nulls = spark.createDataFrame([("1",), ("2",)], "v string")
+        out3 = EvaluateDataQuality.process(
+            no_nulls, 'Rules = [ColumnDataType "v" = "INTEGER"]')
+        assert all(v == "Passed" for v in _outcomes(out3).values())
 
     def test_column_data_type_unsupported(self, df_full):
-        with pytest.raises(DQDLParseError):
-            EvaluateDataQuality.process(
-                df_full, 'Rules = [ColumnDataType "att1" = "BLOB"]')
+        """ColumnDataTypeSpec.scala:570-582 — an unrecognized type is a
+        FAILED rule row, not a thrown error."""
+        out = EvaluateDataQuality.process(
+            df_full, 'Rules = [ColumnDataType "att1" = "BLOB"]')
+        (row,) = out.collect()
+        assert row["Outcome"] == "Failed"
+        assert "Unrecognized data type" in row["FailureReason"]
 
     def test_dataset_rules(self, spark, df_full):
         # SchemaMatch needs EQUAL column counts (SchemaMatch.scala:38-40
@@ -315,7 +328,8 @@ class TestCustomSqlRowLevel:
             'Rules = [CustomSql "select item from primary where att1 = \'a\'"]')
         row = out.collect()[0]
         assert row["Outcome"] == "Failed"         # only 3 of 4 rows pass
-        assert row["EvaluatedMetrics"]["CustomSQL.Compliance"] == 0.75
+        assert row["EvaluatedMetrics"]["Dataset.*.CustomSQL.Compliance"] \
+            == 0.75
 
     def test_all_rows_pass(self, df_full):
         out = EvaluateDataQuality.process(
@@ -1306,3 +1320,80 @@ class TestColumnLengthRuleSpecParity:
             "Passed"
         assert self._outcome(
             df_len, 'Rules=[ColumnLength "Col A" not in [1]]') == "Failed"
+
+
+class TestDQDLTranslatorExecutorParserSpecs:
+    """Transcriptions of the three small DQDL infrastructure spec files:
+    DQDLRuleTranslatorSpec.scala, DQDLExecutorSpec.scala,
+    DefaultDQDLParserTest.scala (line refs per test). Our surface is
+    EvaluateDataQuality.process — the translator/executor assertions are
+    observed through rule outcomes and EvaluatedMetrics keys."""
+
+    @pytest.fixture(scope="class")
+    def df_full4(self, spark):
+        return spark.createDataFrame(
+            [("1", "a", "c"), ("2", "a", "c"), ("3", "a", "c"),
+             ("4", "b", "d")], "item string, att1 string, att2 string")
+
+    def test_row_count_metric_name(self, df_full4):
+        """DQDLRuleTranslatorSpec.scala:44-56 — RowCount evaluates under
+        the Glue metric key Dataset.*.RowCount."""
+        out = EvaluateDataQuality.process(df_full4, "Rules=[RowCount > 10]")
+        (row,) = out.collect()
+        assert row["EvaluatedMetrics"] == {"Dataset.*.RowCount": 4.0}
+
+    def test_column_count_metric_name(self, df_full4):
+        """:37-42 + :58-63 — ColumnCount = 3 under Dataset.*.ColumnCount."""
+        out = EvaluateDataQuality.process(df_full4, "Rules=[ColumnCount = 3]")
+        (row,) = out.collect()
+        assert row["Outcome"] == "Passed"
+        assert row["EvaluatedMetrics"] == {"Dataset.*.ColumnCount": 3.0}
+
+    def test_scalar_custom_sql_metric_name(self, df_full4):
+        """:79-85 — scalar CustomSql keys Dataset.*.CustomSQL."""
+        out = EvaluateDataQuality.process(
+            df_full4, 'Rules=[CustomSql "select count(*) from primary" > 0]')
+        (row,) = out.collect()
+        assert row["Outcome"] == "Passed"
+        assert set(row["EvaluatedMetrics"]) == {"Dataset.*.CustomSQL"}
+
+    def test_row_level_custom_sql_metric_name(self, df_full4):
+        """:87-93 + CustomSqlRowLevelSpec.scala:58 — condition-less
+        CustomSql routes to the row-level executor and keys
+        Dataset.*.CustomSQL.Compliance."""
+        out = EvaluateDataQuality.process(
+            df_full4,
+            'Rules=[CustomSql "select item from primary where att1 = \'a\'"]')
+        (row,) = out.collect()
+        assert set(row["EvaluatedMetrics"]) == \
+            {"Dataset.*.CustomSQL.Compliance"}
+        assert row["EvaluatedMetrics"]["Dataset.*.CustomSQL.Compliance"] \
+            == 0.75
+
+    def test_executor_multiple_row_count_rules(self, df_full4):
+        """DQDLExecutorSpec.scala:33-66 — two RowCount rules, different
+        outcomes, each carrying the 4.0 metric."""
+        out = EvaluateDataQuality.process(
+            df_full4, "Rules=[RowCount < 10, RowCount < 3]")
+        rows = {r["Rule"]: r for r in out.collect()}
+        passing = rows["RowCount < 10"]
+        assert passing["Outcome"] == "Passed"
+        assert passing["EvaluatedMetrics"] == {"Dataset.*.RowCount": 4.0}
+        failing = rows["RowCount < 3"]
+        assert failing["Outcome"] == "Failed"
+        assert failing["EvaluatedMetrics"] == {"Dataset.*.RowCount": 4.0}
+
+    def test_parser_valid_rules(self):
+        """DefaultDQDLParserTest.scala:33-48 — two rules with exact
+        toString renderings."""
+        rs = parse("Rules = [ RowCount > 1, ColumnCount = 3]")
+        assert len(rs.rules) == 2
+        by_type = {r.rule_type: r for r in rs.rules}
+        assert by_type["RowCount"].describe() == "RowCount > 1"
+        assert by_type["ColumnCount"].describe() == "ColumnCount = 3"
+
+    def test_parser_invalid_raises_parsing_error(self):
+        """:50-56 — invalid DQDL raises with 'Parsing Error' in the
+        message."""
+        with pytest.raises(DQDLParseError, match="Parsing Error"):
+            parse("invalid")

@@ -259,8 +259,149 @@ class TestSuggestionAndVerificationIntegration:
         self._assert_all_suggestions_pass(spark, df)
 
     def test_mixed_types_fixture(self, spark):
-        """Same property over a numeric/string/null mix."""
+        """Same property over a numeric/string/null mix. One documented
+        exception: CategoricalRangeRule's `col IN (...)` predicate is
+        NULL-intolerant in the reference (CategoricalRangeRule.scala:70
+        columnCondition has no IS NULL escape), so on the 75%-complete
+        `cat` column that one suggestion legitimately fails
+        verification."""
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 ConstraintSuggestionRunner,
+                                 VerificationSuite)
+        from deequ_spark.suggestions import (DEFAULT_RULES,
+                                             UniqueIfApproximatelyUniqueRule)
         rows = [(i, float(i) if i % 5 else 0.0,
                  None if i % 4 == 0 else f"cat{i % 3}") for i in range(1, 41)]
         df = spark.createDataFrame(rows, "id int, val double, cat string")
-        self._assert_all_suggestions_pass(spark, df)
+        out = (ConstraintSuggestionRunner().on_data(df)
+               .add_constraint_rules(list(DEFAULT_RULES)
+                                     + [UniqueIfApproximatelyUniqueRule()])
+               .run())
+        check = Check(CheckLevel.ERROR, "group-1")
+        for ss in out["suggestions"].values():
+            for s in ss:
+                check = s.apply(check)
+        result = VerificationSuite().on_data(df).add_check(check).run()
+        failing = [str(cr.constraint)
+                   for cr in result.check_results[check].constraint_results
+                   if cr.status.value != "Success"]
+        assert failing == ["AnalysisBasedConstraint(Compliance('cat' has "
+                           "value range 'cat0', 'cat1', 'cat2'))"]
+
+
+class TestConstraintSuggestionResultJson:
+    """ConstraintSuggestionResultTest.scala transcriptions (line refs per
+    test): the exact suggestion SET that Rules.DEFAULT +
+    UniqueIfApproximatelyUniqueRule produces on getDfFull, rendered through
+    the constraint_suggestions / evaluation_results JSON emitters. The
+    reference's constraint_name / code_for_constraint strings are Scala
+    toString artifacts (e.g. "CompletenessConstraint(Completeness(att2,
+    None,None))", ".isComplete(\"att2\")"); our Python idiom emits
+    "CompletenessConstraint(att2)" / ".is_complete(\"att2\")" — the
+    semantic payload (column, rule, current value, description, evaluation
+    status) is transcribed exactly."""
+
+    @staticmethod
+    def _run(spark, df, split=None):
+        from deequ_spark.suggestions import (ConstraintSuggestionRunner,
+                                             DEFAULT_RULES)
+        runner = (ConstraintSuggestionRunner().on_data(df)
+                  .add_constraint_rules(list(DEFAULT_RULES)))
+        if split is not None:
+            runner = runner.use_train_test_split_with_test_set_ratio(*split)
+        return runner.run()
+
+    @pytest.fixture(scope="class")
+    def df_full(self, spark):
+        return spark.createDataFrame(
+            [("1", "a", "c"), ("2", "a", "c"), ("3", "a", "c"),
+             ("4", "b", "d")], "item string, att1 string, att2 string")
+
+    EXPECTED = {
+        # (column, rule, current_value, description)
+        ("att2", "CompleteIfCompleteRule", "Completeness: 1.0",
+         "'att2' is not null"),
+        ("att1", "CompleteIfCompleteRule", "Completeness: 1.0",
+         "'att1' is not null"),
+        ("item", "CompleteIfCompleteRule", "Completeness: 1.0",
+         "'item' is not null"),
+        ("item", "RetainTypeRule", "DataType: Integral",
+         "'item' has type Integral"),
+        ("item", "NonNegativeNumbersRule", "Minimum: 1.0",
+         "'item' has no negative values"),
+        ("item", "UniqueIfApproximatelyUniqueRule", "ApproxDistinctness: 1.0",
+         "'item' is unique"),
+    }
+
+    def test_constraint_suggestions_json(self, spark, df_full):
+        """:31-120 getConstraintSuggestionsAsJson — six suggestions, exact
+        payload, reference rule descriptions."""
+        import json
+        from deequ_spark.suggestions import (RULE_DESCRIPTIONS,
+                                             constraint_suggestions_to_json)
+        res = self._run(spark, df_full)
+        rows = json.loads(
+            constraint_suggestions_to_json(res["suggestions"])
+        )["constraint_suggestions"]
+        assert {(r["column_name"], r["suggesting_rule"], r["current_value"],
+                 r["description"]) for r in rows} == self.EXPECTED
+        for r in rows:
+            assert r["rule_description"] == \
+                RULE_DESCRIPTIONS[r["suggesting_rule"]]
+            assert r["code_for_constraint"].startswith(".")
+            assert set(r) == {"constraint_name", "column_name",
+                              "current_value", "description",
+                              "suggesting_rule", "rule_description",
+                              "code_for_constraint"}
+
+    def test_evaluation_results_json_with_split(self, spark, df_full):
+        """:122-224 — testsetRatio 0.1 on 4 rows leaves an (almost surely)
+        empty test set: every suggested constraint evaluates to Failure."""
+        import json
+        from deequ_spark.suggestions import evaluation_results_to_json
+        res = self._run(spark, df_full, split=(0.1, 0))
+        rows = json.loads(evaluation_results_to_json(
+            res["suggestions"], res.get("verification_result"))
+        )["constraint_suggestions"]
+        assert {(r["column_name"], r["suggesting_rule"], r["current_value"],
+                 r["description"]) for r in rows} == self.EXPECTED
+        assert all(r["constraint_result_on_test_set"] == "Failure"
+                   for r in rows)
+
+    def test_evaluation_results_json_without_split(self, spark, df_full):
+        """:226-330 — without a train/test split every status is
+        "Unknown"."""
+        import json
+        from deequ_spark.suggestions import evaluation_results_to_json
+        res = self._run(spark, df_full)
+        rows = json.loads(evaluation_results_to_json(
+            res["suggestions"], res.get("verification_result"))
+        )["constraint_suggestions"]
+        assert {(r["column_name"], r["suggesting_rule"], r["current_value"],
+                 r["description"]) for r in rows} == self.EXPECTED
+        assert all(r["constraint_result_on_test_set"] == "Unknown"
+                   for r in rows)
+
+    def test_period_in_column_name_json(self, spark):
+        """:269-330 — getDfWithPeriodInName: the dotted column flows
+        through profiling, every item rule fires on it, and the generated
+        code strings target the dotted name."""
+        import json
+        from deequ_spark.suggestions import constraint_suggestions_to_json
+        df = spark.createDataFrame(
+            [("1", "a", "c"), ("2", "a", "c"), ("3", "a", "c"),
+             ("4", "b", "d")], ["item.one", "att1", "att2"])
+        res = self._run(spark, df)
+        rows = json.loads(
+            constraint_suggestions_to_json(res["suggestions"])
+        )["constraint_suggestions"]
+        assert {(r["column_name"], r["suggesting_rule"]) for r in rows} == {
+            ("item.one", "CompleteIfCompleteRule"),
+            ("item.one", "RetainTypeRule"),
+            ("item.one", "NonNegativeNumbersRule"),
+            ("item.one", "UniqueIfApproximatelyUniqueRule"),
+            ("att1", "CompleteIfCompleteRule"),
+            ("att2", "CompleteIfCompleteRule")}
+        for r in rows:
+            if r["column_name"] == "item.one":
+                assert "item.one" in r["code_for_constraint"]
