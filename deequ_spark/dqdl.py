@@ -761,13 +761,15 @@ def _custom_sql_row_level(df: DataFrame, sql: str, outcome_col: str):
 
 
 def _quote_col(col: str) -> str:
-    """Spaces get backticks; explicit user backticks pass through (a
-    LITERAL dotted column name, e.g. `Some.Date`); bare dots are struct
-    field access and stay unquoted (DataFreshnessSpec "nested columns" vs
-    "columns with . in name")."""
+    """Spaces/dashes/other special characters get backticks; explicit user
+    backticks pass through (a LITERAL dotted column name, e.g.
+    `Some.Date`); bare dots are struct field access and stay unquoted
+    (DataFreshnessSpec "nested columns" vs "columns with . in name";
+    ColumnDataTypeRuleSpec "column names with special characters")."""
     if "`" in col:
         return col
-    return f"`{col}`" if " " in col else col
+    needs_quote = any(not (c.isalnum() or c in "_.") for c in col)
+    return f"`{col}`" if needs_quote else col
 
 
 def _translate_into(check: Check, rule: DQRule) -> Check:
@@ -951,6 +953,9 @@ def _execute_column_data_type(df: DataFrame, rule: DQRule) -> tuple:
     if spark_type is None:
         return (name, "Failed",
                 f"Unrecognized data type: {cond.value}", {})
+    if not rule.parameters or not rule.parameters[0]:
+        return (name, "Failed",
+                "ColumnDataType rule requires a TargetColumn parameter", {})
     column = rule.parameters[0]
     col = _quote_col(column)
     try:

@@ -338,3 +338,39 @@ class TestColumnDataTypeMultipleRules:
         by_rule = {r["Rule"]: r["Outcome"] for r in rows}
         assert by_rule['ColumnDataType "date_col" = "DATE"'] == "Passed"
         assert by_rule['ColumnDataType "int_col" = "INTEGER"'] == "Failed"
+
+
+class TestColumnDataTypeRuleSpecTail:
+    """ColumnDataTypeRuleSpec.scala translator-level cases not exercised
+    by the end-to-end Spec: special-character columns, unsupported
+    operators, missing TargetColumn, case-insensitive type names."""
+
+    def test_special_character_column(self, spark):
+        """:168-177 — dashes in the column name resolve (backtick
+        quoting)."""
+        df = spark.createDataFrame([(1, "100"), (2, "200")],
+                                   ["id", "column-with-dashes"])
+        row = _one(df, 'Rules=[ColumnDataType "column-with-dashes" '
+                       '= "INTEGER"]')
+        assert row["Outcome"] == "Passed"
+
+    def test_unsupported_operator_in(self, spark):
+        """:135-158 — IN / NOT_IN are unsupported operators."""
+        df = spark.createDataFrame([(1, "x")], "id int, col string")
+        row = _one(df, 'Rules=[ColumnDataType "col" in ["DATE"]]')
+        assert row["Outcome"] == "Failed"
+        assert "supports EQUALS" in row["FailureReason"]
+
+    def test_missing_target_column(self, spark):
+        """:179-189."""
+        df = spark.createDataFrame([(1, "x")], "id int, col string")
+        row = _one(df, 'Rules=[ColumnDataType = "DATE"]')
+        assert row["Outcome"] == "Failed"
+        assert "TargetColumn" in row["FailureReason"]
+
+    def test_case_insensitive_type_name(self, spark):
+        """:160-166 — 'date' lowercase resolves."""
+        df = spark.createDataFrame([(1, "2023-01-01")],
+                                   "id int, col string")
+        row = _one(df, 'Rules=[ColumnDataType "col" = "date"]')
+        assert row["Outcome"] == "Passed"
