@@ -928,45 +928,42 @@ def to_checks(ruleset: DQRuleset,
 _AGG_EXPR_RE = re.compile(r"(sum|avg)\s*\((.+)\)\s*$", re.IGNORECASE)
 
 
-def _execute_column_data_type(df: DataFrame, rule: DQRule) -> tuple:
-    """Dedicated ColumnDataType executor (executors/
-    ColumnDataTypeExecutor.scala + RuleEvaluationHelper.scala
-    evaluateRuleAgainstColumn): per-row outcome is
-    when(castSuccessful, isEquals).otherwise(!isEquals) — a NULL value
-    FAILS `= TYPE` and PASSES `!= TYPE`; missing column / invalid where /
-    unrecognized type / bad tags become Failed rows with the reference's
-    reasons; zero in-scope rows → Passed("No rows matched the filter").
-    One fused agg computes total and passing counts in a single scan."""
+def _column_data_type_plan(df: DataFrame, rule: DQRule):
+    """Validate one ColumnDataType rule. Returns either
+    ("row", finished_result_tuple) for untranslatable rules, or
+    ("agg", (total_expr, passed_expr)) contributing two SQL aggregate
+    expressions to the shared scan."""
     from pyspark.sql import functions as F
 
     name = rule.describe()
     cond = rule.condition
     if cond is None or cond.kind != "cmp" or cond.op not in ("=", "!=") \
             or not isinstance(cond.value, str):
-        return (name, "Failed",
-                "ColumnDataType rule only supports EQUALS (=) or "
-                "NOT_EQUALS (!=) operators", {})
+        return "row", (name, "Failed",
+                       "ColumnDataType rule only supports EQUALS (=) or "
+                       "NOT_EQUALS (!=) operators", {})
     type_name = cond.value.upper()
     dec = _DECIMAL_RE.fullmatch(type_name)
     spark_type = (f"decimal({dec.group(1)},{dec.group(2)})" if dec
                   else _DQDL_TYPE_MAP.get(type_name))
     if spark_type is None:
-        return (name, "Failed",
-                f"Unrecognized data type: {cond.value}", {})
+        return "row", (name, "Failed",
+                       f"Unrecognized data type: {cond.value}", {})
     if not rule.parameters or not rule.parameters[0]:
-        return (name, "Failed",
-                "ColumnDataType rule requires a TargetColumn parameter", {})
+        return "row", (name, "Failed",
+                       "ColumnDataType rule requires a TargetColumn "
+                       "parameter", {})
     column = rule.parameters[0]
     col = _quote_col(column)
     try:
         df.select(F.expr(col))
     except Exception:  # noqa: BLE001
-        return (name, "Failed",
-                f"Column {column} does not exist in the dataset", {})
+        return "row", (name, "Failed",
+                       f"Column {column} does not exist in the dataset", {})
     try:
         cast_ok = _column_data_type_cast_ok(col, spark_type, rule.tags)
     except DQDLParseError as exc:
-        return (name, "Failed", str(exc), {})
+        return "row", (name, "Failed", str(exc), {})
     is_equals = cond.op == "="
     outcome = (f"CASE WHEN ({cast_ok}) THEN {str(is_equals).lower()} "
                f"ELSE {str(not is_equals).lower()} END")
@@ -975,27 +972,64 @@ def _execute_column_data_type(df: DataFrame, rule: DQRule) -> tuple:
         try:
             df.where(rule.where)
         except Exception:  # noqa: BLE001
-            return (name, "Failed", "The provided where clause is invalid",
-                    {})
+            return "row", (name, "Failed",
+                           "The provided where clause is invalid", {})
         in_scope = f"({rule.where})"
-    row = df.agg(
-        F.expr(f"sum(CASE WHEN {in_scope} THEN 1 ELSE 0 END)")
-        .alias("__total"),
-        F.expr(f"sum(CASE WHEN ({in_scope}) AND ({outcome}) THEN 1 "
-               f"ELSE 0 END)").alias("__passed")).collect()[0]
-    total = int(row["__total"] or 0)
-    if total == 0:
-        return (name, "Passed", "No rows matched the filter", {})
-    ratio = int(row["__passed"] or 0) / total
-    metrics = {f"Column.{column}.ColumnDataType.Compliance": ratio}
-    assertion = (rule.threshold_condition.assertion()
-                 if rule.threshold_condition is not None
-                 else (lambda v: v == 1.0))
-    if assertion(ratio):
-        return (name, "Passed", None, metrics)
-    return (name, "Failed",
-            f"Value: {ratio} does not meet the constraint requirement.",
-            metrics)
+    return "agg", (f"sum(CASE WHEN {in_scope} THEN 1 ELSE 0 END)",
+                   f"sum(CASE WHEN ({in_scope}) AND ({outcome}) THEN 1 "
+                   f"ELSE 0 END)")
+
+
+def _execute_column_data_type_rules(df: DataFrame,
+                                    rules: List[DQRule]) -> Dict[int, tuple]:
+    """Dedicated ColumnDataType executor (executors/
+    ColumnDataTypeExecutor.scala + RuleEvaluationHelper.scala
+    evaluateRuleAgainstColumn): per-row outcome is
+    when(castSuccessful, isEquals).otherwise(!isEquals) — a NULL value
+    FAILS `= TYPE` and PASSES `!= TYPE`; missing column / invalid where /
+    unrecognized type / bad tags become Failed rows with the reference's
+    reasons; zero in-scope rows → Passed("No rows matched the filter").
+
+    Scale: ALL ColumnDataType rules in the ruleset fuse into ONE
+    df.agg(...) — two count expressions per rule in a single scan (the
+    reference runs one evaluateRuleAgainstColumn pass per rule,
+    RuleEvaluationHelper.scala:58-71; at 100 TB, N extra scans)."""
+    from pyspark.sql import functions as F
+
+    results: Dict[int, tuple] = {}
+    agg_rules: List[Tuple[int, DQRule]] = []
+    agg_exprs: List[str] = []
+    for i, rule in enumerate(rules):
+        kind, payload = _column_data_type_plan(df, rule)
+        if kind == "row":
+            results[i] = payload
+        else:
+            agg_rules.append((i, rule))
+            agg_exprs.extend(payload)
+    if not agg_rules:
+        return results
+    row = df.agg(*[F.expr(e).alias(f"__c{j}")
+                   for j, e in enumerate(agg_exprs)]).collect()[0]
+    for slot, (i, rule) in enumerate(agg_rules):
+        name = rule.describe()
+        total = int(row[2 * slot] or 0)
+        if total == 0:
+            results[i] = (name, "Passed", "No rows matched the filter", {})
+            continue
+        ratio = int(row[2 * slot + 1] or 0) / total
+        column = rule.parameters[0]
+        metrics = {f"Column.{column}.ColumnDataType.Compliance": ratio}
+        assertion = (rule.threshold_condition.assertion()
+                     if rule.threshold_condition is not None
+                     else (lambda v: v == 1.0))
+        if assertion(ratio):
+            results[i] = (name, "Passed", None, metrics)
+        else:
+            results[i] = (
+                name, "Failed",
+                f"Value: {ratio} does not meet the constraint requirement.",
+                metrics)
+    return results
 
 
 def _execute_dataset_rule(df: DataFrame, rule: DQRule,
@@ -1148,12 +1182,18 @@ class EvaluateDataQuality:
 
         # emit rows in ruleset order: deequ-backed rules pull from the one
         # suite run, dataset rules + ColumnDataType run through their
-        # dedicated executors (DQDLExecutor.scala:44)
+        # dedicated executors (DQDLExecutor.scala:44); all ColumnDataType
+        # rules share ONE fused scan
+        cdt_rules = [r for r in parsed.rules
+                     if getattr(r, "rule_type", None) == "ColumnDataType"]
+        cdt_results = (_execute_column_data_type_rules(df, cdt_rules)
+                       if cdt_rules else {})
+        cdt_iter = iter(range(len(cdt_rules)))
         check_iter = iter(checks)
         rows = []
         for rule in parsed.rules:
             if getattr(rule, "rule_type", None) == "ColumnDataType":
-                rows.append(_execute_column_data_type(df, rule))
+                rows.append(cdt_results[next(cdt_iter)])
             elif _is_dataset_rule(rule):
                 rows.append(_execute_dataset_rule(df, rule,
                                                   additional_datasets))

@@ -210,3 +210,29 @@ class TestAnalysisRunnerReferenceParity:
         from deequ_spark import Distinctness, Size
         ctx = do_analysis_run(df_nv, [Distinctness(("att1",))])
         assert not any(isinstance(a, Size) for a in ctx.metric_map)
+
+
+class TestColumnDataTypeScanFusion:
+    """All ColumnDataType rules in one DQDL ruleset share a single fused
+    df.agg scan (our improvement over the reference's per-rule
+    RuleEvaluationHelper pass) — N rules = 1 job."""
+
+    def test_three_rules_one_job(self, spark):
+        from deequ_spark.dqdl import EvaluateDataQuality
+        df = spark.createDataFrame(
+            [(1, "2023-01-01", "100", "1.5"),
+             (2, "2023-02-15", "200", "x")],
+            "id int, d string, i string, f string")
+        ruleset = ('Rules=[ColumnDataType "d" = "DATE", '
+                   'ColumnDataType "i" = "INTEGER", '
+                   'ColumnDataType "f" = "DOUBLE"]')
+        jobs, result = count_jobs(
+            spark, lambda: EvaluateDataQuality.process(df, ruleset)
+            .collect())
+        # 1 fused agg for all three rules + 1 for the tiny result-table
+        # createDataFrame/collect
+        assert jobs <= 2, jobs
+        outcomes = {r["Rule"]: r["Outcome"] for r in result}
+        assert outcomes['ColumnDataType "d" = "DATE"'] == "Passed"
+        assert outcomes['ColumnDataType "i" = "INTEGER"'] == "Passed"
+        assert outcomes['ColumnDataType "f" = "DOUBLE"'] == "Failed"
