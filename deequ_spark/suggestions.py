@@ -282,25 +282,35 @@ class FractionalCategoricalRangeRule(SuggestionRule):
         return unique_ratio <= 0.4 and ratio_sums < 1
 
     def candidate(self, profile, num_records):
+        """FractionalCategoricalRangeRule.scala:63-103 — popularity-ordered
+        SQL-escaped categories; the suggested constraint is a Compliance
+        whose INSTANCE is the description, predicate `col` IN (...),
+        assertion >= the Wald/Wilson lower bound on the observed coverage;
+        currentValue "Compliance: <coverage>"."""
         col = profile.column
         top, ratio_sums = self._top_categories(profile)
         categories = [k for k, _ in top if k != "NullValue"]
         # assertion threshold = lower bound of the binomial confidence
-        # interval around the observed coverage
-        # (FractionalCategoricalRangeRule.scala:81-84)
+        # interval around the observed coverage (:81-84)
         threshold = max(0.0, self.interval_strategy
                         .calculate_target_confidence_interval(
                             min(ratio_sums, 1.0), max(num_records, 1))
                         .lower_bound)
+        categories_sql = ", ".join(
+            "'" + c.replace("'", "''") + "'" for c in categories)
+        description = (f"'{col}' has value range {categories_sql} for at "
+                       f"least {threshold * 100}% of values")
+        condition = f"{_sql_name(col)} IN ({categories_sql})"
+        hint = f"It should be above {threshold}!"
         return ConstraintSuggestion(
-            f"ComplianceConstraint({col} mostly contained in ...)", col,
-            f"Coverage: {ratio_sums:.3f}",
-            f"'{col}' has value range {sorted(categories)} for at least "
-            f"{threshold:.0%} of values", self.name,
+            f"ComplianceConstraint(Compliance({description},{condition}))",
+            col, f"Compliance: {ratio_sums}", description, self.name,
+            # code string lists values alphabetically (stable for tooling)
             f'.is_contained_in("{col}", {sorted(categories)!r}, '
             f'lambda v: v >= {threshold})',
-            lambda check, cats=tuple(sorted(categories)), t=threshold:
-                check.is_contained_in(col, list(cats), lambda v: v >= t))
+            lambda check, c2=condition, d2=description, t=threshold,
+            h2=hint: check.satisfies(c2, d2, lambda v: v >= t, hint=h2,
+                                     columns=[col]))
 
 
 class NonNegativeNumbersRule(SuggestionRule):
