@@ -723,3 +723,125 @@ class TestMaxLengthFullColumnParity:
         a = MaxLength("att1")
         assert a.compute_state_from(df_empty_column).max_value == 0.0
         assert _lengths(df_empty_column, a) == [0.0] * 6
+
+
+# ---------------------------------------------------------------------------
+# MinimumTest.scala / MaximumTest.scala / CompletenessTest.scala — the last
+# fullColumn-internal families (COVERAGE.md residual): the reference asserts
+# element_at(fullColumn, 2) carries the raw per-row value for Min/Max, and
+# the boolean isNotNull (with filtered-row treatment) for Completeness.
+# ---------------------------------------------------------------------------
+
+def _values(df, column, order="item"):
+    from pyspark.sql import functions as F
+    rows = (df.withColumn("new", F.col(column).cast("double"))
+            .orderBy(order).collect())
+    return [r["new"] for r in rows]
+
+
+class TestMinimumFullColumnParity:
+    """MinimumTest.scala (line refs per case)."""
+
+    def test_row_level_values(self, df_numeric_values):
+        """:40-49 — fullColumn slot 2 is the raw att1 value per row."""
+        a = Minimum("att1")
+        assert a.compute_state_from(df_numeric_values).min_value == 1.0
+        assert _values(df_numeric_values, "att1") == \
+            [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+
+    def test_row_level_values_with_null(self, df_numeric_values):
+        """:51-61 — NULLs stay NULL."""
+        a = Minimum("attNull")
+        assert a.compute_state_from(df_numeric_values).min_value == 5.0
+        assert _values(df_numeric_values, "attNull") == \
+            [None, None, None, 5.0, 6.0, 7.0]
+
+    def test_preserve_full_column_when_where_filters_all(
+            self, df_numeric_values):
+        """:63-75 — empty state, EmptyState failure metric, row-level
+        column still constructible."""
+        a = Minimum("att1", where="att1 > 100")
+        state = a.compute_state_from(df_numeric_values)
+        assert state is None
+        m = a.compute_metric_from_state(state)
+        assert not m.is_success
+        assert isinstance(m.error, EmptyStateError)
+        assert a.row_level_results() is not None
+
+
+class TestMaximumFullColumnParity:
+    """MaximumTest.scala (line refs per case)."""
+
+    def test_row_level_values(self, df_numeric_values):
+        """:40-49."""
+        a = Maximum("att1")
+        assert a.compute_state_from(df_numeric_values).max_value == 6.0
+        assert _values(df_numeric_values, "att1") == \
+            [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+
+    def test_row_level_values_with_null(self, df_numeric_values):
+        """:51-61."""
+        a = Maximum("attNull")
+        assert a.compute_state_from(df_numeric_values).max_value == 7.0
+        assert _values(df_numeric_values, "attNull") == \
+            [None, None, None, 5.0, 6.0, 7.0]
+
+    def test_preserve_full_column_when_where_filters_all(
+            self, df_numeric_values):
+        """:63-75."""
+        a = Maximum("att1", where="att1 > 100")
+        state = a.compute_state_from(df_numeric_values)
+        assert state is None
+        m = a.compute_metric_from_state(state)
+        assert not m.is_success
+        assert isinstance(m.error, EmptyStateError)
+        assert a.row_level_results() is not None
+
+
+@pytest.fixture(scope="module")
+def df_complete_incomplete(spark):
+    """FixtureSupport.getDfCompleteAndInCompleteColumns."""
+    return spark.createDataFrame(
+        [("1", "a", "f"), ("2", "b", "d"), ("3", "a", None),
+         ("4", "a", "f"), ("5", "b", None), ("6", "a", "f")],
+        "item string, att1 string, att2 string")
+
+
+class TestCompletenessFullColumnParity:
+    """CompletenessTest.scala (line refs per case) — fullColumn is the
+    boolean isNotNull with filtered-row treatment; our surface is
+    Completeness.row_level_results()."""
+
+    def test_row_level_for_columns(self, df_string_columns):
+        """:31-41 — Address Line 3 null in rows 4 and 7."""
+        from deequ_spark import Completeness
+        a = Completeness("Address Line 3")
+        assert _row_level(df_string_columns, a, order="id") == \
+            [True, True, True, True, False, True, True, False]
+
+    def test_filtered_as_null(self, df_complete_incomplete):
+        """:43-57 — where att1 = 'a', FilteredRowOutcome.NULL."""
+        from deequ_spark import (AnalyzerOptions, Completeness,
+                                 FilteredRowOutcome)
+        a = Completeness("att2", where="att1 = \"a\"",
+                         analyzer_options=AnalyzerOptions(
+                             filtered_row=FilteredRowOutcome.NULL))
+        assert _row_level(df_complete_incomplete, a) == \
+            [True, None, False, True, None, True]
+
+    def test_filtered_as_true(self, df_complete_incomplete):
+        """:59-72 — default treatment keeps filtered rows TRUE."""
+        from deequ_spark import Completeness
+        a = Completeness("att2", where="att1 = \"a\"")
+        assert _row_level(df_complete_incomplete, a) == \
+            [True, True, False, True, True, True]
+
+    def test_all_filtered_null_outcomes(self, df_numeric_values):
+        """:86-99 — where filters everything + NULL treatment ⇒ all
+        NULL."""
+        from deequ_spark import (AnalyzerOptions, Completeness,
+                                 FilteredRowOutcome)
+        a = Completeness("att1", where="att1 > 100",
+                         analyzer_options=AnalyzerOptions(
+                             filtered_row=FilteredRowOutcome.NULL))
+        assert _row_level(df_numeric_values, a) == [None] * 6
