@@ -2057,6 +2057,129 @@ def q_ivf_ann_all(spark, sf_dir):
     ])
 
 
+def q_sequence_packing(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing (llm/packing.py
+    pack_sequences): documents tokenized by whitespace, salted into 8
+    independent streams, packed into 256-token sequences (straddling
+    docs split across consecutive packs).  The oracle regenerates every
+    (doc x pack) slice with DuckDB window functions; the layout checksum
+    SUM(pack_id * slice_tokens) pins the exact pack assignment, not just
+    the aggregate counts.  Scale: the prefix-sum window is PARTITIONED
+    BY the salt group - no global sort (asserted in test_llm.py)."""
+    from deequ_spark.llm import (pack_sequences, pack_statistics,
+                                 token_count_whitespace)
+    docs = _load(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, "doc_id",
+                            token_count_whitespace(F.col("text")),
+                            budget=256, n_groups=8)
+    stats = pack_statistics(packed, 256).collect()[0]
+    extra = packed.agg(
+        F.count(F.lit(1)).alias("n_slices"),
+        F.max("n_slices").alias("max_slices"),
+        F.sum(F.col("pack_id") * F.col("slice_tokens")).alias("ck"),
+    ).collect()[0]
+    return _metrics_df(spark, sorted([
+        ("n_packs", stats["n_packs"]),
+        ("total_tokens", stats["total_tokens"]),
+        ("full_packs", stats["full_packs"]),
+        ("max_docs_per_pack", stats["max_docs_per_pack"]),
+        ("n_slices", extra["n_slices"]),
+        ("max_slices_per_doc", extra["max_slices"]),
+        ("layout_checksum", extra["ck"])]))
+
+
+_SEQUENCE_PACKING_ORACLE_SQL = """
+    WITH toks AS (
+      SELECT doc_id, doc_id % 8 AS grp,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             w -> w <> '')) AS tokens
+      FROM documents),
+    pos AS (SELECT * FROM toks WHERE tokens > 0),
+    offs AS (
+      SELECT grp, doc_id, tokens,
+             CAST(COALESCE(SUM(tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS start_off
+      FROM pos),
+    ex AS (
+      SELECT grp, doc_id, tokens, start_off,
+             unnest(range(start_off // 256,
+                          (start_off + tokens - 1) // 256 + 1)) AS pack_id
+      FROM offs),
+    slices AS (
+      SELECT grp, pack_id, doc_id,
+             least(start_off + tokens, (pack_id + 1) * 256)
+               - greatest(start_off, pack_id * 256) AS slice_tokens
+      FROM ex),
+    per_pack AS (
+      SELECT grp, pack_id, SUM(slice_tokens) AS fill,
+             COUNT(*) AS docs_in_pack
+      FROM slices GROUP BY grp, pack_id),
+    per_doc AS (
+      SELECT grp, doc_id, COUNT(*) AS n_sl FROM slices GROUP BY grp, doc_id)
+    SELECT 'full_packs' AS metric,
+           CAST(SUM(CASE WHEN fill = 256 THEN 1 ELSE 0 END) AS DOUBLE) AS value
+    FROM per_pack
+    UNION ALL SELECT 'layout_checksum',
+        CAST(SUM(pack_id * slice_tokens) AS DOUBLE) FROM slices
+    UNION ALL SELECT 'max_docs_per_pack',
+        CAST(MAX(docs_in_pack) AS DOUBLE) FROM per_pack
+    UNION ALL SELECT 'max_slices_per_doc',
+        CAST(MAX(n_sl) AS DOUBLE) FROM per_doc
+    UNION ALL SELECT 'n_packs', CAST(COUNT(*) AS DOUBLE) FROM per_pack
+    UNION ALL SELECT 'n_slices', CAST(COUNT(*) AS DOUBLE) FROM slices
+    UNION ALL SELECT 'total_tokens', CAST(SUM(fill) AS DOUBLE) FROM per_pack
+"""
+
+
+def q_corpus_sampling(spark, sf_dir):
+    """Deterministic corpus sampling/mixing (llm/packing.py): md5-
+    threshold Bernoulli sampling (map-only, engine-portable, the
+    reproducible train/held-out split primitive) plus exact per-language
+    stratified quotas (row_number over the md5 ordering).  Checksums of
+    the kept doc_ids pin the EXACT selected set against the DuckDB
+    oracle, proving the sampling decisions are engine-independent."""
+    from deequ_spark.llm import hash_sample, stratified_sample
+    docs = _load(spark, sf_dir, "documents")
+    bern = hash_sample(docs, "doc_id", 0.25)
+    b = bern.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_chars").alias("chars"),
+                 F.sum("doc_id").alias("ck")).collect()[0]
+    strat = stratified_sample(docs, "lang", "doc_id", quota=50)
+    s = strat.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("doc_id").alias("ck")).collect()[0]
+    per_lang = strat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()
+    return _metrics_df(spark, sorted(
+        [("bern_n", b["n"]), ("bern_chars", b["chars"]),
+         ("bern_checksum", b["ck"]),
+         ("strat_n", s["n"]), ("strat_checksum", s["ck"])] +
+        [("strat_" + r["lang"], r["n"]) for r in per_lang]))
+
+
+_CORPUS_SAMPLING_ORACLE_SQL = """
+    WITH bern AS (
+      SELECT * FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'),
+    strat AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                          doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 50)
+    SELECT 'bern_chars' AS metric, CAST(SUM(n_chars) AS DOUBLE) AS value
+    FROM bern
+    UNION ALL SELECT 'bern_checksum', CAST(SUM(doc_id) AS DOUBLE) FROM bern
+    UNION ALL SELECT 'bern_n', CAST(COUNT(*) AS DOUBLE) FROM bern
+    UNION ALL SELECT 'strat_checksum', CAST(SUM(doc_id) AS DOUBLE) FROM strat
+    UNION ALL SELECT 'strat_n', CAST(COUNT(*) AS DOUBLE) FROM strat
+    UNION ALL SELECT 'strat_' || lang, CAST(COUNT(*) AS DOUBLE)
+    FROM strat GROUP BY lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -2106,6 +2229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance": q_distance,
         "sessionize": q_sessionize,
         "anomaly": q_anomaly,
+        "sequence_packing": q_sequence_packing,
+        "corpus_sampling": q_corpus_sampling,
         "text_pipeline_ops": q_text_pipeline_ops,
         "satellite_ops": q_satellite_ops,
         "embedding_ops": q_embedding_ops,
@@ -2879,6 +3004,8 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(metric, value)
         """,
         "gopher_quality": _GOPHER_ORACLE_SQL,
+        "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
+        "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,
         "repetition": _repetition_oracle_sql(),
         "chunking": _CHUNKING_ORACLE_SQL,
         "embedding_quality": _EMBEDDING_QUALITY_ORACLE_SQL,

@@ -1,0 +1,166 @@
+"""Sequence packing and deterministic corpus sampling — the two
+training-data-pipeline steps that sit between "cleaned corpus" and
+"training batches" (beyond the reference's surface, like the rest of
+deequ_spark.llm; the reference — awslabs/deequ — stops at data quality).
+
+Design for 100 TB:
+
+* ``pack_sequences`` never globally sorts the corpus.  Documents are
+  salted into ``n_groups`` independent streams (``id % n_groups`` —
+  portable, deterministic), and the prefix-sum window that assigns token
+  offsets is PARTITIONED BY the group, so the only shuffle is a G-way
+  hash exchange and each window task scans one group.  G is the
+  parallelism knob: at 100 TB you set it to a few × cluster cores and
+  every group packs independently.
+* ``hash_sample`` is a map-only filter (md5 threshold) — no shuffle, no
+  RNG state, reproducible across engines and re-runs, and trivially
+  pushable under column pruning (only the key column is hashed).
+* ``stratified_sample`` is one window per stratum (row_number over an
+  md5 ordering) — a single hash exchange on the stratum column; quotas
+  are exact, selection is deterministic, and skewed strata parallelize
+  across... the stratum is the unit, so a mega-stratum is one task's
+  sort: for quota ≪ stratum size, the pre-filter
+  ``hash_sample(quota / |stratum| · slack)`` keeps that sort bounded
+  (see ``prefilter_fraction``).
+
+Everything below is built-in Column expressions (whole-stage codegen,
+no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pack_sequences", "pack_statistics", "hash_sample",
+           "stratified_sample", "portable_hash_hex"]
+
+
+def portable_hash_hex(key: Column, chars: int = 8) -> Column:
+    """Lowercase hex prefix of md5(key-as-string): identical in Spark and
+    ANSI SQL engines (DuckDB, Trino, ...), uniform enough for sampling.
+    Used instead of ``rand()``/``hash()`` so sampling decisions are
+    reproducible across engines, re-runs, and cluster sizes."""
+    return F.substring(F.md5(key.cast("string")), 1, chars)
+
+
+def _fraction_threshold(fraction: float, chars: int = 8) -> str:
+    """Hex string t such that P[md5_prefix < t] == fraction (up to
+    16^-chars).  Comparing hex strings lexicographically == comparing
+    the underlying integers, so this stays portable."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    scaled = int(round(fraction * (16 ** chars)))
+    scaled = min(scaled, 16 ** chars)
+    if scaled >= 16 ** chars:          # fraction == 1.0 keeps everything
+        return "g"                     # > every hex digit
+    return format(scaled, "0" + str(chars) + "x")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                chars: int = 8) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    ``md5(key) prefix < threshold(fraction)``.
+
+    Map-only (no shuffle, no driver state); the SAME rows are kept on
+    any cluster size and in any engine that implements md5 — the
+    property that makes held-out/train splits reproducible at 100 TB.
+    """
+    thr = _fraction_threshold(fraction, chars)
+    return df.where(portable_hash_hex(F.col(key_col), chars) < F.lit(thr))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
+                      quota: int,
+                      prefilter_fraction: Optional[float] = None
+                      ) -> DataFrame:
+    """Exact per-stratum quota sample: within each stratum keep the
+    ``quota`` rows with the smallest ``(md5(key), key)`` — deterministic,
+    engine-portable, and exact (a stratum with fewer rows than the quota
+    keeps them all).
+
+    One hash exchange on ``strata_col``; the per-stratum sort is the
+    window.  For mega-strata (quota ≪ stratum size) pass
+    ``prefilter_fraction`` to cheaply map-filter first — the window then
+    sorts only ~``prefilter_fraction·|stratum|`` rows.  The caller picks
+    a slack so that P[kept < quota] is negligible (e.g. 4·quota/|s|).
+    """
+    if quota < 0:
+        raise ValueError(f"quota must be >= 0, got {quota}")
+    src = df
+    if prefilter_fraction is not None:
+        src = hash_sample(df, key_col, prefilter_fraction)
+    w = (Window.partitionBy(strata_col)
+         .orderBy(portable_hash_hex(F.col(key_col)), F.col(key_col)))
+    return (src.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= quota).drop("__rn"))
+
+
+def pack_sequences(df: DataFrame, id_col: str, tokens_col: Column,
+                   budget: int, n_groups: int = 32) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: conceptually
+    concatenate every document's tokens in ``id`` order and cut the
+    stream into fixed ``budget``-token packs; a document that straddles
+    a boundary is SPLIT across consecutive packs (no padding waste,
+    deterministic layout).
+
+    Distribution: the corpus is salted into ``n_groups`` independent
+    streams (``pmod(id, n_groups)``) and each stream packs
+    independently, so the offset prefix-sum window is partitioned — no
+    global sort, no single-task bottleneck.  Output grain is one row per
+    (document × pack it lands in):
+
+    ``group, pack_id, id, tokens, start_off, slice_tokens, n_slices``
+
+    where ``slice_tokens`` is how many of the document's tokens fall in
+    that pack and ``n_slices`` how many packs the document spans.
+    ``sum(slice_tokens) == sum(tokens)`` (token conservation) and every
+    pack except each group's last holds exactly ``budget`` tokens.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_groups <= 0:
+        raise ValueError(f"n_groups must be positive, got {n_groups}")
+    idc = F.col(id_col)
+    grouped = df.select(
+        idc.alias("id"),
+        F.pmod(idc, F.lit(n_groups)).cast("long").alias("group"),
+        tokens_col.cast("long").alias("tokens"),
+    ).where(F.col("tokens") > 0)
+    w = (Window.partitionBy("group").orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offs = grouped.select(
+        "group", "id", "tokens",
+        F.coalesce(F.sum("tokens").over(w), F.lit(0)).alias("start_off"))
+    b = F.lit(int(budget))
+    first_pack = F.expr(f"start_off div {int(budget)}")
+    last_pack = F.expr(f"(start_off + tokens - 1) div {int(budget)}")
+    exploded = offs.select(
+        "group", "id", "tokens", "start_off",
+        F.explode(F.sequence(first_pack, last_pack)).alias("pack_id"))
+    end_off = F.col("start_off") + F.col("tokens")
+    pack_lo = F.col("pack_id") * b
+    pack_hi = (F.col("pack_id") + 1) * b
+    return exploded.select(
+        "group", "pack_id", "id", "tokens", "start_off",
+        (F.least(end_off, pack_hi) -
+         F.greatest(F.col("start_off"), pack_lo)).alias("slice_tokens"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("group", "id")).alias("n_slices"))
+
+
+def pack_statistics(packed: DataFrame, budget: int) -> DataFrame:
+    """Corpus-level packing report over ``pack_sequences`` output:
+    pack counts, fill, split-document accounting.  One groupBy on the
+    (group, pack_id) grain then a global single-row agg."""
+    per_pack = packed.groupBy("group", "pack_id").agg(
+        F.sum("slice_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("docs_in_pack"))
+    return per_pack.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("fill").alias("total_tokens"),
+        F.sum((F.col("fill") == budget).cast("long")).alias("full_packs"),
+        F.max("docs_in_pack").alias("max_docs_per_pack"),
+    )
