@@ -702,7 +702,10 @@ def q_multimodal(spark, sf_dir):
     arithmetic, which pins the full encode→decode round-trip; (c) NEW r7:
     per-doc synthetic PNGs (zlib + scanline filters, channels cycling
     1..4) through encode_png → decode_image (pixel-exact asserted
-    in-task) and real_resize (format-preserving PNG→PNG)."""
+    in-task) and real_resize (format-preserving PNG→PNG); (d) NEW r7:
+    per-doc BASELINE JPEGs (llm/jpeg.py T.81 codec, alternating 4:4:4 /
+    4:2:0) through encode_jpeg → decode_image (lossy round-trip error
+    bound asserted in-task) and real_resize (JPEG→JPEG)."""
     from deequ_spark.llm import attach_binary_payload, extract_binary_features
     docs = _load(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "text", "doc_id")
@@ -719,12 +722,15 @@ def q_multimodal(spark, sf_dir):
 
     dec_schema = ("img_w int, img_h int, rs_w int, rs_h int, "
                   "png_w int, png_h int, png_c int, png_rs_w int, "
+                  "jpg_w int, jpg_h int, jpg_rs_w int, "
                   "wav_frames int, wav_rate int")
 
     def synth_and_decode(batches):
+        from deequ_spark.llm.jpeg import encode_jpeg
         for pdf in batches:
             out = {k: [] for k in ("img_w", "img_h", "rs_w", "rs_h",
                                    "png_w", "png_h", "png_c", "png_rs_w",
+                                   "jpg_w", "jpg_h", "jpg_rs_w",
                                    "wav_frames", "wav_rate")}
             for i in pdf["doc_id"].astype("int64"):
                 i = int(i)
@@ -740,6 +746,24 @@ def q_multimodal(spark, sf_dir):
                 prh, prw, prc, _ = decode_image(
                     real_resize(encode_png(png_img), 5, 2))
                 assert (prh, prw, prc) == (2, 5, png_img.shape[2])
+                jh, jw = 8 + i % 9, 8 + i % 11
+                yy, xx = np.mgrid[0:jh, 0:jw]
+                # smooth gradients, no mod-256 wrap (a wrap is a 255-step
+                # edge whose DCT ringing would blow the error bound)
+                jimg = np.stack([xx * 3 + i % 200, yy * 5,
+                                 (xx + yy) * 2],
+                                axis=2).astype(np.uint8)
+                jdata = encode_jpeg(jimg, quality=90,
+                                    subsample=bool(i % 2))
+                djh, djw, djc, jpix = decode_image(jdata)
+                assert (djh, djw, djc) == (jh, jw, 3)
+                # lossy codec: bounded round-trip error, asserted in-task
+                assert np.abs(jpix.astype(int)
+                              - jimg.astype(int)).max() <= 32
+                jrs = real_resize(jdata, 6, 4)
+                assert jrs[:2] == b"\xff\xd8"          # format-preserving
+                jrh, jrw, _, _ = decode_image(jrs)
+                assert (jrh, jrw) == (4, 6)
                 n = 8 + (i % 9) * 4
                 rate, samples = decode_audio(
                     encode_wav_pcm16(np.arange(n, dtype=np.int16), 8000))
@@ -752,6 +776,9 @@ def q_multimodal(spark, sf_dir):
                 out["png_h"].append(ph)
                 out["png_c"].append(pc)
                 out["png_rs_w"].append(prw)
+                out["jpg_w"].append(djw)
+                out["jpg_h"].append(djh)
+                out["jpg_rs_w"].append(jrw)
                 out["wav_frames"].append(len(samples))
                 out["wav_rate"].append(rate)
             yield pd.DataFrame(out)
@@ -763,6 +790,8 @@ def q_multimodal(spark, sf_dir):
                 F.sum("png_w").alias("pw"), F.sum("png_h").alias("ph"),
                 F.sum("png_c").alias("pc"),
                 F.sum("png_rs_w").alias("prw"),
+                F.sum("jpg_w").alias("jw"), F.sum("jpg_h").alias("jh"),
+                F.sum("jpg_rs_w").alias("jrw"),
                 F.sum("wav_frames").alias("fr"),
                 F.countDistinct("wav_rate").alias("rates"))
            .collect()[0])
@@ -778,6 +807,9 @@ def q_multimodal(spark, sf_dir):
         ("png_height_sum", dec["ph"]),
         ("png_channels_sum", dec["pc"]),
         ("png_resized_width_sum", dec["prw"]),
+        ("jpeg_width_sum", dec["jw"]),
+        ("jpeg_height_sum", dec["jh"]),
+        ("jpeg_resized_width_sum", dec["jrw"]),
         ("wav_frames_sum", dec["fr"]),
         ("wav_duration_ms_sum", dec["fr"] / 8.0),
         ("wav_rates_distinct", dec["rates"])])
@@ -2573,6 +2605,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'png_height_sum', CAST(SUM(1 + doc_id % 6) AS DOUBLE) FROM documents
             UNION ALL SELECT 'png_channels_sum', CAST(SUM(1 + doc_id % 4) AS DOUBLE) FROM documents
             UNION ALL SELECT 'png_resized_width_sum', CAST(5 * COUNT(*) AS DOUBLE) FROM documents
+            -- BASELINE JPEG round-trip (T.81 codec, llm/jpeg.py): dims
+            -- are doc_id arithmetic (w = 8+id%11, h = 8+id%9), decode
+            -- error bound asserted in-task; resize target 6x4, JPEG out
+            UNION ALL SELECT 'jpeg_width_sum', CAST(SUM(8 + doc_id % 11) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'jpeg_height_sum', CAST(SUM(8 + doc_id % 9) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'jpeg_resized_width_sum', CAST(6 * COUNT(*) AS DOUBLE) FROM documents
             UNION ALL SELECT 'wav_frames_sum', CAST(SUM(8 + (doc_id % 9) * 4) AS DOUBLE) FROM documents
             UNION ALL SELECT 'wav_duration_ms_sum', CAST(SUM(8 + (doc_id % 9) * 4) AS DOUBLE) / 8.0 FROM documents
             UNION ALL SELECT 'wav_rates_distinct', 1.0

@@ -24,6 +24,7 @@ from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
 from .multimodal import (attach_binary_payload, decode_audio, decode_image,
                          fake_resize, resize_media,
                          extract_binary_features, sample_chunks)
+from .jpeg import decode_jpeg, encode_jpeg
 from .pipeline import prepare_training_corpus
 from .packing import (hash_sample, pack_sequences, pack_statistics,
                       portable_hash_hex, stratified_sample)

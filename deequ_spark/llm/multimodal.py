@@ -3,15 +3,17 @@ columns with typed metadata; decode / feature-extract / chunk-sample as
 Arrow-batched ``mapInPandas`` stages.
 
 Decoders: the heavyweight media libraries (PIL/ffmpeg/librosa) are NOT in
-this container, so the REAL decode path covers the stdlib-parseable
+this container, so the REAL decode path covers the spec-implementable
 formats — uncompressed BMP (``struct`` header parsing + numpy pixel
 reshape), non-interlaced 8-bit PNG (``zlib`` inflate + the five PNG
-scanline filters) and PCM WAV (``wave`` module) — plus matching encoders
-so the round-trips are testable without any native codec. The remaining
-compressed formats (jpeg/mp3/mp4) raise NotImplementedError at the
-documented integration point; a deterministic fake decoder additionally exercises
-the Spark-side plumbing (schema, batching, partitioning, UDF signature)
-independent of any format.
+scanline filters), BASELINE sequential JPEG (own T.81 Huffman + numpy
+IDCT decoder, see ``jpeg.py``) and PCM WAV (``wave`` module) — plus
+matching encoders so the round-trips are testable without any native
+codec. The remaining formats (progressive jpeg/mp3/mp4) raise
+NotImplementedError at the documented integration point; a
+deterministic fake decoder additionally exercises the Spark-side
+plumbing (schema, batching, partitioning, UDF signature) independent of
+any format.
 
 Scale notes: mapInPandas streams Arrow record batches — memory is bounded
 by ``spark.sql.execution.arrow.maxRecordsPerBatch``; set it low (e.g. 64)
@@ -171,18 +173,23 @@ def decode_png(data: bytes):
 
 
 def decode_image(data: bytes):
-    """Decode an uncompressed 8/24/32-bit BMP (``struct`` + numpy) or a
+    """Decode an uncompressed 8/24/32-bit BMP (``struct`` + numpy), a
     non-interlaced 8-bit PNG (``struct`` + ``zlib``; see ``decode_png``)
-    — no PIL/opencv needed. Returns ``(height, width, channels, pixels)``
-    where ``pixels`` is a (height, width, channels) uint8 array in
-    top-down row order. JPEG and other compressed formats raise
+    or a BASELINE sequential JPEG (see ``jpeg.decode_jpeg`` — Huffman +
+    numpy IDCT, grayscale/4:4:4/4:2:0, restart markers) — no PIL/opencv
+    needed. Returns ``(height, width, channels, pixels)`` where
+    ``pixels`` is a (height, width, channels) uint8 array in top-down
+    row order. Progressive JPEG and other compressed formats raise
     NotImplementedError at the documented PIL integration point."""
     if data[:8] == PNG_SIGNATURE:
         return decode_png(data)
+    if data[:2] == b"\xFF\xD8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(data)
     if len(data) < 54 or data[:2] != b"BM":
         raise NotImplementedError(
-            "only uncompressed BMP and non-interlaced 8-bit PNG are "
-            "decodable without PIL/opencv — swap in "
+            "only uncompressed BMP, non-interlaced 8-bit PNG and baseline "
+            "JPEG are decodable without PIL/opencv — swap in "
             "PIL.Image.open(io.BytesIO(data)) for other formats")
     data_offset = struct.unpack_from("<I", data, 10)[0]
     (hdr_size, width, height, _planes, bpp,
@@ -321,6 +328,10 @@ def real_resize(data: bytes, width: int, height: int) -> bytes:
     resized = pixels[ys][:, xs]
     if data[:8] == PNG_SIGNATURE:
         return encode_png(resized)
+    if data[:2] == b"\xFF\xD8":
+        from .jpeg import encode_jpeg
+        return encode_jpeg(resized[:, :, 0] if channels == 1
+                           else resized[:, :, :3])
     if channels == 1:
         resized = np.repeat(resized, 3, axis=2)
     return encode_bmp(resized[:, :, :3])
