@@ -208,6 +208,12 @@ def _encode_blocks(writer, blocks, qtab, dc_codes, ac_codes, pred):
     """Huffman-encode a sequence of quantized-coefficient blocks."""
     for block in blocks:
         coefs = np.round(_DCT @ block @ _DCT.T / qtab).astype(np.int32)
+        # clamp to Huffman size category <= 10 (AC) / DC diff <= 11: at
+        # quality ~100 (quant 1) an adversarial basis-pattern block can
+        # hit |coef| = 1024, whose category has no code in the baseline
+        # tables — every practical encoder clamps here (T.81 F.1.2.2.1
+        # limits baseline AC categories to 10)
+        coefs = np.clip(coefs, -1023, 1023)
         zz = coefs.reshape(64)[_ZZ_FLAT]
         size, bits = _magnitude(int(zz[0]) - pred)
         pred = int(zz[0])
@@ -495,6 +501,10 @@ def decode_jpeg(data: bytes):
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision JPEG")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK/Adobe) needs PIL — only "
+                    "grayscale and YCbCr decode here")
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]

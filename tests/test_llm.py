@@ -1568,3 +1568,31 @@ class TestJpegCodec:
         while i != -1 and i + 1 < len(tail):
             assert tail[i + 1] == 0x00
             i = tail.find(b"\xFF", i + 2)
+
+    def test_quality_100_adversarial_block(self):
+        """quant=1 + a basis-pattern block drives |coef| to the category
+        boundary — the clamp keeps every symbol inside the baseline
+        Huffman tables (no KeyError), cost is invisible (<=1 LSB)."""
+        import numpy as np
+        from deequ_spark.llm import decode_jpeg, encode_jpeg
+        checker = np.indices((16, 16)).sum(axis=0) % 2 * 255
+        img = checker.astype(np.uint8)
+        h, w, c, pix = decode_jpeg(encode_jpeg(img, quality=100))
+        assert (h, w, c) == (16, 16, 1)
+        assert np.abs(pix[:, :, 0].astype(int) - img.astype(int)).max() <= 4
+        rgb = np.stack([checker, 255 - checker, checker],
+                       axis=2).astype(np.uint8)
+        h, w, c, pix = decode_jpeg(encode_jpeg(rgb, quality=100))
+        assert (h, w, c) == (16, 16, 3)
+
+    def test_cmyk_component_count_rejected(self):
+        import struct as _struct
+        import pytest as _pytest
+        from deequ_spark.llm import decode_jpeg, encode_jpeg
+        data = bytearray(encode_jpeg(self._gradient(16, 16)))
+        sof = bytes(data).index(b"\xFF\xC0")
+        # patch component count 3 -> 4 (length stays consistent enough
+        # for the guard, which fires before component parsing)
+        data[sof + 9] = 4
+        with _pytest.raises(NotImplementedError, match="component"):
+            decode_jpeg(bytes(data))
