@@ -2089,6 +2089,78 @@ def q_ivf_ann_all(spark, sf_dir):
     ])
 
 
+def q_audio_ops(spark, sf_dir):
+    """Audio feature extraction (llm/multimodal.py audio_features): one
+    PCM WAV per document — a pure tone at FFT bin k = 1 + doc_id % 60
+    (256 samples @ 8 kHz, cosine with a 0.01-rad phase so no sample is
+    exactly zero) — pushed through encode_wav_pcm16 → audio_features
+    (mapInPandas: decode, RMS, zero crossings, rFFT dominant bin). For a
+    bin-centered tone with k ≤ 60 the features have closed forms the
+    oracle recomputes from doc_id arithmetic: dominant_bin = k,
+    zero_crossings = 2k, frames = 256, duration = 32 ms; RMS ≈ A/√2 is
+    asserted in-task (int16 quantization bound)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from deequ_spark.llm import audio_features
+    from deequ_spark.llm.multimodal import encode_wav_pcm16
+
+    docs = _load(spark, sf_dir, "documents")
+
+    def synth(batches):
+        n = np.arange(256)
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                k = 1 + i % 60
+                s = np.round(12000 * np.cos(2 * np.pi * k * n / 256
+                                            + 0.01)).astype(np.int16)
+                ids.append(i)
+                payloads.append(encode_wav_pcm16(s, 8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary")
+    feats = audio_features(media)
+    expected_rms = 12000.0 / math.sqrt(2)
+    row = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_frames").alias("frames"),
+        F.sum("duration_ms").alias("dur"),
+        F.sum("dominant_bin").alias("bins"),
+        F.sum("dominant_freq_hz").alias("freqs"),
+        F.sum("zero_crossings").alias("zc"),
+        F.sum((F.abs(F.col("rms") - expected_rms) < 60).cast("long"))
+        .alias("rms_ok"),
+        F.countDistinct("sample_rate").alias("rates")).collect()[0]
+    return _metrics_df(spark, sorted([
+        ("rows", row["n"]),
+        ("frames_sum", row["frames"]),
+        ("duration_ms_sum", row["dur"]),
+        ("dominant_bin_sum", row["bins"]),
+        ("dominant_freq_sum", row["freqs"]),
+        ("zero_crossings_sum", row["zc"]),
+        ("rms_ok_rows", row["rms_ok"]),
+        ("rates_distinct", row["rates"])]))
+
+
+_AUDIO_OPS_ORACLE_SQL = """
+    SELECT 'dominant_bin_sum' AS metric,
+           CAST(SUM(1 + doc_id % 60) AS DOUBLE) AS value FROM documents
+    UNION ALL SELECT 'dominant_freq_sum',
+        CAST(SUM(1 + doc_id % 60) AS DOUBLE) * 8000.0 / 256.0 FROM documents
+    UNION ALL SELECT 'duration_ms_sum', 32.0 * COUNT(*) FROM documents
+    UNION ALL SELECT 'frames_sum', 256.0 * COUNT(*) FROM documents
+    UNION ALL SELECT 'rates_distinct', 1.0
+    UNION ALL SELECT 'rms_ok_rows', CAST(COUNT(*) AS DOUBLE) FROM documents
+    UNION ALL SELECT 'rows', CAST(COUNT(*) AS DOUBLE) FROM documents
+    UNION ALL SELECT 'zero_crossings_sum',
+        CAST(SUM(2 * (1 + doc_id % 60)) AS DOUBLE) FROM documents
+"""
+
+
 def q_sequence_packing(spark, sf_dir):
     """GPT-style concat-and-chunk sequence packing (llm/packing.py
     pack_sequences): documents tokenized by whitespace, salted into 8
@@ -2261,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance": q_distance,
         "sessionize": q_sessionize,
         "anomaly": q_anomaly,
+        "audio_ops": q_audio_ops,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
         "text_pipeline_ops": q_text_pipeline_ops,
@@ -3042,6 +3115,7 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(metric, value)
         """,
         "gopher_quality": _GOPHER_ORACLE_SQL,
+        "audio_ops": _AUDIO_OPS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,
         "repetition": _repetition_oracle_sql(),

@@ -21,8 +21,8 @@ from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
                    language_id_trigrams, pii_counts, redact_pii, text_quality,
                    token_count_regex, token_count_whitespace, trigram_score,
                    decontaminate)
-from .multimodal import (attach_binary_payload, decode_audio, decode_image,
-                         fake_resize, resize_media,
+from .multimodal import (attach_binary_payload, audio_features, decode_audio,
+                         decode_image, fake_resize, resize_media,
                          extract_binary_features, sample_chunks)
 from .jpeg import decode_jpeg, encode_jpeg
 from .pipeline import prepare_training_corpus

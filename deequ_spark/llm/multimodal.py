@@ -248,6 +248,55 @@ def decode_audio(data: bytes):
     return rate, samples
 
 
+AUDIO_FEATURE_SCHEMA = ("media_id long, n_frames long, sample_rate int, "
+                        "duration_ms double, rms double, "
+                        "zero_crossings long, dominant_bin int, "
+                        "dominant_freq_hz double")
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature extraction over PCM-WAV binary payloads
+    (``media_id``, ``payload`` columns): frames/duration, RMS energy,
+    zero-crossing count, dominant frequency (argmax of the rFFT
+    magnitude spectrum, DC excluded) — the standard cheap screens for
+    silence/clipping/tone detection in audio corpus curation.
+
+    mapInPandas (Arrow batches) + vectorized numpy per blob; memory is
+    bounded by the Arrow batch size. Multi-channel audio is averaged to
+    mono before analysis. Compressed formats raise NotImplementedError
+    from ``decode_audio`` at the documented integration point."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "n_frames", "sample_rate",
+                                   "duration_ms", "rms", "zero_crossings",
+                                   "dominant_bin", "dominant_freq_hz")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = decode_audio(bytes(payload))
+                mono = samples.astype(np.float64).mean(axis=1)
+                n = len(mono)
+                rms = float(np.sqrt(np.mean(mono ** 2))) if n else 0.0
+                zc = int(np.sum(mono[1:] * mono[:-1] < 0)) if n > 1 else 0
+                if n > 1:
+                    spec = np.abs(np.fft.rfft(mono))
+                    spec[0] = 0.0                      # ignore DC offset
+                    k = int(spec.argmax())
+                else:
+                    k = 0
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(n)
+                out["sample_rate"].append(int(rate))
+                out["duration_ms"].append(n * 1000.0 / rate if rate else 0.0)
+                out["rms"].append(rms)
+                out["zero_crossings"].append(zc)
+                out["dominant_bin"].append(k)
+                out["dominant_freq_hz"].append(k * rate / n if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        feats, AUDIO_FEATURE_SCHEMA)
+
+
 def fake_decode(data: bytes) -> dict:
     """Deterministic stand-in decoder: derives pseudo 'dimensions' from a
     content digest so tests and benchmarks are reproducible."""

@@ -1596,3 +1596,59 @@ class TestJpegCodec:
         data[sof + 9] = 4
         with _pytest.raises(NotImplementedError, match="component"):
             decode_jpeg(bytes(data))
+
+
+class TestAudioFeatures:
+    """audio_features (llm/multimodal.py): decode + RMS / zero-crossing /
+    rFFT dominant-frequency screens over PCM WAV payloads."""
+
+    def _media(self, spark, rows):
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def test_tone_features_exact(self, spark):
+        import numpy as np
+        from deequ_spark.llm import audio_features
+        from deequ_spark.llm.multimodal import encode_wav_pcm16
+        n = np.arange(256)
+        rows = []
+        for mid, k in [(0, 3), (1, 17), (2, 40)]:
+            s = np.round(12000 * np.cos(2 * np.pi * k * n / 256
+                                        + 0.01)).astype(np.int16)
+            rows.append((mid, bytearray(encode_wav_pcm16(s, 8000))))
+        got = {r["media_id"]: r for r in
+               audio_features(self._media(spark, rows)).collect()}
+        for mid, k in [(0, 3), (1, 17), (2, 40)]:
+            r = got[mid]
+            assert r["dominant_bin"] == k
+            assert r["zero_crossings"] == 2 * k
+            assert r["n_frames"] == 256 and r["sample_rate"] == 8000
+            assert abs(r["duration_ms"] - 32.0) < 1e-9
+            assert abs(r["dominant_freq_hz"] - k * 8000 / 256) < 1e-9
+            assert abs(r["rms"] - 12000 / np.sqrt(2)) < 60
+
+    def test_silence_and_stereo_mono_averaging(self, spark):
+        import io
+        import wave
+
+        import numpy as np
+        from deequ_spark.llm import audio_features
+        from deequ_spark.llm.multimodal import encode_wav_pcm16
+        silent = encode_wav_pcm16(np.zeros(100, dtype=np.int16), 16000)
+        # stereo WAV whose channels cancel -> mono average is silence
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            left = np.tile(np.array([5000, -5000], dtype=np.int16), 50)
+            inter = np.empty(200, dtype=np.int16)
+            inter[0::2] = left
+            inter[1::2] = -left
+            w.writeframes(inter.astype("<i2").tobytes())
+        rows = [(0, bytearray(silent)), (1, bytearray(buf.getvalue()))]
+        got = {r["media_id"]: r for r in
+               audio_features(self._media(spark, rows)).collect()}
+        assert got[0]["rms"] == 0.0 and got[0]["zero_crossings"] == 0
+        assert got[0]["dominant_bin"] == 0
+        assert got[1]["rms"] == 0.0      # channels cancel after averaging
+        assert got[1]["n_frames"] == 100
