@@ -2089,6 +2089,97 @@ def q_ivf_ann_all(spark, sf_dir):
     ])
 
 
+def q_media_probe(spark, sf_dir):
+    """Header-only media probing (llm/multimodal.py probe_media /
+    probe_media_features): per doc one synthetic blob cycling BMP / PNG /
+    JPEG / MP4 by doc_id % 4 (dims, duration, track count all doc_id
+    arithmetic; every other JPEG is patched to PROGRESSIVE to prove
+    dimension sniffing works where full decode refuses) — probed
+    format counts and metadata sums are recomputed by the oracle.
+    Probing is the first pass of a media pipeline: route/filter by what
+    a blob IS before paying any decode cost."""
+    import numpy as np
+    import pandas as pd
+    from deequ_spark.llm import encode_jpeg, encode_mp4_skeleton
+    from deequ_spark.llm import probe_media_features
+    from deequ_spark.llm.multimodal import encode_bmp, encode_png
+
+    docs = _load(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                m = i % 4
+                if m == 0:
+                    blob = encode_bmp(np.full((1 + i % 5, 1 + i % 7, 3),
+                                              i % 251, dtype=np.uint8))
+                elif m == 1:
+                    blob = encode_png(np.full((1 + i % 6, 1 + i % 8, 3),
+                                              (i * 37) % 251,
+                                              dtype=np.uint8))
+                elif m == 2:
+                    jh, jw = 8 + i % 9, 8 + i % 11
+                    yy, xx = np.mgrid[0:jh, 0:jw]
+                    img = np.stack([xx * 3 + i % 200, yy * 5,
+                                    (xx + yy) * 2],
+                                   axis=2).astype(np.uint8)
+                    blob = encode_jpeg(img, quality=85)
+                    if (i // 4) % 2 == 1:     # progressive SOF2 variant
+                        blob = blob.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
+                else:
+                    blob = encode_mp4_skeleton(
+                        100 * (1 + i % 20), 160 + (i % 10) * 16,
+                        90 + (i % 10) * 9, n_tracks=1 + i % 3)
+                ids.append(i)
+                payloads.append(blob)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary")
+    probed = probe_media_features(media)
+    row = probed.agg(
+        F.sum((F.col("format") == "bmp").cast("long")).alias("bmp"),
+        F.sum((F.col("format") == "png").cast("long")).alias("png"),
+        F.sum((F.col("format") == "jpeg").cast("long")).alias("jpg"),
+        F.sum((F.col("format") == "mp4").cast("long")).alias("mp4"),
+        F.sum((F.col("format") == "unknown").cast("long")).alias("unk"),
+        F.sum("width").alias("w"), F.sum("height").alias("h"),
+        F.sum("duration_ms").alias("dur"),
+        F.sum("n_tracks").alias("trk")).collect()[0]
+    return _metrics_df(spark, sorted([
+        ("cnt_bmp", row["bmp"]), ("cnt_png", row["png"]),
+        ("cnt_jpeg", row["jpg"]), ("cnt_mp4", row["mp4"]),
+        ("cnt_unknown", row["unk"]),
+        ("width_sum", row["w"]), ("height_sum", row["h"]),
+        ("duration_ms_sum", row["dur"]), ("tracks_sum", row["trk"])]))
+
+
+_MEDIA_PROBE_ORACLE_SQL = """
+    WITH m AS (SELECT doc_id AS i, doc_id % 4 AS f FROM documents)
+    SELECT 'cnt_bmp' AS metric, CAST(SUM(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM m
+    UNION ALL SELECT 'cnt_jpeg', CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
+    UNION ALL SELECT 'cnt_mp4', CAST(SUM(CASE WHEN f = 3 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
+    UNION ALL SELECT 'cnt_png', CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
+    UNION ALL SELECT 'cnt_unknown', 0.0
+    UNION ALL SELECT 'duration_ms_sum',
+        CAST(SUM(CASE WHEN f = 3 THEN 100 * (1 + i % 20) END) AS DOUBLE) FROM m
+    UNION ALL SELECT 'height_sum', CAST(SUM(CASE
+        WHEN f = 0 THEN 1 + i % 5
+        WHEN f = 1 THEN 1 + i % 6
+        WHEN f = 2 THEN 8 + i % 9
+        ELSE 90 + (i % 10) * 9 END) AS DOUBLE) FROM m
+    UNION ALL SELECT 'tracks_sum',
+        CAST(SUM(CASE WHEN f = 3 THEN 1 + i % 3 END) AS DOUBLE) FROM m
+    UNION ALL SELECT 'width_sum', CAST(SUM(CASE
+        WHEN f = 0 THEN 1 + i % 7
+        WHEN f = 1 THEN 1 + i % 8
+        WHEN f = 2 THEN 8 + i % 11
+        ELSE 160 + (i % 10) * 16 END) AS DOUBLE) FROM m
+"""
+
+
 def q_audio_ops(spark, sf_dir):
     """Audio feature extraction (llm/multimodal.py audio_features): one
     PCM WAV per document — a pure tone at FFT bin k = 1 + doc_id % 60
@@ -2334,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "anomaly": q_anomaly,
         "audio_ops": q_audio_ops,
+        "media_probe": q_media_probe,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
         "text_pipeline_ops": q_text_pipeline_ops,
@@ -3116,6 +3208,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher_quality": _GOPHER_ORACLE_SQL,
         "audio_ops": _AUDIO_OPS_ORACLE_SQL,
+        "media_probe": _MEDIA_PROBE_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,
         "repetition": _repetition_oracle_sql(),

@@ -248,6 +248,158 @@ def decode_audio(data: bytes):
     return rate, samples
 
 
+def encode_mp4_skeleton(duration_ms: int, width: int, height: int,
+                        n_tracks: int = 1, timescale: int = 1000) -> bytes:
+    """Minimal structurally-valid MP4 (ISO/IEC 14496-12 box layout):
+    ``ftyp`` + ``moov(mvhd, trak(tkhd)...)`` + empty ``mdat``. Carries
+    real duration/timescale/track dimensions so ``probe_media`` has
+    something true to read; there is no codec payload (that part is
+    legitimately environment-bound — ffmpeg territory)."""
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    duration = duration_ms * timescale // 1000
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale, duration)
+               + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+               + b"\x00" * 8 + matrix + b"\x00" * 24
+               + struct.pack(">I", n_tracks + 1))
+    traks = b""
+    for tid in range(1, n_tracks + 1):
+        tkhd = box(b"tkhd", struct.pack(">IIIIII", 7, 0, 0, tid, 0,
+                                        duration)
+                   + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+                   + matrix
+                   + struct.pack(">II", width << 16, height << 16))
+        traks += box(b"trak", tkhd)
+    return ftyp + box(b"moov", mvhd + traks) + box(b"mdat", b"")
+
+
+def _probe_mp4(data: bytes) -> dict:
+    """Walk the top-level box tree for mvhd (duration/timescale) and
+    trak/tkhd (count, dimensions) — header-only, no codec decode."""
+    out = {"format": "mp4", "kind": "video", "n_tracks": 0,
+           "duration_ms": None, "width": None, "height": None}
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        at = lo
+        while at + 8 <= hi:
+            (size,) = struct.unpack_from(">I", data, at)
+            tag = data[at + 4:at + 8]
+            if size == 1:            # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", data, at + 8)
+            if size < 8 or at + size > hi:
+                break
+            if tag in (b"moov", b"trak") and depth < 4:
+                walk(at + 8, at + size, depth + 1)
+            elif tag == b"mvhd" and size >= 8 + 20:
+                ver = data[at + 8]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", data, at + 28)
+                else:
+                    ts, dur = struct.unpack_from(">II", data, at + 20)
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 // ts)
+            elif tag == b"tkhd" and size >= 8 + 84:
+                out["n_tracks"] += 1
+                w, h = struct.unpack_from(">II", data, at + size - 8)
+                out["width"], out["height"] = w >> 16, h >> 16
+            at += size
+
+    walk(0, len(data), 0)
+    return out
+
+
+def _sniff_jpeg_dims(data: bytes):
+    """Read (height, width) from any SOFn marker — works for progressive
+    streams the full decoder rejects (dimension sniffing needs no
+    entropy decode)."""
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            _, h, w = struct.unpack_from(">BHH", data, pos + 4)
+            return h, w
+        pos += 2 + seglen
+    return None, None
+
+
+def probe_media(data: bytes) -> dict:
+    """Format sniff + header-only metadata extraction — the FIRST pass a
+    100 TB media pipeline runs (route/filter/partition by what a blob
+    IS before paying any decode cost). Pure struct parsing, no codec
+    work: BMP/PNG header fields, JPEG SOFn dimensions (including
+    progressive streams the full decoder refuses), WAV fmt chunk, MP4
+    box tree (mvhd duration, tkhd track dims). Unknown bytes come back
+    ``format='unknown'`` rather than raising — probing must never kill
+    a batch."""
+    out = {"format": "unknown", "kind": "unknown", "width": None,
+           "height": None, "n_channels": None, "duration_ms": None,
+           "sample_rate": None, "n_tracks": None, "n_bytes": len(data)}
+    try:
+        if data[:8] == PNG_SIGNATURE:
+            w, h, depth, ctype = struct.unpack_from(">IIBB", data, 16)
+            out.update(format="png", kind="image", width=w, height=h,
+                       n_channels={0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype))
+        elif data[:2] == b"BM" and len(data) >= 54:
+            _, w, h, _, bpp, _ = struct.unpack_from("<IiiHHI", data, 14)
+            out.update(format="bmp", kind="image", width=w, height=abs(h),
+                       n_channels=bpp // 8)
+        elif data[:2] == b"\xFF\xD8":
+            h, w = _sniff_jpeg_dims(data)
+            out.update(format="jpeg", kind="image", width=w, height=h,
+                       n_channels=3)
+        elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            with wave.open(io.BytesIO(data), "rb") as wv:
+                rate = wv.getframerate()
+                out.update(format="wav", kind="audio",
+                           n_channels=wv.getnchannels(), sample_rate=rate,
+                           duration_ms=(wv.getnframes() * 1000 // rate
+                                        if rate else None))
+        elif len(data) >= 12 and data[4:8] == b"ftyp":
+            out.update(_probe_mp4(data))
+    except Exception:                       # noqa: BLE001 — never raise
+        pass
+    return out
+
+
+PROBE_SCHEMA = ("media_id long, format string, kind string, width int, "
+                "height int, n_channels int, duration_ms long, "
+                "sample_rate int, n_tracks int, n_bytes long")
+
+
+def probe_media_features(df: DataFrame) -> DataFrame:
+    """mapInPandas media probing over (media_id, payload) — Arrow batch
+    in, one metadata row per blob out; header-only, so throughput is
+    IO-bound, not codec-bound."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [probe_media(b"" if p is None else bytes(p))
+                    for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out[["media_id", "format", "kind", "width", "height",
+                       "n_channels", "duration_ms", "sample_rate",
+                       "n_tracks", "n_bytes"]]
+
+    return df.select("media_id", "payload").mapInPandas(probe,
+                                                        PROBE_SCHEMA)
+
+
 AUDIO_FEATURE_SCHEMA = ("media_id long, n_frames long, sample_rate int, "
                         "duration_ms double, rms double, "
                         "zero_crossings long, dominant_bin int, "

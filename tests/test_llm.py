@@ -1652,3 +1652,61 @@ class TestAudioFeatures:
         assert got[0]["dominant_bin"] == 0
         assert got[1]["rms"] == 0.0      # channels cancel after averaging
         assert got[1]["n_frames"] == 100
+
+
+class TestMediaProbe:
+    """probe_media / probe_media_features / encode_mp4_skeleton
+    (llm/multimodal.py): header-only format sniffing + metadata."""
+
+    def test_probe_all_formats(self):
+        import numpy as np
+        from deequ_spark.llm import (encode_jpeg, encode_mp4_skeleton,
+                                     probe_media)
+        from deequ_spark.llm.multimodal import (encode_bmp, encode_png,
+                                                encode_wav_pcm16)
+        img = np.zeros((7, 9, 3), np.uint8)
+        p = probe_media(encode_bmp(img))
+        assert (p["format"], p["width"], p["height"]) == ("bmp", 9, 7)
+        p = probe_media(encode_png(np.zeros((5, 6, 4), np.uint8)))
+        assert (p["format"], p["n_channels"]) == ("png", 4)
+        p = probe_media(encode_jpeg(img))
+        assert (p["format"], p["width"], p["height"]) == ("jpeg", 9, 7)
+        p = probe_media(encode_wav_pcm16(np.zeros(800, np.int16), 16000))
+        assert (p["format"], p["sample_rate"],
+                p["duration_ms"]) == ("wav", 16000, 50)
+        p = probe_media(encode_mp4_skeleton(2500, 640, 360, n_tracks=2))
+        assert (p["format"], p["kind"], p["width"], p["height"],
+                p["duration_ms"], p["n_tracks"]) == \
+            ("mp4", "video", 640, 360, 2500, 2)
+
+    def test_progressive_jpeg_dims_sniffable(self):
+        """Dimension sniffing succeeds where full decode refuses."""
+        import numpy as np
+        import pytest as _pytest
+        from deequ_spark.llm import decode_jpeg, encode_jpeg, probe_media
+        prog = encode_jpeg(np.zeros((12, 20, 3), np.uint8)) \
+            .replace(b"\xFF\xC0", b"\xFF\xC2", 1)
+        with _pytest.raises(NotImplementedError):
+            decode_jpeg(prog)
+        p = probe_media(prog)
+        assert (p["format"], p["width"], p["height"]) == ("jpeg", 20, 12)
+
+    def test_probe_never_raises(self):
+        from deequ_spark.llm import probe_media
+        for blob in (b"", b"garbage", b"BM\x01", b"\xFF\xD8\xFF",
+                     b"\x00\x00\x00\x08ftyp", b"RIFF1234WAVExxxx"):
+            p = probe_media(blob)
+            assert p["n_bytes"] == len(blob)   # always returns a dict
+
+    def test_probe_features_distributed(self, spark):
+        import numpy as np
+        from deequ_spark.llm import probe_media_features
+        from deequ_spark.llm.multimodal import encode_bmp
+        rows = [(0, bytearray(encode_bmp(np.zeros((2, 3, 3), np.uint8)))),
+                (1, bytearray(b"not media")), (2, None)]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r["media_id"]: r for r in
+               probe_media_features(df).collect()}
+        assert got[0]["format"] == "bmp" and got[0]["width"] == 3
+        assert got[1]["format"] == "unknown"
+        assert got[2]["format"] == "unknown" and got[2]["n_bytes"] == 0
