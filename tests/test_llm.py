@@ -1710,3 +1710,48 @@ class TestMediaProbe:
         assert got[0]["format"] == "bmp" and got[0]["width"] == 3
         assert got[1]["format"] == "unknown"
         assert got[2]["format"] == "unknown" and got[2]["n_bytes"] == 0
+
+
+class TestPackingProperties:
+    """Hypothesis property tests for pack_sequences: invariants that
+    must hold for ANY corpus shape, not just the fixtures."""
+
+    def test_invariants_random_corpora(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from deequ_spark.llm import pack_sequences
+
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.lists(st.tuples(st.integers(0, 10**6),
+                                  st.integers(0, 500)),
+                        min_size=1, max_size=40, unique_by=lambda t: t[0]),
+               st.integers(1, 300), st.integers(1, 5))
+        def check(rows, budget, n_groups):
+            df = spark.createDataFrame(rows, "doc_id long, tokens long")
+            packed = pack_sequences(df, "doc_id", F.col("tokens"),
+                                    budget=budget,
+                                    n_groups=n_groups).collect()
+            total = sum(t for _, t in rows if t > 0)
+            # token conservation
+            assert sum(r["slice_tokens"] for r in packed) == total
+            # every slice positive and within budget
+            assert all(1 <= r["slice_tokens"] <= budget for r in packed)
+            # per (group, pack) fill <= budget, == budget except each
+            # group's last pack
+            fills = {}
+            for r in packed:
+                key = (r["group"], r["pack_id"])
+                fills[key] = fills.get(key, 0) + r["slice_tokens"]
+            for (g, p), fill in fills.items():
+                assert fill <= budget
+                last = max(pp for (gg, pp) in fills if gg == g)
+                if p != last:
+                    assert fill == budget
+            # contiguity: packs within a group are 0..last with no holes
+            for g in {gg for gg, _ in fills}:
+                packs = sorted(pp for gg, pp in fills if gg == g)
+                assert packs == list(range(len(packs)))
+
+        check()
