@@ -93,8 +93,27 @@ def main() -> None:
     for df in (docs1, docs10, emb1, emb10, li1, li10):
         df.count()
 
+    def packing_workload(spark_, docs):
+        """Sequence packing (llm/packing.py): salt-grouped prefix-sum
+        window — output slices must stay ≤ docs + tokens/budget (each
+        doc contributes 1 slice + 1 per pack boundary it crosses), and
+        wall time ~linear (the window is partitioned, never global)."""
+        from deequ_spark.llm import (pack_sequences,
+                                     token_count_whitespace)
+        packed = pack_sequences(docs, "doc_id",
+                                token_count_whitespace(F.col("text")),
+                                budget=256, n_groups=32)
+        row = packed.agg(F.count(F.lit(1)).alias("slices"),
+                         F.sum("slice_tokens").alias("tok")).collect()[0]
+        n_docs = docs.count()
+        bound = n_docs + row["tok"] // 256 + 1
+        assert row["slices"] <= bound, (
+            f"packing slice blow-up: {row['slices']} > {bound}")
+        return row["slices"]
+
     workloads = [
         ("b1_scan_fused", bench.b1_scan_fused, li1, li10),
+        ("b15_sequence_packing", packing_workload, docs1, docs10),
         ("b6_dedup_lsh", bench.b6_dedup_lsh, docs1, docs10),
         ("b7_ann", bench.b7_ann, emb1, emb10),
         ("b8_text_analysis", bench.b8_text_analysis, docs1, docs10),
