@@ -2089,6 +2089,75 @@ def q_ivf_ann_all(spark, sf_dir):
     ])
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring (llm/text.py char_trigram_model +
+    lm_quality_score): train an add-one-smoothed char-trigram model on
+    the TRUSTED subset (lang='en'), score every document's
+    cross-entropy under it — the standard perplexity-proxy filter for
+    training-corpus curation. The oracle retrains and rescores in
+    DuckDB with the same closed-form math; en docs must average lower
+    cross-entropy than non-en (asserted via the two fuzzed means).
+    Scale: the model is charset-bounded so it BROADCASTS; scoring is
+    explode + map-side join + partially-aggregated per-doc avg."""
+    from deequ_spark.llm import char_trigram_model, lm_quality_score
+    docs = _load(spark, sf_dir, "documents")
+    model = char_trigram_model(docs.where(F.col("lang") == "en"), "text")
+    scored = lm_quality_score(docs, "doc_id", "text", model)
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_trigrams").alias("tris"),
+        F.avg(F.when(F.col("lang") == "en",
+                     F.col("cross_entropy"))).alias("ce_en"),
+        F.avg(F.when(F.col("lang") != "en",
+                     F.col("cross_entropy"))).alias("ce_other"),
+        F.sum(F.col("cross_entropy").isNull().cast("long"))
+        .alias("unscored")).collect()[0]
+    n_vocab = model.count()
+    assert row["ce_en"] < row["ce_other"]      # fluent-text sanity
+    return _metrics_df(spark, sorted([
+        ("n_docs", row["n"]),
+        ("trigrams_total", row["tris"]),
+        ("model_vocab", n_vocab),
+        ("unscored_docs", row["unscored"]),
+        ("ce_en_fuzz", _fuzz(row["ce_en"])),
+        ("ce_other_fuzz", _fuzz(row["ce_other"]))]))
+
+
+_LM_SCORE_ORACLE_SQL = """
+    WITH tris AS (
+      SELECT doc_id, lang,
+             unnest([substr(lower(text), i, 3)
+                     for i in range(1, length(text) - 1)]) AS trigram
+      FROM documents WHERE length(text) >= 3),
+    model AS (
+      SELECT trigram, COUNT(*) AS c FROM tris WHERE lang = 'en'
+      GROUP BY trigram),
+    tot AS (SELECT SUM(c) AS total, COUNT(*) AS vocab FROM model),
+    probs AS (
+      SELECT trigram, ln((c + 1.0) / (total + vocab)) AS lp
+      FROM model, tot),
+    scored AS (
+      SELECT t.doc_id, t.lang,
+             COALESCE(p.lp,
+                      (SELECT ln(1.0 / (total + vocab)) FROM tot)) AS lp
+      FROM tris t LEFT JOIN probs p USING (trigram)),
+    per_doc AS (
+      SELECT doc_id, lang, -AVG(lp) AS ce, COUNT(*) AS n_tri
+      FROM scored GROUP BY doc_id, lang)
+    SELECT 'ce_en_fuzz' AS metric,
+           FLOOR(AVG(CASE WHEN lang = 'en' THEN ce END) * 1e6) AS value
+    FROM per_doc
+    UNION ALL SELECT 'ce_other_fuzz',
+        FLOOR(AVG(CASE WHEN lang <> 'en' THEN ce END) * 1e6) FROM per_doc
+    UNION ALL SELECT 'model_vocab', CAST(vocab AS DOUBLE) FROM tot
+    UNION ALL SELECT 'n_docs', CAST(COUNT(*) AS DOUBLE) FROM documents
+    UNION ALL SELECT 'trigrams_total', CAST(SUM(n_tri) AS DOUBLE) FROM per_doc
+    UNION ALL SELECT 'unscored_docs',
+        CAST((SELECT COUNT(*) FROM documents) - COUNT(*) AS DOUBLE)
+        FROM per_doc
+"""
+
+
 def q_media_probe(spark, sf_dir):
     """Header-only media probing (llm/multimodal.py probe_media /
     probe_media_features): per doc one synthetic blob cycling BMP / PNG /
@@ -2426,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly": q_anomaly,
         "audio_ops": q_audio_ops,
         "media_probe": q_media_probe,
+        "lm_score": q_lm_score,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
         "text_pipeline_ops": q_text_pipeline_ops,
@@ -3209,6 +3279,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _GOPHER_ORACLE_SQL,
         "audio_ops": _AUDIO_OPS_ORACLE_SQL,
         "media_probe": _MEDIA_PROBE_ORACLE_SQL,
+        "lm_score": _LM_SCORE_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,
         "repetition": _repetition_oracle_sql(),

@@ -15,7 +15,8 @@ from .similarity import (brute_force_topk, cosine_similarity_expr,
                          ivf_write_index, kmeans_centroids, knn_candidates,
                          knn_join)
 from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
-                   fingerprint, gopher_quality_flags, language_id,
+                   char_trigram_model, char_trigrams, fingerprint,
+                   gopher_quality_flags, language_id, lm_quality_score,
                    chunk_text, remove_boilerplate_lines,
                    top_ngram_char_fraction,
                    language_id_trigrams, pii_counts, redact_pii, text_quality,

@@ -106,6 +106,67 @@ def token_count_regex(text: Column, pattern: str = r"\w+|[^\w\s]") -> Column:
     return F.regexp_count(text, F.lit(pattern))
 
 
+def char_trigrams(text: Column) -> Column:
+    """Array of lowercase character trigrams (positions 1..len-2) —
+    expression-only (transform over a position sequence)."""
+    low = F.lower(text)
+    n = F.length(low)
+    return F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.substring(low, i, 3))).otherwise(
+        F.array().cast("array<string>"))
+
+
+def char_trigram_model(df: DataFrame, text_col: str) -> DataFrame:
+    """Add-one-smoothed character-trigram frequency model over a corpus
+    (CCNet-style: train on the corpus you trust, score candidates):
+    one explode + one groupBy → ``(trigram, log_prob)`` where
+    ``log_prob = ln((count + 1) / (total + vocab))``.
+
+    The model is BOUNDED by the charset (|charset|³ worst case, tens of
+    thousands of rows on real text) — it broadcasts, which is what makes
+    scoring at 100 TB a map-side join."""
+    tris = df.select(F.explode(char_trigrams(F.col(text_col)))
+                     .alias("trigram"))
+    counts = tris.groupBy("trigram").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("total"),
+                     F.count(F.lit(1)).alias("vocab")).collect()[0]
+    total, vocab = tot["total"] or 0, tot["vocab"] or 0
+    return counts.select(
+        "trigram",
+        F.log((F.col("c") + 1) / F.lit(float(total + vocab)))
+        .alias("log_prob")).withColumn(
+            "unseen_log_prob",
+            F.log(F.lit(1.0 / (total + vocab))))
+
+
+def lm_quality_score(df: DataFrame, id_col: str, text_col: str,
+                     model: DataFrame) -> DataFrame:
+    """Cross-entropy of each document under a ``char_trigram_model`` —
+    the standard perplexity-proxy quality filter for LLM training
+    corpora (gibberish / boilerplate / wrong-language text scores high;
+    fluent text near the corpus distribution scores low).
+
+    Plan: explode doc trigrams → BROADCAST join the (small) model →
+    per-doc avg with map-side partial aggregation. Linear in corpus
+    characters, no Python in the hot path; docs shorter than 3 chars
+    get a NULL score (no trigrams to judge)."""
+    from pyspark.sql.functions import broadcast
+    unseen = model.select("unseen_log_prob").first()["unseen_log_prob"]
+    tris = df.select(F.col(id_col).alias("__id"),
+                     F.explode(char_trigrams(F.col(text_col)))
+                     .alias("trigram"))
+    scored = (tris.join(broadcast(model.select("trigram", "log_prob")),
+                        "trigram", "left")
+              .select("__id", F.coalesce("log_prob",
+                                         F.lit(unseen)).alias("lp")))
+    per_doc = scored.groupBy("__id").agg(
+        (-F.avg("lp")).alias("cross_entropy"),
+        F.count(F.lit(1)).alias("n_trigrams"))
+    return (df.join(per_doc, df[id_col] == per_doc["__id"], "left")
+            .drop("__id"))
+
+
 def language_id(df: DataFrame, text_col: str,
                 output_col: str = "lang_pred") -> DataFrame:
     """Deterministic marker-count argmax with alphabetical tie-break."""

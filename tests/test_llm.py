@@ -1755,3 +1755,56 @@ class TestPackingProperties:
                 assert packs == list(range(len(packs)))
 
         check()
+
+
+class TestLmQualityScore:
+    """char_trigram_model + lm_quality_score (llm/text.py): CCNet-style
+    perplexity-proxy quality filtering."""
+
+    def test_model_probabilities_sum_and_smoothing(self, spark):
+        import math
+        from deequ_spark.llm import char_trigram_model
+        df = spark.createDataFrame([(0, "aaaa")], "id long, text string")
+        model = {r["trigram"]: r for r in
+                 char_trigram_model(df, "text").collect()}
+        # 2 trigrams, both 'aaa': c=2, total=2, vocab=1
+        assert set(model) == {"aaa"}
+        assert abs(model["aaa"]["log_prob"] - math.log(3 / 3)) < 1e-12
+        assert abs(model["aaa"]["unseen_log_prob"]
+                   - math.log(1 / 3)) < 1e-12
+
+    def test_fluent_scores_lower_than_gibberish(self, spark):
+        from deequ_spark.llm import char_trigram_model, lm_quality_score
+        corpus = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog") for i
+             in range(5)], "doc_id long, text string")
+        model = char_trigram_model(corpus, "text")
+        cand = spark.createDataFrame(
+            [(0, "the quick brown fox"), (1, "zxqj vwpk qqzz xjvw")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               lm_quality_score(cand, "doc_id", "text", model).collect()}
+        assert got[0]["cross_entropy"] < got[1]["cross_entropy"]
+        assert got[0]["n_trigrams"] == len("the quick brown fox") - 2
+
+    def test_short_docs_unscored(self, spark):
+        from deequ_spark.llm import char_trigram_model, lm_quality_score
+        corpus = spark.createDataFrame([(0, "hello world")],
+                                       "doc_id long, text string")
+        model = char_trigram_model(corpus, "text")
+        cand = spark.createDataFrame([(0, "hi"), (1, "hello")],
+                                     "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               lm_quality_score(cand, "doc_id", "text", model).collect()}
+        assert got[0]["cross_entropy"] is None     # < 3 chars
+        assert got[1]["cross_entropy"] is not None
+
+    def test_scoring_uses_broadcast_join(self, spark):
+        from deequ_spark.llm import char_trigram_model, lm_quality_score
+        corpus = spark.createDataFrame(
+            [(i, "some sample text here") for i in range(4)],
+            "doc_id long, text string")
+        model = char_trigram_model(corpus, "text")
+        plan = lm_quality_score(corpus, "doc_id", "text", model)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
