@@ -10,7 +10,12 @@ before corpus-wide shuffles):
 3. exact dedup    — fingerprint hash-groupBy (one shuffle)
 4. near dedup     — MinHash-LSH pairs → connected components → drop
                     losers (bucketed, never all-pairs)
-5. chunking       — :func:`chunk_text` fixed token windows (map-only)
+5. LM filter      — :func:`lm_quality_score` cross-entropy gate
+                    (model trained on the survivors, broadcast join)
+6. sampling       — :func:`hash_sample` deterministic md5 split
+7. chunking       — :func:`chunk_text` fixed token windows (map-only)
+   OR packing     — :func:`pack_sequences` concat-and-chunk into fixed
+                    token budgets (salt-grouped window)
 
 Each stage can be toggled; ``prepare_training_corpus`` returns the final
 chunk table plus a small stats dict (one count job per enabled stage —
@@ -25,8 +30,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import deduplicate_near, minhash_lsh_pairs
-from .text import (chunk_text, fingerprint, gopher_quality_flags,
-                   remove_boilerplate_lines)
+from .packing import hash_sample, pack_sequences
+from .text import (char_trigram_model, chunk_text, fingerprint,
+                   gopher_quality_flags, lm_quality_score,
+                   remove_boilerplate_lines, token_count_whitespace)
 
 
 def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
@@ -40,6 +47,9 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                             exact_dedup: bool = True,
                             near_dedup: bool = True,
                             chunk: bool = True,
+                            lm_filter_quantile: Optional[float] = None,
+                            sample_fraction: Optional[float] = None,
+                            pack_budget: Optional[int] = None,
                             collect_stats: bool = True,
                             gopher_kwargs: Optional[dict] = None
                             ) -> Tuple[DataFrame, Dict[str, int]]:
@@ -48,7 +58,15 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     The result carries (id, text[, chunk columns]); ``stage_stats`` maps
     stage name → surviving row count (empty when ``collect_stats`` is
     off). Disabled stages pass through untouched.
-    """
+
+    Optional post-dedup stages (all off by default, preserving the
+    established contract): ``lm_filter_quantile=q`` drops documents
+    whose char-trigram cross-entropy (model trained on the dedup
+    survivors) exceeds the corpus q-quantile — the CCNet perplexity
+    gate; ``sample_fraction=f`` takes a deterministic md5 Bernoulli
+    sample (reproducible on any cluster size); ``pack_budget=B``
+    replaces overlap-chunking with concat-and-chunk sequence packing
+    into B-token packs (``chunk`` is ignored when set)."""
     stats: Dict[str, int] = {}
     cached: list = []        # previous stage's persisted frame, if any
 
@@ -94,7 +112,29 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                                   threshold=near_dup_threshold)
         out = note("near_dedup", deduplicate_near(out, id_col, pairs))
 
-    if chunk:
+    if lm_filter_quantile is not None:
+        if not 0.0 < lm_filter_quantile <= 1.0:
+            raise ValueError("lm_filter_quantile must be in (0, 1]")
+        model = char_trigram_model(out, text_col)
+        scored = lm_quality_score(out, id_col, text_col, model)
+        # exact quantile of the (per-doc, small) score column; docs too
+        # short to score pass the gate (nothing to judge)
+        cut = scored.agg(F.expr(
+            f"percentile(cross_entropy, {lm_filter_quantile})")
+        ).collect()[0][0]
+        out = note("lm_filter", scored.where(
+            F.col("cross_entropy").isNull()
+            | (F.col("cross_entropy") <= F.lit(cut)))
+            .select(id_col, text_col))
+
+    if sample_fraction is not None:
+        out = note("sample", hash_sample(out, id_col, sample_fraction))
+
+    if pack_budget is not None:
+        out = note("packs", pack_sequences(
+            out, id_col, token_count_whitespace(F.col(text_col)),
+            budget=pack_budget))
+    elif chunk:
         out = note("chunks", chunk_text(out, id_col, text_col,
                                         chunk_tokens=chunk_tokens,
                                         overlap=chunk_overlap))

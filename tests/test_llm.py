@@ -1808,3 +1808,56 @@ class TestLmQualityScore:
         plan = lm_quality_score(corpus, "doc_id", "text", model)._jdf \
             .queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+class TestPipelineEndToEnd:
+    """prepare_training_corpus with the r7 post-dedup stages: LM filter,
+    deterministic sampling, sequence packing."""
+
+    def _corpus(self, spark):
+        fluent = ("the quick brown fox jumps over the lazy dog and then "
+                  "runs far away into the quiet green forest tonight " * 3)
+        gibberish = "zxqj vwpk qqzz xjvw kjzx wqpv zzqq wjxv " * 8
+        rows = [(i, fluent + f" marker{i}") for i in range(20)]
+        rows += [(100 + i, gibberish + f" tag{i}") for i in range(4)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_lm_filter_drops_high_entropy_docs(self, spark):
+        from deequ_spark.llm import prepare_training_corpus
+        # quality gate OFF so the LM stage is what removes the gibberish
+        out, stats = prepare_training_corpus(
+            self._corpus(spark), "doc_id", "text",
+            quality_filter=False, boilerplate=False, near_dedup=False,
+            chunk=False, lm_filter_quantile=0.8)
+        kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+        # the gibberish block scores above the 0.8 quantile and is gone
+        assert all(i < 100 for i in kept)
+        assert stats["lm_filter"] < stats["exact_dedup"] == 24
+
+    def test_sampling_and_packing_stages(self, spark):
+        from deequ_spark.llm import prepare_training_corpus
+        out, stats = prepare_training_corpus(
+            self._corpus(spark), "doc_id", "text", min_words=10,
+            boilerplate=False, near_dedup=False,
+            sample_fraction=0.5, pack_budget=64)
+        assert 0 < stats["sample"] <= stats["exact_dedup"]
+        # packing output grain: (group, pack_id, id, ...) slices
+        cols = set(out.columns)
+        assert {"group", "pack_id", "id", "slice_tokens"} <= cols
+        fills = (out.groupBy("group", "pack_id")
+                 .agg(F.sum("slice_tokens").alias("f")).collect())
+        assert all(r["f"] <= 64 for r in fills)
+        # deterministic: same inputs -> same sampled stats
+        _, stats2 = prepare_training_corpus(
+            self._corpus(spark), "doc_id", "text", min_words=10,
+            boilerplate=False, near_dedup=False,
+            sample_fraction=0.5, pack_budget=64)
+        assert stats2["sample"] == stats["sample"]
+        assert stats2["packs"] == stats["packs"]
+
+    def test_bad_quantile_rejected(self, spark):
+        import pytest as _pytest
+        from deequ_spark.llm import prepare_training_corpus
+        with _pytest.raises(ValueError, match="lm_filter_quantile"):
+            prepare_training_corpus(self._corpus(spark), "doc_id",
+                                    "text", lm_filter_quantile=1.5)
