@@ -99,7 +99,8 @@ def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
 
 
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: Column,
-                   budget: int, n_groups: int = 32) -> DataFrame:
+                   budget: int,
+                   n_groups: Optional[int] = None) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: conceptually
     concatenate every document's tokens in ``id`` order and cut the
     stream into fixed ``budget``-token packs; a document that straddles
@@ -118,9 +119,18 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: Column,
     that pack and ``n_slices`` how many packs the document spans.
     ``sum(slice_tokens) == sum(tokens)`` (token conservation) and every
     pack except each group's last holds exactly ``budget`` tokens.
+
+    ``n_groups`` defaults to 4× the session's default parallelism so
+    each group's window sort stays a small fraction of the corpus on
+    any cluster size — on a 1000-executor cluster the default becomes
+    thousands of independent streams, not a fixed 32.  Pin it
+    explicitly when the pack layout must be reproducible across
+    clusters of different sizes.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if n_groups is None:
+        n_groups = 4 * df.sparkSession.sparkContext.defaultParallelism
     if n_groups <= 0:
         raise ValueError(f"n_groups must be positive, got {n_groups}")
     idc = F.col(id_col)
