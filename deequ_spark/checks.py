@@ -29,6 +29,7 @@ from .analyzers.scan import (ApproxCountDistinct, ApproxQuantile, ColumnCount,
                              Mean, Minimum, MinLength, PatternMatch, Patterns,
                              RatioOfSums, Size, Skewness, StandardDeviation,
                              Sum, Variance, ZerosCount)
+from .compat import CamelCaseMixin, PyDeequCompatMeta
 from .constraints import (AnalysisBasedConstraint, Constraint,
                           ConstraintResult, ConstraintStatus)
 from .metrics import Distribution, Metric
@@ -37,6 +38,9 @@ from .metrics import Distribution, Metric
 class CheckLevel(str, Enum):
     ERROR = "Error"
     WARNING = "Warning"
+    # PyDeequ-style aliases (same values -> Enum aliases, not new members)
+    Error = "Error"
+    Warning = "Warning"
 
 
 class CheckStatus(str, Enum):
@@ -66,9 +70,14 @@ class CheckResult:
     constraint_results: List[ConstraintResult] = field(default_factory=list)
 
 
-class Check:
+class Check(CamelCaseMixin, metaclass=PyDeequCompatMeta):
     """A named set of constraints sharing a severity level
-    (parity: Check.scala:79-116)."""
+    (parity: Check.scala:79-116). PyDeequ-compatible: camelCase method
+    access and a tolerated leading SparkSession argument (compat.py), so
+    ``Check(spark, CheckLevel.Warning, \"desc\").hasSize(...)`` runs
+    verbatim."""
+
+    __strip_leading_spark__ = True
 
     def __init__(self, level: CheckLevel, description: str,
                  constraints: Optional[List] = None):

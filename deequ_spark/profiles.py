@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .compat import CamelCaseMixin, PyDeequCompatMeta
 from .analyzers.base import NUMERIC_TYPES
 from .analyzers.grouping import Histogram
 from .analyzers.scan import (AnalyzerOptions, ApproxCountDistinct,
@@ -76,14 +77,17 @@ class ColumnProfile:
         return self.mean is not None or self.minimum is not None
 
 
-class ColumnProfilerRunner:
-    """Fluent runner (parity: ColumnProfilerRunner.scala)."""
+class ColumnProfilerRunner(CamelCaseMixin, metaclass=PyDeequCompatMeta):
+    """Fluent runner (parity: ColumnProfilerRunner.scala).
+    PyDeequ-compatible: ``ColumnProfilerRunner(spark).onData(df)``."""
+
+    __strip_leading_spark__ = True
 
     def on_data(self, data: DataFrame) -> "ColumnProfilerRunBuilder":
         return ColumnProfilerRunBuilder(data)
 
 
-class ColumnProfilerRunBuilder:
+class ColumnProfilerRunBuilder(CamelCaseMixin):
     def __init__(self, data: DataFrame):
         self._data = data
         self._columns: Optional[List[str]] = None

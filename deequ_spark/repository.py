@@ -16,13 +16,16 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
 from .analyzers.base import Analyzer
+from .compat import CamelCaseMixin, PyDeequCompatMeta
 from .metrics import (Distribution, DistributionValue, DoubleMetric, Entity,
                       HistogramMetric, KeyedDoubleMetric, Metric)
 from .runners.analysis_runner import AnalyzerContext
 
 
 @dataclass(frozen=True)
-class ResultKey:
+class ResultKey(metaclass=PyDeequCompatMeta):
+    __strip_leading_spark__ = True      # PyDeequ: ResultKey(spark, date, tags)
+
     """Parity: MetricsRepository.scala:25-30. ``tags`` accepts a dict (as in
     the reference API) and is normalized to a sorted tuple so keys hash."""
     dataset_date: int
@@ -131,7 +134,7 @@ def deserialize_context(data: Dict[str, Any]) -> Tuple[ResultKey, AnalyzerContex
 
 # --- query DSL --------------------------------------------------------------
 
-class MetricsRepositoryMultipleResultsLoader:
+class MetricsRepositoryMultipleResultsLoader(CamelCaseMixin):
     """Parity: MetricsRepositoryMultipleResultsLoader.scala:33-59."""
 
     def __init__(self, entries: List[Tuple[ResultKey, AnalyzerContext]]):
@@ -259,7 +262,10 @@ class MetricsRepository:
         raise NotImplementedError
 
 
-class InMemoryMetricsRepository(MetricsRepository):
+class InMemoryMetricsRepository(CamelCaseMixin, MetricsRepository,
+                                metaclass=PyDeequCompatMeta):
+    __strip_leading_spark__ = True      # PyDeequ passes spark first
+
     """Parity: memory/InMemoryMetricsRepository.scala."""
 
     def __init__(self):
@@ -279,7 +285,10 @@ class InMemoryMetricsRepository(MetricsRepository):
         return MetricsRepositoryMultipleResultsLoader(list(self._store.items()))
 
 
-class FileSystemMetricsRepository(MetricsRepository):
+class FileSystemMetricsRepository(CamelCaseMixin, MetricsRepository,
+                                  metaclass=PyDeequCompatMeta):
+    __strip_leading_spark__ = True      # PyDeequ passes spark first
+
     """JSON-file-backed repository
     (parity: fs/FileSystemMetricsRepository.scala)."""
 

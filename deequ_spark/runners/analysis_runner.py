@@ -32,6 +32,7 @@ from ..analyzers.grouping import (COUNT_COL, FrequenciesAndNumRows,
                                   FrequencyBasedAnalyzer, Histogram,
                                   ScanShareableFrequencyBasedAnalyzer,
                                   frequencies_plan)
+from ..compat import CamelCaseMixin, PyDeequCompatMeta
 from ..metrics import DoubleMetric, Metric
 
 
@@ -394,7 +395,7 @@ def run_on_aggregated_states(schema_source: DataFrame,
     return ctx
 
 
-class AnalysisRunBuilder:
+class AnalysisRunBuilder(CamelCaseMixin):
     """Fluent analysis entry point (parity: runners/AnalysisRunBuilder.scala
     + AnalysisRunner.scala onData). Adding the SAME analyzer twice is an
     error, matching the reference builder's require (AnalysisRunnerTests
@@ -458,8 +459,9 @@ class AnalysisRunBuilder:
             fail_if_results_missing=self._fail_if_results_missing)
 
 
-class AnalysisRunner:
-    """Parity: AnalysisRunner.scala onData/run entry points."""
+class AnalysisRunner(metaclass=PyDeequCompatMeta):
+    """Parity: AnalysisRunner.scala onData/run entry points.
+    PyDeequ-compatible static camelCase: ``AnalysisRunner.onData(df)``."""
 
     @staticmethod
     def on_data(data: DataFrame) -> AnalysisRunBuilder:

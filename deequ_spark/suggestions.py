@@ -18,6 +18,7 @@ from typing import Callable, Dict, List, Optional
 from pyspark.sql import DataFrame
 
 from .checks import Check, CheckLevel
+from .compat import CamelCaseMixin, PyDeequCompatMeta
 from .profiles import ColumnProfile, profile_columns
 from .analyzers.scan import DataTypeInstances
 
@@ -490,6 +491,17 @@ NUMERICAL_RULES: List[SuggestionRule] = [
 EXTENDED_RULES: List[SuggestionRule] = DEFAULT_RULES + STRING_RULES + NUMERICAL_RULES
 
 
+def DEFAULT() -> List[SuggestionRule]:
+    """PyDeequ parity: ``addConstraintRule(DEFAULT())`` expands to the
+    default rule set (pydeequ/suggestions.py DEFAULT)."""
+    return list(DEFAULT_RULES)
+
+
+def EXTENDED() -> List[SuggestionRule]:
+    """PyDeequ-style factory for the extended rule set."""
+    return list(EXTENDED_RULES)
+
+
 # exact reference wording per rule (rules/*.scala ruleDescription)
 RULE_DESCRIPTIONS = {
     "CategoricalRangeRule": "If we see a categorical range for a column, "
@@ -571,12 +583,17 @@ def evaluation_results_to_json(
     return json.dumps({"constraint_suggestions": rows}, indent=2)
 
 
-class ConstraintSuggestionRunner:
+class ConstraintSuggestionRunner(CamelCaseMixin,
+                                 metaclass=PyDeequCompatMeta):
+    """PyDeequ-compatible: ``ConstraintSuggestionRunner(spark)
+    .onData(df).addConstraintRule(...)`` runs verbatim (compat.py)."""
+
+    __strip_leading_spark__ = True
     def on_data(self, data: DataFrame) -> "ConstraintSuggestionRunBuilder":
         return ConstraintSuggestionRunBuilder(data)
 
 
-class ConstraintSuggestionRunBuilder:
+class ConstraintSuggestionRunBuilder(CamelCaseMixin):
     def __init__(self, data: DataFrame):
         self._data = data
         self._rules: List[SuggestionRule] = []
@@ -592,6 +609,15 @@ class ConstraintSuggestionRunBuilder:
 
     def add_constraint_rules(self, rules: List[SuggestionRule]):
         self._rules.extend(rules)
+        return self
+
+    def add_constraint_rule(self, rule):
+        """PyDeequ parity: accepts one rule OR an iterable (PyDeequ's
+        DEFAULT() expands to the whole default rule set)."""
+        if isinstance(rule, (list, tuple, set)):
+            self._rules.extend(rule)
+        else:
+            self._rules.append(rule)
         return self
 
     def restrict_to_columns(self, columns: List[str]):

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from .analyzers.base import Analyzer
 from .checks import Check, CheckResult, CheckStatus
+from .compat import CamelCaseMixin, PyDeequCompatMeta
 from .constraints import ConstraintStatus
 from .runners.analysis_runner import AnalyzerContext, do_analysis_run
 
@@ -42,7 +43,7 @@ def _write_text_dfs(spark: Optional[SparkSession], path: str, content: str,
 
 
 @dataclass
-class VerificationResult:
+class VerificationResult(CamelCaseMixin):
     status: CheckStatus
     check_results: Dict[Check, CheckResult]
     metrics: AnalyzerContext
@@ -182,8 +183,9 @@ class VerificationResult:
         return out
 
 
-class VerificationRunBuilder:
-    """Parity: VerificationRunBuilder.scala:28-180."""
+class VerificationRunBuilder(CamelCaseMixin):
+    """Parity: VerificationRunBuilder.scala:28-180. PyDeequ-compatible
+    camelCase access (compat.py): ``.addCheck(c).useRepository(r).run()``."""
 
     def __init__(self, data: DataFrame):
         self._data = data
@@ -319,8 +321,11 @@ class VerificationRunBuilder:
         return result
 
 
-class VerificationSuite:
-    """Parity: VerificationSuite.scala:49-51."""
+class VerificationSuite(CamelCaseMixin, metaclass=PyDeequCompatMeta):
+    """Parity: VerificationSuite.scala:49-51. PyDeequ-compatible:
+    ``VerificationSuite(spark).onData(df)`` runs verbatim (compat.py)."""
+
+    __strip_leading_spark__ = True
 
     def on_data(self, data: DataFrame) -> VerificationRunBuilder:
         return VerificationRunBuilder(data)
