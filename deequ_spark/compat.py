@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import re
 
-_CAMEL_RE = re.compile(r"(?<!^)(?=[A-Z])")
+# split lower→Upper boundaries AND the end of capital runs (acronyms):
+# containsURL -> contains_url, hasApproxCountDistinct -> has_approx_…
+_CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
 
 
 def camel_to_snake(name: str) -> str:

@@ -96,3 +96,24 @@ class TestPyDeequQuickstart:
             Check(spark, CheckLevel.Warning, "x").hasNoSuchThing
         with pytest.raises(AttributeError):
             VerificationSuite(spark).notAMethod
+
+    def test_full_pydeequ_check_method_surface(self, spark):
+        """Every public method name from pydeequ/checks.py resolves."""
+        from deequ_spark.compat import snake_candidates
+        names = """hasSize hasColumnCount isComplete areComplete
+        haveCompleteness areAnyComplete haveAnyCompleteness isUnique
+        isPrimaryKey hasUniqueness hasDistinctness hasUniqueValueRatio
+        hasNumberOfDistinctValues hasHistogramValues kllSketchSatisfies
+        hasMin hasMax hasMean hasSum hasStandardDeviation
+        hasApproxCountDistinct hasApproxQuantile hasMinLength
+        hasMaxLength hasEntropy hasMutualInformation hasCorrelation
+        satisfies hasPattern containsCreditCardNumber containsEmail
+        containsURL containsSocialSecurityNumber hasDataType
+        isNonNegative isPositive isLessThan isLessThanOrEqualTo
+        isGreaterThan isGreaterThanOrEqualTo isContainedIn
+        hasCompleteness evaluate where""".split()
+        c = Check(spark, CheckLevel.Warning, "surface")
+        missing = [n for n in names
+                   if not any(hasattr(c, s)
+                              for s in list(snake_candidates(n)) + [n])]
+        assert missing == []
