@@ -94,8 +94,9 @@ def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
         src = hash_sample(df, key_col, prefilter_fraction)
     w = (Window.partitionBy(strata_col)
          .orderBy(portable_hash_hex(F.col(key_col)), F.col(key_col)))
-    return (src.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= quota).drop("__rn"))
+    rn = "__dq_strat_rn"                 # avoid colliding with user columns
+    return (src.withColumn(rn, F.row_number().over(w))
+            .where(F.col(rn) <= quota).drop(rn))
 
 
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: Column,
