@@ -36,6 +36,38 @@ def load_all(spark: SparkSession, sf_dir: str):
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def write_corpus(df: DataFrame, path: str, partition_by=None,
+                 max_records_per_file: int | None = None,
+                 sort_within_partitions=None,
+                 mode: str = "overwrite") -> None:
+    """Write a (possibly huge) corpus to parquet with the three knobs
+    that matter at 100 TB baked in:
+
+    * ``partition_by`` — hive-style directory partitioning (e.g. by
+      lang or source) so downstream readers partition-prune instead of
+      scanning everything;
+    * ``max_records_per_file`` — bounds file size so a skewed task
+      can't emit a multi-GB file that some later reader must swallow in
+      one split;
+    * ``sort_within_partitions`` — clusters rows inside each output
+      file (better page/dictionary compression and min/max skipping for
+      range predicates) WITHOUT a global sort's single-stage barrier.
+    """
+    if sort_within_partitions:
+        cols = ([sort_within_partitions]
+                if isinstance(sort_within_partitions, str)
+                else list(sort_within_partitions))
+        df = df.sortWithinPartitions(*cols)
+    writer = df.write.mode(mode).format("parquet")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        part = ([partition_by] if isinstance(partition_by, str)
+                else list(partition_by))
+        writer = writer.partitionBy(*part)
+    writer.save(path)
+
+
 def write_bucketed(df: DataFrame, table_name: str, bucket_cols,
                    n_buckets: int = 32,
                    sort_cols=None, path: str | None = None) -> None:

@@ -241,3 +241,31 @@ def test_row_level_boolean_path_stays_jvm(spark):
     plan2 = (result2.row_level_results_as_dataframe(df)
              ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan2   # Arrow-batched, never pickled
+
+
+def test_write_corpus_partitioned_pruned_and_bounded(spark, tmp_path):
+    """sources.write_corpus: hive partitioning reaches the reader as
+    partition pruning, maxRecordsPerFile bounds file size, and
+    sortWithinPartitions avoids any global Exchange in the write plan."""
+    from deequ_spark.sources import write_corpus
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS lang", "id * 2 AS payload")
+    out = str(tmp_path / "corpus")
+    write_corpus(df, out, partition_by="lang",
+                 max_records_per_file=100,
+                 sort_within_partitions="id")
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    # partition pruning: a lang filter reads one directory, not three
+    pruned = back.where(back.lang == "1")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert pruned.count() == 333
+    # bounded file sizes: no parquet part-file exceeds the record cap
+    import glob
+    import os
+    files = glob.glob(os.path.join(out, "lang=*", "*.parquet"))
+    assert files
+    for f in files:
+        n = spark.read.parquet(f).count()
+        assert n <= 100
