@@ -2161,15 +2161,18 @@ _LM_SCORE_ORACLE_SQL = """
 def q_media_probe(spark, sf_dir):
     """Header-only media probing (llm/multimodal.py probe_media /
     probe_media_features): per doc one synthetic blob cycling BMP / PNG /
-    JPEG / MP4 by doc_id % 4 (dims, duration, track count all doc_id
-    arithmetic; every other JPEG is patched to PROGRESSIVE to prove
-    dimension sniffing works where full decode refuses) — probed
-    format counts and metadata sums are recomputed by the oracle.
-    Probing is the first pass of a media pipeline: route/filter by what
-    a blob IS before paying any decode cost."""
+    JPEG / MP4 / MP3 by doc_id % 5 (dims, duration, track count all
+    doc_id arithmetic; every other JPEG is patched to PROGRESSIVE to
+    prove dimension sniffing works where full decode refuses; every
+    other MP3 carries a Xing VBR tag so both the tag path and the
+    frame-chain walk are exercised) — probed format counts and metadata
+    sums are recomputed by the oracle. Probing is the first pass of a
+    media pipeline: route/filter by what a blob IS before paying any
+    decode cost."""
     import numpy as np
     import pandas as pd
-    from deequ_spark.llm import encode_jpeg, encode_mp4_skeleton
+    from deequ_spark.llm import (encode_jpeg, encode_mp3_frames,
+                                 encode_mp4_skeleton)
     from deequ_spark.llm import probe_media_features
     from deequ_spark.llm.multimodal import encode_bmp, encode_png
 
@@ -2180,7 +2183,7 @@ def q_media_probe(spark, sf_dir):
             ids, payloads = [], []
             for i in pdf["doc_id"].astype("int64"):
                 i = int(i)
-                m = i % 4
+                m = i % 5
                 if m == 0:
                     blob = encode_bmp(np.full((1 + i % 5, 1 + i % 7, 3),
                                               i % 251, dtype=np.uint8))
@@ -2197,10 +2200,15 @@ def q_media_probe(spark, sf_dir):
                     blob = encode_jpeg(img, quality=85)
                     if (i // 4) % 2 == 1:     # progressive SOF2 variant
                         blob = blob.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
-                else:
+                elif m == 3:
                     blob = encode_mp4_skeleton(
                         100 * (1 + i % 20), 160 + (i % 10) * 16,
                         90 + (i % 10) * 9, n_tracks=1 + i % 3)
+                else:
+                    # 64 kbps @ 48 kHz ⇒ exactly 24 ms/frame
+                    blob = encode_mp3_frames(
+                        1 + i % 8, mono=(i % 2 == 0),
+                        xing=((i // 5) % 2 == 1))
                 ids.append(i)
                 payloads.append(blob)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
@@ -2213,39 +2221,51 @@ def q_media_probe(spark, sf_dir):
         F.sum((F.col("format") == "png").cast("long")).alias("png"),
         F.sum((F.col("format") == "jpeg").cast("long")).alias("jpg"),
         F.sum((F.col("format") == "mp4").cast("long")).alias("mp4"),
+        F.sum((F.col("format") == "mp3").cast("long")).alias("mp3"),
         F.sum((F.col("format") == "unknown").cast("long")).alias("unk"),
         F.sum("width").alias("w"), F.sum("height").alias("h"),
         F.sum("duration_ms").alias("dur"),
+        F.sum("sample_rate").alias("sr"),
+        F.sum("n_channels").alias("ch"),
         F.sum("n_tracks").alias("trk")).collect()[0]
     return _metrics_df(spark, sorted([
         ("cnt_bmp", row["bmp"]), ("cnt_png", row["png"]),
         ("cnt_jpeg", row["jpg"]), ("cnt_mp4", row["mp4"]),
-        ("cnt_unknown", row["unk"]),
+        ("cnt_mp3", row["mp3"]), ("cnt_unknown", row["unk"]),
         ("width_sum", row["w"]), ("height_sum", row["h"]),
-        ("duration_ms_sum", row["dur"]), ("tracks_sum", row["trk"])]))
+        ("duration_ms_sum", row["dur"]),
+        ("samplerate_sum", row["sr"]), ("channels_sum", row["ch"]),
+        ("tracks_sum", row["trk"])]))
 
 
 _MEDIA_PROBE_ORACLE_SQL = """
-    WITH m AS (SELECT doc_id AS i, doc_id % 4 AS f FROM documents)
-    SELECT 'cnt_bmp' AS metric, CAST(SUM(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM m
+    WITH m AS (SELECT doc_id AS i, doc_id % 5 AS f FROM documents)
+    SELECT 'channels_sum' AS metric, CAST(SUM(CASE
+        WHEN f IN (0, 1, 2) THEN 3
+        WHEN f = 4 THEN 1 + (i % 2) END) AS DOUBLE) AS value FROM m
+    UNION ALL SELECT 'cnt_bmp', CAST(SUM(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
     UNION ALL SELECT 'cnt_jpeg', CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
+    UNION ALL SELECT 'cnt_mp3', CAST(SUM(CASE WHEN f = 4 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
     UNION ALL SELECT 'cnt_mp4', CAST(SUM(CASE WHEN f = 3 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
     UNION ALL SELECT 'cnt_png', CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
     UNION ALL SELECT 'cnt_unknown', 0.0
-    UNION ALL SELECT 'duration_ms_sum',
-        CAST(SUM(CASE WHEN f = 3 THEN 100 * (1 + i % 20) END) AS DOUBLE) FROM m
+    UNION ALL SELECT 'duration_ms_sum', CAST(SUM(CASE
+        WHEN f = 3 THEN 100 * (1 + i % 20)
+        WHEN f = 4 THEN 24 * (1 + i % 8) END) AS DOUBLE) FROM m
     UNION ALL SELECT 'height_sum', CAST(SUM(CASE
         WHEN f = 0 THEN 1 + i % 5
         WHEN f = 1 THEN 1 + i % 6
         WHEN f = 2 THEN 8 + i % 9
-        ELSE 90 + (i % 10) * 9 END) AS DOUBLE) FROM m
+        WHEN f = 3 THEN 90 + (i % 10) * 9 END) AS DOUBLE) FROM m
+    UNION ALL SELECT 'samplerate_sum',
+        CAST(SUM(CASE WHEN f = 4 THEN 48000 END) AS DOUBLE) FROM m
     UNION ALL SELECT 'tracks_sum',
         CAST(SUM(CASE WHEN f = 3 THEN 1 + i % 3 END) AS DOUBLE) FROM m
     UNION ALL SELECT 'width_sum', CAST(SUM(CASE
         WHEN f = 0 THEN 1 + i % 7
         WHEN f = 1 THEN 1 + i % 8
         WHEN f = 2 THEN 8 + i % 11
-        ELSE 160 + (i % 10) * 16 END) AS DOUBLE) FROM m
+        WHEN f = 3 THEN 160 + (i % 10) * 16 END) AS DOUBLE) FROM m
 """
 
 

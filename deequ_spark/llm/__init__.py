@@ -23,7 +23,8 @@ from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
                    token_count_regex, token_count_whitespace, trigram_score,
                    decontaminate)
 from .multimodal import (attach_binary_payload, audio_features, decode_audio,
-                         decode_image, encode_mp4_skeleton, fake_resize,
+                         decode_image, encode_mp3_frames, encode_mp4_skeleton,
+                         fake_resize,
                          probe_media, probe_media_features, resize_media,
                          extract_binary_features, sample_chunks)
 from .jpeg import decode_jpeg, encode_jpeg

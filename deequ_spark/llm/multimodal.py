@@ -10,7 +10,10 @@ scanline filters), BASELINE sequential JPEG (own T.81 Huffman + numpy
 IDCT decoder, see ``jpeg.py``) and PCM WAV (``wave`` module) — plus
 matching encoders so the round-trips are testable without any native
 codec. The remaining formats (progressive jpeg/mp3/mp4) raise
-NotImplementedError at the documented integration point; a
+NotImplementedError from the DECODERS at the documented integration
+point — but all of them still yield header-only metadata through
+``probe_media`` (JPEG SOFn dims, MP3 frame-header/Xing duration, MP4
+box tree), which is the pass a routing pipeline actually needs; a
 deterministic fake decoder additionally exercises the Spark-side
 plumbing (schema, batching, partitioning, UDF signature) independent of
 any format.
@@ -313,6 +316,122 @@ def _probe_mp4(data: bytes) -> dict:
     return out
 
 
+# MPEG audio frame-header tables (ISO/IEC 11172-3 §2.4.2.3 / 13818-3) —
+# Layer III bitrates in kbps by version; sample rates by version bits
+# (00=MPEG2.5, 10=MPEG2, 11=MPEG1); index 15 / rate index 3 are invalid.
+_MP3_KBPS = {
+    3: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    0: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}
+
+
+def _mp3_frame_header(data: bytes, at: int):
+    """Parse one Layer III frame header at ``at``; returns (frame_len,
+    sample_rate, n_channels, samples_per_frame, version_bits) or None if
+    the 4 bytes are not a valid CBR-decodable Layer III header (free
+    bitrate — index 0 — has caller-defined frame length, so it is
+    treated as unparseable)."""
+    if at + 4 > len(data) or data[at] != 0xFF or (data[at + 1] & 0xE0) != 0xE0:
+        return None
+    b1, b2, b3 = data[at + 1], data[at + 2], data[at + 3]
+    ver = (b1 >> 3) & 0x3
+    layer = (b1 >> 1) & 0x3
+    if ver == 1 or layer != 1:          # reserved version / not Layer III
+        return None
+    br_idx, sr_idx = (b2 >> 4) & 0xF, (b2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    kbps = _MP3_KBPS[ver][br_idx]
+    rate = _MP3_RATES[ver][sr_idx]
+    padding = (b2 >> 1) & 0x1
+    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+    spf = 1152 if ver == 3 else 576     # Layer III samples per frame
+    frame_len = (spf // 8) * kbps * 1000 // rate + padding
+    return frame_len, rate, channels, spf, ver
+
+
+def _probe_mp3(data: bytes) -> dict:
+    """Header-only MP3 metadata: skip any ID3v2 tag (syncsafe size),
+    parse the first valid Layer III frame header for rate/channels, then
+    either read the Xing/Info VBR tag's exact frame count or walk the
+    frame chain (each header gives its own length — no entropy decode).
+    Returns {} when no valid frame exists so the caller keeps
+    format='unknown' for pseudo-synced garbage."""
+    at = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        at = 10 + size
+    # resync scan: tags/garbage may precede the first frame
+    first = None
+    while at + 4 <= len(data):
+        first = _mp3_frame_header(data, at)
+        if first is not None:
+            break
+        at += 1
+    if first is None:
+        return {}
+    _, rate, channels, spf, ver = first
+    out = {"format": "mp3", "kind": "audio", "sample_rate": rate,
+           "n_channels": channels, "duration_ms": None}
+    # Xing/Info tag (first frame, after the side info) carries the exact
+    # frame count for VBR streams where header-walking each frame would
+    # mis-size on bitrate changes… which the walk below handles anyway,
+    # but the tag makes truncated-payload probes (first frame only) exact
+    side = (17 if channels == 1 else 32) if ver == 3 else \
+           (9 if channels == 1 else 17)
+    tag_at = at + 4 + side
+    n_frames = None
+    if data[tag_at:tag_at + 4] in (b"Xing", b"Info") and \
+            tag_at + 12 <= len(data):
+        (flags,) = struct.unpack_from(">I", data, tag_at + 4)
+        if flags & 0x1:
+            (n_frames,) = struct.unpack_from(">I", data, tag_at + 8)
+    if n_frames is None:                # walk the frame chain
+        n_frames, pos = 0, at
+        while pos + 4 <= len(data):
+            hdr = _mp3_frame_header(data, pos)
+            if hdr is None:
+                break
+            n_frames += 1
+            pos += hdr[0]
+    if n_frames:
+        out["duration_ms"] = n_frames * spf * 1000 // rate
+    return out
+
+
+def encode_mp3_frames(n_frames: int, sample_rate: int = 48000,
+                      bitrate_kbps: int = 64, mono: bool = True,
+                      xing: bool = False) -> bytes:
+    """Deterministic MPEG1 Layer III fixture stream: ``n_frames`` valid
+    frame headers with zeroed payloads (probe-parseable, not
+    audio-decodable), optionally a Xing tag in the first frame carrying
+    the exact frame count. 64 kbps @ 48 kHz gives a pad-free 192-byte
+    frame and integral 24 ms/frame durations — closed-form oracle
+    arithmetic."""
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    br_idx = _MP3_KBPS[3].index(bitrate_kbps)
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2),
+                 0xC0 if mono else 0x00])
+    frame = bytearray(hdr + b"\x00" * (frame_len - 4))
+    out = bytearray()
+    if xing:
+        first = bytearray(frame)
+        side = 17 if mono else 32
+        first[4 + side:4 + side + 12] = (
+            b"Xing" + struct.pack(">II", 0x1, n_frames))
+        out += first
+    else:
+        out += frame
+    for _ in range(n_frames - 1):
+        out += frame
+    return bytes(out)
+
+
 def _sniff_jpeg_dims(data: bytes):
     """Read (height, width) from any SOFn marker — works for progressive
     streams the full decoder rejects (dimension sniffing needs no
@@ -371,6 +490,9 @@ def probe_media(data: bytes) -> dict:
                                         if rate else None))
         elif len(data) >= 12 and data[4:8] == b"ftyp":
             out.update(_probe_mp4(data))
+        elif data[:3] == b"ID3" or (len(data) >= 4 and data[0] == 0xFF
+                                    and (data[1] & 0xE0) == 0xE0):
+            out.update(_probe_mp3(data))   # {} keeps 'unknown' on garbage
     except Exception:                       # noqa: BLE001 — never raise
         pass
     return out

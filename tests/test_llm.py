@@ -1712,6 +1712,51 @@ class TestMediaProbe:
         assert got[2]["format"] == "unknown" and got[2]["n_bytes"] == 0
 
 
+class TestMp3Probe:
+    """MP3 frame-header probing (multimodal.py _probe_mp3 /
+    encode_mp3_frames): ISO/IEC 11172-3 §2.4.2.3 header fields, Xing VBR
+    tag, ID3v2 skip, frame-chain walking. 64 kbps @ 48 kHz fixtures give
+    pad-free 192-byte frames at exactly 24 ms each."""
+
+    def test_cbr_frame_walk_mono(self):
+        from deequ_spark.llm import encode_mp3_frames, probe_media
+        p = probe_media(encode_mp3_frames(5, mono=True))
+        assert (p["format"], p["kind"], p["sample_rate"], p["n_channels"],
+                p["duration_ms"]) == ("mp3", "audio", 48000, 1, 120)
+
+    def test_xing_tag_survives_truncation(self):
+        """The Xing frame count makes a first-frame-only probe exact —
+        the header-only read a 100 TB router actually performs."""
+        from deequ_spark.llm import encode_mp3_frames, probe_media
+        full = encode_mp3_frames(7, mono=False, xing=True)
+        p = probe_media(full)
+        assert (p["n_channels"], p["duration_ms"]) == (2, 168)
+        p = probe_media(full[:196])        # one frame + a few bytes
+        assert p["duration_ms"] == 168     # tag, not chain, supplied it
+
+    def test_id3v2_tag_skipped(self):
+        from deequ_spark.llm import encode_mp3_frames, probe_media
+        id3 = (b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20)
+        p = probe_media(id3 + encode_mp3_frames(3))
+        assert (p["format"], p["duration_ms"]) == ("mp3", 72)
+
+    def test_mpeg2_rate_table_and_576_spf(self):
+        # hand-built MPEG2 Layer III header: 24 kbps @ 16 kHz mono
+        from deequ_spark.llm import probe_media
+        hdr = bytes([0xFF, 0xF3, (3 << 4) | (2 << 2), 0xC0])
+        p = probe_media(hdr + b"\x00" * 200)
+        assert (p["sample_rate"], p["duration_ms"]) == (16000, 36)
+
+    def test_pseudo_sync_garbage_stays_unknown(self):
+        from deequ_spark.llm import probe_media
+        assert probe_media(b"\xFF\xE0garbage-not-a-frame")["format"] == \
+            "unknown"
+        # reserved version bits / free bitrate / bad rate index all reject
+        for b1, b2 in ((0xEB, 0x92), (0xFB, 0x02), (0xFB, 0x9C)):
+            blob = bytes([0xFF, b1, b2, 0xC0]) + b"\x00" * 64
+            assert probe_media(blob)["format"] == "unknown"
+
+
 class TestPackingProperties:
     """Hypothesis property tests for pack_sequences: invariants that
     must hold for ANY corpus shape, not just the fixtures."""
