@@ -705,7 +705,11 @@ def q_multimodal(spark, sf_dir):
     in-task) and real_resize (format-preserving PNG→PNG); (d) NEW r7:
     per-doc BASELINE JPEGs (llm/jpeg.py T.81 codec, alternating 4:4:4 /
     4:2:0) through encode_jpeg → decode_image (lossy round-trip error
-    bound asserted in-task) and real_resize (JPEG→JPEG)."""
+    bound asserted in-task) and real_resize (JPEG→JPEG); (e) NEW r7:
+    per-doc GIFs (llm/gif.py LZW codec, alternating interlaced) through
+    encode_gif → decode_image (pixel-exact asserted in-task) and
+    real_resize (GIF→GIF — nearest-neighbor preserves the ≤256-color
+    palette bound)."""
     from deequ_spark.llm import attach_binary_payload, extract_binary_features
     docs = _load(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "text", "doc_id")
@@ -723,14 +727,17 @@ def q_multimodal(spark, sf_dir):
     dec_schema = ("img_w int, img_h int, rs_w int, rs_h int, "
                   "png_w int, png_h int, png_c int, png_rs_w int, "
                   "jpg_w int, jpg_h int, jpg_rs_w int, "
+                  "gif_w int, gif_h int, gif_rs_w int, "
                   "wav_frames int, wav_rate int")
 
     def synth_and_decode(batches):
+        from deequ_spark.llm.gif import encode_gif
         from deequ_spark.llm.jpeg import encode_jpeg
         for pdf in batches:
             out = {k: [] for k in ("img_w", "img_h", "rs_w", "rs_h",
                                    "png_w", "png_h", "png_c", "png_rs_w",
                                    "jpg_w", "jpg_h", "jpg_rs_w",
+                                   "gif_w", "gif_h", "gif_rs_w",
                                    "wav_frames", "wav_rate")}
             for i in pdf["doc_id"].astype("int64"):
                 i = int(i)
@@ -764,6 +771,18 @@ def q_multimodal(spark, sf_dir):
                 assert jrs[:2] == b"\xff\xd8"          # format-preserving
                 jrh, jrw, _, _ = decode_image(jrs)
                 assert (jrh, jrw) == (4, 6)
+                gh, gw = 2 + i % 7, 2 + i % 9
+                gyy, gxx = np.mgrid[0:gh, 0:gw]
+                gimg = np.stack([(gxx * 31 + i) % 256, (gyy * 17) % 256,
+                                 ((gxx + gyy) * 7) % 256],
+                                axis=2).astype(np.uint8)
+                gdata = encode_gif(gimg, interlace=bool(i % 2))
+                dgh, dgw, _, gpix = decode_image(gdata)
+                assert np.array_equal(gpix, gimg)      # LZW lossless
+                grs = real_resize(gdata, 5, 3)
+                assert grs[:6] == b"GIF89a"            # format-preserving
+                grh, grw, _, _ = decode_image(grs)
+                assert (grh, grw) == (3, 5)
                 n = 8 + (i % 9) * 4
                 rate, samples = decode_audio(
                     encode_wav_pcm16(np.arange(n, dtype=np.int16), 8000))
@@ -779,6 +798,9 @@ def q_multimodal(spark, sf_dir):
                 out["jpg_w"].append(djw)
                 out["jpg_h"].append(djh)
                 out["jpg_rs_w"].append(jrw)
+                out["gif_w"].append(dgw)
+                out["gif_h"].append(dgh)
+                out["gif_rs_w"].append(grw)
                 out["wav_frames"].append(len(samples))
                 out["wav_rate"].append(rate)
             yield pd.DataFrame(out)
@@ -792,6 +814,8 @@ def q_multimodal(spark, sf_dir):
                 F.sum("png_rs_w").alias("prw"),
                 F.sum("jpg_w").alias("jw"), F.sum("jpg_h").alias("jh"),
                 F.sum("jpg_rs_w").alias("jrw"),
+                F.sum("gif_w").alias("gw"), F.sum("gif_h").alias("gh"),
+                F.sum("gif_rs_w").alias("grw"),
                 F.sum("wav_frames").alias("fr"),
                 F.countDistinct("wav_rate").alias("rates"))
            .collect()[0])
@@ -810,6 +834,9 @@ def q_multimodal(spark, sf_dir):
         ("jpeg_width_sum", dec["jw"]),
         ("jpeg_height_sum", dec["jh"]),
         ("jpeg_resized_width_sum", dec["jrw"]),
+        ("gif_width_sum", dec["gw"]),
+        ("gif_height_sum", dec["gh"]),
+        ("gif_resized_width_sum", dec["grw"]),
         ("wav_frames_sum", dec["fr"]),
         ("wav_duration_ms_sum", dec["fr"] / 8.0),
         ("wav_rates_distinct", dec["rates"])])
@@ -2866,6 +2893,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'jpeg_width_sum', CAST(SUM(8 + doc_id % 11) AS DOUBLE) FROM documents
             UNION ALL SELECT 'jpeg_height_sum', CAST(SUM(8 + doc_id % 9) AS DOUBLE) FROM documents
             UNION ALL SELECT 'jpeg_resized_width_sum', CAST(6 * COUNT(*) AS DOUBLE) FROM documents
+            -- GIF round-trip (LZW codec, llm/gif.py): dims are doc_id
+            -- arithmetic (w = 2+id%9, h = 2+id%7), pixel-exact asserted
+            -- in-task (alternating interlaced); resize target 5x3, GIF out
+            UNION ALL SELECT 'gif_width_sum', CAST(SUM(2 + doc_id % 9) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'gif_height_sum', CAST(SUM(2 + doc_id % 7) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'gif_resized_width_sum', CAST(5 * COUNT(*) AS DOUBLE) FROM documents
             UNION ALL SELECT 'wav_frames_sum', CAST(SUM(8 + (doc_id % 9) * 4) AS DOUBLE) FROM documents
             UNION ALL SELECT 'wav_duration_ms_sum', CAST(SUM(8 + (doc_id % 9) * 4) AS DOUBLE) / 8.0 FROM documents
             UNION ALL SELECT 'wav_rates_distinct', 1.0

@@ -28,6 +28,7 @@ from .multimodal import (attach_binary_payload, audio_features, decode_audio,
                          probe_media, probe_media_features, resize_media,
                          extract_binary_features, sample_chunks)
 from .jpeg import decode_jpeg, encode_jpeg
+from .gif import decode_gif, encode_gif
 from .pipeline import prepare_training_corpus
 from .packing import (hash_sample, pack_sequences, pack_statistics,
                       portable_hash_hex, stratified_sample)

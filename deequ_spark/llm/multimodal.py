@@ -7,7 +7,8 @@ this container, so the REAL decode path covers the spec-implementable
 formats — uncompressed BMP (``struct`` header parsing + numpy pixel
 reshape), non-interlaced 8-bit PNG (``zlib`` inflate + the five PNG
 scanline filters), BASELINE sequential JPEG (own T.81 Huffman + numpy
-IDCT decoder, see ``jpeg.py``) and PCM WAV (``wave`` module) — plus
+IDCT decoder, see ``jpeg.py``), GIF87a/89a (own LZW decoder incl.
+interlace, see ``gif.py``) and PCM WAV (``wave`` module) — plus
 matching encoders so the round-trips are testable without any native
 codec. The remaining formats (progressive jpeg/mp3/mp4) raise
 NotImplementedError from the DECODERS at the documented integration
@@ -189,10 +190,13 @@ def decode_image(data: bytes):
     if data[:2] == b"\xFF\xD8":
         from .jpeg import decode_jpeg
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+        return decode_gif(data)
     if len(data) < 54 or data[:2] != b"BM":
         raise NotImplementedError(
-            "only uncompressed BMP, non-interlaced 8-bit PNG and baseline "
-            "JPEG are decodable without PIL/opencv — swap in "
+            "only uncompressed BMP, non-interlaced 8-bit PNG, baseline "
+            "JPEG and GIF are decodable without PIL/opencv — swap in "
             "PIL.Image.open(io.BytesIO(data)) for other formats")
     data_offset = struct.unpack_from("<I", data, 10)[0]
     (hdr_size, width, height, _planes, bpp,
@@ -481,6 +485,10 @@ def probe_media(data: bytes) -> dict:
             h, w = _sniff_jpeg_dims(data)
             out.update(format="jpeg", kind="image", width=w, height=h,
                        n_channels=3)
+        elif data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", data, 6)
+            out.update(format="gif", kind="image", width=w, height=h,
+                       n_channels=3)
         elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             with wave.open(io.BytesIO(data), "rb") as wv:
                 rate = wv.getframerate()
@@ -655,6 +663,11 @@ def real_resize(data: bytes, width: int, height: int) -> bytes:
         from .jpeg import encode_jpeg
         return encode_jpeg(resized[:, :, 0] if channels == 1
                            else resized[:, :, :3])
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        # nearest-neighbor never invents colors, so the ≤256-color
+        # invariant survives the resize and GIF stays GIF
+        from .gif import encode_gif
+        return encode_gif(resized[:, :, :3])
     if channels == 1:
         resized = np.repeat(resized, 3, axis=2)
     return encode_bmp(resized[:, :, :3])

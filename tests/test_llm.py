@@ -1712,6 +1712,103 @@ class TestMediaProbe:
         assert got[2]["format"] == "unknown" and got[2]["n_bytes"] == 0
 
 
+class TestGifCodec:
+    """Pure-stdlib GIF codec (llm/gif.py): spec-faithful LZW with
+    giflib width-transition semantics, interlace, local color tables,
+    frame offsets, extension skipping."""
+
+    def test_lzw_bit_packing_pinned(self):
+        """1x1 fixture pins the exact packed bytes: codes clear=4,
+        pixel=0, end=5 at 3 bits LSB-first -> 0x44 0x01 (spec App. F).
+        Guards against silent bit-order drift."""
+        from deequ_spark.llm.gif import _lzw_encode
+        assert _lzw_encode(b"\x00", 2) == b"\x44\x01"
+
+    def test_round_trip_pixel_exact(self):
+        import numpy as np
+        from deequ_spark.llm import decode_gif, encode_gif
+        img = np.stack([np.tile(np.arange(40, dtype=np.uint8) * 6 % 251,
+                                (23, 1))] * 3, axis=2)
+        h, w, c, px = decode_gif(encode_gif(img))
+        assert (h, w, c) == (23, 40, 3) and np.array_equal(px, img)
+
+    def test_code_width_growth_to_12_bits(self):
+        """80x90 random 256-color image forces the code table through
+        every width transition (and usually a CLEAR reset)."""
+        import numpy as np
+        from deequ_spark.llm import decode_gif, encode_gif
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (80, 90, 1), dtype=np.uint8) \
+            .repeat(3, axis=2)
+        _, _, _, px = decode_gif(encode_gif(img))
+        assert np.array_equal(px, img)
+
+    def test_interlaced_round_trip(self):
+        import numpy as np
+        from deequ_spark.llm import decode_gif, encode_gif
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 4, (13, 9, 1), dtype=np.uint8) \
+            .repeat(3, axis=2) * 80
+        _, _, _, px = decode_gif(encode_gif(img, interlace=True))
+        assert np.array_equal(px, img)
+
+    def test_palette_bound_enforced(self):
+        import numpy as np
+        import pytest as _pytest
+        from deequ_spark.llm import encode_gif
+        img = np.zeros((1, 257, 3), np.uint8)
+        img[0, :, 0] = np.arange(257) % 256
+        img[0, :, 1] = np.arange(257) // 256
+        with _pytest.raises(ValueError, match="256"):
+            encode_gif(img)
+
+    def test_hand_built_lct_offset_extension(self):
+        """Decoder paths the encoder never emits: GCE extension block,
+        frame at a (left, top) offset, LOCAL color table overriding the
+        global one, background fill outside the frame."""
+        import struct as _struct
+        from deequ_spark.llm import decode_gif
+        from deequ_spark.llm.gif import _lzw_encode
+        lzw = _lzw_encode(bytes([0, 1, 1, 0]), 2)
+        hand = bytearray(b"GIF89a")
+        hand += _struct.pack("<HHBBB", 4, 3, 0x80, 1, 0)
+        hand += bytes([10, 10, 10, 200, 200, 200])       # GCT, bg=1
+        hand += b"\x21\xF9\x04\x00\x00\x00\x00\x00"      # GCE, skipped
+        hand += _struct.pack("<BHHHHB", 0x2C, 1, 1, 2, 2, 0x80)
+        hand += bytes([255, 0, 0, 0, 0, 255])            # LCT red/blue
+        hand.append(2)
+        hand += bytes([len(lzw)]) + lzw + b"\x00\x3B"
+        h, w, c, px = decode_gif(bytes(hand))
+        assert (h, w) == (3, 4)
+        assert tuple(px[0, 0]) == (200, 200, 200)        # background
+        assert tuple(px[1, 1]) == (255, 0, 0)
+        assert tuple(px[2, 2]) == (255, 0, 0)
+        assert tuple(px[1, 2]) == (0, 0, 255)
+
+    def test_dispatch_probe_resize(self):
+        import numpy as np
+        from deequ_spark.llm import encode_gif, probe_media
+        from deequ_spark.llm.multimodal import decode_image, real_resize
+        img = np.tile(np.arange(12, dtype=np.uint8).reshape(1, 12, 1) * 20,
+                      (6, 1, 3))
+        blob = encode_gif(img)
+        h, w, _, px = decode_image(blob)
+        assert (h, w) == (6, 12) and np.array_equal(px, img)
+        p = probe_media(blob)
+        assert (p["format"], p["kind"], p["width"], p["height"]) == \
+            ("gif", "image", 12, 6)
+        rz = real_resize(blob, 6, 3)
+        assert rz[:6] == b"GIF89a"                       # format-preserving
+        h, w, _, _ = decode_image(rz)
+        assert (h, w) == (3, 6)
+
+    def test_non_gif_raises_not_implemented(self):
+        import pytest as _pytest
+        from deequ_spark.llm import decode_gif
+        with _pytest.raises(NotImplementedError):
+            decode_gif(b"RIFF1234WAVE")
+
+
 class TestMp3Probe:
     """MP3 frame-header probing (multimodal.py _probe_mp3 /
     encode_mp3_frames): ISO/IEC 11172-3 §2.4.2.3 header fields, Xing VBR
