@@ -1808,6 +1808,28 @@ class TestGifCodec:
         with _pytest.raises(NotImplementedError):
             decode_gif(b"RIFF1234WAVE")
 
+    def test_lzw_round_trip_property(self):
+        """Hypothesis: decode(encode(x)) == x for arbitrary index
+        streams at every min-code-size — repeated runs, KwKwK-inducing
+        patterns, width transitions, empty streams."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from deequ_spark.llm.gif import _lzw_decode, _lzw_encode
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.integers(2, 8).flatmap(
+            lambda mcs: st.tuples(
+                st.just(mcs),
+                st.lists(st.integers(0, (1 << mcs) - 1),
+                         max_size=2000))))
+        def check(case):
+            mcs, idx = case
+            data = bytes(idx)
+            assert _lzw_decode(_lzw_encode(data, mcs), mcs,
+                               len(data)) == data
+
+        check()
+
 
 class TestMp3Probe:
     """MP3 frame-header probing (multimodal.py _probe_mp3 /
