@@ -489,6 +489,26 @@ def probe_media(data: bytes) -> dict:
             w, h = struct.unpack_from("<HH", data, 6)
             out.update(format="gif", kind="image", width=w, height=h,
                        n_channels=3)
+            # frame count via block walk (no LZW decode) — an animated
+            # GIF routes differently from a still image; n_tracks reuses
+            # the multi-stream slot the MP4 probe established
+            flags = data[10]
+            at, frames = 13 + ((2 << (flags & 0x7)) * 3
+                               if flags & 0x80 else 0), 0
+            while at < len(data) and data[at] not in (0x3B,):
+                if data[at] == 0x21:                 # extension
+                    at += 2
+                elif data[at] == 0x2C:               # image descriptor
+                    frames += 1
+                    iflags = data[at + 9]
+                    at += 10 + ((2 << (iflags & 0x7)) * 3
+                                if iflags & 0x80 else 0) + 1
+                else:
+                    break
+                while at < len(data) and data[at]:   # data sub-blocks
+                    at += 1 + data[at]
+                at += 1
+            out.update(n_tracks=frames)
         elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             with wave.open(io.BytesIO(data), "rb") as wv:
                 rate = wv.getframerate()

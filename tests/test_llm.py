@@ -1797,10 +1797,27 @@ class TestGifCodec:
         p = probe_media(blob)
         assert (p["format"], p["kind"], p["width"], p["height"]) == \
             ("gif", "image", 12, 6)
+        assert p["n_tracks"] == 1                        # frame count
         rz = real_resize(blob, 6, 3)
         assert rz[:6] == b"GIF89a"                       # format-preserving
         h, w, _, _ = decode_image(rz)
         assert (h, w) == (3, 6)
+
+    def test_animated_frame_count_probed(self):
+        """probe_media counts GIF frames with a block walk (no LZW
+        decode) — an animated GIF routes differently from a still."""
+        import struct as _struct
+        from deequ_spark.llm import probe_media
+        from deequ_spark.llm.gif import _lzw_encode
+        lzw = _lzw_encode(bytes([0, 1, 1, 0]), 2)
+        frame = (_struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+                 + bytes([2, len(lzw)]) + lzw + b"\x00")
+        gce = b"\x21\xF9\x04\x00\x02\x00\x00\x00"
+        hand = (b"GIF89a" + _struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+                + bytes([0, 0, 0, 255, 255, 255])
+                + gce + frame + gce + frame + b"\x3B")
+        p = probe_media(bytes(hand))
+        assert (p["format"], p["n_tracks"]) == ("gif", 2)
 
     def test_non_gif_raises_not_implemented(self):
         import pytest as _pytest
