@@ -2449,8 +2449,14 @@ def q_corpus_sampling(spark, sf_dir):
     reproducible train/held-out split primitive) plus exact per-language
     stratified quotas (row_number over the md5 ordering).  Checksums of
     the kept doc_ids pin the EXACT selected set against the DuckDB
-    oracle, proving the sampling decisions are engine-independent."""
-    from deequ_spark.llm import hash_sample, stratified_sample
+    oracle, proving the sampling decisions are engine-independent.
+    NEW r7: mixture_sample — Pile/LLaMA-style domain-mixture composition
+    via exact integer largest-remainder apportionment (weights 5:2:2:1
+    over en/de/fr/zh, es deliberately unweighted, total=601 so both the
+    leftover-distribution and the availability-cap paths fire); the
+    oracle replays the SAME integer apportionment in SQL."""
+    from deequ_spark.llm import hash_sample, mixture_sample, \
+        stratified_sample
     docs = _load(spark, sf_dir, "documents")
     bern = hash_sample(docs, "doc_id", 0.25)
     b = bern.agg(F.count(F.lit(1)).alias("n"),
@@ -2461,11 +2467,19 @@ def q_corpus_sampling(spark, sf_dir):
                   F.sum("doc_id").alias("ck")).collect()[0]
     per_lang = strat.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n")).collect()
+    mix = mixture_sample(docs, "lang", "doc_id",
+                         {"en": 5, "de": 2, "fr": 2, "zh": 1}, total=601)
+    m = mix.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").alias("ck")).collect()[0]
+    mix_lang = mix.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()
     return _metrics_df(spark, sorted(
         [("bern_n", b["n"]), ("bern_chars", b["chars"]),
          ("bern_checksum", b["ck"]),
-         ("strat_n", s["n"]), ("strat_checksum", s["ck"])] +
-        [("strat_" + r["lang"], r["n"]) for r in per_lang]))
+         ("strat_n", s["n"]), ("strat_checksum", s["ck"]),
+         ("mix_n", m["n"]), ("mix_checksum", m["ck"])] +
+        [("strat_" + r["lang"], r["n"]) for r in per_lang] +
+        [("mix_" + r["lang"], r["n"]) for r in mix_lang]))
 
 
 _CORPUS_SAMPLING_ORACLE_SQL = """
@@ -2488,6 +2502,38 @@ _CORPUS_SAMPLING_ORACLE_SQL = """
     UNION ALL SELECT 'strat_n', CAST(COUNT(*) AS DOUBLE) FROM strat
     UNION ALL SELECT 'strat_' || lang, CAST(COUNT(*) AS DOUBLE)
     FROM strat GROUP BY lang
+    UNION ALL SELECT * FROM (
+      -- mixture_sample replay: integer largest-remainder apportionment
+      -- (same rational arithmetic as apportion_quotas: base = N*w // den,
+      -- remainder order = N*w % den desc then lang asc, cap at count)
+      WITH mixw AS (SELECT * FROM (VALUES ('en', 5), ('de', 2),
+                                          ('fr', 2), ('zh', 1)) AS t(lang, wt)),
+      pres AS (SELECT m.lang, m.wt, COUNT(*) AS c
+               FROM mixw m JOIN documents d ON d.lang = m.lang
+               GROUP BY m.lang, m.wt),
+      app AS (SELECT lang, c, (601 * wt) // den AS base,
+                     (601 * wt) % den AS rem
+              FROM pres, (SELECT SUM(wt) AS den FROM pres)),
+      ranked AS (SELECT lang, c, base,
+                        ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+                 FROM app),
+      quota AS (SELECT lang,
+                       LEAST(base + CASE WHEN rk <= (SELECT 601 - SUM(base)
+                                                     FROM app)
+                                         THEN 1 ELSE 0 END, c) AS q
+                FROM ranked),
+      mix AS (SELECT r.doc_id, r.lang FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                                  doc_id) AS rn
+                FROM documents) r JOIN quota USING (lang)
+              WHERE rn <= q)
+      SELECT 'mix_checksum' AS metric, CAST(SUM(doc_id) AS DOUBLE) AS value
+      FROM mix
+      UNION ALL SELECT 'mix_n', CAST(COUNT(*) AS DOUBLE) FROM mix
+      UNION ALL SELECT 'mix_' || lang, CAST(COUNT(*) AS DOUBLE)
+      FROM mix GROUP BY lang)
 """
 
 

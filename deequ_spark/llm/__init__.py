@@ -30,5 +30,6 @@ from .multimodal import (attach_binary_payload, audio_features, decode_audio,
 from .jpeg import decode_jpeg, encode_jpeg
 from .gif import decode_gif, encode_gif
 from .pipeline import prepare_training_corpus
-from .packing import (hash_sample, pack_sequences, pack_statistics,
+from .packing import (apportion_quotas, hash_sample, mixture_sample,
+                      pack_sequences, pack_statistics,
                       portable_hash_hex, stratified_sample)

@@ -1,7 +1,8 @@
-"""Sequence packing and deterministic corpus sampling — the two
-training-data-pipeline steps that sit between "cleaned corpus" and
-"training batches" (beyond the reference's surface, like the rest of
-deequ_spark.llm; the reference — awslabs/deequ — stops at data quality).
+"""Sequence packing, deterministic corpus sampling and domain-mixture
+composition — the training-data-pipeline steps that sit between
+"cleaned corpus" and "training batches" (beyond the reference's surface,
+like the rest of deequ_spark.llm; the reference — awslabs/deequ — stops
+at data quality).
 
 Design for 100 TB:
 
@@ -33,9 +34,11 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["pack_sequences", "pack_statistics", "hash_sample",
-           "stratified_sample", "portable_hash_hex"]
+           "stratified_sample", "portable_hash_hex",
+           "apportion_quotas", "mixture_sample"]
 
 
 def portable_hash_hex(key: Column, chars: int = 8) -> Column:
@@ -97,6 +100,89 @@ def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
     rn = "__dq_strat_rn"                 # avoid colliding with user columns
     return (src.withColumn(rn, F.row_number().over(w))
             .where(F.col(rn) <= quota).drop(rn))
+
+
+def apportion_quotas(counts: "dict", weights: "dict", total: int) -> "dict":
+    """Largest-remainder (Hamilton) apportionment of ``total`` sample
+    slots across domains, in EXACT rational arithmetic (no float
+    remainder ties — the same quotas fall out of any engine or runtime,
+    which is what makes ``mixture_sample`` oracle-able bit-for-bit).
+
+    Domains are the intersection of ``weights`` and ``counts`` (a
+    weighted domain absent from the data gets nothing; a data domain
+    without a weight is excluded); weights are normalized over that
+    intersection. Each quota is capped at the domain's available count —
+    deliberately WITHOUT redistributing the shortfall (redistribution
+    would make quota_i depend on every other domain's availability,
+    breaking the "my domain's sample is stable when other domains grow"
+    property that incremental corpus builds rely on); callers who want
+    the full ``total`` re-run with upweighted survivors.
+
+    Ties in the fractional remainder break by domain name ascending —
+    deterministic, engine-independent.
+    """
+    from fractions import Fraction
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    domains = sorted(set(weights) & set(counts))
+    if not domains:
+        return {}
+    wsum = sum(Fraction(str(weights[d])) for d in domains)
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    ideal = {d: Fraction(str(weights[d])) * total / wsum for d in domains}
+    base = {d: int(ideal[d]) for d in domains}
+    leftover = total - sum(base.values())
+    by_rem = sorted(domains, key=lambda d: (-(ideal[d] - base[d]), d))
+    for d in by_rem[:leftover]:
+        base[d] += 1
+    return {d: min(base[d], counts[d]) for d in domains}
+
+
+def mixture_sample(df: DataFrame, domain_col: str, key_col: str,
+                   weights: "dict", total: int,
+                   max_domains: int = 100_000) -> DataFrame:
+    """Sample ``df`` down to a target DOMAIN MIXTURE — the Pile/LLaMA-
+    style corpus-composition step: given per-domain weights (e.g.
+    ``{"web": 0.6, "code": 0.25, "books": 0.15}``) and a total budget,
+    keep exactly the apportioned number of rows per domain, selected by
+    the deterministic md5 order (engine-portable, reproducible across
+    re-runs and cluster sizes).
+
+    Quotas come from :func:`apportion_quotas` (exact largest-remainder,
+    capped at availability). Plan: one small count agg per domain
+    (driver-bounded: more than ``max_domains`` distinct domains raises
+    rather than building an unbounded collect), then ONE hash exchange
+    on ``domain_col`` for the per-domain row_number window and a
+    broadcast join against the tiny quota table. Skewed domains are one
+    window task each — for quota ≪ domain size pre-filter with
+    ``hash_sample`` like ``stratified_sample`` does.
+    """
+    cnt_rows = (df.groupBy(domain_col)
+                .agg(F.count(F.lit(1)).alias("__dq_cnt"))
+                .limit(max_domains + 1).collect())
+    if len(cnt_rows) > max_domains:
+        raise ValueError(
+            f"more than {max_domains} distinct {domain_col} values — "
+            "mixture quotas are a driver-side table; raise max_domains "
+            "only if the domain cardinality is genuinely bounded")
+    counts = {r[domain_col]: r["__dq_cnt"] for r in cnt_rows}
+    quotas = apportion_quotas(counts, weights, total)
+    if not quotas:
+        return df.where(F.lit(False))
+    spark = df.sparkSession
+    domain_type = df.schema[domain_col].dataType
+    qdf = spark.createDataFrame(
+        [(d, q) for d, q in quotas.items()],
+        T.StructType([T.StructField(domain_col, domain_type),
+                      T.StructField("__dq_quota", T.LongType())]))
+    w = (Window.partitionBy(domain_col)
+         .orderBy(portable_hash_hex(F.col(key_col)), F.col(key_col)))
+    rn = "__dq_mix_rn"
+    return (df.join(F.broadcast(qdf), domain_col)
+            .withColumn(rn, F.row_number().over(w))
+            .where(F.col(rn) <= F.col("__dq_quota"))
+            .drop(rn, "__dq_quota"))
 
 
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: Column,

@@ -1463,6 +1463,52 @@ class TestDeterministicSampling:
         # winners are identical (all top-5 hashes are < the 0.5 cut here)
         assert pre == full
 
+    def test_apportion_exact_hamilton(self):
+        from deequ_spark.llm import apportion_quotas
+        q = apportion_quotas({"en": 100, "de": 100, "fr": 100, "zh": 100},
+                             {"en": 5, "de": 2, "fr": 2, "zh": 1}, 7)
+        assert q == {"en": 4, "de": 1, "fr": 1, "zh": 1}   # 3.5/1.4/1.4/0.7
+        # remainder tie (.5/.5) breaks by name ascending
+        assert apportion_quotas({"a": 9, "b": 9},
+                                {"a": 1, "b": 1}, 3) == {"a": 2, "b": 1}
+        # cap at availability, deliberately no redistribution
+        assert apportion_quotas({"en": 2, "de": 100},
+                                {"en": 0.5, "de": 0.5}, 10) == \
+            {"en": 2, "de": 5}
+        # weight/data intersection: unweighted and absent domains drop out
+        assert apportion_quotas({"en": 10, "es": 10},
+                                {"en": 1, "xx": 9}, 4) == {"en": 4}
+        assert apportion_quotas({}, {"a": 1}, 5) == {}
+
+    def test_mixture_sample_matches_apportionment(self, spark):
+        from deequ_spark.llm import (apportion_quotas, mixture_sample,
+                                     stratified_sample)
+        df = self._docs(spark)                     # 100 docs per lang0..2
+        weights = {"lang0": 3, "lang1": 1}         # lang2 unweighted
+        got = mixture_sample(df, "lang", "doc_id", weights, total=40)
+        by_lang = {r["lang"]: r["n"] for r in
+                   got.groupBy("lang").agg(
+                       F.count(F.lit(1)).alias("n")).collect()}
+        assert by_lang == {"lang0": 30, "lang1": 10}
+        # selection within a domain == the stratified md5 top-k
+        strat = {r["doc_id"] for r in
+                 stratified_sample(df.where(F.col("lang") == "lang1"),
+                                   "lang", "doc_id", quota=10).collect()}
+        mine = {r["doc_id"] for r in
+                got.where(F.col("lang") == "lang1").collect()}
+        assert mine == strat
+        # quotas agree with the pure apportionment
+        assert apportion_quotas({"lang0": 100, "lang1": 100},
+                                weights, 40) == {"lang0": 30, "lang1": 10}
+
+    def test_mixture_domain_cardinality_guard(self, spark):
+        import pytest as _pytest
+        from deequ_spark.llm import mixture_sample
+        df = self._docs(spark)
+        with _pytest.raises(ValueError, match="distinct"):
+            mixture_sample(df, "lang", "doc_id", {"lang0": 1}, 10,
+                           max_domains=2)
+
 
 class TestJpegCodec:
     """Pure stdlib+numpy BASELINE JPEG codec (llm/jpeg.py, ITU-T T.81):
