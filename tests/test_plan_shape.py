@@ -269,3 +269,23 @@ def test_write_corpus_partitioned_pruned_and_bounded(spark, tmp_path):
     for f in files:
         n = spark.read.parquet(f).count()
         assert n <= 100
+
+
+def test_mixture_sample_broadcast_quota_single_window_exchange(spark):
+    """llm/packing.py mixture_sample: the quota table must BROADCAST
+    (it is one row per domain — shuffling the corpus against it would
+    add a second full exchange) and the per-domain window must be the
+    ONLY corpus shuffle."""
+    from deequ_spark.llm import mixture_sample
+    df = spark.range(2000).selectExpr(
+        "id AS doc_id", "CAST(id % 4 AS STRING) AS lang")
+    out = mixture_sample(df, "lang", "doc_id",
+                         {"0": 2, "1": 1, "2": 1}, total=100)
+    plan = explain_str(out)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    # corpus-side shuffles: the window's hashpartitioning on lang is the
+    # ONLY shuffle Exchange; the broadcast side adds a BroadcastExchange
+    import re
+    shuffles = re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)
+    assert len(shuffles) == 1, plan[:1500]
