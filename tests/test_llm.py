@@ -1501,6 +1501,49 @@ class TestDeterministicSampling:
         assert apportion_quotas({"lang0": 100, "lang1": 100},
                                 weights, 40) == {"lang0": 30, "lang1": 10}
 
+    def test_apportion_invariants_property(self):
+        """Hypothesis: for ANY counts/weights/total — quotas sum to
+        exactly ``total`` when no domain is availability-capped, never
+        exceed ``total`` or any domain's count, and every weighted
+        present domain gets within 1 of its ideal share (Hamilton's
+        quota rule)."""
+        from fractions import Fraction
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from deequ_spark.llm import apportion_quotas
+
+        names = st.text(alphabet="abcdef", min_size=1, max_size=3)
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.dictionaries(names, st.integers(0, 10_000),
+                               min_size=1, max_size=8),
+               st.dictionaries(names, st.integers(1, 100),
+                               min_size=1, max_size=8),
+               st.integers(0, 5_000))
+        def check(counts, weights, total):
+            q = apportion_quotas(counts, weights, total)
+            domains = sorted(set(weights) & set(counts))
+            assert set(q) == set(domains)
+            if not domains:
+                return
+            assert sum(q.values()) <= total
+            wsum = sum(weights[d] for d in domains)
+            for d in domains:
+                ideal = Fraction(weights[d] * total, wsum)
+                assert q[d] <= counts[d]
+                # quota rule: floor(ideal) <= apportioned <= ceil(ideal),
+                # then capped at availability
+                assert q[d] <= -(-ideal.numerator // ideal.denominator)
+                assert q[d] >= min(int(ideal), counts[d])
+            if all(q[d] < counts[d] or counts[d] >= total
+                   for d in domains) and \
+                    all(counts[d] >= total for d in domains):
+                assert sum(q.values()) == total   # uncapped: exact
+
+        check()
+
     def test_mixture_domain_cardinality_guard(self, spark):
         import pytest as _pytest
         from deequ_spark.llm import mixture_sample
