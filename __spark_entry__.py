@@ -2188,20 +2188,23 @@ _LM_SCORE_ORACLE_SQL = """
 def q_media_probe(spark, sf_dir):
     """Header-only media probing (llm/multimodal.py probe_media /
     probe_media_features): per doc one synthetic blob cycling BMP / PNG /
-    JPEG / MP4 / MP3 by doc_id % 5 (dims, duration, track count all
-    doc_id arithmetic; every other JPEG is patched to PROGRESSIVE to
-    prove dimension sniffing works where full decode refuses; every
-    other MP3 carries a Xing VBR tag so both the tag path and the
-    frame-chain walk are exercised) — probed format counts and metadata
-    sums are recomputed by the oracle. Probing is the first pass of a
-    media pipeline: route/filter by what a blob IS before paying any
-    decode cost."""
+    JPEG / MP4 / MP3 / TIFF / WebP by doc_id % 7 (dims, duration, track
+    count all doc_id arithmetic; every other JPEG is patched to
+    PROGRESSIVE to prove dimension sniffing works where full decode
+    refuses; every other MP3 carries a Xing VBR tag so both the tag path
+    and the frame-chain walk are exercised; TIFF alternates endianness;
+    WebP alternates lossy VP8 / lossless VP8L) — probed format counts
+    and metadata sums are recomputed by the oracle. Probing is the first
+    pass of a media pipeline: route/filter by what a blob IS before
+    paying any decode cost."""
     import numpy as np
     import pandas as pd
     from deequ_spark.llm import (encode_jpeg, encode_mp3_frames,
                                  encode_mp4_skeleton)
     from deequ_spark.llm import probe_media_features
-    from deequ_spark.llm.multimodal import encode_bmp, encode_png
+    from deequ_spark.llm.multimodal import (encode_bmp, encode_png,
+                                            encode_tiff_skeleton,
+                                            encode_webp_skeleton)
 
     docs = _load(spark, sf_dir, "documents")
 
@@ -2210,7 +2213,7 @@ def q_media_probe(spark, sf_dir):
             ids, payloads = [], []
             for i in pdf["doc_id"].astype("int64"):
                 i = int(i)
-                m = i % 5
+                m = i % 7
                 if m == 0:
                     blob = encode_bmp(np.full((1 + i % 5, 1 + i % 7, 3),
                                               i % 251, dtype=np.uint8))
@@ -2231,11 +2234,19 @@ def q_media_probe(spark, sf_dir):
                     blob = encode_mp4_skeleton(
                         100 * (1 + i % 20), 160 + (i % 10) * 16,
                         90 + (i % 10) * 9, n_tracks=1 + i % 3)
-                else:
+                elif m == 4:
                     # 64 kbps @ 48 kHz ⇒ exactly 24 ms/frame
                     blob = encode_mp3_frames(
                         1 + i % 8, mono=(i % 2 == 0),
                         xing=((i // 5) % 2 == 1))
+                elif m == 5:
+                    blob = encode_tiff_skeleton(
+                        16 + i % 10, 8 + i % 6, 1 + i % 4,
+                        big_endian=(i % 2 == 1))
+                else:
+                    blob = encode_webp_skeleton(
+                        1 + i % 64, 1 + i % 32,
+                        lossless=(i % 2 == 1))
                 ids.append(i)
                 payloads.append(blob)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
@@ -2249,6 +2260,8 @@ def q_media_probe(spark, sf_dir):
         F.sum((F.col("format") == "jpeg").cast("long")).alias("jpg"),
         F.sum((F.col("format") == "mp4").cast("long")).alias("mp4"),
         F.sum((F.col("format") == "mp3").cast("long")).alias("mp3"),
+        F.sum((F.col("format") == "tiff").cast("long")).alias("tif"),
+        F.sum((F.col("format") == "webp").cast("long")).alias("wbp"),
         F.sum((F.col("format") == "unknown").cast("long")).alias("unk"),
         F.sum("width").alias("w"), F.sum("height").alias("h"),
         F.sum("duration_ms").alias("dur"),
@@ -2258,7 +2271,8 @@ def q_media_probe(spark, sf_dir):
     return _metrics_df(spark, sorted([
         ("cnt_bmp", row["bmp"]), ("cnt_png", row["png"]),
         ("cnt_jpeg", row["jpg"]), ("cnt_mp4", row["mp4"]),
-        ("cnt_mp3", row["mp3"]), ("cnt_unknown", row["unk"]),
+        ("cnt_mp3", row["mp3"]), ("cnt_tiff", row["tif"]),
+        ("cnt_webp", row["wbp"]), ("cnt_unknown", row["unk"]),
         ("width_sum", row["w"]), ("height_sum", row["h"]),
         ("duration_ms_sum", row["dur"]),
         ("samplerate_sum", row["sr"]), ("channels_sum", row["ch"]),
@@ -2266,15 +2280,19 @@ def q_media_probe(spark, sf_dir):
 
 
 _MEDIA_PROBE_ORACLE_SQL = """
-    WITH m AS (SELECT doc_id AS i, doc_id % 5 AS f FROM documents)
+    WITH m AS (SELECT doc_id AS i, doc_id % 7 AS f FROM documents)
     SELECT 'channels_sum' AS metric, CAST(SUM(CASE
         WHEN f IN (0, 1, 2) THEN 3
-        WHEN f = 4 THEN 1 + (i % 2) END) AS DOUBLE) AS value FROM m
+        WHEN f = 4 THEN 1 + (i % 2)
+        WHEN f = 5 THEN 1 + i % 4
+        WHEN f = 6 THEN 3 + (i % 2) END) AS DOUBLE) AS value FROM m
     UNION ALL SELECT 'cnt_bmp', CAST(SUM(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
     UNION ALL SELECT 'cnt_jpeg', CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
     UNION ALL SELECT 'cnt_mp3', CAST(SUM(CASE WHEN f = 4 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
     UNION ALL SELECT 'cnt_mp4', CAST(SUM(CASE WHEN f = 3 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
     UNION ALL SELECT 'cnt_png', CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
+    UNION ALL SELECT 'cnt_tiff', CAST(SUM(CASE WHEN f = 5 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
+    UNION ALL SELECT 'cnt_webp', CAST(SUM(CASE WHEN f = 6 THEN 1 ELSE 0 END) AS DOUBLE) FROM m
     UNION ALL SELECT 'cnt_unknown', 0.0
     UNION ALL SELECT 'duration_ms_sum', CAST(SUM(CASE
         WHEN f = 3 THEN 100 * (1 + i % 20)
@@ -2283,7 +2301,9 @@ _MEDIA_PROBE_ORACLE_SQL = """
         WHEN f = 0 THEN 1 + i % 5
         WHEN f = 1 THEN 1 + i % 6
         WHEN f = 2 THEN 8 + i % 9
-        WHEN f = 3 THEN 90 + (i % 10) * 9 END) AS DOUBLE) FROM m
+        WHEN f = 3 THEN 90 + (i % 10) * 9
+        WHEN f = 5 THEN 8 + i % 6
+        WHEN f = 6 THEN 1 + i % 32 END) AS DOUBLE) FROM m
     UNION ALL SELECT 'samplerate_sum',
         CAST(SUM(CASE WHEN f = 4 THEN 48000 END) AS DOUBLE) FROM m
     UNION ALL SELECT 'tracks_sum',
@@ -2292,7 +2312,9 @@ _MEDIA_PROBE_ORACLE_SQL = """
         WHEN f = 0 THEN 1 + i % 7
         WHEN f = 1 THEN 1 + i % 8
         WHEN f = 2 THEN 8 + i % 11
-        WHEN f = 3 THEN 160 + (i % 10) * 16 END) AS DOUBLE) FROM m
+        WHEN f = 3 THEN 160 + (i % 10) * 16
+        WHEN f = 5 THEN 16 + i % 10
+        WHEN f = 6 THEN 1 + i % 64 END) AS DOUBLE) FROM m
 """
 
 

@@ -460,6 +460,83 @@ def _sniff_jpeg_dims(data: bytes):
     return None, None
 
 
+def _probe_tiff(data: bytes) -> dict:
+    """First-IFD walk (TIFF 6.0 §2): endian-aware tag scan for
+    ImageWidth(256)/ImageLength(257)/SamplesPerPixel(277). Inline
+    SHORT/LONG values only — offset-valued dims don't occur for these
+    tags in practice (count is 1)."""
+    endian = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    (n,) = struct.unpack_from(endian + "H", data, ifd_off)
+    out = {"format": "tiff", "kind": "image"}
+    for i in range(n):
+        at = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(endian + "HHI", data, at)
+        if tag not in (256, 257, 277) or cnt != 1 or typ not in (3, 4):
+            continue
+        val = struct.unpack_from(endian + ("H" if typ == 3 else "I"),
+                                 data, at + 8)[0]
+        out[{256: "width", 257: "height",
+             277: "n_channels"}[tag]] = val
+    return out
+
+
+def _probe_webp(data: bytes) -> dict:
+    """Dims from the first WebP chunk: VP8 lossy frame header (sync
+    9D 01 2A then 14-bit LE dims), VP8L lossless (14-bit packed
+    minus-one dims after the 0x2F signature), VP8X extended (24-bit LE
+    canvas minus-one dims)."""
+    out = {"format": "webp", "kind": "image"}
+    fourcc = data[12:16]
+    if fourcc == b"VP8 " and data[23:26] == b"\x9D\x01\x2A":
+        w, h = struct.unpack_from("<HH", data, 26)
+        out.update(width=w & 0x3FFF, height=h & 0x3FFF, n_channels=3)
+    elif fourcc == b"VP8L" and data[20] == 0x2F:
+        (bits,) = struct.unpack_from("<I", data, 21)
+        out.update(width=(bits & 0x3FFF) + 1,
+                   height=((bits >> 14) & 0x3FFF) + 1, n_channels=4)
+    elif fourcc == b"VP8X":
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        out.update(width=w, height=h)
+    return out
+
+
+def encode_tiff_skeleton(width: int, height: int,
+                         samples_per_pixel: int = 3,
+                         big_endian: bool = False) -> bytes:
+    """Minimal structurally-valid TIFF: header + one IFD carrying
+    ImageWidth/ImageLength/SamplesPerPixel (no strip data — probe
+    fixtures, like ``encode_mp4_skeleton``)."""
+    e = ">" if big_endian else "<"
+    entries = [(256, 4, struct.pack(e + "I", width)),
+               (257, 4, struct.pack(e + "I", height)),
+               (277, 3, struct.pack(e + "H", samples_per_pixel)
+                + b"\x00\x00")]
+    ifd = struct.pack(e + "H", len(entries))
+    for tag, typ, val in entries:
+        ifd += struct.pack(e + "HHI", tag, typ, 1) + val
+    ifd += b"\x00" * 4
+    head = b"MM\x00*" if big_endian else b"II*\x00"
+    return head + struct.pack(e + "I", 8) + ifd
+
+
+def encode_webp_skeleton(width: int, height: int,
+                         lossless: bool = False) -> bytes:
+    """Minimal WebP container with a real VP8/VP8L header (sync bytes +
+    packed dimensions; no coefficient payload) — probe fixtures."""
+    if lossless:
+        bits = (width - 1) | ((height - 1) << 14)
+        payload = bytes([0x2F]) + struct.pack("<I", bits)
+        fourcc = b"VP8L"
+    else:
+        payload = (b"\x00\x00\x00" + b"\x9D\x01\x2A"
+                   + struct.pack("<HH", width, height))
+        fourcc = b"VP8 "
+    chunk = fourcc + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def probe_media(data: bytes) -> dict:
     """Format sniff + header-only metadata extraction — the FIRST pass a
     100 TB media pipeline runs (route/filter/partition by what a blob
@@ -518,6 +595,10 @@ def probe_media(data: bytes) -> dict:
                                         if rate else None))
         elif len(data) >= 12 and data[4:8] == b"ftyp":
             out.update(_probe_mp4(data))
+        elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            out.update(_probe_webp(data))
+        elif data[:4] in (b"II*\x00", b"MM\x00*"):
+            out.update(_probe_tiff(data))
         elif data[:3] == b"ID3" or (len(data) >= 4 and data[0] == 0xFF
                                     and (data[1] & 0xE0) == 0xE0):
             out.update(_probe_mp3(data))   # {} keeps 'unknown' on garbage

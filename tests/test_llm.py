@@ -1783,9 +1783,38 @@ class TestMediaProbe:
     def test_probe_never_raises(self):
         from deequ_spark.llm import probe_media
         for blob in (b"", b"garbage", b"BM\x01", b"\xFF\xD8\xFF",
-                     b"\x00\x00\x00\x08ftyp", b"RIFF1234WAVExxxx"):
+                     b"\x00\x00\x00\x08ftyp", b"RIFF1234WAVExxxx",
+                     b"II*\x00", b"MM\x00*\xFF", b"RIFF\x00\x00\x00\x00WEBP"):
             p = probe_media(blob)
             assert p["n_bytes"] == len(blob)   # always returns a dict
+
+    def test_probe_tiff_both_endians(self):
+        from deequ_spark.llm import probe_media
+        from deequ_spark.llm.multimodal import encode_tiff_skeleton
+        p = probe_media(encode_tiff_skeleton(640, 480, 3))
+        assert (p["format"], p["kind"], p["width"], p["height"],
+                p["n_channels"]) == ("tiff", "image", 640, 480, 3)
+        p = probe_media(encode_tiff_skeleton(99, 77, 1, big_endian=True))
+        assert (p["format"], p["width"], p["height"],
+                p["n_channels"]) == ("tiff", 99, 77, 1)
+
+    def test_probe_webp_vp8_vp8l_vp8x(self):
+        import struct as _struct
+        from deequ_spark.llm import probe_media
+        from deequ_spark.llm.multimodal import encode_webp_skeleton
+        p = probe_media(encode_webp_skeleton(320, 240))
+        assert (p["format"], p["width"], p["height"],
+                p["n_channels"]) == ("webp", 320, 240, 3)
+        p = probe_media(encode_webp_skeleton(16, 10, lossless=True))
+        assert (p["format"], p["width"], p["height"],
+                p["n_channels"]) == ("webp", 16, 10, 4)
+        # extended VP8X: 24-bit minus-one canvas dims
+        vp8x = (b"\x00\x00\x00\x00" + (999).to_bytes(3, "little")
+                + (499).to_bytes(3, "little"))
+        blob = (b"RIFF" + _struct.pack("<I", 4 + 8 + len(vp8x)) + b"WEBP"
+                + b"VP8X" + _struct.pack("<I", len(vp8x)) + vp8x)
+        p = probe_media(blob)
+        assert (p["width"], p["height"]) == (1000, 500)
 
     def test_probe_features_distributed(self, spark):
         import numpy as np
