@@ -2559,6 +2559,127 @@ _CORPUS_SAMPLING_ORACLE_SQL = """
 """
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (llm/search.py bm25_topk/bm25_corpus_stats):
+    the query side of a training-data pipeline. Two MAP-ONLY corpus
+    passes (stats partial-agg, then a scoring projection); ranking is
+    TakeOrderedAndProject, never a global sort (plan-asserted in
+    tests/test_search.py). The oracle recomputes the Robertson/Lucene
+    formula term-by-term in DuckDB with the identical left-to-right
+    float-sum order; scores are fuzzed, ids/dfs exact."""
+    from deequ_spark.llm import bm25_corpus_stats, bm25_topk
+    docs = _load(spark, sf_dir, "documents")
+    terms = ["hash", "join", "merge", "table"]  # sorted(set(query terms))
+    stats = bm25_corpus_stats(docs, "text", terms)
+    top = bm25_topk(docs, "doc_id", "text", "hash join merge table",
+                    k=10).collect()
+    pairs = [("n_docs", stats["n_docs"]),
+             ("avgdl_fuzz", _fuzz(stats["avgdl"]))]
+    pairs += [(f"df_{t}", stats["df"][i]) for i, t in enumerate(terms)]
+    for r in top:
+        pairs.append((f"rank_{r['rank']:02d}_doc", r["doc_id"]))
+        pairs.append((f"rank_{r['rank']:02d}_score_fuzz", _fuzz(r["score"])))
+    return _metrics_df(spark, sorted(pairs))
+
+
+_BM25_ORACLE_SQL = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl FROM toks),
+    tf AS (
+      SELECT doc_id, len(tk) AS dl,
+             len(list_filter(tk, x -> x = 'hash'))  AS tf0,
+             len(list_filter(tk, x -> x = 'join'))  AS tf1,
+             len(list_filter(tk, x -> x = 'merge')) AS tf2,
+             len(list_filter(tk, x -> x = 'table')) AS tf3
+      FROM toks),
+    dfs AS (
+      SELECT SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+             SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+      FROM tf),
+    scored AS (
+      SELECT doc_id,
+        0.0
+        + ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        + ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        AS score
+      FROM tf, dfs, stats),
+    top AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank,
+             doc_id, FLOOR(score * 1e6) AS sf
+      FROM scored WHERE score > 0
+      ORDER BY score DESC, doc_id LIMIT 10)
+    SELECT 'rank_' || lpad(CAST(rank AS VARCHAR), 2, '0') || '_doc' AS metric,
+           CAST(doc_id AS DOUBLE) AS value FROM top
+    UNION ALL SELECT 'rank_' || lpad(CAST(rank AS VARCHAR), 2, '0') || '_score_fuzz', sf FROM top
+    UNION ALL SELECT 'n_docs', CAST(n AS DOUBLE) FROM stats
+    UNION ALL SELECT 'avgdl_fuzz', FLOOR(avgdl * 1e6) FROM stats
+    UNION ALL SELECT 'df_hash',  CAST(df0 AS DOUBLE) FROM dfs
+    UNION ALL SELECT 'df_join',  CAST(df1 AS DOUBLE) FROM dfs
+    UNION ALL SELECT 'df_merge', CAST(df2 AS DOUBLE) FROM dfs
+    UNION ALL SELECT 'df_table', CAST(df3 AS DOUBLE) FROM dfs
+    ORDER BY metric, value
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Corpus token statistics (llm/search.py): frequency table (one
+    map-side-combined groupBy shuffle, TakeOrdered rank slice), total/
+    vocab counts, mass concentration, and the Zipf slope fitted on the
+    BOUNDED top-200 slice. The top-20 tokens are pinned BY NAME in the
+    metric column (total tie-break freq desc / token asc makes the set
+    engine-portable); slope fuzzed, counts exact."""
+    from deequ_spark.llm import corpus_token_stats, token_frequencies
+    docs = _load(spark, sf_dir, "documents")
+    stats = corpus_token_stats(docs, "text", top_n=200)
+    top = token_frequencies(docs, "text", top_n=20).collect()
+    pairs = [("n_tokens", stats["n_tokens"]),
+             ("vocab", stats["vocab"]),
+             ("top1_freq", stats["top1_freq"]),
+             ("top200_mass", stats["top_n_mass"]),
+             ("zipf_slope_fuzz", _fuzz(stats["zipf_slope"]))]
+    pairs += [(f"tok_{r['token']}", r["freq"]) for r in top]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_TOKEN_STATS_ORACLE_SQL = """
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents),
+    freq AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+    ranked AS (
+      SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      FROM freq),
+    top200 AS (SELECT * FROM ranked WHERE rank <= 200),
+    fit AS (
+      SELECT COUNT(*) AS m, SUM(ln(rank)) AS sx, SUM(ln(freq)) AS sy,
+             SUM(ln(rank) * ln(rank)) AS sxx,
+             SUM(ln(rank) * ln(freq)) AS sxy
+      FROM top200),
+    tot AS (SELECT SUM(freq) AS n_tokens, COUNT(*) AS vocab FROM freq)
+    SELECT 'n_tokens' AS metric, CAST(n_tokens AS DOUBLE) AS value FROM tot
+    UNION ALL SELECT 'vocab', CAST(vocab AS DOUBLE) FROM tot
+    UNION ALL SELECT 'top1_freq',
+        (SELECT CAST(freq AS DOUBLE) FROM ranked WHERE rank = 1)
+    UNION ALL SELECT 'top200_mass',
+        (SELECT CAST(SUM(freq) AS DOUBLE) FROM top200)
+    UNION ALL SELECT 'zipf_slope_fuzz',
+        (SELECT FLOOR((m * sxy - sx * sy) / (m * sxx - sx * sx) * 1e6)
+         FROM fit)
+    UNION ALL SELECT 'tok_' || token, CAST(freq AS DOUBLE)
+    FROM ranked WHERE rank <= 20
+    ORDER BY metric, value
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -2611,6 +2732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_ops": q_audio_ops,
         "media_probe": q_media_probe,
         "lm_score": q_lm_score,
+        "bm25_search": q_bm25_search,
+        "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
         "text_pipeline_ops": q_text_pipeline_ops,
@@ -3401,6 +3524,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_ops": _AUDIO_OPS_ORACLE_SQL,
         "media_probe": _MEDIA_PROBE_ORACLE_SQL,
         "lm_score": _LM_SCORE_ORACLE_SQL,
+        "bm25_search": _BM25_ORACLE_SQL,
+        "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,
         "repetition": _repetition_oracle_sql(),

@@ -1,0 +1,139 @@
+"""Corpus search / token statistics (deequ_spark/llm/search.py).
+
+The reference engine has no retrieval operator; these extend the
+LLM-pipeline category. BM25 expectations are computed by an
+independent pure-Python reimplementation of the Robertson/Lucene
+formula, not by calling the operator's own internals.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from deequ_spark.llm import (bm25_corpus_stats, bm25_topk,
+                             corpus_token_stats, token_frequencies,
+                             word_tokens)
+
+DOCS = [
+    (1, "the hash join beats the merge join on small tables"),
+    (2, "a merge join needs sorted inputs; a hash join does not"),
+    (3, "tables tables tables and more tables"),
+    (4, "completely unrelated text about penguins and glaciers"),
+    (5, "hash hash hash hash hash"),
+]
+
+
+def _expected_bm25(corpus, query_terms, k1=1.2, b=0.75):
+    """Independent BM25: tokenize, df/idf, per-doc score."""
+    toks = {i: [t.lower() for t in
+                __import__("re").findall(r"[a-z0-9]+", txt.lower())]
+            for i, txt in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for t in query_terms:
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            tf = tk.count(t)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        scores[i] = s
+    return scores, avgdl
+
+
+class TestWordTokens:
+    def test_lowercase_and_split(self, spark):
+        df = spark.createDataFrame([("Hello, World-42!",)], "t string")
+        out = df.select(word_tokens(F.col("t")).alias("tk")).collect()[0]["tk"]
+        assert out == ["hello", "world", "42"]
+
+    def test_empty_and_null(self, spark):
+        df = spark.createDataFrame([("",), (None,)], "t string")
+        rows = df.select(word_tokens(F.col("t")).alias("tk")).collect()
+        assert rows[0]["tk"] == []
+        assert rows[1]["tk"] is None
+
+
+class TestBm25:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    def test_corpus_stats(self, docs):
+        st = bm25_corpus_stats(docs, "text", ["hash", "join", "tables"])
+        assert st["n_docs"] == 5.0
+        # df: hash in docs 1,2,5; join in 1,2; tables in 1,3
+        assert st["df"] == [3.0, 2.0, 2.0]
+        _, avgdl = _expected_bm25(DOCS, [])
+        assert st["avgdl"] == pytest.approx(avgdl, abs=0)
+
+    def test_scores_match_independent_formula(self, docs):
+        exp, _ = _expected_bm25(DOCS, ["hash", "join"])
+        got = {r["doc_id"]: r["score"]
+               for r in bm25_topk(docs, "doc_id", "text",
+                                  "hash join", k=10).collect()}
+        # doc 4 has no query term -> excluded by score > 0
+        assert set(got) == {i for i, s in exp.items() if s > 0}
+        for i, s in got.items():
+            assert s == pytest.approx(exp[i], rel=1e-12)
+
+    def test_ranking_and_tiebreak(self, docs):
+        rows = bm25_topk(docs, "doc_id", "text", "hash join", k=3).collect()
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        assert rows[0]["score"] >= rows[1]["score"] >= rows[2]["score"]
+
+    def test_term_dedup_and_case(self, docs):
+        a = bm25_topk(docs, "doc_id", "text", "Hash HASH hash", k=5).collect()
+        b = bm25_topk(docs, "doc_id", "text", "hash", k=5).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == \
+               [(r["doc_id"], r["score"]) for r in b]
+
+    def test_empty_query_raises(self, docs):
+        with pytest.raises(ValueError):
+            bm25_topk(docs, "doc_id", "text", "!!! ???")
+
+    def test_plan_shape(self, docs):
+        """Scoring pass is map-only: top-k plans as TakeOrderedAndProject
+        (per-partition heap + driver merge), never a global sort, and the
+        scored projection has no hash-partition Exchange."""
+        plan = bm25_topk(docs, "doc_id", "text", "hash join",
+                         k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Sort " not in plan.replace("TakeOrdered", "")
+
+
+class TestTokenStats:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    def test_frequencies_and_tiebreak(self, docs):
+        rows = token_frequencies(docs, "text", top_n=4).collect()
+        # 'tables' x5, 'hash' x7... recount: doc1 tables(1)+doc3 tables(4)=5;
+        # hash: doc1(1)+doc2(1)+doc5(5)=7; join: doc1(2)+doc2(2)=4; the: doc1(2)
+        assert (rows[0]["token"], rows[0]["freq"]) == ("hash", 7)
+        assert (rows[1]["token"], rows[1]["freq"]) == ("tables", 5)
+        assert (rows[2]["token"], rows[2]["freq"]) == ("join", 4)
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+        # rank-4 tie at freq 2 broken by token asc
+        assert rows[3]["token"] == min(
+            t for t, f in [("a", 2), ("the", 2)] if f == 2)
+
+    def test_corpus_stats_totals(self, docs):
+        st = corpus_token_stats(docs, "text", top_n=1000)
+        n_tokens = sum(len(__import__("re").findall(r"[a-z0-9]+", t.lower()))
+                       for _, t in DOCS)
+        assert st["n_tokens"] == float(n_tokens)
+        assert st["top1_freq"] == 7.0
+        assert st["top_n_mass"] == float(n_tokens)  # top_n covers all
+
+    def test_zipf_slope_on_synthetic_zipf(self, spark):
+        # freq(rank r) = round(1000 / r) for 50 tokens -> slope near -1
+        text = " ".join(f"tok{r:03d} " * round(1000 / r)
+                        for r in range(1, 51))
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        st = corpus_token_stats(df, "text", top_n=50)
+        assert st["zipf_slope"] == pytest.approx(-1.0, abs=0.05)

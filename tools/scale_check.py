@@ -111,8 +111,17 @@ def main() -> None:
             f"packing slice blow-up: {row['slices']} > {bound}")
         return row["slices"]
 
+    def search_workload(spark_, docs):
+        """BM25 ranked retrieval (llm/search.py): two map-only corpus
+        passes + TakeOrderedAndProject — no shuffle in either pass, so
+        wall time must scale ~linearly with corpus size."""
+        from deequ_spark.llm import bm25_topk
+        return bm25_topk(docs, "doc_id", "text",
+                         "hash join merge table", k=10).count()
+
     workloads = [
         ("b1_scan_fused", bench.b1_scan_fused, li1, li10),
+        ("b16_bm25_search", search_workload, docs1, docs10),
         ("b15_sequence_packing", packing_workload, docs1, docs10),
         ("b6_dedup_lsh", bench.b6_dedup_lsh, docs1, docs10),
         ("b7_ann", bench.b7_ann, emb1, emb10),
