@@ -2680,6 +2680,101 @@ _TOKEN_STATS_ORACLE_SQL = """
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-scoped semantic dedup (llm/semdedup.py,
+    Abbas et al. arXiv:2303.09540): assign to nearest centroid, exact
+    within-cluster pair search, keep the LEAST-centroid-similar member
+    per duplicate component. Centroids are engine-replayable: the
+    embeddings of the 4 vec_ids with smallest md5(vec_id), ordered by
+    vec_id. The oracle recomputes assignment (argmax cosine, ties to
+    the lower index), the within-cluster pair set, a recursive-CTE
+    transitive closure, and the keep rule."""
+    from deequ_spark.llm import (assign_clusters, semantic_deduplicate,
+                                 semantic_duplicate_pairs)
+    emb = _load(spark, sf_dir, "embeddings")
+    seeds = (emb.select("vec_id", "embedding")
+             .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+             .limit(4).collect())
+    cents = [[float(v) for v in r["embedding"]]
+             for r in sorted(seeds, key=lambda r: r["vec_id"])]
+    assigned = assign_clusters(emb, "embedding", cents)
+    csizes = assigned.groupBy("cluster").count().collect()
+    # ONE fuzz-quantized aggregate, not a sum of 500 per-row floors —
+    # each row's floor is an independent last-ulp boundary trial
+    # between numpy-BLAS and sequential-SQL dot products
+    cavg = assigned.agg(F.avg("centroid_sim").alias("s")).collect()[0]["s"]
+    pairs = semantic_duplicate_pairs(emb, "vec_id", "embedding",
+                                     threshold=0.45,
+                                     centroids=cents).collect()
+    kept = semantic_deduplicate(emb, "vec_id", "embedding", threshold=0.45,
+                                centroids=cents).count()
+    rows = [(f"p_{r['id_a']}_{r['id_b']}", _fuzz(r["cosine"]))
+            for r in pairs]
+    rows += [(f"csize_{r['cluster']}", float(r["count"])) for r in csizes]
+    rows += [("n_pairs", float(len(pairs))), ("kept", float(kept)),
+             ("csim_avg_fuzz", _fuzz(cavg))]
+    return _metrics_df(spark, sorted(rows))
+
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT vec_id, v FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv,
+         sqrt(list_dot_product(v, v)) AS cn
+  FROM seeds),
+sims AS (
+  SELECT e.vec_id, c.cidx,
+         list_dot_product(e.v, c.cv)
+         / (sqrt(list_dot_product(e.v, e.v)) * c.cn) AS sim
+  FROM e, cents c),
+assign AS (
+  SELECT vec_id, cidx AS cluster, sim AS centroid_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cidx) AS rk
+    FROM sims) WHERE rk = 1),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  JOIN assign aa ON aa.vec_id = a.vec_id
+  JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cluster = aa.cluster
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+edges AS (
+  SELECT ia AS src, ib AS dst FROM pairs
+  UNION SELECT ib, ia FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, ed.dst FROM reach r JOIN edges ed ON r.b = ed.src),
+comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+ranked AS (
+  SELECT c.id, c.component,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY s.centroid_sim ASC, c.id ASC) AS rk
+  FROM comp c JOIN assign s ON s.vec_id = c.id)
+SELECT 'p_' || CAST(ia AS VARCHAR) || '_' || CAST(ib AS VARCHAR) AS metric,
+       FLOOR(cos * 1e6) AS value FROM pairs
+UNION ALL SELECT 'csize_' || CAST(cluster AS VARCHAR),
+       CAST(COUNT(*) AS DOUBLE) FROM assign GROUP BY cluster
+UNION ALL SELECT 'n_pairs', CAST(COUNT(*) AS DOUBLE) FROM pairs
+UNION ALL SELECT 'kept',
+       (SELECT COUNT(*) FROM e)
+       - (SELECT COUNT(*) FROM ranked WHERE rk > 1)
+UNION ALL SELECT 'csim_avg_fuzz',
+       FLOOR(AVG(centroid_sim) * 1e6) FROM assign
+ORDER BY metric, value
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -2733,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_probe": q_media_probe,
         "lm_score": q_lm_score,
         "bm25_search": q_bm25_search,
+        "semantic_dedup": q_semantic_dedup,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
@@ -3525,6 +3621,7 @@ def oracle_sql() -> dict[str, str]:
         "media_probe": _MEDIA_PROBE_ORACLE_SQL,
         "lm_score": _LM_SCORE_ORACLE_SQL,
         "bm25_search": _BM25_ORACLE_SQL,
+        "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,
