@@ -2775,6 +2775,69 @@ ORDER BY metric, value
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Keep-first duplicate-span removal (llm/text.py paragraph_dedup,
+    the C4 repeated-span / RefinedWeb duplicated-passage treatment):
+    every repeated paragraph keeps its minimum-(id,pos) occurrence and
+    loses the rest. The synthetic corpus has no newlines, so the query
+    splits on the literal ' a ' separator — the operator semantics are
+    separator-independent. All metrics are integer-exact: paragraph
+    counts, removals, rebuilt-corpus length and an id-weighted length
+    checksum that pins WHICH documents changed and by how much."""
+    from deequ_spark.llm import paragraph_dedup
+    docs = _load(spark, sf_dir, "documents")
+    out = paragraph_dedup(docs, "doc_id", "text", sep=" a ", min_chars=2)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_paragraphs").alias("paras"),
+        F.sum("n_removed").alias("removed"),
+        F.sum(F.length("deduped")).alias("len_sum"),
+        F.sum(F.col("doc_id") * F.length("deduped")).alias("checksum"),
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("docs_changed"),
+    ).collect()[0]
+    return _metrics_df(spark, sorted([
+        ("n_docs", row["n_docs"]), ("paras", row["paras"]),
+        ("removed", row["removed"]), ("len_sum", row["len_sum"]),
+        ("checksum", row["checksum"]),
+        ("docs_changed", row["docs_changed"])]))
+
+
+_PARAGRAPH_DEDUP_ORACLE = """
+    WITH arrs AS (
+      SELECT doc_id, regexp_split_to_array(text, ' a ') AS arr
+      FROM documents),
+    parts AS (
+      SELECT doc_id,
+             unnest([{'pos': i, 'para': arr[i]}
+                     for i in range(1, len(arr) + 1)],
+                    recursive := true)
+      FROM arrs),
+    marked AS (
+      SELECT doc_id, pos, para,
+             length(para) < 2 OR ROW_NUMBER() OVER (
+                 PARTITION BY CASE WHEN length(para) >= 2
+                                   THEN para END
+                 ORDER BY doc_id, pos) = 1 AS keep
+      FROM parts),
+    rebuilt AS (
+      SELECT doc_id,
+             COALESCE(string_agg(para, ' a ' ORDER BY pos)
+                      FILTER (WHERE keep), '') AS d,
+             COUNT(*) AS np,
+             SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS nr
+      FROM marked GROUP BY doc_id)
+    SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM rebuilt
+    UNION ALL SELECT 'paras', CAST(SUM(np) AS DOUBLE) FROM rebuilt
+    UNION ALL SELECT 'removed', CAST(SUM(nr) AS DOUBLE) FROM rebuilt
+    UNION ALL SELECT 'len_sum', CAST(SUM(length(d)) AS DOUBLE) FROM rebuilt
+    UNION ALL SELECT 'checksum',
+        CAST(SUM(doc_id * length(d)) AS DOUBLE) FROM rebuilt
+    UNION ALL SELECT 'docs_changed',
+        CAST(SUM(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM rebuilt
+    ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -2829,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
@@ -3622,6 +3686,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _LM_SCORE_ORACLE_SQL,
         "bm25_search": _BM25_ORACLE_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
+        "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

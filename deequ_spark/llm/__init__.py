@@ -17,7 +17,7 @@ from .similarity import (brute_force_topk, cosine_similarity_expr,
 from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
                    char_trigram_model, char_trigrams, fingerprint,
                    gopher_quality_flags, language_id, lm_quality_score,
-                   chunk_text, remove_boilerplate_lines,
+                   chunk_text, paragraph_dedup, remove_boilerplate_lines,
                    top_ngram_char_fraction,
                    language_id_trigrams, pii_counts, redact_pii, text_quality,
                    token_count_regex, token_count_whitespace, trigram_score,

@@ -446,6 +446,61 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
             .drop("__nrm"))
 
 
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
+                    sep: str = "\n\n", min_chars: int = 1,
+                    out_col: str = "deduped") -> DataFrame:
+    """Corpus-level duplicate-span removal with KEEP-FIRST semantics —
+    the C4 repeated-span / RefinedWeb duplicated-passage treatment:
+    every paragraph that occurs more than once in the corpus keeps
+    exactly its first occurrence (minimum ``(id, position)``) and every
+    later occurrence is cut from its document. Complements
+    ``remove_boilerplate_lines``, which deletes ALL occurrences of
+    high-frequency lines; here even a twice-occurring passage loses its
+    second copy but never its first.
+
+    Returns the input plus ``out_col`` (the rebuilt text, paragraph
+    order preserved), ``n_paragraphs`` and ``n_removed``.
+
+    Scale plan: paragraphs explode to one row each; the winner per
+    distinct paragraph is a hash-groupBy ``min(struct(id, pos))`` —
+    map-side combinable, ONE shuffle, keyed on the paragraph text
+    itself so the decision is EXACT (no hash-collision false merges;
+    same cost class as exact_duplicates' value-keyed groupBy). The
+    keep-decision joins back on the same key (AQE broadcasts the winner
+    set when duplicates are rare) and reassembly is one groupBy(id)
+    sorted fold. No corpus-wide window, no driver materialization.
+    Paragraphs shorter than ``min_chars`` are never dedup candidates
+    (blank separators survive). ``sep`` is a Java regex, mirrored
+    literally in the reassembled joins — pass a literal separator."""
+    parts = (df.select(F.col(id_col).alias("__pid"),
+                       F.posexplode(F.split(F.col(text_col), sep))
+                       .alias("__pos", "__para")))
+    winners = (parts
+               .where(F.length("__para") >= min_chars)
+               .groupBy("__para")
+               .agg(F.min(F.struct(F.col("__pid"), F.col("__pos")))
+                    .alias("__win")))
+    marked = (parts.join(winners, "__para", "left")
+              .withColumn("__keep",
+                          F.col("__win").isNull()
+                          | ((F.col("__win.__pid") == F.col("__pid"))
+                             & (F.col("__win.__pos") == F.col("__pos")))))
+    rebuilt = (marked.groupBy("__pid")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(F.col("__keep"),
+                                       F.struct(F.col("__pos"),
+                                                F.col("__para"))))),
+                            lambda s: s["__para"]),
+                        sep).alias(out_col),
+                    F.count(F.lit(1)).alias("n_paragraphs"),
+                    F.sum((~F.col("__keep")).cast("long"))
+                    .alias("n_removed")))
+    return (df.join(rebuilt, df[id_col] == rebuilt["__pid"])
+            .drop("__pid"))
+
+
 def decontaminate(corpus: DataFrame, id_col: str, text_col: str,
                   benchmark: DataFrame, bench_text_col: str,
                   n: int = 13) -> Tuple[DataFrame, DataFrame]:

@@ -885,6 +885,71 @@ class TestBoilerplate:
                    for r in out)
 
 
+class TestParagraphDedup:
+    """C4/RefinedWeb-style keep-first duplicate-span removal
+    (llm/text.py paragraph_dedup)."""
+
+    def test_keep_first_occurrence(self, spark):
+        from deequ_spark.llm import paragraph_dedup
+        docs = spark.createDataFrame([
+            (1, "alpha beta\n\nshared passage one\n\nunique tail"),
+            (2, "shared passage one\n\ngamma delta\n\nshared passage two"),
+            (3, "shared passage two\n\nshared passage one\n\nx"),
+            (4, "only original content here"),
+        ], "id long, text string")
+        out = {r["id"]: r for r in paragraph_dedup(
+            docs, "id", "text", min_chars=2).collect()}
+        # doc 1 holds the min-(id,pos) occurrence of "shared passage one"
+        assert out[1]["deduped"] == docs.collect()[0]["text"]
+        assert out[2]["deduped"] == "gamma delta\n\nshared passage two"
+        assert out[2]["n_removed"] == 1
+        # doc 3 loses both shared passages ('x' is under min_chars)
+        assert out[3]["deduped"] == "x"
+        assert out[3]["n_removed"] == 2
+        assert out[4]["deduped"] == out[4]["text"]
+        assert out[4]["n_removed"] == 0
+
+    def test_within_doc_repeats_also_dedup(self, spark):
+        from deequ_spark.llm import paragraph_dedup
+        docs = spark.createDataFrame(
+            [(1, "repeat me\n\nmiddle\n\nrepeat me")],
+            "id long, text string")
+        r = paragraph_dedup(docs, "id", "text").collect()[0]
+        assert r["deduped"] == "repeat me\n\nmiddle"
+        assert r["n_removed"] == 1
+
+    def test_short_paragraphs_never_candidates(self, spark):
+        from deequ_spark.llm import paragraph_dedup
+        docs = spark.createDataFrame(
+            [(1, "ab\n\nbody one"), (2, "ab\n\nbody two")],
+            "id long, text string")
+        out = paragraph_dedup(docs, "id", "text", min_chars=3).collect()
+        assert all(r["n_removed"] == 0 for r in out)
+        assert all(r["deduped"] == r["text"] for r in out)
+
+    def test_fully_duplicate_doc_becomes_empty(self, spark):
+        from deequ_spark.llm import paragraph_dedup
+        docs = spark.createDataFrame(
+            [(1, "same text"), (2, "same text")], "id long, text string")
+        out = {r["id"]: r for r in paragraph_dedup(
+            docs, "id", "text").collect()}
+        assert out[1]["deduped"] == "same text"
+        assert out[2]["deduped"] == "" and out[2]["n_removed"] == 1
+
+    def test_differs_from_boilerplate_semantics(self, spark):
+        """Keep-first retains ONE copy even at high frequency — the
+        boilerplate operator would delete every copy."""
+        from deequ_spark.llm import paragraph_dedup
+        docs = spark.createDataFrame(
+            [(i, "everywhere passage") for i in range(10)],
+            "id long, text string")
+        out = paragraph_dedup(docs, "id", "text")
+        assert out.where(F.col("deduped") != "").count() == 1
+        assert out.where(F.col("deduped") == "everywhere passage")
+        assert {r["id"] for r in out.where(
+            F.col("deduped") != "").collect()} == {0}
+
+
 class TestPipeline:
     def test_full_pipeline_stages(self, spark):
         from deequ_spark.llm import prepare_training_corpus

@@ -165,6 +165,32 @@ def main() -> None:
                                   "bound": 49_999, "ok": n_mega == 49_999}
     assert n_mega == 49_999, (
         f"mega-cluster star expansion broken: {n_mega} != 49999")
+    # SemDeDup mega-cluster: 20k near-identical embeddings land in ONE
+    # refined group (identical vectors share every hyperplane signature),
+    # which must emit exactly m-1 min-partner edges — O(m), components-
+    # exact — never the O(m^2) full expansion (2*10^8 pairs -> JVM OOM,
+    # observed before the cap landed).
+    import numpy as np
+
+    from deequ_spark.llm import semantic_duplicate_pairs
+
+    rng = np.random.default_rng(9)
+    sd_base = rng.standard_normal(16)
+    sd_base = sd_base / np.linalg.norm(sd_base)
+    m_sd = 20_000
+    noise = 1e-5 * rng.standard_normal((m_sd, 16))
+    sd_rows = [(i, [float(x) for x in (sd_base + noise[i])])
+               for i in range(m_sd)]
+    sd_df = spark.createDataFrame(sd_rows, "id long, vec array<double>") \
+        .repartition(16)
+    n_sd = semantic_duplicate_pairs(
+        sd_df, "id", "vec", threshold=0.999,
+        centroids=[[float(x) for x in sd_base]],
+        max_cluster_rows=1024, hot_group_cap=1024).count()
+    growth["semdedup_mega_20k"] = {"docs": m_sd, "candidate_pairs": n_sd,
+                                   "bound": m_sd - 1, "ok": n_sd == m_sd - 1}
+    assert n_sd == m_sd - 1, (
+        f"semdedup min-partner expansion broken: {n_sd} != {m_sd - 1}")
     out["candidate_growth"] = growth
 
     for name, fn, small, big in workloads:
