@@ -2838,6 +2838,81 @@ _PARAGRAPH_DEDUP_ORACLE = """
 """
 
 
+def q_corpus_drift(spark, sf_dir):
+    """Token-distribution drift between two corpus snapshots
+    (llm/search.py corpus_drift) — here the en vs non-en split of
+    documents, whose vocabularies genuinely differ. Union-of-top-100
+    vocabulary + __OTHER__ fold; totals/union/other masses are
+    integer-exact, PSI and L∞ fuzzed, and the top-5 drifted tokens are
+    pinned BY NAME with their fuzzed probability gaps (the gap doubles
+    are single divisions of exact integers — identical across engines,
+    so the selection order is engine-portable)."""
+    from deequ_spark.llm import corpus_drift
+    docs = _load(spark, sf_dir, "documents")
+    d = corpus_drift(docs.where(F.col("lang") == "en"),
+                     docs.where(F.col("lang") != "en"),
+                     "text", top_n=100)
+    rows = [("psi_fuzz", _fuzz(d["psi"])),
+            ("linf_fuzz", _fuzz(d["l_infinity"])),
+            ("n_tokens_a", d["n_tokens_a"]), ("n_tokens_b", d["n_tokens_b"]),
+            ("union_size", d["union_size"]),
+            ("other_a", d["other_a"]), ("other_b", d["other_b"])]
+    rows += [(f"drift_{t}", _fuzz(abs(pa - pb)))
+             for t, pa, pb in d["top_drifted"][:5]]
+    return _metrics_df(spark, sorted(rows))
+
+
+_CORPUS_DRIFT_ORACLE = """
+    WITH ta AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents WHERE lang = 'en'),
+    tb AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents WHERE lang <> 'en'),
+    fa AS (SELECT t, COUNT(*) AS c FROM ta GROUP BY t),
+    fb AS (SELECT t, COUNT(*) AS c FROM tb GROUP BY t),
+    un AS (
+      SELECT t FROM (SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t) rk
+                     FROM fa) WHERE rk <= 100
+      UNION
+      SELECT t FROM (SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t) rk
+                     FROM fb) WHERE rk <= 100),
+    na AS (SELECT SUM(c) AS n FROM fa),
+    nb AS (SELECT SUM(c) AS n FROM fb),
+    dist AS (
+      SELECT u.t,
+             COALESCE(fa.c, 0) AS ca, COALESCE(fb.c, 0) AS cb,
+             COALESCE(fa.c, 0) / (SELECT n FROM na) AS pa,
+             COALESCE(fb.c, 0) / (SELECT n FROM nb) AS pb
+      FROM un u LEFT JOIN fa ON fa.t = u.t LEFT JOIN fb ON fb.t = u.t),
+    oth AS (
+      SELECT (SELECT n FROM na) - SUM(ca) AS oa,
+             (SELECT n FROM nb) - SUM(cb) AS ob
+      FROM dist),
+    buckets AS (
+      SELECT pa, pb FROM dist
+      UNION ALL
+      SELECT oa / (SELECT n FROM na), ob / (SELECT n FROM nb) FROM oth)
+    SELECT 'psi_fuzz' AS metric,
+           FLOOR(SUM((GREATEST(pb, 1e-4) - GREATEST(pa, 1e-4))
+                     * ln(GREATEST(pb, 1e-4) / GREATEST(pa, 1e-4)))
+                 * 1e6) AS value
+    FROM buckets
+    UNION ALL SELECT 'linf_fuzz',
+        (SELECT FLOOR(MAX(ABS(pa - pb)) * 1e6) FROM buckets)
+    UNION ALL SELECT 'n_tokens_a', CAST((SELECT n FROM na) AS DOUBLE)
+    UNION ALL SELECT 'n_tokens_b', CAST((SELECT n FROM nb) AS DOUBLE)
+    UNION ALL SELECT 'union_size',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM un)
+    UNION ALL SELECT 'other_a', (SELECT CAST(oa AS DOUBLE) FROM oth)
+    UNION ALL SELECT 'other_b', (SELECT CAST(ob AS DOUBLE) FROM oth)
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'drift_' || t AS metric, FLOOR(ABS(pa - pb) * 1e6) AS value
+      FROM dist ORDER BY ABS(pa - pb) DESC, t LIMIT 5)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -2893,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
         "paragraph_dedup": q_paragraph_dedup,
+        "corpus_drift": q_corpus_drift,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
@@ -3687,6 +3763,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _BM25_ORACLE_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
+        "corpus_drift": _CORPUS_DRIFT_ORACLE,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

@@ -152,6 +152,81 @@ def token_frequencies(df: DataFrame, text_col: str, top_n: int = 1000,
                        "token", "freq")
 
 
+def corpus_drift(df_a: DataFrame, df_b: DataFrame, text_col: str,
+                 top_n: int = 1000,
+                 pattern: str = WORD_PATTERN) -> Dict[str, object]:
+    """Token-distribution drift between two corpus snapshots — the
+    standard check before swapping in a new crawl: a shifted PSI/L∞
+    means the new data speaks differently (new boilerplate, a language
+    mix change, a scraper regression).
+
+    The comparison vocabulary is the UNION of each side's top-``top_n``
+    tokens (the head carries the distribution mass); everything else is
+    folded into one ``__OTHER__`` bucket so both sides are complete
+    distributions over the same bounded key set. Driver
+    materialization is ≤ 2·top_n + 1 keys regardless of corpus size.
+
+    Per side: one map-side-combined groupBy for the top-N slice, then
+    one counting pass restricted to the union vocabulary via a
+    BROADCAST semi-join (the union set is tiny by construction), plus
+    a total-token count that rides the same scan. Metrics reuse the
+    reference-parity ``distance`` module: L∞ and PSI over the bucketed
+    distributions, plus the top drifted tokens by absolute
+    probability gap.
+
+    Returns ``{psi, l_infinity, n_tokens_a, n_tokens_b, union_size,
+    other_a, other_b, top_drifted: [(token, p_a, p_b)]}``."""
+    from ..distance import l_infinity_distance, psi
+
+    def top_and_total(df):
+        rows = token_frequencies(df, text_col, top_n, pattern).collect()
+        total = (df.select(F.explode(word_tokens(F.col(text_col), pattern))
+                           .alias("t"))
+                 .agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"])
+        return {r["token"]: r["freq"] for r in rows}, total
+
+    head_a, n_a = top_and_total(df_a)
+    head_b, n_b = top_and_total(df_b)
+    union = sorted(set(head_a) | set(head_b))
+
+    def counts_over(df, missing):
+        """Exact counts for union keys a side's own top-N did not
+        cover — one broadcast-semi-joined groupBy."""
+        if not missing:
+            return {}
+        spark = df.sparkSession
+        keys = spark.createDataFrame([(k,) for k in missing], "t string")
+        got = (df.select(F.explode(word_tokens(F.col(text_col), pattern))
+                         .alias("t"))
+               .join(F.broadcast(keys), "t")
+               .groupBy("t").agg(F.count(F.lit(1)).alias("c")).collect())
+        return {r["t"]: r["c"] for r in got}
+
+    full_a = dict(head_a)
+    full_a.update(counts_over(df_a, [k for k in union if k not in head_a]))
+    full_b = dict(head_b)
+    full_b.update(counts_over(df_b, [k for k in union if k not in head_b]))
+
+    # sorted key order → deterministic float summation in the metrics
+    dist_a = {k: float(full_a.get(k, 0)) for k in union}
+    dist_b = {k: float(full_b.get(k, 0)) for k in union}
+    other_a = float(n_a - sum(full_a.get(k, 0) for k in union))
+    other_b = float(n_b - sum(full_b.get(k, 0) for k in union))
+    dist_a["__OTHER__"] = other_a
+    dist_b["__OTHER__"] = other_b
+
+    gaps = sorted(
+        ((k, dist_a[k] / n_a if n_a else 0.0,
+          dist_b[k] / n_b if n_b else 0.0) for k in union),
+        key=lambda kv: (-abs(kv[1] - kv[2]), kv[0]))
+    return {"psi": psi(dist_a, dist_b),
+            "l_infinity": l_infinity_distance(dist_a, dist_b),
+            "n_tokens_a": float(n_a), "n_tokens_b": float(n_b),
+            "union_size": float(len(union)),
+            "other_a": other_a, "other_b": other_b,
+            "top_drifted": gaps[:10]}
+
+
 def corpus_token_stats(df: DataFrame, text_col: str, top_n: int = 1000,
                        pattern: str = WORD_PATTERN) -> Dict[str, float]:
     """Corpus-level token statistics:

@@ -11,7 +11,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from deequ_spark.llm import (bm25_corpus_stats, bm25_topk,
+from deequ_spark.llm import (bm25_corpus_stats, bm25_topk, corpus_drift,
                              corpus_token_stats, token_frequencies,
                              word_tokens)
 
@@ -129,6 +129,47 @@ class TestTokenStats:
         assert st["n_tokens"] == float(n_tokens)
         assert st["top1_freq"] == 7.0
         assert st["top_n_mass"] == float(n_tokens)  # top_n covers all
+
+    def test_corpus_drift_self_is_zero(self, spark):
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma words") for i in range(20)],
+            "id long, text string")
+        d = corpus_drift(df, df, "text", top_n=10)
+        assert d["psi"] == 0.0 and d["l_infinity"] == 0.0
+        assert d["n_tokens_a"] == d["n_tokens_b"] == 80.0
+
+    def test_corpus_drift_detects_vocab_shift(self, spark):
+        a = spark.createDataFrame(
+            [(i, "alpha beta gamma common words") for i in range(20)],
+            "id long, text string")
+        b = spark.createDataFrame(
+            [(i, "delta epsilon gamma common words") for i in range(20)],
+            "id long, text string")
+        d = corpus_drift(a, b, "text", top_n=10)
+        # alpha/beta have p=0.2 in a, 0 in b -> exact L-inf
+        assert d["l_infinity"] == pytest.approx(0.2, abs=1e-12)
+        assert d["psi"] > 1.0
+        top = {t for t, _, _ in d["top_drifted"][:4]}
+        assert top == {"alpha", "beta", "delta", "epsilon"}
+        # PSI matches an independent computation over the union + OTHER
+        import math
+        exp = 0.0
+        for pa, pb in [(0.2, 1e-4), (0.2, 1e-4), (1e-4, 0.2), (1e-4, 0.2)]:
+            exp += (pb - pa) * math.log(pb / pa)
+        assert d["psi"] == pytest.approx(exp, rel=1e-12)
+
+    def test_corpus_drift_other_bucket(self, spark):
+        """top_n=1 folds everything but the head token into __OTHER__;
+        totals must still be conserved exactly."""
+        a = spark.createDataFrame(
+            [(0, "x x x y z")], "id long, text string")
+        b = spark.createDataFrame(
+            [(0, "x x w w w")], "id long, text string")
+        d = corpus_drift(a, b, "text", top_n=1)
+        # union = {x, w} (side heads); y,z fold into a's OTHER
+        assert d["union_size"] == 2.0
+        assert d["other_a"] == 2.0 and d["other_b"] == 0.0
+        assert d["n_tokens_a"] == 5.0 and d["n_tokens_b"] == 5.0
 
     def test_zipf_slope_on_synthetic_zipf(self, spark):
         # freq(rank r) = round(1000 / r) for 50 tokens -> slope near -1
