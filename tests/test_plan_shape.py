@@ -289,3 +289,63 @@ def test_mixture_sample_broadcast_quota_single_window_exchange(spark):
     import re
     shuffles = re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)
     assert len(shuffles) == 1, plan[:1500]
+
+
+def test_paragraph_dedup_shuffle_budget(spark):
+    """llm/text.py paragraph_dedup: winner selection is a text-keyed
+    groupBy (partial+final = map-side combinable), the keep-decision
+    joins back on the same key, and reassembly regroups by id — no
+    corpus-wide window, no cartesian, and the winner aggregate carries
+    a partial stage (map-side combine on the exploded paragraphs)."""
+    from deequ_spark.llm import paragraph_dedup
+    df = spark.range(200).selectExpr(
+        "id", "concat('p', CAST(id % 7 AS STRING), "
+        "'\n\nshared passage body') AS text")
+    out = paragraph_dedup(df, "id", "text")
+    plan = explain_str(out)
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "Window") == 0
+    # winner groupBy is partial->final (HashAggregate or the
+    # struct-min ObjectHashAggregate), i.e. map-side combined
+    import re
+    assert len(re.findall(r"^\(\d+\) \w*HashAggregate", plan,
+                          re.MULTILINE)) >= 2, plan[:1500]
+
+
+def test_semdedup_pair_stage_single_group_shuffle(spark):
+    """llm/semdedup.py: the within-cluster pair search must be ONE
+    applyInPandas group exchange over (cluster, band, subkey) — the
+    candidate generation never self-joins or sorts the corpus."""
+    import numpy as np
+
+    from deequ_spark.llm import semantic_duplicate_pairs
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal(8)
+    base = base / np.linalg.norm(base)
+    rows = [(i, [float(x) for x in base + 0.3 * rng.standard_normal(8)])
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    pairs = semantic_duplicate_pairs(
+        df, "id", "vec", threshold=0.95,
+        centroids=[[float(x) for x in base]])
+    plan = explain_str(pairs)
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one shuffle: the group-key exchange feeding applyInPandas
+    # (dropDuplicates on its output adds aggregates but AQE coalesces
+    # onto the same key space); allow <= 2 for the dedup stage
+    assert count_nodes(plan, "Exchange") <= 2, plan[:2000]
+
+
+def test_bm25_corpus_pass_no_shuffle(spark):
+    """llm/search.py bm25 scoring pass: stats collapse to one partial
+    aggregate row; the scored projection + top-k must stay map-only
+    (TakeOrderedAndProject, no hash-partition exchange, no sort)."""
+    from deequ_spark.llm import bm25_topk
+    df = spark.range(500).selectExpr(
+        "id", "concat('hash join words body ', CAST(id AS STRING)) AS text")
+    top = bm25_topk(df, "id", "text", "hash join", k=10)
+    plan = explain_str(top)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
