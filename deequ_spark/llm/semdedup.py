@@ -106,7 +106,9 @@ def semantic_duplicate_pairs(df: DataFrame, id_col: str, vec_col: str,
                              n_bands: int = 2,
                              block_rows: int = 1024,
                              hot_group_cap: int = 4096,
-                             seed: int = 42) -> DataFrame:
+                             seed: int = 42,
+                             assigned: Optional[DataFrame]
+                             = None) -> DataFrame:
     """Within-cluster semantic duplicate pairs ``(id_a, id_b, cosine)``
     with ``id_a < id_b`` and cosine ≥ ``threshold`` (exact float64, no
     approximation inside a group). See the module docstring for the
@@ -122,11 +124,18 @@ def semantic_duplicate_pairs(df: DataFrame, id_col: str, vec_col: str,
     each row linked to its smallest threshold-matching partner — which
     preserves connected components exactly with O(m) output instead of
     O(m²); below the cap the full pair set is emitted so pair-level
-    inspection keeps complete fidelity."""
+    inspection keeps complete fidelity.
+
+    ``assigned`` (internal): a pre-computed ``assign_clusters`` result
+    — lets ``semantic_deduplicate`` reuse ONE assignment pass for both
+    the pair search and the keep rule instead of re-scoring the corpus
+    twice."""
     cents = (centroids if centroids is not None
              else kmeans_centroids(df, vec_col, n_clusters, seed=seed))
     dims = len(cents[0])
-    assigned = assign_clusters(df.select(id_col, vec_col), vec_col, cents)
+    if assigned is None:
+        assigned = assign_clusters(df.select(id_col, vec_col),
+                                   vec_col, cents)
 
     # bounded driver probe: one row per cluster
     sizes = [(r["cluster"], r["cnt"]) for r in
@@ -239,21 +248,33 @@ def semantic_deduplicate(df: DataFrame, id_col: str, vec_col: str,
     ``df`` minus the dropped rows; rows in no duplicate pair pass
     through untouched. The anti-join side is unhinted for the same
     reason as ``deduplicate_near`` — the loser set is corpus-scaled on
-    duplicate-heavy data, AQE picks broadcast only when it fits."""
+    duplicate-heavy data, AQE picks broadcast only when it fits.
+
+    The assignment runs ONCE (persisted) and feeds both the pair
+    search and the keep rule — a second full-corpus scoring pass would
+    double the dominant cost at scale."""
     from .dedup import near_duplicate_components
 
     if centroids is None:
         centroids = kmeans_centroids(df, vec_col, n_clusters, seed=seed)
-    pairs = semantic_duplicate_pairs(
-        df, id_col, vec_col, threshold, centroids,
-        max_cluster_rows=max_cluster_rows, n_bands=n_bands, seed=seed)
-    comps = near_duplicate_components(pairs)
-    sims = assign_clusters(df.select(id_col, vec_col), vec_col,
-                           centroids).select(
-        F.col(id_col).alias("id"), "centroid_sim")
-    ranked = (comps.join(sims, "id")
-              .withColumn("__rk", F.row_number().over(
-                  Window.partitionBy("component")
-                  .orderBy(F.col("centroid_sim").asc(), F.col("id").asc()))))
-    losers = ranked.where(F.col("__rk") > 1).select("id")
+    assigned = assign_clusters(df.select(id_col, vec_col), vec_col,
+                               centroids).persist()
+    try:
+        pairs = semantic_duplicate_pairs(
+            df, id_col, vec_col, threshold, centroids,
+            max_cluster_rows=max_cluster_rows, n_bands=n_bands, seed=seed,
+            assigned=assigned)
+        comps = near_duplicate_components(pairs)
+        sims = assigned.select(F.col(id_col).alias("id"), "centroid_sim")
+        ranked = (comps.join(sims, "id")
+                  .withColumn("__rk", F.row_number().over(
+                      Window.partitionBy("component")
+                      .orderBy(F.col("centroid_sim").asc(),
+                               F.col("id").asc()))))
+        # materialize the loser set before releasing the assignment —
+        # the lazy anti-join below must not re-score the corpus
+        losers = (ranked.where(F.col("__rk") > 1).select("id")
+                  .localCheckpoint(eager=True))
+    finally:
+        assigned.unpersist()
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
