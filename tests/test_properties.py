@@ -242,3 +242,40 @@ class TestMinHashProperty:
         agree = sum(x == y for x, y in zip(sig(sa), sig(sb))) / 256
         # 256 hashes → standard error ≤ 0.031; 6σ band
         assert abs(agree - true_j) <= 0.2
+
+
+class TestParagraphDedupModel:
+    """paragraph_dedup (llm/text.py) vs a pure-Python keep-first model:
+    scanning documents in ascending id and paragraphs in order, the
+    first sighting of each candidate paragraph survives and every later
+    sighting is cut — exactly the distributed min-(id,pos) winner rule."""
+
+    @given(st.lists(
+        st.lists(st.sampled_from(["aaa", "bbb", "ccc", "dd", "e", "ffff"]),
+                 min_size=1, max_size=5),
+        min_size=1, max_size=7))
+    @settings(max_examples=10, deadline=None)
+    def test_matches_sequential_model(self, spark, corpora):
+        from deequ_spark.llm import paragraph_dedup
+        min_chars = 2
+        sep = "\n\n"
+        docs = [(i, sep.join(paras)) for i, paras in enumerate(corpora)]
+        seen, expected = set(), {}
+        for i, _ in docs:
+            kept, removed = [], 0
+            # NOTE: split/join round-trip, so re-split the joined text —
+            # identical to what the operator sees
+            for p in docs[i][1].split(sep):
+                if len(p) < min_chars:
+                    kept.append(p)
+                elif p in seen:
+                    removed += 1
+                else:
+                    seen.add(p)
+                    kept.append(p)
+            expected[i] = (sep.join(kept), removed)
+        df = spark.createDataFrame(docs, "id long, text string")
+        got = {r["id"]: (r["deduped"], r["n_removed"])
+               for r in paragraph_dedup(df, "id", "text", sep=sep,
+                                        min_chars=min_chars).collect()}
+        assert got == expected
