@@ -31,9 +31,11 @@ from pyspark.sql import functions as F
 
 from .dedup import deduplicate_near, minhash_lsh_pairs
 from .packing import hash_sample, pack_sequences
+from .semdedup import semantic_deduplicate
 from .text import (char_trigram_model, chunk_text, fingerprint,
                    gopher_quality_flags, lm_quality_score,
-                   remove_boilerplate_lines, token_count_whitespace)
+                   paragraph_dedup, remove_boilerplate_lines,
+                   token_count_whitespace)
 
 
 def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
@@ -51,7 +53,13 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                             sample_fraction: Optional[float] = None,
                             pack_budget: Optional[int] = None,
                             collect_stats: bool = True,
-                            gopher_kwargs: Optional[dict] = None
+                            gopher_kwargs: Optional[dict] = None,
+                            paragraph_dedup_sep: Optional[str] = None,
+                            embeddings: Optional[DataFrame] = None,
+                            embedding_cols: Tuple[str, str]
+                            = ("doc_id", "embedding"),
+                            semantic_threshold: float = 0.95,
+                            semantic_clusters: int = 16
                             ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full cleanup pipeline; returns (result, stage_stats).
 
@@ -66,7 +74,13 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     gate; ``sample_fraction=f`` takes a deterministic md5 Bernoulli
     sample (reproducible on any cluster size); ``pack_budget=B``
     replaces overlap-chunking with concat-and-chunk sequence packing
-    into B-token packs (``chunk`` is ignored when set)."""
+    into B-token packs (``chunk`` is ignored when set);
+    ``paragraph_dedup_sep=s`` runs keep-first duplicate-span removal on
+    s-separated paragraphs between boilerplate and doc-level dedup (the
+    RefinedWeb line-then-document order); ``embeddings=df`` (with
+    ``embedding_cols`` naming its id/vector columns) adds a SemDeDup
+    semantic-dedup stage after MinHash — lexical near-dup first, so the
+    costlier embedding pass only sees lexical survivors."""
     stats: Dict[str, int] = {}
     cached: list = []        # previous stage's persisted frame, if any
 
@@ -99,6 +113,13 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                    .select(id_col, F.col("cleaned").alias(text_col))
                    .where(F.length(text_col) > 0))
 
+    if paragraph_dedup_sep is not None:
+        span = paragraph_dedup(out, id_col, text_col,
+                               sep=paragraph_dedup_sep)
+        out = note("paragraph_dedup",
+                   span.select(id_col, F.col("deduped").alias(text_col))
+                   .where(F.length(text_col) > 0))
+
     if exact_dedup:
         # keep one representative (min id) per identical normalized text
         w_fp = out.withColumn("__fp", fingerprint(F.col(text_col)))
@@ -111,6 +132,22 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
         pairs = minhash_lsh_pairs(out, id_col, text_col,
                                   threshold=near_dup_threshold)
         out = note("near_dedup", deduplicate_near(out, id_col, pairs))
+
+    if embeddings is not None:
+        emb_id, emb_vec = embedding_cols
+        # restrict the (costlier) embedding pass to lexical survivors
+        surv = embeddings.join(
+            out.select(F.col(id_col).alias(emb_id)), emb_id, "left_semi")
+        kept = semantic_deduplicate(surv, emb_id, emb_vec,
+                                    threshold=semantic_threshold,
+                                    n_clusters=semantic_clusters)
+        # drop the LOSERS rather than keep the winners: documents with
+        # no embedding row cannot be judged and must pass through
+        losers = (surv.select(emb_id)
+                  .join(kept.select(emb_id), emb_id, "left_anti"))
+        out = note("semantic_dedup", out.join(
+            losers.select(F.col(emb_id).alias(id_col)),
+            id_col, "left_anti"))
 
     if lm_filter_quantile is not None:
         if not 0.0 < lm_filter_quantile <= 1.0:

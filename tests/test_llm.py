@@ -2219,6 +2219,50 @@ class TestPipelineEndToEnd:
         assert stats2["sample"] == stats["sample"]
         assert stats2["packs"] == stats["packs"]
 
+    def test_paragraph_dedup_stage(self, spark):
+        from deequ_spark.llm import prepare_training_corpus
+        docs = spark.createDataFrame([
+            (1, "unique intro\n\nshared legal disclaimer text"),
+            (2, "shared legal disclaimer text\n\nfresh body two"),
+            (3, "shared legal disclaimer text"),
+        ], "doc_id long, text string")
+        out, stats = prepare_training_corpus(
+            docs, "doc_id", "text", quality_filter=False,
+            boilerplate=False, exact_dedup=False, near_dedup=False,
+            chunk=False, paragraph_dedup_sep="\n\n")
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert got[1] == "unique intro\n\nshared legal disclaimer text"
+        assert got[2] == "fresh body two"
+        assert 3 not in got            # emptied -> dropped
+        assert stats["paragraph_dedup"] == 2
+
+    def test_semantic_dedup_stage_keeps_unembedded_docs(self, spark):
+        import numpy as np
+
+        from deequ_spark.llm import prepare_training_corpus
+        rng = np.random.default_rng(21)
+        base = rng.standard_normal(8)
+        base = base / np.linalg.norm(base)
+        docs = spark.createDataFrame(
+            [(i, f"document body number {i} with words") for i in range(5)],
+            "doc_id long, text string")
+        # ids 0-2 near-identical embeddings; 3 distinct; 4 HAS NO ROW
+        emb_rows = [(i, [float(x) for x in
+                         base + 1e-3 * rng.standard_normal(8)])
+                    for i in range(3)]
+        emb_rows.append((3, [float(x) for x in -base]))
+        emb = spark.createDataFrame(emb_rows, "doc_id long, vec array<double>")
+        out, stats = prepare_training_corpus(
+            docs, "doc_id", "text", quality_filter=False,
+            boilerplate=False, exact_dedup=False, near_dedup=False,
+            chunk=False, embeddings=emb, embedding_cols=("doc_id", "vec"),
+            semantic_threshold=0.99, semantic_clusters=2)
+        kept = {r["doc_id"] for r in out.collect()}
+        # one of {0,1,2} survives, 3 untouched, 4 passes (unjudgeable)
+        assert len(kept & {0, 1, 2}) == 1
+        assert {3, 4} <= kept
+        assert stats["semantic_dedup"] == 3
+
     def test_bad_quantile_rejected(self, spark):
         import pytest as _pytest
         from deequ_spark.llm import prepare_training_corpus
