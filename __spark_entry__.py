@@ -2913,6 +2913,92 @@ _CORPUS_DRIFT_ORACLE = """
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact substring dedup (llm/dedup.py duplicate_span_removal, the
+    Lee et al. ExactSubstr semantics): every duplicated 4-token window
+    keeps its minimum-(id,pos) occurrence; other occurrences' spans are
+    cut, overlaps merging. key='text' here so the oracle's text-keyed
+    GROUP BY is the literal same computation (key='hash' is the
+    documented scale path — 24-byte shuffle rows instead of n-gram
+    strings; the two keys are asserted equal in tests). All metrics are
+    integer-exact."""
+    from deequ_spark.llm import duplicate_span_removal
+    docs = _load(spark, sf_dir, "documents")
+    out = duplicate_span_removal(docs, "doc_id", "text", n=4, key="text")
+    row = out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_removed_tokens").alias("removed"),
+        F.sum(F.length("deduped")).alias("len_sum"),
+        F.sum(F.col("doc_id") * F.length("deduped")).alias("checksum"),
+        F.sum((F.col("n_removed_tokens") > 0).cast("long"))
+        .alias("docs_changed"),
+    ).collect()[0]
+    return _metrics_df(spark, sorted([
+        ("n_docs", row["n_docs"]), ("tokens", row["tokens"]),
+        ("removed", row["removed"]), ("len_sum", row["len_sum"]),
+        ("checksum", row["checksum"]),
+        ("docs_changed", row["docs_changed"])]))
+
+
+_SPAN_DEDUP_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         t -> t <> '') AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             unnest([{'pos': i - 1,
+                      'g': array_to_string(t[i:i+3], ' ')}
+                     for i in range(1, len(t) - 2)],
+                    recursive := true)
+      FROM toks WHERE len(t) >= 4),
+    ranked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY g) AS c,
+             ROW_NUMBER() OVER (PARTITION BY g
+                                ORDER BY doc_id, pos) AS rn
+      FROM w),
+    losers AS (SELECT doc_id, pos FROM ranked WHERE c >= 2 AND rn > 1),
+    tok_rows AS (
+      SELECT doc_id,
+             unnest([{'tpos': i - 1, 'tok': t[i]}
+                     for i in range(1, len(t) + 1)],
+                    recursive := true)
+      FROM toks),
+    marked AS (
+      SELECT tr.doc_id, tr.tpos, tr.tok,
+             EXISTS (SELECT 1 FROM losers l
+                     WHERE l.doc_id = tr.doc_id
+                       AND l.pos <= tr.tpos AND tr.tpos < l.pos + 4)
+             AS cut
+      FROM tok_rows tr),
+    rebuilt AS (
+      SELECT t.doc_id,
+             COALESCE(m.d, '') AS d,
+             COALESCE(m.nt, 0) AS nt,
+             COALESCE(m.nr, 0) AS nr
+      FROM toks t LEFT JOIN (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY tpos) FILTER (WHERE NOT cut)
+                 AS d,
+               COUNT(*) AS nt,
+               SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS nr
+        FROM marked GROUP BY doc_id) m ON m.doc_id = t.doc_id)
+    SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM rebuilt
+    UNION ALL SELECT 'tokens', CAST(SUM(nt) AS DOUBLE) FROM rebuilt
+    UNION ALL SELECT 'removed', CAST(SUM(nr) AS DOUBLE) FROM rebuilt
+    UNION ALL SELECT 'len_sum',
+        CAST(SUM(length(COALESCE(d, ''))) AS DOUBLE) FROM rebuilt
+    UNION ALL SELECT 'checksum',
+        CAST(SUM(doc_id * length(COALESCE(d, ''))) AS DOUBLE) FROM rebuilt
+    UNION ALL SELECT 'docs_changed',
+        CAST(SUM(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM rebuilt
+    ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -2969,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "corpus_drift": q_corpus_drift,
+        "span_dedup": q_span_dedup,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
@@ -3764,6 +3851,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
         "corpus_drift": _CORPUS_DRIFT_ORACLE,
+        "span_dedup": _SPAN_DEDUP_ORACLE,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

@@ -4,6 +4,7 @@ analysis, multimodal column plumbing — all expression-first DataFrame ops
 designed for 100 TB scale."""
 
 from .dedup import (deduplicate_exact, deduplicate_near,
+                    duplicate_span_removal,
                     embedding_near_duplicates, exact_duplicates,
                     jaccard_similarity_pairs, minhash_lsh_pairs,
                     minhash_signatures, near_duplicate_components,

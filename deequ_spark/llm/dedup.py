@@ -82,6 +82,95 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams(text, n))
 
 
+def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 50, key: str = "hash",
+                           out_col: str = "deduped") -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499
+    ExactSubstr): any n-token window occurring MORE THAN ONCE in the
+    corpus keeps exactly its first occurrence (minimum ``(id, pos)``)
+    and every other occurrence's token span is cut from its document.
+    Overlapping cut spans merge naturally (a token survives iff no
+    removed window covers it). Case-sensitive, whitespace-tokenized;
+    the rebuilt text is single-space joined (whitespace-normalizing).
+
+    Returns the input plus ``out_col``, ``n_tokens`` and
+    ``n_removed_tokens``.
+
+    Scale design — the reference algorithm builds a corpus-wide suffix
+    array; the Spark-first equivalent is a window-keyed shuffle:
+
+    * windows are built with the shifted-``zip_with`` trick (O(tokens)
+      per shift, no per-window slicing); docs under n tokens emit none.
+    * ``key='hash'`` (default) shuffles only ``(xxhash64(window), id,
+      pos)`` — ~24 bytes per token instead of the n·token-bytes the
+      window text itself would cost (a 50-gram key is a ~50× shuffle
+      amplification). A 64-bit collision falsely merges two distinct
+      windows (probability ~m²/2⁶⁵ corpus-wide) and costs at most one
+      spurious n-token cut; ``key='text'`` keys on the window text for
+      exactness when the corpus is small enough to pay for it.
+    * the winner per window is one map-side-combinable ``min(struct)``
+      aggregate; loser spans flow back as ``(id, pos)`` pairs and the
+      rebuild is a per-document index filter (O(tokens · loser spans)
+      inside one row — bounded by document length, never corpus-wide).
+    """
+    if key not in ("hash", "text"):
+        raise ValueError("key must be 'hash' or 'text'")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = (df.select(F.col(id_col).alias("__did"),
+                      toks.alias("__toks"))
+            .withColumn("__sz", F.size("__toks")))
+
+    # all n-token windows in order; NONE for docs shorter than n
+    sz = F.col("__sz")
+    grams = F.col("__toks")
+    for j in range(1, n):
+        keep = F.greatest(sz - j, F.lit(0))
+        grams = F.zip_with(F.slice(grams, 1, keep),
+                           F.slice(F.col("__toks"), j + 1, keep),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.when(sz >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+    w = base.select("__did", F.posexplode(grams).alias("__pos", "__gram"))
+    if key == "hash":
+        w = w.select("__did", "__pos",
+                     F.xxhash64("__gram").alias("__gram"))
+    agg = (w.groupBy("__gram")
+           .agg(F.min(F.struct(F.col("__did"), F.col("__pos")))
+                .alias("__win"),
+                F.count(F.lit(1)).alias("__c")))
+    losers = (w.join(agg, "__gram")
+              .where((F.col("__c") >= 2)
+                     & ~((F.col("__win.__did") == F.col("__did"))
+                         & (F.col("__win.__pos") == F.col("__pos"))))
+              .select("__did", "__pos"))
+    spans = (losers.groupBy("__did")
+             .agg(F.sort_array(F.collect_list("__pos")).alias("__starts")))
+
+    rebuilt = (base.join(spans, "__did", "left")
+               .withColumn("__starts",
+                           F.coalesce(F.col("__starts"),
+                                      F.array().cast("array<int>")))
+               .select(
+                   "__did",
+                   F.array_join(
+                       F.filter(
+                           F.col("__toks"),
+                           lambda t, i: ~F.exists(
+                               F.col("__starts"),
+                               lambda s: (s <= i) & (i < s + F.lit(n)))),
+                       " ").alias(out_col),
+                   F.col("__sz").cast("long").alias("n_tokens"),
+                   F.size(F.filter(
+                       F.sequence(F.lit(0), F.greatest(sz - 1, F.lit(0))),
+                       lambda i: (sz > 0) & F.exists(
+                           F.col("__starts"),
+                           lambda s: (s <= i) & (i < s + F.lit(n)))))
+                   .cast("long").alias("n_removed_tokens")))
+    return df.join(rebuilt, df[id_col] == rebuilt["__did"]).drop("__did")
+
+
 def jaccard_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
                              threshold: float, shingle_n: int = 3,
                              max_shingle_df: Optional[int] = None

@@ -950,6 +950,98 @@ class TestParagraphDedup:
             F.col("deduped") != "").collect()} == {0}
 
 
+class TestDuplicateSpanRemoval:
+    """Exact substring dedup (llm/dedup.py duplicate_span_removal,
+    Lee et al. arXiv:2107.06499 ExactSubstr semantics)."""
+
+    CORPUS = [
+        (1, "one two three four five six seven"),
+        (2, "alpha two three four five beta gamma"),
+        (3, "zz two three four five qq two three four five"),
+        (4, "totally different words here only"),
+        (5, "short"),
+    ]
+
+    def test_keep_first_cut_rest(self, spark):
+        from deequ_spark.llm import duplicate_span_removal
+        df = spark.createDataFrame(self.CORPUS, "id long, text string")
+        out = {r["id"]: r for r in duplicate_span_removal(
+            df, "id", "text", n=4).collect()}
+        # doc 1 holds the min-(id,pos) occurrence -> untouched
+        assert out[1]["deduped"] == self.CORPUS[0][1]
+        assert out[2]["deduped"] == "alpha beta gamma"
+        assert out[2]["n_removed_tokens"] == 4
+        # BOTH of doc 3's occurrences are losers (winner lives in doc 1)
+        assert out[3]["deduped"] == "zz qq"
+        assert out[3]["n_removed_tokens"] == 8
+        assert out[4]["deduped"] == self.CORPUS[3][1]
+        # shorter than n -> no windows, untouched
+        assert out[5]["deduped"] == "short"
+
+    def test_overlapping_spans_merge(self, spark):
+        from deequ_spark.llm import duplicate_span_removal
+        # doc 2 repeats a 5-token run; its two duplicated 4-gram windows
+        # overlap -> the cut is their union (5 tokens), not 8
+        df = spark.createDataFrame([
+            (1, "a b c d e x"),
+            (2, "y a b c d e z"),
+        ], "id long, text string")
+        r = {x["id"]: x for x in duplicate_span_removal(
+            df, "id", "text", n=4).collect()}
+        assert r[2]["deduped"] == "y z"
+        assert r[2]["n_removed_tokens"] == 5
+
+    def test_hash_and_text_keys_agree(self, spark):
+        from deequ_spark.llm import duplicate_span_removal
+        df = spark.createDataFrame(self.CORPUS, "id long, text string")
+        a = sorted((r["id"], r["deduped"]) for r in
+                   duplicate_span_removal(df, "id", "text", n=4,
+                                          key="hash").collect())
+        b = sorted((r["id"], r["deduped"]) for r in
+                   duplicate_span_removal(df, "id", "text", n=4,
+                                          key="text").collect())
+        assert a == b
+
+    def test_doc_exactly_n_tokens(self, spark):
+        from deequ_spark.llm import duplicate_span_removal
+        df = spark.createDataFrame(
+            [(1, "p q r s"), (2, "p q r s")], "id long, text string")
+        out = {r["id"]: r for r in duplicate_span_removal(
+            df, "id", "text", n=4).collect()}
+        assert out[1]["deduped"] == "p q r s"
+        assert out[2]["deduped"] == "" and out[2]["n_removed_tokens"] == 4
+
+    def test_sequential_model_property(self, spark):
+        """Randomized corpora vs a pure-Python first-sighting scan."""
+        import random
+        rng = random.Random(77)
+        vocab = ["aa", "bb", "cc"]
+        n = 2
+        docs = [(i, " ".join(rng.choice(vocab) for _ in range(
+            rng.randint(1, 12)))) for i in range(12)]
+        seen, expected = set(), {}
+        for i, text in docs:
+            toks = text.split()
+            starts = []
+            for p in range(len(toks) - n + 1):
+                g = " ".join(toks[p:p + n])
+                if g in seen:
+                    starts.append(p)
+                else:
+                    seen.add(g)
+            kept = [t for j, t in enumerate(toks)
+                    if not any(s <= j < s + n for s in starts)]
+            expected[i] = " ".join(kept)
+        # NOTE: the sequential scan marks a gram seen at its FIRST
+        # sighting even when that occurrence is itself later covered by
+        # another cut — matching the operator's min-(id,pos) winner rule
+        from deequ_spark.llm import duplicate_span_removal
+        df = spark.createDataFrame(docs, "id long, text string")
+        got = {r["id"]: r["deduped"] for r in duplicate_span_removal(
+            df, "id", "text", n=n).collect()}
+        assert got == expected
+
+
 class TestPipeline:
     def test_full_pipeline_stages(self, spark):
         from deequ_spark.llm import prepare_training_corpus
