@@ -29,7 +29,8 @@ from typing import Dict, Optional, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import deduplicate_near, minhash_lsh_pairs
+from .dedup import (deduplicate_near, duplicate_span_removal,
+                    minhash_lsh_pairs)
 from .packing import hash_sample, pack_sequences
 from .semdedup import semantic_deduplicate
 from .text import (char_trigram_model, chunk_text, fingerprint,
@@ -55,6 +56,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                             collect_stats: bool = True,
                             gopher_kwargs: Optional[dict] = None,
                             paragraph_dedup_sep: Optional[str] = None,
+                            span_dedup_n: Optional[int] = None,
                             embeddings: Optional[DataFrame] = None,
                             embedding_cols: Tuple[str, str]
                             = ("doc_id", "embedding"),
@@ -77,7 +79,10 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     into B-token packs (``chunk`` is ignored when set);
     ``paragraph_dedup_sep=s`` runs keep-first duplicate-span removal on
     s-separated paragraphs between boilerplate and doc-level dedup (the
-    RefinedWeb line-then-document order); ``embeddings=df`` (with
+    RefinedWeb line-then-document order); ``span_dedup_n=n`` runs
+    Lee-et-al exact substring dedup over duplicated n-token windows at
+    the same point (note it whitespace-normalizes surviving text);
+    ``embeddings=df`` (with
     ``embedding_cols`` naming its id/vector columns) adds a SemDeDup
     semantic-dedup stage after MinHash — lexical near-dup first, so the
     costlier embedding pass only sees lexical survivors."""
@@ -118,6 +123,13 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                                sep=paragraph_dedup_sep)
         out = note("paragraph_dedup",
                    span.select(id_col, F.col("deduped").alias(text_col))
+                   .where(F.length(text_col) > 0))
+
+    if span_dedup_n is not None:
+        span2 = duplicate_span_removal(out, id_col, text_col,
+                                       n=span_dedup_n)
+        out = note("span_dedup",
+                   span2.select(id_col, F.col("deduped").alias(text_col))
                    .where(F.length(text_col) > 0))
 
     if exact_dedup:

@@ -2355,6 +2355,21 @@ class TestPipelineEndToEnd:
         assert {3, 4} <= kept
         assert stats["semantic_dedup"] == 3
 
+    def test_span_dedup_stage(self, spark):
+        from deequ_spark.llm import prepare_training_corpus
+        docs = spark.createDataFrame([
+            (1, "aa bb cc dd unique tail one"),
+            (2, "xx aa bb cc dd yy zz"),
+        ], "doc_id long, text string")
+        out, stats = prepare_training_corpus(
+            docs, "doc_id", "text", quality_filter=False,
+            boilerplate=False, exact_dedup=False, near_dedup=False,
+            chunk=False, span_dedup_n=4)
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert got[1] == "aa bb cc dd unique tail one"
+        assert got[2] == "xx yy zz"
+        assert stats["span_dedup"] == 2
+
     def test_bad_quantile_rejected(self, spark):
         import pytest as _pytest
         from deequ_spark.llm import prepare_training_corpus
