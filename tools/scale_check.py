@@ -79,6 +79,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # local mode shares one JVM across all executor threads — the
+        # 1g default heap OOMs 32 concurrent window-building tasks
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .appName("scale-check").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -119,9 +123,31 @@ def main() -> None:
         return bm25_topk(docs, "doc_id", "text",
                          "hash join merge table", k=10).count()
 
+    def span_dedup_workload(spark_, docs):
+        """Exact substring dedup (llm/dedup.py duplicate_span_removal):
+        window-keyed hash shuffle + per-doc rebuild — must scale
+        ~linearly (no pair expansion exists in this operator; losers
+        are per-occurrence rows)."""
+        from deequ_spark.llm import duplicate_span_removal
+        out = duplicate_span_removal(docs, "doc_id", "text", n=4)
+        return out.agg(F.sum("n_removed_tokens")).collect()[0][0]
+
+    def semdedup_workload(spark_, emb):
+        """SemDeDup (llm/semdedup.py): one Arrow assignment pass + one
+        group exchange into the blocked-matmul pair stage — wall time
+        ~linear in rows for a fixed centroid count."""
+        from deequ_spark.llm import semantic_duplicate_pairs
+        cents = [[1.0 if i == j else 0.0 for i in range(64)]
+                 for j in range(8)]
+        return semantic_duplicate_pairs(
+            emb, "vec_id", "embedding", threshold=0.8,
+            centroids=cents).count()
+
     workloads = [
         ("b1_scan_fused", bench.b1_scan_fused, li1, li10),
         ("b16_bm25_search", search_workload, docs1, docs10),
+        ("b17_span_dedup", span_dedup_workload, docs1, docs10),
+        ("b18_semantic_dedup", semdedup_workload, emb1, emb10),
         ("b15_sequence_packing", packing_workload, docs1, docs10),
         ("b6_dedup_lsh", bench.b6_dedup_lsh, docs1, docs10),
         ("b7_ann", bench.b7_ann, emb1, emb10),
