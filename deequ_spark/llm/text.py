@@ -470,10 +470,13 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
     set when duplicates are rare) and reassembly is one groupBy(id)
     sorted fold. No corpus-wide window, no driver materialization.
     Paragraphs shorter than ``min_chars`` are never dedup candidates
-    (blank separators survive). ``sep`` is a Java regex, mirrored
-    literally in the reassembled joins — pass a literal separator."""
+    (blank separators survive). ``sep`` is treated LITERALLY on both
+    sides (the split quotes it with \\Q…\\E), so a separator containing
+    regex metacharacters (". ", "|", "***") splits and rejoins
+    symmetrically."""
     parts = (df.select(F.col(id_col).alias("__pid"),
-                       F.posexplode(F.split(F.col(text_col), sep))
+                       F.posexplode(F.split(F.col(text_col),
+                                            "\\Q" + sep + "\\E"))
                        .alias("__pos", "__para")))
     winners = (parts
                .where(F.length("__para") >= min_chars)

@@ -936,6 +936,20 @@ class TestParagraphDedup:
         assert out[1]["deduped"] == "same text"
         assert out[2]["deduped"] == "" and out[2]["n_removed"] == 1
 
+    def test_metacharacter_separator_is_literal(self, spark):
+        """A separator full of regex metachars must split and rejoin
+        symmetrically (the split quotes it with \\Q...\\E)."""
+        from deequ_spark.llm import paragraph_dedup
+        docs = spark.createDataFrame([
+            (1, "first part.*+second part"),
+            (2, "second part.*+third part"),
+        ], "id long, text string")
+        out = {r["id"]: r for r in paragraph_dedup(
+            docs, "id", "text", sep=".*+").collect()}
+        assert out[1]["deduped"] == "first part.*+second part"
+        assert out[2]["deduped"] == "third part"
+        assert out[2]["n_removed"] == 1
+
     def test_differs_from_boilerplate_semantics(self, spark):
         """Keep-first retains ONE copy even at high frequency — the
         boilerplate operator would delete every copy."""
