@@ -2999,6 +2999,80 @@ _SPAN_DEDUP_ORACLE = r"""
 """
 
 
+def q_video_frames(spark, sf_dir):
+    """Video frame sampling (llm/multimodal.py sample_video_frames):
+    per doc one synthetic blob — 3 of 4 are MP4 skeletons whose
+    duration/dims/track-count are doc_id arithmetic, every 4th a WAV
+    (must yield ZERO frame rows — the operator is also the video
+    filter). Midpoint-uniform timestamps ts = dur·(2i+1)/8 are exact
+    multiples of 1/8 so every aggregate is bit-exact; the oracle
+    recomputes them from the same arithmetic without parsing MP4 (the
+    skeleton round-trip itself is pinned by the media_probe query)."""
+    import numpy as np
+    import pandas as pd
+
+    from deequ_spark.llm import encode_mp4_skeleton, sample_video_frames
+    from deequ_spark.llm.multimodal import encode_wav_pcm16
+
+    docs = _load(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                if i % 4 == 3:
+                    blob = encode_wav_pcm16(
+                        np.zeros((64, 1), dtype=np.int16), 8000)
+                else:
+                    blob = encode_mp4_skeleton(
+                        500 + (i * 37) % 1500, 160 + i % 32,
+                        90 + i % 18, n_tracks=1 + i % 3)
+                ids.append(i)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "payload": blobs})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary")
+    frames = sample_video_frames(media, n_frames=4)
+    row = frames.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("media_id").alias("videos"),
+        F.sum("ts_ms").alias("ts_sum"),
+        F.sum("width").alias("w_sum"),
+        F.sum("height").alias("h_sum"),
+        F.sum("n_tracks").alias("tr_sum"),
+        F.sum(F.col("decoded").cast("long")).alias("decoded"),
+    ).collect()[0]
+    return _metrics_df(spark, sorted([
+        ("frame_rows", row["rows"]), ("videos", row["videos"]),
+        ("ts_sum", row["ts_sum"]), ("w_sum", row["w_sum"]),
+        ("h_sum", row["h_sum"]), ("tr_sum", row["tr_sum"]),
+        ("decoded", row["decoded"])]))
+
+
+_VIDEO_FRAMES_ORACLE = """
+    WITH vids AS (
+      SELECT doc_id, 500 + (doc_id * 37) % 1500 AS dur,
+             160 + doc_id % 32 AS w, 90 + doc_id % 18 AS h,
+             1 + doc_id % 3 AS tr
+      FROM documents WHERE doc_id % 4 <> 3),
+    frames AS (
+      SELECT doc_id, dur, w, h, tr, unnest([0, 1, 2, 3]) AS i FROM vids)
+    SELECT 'frame_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM frames
+    UNION ALL SELECT 'videos',
+        CAST(COUNT(DISTINCT doc_id) AS DOUBLE) FROM frames
+    UNION ALL SELECT 'ts_sum',
+        SUM(dur * (2 * i + 1) / 8.0) FROM frames
+    UNION ALL SELECT 'w_sum', CAST(SUM(w) AS DOUBLE) FROM frames
+    UNION ALL SELECT 'h_sum', CAST(SUM(h) AS DOUBLE) FROM frames
+    UNION ALL SELECT 'tr_sum', CAST(SUM(tr) AS DOUBLE) FROM frames
+    UNION ALL SELECT 'decoded', 0.0
+    ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -3056,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "corpus_drift": q_corpus_drift,
         "span_dedup": q_span_dedup,
+        "video_frames": q_video_frames,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
@@ -3852,6 +3927,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
         "corpus_drift": _CORPUS_DRIFT_ORACLE,
         "span_dedup": _SPAN_DEDUP_ORACLE,
+        "video_frames": _VIDEO_FRAMES_ORACLE,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

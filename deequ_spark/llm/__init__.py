@@ -27,7 +27,8 @@ from .multimodal import (attach_binary_payload, audio_features, decode_audio,
                          decode_image, encode_mp3_frames, encode_mp4_skeleton,
                          fake_resize,
                          probe_media, probe_media_features, resize_media,
-                         extract_binary_features, sample_chunks)
+                         extract_binary_features, sample_chunks,
+                         sample_video_frames)
 from .jpeg import decode_jpeg, encode_jpeg
 from .gif import decode_gif, encode_gif
 from .pipeline import prepare_training_corpus

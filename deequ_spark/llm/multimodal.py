@@ -680,6 +680,64 @@ def audio_features(df: DataFrame) -> DataFrame:
         feats, AUDIO_FEATURE_SCHEMA)
 
 
+FRAME_SAMPLE_SCHEMA = ("media_id long, frame_index int, ts_ms double, "
+                       "width int, height int, n_tracks int, "
+                       "pixels binary, decoded boolean")
+
+
+def sample_video_frames(df: DataFrame, n_frames: int = 8,
+                        frame_decoder: Optional[
+                            Callable[[bytes, float], bytes]] = None
+                        ) -> DataFrame:
+    """Uniform video frame sampling over (``media_id``, ``payload``)
+    binary columns: each video blob expands to ``n_frames`` rows with
+    midpoint-uniform timestamps ``ts_i = duration · (i + ½) / n`` plus
+    the probed track dimensions — the standard grid for thumbnailing /
+    vision-embedding extraction over a video corpus.
+
+    The TIMELINE comes from the real header probe (``probe_media`` —
+    mvhd duration, tkhd dimensions, header-only); the PIXEL decode is
+    codec territory (ffmpeg — legitimately environment-bound in this
+    build), so ``frame_decoder(payload, ts_ms) -> bytes`` is the
+    documented integration hook: absent, rows carry ``pixels = NULL,
+    decoded = false``; present, its bytes land in ``pixels`` unchanged.
+    Non-video payloads (or videos whose header yields no positive
+    duration) produce ZERO rows — the operator is also the video
+    filter.
+
+    Spark shape: one ``mapInPandas`` (Arrow batch in, ≤ n·rows out),
+    map-only — no shuffle; the n-fold row expansion happens inside the
+    task, never via an exploded join."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_index", "ts_ms",
+                                   "width", "height", "n_tracks",
+                                   "pixels", "decoded")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = b"" if payload is None else bytes(payload)
+                meta = probe_media(data)
+                dur = meta.get("duration_ms")
+                if meta.get("kind") != "video" or not dur or dur <= 0:
+                    continue
+                for i in range(n_frames):
+                    ts = dur * (i + 0.5) / n_frames
+                    px = (frame_decoder(data, ts)
+                          if frame_decoder is not None else None)
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["ts_ms"].append(ts)
+                    out["width"].append(meta.get("width") or 0)
+                    out["height"].append(meta.get("height") or 0)
+                    out["n_tracks"].append(meta.get("n_tracks") or 0)
+                    out["pixels"].append(px)
+                    out["decoded"].append(px is not None)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        sample, FRAME_SAMPLE_SCHEMA)
+
+
 def fake_decode(data: bytes) -> dict:
     """Deterministic stand-in decoder: derives pseudo 'dimensions' from a
     content digest so tests and benchmarks are reproducible."""

@@ -1914,6 +1914,61 @@ class TestAudioFeatures:
         assert got[1]["n_frames"] == 100
 
 
+class TestVideoFrameSampling:
+    """sample_video_frames (llm/multimodal.py): midpoint-uniform
+    timestamps from the real header probe; pixel decode stays behind
+    the documented codec hook."""
+
+    def _media(self, spark):
+        import numpy as np
+
+        from deequ_spark.llm import encode_mp4_skeleton
+        from deequ_spark.llm.multimodal import encode_wav_pcm16
+        rows = [
+            (1, encode_mp4_skeleton(2000, 640, 360)),
+            (2, encode_mp4_skeleton(500, 1920, 1080, n_tracks=2)),
+            (3, encode_wav_pcm16(np.zeros((100, 1), dtype=np.int16),
+                                 8000)),
+        ]
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def test_uniform_midpoint_timestamps(self, spark):
+        from deequ_spark.llm import sample_video_frames
+        rows = sample_video_frames(self._media(spark), n_frames=4) \
+            .orderBy("media_id", "frame_index").collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["media_id"], []).append(r)
+        assert [r["ts_ms"] for r in by_id[1]] == [250.0, 750.0,
+                                                  1250.0, 1750.0]
+        assert [r["ts_ms"] for r in by_id[2]] == [62.5, 187.5,
+                                                  312.5, 437.5]
+        assert all(r["width"] == 640 and r["height"] == 360
+                   for r in by_id[1])
+        assert by_id[2][0]["n_tracks"] == 2
+
+    def test_non_video_filtered(self, spark):
+        from deequ_spark.llm import sample_video_frames
+        out = sample_video_frames(self._media(spark), n_frames=4)
+        assert out.where(F.col("media_id") == 3).count() == 0
+        assert out.count() == 8
+
+    def test_decoder_hook(self, spark):
+        from deequ_spark.llm import sample_video_frames
+        out = sample_video_frames(
+            self._media(spark), n_frames=2,
+            frame_decoder=lambda data, ts: bytes([int(ts) % 256, 7]))
+        rows = out.orderBy("media_id", "frame_index").collect()
+        assert all(r["decoded"] for r in rows)
+        assert bytes(rows[0]["pixels"]) == bytes([500 % 256, 7])
+
+    def test_no_hook_means_null_pixels(self, spark):
+        from deequ_spark.llm import sample_video_frames
+        rows = sample_video_frames(self._media(spark),
+                                   n_frames=2).collect()
+        assert all(r["pixels"] is None and not r["decoded"] for r in rows)
+
+
 class TestMediaProbe:
     """probe_media / probe_media_features / encode_mp4_skeleton
     (llm/multimodal.py): header-only format sniffing + metadata."""
