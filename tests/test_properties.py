@@ -279,3 +279,40 @@ class TestParagraphDedupModel:
                for r in paragraph_dedup(df, "id", "text", sep=sep,
                                         min_chars=min_chars).collect()}
         assert got == expected
+
+
+class TestDistanceMetricProperties:
+    """distance.py PSI / L-inf invariants (exercised corpus-wide by
+    llm/search.py corpus_drift)."""
+
+    counts = st.dictionaries(
+        st.sampled_from(list("abcdefgh")),
+        st.integers(min_value=0, max_value=1000),
+        min_size=1, max_size=8)
+
+    @given(counts, counts)
+    @settings(max_examples=200, deadline=None)
+    def test_psi_nonnegative_and_symmetric(self, a, b):
+        from deequ_spark.distance import psi
+        if sum(a.values()) == 0 or sum(b.values()) == 0:
+            return  # defined as inf; not a drift measurement
+        ab, ba = psi(a, b), psi(b, a)
+        # each term (pb-pa)*ln(pb/pa) has matching signs -> >= 0
+        assert ab >= -1e-12
+        assert ab == pytest.approx(ba, rel=1e-9, abs=1e-12)
+
+    @given(counts)
+    @settings(max_examples=100, deadline=None)
+    def test_self_distance_zero(self, a):
+        from deequ_spark.distance import l_infinity_distance, psi
+        if sum(a.values()) == 0:
+            return
+        assert psi(a, a) == 0.0
+        assert l_infinity_distance(a, a) == 0.0
+
+    @given(counts, counts)
+    @settings(max_examples=200, deadline=None)
+    def test_linf_bounded(self, a, b):
+        from deequ_spark.distance import l_infinity_distance
+        d = l_infinity_distance(a, b)
+        assert 0.0 <= d <= 1.0
