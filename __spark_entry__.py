@@ -3073,6 +3073,124 @@ _VIDEO_FRAMES_ORACLE = """
 """
 
 
+def q_streaming_drift(spark, sf_dir):
+    """Streaming drift monitor (streaming/drift.py): baseline = en
+    docs; the stream delivers the non-en docs in two parity-split
+    micro-batches. PSI binning is FIXED at the baseline's top-100
+    vocabulary (+__OTHER__), so each batch's scores are pure integer
+    arithmetic the oracle replays (fuzzed at the PSI/L∞ floats).
+    Results are keyed by each batch's exact token total — stream batch
+    ORDER is an implementation detail, content identity is not — and
+    the cumulative PSI over both batches is order-independent."""
+    import os
+    import shutil
+
+    from deequ_spark.streaming import StreamingDriftMonitor
+
+    docs = _load(spark, sf_dir, "documents")
+    src = f"/tmp/deequ_drift_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    for k in (0, 1):
+        (docs.where((F.col("lang") != "en") & (F.col("doc_id") % 2 == k))
+         .select("doc_id", "text").coalesce(1)
+         .write.parquet(f"{src}/split{k}"))
+    flat = f"{src}/flat"
+    os.makedirs(flat)
+    n = 0
+    for k in (0, 1):
+        d = f"{src}/split{k}"
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                os.rename(f"{d}/{f_}", f"{flat}/part{n}.parquet")
+                n += 1
+
+    mon = StreamingDriftMonitor(docs.where(F.col("lang") == "en"),
+                                "text", top_n=100, psi_threshold=0.25)
+    q = (spark.readStream.schema("doc_id long, text string")
+         .option("maxFilesPerTrigger", 1).parquet(flat)
+         .writeStream.foreachBatch(mon)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = [("n_batches", float(len(mon.results))),
+            ("cum_psi_fuzz", _fuzz(mon.results[-1].cumulative_psi))]
+    for i, r in enumerate(sorted(mon.results, key=lambda r: r.n_tokens)):
+        rows += [(f"b{i}_tokens", float(r.n_tokens)),
+                 (f"b{i}_psi_fuzz", _fuzz(r.psi)),
+                 (f"b{i}_linf_fuzz", _fuzz(r.l_infinity)),
+                 (f"b{i}_alert", float(r.alert))]
+    return _metrics_df(spark, sorted(rows))
+
+
+_STREAMING_DRIFT_ORACLE = """
+    WITH ref_toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents WHERE lang = 'en'),
+    ref_freq AS (SELECT t, COUNT(*) AS c FROM ref_toks GROUP BY t),
+    vocab AS (
+      SELECT t, c FROM (SELECT t, c,
+                        ROW_NUMBER() OVER (ORDER BY c DESC, t) rk
+                        FROM ref_freq) WHERE rk <= 100),
+    ref AS (
+      SELECT t, c FROM vocab
+      UNION ALL
+      SELECT '__OTHER__',
+             (SELECT SUM(c) FROM ref_freq) - (SELECT SUM(c) FROM vocab)),
+    ref_n AS (SELECT SUM(c) AS n FROM ref),
+    batch_toks AS (
+      SELECT doc_id % 2 AS split,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents WHERE lang <> 'en'),
+    splits AS (SELECT DISTINCT split FROM batch_toks),
+    hits AS (
+      SELECT split, t, COUNT(*) AS c FROM batch_toks
+      WHERE t IN (SELECT t FROM vocab) GROUP BY split, t),
+    bcnt AS (
+      SELECT s.split, v.t, COALESCE(h.c, 0) AS c
+      FROM splits s CROSS JOIN vocab v
+      LEFT JOIN hits h ON h.split = s.split AND h.t = v.t
+      UNION ALL
+      SELECT split, '__OTHER__',
+             COUNT(*) - SUM(CASE WHEN t IN (SELECT t FROM vocab)
+                            THEN 1 ELSE 0 END)
+      FROM batch_toks GROUP BY split),
+    btot AS (SELECT split, SUM(c) AS n FROM bcnt GROUP BY split),
+    labeled AS (
+      SELECT split, ROW_NUMBER() OVER (ORDER BY n, split) - 1 AS bi, n
+      FROM btot),
+    scored AS (
+      SELECT l.bi, l.n,
+             SUM((GREATEST(b.c / l.n, 1e-4) - GREATEST(r.c / rn.n, 1e-4))
+                 * ln(GREATEST(b.c / l.n, 1e-4)
+                      / GREATEST(r.c / rn.n, 1e-4))) AS psi,
+             MAX(ABS(b.c / l.n - r.c / rn.n)) AS linf
+      FROM bcnt b
+      JOIN labeled l ON l.split = b.split
+      JOIN ref r ON r.t = b.t, ref_n rn
+      GROUP BY l.bi, l.n),
+    cum AS (
+      SELECT t, SUM(c) AS c FROM bcnt GROUP BY t),
+    cum_scored AS (
+      SELECT SUM((GREATEST(c.c / cn.n, 1e-4) - GREATEST(r.c / rn.n, 1e-4))
+                 * ln(GREATEST(c.c / cn.n, 1e-4)
+                      / GREATEST(r.c / rn.n, 1e-4))) AS psi
+      FROM cum c JOIN ref r ON r.t = c.t,
+           (SELECT SUM(c) AS n FROM cum) cn, ref_n rn)
+    SELECT 'n_batches' AS metric,
+           CAST((SELECT COUNT(*) FROM labeled) AS DOUBLE) AS value
+    UNION ALL SELECT 'cum_psi_fuzz',
+        (SELECT FLOOR(psi * 1e6) FROM cum_scored)
+    UNION ALL SELECT 'b' || bi || '_tokens', CAST(n AS DOUBLE) FROM scored
+    UNION ALL SELECT 'b' || bi || '_psi_fuzz', FLOOR(psi * 1e6) FROM scored
+    UNION ALL SELECT 'b' || bi || '_linf_fuzz', FLOOR(linf * 1e6)
+    FROM scored
+    UNION ALL SELECT 'b' || bi || '_alert',
+        CASE WHEN psi > 0.25 THEN 1.0 ELSE 0.0 END FROM scored
+    ORDER BY metric, value
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -3131,6 +3249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": q_corpus_drift,
         "span_dedup": q_span_dedup,
         "video_frames": q_video_frames,
+        "streaming_drift": q_streaming_drift,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
@@ -3928,6 +4047,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_drift": _CORPUS_DRIFT_ORACLE,
         "span_dedup": _SPAN_DEDUP_ORACLE,
         "video_frames": _VIDEO_FRAMES_ORACLE,
+        "streaming_drift": _STREAMING_DRIFT_ORACLE,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

@@ -221,3 +221,5 @@ def verify_file_stream(spark, path: str,
 from .dedup import (streaming_deduplicate,  # noqa: E402,F401
                     streaming_deduplicate_exact,
                     streaming_fingerprint_deduplicate)
+from .drift import (DriftBatchResult,  # noqa: E402,F401
+                    StreamingDriftMonitor)
