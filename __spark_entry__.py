@@ -3191,6 +3191,92 @@ _STREAMING_DRIFT_ORACLE = """
 """
 
 
+def q_near_dup_ratio(spark, sf_dir):
+    """Corpus hygiene as a data-quality constraint (analyzers/corpus.py
+    NearDuplicateRatio + Check.has_near_duplicate_ratio): the
+    near-duplicate loser fraction of documents rides the regular
+    VerificationSuite machinery. method='jaccard' at threshold 0.5 /
+    shingle 3 — the exact math the near_dedup oracle already replays —
+    so the oracle recomputes losers/total/ratio and both check verdicts
+    from the same transitive closure."""
+    from deequ_spark import (Check, CheckLevel, CheckStatus,
+                             NearDuplicateRatio, VerificationSuite,
+                             do_analysis_run)
+    docs = _load(spark, sf_dir, "documents")
+    analyzer = NearDuplicateRatio("doc_id", "text", threshold=0.5,
+                                  method="jaccard")
+    ctx = do_analysis_run(docs, [analyzer])
+    (metric,) = ctx.metric_map.values()
+    state = analyzer.compute_state_from(docs)
+    loose = (VerificationSuite().on_data(docs)
+             .add_check(Check(CheckLevel.ERROR, "loose")
+                        .has_near_duplicate_ratio(
+                            "doc_id", "text", lambda r: r <= 0.9,
+                            threshold=0.5, method="jaccard"))
+             .run())
+    tight = (VerificationSuite().on_data(docs)
+             .add_check(Check(CheckLevel.ERROR, "tight")
+                        .has_near_duplicate_ratio(
+                            "doc_id", "text", lambda r: r < 1e-9,
+                            threshold=0.5, method="jaccard"))
+             .run())
+    return _metrics_df(spark, sorted([
+        ("losers", float(state.losers)),
+        ("total", float(state.total)),
+        ("ratio_fuzz", _fuzz(metric.value)),
+        ("loose_ok", float(loose.status == CheckStatus.SUCCESS)),
+        ("tight_ok", float(tight.status == CheckStatus.SUCCESS))]))
+
+
+_NEAR_DUP_RATIO_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+    ELSE [array_to_string(t, ' ')] END) AS shingles
+  FROM toks
+), w AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+  FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT i, j FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.i
+  JOIN sizes sb ON sb.doc_id = inter.j
+  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+), edges AS (
+  SELECT i AS src, j AS dst FROM pairs
+  UNION SELECT j, i FROM pairs
+), nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+), comp AS (
+  SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
+), agg AS (
+  SELECT (SELECT COUNT(*) FROM comp WHERE id <> component) AS losers,
+         (SELECT COUNT(*) FROM documents) AS total)
+SELECT 'losers' AS metric, CAST(losers AS DOUBLE) AS value FROM agg
+UNION ALL SELECT 'total', CAST(total AS DOUBLE) FROM agg
+UNION ALL SELECT 'ratio_fuzz',
+    FLOOR(losers * 1.0 / total * 1e6) FROM agg
+UNION ALL SELECT 'loose_ok',
+    CASE WHEN losers * 1.0 / total <= 0.9 THEN 1.0 ELSE 0.0 END FROM agg
+UNION ALL SELECT 'tight_ok',
+    CASE WHEN losers * 1.0 / total < 1e-9 THEN 1.0 ELSE 0.0 END FROM agg
+ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -3250,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "video_frames": q_video_frames,
         "streaming_drift": q_streaming_drift,
+        "near_dup_ratio": q_near_dup_ratio,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
@@ -4048,6 +4135,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _SPAN_DEDUP_ORACLE,
         "video_frames": _VIDEO_FRAMES_ORACLE,
         "streaming_drift": _STREAMING_DRIFT_ORACLE,
+        "near_dup_ratio": _NEAR_DUP_RATIO_ORACLE,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

@@ -31,6 +31,7 @@ from .analyzers.scan import (AggregatedMetricState, AnalyzerOptions,
                              NullBehavior, PatternMatch, Patterns,
                              RatioOfSums, Size, Skewness, StandardDeviation,
                              Sum, Variance, ZerosCount, determine_type)
+from .analyzers.corpus import NearDuplicateRatio, NearDupState
 from .analyzers.embedding import EmbeddingQuality, EmbeddingStatsState
 from .analyzers.kll import (BucketDistribution, BucketValue, KLLMetric,
                             KLLParameters, KLLSketch, KLLState,

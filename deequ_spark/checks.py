@@ -527,6 +527,23 @@ class Check(CamelCaseMixin, metaclass=PyDeequCompatMeta):
             DatasetMatchAnalyzer(other, col_key_map, match_col_map),
             assertion, hint=hint), filterable=False)
 
+    def has_near_duplicate_ratio(self, id_col: str, text_col: str,
+                                 assertion, threshold: float = 0.8,
+                                 method: str = "minhash",
+                                 shingle_n: int = 3, hint=None) -> "Check":
+        """Near-duplicate LOSER fraction of the corpus (the mass a
+        keep-one-per-cluster dedup would remove) must satisfy the
+        assertion — corpus hygiene as a regular data-quality constraint
+        (no reference counterpart; analyzer = NearDuplicateRatio over
+        the llm dedup operators). Typical use:
+        ``check.has_near_duplicate_ratio('doc_id', 'text',
+        lambda r: r <= 0.2)``."""
+        from .analyzers.corpus import NearDuplicateRatio
+        return self._add(lambda w: AnalysisBasedConstraint(
+            NearDuplicateRatio(id_col, text_col, threshold, method,
+                               shingle_n, where=w),
+            assertion, hint=hint))
+
     def is_newest_point_non_anomalous(self, repository, strategy,
                                       analyzer: Analyzer,
                                       with_tag_values: Optional[Dict[str, str]] = None,

@@ -69,3 +69,70 @@ def test_is_newest_point_non_anomalous(spark, df_full):
                       .is_newest_point_non_anomalous(repo, strategy, Size()))
            .run())
     assert bad.status == CheckStatus.ERROR
+
+
+class TestNearDuplicateRatio:
+    """Corpus-hygiene analyzer (analyzers/corpus.py NearDuplicateRatio):
+    the llm dedup operators as a regular dataset metric + Check."""
+
+    def _corpus(self, spark):
+        rows = [(i, "the quick brown fox jumps over the lazy dog tonight")
+                for i in range(4)]
+        rows += [(10 + i, f"completely distinct document body number {i} "
+                          f"with unrelated content {i * 7}")
+                 for i in range(6)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_ratio_per_method(self, spark):
+        from deequ_spark import NearDuplicateRatio, do_analysis_run
+        df = self._corpus(spark)
+        for method in ("minhash", "jaccard", "exact"):
+            ctx = do_analysis_run(df, [NearDuplicateRatio(
+                "doc_id", "text", threshold=0.8, method=method)])
+            (metric,) = ctx.metric_map.values()
+            # 4 identical docs -> 3 losers of 10, under every method
+            assert metric.is_success and metric.value == 0.3, method
+
+    def test_where_scopes_the_corpus(self, spark):
+        from deequ_spark import NearDuplicateRatio, do_analysis_run
+        ctx = do_analysis_run(self._corpus(spark), [NearDuplicateRatio(
+            "doc_id", "text", method="exact", where="doc_id < 10")])
+        (metric,) = ctx.metric_map.values()
+        assert metric.value == 0.75          # 3 losers of the 4 in scope
+
+    def test_empty_corpus_is_failure_metric(self, spark):
+        from deequ_spark import NearDuplicateRatio, do_analysis_run
+        df = spark.createDataFrame([], "doc_id long, text string")
+        ctx = do_analysis_run(df, [NearDuplicateRatio("doc_id", "text")])
+        (metric,) = ctx.metric_map.values()
+        assert not metric.is_success
+        assert "Empty corpus" in str(metric.error)
+
+    def test_missing_column_precondition(self, spark):
+        from deequ_spark import NearDuplicateRatio, do_analysis_run
+        df = spark.createDataFrame([(1, "x")], "doc_id long, body string")
+        ctx = do_analysis_run(df, [NearDuplicateRatio("doc_id", "text")])
+        (metric,) = ctx.metric_map.values()
+        assert not metric.is_success
+
+    def test_state_merge_is_counter_sum(self):
+        from deequ_spark.analyzers.corpus import NearDupState
+        merged = NearDupState(3, 10) + NearDupState(1, 5)
+        assert (merged.losers, merged.total) == (4, 15)
+        assert merged.ratio == pytest.approx(4 / 15)
+
+    def test_check_builder_pass_and_fail(self, spark):
+        from deequ_spark import Check, CheckLevel, VerificationSuite
+        df = self._corpus(spark)
+        ok = (VerificationSuite().on_data(df)
+              .add_check(Check(CheckLevel.ERROR, "loose")
+                         .has_near_duplicate_ratio(
+                             "doc_id", "text", lambda r: r <= 0.5))
+              .run())
+        assert ok.status == CheckStatus.SUCCESS
+        bad = (VerificationSuite().on_data(df)
+               .add_check(Check(CheckLevel.ERROR, "tight")
+                          .has_near_duplicate_ratio(
+                              "doc_id", "text", lambda r: r <= 0.2))
+               .run())
+        assert bad.status == CheckStatus.ERROR
