@@ -349,3 +349,18 @@ def test_bm25_corpus_pass_no_shuffle(spark):
     plan = explain_str(top)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_span_dedup_shuffle_budget(spark):
+    """llm/dedup.py duplicate_span_removal: window-keyed groupBy +
+    join-back + per-doc regroup — no corpus window function, no
+    cartesian, and with key='hash' the shuffled window key is the
+    8-byte xxhash64, never the n-gram string."""
+    from deequ_spark.llm import duplicate_span_removal
+    df = spark.range(300).selectExpr(
+        "id", "concat('alpha beta gamma delta epsilon zeta ', "
+        "CAST(id % 9 AS STRING)) AS text")
+    plan = explain_str(duplicate_span_removal(df, "id", "text", n=4))
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "Window") == 0
+    assert "xxhash64" in plan          # hash key reached the plan
