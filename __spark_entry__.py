@@ -3277,6 +3277,69 @@ ORDER BY metric
 """
 
 
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (llm/packing.py importance_sample,
+    Xie et al. arXiv:2302.03169): target = en docs, corpus = all docs;
+    per-doc trigram importance weights, engine-portable Gumbel top-40
+    (noise from md5(doc_id) integers — the oracle derives the SAME
+    doubles). The drawn SET is pinned by name; weights are fuzzed at
+    1e3 (they are ~1e2-magnitude sums of hundreds of log terms, so a
+    1e6 grid would sit too close to the cross-engine summation
+    noise)."""
+    from deequ_spark.llm import importance_sample
+    docs = _load(spark, sf_dir, "documents")
+    picked = importance_sample(docs, "doc_id", "text",
+                               docs.where(F.col("lang") == "en"),
+                               k=40, temperature=2.0).collect()
+    rows = [("n_picked", float(len(picked)))]
+    rows += [(f"d_{r['doc_id']}", float(math.floor(r["dsir_weight"] * 1e3)))
+             for r in picked]
+    return _metrics_df(spark, sorted(rows))
+
+
+_DSIR_ORACLE = """
+    WITH tris AS (
+      SELECT doc_id, lang,
+             unnest([substr(lower(text), i, 3)
+                     for i in range(1, length(text) - 1)]) AS trigram
+      FROM documents WHERE length(text) >= 3),
+    tm AS (SELECT trigram, COUNT(*) AS c FROM tris WHERE lang = 'en'
+           GROUP BY trigram),
+    tt AS (SELECT SUM(c) AS total, COUNT(*) AS vocab FROM tm),
+    tp AS (SELECT trigram, ln((c + 1.0) / (total + vocab)) AS lp
+           FROM tm, tt),
+    rm AS (SELECT trigram, COUNT(*) AS c FROM tris GROUP BY trigram),
+    rt AS (SELECT SUM(c) AS total, COUNT(*) AS vocab FROM rm),
+    rp AS (SELECT trigram, ln((c + 1.0) / (total + vocab)) AS lp
+           FROM rm, rt),
+    w AS (
+      SELECT t.doc_id,
+             SUM(COALESCE(tpp.lp,
+                          (SELECT ln(1.0 / (total + vocab)) FROM tt))
+                 - COALESCE(rpp.lp,
+                            (SELECT ln(1.0 / (total + vocab)) FROM rt)))
+             AS wt
+      FROM tris t
+      LEFT JOIN tp tpp USING (trigram)
+      LEFT JOIN rp rpp USING (trigram)
+      GROUP BY t.doc_id),
+    keyed AS (
+      SELECT doc_id, wt,
+             wt / 2.0 - ln(-ln(
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                     AS BIGINT) + 0.5) / 4503599627370496.0)) AS k
+      FROM w),
+    top AS (
+      SELECT doc_id, wt FROM keyed
+      ORDER BY k DESC, doc_id LIMIT 40)
+    SELECT 'n_picked' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM top
+    UNION ALL
+    SELECT 'd_' || CAST(doc_id AS VARCHAR), FLOOR(wt * 1e3) FROM top
+    ORDER BY metric, value
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -3337,6 +3400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "streaming_drift": q_streaming_drift,
         "near_dup_ratio": q_near_dup_ratio,
+        "dsir_sample": q_dsir_sample,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
@@ -4136,6 +4200,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": _VIDEO_FRAMES_ORACLE,
         "streaming_drift": _STREAMING_DRIFT_ORACLE,
         "near_dup_ratio": _NEAR_DUP_RATIO_ORACLE,
+        "dsir_sample": _DSIR_ORACLE,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

@@ -36,6 +36,7 @@ from .search import (bm25_corpus_stats, bm25_topk, corpus_drift,
                      corpus_token_stats, token_frequencies, word_tokens)
 from .semdedup import (assign_clusters, semantic_deduplicate,
                        semantic_duplicate_pairs)
-from .packing import (apportion_quotas, hash_sample, mixture_sample,
+from .packing import (apportion_quotas, dsir_weights, hash_sample,
+                      importance_sample, mixture_sample,
                       pack_sequences, pack_statistics,
                       portable_hash_hex, stratified_sample)

@@ -261,3 +261,83 @@ def pack_statistics(packed: DataFrame, budget: int) -> DataFrame:
         F.sum((F.col("fill") == budget).cast("long")).alias("full_packs"),
         F.max("docs_in_pack").alias("max_docs_per_pack"),
     )
+
+
+def dsir_weights(df: DataFrame, id_col: str, text_col: str,
+                 target_model: DataFrame,
+                 raw_model: DataFrame) -> DataFrame:
+    """Per-document log importance weight for DSIR (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): ``w(d) = ln p_target(d) − ln p_raw(d)`` under two
+    bag-of-char-trigram models (:func:`..text.char_trigram_model` —
+    charset-bounded, so both BROADCAST). Documents resembling the
+    target distribution more than the raw one score positive.
+
+    ONE corpus pass: explode trigrams once, two broadcast joins, one
+    map-side-combinable per-doc sum. Returns the input plus
+    ``dsir_weight`` (NULL for docs too short to hold a trigram) and
+    ``n_trigrams``."""
+    from pyspark.sql.functions import broadcast
+
+    from .text import char_trigrams
+
+    t_unseen = target_model.select("unseen_log_prob") \
+        .first()["unseen_log_prob"]
+    r_unseen = raw_model.select("unseen_log_prob") \
+        .first()["unseen_log_prob"]
+    tris = df.select(F.col(id_col).alias("__id"),
+                     F.explode(char_trigrams(F.col(text_col)))
+                     .alias("trigram"))
+    joined = (tris
+              .join(broadcast(target_model.select(
+                  "trigram", F.col("log_prob").alias("__lt"))),
+                  "trigram", "left")
+              .join(broadcast(raw_model.select(
+                  "trigram", F.col("log_prob").alias("__lr"))),
+                  "trigram", "left"))
+    per_doc = joined.groupBy("__id").agg(
+        F.sum(F.coalesce("__lt", F.lit(t_unseen))
+              - F.coalesce("__lr", F.lit(r_unseen))).alias("dsir_weight"),
+        F.count(F.lit(1)).alias("n_trigrams"))
+    return (df.join(per_doc, df[id_col] == per_doc["__id"], "left")
+            .drop("__id"))
+
+
+def importance_sample(df: DataFrame, id_col: str, text_col: str,
+                      target: DataFrame, k: int,
+                      temperature: float = 1.0,
+                      hex_chars: int = 13) -> DataFrame:
+    """DSIR selection: score every document's importance weight against
+    ``target`` (the trusted corpus the output should resemble), then
+    draw ``k`` documents WITHOUT replacement proportional to
+    ``exp(w/temperature)`` via the Gumbel top-k trick — the classic
+    weighted-sampling-as-ranking identity, so the whole draw is ONE
+    ``orderBy().limit(k)`` (TakeOrderedAndProject, never a global
+    sort).
+
+    The Gumbel noise is ENGINE-PORTABLE, not rand(): ``u`` comes from
+    the first ``hex_chars`` hex digits of md5(id) (an exact integer
+    < 2^53 in both Spark and ANSI SQL), ``g = −ln(−ln u)`` — the same
+    documents are drawn on any cluster size, any engine, any re-run.
+    ``temperature → 0`` approaches deterministic top-k by weight;
+    large temperature approaches a uniform sample. Docs too short to
+    score (no trigrams) are never drawn."""
+    from .text import char_trigram_model
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    target_model = char_trigram_model(target, text_col)
+    raw_model = char_trigram_model(df, text_col)
+    weighted = dsir_weights(df, id_col, text_col, target_model, raw_model)
+    span = 16 ** hex_chars
+    v = F.conv(portable_hash_hex(F.col(id_col), hex_chars), 16, 10) \
+         .cast("long")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(float(span))
+    gumbel = -F.log(-F.log(u))
+    key = F.col("dsir_weight") / F.lit(temperature) + gumbel
+    return (weighted.where(F.col("dsir_weight").isNotNull())
+            .withColumn("gumbel_key", key)
+            .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+            .limit(k))

@@ -61,7 +61,10 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                             embedding_cols: Tuple[str, str]
                             = ("doc_id", "embedding"),
                             semantic_threshold: float = 0.95,
-                            semantic_clusters: int = 16
+                            semantic_clusters: int = 16,
+                            dsir_target: Optional[DataFrame] = None,
+                            dsir_k: Optional[int] = None,
+                            dsir_temperature: float = 2.0
                             ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full cleanup pipeline; returns (result, stage_stats).
 
@@ -85,7 +88,10 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     ``embeddings=df`` (with
     ``embedding_cols`` naming its id/vector columns) adds a SemDeDup
     semantic-dedup stage after MinHash — lexical near-dup first, so the
-    costlier embedding pass only sees lexical survivors."""
+    costlier embedding pass only sees lexical survivors;
+    ``dsir_target=df`` + ``dsir_k=k`` replaces uniform sampling with
+    DSIR importance resampling toward the target corpus (runs after
+    the quality/dedup stages so weights are fit on clean text)."""
     stats: Dict[str, int] = {}
     cached: list = []        # previous stage's persisted frame, if any
 
@@ -174,6 +180,15 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
         out = note("lm_filter", scored.where(
             F.col("cross_entropy").isNull()
             | (F.col("cross_entropy") <= F.lit(cut)))
+            .select(id_col, text_col))
+
+    if dsir_target is not None:
+        if dsir_k is None:
+            raise ValueError("dsir_k is required with dsir_target")
+        from .packing import importance_sample
+        out = note("dsir", importance_sample(
+            out, id_col, text_col, dsir_target, k=dsir_k,
+            temperature=dsir_temperature)
             .select(id_col, text_col))
 
     if sample_fraction is not None:

@@ -1565,6 +1565,105 @@ class TestSequencePacking:
                            n_groups=0)
 
 
+class TestImportanceSampling:
+    """DSIR (llm/packing.py dsir_weights / importance_sample,
+    Xie et al. arXiv:2302.03169): trigram importance weights + the
+    engine-portable Gumbel top-k draw."""
+
+    FLUENT = ("the results of the experiment were consistent with the "
+              "theory and the method ")
+    NOISE = "zxqj vwpk qqzz xjvw kjzx wqpv "
+
+    def _corpora(self, spark):
+        target = spark.createDataFrame(
+            [(i, self.FLUENT * 3) for i in range(10)],
+            "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(i, self.FLUENT * 2 + f"extra words {i}") for i in range(20)]
+            + [(100 + i, self.NOISE * 5 + f"tag {i}") for i in range(20)],
+            "doc_id long, text string")
+        return target, corpus
+
+    def test_weights_separate_target_like_docs(self, spark):
+        from deequ_spark.llm import char_trigram_model, dsir_weights
+        target, corpus = self._corpora(spark)
+        tm = char_trigram_model(target, "text")
+        rm = char_trigram_model(corpus, "text")
+        rows = dsir_weights(corpus, "doc_id", "text", tm, rm).collect()
+        fluent = [r["dsir_weight"] for r in rows if r["doc_id"] < 100]
+        noise = [r["dsir_weight"] for r in rows if r["doc_id"] >= 100]
+        assert min(fluent) > max(noise)
+
+    def test_sample_prefers_target_distribution(self, spark):
+        from deequ_spark.llm import importance_sample
+        target, corpus = self._corpora(spark)
+        picked = {r["doc_id"] for r in importance_sample(
+            corpus, "doc_id", "text", target, k=10,
+            temperature=5.0).collect()}
+        assert all(i < 100 for i in picked)
+
+    def test_deterministic_across_runs(self, spark):
+        from deequ_spark.llm import importance_sample
+        target, corpus = self._corpora(spark)
+        a = sorted(r["doc_id"] for r in importance_sample(
+            corpus, "doc_id", "text", target, k=7).collect())
+        b = sorted(r["doc_id"] for r in importance_sample(
+            corpus, "doc_id", "text", target, k=7).collect())
+        assert a == b and len(a) == 7
+
+    def test_gumbel_keys_match_independent_recomputation(self, spark):
+        """The draw must equal top-k by w/T + g where g is recomputed
+        in pure Python from the same md5 integers — pinning both the
+        Gumbel identity and the engine-portable noise derivation."""
+        import hashlib
+        import math
+
+        from deequ_spark.llm import (char_trigram_model, dsir_weights,
+                                     importance_sample)
+        target, corpus = self._corpora(spark)
+        tm = char_trigram_model(target, "text")
+        rm = char_trigram_model(corpus, "text")
+        w = dsir_weights(corpus, "doc_id", "text", tm, rm).collect()
+
+        def gumbel(doc_id):
+            v = int(hashlib.md5(str(doc_id).encode())
+                    .hexdigest()[:13], 16)
+            u = (v + 0.5) / 16 ** 13
+            return -math.log(-math.log(u))
+
+        temp = 2.0
+        expected = sorted(
+            w, key=lambda r: (-(r["dsir_weight"] / temp
+                               + gumbel(r["doc_id"])), r["doc_id"]))[:5]
+        picked = importance_sample(corpus, "doc_id", "text", target,
+                                   k=5, temperature=temp).collect()
+        assert [r["doc_id"] for r in picked] == \
+            [r["doc_id"] for r in expected]
+        for got, exp in zip(picked, expected):
+            assert got["gumbel_key"] == pytest.approx(
+                exp["dsir_weight"] / temp + gumbel(exp["doc_id"]),
+                rel=1e-12)
+
+    def test_validation(self, spark):
+        from deequ_spark.llm import importance_sample
+        target, corpus = self._corpora(spark)
+        with pytest.raises(ValueError, match="k must"):
+            importance_sample(corpus, "doc_id", "text", target, k=0)
+        with pytest.raises(ValueError, match="temperature"):
+            importance_sample(corpus, "doc_id", "text", target, k=1,
+                              temperature=0.0)
+
+    def test_unscorable_docs_never_drawn(self, spark):
+        from deequ_spark.llm import importance_sample
+        target, _ = self._corpora(spark)
+        corpus = spark.createDataFrame(
+            [(1, self.FLUENT), (2, "ab")],   # doc 2: no trigram
+            "doc_id long, text string")
+        picked = {r["doc_id"] for r in importance_sample(
+            corpus, "doc_id", "text", target, k=5).collect()}
+        assert picked == {1}
+
+
 class TestDeterministicSampling:
     """hash_sample / stratified_sample (llm/packing.py)."""
 
@@ -2438,6 +2537,30 @@ class TestPipelineEndToEnd:
         assert got[1] == "aa bb cc dd unique tail one"
         assert got[2] == "xx yy zz"
         assert stats["span_dedup"] == 2
+
+    def test_dsir_stage(self, spark):
+        from deequ_spark.llm import prepare_training_corpus
+        target = spark.createDataFrame(
+            [(i, "clean reference prose about the experiment results")
+             for i in range(5)], "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(i, "clean reference prose with extra details "
+                 f"number {i}") for i in range(6)]
+            + [(50 + i, "zxqj vwpk qqzz gibberish block "
+                        f"{i}") for i in range(6)],
+            "doc_id long, text string")
+        out, stats = prepare_training_corpus(
+            docs, "doc_id", "text", quality_filter=False,
+            boilerplate=False, exact_dedup=False, near_dedup=False,
+            chunk=False, dsir_target=target, dsir_k=4,
+            dsir_temperature=0.5)
+        kept = {r["doc_id"] for r in out.collect()}
+        assert stats["dsir"] == 4
+        assert all(i < 50 for i in kept)    # drew the target-like docs
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="dsir_k"):
+            prepare_training_corpus(docs, "doc_id", "text",
+                                    dsir_target=target)
 
     def test_bad_quantile_rejected(self, spark):
         import pytest as _pytest
