@@ -18,8 +18,10 @@ before corpus-wide shuffles):
                     token budgets (salt-grouped window)
 
 Each stage can be toggled; ``prepare_training_corpus`` returns the final
-chunk table plus a small stats dict (one count job per enabled stage —
-callers that don't want the counts can pass ``collect_stats=False``).
+chunk table plus a small stats dict. Every stage boundary is
+localCheckpoint-ed: materialized once, logical plan truncated — the
+self-referencing stages would otherwise multiply the upstream plan tree
+per reference (``collect_stats=False`` only skips the count jobs).
 """
 
 from __future__ import annotations
@@ -93,18 +95,21 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     DSIR importance resampling toward the target corpus (runs after
     the quality/dedup stages so weights are fit on clean text)."""
     stats: Dict[str, int] = {}
-    cached: list = []        # previous stage's persisted frame, if any
 
     def note(stage: str, frame: DataFrame) -> DataFrame:
+        # localCheckpoint: materializes each stage ONCE and TRUNCATES
+        # its logical plan. persist() alone is not enough — it caches
+        # rows but Catalyst still analyzes the full accumulated tree,
+        # and the SELF-REFERENCING stages (LM filter trains on `out`
+        # and scores `out`; near/semantic dedup pair-search `out` and
+        # anti-join `out`; DSIR references it three times) duplicate
+        # the entire upstream subtree PER REFERENCE — the logical plan
+        # grows multiplicatively with stage count and analysis OOMs
+        # near 8 chained stages. Truncation also means every stage's
+        # multiple downstream reads hit materialized rows.
+        frame = frame.localCheckpoint(eager=True)
         if collect_stats:
-            # persist before counting so each stage's count materializes
-            # its result ONCE and later stages (and their counts) build on
-            # the cache instead of re-executing the whole upstream lineage
-            frame = frame.persist()
             stats[stage] = frame.count()
-            if cached:
-                cached.pop().unpersist()
-            cached.append(frame)
         return frame
 
     out = note("input", df.select(id_col, text_col))
@@ -202,6 +207,5 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
         out = note("chunks", chunk_text(out, id_col, text_col,
                                         chunk_tokens=chunk_tokens,
                                         overlap=chunk_overlap))
-    # the final frame stays persisted for the caller (its rows are already
-    # materialized by the last count); callers can .unpersist() when done
+    # the final frame is localCheckpoint-ed (rows already materialized)
     return out, stats

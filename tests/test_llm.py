@@ -2562,6 +2562,45 @@ class TestPipelineEndToEnd:
             prepare_training_corpus(docs, "doc_id", "text",
                                     dsir_target=target)
 
+    def test_all_stages_compose(self, spark):
+        """Every stage enabled at once — quality, boilerplate,
+        paragraph dedup, span dedup, exact+near dedup, SemDeDup, LM
+        filter, DSIR, packing — must compose into one run with stats
+        in pipeline order and a non-empty packed result."""
+        import numpy as np
+
+        from deequ_spark.llm import prepare_training_corpus
+        rng = np.random.default_rng(31)
+        body = ("the results of the experiment were consistent with the "
+                "theory and the measurements supported the analysis of "
+                "the data in the report that we prepared for the review ")
+        rows = []
+        for i in range(24):
+            text = (f"COMMON HEADER LINE\n{body}variant {i} "
+                    f"\n\nshared disclaimer paragraph\n\n{body}tail {i}")
+            rows.append((i, text))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        emb_rows = [(i, [float(x) for x in rng.standard_normal(8)])
+                    for i in range(24)]
+        emb = spark.createDataFrame(emb_rows, "doc_id long, vec array<double>")
+        target = docs.select("doc_id", "text").limit(6)
+        out, stats = prepare_training_corpus(
+            docs, "doc_id", "text", min_words=10,
+            boilerplate_min_docs=5,
+            paragraph_dedup_sep="\n\n", span_dedup_n=30,
+            embeddings=emb, embedding_cols=("doc_id", "vec"),
+            semantic_threshold=0.999, semantic_clusters=2,
+            lm_filter_quantile=0.95, dsir_target=target, dsir_k=8,
+            pack_budget=64)
+        expected_order = ["input", "quality", "boilerplate",
+                          "paragraph_dedup", "span_dedup", "exact_dedup",
+                          "near_dedup", "semantic_dedup", "lm_filter",
+                          "dsir", "packs"]
+        assert list(stats.keys()) == expected_order
+        assert stats["dsir"] == 8
+        assert out.count() > 0
+        assert {"group", "pack_id", "id", "slice_tokens"} <= set(out.columns)
+
     def test_bad_quantile_rejected(self, spark):
         import pytest as _pytest
         from deequ_spark.llm import prepare_training_corpus
