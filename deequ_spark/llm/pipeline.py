@@ -96,7 +96,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     the quality/dedup stages so weights are fit on clean text)."""
     stats: Dict[str, int] = {}
 
-    def note(stage: str, frame: DataFrame) -> DataFrame:
+    def note(stage: str, frame: DataFrame, cut: bool = True) -> DataFrame:
         # localCheckpoint: materializes each stage ONCE and TRUNCATES
         # its logical plan. persist() alone is not enough — it caches
         # rows but Catalyst still analyzes the full accumulated tree,
@@ -107,12 +107,16 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
         # grows multiplicatively with stage count and analysis OOMs
         # near 8 chained stages. Truncation also means every stage's
         # multiple downstream reads hit materialized rows.
-        frame = frame.localCheckpoint(eager=True)
+        if cut:
+            frame = frame.localCheckpoint(eager=True)
         if collect_stats:
             stats[stage] = frame.count()
         return frame
 
-    out = note("input", df.select(id_col, text_col))
+    # cut=False: the raw input is a single-reference projection straight
+    # off the source — checkpointing it would copy the whole corpus into
+    # executor storage for nothing; every TRANSFORMED stage cuts.
+    out = note("input", df.select(id_col, text_col), cut=False)
 
     if quality_filter:
         # gopher_kwargs: extra thresholds forwarded to gopher_quality_flags
