@@ -3340,6 +3340,72 @@ _DSIR_ORACLE = """
 """
 
 
+def q_bpe_stats(spark, sf_dir):
+    """SQL-verifiable surface of BPE training (llm/bpe.py): the
+    word-frequency table head and the FIRST merge — the argmax over
+    end-marked character pairs weighted by word count, which the
+    oracle recomputes independently. (The full merge loop is iterative
+    and lives in `bpe_train` under the rows-only contract.)"""
+    from deequ_spark.llm import train_bpe, word_frequency_table
+    docs = _load(spark, sf_dir, "documents")
+    head = (word_frequency_table(docs, "text")
+            .orderBy(F.col("count").desc(), F.col("word"))
+            .limit(10).collect())
+    first = train_bpe(docs, "text", n_merges=1)[0]
+    rows = [(f"w_{r['word']}", float(r["count"])) for r in head]
+    rows.append((f"first_merge_{first[0]}+{first[1]}", 1.0))
+    return _metrics_df(spark, sorted(rows))
+
+
+_BPE_STATS_ORACLE = r"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> w <> '')) AS word
+      FROM documents),
+    freq AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+    head AS (
+      SELECT word, c FROM freq ORDER BY c DESC, word LIMIT 10),
+    syms AS (
+      SELECT list_append(split(word, ''), '</w>') AS s, c FROM freq),
+    pairs AS (
+      SELECT a, b, SUM(pc) AS pc
+      FROM (SELECT unnest([{'a': s[i], 'b': s[i + 1], 'pc': c}
+                          for i in range(1, len(s))],
+                         recursive := true)
+            FROM syms)
+      GROUP BY a, b),
+    first AS (
+      SELECT a, b FROM pairs ORDER BY pc DESC, a, b LIMIT 1)
+    SELECT 'w_' || word AS metric, CAST(c AS DOUBLE) AS value FROM head
+    UNION ALL
+    SELECT 'first_merge_' || a || '+' || b, 1.0 FROM first
+    ORDER BY metric, value
+"""
+
+
+def q_bpe_train(spark, sf_dir):
+    """Full BPE training + retokenization (llm/bpe.py): 60 merges
+    learned from the corpus word-frequency table (one Spark pass +
+    driver loop), then per-document token counts under the trained
+    tokenizer. ITERATIVE — no SQL oracle (the driver records the
+    rows-only check; merge #1 and the word table are independently
+    verified by `bpe_stats`). Rows are fully deterministic: the merge
+    sequence is pinned by name/order, token totals are integers."""
+    from deequ_spark.llm import bpe_token_count, train_bpe
+    docs = _load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=60, min_pair_count=2)
+    counted = bpe_token_count(docs, "text", merges)
+    row = counted.agg(
+        F.sum("bpe_tokens").alias("tok"),
+        F.max("bpe_tokens").alias("mx")).collect()[0]
+    rows = [(f"m{i:02d}_{a}+{b}", float(i))
+            for i, (a, b) in enumerate(merges)]
+    rows += [("n_merges", float(len(merges))),
+             ("bpe_tokens_total", float(row["tok"])),
+             ("bpe_tokens_max", float(row["mx"]))]
+    return _metrics_df(spark, sorted(rows))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -3401,6 +3467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_drift": q_streaming_drift,
         "near_dup_ratio": q_near_dup_ratio,
         "dsir_sample": q_dsir_sample,
+        "bpe_stats": q_bpe_stats,
+        "bpe_train": q_bpe_train,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
@@ -4201,6 +4269,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_drift": _STREAMING_DRIFT_ORACLE,
         "near_dup_ratio": _NEAR_DUP_RATIO_ORACLE,
         "dsir_sample": _DSIR_ORACLE,
+        "bpe_stats": _BPE_STATS_ORACLE,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

@@ -32,6 +32,8 @@ from .multimodal import (attach_binary_payload, audio_features, decode_audio,
 from .jpeg import decode_jpeg, encode_jpeg
 from .gif import decode_gif, encode_gif
 from .pipeline import prepare_training_corpus
+from .bpe import (bpe_encode_word, bpe_token_count, train_bpe,
+                  word_frequency_table)
 from .search import (bm25_corpus_stats, bm25_topk, corpus_drift,
                      corpus_token_stats, token_frequencies, word_tokens)
 from .semdedup import (assign_clusters, semantic_deduplicate,

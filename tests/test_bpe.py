@@ -1,0 +1,101 @@
+"""BPE tokenizer training (deequ_spark/llm/bpe.py) — Sennrich
+word-frequency formulation, one corpus pass + driver loop."""
+
+import random
+
+import pytest
+
+from deequ_spark.llm import (bpe_encode_word, bpe_token_count, train_bpe,
+                             word_frequency_table)
+from deequ_spark.llm.bpe import END, _merge_vocab
+
+
+@pytest.fixture(scope="module")
+def sennrich(spark):
+    """The classic example: low x5, lower x2, newest x6, widest x3."""
+    return spark.createDataFrame(
+        [(i, " ".join([w] * n)) for i, (w, n) in enumerate(
+            (("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)))],
+        "id long, text string")
+
+
+class TestTrainBpe:
+    def test_classic_merge_sequence(self, sennrich):
+        merges = train_bpe(sennrich, "text", n_merges=5)
+        # hand-derived: es(9), est(9), est</w>(9), lo(7), low(7)
+        assert merges == [("e", "s"), ("es", "t"), ("est", END),
+                          ("l", "o"), ("lo", "w")]
+
+    def test_word_frequency_table(self, sennrich):
+        freq = {r["word"]: r["count"] for r in
+                word_frequency_table(sennrich, "text").collect()}
+        assert freq == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+    def test_min_pair_count_stops_early(self, spark):
+        docs = spark.createDataFrame([(0, "ab cd ef")],
+                                     "id long, text string")
+        # every pair occurs once -> nothing reaches min_pair_count=2
+        assert train_bpe(docs, "text", n_merges=10) == []
+
+    def test_deterministic_tie_break(self, spark):
+        # 'xy' and 'ab' both occur 3 times -> lexicographic pair order
+        docs = spark.createDataFrame([(0, "xy xy xy ab ab ab")],
+                                     "id long, text string")
+        merges = train_bpe(docs, "text", n_merges=1)
+        assert merges == [("a", "b")]
+
+
+class TestEncode:
+    def test_generalizes_to_unseen_words(self, sennrich):
+        merges = train_bpe(sennrich, "text", n_merges=10)
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        assert bpe_encode_word("lowest", ranks) == ["low", "est" + END]
+
+    def test_round_trip_reconstruction(self, sennrich):
+        merges = train_bpe(sennrich, "text", n_merges=10)
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        for w in ("low", "lower", "newest", "widest", "lowest", "zq"):
+            assert "".join(bpe_encode_word(w, ranks)) == w + END
+
+    def test_encoder_matches_trainer_segmentation(self, spark):
+        """Greedy lowest-rank encoding must reproduce the trainer's own
+        segmentation of every trained word — the standard BPE
+        trainer/encoder agreement, fuzzed over random corpora."""
+        rng = random.Random(13)
+        for trial in range(5):
+            words = ["".join(rng.choice("abcd") for _ in range(
+                rng.randint(2, 6))) for _ in range(12)]
+            text = " ".join(w for w in words
+                            for _ in range(rng.randint(1, 5)))
+            docs = spark.createDataFrame([(0, text)],
+                                         "id long, text string")
+            merges = train_bpe(docs, "text", n_merges=15,
+                               min_pair_count=2)
+            ranks = {tuple(p): i for i, p in enumerate(merges)}
+            # trainer-side segmentation: replay merges in order
+            vocab = {tuple(w) + (END,): 1 for w in set(words)}
+            for pair in merges:
+                vocab = _merge_vocab(vocab, pair)
+            trained = {"".join(s).replace(END, ""): list(s)
+                       for s in vocab}
+            for w in set(words):
+                assert bpe_encode_word(w, ranks) == trained[w], \
+                    (trial, w, merges)
+
+
+class TestTokenCount:
+    def test_counts_under_trained_tokenizer(self, sennrich):
+        merges = train_bpe(sennrich, "text", n_merges=10)
+        got = {r["id"]: r["bpe_tokens"] for r in
+               bpe_token_count(sennrich, "text", merges).collect()}
+        # low x5 -> 1 tok each; lower x2 -> low+e+r+</w> = 4 each;
+        # newest x6 -> 1 each; widest x3 -> w+i+dest</w> = 3 each
+        assert got == {0: 5, 1: 8, 2: 6, 3: 9}
+
+    def test_null_text_counts_zero(self, spark):
+        docs = spark.createDataFrame([(0, None), (1, "a a")],
+                                     "id long, text string")
+        merges = [("a", END)]
+        got = {r["id"]: r["bpe_tokens"] for r in
+               bpe_token_count(docs, "text", merges).collect()}
+        assert got[0] == 0 and got[1] == 2
