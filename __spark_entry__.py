@@ -3406,6 +3406,195 @@ def q_bpe_train(spark, sf_dir):
     return _metrics_df(spark, sorted(rows))
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode hygiene (llm/text.py normalize_text): mojibake repair →
+    NFC → control/zero-width strip → whitespace collapse, one Arrow
+    map-only stage. The sf corpus is ASCII, so each doc gets a
+    deterministic doc_id%6 unicode suffix (NFD combining mark / cp1252
+    mojibake / tab / zero-width / NBSP) injected IDENTICALLY in the
+    oracle; per-group doc counts, cleaned lengths and marker counts are
+    integer-exact."""
+    from deequ_spark.llm import normalize_text
+    docs = _load(spark, sf_dir, "documents")
+    g = F.col("doc_id") % 6
+    suffix = (F.when(g == 1, F.lit(" e\u0301tude"))   # NFD e+acute
+              .when(g == 2, F.lit(" caf\u00C3\u00A9"))  # mojibake 'Ã©'
+              .when(g == 3, F.lit(" tab\tx"))
+              .when(g == 4, F.lit(" zero\u200Bwidth"))
+              .when(g == 5, F.lit(" nb\u00A0sp"))
+              .otherwise(F.lit("")))
+    dirty = docs.select("doc_id",
+                        F.concat(F.col("text"), suffix).alias("text"))
+    cleaned = normalize_text(dirty, "text")
+    agg = (cleaned.groupBy((F.col("doc_id") % 6).alias("g"))
+           .agg(F.count("*").alias("n"),
+                F.sum(F.length("text_clean")).alias("len"),
+                F.sum("mojibake_markers").alias("mk"))
+           .collect())
+    pairs = []
+    for r in agg:
+        pairs += [(f"g{r['g']}_docs", r["n"]), (f"g{r['g']}_len", r["len"]),
+                  (f"g{r['g']}_markers", r["mk"])]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_TEXT_NORMALIZE_ORACLE_SQL = """
+    WITH dirty AS (
+      SELECT doc_id, doc_id % 6 AS g,
+        text || CASE doc_id % 6
+          WHEN 1 THEN ' e' || chr(769) || 'tude'
+          WHEN 2 THEN ' caf' || chr(195) || chr(169)
+          WHEN 3 THEN ' tab' || chr(9) || 'x'
+          WHEN 4 THEN ' zero' || chr(8203) || 'width'
+          WHEN 5 THEN ' nb' || chr(160) || 'sp'
+          ELSE '' END AS t
+      FROM documents),
+    clean AS (
+      SELECT g,
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          nfc_normalize(replace(t, chr(195) || chr(169), chr(233))),
+          '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
+          '', 'g'),
+          chr(160), ' ', 'g'),
+          '[^\\S\\n]+', ' ', 'g'),
+          ' ?\\n ?', chr(10), 'g')) AS c,
+        CASE WHEN g = 2 THEN 1 ELSE 0 END AS markers
+      FROM dirty)
+    SELECT metric, value FROM (
+      SELECT 'g' || g || '_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM clean GROUP BY g
+      UNION ALL SELECT 'g' || g || '_len', CAST(SUM(length(c)) AS DOUBLE)
+      FROM clean GROUP BY g
+      UNION ALL SELECT 'g' || g || '_markers', CAST(SUM(markers) AS DOUBLE)
+      FROM clean GROUP BY g) ORDER BY metric
+"""
+
+
+def q_url_ops(spark, sf_dir):
+    """URL canonicalization + URL-keyed dedup (llm/urls.py): scheme/host
+    lowering, www/default-port/userinfo/fragment/tracking-param removal,
+    path slash collapse, query sort — all whole-stage-codegen expressions.
+    URLs are synthesized from doc_id arithmetic so the oracle derives
+    every canonical form INDEPENDENTLY (pure integer arithmetic, no regex
+    replay): doc_id%7 picks the host, %3 the path, %4 the query/fragment
+    shape, where shapes {0,1} share a canonical form."""
+    from deequ_spark.llm import (canonicalize_url, extract_domain,
+                                 url_dedup_stats, url_deduplicate)
+    docs = _load(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    j = (F.col("doc_id") % 3).cast("string")
+    t = F.col("doc_id") % 4
+    raw = F.concat(
+        F.lit("https://WWW.Site"), k, F.lit(".COM:443/p//"), j, F.lit("/"),
+        F.when(t == 0, F.lit("?utm_source=a&z=1&a=2"))
+         .when(t == 1, F.lit("?z=1&a=2"))
+         .when(t == 2, F.lit("?utm_campaign=x")).otherwise(F.lit("")),
+        F.when(t % 2 == 0, F.concat(F.lit("#sec"), j)).otherwise(F.lit("")))
+    urls = docs.select("doc_id", raw.alias("url"))
+    stats = url_dedup_stats(urls, "url")
+    kept = url_deduplicate(urls, "doc_id", "url")
+    kept_row = kept.agg(F.count("*").alias("n"),
+                        F.sum("doc_id").alias("s")).collect()[0]
+    dom = (urls.groupBy(extract_domain(F.col("url")).alias("d"))
+           .count().collect())
+    pairs = [("n_urls", stats["n_urls"]),
+             ("distinct_raw", stats["distinct_raw"]),
+             ("distinct_canonical", stats["distinct_canonical"]),
+             ("dup_fraction_fuzz", _fuzz(stats["duplicate_fraction"])),
+             ("kept_count", kept_row["n"]),
+             ("kept_id_sum", kept_row["s"])]
+    pairs += [(f"dom_{r['d']}", r["count"]) for r in dom]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_URL_OPS_ORACLE_SQL = """
+    WITH u AS (
+      SELECT doc_id, doc_id % 7 AS k, doc_id % 3 AS j, doc_id % 4 AS t
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             'https://site' || k || '.com/p/' || j ||
+             CASE WHEN t < 2 THEN '?a=2&z=1' ELSE '' END AS c,
+             k, j, t
+      FROM u),
+    groups AS (SELECT c, MIN(doc_id) AS winner, COUNT(*) AS n
+               FROM canon GROUP BY c),
+    tot AS (SELECT COUNT(*) AS n_urls,
+                   COUNT(DISTINCT (k, j, t)) AS distinct_raw,
+                   COUNT(DISTINCT (k, j, t < 2)) AS distinct_canonical
+            FROM u)
+    SELECT metric, value FROM (
+      SELECT 'n_urls' AS metric, CAST(n_urls AS DOUBLE) AS value FROM tot
+      UNION ALL SELECT 'distinct_raw', CAST(distinct_raw AS DOUBLE) FROM tot
+      UNION ALL SELECT 'distinct_canonical',
+        CAST(distinct_canonical AS DOUBLE) FROM tot
+      UNION ALL SELECT 'dup_fraction_fuzz',
+        FLOOR((1.0 - CAST(distinct_canonical AS DOUBLE) / n_urls) * 1e6)
+        FROM tot
+      UNION ALL SELECT 'kept_count',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM groups)
+      UNION ALL SELECT 'kept_id_sum',
+        (SELECT CAST(SUM(winner) AS DOUBLE) FROM groups)
+      UNION ALL SELECT 'dom_site' || k || '.com', CAST(COUNT(*) AS DOUBLE)
+      FROM u GROUP BY k) ORDER BY metric
+"""
+
+
+def q_skew_report(spark, sf_dir):
+    """Key-skew diagnostics (diagnostics.py key_skew_report): the
+    pre-flight answer to "will this groupBy/join key skew kill a task" —
+    one reduced-map-side groupBy + one fixed-size aggregate; nothing
+    O(keys) reaches the driver. Exact counts/percentiles over lineitem's
+    l_suppkey; the top-5 heavy hitters are pinned BY NAME (count desc,
+    key asc tie-break is engine-portable)."""
+    from deequ_spark.diagnostics import key_skew_report
+    li = _load(spark, sf_dir, "lineitem")
+    rep = key_skew_report(li, "l_suppkey", top_n=5)
+    pairs = [("n_rows", rep["n_rows"]), ("n_keys", rep["n_keys"]),
+             ("null_key_rows", rep["null_key_rows"]),
+             ("max_count", rep["max_count"]),
+             ("avg_count_fuzz", _fuzz(rep["avg_count"])),
+             ("skew_ratio_fuzz", _fuzz(rep["skew_ratio"])),
+             ("p50_count", rep["p50_count"]),
+             ("p90_count", rep["p90_count"]),
+             ("p99_count_fuzz", _fuzz(rep["p99_count"])),
+             ("top_mass_fuzz", _fuzz(rep["top_mass"]))]
+    pairs += [(f"top_{key}", cnt) for key, cnt in rep["top_keys"]]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_SKEW_REPORT_ORACLE_SQL = """
+    WITH counts AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_suppkey),
+    summary AS (
+      SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys, MAX(cnt) AS max_count,
+             AVG(cnt) AS avg_count,
+             quantile_cont(cnt, 0.5) AS p50,
+             quantile_cont(cnt, 0.9) AS p90,
+             quantile_cont(cnt, 0.99) AS p99
+      FROM counts),
+    top5 AS (SELECT key, cnt FROM counts
+             ORDER BY cnt DESC, key LIMIT 5)
+    SELECT metric, value FROM (
+      SELECT 'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS value FROM summary
+      UNION ALL SELECT 'n_keys', CAST(n_keys AS DOUBLE) FROM summary
+      UNION ALL SELECT 'null_key_rows', 0.0
+      UNION ALL SELECT 'max_count', CAST(max_count AS DOUBLE) FROM summary
+      UNION ALL SELECT 'avg_count_fuzz', FLOOR(avg_count * 1e6) FROM summary
+      UNION ALL SELECT 'skew_ratio_fuzz',
+        FLOOR(max_count / avg_count * 1e6) FROM summary
+      UNION ALL SELECT 'p50_count', p50 FROM summary
+      UNION ALL SELECT 'p90_count', p90 FROM summary
+      UNION ALL SELECT 'p99_count_fuzz', FLOOR(p99 * 1e6) FROM summary
+      UNION ALL SELECT 'top_mass_fuzz',
+        FLOOR((SELECT CAST(SUM(cnt) AS DOUBLE) FROM top5)
+              / n_rows * 1e6) FROM summary
+      UNION ALL SELECT 'top_' || key, CAST(cnt AS DOUBLE) FROM top5
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -3475,6 +3664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pipeline_ops": q_text_pipeline_ops,
         "satellite_ops": q_satellite_ops,
         "embedding_ops": q_embedding_ops,
+        "text_normalize": q_text_normalize,
+        "url_ops": q_url_ops,
+        "skew_report": q_skew_report,
     }
 
 
@@ -4270,6 +4462,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_ratio": _NEAR_DUP_RATIO_ORACLE,
         "dsir_sample": _DSIR_ORACLE,
         "bpe_stats": _BPE_STATS_ORACLE,
+        "text_normalize": _TEXT_NORMALIZE_ORACLE_SQL,
+        "url_ops": _URL_OPS_ORACLE_SQL,
+        "skew_report": _SKEW_REPORT_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

@@ -77,6 +77,8 @@ from .streaming import (StreamingBatchResult, StreamingVerification,
                         streaming_fingerprint_deduplicate, verify_stream)
 from .dqdl import EvaluateDataQuality
 from .windowed import windowed_agg_plan, windowed_metrics
+from .diagnostics import (key_skew_report, partition_report,
+                          suggest_skew_mitigation)
 from .applicability import Applicability, ApplicabilityResult
 
 __version__ = "0.1.0"

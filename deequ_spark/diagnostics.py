@@ -1,0 +1,126 @@
+"""Scale diagnostics — pre-flight skew and layout measurement.
+
+The reference has no equivalent subsystem (its AnalysisRunner trusts
+Spark to schedule the fused scan); at 100 TB the *user's* question before
+a big groupBy/join is "will this key skew kill a task?". These operators
+answer it with bounded-output aggregations so the answer itself is cheap:
+
+- :func:`key_skew_report` — per-key frequency distribution summary
+  (max/avg/percentiles, heavy-hitter mass) from ONE groupBy + one small
+  agg over the counts. Output is O(top_n), never O(keys) at the driver.
+- :func:`suggest_skew_mitigation` — the decision rule (broadcast /
+  salt / AQE / nothing) derived from a report, as data not prose.
+- :func:`partition_report` — physical partition balance via
+  ``spark_partition_id()``: one map-side-combined groupBy over at most
+  ``rdd.getNumPartitions()`` keys.
+
+All math is engine-portable (exact counts, exact percentiles over the
+counts table) so a DuckDB oracle can replay every number.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def key_skew_report(df: DataFrame, key_cols: Union[str, Sequence[str]],
+                    top_n: int = 10) -> dict:
+    """Frequency-skew summary for a prospective groupBy/join key.
+
+    Two jobs: (1) ``groupBy(key).count()`` — the same shuffle the real
+    query would do, but reduced map-side so the shuffled data is one row
+    per key; (2) one aggregate over the counts table producing a
+    FIXED-SIZE summary (plus a ``top_n`` heavy-hitter slice via
+    TakeOrdered). Nothing O(keys) ever reaches the driver.
+
+    Returns a dict with:
+      ``n_rows, n_keys, null_key_rows`` — totals (null keys called out
+        because null-heavy join keys are the classic silent skew),
+      ``max_count, avg_count, skew_ratio`` — max/avg, the salting signal,
+      ``p50_count, p90_count, p99_count`` — exact percentiles of the
+        per-key counts,
+      ``top_keys`` — list of (key-string, count) for the ``top_n``
+        heaviest keys (count desc, key asc — deterministic),
+      ``top_mass`` — fraction of ALL rows owned by those top keys.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    null_any = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_any = c if null_any is None else (null_any | c)
+
+    counts = (df.select(key_str.alias("__key"),
+                        null_any.cast("long").alias("__null"))
+              .groupBy("__key", "__null").count())
+    counts = counts.persist()
+    try:
+        summary = counts.agg(
+            F.sum("count").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.sum(F.col("count") * F.col("__null")).alias("null_key_rows"),
+            F.max("count").alias("max_count"),
+            F.avg("count").alias("avg_count"),
+            F.expr("percentile(count, array(0.5, 0.9, 0.99))").alias("pct"),
+        ).collect()[0]
+        top = (counts.orderBy(F.desc("count"), F.asc("__key"))
+               .limit(top_n).collect())
+    finally:
+        counts.unpersist()
+
+    n_rows = int(summary["n_rows"] or 0)
+    top_keys = [(r["__key"], int(r["count"])) for r in top]
+    return {
+        "n_rows": n_rows,
+        "n_keys": int(summary["n_keys"]),
+        "null_key_rows": int(summary["null_key_rows"] or 0),
+        "max_count": int(summary["max_count"]),
+        "avg_count": float(summary["avg_count"]),
+        "skew_ratio": float(summary["max_count"]) / float(summary["avg_count"]),
+        "p50_count": float(summary["pct"][0]),
+        "p90_count": float(summary["pct"][1]),
+        "p99_count": float(summary["pct"][2]),
+        "top_keys": top_keys,
+        "top_mass": (sum(c for _, c in top_keys) / n_rows) if n_rows else 0.0,
+    }
+
+
+def suggest_skew_mitigation(report: dict,
+                            broadcast_threshold_keys: int = 1_000_000,
+                            skew_ratio_threshold: float = 10.0,
+                            target_rows_per_task: int = 5_000_000) -> dict:
+    """Decision rule from a :func:`key_skew_report`, as data.
+
+    - every key fits a broadcast table → ``broadcast`` the dim side;
+    - ``max_count`` alone exceeds a task budget → ``salt`` with the
+      computed factor (AQE splits skewed *partitions*, but a single KEY
+      larger than a task cannot be split without salting);
+    - moderate skew → ``aqe`` (enable skew-join handling and move on);
+    - otherwise → ``none``.
+    """
+    salt = -(-report["max_count"] // target_rows_per_task)  # ceil
+    if report["n_keys"] <= broadcast_threshold_keys \
+            and report["n_rows"] <= broadcast_threshold_keys:
+        strategy = "broadcast"
+    elif report["max_count"] > target_rows_per_task:
+        strategy = "salt"
+    elif report["skew_ratio"] > skew_ratio_threshold:
+        strategy = "aqe"
+    else:
+        strategy = "none"
+    return {"strategy": strategy,
+            "salt_factor": int(salt) if strategy == "salt" else 1,
+            "null_heavy": report["null_key_rows"] > 0.1 * report["n_rows"]}
+
+
+def partition_report(df: DataFrame) -> DataFrame:
+    """Physical partition balance: one row per non-empty partition with
+    its row count. Map-side combined groupBy over ≤ numPartitions keys —
+    O(partitions) output regardless of data size. Use after a repartition
+    / before a wide write to confirm the layout is balanced."""
+    return (df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .orderBy("partition_id"))

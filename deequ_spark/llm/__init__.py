@@ -22,7 +22,9 @@ from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
                    top_ngram_char_fraction,
                    language_id_trigrams, pii_counts, redact_pii, text_quality,
                    token_count_regex, token_count_whitespace, trigram_score,
-                   decontaminate)
+                   decontaminate, mojibake_marker_count, normalize_text)
+from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
+                   url_deduplicate)
 from .multimodal import (attach_binary_payload, audio_features, decode_audio,
                          decode_image, encode_mp3_frames, encode_mp4_skeleton,
                          fake_resize,

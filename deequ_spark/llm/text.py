@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import pandas  # noqa: F401 — pandas_udf type hints resolve at module scope
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -537,3 +538,105 @@ def decontaminate(corpus: DataFrame, id_col: str, text_col: str,
                     .select(id_col).distinct())
     clean = corpus.join(contaminated, id_col, "left_anti")
     return clean, contaminated
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene: normalization + mojibake repair
+# ---------------------------------------------------------------------------
+
+# characters removed outright: C0/C1 controls except \t \n \r, DEL, and
+# zero-width/joiner/BOM codepoints that survive scraping
+CONTROL_CHAR_RE = ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+                   "\u200B\u200C\u200D\uFEFF]")
+# mojibake tell: UTF-8 multibyte lead bytes decoded as Latin-1/cp1252 —
+# 'Ã'/'Â' followed by a continuation-range char (or its cp1252-remapped
+# equivalent), or the 'â€¦'-family three-byte shapes
+MOJIBAKE_MARKER_RE = ("(\u00C3[\u0080-\u00BF\u0152\u0153\u0160\u0161"
+                      "\u0178\u017D\u017E\u0192\u02C6\u02DC\u2013-\u2122]"
+                      "|\u00C2[\u0080-\u00BF]|\u00E2\u20AC.)")
+
+
+def mojibake_marker_count(text: Column) -> Column:
+    """Count of mojibake marker hits — expression-only, usable as a
+    corpus-quality metric without running the (Python) repair."""
+    return F.when(text.isNull(), None).otherwise(
+        F.coalesce(F.regexp_count(text, F.lit(MOJIBAKE_MARKER_RE)),
+                   F.lit(0)))
+
+
+def _repair_mojibake_str(s: str, marker_re) -> str:
+    """One cp1252/latin-1 → UTF-8 re-decode pass, accepted only when it
+    strictly reduces marker count (never makes text worse). Doubly-encoded
+    text repairs on the next call; normalize_text runs 2 fixed passes."""
+    try:
+        fixed = s.encode("cp1252", errors="strict").decode("utf-8",
+                                                           errors="strict")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        try:
+            fixed = s.encode("latin-1", errors="strict").decode(
+                "utf-8", errors="strict")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return s
+    if len(marker_re.findall(fixed)) < len(marker_re.findall(s)):
+        return fixed
+    return s
+
+
+def normalize_text(df: DataFrame, text_col: str, *,
+                   form: str = "NFC",
+                   fix_mojibake: bool = True,
+                   strip_control: bool = True,
+                   collapse_whitespace: bool = True,
+                   output_col: Optional[str] = None) -> DataFrame:
+    """Unicode hygiene for scraped text: mojibake repair → unicode
+    normalization (NFC/NFKC/NFD/NFKD) → control/zero-width strip →
+    whitespace collapse. Adds ``<text_col>_clean`` (or ``output_col``)
+    plus ``mojibake_markers`` (pre-repair marker count, expression-side).
+
+    Spark shape: everything except the unicode normalization itself is
+    JVM expressions (regexp_replace / regexp_count, whole-stage codegen).
+    Spark has no unicode-normalize builtin, so NFC + mojibake repair run
+    in ONE Arrow-batched pandas UDF (``unicodedata.normalize`` is a
+    C-level table lookup; this is a character-level op where the Python
+    boundary is paid once per Arrow batch, not per row). Map-only — no
+    shuffle at any size. ASCII fast path: pure-ASCII strings skip per-row
+    Python work entirely (NFC/NFKC are identity on ASCII and mojibake
+    markers are non-ASCII).
+    """
+    import re as _re
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out = output_col or f"{text_col}_clean"
+    marker_re = _re.compile(MOJIBAKE_MARKER_RE)
+
+    @pandas_udf("string")
+    def _nfc_repair(s: pandas.Series) -> pandas.Series:
+        def one(x):
+            if x is None:
+                return None
+            if x.isascii():            # NFC/NFKC identity, no markers
+                return x
+            if fix_mojibake and marker_re.search(x):
+                x = _repair_mojibake_str(x, marker_re)
+                x = _repair_mojibake_str(x, marker_re)  # doubly-encoded
+            return unicodedata.normalize(form, x)
+        return s.map(one)
+
+    result = df.withColumn(
+        "mojibake_markers", mojibake_marker_count(F.col(text_col))
+        if fix_mojibake else F.lit(0))
+    cleaned = _nfc_repair(F.col(text_col))
+    if strip_control:
+        cleaned = F.regexp_replace(cleaned, CONTROL_CHAR_RE, "")
+    if collapse_whitespace:
+        # NBSP → space, runs of non-newline whitespace → one space,
+        # trim around newlines; newlines themselves are structure — kept
+        cleaned = F.regexp_replace(cleaned, " ", " ")
+        cleaned = F.regexp_replace(cleaned, r"[^\S\n]+", " ")
+        cleaned = F.regexp_replace(cleaned, r" ?\n ?", "\n")
+        cleaned = F.trim(cleaned)
+    return result.withColumn(out, cleaned)

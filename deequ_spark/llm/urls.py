@@ -1,0 +1,139 @@
+"""URL canonicalization and URL-keyed deduplication.
+
+Web-corpus pipelines dedupe by canonical URL before any content-level
+pass (CCNet, RefinedWeb §3.1) — it removes the bulk of crawl re-fetches
+for the cost of ONE string projection plus one hash-groupBy, far cheaper
+than MinHash. The reference has no URL handling; this module is part of
+the training-data surface this engine adds.
+
+Everything here is pure Spark SQL expressions (whole-stage codegen, no
+Python in the hot path): the canonical form is built with
+regexp_extract / split / filter / array_sort, so a 100 TB URL column
+canonicalizes at scan speed and the dedup is a single map-side-combined
+shuffle on the canonical key.
+
+Canonical form (conservative, reversible-intent preserving):
+- scheme and host lowercased; userinfo (``user:pass@``) dropped
+- leading ``www.`` dropped; default ports (``:80`` http, ``:443``
+  https) dropped
+- path: duplicate slashes collapsed, trailing slash dropped (root
+  stays ``/``)
+- query: tracking params removed (``utm_*``, ``fbclid``, ``gclid``,
+  ``msclkid``, ``mc_cid``, ``mc_eid``, ``igshid``, ``ref_src``),
+  remaining params sorted for order-insensitivity; empty query dropped
+- fragment dropped
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# default-removed query parameters: analytics/click tracking only — never
+# content-addressing params like id/page/q
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref_src)="
+
+
+def _col(c: Union[str, Column]) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def canonicalize_url(url: Union[str, Column],
+                     tracking_param_re: str = TRACKING_PARAM_RE) -> Column:
+    """Canonical form of a URL as a single Column expression.
+
+    Non-URL strings (no ``scheme://``) pass through trimmed — the caller
+    decides whether to treat them as junk; NULL stays NULL.
+    """
+    u = F.trim(_col(url))
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    # drop userinfo, lowercase, drop leading www.
+    host_nouser = F.regexp_replace(hostport, r"^[^@]*@", "")
+    host_l = F.lower(host_nouser)
+    host_nw = F.regexp_replace(host_l, r"^www\.", "")
+    host = F.when(scheme == "http",
+                  F.regexp_replace(host_nw, r":80$", "")) \
+            .when(scheme == "https",
+                  F.regexp_replace(host_nw, r":443$", "")) \
+            .otherwise(host_nw)
+
+    tail = F.regexp_replace(rest, r"^[^/?#]*", "")       # /path?query#frag
+    path_raw = F.regexp_extract(tail, r"^([^?#]*)", 1)
+    path_c = F.regexp_replace(path_raw, r"/{2,}", "/")
+    path = F.when(F.length(path_c) > 1,
+                  F.regexp_replace(path_c, r"/$", "")).otherwise(path_c)
+
+    query_raw = F.regexp_extract(tail, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query_raw, "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(tracking_param_re))
+    query = F.array_join(F.array_sort(kept), "&")
+
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(F.length(query) > 0, F.concat(F.lit("?"), query))
+         .otherwise(F.lit("")))
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def extract_domain(url: Union[str, Column]) -> Column:
+    """Registrable-domain heuristic from a URL or bare host: the last two
+    labels, or last three when the second-to-last is a common SLD
+    (``co/com/org/net/ac/gov/edu``) under a 2-letter ccTLD — covers
+    ``co.uk``-style hierarchies without a suffix list (a full public
+    suffix list would be a broadcast join against these labels)."""
+    u = F.trim(_col(url))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    host = F.lower(F.regexp_replace(
+        F.regexp_replace(hostport, r"^[^@]*@", ""), r":\d+$", ""))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    sld = F.element_at(labels, -2)
+    tld = F.element_at(labels, -1)
+    take3 = (n >= 3) & (F.length(tld) == 2) & \
+        sld.isin("co", "com", "org", "net", "ac", "gov", "edu")
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
+    return F.when(n <= 1, host).when(take3, last3).otherwise(last2)
+
+
+def url_deduplicate(df: DataFrame, id_col: str, url_col: str,
+                    tracking_param_re: str = TRACKING_PARAM_RE) -> DataFrame:
+    """Keep one row per canonical URL — the minimum ``id_col`` (stable,
+    engine-portable winner). Adds ``canonical_url``; drops losers.
+
+    Plan: one projection (canonicalize) + one map-side-combined groupBy
+    on the canonical key + one join back on (canonical, id). The join
+    keys are exactly the groupBy keys so AQE plans it shuffle-reuse;
+    rows with NULL url pass through untouched (never collapsed)."""
+    canon = df.withColumn(
+        "canonical_url", canonicalize_url(F.col(url_col), tracking_param_re))
+    winners = (canon.where(F.col("canonical_url").isNotNull())
+               .groupBy("canonical_url")
+               .agg(F.min(id_col).alias(id_col)))
+    kept = canon.join(winners, ["canonical_url", id_col], "semi")
+    return kept.unionByName(canon.where(F.col("canonical_url").isNull()))
+
+
+def url_dedup_stats(df: DataFrame, url_col: str,
+                    tracking_param_re: str = TRACKING_PARAM_RE) -> dict:
+    """How much would URL dedup save? One pass: total rows, distinct
+    canonical URLs, distinct raw URLs — the gap between the last two is
+    what canonicalization alone merges."""
+    row = df.agg(
+        F.count(url_col).alias("n_urls"),
+        F.countDistinct(F.col(url_col)).alias("distinct_raw"),
+        F.countDistinct(
+            canonicalize_url(F.col(url_col), tracking_param_re))
+         .alias("distinct_canonical")).collect()[0]
+    n = int(row["n_urls"])
+    dc = int(row["distinct_canonical"])
+    return {"n_urls": n, "distinct_raw": int(row["distinct_raw"]),
+            "distinct_canonical": dc,
+            "duplicate_fraction": (n - dc) / n if n else 0.0}
