@@ -3595,6 +3595,110 @@ _SKEW_REPORT_ORACLE_SQL = """
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (joins.py asof_join): Spark has no ASOF JOIN, so the
+    keyed path encodes it as union + ONE window shuffle (O(1) state per
+    row, no per-key materialization, no range self-join) and the keyless
+    path broadcasts the right side and binary-searches per Arrow batch
+    (map-only over the left). The oracle is DuckDB's NATIVE ASOF JOIN —
+    a fully independent implementation. Clicks join the latest same-user
+    view (backward), the next same-user view (forward), a 1-hour
+    tolerance variant, and the latest signup of ANY user (keyless).
+    Lags are summed in whole seconds of truncated-micros arithmetic so
+    Spark's micro-precision timestamps and DuckDB's nano-precision ones
+    agree exactly."""
+    from deequ_spark import asof_join
+    from deequ_spark.sources import load_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts", "value")
+    views = ev.where(F.col("event_type") == "view") \
+        .select("user_id", "ts", F.col("value").alias("vval"))
+    signups = ev.where(F.col("event_type") == "signup") \
+        .select("ts", F.col("value").alias("sval"))
+
+    def ntz_micros(c):
+        # zone-free epoch micros from wall-clock fields (NTZ-safe: no
+        # session zone consulted, exact integers — same everywhere)
+        return ((F.unix_date(c.cast("date")).cast("long") * 86400
+                 + F.hour(c).cast("long") * 3600
+                 + F.minute(c).cast("long") * 60) * 1_000_000
+                + F.round(F.date_part(F.lit("SECOND"), c) * 1e6)
+                .cast("long"))
+
+    lag_s = F.floor((ntz_micros(F.col("ts"))
+                     - ntz_micros(F.col("ts_r"))) / F.lit(1e6))
+    cents = lambda c: F.sum(F.round(F.col(c) * 100).cast("long"))  # noqa: E731
+    bw = asof_join(clicks, views, on="ts", by="user_id").agg(
+        F.count("ts_r").alias("n"),
+        cents("vval_r").alias("v"),
+        F.sum(lag_s).alias("lag")).collect()[0]
+    fw = asof_join(clicks, views, on="ts", by="user_id",
+                   direction="forward").agg(
+        F.count("ts_r").alias("n"),
+        cents("vval_r").alias("v")
+    ).collect()[0]
+    tol = asof_join(clicks, views, on="ts", by="user_id",
+                    tolerance=3600.0).agg(
+        F.count("ts_r").alias("n")).collect()[0]
+    g = asof_join(clicks, signups, on="ts").agg(
+        F.count("ts_r").alias("n"),
+        cents("sval_r").alias("v"),
+        F.sum(lag_s).alias("lag")).collect()[0]
+    pairs = [("bw_matched", bw["n"]),
+             ("bw_value_cents", bw["v"]),
+             ("bw_lag_s_sum", bw["lag"]),
+             ("fw_matched", fw["n"]),
+             ("fw_value_cents", fw["v"]),
+             ("tol_matched", tol["n"]),
+             ("g_matched", g["n"]),
+             ("g_value_cents", g["v"]),
+             ("g_lag_s_sum", g["lag"])]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_ASOF_JOIN_ORACLE_SQL = """
+    WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'click'),
+    views AS (SELECT user_id, ts, value AS vval FROM events
+              WHERE event_type = 'view'),
+    signups AS (SELECT ts, value AS sval FROM events
+                WHERE event_type = 'signup'),
+    bw AS (SELECT l.value, r.vval, l.ts AS lts, r.ts AS rts
+           FROM clicks l ASOF LEFT JOIN views r
+           ON l.user_id = r.user_id AND l.ts >= r.ts),
+    fw AS (SELECT l.value, r.vval, r.ts AS rts
+           FROM clicks l ASOF LEFT JOIN views r
+           ON l.user_id = r.user_id AND l.ts <= r.ts),
+    g AS (SELECT l.value, r.sval, l.ts AS lts, r.ts AS rts
+          FROM clicks l ASOF LEFT JOIN signups r ON l.ts >= r.ts)
+    SELECT metric, value FROM (
+      SELECT 'bw_matched' AS metric, CAST(COUNT(rts) AS DOUBLE) AS value
+      FROM bw
+      UNION ALL SELECT 'bw_value_cents',
+        CAST(SUM(CAST(round(vval * 100) AS BIGINT)) AS DOUBLE) FROM bw
+      UNION ALL SELECT 'bw_lag_s_sum',
+        SUM(FLOOR((epoch_ns(lts) // 1000 - epoch_ns(rts) // 1000) / 1e6))
+        FROM bw
+      UNION ALL SELECT 'fw_matched', CAST(COUNT(rts) AS DOUBLE) FROM fw
+      UNION ALL SELECT 'fw_value_cents',
+        CAST(SUM(CAST(round(vval * 100) AS BIGINT)) AS DOUBLE) FROM fw
+      UNION ALL SELECT 'tol_matched',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM bw
+         WHERE rts IS NOT NULL
+           AND epoch_ns(lts) // 1000 - epoch_ns(rts) // 1000 <= 3600000000)
+      UNION ALL SELECT 'g_matched', CAST(COUNT(rts) AS DOUBLE) FROM g
+      UNION ALL SELECT 'g_value_cents',
+        CAST(SUM(CAST(round(sval * 100) AS BIGINT)) AS DOUBLE) FROM g
+      UNION ALL SELECT 'g_lag_s_sum',
+        SUM(FLOOR((epoch_ns(lts) // 1000 - epoch_ns(rts) // 1000) / 1e6))
+        FROM g
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -3667,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "url_ops": q_url_ops,
         "skew_report": q_skew_report,
+        "asof_join": q_asof_join,
     }
 
 
@@ -4465,6 +4570,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": _TEXT_NORMALIZE_ORACLE_SQL,
         "url_ops": _URL_OPS_ORACLE_SQL,
         "skew_report": _SKEW_REPORT_ORACLE_SQL,
+        "asof_join": _ASOF_JOIN_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

@@ -1,0 +1,189 @@
+"""Temporal joins — as-of join over DataFrames.
+
+Spark has no ASOF JOIN (kdb's ``aj``, pandas ``merge_asof``, DuckDB
+``ASOF JOIN``): match each left row to the nearest right row at-or-before
+(or at-or-after) its timestamp, optionally per key. The naive encodings
+are a range self-join (quadratic blow-up) or a per-key ``collect_list``
+(unbounded task memory) — both die at scale.
+
+This implementation uses the UNION + WINDOW trick: tag both sides,
+union them on ``(by, ts, side)``, and let ONE window sort carry the most
+recent right payload forward (``last(payload, ignorenulls=True)``).
+Cost = one shuffle on the ``by`` key (the same shuffle an equi-join
+would pay), O(1) state per row, no per-key materialization — a
+100 TB-safe plan whenever keys are reasonably distributed (skewed keys
+hit the same wall as any window; see diagnostics.key_skew_report).
+
+For the keyless (global) as-of join a single window partition would
+serialize on one task, so that path instead BROADCASTS the right side
+(guarded by ``broadcast_limit``) and binary-searches it per Arrow batch
+(``np.searchsorted``) — map-only over the left, the standard shape when
+joining a huge event stream to a small reference series (exchange
+rates, config changes, sensor calibrations).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import pandas  # noqa: F401 — pandas_udf type hints resolve at module scope
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              by: Union[str, Sequence[str], None] = None,
+              right_cols: Optional[Sequence[str]] = None,
+              direction: str = "backward",
+              tolerance: Optional[float] = None,
+              suffix: str = "_r",
+              broadcast_limit: int = 5_000_000) -> DataFrame:
+    """As-of join: for every left row, the nearest right row by ``on``.
+
+    - ``direction='backward'`` (default): greatest right ``on`` ≤ left
+      ``on`` (inclusive — equal timestamps match, DuckDB/pandas default).
+    - ``direction='forward'``: smallest right ``on`` ≥ left ``on``.
+    - ``by``: equality key(s) matched before the temporal condition.
+    - ``right_cols``: right columns to carry (default: all but ``on`` and
+      ``by``); appended as ``<name><suffix>`` plus ``<on><suffix>`` (the
+      matched timestamp). Unmatched rows keep NULLs (left join).
+    - ``tolerance``: max |left.on − right.on| in SECONDS; farther matches
+      are nulled out.
+
+    ``on`` must be a timestamp or numeric column present in both inputs.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by_list: List[str] = ([by] if isinstance(by, str) else list(by or []))
+    default_cols = [c for c in right.columns
+                    if c != on and c not in by_list]
+    rcols = list(right_cols) if right_cols is not None else default_cols
+    if by_list:
+        return _asof_windowed(left, right, on, by_list, rcols, direction,
+                              tolerance, suffix)
+    return _asof_broadcast(left, right, on, rcols, direction, tolerance,
+                           suffix, broadcast_limit)
+
+
+def _epoch_micros(col, dtype: str):
+    """Epoch micros for ordering/lag math. TIMESTAMP → unix_micros;
+    TIMESTAMP_NTZ → zone-free wall-clock field arithmetic (unix_micros
+    rejects NTZ, and casting NTZ through TIMESTAMP would warp intervals
+    across DST transitions in a zoned session — see sessionize); numerics
+    → double unchanged."""
+    if dtype == "timestamp_ntz":
+        return ((F.unix_date(col.cast("date")).cast("long") * 86400
+                 + F.hour(col).cast("long") * 3600
+                 + F.minute(col).cast("long") * 60) * 1_000_000
+                + F.round(F.date_part(F.lit("SECOND"), col) * 1e6)
+                .cast("long")).cast("double")
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col).cast("double")
+    return col.cast("double")
+
+
+def _asof_windowed(left, right, on, by_list, rcols, direction, tolerance,
+                   suffix):
+    payload = F.struct(F.col(on).alias("__mt"),
+                       *[F.col(c) for c in rcols]).alias("__p")
+    # union frame: left's full row + NULL payload; right contributes the
+    # by/ts keys + payload with NULL left columns
+    lcols = left.columns
+    l_side = left.select(
+        *lcols, F.lit(1).alias("__side"),
+        F.lit(None).cast(right.select(payload).schema["__p"].dataType)
+        .alias("__p"))
+    r_side = right.select(
+        *[F.col(c) if c in by_list + [on] else F.lit(None)
+          .cast(dict(left.dtypes).get(c, "string")).alias(c)
+          for c in lcols],
+        F.lit(0).alias("__side"), payload)
+    both = l_side.unionByName(r_side)
+
+    if direction == "backward":
+        # right (side 0) sorts before left at equal ts → inclusive match
+        w = (Window.partitionBy(*by_list)
+             .orderBy(F.col(on).asc(), F.col("__side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        matched = F.last("__p", ignorenulls=True).over(w)
+    else:
+        # left (side 1) sorts before right at equal ts → the following
+        # frame still sees an equal-ts right row → inclusive
+        w = (Window.partitionBy(*by_list)
+             .orderBy(F.col(on).asc(), F.col("__side").desc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        matched = F.first("__p", ignorenulls=True).over(w)
+
+    out = (both.withColumn("__m", matched)
+           .where(F.col("__side") == 1))
+    return _emit(out, left, on, rcols, tolerance, suffix)
+
+
+def _asof_broadcast(left, right, on, rcols, direction, tolerance, suffix,
+                    broadcast_limit):
+    import numpy as np
+
+    n = right.count()
+    if n > broadcast_limit:
+        raise ValueError(
+            f"keyless asof_join broadcasts the right side; {n} rows exceed "
+            f"broadcast_limit={broadcast_limit}. Pass a 'by' key (windowed "
+            "path) or raise the limit explicitly.")
+    on_type = dict(right.dtypes)[on]
+    numify = lambda c: _epoch_micros(F.col(c), on_type)  # noqa: E731
+    rows = (right.select(numify(on).alias("__t"), F.col(on).alias("__mt"),
+                         *[F.col(c) for c in rcols])
+            .orderBy("__t").collect())
+    r_ts = np.array([r["__t"] for r in rows], dtype="float64")
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def match_idx(ts: pandas.Series) -> pandas.Series:
+        t = ts.to_numpy(dtype="float64", na_value=np.nan)
+        if direction == "backward":
+            idx = np.searchsorted(r_ts, t, side="right") - 1
+        else:
+            idx = np.searchsorted(r_ts, t, side="left")
+            idx = np.where(idx >= len(r_ts), -1, idx)
+        idx = np.where(np.isnan(t), -1, idx)
+        return pandas.Series(idx.astype("int64"))
+
+    # matched index → payload via a BROADCAST hash join on the index —
+    # the indexed right side stays a (bounded) DataFrame, never literal
+    # expressions in the plan. Columns are __asof_-prefixed so right
+    # payload names can shadow left names without ambiguity.
+    spark = left.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+    idx_schema = StructType(
+        [StructField("__asof_i", LongType(), False),
+         StructField("__asof_mt",
+                     right.select(on).schema[0].dataType, True)]
+        + [StructField(f"__asof_{c}", right.select(c).schema[0].dataType,
+                       True) for c in rcols])
+    idx_rows = [tuple([i, r["__mt"]] + [r[c] for c in rcols])
+                for i, r in enumerate(rows)]
+    right_indexed = spark.createDataFrame(idx_rows, idx_schema)
+
+    out = (left.withColumn("__asof_i", match_idx(numify(on)))
+           .join(F.broadcast(right_indexed), "__asof_i", "left"))
+    out = out.withColumn(
+        "__m", F.struct(F.col("__asof_mt").alias("__mt"),
+                        *[F.col(f"__asof_{c}").alias(c) for c in rcols]))
+    return _emit(out, left, on, rcols, tolerance, suffix)
+
+
+def _emit(out, left, on, rcols, tolerance, suffix):
+    """Apply tolerance mask and project left.* + matched columns."""
+    m = F.col("__m")
+    if tolerance is not None:
+        on_type = dict(left.dtypes)[on]
+        lag = F.abs(_epoch_micros(F.col(on), on_type)
+                    - _epoch_micros(m["__mt"], on_type))
+        if on_type.startswith("timestamp"):
+            lag = lag / F.lit(1_000_000.0)
+        m = F.when(lag <= F.lit(float(tolerance)), m)
+    return out.select(
+        *left.columns,
+        m["__mt"].alias(f"{on}{suffix}"),
+        *[m[c].alias(f"{c}{suffix}") for c in rcols])

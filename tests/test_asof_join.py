@@ -1,0 +1,142 @@
+"""As-of join (deequ_spark/joins.py) — keyed window path and keyless
+broadcast path, checked against an independent pandas.merge_asof model
+and hand-derived fixtures."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from deequ_spark import asof_join
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [("A", _ts(0), 10.0), ("A", _ts(10), 11.0), ("A", _ts(20), 12.0),
+            ("B", _ts(5), 100.0), ("B", _ts(15), 101.0)]
+    return spark.createDataFrame(rows, "sym string, ts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [("A", _ts(4), 1), ("A", _ts(10), 2), ("A", _ts(25), 3),
+            ("B", _ts(4), 4), ("B", _ts(30), 5), ("C", _ts(9), 6)]
+    return spark.createDataFrame(rows, "sym string, ts timestamp, qty int")
+
+
+class TestAsofWindowed:
+    def test_backward_matches_pandas(self, spark, trades, quotes):
+        got = {r["qty"]: (r["ts_r"], r["px_r"])
+               for r in asof_join(trades, quotes, on="ts",
+                                  by="sym").collect()}
+        tp = trades.toPandas().sort_values("ts")
+        qp = quotes.toPandas().sort_values("ts")
+        exp = pd.merge_asof(tp, qp, on="ts", by="sym",
+                            direction="backward", suffixes=("", "_r"))
+        for _, row in exp.iterrows():
+            ts_r, px_r = got[row["qty"]]
+            if pd.isna(row["px"]):
+                assert px_r is None and ts_r is None
+            else:
+                assert px_r == row["px"]
+
+    def test_backward_equal_ts_inclusive(self, spark, trades, quotes):
+        got = {r["qty"]: r["px_r"]
+               for r in asof_join(trades, quotes, "ts", by="sym").collect()}
+        assert got[2] == 11.0           # trade at t=10 sees quote AT t=10
+        assert got[1] == 10.0           # t=4 sees t=0
+        assert got[6] is None           # sym C has no quotes
+
+    def test_forward_direction(self, spark, trades, quotes):
+        got = {r["qty"]: r["px_r"]
+               for r in asof_join(trades, quotes, "ts", by="sym",
+                                  direction="forward").collect()}
+        assert got[1] == 11.0           # t=4 → next quote t=10
+        assert got[2] == 11.0           # equal ts inclusive forward
+        assert got[3] is None           # t=25: no later A quote
+        assert got[4] == 100.0          # B t=4 → t=5
+
+    def test_tolerance_nulls_far_matches(self, spark, trades, quotes):
+        got = {r["qty"]: r["px_r"]
+               for r in asof_join(trades, quotes, "ts", by="sym",
+                                  tolerance=5.0).collect()}
+        assert got[1] == 10.0           # lag 4s ≤ 5s
+        assert got[3] == 12.0           # t=25 → t=20, lag exactly 5.0: kept
+        assert got[5] is None           # B t=30 → t=15, lag 15s > 5
+
+    def test_row_count_and_left_columns_preserved(self, trades, quotes):
+        out = asof_join(trades, quotes, "ts", by="sym")
+        assert out.count() == trades.count()
+        assert [c for c in out.columns[:3]] == ["sym", "ts", "qty"]
+        assert set(out.columns) == {"sym", "ts", "qty", "ts_r", "px_r"}
+
+    def test_numeric_on_column(self, spark):
+        left = spark.createDataFrame([(1, 5), (1, 11)], "k int, t int")
+        right = spark.createDataFrame([(1, 4, "x"), (1, 10, "y")],
+                                      "k int, t int, v string")
+        got = {r["t"]: r["v_r"]
+               for r in asof_join(left, right, "t", by="k").collect()}
+        assert got == {5: "x", 11: "y"}
+
+    def test_bad_direction(self, trades, quotes):
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(trades, quotes, "ts", by="sym", direction="sideways")
+
+
+class TestAsofBroadcast:
+    def test_keyless_matches_pandas(self, spark, trades, quotes):
+        # global as-of: ignore sym, nearest-before quote of ANY symbol
+        got = {r["qty"]: r["px_r"]
+               for r in asof_join(trades.drop("sym"), quotes.drop("sym"),
+                                  on="ts").collect()}
+        tp = trades.toPandas().sort_values("ts")
+        qp = quotes.toPandas().sort_values("ts")
+        exp = pd.merge_asof(tp, qp, on="ts", direction="backward",
+                            suffixes=("", "_r"))
+        for _, row in exp.iterrows():
+            assert got[row["qty"]] == row["px"]
+
+    def test_keyless_forward(self, spark):
+        left = spark.createDataFrame([(1.0, "a"), (9.5, "b"), (99.0, "c")],
+                                     "t double, tag string")
+        right = spark.createDataFrame([(2.0, 20), (9.5, 95)],
+                                      "t double, v int")
+        got = {r["tag"]: r["v_r"]
+               for r in asof_join(left, right, "t",
+                                  direction="forward").collect()}
+        assert got == {"a": 20, "b": 95, "c": None}
+
+    def test_broadcast_limit_guard(self, spark):
+        left = spark.createDataFrame([(1.0,)], "t double")
+        right = spark.range(100).select(F.col("id").cast("double").alias("t"))
+        with pytest.raises(ValueError, match="broadcast_limit"):
+            asof_join(left, right, "t", broadcast_limit=10)
+
+
+class TestAsofPlanShape:
+    def test_windowed_path_single_exchange(self, trades, quotes):
+        out = asof_join(trades, quotes, "ts", by="sym")
+        plan = out._jdf.queryExecution().explainString(
+            out.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        # one hash-partitioned exchange for the window; union feeds it
+        # (formatted mode: the node prints "Exchange", its partitioning
+        # prints as "Arguments: hashpartitioning(...)")
+        assert plan.count("Arguments: hashpartitioning") == 1
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_broadcast_path_no_shuffle_on_left(self, spark):
+        left = spark.createDataFrame([(1.0,)], "t double")
+        right = spark.createDataFrame([(1.0, 1)], "t double, v int")
+        out = asof_join(left, right, "t")
+        plan = out._jdf.queryExecution().explainString(
+            out.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        assert "Arguments: hashpartitioning" not in plan
+        assert "BroadcastHashJoin" in plan
