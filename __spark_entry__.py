@@ -3699,6 +3699,84 @@ _ASOF_JOIN_ORACLE_SQL = """
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval join (joins.py interval_join): Spark plans a
+    naive BETWEEN join as a BroadcastNestedLoopJoin (quadratic); this
+    bucketizes the time axis so the match is an EQUI-join on (key, bin)
+    + exact range filter — one hash shuffle per side. Clicks are joined
+    to 1-hour attribution windows opened by same-user views (keyed) and
+    by any signup (keyless). The oracle is DuckDB's plain inequality
+    join — an independent (quadratic, but fine at sf0.01) evaluation of
+    the same predicate."""
+    from deequ_spark import interval_join
+    from deequ_spark.sources import load_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts", "value")
+    views = ev.where(F.col("event_type") == "view") \
+        .select("user_id", F.col("ts").alias("w_start"),
+                (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+                F.col("event_id").alias("view_id"))
+    signups = ev.where(F.col("event_type") == "signup") \
+        .select(F.col("ts").alias("w_start"),
+                (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+                F.col("event_id").alias("signup_id"))
+
+    keyed = interval_join(clicks, views, on="ts", start="w_start",
+                          end="w_end", by="user_id")
+    k = keyed.agg(
+        F.count("*").alias("pairs"),
+        F.countDistinct("event_id").alias("pts"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.sum("view_id").alias("vid_sum")).collect()[0]
+    left_n = interval_join(clicks, views, on="ts", start="w_start",
+                           end="w_end", by="user_id", how="left").count()
+    g = interval_join(clicks, signups, on="ts", start="w_start",
+                      end="w_end").agg(
+        F.count("*").alias("pairs"),
+        F.countDistinct("event_id").alias("pts")).collect()[0]
+    pairs = [("k_pairs", k["pairs"]), ("k_points", k["pts"]),
+             ("k_value_cents", k["cents"]), ("k_viewid_sum", k["vid_sum"]),
+             ("k_left_rows", left_n),
+             ("g_pairs", g["pairs"]), ("g_points", g["pts"])]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_INTERVAL_JOIN_ORACLE_SQL = """
+    WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'click'),
+    views AS (SELECT user_id, ts AS w_start, ts + INTERVAL 1 HOUR AS w_end,
+              event_id AS view_id FROM events WHERE event_type = 'view'),
+    signups AS (SELECT ts AS w_start, ts + INTERVAL 1 HOUR AS w_end
+                FROM events WHERE event_type = 'signup'),
+    keyed AS (SELECT l.event_id, l.value, r.view_id
+              FROM clicks l JOIN views r
+              ON l.user_id = r.user_id
+              AND l.ts >= r.w_start AND l.ts <= r.w_end),
+    g AS (SELECT l.event_id FROM clicks l JOIN signups r
+          ON l.ts >= r.w_start AND l.ts <= r.w_end)
+    SELECT metric, value FROM (
+      SELECT 'k_pairs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM keyed
+      UNION ALL SELECT 'k_points',
+        CAST(COUNT(DISTINCT event_id) AS DOUBLE) FROM keyed
+      UNION ALL SELECT 'k_value_cents',
+        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) FROM keyed
+      UNION ALL SELECT 'k_viewid_sum', CAST(SUM(view_id) AS DOUBLE)
+      FROM keyed
+      UNION ALL SELECT 'k_left_rows',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM keyed)
+        + (SELECT CAST(COUNT(*) AS DOUBLE) FROM clicks)
+        - (SELECT CAST(COUNT(DISTINCT event_id) AS DOUBLE) FROM keyed)
+      UNION ALL SELECT 'g_pairs', CAST(COUNT(*) AS DOUBLE) FROM g
+      UNION ALL SELECT 'g_points',
+        CAST(COUNT(DISTINCT event_id) AS DOUBLE) FROM g
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -3772,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_ops": q_url_ops,
         "skew_report": q_skew_report,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
     }
 
 
@@ -4571,6 +4650,7 @@ def oracle_sql() -> dict[str, str]:
         "url_ops": _URL_OPS_ORACLE_SQL,
         "skew_report": _SKEW_REPORT_ORACLE_SQL,
         "asof_join": _ASOF_JOIN_ORACLE_SQL,
+        "interval_join": _INTERVAL_JOIN_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

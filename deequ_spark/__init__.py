@@ -79,7 +79,7 @@ from .dqdl import EvaluateDataQuality
 from .windowed import windowed_agg_plan, windowed_metrics
 from .diagnostics import (key_skew_report, partition_report,
                           suggest_skew_mitigation)
-from .joins import asof_join
+from .joins import asof_join, interval_join
 from .applicability import Applicability, ApplicabilityResult
 
 __version__ = "0.1.0"

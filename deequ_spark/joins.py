@@ -1,4 +1,4 @@
-"""Temporal joins — as-of join over DataFrames.
+"""Temporal joins — as-of join and point-in-interval join over DataFrames.
 
 Spark has no ASOF JOIN (kdb's ``aj``, pandas ``merge_asof``, DuckDB
 ``ASOF JOIN``): match each left row to the nearest right row at-or-before
@@ -187,3 +187,91 @@ def _emit(out, left, on, rcols, tolerance, suffix):
         *left.columns,
         m["__mt"].alias(f"{on}{suffix}"),
         *[m[c].alias(f"{c}{suffix}") for c in rcols])
+
+
+def interval_join(left: DataFrame, right: DataFrame, on: str,
+                  start: str, end: str,
+                  by: Union[str, Sequence[str], None] = None,
+                  bin_width: Optional[float] = None,
+                  max_bins_per_interval: int = 10_000,
+                  how: str = "inner") -> DataFrame:
+    """Point-in-interval join: left rows where ``start ≤ on ≤ end`` of a
+    right interval (inclusive both ends), optionally per ``by`` key.
+
+    Spark plans a naive ``l.on BETWEEN r.start AND r.end`` join as a
+    BroadcastNestedLoopJoin (every left row probes every right interval —
+    quadratic, the classic range-join trap). This implementation
+    BUCKETIZES the axis: each right interval is exploded onto the bins it
+    covers, left rows map to their single bin, and the match becomes an
+    EQUI-join on ``(by…, bin)`` followed by the exact range filter —
+    one hash shuffle each side, work proportional to output size plus
+    interval/bin coverage.
+
+    ``bin_width`` (axis units: seconds for timestamps, column units for
+    numerics) defaults to the right side's MEDIAN interval length — ~2
+    bins per interval, the standard balance between explode factor and
+    bucket selectivity. ``max_bins_per_interval`` guards the explode on
+    degenerate giant intervals (they error rather than OOM; raise the
+    width or the cap explicitly for such data).
+
+    ``how='inner'`` emits matches only (a left row can match several
+    intervals); ``how='left'`` also keeps unmatched left rows with NULL
+    right columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    by_list: List[str] = ([by] if isinstance(by, str) else list(by or []))
+    on_type = dict(left.dtypes)[on]
+    l_num = _epoch_micros(F.col(on), on_type)
+    r_start = _epoch_micros(F.col(start), dict(right.dtypes)[start])
+    r_end = _epoch_micros(F.col(end), dict(right.dtypes)[end])
+    unit = 1e6 if on_type.startswith("timestamp") else 1.0
+
+    if bin_width is None:
+        med = (right.select(((r_end - r_start) / F.lit(unit))
+                            .alias("__len"))
+               .agg(F.expr("percentile(__len, 0.5)").alias("m"))
+               .collect()[0]["m"])
+        bin_width = float(med) if med and med > 0 else 1.0
+    w = float(bin_width) * unit
+
+    r_bin_first = F.floor(r_start / w)
+    r_bin_last = F.floor(r_end / w)
+    n_bins = (r_bin_last - r_bin_first + 1)
+    overflow = right.where(n_bins > max_bins_per_interval)
+    if overflow.limit(1).count() > 0:
+        raise ValueError(
+            f"an interval spans more than max_bins_per_interval="
+            f"{max_bins_per_interval} bins at bin_width={bin_width}; "
+            "raise bin_width or the cap")
+
+    r_cols = [c for c in right.columns if c not in by_list]
+    r_binned = right.select(
+        *by_list, *r_cols,
+        F.explode(F.sequence(r_bin_first, r_bin_last)).alias("__bin"),
+        r_start.alias("__rs"), r_end.alias("__re"))
+    l_binned = left.select(
+        *left.columns, F.floor(l_num / w).alias("__bin"),
+        l_num.alias("__ln"))
+
+    cond = [l_binned["__bin"] == r_binned["__bin"]]
+    for k in by_list:
+        cond.append(l_binned[k].eqNullSafe(r_binned[k]))
+    matched = (l_binned.join(r_binned, cond, "inner")
+               .where((F.col("__ln") >= F.col("__rs"))
+                      & (F.col("__ln") <= F.col("__re")))
+               .select(*[l_binned[c] for c in left.columns],
+                       *[r_binned[c] for c in r_cols]))
+    if how == "inner":
+        return matched
+    # 'left': append unmatched left rows with NULL right columns. Bin
+    # collisions that fail the exact range filter are NOT matches, so the
+    # anti-join must run against the MATCHED set, which identifies rows by
+    # their full column tuple — callers with duplicate left rows should
+    # add a unique id column first.
+    matched_keys = matched.select(*left.columns).distinct()
+    unmatched = (left.join(matched_keys, list(left.columns), "left_anti")
+                 .select(*left.columns,
+                         *[F.lit(None).cast(dict(right.dtypes)[c])
+                           .alias(c) for c in r_cols]))
+    return matched.unionByName(unmatched)

@@ -140,3 +140,114 @@ class TestAsofPlanShape:
             .ExplainMode.fromString("formatted"))
         assert "Arguments: hashpartitioning" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# interval join
+# ---------------------------------------------------------------------------
+
+from deequ_spark import interval_join  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    # (sym, start, end, label); overlapping on purpose
+    rows = [("A", 0.0, 10.0, "a1"), ("A", 5.0, 15.0, "a2"),
+            ("B", 2.0, 4.0, "b1")]
+    return spark.createDataFrame(rows,
+                                 "sym string, s double, e double, lab string")
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = [("A", 7.0, 1), ("A", 12.0, 2), ("A", 20.0, 3),
+            ("B", 3.0, 4), ("B", 9.0, 5)]
+    return spark.createDataFrame(rows, "sym string, t double, pid int")
+
+
+def _naive_interval(points_rows, interval_rows, by=True):
+    out = []
+    for sym_p, t, pid in points_rows:
+        for sym_i, s, e, lab in interval_rows:
+            if (not by or sym_p == sym_i) and s <= t <= e:
+                out.append((pid, lab))
+    return sorted(out)
+
+
+PTS = [("A", 7.0, 1), ("A", 12.0, 2), ("A", 20.0, 3),
+       ("B", 3.0, 4), ("B", 9.0, 5)]
+IVS = [("A", 0.0, 10.0, "a1"), ("A", 5.0, 15.0, "a2"), ("B", 2.0, 4.0, "b1")]
+
+
+class TestIntervalJoin:
+    def test_inner_matches_naive(self, points, intervals):
+        got = sorted((r["pid"], r["lab"]) for r in
+                     interval_join(points, intervals, on="t", start="s",
+                                   end="e", by="sym").collect())
+        assert got == _naive_interval(PTS, IVS)
+
+    def test_overlaps_produce_multiple_matches(self, points, intervals):
+        got = [r["lab"] for r in
+               interval_join(points, intervals, "t", "s", "e", by="sym")
+               .where(F.col("pid") == 1).collect()]
+        assert sorted(got) == ["a1", "a2"]    # t=7 inside both A intervals
+
+    def test_left_keeps_unmatched(self, points, intervals):
+        out = interval_join(points, intervals, "t", "s", "e", by="sym",
+                            how="left")
+        rows = {(r["pid"], r["lab"]) for r in out.collect()}
+        assert (3, None) in rows              # t=20 outside all intervals
+        assert (5, None) in rows              # B t=9 outside b1
+        assert out.where(F.col("pid") == 1).count() == 2
+
+    def test_keyless(self, spark, points, intervals):
+        got = sorted((r["pid"], r["lab"]) for r in
+                     interval_join(points.drop("sym"),
+                                   intervals.drop("sym"),
+                                   "t", "s", "e").collect())
+        assert got == _naive_interval(PTS, IVS, by=False)
+
+    def test_boundaries_inclusive(self, spark):
+        pts = spark.createDataFrame([(0.0, 1), (10.0, 2)], "t double, p int")
+        ivs = spark.createDataFrame([(0.0, 10.0, "x")],
+                                    "s double, e double, lab string")
+        got = sorted(r["p"] for r in
+                     interval_join(pts, ivs, "t", "s", "e").collect())
+        assert got == [1, 2]
+
+    def test_bin_width_override_same_result(self, points, intervals):
+        base = sorted((r["pid"], r["lab"]) for r in
+                      interval_join(points, intervals, "t", "s", "e",
+                                    by="sym").collect())
+        for width in (0.5, 3.0, 100.0):
+            got = sorted((r["pid"], r["lab"]) for r in
+                         interval_join(points, intervals, "t", "s", "e",
+                                       by="sym", bin_width=width).collect())
+            assert got == base, f"bin_width={width} changed the result"
+
+    def test_giant_interval_guard(self, spark):
+        pts = spark.createDataFrame([(1.0, 1)], "t double, p int")
+        ivs = spark.createDataFrame([(0.0, 1e6, "x")],
+                                    "s double, e double, lab string")
+        with pytest.raises(ValueError, match="max_bins_per_interval"):
+            interval_join(pts, ivs, "t", "s", "e", bin_width=1.0,
+                          max_bins_per_interval=100)
+
+    def test_timestamp_axis(self, spark):
+        import datetime as dt
+        base = dt.datetime(2024, 1, 1)
+        pts = spark.createDataFrame(
+            [(base + dt.timedelta(seconds=5), 1)], "t timestamp, p int")
+        ivs = spark.createDataFrame(
+            [(base, base + dt.timedelta(seconds=10), "x")],
+            "s timestamp, e timestamp, lab string")
+        got = interval_join(pts, ivs, "t", "s", "e").collect()
+        assert len(got) == 1 and got[0]["lab"] == "x"
+
+    def test_no_nested_loop_join_in_plan(self, points, intervals):
+        out = interval_join(points, intervals, "t", "s", "e", by="sym")
+        plan = out._jdf.queryExecution().explainString(
+            out.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
