@@ -37,8 +37,9 @@ from .packing import hash_sample, pack_sequences
 from .semdedup import semantic_deduplicate
 from .text import (char_trigram_model, chunk_text, fingerprint,
                    gopher_quality_flags, lm_quality_score,
-                   paragraph_dedup, remove_boilerplate_lines,
-                   token_count_whitespace)
+                   normalize_text, paragraph_dedup,
+                   remove_boilerplate_lines, token_count_whitespace)
+from .urls import url_deduplicate
 
 
 def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
@@ -66,7 +67,9 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                             semantic_clusters: int = 16,
                             dsir_target: Optional[DataFrame] = None,
                             dsir_k: Optional[int] = None,
-                            dsir_temperature: float = 2.0
+                            dsir_temperature: float = 2.0,
+                            url_col: Optional[str] = None,
+                            unicode_normalize: bool = False
                             ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full cleanup pipeline; returns (result, stage_stats).
 
@@ -93,7 +96,14 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     costlier embedding pass only sees lexical survivors;
     ``dsir_target=df`` + ``dsir_k=k`` replaces uniform sampling with
     DSIR importance resampling toward the target corpus (runs after
-    the quality/dedup stages so weights are fit on clean text)."""
+    the quality/dedup stages so weights are fit on clean text).
+
+    Pre-filter hygiene stages (before the quality gate, cheapest first):
+    ``url_col='url'`` dedupes by canonical URL (the CCNet/RefinedWeb
+    first pass — one projection + one hash-groupBy, removes crawl
+    re-fetches before any content work); ``unicode_normalize=True``
+    runs mojibake repair + NFC + control-strip + whitespace collapse
+    (map-only) so later fingerprints/shingles see canonical bytes."""
     stats: Dict[str, int] = {}
 
     def note(stage: str, frame: DataFrame, cut: bool = True) -> DataFrame:
@@ -116,7 +126,19 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     # cut=False: the raw input is a single-reference projection straight
     # off the source — checkpointing it would copy the whole corpus into
     # executor storage for nothing; every TRANSFORMED stage cuts.
-    out = note("input", df.select(id_col, text_col), cut=False)
+    in_cols = [id_col, text_col] + ([url_col] if url_col else [])
+    out = note("input", df.select(*in_cols), cut=False)
+
+    if url_col is not None:
+        out = note("url_dedup",
+                   url_deduplicate(out, id_col, url_col)
+                   .select(id_col, text_col))
+
+    if unicode_normalize:
+        out = note("normalize", normalize_text(out, text_col)
+                   .select(id_col, F.col(f"{text_col}_clean")
+                           .alias(text_col))
+                   .where(F.length(text_col) > 0))
 
     if quality_filter:
         # gopher_kwargs: extra thresholds forwarded to gopher_quality_flags

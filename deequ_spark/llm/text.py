@@ -629,9 +629,14 @@ def normalize_text(df: DataFrame, text_col: str, *,
     result = df.withColumn(
         "mojibake_markers", mojibake_marker_count(F.col(text_col))
         if fix_mojibake else F.lit(0))
-    cleaned = _nfc_repair(F.col(text_col))
+    # control/zero-width strip runs BEFORE the repair UDF: a literal
+    # zero-width (or other non-cp1252 char) embedded in otherwise
+    # mojibaked text would make the whole-string cp1252 re-encode throw
+    # and silently skip an otherwise clean repair
+    cleaned = F.col(text_col)
     if strip_control:
         cleaned = F.regexp_replace(cleaned, CONTROL_CHAR_RE, "")
+    cleaned = _nfc_repair(cleaned)
     if collapse_whitespace:
         # NBSP → space, runs of non-newline whitespace → one space,
         # trim around newlines; newlines themselves are structure — kept

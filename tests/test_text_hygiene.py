@@ -240,3 +240,43 @@ class TestHygienePlanShape:
         from deequ_spark.diagnostics import partition_report
         plan = _explain(partition_report(spark.range(100)))
         assert "HashAggregate" in plan         # map-side combinable agg
+
+
+# ---------------------------------------------------------------------------
+# pipeline integration: url_dedup + normalize stages
+# ---------------------------------------------------------------------------
+
+class TestHygienePipelineStages:
+    def test_url_dedup_stage_runs_first(self, spark):
+        from deequ_spark.llm import prepare_training_corpus
+        docs = spark.createDataFrame([
+            (1, "body one", "https://example.com/a?utm_source=t"),
+            (2, "refetched body", "https://WWW.example.com/a/"),
+            (3, "body three", "https://example.com/b"),
+            (4, "no url doc", None),
+        ], "doc_id long, text string, url string")
+        out, stats = prepare_training_corpus(
+            docs, "doc_id", "text", quality_filter=False,
+            boilerplate=False, exact_dedup=False, near_dedup=False,
+            chunk=False, url_col="url")
+        kept = sorted(r["doc_id"] for r in out.collect())
+        assert kept == [1, 3, 4]       # 2 loses the URL group to 1
+        assert stats["url_dedup"] == 3
+        assert "url" not in out.columns
+
+    def test_normalize_stage_cleans_before_dedup(self, spark):
+        from deequ_spark.llm import prepare_training_corpus
+        # same logical text, one mojibaked + zero-width-polluted: after
+        # normalize they fingerprint identically, so exact dedup merges
+        docs = spark.createDataFrame([
+            (1, "cafÃ© menu bod​y text"),
+            (2, "café menu body text"),
+        ], "doc_id long, text string")
+        out, stats = prepare_training_corpus(
+            docs, "doc_id", "text", quality_filter=False,
+            boilerplate=False, near_dedup=False, chunk=False,
+            unicode_normalize=True)
+        assert stats["normalize"] == 2
+        assert stats["exact_dedup"] == 1
+        [r] = out.collect()
+        assert r["text"] == "café menu body text"

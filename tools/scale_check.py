@@ -73,6 +73,7 @@ def main() -> None:
     from functools import reduce
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     spark = (SparkSession.builder.master(
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -83,6 +84,7 @@ def main() -> None:
         # 1g default heap OOMs 32 concurrent window-building tasks
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .appName("scale-check").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -143,8 +145,45 @@ def main() -> None:
             emb, "vec_id", "embedding", threshold=0.8,
             centroids=cents).count()
 
+    def asof_workload(spark_, ev):
+        """As-of join (joins.py): union + ONE window shuffle on user_id —
+        O(1) state per row, so 10× events over 10× users must stay
+        ~linear."""
+        from deequ_spark import asof_join
+        clicks = ev.where(F.col("event_type") == "click") \
+            .select("event_id", "user_id", "ts")
+        views = ev.where(F.col("event_type") == "view") \
+            .select("user_id", "ts", F.col("value").alias("vval"))
+        return asof_join(clicks, views, on="ts", by="user_id").count()
+
+    def interval_workload(spark_, ev):
+        """Interval join (joins.py): bucketized equi-join on (user, bin) —
+        work ∝ output + bin coverage, never the nested-loop cross
+        product, so 10× must stay ~linear."""
+        from deequ_spark import interval_join
+        clicks = ev.where(F.col("event_type") == "click") \
+            .select("event_id", "user_id", "ts")
+        views = ev.where(F.col("event_type") == "view") \
+            .select("user_id", F.col("ts").alias("ws"),
+                    (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("we"))
+        return interval_join(clicks, views, on="ts", start="ws", end="we",
+                             by="user_id").count()
+
+    from deequ_spark.sources import load_table
+    ev1 = load_table(spark, SF_DIR, "events").cache()
+    # 10x: ten user-shifted copies — per-user event structure preserved,
+    # 10x users, 10x rows (key cardinality scales WITH data, the honest
+    # shape for a keyed-window scale test)
+    ev10 = reduce(lambda a, b: a.union(b), [
+        ev1.withColumn("user_id", F.col("user_id") + F.lit(c * 1_000_000))
+           .withColumn("event_id", F.col("event_id") + F.lit(c * 10**9))
+        for c in range(10)]).repartition(32).cache()
+    ev1.count(), ev10.count()
+
     workloads = [
         ("b1_scan_fused", bench.b1_scan_fused, li1, li10),
+        ("b19_asof_join", asof_workload, ev1, ev10),
+        ("b20_interval_join", interval_workload, ev1, ev10),
         ("b16_bm25_search", search_workload, docs1, docs10),
         ("b17_span_dedup", span_dedup_workload, docs1, docs10),
         ("b18_semantic_dedup", semdedup_workload, emb1, emb10),
