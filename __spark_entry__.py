@@ -3777,6 +3777,88 @@ _INTERVAL_JOIN_ORACLE_SQL = """
 """
 
 
+def q_robust_stats(spark, sf_dir):
+    """Robust-statistics analyzers (analyzers/robust.py): exact MAD
+    (median(|x − median|), two fused passes) and the Hampel robust
+    z-score outlier rule |x−med| > k·1.4826·MAD — immune to the
+    outliers themselves inflating the scale, unlike stddev rules. The
+    oracle recomputes both medians with quantile_cont and replays the
+    rule exactly (counts integer-exact, MAD quantized)."""
+    from deequ_spark import (MedianAbsoluteDeviation, RobustOutlierCount,
+                             do_analysis_run, mad_outlier_flags)
+    li = _load(spark, sf_dir, "lineitem")
+    ctx = do_analysis_run(li, [
+        MedianAbsoluteDeviation("l_extendedprice"),
+        MedianAbsoluteDeviation("l_quantity"),
+        MedianAbsoluteDeviation("l_extendedprice",
+                                where="l_returnflag = 'R'"),
+        RobustOutlierCount("l_extendedprice", k=3.0),
+        RobustOutlierCount("l_quantity", k=2.0),
+    ])
+    vals = {}
+    for a, m in ctx.metric_map.items():
+        key = f"{type(a).__name__}_{a.instance}_{a.where or 'all'}" \
+            .replace(" ", "").replace("=", "").replace("'", "")
+        vals[key] = m.value
+    n = li.count()
+    flagged = mad_outlier_flags(li, "l_extendedprice", k=3.0) \
+        .where(F.col("l_extendedprice_outlier")).count()
+    pairs = [
+        ("mad_price_fuzz",
+         _fuzz(vals["MedianAbsoluteDeviation_l_extendedprice_all"])),
+        ("mad_qty_fuzz",
+         _fuzz(vals["MedianAbsoluteDeviation_l_quantity_all"])),
+        ("mad_price_r_fuzz",
+         _fuzz(vals["MedianAbsoluteDeviation_l_extendedprice_"
+                    "l_returnflagR"])),
+        ("outliers_price_k3", round(
+            vals["RobustOutlierCount_l_extendedprice_all"] * n)),
+        ("outliers_qty_k2", round(
+            vals["RobustOutlierCount_l_quantity_all"] * n)),
+        ("flagged_rows", flagged),
+    ]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_ROBUST_STATS_ORACLE_SQL = """
+    WITH meds AS (
+      SELECT quantile_cont(l_extendedprice, 0.5) AS mp,
+             quantile_cont(l_quantity, 0.5) AS mq
+      FROM lineitem),
+    mads AS (
+      SELECT quantile_cont(abs(l_extendedprice - (SELECT mp FROM meds)), 0.5)
+               AS mad_p,
+             quantile_cont(abs(l_quantity - (SELECT mq FROM meds)), 0.5)
+               AS mad_q
+      FROM lineitem),
+    rmed AS (SELECT quantile_cont(l_extendedprice, 0.5) AS m
+             FROM lineitem WHERE l_returnflag = 'R'),
+    rmad AS (SELECT quantile_cont(abs(l_extendedprice
+                                      - (SELECT m FROM rmed)), 0.5) AS v
+             FROM lineitem WHERE l_returnflag = 'R'),
+    outl AS (
+      SELECT
+        SUM(CASE WHEN abs(l_extendedprice - (SELECT mp FROM meds))
+                  > 3.0 * 1.4826 * (SELECT mad_p FROM mads)
+            THEN 1 ELSE 0 END) AS o_price,
+        SUM(CASE WHEN abs(l_quantity - (SELECT mq FROM meds))
+                  > 2.0 * 1.4826 * (SELECT mad_q FROM mads)
+            THEN 1 ELSE 0 END) AS o_qty
+      FROM lineitem)
+    SELECT metric, value FROM (
+      SELECT 'mad_price_fuzz' AS metric,
+             FLOOR(mad_p * 1e6) AS value FROM mads
+      UNION ALL SELECT 'mad_qty_fuzz', FLOOR(mad_q * 1e6) FROM mads
+      UNION ALL SELECT 'mad_price_r_fuzz', FLOOR(v * 1e6) FROM rmad
+      UNION ALL SELECT 'outliers_price_k3', CAST(o_price AS DOUBLE)
+      FROM outl
+      UNION ALL SELECT 'outliers_qty_k2', CAST(o_qty AS DOUBLE) FROM outl
+      UNION ALL SELECT 'flagged_rows',
+        (SELECT CAST(o_price AS DOUBLE) FROM outl)
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -3851,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "robust_stats": q_robust_stats,
     }
 
 
@@ -4651,6 +4734,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report": _SKEW_REPORT_ORACLE_SQL,
         "asof_join": _ASOF_JOIN_ORACLE_SQL,
         "interval_join": _INTERVAL_JOIN_ORACLE_SQL,
+        "robust_stats": _ROBUST_STATS_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

@@ -32,6 +32,8 @@ from .analyzers.scan import (AggregatedMetricState, AnalyzerOptions,
                              RatioOfSums, Size, Skewness, StandardDeviation,
                              Sum, Variance, ZerosCount, determine_type)
 from .analyzers.corpus import NearDuplicateRatio, NearDupState
+from .analyzers.robust import (MADState, MedianAbsoluteDeviation,
+                               RobustOutlierCount, mad_outlier_flags)
 from .analyzers.embedding import EmbeddingQuality, EmbeddingStatsState
 from .analyzers.kll import (BucketDistribution, BucketValue, KLLMetric,
                             KLLParameters, KLLSketch, KLLState,

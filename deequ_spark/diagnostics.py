@@ -47,7 +47,11 @@ def key_skew_report(df: DataFrame, key_cols: Union[str, Sequence[str]],
       ``top_mass`` — fraction of ALL rows owned by those top keys.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    # NULL-sentinel per component: concat_ws SKIPS nulls, which would
+    # collapse distinct null patterns like ('a', NULL) and (NULL, 'a')
+    # into one key and misreport its count
+    key_str = F.concat_ws("|", *[
+        F.coalesce(F.col(k).cast("string"), F.lit("␀")) for k in keys])
     null_any = None
     for k in keys:
         c = F.col(k).isNull()

@@ -1,0 +1,121 @@
+"""Robust-statistics analyzers (deequ_spark/analyzers/robust.py): MAD and
+MAD-based outlier detection. Expectations come from independent numpy
+computations and hand-derived fixtures, never the analyzer's own output.
+
+No reference counterpart — extends the data-quality algebra with the
+Hampel/Leys robust-scale rule the reference's stddev analyzers lack.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deequ_spark import (MedianAbsoluteDeviation, RobustOutlierCount,
+                         mad_outlier_flags)
+from deequ_spark.analyzers.robust import MAD_CONSISTENCY
+
+
+def _np_mad(values):
+    a = np.asarray(values, dtype=float)
+    med = np.percentile(a, 50, method="linear")
+    return med, float(np.percentile(np.abs(a - med), 50, method="linear"))
+
+
+class TestMAD:
+    def test_matches_numpy_on_clean_data(self, spark):
+        vals = [1.0, 2.0, 4.0, 7.0, 11.0, 16.0, 22.0]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        m = MedianAbsoluteDeviation("x").calculate(df)
+        assert m.is_success
+        _, mad = _np_mad(vals)
+        assert m.value == pytest.approx(mad)
+
+    def test_robust_to_extreme_outlier(self, spark):
+        vals = [10.0, 11.0, 12.0, 13.0, 14.0]
+        df_clean = spark.createDataFrame([(v,) for v in vals], "x double")
+        df_dirty = spark.createDataFrame(
+            [(v,) for v in vals + [1e15]], "x double")
+        clean = MedianAbsoluteDeviation("x").calculate(df_clean).value
+        dirty = MedianAbsoluteDeviation("x").calculate(df_dirty).value
+        # one absurd value barely moves MAD (stddev would explode ~1e14x)
+        assert dirty <= 2 * clean
+
+    def test_where_filter(self, spark):
+        rows = [(1.0, "a"), (2.0, "a"), (3.0, "a"), (1000.0, "b")]
+        df = spark.createDataFrame(rows, "x double, g string")
+        m = MedianAbsoluteDeviation("x", where="g = 'a'").calculate(df)
+        _, mad = _np_mad([1.0, 2.0, 3.0])
+        assert m.value == pytest.approx(mad)
+
+    def test_empty_and_bad_column_fail_as_metrics(self, spark):
+        df = spark.createDataFrame([], "x double")
+        assert not MedianAbsoluteDeviation("x").calculate(df).is_success
+        df2 = spark.createDataFrame([("s",)], "x string")
+        m = MedianAbsoluteDeviation("x").calculate(df2)
+        assert not m.is_success
+
+    def test_state_does_not_merge(self, spark):
+        df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+        st = MedianAbsoluteDeviation("x").compute_state_from(df)
+        with pytest.raises(NotImplementedError):
+            st.merge(st)
+
+
+class TestRobustOutlierCount:
+    def test_counts_planted_outliers(self, spark):
+        rng = np.random.default_rng(7)
+        clean = rng.normal(100.0, 5.0, 500).tolist()
+        planted = [1000.0, -1000.0, 800.0]
+        df = spark.createDataFrame([(float(v),) for v in clean + planted],
+                                   "x double")
+        m = RobustOutlierCount("x", k=3.0).calculate(df)
+        assert m.is_success
+        # independent recomputation of the same rule
+        med, mad = _np_mad(clean + planted)
+        cut = 3.0 * MAD_CONSISTENCY * mad
+        expected = sum(1 for v in clean + planted if abs(v - med) > cut)
+        assert m.value == pytest.approx(expected / (len(clean) + 3))
+        assert expected >= 3                 # all planted ones caught
+
+    def test_zero_mad_fallback(self, spark):
+        # >50% identical values → MAD 0 → any x != median is an outlier
+        vals = [5.0] * 8 + [9.0, 7.0]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        m = RobustOutlierCount("x").calculate(df)
+        assert m.value == pytest.approx(2 / 10)
+
+    def test_k_must_be_positive(self, spark):
+        df = spark.createDataFrame([(1.0,)], "x double")
+        m = RobustOutlierCount("x", k=-1.0).calculate(df)
+        assert not m.is_success
+
+    def test_rides_verification_suite(self, spark):
+        from deequ_spark import do_analysis_run
+        df = spark.createDataFrame(
+            [(float(v),) for v in [1, 2, 3, 4, 5, 9999]], "x double")
+        ctx = do_analysis_run(df, [MedianAbsoluteDeviation("x"),
+                                   RobustOutlierCount("x", k=3.0)])
+        vals = {type(a).__name__: m.value
+                for a, m in ctx.metric_map.items() if m.is_success}
+        assert vals["MedianAbsoluteDeviation"] == pytest.approx(1.5)
+        assert vals["RobustOutlierCount"] == pytest.approx(1 / 6)
+
+
+class TestMadOutlierFlags:
+    def test_row_level_flags(self, spark):
+        rows = [(1, 10.0), (2, 11.0), (3, 12.0), (4, 13.0), (5, 14.0),
+                (6, 500.0), (7, None)]
+        df = spark.createDataFrame(rows, "id long, x double")
+        out = {r["id"]: r["x_outlier"]
+               for r in mad_outlier_flags(df, "x", k=3.0).collect()}
+        assert out[6] is True
+        assert all(out[i] is False for i in (1, 2, 3, 4, 5))
+        assert out[7] is None                # NULL stays unjudged
+
+    def test_flag_is_pure_expression(self, spark):
+        df = spark.createDataFrame([(1, 10.0)], "id long, x double")
+        out = mad_outlier_flags(df, "x")
+        plan = out._jdf.queryExecution().explainString(
+            out.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        assert "EvalPython" not in plan      # flag is JVM-side

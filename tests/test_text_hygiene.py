@@ -280,3 +280,11 @@ class TestHygienePipelineStages:
         assert stats["exact_dedup"] == 1
         [r] = out.collect()
         assert r["text"] == "café menu body text"
+
+    def test_distinct_null_patterns_do_not_collide(self, spark):
+        rows = [("a", None)] * 3 + [(None, "a")] * 2
+        df = spark.createDataFrame(rows, "x string, y string")
+        rep = key_skew_report(df, ["x", "y"])
+        assert rep["n_keys"] == 2          # ('a',NULL) and (NULL,'a')
+        assert rep["max_count"] == 3
+        assert rep["null_key_rows"] == 5   # every row has a null component
