@@ -3859,6 +3859,73 @@ _ROBUST_STATS_ORACLE_SQL = """
 """
 
 
+def q_doc_vectors(spark, sf_dir):
+    """Feature-hashed document vectors (llm/vectors.py, Weinberger et al.
+    hashing trick): word tokens → portable 31-bit polynomial hash →
+    signed bucket counts → L2-normalized array<double>, no UDF, no model.
+    The oracle rebuilds every vector in DuckDB with the identical hash
+    fold and compares per-bucket corpus sums (quantized) plus norm and
+    zero-vector counts."""
+    from deequ_spark.llm import hashed_doc_vectors
+    docs = _load(spark, sf_dir, "documents")
+    DIM = 16
+    vecs = hashed_doc_vectors(docs, "doc_id", "text", dim=DIM)
+    # per-doc values quantize to an integer grid BEFORE the corpus sum:
+    # per-doc arithmetic is bit-identical across engines (integer bucket
+    # sums, one sqrt, one division), while a cross-doc float sum is
+    # partial-aggregation-order dependent and can land a hair off a
+    # floor boundary
+    agg = vecs.agg(
+        *[F.sum(F.floor(F.col("vector")[i] * 1e6)).alias(f"s{i}")
+          for i in range(DIM)],
+        F.sum(F.when(F.aggregate(
+            "vector", F.lit(0.0), lambda a, x: a + x * x) > 0.999999,
+            1).otherwise(0)).alias("unit"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    pairs = [(f"bucket{i:02d}_fuzz", agg[f"s{i}"]) for i in range(DIM)]
+    pairs += [("unit_norm_docs", agg["unit"]), ("n_docs", agg["n"])]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_DOC_VECTORS_ORACLE_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      [CAST(ascii(c) AS BIGINT)
+                                       FOR c IN string_split(tok, '')]),
+                         (acc, x) -> (acc * 131 + x) % 2147483647) AS h
+      FROM toks),
+    contrib AS (
+      SELECT doc_id, h % 16 AS b,
+             CASE WHEN (h // 16) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+      FROM hashed),
+    per_bucket AS (
+      SELECT doc_id, b, SUM(s) AS v FROM contrib GROUP BY doc_id, b),
+    norms AS (
+      SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM per_bucket
+      GROUP BY doc_id),
+    normalized AS (
+      SELECT p.doc_id, p.b, p.v / n.nrm AS v
+      FROM per_bucket p JOIN norms n USING (doc_id) WHERE n.nrm > 0),
+    sums AS (
+      SELECT b, SUM(FLOOR(v * 1e6)) AS sv FROM normalized GROUP BY b),
+    buckets AS (SELECT unnest(range(16)) AS b)
+    SELECT metric, value FROM (
+      SELECT printf('bucket%02d_fuzz', CAST(bk.b AS INT)) AS metric,
+             COALESCE(s.sv, 0.0) AS value
+      FROM buckets bk LEFT JOIN sums s ON bk.b = s.b
+      UNION ALL SELECT 'unit_norm_docs',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM norms WHERE nrm > 0)
+      UNION ALL SELECT 'n_docs',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -3934,6 +4001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "robust_stats": q_robust_stats,
+        "doc_vectors": q_doc_vectors,
     }
 
 
@@ -4735,6 +4803,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ASOF_JOIN_ORACLE_SQL,
         "interval_join": _INTERVAL_JOIN_ORACLE_SQL,
         "robust_stats": _ROBUST_STATS_ORACLE_SQL,
+        "doc_vectors": _DOC_VECTORS_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

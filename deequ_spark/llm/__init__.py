@@ -25,6 +25,7 @@ from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
                    decontaminate, mojibake_marker_count, normalize_text)
 from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
                    url_deduplicate)
+from .vectors import hashed_doc_vectors
 from .multimodal import (attach_binary_payload, audio_features, decode_audio,
                          decode_image, encode_mp3_frames, encode_mp4_skeleton,
                          fake_resize,

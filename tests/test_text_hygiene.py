@@ -288,3 +288,89 @@ class TestHygienePipelineStages:
         assert rep["n_keys"] == 2          # ('a',NULL) and (NULL,'a')
         assert rep["max_count"] == 3
         assert rep["null_key_rows"] == 5   # every row has a null component
+
+
+# ---------------------------------------------------------------------------
+# feature-hashed document vectors
+# ---------------------------------------------------------------------------
+
+class TestHashedDocVectors:
+    def _np_vector(self, text, dim, signed=True, normalize=True):
+        """Independent numpy model of the same hashing trick."""
+        import re
+
+        import numpy as np
+        P31 = 2**31 - 1
+        v = np.zeros(dim)
+        for tok in re.findall(r"[a-z0-9]+", text.lower()):
+            h = 0
+            for ch in tok:
+                h = (h * 131 + ord(ch)) % P31
+            s = 1.0 if (h // dim) % 2 == 0 else -1.0
+            v[h % dim] += s if signed else 1.0
+        n = np.linalg.norm(v)
+        return v / n if (normalize and n > 0) else v
+
+    def test_matches_numpy_model(self, spark):
+        import numpy as np
+        from deequ_spark.llm import hashed_doc_vectors
+        texts = ["the quick brown fox", "fox fox fox jumps",
+                 "completely different words here"]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: np.array(r["vector"])
+               for r in hashed_doc_vectors(df, "doc_id", "text",
+                                           dim=32).collect()}
+        for i, t in enumerate(texts):
+            np.testing.assert_allclose(got[i], self._np_vector(t, 32),
+                                       atol=1e-12)
+
+    def test_identical_texts_identical_vectors(self, spark):
+        import numpy as np
+        from deequ_spark.llm import hashed_doc_vectors
+        df = spark.createDataFrame(
+            [(1, "same words here"), (2, "same words here")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["vector"]
+               for r in hashed_doc_vectors(df, "doc_id", "text",
+                                           dim=16).collect()}
+        assert got[1] == got[2]
+        assert np.linalg.norm(got[1]) == pytest.approx(1.0)
+
+    def test_empty_doc_zero_vector(self, spark):
+        from deequ_spark.llm import hashed_doc_vectors
+        df = spark.createDataFrame([(1, ""), (2, "words")],
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: r["vector"]
+               for r in hashed_doc_vectors(df, "doc_id", "text",
+                                           dim=8).collect()}
+        assert got[1] == [0.0] * 8
+        assert any(v != 0.0 for v in got[2])
+
+    def test_feeds_embedding_ops(self, spark):
+        # the whole point: text-only corpora get semantic dedup for free
+        from deequ_spark.llm import hashed_doc_vectors, semantic_deduplicate
+        rows = [(1, "spark sql query engine optimizer"),
+                (2, "spark sql query engine optimizer"),   # exact dup
+                (3, "penguins waddle across antarctic ice")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        vecs = hashed_doc_vectors(df, "doc_id", "text", dim=64)
+        kept = semantic_deduplicate(vecs, "doc_id", "vector",
+                                    threshold=0.99, n_clusters=1)
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert len(ids) == 2 and 3 in ids
+
+    def test_no_udf_in_plan(self, spark):
+        from deequ_spark.llm import hashed_doc_vectors
+        df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+        out = hashed_doc_vectors(df, "doc_id", "text", dim=8)
+        plan = out._jdf.queryExecution().explainString(
+            out.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        assert "EvalPython" not in plan
+
+    def test_bad_dim(self, spark):
+        from deequ_spark.llm import hashed_doc_vectors
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="dim"):
+            hashed_doc_vectors(df, "doc_id", "text", dim=0)
