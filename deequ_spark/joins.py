@@ -43,6 +43,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     - ``direction='backward'`` (default): greatest right ``on`` ≤ left
       ``on`` (inclusive — equal timestamps match, DuckDB/pandas default).
     - ``direction='forward'``: smallest right ``on`` ≥ left ``on``.
+    - ``direction='nearest'``: whichever of the two is closer by |Δ|;
+      exact tie → backward (pandas ``merge_asof`` convention).
     - ``by``: equality key(s) matched before the temporal condition.
     - ``right_cols``: right columns to carry (default: all but ``on`` and
       ``by``); appended as ``<name><suffix>`` plus ``<on><suffix>`` (the
@@ -52,8 +54,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     ``on`` must be a timestamp or numeric column present in both inputs.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'")
     by_list: List[str] = ([by] if isinstance(by, str) else list(by or []))
     default_cols = [c for c in right.columns
                     if c != on and c not in by_list]
@@ -106,13 +109,33 @@ def _asof_windowed(left, right, on, by_list, rcols, direction, tolerance,
              .orderBy(F.col(on).asc(), F.col("__side").asc())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         matched = F.last("__p", ignorenulls=True).over(w)
-    else:
+    elif direction == "forward":
         # left (side 1) sorts before right at equal ts → the following
         # frame still sees an equal-ts right row → inclusive
         w = (Window.partitionBy(*by_list)
              .orderBy(F.col(on).asc(), F.col("__side").desc())
              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
         matched = F.first("__p", ignorenulls=True).over(w)
+    else:
+        # nearest: BOTH frames over ONE sort (right-before-left ties):
+        # backward is equal-ts inclusive, forward is equal-ts exclusive
+        # — harmless, since an equal-ts match has distance 0 via
+        # backward already. Picks the smaller |Δ|; exact tie → backward
+        # (pandas merge_asof convention).
+        base = (Window.partitionBy(*by_list)
+                .orderBy(F.col(on).asc(), F.col("__side").asc()))
+        bw = F.last("__p", ignorenulls=True).over(
+            base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        fw = F.first("__p", ignorenulls=True).over(
+            base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        on_type = dict(left.dtypes)[on]
+        d_bw = F.abs(_epoch_micros(F.col(on), on_type)
+                     - _epoch_micros(bw["__mt"], on_type))
+        d_fw = F.abs(_epoch_micros(fw["__mt"], on_type)
+                     - _epoch_micros(F.col(on), on_type))
+        matched = (F.when(bw.isNull(), fw)
+                   .when(fw.isNull(), bw)
+                   .when(d_fw < d_bw, fw).otherwise(bw))
 
     out = (both.withColumn("__m", matched)
            .where(F.col("__side") == 1))
@@ -141,11 +164,19 @@ def _asof_broadcast(left, right, on, rcols, direction, tolerance, suffix,
     @pandas_udf("long")
     def match_idx(ts: pandas.Series) -> pandas.Series:
         t = ts.to_numpy(dtype="float64", na_value=np.nan)
+        bw = np.searchsorted(r_ts, t, side="right") - 1
+        fw = np.searchsorted(r_ts, t, side="left")
+        fw = np.where(fw >= len(r_ts), -1, fw)
         if direction == "backward":
-            idx = np.searchsorted(r_ts, t, side="right") - 1
-        else:
-            idx = np.searchsorted(r_ts, t, side="left")
-            idx = np.where(idx >= len(r_ts), -1, idx)
+            idx = bw
+        elif direction == "forward":
+            idx = fw
+        else:  # nearest: smaller |Δ|; tie → backward (pandas convention)
+            d_bw = np.where(bw >= 0, np.abs(t - r_ts[np.maximum(bw, 0)]),
+                            np.inf)
+            d_fw = np.where(fw >= 0, np.abs(r_ts[np.maximum(fw, 0)] - t),
+                            np.inf)
+            idx = np.where(d_fw < d_bw, fw, bw)
         idx = np.where(np.isnan(t), -1, idx)
         return pandas.Series(idx.astype("int64"))
 

@@ -251,3 +251,50 @@ class TestIntervalJoin:
             .ExplainMode.fromString("formatted"))
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestAsofNearest:
+    def test_keyed_nearest_matches_pandas(self, spark, trades, quotes):
+        got = {r["qty"]: r["px_r"]
+               for r in asof_join(trades, quotes, "ts", by="sym",
+                                  direction="nearest").collect()}
+        tp = trades.toPandas().sort_values("ts")
+        qp = quotes.toPandas().sort_values("ts")
+        exp = pd.merge_asof(tp, qp, on="ts", by="sym",
+                            direction="nearest", suffixes=("", "_r"))
+        for _, row in exp.iterrows():
+            if pd.isna(row["px"]):
+                assert got[row["qty"]] is None
+            else:
+                assert got[row["qty"]] == row["px"]
+
+    def test_nearest_tie_prefers_backward(self, spark):
+        left = spark.createDataFrame([(1, 10)], "k int, t int")
+        right = spark.createDataFrame([(1, 5, "before"), (1, 15, "after")],
+                                      "k int, t int, v string")
+        [r] = asof_join(left, right, "t", by="k",
+                        direction="nearest").collect()
+        assert r["v_r"] == "before"          # |Δ|=5 both ways → backward
+
+    def test_keyless_nearest_matches_pandas(self, spark, trades, quotes):
+        got = {r["qty"]: r["px_r"]
+               for r in asof_join(trades.drop("sym"), quotes.drop("sym"),
+                                  "ts", direction="nearest").collect()}
+        tp = trades.toPandas().sort_values("ts")
+        qp = quotes.toPandas().sort_values("ts")
+        exp = pd.merge_asof(tp, qp, on="ts", direction="nearest",
+                            suffixes=("", "_r"))
+        for _, row in exp.iterrows():
+            assert got[row["qty"]] == row["px"]
+
+    def test_nearest_with_tolerance(self, spark):
+        left = spark.createDataFrame([(1, 10.0), (1, 100.0)],
+                                     "k int, t double")
+        right = spark.createDataFrame([(1, 12.0, "x")],
+                                      "k int, t double, v string")
+        got = {r["t"]: r["v_r"]
+               for r in asof_join(left, right, "t", by="k",
+                                  direction="nearest",
+                                  tolerance=5.0).collect()}
+        assert got[10.0] == "x"              # |Δ|=2 ≤ 5
+        assert got[100.0] is None            # |Δ|=88 > 5
