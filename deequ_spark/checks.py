@@ -544,6 +544,25 @@ class Check(CamelCaseMixin, metaclass=PyDeequCompatMeta):
                                shingle_n, where=w),
             assertion, hint=hint))
 
+    def has_mad(self, column: str, assertion, hint=None) -> "Check":
+        """Median absolute deviation of a numeric column must satisfy
+        the assertion — the robust scale bound stddev checks can't give
+        on dirty data (no reference counterpart; analyzers/robust.py)."""
+        from .analyzers.robust import MedianAbsoluteDeviation
+        return self._add(lambda w: AnalysisBasedConstraint(
+            MedianAbsoluteDeviation(column, where=w), assertion, hint=hint))
+
+    def has_mad_outlier_ratio(self, column: str, assertion,
+                              k: float = 3.0, hint=None) -> "Check":
+        """Fraction of rows beyond k·1.4826·MAD of the median (Hampel
+        robust z-score) must satisfy the assertion. Unlike a stddev
+        rule, the outliers themselves cannot inflate the scale and mask
+        each other. Typical use:
+        ``check.has_mad_outlier_ratio('price', lambda r: r <= 0.01)``."""
+        from .analyzers.robust import RobustOutlierCount
+        return self._add(lambda w: AnalysisBasedConstraint(
+            RobustOutlierCount(column, k, where=w), assertion, hint=hint))
+
     def is_newest_point_non_anomalous(self, repository, strategy,
                                       analyzer: Analyzer,
                                       with_tag_values: Optional[Dict[str, str]] = None,

@@ -119,3 +119,31 @@ class TestMadOutlierFlags:
             out.sparkSession._jvm.org.apache.spark.sql.execution
             .ExplainMode.fromString("formatted"))
         assert "EvalPython" not in plan      # flag is JVM-side
+
+
+class TestRobustChecks:
+    def test_check_passes_and_fails(self, spark):
+        from deequ_spark import Check, CheckLevel, CheckStatus, \
+            VerificationSuite
+        df = spark.createDataFrame(
+            [(float(v),) for v in [10, 11, 12, 13, 14, 9999]], "x double")
+        ok = Check(CheckLevel.ERROR, "robust ok") \
+            .has_mad("x", lambda v: v == 1.5) \
+            .has_mad_outlier_ratio("x", lambda r: r <= 0.2, k=3.0)
+        bad = Check(CheckLevel.ERROR, "robust bad") \
+            .has_mad_outlier_ratio("x", lambda r: r == 0.0, k=3.0)
+        res = (VerificationSuite().on_data(df)
+               .add_check(ok).add_check(bad).run())
+        assert res.check_results[ok].status == CheckStatus.SUCCESS
+        assert res.check_results[bad].status == CheckStatus.ERROR
+
+    def test_check_where_scope(self, spark):
+        from deequ_spark import Check, CheckLevel, CheckStatus, \
+            VerificationSuite
+        rows = [(float(v), "a") for v in [1, 2, 3, 4, 5]] + [(999.0, "b")]
+        df = spark.createDataFrame(rows, "x double, g string")
+        c = Check(CheckLevel.ERROR, "scoped") \
+            .has_mad_outlier_ratio("x", lambda r: r == 0.0) \
+            .where("g = 'a'")
+        res = VerificationSuite().on_data(df).add_check(c).run()
+        assert res.check_results[c].status == CheckStatus.SUCCESS
