@@ -56,7 +56,8 @@ from .states import (FileSystemStateProvider, InMemoryStateProvider,
                      StateProvider)
 from .anomaly import (AbsoluteChangeStrategy, Anomaly, AnomalyCheckConfig,
                       AnomalyDetector, BatchNormalStrategy, DataPoint,
-                      DetectionResult, HoltWinters, OnlineNormalStrategy,
+                      DetectionResult, HoltWinters, MADStrategy,
+                      OnlineNormalStrategy,
                       RateOfChangeStrategy, RelativeRateOfChangeStrategy,
                       SimpleThresholdStrategy)
 from .comparison import (ComparisonResult, DataSynchronization,

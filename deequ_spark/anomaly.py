@@ -194,6 +194,44 @@ RateOfChangeStrategy = AbsoluteChangeStrategy
 
 
 @dataclass
+class MADStrategy(AnomalyDetectionStrategy):
+    """Robust variant of BatchNormalStrategy: median ± k·1.4826·MAD over
+    the reference window (excluding the search interval by default).
+
+    No reference counterpart — the reference's Gaussian strategies break
+    when the history itself contains anomalies (one spike inflates the
+    stddev until nothing else is flagged); MAD has a 50% breakdown
+    point, so a metric time-series polluted by past incidents still
+    yields tight bounds (same Hampel rule as analyzers/robust.py).
+    Degenerate MAD = 0 (over half the history identical) flags any
+    value different from the median."""
+    k: float = 3.0
+    include_interval: bool = False
+
+    def __post_init__(self):
+        if self.k <= 0:
+            raise ValueError("k must be positive")
+
+    def detect(self, values, search_interval=None):
+        arr = np.asarray(values, dtype=float)
+        lo, hi = self._bounds(values, search_interval)
+        ref = arr if self.include_interval \
+            else np.concatenate([arr[:lo], arr[hi:]])
+        if len(ref) == 0:
+            raise ValueError("no data points to estimate the distribution")
+        med = float(np.percentile(ref, 50))
+        mad = float(np.percentile(np.abs(ref - med), 50))
+        if mad > 0:
+            cut = self.k * 1.4826 * mad
+            lower, upper = med - cut, med + cut
+        else:
+            lower = upper = med
+        return [Anomaly(i, float(v), f"outside [{lower}, {upper}]")
+                for i, v in enumerate(arr) if lo <= i < hi
+                and not (lower <= v <= upper)]
+
+
+@dataclass
 class BatchNormalStrategy(AnomalyDetectionStrategy):
     """Mean ± k·stddev over a trailing window excluding the search interval
     (parity: BatchNormalStrategy.scala:33-90)."""

@@ -147,3 +147,53 @@ class TestRobustChecks:
             .where("g = 'a'")
         res = VerificationSuite().on_data(df).add_check(c).run()
         assert res.check_results[c].status == CheckStatus.SUCCESS
+
+
+class TestMADAnomalyStrategy:
+    def test_flags_spike_in_polluted_history(self, spark):
+        from deequ_spark import BatchNormalStrategy, MADStrategy
+        # history polluted by one past incident (500); current point 40
+        history = [10.0, 11.0, 9.0, 10.0, 500.0, 10.0, 11.0, 10.0, 9.0,
+                   10.0, 40.0]
+        search = (10, 11)
+        mad_hits = MADStrategy(k=3.0).detect(history, search)
+        assert len(mad_hits) == 1 and mad_hits[0].value == 40.0
+        # the Gaussian strategy's stddev is inflated by the 500 → blind
+        normal_hits = BatchNormalStrategy().detect(history, search)
+        assert normal_hits == []
+
+    def test_degenerate_mad_flags_any_change(self):
+        from deequ_spark import MADStrategy
+        vals = [5.0] * 9 + [5.1]
+        hits = MADStrategy().detect(vals, (9, 10))
+        assert len(hits) == 1
+
+    def test_no_false_positive_on_clean_series(self):
+        from deequ_spark import MADStrategy
+        vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2]
+        assert MADStrategy(k=3.0).detect(vals, (5, 6)) == []
+
+    def test_k_validated(self):
+        from deequ_spark import MADStrategy
+        with pytest.raises(ValueError, match="k must be positive"):
+            MADStrategy(k=0)
+
+    def test_rides_anomaly_check(self, spark):
+        from deequ_spark import (AnomalyCheckConfig, InMemoryMetricsRepository,
+                                 MADStrategy, ResultKey, Size,
+                                 VerificationSuite, CheckStatus)
+        repo = InMemoryMetricsRepository()
+        df_small = spark.range(10).toDF("x")
+        for t in range(5):
+            (VerificationSuite().on_data(df_small)
+             .use_repository(repo).save_or_append_result(ResultKey(t))
+             .add_anomaly_check(MADStrategy(k=3.0), Size(),
+                                AnomalyCheckConfig(description="size"))
+             .run())
+        df_big = spark.range(1000).toDF("x")
+        res = (VerificationSuite().on_data(df_big)
+               .use_repository(repo).save_or_append_result(ResultKey(5))
+               .add_anomaly_check(MADStrategy(k=3.0), Size(),
+                                  AnomalyCheckConfig(description="size"))
+               .run())
+        assert res.status != CheckStatus.SUCCESS
