@@ -3926,6 +3926,67 @@ _DOC_VECTORS_ORACLE_SQL = """
 """
 
 
+def q_scale_utils(spark, sf_dir):
+    """Scale utilities (diagnostics.py salted_agg + llm/packing.py
+    length_bucketize): the two-stage salted aggregation must equal a
+    plain GROUP BY exactly (sum/count/min/max/avg are algebraic — the
+    salt only changes the plan shape), and quantile length-bucketing at
+    relative_error=0 learns Greenwald-Khanna-exact cuts that equal
+    DuckDB's quantile_disc, so per-bucket populations are integer-exact
+    (assignment is strictly-greater-than the cut on both sides)."""
+    from deequ_spark.diagnostics import salted_agg
+    from deequ_spark.llm import length_bucketize
+    li = _load(spark, sf_dir, "lineitem")
+    cents = li.withColumn(
+        "price_cents", F.round(F.col("l_extendedprice") * 100).cast("long"))
+    agg = salted_agg(cents, "l_returnflag", {
+        "n": ("count", "price_cents"), "s": ("sum", "price_cents"),
+        "mn": ("min", "price_cents"), "mx": ("max", "price_cents")},
+        salt=8).collect()
+    pairs = []
+    for r in agg:
+        f = r["l_returnflag"]
+        pairs += [(f"sa_{f}_n", r["n"]), (f"sa_{f}_sum", r["s"]),
+                  (f"sa_{f}_min", r["mn"]), (f"sa_{f}_max", r["mx"])]
+    docs = _load(spark, sf_dir, "documents")
+    buckets = (length_bucketize(docs, "n_chars", n_buckets=4,
+                                relative_error=0.0)
+               .groupBy("length_bucket").count().collect())
+    pairs += [(f"lb_{r['length_bucket']}", r["count"]) for r in buckets]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_SCALE_UTILS_ORACLE_SQL = """
+    WITH sa AS (
+      SELECT l_returnflag AS f,
+             COUNT(*) AS n,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s,
+             MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mn,
+             MAX(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mx
+      FROM lineitem GROUP BY l_returnflag),
+    cuts AS (
+      SELECT quantile_disc(n_chars, 0.25) AS c1,
+             quantile_disc(n_chars, 0.50) AS c2,
+             quantile_disc(n_chars, 0.75) AS c3
+      FROM documents),
+    lb AS (
+      SELECT CASE WHEN n_chars > (SELECT c3 FROM cuts) THEN 3
+                  WHEN n_chars > (SELECT c2 FROM cuts) THEN 2
+                  WHEN n_chars > (SELECT c1 FROM cuts) THEN 1
+                  ELSE 0 END AS b
+      FROM documents)
+    SELECT metric, value FROM (
+      SELECT 'sa_' || f || '_n' AS metric, CAST(n AS DOUBLE) AS value
+      FROM sa
+      UNION ALL SELECT 'sa_' || f || '_sum', CAST(s AS DOUBLE) FROM sa
+      UNION ALL SELECT 'sa_' || f || '_min', CAST(mn AS DOUBLE) FROM sa
+      UNION ALL SELECT 'sa_' || f || '_max', CAST(mx AS DOUBLE) FROM sa
+      UNION ALL SELECT 'lb_' || b, CAST(COUNT(*) AS DOUBLE)
+      FROM lb GROUP BY b
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4002,6 +4063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "robust_stats": q_robust_stats,
         "doc_vectors": q_doc_vectors,
+        "scale_utils": q_scale_utils,
     }
 
 
@@ -4804,6 +4866,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": _INTERVAL_JOIN_ORACLE_SQL,
         "robust_stats": _ROBUST_STATS_ORACLE_SQL,
         "doc_vectors": _DOC_VECTORS_ORACLE_SQL,
+        "scale_utils": _SCALE_UTILS_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

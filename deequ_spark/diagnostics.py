@@ -128,3 +128,51 @@ def partition_report(df: DataFrame) -> DataFrame:
     return (df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows"))
             .orderBy("partition_id"))
+
+
+def salted_agg(df: DataFrame, key_cols: Union[str, Sequence[str]],
+               aggs: dict, salt: int = 16) -> DataFrame:
+    """Two-stage skew-proof aggregation: groupBy(keys + salt) partial,
+    then groupBy(keys) final merge — the fix :func:`suggest_skew_mitigation`
+    recommends when a single key exceeds a task budget (AQE can split
+    skewed *partitions* but not one giant KEY).
+
+    ``aggs`` maps output column name → ("sum"|"count"|"min"|"max"|"avg",
+    input column). All are algebraic, so partial per-salt results merge
+    exactly: sum→sum, count→sum, min→min, max→max, avg→(sum,count) pair
+    carried through the partial stage. The salt column is
+    ``pmod(hash(whole row id-ish), salt)`` — uniform, deterministic per
+    row content is NOT required (any spread works; we use a random-ish
+    spark_partition_id + monotonically_increasing_id mix so identical
+    rows still spread)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    supported = {"sum", "count", "min", "max", "avg"}
+    for name, (fn, _c) in aggs.items():
+        if fn not in supported:
+            raise ValueError(f"unsupported agg {fn!r} for {name}; "
+                             f"supported: {sorted(supported)}")
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()),
+                         F.lit(salt)))
+    partial_exprs, final_exprs = [], []
+    for name, (fn, c) in aggs.items():
+        if fn == "sum":
+            partial_exprs.append(F.sum(c).alias(f"__p_{name}"))
+            final_exprs.append(F.sum(f"__p_{name}").alias(name))
+        elif fn == "count":
+            partial_exprs.append(F.count(c).alias(f"__p_{name}"))
+            final_exprs.append(F.sum(f"__p_{name}").alias(name))
+        elif fn == "min":
+            partial_exprs.append(F.min(c).alias(f"__p_{name}"))
+            final_exprs.append(F.min(f"__p_{name}").alias(name))
+        elif fn == "max":
+            partial_exprs.append(F.max(c).alias(f"__p_{name}"))
+            final_exprs.append(F.max(f"__p_{name}").alias(name))
+        else:  # avg = exact merge via (sum, count)
+            partial_exprs.append(F.sum(c).alias(f"__ps_{name}"))
+            partial_exprs.append(F.count(c).alias(f"__pc_{name}"))
+            final_exprs.append(
+                (F.sum(f"__ps_{name}") / F.sum(f"__pc_{name}"))
+                .alias(name))
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)

@@ -42,6 +42,7 @@ from .search import (bm25_corpus_stats, bm25_topk, corpus_drift,
 from .semdedup import (assign_clusters, semantic_deduplicate,
                        semantic_duplicate_pairs)
 from .packing import (apportion_quotas, dsir_weights, hash_sample,
+                      length_bucketize,
                       importance_sample, mixture_sample,
                       pack_sequences, pack_statistics,
                       portable_hash_hex, stratified_sample)

@@ -341,3 +341,38 @@ def importance_sample(df: DataFrame, id_col: str, text_col: str,
             .withColumn("gumbel_key", key)
             .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
             .limit(k))
+
+
+def length_bucketize(df: DataFrame, length_col, n_buckets: int = 8,
+                     relative_error: float = 0.001,
+                     output_col: str = "length_bucket") -> DataFrame:
+    """Quantile length bucketing for batch shaping: assign each row to
+    one of ``n_buckets`` roughly-equal-population buckets by a length
+    (or any numeric) expression, so downstream batching groups
+    similar-length sequences and padding waste collapses.
+
+    The obvious encoding — ``ntile(n) OVER (ORDER BY len)`` — is a
+    GLOBAL sort into a single window partition: one task owns the whole
+    corpus. Instead: one ``approxQuantile`` pass learns the n−1 cut
+    points (Greenwald-Khanna sketch, driver gets n−1 doubles), then
+    assignment is a map-only ``width_bucket``-style expression — no
+    shuffle at any size, bucket populations equal to within the sketch's
+    ``relative_error``.
+
+    Returns ``df`` + integer ``output_col`` in ``[0, n_buckets)``;
+    NULL lengths get NULL buckets.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    col = F.col(length_col) if isinstance(length_col, str) else length_col
+    probe = df.select(col.cast("double").alias("__len"))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = probe.approxQuantile("__len", qs, relative_error)
+    # duplicate cuts (heavily repeated lengths) are fine: earlier bucket
+    # wins, later ones are simply empty
+    expr = F.lit(0)
+    for i, c in enumerate(cuts):
+        expr = F.when(col.cast("double") > F.lit(float(c)),
+                      F.lit(i + 1)).otherwise(expr)
+    return df.withColumn(
+        output_col, F.when(col.isNotNull(), expr).cast("int"))

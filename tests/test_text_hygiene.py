@@ -374,3 +374,84 @@ class TestHashedDocVectors:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="dim"):
             hashed_doc_vectors(df, "doc_id", "text", dim=0)
+
+
+# ---------------------------------------------------------------------------
+# salted aggregation + length bucketing
+# ---------------------------------------------------------------------------
+
+class TestSaltedAgg:
+    def test_equals_unsalted_groupby(self, spark):
+        from deequ_spark.diagnostics import salted_agg
+        rows = [("a", float(i)) for i in range(100)] + \
+               [("b", float(i)) for i in range(7)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"], r["av"])
+               for r in salted_agg(df, "k", {
+                   "n": ("count", "v"), "s": ("sum", "v"),
+                   "mn": ("min", "v"), "mx": ("max", "v"),
+                   "av": ("avg", "v")}, salt=8).collect()}
+        exp = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"], r["av"])
+               for r in df.groupBy("k").agg(
+                   F.count("v").alias("n"), F.sum("v").alias("s"),
+                   F.min("v").alias("mn"), F.max("v").alias("mx"),
+                   F.avg("v").alias("av")).collect()}
+        for k in exp:
+            assert got[k][0] == exp[k][0]
+            assert got[k][1] == pytest.approx(exp[k][1])
+            assert got[k][2:4] == exp[k][2:4]
+            assert got[k][4] == pytest.approx(exp[k][4])
+
+    def test_two_stage_plan(self, spark):
+        from deequ_spark.diagnostics import salted_agg
+        df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+        out = salted_agg(df, "k", {"s": ("sum", "v")}, salt=4)
+        plan = out._jdf.queryExecution().explainString(
+            out.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        # two aggregation exchanges: (k, salt) then (k)
+        assert plan.count("Arguments: hashpartitioning") == 2
+
+    def test_unsupported_agg_rejected(self, spark):
+        from deequ_spark.diagnostics import salted_agg
+        df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+        with pytest.raises(ValueError, match="unsupported agg"):
+            salted_agg(df, "k", {"m": ("median", "v")})
+
+
+class TestLengthBucketize:
+    def test_buckets_roughly_equal_and_ordered(self, spark):
+        from deequ_spark.llm import length_bucketize
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") % 997).cast("double").alias("len"))
+        out = length_bucketize(df, "len", n_buckets=4)
+        counts = {r["length_bucket"]: r["count"]
+                  for r in out.groupBy("length_bucket").count().collect()}
+        assert set(counts) == {0, 1, 2, 3}
+        assert all(200 <= c <= 300 for c in counts.values())
+        # monotone: larger lengths never land in smaller buckets
+        rows = out.select("len", "length_bucket").collect()
+        by_bucket = {}
+        for r in rows:
+            by_bucket.setdefault(r["length_bucket"], []).append(r["len"])
+        for b in range(3):
+            assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+
+    def test_null_and_map_only(self, spark):
+        from deequ_spark.llm import length_bucketize
+        df = spark.createDataFrame([(1, 5.0), (2, None)],
+                                   "id long, len double")
+        out = length_bucketize(df, "len", n_buckets=2)
+        got = {r["id"]: r["length_bucket"] for r in out.collect()}
+        assert got[2] is None
+        plan = out._jdf.queryExecution().explainString(
+            out.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        assert "Arguments: hashpartitioning" not in plan   # map-only
+        assert "Window" not in plan                        # no ntile
+
+    def test_bad_buckets(self, spark):
+        from deequ_spark.llm import length_bucketize
+        df = spark.createDataFrame([(1.0,)], "len double")
+        with pytest.raises(ValueError, match="n_buckets"):
+            length_bucketize(df, "len", n_buckets=1)
