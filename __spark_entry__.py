@@ -3987,6 +3987,78 @@ _SCALE_UTILS_ORACLE_SQL = """
 """
 
 
+def q_quality_score(spark, sf_dir):
+    """Quality-classifier scoring (llm/classifier.py score_quality): the
+    fastText-style linear filter's HOT PATH — hashed vector + dot
+    product + sigmoid as pure expressions, no pyspark.ml and no Python
+    at inference. Weights here are a fixed Knuth-hash sequence
+    w_b = ((b·2654435761) mod 1000)/1000 − 0.5 so the oracle derives
+    the identical model; the pre-sigmoid margin z quantizes per doc
+    (training itself is validated in pytest, where an ml-trained model
+    must separate fluent from gibberish corpora)."""
+    from deequ_spark.llm import score_quality
+    docs = _load(spark, sf_dir, "documents")
+    DIM = 16
+    weights = [((b * 2654435761) % 1000) / 1000.0 - 0.5
+               for b in range(DIM)]
+    model = {"weights": weights, "intercept": 0.125, "dim": DIM}
+    scored = score_quality(docs, "doc_id", "text", model)
+    agg = (scored.groupBy((F.col("doc_id") % 8).alias("g"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("quality_score") > 0.5).cast("long"))
+                .alias("above"),
+                F.sum(F.floor(F.col("quality_score") * 1e6)).alias("qs"))
+           .collect())
+    pairs = []
+    for r in agg:
+        pairs += [(f"g{r['g']}_n", r["n"]), (f"g{r['g']}_above", r["above"]),
+                  (f"g{r['g']}_score_sum", r["qs"])]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_QUALITY_SCORE_ORACLE_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      [CAST(ascii(c) AS BIGINT)
+                                       FOR c IN string_split(tok, '')]),
+                         (acc, x) -> (acc * 131 + x) % 2147483647) AS h
+      FROM toks),
+    per_bucket AS (
+      SELECT doc_id, h % 16 AS b,
+             SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+      FROM hashed GROUP BY doc_id, h % 16),
+    norms AS (
+      SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM per_bucket
+      GROUP BY doc_id),
+    dots AS (
+      SELECT p.doc_id,
+             SUM((p.v / n.nrm) *
+                 (CAST((p.b * 2654435761) % 1000 AS DOUBLE) / 1000.0
+                  - 0.5)) AS dot
+      FROM per_bucket p JOIN norms n USING (doc_id) WHERE n.nrm > 0
+      GROUP BY p.doc_id),
+    scores AS (
+      SELECT d.doc_id,
+             1.0 / (1.0 + exp(-(COALESCE(t.dot, 0.0) + 0.125))) AS s
+      FROM documents d LEFT JOIN dots t USING (doc_id)),
+    g AS (SELECT doc_id % 8 AS g,
+                 COUNT(*) AS n,
+                 SUM(CASE WHEN s > 0.5 THEN 1 ELSE 0 END) AS above,
+                 SUM(FLOOR(s * 1e6)) AS qs
+          FROM scores GROUP BY doc_id % 8)
+    SELECT metric, value FROM (
+      SELECT 'g' || g || '_n' AS metric, CAST(n AS DOUBLE) AS value FROM g
+      UNION ALL SELECT 'g' || g || '_above', CAST(above AS DOUBLE) FROM g
+      UNION ALL SELECT 'g' || g || '_score_sum', CAST(qs AS DOUBLE) FROM g
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4064,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_stats": q_robust_stats,
         "doc_vectors": q_doc_vectors,
         "scale_utils": q_scale_utils,
+        "quality_score": q_quality_score,
     }
 
 
@@ -4867,6 +4940,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_stats": _ROBUST_STATS_ORACLE_SQL,
         "doc_vectors": _DOC_VECTORS_ORACLE_SQL,
         "scale_utils": _SCALE_UTILS_ORACLE_SQL,
+        "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

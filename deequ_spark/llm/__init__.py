@@ -26,6 +26,7 @@ from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
 from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
                    url_deduplicate)
 from .vectors import hashed_doc_vectors
+from .classifier import score_quality, train_quality_classifier
 from .multimodal import (attach_binary_payload, audio_features, decode_audio,
                          decode_image, encode_mp3_frames, encode_mp4_skeleton,
                          fake_resize,

@@ -455,3 +455,75 @@ class TestLengthBucketize:
         df = spark.createDataFrame([(1.0,)], "len double")
         with pytest.raises(ValueError, match="n_buckets"):
             length_bucketize(df, "len", n_buckets=1)
+
+
+# ---------------------------------------------------------------------------
+# quality classifier
+# ---------------------------------------------------------------------------
+
+class TestQualityClassifier:
+    def _corpora(self, spark):
+        fluent = ["the quick brown fox jumps over the lazy dog tonight",
+                  "spark builds a logical plan and the optimizer runs it",
+                  "a clear sentence with normal english words and flow",
+                  "data pipelines read parquet files and write tables"]
+        junk = ["zxqj vwpk qqzz xjvw kjzx wqpv zzqq wjxv aa bb cc",
+                "qq zz xx jj ww vv kk pp qq zz xx jj ww vv kk pp",
+                "lorem zxq qzx xqz zqx qxz xzq lorem zxq qzx xqz",
+                "kjzx wqpv zzqq wjxv zxqj vwpk qqzz xjvw kjzx wqpv"]
+        pos = spark.createDataFrame([(t,) for t in fluent], "text string")
+        neg = spark.createDataFrame([(t,) for t in junk], "text string")
+        return pos, neg, fluent, junk
+
+    def test_train_and_separate(self, spark):
+        from deequ_spark.llm import score_quality, train_quality_classifier
+        pos, neg, fluent, junk = self._corpora(spark)
+        model = train_quality_classifier(pos, neg, "text", dim=64)
+        assert len(model["weights"]) == 64
+        test = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(fluent + junk)],
+            "doc_id long, text string")
+        scored = {r["doc_id"]: r["quality_score"]
+                  for r in score_quality(test, "doc_id", "text",
+                                         model).collect()}
+        for i in range(len(fluent)):
+            assert scored[i] > 0.5, f"fluent doc {i} scored {scored[i]}"
+        for i in range(len(fluent), len(fluent) + len(junk)):
+            assert scored[i] < 0.5, f"junk doc {i} scored {scored[i]}"
+
+    def test_score_matches_manual_sigmoid(self, spark):
+        import math
+
+        import numpy as np
+        from deequ_spark.llm import hashed_doc_vectors, score_quality
+        # fixed synthetic model — scoring must be exactly sigmoid(w·v+b)
+        dim = 16
+        rng = np.random.default_rng(3)
+        model = {"weights": [float(x) for x in rng.standard_normal(dim)],
+                 "intercept": 0.25, "dim": dim}
+        df = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                                   "doc_id long, text string")
+        [vec_row] = hashed_doc_vectors(df, "doc_id", "text",
+                                       dim=dim).collect()
+        z = sum(w * v for w, v in zip(model["weights"],
+                                      vec_row["vector"])) + 0.25
+        [r] = score_quality(df, "doc_id", "text", model).collect()
+        assert r["quality_score"] == pytest.approx(1 / (1 + math.exp(-z)))
+
+    def test_scoring_is_ml_free_and_python_free(self, spark):
+        from deequ_spark.llm import score_quality
+        model = {"weights": [0.0] * 8, "intercept": 0.0, "dim": 8}
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        out = score_quality(df, "doc_id", "text", model)
+        plan = out._jdf.queryExecution().explainString(
+            out.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        assert "EvalPython" not in plan
+
+    def test_dim_mismatch_rejected(self, spark):
+        from deequ_spark.llm import score_quality
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="weights"):
+            score_quality(df, "doc_id", "text",
+                          {"weights": [0.0] * 4, "intercept": 0.0,
+                           "dim": 8})
