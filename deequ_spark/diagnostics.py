@@ -140,11 +140,11 @@ def salted_agg(df: DataFrame, key_cols: Union[str, Sequence[str]],
     ``aggs`` maps output column name → ("sum"|"count"|"min"|"max"|"avg",
     input column). All are algebraic, so partial per-salt results merge
     exactly: sum→sum, count→sum, min→min, max→max, avg→(sum,count) pair
-    carried through the partial stage. The salt column is
-    ``pmod(hash(whole row id-ish), salt)`` — uniform, deterministic per
-    row content is NOT required (any spread works; we use a random-ish
-    spark_partition_id + monotonically_increasing_id mix so identical
-    rows still spread)."""
+    carried through the partial stage. The salt is
+    ``pmod(hash(monotonically_increasing_id()), salt)`` — per-row-slot,
+    not per-content, so IDENTICAL rows still spread across salts (a
+    content hash would send a mega-cluster of equal rows to one salt
+    and defeat the whole point)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     supported = {"sum", "count", "min", "max", "avg"}
     for name, (fn, _c) in aggs.items():

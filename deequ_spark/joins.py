@@ -252,6 +252,12 @@ def interval_join(left: DataFrame, right: DataFrame, on: str,
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
     by_list: List[str] = ([by] if isinstance(by, str) else list(by or []))
+    clash = (set(left.columns) & set(right.columns)) - set(by_list)
+    if clash:
+        raise ValueError(
+            f"left and right share non-key column names {sorted(clash)}; "
+            "rename one side before interval_join (the output carries "
+            "both sides' columns)")
     on_type = dict(left.dtypes)[on]
     l_num = _epoch_micros(F.col(on), on_type)
     r_start = _epoch_micros(F.col(start), dict(right.dtypes)[start])

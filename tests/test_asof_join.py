@@ -298,3 +298,11 @@ class TestAsofNearest:
                                   tolerance=5.0).collect()}
         assert got[10.0] == "x"              # |Δ|=2 ≤ 5
         assert got[100.0] is None            # |Δ|=88 > 5
+
+
+def test_interval_join_name_clash_rejected(spark):
+    pts = spark.createDataFrame([(1.0, "x")], "t double, lab string")
+    ivs = spark.createDataFrame([(0.0, 2.0, "y")],
+                                "s double, e double, lab string")
+    with pytest.raises(ValueError, match="share non-key column"):
+        interval_join(pts, ivs, "t", "s", "e")
