@@ -176,3 +176,49 @@ def salted_agg(df: DataFrame, key_cols: Union[str, Sequence[str]],
                 .alias(name))
     partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def file_report(spark, path: str,
+                small_file_bytes: int = 32 * 1024 * 1024,
+                target_file_bytes: int = 256 * 1024 * 1024) -> dict:
+    """Physical-layout report for a table directory: the small-files
+    check every 100 TB lake needs before a scan fleet hits it (each
+    file costs a task + open/seek overhead; thousands of KB-size files
+    turn a scan into scheduler churn).
+
+    Walks the path via the Hadoop FileSystem API (so s3a://, hdfs://,
+    file:// all work), counts data files (hidden/_SUCCESS skipped) and
+    returns totals, size distribution, the small-file fraction, and
+    ``suggested_partitions`` = ceil(total_bytes / target_file_bytes) —
+    the repartition()/maxRecordsPerFile input that would compact the
+    layout. Listing is driver-side and O(files) — cheap next to any
+    read of the data itself."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    sizes = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        sizes.append(int(f.getLen()))
+    if not sizes:
+        return {"n_files": 0, "total_bytes": 0, "small_files": 0,
+                "small_fraction": 0.0, "max_bytes": 0, "min_bytes": 0,
+                "avg_bytes": 0.0, "suggested_partitions": 0}
+    total = sum(sizes)
+    small = sum(1 for s in sizes if s < small_file_bytes)
+    return {
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "small_files": small,
+        "small_fraction": small / len(sizes),
+        "max_bytes": max(sizes),
+        "min_bytes": min(sizes),
+        "avg_bytes": total / len(sizes),
+        "suggested_partitions": -(-total // target_file_bytes),
+    }

@@ -527,3 +527,65 @@ class TestQualityClassifier:
             score_quality(df, "doc_id", "text",
                           {"weights": [0.0] * 4, "intercept": 0.0,
                            "dim": 8})
+
+
+# ---------------------------------------------------------------------------
+# compat + streaming integration for the new surface
+# ---------------------------------------------------------------------------
+
+class TestNewSurfaceIntegration:
+    def test_pydeequ_camelcase_covers_robust_checks(self, spark):
+        from deequ_spark import Check, CheckLevel, CheckStatus, \
+            VerificationSuite
+        df = spark.createDataFrame([(float(v),) for v in range(10)],
+                                   "x double")
+        c = (Check(CheckLevel.ERROR, "camel")
+             .hasMad("x", lambda v: v > 0)
+             .hasMadOutlierRatio("x", lambda r: r == 0.0))
+        res = VerificationSuite().on_data(df).add_check(c).run()
+        assert res.check_results[c].status == CheckStatus.SUCCESS
+
+    def test_asof_broadcast_path_works_on_a_stream(self, spark, tmp_path):
+        """Stream-static as-of enrichment: the keyless broadcast path is
+        a map-only projection (searchsorted pandas UDF + broadcast hash
+        join), so it applies directly to a streaming DataFrame — each
+        event picks up the latest reference row at-or-before its ts."""
+        from deequ_spark import asof_join
+        src = str(tmp_path / "stream_src")
+        spark.createDataFrame(
+            [(1, 5.0), (2, 15.0), (3, 25.0)], "id long, t double"
+        ).repartition(1).write.parquet(src)
+        static = spark.read.parquet(src)
+        rates = spark.createDataFrame(
+            [(0.0, 1.0), (10.0, 2.0), (20.0, 3.0)],
+            "t double, rate double")
+        stream = (spark.readStream.schema(static.schema).parquet(src))
+        enriched = asof_join(stream, rates, on="t")
+        assert enriched.isStreaming
+        out = []
+        q = (enriched.writeStream
+             .foreachBatch(lambda b, _i: out.extend(b.collect()))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {r["id"]: r["rate_r"] for r in out}
+        assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+
+    def test_file_report_counts_and_compaction_hint(self, spark, tmp_path):
+        from deequ_spark.diagnostics import file_report
+        path = str(tmp_path / "frag")
+        # deliberately fragmented: 8 partitions of a small table
+        spark.range(1000).repartition(8).write.parquet(path)
+        rep = file_report(spark, path, small_file_bytes=1024 * 1024,
+                          target_file_bytes=1024 * 1024)
+        assert rep["n_files"] == 8           # _SUCCESS excluded
+        assert rep["small_files"] == 8       # all tiny
+        assert rep["small_fraction"] == 1.0
+        assert rep["total_bytes"] > 0
+        assert rep["suggested_partitions"] == 1   # compact to one file
+
+    def test_file_report_empty_dir(self, spark, tmp_path):
+        import os
+        from deequ_spark.diagnostics import file_report
+        d = str(tmp_path / "empty")
+        os.makedirs(d)
+        assert file_report(spark, d)["n_files"] == 0
