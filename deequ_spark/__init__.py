@@ -80,8 +80,8 @@ from .streaming import (StreamingBatchResult, StreamingVerification,
                         streaming_fingerprint_deduplicate, verify_stream)
 from .dqdl import EvaluateDataQuality
 from .windowed import windowed_agg_plan, windowed_metrics
-from .diagnostics import (key_skew_report, partition_report,
-                          suggest_skew_mitigation)
+from .diagnostics import (file_report, key_skew_report, partition_report,
+                          salted_agg, suggest_skew_mitigation)
 from .joins import asof_join, interval_join
 from .applicability import Applicability, ApplicabilityResult
 
