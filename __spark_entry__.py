@@ -4059,6 +4059,63 @@ _QUALITY_SCORE_ORACLE_SQL = """
 """
 
 
+def q_semantic_decon(spark, sf_dir):
+    """Semantic benchmark decontamination (llm/similarity.py
+    semantic_decontaminate): corpus docs within cosine threshold of ANY
+    eval embedding are dropped — the paraphrase-robust complement of
+    13-gram lexical decontamination. Benchmark = embeddings with
+    vec_id % 50 == 0 (broadcast side); one Arrow matmul per corpus
+    batch, map-only. The oracle brute-forces max cosine per vector with
+    DuckDB's list_cosine_similarity; metrics are threshold COUNTS and
+    id-sums (thresholds sit far from attainable similarities, so
+    engine ulp differences cannot flip membership)."""
+    from deequ_spark.llm import semantic_decontaminate
+    emb = _load(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 50 == 0) \
+        .select(F.col("embedding").alias("bvec"))
+    rows = []
+    for tag, thr in (("t80", 0.80), ("t99", 0.99)):
+        clean, contam = semantic_decontaminate(
+            emb, "vec_id", "embedding", bench, "bvec", threshold=thr)
+        c = contam.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("vec_id").alias("ids")).collect()[0]
+        rows += [(f"{tag}_contaminated", c["n"]),
+                 (f"{tag}_id_sum", c["ids"] or 0),
+                 (f"{tag}_clean", clean.count())]
+    return _metrics_df(spark, sorted(rows))
+
+
+_SEMANTIC_DECON_ORACLE_SQL = """
+    WITH bench AS (
+      SELECT embedding AS bvec FROM embeddings WHERE vec_id % 50 = 0),
+    sims AS (
+      SELECT e.vec_id,
+             MAX(list_cosine_similarity(e.embedding, b.bvec)) AS s
+      FROM embeddings e CROSS JOIN bench b
+      GROUP BY e.vec_id)
+    SELECT metric, value FROM (
+      SELECT 't80_contaminated' AS metric,
+             CAST(SUM(CASE WHEN s >= 0.80 THEN 1 ELSE 0 END) AS DOUBLE)
+             AS value FROM sims
+      UNION ALL SELECT 't80_id_sum',
+        CAST(COALESCE(SUM(CASE WHEN s >= 0.80 THEN vec_id END), 0)
+             AS DOUBLE) FROM sims
+      UNION ALL SELECT 't80_clean',
+        CAST(SUM(CASE WHEN s < 0.80 THEN 1 ELSE 0 END) AS DOUBLE)
+        FROM sims
+      UNION ALL SELECT 't99_contaminated',
+        CAST(SUM(CASE WHEN s >= 0.99 THEN 1 ELSE 0 END) AS DOUBLE)
+        FROM sims
+      UNION ALL SELECT 't99_id_sum',
+        CAST(COALESCE(SUM(CASE WHEN s >= 0.99 THEN vec_id END), 0)
+             AS DOUBLE) FROM sims
+      UNION ALL SELECT 't99_clean',
+        CAST(SUM(CASE WHEN s < 0.99 THEN 1 ELSE 0 END) AS DOUBLE)
+        FROM sims
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4137,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vectors": q_doc_vectors,
         "scale_utils": q_scale_utils,
         "quality_score": q_quality_score,
+        "semantic_decon": q_semantic_decon,
     }
 
 
@@ -4941,6 +4999,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_vectors": _DOC_VECTORS_ORACLE_SQL,
         "scale_utils": _SCALE_UTILS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
+        "semantic_decon": _SEMANTIC_DECON_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

@@ -12,6 +12,7 @@ from .dedup import (deduplicate_exact, deduplicate_near,
                     winnowing_fingerprints, word_ngrams,
                     simhash_near_duplicates, tune_band_shape, word_shingles)
 from .similarity import (brute_force_topk, cosine_similarity_expr,
+                         semantic_decontaminate,
                          hyperplane_lsh_topk, ivf_assign, ivf_topk,
                          ivf_write_index, kmeans_centroids, knn_candidates,
                          knn_join)

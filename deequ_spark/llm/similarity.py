@@ -422,3 +422,62 @@ def hyperplane_lsh_topk(df: DataFrame, id_col: str, vec_col: str,
                     cosine_similarity_expr(F.col(vec_col), q).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("id"))
             .limit(k))
+
+
+def semantic_decontaminate(corpus: DataFrame, id_col: str, vec_col: str,
+                           benchmark: DataFrame, bench_vec_col: str,
+                           threshold: float = 0.95,
+                           bench_limit: int = 200_000):
+    """Embedding-space benchmark decontamination: drop corpus documents
+    whose embedding is within cosine ``threshold`` of ANY benchmark/eval
+    embedding — the semantic complement of the 13-gram lexical rule
+    (``text.decontaminate``); paraphrased eval items defeat exact n-gram
+    collision but not embedding proximity.
+
+    Returns ``(clean_corpus, contaminated)`` where ``contaminated``
+    carries ``(id, max_bench_sim)``.
+
+    Scale plan: eval sets are small (MBs), the corpus is not — so the
+    benchmark matrix BROADCASTS (guarded by ``bench_limit`` rows) and
+    each Arrow batch of corpus vectors does ONE numpy matmul against
+    it. Map-only over the corpus: no shuffle, no pairwise explosion,
+    100 TB-safe. NULL / wrong-length corpus vectors are unjudgeable and
+    pass through as clean (same contract as embedding_near_duplicates).
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    n = benchmark.count()
+    if n == 0:
+        return corpus, corpus.select(F.col(id_col)).limit(0).withColumn(
+            "max_bench_sim", F.lit(None).cast("double"))
+    if n > bench_limit:
+        raise ValueError(
+            f"benchmark has {n} rows > bench_limit={bench_limit}; the "
+            "benchmark side must broadcast — sample it or raise the limit")
+    B = np.array([r[0] for r in
+                  benchmark.select(bench_vec_col).collect()],
+                 dtype=np.float64)
+    B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+    dims = B.shape[1]
+
+    @pandas_udf("double")
+    def max_sim(vecs: pandas.Series) -> pandas.Series:
+        out = np.full(len(vecs), np.nan)
+        ok = [i for i, v in enumerate(vecs)
+              if v is not None and len(v) == dims]
+        if ok:
+            X = np.array([vecs.iloc[i] for i in ok], dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                               1e-12)
+            out[ok] = (X @ B.T).max(axis=1)
+        return pandas.Series(out)
+
+    scored = corpus.withColumn("max_bench_sim", max_sim(F.col(vec_col)))
+    contaminated = (scored.where(F.col("max_bench_sim") >= threshold)
+                    .select(id_col, "max_bench_sim"))
+    clean = (scored.where(F.col("max_bench_sim").isNull()
+                          | (F.col("max_bench_sim") < threshold))
+             .drop("max_bench_sim"))
+    return clean, contaminated

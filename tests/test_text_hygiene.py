@@ -589,3 +589,82 @@ class TestNewSurfaceIntegration:
         d = str(tmp_path / "empty")
         os.makedirs(d)
         assert file_report(spark, d)["n_files"] == 0
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination
+# ---------------------------------------------------------------------------
+
+class TestSemanticDecontaminate:
+    def test_matches_numpy_brute_force(self, spark):
+        import numpy as np
+        from deequ_spark.llm import semantic_decontaminate
+        rng = np.random.default_rng(11)
+        corpus_vecs = rng.standard_normal((40, 8))
+        bench_vecs = rng.standard_normal((5, 8))
+        corpus_vecs[7] = bench_vecs[2] * 3.0          # planted: cos = 1
+        corpus_vecs[19] = bench_vecs[0] + 0.01 * rng.standard_normal(8)
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(corpus_vecs)],
+            "id long, vec array<double>")
+        bench = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(bench_vecs)],
+            "bid long, bvec array<double>")
+        clean, contam = semantic_decontaminate(
+            corpus, "id", "vec", bench, "bvec", threshold=0.95)
+        got = {r["id"]: r["max_bench_sim"] for r in contam.collect()}
+        # independent numpy recomputation
+        Cn = corpus_vecs / np.linalg.norm(corpus_vecs, axis=1,
+                                          keepdims=True)
+        Bn = bench_vecs / np.linalg.norm(bench_vecs, axis=1, keepdims=True)
+        sims = (Cn @ Bn.T).max(axis=1)
+        expected = {i: s for i, s in enumerate(sims) if s >= 0.95}
+        assert set(got) == set(expected)
+        for i in expected:
+            assert got[i] == pytest.approx(expected[i])
+        assert clean.count() == 40 - len(expected)
+
+    def test_null_and_ragged_vectors_pass_clean(self, spark):
+        from deequ_spark.llm import semantic_decontaminate
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0, 0.0])],
+            "id long, vec array<double>")
+        bench = spark.createDataFrame([(1, [1.0, 0.0])],
+                                      "bid long, bvec array<double>")
+        clean, contam = semantic_decontaminate(
+            corpus, "id", "vec", bench, "bvec", threshold=0.9)
+        assert sorted(r["id"] for r in contam.collect()) == [1]
+        assert sorted(r["id"] for r in clean.collect()) == [2, 3]
+
+    def test_empty_benchmark_all_clean(self, spark):
+        from deequ_spark.llm import semantic_decontaminate
+        corpus = spark.createDataFrame([(1, [1.0])],
+                                       "id long, vec array<double>")
+        bench = spark.createDataFrame([], "bid long, bvec array<double>")
+        clean, contam = semantic_decontaminate(
+            corpus, "id", "vec", bench, "bvec")
+        assert clean.count() == 1 and contam.count() == 0
+
+    def test_bench_limit_guard(self, spark):
+        from deequ_spark.llm import semantic_decontaminate
+        corpus = spark.createDataFrame([(1, [1.0])],
+                                       "id long, vec array<double>")
+        bench = spark.range(10).select(
+            F.col("id").alias("bid"),
+            F.array(F.lit(1.0)).alias("bvec"))
+        with pytest.raises(ValueError, match="bench_limit"):
+            semantic_decontaminate(corpus, "id", "vec", bench, "bvec",
+                                   bench_limit=5)
+
+    def test_map_only_plan(self, spark):
+        from deequ_spark.llm import semantic_decontaminate
+        corpus = spark.createDataFrame([(1, [1.0])],
+                                       "id long, vec array<double>")
+        bench = spark.createDataFrame([(1, [1.0])],
+                                      "bid long, bvec array<double>")
+        clean, _ = semantic_decontaminate(corpus, "id", "vec",
+                                          bench, "bvec")
+        plan = clean._jdf.queryExecution().explainString(
+            clean.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        assert "Arguments: hashpartitioning" not in plan   # no shuffle
