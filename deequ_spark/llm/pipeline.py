@@ -35,8 +35,8 @@ from .dedup import (deduplicate_near, duplicate_span_removal,
                     minhash_lsh_pairs)
 from .packing import hash_sample, pack_sequences
 from .semdedup import semantic_deduplicate
-from .text import (char_trigram_model, chunk_text, fingerprint,
-                   gopher_quality_flags, lm_quality_score,
+from .text import (char_trigram_model, chunk_text, decontaminate,
+                   fingerprint, gopher_quality_flags, lm_quality_score,
                    normalize_text, paragraph_dedup,
                    remove_boilerplate_lines, token_count_whitespace)
 from .urls import url_deduplicate
@@ -69,7 +69,14 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                             dsir_k: Optional[int] = None,
                             dsir_temperature: float = 2.0,
                             url_col: Optional[str] = None,
-                            unicode_normalize: bool = False
+                            unicode_normalize: bool = False,
+                            benchmark: Optional[DataFrame] = None,
+                            bench_text_col: str = "text",
+                            decontaminate_ngram: int = 13,
+                            benchmark_embeddings: Optional[DataFrame] = None,
+                            bench_embedding_cols: Tuple[str, str]
+                            = ("doc_id", "embedding"),
+                            semantic_decon_threshold: float = 0.95
                             ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full cleanup pipeline; returns (result, stage_stats).
 
@@ -103,7 +110,17 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     first pass — one projection + one hash-groupBy, removes crawl
     re-fetches before any content work); ``unicode_normalize=True``
     runs mojibake repair + NFC + control-strip + whitespace collapse
-    (map-only) so later fingerprints/shingles see canonical bytes."""
+    (map-only) so later fingerprints/shingles see canonical bytes.
+
+    Decontamination stages (after dedup, before the LM/sampling
+    stages — the eval set must be kept out of whatever trains on the
+    output): ``benchmark=df`` drops documents sharing any
+    ``decontaminate_ngram``-gram with the eval texts (broadcast
+    semi-join, corpus never shuffled); ``benchmark_embeddings=df``
+    (small, broadcast) additionally drops documents whose embedding —
+    joined from ``embeddings`` via ``embedding_cols`` — is within
+    cosine ``semantic_decon_threshold`` of any eval embedding, the
+    paraphrase-robust complement (requires ``embeddings``)."""
     stats: Dict[str, int] = {}
 
     def note(stage: str, frame: DataFrame, cut: bool = True) -> DataFrame:
@@ -197,6 +214,30 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
         out = note("semantic_dedup", out.join(
             losers.select(F.col(emb_id).alias(id_col)),
             id_col, "left_anti"))
+
+    if benchmark is not None:
+        clean, _contaminated = decontaminate(
+            out, id_col, text_col, benchmark, bench_text_col,
+            n=decontaminate_ngram)
+        out = note("decontaminate", clean)
+
+    if benchmark_embeddings is not None:
+        if embeddings is None:
+            raise ValueError(
+                "benchmark_embeddings requires `embeddings` (the corpus "
+                "side's embedding table)")
+        from .similarity import semantic_decontaminate
+        emb_id, emb_vec = embedding_cols
+        surv = embeddings.join(
+            out.select(F.col(id_col).alias(emb_id)), emb_id, "left_semi")
+        _c, contam = semantic_decontaminate(
+            surv, emb_id, emb_vec, benchmark_embeddings,
+            bench_embedding_cols[1],
+            threshold=semantic_decon_threshold)
+        # drop flagged ids; unembedded docs are unjudgeable → pass
+        out = note("semantic_decontaminate", out.join(
+            contam.select(F.col(emb_id).alias(id_col)), id_col,
+            "left_anti"))
 
     if lm_filter_quantile is not None:
         if not 0.0 < lm_filter_quantile <= 1.0:

@@ -668,3 +668,53 @@ class TestSemanticDecontaminate:
             clean.sparkSession._jvm.org.apache.spark.sql.execution
             .ExplainMode.fromString("formatted"))
         assert "Arguments: hashpartitioning" not in plan   # no shuffle
+
+
+class TestDecontaminationPipelineStages:
+    def test_lexical_decontaminate_stage(self, spark):
+        from deequ_spark.llm import prepare_training_corpus
+        eval_text = ("what is the capital of france answer paris it is "
+                     "the largest city of the country too")
+        docs = spark.createDataFrame([
+            (1, "clean corpus document about query engines and joins"),
+            (2, "leaked: " + eval_text),
+        ], "doc_id long, text string")
+        bench = spark.createDataFrame([(eval_text,)], "text string")
+        out, stats = prepare_training_corpus(
+            docs, "doc_id", "text", quality_filter=False,
+            boilerplate=False, exact_dedup=False, near_dedup=False,
+            chunk=False, benchmark=bench, decontaminate_ngram=8)
+        ids = [r["doc_id"] for r in out.collect()]
+        assert ids == [1]
+        assert stats["decontaminate"] == 1
+
+    def test_semantic_decontaminate_stage(self, spark):
+        from deequ_spark.llm import prepare_training_corpus
+        docs = spark.createDataFrame(
+            [(i, f"document body number {i} with words") for i in (1, 2, 3)],
+            "doc_id long, text string")
+        emb = spark.createDataFrame([
+            (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+        ], "doc_id long, embedding array<double>")   # doc 3 unembedded
+        bench_emb = spark.createDataFrame(
+            [(0, [0.99, 0.01, 0.0])], "doc_id long, embedding array<double>")
+        out, stats = prepare_training_corpus(
+            docs, "doc_id", "text", quality_filter=False,
+            boilerplate=False, exact_dedup=False, near_dedup=False,
+            chunk=False, embeddings=emb, semantic_threshold=2.0,
+            benchmark_embeddings=bench_emb,
+            semantic_decon_threshold=0.95)
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == [2, 3]       # 1 ~ bench; 3 unembedded passes
+        assert stats["semantic_decontaminate"] == 2
+
+    def test_semantic_requires_embeddings(self, spark):
+        from deequ_spark.llm import prepare_training_corpus
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        bench_emb = spark.createDataFrame(
+            [(0, [1.0])], "doc_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="requires `embeddings`"):
+            prepare_training_corpus(
+                docs, "doc_id", "text", quality_filter=False,
+                boilerplate=False, exact_dedup=False, near_dedup=False,
+                chunk=False, benchmark_embeddings=bench_emb)
