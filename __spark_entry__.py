@@ -4116,6 +4116,133 @@ _SEMANTIC_DECON_ORACLE_SQL = """
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup against a persisted index (llm/incremental.py):
+    the production loop — a new batch classifies against the WHOLE
+    history via its (fingerprint, minhash-signature) index, no history
+    text touched. History = even doc_ids; the new batch is built
+    arithmetically in BOTH engines: verbatim copies (exact), copies
+    with two appended tokens (near — true Jaccard ≥ ~0.85, far above
+    the 0.5 threshold so the ±1/√64 signature estimator cannot flip
+    membership), and md5-remapped-vocabulary docs (fresh — Jaccard 0).
+    The oracle classifies by normalized-text equality and EXACT shingle
+    Jaccard."""
+    import shutil
+    import tempfile
+
+    from deequ_spark.llm import dedup_against_index, write_dedup_index
+    docs = _load(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 2 == 0)
+    remap = F.array_join(
+        F.transform(F.split(F.col("text"), " "),
+                    lambda w: F.substring(F.md5(w), 1, 8)), " ")
+    new = (docs.where(F.col("doc_id") % 10 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+           .unionByName(
+               docs.where(F.col("doc_id") % 10 == 2)
+               .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" zzq1 zzq2"))
+                       .alias("text")))
+           .unionByName(
+               docs.where(F.col("doc_id") % 10 == 1)
+               .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                       remap.alias("text"))))
+    path = tempfile.mkdtemp(prefix="deequ_incr_idx_")
+    try:
+        write_dedup_index(hist, "doc_id", "text", path)
+        fresh, dups = dedup_against_index(new, "doc_id", "text", path,
+                                          threshold=0.5)
+        by_kind = {r["match_kind"]: (r["n"], r["ids"]) for r in
+                   dups.groupBy("match_kind")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("id").alias("ids")).collect()}
+        f = fresh.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("doc_id").alias("ids")).collect()[0]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    pairs = [("n_exact", by_kind.get("exact", (0, 0))[0]),
+             ("exact_id_sum", by_kind.get("exact", (0, 0))[1] or 0),
+             ("n_near", by_kind.get("near", (0, 0))[0]),
+             ("near_id_sum", by_kind.get("near", (0, 0))[1] or 0),
+             ("n_fresh", f["n"]), ("fresh_id_sum", f["ids"] or 0)]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_INCREMENTAL_DEDUP_ORACLE_SQL = r"""
+    WITH hist AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+             AS nt, text
+      FROM documents WHERE doc_id % 2 = 0),
+    newb AS (
+      SELECT doc_id + 1000000 AS id, text FROM documents
+      WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' zzq1 zzq2' FROM documents
+      WHERE doc_id % 10 = 2
+      UNION ALL
+      SELECT doc_id + 3000000,
+             array_to_string(list_transform(
+               string_split(text, ' '), w -> substr(md5(w), 1, 8)), ' ')
+      FROM documents WHERE doc_id % 10 = 1),
+    newn AS (SELECT id,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt,
+             text FROM newb),
+    exacts AS (
+      SELECT DISTINCT n.id FROM newn n JOIN hist h ON n.nt = h.nt),
+    -- shingles (3-word, distinct) for the near check on non-exact rows
+    nw AS (SELECT id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS t
+           FROM newb WHERE id NOT IN (SELECT id FROM exacts)),
+    nsh AS (SELECT id, unnest(CASE WHEN len(t) >= 3
+            THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                FOR i IN generate_series(1, len(t)-2)])
+            ELSE [array_to_string(t, ' ')] END) AS s FROM nw),
+    hw AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS t FROM hist),
+    hsh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+            THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                FOR i IN generate_series(1, len(t)-2)])
+            ELSE [array_to_string(t, ' ')] END) AS s FROM hw),
+    nsz AS (SELECT id, COUNT(*) AS sz FROM nsh GROUP BY id),
+    hsz AS (SELECT doc_id, COUNT(*) AS sz FROM hsh GROUP BY doc_id),
+    inter AS (SELECT n.id, h.doc_id, COUNT(*) AS c
+              FROM nsh n JOIN hsh h ON n.s = h.s GROUP BY 1, 2),
+    nears AS (
+      SELECT DISTINCT i.id
+      FROM inter i JOIN nsz ON nsz.id = i.id
+                   JOIN hsz ON hsz.doc_id = i.doc_id
+      WHERE i.c * 1.0 / (nsz.sz + hsz.sz - i.c) >= 0.5),
+    cls AS (
+      SELECT id,
+             CASE WHEN id IN (SELECT id FROM exacts) THEN 'exact'
+                  WHEN id IN (SELECT id FROM nears) THEN 'near'
+                  ELSE 'fresh' END AS k
+      FROM newb)
+    SELECT metric, value FROM (
+      SELECT 'n_exact' AS metric,
+             CAST(SUM(CASE WHEN k = 'exact' THEN 1 ELSE 0 END) AS DOUBLE)
+             AS value FROM cls
+      UNION ALL SELECT 'exact_id_sum',
+        CAST(COALESCE(SUM(CASE WHEN k = 'exact' THEN id END), 0)
+             AS DOUBLE) FROM cls
+      UNION ALL SELECT 'n_near',
+        CAST(SUM(CASE WHEN k = 'near' THEN 1 ELSE 0 END) AS DOUBLE)
+        FROM cls
+      UNION ALL SELECT 'near_id_sum',
+        CAST(COALESCE(SUM(CASE WHEN k = 'near' THEN id END), 0)
+             AS DOUBLE) FROM cls
+      UNION ALL SELECT 'n_fresh',
+        CAST(SUM(CASE WHEN k = 'fresh' THEN 1 ELSE 0 END) AS DOUBLE)
+        FROM cls
+      UNION ALL SELECT 'fresh_id_sum',
+        CAST(COALESCE(SUM(CASE WHEN k = 'fresh' THEN id END), 0)
+             AS DOUBLE) FROM cls
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4195,6 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_utils": q_scale_utils,
         "quality_score": q_quality_score,
         "semantic_decon": q_semantic_decon,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -5000,6 +5128,7 @@ def oracle_sql() -> dict[str, str]:
         "scale_utils": _SCALE_UTILS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         "semantic_decon": _SEMANTIC_DECON_ORACLE_SQL,
+        "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

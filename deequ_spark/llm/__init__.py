@@ -28,6 +28,8 @@ from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
                    url_deduplicate)
 from .vectors import hashed_doc_vectors
 from .classifier import score_quality, train_quality_classifier
+from .incremental import (band_hashes, dedup_against_index,
+                          write_dedup_index)
 from .multimodal import (attach_binary_payload, audio_features, decode_audio,
                          decode_image, encode_mp3_frames, encode_mp4_skeleton,
                          fake_resize,

@@ -718,3 +718,98 @@ class TestDecontaminationPipelineStages:
                 docs, "doc_id", "text", quality_filter=False,
                 boilerplate=False, exact_dedup=False, near_dedup=False,
                 chunk=False, benchmark_embeddings=bench_emb)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted index
+# ---------------------------------------------------------------------------
+
+class TestIncrementalDedup:
+    BASE = [
+        (1, "the quick brown fox jumps over the lazy dog near the river "
+            "bank on a bright morning in early spring sunshine today"),
+        (2, "spark builds a logical plan then the optimizer picks the "
+            "physical strategy for every join and aggregate in the query"),
+        (3, "completely different text about penguins waddling across "
+            "the antarctic ice sheet in the long polar night season"),
+    ]
+
+    def _index(self, spark, tmp_path):
+        from deequ_spark.llm import write_dedup_index
+        path = str(tmp_path / "dedup_index")
+        hist = spark.createDataFrame(self.BASE, "doc_id long, text string")
+        write_dedup_index(hist, "doc_id", "text", path)
+        return path
+
+    def test_exact_near_fresh_classification(self, spark, tmp_path):
+        from deequ_spark.llm import dedup_against_index
+        path = self._index(spark, tmp_path)
+        near_text = self.BASE[0][1].replace("today", "tonight")
+        new = spark.createDataFrame([
+            (10, self.BASE[1][1]),                 # exact copy of 2
+            (11, near_text),                       # near dup of 1
+            (12, "entirely novel words zebra quartz umbrella galaxy "
+                 "fjord mosaic harvest lantern meadow cascade pebble "
+                 "thunder velvet orchid"),          # fresh
+        ], "doc_id long, text string")
+        fresh, dups = dedup_against_index(new, "doc_id", "text", path,
+                                          threshold=0.5)
+        d = {r["id"]: (r["match_kind"], r["matched_id"], r["similarity"])
+             for r in dups.collect()}
+        assert d[10][0] == "exact" and d[10][1] == 2 and d[10][2] == 1.0
+        assert d[11][0] == "near" and d[11][1] == 1
+        assert 0.5 <= d[11][2] <= 1.0
+        assert [r["doc_id"] for r in fresh.collect()] == [12]
+
+    def test_append_mode_grows_index(self, spark, tmp_path):
+        from deequ_spark.llm import dedup_against_index, write_dedup_index
+        path = self._index(spark, tmp_path)
+        batch1 = spark.createDataFrame(
+            [(20, "fresh batch one text about volcanic islands and "
+                  "coral reefs under a turquoise sky with gulls")],
+            "doc_id long, text string")
+        fresh1, _ = dedup_against_index(batch1, "doc_id", "text", path)
+        write_dedup_index(fresh1, "doc_id", "text", path, mode="append")
+        # the SAME doc in batch 2 is now an exact dup of batch 1's row
+        batch2 = batch1.withColumn("doc_id", F.lit(30).cast("long"))
+        fresh2, dups2 = dedup_against_index(batch2, "doc_id", "text", path)
+        assert fresh2.count() == 0
+        [r] = dups2.collect()
+        assert r["match_kind"] == "exact" and r["matched_id"] == 20
+
+    def test_signature_similarity_tracks_jaccard(self, spark, tmp_path):
+        """Signature agreement must approximate exact shingle Jaccard
+        (±1/sqrt(64) ≈ 0.125 at 64 hashes)."""
+        from deequ_spark.llm import dedup_against_index
+        from deequ_spark.llm.dedup import word_shingles
+        path = self._index(spark, tmp_path)
+        near_text = self.BASE[2][1].replace("polar", "arctic")
+        new = spark.createDataFrame([(40, near_text)],
+                                    "doc_id long, text string")
+        _, dups = dedup_against_index(new, "doc_id", "text", path,
+                                      threshold=0.3)
+        [r] = dups.collect()
+        both = spark.createDataFrame(
+            [(0, self.BASE[2][1]), (1, near_text)], "i long, t string")
+        sets_ = [set(x["s"]) for x in both.select(
+            word_shingles(F.col("t"), 3).alias("s")).collect()]
+        true_j = len(sets_[0] & sets_[1]) / len(sets_[0] | sets_[1])
+        assert abs(r["similarity"] - true_j) <= 0.15
+
+    def test_partner_cap_bounds_fanout(self, spark, tmp_path):
+        from deequ_spark.llm import dedup_against_index, write_dedup_index
+        path = str(tmp_path / "mega_index")
+        # history mega-cluster: 500 identical docs
+        hist = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.lit("identical boilerplate page body repeated across "
+                  "every mirror of the site forever and ever").alias("text"))
+        write_dedup_index(hist, "doc_id", "text", path)
+        new = spark.createDataFrame(
+            [(9000, "identical boilerplate page body repeated across "
+                    "every mirror of the site forever and ever X")],
+            "doc_id long, text string")
+        fresh, dups = dedup_against_index(new, "doc_id", "text", path,
+                                          threshold=0.5, partner_cap=4)
+        [r] = dups.collect()          # one witness suffices
+        assert r["match_kind"] == "near" and fresh.count() == 0
