@@ -4243,6 +4243,69 @@ _INCREMENTAL_DEDUP_ORACLE_SQL = r"""
 """
 
 
+def q_rolling_stats(spark, sf_dir):
+    """Trailing-window rolling statistics (joins.py rolling_stats): per
+    event, aggregates over the same user's events in the prior hour —
+    ONE range-frame window (one shuffle, O(1) frame state), never the
+    quadratic range self-join. Values ride as integer cents so window
+    sums/counts/mins/maxes are exact; the oracle is DuckDB's native
+    RANGE BETWEEN INTERVAL frame."""
+    from deequ_spark.joins import rolling_stats
+    from deequ_spark.sources import load_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "user_id", "ts",
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("cents")))
+    rolled = rolling_stats(ev, "ts", "cents", window_seconds=3600.0,
+                           by="user_id",
+                           stats=("sum", "count", "min", "max"))
+    agg = (rolled.groupBy((F.col("user_id") % 4).alias("g"))
+           .agg(F.sum("cents_roll_count").alias("cnt"),
+                F.sum("cents_roll_sum").alias("s"),
+                F.max("cents_roll_max").alias("mx"),
+                F.min("cents_roll_min").alias("mn"),
+                F.sum("cents_roll_min").alias("smn")).collect())
+    pairs = []
+    for r in agg:
+        pairs += [(f"g{r['g']}_windows", r["cnt"]),
+                  (f"g{r['g']}_sum", r["s"]),
+                  (f"g{r['g']}_max", r["mx"]),
+                  (f"g{r['g']}_min", r["mn"]),
+                  (f"g{r['g']}_minsum", r["smn"])]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_ROLLING_STATS_ORACLE_SQL = """
+    WITH ev AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    rolled AS (
+      SELECT user_id,
+        SUM(cents) OVER w AS rs,
+        COUNT(cents) OVER w AS rc,
+        MIN(cents) OVER w AS rmn,
+        MAX(cents) OVER w AS rmx
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                   AND CURRENT ROW)),
+    g AS (SELECT user_id % 4 AS g,
+                 SUM(rc) AS cnt, SUM(rs) AS s, MAX(rmx) AS mx,
+                 MIN(rmn) AS mn, SUM(rmn) AS smn
+          FROM rolled GROUP BY user_id % 4)
+    SELECT metric, value FROM (
+      SELECT 'g' || g || '_windows' AS metric, CAST(cnt AS DOUBLE) AS value
+      FROM g
+      UNION ALL SELECT 'g' || g || '_sum', CAST(s AS DOUBLE) FROM g
+      UNION ALL SELECT 'g' || g || '_max', CAST(mx AS DOUBLE) FROM g
+      UNION ALL SELECT 'g' || g || '_min', CAST(mn AS DOUBLE) FROM g
+      UNION ALL SELECT 'g' || g || '_minsum', CAST(smn AS DOUBLE) FROM g
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4323,6 +4386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "semantic_decon": q_semantic_decon,
         "incremental_dedup": q_incremental_dedup,
+        "rolling_stats": q_rolling_stats,
     }
 
 
@@ -5129,6 +5193,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         "semantic_decon": _SEMANTIC_DECON_ORACLE_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE_SQL,
+        "rolling_stats": _ROLLING_STATS_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

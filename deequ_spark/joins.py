@@ -312,3 +312,44 @@ def interval_join(left: DataFrame, right: DataFrame, on: str,
                          *[F.lit(None).cast(dict(right.dtypes)[c])
                            .alias(c) for c in r_cols]))
     return matched.unionByName(unmatched)
+
+
+def rolling_stats(df: DataFrame, on: str, value: str,
+                  window_seconds: float,
+                  by: Union[str, Sequence[str], None] = None,
+                  stats: Sequence[str] = ("avg", "count"),
+                  suffix: Optional[str] = None) -> DataFrame:
+    """Trailing-window statistics per row: for each row, aggregate
+    ``value`` over rows of the same ``by`` key whose ``on`` lies in
+    ``[row.on − window_seconds, row.on]`` (inclusive both ends — the
+    row itself is in its own window).
+
+    Spark shape: ONE window with a RANGE frame over the numeric view of
+    ``on`` (epoch micros for timestamps) — one shuffle on ``by``, O(1)
+    frame state per row, no self-join (the naive encoding is a range
+    self-join that explodes quadratically on dense keys).
+
+    ``stats`` ⊆ {avg, sum, count, min, max, stddev}; outputs are named
+    ``<value>_roll_<stat>`` (or ``<stat><suffix>``). Keyless = one
+    global ordering: fine for a single series, serializes on one task
+    for a huge one — pass ``by`` at scale.
+    """
+    supported = {"avg": F.avg, "sum": F.sum, "count": F.count,
+                 "min": F.min, "max": F.max, "stddev": F.stddev_samp}
+    bad = [s for s in stats if s not in supported]
+    if bad:
+        raise ValueError(f"unsupported stats {bad}; "
+                         f"supported: {sorted(supported)}")
+    by_list = [by] if isinstance(by, str) else list(by or [])
+    on_type = dict(df.dtypes)[on]
+    t = _epoch_micros(F.col(on), on_type)
+    unit = 1e6 if on_type.startswith("timestamp") else 1.0
+    # range offsets are integral: micros for timestamps, whole column
+    # units for numerics (fractional numeric windows truncate)
+    w = (Window.partitionBy(*by_list).orderBy(t.asc())
+         .rangeBetween(-int(round(window_seconds * unit)), 0))
+    out = df
+    for s in stats:
+        name = f"{s}{suffix}" if suffix else f"{value}_roll_{s}"
+        out = out.withColumn(name, supported[s](F.col(value)).over(w))
+    return out

@@ -306,3 +306,53 @@ def test_interval_join_name_clash_rejected(spark):
                                 "s double, e double, lab string")
     with pytest.raises(ValueError, match="share non-key column"):
         interval_join(pts, ivs, "t", "s", "e")
+
+
+# ---------------------------------------------------------------------------
+# rolling trailing-window stats
+# ---------------------------------------------------------------------------
+
+from deequ_spark.joins import rolling_stats  # noqa: E402
+
+
+class TestRollingStats:
+    def test_matches_naive_model(self, spark):
+        rows = [("u", _ts(0), 10.0), ("u", _ts(30), 20.0),
+                ("u", _ts(60), 30.0), ("u", _ts(200), 40.0),
+                ("v", _ts(10), 5.0)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        out = rolling_stats(df, "ts", "v", window_seconds=60.0, by="k",
+                            stats=("avg", "count", "min", "max", "sum"))
+        got = {(r["k"], r["ts"]): r for r in out.collect()}
+        for k, ts, _v in rows:
+            window = [vv for kk, tt, vv in rows
+                      if kk == k and 0 <= (ts - tt).total_seconds() <= 60]
+            r = got[(k, ts)]
+            assert r["v_roll_count"] == len(window)
+            assert r["v_roll_avg"] == pytest.approx(
+                sum(window) / len(window))
+            assert r["v_roll_min"] == min(window)
+            assert r["v_roll_max"] == max(window)
+            assert r["v_roll_sum"] == pytest.approx(sum(window))
+
+    def test_numeric_axis_and_single_exchange(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.0, 1.0), (1, 5.0, 2.0), (1, 20.0, 3.0)],
+            "k int, t double, v double")
+        out = rolling_stats(df, "t", "v", window_seconds=10, by="k",
+                            stats=("sum",))
+        # explain BEFORE any action: after collect, AQE prints final +
+        # initial plans and every node would count twice
+        plan = out._jdf.queryExecution().explainString(
+            out.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        assert plan.count("Arguments: hashpartitioning") == 1
+        assert "Join" not in plan      # never a range self-join
+        got = {r["t"]: r["v_roll_sum"] for r in out.collect()}
+        assert got == {0.0: 1.0, 5.0: 3.0, 20.0: 3.0}
+
+    def test_bad_stat_rejected(self, spark):
+        df = spark.createDataFrame([(1, 1.0, 1.0)],
+                                   "k int, t double, v double")
+        with pytest.raises(ValueError, match="unsupported stats"):
+            rolling_stats(df, "t", "v", 10, by="k", stats=("median",))
