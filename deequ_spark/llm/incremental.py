@@ -81,6 +81,10 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
     would otherwise fan every colliding new doc out 10⁶ ways, and ONE
     partner suffices to witness duplication.
     """
+    if bands > num_hashes:
+        raise ValueError(
+            f"bands={bands} > num_hashes={num_hashes}: band slices would "
+            "be empty and EVERY document would collide in every band")
     spark = new_df.sparkSession
     index = spark.read.parquet(index_path)
 

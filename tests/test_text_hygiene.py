@@ -813,3 +813,12 @@ class TestIncrementalDedup:
                                           threshold=0.5, partner_cap=4)
         [r] = dups.collect()          # one witness suffices
         assert r["match_kind"] == "near" and fresh.count() == 0
+
+    def test_bands_guard(self, spark, tmp_path):
+        from deequ_spark.llm import dedup_against_index
+        path = self._index(spark, tmp_path)
+        new = spark.createDataFrame([(50, "x y z")],
+                                    "doc_id long, text string")
+        with pytest.raises(ValueError, match="band slices would"):
+            dedup_against_index(new, "doc_id", "text", path,
+                                num_hashes=64, bands=128)

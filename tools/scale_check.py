@@ -180,10 +180,41 @@ def main() -> None:
         for c in range(10)]).repartition(32).cache()
     ev1.count(), ev10.count()
 
+    def rolling_workload(spark_, ev):
+        """Rolling trailing-window stats (joins.py): one range-frame
+        window per key — 10× events over 10× users must stay ~linear."""
+        from deequ_spark.joins import rolling_stats
+        rolled = rolling_stats(
+            ev.select("event_id", "user_id", "ts", "value"),
+            "ts", "value", window_seconds=3600.0, by="user_id",
+            stats=("sum", "count"))
+        return rolled.agg(F.sum("value_roll_count")).collect()[0][0]
+
+    def incremental_workload(spark_, pair):
+        """Incremental dedup classify (llm/incremental.py): new batch vs
+        a persisted index — fingerprint join + banded signature join,
+        both hash joins on fixed-width keys → ~linear."""
+        from deequ_spark.llm import dedup_against_index
+        docs, idx_path = pair
+        new = docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                          "text")
+        fresh, dups = dedup_against_index(new, "doc_id", "text", idx_path,
+                                          threshold=0.5)
+        return dups.count()
+
+    from deequ_spark.llm import write_dedup_index
+    idx1 = f"{workdir}/idx1"
+    idx10 = f"{workdir}/idx10"
+    write_dedup_index(docs1, "doc_id", "text", idx1)
+    write_dedup_index(docs10, "doc_id", "text", idx10)
+
     workloads = [
         ("b1_scan_fused", bench.b1_scan_fused, li1, li10),
         ("b19_asof_join", asof_workload, ev1, ev10),
         ("b20_interval_join", interval_workload, ev1, ev10),
+        ("b21_rolling_stats", rolling_workload, ev1, ev10),
+        ("b22_incremental_dedup", incremental_workload,
+         (docs1, idx1), (docs10, idx10)),
         ("b16_bm25_search", search_workload, docs1, docs10),
         ("b17_span_dedup", span_dedup_workload, docs1, docs10),
         ("b18_semantic_dedup", semdedup_workload, emb1, emb10),
