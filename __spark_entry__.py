@@ -4306,6 +4306,69 @@ _ROLLING_STATS_ORACLE_SQL = """
 """
 
 
+def q_table_diff(spark, sf_dir):
+    """Snapshot diff (comparison.py table_diff): added/removed/changed/
+    unchanged + per-column change counts from ONE full-outer join whose
+    changed test is a single xxhash64 per side (wide tables pay one hash,
+    not C comparisons). The 'new' snapshot mutates orders
+    deterministically: %7==0 rows change o_totalprice, %7==1 change
+    o_orderstatus, %11==0 rows are dropped (removed), and 100 synthetic
+    rows are appended (added) — the oracle replays the same mutations
+    and counts with plain SQL."""
+    from deequ_spark import table_diff
+    orders = _load(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+                        "o_totalprice")
+    k = F.col("o_orderkey")
+    new = (old.where(k % 11 != 0)
+           .withColumn("o_totalprice",
+                       F.when(k % 7 == 0, F.col("o_totalprice") + 1.0)
+                       .otherwise(F.col("o_totalprice")))
+           .withColumn("o_orderstatus",
+                       F.when(k % 7 == 1, F.lit("Z"))
+                       .otherwise(F.col("o_orderstatus"))))
+    added = spark.range(100).select(
+        (F.col("id") + 900_000_000).alias("o_orderkey"),
+        F.lit(1).cast("long").alias("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"))
+    new = new.unionByName(added)
+    d = table_diff(old, new, "o_orderkey")
+    pairs = [("added", d["added"]), ("removed", d["removed"]),
+             ("changed", d["changed"]), ("unchanged", d["unchanged"])]
+    pairs += [(f"col_{c}", n) for c, n in d["changed_by_column"].items()]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_TABLE_DIFF_ORACLE_SQL = """
+    WITH old AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+                        o_totalprice FROM orders),
+    survivors AS (SELECT * FROM old WHERE k % 11 <> 0),
+    changed AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS price_chg,
+             CASE WHEN k % 7 = 1 AND o_orderstatus <> 'Z' THEN 1
+                  ELSE 0 END AS status_chg
+      FROM survivors)
+    SELECT metric, value FROM (
+      SELECT 'added' AS metric, 100.0 AS value
+      UNION ALL SELECT 'removed',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM old WHERE k % 11 = 0)
+      UNION ALL SELECT 'changed',
+        (SELECT CAST(SUM(CASE WHEN price_chg = 1 OR status_chg = 1
+                         THEN 1 ELSE 0 END) AS DOUBLE) FROM changed)
+      UNION ALL SELECT 'unchanged',
+        (SELECT CAST(SUM(CASE WHEN price_chg = 0 AND status_chg = 0
+                         THEN 1 ELSE 0 END) AS DOUBLE) FROM changed)
+      UNION ALL SELECT 'col_o_custkey', 0.0
+      UNION ALL SELECT 'col_o_orderstatus',
+        (SELECT CAST(SUM(status_chg) AS DOUBLE) FROM changed)
+      UNION ALL SELECT 'col_o_totalprice',
+        (SELECT CAST(SUM(price_chg) AS DOUBLE) FROM changed)
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4387,6 +4450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decon": q_semantic_decon,
         "incremental_dedup": q_incremental_dedup,
         "rolling_stats": q_rolling_stats,
+        "table_diff": q_table_diff,
     }
 
 
@@ -5194,6 +5258,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decon": _SEMANTIC_DECON_ORACLE_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE_SQL,
         "rolling_stats": _ROLLING_STATS_ORACLE_SQL,
+        "table_diff": _TABLE_DIFF_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

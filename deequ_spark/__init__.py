@@ -61,6 +61,7 @@ from .anomaly import (AbsoluteChangeStrategy, Anomaly, AnomalyCheckConfig,
                       RateOfChangeStrategy, RelativeRateOfChangeStrategy,
                       SimpleThresholdStrategy)
 from .comparison import (ComparisonResult, DataSynchronization,
+                         table_diff,
                          DatasetMatchAnalyzer, DatasetMatchState,
                          ReferentialIntegrity, RowCountMatch, SchemaMatch)
 from .profiles import (ColumnProfile, ColumnProfilerRunner,
@@ -82,7 +83,7 @@ from .dqdl import EvaluateDataQuality
 from .windowed import windowed_agg_plan, windowed_metrics
 from .diagnostics import (file_report, key_skew_report, partition_report,
                           salted_agg, suggest_skew_mitigation)
-from .joins import asof_join, interval_join
+from .joins import asof_join, interval_join, rolling_stats
 from .applicability import Applicability, ApplicabilityResult
 
 __version__ = "0.1.0"

@@ -822,3 +822,45 @@ class TestIncrementalDedup:
         with pytest.raises(ValueError, match="band slices would"):
             dedup_against_index(new, "doc_id", "text", path,
                                 num_hashes=64, bands=128)
+
+
+# ---------------------------------------------------------------------------
+# table diff
+# ---------------------------------------------------------------------------
+
+class TestTableDiff:
+    def test_added_removed_changed_unchanged(self, spark):
+        from deequ_spark import table_diff
+        old = spark.createDataFrame([
+            (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0),
+        ], "id long, s string, v double")
+        new = spark.createDataFrame([
+            (1, "a", 10.0),            # unchanged
+            (2, "B", 20.0),            # changed: s
+            (3, "c", 33.0),            # changed: v
+            (5, "e", 50.0),            # added
+        ], "id long, s string, v double")
+        d = table_diff(old, new, "id")
+        assert d["added"] == 1 and d["removed"] == 1
+        assert d["changed"] == 2 and d["unchanged"] == 1
+        assert d["changed_by_column"] == {"s": 1, "v": 1}
+
+    def test_null_aware_compare(self, spark):
+        from deequ_spark import table_diff
+        old = spark.createDataFrame([(1, None), (2, "x")],
+                                    "id long, s string")
+        new = spark.createDataFrame([(1, None), (2, None)],
+                                    "id long, s string")
+        d = table_diff(old, new, "id")
+        assert d["unchanged"] == 1          # NULL == NULL (null-safe)
+        assert d["changed"] == 1
+        assert d["changed_by_column"]["s"] == 1
+
+    def test_compare_cols_subset(self, spark):
+        from deequ_spark import table_diff
+        old = spark.createDataFrame([(1, "a", 1.0)],
+                                    "id long, s string, v double")
+        new = spark.createDataFrame([(1, "a", 999.0)],
+                                    "id long, s string, v double")
+        d = table_diff(old, new, "id", compare_cols=["s"])
+        assert d["unchanged"] == 1 and d["changed"] == 0
