@@ -4369,6 +4369,47 @@ _TABLE_DIFF_ORACLE_SQL = """
 """
 
 
+def q_missingness(spark, sf_dir):
+    """Co-missingness patterns (diagnostics.py missingness_patterns):
+    counts of which columns are NULL TOGETHER — per-column Completeness
+    can't see that one failed upstream join nulls a column GROUP. The sf
+    tables are null-free, so nulls are injected by key arithmetic
+    (o_orderkey%3 nulls the status, %5 nulls the price) identically in
+    the oracle; the four pattern counts are pure modular counting."""
+    from deequ_spark.diagnostics import missingness_patterns
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    df = orders.select(
+        F.when(k % 3 != 0, F.col("o_orderstatus")).alias("s"),
+        F.when(k % 5 != 0, F.col("o_totalprice")).alias("p"))
+    pats = missingness_patterns(df).collect()
+    pairs = [(f"pat_{r['null_pattern'] or 'none'}", r["rows"])
+             for r in pats]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_MISSINGNESS_ORACLE_SQL = """
+    WITH f AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS ns,
+             CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS np
+      FROM orders)
+    SELECT metric, value FROM (
+      SELECT 'pat_none' AS metric,
+             CAST(SUM(CASE WHEN ns = 0 AND np = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS value FROM f
+      UNION ALL SELECT 'pat_s',
+        CAST(SUM(CASE WHEN ns = 1 AND np = 0 THEN 1 ELSE 0 END)
+             AS DOUBLE) FROM f
+      UNION ALL SELECT 'pat_p',
+        CAST(SUM(CASE WHEN ns = 0 AND np = 1 THEN 1 ELSE 0 END)
+             AS DOUBLE) FROM f
+      UNION ALL SELECT 'pat_s,p',
+        CAST(SUM(CASE WHEN ns = 1 AND np = 1 THEN 1 ELSE 0 END)
+             AS DOUBLE) FROM f
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4451,6 +4492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "rolling_stats": q_rolling_stats,
         "table_diff": q_table_diff,
+        "missingness": q_missingness,
     }
 
 
@@ -5259,6 +5301,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE_SQL,
         "rolling_stats": _ROLLING_STATS_ORACLE_SQL,
         "table_diff": _TABLE_DIFF_ORACLE_SQL,
+        "missingness": _MISSINGNESS_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

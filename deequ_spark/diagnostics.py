@@ -222,3 +222,28 @@ def file_report(spark, path: str,
         "avg_bytes": total / len(sizes),
         "suggested_partitions": -(-total // target_file_bytes),
     }
+
+
+def missingness_patterns(df: DataFrame, cols: Optional[Sequence[str]] = None,
+                         top_n: int = 20) -> DataFrame:
+    """Co-missingness analysis: counts of NULL-PATTERNS across columns —
+    per-column Completeness says how much is missing; this says which
+    columns go missing TOGETHER (one upstream join failing typically
+    nulls a whole column group, which per-column metrics can't see).
+
+    One map-side-combined groupBy over a computed pattern string
+    ("colA,colB" = exactly those columns null; "" = complete row), then
+    a TakeOrdered top-N — output bounded by min(distinct patterns,
+    top_n), never row-shaped. Column count is capped at 32 (patterns
+    grow 2^C; pass an explicit subset for wider tables)."""
+    use = list(cols) if cols is not None else list(df.columns)
+    if len(use) > 32:
+        raise ValueError(
+            f"{len(use)} columns would allow 2^{len(use)} patterns; "
+            "pass an explicit subset (<= 32 columns)")
+    pattern = F.concat_ws(",", *[
+        F.when(F.col(c).isNull(), F.lit(c)) for c in use])
+    return (df.groupBy(pattern.alias("null_pattern"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .orderBy(F.desc("rows"), F.asc("null_pattern"))
+            .limit(top_n))

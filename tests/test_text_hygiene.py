@@ -864,3 +864,24 @@ class TestTableDiff:
                                     "id long, s string, v double")
         d = table_diff(old, new, "id", compare_cols=["s"])
         assert d["unchanged"] == 1 and d["changed"] == 0
+
+
+class TestMissingnessPatterns:
+    def test_patterns_counted(self, spark):
+        from deequ_spark.diagnostics import missingness_patterns
+        rows = [("a", 1.0, "x"), ("b", None, None), ("c", None, None),
+                (None, 2.0, "y"), ("d", 3.0, None)]
+        df = spark.createDataFrame(rows, "s string, v double, t string")
+        got = {r["null_pattern"]: r["rows"]
+               for r in missingness_patterns(df).collect()}
+        assert got[""] == 1                  # one complete row
+        assert got["v,t"] == 2               # v and t null TOGETHER twice
+        assert got["s"] == 1
+        assert got["t"] == 1
+
+    def test_column_cap(self, spark):
+        from deequ_spark.diagnostics import missingness_patterns
+        df = spark.range(1).select(
+            *[F.lit(1).alias(f"c{i}") for i in range(33)])
+        with pytest.raises(ValueError, match="explicit subset"):
+            missingness_patterns(df)
