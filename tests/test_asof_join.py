@@ -356,3 +356,49 @@ class TestRollingStats:
                                    "k int, t double, v double")
         with pytest.raises(ValueError, match="unsupported stats"):
             rolling_stats(df, "t", "v", 10, by="k", stats=("median",))
+
+
+# ---------------------------------------------------------------------------
+# property test: asof_join ≡ pandas.merge_asof on random keyed series
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_series = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.integers(min_value=0, max_value=1000)),
+    min_size=1, max_size=25)
+
+
+class TestAsofProperty:
+    @settings(max_examples=12, deadline=None)
+    @given(left=_series, right=_series,
+           direction=st.sampled_from(["backward", "forward", "nearest"]))
+    def test_equals_pandas_merge_asof(self, spark, left, right, direction):
+        # distinct (key, t) per side — merge_asof tie behavior among
+        # duplicate right rows is positional, ours is unspecified
+        left = list({(k, t): None for k, t in left})
+        right = list({(k, t): None for k, t in right})
+        ldf = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(left)],
+            "k string, t int, lid int")
+        rdf = spark.createDataFrame(
+            [(k, t, float(i)) for i, (k, t) in enumerate(right)],
+            "k string, t int, rv double")
+        got = {r["lid"]: r["rv_r"]
+               for r in asof_join(ldf, rdf, on="t", by="k",
+                                  direction=direction).collect()}
+        lp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(left)],
+                          columns=["k", "t", "lid"]).sort_values("t")
+        rp = pd.DataFrame([(k, t, float(i))
+                           for i, (k, t) in enumerate(right)],
+                          columns=["k", "t", "rv"]).sort_values("t")
+        exp = pd.merge_asof(lp, rp, on="t", by="k", direction=direction,
+                            suffixes=("", "_r"))
+        for _, row in exp.iterrows():
+            if pd.isna(row["rv"]):
+                assert got[row["lid"]] is None
+            else:
+                assert got[row["lid"]] == row["rv"], (
+                    f"lid={row['lid']} direction={direction}")
