@@ -402,3 +402,26 @@ class TestAsofProperty:
             else:
                 assert got[row["lid"]] == row["rv"], (
                     f"lid={row['lid']} direction={direction}")
+
+
+class TestIntervalProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(pts=st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                                  st.integers(0, 100)),
+                        min_size=1, max_size=15),
+           ivs=st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                                  st.integers(0, 100),
+                                  st.integers(0, 40)),
+                        min_size=1, max_size=10),
+           width=st.sampled_from([1.0, 7.0, 50.0]))
+    def test_equals_naive_quadratic(self, spark, pts, ivs, width):
+        pts = [(k, t, i) for i, (k, t) in enumerate(pts)]
+        ivs = [(k, s, s + d, i) for i, (k, s, d) in enumerate(ivs)]
+        pdf = spark.createDataFrame(pts, "k string, t int, pid int")
+        idf = spark.createDataFrame(ivs, "k string, s int, e int, iid int")
+        got = sorted((r["pid"], r["iid"]) for r in
+                     interval_join(pdf, idf, "t", "s", "e", by="k",
+                                   bin_width=width).collect())
+        naive = sorted((p[2], v[3]) for p in pts for v in ivs
+                       if p[0] == v[0] and v[1] <= p[1] <= v[2])
+        assert got == naive
