@@ -4410,6 +4410,40 @@ _MISSINGNESS_ORACLE_SQL = """
 """
 
 
+def q_join_cardinality(spark, sf_dir):
+    """Pre-flight join sizing (diagnostics.py join_cardinality):
+    |A ⋈ B| computed from per-key COUNT TABLES — two reduced groupBys +
+    one count-table join, never the join itself. Oracle recomputes
+    Σ cA(k)·cB(k) and the top contributing keys in SQL."""
+    from deequ_spark.diagnostics import join_cardinality
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    est = join_cardinality(orders, "o_orderkey", li, "l_orderkey",
+                           top_n=3)
+    pairs = [("rows", est["rows"]),
+             ("matching_keys", est["matching_keys"])]
+    pairs += [(f"top_{k}", c) for k, c in est["top_keys"]]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_JOIN_CARDINALITY_ORACLE_SQL = """
+    WITH lc AS (SELECT o_orderkey AS k, COUNT(*) AS cl FROM orders
+                GROUP BY o_orderkey),
+    rc AS (SELECT l_orderkey AS k, COUNT(*) AS cr FROM lineitem
+           GROUP BY l_orderkey),
+    prod AS (SELECT lc.k, cl * cr AS contrib FROM lc JOIN rc USING (k)),
+    top3 AS (SELECT CAST(k AS VARCHAR) AS k, contrib FROM prod
+             ORDER BY contrib DESC, CAST(k AS VARCHAR) LIMIT 3)
+    SELECT metric, value FROM (
+      SELECT 'rows' AS metric,
+             (SELECT CAST(SUM(contrib) AS DOUBLE) FROM prod) AS value
+      UNION ALL SELECT 'matching_keys',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM prod)
+      UNION ALL SELECT 'top_' || k, CAST(contrib AS DOUBLE) FROM top3
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4493,6 +4527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": q_rolling_stats,
         "table_diff": q_table_diff,
         "missingness": q_missingness,
+        "join_cardinality": q_join_cardinality,
     }
 
 
@@ -5302,6 +5337,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_stats": _ROLLING_STATS_ORACLE_SQL,
         "table_diff": _TABLE_DIFF_ORACLE_SQL,
         "missingness": _MISSINGNESS_ORACLE_SQL,
+        "join_cardinality": _JOIN_CARDINALITY_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

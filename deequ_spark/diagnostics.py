@@ -247,3 +247,51 @@ def missingness_patterns(df: DataFrame, cols: Optional[Sequence[str]] = None,
             .agg(F.count(F.lit(1)).alias("rows"))
             .orderBy(F.desc("rows"), F.asc("null_pattern"))
             .limit(top_n))
+
+
+def join_cardinality(left: DataFrame, left_keys,
+                     right: DataFrame, right_keys,
+                     top_n: int = 5) -> dict:
+    """Pre-flight size of an inner equi-join WITHOUT running it:
+    |A ⋈ B| = Σ_k cA(k)·cB(k) over the per-key count tables — two
+    reduced-map-side groupBys plus a join of COUNT TABLES (one row per
+    key, not per row), so the answer costs ~distinct-keys even when the
+    join itself would explode. The classic pre-flight for fan-out
+    surprises: a 'harmless' join on a low-cardinality key producing
+    10¹² rows shows up here as a number, not an OOM three hours in.
+
+    Returns ``rows`` (exact inner-join output count), ``matching_keys``,
+    and ``top_keys`` — the ``top_n`` heaviest (key, contribution)
+    pairs, i.e. where the blow-up lives."""
+    lk = [left_keys] if isinstance(left_keys, str) else list(left_keys)
+    rk = [right_keys] if isinstance(right_keys, str) else list(right_keys)
+    if len(lk) != len(rk):
+        raise ValueError("left_keys and right_keys must align")
+    lkey = F.concat_ws("|", *[
+        F.coalesce(F.col(k).cast("string"), F.lit("␀")) for k in lk])
+    rkey = F.concat_ws("|", *[
+        F.coalesce(F.col(k).cast("string"), F.lit("␀")) for k in rk])
+    # NULL join keys never match in an equi-join: drop them first
+    lnull, rnull = [F.col(k).isNull() for k in lk], \
+        [F.col(k).isNull() for k in rk]
+    la = left.where(~F.greatest(*lnull, F.lit(False))) if len(lnull) > 1 \
+        else left.where(~lnull[0])
+    ra = right.where(~F.greatest(*rnull, F.lit(False))) if len(rnull) > 1 \
+        else right.where(~rnull[0])
+    lc = la.groupBy(lkey.alias("__k")).count() \
+        .withColumnRenamed("count", "__cl")
+    rc = ra.groupBy(rkey.alias("__k")).count() \
+        .withColumnRenamed("count", "__cr")
+    prod = lc.join(rc, "__k").withColumn(
+        "__contrib", F.col("__cl") * F.col("__cr"))
+    prod = prod.persist()
+    try:
+        tot = prod.agg(F.sum("__contrib").alias("rows"),
+                       F.count(F.lit(1)).alias("keys")).collect()[0]
+        top = (prod.orderBy(F.desc("__contrib"), F.asc("__k"))
+               .limit(top_n).collect())
+    finally:
+        prod.unpersist()
+    return {"rows": int(tot["rows"] or 0),
+            "matching_keys": int(tot["keys"]),
+            "top_keys": [(r["__k"], int(r["__contrib"])) for r in top]}

@@ -885,3 +885,32 @@ class TestMissingnessPatterns:
             *[F.lit(1).alias(f"c{i}") for i in range(33)])
         with pytest.raises(ValueError, match="explicit subset"):
             missingness_patterns(df)
+
+
+class TestJoinCardinality:
+    def test_exact_inner_join_size(self, spark):
+        from deequ_spark.diagnostics import join_cardinality
+        a = spark.createDataFrame(
+            [("x",), ("x",), ("y",), ("z",), (None,)], "k string")
+        b = spark.createDataFrame(
+            [("x",), ("x",), ("x",), ("y",), (None,)], "k string")
+        est = join_cardinality(a, "k", b, "k")
+        actual = a.join(b, "k").count()
+        assert est["rows"] == actual == 7      # 2*3 + 1*1; NULLs no match
+        assert est["matching_keys"] == 2
+        assert est["top_keys"][0] == ("x", 6)
+
+    def test_multi_key(self, spark):
+        from deequ_spark.diagnostics import join_cardinality
+        a = spark.createDataFrame([(1, "p"), (1, "p"), (2, "q")],
+                                  "i long, s string")
+        b = spark.createDataFrame([(1, "p"), (2, "q"), (2, "q")],
+                                  "i long, s string")
+        est = join_cardinality(a, ["i", "s"], b, ["i", "s"])
+        assert est["rows"] == a.join(b, ["i", "s"]).count() == 4
+
+    def test_key_arity_mismatch(self, spark):
+        from deequ_spark.diagnostics import join_cardinality
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="align"):
+            join_cardinality(df, ["k"], df, ["k", "k"])
