@@ -4444,6 +4444,57 @@ _JOIN_CARDINALITY_ORACLE_SQL = """
 """
 
 
+def q_functional_dependency(spark, sf_dir):
+    """Functional-dependency checking (diagnostics.py fd_violations +
+    Check.has_functional_dependency): does A determine B — one
+    groupBy(A) countDistinct(B), bounded output. orders o_orderkey →
+    o_custkey holds (unique keys, compliance 1.0); lineitem l_orderkey
+    → l_returnflag is heavily violated (multi-line orders mix flags). Counts exact, compliance quantized."""
+    from deequ_spark.diagnostics import fd_violations
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    ok = fd_violations(orders, "o_orderkey", "o_custkey")
+    bad = fd_violations(li, "l_orderkey", "l_returnflag")
+    pairs = [("ok_violating_keys", ok["violating_keys"]),
+             ("ok_compliance_fuzz", _fuzz(ok["compliance"])),
+             ("bad_keys", bad["keys"]),
+             ("bad_violating_keys", bad["violating_keys"]),
+             ("bad_violating_rows", bad["violating_rows"]),
+             ("bad_compliance_fuzz", _fuzz(bad["compliance"]))]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_FD_ORACLE_SQL = """
+    WITH ok AS (
+      SELECT o_orderkey, COUNT(DISTINCT COALESCE(CAST(o_custkey AS
+             VARCHAR), '?')) AS d, COUNT(*) AS n
+      FROM orders GROUP BY o_orderkey),
+    bad AS (
+      SELECT l_orderkey, COUNT(DISTINCT COALESCE(l_returnflag, '?')) AS d,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT metric, value FROM (
+      SELECT 'ok_violating_keys' AS metric,
+             (SELECT CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) FROM ok) AS value
+      UNION ALL SELECT 'ok_compliance_fuzz',
+        (SELECT FLOOR((1.0 - SUM(CASE WHEN d > 1 THEN n ELSE 0 END)
+                       * 1.0 / SUM(n)) * 1e6) FROM ok)
+      UNION ALL SELECT 'bad_keys',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM bad)
+      UNION ALL SELECT 'bad_violating_keys',
+        (SELECT CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         FROM bad)
+      UNION ALL SELECT 'bad_violating_rows',
+        (SELECT CAST(SUM(CASE WHEN d > 1 THEN n ELSE 0 END) AS DOUBLE)
+         FROM bad)
+      UNION ALL SELECT 'bad_compliance_fuzz',
+        (SELECT FLOOR((1.0 - SUM(CASE WHEN d > 1 THEN n ELSE 0 END)
+                       * 1.0 / SUM(n)) * 1e6) FROM bad)
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4528,6 +4579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "missingness": q_missingness,
         "join_cardinality": q_join_cardinality,
+        "functional_dependency": q_functional_dependency,
     }
 
 
@@ -5338,6 +5390,7 @@ def oracle_sql() -> dict[str, str]:
         "table_diff": _TABLE_DIFF_ORACLE_SQL,
         "missingness": _MISSINGNESS_ORACLE_SQL,
         "join_cardinality": _JOIN_CARDINALITY_ORACLE_SQL,
+        "functional_dependency": _FD_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

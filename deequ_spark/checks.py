@@ -563,6 +563,29 @@ class Check(CamelCaseMixin, metaclass=PyDeequCompatMeta):
         return self._add(lambda w: AnalysisBasedConstraint(
             RobustOutlierCount(column, k, where=w), assertion, hint=hint))
 
+    def has_functional_dependency(self, determinant, dependent: str,
+                                  assertion=None, hint=None) -> "Check":
+        """Fraction of rows whose ``determinant`` group holds exactly ONE
+        distinct ``dependent`` value must satisfy the assertion (default:
+        == 1.0, a strict FD). 'order_id → customer_id must never
+        disagree' as a regular constraint (no reference counterpart;
+        diagnostics.fd_violations is the standalone drill-down)."""
+        from .analyzers.scan import CustomAggregator
+
+        det = [determinant] if isinstance(determinant, str) \
+            else list(determinant)
+
+        def compute(df):
+            from .diagnostics import fd_violations
+            rep = fd_violations(df, det, dependent, top_n=0)
+            return {"compliance": rep["compliance"]}
+
+        name = f"FD({','.join(det)}->{dependent})"
+        return self._add(lambda w: AnalysisBasedConstraint(
+            CustomAggregator(compute, name),
+            (assertion or (lambda v: v == 1.0)),
+            value_picker=lambda d: d["compliance"], hint=hint))
+
     def is_newest_point_non_anomalous(self, repository, strategy,
                                       analyzer: Analyzer,
                                       with_tag_values: Optional[Dict[str, str]] = None,

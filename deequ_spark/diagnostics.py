@@ -295,3 +295,46 @@ def join_cardinality(left: DataFrame, left_keys,
     return {"rows": int(tot["rows"] or 0),
             "matching_keys": int(tot["keys"]),
             "top_keys": [(r["__k"], int(r["__contrib"])) for r in top]}
+
+
+def fd_violations(df: DataFrame, determinant, dependent,
+                  top_n: int = 10) -> dict:
+    """Functional-dependency check: does ``determinant`` (column or
+    list) uniquely determine ``dependent``? Classic schema-quality
+    probe — 'order_id → customer_id should never disagree' — that
+    per-column analyzers can't express.
+
+    One groupBy(determinant) with countDistinct(dependent): a key
+    VIOLATES when its group holds >1 distinct dependent value (NULL
+    counts as a value of its own via a sentinel). Returns violating-key
+    count, the rows they cover, the compliance ratio, and the top
+    offending keys — all from bounded aggregates."""
+    det = [determinant] if isinstance(determinant, str) \
+        else list(determinant)
+    dep_val = F.coalesce(F.col(dependent).cast("string"), F.lit("␀"))
+    key_str = F.concat_ws("|", *[
+        F.coalesce(F.col(k).cast("string"), F.lit("␀")) for k in det])
+    per_key = (df.groupBy(key_str.alias("__k"))
+               .agg(F.countDistinct(dep_val).alias("__d"),
+                    F.count(F.lit(1)).alias("__n")))
+    per_key = per_key.persist()
+    try:
+        tot = per_key.agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.sum((F.col("__d") > 1).cast("long")).alias("bad_keys"),
+            F.sum(F.when(F.col("__d") > 1, F.col("__n"))
+                  .otherwise(F.lit(0))).alias("bad_rows"),
+            F.sum("__n").alias("rows")).collect()[0]
+        top = (per_key.where(F.col("__d") > 1)
+               .orderBy(F.desc("__d"), F.desc("__n"), F.asc("__k"))
+               .limit(top_n).collect())
+    finally:
+        per_key.unpersist()
+    rows = int(tot["rows"] or 0)
+    bad_rows = int(tot["bad_rows"] or 0)
+    return {"keys": int(tot["keys"]),
+            "violating_keys": int(tot["bad_keys"] or 0),
+            "violating_rows": bad_rows,
+            "compliance": (rows - bad_rows) / rows if rows else 1.0,
+            "top_violations": [(r["__k"], int(r["__d"]), int(r["__n"]))
+                               for r in top]}

@@ -914,3 +914,38 @@ class TestJoinCardinality:
         df = spark.createDataFrame([(1,)], "k long")
         with pytest.raises(ValueError, match="align"):
             join_cardinality(df, ["k"], df, ["k", "k"])
+
+
+class TestFunctionalDependency:
+    def test_fd_violations_report(self, spark):
+        from deequ_spark.diagnostics import fd_violations
+        rows = [(1, "a"), (1, "a"), (2, "b"), (2, "c"), (3, None),
+                (3, None), (4, "d"), (4, None)]
+        df = spark.createDataFrame(rows, "k long, v string")
+        rep = fd_violations(df, "k", "v")
+        assert rep["keys"] == 4
+        assert rep["violating_keys"] == 2          # k=2 (b,c), k=4 (d,NULL)
+        assert rep["violating_rows"] == 4
+        assert rep["compliance"] == pytest.approx(0.5)
+        assert rep["top_violations"][0][1] == 2    # 2 distinct values
+
+    def test_check_surface(self, spark):
+        from deequ_spark import Check, CheckLevel, CheckStatus, \
+            VerificationSuite
+        good = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")],
+                                     "o long, c string")
+        bad = spark.createDataFrame([(1, "a"), (1, "b")],
+                                    "o long, c string")
+        chk = Check(CheckLevel.ERROR, "fd") \
+            .has_functional_dependency("o", "c")
+        ok = VerificationSuite().on_data(good).add_check(chk).run()
+        assert ok.check_results[chk].status == CheckStatus.SUCCESS
+        chk2 = Check(CheckLevel.ERROR, "fd2") \
+            .has_functional_dependency("o", "c")
+        ko = VerificationSuite().on_data(bad).add_check(chk2).run()
+        assert ko.check_results[chk2].status == CheckStatus.ERROR
+        # threshold assertion: 0 of 2 rows comply -> 0.0 passes <= 0.5
+        chk3 = Check(CheckLevel.ERROR, "fd3") \
+            .has_functional_dependency("o", "c", lambda v: v <= 0.5)
+        ok3 = VerificationSuite().on_data(bad).add_check(chk3).run()
+        assert ok3.check_results[chk3].status == CheckStatus.SUCCESS
