@@ -4495,6 +4495,49 @@ _FD_ORACLE_SQL = """
 """
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit analysis (diagnostics.py benford_deviation):
+    the fabricated-data screen — observed first-significant-digit
+    proportions vs log10(1+1/d), chi-square and Nigrini MAD. One
+    aggregation over floor(x/10^floor(log10 x)); digit counts exact in
+    both engines, statistics quantized."""
+    from deequ_spark.diagnostics import benford_deviation
+    li = _load(spark, sf_dir, "lineitem")
+    rep = benford_deviation(li, "l_extendedprice")
+    pairs = [("n", rep["n"]),
+             ("chi2_fuzz", _fuzz(rep["chi_square"])),
+             ("mad_fuzz", _fuzz(rep["mad"]))]
+    pairs += [(f"d{d}_fuzz", _fuzz(p)) for d, p in rep["observed"].items()]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_BENFORD_ORACLE_SQL = """
+    WITH pos AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                 FROM lineitem WHERE l_extendedprice > 0),
+    digits AS (SELECT CAST(FLOOR(x / POW(10.0, FLOOR(LOG10(x)))) AS INT)
+               AS d FROM pos),
+    counts AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    allx AS (SELECT unnest(range(1, 10)) AS d),
+    filled AS (SELECT allx.d, COALESCE(counts.n, 0) AS n
+               FROM allx LEFT JOIN counts ON allx.d = counts.d),
+    tot AS (SELECT SUM(n) AS t FROM filled),
+    stats AS (
+      SELECT SUM(POW(n - LOG10(1 + 1.0/d) * (SELECT t FROM tot), 2)
+                 / (LOG10(1 + 1.0/d) * (SELECT t FROM tot))) AS chi2,
+             SUM(ABS(n * 1.0 / (SELECT t FROM tot)
+                     - LOG10(1 + 1.0/d))) / 9 AS mad
+      FROM filled)
+    SELECT metric, value FROM (
+      SELECT 'n' AS metric, (SELECT CAST(t AS DOUBLE) FROM tot) AS value
+      UNION ALL SELECT 'chi2_fuzz', (SELECT FLOOR(chi2 * 1e6) FROM stats)
+      UNION ALL SELECT 'mad_fuzz', (SELECT FLOOR(mad * 1e6) FROM stats)
+      UNION ALL SELECT 'd' || d || '_fuzz',
+        FLOOR(n * 1.0 / (SELECT t FROM tot) * 1e6)
+      FROM filled WHERE n > 0
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4580,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missingness": q_missingness,
         "join_cardinality": q_join_cardinality,
         "functional_dependency": q_functional_dependency,
+        "benford": q_benford,
     }
 
 
@@ -5391,6 +5435,7 @@ def oracle_sql() -> dict[str, str]:
         "missingness": _MISSINGNESS_ORACLE_SQL,
         "join_cardinality": _JOIN_CARDINALITY_ORACLE_SQL,
         "functional_dependency": _FD_ORACLE_SQL,
+        "benford": _BENFORD_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

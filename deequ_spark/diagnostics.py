@@ -338,3 +338,34 @@ def fd_violations(df: DataFrame, determinant, dependent,
             "compliance": (rows - bad_rows) / rows if rows else 1.0,
             "top_violations": [(r["__k"], int(r["__d"]), int(r["__n"]))
                                for r in top]}
+
+
+def benford_deviation(df: DataFrame, column: str) -> dict:
+    """First-significant-digit distribution vs Benford's law — the
+    classic screen for fabricated or unit-mangled numeric data (genuine
+    multi-scale positive measurements follow P(d) = log10(1 + 1/d);
+    hand-entered or truncated data usually doesn't).
+
+    One aggregation over ``floor(x / 10^floor(log10(x)))`` for positive
+    values (zero/negative/NULL excluded — Benford applies to positive
+    magnitudes). Returns per-digit observed proportions, the expected
+    law, the chi-square statistic, and the mean absolute deviation of
+    proportions (Nigrini's MAD; < 0.006 conforming, > 0.015 suspect)."""
+    import math
+    x = F.col(column).cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    counts = (df.where(x > 0)
+              .groupBy(digit.cast("int").alias("d"))
+              .agg(F.count(F.lit(1)).alias("n")).collect())
+    obs = {int(r["d"]): int(r["n"]) for r in counts}
+    total = sum(obs.values())
+    expected = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    if total == 0:
+        return {"n": 0, "observed": {}, "expected": expected,
+                "chi_square": None, "mad": None}
+    props = {d: obs.get(d, 0) / total for d in range(1, 10)}
+    chi2 = sum((obs.get(d, 0) - expected[d] * total) ** 2
+               / (expected[d] * total) for d in range(1, 10))
+    mad = sum(abs(props[d] - expected[d]) for d in range(1, 10)) / 9
+    return {"n": total, "observed": props, "expected": expected,
+            "chi_square": chi2, "mad": mad}

@@ -949,3 +949,32 @@ class TestFunctionalDependency:
             .has_functional_dependency("o", "c", lambda v: v <= 0.5)
         ok3 = VerificationSuite().on_data(bad).add_check(chk3).run()
         assert ok3.check_results[chk3].status == CheckStatus.SUCCESS
+
+
+class TestBenford:
+    def test_benford_conforming_series(self, spark):
+        import math
+        from deequ_spark.diagnostics import benford_deviation
+        # 2^k is a classic Benford-conforming sequence
+        df = spark.createDataFrame([(float(2 ** k),) for k in range(200)],
+                                   "x double")
+        rep = benford_deviation(df, "x")
+        assert rep["n"] == 200
+        assert rep["mad"] < 0.01                  # conforming
+        assert abs(rep["observed"][1] - math.log10(2)) < 0.03
+
+    def test_uniform_data_flagged(self, spark):
+        from deequ_spark.diagnostics import benford_deviation
+        # uniform 100..999: every first digit equally likely — violates
+        df = spark.createDataFrame([(float(100 + i),) for i in range(900)],
+                                   "x double")
+        rep = benford_deviation(df, "x")
+        assert rep["mad"] > 0.015                 # Nigrini 'suspect'
+        assert rep["observed"][9] == pytest.approx(1 / 9, abs=0.01)
+
+    def test_nonpositive_excluded(self, spark):
+        from deequ_spark.diagnostics import benford_deviation
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (None,), (123.0,)], "x double")
+        rep = benford_deviation(df, "x")
+        assert rep["n"] == 1 and rep["observed"][1] == 1.0
