@@ -4538,6 +4538,50 @@ _BENFORD_ORACLE_SQL = """
 """
 
 
+def q_sliced_analysis(spark, sf_dir):
+    """Sliced analysis (slicing.py sliced_metrics): the engine's fused-
+    scan trick under groupBy — N scan-shareable analyzers × G data
+    slices in ONE aggregation job (asserted in tests). Size/Mean/Min/
+    Max/Sum of lineitem per l_returnflag slice; the oracle is the plain
+    GROUP BY those analyzers compile to."""
+    from deequ_spark import (Maximum, Mean, Minimum, Size, Sum,
+                             sliced_metrics)
+    li = _load(spark, sf_dir, "lineitem")
+    out = sliced_metrics(li, "l_returnflag",
+                         [Size(), Mean("l_quantity"),
+                          Minimum("l_extendedprice"),
+                          Maximum("l_extendedprice"),
+                          Sum("l_quantity")])
+    pairs = []
+    for key, mm in out.items():
+        f = key[0]
+        for a, m in mm.items():
+            if not m.is_success:
+                continue
+            name = type(a).__name__.lower()
+            v = m.value
+            pairs.append((f"{f}_{name}_fuzz", _fuzz(v))
+                         if name == "mean" else (f"{f}_{name}", v))
+    return _metrics_df(spark, sorted(pairs))
+
+
+_SLICED_ANALYSIS_ORACLE_SQL = """
+    WITH g AS (
+      SELECT l_returnflag AS f, COUNT(*) AS sz,
+             AVG(l_quantity) AS mean_q,
+             MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+             SUM(l_quantity) AS sq
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT metric, value FROM (
+      SELECT f || '_size' AS metric, CAST(sz AS DOUBLE) AS value FROM g
+      UNION ALL SELECT f || '_mean_fuzz', FLOOR(mean_q * 1e6) FROM g
+      UNION ALL SELECT f || '_minimum', mn FROM g
+      UNION ALL SELECT f || '_maximum', mx FROM g
+      UNION ALL SELECT f || '_sum', CAST(sq AS DOUBLE) FROM g
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4624,6 +4668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality": q_join_cardinality,
         "functional_dependency": q_functional_dependency,
         "benford": q_benford,
+        "sliced_analysis": q_sliced_analysis,
     }
 
 
@@ -5436,6 +5481,7 @@ def oracle_sql() -> dict[str, str]:
         "join_cardinality": _JOIN_CARDINALITY_ORACLE_SQL,
         "functional_dependency": _FD_ORACLE_SQL,
         "benford": _BENFORD_ORACLE_SQL,
+        "sliced_analysis": _SLICED_ANALYSIS_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

@@ -1,0 +1,94 @@
+"""Sliced analysis — every scan-shareable analyzer computed PER DATA
+SLICE in one fused groupBy pass.
+
+The engine's core trick (reference AnalysisRunner.scala:355-371: N
+analyzers fuse into ONE ``df.agg``) extended to the per-partition
+quality question every lake has — "Completeness of email per SOURCE",
+"mean price per ingest DAY" — without running one filtered pass per
+slice: the same fused expression list runs under
+``groupBy(slice_cols)``, so N analyzers × G slices cost ONE shuffle,
+identical to a single groupBy aggregation of the data.
+
+Driver-side output is one metric row per (slice, analyzer) — bounded by
+``max_slices`` (high-cardinality slice columns belong in a grouping
+analyzer, not a slicer).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analyzers.base import ScanShareableAnalyzer
+from .checks import Check, CheckStatus
+from .metrics import Metric
+
+__all__ = ["sliced_metrics", "sliced_verification"]
+
+
+def _fused(df: DataFrame, slice_cols: List[str],
+           analyzers: Sequence[ScanShareableAnalyzer],
+           max_slices: int):
+    for a in analyzers:
+        if not isinstance(a, ScanShareableAnalyzer):
+            raise ValueError(
+                f"{type(a).__name__} is not scan-shareable; sliced "
+                "analysis fuses aggregation expressions — grouping "
+                "analyzers (Uniqueness/Histogram/...) need their own "
+                "frequency pass per design")
+    aggregations, offsets = [], []
+    current = len(slice_cols)          # slice key columns come first
+    for a in analyzers:
+        aggs = a.aggregation_functions()
+        aggregations.extend(aggs)
+        offsets.append(current)
+        current += len(aggs)
+    rows = (df.groupBy(*[F.col(c) for c in slice_cols])
+            .agg(*aggregations)
+            .limit(max_slices + 1).collect())
+    if len(rows) > max_slices:
+        raise ValueError(
+            f"more than max_slices={max_slices} slices; a slice column "
+            "this granular belongs in a grouping analyzer")
+    return rows, offsets
+
+
+def sliced_metrics(df: DataFrame, slice_cols: Union[str, Sequence[str]],
+                   analyzers: Sequence[ScanShareableAnalyzer],
+                   max_slices: int = 10_000
+                   ) -> Dict[Tuple, Dict[ScanShareableAnalyzer, Metric]]:
+    """``{slice_key_tuple: {analyzer: Metric}}`` — all metrics for all
+    slices from ONE aggregation job. Precondition failures surface as
+    failure metrics (never exceptions), matching the runner contract."""
+    cols = [slice_cols] if isinstance(slice_cols, str) else list(slice_cols)
+    for a in analyzers:
+        for check in a.preconditions():
+            check(df.schema)
+    rows, offsets = _fused(df, cols, analyzers, max_slices)
+    out: Dict[Tuple, Dict[ScanShareableAnalyzer, Metric]] = {}
+    for row in rows:
+        key = tuple(row[i] for i in range(len(cols)))
+        out[key] = {
+            a: a.metric_from_aggregation_result(row, off)
+            for a, off in zip(analyzers, offsets)}
+    return out
+
+
+def sliced_verification(df: DataFrame,
+                        slice_cols: Union[str, Sequence[str]],
+                        check: Check,
+                        max_slices: int = 10_000) -> Dict[Tuple, CheckStatus]:
+    """Evaluate ONE Check independently on every slice — per-source /
+    per-day quality gates from a single fused pass. Returns
+    ``{slice_key_tuple: CheckStatus}``.
+
+    Restricted to checks whose constraints ride scan-shareable
+    analyzers (the overwhelmingly common case: completeness, compliance,
+    min/max/mean/size bounds...)."""
+    analyzers = list(dict.fromkeys(check.required_analyzers()))
+    metrics_by_slice = sliced_metrics(df, slice_cols, analyzers,
+                                      max_slices=max_slices)
+    return {key: check.evaluate(mm).status
+            for key, mm in metrics_by_slice.items()}

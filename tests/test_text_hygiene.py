@@ -978,3 +978,59 @@ class TestBenford:
             [(-5.0,), (0.0,), (None,), (123.0,)], "x double")
         rep = benford_deviation(df, "x")
         assert rep["n"] == 1 and rep["observed"][1] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# sliced analysis: per-group metrics/checks in ONE fused pass
+# ---------------------------------------------------------------------------
+
+class TestSlicedAnalysis:
+    def _df(self, spark):
+        rows = [("web", 1.0, "a"), ("web", 2.0, None), ("web", 3.0, "c"),
+                ("api", 10.0, "d"), ("api", None, "e")]
+        return spark.createDataFrame(rows, "src string, v double, s string")
+
+    def test_sliced_metrics_values(self, spark):
+        from deequ_spark import Completeness, Mean, Size, sliced_metrics
+        out = sliced_metrics(self._df(spark), "src",
+                             [Size(), Mean("v"), Completeness("s")])
+        vals = {k[0]: {type(a).__name__: m.value
+                       for a, m in mm.items() if m.is_success}
+                for k, mm in out.items()}
+        assert vals["web"]["Size"] == 3
+        assert vals["web"]["Mean"] == pytest.approx(2.0)
+        assert vals["web"]["Completeness"] == pytest.approx(2 / 3)
+        assert vals["api"]["Size"] == 2
+        assert vals["api"]["Mean"] == pytest.approx(10.0)
+        assert vals["api"]["Completeness"] == 1.0
+
+    def test_one_job_for_all_slices_and_analyzers(self, spark):
+        from deequ_spark import Completeness, Mean, Size, sliced_metrics
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        sliced_metrics(self._df(spark), "src",
+                       [Size(), Mean("v"), Completeness("s")])
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after - before <= 2     # one agg job (+ possible AQE stage)
+
+    def test_sliced_verification(self, spark):
+        from deequ_spark import (Check, CheckLevel, CheckStatus,
+                                 sliced_verification)
+        check = (Check(CheckLevel.ERROR, "slice gate")
+                 .is_complete("s")
+                 .has_size(lambda n: n >= 2))
+        got = sliced_verification(self._df(spark), "src", check)
+        assert got[("api",)] == CheckStatus.SUCCESS
+        assert got[("web",)] == CheckStatus.ERROR     # s incomplete
+
+    def test_grouping_analyzer_rejected(self, spark):
+        from deequ_spark import Uniqueness, sliced_metrics
+        with pytest.raises(ValueError, match="not scan-shareable"):
+            sliced_metrics(self._df(spark), "src", [Uniqueness(("s",))])
+
+    def test_max_slices_guard(self, spark):
+        from deequ_spark import Size, sliced_metrics
+        df = spark.range(100).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="max_slices"):
+            sliced_metrics(df, "k", [Size()], max_slices=10)
