@@ -425,3 +425,47 @@ class TestIntervalProperty:
         naive = sorted((p[2], v[3]) for p in pts for v in ivs
                        if p[0] == v[0] and v[1] <= p[1] <= v[2])
         assert got == naive
+
+
+class TestRollingProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(rows=st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                                   st.integers(0, 50),
+                                   st.integers(-5, 5)),
+                         min_size=1, max_size=20),
+           win=st.sampled_from([0, 3, 10]))
+    def test_equals_naive_trailing_window(self, spark, rows, win):
+        # distinct (k, t): ties within a RANGE frame are all included
+        # anyway, but distinct keys make the naive model unambiguous
+        rows = [(k, t, float(v)) for (k, t), v in
+                {(k, t): v for k, t, v in rows}.items()]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        out = rolling_stats(df, "t", "v", window_seconds=win, by="k",
+                            stats=("sum", "count"))
+        got = {(r["k"], r["t"]): (r["v_roll_sum"], r["v_roll_count"])
+               for r in out.collect()}
+        for k, t, _v in rows:
+            w = [v for kk, tt, v in rows
+                 if kk == k and t - win <= tt <= t]
+            assert got[(k, t)][1] == len(w)
+            assert got[(k, t)][0] == pytest.approx(sum(w))
+
+
+class TestTableDiffProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(old=st.dictionaries(st.integers(0, 30),
+                               st.integers(0, 3), max_size=20),
+           new=st.dictionaries(st.integers(0, 30),
+                               st.integers(0, 3), max_size=20))
+    def test_counts_partition_the_key_space(self, spark, old, new):
+        from deequ_spark import table_diff
+        odf = spark.createDataFrame(list(old.items()) or [(None, None)],
+                                    "id int, v int").where("id is not null")
+        ndf = spark.createDataFrame(list(new.items()) or [(None, None)],
+                                    "id int, v int").where("id is not null")
+        d = table_diff(odf, ndf, "id")
+        assert d["added"] == len(set(new) - set(old))
+        assert d["removed"] == len(set(old) - set(new))
+        both = set(old) & set(new)
+        assert d["changed"] == sum(1 for k in both if old[k] != new[k])
+        assert d["unchanged"] == sum(1 for k in both if old[k] == new[k])
