@@ -4582,6 +4582,59 @@ _SLICED_ANALYSIS_ORACLE_SQL = """
 """
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (llm/text.py ngram_novelty): the
+    fraction of a doc's distinct word trigrams appearing in NO other
+    document — cross-document template mass that per-doc repetition
+    metrics can't see. One explode + one gram-df groupBy + join back;
+    novel/total gram counts are integer-exact per doc_id%10 bucket."""
+    from deequ_spark.llm import ngram_novelty
+    docs = _load(spark, sf_dir, "documents")
+    out = ngram_novelty(docs, "doc_id", "text", n=3)
+    agg = (out.groupBy((F.col("doc_id") % 10).alias("g"))
+           .agg(F.sum("novel_grams").alias("nv"),
+                F.sum("total_grams").alias("tt"),
+                F.count(F.lit(1)).alias("n")).collect())
+    pairs = []
+    for r in agg:
+        pairs += [(f"g{r['g']}_novel", r["nv"]), (f"g{r['g']}_total",
+                                                  r["tt"]),
+                  (f"g{r['g']}_docs", r["n"])]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_NGRAM_NOVELTY_ORACLE_SQL = r"""
+    WITH toks AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> x <> '') AS t
+        FROM documents),
+    sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+            THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                FOR i IN generate_series(1, len(t)-2)])
+            ELSE [array_to_string(t, ' ')] END AS s FROM toks),
+    w AS (SELECT doc_id, unnest(s) AS g FROM sh
+          WHERE len(s) > 0),
+    wne AS (SELECT doc_id, g FROM w WHERE trim(g) <> ''),
+    gdf AS (SELECT g, COUNT(*) AS df FROM wne GROUP BY g),
+    per_doc AS (
+      SELECT wne.doc_id, COUNT(*) AS total,
+             SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS novel
+      FROM wne JOIN gdf USING (g) GROUP BY wne.doc_id),
+    filled AS (
+      SELECT d.doc_id % 10 AS grp, COALESCE(p.novel, 0) AS novel,
+             COALESCE(p.total, 0) AS total
+      FROM documents d LEFT JOIN per_doc p USING (doc_id))
+    SELECT metric, value FROM (
+      SELECT 'g' || grp || '_novel' AS metric,
+             CAST(SUM(novel) AS DOUBLE) AS value FROM filled GROUP BY grp
+      UNION ALL SELECT 'g' || grp || '_total', CAST(SUM(total) AS DOUBLE)
+      FROM filled GROUP BY grp
+      UNION ALL SELECT 'g' || grp || '_docs', CAST(COUNT(*) AS DOUBLE)
+      FROM filled GROUP BY grp
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4669,6 +4722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functional_dependency": q_functional_dependency,
         "benford": q_benford,
         "sliced_analysis": q_sliced_analysis,
+        "ngram_novelty": q_ngram_novelty,
     }
 
 
@@ -5482,6 +5536,7 @@ def oracle_sql() -> dict[str, str]:
         "functional_dependency": _FD_ORACLE_SQL,
         "benford": _BENFORD_ORACLE_SQL,
         "sliced_analysis": _SLICED_ANALYSIS_ORACLE_SQL,
+        "ngram_novelty": _NGRAM_NOVELTY_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

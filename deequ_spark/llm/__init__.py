@@ -23,7 +23,8 @@ from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
                    top_ngram_char_fraction,
                    language_id_trigrams, pii_counts, redact_pii, text_quality,
                    token_count_regex, token_count_whitespace, trigram_score,
-                   decontaminate, mojibake_marker_count, normalize_text)
+                   decontaminate, mojibake_marker_count, ngram_novelty,
+                   normalize_text)
 from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
                    url_deduplicate)
 from .vectors import hashed_doc_vectors

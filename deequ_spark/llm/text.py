@@ -645,3 +645,45 @@ def normalize_text(df: DataFrame, text_col: str, *,
         cleaned = F.regexp_replace(cleaned, r" ?\n ?", "\n")
         cleaned = F.trim(cleaned)
     return result.withColumn(out, cleaned)
+
+
+def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3, max_gram_df: int = 10_000) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word n-grams that appear in NO other document — low
+    novelty flags template/boilerplate-heavy text that per-doc
+    repetition metrics miss (the repetition is ACROSS documents), and
+    high duplication mass invisible to exact/near dedup thresholds.
+
+    Plan: one explode of distinct shingles → one map-side-combined
+    groupBy(gram) document-frequency count (``max_gram_df`` caps the
+    count per gram — beyond 'shared' the exact df doesn't matter, so
+    ANSI-safe and skew-bounded) → broadcast-eligible join back → per-doc
+    ratio. Adds ``novel_grams``, ``total_grams``, ``novelty`` (NULL for
+    docs with no n-grams).
+    """
+    from .dedup import word_shingles
+    # word_shingles falls back to [whole text] for short docs — an EMPTY
+    # doc would contribute one "" gram and read as 100% novel; drop it
+    grams = df.select(F.col(id_col),
+                      F.explode(F.filter(
+                          word_shingles(F.col(text_col), n),
+                          lambda g: F.length(F.trim(g)) > 0))
+                      .alias("__g"))
+    gram_df = (grams.groupBy("__g")
+               .agg(F.least(F.count(F.lit(1)),
+                            F.lit(max_gram_df)).alias("__df")))
+    per_doc = (grams.join(gram_df, "__g")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("total_grams"),
+                    F.sum((F.col("__df") == 1).cast("long"))
+                    .alias("novel_grams")))
+    return (df.join(per_doc, id_col, "left")
+            .withColumn("total_grams",
+                        F.coalesce(F.col("total_grams"), F.lit(0)))
+            .withColumn("novel_grams",
+                        F.coalesce(F.col("novel_grams"), F.lit(0)))
+            .withColumn("novelty",
+                        F.when(F.col("total_grams") > 0,
+                               F.col("novel_grams")
+                               / F.col("total_grams"))))

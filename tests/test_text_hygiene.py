@@ -1034,3 +1034,39 @@ class TestSlicedAnalysis:
         df = spark.range(100).select(F.col("id").alias("k"))
         with pytest.raises(ValueError, match="max_slices"):
             sliced_metrics(df, "k", [Size()], max_slices=10)
+
+
+class TestNgramNovelty:
+    def test_novelty_values(self, spark):
+        from deequ_spark.llm import ngram_novelty
+        docs = spark.createDataFrame([
+            (1, "alpha beta gamma delta epsilon"),      # all unique
+            (2, "alpha beta gamma delta zeta"),         # shares 2 grams w/ 1
+            (3, "totally different words entirely here"),
+            (4, "xy"),                                  # < n words: 1 gram
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: (r["novel_grams"], r["total_grams"],
+                             r["novelty"])
+               for r in ngram_novelty(docs, "doc_id", "text",
+                                      n=3).collect()}
+        # doc1 trigram set: {abg, bgd, gde}; doc2: {abg, bgd, gdz}
+        assert got[1] == (1, 3, pytest.approx(1 / 3))
+        assert got[2] == (1, 3, pytest.approx(1 / 3))
+        assert got[3][2] == 1.0
+        assert got[4] == (1, 1, 1.0)      # short doc: whole text one gram
+
+    def test_identical_docs_zero_novelty(self, spark):
+        from deequ_spark.llm import ngram_novelty
+        docs = spark.createDataFrame(
+            [(i, "the same template body every time") for i in range(5)],
+            "doc_id long, text string")
+        out = ngram_novelty(docs, "doc_id", "text")
+        assert all(r["novelty"] == 0.0 for r in out.collect())
+
+    def test_empty_doc_null_novelty(self, spark):
+        from deequ_spark.llm import ngram_novelty
+        docs = spark.createDataFrame([(1, ""), (2, "a b c d")],
+                                     "doc_id long, text string")
+        got = {r["doc_id"]: r["novelty"]
+               for r in ngram_novelty(docs, "doc_id", "text").collect()}
+        assert got[1] is None and got[2] == 1.0
