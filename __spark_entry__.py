@@ -4635,6 +4635,58 @@ _NGRAM_NOVELTY_ORACLE_SQL = r"""
 """
 
 
+def q_image_phash(spark, sf_dir):
+    """Perceptual image hashing (llm/phash.py): aHash over the REAL BMP
+    decode path + pigeonhole Hamming pair join. 35 images are built as
+    16×16 vertical black/white splits at threshold t=(i%7+1)·2, so the
+    aHash has the CLOSED FORM (2^(8−t/2)−1)·0x0101010101010101 — the
+    oracle derives every hash and the same-hash pair count
+    arithmetically, no decoding needed."""
+    import numpy as np
+
+    from deequ_spark.llm import image_near_duplicates, image_hashes
+    from deequ_spark.llm.multimodal import encode_bmp
+    rows = []
+    for i in range(35):
+        t = (i % 7 + 1) * 2
+        px = np.full((16, 16, 3), 255, dtype=np.uint8)
+        px[:, :t, :] = 0
+        rows.append((i, bytearray(encode_bmp(px))))
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    hashes = image_hashes(df, "img_id", "payload")
+    by_hash = hashes.groupBy("fp").count().collect()
+    pairs = image_near_duplicates(df, "img_id", "payload",
+                                  max_hamming=5)
+    p = pairs.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("id_a") + F.col("id_b")).alias("ids"),
+                  F.max("hamming").alias("mh")).collect()[0]
+    out = [(f"h_{r['fp']}", r["count"]) for r in by_hash]
+    out += [("pairs", p["n"]), ("pair_id_sum", p["ids"]),
+            ("max_hamming", p["mh"])]
+    return _metrics_df(spark, sorted(out))
+
+
+_IMAGE_PHASH_ORACLE_SQL = """
+    WITH imgs AS (
+      SELECT i, (i % 7 + 1) * 2 AS t,
+             ((CAST(1 AS BIGINT) << (8 - (i % 7 + 1))) - 1)
+             * CAST(72340172838076673 AS BIGINT) AS fp
+      FROM (SELECT unnest(range(35)) AS i)),
+    pairs AS (
+      SELECT a.i AS ia, b.i AS ib FROM imgs a JOIN imgs b
+      ON a.fp = b.fp AND a.i < b.i)
+    SELECT metric, value FROM (
+      SELECT 'h_' || CAST(CAST(fp AS BIGINT) AS VARCHAR) AS metric,
+             CAST(COUNT(*) AS DOUBLE) AS value FROM imgs GROUP BY fp
+      UNION ALL SELECT 'pairs',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM pairs)
+      UNION ALL SELECT 'pair_id_sum',
+        (SELECT CAST(SUM(ia + ib) AS DOUBLE) FROM pairs)
+      UNION ALL SELECT 'max_hamming', 0.0
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4723,6 +4775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "sliced_analysis": q_sliced_analysis,
         "ngram_novelty": q_ngram_novelty,
+        "image_phash": q_image_phash,
     }
 
 
@@ -5537,6 +5590,7 @@ def oracle_sql() -> dict[str, str]:
         "benford": _BENFORD_ORACLE_SQL,
         "sliced_analysis": _SLICED_ANALYSIS_ORACLE_SQL,
         "ngram_novelty": _NGRAM_NOVELTY_ORACLE_SQL,
+        "image_phash": _IMAGE_PHASH_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

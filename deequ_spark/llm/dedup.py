@@ -464,29 +464,39 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     (``capped_pair_expr``; the ids ride with their simhash in a struct so
     the Hamming verification still sees both fingerprints)."""
     hashes = simhash(df, id_col, text_col, shingle_n, bits, hash_fn)
+    return hamming_pairs(hashes.withColumnRenamed("simhash", "fp"),
+                         bits=bits, max_hamming=max_hamming,
+                         hot_bucket_cap=hot_bucket_cap)
+
+
+def hamming_pairs(hashes: DataFrame, bits: int, max_hamming: int,
+                  hot_bucket_cap: int = 256) -> DataFrame:
+    """Pairs of ``(id, fp)`` rows with Hamming distance ≤ ``max_hamming``
+    via the pigeonhole block trick — shared by text simhash and image
+    perceptual hashes (any 64-bit-or-less fingerprint column ``fp``)."""
     blocks = max_hamming + 1
     width = max(1, bits // blocks)
     block_cols = F.explode(F.array(*[
         F.struct(F.lit(i).alias("blk"),
-                 F.shiftright(F.col("simhash"), i * width)
+                 F.shiftright(F.col("fp"), i * width)
                  .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"))
         for i in range(blocks)]))
-    keyed = hashes.select("id", "simhash", block_cols.alias("b")).select(
-        "id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    keyed = hashes.select("id", "fp", block_cols.alias("b")).select(
+        "id", "fp", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
     # ONE groupBy shuffle (vs two shuffled self-join sides); members are
-    # (id, simhash) structs sorted by id, so pair expansion keeps both
+    # (id, fp) structs sorted by id, so pair expansion keeps both
     # fingerprints for the JVM-side xor verification
     groups = (keyed.groupBy("blk", "bv")
               .agg(F.sort_array(F.collect_list(
-                  F.struct(F.col("id"), F.col("simhash")))).alias("ids"))
+                  F.struct(F.col("id"), F.col("fp")))).alias("ids"))
               .where(F.size("ids") > 1))
     pairs = (groups.select(
                  F.explode(capped_pair_expr(F.col("ids"), hot_bucket_cap))
                  .alias("p"))
              .select(F.col("p.id_a.id").alias("id_a"),
                      F.col("p.id_b.id").alias("id_b"),
-                     F.bit_count(F.col("p.id_a.simhash").bitwiseXOR(
-                         F.col("p.id_b.simhash"))).alias("hamming"))
+                     F.bit_count(F.col("p.id_a.fp").bitwiseXOR(
+                         F.col("p.id_b.fp"))).alias("hamming"))
              .where(F.col("id_a") < F.col("id_b")))
     return (pairs.distinct()
             .where(F.col("hamming") <= max_hamming))

@@ -1070,3 +1070,61 @@ class TestNgramNovelty:
         got = {r["doc_id"]: r["novelty"]
                for r in ngram_novelty(docs, "doc_id", "text").collect()}
         assert got[1] is None and got[2] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing
+# ---------------------------------------------------------------------------
+
+class TestPerceptualHash:
+    def _bmp(self, arr):
+        import numpy as np
+        from deequ_spark.llm.multimodal import encode_bmp
+        return encode_bmp(np.asarray(arr, dtype=np.uint8))
+
+    def test_ahash_closed_form(self, spark):
+        import numpy as np
+        from deequ_spark.llm import average_hash_bytes
+        # 8x8 image: right half 255, left half 0 → bits row-major
+        # 00001111 per row → hash = 0x0F0F0F0F0F0F0F0F
+        px = np.zeros((8, 8, 3), dtype=np.uint8)
+        px[:, 4:, :] = 255
+        assert average_hash_bytes(self._bmp(px)) == 0x0F0F0F0F0F0F0F0F
+
+    def test_hash_survives_resize_and_brightness(self, spark):
+        import numpy as np
+        from deequ_spark.llm import average_hash_bytes, dhash_bytes
+        rng = np.random.default_rng(5)
+        base = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+        big = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)  # 2x upscale
+        a1, a2 = (average_hash_bytes(self._bmp(base)),
+                  average_hash_bytes(self._bmp(big)))
+        assert bin(a1 ^ a2).count("1") <= 4       # near-identical
+        dim = np.clip(base.astype(int) - 30, 0, 255).astype(np.uint8)
+        d1, d2 = dhash_bytes(self._bmp(base)), dhash_bytes(self._bmp(dim))
+        assert bin(d1 ^ d2).count("1") <= 6       # dhash brightness-robust
+
+    def test_image_near_duplicates_pairs(self, spark):
+        import numpy as np
+        from deequ_spark.llm import image_near_duplicates
+        rng = np.random.default_rng(6)
+        a = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+        a_tweak = a.copy(); a_tweak[0, 0] = [255, 255, 255]
+        b = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+        rows = [(1, bytearray(self._bmp(a))),
+                (2, bytearray(self._bmp(a_tweak))),
+                (3, bytearray(self._bmp(b))),
+                (4, bytearray(b"not an image"))]
+        df = spark.createDataFrame(rows, "img_id long, payload binary")
+        pairs = image_near_duplicates(df, "img_id", "payload",
+                                      max_hamming=5).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+    def test_undecodable_null_and_method_guard(self, spark):
+        from deequ_spark.llm import image_hashes
+        df = spark.createDataFrame([(1, bytearray(b"junk"))],
+                                   "img_id long, payload binary")
+        [r] = image_hashes(df, "img_id", "payload").collect()
+        assert r["fp"] is None and r["decoded"] is False
+        with pytest.raises(ValueError, match="method"):
+            image_hashes(df, "img_id", "payload", method="md5")
