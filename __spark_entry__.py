@@ -4687,6 +4687,53 @@ _IMAGE_PHASH_ORACLE_SQL = """
 """
 
 
+def q_audio_phash(spark, sf_dir):
+    """Audio fingerprinting (llm/phash.py): band-energy signature over
+    the real PCM WAV decode path + the shared Hamming pair join. 24
+    synthetic tones in 4 frequency groups (30/100/500/2000 Hz — each in
+    a different log band) at 6 volumes each: volume invariance puts all
+    same-group pairs within distance 3, cross-group patterns differ in
+    whole bands — so the pair STRUCTURE is closed-form (C(6,2)·4 = 60
+    pairs, same-group only) and the oracle derives it arithmetically."""
+    import numpy as np
+
+    from deequ_spark.llm import audio_near_duplicates
+    from deequ_spark.llm.multimodal import encode_wav_pcm16
+    rate = 8000
+    t = np.arange(rate) / rate
+    freqs = [30.0, 100.0, 500.0, 2000.0]
+    rows = []
+    for i in range(24):
+        amp = 0.2 + (i // 4) * 0.12
+        sig = (amp * np.sin(2 * np.pi * freqs[i % 4] * t)
+               * 32767).astype(np.int16)
+        rows.append((i, bytearray(encode_wav_pcm16(sig.reshape(-1, 1),
+                                                   rate))))
+    df = spark.createDataFrame(rows, "aid long, payload binary")
+    pairs = audio_near_duplicates(df, "aid", "payload", max_hamming=3)
+    p = pairs.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("id_a") + F.col("id_b")).alias("ids")
+                  ).collect()[0]
+    cross = pairs.where(F.col("id_a") % 4 != F.col("id_b") % 4).count()
+    return _metrics_df(spark, sorted([
+        ("pairs", p["n"]), ("pair_id_sum", p["ids"]),
+        ("cross_group_pairs", cross)]))
+
+
+_AUDIO_PHASH_ORACLE_SQL = """
+    WITH ids AS (SELECT unnest(range(24)) AS i),
+    pairs AS (SELECT a.i AS ia, b.i AS ib FROM ids a JOIN ids b
+              ON a.i % 4 = b.i % 4 AND a.i < b.i)
+    SELECT metric, value FROM (
+      SELECT 'pairs' AS metric,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM pairs) AS value
+      UNION ALL SELECT 'pair_id_sum',
+        (SELECT CAST(SUM(ia + ib) AS DOUBLE) FROM pairs)
+      UNION ALL SELECT 'cross_group_pairs', 0.0
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4776,6 +4823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliced_analysis": q_sliced_analysis,
         "ngram_novelty": q_ngram_novelty,
         "image_phash": q_image_phash,
+        "audio_phash": q_audio_phash,
     }
 
 
@@ -5591,6 +5639,7 @@ def oracle_sql() -> dict[str, str]:
         "sliced_analysis": _SLICED_ANALYSIS_ORACLE_SQL,
         "ngram_novelty": _NGRAM_NOVELTY_ORACLE_SQL,
         "image_phash": _IMAGE_PHASH_ORACLE_SQL,
+        "audio_phash": _AUDIO_PHASH_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

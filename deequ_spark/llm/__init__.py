@@ -31,7 +31,9 @@ from .vectors import hashed_doc_vectors
 from .classifier import score_quality, train_quality_classifier
 from .incremental import (band_hashes, dedup_against_index,
                           write_dedup_index)
-from .phash import (average_hash_bytes, dhash_bytes, image_hashes,
+from .phash import (audio_fingerprint_bytes, audio_fingerprints,
+                    audio_near_duplicates,
+                    average_hash_bytes, dhash_bytes, image_hashes,
                     image_near_duplicates)
 from .multimodal import (attach_binary_payload, audio_features, decode_audio,
                          decode_image, encode_mp3_frames, encode_mp4_skeleton,

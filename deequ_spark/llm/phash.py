@@ -105,3 +105,73 @@ def image_near_duplicates(df: DataFrame, id_col: str, payload_col: str,
         .where(F.col("fp").isNotNull()).select("id", "fp")
     return hamming_pairs(hashes, bits=64, max_hamming=max_hamming,
                          hot_bucket_cap=hot_bucket_cap)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting — the audio member of the modality triplet
+# (text simhash / image aHash / audio band-energy fingerprint)
+# ---------------------------------------------------------------------------
+
+def audio_fingerprint_bytes(data: bytes, n_frames: int = 16,
+                            n_bands: int = 4) -> int:
+    """64-bit audio fingerprint: split the PCM signal into ``n_frames``
+    equal windows, measure energy in ``n_bands`` log-spaced frequency
+    bands per window (rFFT), bit = band energy > the window's MEAN band
+    energy — the spectral analogue of the image aHash. Relative
+    band-vs-frame comparison makes it volume-invariant AND stable on
+    stationary signals (the classic Haitsma–Kalker delta-sign bits
+    hover at zero for steady tones, where quantization noise flips
+    them); content with a different spectral shape lands far away."""
+    from .multimodal import decode_audio
+    rate, samples = decode_audio(data)
+    mono = samples.astype(np.float64).mean(axis=1)
+    if len(mono) < n_frames * 2:
+        raise ValueError("audio too short to fingerprint")
+    win = len(mono) // n_frames
+    energies = np.empty((n_frames, n_bands))
+    for f in range(n_frames):
+        spec = np.abs(np.fft.rfft(mono[f * win:(f + 1) * win])) ** 2
+        # log-spaced band edges over (1, len(spec)) — skip DC
+        edges = np.unique(np.geomspace(1, len(spec), n_bands + 1)
+                          .astype(int))
+        while len(edges) < n_bands + 1:          # tiny windows: pad
+            edges = np.append(edges, edges[-1] + 1)
+        for b in range(n_bands):
+            energies[f, b] = spec[edges[b]:edges[b + 1]].sum()
+    bits = energies > energies.mean(axis=1, keepdims=True)
+    out = 0
+    for bit in bits.flatten():
+        out = (out << 1) | int(bit)
+    return out
+
+
+def audio_fingerprints(df: DataFrame, id_col: str, payload_col: str
+                       ) -> DataFrame:
+    """(id, fp, decoded) per binary audio payload — one mapInPandas
+    Arrow pass; non-PCM/short blobs get ``fp NULL, decoded false``."""
+    def batches(it):
+        for pdf in it:
+            fps, ok = [], []
+            for blob in pdf[payload_col]:
+                try:
+                    h = audio_fingerprint_bytes(bytes(blob))
+                    fps.append(h - (1 << 64) if h >= (1 << 63) else h)
+                    ok.append(True)
+                except Exception:  # noqa: BLE001 — undecodable blob
+                    fps.append(None)
+                    ok.append(False)
+            yield pandas.DataFrame({"id": pdf[id_col], "fp": fps,
+                                    "decoded": ok})
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, "id long, fp long, decoded boolean")
+
+
+def audio_near_duplicates(df: DataFrame, id_col: str, payload_col: str,
+                          max_hamming: int = 5,
+                          hot_bucket_cap: int = 256) -> DataFrame:
+    """(id_a, id_b, hamming) near-duplicate audio pairs — fingerprint in
+    one map-only pass, pair via the shared pigeonhole block join."""
+    fps = audio_fingerprints(df, id_col, payload_col) \
+        .where(F.col("fp").isNotNull()).select("id", "fp")
+    return hamming_pairs(fps, bits=64, max_hamming=max_hamming,
+                         hot_bucket_cap=hot_bucket_cap)

@@ -1128,3 +1128,45 @@ class TestPerceptualHash:
         assert r["fp"] is None and r["decoded"] is False
         with pytest.raises(ValueError, match="method"):
             image_hashes(df, "img_id", "payload", method="md5")
+
+
+class TestAudioFingerprint:
+    def _wav(self, freqs, rate=8000, secs=1.0, amp=0.5, phase=0.0):
+        import numpy as np
+        from deequ_spark.llm.multimodal import encode_wav_pcm16
+        t = np.arange(int(rate * secs)) / rate
+        sig = sum(np.sin(2 * np.pi * f * t + phase) for f in freqs)
+        sig = (amp * sig / max(len(freqs), 1) * 32767).astype(np.int16)
+        return encode_wav_pcm16(sig.reshape(-1, 1), rate)
+
+    def test_volume_invariance(self, spark):
+        from deequ_spark.llm import audio_fingerprint_bytes
+        loud = self._wav([440, 1200], amp=0.9)
+        quiet = self._wav([440, 1200], amp=0.1)
+        f1 = audio_fingerprint_bytes(loud)
+        f2 = audio_fingerprint_bytes(quiet)
+        assert bin(f1 ^ f2).count("1") <= 2      # signs of deltas survive
+
+    def test_different_content_far_apart(self, spark):
+        import numpy as np
+        from deequ_spark.llm import audio_fingerprint_bytes
+        from deequ_spark.llm.multimodal import encode_wav_pcm16
+        rng = np.random.default_rng(4)
+        tone = self._wav([440])
+        noise = encode_wav_pcm16(
+            (rng.standard_normal(8000) * 8000).astype(np.int16)
+            .reshape(-1, 1), 8000)
+        d = bin(audio_fingerprint_bytes(tone)
+                ^ audio_fingerprint_bytes(noise)).count("1")
+        assert d > 8
+
+    def test_near_duplicates_pairs(self, spark):
+        from deequ_spark.llm import audio_near_duplicates
+        rows = [(1, bytearray(self._wav([440, 1200], amp=0.9))),
+                (2, bytearray(self._wav([440, 1200], amp=0.2))),
+                (3, bytearray(self._wav([300]))),
+                (4, bytearray(b"not audio"))]
+        df = spark.createDataFrame(rows, "aid long, payload binary")
+        pairs = audio_near_duplicates(df, "aid", "payload",
+                                      max_hamming=3).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
