@@ -202,6 +202,33 @@ def main() -> None:
                                           threshold=0.5)
         return dups.count()
 
+    def image_phash_workload(spark_, imgs):
+        """Perceptual image hashing + Hamming pair join: decode+hash is
+        map-only (Arrow batches), pairing one block shuffle — 10× images
+        must stay ~linear."""
+        from deequ_spark.llm import image_near_duplicates
+        return image_near_duplicates(imgs, "img_id", "payload",
+                                     max_hamming=3).count()
+
+    def _make_images(n):
+        import numpy as np
+        from deequ_spark.llm.multimodal import encode_bmp
+        rng = np.random.default_rng(12)
+        # 64 base patterns, each duplicated n/64 times with 1px tweaks
+        bases = [rng.integers(0, 256, (16, 16, 3)).astype("uint8")
+                 for _ in range(64)]
+        rows = []
+        for i in range(n):
+            px = bases[i % 64].copy()
+            px[0, 0] = (i // 64) % 256
+            rows.append((i, bytearray(encode_bmp(px))))
+        return spark.createDataFrame(rows, "img_id long, payload binary") \
+            .repartition(32).cache()
+
+    img1 = _make_images(2_000)
+    img10 = _make_images(20_000)
+    img1.count(), img10.count()
+
     from deequ_spark.llm import write_dedup_index
     idx1 = f"{workdir}/idx1"
     idx10 = f"{workdir}/idx10"
@@ -215,6 +242,7 @@ def main() -> None:
         ("b21_rolling_stats", rolling_workload, ev1, ev10),
         ("b22_incremental_dedup", incremental_workload,
          (docs1, idx1), (docs10, idx10)),
+        ("b23_image_phash", image_phash_workload, img1, img10),
         ("b16_bm25_search", search_workload, docs1, docs10),
         ("b17_span_dedup", span_dedup_workload, docs1, docs10),
         ("b18_semantic_dedup", semdedup_workload, emb1, emb10),
