@@ -1170,3 +1170,54 @@ class TestAudioFingerprint:
         pairs = audio_near_duplicates(df, "aid", "payload",
                                       max_hamming=3).collect()
         assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# idempotence properties: hygiene outputs must be fixed points
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_url_strat = st.builds(
+    lambda scheme, www, host, port, path, q, frag:
+        f"{scheme}://{'WWW.' if www else ''}{host}"
+        f"{':' + str(port) if port else ''}/{path}"
+        f"{'?' + q if q else ''}{'#' + frag if frag else ''}",
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    www=st.booleans(),
+    host=st.sampled_from(["Example.com", "a.b.co.uk", "x.ORG"]),
+    port=st.sampled_from([None, 80, 443, 8080]),
+    path=st.sampled_from(["", "p", "p//q/", "a/b/c"]),
+    q=st.sampled_from(["", "b=2&a=1", "utm_source=x", "utm_source=x&k=v"]),
+    frag=st.sampled_from(["", "sec"]))
+
+
+class TestHygieneIdempotence:
+    @settings(max_examples=8, deadline=None)
+    @given(urls=st.lists(_url_strat, min_size=1, max_size=12))
+    def test_canonicalize_url_fixed_point(self, spark, urls):
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                                   "id long, url string")
+        once = df.select("id", canonicalize_url(F.col("url")).alias("c"))
+        twice = once.select("id", canonicalize_url(F.col("c")).alias("c2"),
+                            "c")
+        for r in twice.collect():
+            assert r["c2"] == r["c"], f"not a fixed point: {r['c']!r}"
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts=st.lists(
+        st.text(alphabet=st.characters(
+            blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+            max_size=40),
+        min_size=1, max_size=10))
+    def test_normalize_text_fixed_point(self, spark, texts):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "id long, text string")
+        once = normalize_text(df, "text").select(
+            "id", F.col("text_clean").alias("text"))
+        twice = normalize_text(once, "text").select(
+            "id", "text", F.col("text_clean").alias("again"))
+        for r in twice.collect():
+            assert r["again"] == r["text"], (
+                f"not a fixed point: {r['text']!r} -> {r['again']!r}")
