@@ -1221,3 +1221,33 @@ class TestHygieneIdempotence:
         for r in twice.collect():
             assert r["again"] == r["text"], (
                 f"not a fixed point: {r['text']!r} -> {r['again']!r}")
+
+
+class TestStreamingImageDedup:
+    def test_image_hashes_on_a_stream(self, spark, tmp_path):
+        """image_hashes is a map-only mapInPandas, so it applies to a
+        streaming DataFrame directly; composed with dropDuplicates on
+        the fingerprint it gives streaming image dedup."""
+        import numpy as np
+        from deequ_spark.llm import image_hashes
+        from deequ_spark.llm.multimodal import encode_bmp
+        rng = np.random.default_rng(8)
+        a = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        b = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        src = str(tmp_path / "img_stream")
+        spark.createDataFrame(
+            [(1, bytearray(encode_bmp(a))), (2, bytearray(encode_bmp(a))),
+             (3, bytearray(encode_bmp(b)))],
+            "img_id long, payload binary").repartition(1).write.parquet(src)
+        static = spark.read.parquet(src)
+        stream = spark.readStream.schema(static.schema).parquet(src)
+        hashed = image_hashes(stream, "img_id", "payload") \
+            .dropDuplicates(["fp"])
+        assert hashed.isStreaming
+        out = []
+        q = (hashed.writeStream
+             .foreachBatch(lambda bdf, _i: out.extend(bdf.collect()))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        fps = [r["fp"] for r in out]
+        assert len(out) == 2 and len(set(fps)) == 2   # a-dup collapsed
