@@ -90,10 +90,12 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
 
     new_fp = new_df.select(F.col(id_col).alias("id"),
                            fingerprint(F.col(text_col)).alias("fingerprint"))
-    exact = (new_fp.join(index.select("fingerprint",
-                                      F.col("id").alias("matched_id")),
-                         "fingerprint")
-             .groupBy("id").agg(F.min("matched_id").alias("matched_id"))
+    # pre-aggregate the index to ONE row per fingerprint before joining:
+    # a 10⁶-copy exact cluster in history would otherwise fan every
+    # matching new doc out 10⁶ ways onto one shuffle key
+    fp_index = index.groupBy("fingerprint").agg(
+        F.min("id").alias("matched_id"))
+    exact = (new_fp.join(fp_index, "fingerprint")
              .select("id", F.lit("exact").alias("match_kind"),
                      "matched_id", F.lit(1.0).alias("similarity")))
 
@@ -106,21 +108,25 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
         "id", "signature",
         F.posexplode(band_hashes(F.col("signature"), bands))
         .alias("band", "bh"))
-    # index side: band + CAP partners per bucket (sorted → deterministic)
+    # index side: band + CAP partner IDS per bucket (sorted →
+    # deterministic). Collect ONLY the 8-byte ids — collecting the full
+    # (id, signature) structs would hold m·(8 + 8·num_hashes) bytes in
+    # one task for an m-copy mega-cluster bucket (~0.5 GB at m=10⁶)
+    # before the slice could drop them; signatures re-join afterwards
+    # for the (bounded, ≤ buckets·cap) surviving partners only.
     ib = (index.select(F.col("id").alias("matched_id"),
-                       F.col("signature").alias("isig"),
                        F.posexplode(band_hashes(F.col("signature"), bands))
                        .alias("band", "bh"))
           .groupBy("band", "bh")
-          .agg(F.slice(F.sort_array(F.collect_list(
-              F.struct("matched_id", "isig"))), 1, partner_cap)
-              .alias("partners")))
+          .agg(F.slice(F.sort_array(F.collect_list("matched_id")),
+                       1, partner_cap).alias("partner_ids")))
+    isigs = index.select(F.col("id").alias("matched_id"),
+                         F.col("signature").alias("isig"))
     cand = (nb.join(ib, ["band", "bh"])
             .select("id", "signature",
-                    F.explode("partners").alias("p"))
-            .select("id", "signature", F.col("p.matched_id").alias(
-                "matched_id"), F.col("p.isig").alias("isig"))
-            .distinct())
+                    F.explode("partner_ids").alias("matched_id"))
+            .distinct()
+            .join(isigs, "matched_id"))
     agree = (F.aggregate(
         F.zip_with("signature", "isig",
                    lambda a, b: (a == b).cast("int")),
