@@ -1251,3 +1251,48 @@ class TestStreamingImageDedup:
         q.awaitTermination()
         fps = [r["fp"] for r in out]
         assert len(out) == 2 and len(set(fps)) == 2   # a-dup collapsed
+
+
+class TestVectorAndSaltedProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(words=st.lists(st.sampled_from(
+        ["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+        min_size=1, max_size=12))
+    def test_hashed_vectors_order_invariant_unit_norm(self, spark, words):
+        import numpy as np
+        from deequ_spark.llm import hashed_doc_vectors
+        shuffled = list(reversed(words))
+        df = spark.createDataFrame(
+            [(1, " ".join(words)), (2, " ".join(shuffled))],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["vector"]
+               for r in hashed_doc_vectors(df, "doc_id", "text",
+                                           dim=16).collect()}
+        assert got[1] == got[2]                     # bag-of-words
+        n = np.linalg.norm(got[1])
+        assert n == pytest.approx(1.0) or n == 0.0  # unit or all-zero
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows=st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                                   st.integers(-50, 50)),
+                         min_size=1, max_size=25),
+           salt=st.sampled_from([1, 4, 16]))
+    def test_salted_agg_equals_groupby(self, spark, rows, salt):
+        from deequ_spark.diagnostics import salted_agg
+        df = spark.createDataFrame([(k, float(v)) for k, v in rows],
+                                   "k string, v double")
+        got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+               for r in salted_agg(df, "k", {
+                   "n": ("count", "v"), "s": ("sum", "v"),
+                   "mn": ("min", "v"), "mx": ("max", "v")},
+                   salt=salt).collect()}
+        exp = {}
+        for k, v in rows:
+            c = exp.setdefault(k, [0, 0.0, float("inf"), float("-inf")])
+            c[0] += 1; c[1] += v
+            c[2] = min(c[2], v); c[3] = max(c[3], v)
+        assert set(got) == set(exp)
+        for k, (n, s, mn, mx) in exp.items():
+            assert got[k][0] == n
+            assert got[k][1] == pytest.approx(s)
+            assert got[k][2] == mn and got[k][3] == mx
