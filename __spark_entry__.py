@@ -4734,6 +4734,50 @@ _AUDIO_PHASH_ORACLE_SQL = """
 """
 
 
+def q_grouped_topk(spark, sf_dir):
+    """Grouped top-k (diagnostics.py grouped_topk): Spark 3.5's
+    WindowGroupLimit pushes the rank filter into the window exec
+    (plan-asserted in tests) — per-group state k, not group size. Top-2
+    lineitems per returnflag by a UNIQUE composite order (price desc,
+    orderkey desc, linenumber desc) so ties are impossible and the
+    oracle's row_number picks identical rows."""
+    from deequ_spark.diagnostics import grouped_topk
+    li = _load(spark, sf_dir, "lineitem")
+    keyed = li.withColumn(
+        "ord", F.struct(F.col("l_extendedprice"), F.col("l_orderkey"),
+                        F.col("l_linenumber")))
+    top = grouped_topk(keyed, "l_returnflag", "ord", k=2)
+    rows = top.select("l_returnflag", "rank", "l_orderkey",
+                      "l_linenumber").collect()
+    pairs = []
+    for r in rows:
+        pairs += [(f"{r['l_returnflag']}_{r['rank']}_okey",
+                   r["l_orderkey"]),
+                  (f"{r['l_returnflag']}_{r['rank']}_line",
+                   r["l_linenumber"])]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_GROUPED_TOPK_ORACLE_SQL = """
+    WITH ranked AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey DESC,
+                                         l_linenumber DESC) AS rank
+      FROM lineitem)
+    SELECT metric, value FROM (
+      SELECT l_returnflag || '_' || rank || '_okey' AS metric,
+             CAST(l_orderkey AS DOUBLE) AS value
+      FROM ranked WHERE rank <= 2
+      UNION ALL
+      SELECT l_returnflag || '_' || rank || '_line',
+             CAST(l_linenumber AS DOUBLE)
+      FROM ranked WHERE rank <= 2
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size": q_size,
@@ -4824,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "image_phash": q_image_phash,
         "audio_phash": q_audio_phash,
+        "grouped_topk": q_grouped_topk,
     }
 
 
@@ -5640,6 +5685,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _NGRAM_NOVELTY_ORACLE_SQL,
         "image_phash": _IMAGE_PHASH_ORACLE_SQL,
         "audio_phash": _AUDIO_PHASH_ORACLE_SQL,
+        "grouped_topk": _GROUPED_TOPK_ORACLE_SQL,
         "token_stats": _TOKEN_STATS_ORACLE_SQL,
         "sequence_packing": _SEQUENCE_PACKING_ORACLE_SQL,
         "corpus_sampling": _CORPUS_SAMPLING_ORACLE_SQL,

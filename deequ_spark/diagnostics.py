@@ -369,3 +369,28 @@ def benford_deviation(df: DataFrame, column: str) -> dict:
     mad = sum(abs(props[d] - expected[d]) for d in range(1, 10)) / 9
     return {"n": total, "observed": props, "expected": expected,
             "chi_square": chi2, "mad": mad}
+
+
+def grouped_topk(df: DataFrame, keys: Union[str, Sequence[str]],
+                 order_col: str, k: int, descending: bool = True,
+                 rank_col: str = "rank") -> DataFrame:
+    """Top-``k`` rows per group by ``order_col`` — the everyday slice
+    ("3 biggest orders per customer") expressed so Spark 3.5's
+    WindowGroupLimit kicks in: the rank filter pushes INTO the window
+    exec, which then keeps only k rows per group during the sort instead
+    of ranking everything and filtering after (visible as
+    WindowGroupLimit in the plan; one shuffle either way, but per-group
+    state drops from group size to k).
+
+    Ties broken deterministically by the remaining column order is NOT
+    guaranteed — pass a unique tiebreaker in ``order_col`` via a struct
+    upstream if exact tie behavior matters."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    order = F.col(order_col).desc() if descending \
+        else F.col(order_col).asc()
+    w = Window.partitionBy(*key_list).orderBy(order)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+            .where(F.col(rank_col) <= k))

@@ -1296,3 +1296,29 @@ class TestVectorAndSaltedProperties:
             assert got[k][0] == n
             assert got[k][1] == pytest.approx(s)
             assert got[k][2] == mn and got[k][3] == mx
+
+
+class TestGroupedTopk:
+    def test_topk_values(self, spark):
+        from deequ_spark.diagnostics import grouped_topk
+        rows = [("a", i) for i in range(10)] + [("b", 100), ("b", 50)]
+        df = spark.createDataFrame(rows, "k string, v int")
+        out = grouped_topk(df, "k", "v", k=3)
+        got = sorted((r["k"], r["v"], r["rank"]) for r in out.collect())
+        assert got == [("a", 7, 3), ("a", 8, 2), ("a", 9, 1),
+                       ("b", 50, 2), ("b", 100, 1)]
+
+    def test_window_group_limit_in_plan(self, spark):
+        from deequ_spark.diagnostics import grouped_topk
+        df = spark.createDataFrame([("a", 1)], "k string, v int")
+        out = grouped_topk(df, "k", "v", k=2)
+        plan = out._jdf.queryExecution().explainString(
+            out.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        assert "WindowGroupLimit" in plan     # rank pushdown active
+
+    def test_bad_k(self, spark):
+        from deequ_spark.diagnostics import grouped_topk
+        df = spark.createDataFrame([("a", 1)], "k string, v int")
+        with pytest.raises(ValueError, match="k must be"):
+            grouped_topk(df, "k", "v", k=0)
