@@ -575,14 +575,29 @@ class Check(CamelCaseMixin, metaclass=PyDeequCompatMeta):
         det = [determinant] if isinstance(determinant, str) \
             else list(determinant)
 
-        def compute(df):
-            from .diagnostics import fd_violations
-            rep = fd_violations(df, det, dependent, top_n=0)
-            return {"compliance": rep["compliance"]}
+        _compute_memo = {}
+
+        def make_compute(w):
+            # Close over the chained .where() filter — CustomAggregator
+            # gets the full DataFrame, so the slice must be applied here
+            # or the filter would be silently dropped. Memoized per
+            # filter: CustomAggregator identity includes
+            # id(agg_function), and the factory runs once for
+            # required_analyzers() and once for constraints — both must
+            # see the SAME function object to share one metric slot.
+            if w not in _compute_memo:
+                def compute(df, _w=w):
+                    from .diagnostics import fd_violations
+                    rep = fd_violations(
+                        df.where(_w) if _w is not None else df,
+                        det, dependent, top_n=0)
+                    return {"compliance": rep["compliance"]}
+                _compute_memo[w] = compute
+            return _compute_memo[w]
 
         name = f"FD({','.join(det)}->{dependent})"
         return self._add(lambda w: AnalysisBasedConstraint(
-            CustomAggregator(compute, name),
+            CustomAggregator(make_compute(w), name),
             (assertion or (lambda v: v == 1.0)),
             value_picker=lambda d: d["compliance"], hint=hint))
 

@@ -338,6 +338,12 @@ def table_diff(old: DataFrame, new: DataFrame, keys,
     over the changed rows. Everything aggregates to a fixed-size dict —
     nothing row-shaped reaches the driver.
 
+    Spark's ``xxhash64`` SKIPS null inputs entirely, so hashing the raw
+    columns would make ('x', NULL) and (NULL, 'x') collide — a value
+    shifting across a NULL column would be reported unchanged. Each
+    column is therefore paired with its ``isNull()`` flag in the hash,
+    making every position null-discriminating.
+
     ``compare_cols`` defaults to the non-key columns both sides share.
     Key uniqueness per side is assumed (diff of multisets needs a
     row-number pre-step).
@@ -347,14 +353,15 @@ def table_diff(old: DataFrame, new: DataFrame, keys,
     if compare_cols is None:
         compare_cols = [c for c in old.columns
                         if c in new.columns and c not in keys]
+    def _null_safe_hash():
+        return F.xxhash64(*[part for c in compare_cols
+                            for part in (F.col(c), F.col(c).isNull())])
     o = old.select(*keys,
                    *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
-                   F.xxhash64(*[F.col(c) for c in compare_cols])
-                   .alias("__o_h"), F.lit(1).alias("__o"))
+                   _null_safe_hash().alias("__o_h"), F.lit(1).alias("__o"))
     n = new.select(*keys,
                    *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
-                   F.xxhash64(*[F.col(c) for c in compare_cols])
-                   .alias("__n_h"), F.lit(1).alias("__n"))
+                   _null_safe_hash().alias("__n_h"), F.lit(1).alias("__n"))
     cond = None
     for k in keys:
         e = o[k].eqNullSafe(n[k])

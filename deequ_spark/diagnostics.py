@@ -76,6 +76,16 @@ def key_skew_report(df: DataFrame, key_cols: Union[str, Sequence[str]],
         counts.unpersist()
 
     n_rows = int(summary["n_rows"] or 0)
+    if int(summary["n_keys"]) == 0:
+        # Empty input (or everything filtered out): every aggregate is
+        # NULL — return a zeroed report instead of crashing a pre-flight
+        # diagnostic with a TypeError.
+        return {
+            "n_rows": 0, "n_keys": 0, "null_key_rows": 0,
+            "max_count": 0, "avg_count": 0.0, "skew_ratio": 0.0,
+            "p50_count": 0.0, "p90_count": 0.0, "p99_count": 0.0,
+            "top_keys": [], "top_mass": 0.0,
+        }
     top_keys = [(r["__key"], int(r["count"])) for r in top]
     return {
         "n_rows": n_rows,

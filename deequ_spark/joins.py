@@ -61,6 +61,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     default_cols = [c for c in right.columns
                     if c != on and c not in by_list]
     rcols = list(right_cols) if right_cols is not None else default_cols
+    # A right row with NULL `on` can never be a temporal match, but if
+    # left in it would corrupt both paths: in the broadcast path a NULL
+    # becomes NaN at the front of the sorted numpy array (violating
+    # searchsorted's precondition for EVERY lookup), and in the windowed
+    # path it sorts first and its payload could be carried forward as a
+    # bogus match.
+    right = right.where(F.col(on).isNotNull())
     if by_list:
         return _asof_windowed(left, right, on, by_list, rcols, direction,
                               tolerance, suffix)
@@ -137,7 +144,9 @@ def _asof_windowed(left, right, on, by_list, rcols, direction, tolerance,
                    .when(fw.isNull(), bw)
                    .when(d_fw < d_bw, fw).otherwise(bw))
 
-    out = (both.withColumn("__m", matched)
+    # A left row with NULL ts has no temporal position — force no-match
+    # (the broadcast path's searchsorted maps NaN ts to idx=-1 likewise).
+    out = (both.withColumn("__m", F.when(F.col(on).isNotNull(), matched))
            .where(F.col("__side") == 1))
     return _emit(out, left, on, rcols, tolerance, suffix)
 

@@ -469,3 +469,38 @@ class TestTableDiffProperty:
         both = set(old) & set(new)
         assert d["changed"] == sum(1 for k in both if old[k] != new[k])
         assert d["unchanged"] == sum(1 for k in both if old[k] == new[k])
+
+
+class TestAsofNullTimestamps:
+    """ADVICE r7: NULL `on` rows must not corrupt either path."""
+
+    def test_broadcast_null_right_ts_excluded(self, spark):
+        left = spark.createDataFrame(
+            [(10.0, "a"), (20.0, "b")], "t double, lv string")
+        right = spark.createDataFrame(
+            [(None, "BAD"), (9.0, "x"), (19.0, "y")], "t double, rv string")
+        out = {r["lv"]: r["rv_r"]
+               for r in asof_join(left, right, on="t").collect()}
+        assert out == {"a": "x", "b": "y"}
+
+    def test_windowed_null_right_ts_excluded(self, spark):
+        left = spark.createDataFrame(
+            [("k", 10.0, "a")], "k string, t double, lv string")
+        right = spark.createDataFrame(
+            [("k", None, "BAD"), ("k", 9.0, "x")],
+            "k string, t double, rv string")
+        rows = asof_join(left, right, on="t", by="k").collect()
+        assert rows[0]["rv_r"] == "x"
+
+    def test_windowed_null_left_ts_no_match(self, spark):
+        left = spark.createDataFrame(
+            [("k", None, "a"), ("k", 10.0, "b")],
+            "k string, t double, lv string")
+        right = spark.createDataFrame(
+            [("k", 5.0, "x")], "k string, t double, rv string")
+        for direction in ("backward", "forward", "nearest"):
+            out = {r["lv"]: r["rv_r"]
+                   for r in asof_join(left, right, on="t", by="k",
+                                      direction=direction).collect()}
+            assert out["a"] is None, direction
+        assert out["b"] == "x"

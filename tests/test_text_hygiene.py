@@ -184,6 +184,17 @@ class TestSkewDiagnostics:
         rep = key_skew_report(df, ["a", "b"])
         assert rep["n_keys"] == 3 and rep["max_count"] == 2
 
+    def test_empty_input_zeroed_report(self, spark):
+        """ADVICE r7: empty input made int(NULL) raise TypeError."""
+        df = spark.createDataFrame([], "k string")
+        rep = key_skew_report(df, "k")
+        assert rep["n_rows"] == 0 and rep["n_keys"] == 0
+        assert rep["max_count"] == 0 and rep["skew_ratio"] == 0.0
+        assert rep["top_keys"] == [] and rep["top_mass"] == 0.0
+        # the downstream decision rule must also survive a zeroed report
+        out = suggest_skew_mitigation(rep)
+        assert out["strategy"] == "broadcast" and out["salt_factor"] == 1
+
     def test_mitigation_rules(self):
         base = {"n_rows": 10**10, "n_keys": 10**8, "null_key_rows": 0,
                 "max_count": 10**9, "avg_count": 100.0,
@@ -865,6 +876,19 @@ class TestTableDiff:
         d = table_diff(old, new, "id", compare_cols=["s"])
         assert d["unchanged"] == 1 and d["changed"] == 0
 
+    def test_null_shift_across_columns_is_changed(self, spark):
+        """ADVICE r7: xxhash64 skips NULL inputs, so ('x', NULL) and
+        (NULL, 'x') hashed identically — a real change reported as
+        unchanged. The hash must be null-discriminating."""
+        from deequ_spark import table_diff
+        old = spark.createDataFrame([(1, "x", None)],
+                                    "k long, a string, b string")
+        new = spark.createDataFrame([(1, None, "x")],
+                                    "k long, a string, b string")
+        d = table_diff(old, new, "k")
+        assert d["changed"] == 1 and d["unchanged"] == 0
+        assert d["changed_by_column"] == {"a": 1, "b": 1}
+
 
 class TestMissingnessPatterns:
     def test_patterns_counted(self, spark):
@@ -949,6 +973,28 @@ class TestFunctionalDependency:
             .has_functional_dependency("o", "c", lambda v: v <= 0.5)
         ok3 = VerificationSuite().on_data(bad).add_check(chk3).run()
         assert ok3.check_results[chk3].status == CheckStatus.SUCCESS
+
+    def test_where_filter_applied(self, spark):
+        """ADVICE r7: a chained .where() was silently dropped — the FD
+        ran on the full DataFrame regardless of the filter."""
+        from deequ_spark import Check, CheckLevel, CheckStatus, \
+            VerificationSuite
+        # full table violates the FD; the grp='ok' slice is compliant
+        df = spark.createDataFrame(
+            [(1, "a", "ok"), (1, "a", "ok"), (1, "b", "bad")],
+            "o long, c string, grp string")
+        chk = Check(CheckLevel.ERROR, "fd-sliced") \
+            .has_functional_dependency("o", "c").where("grp = 'ok'")
+        res = VerificationSuite().on_data(df).add_check(chk).run()
+        assert res.check_results[chk].status == CheckStatus.SUCCESS
+        # and the inverse: a filter that keeps only the violating pair
+        chk2 = Check(CheckLevel.ERROR, "fd-sliced2") \
+            .has_functional_dependency("o", "c").where("c != 'a'")
+        df2 = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "x"), (2, "c", "x")],
+            "o long, c string, grp string")
+        res2 = VerificationSuite().on_data(df2).add_check(chk2).run()
+        assert res2.check_results[chk2].status == CheckStatus.ERROR
 
 
 class TestBenford:
