@@ -29,8 +29,8 @@ from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
                    url_deduplicate)
 from .vectors import hashed_doc_vectors
 from .classifier import score_quality, train_quality_classifier
-from .incremental import (band_hashes, dedup_against_index,
-                          write_dedup_index)
+from .incremental import (band_hashes, compact_dedup_index,
+                          dedup_against_index, write_dedup_index)
 from .phash import (audio_fingerprint_bytes, audio_fingerprints,
                     audio_near_duplicates,
                     average_hash_bytes, dhash_bytes, image_hashes,

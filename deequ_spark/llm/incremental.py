@@ -2,34 +2,57 @@
 shape: a daily crawl batch dedupes against the WHOLE historical corpus
 without recomputing (or even storing) the history's text.
 
-The index holds one row per historical document: ``(id, fingerprint,
-signature)`` — an 8-byte exact-content hash plus the MinHash signature
-(num_hashes longs). At 100 TB of history that is a few hundred GB of
-index vs the corpus itself; both lookup paths are hash-joins on
-fixed-width keys:
+The index is a small directory of derived tables (all fixed-width keys,
+a few hundred GB for 100 TB of history):
 
-- **exact**: new-batch fingerprints anti-join the index (one shuffle on
-  8-byte keys);
-- **near**: banded signature match — both sides band their STORED
-  signatures (a projection, no text), candidates come from one
-  equi-join on (band, bandhash) with a per-bucket partner cap (a
-  duplicate mega-cluster in history needs only ONE partner to witness
-  a new doc's duplication), then similarity is estimated as the
-  fraction of agreeing signature positions (an unbiased Jaccard
-  estimator, ±1/√k) — again no text needed.
+- ``docs``    — one row per historical document: ``(id, fingerprint,
+  signature)`` (8-byte exact-content hash + MinHash signature of
+  ``num_hashes`` longs); the only table that grows with the corpus.
+- ``fps``     — ``(fingerprint, matched_id)`` pre-aggregated to ONE row
+  per distinct fingerprint and BUCKETED by fingerprint, so the exact
+  lookup is a join in which only the (small) new batch shuffles.
+- ``buckets`` — ``(band, bh, partner_ids)``: the banded LSH bucket
+  table, partner ids capped and sorted per bucket, BUCKETED by
+  ``(band, bh)``. This is the table that kills the r7 weakness: the
+  banding posexplode + groupBy of the WHOLE index used to re-run on
+  every classify call; now it runs once at write time, and classify is
+  new-batch-bands ⋈ pre-bucketed-table.
+- ``meta``    — one row pinning ``(num_hashes, shingle_n, bands,
+  partner_cap, n_buckets)``. Classify reads its LSH geometry from here;
+  a batch banded with different parameters than the stored buckets
+  would silently miss every collision, so the parameters live WITH the
+  data, not in call sites.
+
+Bucketed layout note: Spark keeps bucket metadata in the session
+catalog, so the zero-shuffle join applies within the writing session
+(or any deployment with a shared metastore). When the catalog entry is
+absent the tables still read as plain parquet — the precomputation win
+(no re-band, no full-index groupBy) holds either way, and AQE
+broadcasts the small batch side.
+
+Lookup paths at classify time:
+
+- **exact**: new-batch fingerprints ⋈ ``fps`` (one shuffle of the new
+  batch onto the bucketed fingerprint layout);
+- **near**: new-batch band hashes ⋈ ``buckets``, explode the (capped)
+  partner ids, re-join ``docs`` for the bounded survivors' signatures,
+  then similarity = fraction of agreeing signature positions (an
+  unbiased Jaccard estimator, ±1/√k) — no text needed anywhere.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import minhash_signatures
 from .text import fingerprint
 
-__all__ = ["write_dedup_index", "dedup_against_index", "band_hashes"]
+__all__ = ["write_dedup_index", "dedup_against_index", "band_hashes",
+           "compact_dedup_index"]
 
 
 def band_hashes(signature: Column, bands: int) -> Column:
@@ -44,21 +67,145 @@ def band_hashes(signature: Column, bands: int) -> Column:
             (F.size(signature) / bands).cast("int")), b))
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API so it works on
+    any scheme the cluster can read (file://, hdfs://, s3a://...)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _bucket_table_name(path: str, table: str) -> str:
+    """Deterministic catalog name per (index path, table) so append mode
+    in the same session finds the bucketed table it created."""
+    digest = hashlib.md5(path.encode("utf-8")).hexdigest()[:12]
+    return f"dedup_idx_{digest}_{table}"
+
+
+def _write_index_table(df: DataFrame, path: str, table: str,
+                       bucket_cols, n_buckets: int, mode: str) -> None:
+    """Write one index table bucketed by its join keys; on append,
+    bucket-append only if this session owns the catalog entry (bucket
+    metadata does not survive the session), else plain-parquet append —
+    readers treat both identically through :func:`_read_index_table`."""
+    from ..sources import write_bucketed
+    name = _bucket_table_name(path, table)
+    tpath = f"{path}/{table}"
+    spark = df.sparkSession
+    if mode == "append" and not spark.catalog.tableExists(name):
+        df.write.mode("append").parquet(tpath)
+        return
+    write_bucketed(df, name, bucket_cols, n_buckets=n_buckets,
+                   path=tpath, mode=mode)
+
+
+def _read_index_table(spark: SparkSession, path: str,
+                      table: str) -> DataFrame:
+    """Prefer the catalog entry (bucketed scan → join without shuffling
+    the index side); fall back to the parquet files."""
+    name = _bucket_table_name(path, table)
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    return spark.read.parquet(f"{path}/{table}")
+
+
+def _bucket_rows(docs: DataFrame, bands: int, partner_cap: int) -> DataFrame:
+    """(band, bh, partner_ids) from a docs table. Collect ONLY the
+    8-byte ids — collecting (id, signature) structs would hold
+    m·(8 + 8·num_hashes) bytes in one task for an m-copy mega-cluster
+    bucket (~0.5 GB at m=10⁶) before the cap could drop them;
+    signatures re-join later for the bounded survivors only. The cap is
+    sorted → deterministic, and ONE partner suffices to witness a new
+    doc's duplication."""
+    return (docs.select(F.col("id").alias("matched_id"),
+                        F.posexplode(band_hashes(F.col("signature"), bands))
+                        .alias("band", "bh"))
+            .groupBy("band", "bh")
+            .agg(F.slice(F.sort_array(F.collect_list("matched_id")),
+                         1, partner_cap).alias("partner_ids")))
+
+
 def write_dedup_index(df: DataFrame, id_col: str, text_col: str,
                       path: str, num_hashes: int = 64, shingle_n: int = 3,
-                      mode: str = "overwrite") -> None:
-    """Persist the dedup index for ``df``: (id, fingerprint, signature).
+                      mode: str = "overwrite", bands: int = 32,
+                      partner_cap: int = 8, n_buckets: int = 32) -> None:
+    """Persist the dedup index for ``df`` (layout in the module doc).
 
     ``mode='append'`` grows the index batch-over-batch — the write path
     of the incremental loop (classify against the index, then append
-    the batch's OWN fresh rows)."""
+    the batch's OWN fresh rows). Append validates the stored LSH
+    geometry and appends per-batch ``fps``/``buckets`` rows; a bucket
+    key present in k appends carries up to k·partner_cap partners until
+    :func:`compact_dedup_index` re-merges them.
+    """
+    if bands > num_hashes:
+        raise ValueError(
+            f"bands={bands} > num_hashes={num_hashes}: band slices would "
+            "be empty and EVERY document would collide in every band")
+    spark = df.sparkSession
+    if mode == "append" and _path_exists(spark, f"{path}/meta"):
+        stored = _read_meta(spark, path)
+        mine = {"num_hashes": num_hashes, "shingle_n": shingle_n,
+                "bands": bands, "partner_cap": partner_cap}
+        diff = {k: (v, stored[k]) for k, v in mine.items()
+                if stored[k] != v}
+        if diff:
+            raise ValueError(
+                f"append with incompatible index parameters {diff}: rows "
+                "banded with different geometry would silently never "
+                "collide with the stored buckets")
+
     sigs = minhash_signatures(df, id_col, text_col,
                               num_hashes=num_hashes, shingle_n=shingle_n)
     fps = df.select(F.col(id_col).alias("id"),
                     fingerprint(F.col(text_col)).alias("fingerprint"))
-    (fps.join(sigs, "id")
-        .select("id", "fingerprint", "signature")
-        .write.mode(mode).parquet(path))
+    docs = fps.join(sigs, "id").select("id", "fingerprint", "signature")
+    # docs feeds three derived writes — compute signatures once
+    docs = docs.persist()
+    try:
+        docs.write.mode(mode).parquet(f"{path}/docs")
+        _write_index_table(
+            docs.groupBy("fingerprint").agg(F.min("id").alias("matched_id")),
+            path, "fps", "fingerprint", n_buckets, mode)
+        _write_index_table(_bucket_rows(docs, bands, partner_cap),
+                           path, "buckets", ["band", "bh"], n_buckets, mode)
+    finally:
+        docs.unpersist()
+    meta = df.sparkSession.createDataFrame(
+        [(num_hashes, shingle_n, bands, partner_cap, n_buckets)],
+        "num_hashes int, shingle_n int, bands int, partner_cap int, "
+        "n_buckets int")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    return row.asDict()
+
+
+def compact_dedup_index(spark: SparkSession, path: str) -> None:
+    """Re-merge an append-grown index: re-aggregate ``fps`` to one row
+    per fingerprint and ``buckets`` to one capped partner list per
+    (band, bh). Run periodically (e.g. nightly after a week of hourly
+    appends) — appends stay cheap, reads stay bounded."""
+    meta = _read_meta(spark, path)
+    fps = (spark.read.parquet(f"{path}/fps")
+           .groupBy("fingerprint").agg(F.min("matched_id")
+                                       .alias("matched_id")))
+    buckets = (spark.read.parquet(f"{path}/buckets")
+               .select("band", "bh", F.explode("partner_ids")
+                       .alias("matched_id"))
+               .groupBy("band", "bh")
+               .agg(F.slice(F.sort_array(F.collect_set("matched_id")),
+                            1, meta["partner_cap"]).alias("partner_ids")))
+    # materialize BEFORE overwriting the inputs they read from
+    fps = fps.localCheckpoint()
+    buckets = buckets.localCheckpoint()
+    _write_index_table(fps, path, "fps", "fingerprint",
+                       meta["n_buckets"], "overwrite")
+    _write_index_table(buckets, path, "buckets", ["band", "bh"],
+                       meta["n_buckets"], "overwrite")
 
 
 def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
@@ -76,26 +223,47 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
     when both hold; similarity is 1.0 for exact, the signature-agreement
     Jaccard estimate for near).
 
-    ``partner_cap`` bounds the per-(band,bucket) index partners joined
-    per candidate bucket — a 10⁶-copy boilerplate cluster in history
-    would otherwise fan every colliding new doc out 10⁶ ways, and ONE
-    partner suffices to witness duplication.
+    LSH geometry (``num_hashes``/``bands``/``shingle_n``/
+    ``partner_cap``) is read from the index's ``meta`` table when
+    present — the stored buckets were banded with it, and classifying
+    with anything else would silently miss collisions; the keyword
+    arguments apply only to a legacy single-table index (pre-bucket
+    layout), which is re-banded on the fly as before.
+
+    Per-batch cost is dominated by the NEW batch: its fingerprints and
+    band hashes shuffle onto the index's bucketed layout; the index
+    side is scanned but neither re-banded nor re-aggregated.
     """
     if bands > num_hashes:
         raise ValueError(
             f"bands={bands} > num_hashes={num_hashes}: band slices would "
             "be empty and EVERY document would collide in every band")
     spark = new_df.sparkSession
-    index = spark.read.parquet(index_path)
+
+    legacy = not _path_exists(spark, f"{index_path}/meta")
+    if legacy:
+        docs = spark.read.parquet(index_path)
+        fps_index = docs.groupBy("fingerprint").agg(
+            F.min("id").alias("matched_id"))
+        buckets = _bucket_rows(docs, bands, partner_cap)
+    else:
+        meta = _read_meta(spark, index_path)
+        num_hashes = meta["num_hashes"]
+        bands = meta["bands"]
+        shingle_n = meta["shingle_n"]
+        docs = spark.read.parquet(f"{index_path}/docs")
+        fps_index = _read_index_table(spark, index_path, "fps")
+        buckets = _read_index_table(spark, index_path, "buckets")
 
     new_fp = new_df.select(F.col(id_col).alias("id"),
                            fingerprint(F.col(text_col)).alias("fingerprint"))
-    # pre-aggregate the index to ONE row per fingerprint before joining:
-    # a 10⁶-copy exact cluster in history would otherwise fan every
-    # matching new doc out 10⁶ ways onto one shuffle key
-    fp_index = index.groupBy("fingerprint").agg(
-        F.min("id").alias("matched_id"))
-    exact = (new_fp.join(fp_index, "fingerprint")
+    # fps is pre-aggregated to one row per fingerprint at write time;
+    # an append-grown index may hold one row per appended batch — the
+    # fan-out is bounded by the append count, and min-of-mins below
+    # restores the global minimum matched_id
+    exact = (new_fp.join(fps_index, "fingerprint")
+             .groupBy("id")
+             .agg(F.min("matched_id").alias("matched_id"))
              .select("id", F.lit("exact").alias("match_kind"),
                      "matched_id", F.lit(1.0).alias("similarity")))
 
@@ -108,21 +276,9 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
         "id", "signature",
         F.posexplode(band_hashes(F.col("signature"), bands))
         .alias("band", "bh"))
-    # index side: band + CAP partner IDS per bucket (sorted →
-    # deterministic). Collect ONLY the 8-byte ids — collecting the full
-    # (id, signature) structs would hold m·(8 + 8·num_hashes) bytes in
-    # one task for an m-copy mega-cluster bucket (~0.5 GB at m=10⁶)
-    # before the slice could drop them; signatures re-join afterwards
-    # for the (bounded, ≤ buckets·cap) surviving partners only.
-    ib = (index.select(F.col("id").alias("matched_id"),
-                       F.posexplode(band_hashes(F.col("signature"), bands))
-                       .alias("band", "bh"))
-          .groupBy("band", "bh")
-          .agg(F.slice(F.sort_array(F.collect_list("matched_id")),
-                       1, partner_cap).alias("partner_ids")))
-    isigs = index.select(F.col("id").alias("matched_id"),
-                         F.col("signature").alias("isig"))
-    cand = (nb.join(ib, ["band", "bh"])
+    isigs = docs.select(F.col("id").alias("matched_id"),
+                        F.col("signature").alias("isig"))
+    cand = (nb.join(buckets, ["band", "bh"])
             .select("id", "signature",
                     F.explode("partner_ids").alias("matched_id"))
             .distinct()

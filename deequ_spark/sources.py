@@ -70,7 +70,8 @@ def write_corpus(df: DataFrame, path: str, partition_by=None,
 
 def write_bucketed(df: DataFrame, table_name: str, bucket_cols,
                    n_buckets: int = 32,
-                   sort_cols=None, path: str | None = None) -> None:
+                   sort_cols=None, path: str | None = None,
+                   mode: str = "overwrite") -> None:
     """Persist a table bucketed (and optionally sorted) by its join/agg
     keys. Joins and aggregations between tables bucketed the SAME way on
     the SAME keys skip their shuffle entirely — the co-location is baked
@@ -80,7 +81,7 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_cols,
     catalog, not the parquet files)."""
     bucket_cols = list(bucket_cols) if not isinstance(bucket_cols, str) \
         else [bucket_cols]
-    writer = df.write.mode("overwrite").format("parquet")
+    writer = df.write.mode(mode).format("parquet")
     if path:
         writer = writer.option("path", path)
     writer = writer.bucketBy(n_buckets, *bucket_cols)

@@ -1368,3 +1368,138 @@ class TestGroupedTopk:
         df = spark.createDataFrame([("a", 1)], "k string, v int")
         with pytest.raises(ValueError, match="k must be"):
             grouped_topk(df, "k", "v", k=0)
+
+
+class TestIncrementalIndexLayout:
+    """Round-8 persisted-bucket layout (llm/incremental.py): banding of
+    the history happens ONCE at write time, classify never re-bands."""
+
+    DOCS = [
+        (1, "the quick brown fox jumps over the lazy dog near the river "
+            "bank on a bright morning in early spring sunshine today"),
+        (2, "spark builds a logical plan then the optimizer picks the "
+            "physical strategy for every join and aggregate in the query"),
+    ]
+
+    def test_layout_tables_written(self, spark, tmp_path):
+        from deequ_spark.llm import write_dedup_index
+        path = str(tmp_path / "idx")
+        hist = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        write_dedup_index(hist, "doc_id", "text", path, bands=16)
+        docs = spark.read.parquet(f"{path}/docs")
+        assert docs.count() == 2
+        fps = spark.read.parquet(f"{path}/fps")
+        assert sorted(fps.columns) == ["fingerprint", "matched_id"]
+        buckets = spark.read.parquet(f"{path}/buckets")
+        assert sorted(buckets.columns) == ["band", "bh", "partner_ids"]
+        # 2 distinct docs x 16 bands, no hash collisions expected
+        assert buckets.count() == 32
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        assert meta["bands"] == 16 and meta["num_hashes"] == 64
+
+    def test_classify_uses_stored_geometry(self, spark, tmp_path):
+        """Caller-passed bands are ignored for a bucket-layout index —
+        the stored geometry wins (a mismatched banding would silently
+        miss every collision)."""
+        from deequ_spark.llm import dedup_against_index, write_dedup_index
+        path = str(tmp_path / "idx")
+        hist = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        write_dedup_index(hist, "doc_id", "text", path, bands=16)
+        near = self.DOCS[0][1].replace("today", "tonight")
+        new = spark.createDataFrame([(10, near)], "doc_id long, text string")
+        _, dups = dedup_against_index(new, "doc_id", "text", path,
+                                      threshold=0.5, bands=8)
+        [r] = dups.collect()
+        assert r["match_kind"] == "near" and r["matched_id"] == 1
+
+    def test_legacy_single_table_index_still_classifies(self, spark,
+                                                        tmp_path):
+        from deequ_spark.llm import dedup_against_index
+        from deequ_spark.llm.dedup import minhash_signatures
+        from deequ_spark.llm.text import fingerprint as fp_expr
+        path = str(tmp_path / "legacy_idx")
+        hist = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        sigs = minhash_signatures(hist, "doc_id", "text", num_hashes=64,
+                                  shingle_n=3)
+        (hist.select(F.col("doc_id").alias("id"),
+                     fp_expr(F.col("text")).alias("fingerprint"))
+         .join(sigs, "id").select("id", "fingerprint", "signature")
+         .write.parquet(path))
+        new = spark.createDataFrame([(10, self.DOCS[1][1])],
+                                    "doc_id long, text string")
+        fresh, dups = dedup_against_index(new, "doc_id", "text", path)
+        [r] = dups.collect()
+        assert r["match_kind"] == "exact" and r["matched_id"] == 2
+        assert fresh.count() == 0
+
+    def test_append_incompatible_geometry_raises(self, spark, tmp_path):
+        from deequ_spark.llm import write_dedup_index
+        path = str(tmp_path / "idx")
+        hist = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        write_dedup_index(hist, "doc_id", "text", path, bands=16)
+        more = spark.createDataFrame([(3, "more text here now")],
+                                     "doc_id long, text string")
+        with pytest.raises(ValueError, match="incompatible index"):
+            write_dedup_index(more, "doc_id", "text", path, bands=32,
+                              mode="append")
+
+    def test_compaction_preserves_classification(self, spark, tmp_path):
+        from deequ_spark.llm import (compact_dedup_index,
+                                     dedup_against_index,
+                                     write_dedup_index)
+        path = str(tmp_path / "idx")
+        hist = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        write_dedup_index(hist, "doc_id", "text", path)
+        extra = spark.createDataFrame(
+            [(3, "volcanic islands and coral reefs under a turquoise "
+                 "sky with gulls drifting over the warm lagoon water")],
+            "doc_id long, text string")
+        write_dedup_index(extra, "doc_id", "text", path, mode="append")
+        new = spark.createDataFrame(
+            [(10, self.DOCS[0][1]), (11, self.DOCS[1][1]),
+             (12, "volcanic islands and coral reefs under a turquoise "
+                  "sky with gulls drifting over the warm lagoon water")],
+            "doc_id long, text string")
+        before = {(r["id"], r["match_kind"], r["matched_id"])
+                  for r in dedup_against_index(new, "doc_id", "text",
+                                               path)[1].collect()}
+        compact_dedup_index(spark, path)
+        after = {(r["id"], r["match_kind"], r["matched_id"])
+                 for r in dedup_against_index(new, "doc_id", "text",
+                                              path)[1].collect()}
+        assert before == after == {(10, "exact", 1), (11, "exact", 2),
+                                   (12, "exact", 3)}
+        # compaction re-merges buckets to ONE row per (band, bh)
+        buckets = spark.read.parquet(f"{path}/buckets")
+        assert (buckets.groupBy("band", "bh").count()
+                .agg(F.max("count")).collect()[0][0]) == 1
+
+    def test_classify_plan_never_rebands_index(self, spark, tmp_path):
+        """The r7 weakness: classify re-banded (posexplode) the whole
+        history per batch. With the persisted bucket table the only
+        Generate/explode nodes over index data must be the bounded
+        partner_ids explode — assert the plan has no posexplode of the
+        index docs scan, and (in-session) the bucketed index side joins
+        WITHOUT an Exchange."""
+        from deequ_spark.llm import dedup_against_index, write_dedup_index
+        path = str(tmp_path / "idx")
+        hist = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        write_dedup_index(hist, "doc_id", "text", path)
+        new = spark.createDataFrame([(10, "some novel words here")],
+                                    "doc_id long, text string")
+        _, dups = dedup_against_index(new, "doc_id", "text", path)
+        plan = dups._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        # docs parquet is scanned exactly ONCE (signature re-join for
+        # bounded survivors) and never fed into a banding explode:
+        # every index read of /buckets and /fps comes from the
+        # precomputed tables
+        assert "buckets" in plan and "fps" in plan
+        import re as _re
+        docs_scans = len(_re.findall(
+            r"Location: InMemoryFileIndex \[[^\n]*/docs\]", plan))
+        assert docs_scans == 1, plan[:3000]
+        # in-session the index tables read through the catalog as
+        # BUCKETED scans — the index side joins without an Exchange
+        assert "SelectedBucketsCount" in plan
