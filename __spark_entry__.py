@@ -4116,6 +4116,114 @@ _SEMANTIC_DECON_ORACLE_SQL = """
 """
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC/WET crawl ingest (llm/warc.py): documents are serialized
+    into 6 synthetic multi-record WARC files (odd files gzip-member
+    compressed, the Common Crawl convention) — each doc a `conversion`
+    (WET) record, every third doc also an HTTP `response` record, one
+    `warcinfo` per file — then read back through the binaryFile +
+    mapInPandas record splitter (a map-only plan; the file is the unit
+    of parallelism, exactly how CC publishes). Record counts by type,
+    payload byte/char sums, parsed HTTP status sums, header round-trips
+    (record-id digit sums) and canonical-URL dedup counts are all
+    replayed from `documents` arithmetic by the oracle. Fixture BUILD is
+    driver-side (test scaffolding); the read path under test is the
+    distributed product surface."""
+    import shutil
+    import tempfile
+
+    from deequ_spark.llm import canonicalize_url, read_warc, wet_documents
+    from deequ_spark.llm.warc import (build_warc_file, build_warc_record,
+                                      http_responses)
+
+    docs = _load(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
+
+    files = {k: [build_warc_record("warcinfo", b"software: deequ-spark\r\n",
+                                   content_type="application/warc-fields")]
+             for k in range(6)}
+    for r in rows:
+        i, text = int(r["doc_id"]), r["text"]
+        base = i - i % 2
+        uri = (f"http://site{base % 5}.example.com/page/{base}"
+               + ("?utm_source=feed" if i % 2 else ""))
+        payload = text.encode("utf-8")
+        files[i % 6].append(build_warc_record(
+            "conversion", payload, target_uri=uri,
+            record_id=f"urn:uuid:rec-{i}", content_type="text/plain"))
+        if i % 3 == 0:
+            status = 200 if i % 2 == 0 else 404
+            http = (f"HTTP/1.1 {status} X\r\n"
+                    f"Content-Type: text/html\r\n\r\n").encode() + payload
+            files[i % 6].append(build_warc_record(
+                "response", http, target_uri=uri,
+                record_id=f"urn:uuid:resp-{i}",
+                content_type="application/http; msgtype=response"))
+
+    d = tempfile.mkdtemp(prefix="deequ_warc_")
+    try:
+        import os
+        for k, recs in files.items():
+            gz = k % 2 == 1
+            name = f"f{k}.warc.gz" if gz else f"f{k}.warc"
+            with open(os.path.join(d, name), "wb") as fh:
+                fh.write(build_warc_file(recs, gzip_members=gz))
+
+        recs = read_warc(spark, d, min_partitions=6)
+        conv = recs.where(F.col("warc_type") == "conversion")
+        agg = conv.agg(
+            F.count(F.lit(1)).alias("n_conv"),
+            F.sum("content_length").alias("conv_bytes"),
+            F.sum(F.regexp_extract("record_id", r"rec-(\d+)", 1)
+                  .cast("long")).alias("rec_id_sum")).collect()[0]
+        n_info = recs.where(F.col("warc_type") == "warcinfo").count()
+        resp = http_responses(recs).agg(
+            F.count(F.lit(1)).alias("n_resp"),
+            F.sum("status").alias("status_sum"),
+            F.sum(F.octet_length("body")).alias("body_bytes"))             .collect()[0]
+        wet = wet_documents(recs)
+        wagg = wet.agg(
+            F.sum(F.length("text")).alias("wet_chars"),
+            F.countDistinct(canonicalize_url(F.col("url")))
+            .alias("canon_distinct")).collect()[0]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return _metrics_df(spark, sorted([
+        ("n_warcinfo", n_info), ("n_conversion", agg["n_conv"]),
+        ("n_response", resp["n_resp"]),
+        ("conv_bytes", agg["conv_bytes"]),
+        ("rec_id_sum", agg["rec_id_sum"]),
+        ("status_sum", resp["status_sum"]),
+        ("body_bytes", resp["body_bytes"]),
+        ("wet_chars", wagg["wet_chars"]),
+        ("canon_distinct", wagg["canon_distinct"])]))
+
+
+_WARC_INGEST_ORACLE_SQL = """
+    WITH d AS (SELECT doc_id AS i, text FROM documents)
+    SELECT metric, value FROM (
+      SELECT 'n_warcinfo' AS metric,
+             CAST(COUNT(DISTINCT i % 6) AS DOUBLE) AS value FROM d
+      UNION ALL SELECT 'n_conversion', CAST(COUNT(*) AS DOUBLE) FROM d
+      UNION ALL SELECT 'n_response',
+        CAST(SUM(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM d
+      UNION ALL SELECT 'conv_bytes',
+        CAST(SUM(octet_length(encode(text))) AS DOUBLE) FROM d
+      UNION ALL SELECT 'rec_id_sum', CAST(SUM(i) AS DOUBLE) FROM d
+      UNION ALL SELECT 'status_sum',
+        CAST(SUM(CASE WHEN i % 3 = 0 THEN
+             CASE WHEN i % 2 = 0 THEN 200 ELSE 404 END END) AS DOUBLE)
+        FROM d
+      UNION ALL SELECT 'body_bytes',
+        CAST(SUM(CASE WHEN i % 3 = 0
+             THEN octet_length(encode(text)) END) AS DOUBLE) FROM d
+      UNION ALL SELECT 'wet_chars', CAST(SUM(length(text)) AS DOUBLE) FROM d
+      UNION ALL SELECT 'canon_distinct',
+        CAST(COUNT(DISTINCT i - i % 2) AS DOUBLE) FROM d
+    ) ORDER BY metric
+"""
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup against a persisted index (llm/incremental.py):
     the production loop — a new batch classifies against the WHOLE
@@ -4857,6 +4965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_utils": q_scale_utils,
         "quality_score": q_quality_score,
         "semantic_decon": q_semantic_decon,
+        "warc_ingest": q_warc_ingest,
         "incremental_dedup": q_incremental_dedup,
         "rolling_stats": q_rolling_stats,
         "table_diff": q_table_diff,
@@ -5674,6 +5783,7 @@ def oracle_sql() -> dict[str, str]:
         "scale_utils": _SCALE_UTILS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         "semantic_decon": _SEMANTIC_DECON_ORACLE_SQL,
+        "warc_ingest": _WARC_INGEST_ORACLE_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE_SQL,
         "rolling_stats": _ROLLING_STATS_ORACLE_SQL,
         "table_diff": _TABLE_DIFF_ORACLE_SQL,

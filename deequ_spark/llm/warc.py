@@ -1,0 +1,240 @@
+"""WARC / WET ingest — the first stage of a crawl-scale corpus pipeline.
+
+Common Crawl (and every ISO 28500 producer) ships the web as WARC
+files: a concatenation of records, each a version line + CRLF headers +
+``Content-Length`` bytes of payload. WET files are WARCs whose
+``conversion`` records carry extracted plain text — the input a
+training-data pipeline actually wants.
+
+Spark-first shape: one WARC file is gzip-member-compressed and NOT
+splittable, so the natural unit of parallelism is the FILE — exactly
+how Common Crawl publishes (segments of ~1 GB files, tens of thousands
+per crawl). ``read_warc`` lists the files with the ``binaryFile``
+source (a distributed file scan; no driver-side listing of record
+contents) and splits records inside ``mapInPandas`` with a pure-Python
+parser — a map-only plan, no shuffle anywhere, that scales linearly
+with the file count on a 1000-executor cluster. Downstream operators
+(canonicalize_url, normalize_text, dedup, quality) consume the output
+columns directly.
+
+Format notes (ISO 28500 / WARC 1.0-1.1):
+- record = ``WARC/1.x\\r\\n`` + headers + ``\\r\\n`` + payload +
+  ``\\r\\n\\r\\n``; payload length comes from ``Content-Length`` (byte-
+  exact, so payloads may contain anything, including record markers);
+- ``.warc.gz`` files are CONCATENATED gzip members (commonly one per
+  record) — decompressed member-wise with zlib so a truncated tail
+  member loses only itself;
+- header names are case-insensitive; a malformed record body skips
+  forward to the next ``WARC/`` magic instead of poisoning the file.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from typing import Iterator, Optional, Tuple
+
+import pandas  # noqa: F401 — pandas_udf/mapInPandas hints resolve at module scope
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_warc", "parse_warc_files", "wet_documents",
+           "http_responses", "iter_warc_records", "split_gzip_members",
+           "build_warc_record", "build_warc_file"]
+
+_MAGIC = b"WARC/"
+
+RECORD_SCHEMA = ("warc_file string, record_id string, warc_type string, "
+                 "target_uri string, warc_date string, "
+                 "content_type string, content_length long, "
+                 "headers map<string,string>, payload binary")
+
+
+def split_gzip_members(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip byte string; plain
+    bytes pass through. Member-wise: each member is inflated with its
+    own decompressobj so trailing garbage / a truncated final member
+    drops only that member, not the file."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    out = io.BytesIO()
+    pos = 0
+    while pos < len(data) and data[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.write(d.decompress(data[pos:]))
+        except zlib.error:
+            break
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return out.getvalue()
+
+
+def build_warc_record(warc_type: str, payload: bytes,
+                      target_uri: Optional[str] = None,
+                      record_id: Optional[str] = None,
+                      warc_date: str = "2024-01-01T00:00:00Z",
+                      content_type: Optional[str] = None,
+                      extra_headers: Optional[dict] = None) -> bytes:
+    """Serialize one ISO 28500 record — the fixture builder for tests
+    and synthetic-corpus oracles (there is no WARC writer requirement in
+    a read-side pipeline, but a byte-exact builder keeps parser tests
+    honest without binary blobs in the repo)."""
+    lines = [b"WARC/1.0",
+             f"WARC-Type: {warc_type}".encode(),
+             f"WARC-Date: {warc_date}".encode()]
+    if record_id:
+        lines.append(f"WARC-Record-ID: <{record_id}>".encode())
+    if target_uri:
+        lines.append(f"WARC-Target-URI: {target_uri}".encode())
+    if content_type:
+        lines.append(f"Content-Type: {content_type}".encode())
+    for k, v in (extra_headers or {}).items():
+        lines.append(f"{k}: {v}".encode())
+    lines.append(f"Content-Length: {len(payload)}".encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def build_warc_file(records, gzip_members: bool = False) -> bytes:
+    """Concatenate serialized records into one file's bytes; with
+    ``gzip_members`` each record becomes its own gzip member (the
+    Common Crawl ``.warc.gz`` convention, which lets a reader skip to
+    any record boundary without inflating the prefix)."""
+    import gzip as _gzip
+    if not gzip_members:
+        return b"".join(records)
+    return b"".join(_gzip.compress(r) for r in records)
+
+
+def _parse_headers(block: bytes) -> dict:
+    headers = {}
+    for line in block.split(b"\r\n"):
+        if b":" not in line:
+            continue
+        k, v = line.split(b":", 1)
+        headers[k.strip().decode("latin-1")] = v.strip().decode(
+            "latin-1", "replace")
+    return headers
+
+
+def _hget(headers: dict, name: str) -> Optional[str]:
+    low = name.lower()
+    for k, v in headers.items():
+        if k.lower() == low:
+            return v
+    return None
+
+
+def iter_warc_records(data: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """Yield ``(headers, payload)`` per WARC record in ``data``
+    (decompressing gzip members first). Pure Python, sequential over one
+    file's bytes — the per-task work unit."""
+    data = split_gzip_members(data)
+    pos = data.find(_MAGIC)
+    n = len(data)
+    while pos != -1 and pos < n:
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end == -1:
+            return
+        headers = _parse_headers(data[pos:head_end])
+        length_s = _hget(headers, "Content-Length")
+        if length_s is None or not length_s.isdigit():
+            pos = data.find(_MAGIC, pos + len(_MAGIC))
+            continue
+        body_start = head_end + 4
+        body_end = body_start + int(length_s)
+        if body_end > n:
+            return  # truncated final record
+        yield headers, data[body_start:body_end]
+        nxt = data.find(_MAGIC, body_end)
+        pos = nxt
+
+
+def parse_warc_files(files: DataFrame, path_col: str = "path",
+                     content_col: str = "content",
+                     warc_types=None) -> DataFrame:
+    """Split each file row's bytes into one row per WARC record.
+
+    ``warc_types`` (e.g. ``{'conversion'}``) filters record types
+    INSIDE the parser, before anything is emitted into Spark — the
+    usual 10× row reduction when only WET text records matter.
+    Map-only: no shuffle, output partitioning = input file partitioning.
+    """
+    wanted = {t.lower() for t in warc_types} if warc_types else None
+
+    def parse(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = {"warc_file": [], "record_id": [], "warc_type": [],
+                    "target_uri": [], "warc_date": [], "content_type": [],
+                    "content_length": [], "headers": [], "payload": []}
+            for path, blob in zip(pdf[path_col], pdf[content_col]):
+                for headers, payload in iter_warc_records(bytes(blob)):
+                    rtype = (_hget(headers, "WARC-Type") or "").lower()
+                    if wanted is not None and rtype not in wanted:
+                        continue
+                    rows["warc_file"].append(path)
+                    rows["record_id"].append(
+                        _hget(headers, "WARC-Record-ID"))
+                    rows["warc_type"].append(rtype)
+                    rows["target_uri"].append(
+                        _hget(headers, "WARC-Target-URI"))
+                    rows["warc_date"].append(_hget(headers, "WARC-Date"))
+                    rows["content_type"].append(
+                        _hget(headers, "Content-Type"))
+                    rows["content_length"].append(len(payload))
+                    rows["headers"].append(headers)
+                    rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return files.select(path_col, content_col).mapInPandas(
+        parse, RECORD_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str, warc_types=None,
+              min_partitions: Optional[int] = None) -> DataFrame:
+    """Read a directory/glob of ``.warc`` / ``.warc.gz`` / ``.wet.gz``
+    files into one row per record (schema: ``RECORD_SCHEMA``).
+
+    ``min_partitions`` repartitions the FILE list before parsing — a
+    directory with fewer files than cores would otherwise idle the
+    cluster (binaryFile keeps each non-splittable file whole)."""
+    files = spark.read.format("binaryFile").load(path)
+    if min_partitions:
+        files = files.repartition(min_partitions)
+    return parse_warc_files(files, warc_types=warc_types)
+
+
+def wet_documents(records: DataFrame) -> DataFrame:
+    """WET extraction: ``conversion`` records as ``(url, text)`` — the
+    entry point into normalize_text / dedup / quality scoring. Pure
+    projection + filter on the record frame (map-only)."""
+    return (records.where(F.col("warc_type") == "conversion")
+            .select(F.col("target_uri").alias("url"),
+                    F.col("payload").cast("string").alias("text")))
+
+
+def http_responses(records: DataFrame) -> DataFrame:
+    """Parse ``response`` records' HTTP payloads into ``(url, status,
+    http_content_type, body)``. The status line and headers are split
+    with built-in expressions (JVM-side); only the header/body split
+    point needs a byte search, done on the binary with ``instr``-style
+    expressions over a latin-1 cast — no Python in the plan."""
+    resp = records.where(F.col("warc_type") == "response")
+    # HTTP head ends at the first CRLFCRLF; cast through latin-1-safe
+    # string ops: Spark's cast binary->string is UTF-8, so operate on
+    # a substring that is ASCII by protocol (status line + headers)
+    s = F.col("payload").cast("string")
+    head_end = F.instr(s, "\r\n\r\n")
+    head = F.substring(s, F.lit(1), head_end - 1)
+    status = F.regexp_extract(head, r"^HTTP/[0-9.]+ (\d{3})", 1) \
+        .cast("int")
+    ctype = F.regexp_extract(head, r"(?im)^content-type:\s*([^\r\n]+)", 1)
+    body = F.expr("substring(payload, instr(cast(payload as string), "
+                  "'\r\n\r\n') + 4, octet_length(payload))")
+    return resp.select(F.col("target_uri").alias("url"),
+                       status.alias("status"),
+                       ctype.alias("http_content_type"),
+                       body.alias("body"))

@@ -1,0 +1,166 @@
+"""WARC/WET ingest (deequ_spark/llm/warc.py): record splitting, gzip
+members, header extraction, WET text extraction, HTTP response parsing,
+malformed-record recovery, and the map-only plan contract."""
+
+import gzip
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from deequ_spark.llm.warc import (build_warc_file, build_warc_record,
+                                  http_responses, iter_warc_records,
+                                  parse_warc_files, read_warc,
+                                  split_gzip_members, wet_documents)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return (SparkSession.builder.master("local[4]")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.ui.enabled", "false").getOrCreate())
+
+
+def _conv(i, text=None):
+    text = text if text is not None else f"document body {i} " * 3
+    return build_warc_record(
+        "conversion", text.encode("utf-8"),
+        target_uri=f"http://site{i % 3}.example.com/page/{i}",
+        record_id=f"urn:uuid:rec-{i}", content_type="text/plain")
+
+
+def _resp(i, body=b"<html>hi</html>", status=200,
+          ctype="text/html; charset=utf-8"):
+    http = (f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+    return build_warc_record(
+        "response", http,
+        target_uri=f"http://site{i % 3}.example.com/page/{i}",
+        record_id=f"urn:uuid:resp-{i}",
+        content_type="application/http; msgtype=response")
+
+
+class TestPurePythonParser:
+    def test_round_trip_plain(self):
+        recs = [_conv(0), _resp(1), _conv(2)]
+        out = list(iter_warc_records(build_warc_file(recs)))
+        assert len(out) == 3
+        types = [h.get("WARC-Type") for h, _ in out]
+        assert types == ["conversion", "response", "conversion"]
+        assert out[0][1].decode().startswith("document body 0")
+
+    def test_round_trip_gzip_members(self):
+        recs = [_conv(i) for i in range(5)]
+        blob = build_warc_file(recs, gzip_members=True)
+        assert blob[:2] == b"\x1f\x8b"
+        out = list(iter_warc_records(blob))
+        assert len(out) == 5
+
+    def test_single_member_gzip_whole_file(self):
+        blob = gzip.compress(build_warc_file([_conv(0), _conv(1)]))
+        assert len(list(iter_warc_records(blob))) == 2
+
+    def test_payload_may_contain_record_magic(self):
+        evil = b"WARC/1.0\r\nWARC-Type: fake\r\n\r\n tricky"
+        recs = [build_warc_record("conversion", evil,
+                                  target_uri="http://x.example.com/"),
+                _conv(7)]
+        out = list(iter_warc_records(build_warc_file(recs)))
+        # Content-Length framing must carry the parser PAST the embedded
+        # magic: exactly 2 real records, first payload intact
+        assert len(out) == 2
+        assert out[0][1] == evil
+
+    def test_malformed_record_skipped_not_fatal(self):
+        bad = b"WARC/1.0\r\nWARC-Type: broken\r\nno content length\r\n\r\n"
+        data = bad + build_warc_file([_conv(3)])
+        out = list(iter_warc_records(data))
+        assert len(out) == 1
+        assert out[0][0]["WARC-Type"] == "conversion"
+
+    def test_truncated_final_record_dropped(self):
+        blob = build_warc_file([_conv(0), _conv(1)])
+        out = list(iter_warc_records(blob[:-30]))
+        assert len(out) == 1
+
+    def test_split_gzip_passthrough(self):
+        assert split_gzip_members(b"plain bytes") == b"plain bytes"
+
+    def test_header_case_insensitive(self):
+        rec = (b"WARC/1.0\r\nwarc-type: conversion\r\n"
+               b"content-length: 2\r\n\r\nhi\r\n\r\n")
+        [(h, p)] = list(iter_warc_records(rec))
+        assert p == b"hi"
+
+
+class TestSparkSurface:
+    @pytest.fixture()
+    def warc_dir(self, tmp_path):
+        d = tmp_path / "warc"
+        d.mkdir()
+        # file 0: plain, conversions 0..4 + a warcinfo
+        info = build_warc_record("warcinfo", b"software: test\r\n",
+                                 content_type="application/warc-fields")
+        (d / "f0.warc").write_bytes(
+            build_warc_file([info] + [_conv(i) for i in range(5)]))
+        # file 1: gzip members, conversions 5..9 + responses
+        (d / "f1.warc.gz").write_bytes(build_warc_file(
+            [_conv(i) for i in range(5, 10)] + [_resp(i) for i in (5, 6)],
+            gzip_members=True))
+        return str(d)
+
+    def test_read_counts_and_headers(self, spark, warc_dir):
+        recs = read_warc(spark, warc_dir)
+        by_type = {r["warc_type"]: r["n"] for r in
+                   recs.groupBy("warc_type").agg(F.count("*").alias("n"))
+                   .collect()}
+        assert by_type == {"warcinfo": 1, "conversion": 10, "response": 2}
+        row = recs.where(F.col("record_id") == "<urn:uuid:rec-7>") \
+            .collect()[0]
+        assert row["target_uri"] == "http://site1.example.com/page/7"
+        assert row["warc_date"] == "2024-01-01T00:00:00Z"
+        assert row["content_length"] == len(b"document body 7 " * 3)
+        assert row["headers"]["WARC-Type"] == "conversion"
+
+    def test_type_filter_in_parser(self, spark, warc_dir):
+        recs = read_warc(spark, warc_dir, warc_types={"conversion"})
+        assert recs.count() == 10
+
+    def test_wet_documents_feed_pipeline(self, spark, warc_dir):
+        from deequ_spark.llm import canonicalize_url
+        from deequ_spark.llm.text import normalize_text
+        docs = wet_documents(read_warc(spark, warc_dir))
+        assert docs.columns == ["url", "text"]
+        assert docs.count() == 10
+        out = normalize_text(
+            docs.withColumn("curl", canonicalize_url(F.col("url"))),
+            "text")
+        rows = out.collect()
+        assert all(r["curl"].startswith("http://site") for r in rows)
+        assert all("document body" in r["text_clean"] for r in rows)
+
+    def test_http_responses_parsed(self, spark, warc_dir):
+        resp = http_responses(read_warc(spark, warc_dir))
+        rows = resp.orderBy("url").collect()
+        assert len(rows) == 2
+        assert all(r["status"] == 200 for r in rows)
+        assert all(r["http_content_type"].startswith("text/html")
+                   for r in rows)
+        assert all(bytes(r["body"]) == b"<html>hi</html>" for r in rows)
+
+    def test_plan_is_map_only(self, spark, warc_dir):
+        recs = read_warc(spark, warc_dir, warc_types={"conversion"})
+        plan = recs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+
+    def test_min_partitions_spreads_files(self, spark, warc_dir):
+        recs = read_warc(spark, warc_dir, min_partitions=4)
+        assert recs.rdd.getNumPartitions() == 4
+
+    def test_non_utf8_response_body_byte_exact(self, spark, tmp_path):
+        d = tmp_path / "w2"
+        d.mkdir()
+        body = bytes(range(256))          # invalid UTF-8 on purpose
+        (d / "f.warc").write_bytes(build_warc_file([_resp(0, body=body)]))
+        [r] = http_responses(read_warc(spark, str(d))).collect()
+        assert bytes(r["body"]) == body
