@@ -4116,6 +4116,63 @@ _SEMANTIC_DECON_ORACLE_SQL = """
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE merge-loop induction (llm/bpe.py train_bpe): the first 5
+    merges AND the pair counts that won them, re-derived merge-by-merge
+    in DuckDB via iterated ranked-pair-count CTEs (segmentations carried
+    as chr(31)-wrapped symbol strings; replace() of the wrapped pair
+    reproduces the trainer's greedy leftmost non-overlapping merge).
+    This engine-checks the loop induction itself — the word table,
+    adjacent-pair weighting, (count desc, pair lex asc) tie-break, and
+    re-segmentation after each merge — where `bpe_train` (60 merges +
+    retokenization) stays a rows-only check."""
+    from deequ_spark.llm import train_bpe
+    docs = _load(spark, sf_dir, "documents")
+    traced = train_bpe(docs, "text", n_merges=5, min_pair_count=2,
+                       return_counts=True)
+    return _metrics_df(spark, sorted(
+        (f"m{k}_{a}+{b}", cnt) for k, (a, b, cnt) in enumerate(traced)))
+
+
+def _bpe_merges_oracle() -> str:
+    sep = "chr(31)"
+    parts = [f"""
+wf AS (
+  SELECT word, COUNT(*) AS c FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS word FROM documents)
+  GROUP BY word),
+seg_0 AS (
+  SELECT c, {sep} || array_to_string(
+      list_append(string_split(word, ''), '</w>'), {sep} || {sep})
+      || {sep} AS s
+  FROM wf)"""]
+    for k in range(5):
+        parts.append(f"""
+pairs_{k} AS (
+  SELECT p['a'] AS a, p['b'] AS b, SUM(c) AS cnt FROM (
+    SELECT c, unnest(list_transform(
+        generate_series(1, len(string_split(trim(s, {sep}),
+                                            {sep}||{sep})) - 1),
+        i -> {{'a': string_split(trim(s, {sep}), {sep}||{sep})[i],
+              'b': string_split(trim(s, {sep}), {sep}||{sep})[i+1]}})) AS p
+    FROM seg_{k}) GROUP BY 1, 2),
+best_{k} AS (SELECT a, b, cnt FROM pairs_{k}
+             ORDER BY cnt DESC, a, b LIMIT 1),
+seg_{k + 1} AS (
+  SELECT w.c, replace(w.s, {sep}||m.a||{sep}||{sep}||m.b||{sep},
+                      {sep}||m.a||m.b||{sep}) AS s
+  FROM seg_{k} w, best_{k} m)""")
+    sel = " UNION ALL ".join(
+        f"SELECT 'm{k}_' || a || '+' || b AS metric, "
+        f"CAST(cnt AS DOUBLE) AS value FROM best_{k}" for k in range(5))
+    return ("WITH " + ",".join(parts)
+            + " SELECT metric, value FROM (" + sel + ") ORDER BY metric")
+
+
+_BPE_MERGES_ORACLE_SQL = _bpe_merges_oracle()
+
+
 def q_warc_ingest(spark, sf_dir):
     """WARC/WET crawl ingest (llm/warc.py): documents are serialized
     into 6 synthetic multi-record WARC files (odd files gzip-member
@@ -4965,6 +5022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_utils": q_scale_utils,
         "quality_score": q_quality_score,
         "semantic_decon": q_semantic_decon,
+        "bpe_merges": q_bpe_merges,
         "warc_ingest": q_warc_ingest,
         "incremental_dedup": q_incremental_dedup,
         "rolling_stats": q_rolling_stats,
@@ -5783,6 +5841,7 @@ def oracle_sql() -> dict[str, str]:
         "scale_utils": _SCALE_UTILS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         "semantic_decon": _SEMANTIC_DECON_ORACLE_SQL,
+        "bpe_merges": _BPE_MERGES_ORACLE_SQL,
         "warc_ingest": _WARC_INGEST_ORACLE_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE_SQL,
         "rolling_stats": _ROLLING_STATS_ORACLE_SQL,

@@ -72,18 +72,24 @@ def _merge_vocab(vocab: Dict[Tuple[str, ...], int],
 
 def train_bpe(df: DataFrame, text_col: str, n_merges: int = 200,
               min_pair_count: int = 2,
-              max_words: int = 100_000) -> List[Tuple[str, str]]:
+              max_words: int = 100_000,
+              return_counts: bool = False):
     """Learn up to ``n_merges`` BPE merges from the corpus. Words carry
     the classic ``</w>`` end marker so merges distinguish word-final
     subwords. Stops early when no pair reaches ``min_pair_count``
     (merging hapax pairs memorizes noise). Ties break on
     (count desc, pair lex asc), so the merge list is deterministic for
-    a given word-frequency table on any engine or cluster size."""
+    a given word-frequency table on any engine or cluster size.
+
+    ``return_counts=True`` returns ``[(a, b, count), ...]`` — each
+    merge with the pair count that won it, the auditable trace an
+    external oracle can re-derive merge by merge."""
     rows = (word_frequency_table(df, text_col)
             .orderBy(F.col("count").desc(), F.col("word"))
             .limit(max_words).collect())
     vocab = {tuple(r["word"]) + (END,): int(r["count"]) for r in rows}
     merges: List[Tuple[str, str]] = []
+    traced: List[Tuple[str, str, int]] = []
     for _ in range(n_merges):
         counts = _pair_counts(vocab)
         if not counts:
@@ -92,8 +98,9 @@ def train_bpe(df: DataFrame, text_col: str, n_merges: int = 200,
         if counts[pair] < min_pair_count:
             break
         merges.append(pair)
+        traced.append((pair[0], pair[1], counts[pair]))
         vocab = _merge_vocab(vocab, pair)
-    return merges
+    return traced if return_counts else merges
 
 
 def bpe_encode_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:

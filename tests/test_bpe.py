@@ -99,3 +99,19 @@ class TestTokenCount:
         got = {r["id"]: r["bpe_tokens"] for r in
                bpe_token_count(docs, "text", merges).collect()}
         assert got[0] == 0 and got[1] == 2
+
+
+class TestTrainTraced:
+    def test_return_counts_matches_merges(self, spark):
+        df = spark.createDataFrame(
+            [("low low low lower lowest new newer",),
+             ("newer newer wider low new",)], "text string")
+        from deequ_spark.llm.bpe import train_bpe
+        merges = train_bpe(df, "text", n_merges=4)
+        traced = train_bpe(df, "text", n_merges=4, return_counts=True)
+        assert [(a, b) for a, b, _ in traced] == merges
+        assert traced[0] == ("l", "o", 6)
+        assert traced[1] == ("lo", "w", 6)
+        # counts are non-increasing only per greedy argmax within a
+        # step, not globally — but every count respects min_pair_count
+        assert all(c >= 2 for _, _, c in traced)

@@ -45,6 +45,7 @@ def main():
         queries = {n: queries[n] for n in ONLY}
     oracles = entry_mod.oracle_sql()
     failures = []
+    unoracled = []
     for name, fn in queries.items():
         try:
             sdf = fn(spark, SF_DIR)
@@ -54,7 +55,9 @@ def main():
             print(f"FAIL {name}: spark error: {exc}")
             continue
         if name not in oracles:
-            print(f"WEAK {name}: no oracle ({len(spark_rows)} rows)")
+            unoracled.append(name)
+            print(f"ROWS-ONLY {name}: no oracle SQL "
+                  f"({len(spark_rows)} rows, runs clean)")
             continue
         try:
             duck_rows = sorted([tuple(r) for r in con.execute(oracles[name]).fetchall()])
@@ -78,7 +81,11 @@ def main():
             print(f"PASS {name} ({len(spark_rows)} rows)")
 
     spark.stop()
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries match")
+    n_oracled = len(queries) - len(unoracled)
+    ok = n_oracled - len(failures)
+    tail = (f" + {len(unoracled)} rows-only ({', '.join(unoracled)})"
+            if unoracled else "")
+    print(f"\n{ok}/{n_oracled} oracled queries match{tail}")
     sys.exit(1 if failures else 0)
 
 
