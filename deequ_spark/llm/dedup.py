@@ -82,6 +82,24 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams(text, n))
 
 
+_LAMBDA_SEGMENT = 16
+
+
+def _lambda_barrier(base: DataFrame, expr, step: int,
+                    col: str = "__seg"):
+    """Break a long nested-lambda chain with a projection barrier every
+    ``_LAMBDA_SEGMENT`` steps. The analyzer binds ONE lambda nesting
+    level per resolution iteration, so a 49-deep zip_with chain sits at
+    the Max-iterations(100) cliff; stacked projections resolve their
+    (shallow) segments level-by-level in parallel. CollapseProject may
+    merge the projections back at optimization time — harmless, each
+    segment is referenced exactly once (no recompute duplication) and
+    lambdas are already resolved by then."""
+    if step % _LAMBDA_SEGMENT:
+        return base, expr
+    return base.withColumn(col, expr), F.col(col)
+
+
 def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
                            n: int = 50, key: str = "hash",
                            out_col: str = "deduped") -> DataFrame:
@@ -102,13 +120,17 @@ def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
 
     * windows are built with the shifted-``zip_with`` trick (O(tokens)
       per shift, no per-window slicing); docs under n tokens emit none.
-    * ``key='hash'`` (default) shuffles only ``(xxhash64(window), id,
-      pos)`` — ~24 bytes per token instead of the n·token-bytes the
-      window text itself would cost (a 50-gram key is a ~50× shuffle
-      amplification). A 64-bit collision falsely merges two distinct
-      windows (probability ~m²/2⁶⁵ corpus-wide) and costs at most one
-      spurious n-token cut; ``key='text'`` keys on the window text for
-      exactness when the corpus is small enough to pay for it.
+    * ``key='hash'`` (default) never materializes window TEXT at all:
+      tokens hash once (xxhash64), then two parallel Horner chains
+      (mod two 31-bit primes, packed into one long so the zip_with
+      chain stays single) roll over the token-hash array — O(1) longs
+      per token per shift instead of the O(n·token_bytes) intermediate
+      the concatenated n-gram strings cost at n=50. Only
+      ``(62-bit window key, id, pos)`` ~24 bytes per token reach the
+      shuffle. A collision needs BOTH chains to collide (~m²/2⁶³
+      corpus-wide) and costs at most one spurious n-token cut;
+      ``key='text'`` keys on the window text for exactness when the
+      corpus is small enough to pay for it.
     * the winner per window is one map-side-combinable ``min(struct)``
       aggregate; loser spans flow back as ``(id, pos)`` pairs and the
       rebuild is a per-document index filter (O(tokens · loser spans)
@@ -121,21 +143,60 @@ def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
                       toks.alias("__toks"))
             .withColumn("__sz", F.size("__toks")))
 
-    # all n-token windows in order; NONE for docs shorter than n
+    # all n-token window keys in order; NONE for docs shorter than n
     sz = F.col("__sz")
-    grams = F.col("__toks")
-    for j in range(1, n):
-        keep = F.greatest(sz - j, F.lit(0))
-        grams = F.zip_with(F.slice(grams, 1, keep),
-                           F.slice(F.col("__toks"), j + 1, keep),
-                           lambda a, b: F.concat(a, F.lit(" "), b))
-    grams = F.when(sz >= n, grams).otherwise(
-        F.array().cast("array<string>"))
+    if key == "hash":
+        # Rolling 62-bit window key over TOKEN hashes — no window text
+        # is ever built. Two independent Horner chains over the low/high
+        # 31 bits of xxhash64(token), each mod a 31-bit prime, packed
+        # into one long (state = a1·2³¹ + a2 < 2⁶²) so the shifted-
+        # zip_with recurrence stays a single array chain. All arithmetic
+        # stays under 2⁶³ (a·B ≤ 2³¹·2²⁰ + 2³¹), safe under ANSI mode.
+        m1, b1 = 2147483647, 1000003        # 2³¹−1 (Mersenne), B < 2²⁰
+        m2, b2 = 2147483629, 524287         # prev 31-bit prime, 2¹⁹−1
+        mask = 2147483647                   # low-31 extractor
+
+        def _pack(a1, a2):
+            return F.shiftleft(a1, 31) + a2
+
+        def _step(s, t):
+            a1 = F.shiftright(s, 31)
+            a2 = s.bitwiseAND(F.lit(mask))
+            x1 = t.bitwiseAND(F.lit(mask)) % F.lit(m1)
+            x2 = F.shiftright(t, 31).bitwiseAND(F.lit(mask)) % F.lit(m2)
+            return _pack((a1 * F.lit(b1) + x1) % F.lit(m1),
+                         (a2 * F.lit(b2) + x2) % F.lit(m2))
+
+        # __th lives in its OWN projection: embedding the transform
+        # expression inside every per-shift slice would cost the
+        # analyzer one resolution round per copy — an attribute
+        # reference resolves once
+        base = base.withColumn(
+            "__th", F.transform(F.col("__toks"), lambda t: F.xxhash64(t)))
+        th = F.col("__th")
+        grams = F.transform(
+            th, lambda t: _pack(t.bitwiseAND(F.lit(mask)) % F.lit(m1),
+                                F.shiftright(t, 31)
+                                .bitwiseAND(F.lit(mask)) % F.lit(m2)))
+        for j in range(1, n):
+            keep = F.greatest(sz - j, F.lit(0))
+            grams = F.zip_with(F.slice(grams, 1, keep),
+                               F.slice(th, j + 1, keep), _step)
+            base, grams = _lambda_barrier(base, grams, j)
+        grams = F.when(sz >= n, grams).otherwise(
+            F.array().cast("array<bigint>"))
+    else:
+        grams = F.col("__toks")
+        for j in range(1, n):
+            keep = F.greatest(sz - j, F.lit(0))
+            grams = F.zip_with(F.slice(grams, 1, keep),
+                               F.slice(F.col("__toks"), j + 1, keep),
+                               lambda a, b: F.concat(a, F.lit(" "), b))
+            base, grams = _lambda_barrier(base, grams, j)
+        grams = F.when(sz >= n, grams).otherwise(
+            F.array().cast("array<string>"))
 
     w = base.select("__did", F.posexplode(grams).alias("__pos", "__gram"))
-    if key == "hash":
-        w = w.select("__did", "__pos",
-                     F.xxhash64("__gram").alias("__gram"))
     agg = (w.groupBy("__gram")
            .agg(F.min(F.struct(F.col("__did"), F.col("__pos")))
                 .alias("__win"),

@@ -1016,6 +1016,29 @@ class TestDuplicateSpanRemoval:
                                           key="text").collect())
         assert a == b
 
+    def test_default_n50_resolves_and_paths_agree(self, spark):
+        """r8: the rolling-hash path must survive the DEFAULT n=50 (the
+        49-deep lambda chain used to hit the analyzer's Max-iterations
+        cliff) and agree with the text-keyed path on a corpus with a
+        genuine 50-token duplicated span."""
+        from deequ_spark.llm import duplicate_span_removal
+        span = " ".join(f"w{i}" for i in range(55))
+        rows = [(1, span + " unique tail one"),
+                (2, "different head text " + span),
+                (3, "no overlap at all " + " ".join(
+                    f"z{i}" for i in range(60)))]
+        df = spark.createDataFrame(rows, "id long, text string")
+        a = {r["id"]: (r["deduped"], r["n_removed_tokens"]) for r in
+             duplicate_span_removal(df, "id", "text", n=50,
+                                    key="hash").collect()}
+        b = {r["id"]: (r["deduped"], r["n_removed_tokens"]) for r in
+             duplicate_span_removal(df, "id", "text", n=50,
+                                    key="text").collect()}
+        assert a == b
+        assert a[1][1] == 0                      # first sighting kept
+        assert a[2][1] == 55                     # all shifted windows cut
+        assert a[3][1] == 0
+
     def test_doc_exactly_n_tokens(self, spark):
         from deequ_spark.llm import duplicate_span_removal
         df = spark.createDataFrame(
