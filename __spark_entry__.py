@@ -4727,6 +4727,26 @@ def q_sliced_analysis(spark, sf_dir):
             v = m.value
             pairs.append((f"{f}_{name}_fuzz", _fuzz(v))
                          if name == "mean" else (f"{f}_{name}", v))
+    # r8: frequency-based analyzers per slice (sliced_grouped_metrics,
+    # the reference grouping fusion slice-fused into TWO jobs):
+    # Uniqueness / Distinctness / CountDistinct / Entropy of l_partkey
+    # per l_returnflag
+    from deequ_spark import (CountDistinct, Distinctness, Entropy,
+                             Uniqueness, sliced_grouped_metrics)
+    gout = sliced_grouped_metrics(
+        li, "l_returnflag",
+        [Uniqueness(("l_partkey",)), Distinctness(("l_partkey",)),
+         CountDistinct(("l_partkey",)), Entropy("l_partkey")])
+    for key, mm in gout.items():
+        f = key[0]
+        for a, m in mm.items():
+            if not m.is_success:
+                continue
+            name = type(a).__name__.lower()
+            pairs.append((f"{f}_{name}" if name == "countdistinct"
+                          else f"{f}_{name}_fuzz",
+                          m.value if name == "countdistinct"
+                          else _fuzz(m.value)))
     return _metrics_df(spark, sorted(pairs))
 
 
@@ -4736,13 +4756,30 @@ _SLICED_ANALYSIS_ORACLE_SQL = """
              AVG(l_quantity) AS mean_q,
              MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
              SUM(l_quantity) AS sq
-      FROM lineitem GROUP BY l_returnflag)
+      FROM lineitem GROUP BY l_returnflag),
+    freq AS (
+      SELECT l_returnflag AS f, l_partkey, COUNT(*) AS c
+      FROM lineitem WHERE l_partkey IS NOT NULL
+      GROUP BY l_returnflag, l_partkey),
+    grp AS (
+      SELECT f, SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS uniq,
+             COUNT(*) AS dist, SUM(c) AS n,
+             SUM(c * ln(c)) AS slogs, MAX(c) AS mxc
+      FROM freq GROUP BY f)
     SELECT metric, value FROM (
       SELECT f || '_size' AS metric, CAST(sz AS DOUBLE) AS value FROM g
       UNION ALL SELECT f || '_mean_fuzz', FLOOR(mean_q * 1e6) FROM g
       UNION ALL SELECT f || '_minimum', mn FROM g
       UNION ALL SELECT f || '_maximum', mx FROM g
       UNION ALL SELECT f || '_sum', CAST(sq AS DOUBLE) FROM g
+      UNION ALL SELECT f || '_uniqueness_fuzz',
+        FLOOR(CAST(uniq AS DOUBLE) / n * 1e6) FROM grp
+      UNION ALL SELECT f || '_distinctness_fuzz',
+        FLOOR(CAST(dist AS DOUBLE) / n * 1e6) FROM grp
+      UNION ALL SELECT f || '_countdistinct', CAST(dist AS DOUBLE) FROM grp
+      UNION ALL SELECT f || '_entropy_fuzz',
+        FLOOR(CASE WHEN mxc = n THEN 0.0
+                   ELSE ln(n) - slogs / n END * 1e6) FROM grp
     ) ORDER BY metric
 """
 

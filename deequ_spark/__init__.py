@@ -84,7 +84,8 @@ from .windowed import windowed_agg_plan, windowed_metrics
 from .diagnostics import (file_report, key_skew_report, partition_report,
                           salted_agg, suggest_skew_mitigation)
 from .joins import asof_join, interval_join, rolling_stats
-from .slicing import sliced_metrics, sliced_verification
+from .slicing import (sliced_grouped_metrics, sliced_metrics,
+                      sliced_verification)
 from .applicability import Applicability, ApplicabilityResult
 
 __version__ = "0.1.0"

@@ -1081,6 +1081,78 @@ class TestSlicedAnalysis:
         with pytest.raises(ValueError, match="max_slices"):
             sliced_metrics(df, "k", [Size()], max_slices=10)
 
+    def test_sliced_grouped_metrics_values(self, spark):
+        """r8: frequency-based analyzers per slice — values must equal a
+        per-slice filtered standalone run."""
+        from deequ_spark import (CountDistinct, Distinctness, Entropy,
+                                 Uniqueness, do_analysis_run,
+                                 sliced_grouped_metrics)
+        rows = [("web", "a"), ("web", "a"), ("web", "b"), ("web", "c"),
+                ("api", "x"), ("api", "x"), ("api", "x"), ("api", None)]
+        df = spark.createDataFrame(rows, "src string, s string")
+        analyzers = [Uniqueness(("s",)), Distinctness(("s",)),
+                     CountDistinct(("s",)), Entropy("s")]
+        out = sliced_grouped_metrics(df, "src", analyzers)
+        got = {k[0]: {type(a).__name__: m.value
+                      for a, m in mm.items() if m.is_success}
+               for k, mm in out.items()}
+        for src in ("web", "api"):
+            ctx = do_analysis_run(df.where(F.col("src") == src).drop("src"),
+                                  analyzers)
+            want = {type(a).__name__: m.value
+                    for a, m in ctx.metric_map.items() if m.is_success}
+            assert got[src] == pytest.approx(want), src
+        # spot values: web has counts a:2,b:1,c:1 -> uniq 2/4
+        assert got["web"]["Uniqueness"] == pytest.approx(0.5)
+        assert got["web"]["CountDistinct"] == 3.0
+        # api: x:3 and the NULL row dropped; one group covering all
+        # in-scope rows -> entropy exactly 0.0
+        assert got["api"]["Entropy"] == 0.0
+        assert got["api"]["Distinctness"] == pytest.approx(1 / 3)
+
+    def test_sliced_grouped_two_jobs(self, spark):
+        """The reference's grouping-fusion contract, slice-fused: one
+        frequency job + one second-stage job for ALL analyzers and ALL
+        slices (AnalysisRunner.scala:582-605)."""
+        from deequ_spark import (Distinctness, Entropy, Uniqueness,
+                                 sliced_grouped_metrics)
+        from tests.test_runner_fusion import count_jobs
+        df = self._df(spark)
+        n_jobs, out = count_jobs(
+            spark, lambda: sliced_grouped_metrics(
+                df, "src", [Uniqueness(("s",)), Distinctness(("s",)),
+                            Entropy("s")]))
+        assert len(out) == 2
+        assert n_jobs <= 2, f"expected <=2 jobs, saw {n_jobs}"
+
+    def test_sliced_grouped_guards(self, spark):
+        from deequ_spark import (Distinctness, Histogram, Size,
+                                 Uniqueness, sliced_grouped_metrics)
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="frequency table"):
+            sliced_grouped_metrics(df, "src", [Size()])
+        with pytest.raises(ValueError, match="frequency table"):
+            sliced_grouped_metrics(df, "src", [Histogram("s")])
+        with pytest.raises(ValueError, match="grouping-column"):
+            sliced_grouped_metrics(
+                df, "src", [Uniqueness(("s",)), Distinctness(("v",))])
+        with pytest.raises(ValueError, match="where"):
+            sliced_grouped_metrics(
+                df, "src", [Uniqueness(("s",)),
+                            Uniqueness(("s",), where="v > 1")])
+
+    def test_sliced_grouped_null_handling(self, spark):
+        """A row whose grouping value is NULL is excluded from its
+        slice's frequency table AND its num_rows (parity with the
+        unsliced frequency contract), regardless of the slice key."""
+        from deequ_spark import Uniqueness, sliced_grouped_metrics
+        rows = [("w", "a"), ("w", None), ("w", "a"), ("w", "b")]
+        df = spark.createDataFrame(rows, "src string, s string")
+        out = sliced_grouped_metrics(df, "src", [Uniqueness(("s",))])
+        [(key, mm)] = out.items()
+        [m] = mm.values()
+        assert m.value == pytest.approx(1 / 3)   # b unique of a,a,b
+
 
 class TestNgramNovelty:
     def test_novelty_values(self, spark):
