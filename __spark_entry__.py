@@ -3953,6 +3953,39 @@ def q_scale_utils(spark, sf_dir):
                                 relative_error=0.0)
                .groupBy("length_bucket").count().collect())
     pairs += [(f"lb_{r['length_bucket']}", r["count"]) for r in buckets]
+    # r8: per-file stats manifest + file-level pruning (sources.py
+    # write_corpus/read_corpus). Sorted 100-row files make the k-th file
+    # hold ranked rows [100k+1, 100k+100], so the PRUNED FILE COUNT for
+    # a doc_id range is itself oracle-replayable (count of distinct
+    # rank-buckets the range touches) — the engine-checked proof that
+    # pruning reads only the files it must.
+    import shutil
+    import tempfile
+
+    from deequ_spark.sources import read_corpus, write_corpus
+    d = tempfile.mkdtemp(prefix="deequ_manifest_")
+    try:
+        write_corpus(docs.select("doc_id", "n_chars").repartition(1),
+                     d, max_records_per_file=100,
+                     sort_within_partitions="doc_id",
+                     manifest_cols="doc_id")
+        man = spark.read.parquet(f"{d}/_manifest").agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum("n_rows").alias("rows"),
+            F.min("min_doc_id").alias("mn"),
+            F.max("max_doc_id").alias("mx")).collect()[0]
+        lo = int(man["mn"]) + 37
+        hi = lo + 199
+        pruned = read_corpus(spark, d, prune={"doc_id": (lo, hi)})
+        pr_files = len(pruned.inputFiles())
+        pr = pruned.agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("doc_id").alias("ids")).collect()[0]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    pairs += [("man_files", man["files"]), ("man_rows", man["rows"]),
+              ("man_min", man["mn"]), ("man_max", man["mx"]),
+              ("pr_files", pr_files), ("pr_count", pr["n"]),
+              ("pr_id_sum", pr["ids"] or 0)]
     return _metrics_df(spark, sorted(pairs))
 
 
@@ -3983,6 +4016,24 @@ _SCALE_UTILS_ORACLE_SQL = """
       UNION ALL SELECT 'sa_' || f || '_max', CAST(mx AS DOUBLE) FROM sa
       UNION ALL SELECT 'lb_' || b, CAST(COUNT(*) AS DOUBLE)
       FROM lb GROUP BY b
+      UNION ALL SELECT 'man_files',
+        CEIL(COUNT(*) / 100.0) FROM documents
+      UNION ALL SELECT 'man_rows', CAST(COUNT(*) AS DOUBLE) FROM documents
+      UNION ALL SELECT 'man_min', CAST(MIN(doc_id) AS DOUBLE) FROM documents
+      UNION ALL SELECT 'man_max', CAST(MAX(doc_id) AS DOUBLE) FROM documents
+      UNION ALL SELECT 'pr_files', CAST(COUNT(DISTINCT (rn - 1) // 100)
+        AS DOUBLE)
+      FROM (SELECT row_number() OVER (ORDER BY doc_id) AS rn, doc_id
+            FROM documents)
+      WHERE doc_id BETWEEN (SELECT MIN(doc_id) + 37 FROM documents)
+        AND (SELECT MIN(doc_id) + 236 FROM documents)
+      UNION ALL SELECT 'pr_count', CAST(COUNT(*) AS DOUBLE) FROM documents
+      WHERE doc_id BETWEEN (SELECT MIN(doc_id) + 37 FROM documents)
+        AND (SELECT MIN(doc_id) + 236 FROM documents)
+      UNION ALL SELECT 'pr_id_sum', CAST(SUM(doc_id) AS DOUBLE)
+      FROM documents
+      WHERE doc_id BETWEEN (SELECT MIN(doc_id) + 37 FROM documents)
+        AND (SELECT MIN(doc_id) + 236 FROM documents)
     ) ORDER BY metric
 """
 

@@ -36,10 +36,14 @@ def load_all(spark: SparkSession, sf_dir: str):
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+MANIFEST_DIR = "_manifest"
+
+
 def write_corpus(df: DataFrame, path: str, partition_by=None,
                  max_records_per_file: int | None = None,
                  sort_within_partitions=None,
-                 mode: str = "overwrite") -> None:
+                 mode: str = "overwrite",
+                 manifest_cols=None) -> None:
     """Write a (possibly huge) corpus to parquet with the three knobs
     that matter at 100 TB baked in:
 
@@ -51,7 +55,11 @@ def write_corpus(df: DataFrame, path: str, partition_by=None,
       one split;
     * ``sort_within_partitions`` — clusters rows inside each output
       file (better page/dictionary compression and min/max skipping for
-      range predicates) WITHOUT a global sort's single-stage barrier.
+      range predicates) WITHOUT a global sort's single-stage barrier;
+    * ``manifest_cols`` — after the write, persist a per-FILE summary
+      (row count + min/max of these columns) that :func:`read_corpus`
+      prunes on — the poor-man's Iceberg metadata (see
+      :func:`write_manifest`).
     """
     if sort_within_partitions:
         cols = ([sort_within_partitions]
@@ -66,6 +74,78 @@ def write_corpus(df: DataFrame, path: str, partition_by=None,
                 else list(partition_by))
         writer = writer.partitionBy(*part)
     writer.save(path)
+    if manifest_cols:
+        write_manifest(df.sparkSession, path, manifest_cols)
+
+
+def write_manifest(spark: SparkSession, path: str, cols) -> None:
+    """Build the per-file stats manifest for a parquet corpus at
+    ``path``: one row per data file with its row count and min/max of
+    ``cols``, written to ``{path}/_manifest``. One distributed scan of
+    the written data (map-side-combined groupBy on input_file_name —
+    output is O(files), nothing row-shaped moves); rebuild after
+    appends. What this buys at 100 TB: :func:`read_corpus` range
+    predicates skip whole FILES from the driver-side (tiny) manifest —
+    irrelevant files are never listed into the scan, never even footer-
+    read, where parquet's own min/max skipping still opens every
+    footer."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    data = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    manifest = (data.groupBy(F.input_file_name().alias("file"))
+                .agg(*aggs))
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{MANIFEST_DIR}")
+
+
+def read_corpus(spark: SparkSession, path: str,
+                prune: dict | None = None) -> DataFrame:
+    """Read a corpus written by :func:`write_corpus`, pruning data FILES
+    through the manifest. ``prune`` maps column → ``(lo, hi)`` (either
+    bound may be None): a file is read only if its [min, max] intersects
+    every requested range; the residual row filter is applied on top, so
+    results are exact, pruning is purely a scan reduction.
+
+    Hive partition directories still prune via the normal partition
+    filters (they are read-side columns here); the manifest adds the
+    per-file dimension partitioning can't give (e.g. a timestamp range
+    inside every partition). Without ``prune`` (or without a manifest)
+    this is a plain parquet read."""
+    if not prune:
+        return spark.read.parquet(path)
+    try:
+        manifest = spark.read.parquet(f"{path}/{MANIFEST_DIR}").collect()
+    except Exception:  # noqa: BLE001 — no manifest written
+        manifest = None
+    df = None
+    if manifest is not None:
+        keep = []
+        for row in manifest:
+            ok = True
+            for c, (lo, hi) in prune.items():
+                mn, mx = row[f"min_{c}"], row[f"max_{c}"]
+                if lo is not None and mx is not None and mx < lo:
+                    ok = False
+                if hi is not None and mn is not None and mn > hi:
+                    ok = False
+            if ok:
+                keep.append(row["file"])
+        if not keep:
+            # empty frame with the corpus schema
+            return spark.read.parquet(path).where(F.lit(False))
+        # basePath keeps hive partition columns alive when reading an
+        # explicit file subset
+        df = spark.read.option("basePath", path).parquet(*keep)
+    else:
+        df = spark.read.parquet(path)
+    for c, (lo, hi) in prune.items():
+        if lo is not None:
+            df = df.where(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(c) <= F.lit(hi))
+    return df
 
 
 def write_bucketed(df: DataFrame, table_name: str, bucket_cols,

@@ -271,6 +271,44 @@ def test_write_corpus_partitioned_pruned_and_bounded(spark, tmp_path):
         assert n <= 100
 
 
+def test_manifest_prunes_files_and_stays_exact(spark, tmp_path):
+    """r8: write_corpus(manifest_cols=...) persists per-file min/max +
+    row counts under _manifest; read_corpus range predicates must skip
+    whole FILES (inputFiles() strictly smaller) while returning exactly
+    the rows a full-scan filter returns — and partition pruning still
+    composes on top."""
+    from pyspark.sql import functions as F
+
+    from deequ_spark.sources import read_corpus, write_corpus
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS lang", "id * 2 AS payload")
+    out = str(tmp_path / "corpus")
+    # sort so files have tight id ranges -> manifest pruning can bite
+    write_corpus(df.repartition(1), out, partition_by="lang",
+                 max_records_per_file=100,
+                 sort_within_partitions="id", manifest_cols="id")
+    man = spark.read.parquet(f"{out}/_manifest")
+    assert {"file", "n_rows", "min_id", "max_id"} <= set(man.columns)
+    n_files_total = len(spark.read.parquet(out).inputFiles())
+    assert man.count() == n_files_total
+    # the _manifest dir is invisible to plain corpus readers
+    assert spark.read.parquet(out).count() == 1000
+
+    pruned = read_corpus(spark, out, prune={"id": (100, 199)})
+    assert len(pruned.inputFiles()) < n_files_total
+    got = sorted(r["id"] for r in pruned.collect())
+    assert got == list(range(100, 200))
+    # partition columns survive the explicit-file read (basePath)
+    assert "lang" in pruned.columns
+    both = read_corpus(spark, out, prune={"id": (100, 199)}) \
+        .where(F.col("lang") == "1")
+    assert sorted(r["id"] for r in both.collect()) == \
+        [i for i in range(100, 200) if i % 2 == 1]
+    # open bounds + no matching range
+    assert read_corpus(spark, out, prune={"id": (900, None)}).count() == 100
+    assert read_corpus(spark, out, prune={"id": (5000, None)}).count() == 0
+
+
 def test_mixture_sample_broadcast_quota_single_window_exchange(spark):
     """llm/packing.py mixture_sample: the quota table must BROADCAST
     (it is one row per domain — shuffling the corpus against it would
