@@ -709,7 +709,10 @@ def q_multimodal(spark, sf_dir):
     per-doc GIFs (llm/gif.py LZW codec, alternating interlaced) through
     encode_gif → decode_image (pixel-exact asserted in-task) and
     real_resize (GIF→GIF — nearest-neighbor preserves the ≤256-color
-    palette bound)."""
+    palette bound); (f) NEW r8: per-doc PROGRESSIVE JPEGs (SOF2, DC
+    first/refine + AC first/refine scans) — decode must equal the
+    baseline decode PIXEL-EXACTLY (same quantizer), counted per doc and
+    oracled as prog_jpeg_exact_count == COUNT(*)."""
     from deequ_spark.llm import attach_binary_payload, extract_binary_features
     docs = _load(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "text", "doc_id")
@@ -727,6 +730,7 @@ def q_multimodal(spark, sf_dir):
     dec_schema = ("img_w int, img_h int, rs_w int, rs_h int, "
                   "png_w int, png_h int, png_c int, png_rs_w int, "
                   "jpg_w int, jpg_h int, jpg_rs_w int, "
+                  "pjpg_w int, pjpg_exact int, "
                   "gif_w int, gif_h int, gif_rs_w int, "
                   "wav_frames int, wav_rate int")
 
@@ -737,6 +741,7 @@ def q_multimodal(spark, sf_dir):
             out = {k: [] for k in ("img_w", "img_h", "rs_w", "rs_h",
                                    "png_w", "png_h", "png_c", "png_rs_w",
                                    "jpg_w", "jpg_h", "jpg_rs_w",
+                                   "pjpg_w", "pjpg_exact",
                                    "gif_w", "gif_h", "gif_rs_w",
                                    "wav_frames", "wav_rate")}
             for i in pdf["doc_id"].astype("int64"):
@@ -771,6 +776,16 @@ def q_multimodal(spark, sf_dir):
                 assert jrs[:2] == b"\xff\xd8"          # format-preserving
                 jrh, jrw, _, _ = decode_image(jrs)
                 assert (jrh, jrw) == (4, 6)
+                # NEW r8: PROGRESSIVE (SOF2) decode — same quantizer as
+                # baseline, so pixels must match the baseline decode of
+                # the 4:4:4 encoding EXACTLY (any successive-
+                # approximation bit slip breaks equality)
+                from deequ_spark.llm import encode_progressive_jpeg
+                pdata = encode_progressive_jpeg(jimg, quality=90)
+                pph, ppw, ppc, pppix = decode_image(pdata)
+                bpix = decode_image(encode_jpeg(jimg, quality=90))[3]
+                assert (pph, ppw, ppc) == (jh, jw, 3)
+                p_exact = int(np.array_equal(pppix, bpix))
                 gh, gw = 2 + i % 7, 2 + i % 9
                 gyy, gxx = np.mgrid[0:gh, 0:gw]
                 gimg = np.stack([(gxx * 31 + i) % 256, (gyy * 17) % 256,
@@ -796,6 +811,8 @@ def q_multimodal(spark, sf_dir):
                 out["png_c"].append(pc)
                 out["png_rs_w"].append(prw)
                 out["jpg_w"].append(djw)
+                out["pjpg_w"].append(ppw)
+                out["pjpg_exact"].append(p_exact)
                 out["jpg_h"].append(djh)
                 out["jpg_rs_w"].append(jrw)
                 out["gif_w"].append(dgw)
@@ -814,6 +831,8 @@ def q_multimodal(spark, sf_dir):
                 F.sum("png_rs_w").alias("prw"),
                 F.sum("jpg_w").alias("jw"), F.sum("jpg_h").alias("jh"),
                 F.sum("jpg_rs_w").alias("jrw"),
+                F.sum("pjpg_w").alias("pjw"),
+                F.sum("pjpg_exact").alias("pje"),
                 F.sum("gif_w").alias("gw"), F.sum("gif_h").alias("gh"),
                 F.sum("gif_rs_w").alias("grw"),
                 F.sum("wav_frames").alias("fr"),
@@ -834,6 +853,8 @@ def q_multimodal(spark, sf_dir):
         ("jpeg_width_sum", dec["jw"]),
         ("jpeg_height_sum", dec["jh"]),
         ("jpeg_resized_width_sum", dec["jrw"]),
+        ("prog_jpeg_width_sum", dec["pjw"]),
+        ("prog_jpeg_exact_count", dec["pje"]),
         ("gif_width_sum", dec["gw"]),
         ("gif_height_sum", dec["gh"]),
         ("gif_resized_width_sum", dec["grw"]),
@@ -5469,6 +5490,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'jpeg_width_sum', CAST(SUM(8 + doc_id % 11) AS DOUBLE) FROM documents
             UNION ALL SELECT 'jpeg_height_sum', CAST(SUM(8 + doc_id % 9) AS DOUBLE) FROM documents
             UNION ALL SELECT 'jpeg_resized_width_sum', CAST(6 * COUNT(*) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'prog_jpeg_width_sum', CAST(SUM(8 + doc_id % 11) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'prog_jpeg_exact_count', CAST(COUNT(*) AS DOUBLE) FROM documents
             -- GIF round-trip (LZW codec, llm/gif.py): dims are doc_id
             -- arithmetic (w = 2+id%9, h = 2+id%7), pixel-exact asserted
             -- in-task (alternating interlaced); resize target 5x3, GIF out

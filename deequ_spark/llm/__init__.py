@@ -43,7 +43,7 @@ from .multimodal import (attach_binary_payload, audio_features, decode_audio,
                          probe_media, probe_media_features, resize_media,
                          extract_binary_features, sample_chunks,
                          sample_video_frames)
-from .jpeg import decode_jpeg, encode_jpeg
+from .jpeg import decode_jpeg, encode_jpeg, encode_progressive_jpeg
 from .gif import decode_gif, encode_gif
 from .pipeline import prepare_training_corpus
 from .bpe import (bpe_encode_word, bpe_token_count, train_bpe,

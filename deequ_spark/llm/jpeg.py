@@ -1,12 +1,14 @@
-"""Pure-stdlib-plus-numpy BASELINE JPEG codec (ITU-T T.81 public spec):
-sequential DCT, Huffman entropy coding, JFIF color model.
+"""Pure-stdlib-plus-numpy JPEG codec (ITU-T T.81 public spec):
+sequential baseline AND progressive DCT, Huffman entropy coding, JFIF
+color model.
 
 Closes the last common-format gap in ``multimodal.decode_image``
 (BMP/PNG/WAV were already stdlib-real): grayscale and YCbCr 4:4:4 /
-4:2:0 baseline JPEGs now decode without PIL.  Progressive (SOF2),
-arithmetic coding, 12-bit precision and hierarchical modes raise
-NotImplementedError at the documented PIL integration point — baseline
-sequential covers the overwhelming majority of real-world .jpg files.
+4:2:0 baseline JPEGs decode without PIL, and (r8) PROGRESSIVE (SOF2)
+streams decode too — DC first/refinement and AC spectral-selection /
+successive-approximation scans accumulate coefficients until EOI
+(T.81 G.2). Arithmetic coding, 12-bit precision and hierarchical modes
+raise NotImplementedError at the documented PIL integration point.
 
 The encoder exists so ROUND-TRIPS are testable in this container (no
 PIL to generate fixtures): it emits spec-complete streams — SOI, JFIF
@@ -28,7 +30,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = ["encode_jpeg", "decode_jpeg", "encode_progressive_jpeg"]
 
 # ---------------------------------------------------------------------------
 # Annex K tables (ITU-T T.81 §K.1, K.3) — the JPEG standard's examples,
@@ -373,6 +375,194 @@ def encode_jpeg(pixels: "np.ndarray", quality: int = 75,
     return bytes(out)
 
 
+def encode_progressive_jpeg(pixels: "np.ndarray",
+                            quality: int = 75) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as a PROGRESSIVE
+    (SOF2) JFIF JPEG with the classic successive-approximation scan
+    script: interleaved DC first pass (Al=1), per-component AC first
+    passes over the full 1–63 band (Al=1), then DC and AC refinement
+    passes (Ah=1, Al=0). Same IJG-scaled Annex-K quant tables and
+    Huffman tables as the baseline encoder — the QUANTIZED COEFFICIENTS
+    are identical, so ``decode_jpeg`` must reproduce the baseline
+    encoding's pixels exactly (pinned in tests). 4:4:4 only: the point
+    is progressive-mode fixtures, not chroma economy."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_progressive_jpeg expects (h, w) gray or "
+                         "(h, w, 3) RGB")
+    height, width = arr.shape[:2]
+    qy = _scale_quant(_QUANT_LUMA, quality)
+    qc = _scale_quant(_QUANT_CHROMA, quality)
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b,
+                  0.5 * r - 0.418688 * g - 0.081312 * b]
+
+    # quantized zigzag blocks per component, block-raster order
+    zz_blocks = []
+    for ci, p in enumerate(planes):
+        qt = qy if ci == 0 else qc
+        padded = _pad_to_blocks(p, -(-p.shape[0] // 8) * 8,
+                                -(-p.shape[1] // 8) * 8)
+        blocks = _split_blocks(padded)
+        zzs = []
+        for blk in blocks:
+            c = np.round(_DCT @ blk @ _DCT.T / qt).astype(np.int32)
+            c = np.clip(c, -1023, 1023)
+            zzs.append(c.reshape(64)[_ZZ_FLAT])
+        zz_blocks.append(zzs)
+
+    ncomp = len(planes)
+    out = bytearray(b"\xFF\xD8")
+    out += (b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    for tid, tab in ((0, qy),) + (((1, qc),) if not gray else ()):
+        out += (b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tid])
+                + bytes(int(v) for v in tab.reshape(64)[_ZZ_FLAT]))
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8,
+                                     height, width, ncomp)       # SOF2
+    for i in range(ncomp):
+        out += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if not gray:
+        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tclass, (bits, values) in tables:
+        out += (b"\xFF\xC4" + struct.pack(">H", 19 + len(values))
+                + bytes([tclass]) + bytes(bits) + bytes(values))
+
+    dc_codes = [_build_codes(*_DC_LUMA)] + \
+        [_build_codes(*_DC_CHROMA)] * (ncomp - 1)
+    ac_codes = [_build_codes(*_AC_LUMA)] + \
+        [_build_codes(*_AC_CHROMA)] * (ncomp - 1)
+
+    def sos(comps_td_ta, ss, se, ah, al):
+        seg = bytearray(b"\xFF\xDA")
+        seg += struct.pack(">HB", 6 + 2 * len(comps_td_ta),
+                           len(comps_td_ta))
+        for cid, tdta in comps_td_ta:
+            seg += bytes([cid, tdta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return seg
+
+    al0 = 1                                         # first-pass shift
+    # scan 1: DC first, interleaved, Al=1
+    out += sos([(i + 1, (0 if i == 0 else 1) << 4)
+                for i in range(ncomp)], 0, 0, 0, al0)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for m in range(len(zz_blocks[0])):              # 4:4:4 MCU = 1 block/comp
+        for ci in range(ncomp):
+            v = int(zz_blocks[ci][m][0]) >> al0     # arithmetic shift (T.81)
+            size, bits = _magnitude(v - preds[ci])
+            preds[ci] = v
+            code, length = dc_codes[ci][size]
+            wtr.write(code, length)
+            if size:
+                wtr.write(bits, size)
+    out += wtr.flush()
+    # scans 2..: AC first per component, full band, Al=1
+    for ci in range(ncomp):
+        out += sos([(ci + 1, 0 if ci == 0 else 1)], 1, 63, 0, al0)
+        wtr = _BitWriter()
+        for zz in zz_blocks[ci]:
+            _encode_ac_first(wtr, zz, 1, 63, al0, ac_codes[ci])
+        out += wtr.flush()
+    # DC refinement: raw bit Al=0 (no Huffman table needed)
+    out += sos([(i + 1, 0) for i in range(ncomp)], 0, 0, al0, 0)
+    wtr = _BitWriter()
+    for m in range(len(zz_blocks[0])):
+        for ci in range(ncomp):
+            wtr.write(int(zz_blocks[ci][m][0]) & 1, 1)
+    out += wtr.flush()
+    # AC refinement per component, Ah=1 -> Al=0
+    for ci in range(ncomp):
+        out += sos([(ci + 1, 0 if ci == 0 else 1)], 1, 63, al0, 0)
+        wtr = _BitWriter()
+        for zz in zz_blocks[ci]:
+            _encode_ac_refine(wtr, zz, 1, 63, 0, ac_codes[ci])
+        out += wtr.flush()
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _encode_ac_first(wtr, zz, ss, se, al, ac):
+    """First AC pass of a band: point transform truncates toward zero
+    (T.81 G.1.2.2 — unlike DC's arithmetic shift); EOB0 per block."""
+    run = 0
+    emitted = False
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (abs(v) >> al) * (1 if v >= 0 else -1)
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac[0xF0]
+            wtr.write(code, length)
+            run -= 16
+        size, bits = _magnitude(t)
+        code, length = ac[(run << 4) | size]
+        wtr.write(code, length)
+        wtr.write(bits, size)
+        run = 0
+        emitted = True
+    if run > 0 or not emitted:
+        code, length = ac[0x00]                     # EOB0
+        wtr.write(code, length)
+
+
+def _encode_ac_refine(wtr, zz, ss, se, al, ac):
+    """Successive-approximation AC refinement (T.81 G.1.2.3): newly
+    significant coefficients (magnitude 1 at this precision) get
+    run+sign codes; already-significant ones get buffered correction
+    bits flushed after the next symbol (ZRL/coef/EOB)."""
+    absv = {k: abs(int(zz[k])) >> al for k in range(ss, se + 1)}
+    # EOB = last newly-significant position; zero-runs and correction
+    # bits beyond it fold into the closing EOB instead of ZRLs
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eob = k
+    run = 0
+    br = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            run += 1
+            continue
+        # pending ZRLs are emitted at ANY nonzero coefficient — a
+        # history coefficient's correction bit must be buffered AFTER
+        # them, because the decoder's ZRL traversal stops at the 16th
+        # zero-HISTORY slot and only consumes bits interleaved within it
+        while run > 15 and k <= eob:
+            code, length = ac[0xF0]
+            wtr.write(code, length)
+            run -= 16
+            for bit in br:
+                wtr.write(bit, 1)
+            br = []
+        if t > 1:                                   # history coefficient
+            br.append(t & 1)
+            continue
+        code, length = ac[(run << 4) | 1]
+        wtr.write(code, length)
+        wtr.write(1 if int(zz[k]) >= 0 else 0, 1)
+        run = 0
+        for bit in br:
+            wtr.write(bit, 1)
+        br = []
+    if run > 0 or br:
+        code, length = ac[0x00]                     # EOB0 closes the band
+        wtr.write(code, length)
+        for bit in br:
+            wtr.write(bit, 1)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -453,10 +643,13 @@ def _decode_symbol(reader, table) -> int:
 
 
 def decode_jpeg(data: bytes):
-    """Decode a BASELINE sequential JPEG (SOF0/SOF1, Huffman). Returns
-    ``(height, width, channels, pixels)`` — uint8, top-down, RGB for
-    3-component YCbCr streams, matching ``decode_image``'s contract.
-    Progressive/arithmetic/12-bit streams raise NotImplementedError at
+    """Decode a BASELINE sequential (SOF0/SOF1) or PROGRESSIVE (SOF2)
+    Huffman JPEG. Returns ``(height, width, channels, pixels)`` — uint8,
+    top-down, RGB for 3-component YCbCr streams, matching
+    ``decode_image``'s contract. Progressive streams accumulate
+    coefficients across scans (DC first/refine, AC spectral selection +
+    successive approximation, T.81 G.1/G.2) and reconstruct at EOI.
+    Arithmetic/12-bit/hierarchical modes raise NotImplementedError at
     the documented PIL integration point."""
     if data[:2] != b"\xFF\xD8":
         raise NotImplementedError("not a JPEG stream (no SOI)")
@@ -465,6 +658,8 @@ def decode_jpeg(data: bytes):
     huff: dict = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coefs: dict = {}
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -497,7 +692,8 @@ def decode_jpeg(data: bytes):
                 values = list(seg[at + 17:at + 17 + n])
                 huff[(tc, th)] = _build_decode_map(bits, values)
                 at += 17 + n
-        elif marker in (0xC0, 0xC1):                     # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):         # SOF0/1 baseline, SOF2
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision JPEG")
@@ -511,11 +707,19 @@ def decode_jpeg(data: bytes):
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
                               "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if progressive:
+                max_h = max(c["h"] for c in comps)
+                max_v = max(c["v"] for c in comps)
+                mcus_x = -(-w // (8 * max_h))
+                mcus_y = -(-h // (8 * max_v))
+                coefs = {c["id"]: np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
+                    for c in comps}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only BASELINE sequential JPEG decodes without PIL "
-                f"(SOF marker 0x{marker:02X})")
+                "only baseline-sequential and progressive-Huffman JPEG "
+                f"decode without PIL (SOF marker 0x{marker:02X})")
         elif marker == 0xDD:                             # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                             # SOS
@@ -527,9 +731,17 @@ def decode_jpeg(data: bytes):
                 cs, tdta = seg[1 + 2 * i:3 + 2 * i]
                 comp = next(c for c in frame[2] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(data, pos + 2 + seglen, frame, scan,
-                                qtabs, huff, restart_interval)
+            if not progressive:
+                return _decode_scan(data, pos + 2 + seglen, frame, scan,
+                                    qtabs, huff, restart_interval)
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos + 2 + seglen, frame, scan, ss, se,
+                ahal >> 4, ahal & 0x0F, huff, restart_interval, coefs)
+            continue
         pos += 2 + seglen
+    if progressive and coefs:
+        return _reconstruct_progressive(frame, coefs, qtabs)
     raise NotImplementedError("JPEG stream has no SOS scan")
 
 
@@ -584,7 +796,209 @@ def _decode_scan(data, pos, frame, scan, qtabs, huff, restart_interval):
                         px = (mx * comp["h"] + bx) * 8
                         planes[cid][py:py + 8, px:px + 8] = pix
             mcu_count += 1
-    # upsample to full resolution, crop, color-convert
+    return _planes_to_pixels(frame, planes, max_h, max_v)
+
+
+def _comp_block_dims(frame, comp):
+    """Block grid of one component for NON-interleaved scans
+    (T.81 A.2.2: ceil over the downsampled dimensions)."""
+    height, width, comps = frame
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    cw = -(-width * comp["h"] // max_h)
+    ch = -(-height * comp["v"] // max_v)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(data, pos, frame, scan, ss, se, ah, al,
+                             huff, restart_interval, coefs):
+    """One progressive scan (T.81 G.2): updates the per-component
+    coefficient accumulators in place, returns the stream position after
+    the scan's entropy data. DC scans (ss==0) may interleave several
+    components in MCU order; AC scans cover ONE component in its own
+    block-raster order with EOB-run coding; ah>0 marks a successive-
+    approximation refinement pass."""
+    height, width, comps = frame
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    reader = _BitReader(data, pos)
+    state = {"eobrun": 0,
+             "preds": {c["id"]: 0 for c in comps}}
+
+    def maybe_restart(unit_index):
+        if restart_interval and unit_index and \
+                unit_index % restart_interval == 0:
+            reader.align_to_restart()
+            state["eobrun"] = 0
+            state["preds"] = {c["id"]: 0 for c in comps}
+
+    if ss == 0:                                           # DC scan
+        if se != 0:
+            raise NotImplementedError(
+                "progressive scan mixes DC and AC bands (Ss=0, Se>0)")
+        interleaved = len(scan) > 1
+        if interleaved:
+            mcus_x = -(-width // (8 * max_h))
+            mcus_y = -(-height // (8 * max_v))
+            n = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart(n)
+                    n += 1
+                    for comp, td, _ta in scan:
+                        cid = comp["id"]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                _dc_unit(reader, huff, td, ah, al,
+                                         coefs[cid],
+                                         my * comp["v"] + by,
+                                         mx * comp["h"] + bx,
+                                         state["preds"], cid)
+        else:
+            comp, td, _ta = scan[0]
+            cid = comp["id"]
+            bh, bw = _comp_block_dims(frame, comp)
+            n = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart(n)
+                    n += 1
+                    _dc_unit(reader, huff, td, ah, al, coefs[cid],
+                             by, bx, state["preds"], cid)
+    else:                                                 # AC scan
+        if len(scan) != 1:
+            raise NotImplementedError(
+                "progressive AC scans are single-component by spec "
+                "(T.81 B.2.3)")
+        comp, _td, ta = scan[0]
+        cid = comp["id"]
+        act = huff.get((1, ta))
+        bh, bw = _comp_block_dims(frame, comp)
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(n)
+                n += 1
+                block = coefs[cid][by, bx]
+                if ah == 0:
+                    _ac_first(reader, act, block, ss, se, al, state)
+                else:
+                    _ac_refine(reader, act, block, ss, se, al, state)
+    return reader.pos
+
+
+def _dc_unit(reader, huff, td, ah, al, carr, by, bx, preds, cid):
+    if ah == 0:                                     # first pass: diff coded
+        s = _decode_symbol(reader, huff[(0, td)])
+        diff = _extend(reader.receive(s), s)
+        preds[cid] += diff
+        carr[by, bx, 0] = preds[cid] << al
+    else:                                           # refinement: 1 raw bit
+        if reader.read_bit():
+            carr[by, bx, 0] |= 1 << al
+
+
+def _ac_first(reader, act, block, ss, se, al, state):
+    """T.81 G.2.2 first AC pass of a band with EOB-run coding."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(reader, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:                             # ZRL: 16 zeros
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1          # EOBn
+            if r:
+                state["eobrun"] += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            break
+        block[k] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, act, block, ss, se, al, state):
+    """T.81 G.2.3 successive-approximation AC refinement: newly
+    significant coefficients arrive as ±1·2^al; every already-nonzero
+    coefficient traversed (inside runs AND inside the EOB run) carries
+    one correction bit."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k):
+        if reader.read_bit() and (block[k] & p1) == 0:
+            block[k] += p1 if block[k] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_symbol(reader, act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:                         # EOBn
+                    # FULL count (unlike the first pass): the CURRENT
+                    # block still owes correction bits for its nonzero
+                    # tail — the eobrun tail loop below handles it and
+                    # decrements
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    break
+                # r == 15: pass 16 zero-HISTORY coefficients
+            else:
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if s:
+                            block[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        while k <= se:                              # EOB-run corrections
+            if block[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct_progressive(frame, coefs, qtabs):
+    """Dequantize + IDCT the accumulated coefficients — identical math
+    to the baseline path, so a progressive re-encoding of the same
+    quantized blocks decodes to the identical pixels."""
+    height, width, comps = frame
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    idct = _DCT.T
+    planes = {}
+    for comp in comps:
+        carr = coefs[comp["id"]]
+        bh, bw = carr.shape[:2]
+        qt = qtabs[comp["tq"]].reshape(64)
+        plane = np.zeros((bh * 8, bw * 8), np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = np.zeros(64, np.float64)
+                block[_ZZ_FLAT] = carr[by, bx] * qt[_ZZ_FLAT]
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    idct @ block.reshape(8, 8) @ _DCT
+        planes[comp["id"]] = plane
+    return _planes_to_pixels(frame, planes, max_h, max_v)
+
+
+def _planes_to_pixels(frame, planes, max_h, max_v):
+    """Upsample component planes to full resolution, crop, color-convert
+    — the shared tail of the baseline and progressive decoders."""
+    height, width, comps = frame
     full = []
     for comp in comps:
         p = planes[comp["id"]] + 128.0

@@ -179,7 +179,7 @@ def decode_png(data: bytes):
 def decode_image(data: bytes):
     """Decode an uncompressed 8/24/32-bit BMP (``struct`` + numpy), a
     non-interlaced 8-bit PNG (``struct`` + ``zlib``; see ``decode_png``)
-    or a BASELINE sequential JPEG (see ``jpeg.decode_jpeg`` — Huffman +
+    or a baseline-or-progressive JPEG (see ``jpeg.decode_jpeg`` — Huffman +
     numpy IDCT, grayscale/4:4:4/4:2:0, restart markers) — no PIL/opencv
     needed. Returns ``(height, width, channels, pixels)`` where
     ``pixels`` is a (height, width, channels) uint8 array in top-down

@@ -1926,14 +1926,56 @@ class TestJpegCodec:
         h2, w2, c2, pix2 = decode_image(out)
         assert (h2, w2, c2) == (12, 16, 3)
 
-    def test_progressive_and_corrupt_rejected(self):
+    def test_malformed_progressive_and_corrupt_rejected(self):
         import pytest as _pytest
         from deequ_spark.llm import decode_jpeg, encode_jpeg
         data = encode_jpeg(self._gradient(16, 16))
-        with _pytest.raises(NotImplementedError, match="BASELINE"):
+        # a byte-patched SOF0->SOF2 stream is a MALFORMED progressive
+        # file: its single scan claims the full 0..63 band, which a
+        # progressive scan may not (r8: real SOF2 streams now decode)
+        with _pytest.raises(NotImplementedError, match="DC and AC"):
             decode_jpeg(data.replace(b"\xFF\xC0", b"\xFF\xC2", 1))
         with _pytest.raises(NotImplementedError, match="SOI"):
             decode_jpeg(b"\x00\x01\x02")
+
+    def test_progressive_decodes_exactly_like_baseline(self):
+        """r8 SOF2 support: the progressive encoder reuses the baseline
+        quantizer, so after DC first/refine + AC first/refine scans the
+        decoded pixels must be IDENTICAL to the baseline encoding's —
+        any successive-approximation bit misalignment breaks equality."""
+        import numpy as np
+        from deequ_spark.llm import decode_jpeg, encode_jpeg
+        from deequ_spark.llm.jpeg import encode_progressive_jpeg
+        rng = np.random.default_rng(42)
+        for shape in ((16, 16), (17, 23), (40, 64, 3), (33, 47, 3)):
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            for q in (50, 80, 95):
+                base = decode_jpeg(encode_jpeg(img, quality=q))
+                prog = decode_jpeg(encode_progressive_jpeg(img, quality=q))
+                assert base[:3] == prog[:3]
+                assert np.array_equal(base[3], prog[3]), (shape, q)
+
+    def test_progressive_stream_structure(self):
+        """SOF2 marker, 1 interleaved DC + per-component AC scans, then
+        refinement scans: 1 + 3 + 1 + 3 = 8 SOS for RGB."""
+        import numpy as np
+        from deequ_spark.llm.jpeg import encode_progressive_jpeg
+        img = np.zeros((16, 16, 3), np.uint8)
+        data = encode_progressive_jpeg(img)
+        assert b"\xFF\xC2" in data and b"\xFF\xC0" not in data
+        assert data.count(b"\xFF\xDA") == 8
+
+    def test_progressive_decode_via_decode_image(self):
+        """decode_image magic-byte dispatch reaches the progressive
+        path too (same FF D8 magic)."""
+        import numpy as np
+        from deequ_spark.llm import decode_image
+        from deequ_spark.llm.jpeg import encode_progressive_jpeg
+        img = self._gradient(24, 16)
+        h, w, c, pix = decode_image(encode_progressive_jpeg(img, 90))
+        assert (h, w, c) == (24, 16, 3)
+        assert float(np.abs(pix.astype(int)
+                            - img.astype(int)).mean()) < 12.0
 
     def test_spec_structure(self):
         """Marker layout is spec-complete: JFIF APP0, 2 DQT, SOF0 with
