@@ -215,6 +215,120 @@ def b14_incremental(spark, df):
     return len(ctx.metric_map)
 
 
+def b15_sequence_packing(spark, docs):
+    """B15: salt-grouped prefix-sum packing window (llm/packing.py)."""
+    from deequ_spark.llm import pack_sequences, token_count_whitespace
+    packed = pack_sequences(docs, "doc_id",
+                            token_count_whitespace(F.col("text")),
+                            budget=256, n_groups=32)
+    return packed.agg(F.count(F.lit(1))).collect()[0][0]
+
+
+def b16_bm25_search(spark, docs):
+    """B16: BM25 ranked retrieval — two map-only passes + top-k."""
+    from deequ_spark.llm import bm25_topk
+    return bm25_topk(docs, "doc_id", "text",
+                     "hash join merge table", k=10).count()
+
+
+def b17_span_dedup(spark, docs):
+    """B17: exact-substring dedup (rolling-hash window keys, r8)."""
+    from deequ_spark.llm import duplicate_span_removal
+    out = duplicate_span_removal(docs, "doc_id", "text", n=4)
+    return out.agg(F.sum("n_removed_tokens")).collect()[0][0]
+
+
+def b18_semantic_dedup(spark, emb):
+    """B18: SemDeDup — Arrow assignment pass + blocked matmul pairs."""
+    from deequ_spark.llm import semantic_duplicate_pairs
+    cents = [[1.0 if i == j else 0.0 for i in range(64)]
+             for j in range(8)]
+    return semantic_duplicate_pairs(emb, "vec_id", "embedding",
+                                    threshold=0.8, centroids=cents).count()
+
+
+def b19_asof_join(spark, ev):
+    """B19: as-of join — union + ONE window shuffle on the by key."""
+    from deequ_spark import asof_join
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view") \
+        .select("user_id", "ts", F.col("value").alias("vval"))
+    return asof_join(clicks, views, on="ts", by="user_id").count()
+
+
+def b20_interval_join(spark, ev):
+    """B20: point-in-interval join — bucketized equi-join, no cross."""
+    from deequ_spark import interval_join
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view") \
+        .select("user_id", F.col("ts").alias("ws"),
+                (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("we"))
+    return interval_join(clicks, views, on="ts", start="ws", end="we",
+                         by="user_id").count()
+
+
+def b21_rolling_stats(spark, ev):
+    """B21: trailing-window rolling stats — one range-frame window."""
+    from deequ_spark.joins import rolling_stats
+    rolled = rolling_stats(ev.select("event_id", "user_id", "ts", "value"),
+                           "ts", "value", window_seconds=3600.0,
+                           by="user_id", stats=("sum", "count"))
+    return rolled.agg(F.sum("value_roll_count")).collect()[0][0]
+
+
+def prepare_dedup_index(spark, docs):
+    """One-time setup for B22 (index build is the write path, measured
+    separately by tools/scale_check.py; B22 times CLASSIFY only)."""
+    import tempfile
+
+    from deequ_spark.llm import write_dedup_index
+    path = tempfile.mkdtemp(prefix="deequ_bench_idx_")
+    write_dedup_index(docs, "doc_id", "text", path)
+    batch = (docs.limit(2_000)
+             .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+             .cache())
+    batch.count()
+    return path, batch
+
+
+def b22_incremental_dedup(spark, pair):
+    """B22: classify a fixed batch against the persisted bucket-layout
+    index (r8) — cost must track the BATCH, not the index."""
+    from deequ_spark.llm import dedup_against_index
+    path, batch = pair
+    fresh, dups = dedup_against_index(batch, "doc_id", "text", path,
+                                      threshold=0.5)
+    return dups.count()
+
+
+def prepare_images(spark, n=2_000):
+    """One-time setup for B23: n near-duplicate BMP payloads."""
+    import numpy as np
+
+    from deequ_spark.llm.multimodal import encode_bmp
+    rng = np.random.default_rng(12)
+    bases = [rng.integers(0, 256, (16, 16, 3)).astype("uint8")
+             for _ in range(64)]
+    rows = []
+    for i in range(n):
+        px = bases[i % 64].copy()
+        px[0, 0] = (i // 64) % 256
+        rows.append((i, bytearray(encode_bmp(px))))
+    imgs = spark.createDataFrame(rows, "img_id long, payload binary") \
+        .repartition(32).cache()
+    imgs.count()
+    return imgs
+
+
+def b23_image_phash(spark, imgs):
+    """B23: perceptual hash + pigeonhole Hamming pair join."""
+    from deequ_spark.llm import image_near_duplicates
+    return image_near_duplicates(imgs, "img_id", "payload",
+                                 max_hamming=3).count()
+
+
 def main():
     spark = (SparkSession.builder
              .master(f"local[{CPUS}]")
@@ -248,6 +362,11 @@ def main():
     spark.range(0, n_workers * 100, 1, n_workers) \
         .select(_warm(F.col("id").cast("double"))).count()
     stream_src = prepare_stream_source(spark, SF_DIR)
+    from deequ_spark.sources import load_table
+    events = load_table(spark, SF_DIR, "events").cache()
+    events.count()
+    idx_pair = prepare_dedup_index(spark, docs)
+    images = prepare_images(spark)
 
     benches = [
         ("b1_scan_fused", lambda: b1_scan_fused(spark, lineitem)),
@@ -264,6 +383,16 @@ def main():
         ("b12_streaming", lambda: b12_streaming(spark, SF_DIR, stream_src)),
         ("b13_profile", lambda: b13_profile(spark, SF_DIR)),
         ("b14_incremental", lambda: b14_incremental(spark, lineitem)),
+        ("b15_sequence_packing", lambda: b15_sequence_packing(spark, docs)),
+        ("b16_bm25_search", lambda: b16_bm25_search(spark, docs)),
+        ("b17_span_dedup", lambda: b17_span_dedup(spark, docs)),
+        ("b18_semantic_dedup", lambda: b18_semantic_dedup(spark, emb)),
+        ("b19_asof_join", lambda: b19_asof_join(spark, events)),
+        ("b20_interval_join", lambda: b20_interval_join(spark, events)),
+        ("b21_rolling_stats", lambda: b21_rolling_stats(spark, events)),
+        ("b22_incremental_dedup",
+         lambda: b22_incremental_dedup(spark, idx_pair)),
+        ("b23_image_phash", lambda: b23_image_phash(spark, images)),
     ]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples = {name: [] for name, _ in benches}
@@ -289,6 +418,8 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
+    import shutil
+    shutil.rmtree(idx_pair[0], ignore_errors=True)
 
 
 if __name__ == "__main__":
