@@ -376,7 +376,8 @@ def encode_jpeg(pixels: "np.ndarray", quality: int = 75,
 
 
 def encode_progressive_jpeg(pixels: "np.ndarray",
-                            quality: int = 75) -> bytes:
+                            quality: int = 75,
+                            subsample: bool = False) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as a PROGRESSIVE
     (SOF2) JFIF JPEG with the classic successive-approximation scan
     script: interleaved DC first pass (Al=1), per-component AC first
@@ -384,13 +385,17 @@ def encode_progressive_jpeg(pixels: "np.ndarray",
     passes (Ah=1, Al=0). Same IJG-scaled Annex-K quant tables and
     Huffman tables as the baseline encoder — the QUANTIZED COEFFICIENTS
     are identical, so ``decode_jpeg`` must reproduce the baseline
-    encoding's pixels exactly (pinned in tests). 4:4:4 only: the point
-    is progressive-mode fixtures, not chroma economy."""
+    encoding's pixels exactly (pinned in tests). ``subsample`` emits
+    4:2:0 chroma: the interleaved DC scans walk the 2×2-Y MCU grid
+    while the AC scans walk each component's OWN ceil'd block raster —
+    the two traversal geometries a progressive decoder must get right
+    (T.81 A.2.2 vs A.2.3)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError("encode_progressive_jpeg expects (h, w) gray or "
                          "(h, w, 3) RGB")
+    subsample = subsample and not gray
     height, width = arr.shape[:2]
     qy = _scale_quant(_QUANT_LUMA, quality)
     qc = _scale_quant(_QUANT_CHROMA, quality)
@@ -399,25 +404,42 @@ def encode_progressive_jpeg(pixels: "np.ndarray",
     else:
         rgb = arr.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        planes = [0.299 * r + 0.587 * g + 0.114 * b - 128.0,
-                  -0.168736 * r - 0.331264 * g + 0.5 * b,
-                  0.5 * r - 0.418688 * g - 0.081312 * b]
-
-    # quantized zigzag blocks per component, block-raster order
-    zz_blocks = []
-    for ci, p in enumerate(planes):
-        qt = qy if ci == 0 else qc
-        padded = _pad_to_blocks(p, -(-p.shape[0] // 8) * 8,
-                                -(-p.shape[1] // 8) * 8)
-        blocks = _split_blocks(padded)
-        zzs = []
-        for blk in blocks:
-            c = np.round(_DCT @ blk @ _DCT.T / qt).astype(np.int32)
-            c = np.clip(c, -1023, 1023)
-            zzs.append(c.reshape(64)[_ZZ_FLAT])
-        zz_blocks.append(zzs)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:                       # 2x2 box average, like SOF0
+            ph = _pad_to_blocks(cb, height + height % 2, width + width % 2)
+            cb = (ph[0::2, 0::2] + ph[1::2, 0::2]
+                  + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
+            ph = _pad_to_blocks(cr, height + height % 2, width + width % 2)
+            cr = (ph[0::2, 0::2] + ph[1::2, 0::2]
+                  + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
 
     ncomp = len(planes)
+    samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * ncomp
+    max_h = max(sh for sh, _ in samps[:ncomp])
+    max_v = max(sv for _, sv in samps[:ncomp])
+    mcus_x = -(-width // (8 * max_h))
+    mcus_y = -(-height // (8 * max_v))
+
+    # quantized zigzag coefficient GRIDS per component, padded to the
+    # MCU grid (interleaved DC scans cover the padding; AC scans only
+    # walk each component's real ceil'd raster)
+    grids = []
+    for ci, p in enumerate(planes):
+        qt = qy if ci == 0 else qc
+        sh, sv = samps[ci]
+        gh, gw = mcus_y * sv, mcus_x * sh
+        padded = _pad_to_blocks(p, gh * 8, gw * 8)
+        grid = np.zeros((gh, gw, 64), np.int32)
+        for by in range(gh):
+            for bx in range(gw):
+                blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                c = np.round(_DCT @ blk @ _DCT.T / qt).astype(np.int32)
+                grid[by, bx] = np.clip(c, -1023, 1023).reshape(64)[_ZZ_FLAT]
+        grids.append(grid)
+
     out = bytearray(b"\xFF\xD8")
     out += (b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
             + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
@@ -427,7 +449,8 @@ def encode_progressive_jpeg(pixels: "np.ndarray",
     out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8,
                                      height, width, ncomp)       # SOF2
     for i in range(ncomp):
-        out += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+        sh, sv = samps[i]
+        out += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
     tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
     if not gray:
         tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
@@ -449,41 +472,66 @@ def encode_progressive_jpeg(pixels: "np.ndarray",
         seg += bytes([ss, se, (ah << 4) | al])
         return seg
 
+    def mcu_blocks(ci):
+        """(by, bx) positions of component ci in interleaved MCU order."""
+        sh, sv = samps[ci]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(sv):
+                    for bx in range(sh):
+                        yield ci, my * sv + by, mx * sh + bx
+
+    def interleave():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    sh, sv = samps[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            yield ci, my * sv + by, mx * sh + bx
+
+    def ac_raster(ci):
+        """Component ci's real (non-MCU-padded) block raster."""
+        sh, sv = samps[ci]
+        cw = -(-width * sh // max_h)
+        ch = -(-height * sv // max_v)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield grids[ci][by, bx]
+
     al0 = 1                                         # first-pass shift
     # scan 1: DC first, interleaved, Al=1
     out += sos([(i + 1, (0 if i == 0 else 1) << 4)
                 for i in range(ncomp)], 0, 0, 0, al0)
     wtr = _BitWriter()
     preds = [0] * ncomp
-    for m in range(len(zz_blocks[0])):              # 4:4:4 MCU = 1 block/comp
-        for ci in range(ncomp):
-            v = int(zz_blocks[ci][m][0]) >> al0     # arithmetic shift (T.81)
-            size, bits = _magnitude(v - preds[ci])
-            preds[ci] = v
-            code, length = dc_codes[ci][size]
-            wtr.write(code, length)
-            if size:
-                wtr.write(bits, size)
+    for ci, by, bx in interleave():
+        v = int(grids[ci][by, bx, 0]) >> al0        # arithmetic shift (T.81)
+        size, bits = _magnitude(v - preds[ci])
+        preds[ci] = v
+        code, length = dc_codes[ci][size]
+        wtr.write(code, length)
+        if size:
+            wtr.write(bits, size)
     out += wtr.flush()
     # scans 2..: AC first per component, full band, Al=1
     for ci in range(ncomp):
         out += sos([(ci + 1, 0 if ci == 0 else 1)], 1, 63, 0, al0)
         wtr = _BitWriter()
-        for zz in zz_blocks[ci]:
+        for zz in ac_raster(ci):
             _encode_ac_first(wtr, zz, 1, 63, al0, ac_codes[ci])
         out += wtr.flush()
     # DC refinement: raw bit Al=0 (no Huffman table needed)
     out += sos([(i + 1, 0) for i in range(ncomp)], 0, 0, al0, 0)
     wtr = _BitWriter()
-    for m in range(len(zz_blocks[0])):
-        for ci in range(ncomp):
-            wtr.write(int(zz_blocks[ci][m][0]) & 1, 1)
+    for ci, by, bx in interleave():
+        wtr.write(int(grids[ci][by, bx, 0]) & 1, 1)
     out += wtr.flush()
     # AC refinement per component, Ah=1 -> Al=0
     for ci in range(ncomp):
         out += sos([(ci + 1, 0 if ci == 0 else 1)], 1, 63, al0, 0)
         wtr = _BitWriter()
-        for zz in zz_blocks[ci]:
+        for zz in ac_raster(ci):
             _encode_ac_refine(wtr, zz, 1, 63, 0, ac_codes[ci])
         out += wtr.flush()
     out += b"\xFF\xD9"

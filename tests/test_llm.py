@@ -1955,6 +1955,24 @@ class TestJpegCodec:
                 assert base[:3] == prog[:3]
                 assert np.array_equal(base[3], prog[3]), (shape, q)
 
+    def test_progressive_420_subsampled_exact(self):
+        """4:2:0 progressive: interleaved DC scans walk the 2x2-Y MCU
+        grid while AC scans walk each component's own ceil'd raster —
+        decode must equal the 4:2:0 baseline encoding's decode exactly
+        (odd dims included, where the two geometries differ)."""
+        import numpy as np
+        from deequ_spark.llm import decode_jpeg, encode_jpeg
+        from deequ_spark.llm.jpeg import encode_progressive_jpeg
+        rng = np.random.default_rng(11)
+        for shape in ((16, 16, 3), (17, 23, 3), (24, 40, 3)):
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            base = decode_jpeg(encode_jpeg(img, quality=80,
+                                           subsample=True))
+            prog = decode_jpeg(encode_progressive_jpeg(img, quality=80,
+                                                       subsample=True))
+            assert base[:3] == prog[:3]
+            assert np.array_equal(base[3], prog[3]), shape
+
     def test_progressive_stream_structure(self):
         """SOF2 marker, 1 interleaved DC + per-component AC scans, then
         refinement scans: 1 + 3 + 1 + 3 = 8 SOS for RGB."""
