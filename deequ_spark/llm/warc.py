@@ -216,6 +216,30 @@ def wet_documents(records: DataFrame) -> DataFrame:
                     F.col("payload").cast("string").alias("text")))
 
 
+def crawl_to_corpus(spark: SparkSession, path: str,
+                    min_partitions: Optional[int] = None,
+                    **pipeline_kwargs):
+    """Crawl files → training corpus, end to end: ``read_warc`` (WET
+    conversion records only — filtered inside the parser) →
+    ``wet_documents`` → URL-keyed doc ids →
+    :func:`~deequ_spark.llm.pipeline.prepare_training_corpus` with this
+    package's standard cleanup sequence. Returns ``(chunks, stats)``
+    exactly like ``prepare_training_corpus``; all its stage toggles pass
+    through. The ingest stages are map-only, so the first shuffle a
+    crawl pays is the pipeline's own exact-dedup groupBy."""
+    from .pipeline import prepare_training_corpus
+    docs = wet_documents(read_warc(spark, path,
+                                   warc_types={"conversion"},
+                                   min_partitions=min_partitions))
+    # stable 64-bit doc id from (url, text): crawls re-fetch a URL
+    # across snapshots, so the url alone is not unique
+    docs = docs.select(
+        F.xxhash64(F.col("url"), F.col("text")).alias("doc_id"),
+        "url", "text")
+    return prepare_training_corpus(docs, "doc_id", "text",
+                                   **pipeline_kwargs)
+
+
 def http_responses(records: DataFrame) -> DataFrame:
     """Parse ``response`` records' HTTP payloads into ``(url, status,
     http_content_type, body)``. The status line and headers are split

@@ -164,3 +164,43 @@ class TestSparkSurface:
         (d / "f.warc").write_bytes(build_warc_file([_resp(0, body=body)]))
         [r] = http_responses(read_warc(spark, str(d))).collect()
         assert bytes(r["body"]) == body
+
+
+class TestCrawlToCorpus:
+    def test_end_to_end(self, spark, tmp_path):
+        """WARC files -> WET extraction -> url ids -> full cleanup
+        pipeline: quality gate, exact dedup (a verbatim re-fetch under a
+        different URL is dropped), chunking."""
+        from deequ_spark.llm import crawl_to_corpus
+        d = tmp_path / "crawl"
+        d.mkdir()
+        body = ("the quick brown fox jumps to the top of the hill "
+                "and naps with one eye open beside the river " * 10)
+        other = ("entirely different corpus content with notes of "
+                 "mountain ranges and glacial valleys carved out of "
+                 "stone to the delight of every passing geologist " * 8)
+        recs = [
+            build_warc_record("conversion", body.encode(),
+                              target_uri="http://a.example.com/1",
+                              content_type="text/plain"),
+            build_warc_record("conversion", body.encode(),     # exact dup
+                              target_uri="http://b.example.com/2",
+                              content_type="text/plain"),
+            build_warc_record("conversion", other.encode(),
+                              target_uri="http://c.example.com/3",
+                              content_type="text/plain"),
+            build_warc_record("conversion", b"too short",      # quality cut
+                              target_uri="http://d.example.com/4",
+                              content_type="text/plain"),
+            build_warc_record("response", b"HTTP/1.1 200 X\r\n\r\nhtml",
+                              target_uri="http://a.example.com/1"),
+        ]
+        (d / "f.warc.gz").write_bytes(build_warc_file(recs,
+                                                      gzip_members=True))
+        chunks, stats = crawl_to_corpus(
+            spark, str(d), near_dedup=False, boilerplate=False,
+            chunk_tokens=64, chunk_overlap=0)
+        assert stats["input"] == 4                # response filtered out
+        assert stats["quality"] == 3              # 'too short' cut
+        assert stats["exact_dedup"] == 2          # verbatim re-fetch cut
+        assert chunks.count() >= 2
