@@ -377,7 +377,8 @@ def encode_jpeg(pixels: "np.ndarray", quality: int = 75,
 
 def encode_progressive_jpeg(pixels: "np.ndarray",
                             quality: int = 75,
-                            subsample: bool = False) -> bytes:
+                            subsample: bool = False,
+                            restart_interval: int = 0) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as a PROGRESSIVE
     (SOF2) JFIF JPEG with the classic successive-approximation scan
     script: interleaved DC first pass (Al=1), per-component AC first
@@ -389,7 +390,11 @@ def encode_progressive_jpeg(pixels: "np.ndarray",
     4:2:0 chroma: the interleaved DC scans walk the 2×2-Y MCU grid
     while the AC scans walk each component's OWN ceil'd block raster —
     the two traversal geometries a progressive decoder must get right
-    (T.81 A.2.2 vs A.2.3)."""
+    (T.81 A.2.2 vs A.2.3).
+    ``restart_interval`` emits DRI + RSTn markers every that many MCUs
+    (blocks, for the non-interleaved AC scans) in EVERY scan,
+    exercising the decoder's per-scan predictor/EOB-run resets.
+    """
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -457,6 +462,8 @@ def encode_progressive_jpeg(pixels: "np.ndarray",
     for tclass, (bits, values) in tables:
         out += (b"\xFF\xC4" + struct.pack(">H", 19 + len(values))
                 + bytes([tclass]) + bytes(bits) + bytes(values))
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
 
     dc_codes = [_build_codes(*_DC_LUMA)] + \
         [_build_codes(*_DC_CHROMA)] * (ncomp - 1)
@@ -499,39 +506,75 @@ def encode_progressive_jpeg(pixels: "np.ndarray",
             for bx in range(-(-cw // 8)):
                 yield grids[ci][by, bx]
 
+    def mcu_interleave():
+        """Yield (mcu_index, [(ci, by, bx), ...]) per MCU."""
+        n = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                units = []
+                for ci in range(ncomp):
+                    sh, sv = samps[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            units.append((ci, my * sv + by, mx * sh + bx))
+                yield n, units
+                n += 1
+
     al0 = 1                                         # first-pass shift
+    rst = [0]
+
+    def maybe_rst(wtr, unit_index):
+        if restart_interval and unit_index and \
+                unit_index % restart_interval == 0:
+            wtr.pad_and_mark(rst[0])
+            rst[0] += 1
+            return True
+        return False
+
     # scan 1: DC first, interleaved, Al=1
     out += sos([(i + 1, (0 if i == 0 else 1) << 4)
                 for i in range(ncomp)], 0, 0, 0, al0)
     wtr = _BitWriter()
+    rst[0] = 0
     preds = [0] * ncomp
-    for ci, by, bx in interleave():
-        v = int(grids[ci][by, bx, 0]) >> al0        # arithmetic shift (T.81)
-        size, bits = _magnitude(v - preds[ci])
-        preds[ci] = v
-        code, length = dc_codes[ci][size]
-        wtr.write(code, length)
-        if size:
-            wtr.write(bits, size)
+    for m, units in mcu_interleave():
+        if maybe_rst(wtr, m):
+            preds = [0] * ncomp
+        for ci, by, bx in units:
+            v = int(grids[ci][by, bx, 0]) >> al0    # arithmetic shift (T.81)
+            size, bits = _magnitude(v - preds[ci])
+            preds[ci] = v
+            code, length = dc_codes[ci][size]
+            wtr.write(code, length)
+            if size:
+                wtr.write(bits, size)
     out += wtr.flush()
     # scans 2..: AC first per component, full band, Al=1
+    # (per-block EOB0 encoding means no EOB run ever crosses a restart)
     for ci in range(ncomp):
         out += sos([(ci + 1, 0 if ci == 0 else 1)], 1, 63, 0, al0)
         wtr = _BitWriter()
-        for zz in ac_raster(ci):
+        rst[0] = 0
+        for n, zz in enumerate(ac_raster(ci)):
+            maybe_rst(wtr, n)
             _encode_ac_first(wtr, zz, 1, 63, al0, ac_codes[ci])
         out += wtr.flush()
     # DC refinement: raw bit Al=0 (no Huffman table needed)
     out += sos([(i + 1, 0) for i in range(ncomp)], 0, 0, al0, 0)
     wtr = _BitWriter()
-    for ci, by, bx in interleave():
-        wtr.write(int(grids[ci][by, bx, 0]) & 1, 1)
+    rst[0] = 0
+    for m, units in mcu_interleave():
+        maybe_rst(wtr, m)
+        for ci, by, bx in units:
+            wtr.write(int(grids[ci][by, bx, 0]) & 1, 1)
     out += wtr.flush()
     # AC refinement per component, Ah=1 -> Al=0
     for ci in range(ncomp):
         out += sos([(ci + 1, 0 if ci == 0 else 1)], 1, 63, al0, 0)
         wtr = _BitWriter()
-        for zz in ac_raster(ci):
+        rst[0] = 0
+        for n, zz in enumerate(ac_raster(ci)):
+            maybe_rst(wtr, n)
             _encode_ac_refine(wtr, zz, 1, 63, 0, ac_codes[ci])
         out += wtr.flush()
     out += b"\xFF\xD9"

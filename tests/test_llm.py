@@ -1973,6 +1973,27 @@ class TestJpegCodec:
             assert base[:3] == prog[:3]
             assert np.array_equal(base[3], prog[3]), shape
 
+    def test_progressive_restart_markers_exact(self):
+        """DRI + RSTn in EVERY progressive scan (DC interleaved, AC
+        rasters, refinements): the decoder must byte-align, reset
+        predictors/EOB-runs per interval, and still reproduce the
+        baseline pixels exactly."""
+        import numpy as np
+        from deequ_spark.llm import decode_jpeg, encode_jpeg
+        from deequ_spark.llm.jpeg import encode_progressive_jpeg
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (33, 47, 3)).astype(np.uint8)
+        for ri in (1, 3):
+            for sub in (False, True):
+                base = decode_jpeg(encode_jpeg(img, quality=80,
+                                               subsample=sub))
+                data = encode_progressive_jpeg(img, quality=80,
+                                               subsample=sub,
+                                               restart_interval=ri)
+                assert b"\xFF\xDD" in data          # DRI present
+                prog = decode_jpeg(data)
+                assert np.array_equal(base[3], prog[3]), (ri, sub)
+
     def test_progressive_stream_structure(self):
         """SOF2 marker, 1 interleaved DC + per-component AC scans, then
         refinement scans: 1 + 3 + 1 + 3 = 8 SOS for RGB."""
