@@ -1110,6 +1110,23 @@ class TestSlicedAnalysis:
         assert got["api"]["Entropy"] == 0.0
         assert got["api"]["Distinctness"] == pytest.approx(1 / 3)
 
+    def test_sliced_uvr_and_duplicate_rows(self, spark):
+        from deequ_spark import (DuplicateRowCount, UniqueValueRatio,
+                                 sliced_grouped_metrics)
+        rows = [("web", "a"), ("web", "a"), ("web", "b"),
+                ("api", "x"), ("api", "y")]
+        df = spark.createDataFrame(rows, "src string, s string")
+        out = sliced_grouped_metrics(
+            df, "src", [UniqueValueRatio(("s",)),
+                        DuplicateRowCount(("s",))])
+        got = {k[0]: {type(a).__name__: m.value
+                      for a, m in mm.items() if m.is_success}
+               for k, mm in out.items()}
+        assert got["web"]["UniqueValueRatio"] == pytest.approx(0.5)
+        assert got["web"]["DuplicateRowCount"] == 2.0   # the two a rows
+        assert got["api"]["UniqueValueRatio"] == 1.0
+        assert got["api"]["DuplicateRowCount"] == 0.0
+
     def test_sliced_grouped_two_jobs(self, spark):
         """The reference's grouping-fusion contract, slice-fused: one
         frequency job + one second-stage job for ALL analyzers and ALL
