@@ -30,7 +30,7 @@ from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
 from .vectors import hashed_doc_vectors
 from .warc import (build_warc_file, build_warc_record, crawl_to_corpus,
                    http_responses, parse_warc_files, read_warc,
-                   wet_documents)
+                   read_warc_stream, wet_documents)
 from .classifier import score_quality, train_quality_classifier
 from .incremental import (band_hashes, compact_dedup_index,
                           dedup_against_index, write_dedup_index)

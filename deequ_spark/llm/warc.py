@@ -207,6 +207,30 @@ def read_warc(spark: SparkSession, path: str, warc_types=None,
     return parse_warc_files(files, warc_types=warc_types)
 
 
+def read_warc_stream(spark: SparkSession, path: str,
+                     warc_types=None,
+                     max_files_per_trigger: Optional[int] = None
+                     ) -> DataFrame:
+    """STREAMING WARC ingest: new crawl files landing under ``path``
+    stream out as record rows — the continuous shape of a production
+    crawl pipeline (a segment directory fills over hours; each file is
+    processed exactly once, checkpoint-tracked by the file-source log).
+    Same splitter and schema as :func:`read_warc`; compose with
+    ``wet_documents`` and the streaming dedup/drift operators.
+    ``max_files_per_trigger`` bounds per-batch work (and makes batch
+    counts deterministic in tests)."""
+    # streaming file sources need an explicit schema; binaryFile's is
+    # fixed (DataSource binaryFile docs)
+    schema = ("path string, modificationTime timestamp, "
+              "length long, content binary")
+    reader = spark.readStream.format("binaryFile").schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    files = reader.load(path)
+    return parse_warc_files(files, warc_types=warc_types)
+
+
 def wet_documents(records: DataFrame) -> DataFrame:
     """WET extraction: ``conversion`` records as ``(url, text)`` — the
     entry point into normalize_text / dedup / quality scoring. Pure

@@ -204,3 +204,39 @@ class TestCrawlToCorpus:
         assert stats["quality"] == 3              # 'too short' cut
         assert stats["exact_dedup"] == 2          # verbatim re-fetch cut
         assert chunks.count() >= 2
+
+
+class TestStreamingWarc:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """readStream(binaryFile) -> record splitter: one batch per file
+        (maxFilesPerTrigger=1 + availableNow), streamed record rows must
+        equal the batch read of the same directory — the continuous
+        crawl-ingest shape."""
+        from deequ_spark.llm import read_warc_stream
+        d = tmp_path / "stream_warc"
+        d.mkdir()
+        for k in range(3):
+            recs = [_conv(10 * k + i) for i in range(4)]
+            (d / f"seg{k}.warc.gz").write_bytes(
+                build_warc_file(recs, gzip_members=True))
+
+        stream = read_warc_stream(spark, str(d),
+                                  warc_types={"conversion"},
+                                  max_files_per_trigger=1)
+        assert stream.isStreaming
+        seen = []
+
+        def sink(batch_df, batch_id):
+            seen.append((batch_id,
+                         [r["record_id"] for r in batch_df.collect()]))
+
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert len(seen) == 3                      # one batch per file
+        streamed = sorted(rid for _, rids in seen for rid in rids)
+        batch = sorted(r["record_id"] for r in
+                       read_warc(spark, str(d),
+                                 warc_types={"conversion"}).collect())
+        assert streamed == batch and len(streamed) == 12

@@ -77,6 +77,17 @@ COPY (
   FROM base, copies
 ) TO '{workdir}/documents.parquet' (FORMAT PARQUET)
 """)
+    # events: ten user-shifted copies (key cardinality scales WITH data,
+    # the honest shape for keyed-window/temporal-join scale tests) —
+    # needed by b19-b21 since r8
+    con.execute(f"""
+COPY (
+  SELECT c * 10000000000 + event_id AS event_id,
+         c * {shift} + user_id AS user_id,
+         ts, event_type, value
+  FROM '{SF01}/events.parquet', (SELECT unnest(range(10)) AS c)
+) TO '{workdir}/events.parquet' (FORMAT PARQUET)
+""")
     con.execute("SELECT setseed(0.42)")
     con.execute(f"""
 COPY (
@@ -133,7 +144,8 @@ def main() -> None:
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/deequ_sf1.0"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SF1.json"
     t0 = time.time()
-    if not os.path.exists(f"{workdir}/embeddings.parquet"):
+    if not all(os.path.exists(f"{workdir}/{t}.parquet")
+               for t in ("embeddings", "events")):
         synthesize(workdir)
     synth_sec = round(time.time() - t0, 1)
 
