@@ -144,6 +144,14 @@ def write_dedup_index(df: DataFrame, id_col: str, text_col: str,
             f"bands={bands} > num_hashes={num_hashes}: band slices would "
             "be empty and EVERY document would collide in every band")
     spark = df.sparkSession
+    if mode == "append" and _path_exists(spark, path) \
+            and not _path_exists(spark, f"{path}/meta"):
+        # a legacy single-table index lives at the path ROOT; appending
+        # the directory layout next to it would make the root unreadable
+        # (subdirs would parse as partition dirs with a foreign schema)
+        raise ValueError(
+            f"{path} holds a legacy single-table dedup index; rebuild it "
+            "with write_dedup_index(mode='overwrite') before appending")
     if mode == "append" and _path_exists(spark, f"{path}/meta"):
         stored = _read_meta(spark, path)
         mine = {"num_hashes": num_hashes, "shingle_n": shingle_n,

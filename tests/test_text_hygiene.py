@@ -1532,6 +1532,35 @@ class TestIncrementalIndexLayout:
             write_dedup_index(more, "doc_id", "text", path, bands=32,
                               mode="append")
 
+    def test_append_onto_legacy_index_rejected(self, spark, tmp_path):
+        """Appending the r8 directory layout next to a legacy
+        single-table index would corrupt the root — clear error."""
+        from deequ_spark.llm import write_dedup_index
+        from deequ_spark.llm.dedup import minhash_signatures
+        from deequ_spark.llm.text import fingerprint as fp_expr
+        path = str(tmp_path / "legacy")
+        hist = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        sigs = minhash_signatures(hist, "doc_id", "text")
+        (hist.select(F.col("doc_id").alias("id"),
+                     fp_expr(F.col("text")).alias("fingerprint"))
+         .join(sigs, "id").select("id", "fingerprint", "signature")
+         .write.parquet(path))
+        more = spark.createDataFrame([(9, "more words here now")],
+                                     "doc_id long, text string")
+        with pytest.raises(ValueError, match="legacy single-table"):
+            write_dedup_index(more, "doc_id", "text", path, mode="append")
+
+    def test_append_to_missing_path_creates(self, spark, tmp_path):
+        from deequ_spark.llm import dedup_against_index, write_dedup_index
+        path = str(tmp_path / "fresh")
+        hist = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        write_dedup_index(hist, "doc_id", "text", path, mode="append")
+        new = spark.createDataFrame([(10, self.DOCS[0][1])],
+                                    "doc_id long, text string")
+        _, dups = dedup_against_index(new, "doc_id", "text", path)
+        [r] = dups.collect()
+        assert r["match_kind"] == "exact"
+
     def test_compaction_preserves_classification(self, spark, tmp_path):
         from deequ_spark.llm import (compact_dedup_index,
                                      dedup_against_index,
