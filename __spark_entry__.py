@@ -4268,23 +4268,31 @@ def q_warc_ingest(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
 
-    files = {k: [build_warc_record("warcinfo", b"software: deequ-spark\r\n",
-                                   content_type="application/warc-fields")]
-             for k in range(6)}
+    files = {}
+
+    def _file(k):
+        # lazily created so n_warcinfo == COUNT(DISTINCT doc_id % 6)
+        # even when doc_ids miss a residue class (tiny/filtered inputs)
+        if k not in files:
+            files[k] = [build_warc_record(
+                "warcinfo", b"software: deequ-spark\r\n",
+                content_type="application/warc-fields")]
+        return files[k]
+
     for r in rows:
         i, text = int(r["doc_id"]), r["text"]
         base = i - i % 2
         uri = (f"http://site{base % 5}.example.com/page/{base}"
                + ("?utm_source=feed" if i % 2 else ""))
         payload = text.encode("utf-8")
-        files[i % 6].append(build_warc_record(
+        _file(i % 6).append(build_warc_record(
             "conversion", payload, target_uri=uri,
             record_id=f"urn:uuid:rec-{i}", content_type="text/plain"))
         if i % 3 == 0:
             status = 200 if i % 2 == 0 else 404
             http = (f"HTTP/1.1 {status} X\r\n"
                     f"Content-Type: text/html\r\n\r\n").encode() + payload
-            files[i % 6].append(build_warc_record(
+            _file(i % 6).append(build_warc_record(
                 "response", http, target_uri=uri,
                 record_id=f"urn:uuid:resp-{i}",
                 content_type="application/http; msgtype=response"))

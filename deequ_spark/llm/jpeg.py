@@ -375,10 +375,31 @@ def encode_jpeg(pixels: "np.ndarray", quality: int = 75,
     return bytes(out)
 
 
+def _prog_ac_table():
+    """AC table for progressive EOB-run scans: Annex K defines no codes
+    for the EOBn symbols (r<<4, r=1..14), and its 16-bit code space has
+    no canonical room to append them — so build a flat canonical table
+    (every symbol 9 bits) over everything a progressive AC scan can
+    emit: runs 0–15 × sizes 1–10, EOB0..EOB14, ZRL. Compression
+    efficiency is irrelevant for fixtures; validity is what matters."""
+    values = sorted({(r << 4) | sz for r in range(16)
+                     for sz in range(1, 11)}
+                    | {r << 4 for r in range(15)} | {0xF0})
+    bits = [0] * 16
+    bits[8] = len(values)                   # all codes 9 bits long
+    return bits, values
+
+
+_AC_LUMA_PROG = _prog_ac_table()
+_AC_CHROMA_PROG = _AC_LUMA_PROG
+
+
 def encode_progressive_jpeg(pixels: "np.ndarray",
                             quality: int = 75,
                             subsample: bool = False,
-                            restart_interval: int = 0) -> bytes:
+                            restart_interval: int = 0,
+                            first_al: int = 1,
+                            eob_runs: bool = False) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as a PROGRESSIVE
     (SOF2) JFIF JPEG with the classic successive-approximation scan
     script: interleaved DC first pass (Al=1), per-component AC first
@@ -394,6 +415,11 @@ def encode_progressive_jpeg(pixels: "np.ndarray",
     ``restart_interval`` emits DRI + RSTn markers every that many MCUs
     (blocks, for the non-interleaved AC scans) in EVERY scan,
     exercising the decoder's per-scan predictor/EOB-run resets.
+    ``first_al`` deepens the successive approximation (Al=first_al
+    first passes, then one refinement scan per level down to 0);
+    ``eob_runs`` encodes runs of end-of-band blocks as EOBn symbols
+    (with AC tables extended by the EOBn codes) instead of one EOB0
+    per block — the coding real libjpeg streams use.
     """
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
@@ -456,9 +482,11 @@ def encode_progressive_jpeg(pixels: "np.ndarray",
     for i in range(ncomp):
         sh, sv = samps[i]
         out += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
-    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    ac_luma = _AC_LUMA_PROG if eob_runs else _AC_LUMA
+    ac_chroma = _AC_CHROMA_PROG if eob_runs else _AC_CHROMA
+    tables = [(0x00, _DC_LUMA), (0x10, ac_luma)]
     if not gray:
-        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+        tables += [(0x01, _DC_CHROMA), (0x11, ac_chroma)]
     for tclass, (bits, values) in tables:
         out += (b"\xFF\xC4" + struct.pack(">H", 19 + len(values))
                 + bytes([tclass]) + bytes(bits) + bytes(values))
@@ -467,8 +495,8 @@ def encode_progressive_jpeg(pixels: "np.ndarray",
 
     dc_codes = [_build_codes(*_DC_LUMA)] + \
         [_build_codes(*_DC_CHROMA)] * (ncomp - 1)
-    ac_codes = [_build_codes(*_AC_LUMA)] + \
-        [_build_codes(*_AC_CHROMA)] * (ncomp - 1)
+    ac_codes = [_build_codes(*ac_luma)] + \
+        [_build_codes(*ac_chroma)] * (ncomp - 1)
 
     def sos(comps_td_ta, ss, se, ah, al):
         seg = bytearray(b"\xFF\xDA")
@@ -478,24 +506,6 @@ def encode_progressive_jpeg(pixels: "np.ndarray",
             seg += bytes([cid, tdta])
         seg += bytes([ss, se, (ah << 4) | al])
         return seg
-
-    def mcu_blocks(ci):
-        """(by, bx) positions of component ci in interleaved MCU order."""
-        sh, sv = samps[ci]
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for by in range(sv):
-                    for bx in range(sh):
-                        yield ci, my * sv + by, mx * sh + bx
-
-    def interleave():
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for ci in range(ncomp):
-                    sh, sv = samps[ci]
-                    for by in range(sv):
-                        for bx in range(sh):
-                            yield ci, my * sv + by, mx * sh + bx
 
     def ac_raster(ci):
         """Component ci's real (non-MCU-padded) block raster."""
@@ -520,18 +530,22 @@ def encode_progressive_jpeg(pixels: "np.ndarray",
                 yield n, units
                 n += 1
 
-    al0 = 1                                         # first-pass shift
+    al0 = int(first_al)                             # first-pass shift
+    if al0 < 1:
+        raise ValueError("first_al must be >= 1")
     rst = [0]
 
-    def maybe_rst(wtr, unit_index):
+    def maybe_rst(wtr, unit_index, scan_enc=None):
         if restart_interval and unit_index and \
                 unit_index % restart_interval == 0:
+            if scan_enc is not None:
+                scan_enc.flush()            # EOB runs never cross RSTn
             wtr.pad_and_mark(rst[0])
             rst[0] += 1
             return True
         return False
 
-    # scan 1: DC first, interleaved, Al=1
+    # scan 1: DC first, interleaved, Al=first_al
     out += sos([(i + 1, (0 if i == 0 else 1) << 4)
                 for i in range(ncomp)], 0, 0, 0, al0)
     wtr = _BitWriter()
@@ -549,36 +563,187 @@ def encode_progressive_jpeg(pixels: "np.ndarray",
             if size:
                 wtr.write(bits, size)
     out += wtr.flush()
-    # scans 2..: AC first per component, full band, Al=1
-    # (per-block EOB0 encoding means no EOB run ever crosses a restart)
+    # scans 2..: AC first per component, full band, Al=first_al
     for ci in range(ncomp):
         out += sos([(ci + 1, 0 if ci == 0 else 1)], 1, 63, 0, al0)
         wtr = _BitWriter()
         rst[0] = 0
+        enc = _AcFirstScanEncoder(wtr, 1, 63, al0, ac_codes[ci],
+                                  eob_runs=eob_runs)
         for n, zz in enumerate(ac_raster(ci)):
-            maybe_rst(wtr, n)
-            _encode_ac_first(wtr, zz, 1, 63, al0, ac_codes[ci])
+            maybe_rst(wtr, n, enc)
+            enc.block(zz)
+        enc.flush()
         out += wtr.flush()
-    # DC refinement: raw bit Al=0 (no Huffman table needed)
-    out += sos([(i + 1, 0) for i in range(ncomp)], 0, 0, al0, 0)
-    wtr = _BitWriter()
-    rst[0] = 0
-    for m, units in mcu_interleave():
-        maybe_rst(wtr, m)
-        for ci, by, bx in units:
-            wtr.write(int(grids[ci][by, bx, 0]) & 1, 1)
-    out += wtr.flush()
-    # AC refinement per component, Ah=1 -> Al=0
-    for ci in range(ncomp):
-        out += sos([(ci + 1, 0 if ci == 0 else 1)], 1, 63, al0, 0)
+    # refinement levels: Ah=a+1 -> Al=a, down to 0
+    for a in range(al0 - 1, -1, -1):
+        # DC refinement: raw bit per block (no Huffman table needed)
+        out += sos([(i + 1, 0) for i in range(ncomp)], 0, 0, a + 1, a)
         wtr = _BitWriter()
         rst[0] = 0
-        for n, zz in enumerate(ac_raster(ci)):
-            maybe_rst(wtr, n)
-            _encode_ac_refine(wtr, zz, 1, 63, 0, ac_codes[ci])
+        for m, units in mcu_interleave():
+            maybe_rst(wtr, m)
+            for ci, by, bx in units:
+                wtr.write((int(grids[ci][by, bx, 0]) >> a) & 1, 1)
         out += wtr.flush()
+        # AC refinement per component
+        for ci in range(ncomp):
+            out += sos([(ci + 1, 0 if ci == 0 else 1)], 1, 63, a + 1, a)
+            wtr = _BitWriter()
+            rst[0] = 0
+            enc = _AcRefineScanEncoder(wtr, 1, 63, a, ac_codes[ci],
+                                       eob_runs=eob_runs)
+            for n, zz in enumerate(ac_raster(ci)):
+                maybe_rst(wtr, n, enc)
+                enc.block(zz)
+            enc.flush()
+            out += wtr.flush()
     out += b"\xFF\xD9"
     return bytes(out)
+
+
+class _AcFirstScanEncoder:
+    """Scan-level first-pass AC encoder with optional EOBn RUNS: blocks
+    whose band (after the point transform) ends in zeros open a run;
+    consecutive all-zero-band blocks extend it; the run flushes as one
+    EOBn symbol (T.81 G.1.2.2) before the next coded coefficient, at a
+    restart boundary, or at scan end. ``eob_runs=False`` degrades to
+    one EOB0 per block (never a run > 1)."""
+
+    def __init__(self, wtr, ss, se, al, ac, eob_runs=True):
+        self.wtr, self.ss, self.se, self.al, self.ac = wtr, ss, se, al, ac
+        self.eob_runs = eob_runs
+        self.pending = 0
+
+    def flush(self):
+        n = self.pending
+        if not n:
+            return
+        r = n.bit_length() - 1
+        code, length = self.ac[r << 4]
+        self.wtr.write(code, length)
+        if r:
+            self.wtr.write(n - (1 << r), r)
+        self.pending = 0
+
+    def block(self, zz):
+        ts = []
+        for k in range(self.ss, self.se + 1):
+            v = int(zz[k])
+            ts.append((abs(v) >> self.al) * (1 if v >= 0 else -1))
+        last = -1
+        for i, t in enumerate(ts):
+            if t:
+                last = i
+        if last == -1:                       # all-zero band: join a run
+            if self.pending == 0 or not self.eob_runs:
+                self.flush()
+                self.pending = 1
+            else:
+                self.pending += 1
+                if self.pending == 32767:    # EOBn ceiling (r<=14)
+                    self.flush()
+            return
+        self.flush()
+        run = 0
+        for i in range(last + 1):
+            t = ts[i]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = self.ac[0xF0]
+                self.wtr.write(code, length)
+                run -= 16
+            size, bits = _magnitude(t)
+            code, length = self.ac[(run << 4) | size]
+            self.wtr.write(code, length)
+            self.wtr.write(bits, size)
+            run = 0
+        if last < self.se - self.ss:         # trailing zeros start a run
+            self.pending = 1
+            if not self.eob_runs:
+                self.flush()
+
+
+class _AcRefineScanEncoder:
+    """Scan-level AC refinement encoder with optional EOBn runs: blocks
+    with no newly-significant coefficient join the run, and their
+    history-coefficient correction bits are buffered IN BLOCK ORDER and
+    emitted right after the EOBn symbol — the order the decoder's
+    EOB-run tail consumes them in (T.81 G.1.2.3)."""
+
+    def __init__(self, wtr, ss, se, al, ac, eob_runs=True):
+        self.wtr, self.ss, self.se, self.al, self.ac = wtr, ss, se, al, ac
+        self.eob_runs = eob_runs
+        self.pending = 0
+        self.run_bits = []
+
+    def flush(self):
+        n = self.pending
+        if not n:
+            return
+        r = n.bit_length() - 1
+        code, length = self.ac[r << 4]
+        self.wtr.write(code, length)
+        if r:
+            self.wtr.write(n - (1 << r), r)
+        for bit in self.run_bits:
+            self.wtr.write(bit, 1)
+        self.pending = 0
+        self.run_bits = []
+
+    def block(self, zz):
+        absv = {k: abs(int(zz[k])) >> self.al
+                for k in range(self.ss, self.se + 1)}
+        eob = self.ss - 1
+        for k in range(self.ss, self.se + 1):
+            if absv[k] == 1:
+                eob = k
+        if eob < self.ss:                    # no new significance: run
+            tail = [absv[k] & 1 for k in range(self.ss, self.se + 1)
+                    if absv[k] > 1]
+            if self.pending == 0 or not self.eob_runs:
+                self.flush()
+                self.pending = 1
+                self.run_bits = tail
+            else:
+                self.pending += 1
+                self.run_bits += tail
+                if self.pending == 32767:
+                    self.flush()
+            return
+        self.flush()
+        run = 0
+        br = []
+        for k in range(self.ss, self.se + 1):
+            t = absv[k]
+            if t == 0:
+                run += 1
+                continue
+            if k <= eob:
+                while run > 15:
+                    code, length = self.ac[0xF0]
+                    self.wtr.write(code, length)
+                    run -= 16
+                    for bit in br:
+                        self.wtr.write(bit, 1)
+                    br = []
+            if t > 1:                        # history coefficient
+                br.append(t & 1)
+                continue
+            code, length = self.ac[(run << 4) | 1]
+            self.wtr.write(code, length)
+            self.wtr.write(1 if int(zz[k]) >= 0 else 0, 1)
+            run = 0
+            for bit in br:
+                self.wtr.write(bit, 1)
+            br = []
+        if run > 0 or br:                    # tail opens a run
+            self.pending = 1
+            self.run_bits = br
+            if not self.eob_runs:
+                self.flush()
 
 
 def _encode_ac_first(wtr, zz, ss, se, al, ac):
@@ -751,6 +916,7 @@ def decode_jpeg(data: bytes):
     restart_interval = 0
     progressive = False
     coefs: dict = {}
+    n_scans = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -829,9 +995,13 @@ def decode_jpeg(data: bytes):
             pos = _decode_progressive_scan(
                 data, pos + 2 + seglen, frame, scan, ss, se,
                 ahal >> 4, ahal & 0x0F, huff, restart_interval, coefs)
+            n_scans += 1
             continue
         pos += 2 + seglen
-    if progressive and coefs:
+    # reconstruct only if at least one scan actually decoded — a
+    # truncated stream cut after the headers must raise like the
+    # baseline path, not return a silent flat-gray image
+    if progressive and coefs and n_scans:
         return _reconstruct_progressive(frame, coefs, qtabs)
     raise NotImplementedError("JPEG stream has no SOS scan")
 

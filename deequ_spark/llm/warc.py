@@ -271,17 +271,20 @@ def http_responses(records: DataFrame) -> DataFrame:
     point needs a byte search, done on the binary with ``instr``-style
     expressions over a latin-1 cast — no Python in the plan."""
     resp = records.where(F.col("warc_type") == "response")
-    # HTTP head ends at the first CRLFCRLF; cast through latin-1-safe
-    # string ops: Spark's cast binary->string is UTF-8, so operate on
-    # a substring that is ASCII by protocol (status line + headers)
-    s = F.col("payload").cast("string")
+    # Decode the payload as ISO-8859-1 for the header search: latin-1
+    # is one byte per char, so instr's CHARACTER position equals the
+    # BYTE position regardless of non-ASCII header bytes (a UTF-8 cast
+    # would shift the split left by one per multibyte sequence and
+    # corrupt the byte-exact body)
+    s = F.decode(F.col("payload"), "ISO-8859-1")
     head_end = F.instr(s, "\r\n\r\n")
     head = F.substring(s, F.lit(1), head_end - 1)
     status = F.regexp_extract(head, r"^HTTP/[0-9.]+ (\d{3})", 1) \
         .cast("int")
     ctype = F.regexp_extract(head, r"(?im)^content-type:\s*([^\r\n]+)", 1)
-    body = F.expr("substring(payload, instr(cast(payload as string), "
-                  "'\r\n\r\n') + 4, octet_length(payload))")
+    body = F.expr("substring(payload, "
+                  "instr(decode(payload, 'ISO-8859-1'), '\r\n\r\n') + 4, "
+                  "octet_length(payload))")
     return resp.select(F.col("target_uri").alias("url"),
                        status.alias("status"),
                        ctype.alias("http_content_type"),

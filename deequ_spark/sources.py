@@ -132,6 +132,12 @@ def read_corpus(spark: SparkSession, path: str,
                     ok = False
             if ok:
                 keep.append(row["file"])
+        # files the manifest does not know about (appended AFTER it was
+        # written) must always be read — pruning may only drop files the
+        # manifest positively excludes, never silently lose rows
+        known = {row["file"] for row in manifest}
+        all_files = spark.read.parquet(path).inputFiles()
+        keep += [f for f in all_files if f not in known]
         if not keep:
             # empty frame with the corpus schema
             return spark.read.parquet(path).where(F.lit(False))

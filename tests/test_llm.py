@@ -1994,6 +1994,42 @@ class TestJpegCodec:
                 prog = decode_jpeg(data)
                 assert np.array_equal(base[3], prog[3]), (ri, sub)
 
+    def test_progressive_eob_runs_and_multilevel_exact(self):
+        """Review r8: per-block EOB0 never exercised the decoder's
+        EOBn>0 multi-block runs or >1 approximation levels — the
+        branches every libjpeg stream uses. eob_runs=True emits real
+        EOBn runs (asserted below) with a flat 9-bit AC table carrying
+        the EOBn codes; first_al=2/3 stacks refinement scans. Decode
+        must still equal baseline exactly."""
+        import numpy as np
+        from deequ_spark.llm import decode_jpeg, encode_jpeg
+        from deequ_spark.llm.jpeg import (_AcFirstScanEncoder,
+                                          _BitWriter,
+                                          encode_progressive_jpeg)
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, (64, 40, 3)).astype(np.uint8)
+        img[:, :20] = 128            # flat half -> long EOB runs
+        for q in (30, 80):
+            for fal in (1, 2, 3):
+                for er in (False, True):
+                    base = decode_jpeg(encode_jpeg(img, quality=q))
+                    prog = decode_jpeg(encode_progressive_jpeg(
+                        img, quality=q, first_al=fal, eob_runs=er))
+                    assert np.array_equal(base[3], prog[3]), (q, fal, er)
+        # the run encoder really accumulates multi-block runs: three
+        # all-zero bands flush as ONE EOBn covering 3 blocks (r=1,
+        # extra=1 -> 9-bit symbol + 1 bit, not three EOB0s)
+        from deequ_spark.llm.jpeg import _AC_LUMA_PROG, _build_codes
+        ac = _build_codes(*_AC_LUMA_PROG)
+        wtr = _BitWriter()
+        enc = _AcFirstScanEncoder(wtr, 1, 63, 0, ac, eob_runs=True)
+        zero = np.zeros(64, np.int32)
+        for _ in range(3):
+            enc.block(zero)
+        enc.flush()
+        bits_used = len(wtr.buf) * 8 + wtr.nbits
+        assert bits_used == 10       # one EOB2 symbol (9) + 1 extra bit
+
     def test_progressive_stream_structure(self):
         """SOF2 marker, 1 interleaved DC + per-component AC scans, then
         refinement scans: 1 + 3 + 1 + 3 = 8 SOS for RGB."""

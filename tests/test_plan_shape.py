@@ -309,6 +309,32 @@ def test_manifest_prunes_files_and_stays_exact(spark, tmp_path):
     assert read_corpus(spark, out, prune={"id": (5000, None)}).count() == 0
 
 
+def test_manifest_unknown_files_always_read(spark, tmp_path):
+    """Review r8: files appended AFTER the manifest was written must
+    still be read under prune — pruning may only drop files the
+    manifest positively excludes, never lose rows."""
+    from pyspark.sql import functions as F
+
+    from deequ_spark.sources import read_corpus, write_corpus
+    out = str(tmp_path / "corpus2")
+    df1 = spark.range(100).selectExpr("id", "id * 2 AS payload")
+    write_corpus(df1.repartition(1), out, max_records_per_file=50,
+                 sort_within_partitions="id", manifest_cols="id")
+    # append WITHOUT refreshing the manifest
+    df2 = spark.range(100, 200).selectExpr("id", "id * 2 AS payload")
+    write_corpus(df2.repartition(1), out, mode="append")
+    got = sorted(r["id"] for r in
+                 read_corpus(spark, out, prune={"id": (40, 160)})
+                 .collect())
+    assert got == list(range(40, 161))
+    # manifest-known pruning still bites: a range inside df1 skips
+    # df1's other file but must still scan the unknown df2 files
+    pruned = read_corpus(spark, out, prune={"id": (0, 10)})
+    n_all = len(spark.read.parquet(out).inputFiles())
+    assert len(pruned.inputFiles()) < n_all
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(0, 11))
+
+
 def test_mixture_sample_broadcast_quota_single_window_exchange(spark):
     """llm/packing.py mixture_sample: the quota table must BROADCAST
     (it is one row per domain — shuffling the corpus against it would

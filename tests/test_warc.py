@@ -165,6 +165,24 @@ class TestSparkSurface:
         [r] = http_responses(read_warc(spark, str(d))).collect()
         assert bytes(r["body"]) == body
 
+    def test_non_ascii_header_bytes_keep_body_byte_exact(self, spark,
+                                                         tmp_path):
+        """Review r8: a UTF-8 cast made instr() return a CHARACTER
+        position while substring(binary) wants BYTES — every multibyte
+        header byte shifted the body split left. Crawl headers carry
+        latin-1/UTF-8 routinely (Server, Content-Disposition)."""
+        d = tmp_path / "w3"
+        d.mkdir()
+        body = b"BODYBYTES123"
+        http = ("HTTP/1.1 200 OK\r\nServer: caf\u00e9-prod\r\n"
+                "Content-Type: text/plain\r\n\r\n").encode("utf-8") + body
+        rec = build_warc_record("response", http,
+                                target_uri="http://x.example.com/")
+        (d / "f.warc").write_bytes(build_warc_file([rec]))
+        [r] = http_responses(read_warc(spark, str(d))).collect()
+        assert bytes(r["body"]) == body
+        assert r["status"] == 200
+
 
 class TestCrawlToCorpus:
     def test_end_to_end(self, spark, tmp_path):
