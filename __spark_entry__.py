@@ -4245,6 +4245,57 @@ seg_{k + 1} AS (
 _BPE_MERGES_ORACLE_SQL = _bpe_merges_oracle()
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (llm/html.py html_to_text): each doc's
+    text is wrapped in a full HTML page (head/title/script to drop, h1 +
+    p + li blocks, a comment, an &amp; entity), extracted JVM-side, and
+    compared PER ROW against the independently constructed expectation
+    "T{i}\n{text}\na&b {i}" — match_count must equal COUNT(*) in the
+    oracle, with length/line/flat-mode sums recomputed from documents
+    arithmetic (corpus text verified free of <>& and whitespace runs)."""
+    from deequ_spark.llm import html_to_text
+    docs = _load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>skip</title>"
+              "<script>var a = \"<p>no</p>\";</script></head>"
+              "<body><h1>T"), F.col("doc_id"),
+        F.lit("</h1>\n<p>"), F.col("text"),
+        F.lit("</p><!-- c --><ul><li>a&amp;b "), F.col("doc_id"),
+        F.lit("</li></ul></body></html>"))
+    expected = F.concat(F.lit("T"), F.col("doc_id"), F.lit("\n"),
+                        F.col("text"), F.lit("\na&b "), F.col("doc_id"))
+    out = docs.select(
+        html_to_text(html).alias("t"),
+        html_to_text(html, preserve_lines=False).alias("flat"),
+        expected.alias("e"))
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("t") == F.col("e")).cast("long")).alias("match"),
+        F.sum(F.length("t")).alias("len_sum"),
+        F.sum(F.size(F.split(F.col("t"), "\n"))).alias("lines"),
+        F.sum(F.length("flat")).alias("flat_len")).collect()[0]
+    return _metrics_df(spark, sorted([
+        ("n_docs", agg["n"]), ("match_count", agg["match"]),
+        ("len_sum", agg["len_sum"]), ("lines_sum", agg["lines"]),
+        ("flat_len_sum", agg["flat_len"])]))
+
+
+_HTML_EXTRACT_ORACLE_SQL = """
+    WITH d AS (
+      SELECT doc_id AS i,
+             length('T' || doc_id || chr(10) || text || chr(10)
+                    || 'a&b ' || doc_id) AS elen
+      FROM documents)
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM d
+      UNION ALL SELECT 'match_count', CAST(COUNT(*) AS DOUBLE) FROM d
+      UNION ALL SELECT 'len_sum', CAST(SUM(elen) AS DOUBLE) FROM d
+      UNION ALL SELECT 'lines_sum', CAST(3 * COUNT(*) AS DOUBLE) FROM d
+      UNION ALL SELECT 'flat_len_sum', CAST(SUM(elen) AS DOUBLE) FROM d
+    ) ORDER BY metric
+"""
+
+
 def q_warc_ingest(spark, sf_dir):
     """WARC/WET crawl ingest (llm/warc.py): documents are serialized
     into 6 synthetic multi-record WARC files (odd files gzip-member
@@ -5140,6 +5191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "semantic_decon": q_semantic_decon,
         "bpe_merges": q_bpe_merges,
+        "html_extract": q_html_extract,
         "warc_ingest": q_warc_ingest,
         "incremental_dedup": q_incremental_dedup,
         "rolling_stats": q_rolling_stats,
@@ -5961,6 +6013,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         "semantic_decon": _SEMANTIC_DECON_ORACLE_SQL,
         "bpe_merges": _BPE_MERGES_ORACLE_SQL,
+        "html_extract": _HTML_EXTRACT_ORACLE_SQL,
         "warc_ingest": _WARC_INGEST_ORACLE_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE_SQL,
         "rolling_stats": _ROLLING_STATS_ORACLE_SQL,
