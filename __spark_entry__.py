@@ -4245,6 +4245,70 @@ seg_{k + 1} AS (
 _BPE_MERGES_ORACLE_SQL = _bpe_merges_oracle()
 
 
+def q_webdataset(spark, sf_dir):
+    """WebDataset tar shard export/import (llm/shards.py): documents
+    shard by doc_id % 8, each sample a {doc_id}.txt entry; shards read
+    back through the binaryFile + tar parser. The oracle recomputes the
+    EXACT tar byte size per shard from USTAR math (512-byte header +
+    size padded to 512 per member, + 1024 end marker, padded to the
+    10240 record size) — the writer's framing is engine-checked, not
+    just round-tripped — plus sample counts and read-back char sums."""
+    import shutil
+    import tempfile
+
+    from deequ_spark.llm import read_webdataset, write_webdataset
+    docs = _load(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="deequ_wds_")
+    try:
+        man = write_webdataset(
+            docs, d, "doc_id", {"text": "txt"}, n_shards=8,
+            shard_expr=F.pmod(F.col("doc_id"), F.lit(8))).collect()
+        back = read_webdataset(spark, d, {"text": "txt"})
+        ragg = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+            F.sum(F.col("key").cast("long")).alias("keys")).collect()[0]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    pairs = [("n_shards", len(man)),
+             ("samples_total", sum(r["n_samples"] for r in man)),
+             ("read_samples", ragg["n"]),
+             ("read_chars_sum", ragg["chars"]),
+             ("read_key_sum", ragg["keys"])]
+    pairs += [(f"shard{r['shard']}_bytes", r["n_bytes"]) for r in man]
+    pairs += [(f"shard{r['shard']}_samples", r["n_samples"]) for r in man]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_WEBDATASET_ORACLE_SQL = """
+    WITH d AS (
+      SELECT doc_id % 8 AS shard,
+             512 + CEIL(octet_length(encode(text)) / 512.0) * 512
+             AS member_bytes,
+             length(text) AS chars, doc_id
+      FROM documents),
+    per AS (
+      SELECT shard, COUNT(*) AS n,
+             CAST(CEIL((SUM(member_bytes) + 1024) / 10240.0) * 10240
+                  AS BIGINT) AS tar_bytes
+      FROM d GROUP BY shard)
+    SELECT metric, value FROM (
+      SELECT 'n_shards' AS metric,
+             CAST(COUNT(*) AS DOUBLE) AS value FROM per
+      UNION ALL SELECT 'samples_total',
+        CAST(SUM(n) AS DOUBLE) FROM per
+      UNION ALL SELECT 'read_samples',
+        CAST(COUNT(*) AS DOUBLE) FROM d
+      UNION ALL SELECT 'read_chars_sum', CAST(SUM(chars) AS DOUBLE) FROM d
+      UNION ALL SELECT 'read_key_sum', CAST(SUM(doc_id) AS DOUBLE) FROM d
+      UNION ALL SELECT 'shard' || shard || '_bytes',
+        CAST(tar_bytes AS DOUBLE) FROM per
+      UNION ALL SELECT 'shard' || shard || '_samples',
+        CAST(n AS DOUBLE) FROM per
+    ) ORDER BY metric
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> text extraction (llm/html.py html_to_text): each doc's
     text is wrapped in a full HTML page (head/title/script to drop, h1 +
@@ -5191,6 +5255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "semantic_decon": q_semantic_decon,
         "bpe_merges": q_bpe_merges,
+        "webdataset": q_webdataset,
         "html_extract": q_html_extract,
         "warc_ingest": q_warc_ingest,
         "incremental_dedup": q_incremental_dedup,
@@ -6013,6 +6078,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         "semantic_decon": _SEMANTIC_DECON_ORACLE_SQL,
         "bpe_merges": _BPE_MERGES_ORACLE_SQL,
+        "webdataset": _WEBDATASET_ORACLE_SQL,
         "html_extract": _HTML_EXTRACT_ORACLE_SQL,
         "warc_ingest": _WARC_INGEST_ORACLE_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE_SQL,

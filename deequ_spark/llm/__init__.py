@@ -28,6 +28,7 @@ from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
 from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
                    url_deduplicate)
 from .html import html_documents, html_to_text
+from .shards import read_webdataset, write_webdataset
 from .vectors import hashed_doc_vectors
 from .warc import (build_warc_file, build_warc_record, crawl_to_corpus,
                    http_responses, parse_warc_files, read_warc,
