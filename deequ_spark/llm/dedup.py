@@ -643,10 +643,20 @@ def near_duplicate_components(pairs: DataFrame, id_a: str = "id_a",
 
 
 def deduplicate_near(df: DataFrame, id_col: str, pairs: DataFrame,
-                     id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
-    """Drop near-duplicates: keep ONE representative (the min id) per
-    connected component of the pair graph; rows in no pair pass through
-    untouched.
+                     id_a: str = "id_a", id_b: str = "id_b",
+                     keep_by: Optional[str] = None,
+                     descending: bool = True) -> DataFrame:
+    """Drop near-duplicates: keep ONE representative per connected
+    component of the pair graph; rows in no pair pass through untouched.
+
+    The representative is the min id by default; ``keep_by`` names a
+    column to rank on instead — keep the component's best row by that
+    score (``descending=True``: highest wins; ties break on min id).
+    'Keep the longest / highest-quality copy' is the standard corpus
+    policy, and min-id would systematically prefer earlier crawl
+    snapshots. Cost: one extra shuffle of the COMPONENT MEMBERS (ids in
+    some pair — not the corpus) on the component key for the ranking
+    window, plus the score join for those ids.
 
     The anti-join side is deliberately NOT hinted: a web-scale corpus
     routinely carries 30-50% near-duplicates, so the loser id set is
@@ -655,8 +665,20 @@ def deduplicate_near(df: DataFrame, id_col: str, pairs: DataFrame,
     broadcasts when the loser set turns out small, and falls back to a
     shuffled join when it does not."""
     components = near_duplicate_components(pairs, id_a, id_b)
-    losers = (components.where(F.col("id") != F.col("component"))
-              .select("id"))
+    if keep_by is None:
+        losers = (components.where(F.col("id") != F.col("component"))
+                  .select("id"))
+    else:
+        from pyspark.sql import Window
+        scored = components.join(
+            df.select(F.col(id_col).alias("id"),
+                      F.col(keep_by).alias("__dq_score")), "id")
+        order = (F.col("__dq_score").desc() if descending
+                 else F.col("__dq_score").asc())
+        w = Window.partitionBy("component").orderBy(order,
+                                                    F.col("id").asc())
+        losers = (scored.withColumn("__dq_rn", F.row_number().over(w))
+                  .where(F.col("__dq_rn") > 1).select("id"))
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
 
 

@@ -599,6 +599,24 @@ class TestNearDedupComponents:
         # chain collapses to 1, pair collapses to 7, untouched rows stay
         assert kept == {1, 5, 6, 7, 8}
 
+    def test_keep_by_score_policy(self, spark, pairs):
+        """r8: keep the component's BEST row by a score column instead
+        of the min id (ties break on min id)."""
+        from deequ_spark.llm import deduplicate_near
+        rows = [(1, 10.0), (2, 40.0), (3, 40.0), (4, 20.0),
+                (5, 1.0), (6, 1.0), (7, 5.0), (8, 1.0), (9, 99.0)]
+        df = spark.createDataFrame(rows, "doc_id long, score double")
+        kept = {r["doc_id"] for r in
+                deduplicate_near(df, "doc_id", pairs,
+                                 keep_by="score").collect()}
+        # chain {1,2,3,4}: max score 40 tie (2,3) -> 2; pair {7,9} -> 9
+        assert kept == {2, 5, 6, 8, 9}
+        # ascending: keep the LOWEST score
+        kept_asc = {r["doc_id"] for r in
+                    deduplicate_near(df, "doc_id", pairs, keep_by="score",
+                                     descending=False).collect()}
+        assert kept_asc == {1, 5, 6, 7, 8}
+
     def test_long_chain_converges(self, spark):
         from deequ_spark.llm import near_duplicate_components
         chain = spark.createDataFrame([(i, i + 1) for i in range(30)],
