@@ -4245,6 +4245,72 @@ seg_{k + 1} AS (
 _BPE_MERGES_ORACLE_SQL = _bpe_merges_oracle()
 
 
+def q_c4_filters(spark, sf_dir):
+    """C4-style cleanup (llm/text.py c4_line_clean + c4_page_flags,
+    Raffel et al. 1910.10683 §2.2): each doc becomes a synthetic page —
+    its text + '.' (kept), a short line, a javascript notice, a cookie-
+    policy line (all removed), and a proper closing line (kept; docs
+    with doc_id%7==0 carry 'lorem ipsum' inside it, doc_id%5==0 add a
+    curly-brace code line). Kept/removed line counts, cleaned lengths
+    and page-flag failures are replayed from documents arithmetic
+    (corpus verified: every doc ≥ 10 words, no newlines)."""
+    from deequ_spark.llm import c4_line_clean, c4_page_flags
+    docs = _load(spark, sf_dir, "documents")
+    closing = F.when(F.col("doc_id") % 7 == 0,
+                     F.lit("The final line has lorem ipsum inside it."))\
+        .otherwise(F.lit("The final line of this page ends properly."))
+    page = F.concat(
+        F.col("text"), F.lit(".\n"),
+        F.lit("short line here.\n"),
+        F.lit("Please enable javascript to continue viewing content.\n"),
+        F.lit("This site uses cookies per the privacy policy rules.\n"),
+        closing,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\ncode { sample."))
+        .otherwise(F.lit("")))
+    staged = docs.select("doc_id", page.alias("page"))
+    cleaned = c4_line_clean(staged, "page")
+    flagged = c4_page_flags(cleaned, "page")
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c4_lines_kept").alias("kept"),
+        F.sum("c4_lines_removed").alias("removed"),
+        F.sum(F.length("page_c4")).alias("clean_len"),
+        F.sum((~F.col("c4_no_lorem_ipsum")).cast("long")).alias("lorem"),
+        F.sum((~F.col("c4_no_curly_brace")).cast("long")).alias("brace"),
+        F.sum(F.col("c4_keep").cast("long")).alias("keep")).collect()[0]
+    return _metrics_df(spark, sorted([
+        ("n_docs", agg["n"]), ("kept_sum", agg["kept"]),
+        ("removed_sum", agg["removed"]),
+        ("clean_len_sum", agg["clean_len"]),
+        ("lorem_fail", agg["lorem"]), ("brace_fail", agg["brace"]),
+        ("keep_count", agg["keep"])]))
+
+
+_C4_FILTERS_ORACLE_SQL = """
+    WITH d AS (
+      SELECT doc_id AS i, length(text) AS tl FROM documents)
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM d
+      UNION ALL SELECT 'kept_sum', CAST(2 * COUNT(*) AS DOUBLE) FROM d
+      UNION ALL SELECT 'removed_sum',
+        CAST(SUM(3 + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        FROM d
+      UNION ALL SELECT 'clean_len_sum',
+        CAST(SUM(tl + 1 + 1 + CASE WHEN i % 7 = 0
+             THEN length('The final line has lorem ipsum inside it.')
+             ELSE length('The final line of this page ends properly.')
+             END) AS DOUBLE) FROM d
+      UNION ALL SELECT 'lorem_fail',
+        CAST(SUM(CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM d
+      UNION ALL SELECT 'brace_fail',
+        CAST(SUM(CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM d
+      UNION ALL SELECT 'keep_count',
+        CAST(SUM(CASE WHEN i % 5 <> 0 AND i % 7 <> 0 THEN 1 ELSE 0 END)
+             AS DOUBLE) FROM d
+    ) ORDER BY metric
+"""
+
+
 def q_webdataset(spark, sf_dir):
     """WebDataset tar shard export/import (llm/shards.py): documents
     shard by doc_id % 8, each sample a {doc_id}.txt entry; shards read
@@ -5255,6 +5321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "semantic_decon": q_semantic_decon,
         "bpe_merges": q_bpe_merges,
+        "c4_filters": q_c4_filters,
         "webdataset": q_webdataset,
         "html_extract": q_html_extract,
         "warc_ingest": q_warc_ingest,
@@ -6078,6 +6145,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         "semantic_decon": _SEMANTIC_DECON_ORACLE_SQL,
         "bpe_merges": _BPE_MERGES_ORACLE_SQL,
+        "c4_filters": _C4_FILTERS_ORACLE_SQL,
         "webdataset": _WEBDATASET_ORACLE_SQL,
         "html_extract": _HTML_EXTRACT_ORACLE_SQL,
         "warc_ingest": _WARC_INGEST_ORACLE_SQL,

@@ -16,7 +16,7 @@ from .similarity import (brute_force_topk, cosine_similarity_expr,
                          hyperplane_lsh_topk, ivf_assign, ivf_topk,
                          ivf_write_index, kmeans_centroids, knn_candidates,
                          knn_join)
-from .text import (GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
+from .text import (c4_line_clean, c4_page_flags, GOPHER_STOPWORDS, PII_PATTERNS, TRIGRAM_PROFILES,
                    char_trigram_model, char_trigrams, fingerprint,
                    gopher_quality_flags, language_id, lm_quality_score,
                    chunk_text, paragraph_dedup, remove_boilerplate_lines,

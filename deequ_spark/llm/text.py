@@ -317,6 +317,64 @@ def gopher_quality_flags(df: DataFrame, text_col: str,
     return out.withColumn(prefix + "keep", keep)
 
 
+C4_POLICY_RE = (r"(?i)(terms of use|terms of service|privacy policy|"
+                r"cookie policy|uses cookies|use of cookies)")
+
+
+def c4_line_clean(df: DataFrame, text_col: str,
+                  min_words_per_line: int = 5,
+                  require_terminal_punct: bool = True,
+                  policy_re: str = C4_POLICY_RE,
+                  output_col: Optional[str] = None) -> DataFrame:
+    """C4-style LINE filtering (Raffel et al. 2020 §2.2, arXiv:
+    1910.10683): keep only lines that end in terminal punctuation
+    (``.!?"'``), have at least ``min_words_per_line`` words, do not
+    mention javascript (the "enable javascript" boilerplate), and do
+    not match the cookie/policy notice patterns. Complements the
+    page-level Gopher rules — C4 cleans inside pages, Gopher drops
+    whole pages.
+
+    Adds ``<text_col>_c4`` (or ``output_col``) plus
+    ``c4_lines_kept`` / ``c4_lines_removed``. Pure array expressions —
+    split, filter, join — map-only and whole-stage-codegen'd."""
+    out_col = output_col or f"{text_col}_c4"
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep_line(ln):
+        t = F.trim(ln)
+        ok = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")) \
+            >= min_words_per_line
+        if require_terminal_punct:
+            ok = ok & t.rlike(r"""[.!?"']$""")
+        ok = ok & ~F.lower(t).contains("javascript")
+        ok = ok & ~t.rlike(policy_re)
+        return ok
+
+    kept = F.filter(lines, keep_line)
+    return (df.withColumn(out_col, F.array_join(kept, "\n"))
+            .withColumn("c4_lines_kept", F.size(kept))
+            .withColumn("c4_lines_removed", F.size(lines) - F.size(kept)))
+
+
+def c4_page_flags(df: DataFrame, text_col: str,
+                  prefix: str = "c4_") -> DataFrame:
+    """C4-style PAGE drop rules as boolean flags (+ conjunction
+    ``<prefix>keep``): no "lorem ipsum" placeholder text, no curly brace
+    (source code leaked into prose). NULL text fails every rule."""
+    t = F.lower(F.col(text_col))
+    flags = {
+        "no_lorem_ipsum": ~t.contains("lorem ipsum"),
+        "no_curly_brace": ~t.contains("{"),
+    }
+    out = df
+    keep = F.lit(True)
+    for name, cond in flags.items():
+        cond = F.coalesce(cond, F.lit(False))
+        out = out.withColumn(prefix + name, cond)
+        keep = keep & cond
+    return out.withColumn(prefix + "keep", keep)
+
+
 def top_ngram_char_fraction(text: Column, n: int = 2) -> Column:
     """Fraction of document characters covered by occurrences of the most
     frequent word n-gram — Gopher's repetition signal (rule: fraction ≤

@@ -1621,3 +1621,51 @@ class TestIncrementalIndexLayout:
         # in-session the index tables read through the catalog as
         # BUCKETED scans — the index side joins without an Exchange
         assert "SelectedBucketsCount" in plan
+
+
+class TestC4Filters:
+    def test_line_rules(self, spark):
+        from deequ_spark.llm import c4_line_clean
+        page = "\n".join([
+            "This is a perfectly good sentence with many words.",   # keep
+            "Too short line.",                                      # < 5 words
+            "no terminal punctuation in this line here",            # no punct
+            "Please enable JavaScript to view this page properly.", # js
+            "This site uses cookies and you must agree to them.",   # policy
+            'A quoted ending also counts as terminal punctuation."', # keep
+        ])
+        df = spark.createDataFrame([(1, page)], "id long, text string")
+        [r] = c4_line_clean(df, "text").collect()
+        kept = r["text_c4"].split("\n")
+        assert len(kept) == 2 and r["c4_lines_kept"] == 2
+        assert r["c4_lines_removed"] == 4
+        assert kept[0].startswith("This is a perfectly")
+        assert kept[1].endswith('"')
+
+    def test_line_knobs(self, spark):
+        from deequ_spark.llm import c4_line_clean
+        df = spark.createDataFrame([(1, "three word line\nfour word line x")],
+                                   "id long, text string")
+        [r] = c4_line_clean(df, "text", min_words_per_line=3,
+                            require_terminal_punct=False).collect()
+        assert r["c4_lines_kept"] == 2
+
+    def test_page_flags(self, spark):
+        from deequ_spark.llm import c4_page_flags
+        rows = [(1, "clean prose here"), (2, "Lorem Ipsum dolor"),
+                (3, "if (x) { return; }"), (4, None)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: (r["c4_no_lorem_ipsum"], r["c4_no_curly_brace"],
+                         r["c4_keep"]) for r in
+               c4_page_flags(df, "text").collect()}
+        assert got[1] == (True, True, True)
+        assert got[2] == (False, True, False)
+        assert got[3] == (True, False, False)
+        assert got[4] == (False, False, False)        # NULL fails all
+
+    def test_plan_stays_jvm(self, spark):
+        from deequ_spark.llm import c4_line_clean, c4_page_flags
+        df = spark.createDataFrame([(1, "x.")], "id long, text string")
+        out = c4_page_flags(c4_line_clean(df, "text"), "text_c4")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Exchange" not in plan
