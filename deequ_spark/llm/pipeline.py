@@ -35,7 +35,8 @@ from .dedup import (deduplicate_near, duplicate_span_removal,
                     minhash_lsh_pairs)
 from .packing import hash_sample, pack_sequences
 from .semdedup import semantic_deduplicate
-from .text import (char_trigram_model, chunk_text, decontaminate,
+from .text import (c4_line_clean, c4_page_flags, char_trigram_model,
+                   chunk_text, decontaminate,
                    fingerprint, gopher_quality_flags, lm_quality_score,
                    normalize_text, paragraph_dedup,
                    remove_boilerplate_lines, token_count_whitespace)
@@ -70,6 +71,9 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                             dsir_temperature: float = 2.0,
                             url_col: Optional[str] = None,
                             unicode_normalize: bool = False,
+                            c4_clean: bool = False,
+                            c4_page_filter: bool = False,
+                            c4_min_words_per_line: int = 5,
                             benchmark: Optional[DataFrame] = None,
                             bench_text_col: str = "text",
                             decontaminate_ngram: int = 13,
@@ -157,12 +161,31 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                            .alias(text_col))
                    .where(F.length(text_col) > 0))
 
+    if c4_clean:
+        # C4 line filtering runs BEFORE the page-level quality gate:
+        # boilerplate lines it removes should not count toward Gopher's
+        # word/line statistics
+        c4 = c4_line_clean(out, text_col,
+                           min_words_per_line=c4_min_words_per_line)
+        out = note("c4_clean",
+                   c4.select(id_col, F.col(f"{text_col}_c4")
+                             .alias(text_col))
+                   .where(F.length(text_col) > 0))
+
     if quality_filter:
         # gopher_kwargs: extra thresholds forwarded to gopher_quality_flags
         # (corpora differ — e.g. code corpora rarely hit 2 English stopwords)
         flagged = gopher_quality_flags(out, text_col, min_words=min_words,
                                        **(gopher_kwargs or {}))
-        out = note("quality", flagged.where(F.col("gq_keep"))
+        if c4_page_filter:
+            flagged = c4_page_flags(flagged, text_col)
+            flagged = flagged.where(F.col("gq_keep") & F.col("c4_keep"))
+        else:
+            flagged = flagged.where(F.col("gq_keep"))
+        out = note("quality", flagged.select(id_col, text_col))
+    elif c4_page_filter:
+        out = note("quality",
+                   c4_page_flags(out, text_col).where(F.col("c4_keep"))
                    .select(id_col, text_col))
 
     if boilerplate:

@@ -1140,6 +1140,31 @@ class TestPipeline:
                        for r in out.collect())
         out.unpersist()                    # pipeline returns it persisted
 
+    def test_c4_stages(self, spark):
+        """r8: C4 line cleaning runs before the quality gate; page
+        flags fold into the quality stage."""
+        from deequ_spark.llm import prepare_training_corpus
+        good = ("the results of the experiment have been consistent "
+                "with the theory and we report the findings here today.")
+        rows = [
+            (1, good + "\nPlease enable javascript to view this page."),
+            (2, good.replace("today", "tomorrow") + "\nshort."),
+            (3, "this page is lorem ipsum filler with the usual words "
+                "to be seen and the text goes on and on for a while."),
+        ]
+        docs = spark.createDataFrame(rows, "id long, text string")
+        out, stats = prepare_training_corpus(
+            docs, "id", "text", min_words=10, boilerplate=False,
+            near_dedup=False, chunk=False, c4_clean=True,
+            c4_page_filter=True)
+        assert stats["input"] == 3
+        assert stats["c4_clean"] == 3          # lines removed, docs kept
+        assert stats["quality"] == 2           # lorem-ipsum page dropped
+        kept = {r["id"]: r["text"] for r in out.collect()}
+        assert set(kept) == {1, 2}
+        assert "javascript" not in kept[1]
+        assert "short." not in kept[2]
+
     def test_stages_can_be_disabled(self, spark):
         from deequ_spark.llm import prepare_training_corpus
         docs = spark.createDataFrame(
