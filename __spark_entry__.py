@@ -4245,6 +4245,65 @@ seg_{k + 1} AS (
 _BPE_MERGES_ORACLE_SQL = _bpe_merges_oracle()
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt compliance filtering (llm/robots.py): one robots body
+    (disallow /private/, allow back /private/pub/, disallow /tmp/) is
+    parsed JVM-side; per-doc URLs cycle path families by doc_id%4 —
+    page (kept), private (disallowed), private/pub (allow wins by RFC
+    9309 longest match), tmp (disallowed). Kept/dropped counts and id
+    sums are pure doc_id arithmetic in the oracle; n_rules pins the
+    section/extract parsing."""
+    from deequ_spark.llm import filter_disallowed, parse_robots
+    docs = _load(spark, sf_dir, "documents")
+    body = ("User-agent: googlebot\nDisallow: /all-of-it/\n\n"
+            "User-agent: *\nDisallow: /private/\n"
+            "Allow: /private/pub/\nDisallow: /tmp/\nDisallow:\n")
+    robots = spark.createDataFrame(
+        [("http://www.example.com/robots.txt", body)],
+        "url string, body string")
+    rules = parse_robots(robots, "url", "body")
+    seg = (F.when(F.col("doc_id") % 4 == 0, F.lit("page/"))
+           .when(F.col("doc_id") % 4 == 1, F.lit("private/"))
+           .when(F.col("doc_id") % 4 == 2, F.lit("private/pub/"))
+           .otherwise(F.lit("tmp/")))
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://site"), F.col("doc_id") % 5,
+                 F.lit(".example.com/"), seg, F.col("doc_id"))
+        .alias("url"))
+    kept = filter_disallowed(urls, rules).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("ids")).collect()[0]
+    dropped = filter_disallowed(urls, rules, keep_disallowed=True).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("ids")).collect()[0]
+    return _metrics_df(spark, sorted([
+        ("n_rules", rules.count()),
+        ("kept_count", kept["n"]), ("kept_id_sum", kept["ids"] or 0),
+        ("dropped_count", dropped["n"]),
+        ("dropped_id_sum", dropped["ids"] or 0)]))
+
+
+_ROBOTS_FILTER_ORACLE_SQL = """
+    WITH d AS (SELECT doc_id AS i, doc_id % 4 AS f FROM documents)
+    SELECT metric, value FROM (
+      SELECT 'n_rules' AS metric, 3.0 AS value
+      UNION ALL SELECT 'kept_count',
+        CAST(SUM(CASE WHEN f IN (0, 2) THEN 1 ELSE 0 END) AS DOUBLE)
+        FROM d
+      UNION ALL SELECT 'kept_id_sum',
+        CAST(SUM(CASE WHEN f IN (0, 2) THEN i ELSE 0 END) AS DOUBLE)
+        FROM d
+      UNION ALL SELECT 'dropped_count',
+        CAST(SUM(CASE WHEN f IN (1, 3) THEN 1 ELSE 0 END) AS DOUBLE)
+        FROM d
+      UNION ALL SELECT 'dropped_id_sum',
+        CAST(SUM(CASE WHEN f IN (1, 3) THEN i ELSE 0 END) AS DOUBLE)
+        FROM d
+    ) ORDER BY metric
+"""
+
+
 def q_c4_filters(spark, sf_dir):
     """C4-style cleanup (llm/text.py c4_line_clean + c4_page_flags,
     Raffel et al. 1910.10683 §2.2): each doc becomes a synthetic page —
@@ -5321,6 +5380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "semantic_decon": q_semantic_decon,
         "bpe_merges": q_bpe_merges,
+        "robots_filter": q_robots_filter,
         "c4_filters": q_c4_filters,
         "webdataset": q_webdataset,
         "html_extract": q_html_extract,
@@ -6145,6 +6205,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         "semantic_decon": _SEMANTIC_DECON_ORACLE_SQL,
         "bpe_merges": _BPE_MERGES_ORACLE_SQL,
+        "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "c4_filters": _C4_FILTERS_ORACLE_SQL,
         "webdataset": _WEBDATASET_ORACLE_SQL,
         "html_extract": _HTML_EXTRACT_ORACLE_SQL,

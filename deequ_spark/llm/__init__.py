@@ -28,6 +28,7 @@ from .text import (c4_line_clean, c4_page_flags, GOPHER_STOPWORDS, PII_PATTERNS,
 from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
                    url_deduplicate)
 from .html import html_documents, html_to_text
+from .robots import filter_disallowed, parse_robots, url_path
 from .shards import read_webdataset, write_webdataset
 from .vectors import hashed_doc_vectors
 from .warc import (build_warc_file, build_warc_record, crawl_to_corpus,

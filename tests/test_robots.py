@@ -1,0 +1,117 @@
+"""robots.txt parsing + URL filtering (deequ_spark/llm/robots.py):
+section extraction, rule parsing, RFC 9309 longest-match precedence,
+broadcast plan shape."""
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from deequ_spark.llm import filter_disallowed, parse_robots, url_path
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return (SparkSession.builder.master("local[4]")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.ui.enabled", "false").getOrCreate())
+
+
+ROBOTS_A = """# comments are fine
+User-agent: googlebot
+Disallow: /google-only/
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+Allow: /private/public/
+Disallow:
+"""
+
+ROBOTS_B = """User-agent: *
+Disallow: /
+Allow: /blog/
+"""
+
+
+@pytest.fixture()
+def rules(spark):
+    df = spark.createDataFrame(
+        [("http://a.example.com/robots.txt", ROBOTS_A),
+         ("http://b.example.com/robots.txt", ROBOTS_B)],
+        "url string, body string")
+    return parse_robots(df, "url", "body")
+
+
+class TestParse:
+    def test_star_section_only(self, spark, rules):
+        got = {(r["domain"], r["rule"], r["prefix"])
+               for r in rules.collect()}
+        assert got == {
+            ("example.com", "disallow", "/private/"),
+            ("example.com", "disallow", "/tmp/"),
+            ("example.com", "allow", "/private/public/"),
+            ("example.com", "disallow", "/"),
+            ("example.com", "allow", "/blog/"),
+        }
+
+    def test_specific_agent(self, spark):
+        df = spark.createDataFrame(
+            [("http://a.example.com/robots.txt", ROBOTS_A)],
+            "url string, body string")
+        got = {(r["rule"], r["prefix"]) for r in
+               parse_robots(df, "url", "body",
+                            user_agent="googlebot").collect()}
+        assert got == {("disallow", "/google-only/")}
+
+    def test_url_path(self, spark):
+        df = spark.createDataFrame(
+            [("http://x.com",), ("https://x.com/a/b?q=1#f",)],
+            "u string")
+        got = [r["p"] for r in
+               df.select(url_path("u").alias("p")).collect()]
+        assert got == ["/", "/a/b"]
+
+
+class TestFilter:
+    def test_longest_match_precedence(self, spark):
+        # one domain so rules do not merge across hosts
+        df = spark.createDataFrame(
+            [("http://a.example.com/robots.txt", ROBOTS_A)],
+            "url string, body string")
+        rules = parse_robots(df, "url", "body")
+        urls = spark.createDataFrame([
+            ("http://www.example.com/page",),            # no match: keep
+            ("http://example.com/private/x",),           # disallow
+            ("http://example.com/private/public/x",),    # allow wins (longer)
+            ("http://example.com/tmp/y",),               # disallow
+            ("http://other.com/private/x",),             # no rules: keep
+        ], "url string")
+        kept = {r["url"] for r in
+                filter_disallowed(urls, rules).collect()}
+        assert kept == {"http://www.example.com/page",
+                        "http://example.com/private/public/x",
+                        "http://other.com/private/x"}
+        dropped = {r["url"] for r in
+                   filter_disallowed(urls, rules,
+                                     keep_disallowed=True).collect()}
+        assert dropped == {"http://example.com/private/x",
+                           "http://example.com/tmp/y"}
+
+    def test_disallow_all_with_carveout(self, spark):
+        df = spark.createDataFrame(
+            [("http://b.example.org/robots.txt", ROBOTS_B)],
+            "url string, body string")
+        rules = parse_robots(df, "url", "body")
+        urls = spark.createDataFrame(
+            [("http://b.example.org/blog/post",),
+             ("http://b.example.org/anything",)], "url string")
+        kept = {r["url"] for r in
+                filter_disallowed(urls, rules).collect()}
+        assert kept == {"http://b.example.org/blog/post"}
+
+    def test_broadcast_plan(self, spark, rules):
+        urls = spark.range(100).selectExpr(
+            "concat('http://example.com/p/', id) AS url")
+        out = filter_disallowed(urls, rules)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:1200]
