@@ -242,19 +242,32 @@ def wet_documents(records: DataFrame) -> DataFrame:
 
 def crawl_to_corpus(spark: SparkSession, path: str,
                     min_partitions: Optional[int] = None,
+                    source: str = "wet",
                     **pipeline_kwargs):
-    """Crawl files → training corpus, end to end: ``read_warc`` (WET
-    conversion records only — filtered inside the parser) →
-    ``wet_documents`` → URL-keyed doc ids →
+    """Crawl files → training corpus, end to end: ``read_warc`` →
+    text extraction → URL-keyed doc ids →
     :func:`~deequ_spark.llm.pipeline.prepare_training_corpus` with this
-    package's standard cleanup sequence. Returns ``(chunks, stats)``
-    exactly like ``prepare_training_corpus``; all its stage toggles pass
-    through. The ingest stages are map-only, so the first shuffle a
-    crawl pays is the pipeline's own exact-dedup groupBy."""
+    package's standard cleanup sequence. ``source='wet'`` consumes
+    pre-extracted ``conversion`` records; ``source='responses'``
+    consumes raw HTTP ``response`` records through
+    :func:`~deequ_spark.llm.html.html_documents` (status/content-type
+    gate + HTML→text) — the two halves of a real crawl feed. Returns
+    ``(chunks, stats)`` exactly like ``prepare_training_corpus``; all
+    its stage toggles pass through. The ingest stages are map-only, so
+    the first shuffle a crawl pays is the pipeline's own exact-dedup
+    groupBy."""
     from .pipeline import prepare_training_corpus
-    docs = wet_documents(read_warc(spark, path,
-                                   warc_types={"conversion"},
-                                   min_partitions=min_partitions))
+    if source == "wet":
+        docs = wet_documents(read_warc(spark, path,
+                                       warc_types={"conversion"},
+                                       min_partitions=min_partitions))
+    elif source == "responses":
+        from .html import html_documents
+        docs = html_documents(http_responses(
+            read_warc(spark, path, warc_types={"response"},
+                      min_partitions=min_partitions)))
+    else:
+        raise ValueError("source must be 'wet' or 'responses'")
     # stable 64-bit doc id from (url, text): crawls re-fetch a URL
     # across snapshots, so the url alone is not unique
     docs = docs.select(

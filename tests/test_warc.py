@@ -223,6 +223,35 @@ class TestCrawlToCorpus:
         assert stats["exact_dedup"] == 2          # verbatim re-fetch cut
         assert chunks.count() >= 2
 
+    def test_raw_html_responses_source(self, spark, tmp_path):
+        """source='responses': raw HTML pages flow through status/type
+        gating + html_to_text into the same pipeline."""
+        from deequ_spark.llm import crawl_to_corpus
+        d = tmp_path / "crawl_html"
+        d.mkdir()
+        prose = ("the quick brown fox jumps to the top of the hill "
+                 "and naps with one eye open beside the river " * 10)
+
+        def resp(url, body, status=200, ctype="text/html"):
+            http = (f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}"
+                    f"\r\n\r\n").encode() + body
+            return build_warc_record("response", http, target_uri=url)
+
+        recs = [
+            resp("http://a.example.com/",
+                 f"<html><body><p>{prose}</p></body></html>".encode()),
+            resp("http://b.example.com/", b"<p>gone</p>", status=500),
+            build_warc_record("conversion", prose.encode(),
+                              target_uri="http://c.example.com/"),
+        ]
+        (d / "f.warc").write_bytes(build_warc_file(recs))
+        chunks, stats = crawl_to_corpus(
+            spark, str(d), source="responses", near_dedup=False,
+            boilerplate=False, chunk=False)
+        assert stats["input"] == 1                # only the 200 html page
+        [r] = chunks.collect()
+        assert r["text"].startswith("the quick brown fox")
+
 
 class TestStreamingWarc:
     def test_stream_matches_batch(self, spark, tmp_path):
