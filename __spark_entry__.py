@@ -4245,6 +4245,82 @@ seg_{k + 1} AS (
 _BPE_MERGES_ORACLE_SQL = _bpe_merges_oracle()
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """int8 embedding quantization (llm/vectors.py): symmetric
+    per-vector scale = max|v|/127, q = round(v/scale). The oracle
+    re-derives every INTEGER code in DuckDB (identical IEEE double ops
+    on both engines: cast, divide, round-half-away) — code sums,
+    absolute mass, full-scale counts — and quantized COSINES for the
+    first 40 vectors' pairs (integer dots and norms; per-pair floor
+    quantization before summing, per the oracle float rules)."""
+    from deequ_spark.llm import cosine_quantized, quantize_embeddings
+    emb = _load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding")
+    agg = q.select(
+        F.aggregate(F.col("embedding_q8"), F.lit(0).cast("long"),
+                    lambda a, x: a + x.cast("long")).alias("qs"),
+        F.aggregate(F.col("embedding_q8"), F.lit(0).cast("long"),
+                    lambda a, x: a + F.abs(x.cast("long"))).alias("qa"),
+        F.size(F.filter(F.col("embedding_q8"),
+                        lambda x: F.abs(x.cast("int")) == 127))
+        .alias("fs")).agg(
+        F.sum("qs").alias("qsum"), F.sum("qa").alias("qabs"),
+        F.sum("fs").alias("full"), F.count(F.lit(1)).alias("n")) \
+        .collect()[0]
+    small = q.where(F.col("vec_id") < 40) \
+        .select("vec_id", "embedding_q8")
+    a = small.selectExpr("vec_id AS ia", "embedding_q8 AS qa")
+    b = small.selectExpr("vec_id AS ib", "embedding_q8 AS qb")
+    cos = (a.join(b, F.col("ia") < F.col("ib"))
+           .select(F.floor(cosine_quantized("qa", "qb") * 1e6)
+                   .alias("cf"))
+           .agg(F.sum("cf").alias("s"),
+                F.count(F.lit(1)).alias("np")).collect()[0])
+    return _metrics_df(spark, sorted([
+        ("n_vecs", agg["n"]), ("q_sum", agg["qsum"]),
+        ("q_abs_sum", agg["qabs"]), ("full_scale_count", agg["full"]),
+        ("n_pairs", cos["np"]), ("cos_fuzz_sum", cos["s"])]))
+
+
+_EMBEDDING_QUANTIZE_ORACLE_SQL = """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) /
+                    (CAST(list_max(list_transform(embedding,
+                         y -> abs(CAST(y AS DOUBLE)))) AS DOUBLE)
+                     / 127.0)) AS BIGINT)) AS c
+      FROM embeddings),
+    stats AS (
+      SELECT SUM(list_sum(c)) AS qsum,
+             SUM(list_sum(list_transform(c, x -> abs(x)))) AS qabs,
+             SUM(len(list_filter(c, x -> abs(x) = 127))) AS fullsc,
+             COUNT(*) AS n
+      FROM q),
+    pairs AS (
+      SELECT FLOOR(
+        CAST(list_sum(list_transform(range(1, len(a.c) + 1),
+             i -> a.c[i] * b.c[i])) AS DOUBLE)
+        / (sqrt(CAST(list_sum(list_transform(a.c, x -> x * x))
+                AS DOUBLE))
+           * sqrt(CAST(list_sum(list_transform(b.c, x -> x * x))
+                  AS DOUBLE))) * 1e6) AS cf
+      FROM q a JOIN q b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 40 AND b.vec_id < 40)
+    SELECT metric, value FROM (
+      SELECT 'n_vecs' AS metric, CAST(n AS DOUBLE) AS value FROM stats
+      UNION ALL SELECT 'q_sum', CAST(qsum AS DOUBLE) FROM stats
+      UNION ALL SELECT 'q_abs_sum', CAST(qabs AS DOUBLE) FROM stats
+      UNION ALL SELECT 'full_scale_count', CAST(fullsc AS DOUBLE)
+        FROM stats
+      UNION ALL SELECT 'n_pairs',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM pairs)
+      UNION ALL SELECT 'cos_fuzz_sum',
+        (SELECT CAST(SUM(cf) AS DOUBLE) FROM pairs)
+    ) ORDER BY metric
+"""
+
+
 def q_robots_filter(spark, sf_dir):
     """robots.txt compliance filtering (llm/robots.py): one robots body
     (disallow /private/, allow back /private/pub/, disallow /tmp/) is
@@ -5380,6 +5456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "semantic_decon": q_semantic_decon,
         "bpe_merges": q_bpe_merges,
+        "embedding_quantize": q_embedding_quantize,
         "robots_filter": q_robots_filter,
         "c4_filters": q_c4_filters,
         "webdataset": q_webdataset,
@@ -6205,6 +6282,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         "semantic_decon": _SEMANTIC_DECON_ORACLE_SQL,
         "bpe_merges": _BPE_MERGES_ORACLE_SQL,
+        "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE_SQL,
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "c4_filters": _C4_FILTERS_ORACLE_SQL,
         "webdataset": _WEBDATASET_ORACLE_SQL,

@@ -30,7 +30,8 @@ from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
 from .html import html_documents, html_to_text
 from .robots import filter_disallowed, parse_robots, url_path
 from .shards import read_webdataset, write_webdataset
-from .vectors import hashed_doc_vectors
+from .vectors import (cosine_quantized, dequantize_embedding,
+                      hashed_doc_vectors, quantize_embeddings)
 from .warc import (build_warc_file, build_warc_record, crawl_to_corpus,
                    http_responses, parse_warc_files, read_warc,
                    read_warc_stream, wet_documents)

@@ -178,3 +178,60 @@ class TestTokenStats:
         df = spark.createDataFrame([(0, text)], "doc_id long, text string")
         st = corpus_token_stats(df, "text", top_n=50)
         assert st["zipf_slope"] == pytest.approx(-1.0, abs=0.05)
+
+
+class TestQuantizedEmbeddings:
+    def test_round_trip_and_cosine_error(self, spark):
+        import numpy as np
+
+        from deequ_spark.llm import (cosine_quantized,
+                                     dequantize_embedding,
+                                     quantize_embeddings)
+        rng = np.random.default_rng(17)
+        vecs = rng.standard_normal((50, 32))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+            "id long, vec array<double>")
+        q = quantize_embeddings(df, "vec")
+        rows = q.collect()
+        for r in rows:
+            assert all(-127 <= x <= 127 for x in r["vec_q8"])
+        # dequantized reconstruction error bounded by scale/2 per coord
+        dq = q.select("id", "vec",
+                      dequantize_embedding("vec_q8", "vec_scale")
+                      .alias("back"), "vec_scale").collect()
+        for r in dq:
+            err = max(abs(a - b) for a, b in zip(r["vec"], r["back"]))
+            assert err <= r["vec_scale"] / 2 + 1e-6
+        # quantized cosine tracks exact cosine within 1e-2
+        a = q.selectExpr("id AS ia", "vec AS va", "vec_q8 AS qa")
+        b = q.selectExpr("id AS ib", "vec AS vb", "vec_q8 AS qb")
+        pairs = a.join(b, F.col("ia") < F.col("ib")).limit(300)
+        from deequ_spark.llm.similarity import cosine_similarity_expr
+        got = pairs.select(
+            cosine_similarity_expr(F.col("va"), F.col("vb")).alias("c"),
+            cosine_quantized("qa", "qb").alias("cq")).collect()
+        assert max(abs(r["c"] - r["cq"]) for r in got) < 1e-2
+
+    def test_zero_vector(self, spark):
+        from deequ_spark.llm import cosine_quantized, quantize_embeddings
+        df = spark.createDataFrame([(1, [0.0, 0.0, 0.0]),
+                                    (2, [1.0, 0.0, 0.0])],
+                                   "id long, vec array<double>")
+        q = quantize_embeddings(df, "vec").collect()
+        z = {r["id"]: r for r in q}
+        assert list(z[1]["vec_q8"]) == [0, 0, 0]
+        assert z[1]["vec_scale"] == 0.0
+        df2 = spark.createDataFrame(
+            [(list(z[1]["vec_q8"]), list(z[2]["vec_q8"]))],
+            "a array<tinyint>, b array<tinyint>")
+        [r] = df2.select(cosine_quantized("a", "b").alias("c")).collect()
+        assert r["c"] == 0.0
+
+    def test_plan_stays_jvm(self, spark):
+        from deequ_spark.llm import quantize_embeddings
+        df = spark.createDataFrame([(1, [0.5, -0.25])],
+                                   "id long, vec array<double>")
+        out = quantize_embeddings(df, "vec")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Exchange" not in plan
