@@ -4342,10 +4342,11 @@ def q_robots_filter(spark, sf_dir):
            .when(F.col("doc_id") % 4 == 1, F.lit("private/"))
            .when(F.col("doc_id") % 4 == 2, F.lit("private/pub/"))
            .otherwise(F.lit("tmp/")))
+    # all URLs on the robots host — rules scope per HOST (RFC 9309
+    # 2.3), a sibling subdomain's rules never apply (pytest-pinned)
     urls = docs.select(
         "doc_id",
-        F.concat(F.lit("http://site"), F.col("doc_id") % 5,
-                 F.lit(".example.com/"), seg, F.col("doc_id"))
+        F.concat(F.lit("http://www.example.com/"), seg, F.col("doc_id"))
         .alias("url"))
     kept = filter_disallowed(urls, rules).agg(
         F.count(F.lit(1)).alias("n"),

@@ -673,8 +673,10 @@ def deduplicate_near(df: DataFrame, id_col: str, pairs: DataFrame,
         scored = components.join(
             df.select(F.col(id_col).alias("id"),
                       F.col(keep_by).alias("__dq_score")), "id")
-        order = (F.col("__dq_score").desc() if descending
-                 else F.col("__dq_score").asc())
+        # nulls LAST in both directions: a NULL-scored member must
+        # never outrank a real score (plain asc() is nulls-first)
+        order = (F.col("__dq_score").desc_nulls_last() if descending
+                 else F.col("__dq_score").asc_nulls_last())
         w = Window.partitionBy("component").orderBy(order,
                                                     F.col("id").asc())
         losers = (scored.withColumn("__dq_rn", F.row_number().over(w))

@@ -64,14 +64,16 @@ def write_webdataset(df: DataFrame, path: str, key_col: str,
         # uname/uid/mtime pinned so shard bytes are reproducible
         with tarfile.open(fileobj=buf, mode="w",
                           format=tarfile.USTAR_FORMAT) as tar:
-            for _, row in pdf.iterrows():
-                for c in cols:
-                    v = row[c]
+            # zip over column arrays, not iterrows(): per-row Series
+            # construction is 10-50x slower in this per-shard hot loop
+            for key, *vals in zip(pdf["__key"],
+                                  *(pdf[c] for c in cols)):
+                for c, v in zip(cols, vals):
                     if v is None:
                         continue
                     blob = (v.encode("utf-8") if isinstance(v, str)
                             else bytes(v))
-                    info = tarfile.TarInfo(f"{row['__key']}.{columns[c]}")
+                    info = tarfile.TarInfo(f"{key}.{columns[c]}")
                     info.size = len(blob)
                     info.mtime = 0
                     tar.addfile(info, io.BytesIO(blob))
@@ -94,7 +96,10 @@ def read_webdataset(spark: SparkSession, path: str,
     column → extension (the inverse of :func:`write_webdataset`);
     extensions in ``binary_cols`` stay ``binary``, everything else
     decodes UTF-8. Map-only — a shard is the unit of parallelism."""
-    binset = set(binary_cols)
+    # accept either column NAMES or extensions in binary_cols (the
+    # docstring promises extensions; both now work)
+    binset = {c for c in columns
+              if c in set(binary_cols) or columns[c] in set(binary_cols)}
     schema = "__key string, " + ", ".join(
         f"{c} {'binary' if c in binset else 'string'}" for c in columns)
 
@@ -108,7 +113,14 @@ def read_webdataset(spark: SparkSession, path: str,
                 with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
                     samples = {}
                     for m in tar.getmembers():
-                        stem, _, ext = m.name.rpartition(".")
+                        # externally produced tars carry directories /
+                        # links / pax entries (extractfile -> None) and
+                        # extension-less names — skip, don't crash
+                        if not m.isfile():
+                            continue
+                        stem, dot, ext = m.name.rpartition(".")
+                        if not dot or not stem:
+                            continue
                         samples.setdefault(stem, {})[ext] = \
                             tar.extractfile(m).read()
                     for key in sorted(samples):

@@ -351,9 +351,18 @@ def c4_line_clean(df: DataFrame, text_col: str,
         return ok
 
     kept = F.filter(lines, keep_line)
-    return (df.withColumn(out_col, F.array_join(kept, "\n"))
-            .withColumn("c4_lines_kept", F.size(kept))
-            .withColumn("c4_lines_removed", F.size(lines) - F.size(kept)))
+    is_null = F.col(text_col).isNull()
+    null_int = F.lit(None).cast("int")
+    # size(NULL) is -1 in non-ANSI contexts — NULL text must yield NULL
+    # stats, never negative line counts that skew downstream sums
+    return (df.withColumn(out_col,
+                          F.when(is_null, F.lit(None))
+                          .otherwise(F.array_join(kept, "\n")))
+            .withColumn("c4_lines_kept",
+                        F.when(is_null, null_int).otherwise(F.size(kept)))
+            .withColumn("c4_lines_removed",
+                        F.when(is_null, null_int)
+                        .otherwise(F.size(lines) - F.size(kept))))
 
 
 def c4_page_flags(df: DataFrame, text_col: str,

@@ -294,7 +294,11 @@ def http_responses(records: DataFrame) -> DataFrame:
     head = F.substring(s, F.lit(1), head_end - 1)
     status = F.regexp_extract(head, r"^HTTP/[0-9.]+ (\d{3})", 1) \
         .cast("int")
-    ctype = F.regexp_extract(head, r"(?im)^content-type:\s*([^\r\n]+)", 1)
+    ctype_raw = F.regexp_extract(head,
+                                 r"(?im)^content-type:\s*([^\r\n]+)", 1)
+    # regexp_extract yields '' on no match — surface ABSENT as NULL so
+    # downstream missing-type handling (html_documents) actually fires
+    ctype = F.when(ctype_raw == "", F.lit(None)).otherwise(ctype_raw)
     body = F.expr("substring(payload, "
                   "instr(decode(payload, 'ISO-8859-1'), '\r\n\r\n') + 4, "
                   "octet_length(payload))")

@@ -88,7 +88,12 @@ class TestHtmlDocuments:
             resp("http://d.example.com/",
                  b"<script>only code</script>"),       # empty text: out
         ]
+        # missing Content-Type entirely: kept per the docstring contract
+        http_no_type = b"HTTP/1.1 200 X\r\n\r\n<p>typeless page kept.</p>"
+        recs.append(build_warc_record("response", http_no_type,
+                                      target_uri="http://e.example.com/"))
         (d / "f.warc").write_bytes(build_warc_file(recs))
         docs = html_documents(http_responses(read_warc(spark, str(d))))
         rows = {r["url"]: r["text"] for r in docs.collect()}
-        assert rows == {"http://a.example.com/": "hello & welcome"}
+        assert rows == {"http://a.example.com/": "hello & welcome",
+                        "http://e.example.com/": "typeless page kept."}

@@ -617,6 +617,19 @@ class TestNearDedupComponents:
                                      descending=False).collect()}
         assert kept_asc == {1, 5, 6, 7, 8}
 
+    def test_keep_by_null_score_never_wins(self, spark, pairs):
+        """Review r8: plain asc() is nulls-first — a NULL-scored member
+        must never outrank a real score in either direction."""
+        from deequ_spark.llm import deduplicate_near
+        rows = [(1, None), (2, 40.0), (3, None), (4, 20.0),
+                (5, 1.0), (6, 1.0), (7, None), (8, 1.0), (9, 5.0)]
+        df = spark.createDataFrame(rows, "doc_id long, score double")
+        for desc, chain_win, pair_win in ((True, 2, 9), (False, 4, 9)):
+            kept = {r["doc_id"] for r in
+                    deduplicate_near(df, "doc_id", pairs, keep_by="score",
+                                     descending=desc).collect()}
+            assert kept == {chain_win, 5, 6, 8, pair_win}, desc
+
     def test_long_chain_converges(self, spark):
         from deequ_spark.llm import near_duplicate_components
         chain = spark.createDataFrame([(i, i + 1) for i in range(30)],

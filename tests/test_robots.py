@@ -43,15 +43,15 @@ def rules(spark):
 
 
 class TestParse:
-    def test_star_section_only(self, spark, rules):
-        got = {(r["domain"], r["rule"], r["prefix"])
+    def test_star_section_host_scoped(self, spark, rules):
+        got = {(r["host"], r["rule"], r["prefix"])
                for r in rules.collect()}
         assert got == {
-            ("example.com", "disallow", "/private/"),
-            ("example.com", "disallow", "/tmp/"),
-            ("example.com", "allow", "/private/public/"),
-            ("example.com", "disallow", "/"),
-            ("example.com", "allow", "/blog/"),
+            ("a.example.com", "disallow", "/private/"),
+            ("a.example.com", "disallow", "/tmp/"),
+            ("a.example.com", "allow", "/private/public/"),
+            ("b.example.com", "disallow", "/"),
+            ("b.example.com", "allow", "/blog/"),
         }
 
     def test_specific_agent(self, spark):
@@ -63,6 +63,30 @@ class TestParse:
                             user_agent="googlebot").collect()}
         assert got == {("disallow", "/google-only/")}
 
+    def test_specific_agent_falls_back_to_star(self, spark):
+        """RFC 9309 2.2.1: no matching group -> the * group applies."""
+        df = spark.createDataFrame(
+            [("http://a.example.com/robots.txt", ROBOTS_A)],
+            "url string, body string")
+        got = {(r["rule"], r["prefix"]) for r in
+               parse_robots(df, "url", "body",
+                            user_agent="otherbot").collect()}
+        assert got == {("disallow", "/private/"),
+                       ("disallow", "/tmp/"),
+                       ("allow", "/private/public/")}
+
+    def test_multiple_groups_for_same_agent_merge(self, spark):
+        """RFC 9309 2.2.1: rules from ALL groups for an agent combine."""
+        body = ("User-agent: *\nDisallow: /a/\n\n"
+                "User-agent: bot\nDisallow: /x/\n\n"
+                "User-agent: *\nDisallow: /b/\n")
+        df = spark.createDataFrame(
+            [("http://h.example.com/robots.txt", body)],
+            "url string, body string")
+        got = {r["prefix"] for r in
+               parse_robots(df, "url", "body").collect()}
+        assert got == {"/a/", "/b/"}
+
     def test_url_path(self, spark):
         df = spark.createDataFrame(
             [("http://x.com",), ("https://x.com/a/b?q=1#f",)],
@@ -73,29 +97,30 @@ class TestParse:
 
 
 class TestFilter:
-    def test_longest_match_precedence(self, spark):
-        # one domain so rules do not merge across hosts
+    def test_longest_match_precedence_host_scoped(self, spark):
         df = spark.createDataFrame(
             [("http://a.example.com/robots.txt", ROBOTS_A)],
             "url string, body string")
         rules = parse_robots(df, "url", "body")
         urls = spark.createDataFrame([
-            ("http://www.example.com/page",),            # no match: keep
-            ("http://example.com/private/x",),           # disallow
-            ("http://example.com/private/public/x",),    # allow wins (longer)
-            ("http://example.com/tmp/y",),               # disallow
+            ("http://a.example.com/page",),              # no match: keep
+            ("http://a.example.com/private/x",),         # disallow
+            ("http://a.example.com/private/public/x",),  # allow wins
+            ("http://A.EXAMPLE.com:80/tmp/y",),          # disallow (case/port)
+            ("http://www.example.com/private/x",),       # SIBLING host: keep
             ("http://other.com/private/x",),             # no rules: keep
         ], "url string")
         kept = {r["url"] for r in
                 filter_disallowed(urls, rules).collect()}
-        assert kept == {"http://www.example.com/page",
-                        "http://example.com/private/public/x",
+        assert kept == {"http://a.example.com/page",
+                        "http://a.example.com/private/public/x",
+                        "http://www.example.com/private/x",
                         "http://other.com/private/x"}
         dropped = {r["url"] for r in
                    filter_disallowed(urls, rules,
                                      keep_disallowed=True).collect()}
-        assert dropped == {"http://example.com/private/x",
-                           "http://example.com/tmp/y"}
+        assert dropped == {"http://a.example.com/private/x",
+                           "http://A.EXAMPLE.com:80/tmp/y"}
 
     def test_disallow_all_with_carveout(self, spark):
         df = spark.createDataFrame(
@@ -111,7 +136,7 @@ class TestFilter:
 
     def test_broadcast_plan(self, spark, rules):
         urls = spark.range(100).selectExpr(
-            "concat('http://example.com/p/', id) AS url")
+            "concat('http://a.example.com/p/', id) AS url")
         out = filter_disallowed(urls, rules)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, plan[:1200]

@@ -80,6 +80,44 @@ class TestWriteRead:
         assert rows["1"] == ("a", None)
         assert rows["2"][0] is None and bytes(rows["2"][1]) == b"x"
 
+    def test_binary_cols_accepts_extensions(self, spark, corpus,
+                                            tmp_path):
+        """Review r8: the docstring promises extensions work in
+        binary_cols; both extensions and column names now do."""
+        out = str(tmp_path / "wds_ext")
+        write_webdataset(corpus, out, "doc_id",
+                         {"text": "txt", "meta": "json"},
+                         shard_expr=F.lit(0)).collect()
+        back = read_webdataset(spark, out,
+                               {"text": "txt", "meta": "json"},
+                               binary_cols={"json"})   # EXTENSION
+        [r] = back.where(F.col("key") == "3").collect()
+        assert bytes(r["meta"]) == b'{"id": 3}'
+        assert isinstance(r["text"], str)
+
+    def test_foreign_tar_entries_skipped(self, spark, tmp_path):
+        """Review r8: externally produced tars carry directory/pax
+        entries (extractfile -> None) and extension-less names — the
+        reader skips them instead of crashing."""
+        import io
+        import tarfile
+        out = tmp_path / "wds_foreign"
+        out.mkdir()
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            d = tarfile.TarInfo("subdir")
+            d.type = tarfile.DIRTYPE
+            tar.addfile(d)
+            noext = tarfile.TarInfo("readme")
+            noext.size = 2
+            tar.addfile(noext, io.BytesIO(b"hi"))
+            ok = tarfile.TarInfo("k1.txt")
+            ok.size = 5
+            tar.addfile(ok, io.BytesIO(b"hello"))
+        (out / "shard-00000.tar").write_bytes(buf.getvalue())
+        rows = read_webdataset(spark, str(out), {"text": "txt"}).collect()
+        assert [(r["key"], r["text"]) for r in rows] == [("k1", "hello")]
+
     def test_default_hash_sharding_covers_all_rows(self, spark, corpus,
                                                    tmp_path):
         out = str(tmp_path / "wds4")

@@ -1650,6 +1650,19 @@ class TestC4Filters:
                             require_terminal_punct=False).collect()
         assert r["c4_lines_kept"] == 2
 
+    def test_null_text_yields_null_stats(self, spark):
+        """Review r8: size(NULL) is -1 — NULL text must give NULL
+        stats, never negative line counts that skew sums."""
+        from deequ_spark.llm import c4_line_clean
+        df = spark.createDataFrame(
+            [(1, None), (2, "a perfectly good line right here.")],
+            "id long, text string")
+        got = {r["id"]: (r["text_c4"], r["c4_lines_kept"],
+                         r["c4_lines_removed"]) for r in
+               c4_line_clean(df, "text").collect()}
+        assert got[1] == (None, None, None)
+        assert got[2][1] == 1 and got[2][2] == 0
+
     def test_page_flags(self, spark):
         from deequ_spark.llm import c4_page_flags
         rows = [(1, "clean prose here"), (2, "Lorem Ipsum dolor"),
