@@ -779,9 +779,15 @@ def q_multimodal(spark, sf_dir):
                 # NEW r8: PROGRESSIVE (SOF2) decode — same quantizer as
                 # baseline, so pixels must match the baseline decode of
                 # the 4:4:4 encoding EXACTLY (any successive-
-                # approximation bit slip breaks equality)
+                # approximation bit slip breaks equality). Scan scripts
+                # CYCLE per doc: approximation depth 1-3 and EOBn-run
+                # vs per-block-EOB0 coding, so the decoder's multi-level
+                # and run branches are cross-engine-pinned, not just
+                # pytest-pinned
                 from deequ_spark.llm import encode_progressive_jpeg
-                pdata = encode_progressive_jpeg(jimg, quality=90)
+                pdata = encode_progressive_jpeg(
+                    jimg, quality=90, first_al=1 + i % 3,
+                    eob_runs=bool(i % 2))
                 pph, ppw, ppc, pppix = decode_image(pdata)
                 bpix = decode_image(encode_jpeg(jimg, quality=90))[3]
                 assert (pph, ppw, ppc) == (jh, jw, 3)
