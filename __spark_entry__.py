@@ -4194,6 +4194,50 @@ _SEMANTIC_DECON_ORACLE_SQL = """
 """
 
 
+def q_bpe_ids(spark, sf_dir):
+    """BPE id encode/decode round trip (llm/bpe.py bpe_encode_ids /
+    bpe_decode_ids): 40 merges trained on the corpus, every document
+    encoded to token ids and decoded back — decoded text must equal the
+    lowercased whitespace-normalized original PER ROW (match_count ==
+    COUNT(*) in the oracle), with zero <unk> ids (corpus verified
+    strictly printable-ASCII, the default base alphabet). Token totals
+    cross-check bpe_token_count (the two independent encoders must
+    agree on every document's length)."""
+    from deequ_spark.llm import (bpe_decode_ids, bpe_encode_ids,
+                                 bpe_token_count, train_bpe)
+    docs = _load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=40)
+    enc = bpe_encode_ids(docs, "text", merges)
+    enc = bpe_token_count(enc, "text", merges)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    agg = enc.select(
+        (bpe_decode_ids("token_ids", merges) == norm)
+        .cast("long").alias("m"),
+        F.size(F.filter(F.col("token_ids"), lambda i: i == 0))
+        .alias("unk"),
+        (F.size("token_ids") == F.col("bpe_tokens")).cast("long")
+        .alias("len_ok")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("m").alias("match"),
+        F.sum("unk").alias("unk"), F.sum("len_ok").alias("len_ok")) \
+        .collect()[0]
+    return _metrics_df(spark, sorted([
+        ("n_docs", agg["n"]), ("roundtrip_match", agg["match"]),
+        ("unk_ids", agg["unk"]), ("len_agree", agg["len_ok"])]))
+
+
+_BPE_IDS_ORACLE_SQL = """
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM documents
+      UNION ALL SELECT 'roundtrip_match', CAST(COUNT(*) AS DOUBLE)
+      FROM documents
+      UNION ALL SELECT 'unk_ids', 0.0
+      UNION ALL SELECT 'len_agree', CAST(COUNT(*) AS DOUBLE)
+      FROM documents
+    ) ORDER BY metric
+"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """BPE merge-loop induction (llm/bpe.py train_bpe): the first 5
     merges AND the pair counts that won them, re-derived merge-by-merge
@@ -5462,6 +5506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_utils": q_scale_utils,
         "quality_score": q_quality_score,
         "semantic_decon": q_semantic_decon,
+        "bpe_ids": q_bpe_ids,
         "bpe_merges": q_bpe_merges,
         "embedding_quantize": q_embedding_quantize,
         "robots_filter": q_robots_filter,
@@ -6288,6 +6333,7 @@ def oracle_sql() -> dict[str, str]:
         "scale_utils": _SCALE_UTILS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         "semantic_decon": _SEMANTIC_DECON_ORACLE_SQL,
+        "bpe_ids": _BPE_IDS_ORACLE_SQL,
         "bpe_merges": _BPE_MERGES_ORACLE_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE_SQL,
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,

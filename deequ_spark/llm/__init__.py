@@ -51,7 +51,8 @@ from .multimodal import (attach_binary_payload, audio_features, decode_audio,
 from .jpeg import decode_jpeg, encode_jpeg, encode_progressive_jpeg
 from .gif import decode_gif, encode_gif
 from .pipeline import prepare_training_corpus
-from .bpe import (bpe_encode_word, bpe_token_count, train_bpe,
+from .bpe import (bpe_decode_ids, bpe_encode_ids, bpe_encode_word,
+                  bpe_token_count, bpe_vocab, train_bpe,
                   word_frequency_table)
 from .search import (bm25_corpus_stats, bm25_topk, corpus_drift,
                      corpus_token_stats, token_frequencies, word_tokens)

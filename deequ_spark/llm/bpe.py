@@ -28,7 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["word_frequency_table", "train_bpe", "bpe_encode_word",
-           "bpe_token_count"]
+           "bpe_token_count", "bpe_vocab", "bpe_encode_ids",
+           "bpe_decode_ids"]
 
 END = "</w>"
 
@@ -155,3 +156,105 @@ def bpe_token_count(df: DataFrame, text_col: str,
         return pd.Series([doc_tokens(t) for t in texts])
 
     return df.withColumn(out_col, count_tokens(F.col(text_col)))
+
+
+#: default single-character alphabet for :func:`bpe_vocab` — printable
+#: ASCII minus whitespace (words are whitespace-split, so whitespace
+#: never reaches a symbol). Non-ASCII corpora pass their own
+#: ``base_chars``; anything outside the alphabet encodes as ``<unk>``.
+BPE_BASE_CHARS = tuple(
+    chr(c) for c in range(33, 127))
+
+
+def bpe_vocab(merges: Sequence[Tuple[str, str]],
+              base_chars: Sequence[str] = BPE_BASE_CHARS
+              ) -> Dict[str, int]:
+    """Deterministic token → id table from a merge list: id 0 is
+    ``<unk>``, then ``</w>``, then the base characters (sorted,
+    augmented with every character appearing in a merge side), then one
+    id per merge product IN MERGE ORDER — the same convention the
+    original BPE releases use, so ids are stable across engines and
+    runs for a given merge list."""
+    chars = set(base_chars)
+    for a, b in merges:
+        for side in (a, b):
+            # END is an atomic symbol, never split into characters —
+            # strip it before harvesting base characters from the side
+            for ch in side.replace(END, ""):
+                chars.add(ch)
+    vocab: Dict[str, int] = {"<unk>": 0, END: 1}
+    for ch in sorted(c for c in chars if c):
+        if ch not in vocab:
+            vocab[ch] = len(vocab)
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(df: DataFrame, text_col: str,
+                   merges: Sequence[Tuple[str, str]],
+                   out_col: str = "token_ids",
+                   base_chars: Sequence[str] = BPE_BASE_CHARS
+                   ) -> DataFrame:
+    """Encode each document to an ``array<int>`` of token ids under the
+    trained tokenizer — the training-example payload a packer/sharder
+    exports. Unknown symbols (characters never seen at training time)
+    map to ``<unk>`` (id 0). Arrow-batched pandas UDF with per-batch
+    word memoization (Zipf makes the hit rate high); the merge table
+    and vocab ship in the closure (broadcast-sized)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges, base_chars)
+
+    @pandas_udf("array<int>")
+    def encode(texts: pandas.Series) -> pandas.Series:
+        import pandas as pd
+        cache: Dict[str, List[int]] = {}
+
+        def word_ids(w: str) -> List[int]:
+            ids = cache.get(w)
+            if ids is None:
+                ids = [vocab.get(sym, 0)
+                       for sym in bpe_encode_word(w, ranks)]
+                cache[w] = ids
+            return ids
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            ids: List[int] = []
+            for w in t.lower().split():
+                ids.extend(word_ids(w))
+            out.append(ids)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, encode(F.col(text_col)))
+
+
+def bpe_decode_ids(ids_col, merges: Sequence[Tuple[str, str]],
+                   base_chars: Sequence[str] = BPE_BASE_CHARS
+                   ) -> Column:
+    """Inverse of :func:`bpe_encode_ids` as a pure Column expression:
+    ids → tokens (a broadcast-sized CASE lookup is avoided by shipping
+    the id→token array as an array literal and indexing it), ``</w>``
+    becomes a space, ``<unk>`` the replacement char. Round-trips to the
+    lowercased whitespace-normalized text for in-vocabulary corpora."""
+    vocab = bpe_vocab(merges, base_chars)
+    id2tok = [None] * len(vocab)
+    for tok, i in vocab.items():
+        id2tok[i] = tok
+    table = F.array(*[F.lit(t) for t in id2tok])
+    ids = ids_col if isinstance(ids_col, Column) else F.col(ids_col)
+    toks = F.transform(ids, lambda i: F.element_at(table, i + 1))
+    # END can ride INSIDE a merged token ('low</w>' is one symbol) —
+    # replace the marker substring, not just the standalone token
+    joined = F.array_join(
+        F.transform(toks, lambda t: F.when(t == "<unk>", F.lit("\ufffd"))
+                    .otherwise(F.replace(t, F.lit(END), F.lit(" ")))),
+        "")
+    return F.rtrim(joined)

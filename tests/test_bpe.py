@@ -115,3 +115,58 @@ class TestTrainTraced:
         # counts are non-increasing only per greedy argmax within a
         # step, not globally — but every count respects min_pair_count
         assert all(c >= 2 for _, _, c in traced)
+
+
+class TestIdsRoundTrip:
+    def test_encode_decode_round_trip(self, spark):
+        from deequ_spark.llm import (bpe_decode_ids, bpe_encode_ids,
+                                     bpe_vocab, train_bpe)
+        corpus = spark.createDataFrame(
+            [("low low low lower lowest new newer",),
+             ("newer newer wider low new",)], "text string")
+        merges = train_bpe(corpus, "text", n_merges=20)
+        enc = bpe_encode_ids(corpus, "text", merges)
+        out = enc.select(
+            "text", bpe_decode_ids("token_ids", merges).alias("back"))
+        for r in out.collect():
+            assert r["back"] == r["text"]          # already lowercase
+
+    def test_ids_deterministic_and_bounded(self, spark):
+        from deequ_spark.llm import bpe_encode_ids, bpe_vocab, train_bpe
+        corpus = spark.createDataFrame(
+            [("aa ab aa ab ba",), ("aa aa ba ba",)], "text string")
+        merges = train_bpe(corpus, "text", n_merges=6)
+        vocab = bpe_vocab(merges)
+        rows = bpe_encode_ids(corpus, "text", merges).collect()
+        for r in rows:
+            assert all(0 <= i < len(vocab) for i in r["token_ids"])
+        # same corpus, second run: identical ids (stable vocab order)
+        rows2 = bpe_encode_ids(corpus, "text", merges).collect()
+        assert [list(r["token_ids"]) for r in rows] == \
+            [list(r["token_ids"]) for r in rows2]
+
+    def test_unknown_chars_map_to_unk(self, spark):
+        """Printable ASCII always encodes (default base alphabet);
+        out-of-alphabet characters become <unk>."""
+        from deequ_spark.llm import bpe_decode_ids, bpe_encode_ids, train_bpe
+        corpus = spark.createDataFrame([("abc abc abd",)], "text string")
+        merges = train_bpe(corpus, "text", n_merges=5)
+        novel = spark.createDataFrame([("abc xyz caf\u00e9",)],
+                                      "text string")
+        enc = bpe_encode_ids(novel, "text", merges)
+        [r] = enc.select(bpe_decode_ids("token_ids", merges)
+                         .alias("back")).collect()
+        assert r["back"].startswith("abc xyz caf")   # ASCII survives
+        assert "\ufffd" in r["back"]                  # é -> unk
+
+    def test_vocab_convention(self, spark):
+        from deequ_spark.llm import bpe_vocab
+        v = bpe_vocab([("a", "b"), ("ab", "c</w>")])
+        assert v["<unk>"] == 0 and v["</w>"] == 1
+        # base chars sorted, then merge products in merge order
+        assert v["a"] < v["b"] < v["c"]
+        assert v["ab"] < v["abc</w>"]
+        assert v["abc</w>"] == len(v) - 1
+        # END never leaks single characters into the base alphabet:
+        # ids are contiguous and the two merge products are the last two
+        assert sorted(v.values()) == list(range(len(v)))
