@@ -2438,6 +2438,28 @@ def q_sequence_packing(spark, sf_dir):
         F.max("n_slices").alias("max_slices"),
         F.sum(F.col("pack_id") * F.col("slice_tokens")).alias("ck"),
     ).collect()[0]
+    # r8: assemble_packs CONTENT check — synthetic ids
+    # doc_id*100000 + in-doc position make every packed token's value
+    # (and therefore per-pack content sums) pure arithmetic the oracle
+    # re-derives from the layout
+    from deequ_spark.llm import assemble_packs
+    wc = token_count_whitespace(F.col("text"))
+    ids = docs.select(
+        "doc_id",
+        F.when(wc > 0, F.transform(
+            F.sequence(F.lit(1), wc.cast("int")),
+            lambda i: F.col("doc_id") * 100000 + i.cast("long")))
+        .otherwise(F.array().cast("array<long>")).alias("token_ids"))
+    packs = assemble_packs(packed, ids, id_col="doc_id")
+    asm = packs.select(
+        F.aggregate(F.col("token_ids"), F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("ids_sum"),
+        F.col("pack_id"), F.size("token_ids").alias("nt"),
+        F.size("doc_spans").alias("ns")).agg(
+        F.sum("ids_sum").alias("ids_ck"),
+        F.sum(F.col("pack_id") * F.col("ids_sum")).alias("w_ck"),
+        F.sum("nt").alias("atok"), F.sum("ns").alias("aspans")) \
+        .collect()[0]
     return _metrics_df(spark, sorted([
         ("n_packs", stats["n_packs"]),
         ("total_tokens", stats["total_tokens"]),
@@ -2445,7 +2467,11 @@ def q_sequence_packing(spark, sf_dir):
         ("max_docs_per_pack", stats["max_docs_per_pack"]),
         ("n_slices", extra["n_slices"]),
         ("max_slices_per_doc", extra["max_slices"]),
-        ("layout_checksum", extra["ck"])]))
+        ("layout_checksum", extra["ck"]),
+        ("assembled_tokens", asm["atok"]),
+        ("assembled_spans", asm["aspans"]),
+        ("ids_checksum", asm["ids_ck"]),
+        ("weighted_ids_checksum", asm["w_ck"])]))
 
 
 _SEQUENCE_PACKING_ORACLE_SQL = """
@@ -2477,6 +2503,19 @@ _SEQUENCE_PACKING_ORACLE_SQL = """
       FROM slices GROUP BY grp, pack_id),
     per_doc AS (
       SELECT grp, doc_id, COUNT(*) AS n_sl FROM slices GROUP BY grp, doc_id)
+    , content AS (
+      SELECT s.grp, s.pack_id, s.doc_id, s.slice_tokens,
+             greatest(o.start_off, s.pack_id * 256) - o.start_off + 1
+               AS a,
+             least(o.start_off + o.tokens, (s.pack_id + 1) * 256)
+               - o.start_off AS b
+      FROM slices s JOIN offs o
+        ON s.grp = o.grp AND s.doc_id = o.doc_id),
+    content_sums AS (
+      SELECT grp, pack_id,
+             slice_tokens * doc_id * 100000
+               + (a + b) * (b - a + 1) // 2 AS ids_sum
+      FROM content)
     SELECT 'full_packs' AS metric,
            CAST(SUM(CASE WHEN fill = 256 THEN 1 ELSE 0 END) AS DOUBLE) AS value
     FROM per_pack
@@ -2489,6 +2528,14 @@ _SEQUENCE_PACKING_ORACLE_SQL = """
     UNION ALL SELECT 'n_packs', CAST(COUNT(*) AS DOUBLE) FROM per_pack
     UNION ALL SELECT 'n_slices', CAST(COUNT(*) AS DOUBLE) FROM slices
     UNION ALL SELECT 'total_tokens', CAST(SUM(fill) AS DOUBLE) FROM per_pack
+    UNION ALL SELECT 'assembled_tokens',
+        CAST(SUM(fill) AS DOUBLE) FROM per_pack
+    UNION ALL SELECT 'assembled_spans',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM slices)
+    UNION ALL SELECT 'ids_checksum',
+        CAST(SUM(ids_sum) AS DOUBLE) FROM content_sums
+    UNION ALL SELECT 'weighted_ids_checksum',
+        CAST(SUM(pack_id * ids_sum) AS DOUBLE) FROM content_sums
 """
 
 

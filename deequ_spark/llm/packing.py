@@ -36,7 +36,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["pack_sequences", "pack_statistics", "hash_sample",
+__all__ = ["pack_sequences", "assemble_packs", "pack_statistics",
+           "hash_sample",
            "stratified_sample", "portable_hash_hex",
            "apportion_quotas", "mixture_sample"]
 
@@ -376,3 +377,51 @@ def length_bucketize(df: DataFrame, length_col, n_buckets: int = 8,
                       F.lit(i + 1)).otherwise(expr)
     return df.withColumn(
         output_col, F.when(col.isNotNull(), expr).cast("int"))
+
+
+def assemble_packs(packed: DataFrame, ids_df: DataFrame,
+                   id_col: str = "id",
+                   ids_col: str = "token_ids") -> DataFrame:
+    """Materialize the training EXAMPLES a :func:`pack_sequences` layout
+    describes: join each document's token-id array, slice out the piece
+    each (doc × pack) row covers, and assemble one row per pack —
+
+    ``group, pack_id, token_ids (array), doc_spans (array<struct<id,
+    n_tokens>> in pack order)``
+
+    ``doc_spans`` is the document-boundary record an attention mask /
+    loss mask needs (tokens of different documents must not attend to
+    each other inside a packed example).
+
+    Scale: the within-document offset of each slice is one window over
+    (id) ordered by pack_id (documents span FEW packs — tiny
+    partitions); the per-pack assembly is a groupBy whose collected
+    payload is bounded by the BUDGET (a pack holds ≤ budget tokens by
+    construction), so task memory is O(budget), never corpus-shaped."""
+    w_doc = (Window.partitionBy("id").orderBy("pack_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    sl = packed.withColumn(
+        "__doc_off",
+        F.coalesce(F.sum("slice_tokens").over(w_doc), F.lit(0)))
+    ids = ids_df.select(F.col(id_col).alias("id"),
+                        F.col(ids_col).alias("__ids"))
+    joined = sl.join(ids, "id").select(
+        "group", "pack_id", "id", "start_off", "slice_tokens",
+        F.slice(F.col("__ids"),
+                (F.col("__doc_off") + 1).cast("int"),
+                F.col("slice_tokens").cast("int")).alias("__piece"))
+    return (joined.groupBy("group", "pack_id")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col("start_off"), F.col("id"),
+                F.col("slice_tokens"), F.col("__piece"))))
+                .alias("__parts"))
+            .select(
+                "group", "pack_id",
+                F.flatten(F.transform(F.col("__parts"),
+                                      lambda p: p["__piece"]))
+                .alias("token_ids"),
+                F.transform(F.col("__parts"),
+                            lambda p: F.struct(
+                                p["id"].alias("id"),
+                                p["slice_tokens"].alias("n_tokens")))
+                .alias("doc_spans")))

@@ -2803,3 +2803,55 @@ class TestPipelineEndToEnd:
         with _pytest.raises(ValueError, match="lm_filter_quantile"):
             prepare_training_corpus(self._corpus(spark), "doc_id",
                                     "text", lm_filter_quantile=1.5)
+
+
+class TestAssemblePacks:
+    def test_examples_and_boundaries(self, spark):
+        """Packed examples carry every token exactly once, in layout
+        order, with document spans summing to the pack size."""
+        from deequ_spark.llm import assemble_packs, pack_sequences
+        rows = [(1, [101, 102, 103]), (2, [201, 202, 203, 204, 205]),
+                (3, [301]), (4, [401, 402, 403, 404])]
+        ids = spark.createDataFrame(rows, "doc_id long, token_ids array<long>")
+        packed = pack_sequences(ids, "doc_id", F.size("token_ids"),
+                                budget=4, n_groups=1)
+        out = {(r["group"], r["pack_id"]):
+               (list(r["token_ids"]),
+                [(x["id"], x["n_tokens"]) for x in r["doc_spans"]])
+               for r in assemble_packs(packed, ids,
+                                       id_col="doc_id").collect()}
+        # stream in id order: 101..103,201..205,301,401..404 cut by 4
+        assert out[(0, 0)] == ([101, 102, 103, 201], [(1, 3), (2, 1)])
+        assert out[(0, 1)] == ([202, 203, 204, 205], [(2, 4)])
+        assert out[(0, 2)] == ([301, 401, 402, 403], [(3, 1), (4, 3)])
+        assert out[(0, 3)] == ([404], [(4, 1)])
+
+    def test_token_conservation_with_bpe_ids(self, spark):
+        """End-to-end: train BPE -> encode to ids -> pack -> assemble;
+        concatenating all packs per group reproduces the concatenated
+        per-document id streams."""
+        from deequ_spark.llm import (assemble_packs, bpe_encode_ids,
+                                     pack_sequences, train_bpe)
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i} with some shared words here")
+             for i in range(10)], "doc_id long, text string")
+        merges = train_bpe(docs, "text", n_merges=15)
+        enc = bpe_encode_ids(docs, "text", merges)
+        packed = pack_sequences(enc, "doc_id", F.size("token_ids"),
+                                budget=16, n_groups=2)
+        packs = assemble_packs(packed, enc, id_col="doc_id")
+        rows = sorted(packs.collect(),
+                      key=lambda r: (r["group"], r["pack_id"]))
+        got = {}
+        for r in rows:
+            got.setdefault(r["group"], []).extend(r["token_ids"])
+        want = {}
+        for r in sorted(enc.collect(), key=lambda r: r["doc_id"]):
+            want.setdefault(r["doc_id"] % 2, []).extend(r["token_ids"])
+        assert got == want
+        # every pack except each group's last is exactly the budget
+        by_group = {}
+        for r in rows:
+            by_group.setdefault(r["group"], []).append(len(r["token_ids"]))
+        for sizes in by_group.values():
+            assert all(s == 16 for s in sizes[:-1])
