@@ -140,3 +140,48 @@ class TestFilter:
         out = filter_disallowed(urls, rules)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, plan[:1200]
+
+
+class TestRobotsProperty:
+    """Hypothesis: filter_disallowed over random rules/paths equals a
+    pure-Python RFC 9309 longest-match reference model."""
+
+    def test_matches_reference_model(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        seg = st.text(alphabet="abc", min_size=1, max_size=2)
+        prefix = st.builds(lambda parts: "/" + "/".join(parts),
+                           st.lists(seg, min_size=1, max_size=3))
+        rules_s = st.lists(
+            st.tuples(st.sampled_from(["allow", "disallow"]), prefix),
+            min_size=0, max_size=6)
+        paths_s = st.lists(prefix, min_size=1, max_size=8)
+
+        def ref_allowed(rules, path):
+            best_len, best_rule = -1, "allow"
+            for rule, p in rules:
+                if path.startswith(p):
+                    # longest wins; ties favor allow
+                    if len(p) > best_len or (len(p) == best_len
+                                             and rule == "allow"):
+                        best_len, best_rule = len(p), rule
+            return best_rule == "allow"
+
+        @given(rules_s, paths_s)
+        @settings(max_examples=25, deadline=None)
+        def check(rules, paths):
+            rules_df = spark.createDataFrame(
+                [("h.example.com", r, p) for r, p in rules] or
+                [("other.example.com", "disallow", "/zzz/")],
+                "host string, rule string, prefix string")
+            urls = spark.createDataFrame(
+                [(f"http://h.example.com{p}",) for p in paths],
+                "url string")
+            kept = {r["url"] for r in
+                    filter_disallowed(urls, rules_df).collect()}
+            want = {f"http://h.example.com{p}" for p in paths
+                    if ref_allowed(rules if rules else [], p)}
+            assert kept == want
+
+        check()

@@ -287,3 +287,31 @@ class TestStreamingWarc:
                        read_warc(spark, str(d),
                                  warc_types={"conversion"}).collect())
         assert streamed == batch and len(streamed) == 12
+
+
+class TestWarcProperties:
+    """Hypothesis: the parser inverts the builder for ARBITRARY payloads
+    (binary-safe framing), in both plain and gzip-member encodings."""
+
+    def test_round_trip_random_payloads(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        payloads = st.lists(st.binary(min_size=0, max_size=400),
+                            min_size=1, max_size=12)
+
+        @given(payloads, st.booleans())
+        @settings(max_examples=150, deadline=None)
+        def check(blobs, gz):
+            recs = [build_warc_record(
+                "conversion", b,
+                target_uri=f"http://x.example.com/{i}")
+                for i, b in enumerate(blobs)]
+            out = list(iter_warc_records(
+                build_warc_file(recs, gzip_members=gz)))
+            assert len(out) == len(blobs)
+            for (h, p), want in zip(out, blobs):
+                assert p == want
+                assert h["WARC-Type"] == "conversion"
+
+        check()
