@@ -4241,6 +4241,70 @@ _SEMANTIC_DECON_ORACLE_SQL = """
 """
 
 
+def q_char_dedup(spark, sf_dir):
+    """Character-shingle near-dup for UNSEGMENTED scripts (llm/dedup.py
+    char_shingles + shingles='char'): spaces stripped from every doc —
+    whitespace tokenization now sees ONE giant token, the regime where
+    word shingles are blind — then exact char-5-gram Jaccard pairs via
+    the inverted-index join. The oracle rebuilds the identical shingle
+    sets and pair list in DuckDB (substr windows + distinct + posting
+    join); per-pair Jaccard quantizes floor(1e6) from identical integer
+    intersections/sizes."""
+    from deequ_spark.llm import jaccard_similarity_pairs
+    docs = _load(spark, sf_dir, "documents")
+    nospace = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"\s+", "").alias("text"))
+    pairs = jaccard_similarity_pairs(nospace, "doc_id", "text",
+                                     threshold=0.4, shingle_n=5,
+                                     shingles="char")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("ids"),
+        F.sum(F.floor(F.col("jaccard") * 1e6)).alias("jf")).collect()[0]
+    return _metrics_df(spark, sorted([
+        ("n_docs", nospace.count()),
+        ("n_pairs", agg["n"]),
+        ("pair_id_sum", agg["ids"] or 0),
+        ("jaccard_fuzz_sum", agg["jf"] or 0)]))
+
+
+_CHAR_DEDUP_ORACLE_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, regexp_replace(text, '\s+', '', 'g') AS s
+      FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(CASE WHEN length(s) >= 5
+        THEN [substr(s, i, 5) for i in range(1, length(s) - 3)]
+        ELSE [s] END) AS shingles
+      FROM t),
+    w AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i, j,
+             c * 1.0 / (sa.sz + sb.sz - c) AS jac
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.i
+      JOIN sizes sb ON sb.doc_id = inter.j
+      WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.4)
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS value
+      UNION ALL SELECT 'n_pairs',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM pairs)
+      UNION ALL SELECT 'pair_id_sum',
+        (SELECT CAST(COALESCE(SUM(i + j), 0) AS DOUBLE) FROM pairs)
+      UNION ALL SELECT 'jaccard_fuzz_sum',
+        (SELECT CAST(COALESCE(SUM(FLOOR(jac * 1e6)), 0) AS DOUBLE)
+         FROM pairs)
+    ) ORDER BY metric
+"""
+
+
 def q_bpe_ids(spark, sf_dir):
     """BPE id encode/decode round trip (llm/bpe.py bpe_encode_ids /
     bpe_decode_ids): 40 merges trained on the corpus, every document
@@ -5553,6 +5617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_utils": q_scale_utils,
         "quality_score": q_quality_score,
         "semantic_decon": q_semantic_decon,
+        "char_dedup": q_char_dedup,
         "bpe_ids": q_bpe_ids,
         "bpe_merges": q_bpe_merges,
         "embedding_quantize": q_embedding_quantize,
@@ -6380,6 +6445,7 @@ def oracle_sql() -> dict[str, str]:
         "scale_utils": _SCALE_UTILS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         "semantic_decon": _SEMANTIC_DECON_ORACLE_SQL,
+        "char_dedup": _CHAR_DEDUP_ORACLE_SQL,
         "bpe_ids": _BPE_IDS_ORACLE_SQL,
         "bpe_merges": _BPE_MERGES_ORACLE_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE_SQL,

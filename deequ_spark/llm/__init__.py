@@ -10,7 +10,8 @@ from .dedup import (deduplicate_exact, deduplicate_near,
                     minhash_signatures, near_duplicate_components,
                     portable_shingle_hash, simhash, winnowing_candidates,
                     winnowing_fingerprints, word_ngrams,
-                    simhash_near_duplicates, tune_band_shape, word_shingles)
+                    simhash_near_duplicates, tune_band_shape,
+                    char_shingles, word_shingles)
 from .similarity import (brute_force_topk, cosine_similarity_expr,
                          semantic_decontaminate,
                          hyperplane_lsh_topk, ivf_assign, ivf_topk,

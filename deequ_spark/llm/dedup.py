@@ -82,6 +82,34 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams(text, n))
 
 
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """DISTINCT character n-grams — the shingle set for UNSEGMENTED
+    scripts (CJK, Thai, ...) where whitespace tokenization sees one
+    giant word and word shingles degenerate to whole-document equality.
+    Whitespace runs collapse to a single space first so formatting
+    differences do not perturb the set; texts shorter than ``n`` yield
+    one whole-text shingle. O(chars) substrings via one ``sequence`` +
+    ``substr`` transform — pure expressions, same cost class per
+    character as word shingling per token."""
+    t = F.regexp_replace(F.trim(text), r"\s+", " ")
+    ln = F.length(t)
+    subs = F.transform(
+        F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1))),
+        lambda i: t.substr(i, F.lit(n)))
+    # greatest() skips NULLs, so a NULL text would otherwise yield [NULL]
+    # instead of NULL (word_shingles' NULL-in-NULL-out contract)
+    return F.when(text.isNull(), F.lit(None).cast("array<string>")) \
+        .otherwise(F.array_distinct(subs))
+
+
+def _shingle_fn(shingles: str):
+    if shingles == "word":
+        return word_shingles
+    if shingles == "char":
+        return char_shingles
+    raise ValueError(f"shingles must be 'word' or 'char', got {shingles!r}")
+
+
 _LAMBDA_SEGMENT = 16
 
 
@@ -234,8 +262,8 @@ def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
 
 def jaccard_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
                              threshold: float, shingle_n: int = 3,
-                             max_shingle_df: Optional[int] = None
-                             ) -> DataFrame:
+                             max_shingle_df: Optional[int] = None,
+                             shingles: str = "word") -> DataFrame:
     """EXACT all-pairs Jaccard ≥ threshold via an inverted-index join —
     the scalable sparse-similarity plan (explode shingles → join on
     shingle → count intersections → filter). Returns (id_a, id_b, jaccard)
@@ -254,7 +282,8 @@ def jaccard_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     df = ensure_parallelism(df)
     base = df.select(F.col(id_col).alias("id"),
-                     word_shingles(F.col(text_col), shingle_n).alias("sh"))
+                     _shingle_fn(shingles)(F.col(text_col), shingle_n)
+                     .alias("sh"))
     sizes = base.select("id", F.size("sh").alias("sz"))
     postings = base.select("id", F.explode("sh").alias("s"))
     if max_shingle_df is not None:
@@ -279,10 +308,12 @@ def jaccard_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+                       num_hashes: int = 64, shingle_n: int = 3,
+                       shingles: str = "word") -> DataFrame:
     """(id, signature array<long>) — k independent minhashes per doc,
     each ``array_min`` over seeded xxhash64 of the shingles. One scan,
-    no shuffle, entirely whole-stage codegen."""
+    no shuffle, entirely whole-stage codegen. ``shingles='char'``
+    switches to character n-grams for unsegmented scripts."""
     # The shingle array must be evaluated ONCE per row. k separate
     # array_min(transform(...)) expressions would each reference it, and
     # Catalyst's CollapseProject then re-inlines the (expensive) shingling
@@ -314,7 +345,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                           lambda a, b: F.pmod(h * a + b, F.lit(P31)))
 
     sig = F.aggregate(
-        F.transform(word_shingles(F.col(text_col), shingle_n), per_shingle),
+        F.transform(_shingle_fn(shingles)(F.col(text_col), shingle_n),
+                    per_shingle),
         F.array_repeat(F.lit(MAX_LONG), num_hashes),
         lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q)))
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
@@ -361,7 +393,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.8, num_hashes: int = 64,
                       bands: int = 32, shingle_n: int = 3,
                       verify_exact: bool = True,
-                      hot_bucket_cap: int = 256) -> DataFrame:
+                      hot_bucket_cap: int = 256,
+                      shingles: str = "word") -> DataFrame:
     """Near-duplicate pairs via MinHash banding.
 
     bands=32 × rows=2 (num_hashes=64) gives miss probability
@@ -387,7 +420,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     rows = num_hashes // bands
     df = ensure_parallelism(df)
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
+                              shingles=shingles)
     # one lambda over a band-index sequence instead of `bands` separate
     # struct subtrees — same banding, ~bands× smaller analyzed plan;
     # the bucket hash is xxhash64 of the band's signature slice (hashing
@@ -428,7 +462,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                 .distinct())
     shingled = (df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
                 .select(F.col(id_col).alias("id"),
-                        word_shingles(F.col(text_col), shingle_n).alias("sh")))
+                        _shingle_fn(shingles)(F.col(text_col), shingle_n)
+                        .alias("sh")))
     sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (candidates.join(sa, "id_a").join(sb, "id_b")

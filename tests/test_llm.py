@@ -639,6 +639,58 @@ class TestNearDedupComponents:
         assert set(comp.values()) == {0}      # one 31-node component
 
 
+class TestCharShingleDedup:
+    """shingles='char': near-dup for unsegmented scripts where word
+    shingles see one giant token."""
+
+    def _docs(self, spark):
+        # 'CJK-like': no whitespace; doc 2 is doc 1 with a small edit,
+        # doc 3 unrelated
+        a = "春眠不覺曉處處聞啼鳥夜來風雨聲花落知多少" * 3
+        b = a[:-4] + "花落知幾何"
+        c = "國破山河在城春草木深感時花濺淚恨別鳥驚心" * 3
+        return spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], "doc_id long, text string")
+
+    def test_char_shingles_expr(self, spark):
+        from deequ_spark.llm import char_shingles
+        df = spark.createDataFrame([("abcd e",), ("ab",), (None,)],
+                                   "t string")
+        got = [r["s"] for r in
+               df.select(char_shingles(F.col("t"), 3).alias("s")).collect()]
+        assert got[0] == ["abc", "bcd", "cd ", "d e"]
+        assert got[1] == ["ab"]                   # shorter than n
+        assert got[2] is None
+
+    def test_word_shingles_blind_char_shingles_see(self, spark):
+        from deequ_spark.llm import jaccard_similarity_pairs
+        docs = self._docs(spark)
+        word_pairs = jaccard_similarity_pairs(
+            docs, "doc_id", "text", threshold=0.5).collect()
+        assert word_pairs == []                   # one giant token each
+        char_pairs = {(r["id_a"], r["id_b"]) for r in
+                      jaccard_similarity_pairs(
+                          docs, "doc_id", "text", threshold=0.5,
+                          shingle_n=5, shingles="char").collect()}
+        assert char_pairs == {(1, 2)}
+
+    def test_minhash_char_mode(self, spark):
+        from deequ_spark.llm import minhash_lsh_pairs
+        docs = self._docs(spark)
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5,
+                                   shingle_n=5,
+                                   shingles="char").collect()}
+        assert pairs == {(1, 2)}
+
+    def test_whitespace_insensitive(self, spark):
+        from deequ_spark.llm import char_shingles
+        df = spark.createDataFrame([("a  b\tc",), ("a b c",)], "t string")
+        got = [tuple(r["s"]) for r in
+               df.select(char_shingles(F.col("t"), 3).alias("s")).collect()]
+        assert got[0] == got[1]
+
+
 class TestNearDedupEdgeCases:
     def test_empty_pairs_noop(self, spark):
         from deequ_spark.llm import deduplicate_near, near_duplicate_components
