@@ -129,7 +129,8 @@ def _bucket_rows(docs: DataFrame, bands: int, partner_cap: int) -> DataFrame:
 def write_dedup_index(df: DataFrame, id_col: str, text_col: str,
                       path: str, num_hashes: int = 64, shingle_n: int = 3,
                       mode: str = "overwrite", bands: int = 32,
-                      partner_cap: int = 8, n_buckets: int = 32) -> None:
+                      partner_cap: int = 8, n_buckets: int = 32,
+                      shingles: str = "word") -> None:
     """Persist the dedup index for ``df`` (layout in the module doc).
 
     ``mode='append'`` grows the index batch-over-batch — the write path
@@ -155,9 +156,13 @@ def write_dedup_index(df: DataFrame, id_col: str, text_col: str,
     if mode == "append" and _path_exists(spark, f"{path}/meta"):
         stored = _read_meta(spark, path)
         mine = {"num_hashes": num_hashes, "shingle_n": shingle_n,
-                "bands": bands, "partner_cap": partner_cap}
-        diff = {k: (v, stored[k]) for k, v in mine.items()
-                if stored[k] != v}
+                "bands": bands, "partner_cap": partner_cap,
+                "shingles": shingles}
+        # meta written before the shingles field existed means word
+        defaults = {"shingles": "word"}
+        diff = {k: (v, stored.get(k, defaults.get(k)))
+                for k, v in mine.items()
+                if stored.get(k, defaults.get(k)) != v}
         if diff:
             raise ValueError(
                 f"append with incompatible index parameters {diff}: rows "
@@ -165,7 +170,8 @@ def write_dedup_index(df: DataFrame, id_col: str, text_col: str,
                 "collide with the stored buckets")
 
     sigs = minhash_signatures(df, id_col, text_col,
-                              num_hashes=num_hashes, shingle_n=shingle_n)
+                              num_hashes=num_hashes, shingle_n=shingle_n,
+                              shingles=shingles)
     fps = df.select(F.col(id_col).alias("id"),
                     fingerprint(F.col(text_col)).alias("fingerprint"))
     docs = fps.join(sigs, "id").select("id", "fingerprint", "signature")
@@ -181,9 +187,10 @@ def write_dedup_index(df: DataFrame, id_col: str, text_col: str,
     finally:
         docs.unpersist()
     meta = df.sparkSession.createDataFrame(
-        [(num_hashes, shingle_n, bands, partner_cap, n_buckets)],
+        [(num_hashes, shingle_n, bands, partner_cap, n_buckets,
+          shingles)],
         "num_hashes int, shingle_n int, bands int, partner_cap int, "
-        "n_buckets int")
+        "n_buckets int, shingles string")
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -220,7 +227,8 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
                         index_path: str, threshold: float = 0.8,
                         num_hashes: int = 64, bands: int = 32,
                         shingle_n: int = 3,
-                        partner_cap: int = 8
+                        partner_cap: int = 8,
+                        shingles: str = "word"
                         ) -> Tuple[DataFrame, DataFrame]:
     """Classify a new batch against a persisted index.
 
@@ -259,6 +267,8 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
         num_hashes = meta["num_hashes"]
         bands = meta["bands"]
         shingle_n = meta["shingle_n"]
+        # pre-r8.2 indexes have no shingles field: default word
+        shingles = meta.get("shingles") or "word"
         docs = spark.read.parquet(f"{index_path}/docs")
         fps_index = _read_index_table(spark, index_path, "fps")
         buckets = _read_index_table(spark, index_path, "buckets")
@@ -277,7 +287,7 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
 
     new_sigs = minhash_signatures(new_df, id_col, text_col,
                                   num_hashes=num_hashes,
-                                  shingle_n=shingle_n)
+                                  shingle_n=shingle_n, shingles=shingles)
     # candidates only needed for docs not already exact-matched
     remaining = new_sigs.join(exact.select("id"), "id", "left_anti")
     nb = remaining.select(

@@ -1561,6 +1561,28 @@ class TestIncrementalIndexLayout:
         [r] = dups.collect()
         assert r["match_kind"] == "exact"
 
+    def test_char_shingle_index(self, spark, tmp_path):
+        """shingles='char' persists in meta and classify uses it — an
+        unsegmented near-dup is caught against the index."""
+        from deequ_spark.llm import dedup_against_index, write_dedup_index
+        path = str(tmp_path / "cjk_idx")
+        a = "春眠不覺曉處處聞啼鳥夜來風雨聲花落知多少" * 3
+        hist = spark.createDataFrame([(1, a)], "doc_id long, text string")
+        write_dedup_index(hist, "doc_id", "text", path, shingle_n=5,
+                          shingles="char")
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        assert meta["shingles"] == "char"
+        new = spark.createDataFrame([(10, a[:-4] + "花落知幾何")],
+                                    "doc_id long, text string")
+        _, dups = dedup_against_index(new, "doc_id", "text", path,
+                                      threshold=0.5)
+        [r] = dups.collect()
+        assert r["match_kind"] == "near" and r["matched_id"] == 1
+        # appending with the default WORD shingles must be rejected
+        with pytest.raises(ValueError, match="incompatible index"):
+            write_dedup_index(new, "doc_id", "text", path, shingle_n=5,
+                              mode="append")
+
     def test_compaction_preserves_classification(self, spark, tmp_path):
         from deequ_spark.llm import (compact_dedup_index,
                                      dedup_against_index,
