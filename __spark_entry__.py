@@ -2450,7 +2450,8 @@ def q_sequence_packing(spark, sf_dir):
             F.sequence(F.lit(1), wc.cast("int")),
             lambda i: F.col("doc_id") * 100000 + i.cast("long")))
         .otherwise(F.array().cast("array<long>")).alias("token_ids"))
-    packs = assemble_packs(packed, ids, id_col="doc_id")
+    packs = assemble_packs(packed, ids, budget=256,
+                            id_col="doc_id")
     asm = packs.select(
         F.aggregate(F.col("token_ids"), F.lit(0).cast("long"),
                     lambda a, x: a + x).alias("ids_sum"),
@@ -4271,7 +4272,7 @@ def q_char_dedup(spark, sf_dir):
 
 _CHAR_DEDUP_ORACLE_SQL = r"""
     WITH t AS (
-      SELECT doc_id, regexp_replace(text, '\s+', '', 'g') AS s
+      SELECT doc_id, regexp_replace(lower(text), '\s+', '', 'g') AS s
       FROM documents),
     sh AS (
       SELECT doc_id, list_distinct(CASE WHEN length(s) >= 5

@@ -188,6 +188,18 @@ def bpe_vocab(merges: Sequence[Tuple[str, str]],
             vocab[ch] = len(vocab)
     for a, b in merges:
         tok = a + b
+        if tok == "<unk>" or tok.count(END) > 1 or \
+                (END in tok and not tok.endswith(END)):
+            # a merge product colliding with a reserved token, or
+            # carrying the END marker mid-string (possible only when the
+            # corpus contains literal '</w>' text), would corrupt decode
+            # SILENTLY — fail loudly instead
+            raise ValueError(
+                f"merge product {tok!r} collides with reserved token "
+                "conventions; the corpus contains literal marker text — "
+                "pre-escape it before training")
+    for a, b in merges:
+        tok = a + b
         if tok not in vocab:
             vocab[tok] = len(vocab)
     return vocab
@@ -250,7 +262,12 @@ def bpe_decode_ids(ids_col, merges: Sequence[Tuple[str, str]],
         id2tok[i] = tok
     table = F.array(*[F.lit(t) for t in id2tok])
     ids = ids_col if isinstance(ids_col, Column) else F.col(ids_col)
-    toks = F.transform(ids, lambda i: F.element_at(table, i + 1))
+    # F.get: 0-based, NULL (not an ANSI INVALID_ARRAY_INDEX error, not a
+    # from-the-end index) for out-of-range/negative ids — mapped to the
+    # replacement char below so a foreign/corrupt id stream degrades,
+    # never crashes the job
+    toks = F.transform(
+        ids, lambda i: F.coalesce(F.get(table, i), F.lit("<unk>")))
     # END can ride INSIDE a merged token ('low</w>' is one symbol) —
     # replace the marker substring, not just the standalone token
     joined = F.array_join(

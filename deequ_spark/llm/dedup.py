@@ -86,12 +86,13 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     """DISTINCT character n-grams — the shingle set for UNSEGMENTED
     scripts (CJK, Thai, ...) where whitespace tokenization sees one
     giant word and word shingles degenerate to whole-document equality.
-    Whitespace runs collapse to a single space first so formatting
-    differences do not perturb the set; texts shorter than ``n`` yield
-    one whole-text shingle. O(chars) substrings via one ``sequence`` +
-    ``substr`` transform — pure expressions, same cost class per
-    character as word shingling per token."""
-    t = F.regexp_replace(F.trim(text), r"\s+", " ")
+    Lowercased and whitespace-run-collapsed first (the same
+    normalization word shingles apply via their tokenizer — the mode
+    flag must not silently change CASE semantics); texts shorter than
+    ``n`` yield one whole-text shingle. O(chars) substrings via one
+    ``sequence`` + ``substr`` transform — pure expressions, same cost
+    class per character as word shingling per token."""
+    t = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     ln = F.length(t)
     subs = F.transform(
         F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1))),
@@ -108,6 +109,15 @@ def _shingle_fn(shingles: str):
     if shingles == "char":
         return char_shingles
     raise ValueError(f"shingles must be 'word' or 'char', got {shingles!r}")
+
+
+def _default_shingle_n(shingle_n, shingles: str) -> int:
+    """None → the mode's natural default: 3 words, 5 characters (char
+    trigrams on unsegmented text are dense enough to inflate Jaccard
+    between unrelated documents)."""
+    if shingle_n is not None:
+        return int(shingle_n)
+    return 5 if shingles == "char" else 3
 
 
 _LAMBDA_SEGMENT = 16
@@ -261,7 +271,8 @@ def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
 
 
 def jaccard_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
-                             threshold: float, shingle_n: int = 3,
+                             threshold: float,
+                             shingle_n: Optional[int] = None,
                              max_shingle_df: Optional[int] = None,
                              shingles: str = "word") -> DataFrame:
     """EXACT all-pairs Jaccard ≥ threshold via an inverted-index join —
@@ -281,6 +292,7 @@ def jaccard_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
     corpus scale ALWAYS set a cap; None keeps the result exact.
     """
     df = ensure_parallelism(df)
+    shingle_n = _default_shingle_n(shingle_n, shingles)
     base = df.select(F.col(id_col).alias("id"),
                      _shingle_fn(shingles)(F.col(text_col), shingle_n)
                      .alias("sh"))
@@ -308,7 +320,8 @@ def jaccard_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_hashes: int = 64, shingle_n: int = 3,
+                       num_hashes: int = 64,
+                       shingle_n: Optional[int] = None,
                        shingles: str = "word") -> DataFrame:
     """(id, signature array<long>) — k independent minhashes per doc,
     each ``array_min`` over seeded xxhash64 of the shingles. One scan,
@@ -322,6 +335,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     # shingle, min-reduced with aggregate + zip_with(least) — the shingle
     # expression appears exactly once in the plan.
     df = ensure_parallelism(df)
+    shingle_n = _default_shingle_n(shingle_n, shingles)
     MAX_LONG = (1 << 63) - 1
     # universal-hashing trick: ONE string hash per shingle, k Carter-Wegman
     # affine transforms (a·h + b mod p, p = 2³¹−1) derive the k independent
@@ -391,7 +405,7 @@ def capped_pair_expr(ids: Column, hot_bucket_cap: int) -> Column:
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.8, num_hashes: int = 64,
-                      bands: int = 32, shingle_n: int = 3,
+                      bands: int = 32, shingle_n: Optional[int] = None,
                       verify_exact: bool = True,
                       hot_bucket_cap: int = 256,
                       shingles: str = "word") -> DataFrame:
@@ -420,6 +434,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     rows = num_hashes // bands
     df = ensure_parallelism(df)
+    shingle_n = _default_shingle_n(shingle_n, shingles)
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
                               shingles=shingles)
     # one lambda over a band-index sequence instead of `bands` separate

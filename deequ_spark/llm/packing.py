@@ -380,6 +380,7 @@ def length_bucketize(df: DataFrame, length_col, n_buckets: int = 8,
 
 
 def assemble_packs(packed: DataFrame, ids_df: DataFrame,
+                   budget: int,
                    id_col: str = "id",
                    ids_col: str = "token_ids") -> DataFrame:
     """Materialize the training EXAMPLES a :func:`pack_sequences` layout
@@ -393,16 +394,20 @@ def assemble_packs(packed: DataFrame, ids_df: DataFrame,
     loss mask needs (tokens of different documents must not attend to
     each other inside a packed example).
 
-    Scale: the within-document offset of each slice is one window over
-    (id) ordered by pack_id (documents span FEW packs — tiny
-    partitions); the per-pack assembly is a groupBy whose collected
-    payload is bounded by the BUDGET (a pack holds ≤ budget tokens by
-    construction), so task memory is O(budget), never corpus-shaped."""
-    w_doc = (Window.partitionBy("id").orderBy("pack_id")
-             .rowsBetween(Window.unboundedPreceding, -1))
+    ``budget`` must be the value the layout was packed with (slices of
+    a document are contiguous in the token stream, so the tokens it
+    already spent in earlier packs are ``max(0, pack_id·budget −
+    start_off)`` — pure per-row arithmetic, the same closed form the
+    oracle uses, instead of a corpus-wide window shuffle).
+
+    Scale: map-only up to the per-pack assembly groupBy, whose
+    collected payload is bounded by the BUDGET (a pack holds ≤ budget
+    tokens by construction) — task memory is O(budget), never
+    corpus-shaped."""
     sl = packed.withColumn(
         "__doc_off",
-        F.coalesce(F.sum("slice_tokens").over(w_doc), F.lit(0)))
+        F.greatest(F.col("pack_id") * F.lit(int(budget))
+                   - F.col("start_off"), F.lit(0)))
     ids = ids_df.select(F.col(id_col).alias("id"),
                         F.col(ids_col).alias("__ids"))
     joined = sl.join(ids, "id").select(

@@ -683,6 +683,26 @@ class TestCharShingleDedup:
                                    shingles="char").collect()}
         assert pairs == {(1, 2)}
 
+    def test_case_insensitive_like_word_mode(self, spark):
+        """Review r8: the mode flag must not silently change CASE
+        semantics — char shingles lowercase like the word tokenizer."""
+        from deequ_spark.llm import jaccard_similarity_pairs
+        docs = spark.createDataFrame(
+            [(1, "HelloWorldOfShingles" * 3),
+             (2, "helloworldofshingles" * 3)], "doc_id long, text string")
+        pairs = jaccard_similarity_pairs(docs, "doc_id", "text",
+                                         threshold=0.9,
+                                         shingles="char").collect()
+        assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] \
+            == [(1, 2, 1.0)]
+
+    def test_char_default_n_is_5(self, spark):
+        from deequ_spark.llm import char_shingles
+        from deequ_spark.llm.dedup import _default_shingle_n
+        assert _default_shingle_n(None, "char") == 5
+        assert _default_shingle_n(None, "word") == 3
+        assert _default_shingle_n(7, "char") == 7
+
     def test_whitespace_insensitive(self, spark):
         from deequ_spark.llm import char_shingles
         df = spark.createDataFrame([("a  b\tc",), ("a b c",)], "t string")
@@ -2870,7 +2890,7 @@ class TestAssemblePacks:
         out = {(r["group"], r["pack_id"]):
                (list(r["token_ids"]),
                 [(x["id"], x["n_tokens"]) for x in r["doc_spans"]])
-               for r in assemble_packs(packed, ids,
+               for r in assemble_packs(packed, ids, budget=4,
                                        id_col="doc_id").collect()}
         # stream in id order: 101..103,201..205,301,401..404 cut by 4
         assert out[(0, 0)] == ([101, 102, 103, 201], [(1, 3), (2, 1)])
@@ -2891,7 +2911,8 @@ class TestAssemblePacks:
         enc = bpe_encode_ids(docs, "text", merges)
         packed = pack_sequences(enc, "doc_id", F.size("token_ids"),
                                 budget=16, n_groups=2)
-        packs = assemble_packs(packed, enc, id_col="doc_id")
+        packs = assemble_packs(packed, enc, budget=16,
+                               id_col="doc_id")
         rows = sorted(packs.collect(),
                       key=lambda r: (r["group"], r["pack_id"]))
         got = {}
