@@ -125,3 +125,32 @@ class TestWriteRead:
                                n_shards=8).collect()
         assert sum(r["n_samples"] for r in man) == 37
         assert read_webdataset(spark, out, {"text": "txt"}).count() == 37
+
+
+class TestShardsProperty:
+    def test_round_trip_arbitrary_binaries(self, spark, tmp_path):
+        """Hypothesis: write->read is the identity on arbitrary binary
+        payloads (tar framing is byte-safe, keys survive as strings)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        counter = [0]
+
+        @given(st.lists(st.binary(min_size=0, max_size=200),
+                        min_size=1, max_size=8))
+        @settings(max_examples=10, deadline=None)
+        def check(blobs):
+            counter[0] += 1
+            out = str(tmp_path / f"wds_prop_{counter[0]}")
+            df = spark.createDataFrame(
+                [(i, bytearray(b)) for i, b in enumerate(blobs)],
+                "k long, payload binary")
+            write_webdataset(df, out, "k", {"payload": "bin"},
+                             shard_expr=F.pmod(F.col("k"), F.lit(2))
+                             ).collect()
+            back = {int(r["key"]): bytes(r["payload"]) for r in
+                    read_webdataset(spark, out, {"payload": "bin"},
+                                    binary_cols={"bin"}).collect()}
+            assert back == {i: b for i, b in enumerate(blobs)}
+
+        check()

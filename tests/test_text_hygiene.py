@@ -1698,6 +1698,41 @@ class TestC4Filters:
         assert got[3] == (True, False, False)
         assert got[4] == (False, False, False)        # NULL fails all
 
+    def test_line_clean_idempotent(self, spark):
+        """Cleaning cleaned text removes nothing: every surviving line
+        already satisfies all four line rules (hypothesis over random
+        multi-line pages)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from deequ_spark.llm import c4_line_clean
+
+        words = st.sampled_from(["the", "quick", "fox", "javascript",
+                                 "privacy", "policy", "uses", "cookies",
+                                 "and", "runs", "fast", "x"])
+        line = st.builds(
+            lambda ws, punct: " ".join(ws) + punct,
+            st.lists(words, min_size=1, max_size=8),
+            st.sampled_from([".", "!", "?", "", " "]))
+        page = st.builds("\n".join,
+                         st.lists(line, min_size=1, max_size=6))
+
+        @given(st.lists(page, min_size=1, max_size=4))
+        @settings(max_examples=15, deadline=None)
+        def check(pages):
+            df = spark.createDataFrame(
+                [(i, p) for i, p in enumerate(pages)],
+                "id long, text string")
+            once = c4_line_clean(df, "text") \
+                .select("id", F.col("text_c4").alias("text"))
+            twice = c4_line_clean(once, "text")
+            for r in twice.collect():
+                assert r["text_c4"] == r["text"]
+                assert (r["c4_lines_removed"] or 0) == 0 \
+                    or r["text"] == ""
+
+        check()
+
     def test_plan_stays_jvm(self, spark):
         from deequ_spark.llm import c4_line_clean, c4_page_flags
         df = spark.createDataFrame([(1, "x.")], "id long, text string")
