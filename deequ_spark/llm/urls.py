@@ -26,7 +26,7 @@ Canonical form (conservative, reversible-intent preserving):
 
 from __future__ import annotations
 
-from typing import Union
+from typing import Optional, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -104,19 +104,41 @@ def extract_domain(url: Union[str, Column]) -> Column:
 
 
 def url_deduplicate(df: DataFrame, id_col: str, url_col: str,
-                    tracking_param_re: str = TRACKING_PARAM_RE) -> DataFrame:
-    """Keep one row per canonical URL — the minimum ``id_col`` (stable,
-    engine-portable winner). Adds ``canonical_url``; drops losers.
+                    tracking_param_re: str = TRACKING_PARAM_RE,
+                    keep_by: Optional[str] = None,
+                    descending: bool = True) -> DataFrame:
+    """Keep one row per canonical URL. The winner is the minimum
+    ``id_col`` (stable, engine-portable) by default; ``keep_by`` names a
+    score column to rank on instead (``descending=True``: best score
+    wins, ties break on min id — keep the freshest/longest fetch of a
+    re-crawled URL rather than the earliest). Adds ``canonical_url``;
+    drops losers.
 
     Plan: one projection (canonicalize) + one map-side-combined groupBy
-    on the canonical key + one join back on (canonical, id). The join
-    keys are exactly the groupBy keys so AQE plans it shuffle-reuse;
-    rows with NULL url pass through untouched (never collapsed)."""
+    on the canonical key (``max_by`` over a (score, −id) struct for the
+    keep_by variant — still one combinable aggregate, no window) + one
+    join back on (canonical, id). The join keys are exactly the groupBy
+    keys so AQE plans it shuffle-reuse; rows with NULL url pass through
+    untouched (never collapsed)."""
     canon = df.withColumn(
         "canonical_url", canonicalize_url(F.col(url_col), tracking_param_re))
-    winners = (canon.where(F.col("canonical_url").isNotNull())
-               .groupBy("canonical_url")
-               .agg(F.min(id_col).alias(id_col)))
+    nonnull = canon.where(F.col("canonical_url").isNotNull())
+    if keep_by is None:
+        winners = (nonnull.groupBy("canonical_url")
+                   .agg(F.min(id_col).alias(id_col)))
+    else:
+        # rank inside ONE aggregate: max(struct(score, -id)).id — the
+        # sign flip makes min-id win score ties under max(); NULL
+        # scores sort first under max-of-struct, so they never beat a
+        # real score
+        sign = 1 if descending else -1
+        winners = (nonnull.groupBy("canonical_url")
+                   .agg(F.max(F.struct(
+                       (F.col(keep_by) * sign).alias("__s"),
+                       (-F.col(id_col)).alias("__nid")))
+                       .alias("__w"))
+                   .select("canonical_url",
+                           (-F.col("__w.__nid")).alias(id_col)))
     kept = canon.join(winners, ["canonical_url", id_col], "semi")
     return kept.unionByName(canon.where(F.col("canonical_url").isNull()))
 

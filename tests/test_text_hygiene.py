@@ -145,6 +145,24 @@ class TestCanonicalizeUrl:
         ids = sorted(r["id"] for r in kept.collect())
         assert ids == [1, 2, 9]          # 3 loses to 1; null passes through
 
+    def test_url_deduplicate_keep_by(self, spark):
+        """r8: keep the BEST fetch of a re-crawled URL by a score column
+        (ties -> min id; NULL scores never win; ascending mode)."""
+        rows = [(1, "https://example.com/a", 10.0),
+                (3, "https://www.example.com/a/", 50.0),
+                (5, "https://example.com/a?utm_source=t", None),
+                (2, "https://example.com/b", 7.0),
+                (4, "https://example.com/b/", 7.0)]
+        df = spark.createDataFrame(rows, "id long, url string, q double")
+        kept = sorted(r["id"] for r in
+                      url_deduplicate(df, "id", "url",
+                                      keep_by="q").collect())
+        assert kept == [2, 3]            # best score for /a; tie -> min id
+        kept_asc = sorted(r["id"] for r in
+                          url_deduplicate(df, "id", "url", keep_by="q",
+                                          descending=False).collect())
+        assert kept_asc == [1, 2]        # lowest real score wins
+
     def test_url_dedup_stats(self, spark):
         rows = [(1, "https://example.com/a"),
                 (2, "https://WWW.example.com/a/"),
