@@ -170,3 +170,40 @@ class TestIdsRoundTrip:
         # END never leaks single characters into the base alphabet:
         # ids are contiguous and the two merge products are the last two
         assert sorted(v.values()) == list(range(len(v)))
+
+
+class TestBpeProperty:
+    def test_round_trip_random_ascii_corpora(self, spark):
+        """Hypothesis: decode(encode(x)) == normalized x for random
+        printable-ASCII corpora across merge counts — pins the id
+        convention, the greedy encoder, and the expression decoder
+        together against arbitrary content."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pyspark.sql import functions as F
+
+        from deequ_spark.llm import (bpe_decode_ids, bpe_encode_ids,
+                                     train_bpe)
+
+        word = st.text(alphabet="abcdxy.!", min_size=1, max_size=6)
+        doc = st.builds(" ".join, st.lists(word, min_size=1, max_size=12))
+
+        @given(st.lists(doc, min_size=1, max_size=6),
+               st.integers(min_value=0, max_value=25))
+        @settings(max_examples=12, deadline=None)
+        def check(docs_txt, n_merges):
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(docs_txt)],
+                "id long, text string")
+            merges = train_bpe(df, "text", n_merges=n_merges,
+                               min_pair_count=2)
+            enc = bpe_encode_ids(df, "text", merges)
+            out = enc.select(
+                F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+                .alias("norm"),
+                bpe_decode_ids("token_ids", merges).alias("back"))
+            for r in out.collect():
+                assert r["back"] == r["norm"]
+
+        check()

@@ -2928,3 +2928,37 @@ class TestAssemblePacks:
             by_group.setdefault(r["group"], []).append(len(r["token_ids"]))
         for sizes in by_group.values():
             assert all(s == 16 for s in sizes[:-1])
+
+
+class TestAssemblePacksProperty:
+    def test_matches_python_packer_model(self, spark):
+        """Hypothesis: assemble_packs over random corpora equals a
+        pure-Python concat-and-chunk model — pins the closed-form
+        within-doc offsets against an independent implementation."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from deequ_spark.llm import assemble_packs, pack_sequences
+
+        docs_s = st.lists(st.integers(min_value=1, max_value=9),
+                          min_size=1, max_size=8)
+
+        @given(docs_s, st.integers(min_value=2, max_value=7))
+        @settings(max_examples=15, deadline=None)
+        def check(lengths, budget):
+            rows = [(i, [i * 100 + j for j in range(n)])
+                    for i, n in enumerate(lengths)]
+            ids = spark.createDataFrame(
+                rows, "doc_id long, token_ids array<long>")
+            packed = pack_sequences(ids, "doc_id", F.size("token_ids"),
+                                    budget=budget, n_groups=1)
+            got = {r["pack_id"]: list(r["token_ids"]) for r in
+                   assemble_packs(packed, ids, budget=budget,
+                                  id_col="doc_id").collect()}
+            # reference model: concatenate in id order, cut by budget
+            stream = [t for _, toks in rows for t in toks]
+            want = {p: stream[p * budget:(p + 1) * budget]
+                    for p in range(-(-len(stream) // budget))}
+            assert got == want
+
+        check()

@@ -235,3 +235,47 @@ class TestQuantizedEmbeddings:
         out = quantize_embeddings(df, "vec")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestQuantizedProperty:
+    def test_cosine_error_bounded_random_dims(self, spark):
+        """Hypothesis: quantized cosine tracks exact cosine within 2e-2
+        across random dimensions and magnitudes (scale invariance means
+        wildly different vector norms must not hurt accuracy)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from deequ_spark.llm import cosine_quantized, quantize_embeddings
+        from deequ_spark.llm.similarity import cosine_similarity_expr
+
+        vec = st.lists(st.floats(min_value=-1e3, max_value=1e3,
+                                 allow_nan=False, allow_infinity=False),
+                       min_size=4, max_size=24)
+
+        @given(st.lists(vec, min_size=2, max_size=4))
+        @settings(max_examples=15, deadline=None)
+        def check(vecs):
+            import math
+            dim = len(vecs[0])
+            vecs = [v[:dim] + [0.0] * (dim - len(v)) if len(v) < dim
+                    else v[:dim] for v in vecs]
+            # skip degenerate all-tiny vectors (quantize to all-zero)
+            vecs = [v for v in vecs if max(abs(x) for x in v) > 1e-6]
+            if len(vecs) < 2:
+                return
+            df = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(vecs)],
+                "id long, vec array<double>")
+            q = quantize_embeddings(df, "vec")
+            a = q.selectExpr("id AS ia", "vec AS va", "vec_q8 AS qa")
+            b = q.selectExpr("id AS ib", "vec AS vb", "vec_q8 AS qb")
+            got = (a.join(b, F.col("ia") < F.col("ib"))
+                   .select(cosine_similarity_expr(F.col("va"),
+                                                  F.col("vb")).alias("c"),
+                           cosine_quantized("qa", "qb").alias("cq"))
+                   .collect())
+            for r in got:
+                if r["c"] is not None and not math.isnan(r["c"]):
+                    assert abs(r["c"] - r["cq"]) < 2e-2
+
+        check()
