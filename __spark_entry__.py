@@ -5540,7 +5540,60 @@ _GROUPED_TOPK_ORACLE_SQL = """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is load-bearing: the round driver snapshots the FIRST 50
+    # entries into CORRECTNESS_r{N}.json.  Driver-green rows accumulate
+    # across rounds, so each round rotates never-driver-checked queries
+    # into the head of the dict (round-8 verdict ask #1); queries with a
+    # green row in some earlier round's CORRECTNESS file sit at the tail.
+    # tools/check_oracle.py always verifies the FULL registry regardless.
     return {
+        # --- head: never driver-checked as of r9 + round-9 additions ---
+        "bm25_search": q_bm25_search,
+        "semantic_dedup": q_semantic_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "corpus_drift": q_corpus_drift,
+        "span_dedup": q_span_dedup,
+        "video_frames": q_video_frames,
+        "streaming_drift": q_streaming_drift,
+        "near_dup_ratio": q_near_dup_ratio,
+        "dsir_sample": q_dsir_sample,
+        "bpe_stats": q_bpe_stats,
+        "bpe_train": q_bpe_train,
+        "token_stats": q_token_stats,
+        "sequence_packing": q_sequence_packing,
+        "corpus_sampling": q_corpus_sampling,
+        "text_normalize": q_text_normalize,
+        "url_ops": q_url_ops,
+        "skew_report": q_skew_report,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "robust_stats": q_robust_stats,
+        "doc_vectors": q_doc_vectors,
+        "scale_utils": q_scale_utils,
+        "quality_score": q_quality_score,
+        "semantic_decon": q_semantic_decon,
+        "char_dedup": q_char_dedup,
+        "bpe_ids": q_bpe_ids,
+        "bpe_merges": q_bpe_merges,
+        "embedding_quantize": q_embedding_quantize,
+        "robots_filter": q_robots_filter,
+        "c4_filters": q_c4_filters,
+        "webdataset": q_webdataset,
+        "html_extract": q_html_extract,
+        "warc_ingest": q_warc_ingest,
+        "incremental_dedup": q_incremental_dedup,
+        "rolling_stats": q_rolling_stats,
+        "table_diff": q_table_diff,
+        "missingness": q_missingness,
+        "join_cardinality": q_join_cardinality,
+        "functional_dependency": q_functional_dependency,
+        "benford": q_benford,
+        "sliced_analysis": q_sliced_analysis,
+        "ngram_novelty": q_ngram_novelty,
+        "image_phash": q_image_phash,
+        "audio_phash": q_audio_phash,
+        "grouped_topk": q_grouped_topk,
+        # --- tail: driver-green in some earlier round ---
         "size": q_size,
         "completeness": q_completeness,
         "compliance": q_compliance,
@@ -5591,54 +5644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_ops": q_audio_ops,
         "media_probe": q_media_probe,
         "lm_score": q_lm_score,
-        "bm25_search": q_bm25_search,
-        "semantic_dedup": q_semantic_dedup,
-        "paragraph_dedup": q_paragraph_dedup,
-        "corpus_drift": q_corpus_drift,
-        "span_dedup": q_span_dedup,
-        "video_frames": q_video_frames,
-        "streaming_drift": q_streaming_drift,
-        "near_dup_ratio": q_near_dup_ratio,
-        "dsir_sample": q_dsir_sample,
-        "bpe_stats": q_bpe_stats,
-        "bpe_train": q_bpe_train,
-        "token_stats": q_token_stats,
-        "sequence_packing": q_sequence_packing,
-        "corpus_sampling": q_corpus_sampling,
         "text_pipeline_ops": q_text_pipeline_ops,
         "satellite_ops": q_satellite_ops,
         "embedding_ops": q_embedding_ops,
-        "text_normalize": q_text_normalize,
-        "url_ops": q_url_ops,
-        "skew_report": q_skew_report,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
-        "robust_stats": q_robust_stats,
-        "doc_vectors": q_doc_vectors,
-        "scale_utils": q_scale_utils,
-        "quality_score": q_quality_score,
-        "semantic_decon": q_semantic_decon,
-        "char_dedup": q_char_dedup,
-        "bpe_ids": q_bpe_ids,
-        "bpe_merges": q_bpe_merges,
-        "embedding_quantize": q_embedding_quantize,
-        "robots_filter": q_robots_filter,
-        "c4_filters": q_c4_filters,
-        "webdataset": q_webdataset,
-        "html_extract": q_html_extract,
-        "warc_ingest": q_warc_ingest,
-        "incremental_dedup": q_incremental_dedup,
-        "rolling_stats": q_rolling_stats,
-        "table_diff": q_table_diff,
-        "missingness": q_missingness,
-        "join_cardinality": q_join_cardinality,
-        "functional_dependency": q_functional_dependency,
-        "benford": q_benford,
-        "sliced_analysis": q_sliced_analysis,
-        "ngram_novelty": q_ngram_novelty,
-        "image_phash": q_image_phash,
-        "audio_phash": q_audio_phash,
-        "grouped_topk": q_grouped_topk,
     }
 
 
