@@ -74,7 +74,14 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
         grams = F.zip_with(F.slice(grams, 1, keep),
                            F.slice(toks, j + 1, keep),
                            lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(sz >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+    # 0 tokens → NO shingles ([] — an empty-string shingle would make
+    # all blank documents pairwise Jaccard-1.0 near-duplicates); 1..n-1
+    # tokens → one whole-text shingle; NULL stays NULL (sz is -1 for
+    # NULL input under legacy sizeOfNull, NULL under ANSI — both route
+    # to the empty/NULL branches, never to a [NULL] array)
+    return F.when(sz >= n, grams) \
+        .when(sz > 0, F.array(F.array_join(toks, " "))) \
+        .when(sz == 0, F.array().cast("array<string>"))
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -88,11 +95,17 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     giant word and word shingles degenerate to whole-document equality.
     Lowercased and whitespace-run-collapsed first (the same
     normalization word shingles apply via their tokenizer — the mode
-    flag must not silently change CASE semantics); texts shorter than
-    ``n`` yield one whole-text shingle. O(chars) substrings via one
+    flag must not silently change CASE semantics); NON-EMPTY texts
+    shorter than ``n`` yield one whole-text shingle, while empty /
+    whitespace-only texts yield [] exactly like word mode (an
+    empty-string shingle would make all blank documents pairwise
+    Jaccard-1.0 near-duplicates). O(chars) substrings via one
     ``sequence`` + ``substr`` transform — pure expressions, same cost
     class per character as word shingling per token."""
-    t = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    # regex edge-trim, not F.trim (which strips only SPACES — a
+    # tab/newline-only text would survive as one " " shingle)
+    t = F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""), r"\s+", " ")
     ln = F.length(t)
     subs = F.transform(
         F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1))),
@@ -100,6 +113,7 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     # greatest() skips NULLs, so a NULL text would otherwise yield [NULL]
     # instead of NULL (word_shingles' NULL-in-NULL-out contract)
     return F.when(text.isNull(), F.lit(None).cast("array<string>")) \
+        .when(ln == 0, F.array().cast("array<string>")) \
         .otherwise(F.array_distinct(subs))
 
 
@@ -358,11 +372,21 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         return F.zip_with(a_arr, b_arr,
                           lambda a, b: F.pmod(h * a + b, F.lit(P31)))
 
+    # finish lambda: an EMPTY shingle set (blank document) leaves the
+    # accumulator at its all-MAX_LONG init — surface that as a NULL
+    # signature (per-shingle hashes are < 2³¹, so MAX_LONG in slot 1 can
+    # only mean "no shingles"). A sentinel array instead of NULL would
+    # make every blank document collide in every LSH band (and xxhash64
+    # SKIPS null inputs, so banding sites must also filter NULL
+    # signatures explicitly — they do).
     sig = F.aggregate(
         F.transform(_shingle_fn(shingles)(F.col(text_col), shingle_n),
                     per_shingle),
         F.array_repeat(F.lit(MAX_LONG), num_hashes),
-        lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q)))
+        lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q)),
+        lambda acc: F.when(F.element_at(acc, 1) == MAX_LONG,
+                           F.lit(None).cast("array<bigint>"))
+                     .otherwise(acc))
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
@@ -447,9 +471,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             i.alias("band"),
             F.xxhash64(F.slice(F.col("signature"), i * rows + 1, rows))
             .alias("bh"))))
-    buckets = sigs.select("id", band_cols.alias("band_struct")).select(
-        "id", F.col("band_struct.band").alias("band"),
-        F.col("band_struct.bh").alias("bh"))
+    # NULL signature = blank document (no shingles): never a candidate.
+    # The filter is load-bearing — xxhash64 skips NULL inputs, so an
+    # unfiltered NULL signature would band to a CONSTANT bucket hash and
+    # every blank document would collide with every other one.
+    buckets = (sigs.where(F.col("signature").isNotNull())
+               .select("id", band_cols.alias("band_struct")).select(
+                   "id", F.col("band_struct.band").alias("band"),
+                   F.col("band_struct.bh").alias("bh")))
     # ONE shuffle: group ids per (band, bucket) and expand in-bucket pairs
     # JVM-side — beats a bucket self-join (two shuffled sides) and keeps
     # the quadratic blow-up confined to each bucket

@@ -83,29 +83,73 @@ def _bucket_table_name(path: str, table: str) -> str:
     return f"dedup_idx_{digest}_{table}"
 
 
+def _marker_path(path: str, table: str) -> str:
+    # underscore prefix: parquet readers ignore _-prefixed files
+    return f"{path}/{table}/_not_bucket_clean"
+
+
+def _touch(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(hpath, True).close()
+
+
+def _delete(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, False)
+
+
 def _write_index_table(df: DataFrame, path: str, table: str,
                        bucket_cols, n_buckets: int, mode: str) -> None:
     """Write one index table bucketed by its join keys; on append,
     bucket-append only if this session owns the catalog entry (bucket
-    metadata does not survive the session), else plain-parquet append —
-    readers treat both identically through :func:`_read_index_table`."""
+    metadata does not survive an in-memory catalog) AND the directory
+    is still bucket-clean, else plain-parquet append — readers treat
+    both identically through :func:`_read_index_table`.
+
+    Plain-appending into a directory that some catalog (e.g. a shared
+    Hive metastore another session registered) believes is bucketed
+    would make a later ``spark.table()`` bucketed scan fail on
+    non-bucket file names — or worse, silently keep a bucketing
+    guarantee the files no longer honor. So the plain-append path
+    (1) drops any same-name catalog entry it can see and (2) leaves a
+    ``_not_bucket_clean`` marker file in the table directory, which
+    routes ALL readers (any session, any catalog) to the plain-parquet
+    path until :func:`compact_dedup_index` rewrites the table bucketed
+    and clears the marker."""
     from ..sources import write_bucketed
     name = _bucket_table_name(path, table)
     tpath = f"{path}/{table}"
     spark = df.sparkSession
-    if mode == "append" and not spark.catalog.tableExists(name):
+    dirty = _path_exists(spark, _marker_path(path, table))
+    if mode == "append" and (dirty or not spark.catalog.tableExists(name)):
+        if spark.catalog.tableExists(name):
+            # entry predates the marker (or another writer raced it):
+            # drop it so no session-local bucketed scan survives the mix
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
         df.write.mode("append").parquet(tpath)
+        _touch(spark, _marker_path(path, table))
         return
     write_bucketed(df, name, bucket_cols, n_buckets=n_buckets,
                    path=tpath, mode=mode)
+    if mode == "overwrite" and dirty:
+        # freshly rewritten bucketed files — bucket-clean again
+        _delete(spark, _marker_path(path, table))
 
 
 def _read_index_table(spark: SparkSession, path: str,
                       table: str) -> DataFrame:
     """Prefer the catalog entry (bucketed scan → join without shuffling
-    the index side); fall back to the parquet files."""
+    the index side); fall back to the parquet files. A
+    ``_not_bucket_clean`` marker (plain files appended after the
+    bucketed write, possibly by another session) overrides the catalog:
+    the bucketing guarantee is gone until compaction."""
     name = _bucket_table_name(path, table)
-    if spark.catalog.tableExists(name):
+    if not _path_exists(spark, _marker_path(path, table)) \
+            and spark.catalog.tableExists(name):
         return spark.table(name)
     return spark.read.parquet(f"{path}/{table}")
 
@@ -118,9 +162,13 @@ def _bucket_rows(docs: DataFrame, bands: int, partner_cap: int) -> DataFrame:
     signatures re-join later for the bounded survivors only. The cap is
     sorted → deterministic, and ONE partner suffices to witness a new
     doc's duplication."""
-    return (docs.select(F.col("id").alias("matched_id"),
-                        F.posexplode(band_hashes(F.col("signature"), bands))
-                        .alias("band", "bh"))
+    # NULL signature = blank document (no shingles). Filter BEFORE
+    # banding: xxhash64 skips NULL inputs, so band_hashes(NULL) is a
+    # per-band CONSTANT and every blank doc would share one bucket.
+    return (docs.where(F.col("signature").isNotNull())
+            .select(F.col("id").alias("matched_id"),
+                    F.posexplode(band_hashes(F.col("signature"), bands))
+                    .alias("band", "bh"))
             .groupBy("band", "bh")
             .agg(F.slice(F.sort_array(F.collect_list("matched_id")),
                          1, partner_cap).alias("partner_ids")))
@@ -288,8 +336,11 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
     new_sigs = minhash_signatures(new_df, id_col, text_col,
                                   num_hashes=num_hashes,
                                   shingle_n=shingle_n, shingles=shingles)
-    # candidates only needed for docs not already exact-matched
-    remaining = new_sigs.join(exact.select("id"), "id", "left_anti")
+    # candidates only needed for docs not already exact-matched; blank
+    # docs (NULL signature) band to constants — skip them (they can
+    # still match EXACTLY above via their fingerprint)
+    remaining = (new_sigs.where(F.col("signature").isNotNull())
+                 .join(exact.select("id"), "id", "left_anti"))
     nb = remaining.select(
         "id", "signature",
         F.posexplode(band_hashes(F.col("signature"), bands))

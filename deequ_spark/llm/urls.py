@@ -115,32 +115,49 @@ def url_deduplicate(df: DataFrame, id_col: str, url_col: str,
     drops losers.
 
     Plan: one projection (canonicalize) + one map-side-combined groupBy
-    on the canonical key (``max_by`` over a (score, −id) struct for the
-    keep_by variant — still one combinable aggregate, no window) + one
+    on the canonical key (``min`` over a (null-flag, score, id) struct
+    for the keep_by variant — still one combinable aggregate, no
+    window, and no arithmetic on the ID so string/date keys work) + one
     join back on (canonical, id). The join keys are exactly the groupBy
     keys so AQE plans it shuffle-reuse; rows with NULL url pass through
-    untouched (never collapsed)."""
+    untouched (never collapsed). A ``descending`` rank on a NON-numeric
+    score (e.g. a fetch timestamp) cannot be expressed as a combinable
+    min/max without negation, so that one case falls back to a
+    row_number window — same single shuffle, full rows instead of
+    keys."""
     canon = df.withColumn(
         "canonical_url", canonicalize_url(F.col(url_col), tracking_param_re))
     nonnull = canon.where(F.col("canonical_url").isNotNull())
+    nulls = canon.where(F.col("canonical_url").isNull())
     if keep_by is None:
         winners = (nonnull.groupBy("canonical_url")
                    .agg(F.min(id_col).alias(id_col)))
     else:
-        # rank inside ONE aggregate: max(struct(score, -id)).id — the
-        # sign flip makes min-id win score ties under max(); NULL
-        # scores sort first under max-of-struct, so they never beat a
-        # real score
-        sign = 1 if descending else -1
+        score = F.col(keep_by)
+        dt = dict(df.dtypes).get(keep_by, "")
+        numeric = dt in ("tinyint", "smallint", "int", "bigint",
+                         "float", "double") or dt.startswith("decimal")
+        if descending and not numeric:
+            from pyspark.sql import Window
+            w = Window.partitionBy("canonical_url").orderBy(
+                score.desc_nulls_last(), F.col(id_col).asc())
+            kept = (nonnull.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1).drop("__rn"))
+            return kept.unionByName(nulls)
+        # one combinable aggregate: min(struct(null-flag, ±score, id)).
+        # The leading null-flag (0 = real score) keeps NULL scores from
+        # ever beating a real one; the trailing id breaks score ties on
+        # MIN id for any orderable id type — no negation of the id.
+        signed = (-score) if descending else score
         winners = (nonnull.groupBy("canonical_url")
-                   .agg(F.max(F.struct(
-                       (F.col(keep_by) * sign).alias("__s"),
-                       (-F.col(id_col)).alias("__nid")))
-                       .alias("__w"))
+                   .agg(F.min(F.struct(
+                       score.isNull().cast("int").alias("__nul"),
+                       signed.alias("__s"),
+                       F.col(id_col).alias("__id"))).alias("__w"))
                    .select("canonical_url",
-                           (-F.col("__w.__nid")).alias(id_col)))
+                           F.col("__w.__id").alias(id_col)))
     kept = canon.join(winners, ["canonical_url", id_col], "semi")
-    return kept.unionByName(canon.where(F.col("canonical_url").isNull()))
+    return kept.unionByName(nulls)
 
 
 def url_dedup_stats(df: DataFrame, url_col: str,

@@ -291,17 +291,23 @@ def http_responses(records: DataFrame) -> DataFrame:
     # corrupt the byte-exact body)
     s = F.decode(F.col("payload"), "ISO-8859-1")
     head_end = F.instr(s, "\r\n\r\n")
-    head = F.substring(s, F.lit(1), head_end - 1)
-    status = F.regexp_extract(head, r"^HTTP/[0-9.]+ (\d{3})", 1) \
-        .cast("int")
+    # a payload with NO \r\n\r\n terminator has no header/body split:
+    # instr()=0 would otherwise make head empty AND body a garbage
+    # substring(payload, 4) missing its first 3 bytes — surface the
+    # whole row's HTTP fields as NULL instead (the record is not a
+    # parseable HTTP message)
+    head = F.when(head_end > 0, F.substring(s, F.lit(1), head_end - 1))
+    status_raw = F.regexp_extract(head, r"^HTTP/[0-9.]+ (\d{3})", 1)
+    status = F.when(status_raw != "", status_raw).cast("int")
     ctype_raw = F.regexp_extract(head,
                                  r"(?im)^content-type:\s*([^\r\n]+)", 1)
     # regexp_extract yields '' on no match — surface ABSENT as NULL so
     # downstream missing-type handling (html_documents) actually fires
     ctype = F.when(ctype_raw == "", F.lit(None)).otherwise(ctype_raw)
-    body = F.expr("substring(payload, "
-                  "instr(decode(payload, 'ISO-8859-1'), '\r\n\r\n') + 4, "
-                  "octet_length(payload))")
+    body = F.when(head_end > 0, F.expr(
+        "substring(payload, "
+        "instr(decode(payload, 'ISO-8859-1'), '\r\n\r\n') + 4, "
+        "octet_length(payload))"))
     return resp.select(F.col("target_uri").alias("url"),
                        status.alias("status"),
                        ctype.alias("http_content_type"),

@@ -710,6 +710,38 @@ class TestCharShingleDedup:
                df.select(char_shingles(F.col("t"), 3).alias("s")).collect()]
         assert got[0] == got[1]
 
+    def test_blank_text_yields_no_shingles_either_mode(self, spark):
+        """r9 review fix: empty / whitespace-only text yields [] in
+        BOTH modes — an empty-string shingle made every pair of blank
+        documents Jaccard-1.0 'near-duplicates'."""
+        from deequ_spark.llm import char_shingles, word_shingles
+        df = spark.createDataFrame([("",), ("  \t\n",)], "t string")
+        for fn in (word_shingles, char_shingles):
+            got = [r["s"] for r in
+                   df.select(fn(F.col("t")).alias("s")).collect()]
+            assert got == [[], []], fn.__name__
+
+    def test_blank_docs_never_near_duplicates(self, spark):
+        """Blank docs get NULL minhash signatures (the all-MAX init
+        would LSH-collide them — and xxhash64's null-skipping would
+        band NULL signatures to a constant, so banding filters them).
+        They may still EXACT-match by fingerprint, which is correct."""
+        from deequ_spark.llm import minhash_lsh_pairs, minhash_signatures
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "the quick brown fox jumps over it"),
+             (4, "the quick brown fox jumps over it"), (5, "")],
+            "doc_id long, text string")
+        for mode in ("word", "char"):
+            sigs = minhash_signatures(docs, "doc_id", "text",
+                                      shingles=mode).collect()
+            assert sorted(r["id"] for r in sigs
+                          if r["signature"] is None) == [1, 2, 5]
+            pairs = sorted((r["id_a"], r["id_b"]) for r in
+                           minhash_lsh_pairs(docs, "doc_id", "text",
+                                             threshold=0.8,
+                                             shingles=mode).collect())
+            assert pairs == [(3, 4)], mode
+
 
 class TestNearDedupEdgeCases:
     def test_empty_pairs_noop(self, spark):
@@ -762,9 +794,11 @@ class TestNullRobustness:
                  for r in minhash_lsh_pairs(null_docs, "id", "text",
                                             threshold=0.8).collect()}
         assert (1, 5) in pairs                # the real duplicate
-        # empty and whitespace-only docs have identical (empty) shingle
-        # sets — they ARE duplicates of each other by definition
-        assert (3, 4) in pairs
+        # r9: blank docs have NO shingles (empty set) — Jaccard with
+        # anything is 0/0, so they are NOT near-duplicates of each
+        # other (exact fingerprint dedup still merges them, which is
+        # where byte-identical trivia belongs)
+        assert (3, 4) not in pairs
         # NULL text pairs with nothing
         assert not any(2 in p for p in pairs)
 

@@ -134,6 +134,63 @@ class TestFilter:
                 filter_disallowed(urls, rules).collect()}
         assert kept == {"http://b.example.org/blog/post"}
 
+    def test_hostile_rule_count_bounded(self, spark):
+        """r9 (RFC 9309 §2.5): a hostile/broken host with 10⁵
+        Disallow lines must not inflate the per-host broadcast arrays
+        — parse_robots caps rules per body (document order, like a
+        truncating fetcher) and filter_disallowed caps per host."""
+        body = "User-agent: *\n" + "\n".join(
+            f"Disallow: /junk{i}/" for i in range(100_000))
+        df = spark.createDataFrame(
+            [("http://evil.example.com/robots.txt", body)],
+            "url string, body string")
+        rules = parse_robots(df, "url", "body", max_rules=1000)
+        assert rules.count() == 1000
+        # document order: the FIRST 1000 rules survive
+        got = {r["prefix"] for r in rules.collect()}
+        assert "/junk0/" in got and "/junk999/" in got
+        assert "/junk1000/" not in got
+        # per-host belt: arrays collected for the broadcast stay bounded
+        urls = spark.createDataFrame(
+            [("http://evil.example.com/junk5/x",),
+             ("http://evil.example.com/fine",)], "url string")
+        kept = {r["url"] for r in
+                filter_disallowed(urls, rules,
+                                  max_rules_per_host=64).collect()}
+        assert "http://evil.example.com/fine" in kept
+
+    def test_default_caps_inert_on_small_files(self, spark, rules):
+        """The default caps must not change behavior for real-world
+        robots files (all fixtures are far below both caps)."""
+        uncapped = parse_robots(spark.createDataFrame(
+            [("http://a.example.com/robots.txt", ROBOTS_A)],
+            "url string, body string"), "url", "body",
+            max_body_bytes=None, max_rules=None)
+        capped = parse_robots(spark.createDataFrame(
+            [("http://a.example.com/robots.txt", ROBOTS_A)],
+            "url string, body string"), "url", "body")
+        assert sorted(map(tuple, uncapped.collect())) == \
+            sorted(map(tuple, capped.collect()))
+
+    def test_per_host_cap_keeps_longest_prefixes(self, spark):
+        """Under longest-match precedence the capped per-host arrays
+        keep the LONGEST prefixes — the ones that can still override."""
+        rules = spark.createDataFrame(
+            [("h.com", "disallow", "/a/"),
+             ("h.com", "disallow", "/a/b/c/d/e/"),
+             ("h.com", "allow", "/a/b/"),
+             ("h.com", "allow", "/a/b/c/")],
+            "host string, rule string, prefix string")
+        urls = spark.createDataFrame(
+            [("http://h.com/a/x",), ("http://h.com/a/b/c/x",),
+             ("http://h.com/a/b/c/d/e/x",)], "url string")
+        # cap 1 per rule-kind: keeps disallow /a/b/c/d/e/ and allow
+        # /a/b/c/ — /a/x loses its matching disallow and is kept
+        kept = {r["url"] for r in
+                filter_disallowed(urls, rules,
+                                  max_rules_per_host=1).collect()}
+        assert kept == {"http://h.com/a/x", "http://h.com/a/b/c/x"}
+
     def test_broadcast_plan(self, spark, rules):
         urls = spark.range(100).selectExpr(
             "concat('http://a.example.com/p/', id) AS url")

@@ -163,6 +163,44 @@ class TestCanonicalizeUrl:
                                           descending=False).collect())
         assert kept_asc == [1, 2]        # lowest real score wins
 
+    def test_url_deduplicate_keep_by_string_id(self, spark):
+        """r9 review fix: keep_by used arithmetic negation of the id to
+        break ties, which NULLed out string ids and silently dropped
+        every row of the canonical URL. String ids must work."""
+        rows = [("u1", "https://example.com/a", 10.0),
+                ("u3", "https://www.example.com/a/", 50.0),
+                ("u2", "https://example.com/b", 7.0),
+                ("u4", "https://example.com/b/", 7.0),
+                ("u5", "https://example.com/c", None)]
+        df = spark.createDataFrame(rows, "id string, url string, q double")
+        kept = sorted(r["id"] for r in
+                      url_deduplicate(df, "id", "url",
+                                      keep_by="q").collect())
+        # /a: u3 wins on score; /b: tie 7.0 -> min id u2; /c survives
+        # even with a NULL score (sole row)
+        assert kept == ["u2", "u3", "u5"]
+        kept_asc = sorted(r["id"] for r in
+                          url_deduplicate(df, "id", "url", keep_by="q",
+                                          descending=False).collect())
+        assert kept_asc == ["u1", "u2", "u5"]
+
+    def test_url_deduplicate_keep_by_timestamp(self, spark):
+        """Non-numeric score (fetch timestamp), descending: the window
+        fallback — keep the freshest fetch, ties on min id."""
+        import datetime as dt
+        t = dt.datetime(2026, 1, 1)
+        rows = [(2, "https://example.com/a", t),
+                (1, "https://www.example.com/a/",
+                 t + dt.timedelta(days=1)),
+                (4, "https://example.com/b", t),
+                (3, "https://example.com/b/", t)]
+        df = spark.createDataFrame(rows,
+                                   "id long, url string, ts timestamp")
+        kept = sorted(r["id"] for r in
+                      url_deduplicate(df, "id", "url",
+                                      keep_by="ts").collect())
+        assert kept == [1, 3]            # freshest /a; tie -> min id /b
+
     def test_url_dedup_stats(self, spark):
         rows = [(1, "https://example.com/a"),
                 (2, "https://WWW.example.com/a/"),
@@ -851,6 +889,55 @@ class TestIncrementalDedup:
         with pytest.raises(ValueError, match="band slices would"):
             dedup_against_index(new, "doc_id", "text", path,
                                 num_hashes=64, bands=128)
+
+    def test_plain_append_invalidates_bucketed_catalog(self, spark,
+                                                       tmp_path):
+        """r9 review fix: appending plain parquet files into a
+        directory some catalog believes is BUCKETED must not leave a
+        bucketed scan over the mixed directory. The plain-append path
+        drops the stale entry, leaves a _not_bucket_clean marker that
+        routes every reader to the plain files, and compaction
+        restores the bucketed table + clears the marker."""
+        from deequ_spark.llm import (compact_dedup_index,
+                                     dedup_against_index,
+                                     write_dedup_index)
+        from deequ_spark.llm.incremental import (_bucket_table_name,
+                                                 _marker_path,
+                                                 _path_exists,
+                                                 _read_index_table)
+        path = self._index(spark, tmp_path)
+        name = _bucket_table_name(path, "fps")
+        assert spark.catalog.tableExists(name)   # writer owns the entry
+        # simulate a FOREIGN writer session: it cannot see our
+        # in-memory entry, so its append falls back to plain parquet.
+        # Re-registering is exactly the shared-metastore hazard: the
+        # entry exists but the directory now holds non-bucket files.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        b1 = spark.createDataFrame(
+            [(60, "fresh batch text about glacier caves and auroras "
+                  "dancing over the fjord through the long night")],
+            "doc_id long, text string")
+        write_dedup_index(b1, "doc_id", "text", path, mode="append")
+        assert _path_exists(spark, _marker_path(path, "fps"))
+        # readers must take the plain-parquet path (2 fps appends = 4
+        # total rows readable; a bucketed scan would die on the mixed
+        # file names) and classification must still see BOTH batches
+        assert _read_index_table(spark, path, "fps").count() == 4
+        b2 = spark.createDataFrame(
+            [(70, self.BASE[0][1]),            # dup of original batch
+             (71, b1.collect()[0]["text"])],   # dup of appended batch
+            "doc_id long, text string")
+        _, dups = dedup_against_index(b2, "doc_id", "text", path)
+        d = {r["id"]: r["matched_id"] for r in dups.collect()}
+        assert d == {70: 1, 71: 60}
+        # compaction rewrites bucketed and clears the marker
+        compact_dedup_index(spark, path)
+        assert not _path_exists(spark, _marker_path(path, "fps"))
+        assert spark.catalog.tableExists(name)
+        assert _read_index_table(spark, path, "fps").count() == 4
+        _, dups = dedup_against_index(b2, "doc_id", "text", path)
+        assert {r["id"]: r["matched_id"] for r in dups.collect()} \
+            == {70: 1, 71: 60}
 
 
 # ---------------------------------------------------------------------------

@@ -148,6 +148,29 @@ class TestSparkSurface:
                    for r in rows)
         assert all(bytes(r["body"]) == b"<html>hi</html>" for r in rows)
 
+    def test_headerless_payload_yields_nulls(self, spark, tmp_path):
+        """r9 review fix: a response payload with NO \\r\\n\\r\\n
+        header terminator is not a parseable HTTP message — status AND
+        body must be NULL, not a garbage body missing its first 3
+        bytes."""
+        d = tmp_path / "warc_hl"
+        d.mkdir()
+        bad = build_warc_record(
+            "response", b"not an http message at all",
+            target_uri="http://bad.example.com/",
+            record_id="urn:uuid:bad",
+            content_type="application/http; msgtype=response")
+        (d / "f.warc").write_bytes(build_warc_file([bad, _resp(1)]))
+        rows = {r["url"]: r for r in
+                http_responses(read_warc(spark, str(d))).collect()}
+        b = rows["http://bad.example.com/"]
+        assert b["status"] is None
+        assert b["body"] is None
+        assert b["http_content_type"] is None
+        ok = rows["http://site1.example.com/page/1"]
+        assert ok["status"] == 200
+        assert bytes(ok["body"]) == b"<html>hi</html>"
+
     def test_plan_is_map_only(self, spark, warc_dir):
         recs = read_warc(spark, warc_dir, warc_types={"conversion"})
         plan = recs._jdf.queryExecution().executedPlan().toString()
