@@ -4634,11 +4634,27 @@ def q_webdataset(spark, sf_dir):
             F.sum(F.col("key").cast("long")).alias("keys")).collect()[0]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+    # size-targeted API (r9): no n_shards/shard_expr — the shard count
+    # derives from exact USTAR framing bytes over target_shard_bytes,
+    # which the oracle recomputes in SQL (ceil(sum(member)/target));
+    # per-shard contents hash-assign (xxhash64, not SQL-replicable) so
+    # only count/total metrics are pinned
+    target = 64 * 1024
+    d2 = tempfile.mkdtemp(prefix="deequ_wds_st_")
+    try:
+        man2 = write_webdataset(docs, d2, "doc_id", {"text": "txt"},
+                                target_shard_bytes=target).collect()
+        back2_n = read_webdataset(spark, d2, {"text": "txt"}).count()
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
     pairs = [("n_shards", len(man)),
              ("samples_total", sum(r["n_samples"] for r in man)),
              ("read_samples", ragg["n"]),
              ("read_chars_sum", ragg["chars"]),
-             ("read_key_sum", ragg["keys"])]
+             ("read_key_sum", ragg["keys"]),
+             ("st_n_shards", len(man2)),
+             ("st_samples_total", sum(r["n_samples"] for r in man2)),
+             ("st_read_samples", back2_n)]
     pairs += [(f"shard{r['shard']}_bytes", r["n_bytes"]) for r in man]
     pairs += [(f"shard{r['shard']}_samples", r["n_samples"]) for r in man]
     return _metrics_df(spark, sorted(pairs))
@@ -4655,12 +4671,20 @@ _WEBDATASET_ORACLE_SQL = """
       SELECT shard, COUNT(*) AS n,
              CAST(CEIL((SUM(member_bytes) + 1024) / 10240.0) * 10240
                   AS BIGINT) AS tar_bytes
-      FROM d GROUP BY shard)
+      FROM d GROUP BY shard),
+    st AS (
+      -- size-targeted shard count: exact member framing bytes over the
+      -- 64 KiB query target (the writer's pre-pass is the same sum)
+      SELECT CEIL(SUM(member_bytes) / 65536.0) AS ns, COUNT(*) AS cnt
+      FROM d)
     SELECT metric, value FROM (
       SELECT 'n_shards' AS metric,
              CAST(COUNT(*) AS DOUBLE) AS value FROM per
       UNION ALL SELECT 'samples_total',
         CAST(SUM(n) AS DOUBLE) FROM per
+      UNION ALL SELECT 'st_n_shards', CAST(ns AS DOUBLE) FROM st
+      UNION ALL SELECT 'st_samples_total', CAST(cnt AS DOUBLE) FROM st
+      UNION ALL SELECT 'st_read_samples', CAST(cnt AS DOUBLE) FROM st
       UNION ALL SELECT 'read_samples',
         CAST(COUNT(*) AS DOUBLE) FROM d
       UNION ALL SELECT 'read_chars_sum', CAST(SUM(chars) AS DOUBLE) FROM d

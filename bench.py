@@ -329,6 +329,56 @@ def b23_image_phash(spark, imgs):
                                  max_hamming=3).count()
 
 
+def prepare_warc_dir(spark, docs, n_files=32):
+    """One-time setup for B24: export `docs` as WET-style conversion
+    records into `n_files` member-gzipped .warc.gz files, written in
+    parallel (one applyInPandas group per file — the shards.py writer
+    pattern). This is the fixture a crawl-ingest bench reads back; the
+    build itself is not timed."""
+    import tempfile
+
+    from deequ_spark.llm.warc import build_warc_file, build_warc_record
+    path = tempfile.mkdtemp(prefix="deequ_bench_warc_")
+
+    def build(pdf):
+        import pandas as pd
+        fid = int(pdf["__f"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = [build_warc_record(
+                    "conversion", t.encode("utf-8"),
+                    target_uri=f"http://bench.example.com/doc/{d}",
+                    record_id=f"urn:uuid:bench-{d}",
+                    content_type="text/plain")
+                for d, t in zip(pdf["doc_id"], pdf["text"])]
+        with open(f"{path}/part-{fid:05d}.warc.gz", "wb") as fh:
+            fh.write(build_warc_file(recs, gzip_members=True))
+        return pd.DataFrame({"f": [fid], "n": [len(pdf)]})
+
+    man = (docs.select("doc_id", "text",
+                       F.pmod(F.xxhash64("doc_id"), F.lit(n_files))
+                       .cast("int").alias("__f"))
+           .groupBy("__f").applyInPandas(build, "f int, n long"))
+    assert man.agg(F.sum("n")).collect()[0][0] == docs.count()
+    return path
+
+
+def b24_crawl_ingest(spark, warc_dir):
+    """B24: end-to-end crawl ingest — WARC/WET files → text → the
+    standard cleanup pipeline (quality, boilerplate, exact + near
+    dedup, chunking) in ONE action. Ingest is where a real 100 TB run
+    spends its first day; the WARC read itself is map-only, so the
+    first shuffle this pays is the pipeline's own exact-dedup."""
+    from deequ_spark.llm.warc import crawl_to_corpus
+    # quality_filter off: the synthetic corpus is stopword-free word
+    # salad and the Gopher heuristics would (correctly) drop all of it;
+    # ingest + boilerplate + exact/near dedup + chunking is the path
+    # under measurement
+    chunks, _ = crawl_to_corpus(spark, warc_dir, source="wet",
+                                min_words=20, quality_filter=False,
+                                collect_stats=False)
+    return chunks.count()
+
+
 def main():
     spark = (SparkSession.builder
              .master(f"local[{CPUS}]")
@@ -367,6 +417,7 @@ def main():
     events.count()
     idx_pair = prepare_dedup_index(spark, docs)
     images = prepare_images(spark)
+    warc_dir = prepare_warc_dir(spark, docs)
 
     benches = [
         ("b1_scan_fused", lambda: b1_scan_fused(spark, lineitem)),
@@ -393,6 +444,7 @@ def main():
         ("b22_incremental_dedup",
          lambda: b22_incremental_dedup(spark, idx_pair)),
         ("b23_image_phash", lambda: b23_image_phash(spark, images)),
+        ("b24_crawl_ingest", lambda: b24_crawl_ingest(spark, warc_dir)),
     ]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples = {name: [] for name, _ in benches}
@@ -420,6 +472,7 @@ def main():
     spark.stop()
     import shutil
     shutil.rmtree(idx_pair[0], ignore_errors=True)
+    shutil.rmtree(warc_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -12,16 +12,18 @@ comes back as the result DataFrame. Import is ``binaryFile`` +
 ``mapInPandas`` tar parsing — the exact mirror of the WARC reader, one
 non-splittable file per task.
 
-Writes land through Python ``open()`` — a POSIX path visible to every
-executor (local disk, NFS, fuse mounts). That matches how shard
-pipelines typically operate (write local, sync to object storage);
-a direct-to-HDFS/S3 writer would swap the ``open`` for an fsspec/
-Hadoop-FS handle at the documented seam.
+Writes land through Python ``open()`` for bare POSIX paths (local
+disk, NFS, fuse mounts) and through ``pyarrow.fs`` for ``scheme://``
+URIs (``file://`` always; ``s3://``/``gs://``/``hdfs://`` wherever the
+Arrow build provides the filesystem) — shards stream straight to
+object storage from each executor, no driver round-trip, no
+write-local-then-sync step.
 """
 
 from __future__ import annotations
 
 import io
+import sys
 import tarfile
 from typing import Dict, Optional
 
@@ -31,30 +33,86 @@ from pyspark.sql import functions as F
 
 __all__ = ["write_webdataset", "read_webdataset"]
 
+# tar framing constants (USTAR): per-member 512-byte header + content
+# padded to 512; 1024-byte end-of-archive; whole file padded to the
+# GNU-default 10240-byte record size
+_BLK = 512
+_RECORD = 10240
+
+
+def _ensure_dir(path: str) -> None:
+    if "://" in path:
+        from pyarrow import fs as pafs
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        filesystem.create_dir(p, recursive=True)
+    else:
+        import os
+        os.makedirs(path, exist_ok=True)
+
+
+def _open_output(path: str):
+    """Writable byte stream for a POSIX path or a pyarrow.fs URI —
+    runs on EXECUTORS, where the JVM Hadoop FileSystem handle is not
+    reachable from Python; pyarrow.fs is the Arrow-native equivalent
+    and shares its URI scheme registry."""
+    if "://" in path:
+        from pyarrow import fs as pafs
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        return filesystem.open_output_stream(p)
+    return open(path, "wb")
+
 
 def write_webdataset(df: DataFrame, path: str, key_col: str,
                      columns: Dict[str, str],
-                     n_shards: int = 16,
-                     shard_expr=None) -> DataFrame:
+                     n_shards: Optional[int] = None,
+                     shard_expr=None,
+                     target_shard_bytes: int = 1 << 30) -> DataFrame:
     """Write ``df`` as ``{path}/shard-{id:05d}.tar``; one tar entry per
     (row, column): ``{key}.{ext}`` with ``columns`` mapping column →
     extension. String columns encode UTF-8; binary columns pass
     through. Samples inside a shard are sorted by key and the tar is
     written with GNU-default 10240-byte blocking — byte-deterministic
-    output for a given (data, sharding).
+    output for a given (data, sharding). ``path`` may be a POSIX
+    directory or a ``scheme://`` URI (see module doc).
 
-    ``shard_expr`` overrides the default ``pmod(key, n_shards)``-style
-    assignment (e.g. a hash for non-numeric keys). Returns the manifest
-    ``(shard, n_samples, n_bytes)`` — the write happens as the manifest
-    evaluates (one action).
+    Sharding is SIZE-TARGETED by default: each shard group is
+    assembled in one task's memory (pandas frame + tar buffer ≈ 2×
+    shard bytes — the same bound a WebDataset READER needs), so the
+    shard count must scale with the corpus or per-task memory becomes
+    corpus-shaped. One cheap pre-pass sums the exact USTAR framing
+    bytes per row (column-pruned scan, one aggregate row) and derives
+    ``n_shards = ceil(total_tar_bytes / target_shard_bytes)`` — the
+    WebDataset-conventional ~1 GB default holds per-task memory flat
+    no matter how large ``df`` is. Passing ``n_shards`` explicitly
+    skips the pre-pass; ``shard_expr`` overrides the assignment
+    entirely (e.g. ``pmod(key, k)`` for contiguous numeric keys —
+    then size-bounding is the caller's contract). A shard whose tar
+    exceeds 2× ``target_shard_bytes`` (skewed hash or oversized
+    single samples) logs a warning to the executor's stderr; the
+    returned manifest ``(shard, n_samples, n_bytes)`` is the
+    driver-side place to assert on skew. The write happens as the
+    manifest evaluates (one action).
     """
-    import os
-    os.makedirs(path, exist_ok=True)
+    _ensure_dir(path)
+    cols = list(columns)
+    if shard_expr is None and n_shards is None:
+        # exact per-row tar bytes: header + 512-padded content per
+        # non-null member (end-marker/record padding are per-shard
+        # constants, immaterial next to a ~1 GB target)
+        member = [
+            F.when(F.col(c).isNotNull(),
+                   _BLK + F.ceil(F.octet_length(F.col(c)) /
+                                 float(_BLK)).cast("long") * _BLK)
+            .otherwise(F.lit(0)) for c in cols]
+        total = df.agg(F.coalesce(
+            F.sum(sum(member[1:], member[0])), F.lit(0)).alias("b")) \
+            .collect()[0]["b"]
+        n_shards = max(1, -(-int(total) // int(target_shard_bytes)))
     if shard_expr is None:
         shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
-    cols = list(columns)
     data = df.select(F.col(key_col).cast("string").alias("__key"),
                      shard_expr.cast("int").alias("__shard"), *cols)
+    warn_bytes = 2 * int(target_shard_bytes)
 
     def build(pdf):
         import pandas as pd
@@ -78,7 +136,12 @@ def write_webdataset(df: DataFrame, path: str, key_col: str,
                     info.mtime = 0
                     tar.addfile(info, io.BytesIO(blob))
         payload = buf.getvalue()
-        with open(f"{path}/shard-{shard:05d}.tar", "wb") as fh:
+        if len(payload) > warn_bytes:
+            sys.stderr.write(
+                f"write_webdataset: shard {shard} is {len(payload)} "
+                f"bytes > 2x target_shard_bytes={target_shard_bytes} "
+                "- skewed shard keys or oversized samples\n")
+        with _open_output(f"{path}/shard-{shard:05d}.tar") as fh:
             fh.write(payload)
         return pd.DataFrame({"shard": [shard],
                              "n_samples": [len(pdf)],

@@ -202,6 +202,37 @@ def main() -> None:
                                           idx_path, threshold=0.5)
         return dups.count()
 
+    def crawl_ingest_workload(spark_, warc_dir):
+        """Crawl ingest e2e (llm/warc.py crawl_to_corpus): map-only
+        WARC parse + pipeline; the only shuffles are the pipeline's
+        own dedup groupBys — 10× files over 10× docs must stay
+        ~linear (file = unit of parallelism)."""
+        return bench.b24_crawl_ingest(spark_, warc_dir)
+
+    WDS_TARGET = 1 << 20   # 1 MiB target at bench scale
+
+    def webdataset_workload(spark_, docs):
+        """Size-targeted WebDataset export (llm/shards.py): n_shards
+        derives from corpus bytes / target, so per-task memory (≈ the
+        largest shard's bytes) must stay ~TARGET-shaped as the corpus
+        grows — the r8 fixed-count writer made it corpus-shaped."""
+        import shutil
+        import tempfile
+
+        from deequ_spark.llm import write_webdataset
+        out_dir = tempfile.mkdtemp(prefix="deequ_scale_wds_")
+        try:
+            man = write_webdataset(docs, out_dir, "doc_id",
+                                   {"text": "txt"},
+                                   target_shard_bytes=WDS_TARGET).collect()
+            mx = max(r["n_bytes"] for r in man)
+            assert mx < 2 * WDS_TARGET, (
+                f"per-task shard bytes {mx} exceed 2x target "
+                f"{WDS_TARGET} - sharding is corpus-shaped again")
+            return len(man), mx
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
     def image_phash_workload(spark_, imgs):
         """Perceptual image hashing + Hamming pair join: decode+hash is
         map-only (Arrow batches), pairing one block shuffle — 10× images
@@ -242,8 +273,13 @@ def main() -> None:
                  .repartition(32).cache())
     inc_batch.count()
 
+    warc1 = bench.prepare_warc_dir(spark, docs1, n_files=16)
+    warc10 = bench.prepare_warc_dir(spark, docs10, n_files=160)
+
     workloads = [
         ("b1_scan_fused", bench.b1_scan_fused, li1, li10),
+        ("b24_crawl_ingest", crawl_ingest_workload, warc1, warc10),
+        ("b25_webdataset_write", webdataset_workload, docs1, docs10),
         ("b19_asof_join", asof_workload, ev1, ev10),
         ("b20_interval_join", interval_workload, ev1, ev10),
         ("b21_rolling_stats", rolling_workload, ev1, ev10),
@@ -323,6 +359,16 @@ def main() -> None:
     assert n_sd == m_sd - 1, (
         f"semdedup min-partner expansion broken: {n_sd} != {m_sd - 1}")
     out["candidate_growth"] = growth
+    # flat-per-task-memory evidence for the size-targeted shard writer:
+    # the LARGEST shard (≈ one task's buffered bytes) must stay ~target
+    # while the shard COUNT absorbs the 10x corpus growth
+    wds = {}
+    for label, d in (("1x", docs1), ("10x", docs10)):
+        n_sh, mx = webdataset_workload(spark, d)
+        wds[label] = {"n_shards": n_sh, "max_shard_bytes": mx,
+                      "target_bytes": WDS_TARGET,
+                      "ok": mx < 2 * WDS_TARGET}
+    out["webdataset_flat_task_memory"] = wds
 
     for name, fn, small, big in workloads:
         fn(spark, small)                              # warm the path once
@@ -335,6 +381,9 @@ def main() -> None:
         out[name] = {"t_1x": round(t_small, 2), "t_10x": round(t_big, 2),
                      "ratio": round(t_big / max(t_small, 1e-9), 1)}
     print(json.dumps({"metric": "scale_10x_ratios", "workloads": out}))
+    import shutil
+    shutil.rmtree(warc1, ignore_errors=True)
+    shutil.rmtree(warc10, ignore_errors=True)
 
 
 if __name__ == "__main__":
