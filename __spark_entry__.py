@@ -4716,34 +4716,76 @@ def q_html_extract(spark, sf_dir):
         F.lit("</li></ul></body></html>"))
     expected = F.concat(F.lit("T"), F.col("doc_id"), F.lit("\n"),
                         F.col("text"), F.lit("\na&b "), F.col("doc_id"))
+    # r9 main-content extension: a boilerplate-heavy page per doc —
+    # link-saturated nav + short title + body prose + link-saturated
+    # footer. html_main_content must keep EXACTLY the body line (nav 22
+    # chars < 30 and 16/22 anchored; title short; footer 35 chars but
+    # 33/35 anchored) and html_content_score is replayed in SQL from
+    # the four lines' exact char counts: nav 22, title 1+digits(i),
+    # body len(text), footer 35 — quantized floor(1e6·score) PER ROW.
+    from deequ_spark.llm import html_content_score, html_main_content
+    bp = F.concat(
+        F.lit("<html><head><title>skip</title></head><body>"
+              "<div><a href='/'>Home</a> | <a href='/a'>About</a> | "
+              "<a href='/c'>Contact</a></div><h1>T"), F.col("doc_id"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><div><a href='/p'>Privacy</a> <a href='/t'>Terms</a> "
+              "<a href='/i'>(c) 2026 Example Corp</a></div>"
+              "</body></html>"))
+    mc_expected = F.when(F.length("text") >= 30, F.col("text")) \
+        .otherwise(F.lit(""))
     out = docs.select(
         html_to_text(html).alias("t"),
         html_to_text(html, preserve_lines=False).alias("flat"),
-        expected.alias("e"))
+        expected.alias("e"),
+        html_main_content(bp).alias("mc"),
+        html_content_score(bp).alias("mc_score"),
+        mc_expected.alias("mce"))
     agg = out.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("t") == F.col("e")).cast("long")).alias("match"),
         F.sum(F.length("t")).alias("len_sum"),
         F.sum(F.size(F.split(F.col("t"), "\n"))).alias("lines"),
-        F.sum(F.length("flat")).alias("flat_len")).collect()[0]
+        F.sum(F.length("flat")).alias("flat_len"),
+        F.sum((F.col("mc") == F.col("mce")).cast("long"))
+        .alias("mc_match"),
+        F.sum(F.floor(F.col("mc_score") * 1e6)).alias("mc_score_q"),
+        F.sum(F.length("mc")).alias("mc_len")).collect()[0]
     return _metrics_df(spark, sorted([
         ("n_docs", agg["n"]), ("match_count", agg["match"]),
         ("len_sum", agg["len_sum"]), ("lines_sum", agg["lines"]),
-        ("flat_len_sum", agg["flat_len"])]))
+        ("flat_len_sum", agg["flat_len"]),
+        ("mc_match_count", agg["mc_match"]),
+        ("mc_score_q_sum", agg["mc_score_q"]),
+        ("mc_len_sum", agg["mc_len"])]))
 
 
 _HTML_EXTRACT_ORACLE_SQL = """
     WITH d AS (
       SELECT doc_id AS i,
              length('T' || doc_id || chr(10) || text || chr(10)
-                    || 'a&b ' || doc_id) AS elen
-      FROM documents)
+                    || 'a&b ' || doc_id) AS elen,
+             length(text) AS tlen
+      FROM documents),
+    mc AS (
+      -- boilerplate page line chars: nav 22, title 1+digits, body
+      -- len(text), footer 35; kept = body iff >= 30 chars (nav/footer
+      -- fall to the 0.30 link-density rule, title to min_chars)
+      SELECT i,
+             CASE WHEN tlen >= 30 THEN tlen ELSE 0 END AS kept,
+             22 + 1 + length(CAST(i AS VARCHAR)) + tlen + 35 AS tot
+      FROM d)
     SELECT metric, value FROM (
       SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM d
       UNION ALL SELECT 'match_count', CAST(COUNT(*) AS DOUBLE) FROM d
       UNION ALL SELECT 'len_sum', CAST(SUM(elen) AS DOUBLE) FROM d
       UNION ALL SELECT 'lines_sum', CAST(3 * COUNT(*) AS DOUBLE) FROM d
       UNION ALL SELECT 'flat_len_sum', CAST(SUM(elen) AS DOUBLE) FROM d
+      UNION ALL SELECT 'mc_match_count', CAST(COUNT(*) AS DOUBLE) FROM mc
+      UNION ALL SELECT 'mc_score_q_sum',
+        CAST(SUM(FLOOR(1e6 * (CAST(kept AS DOUBLE) / tot))) AS DOUBLE)
+        FROM mc
+      UNION ALL SELECT 'mc_len_sum', CAST(SUM(kept) AS DOUBLE) FROM mc
     ) ORDER BY metric
 """
 

@@ -28,7 +28,8 @@ from .text import (c4_line_clean, c4_page_flags, GOPHER_STOPWORDS, PII_PATTERNS,
                    normalize_text)
 from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
                    url_deduplicate)
-from .html import html_documents, html_to_text
+from .html import (html_content_blocks, html_content_score,
+                   html_documents, html_main_content, html_to_text)
 from .robots import filter_disallowed, parse_robots, url_path
 from .shards import read_webdataset, write_webdataset
 from .vectors import (cosine_quantized, dequantize_embedding,

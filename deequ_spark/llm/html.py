@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["html_to_text", "html_documents"]
+__all__ = ["html_to_text", "html_documents", "html_content_blocks",
+           "html_main_content", "html_content_score"]
 
 # order matters: ``&amp;`` decodes LAST so double-encoded entities
 # ("&amp;lt;") correctly yield the literal "&lt;" text
@@ -36,56 +37,175 @@ _BLOCK_RE = (r"(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|"
              r"\s*/?\s*>")
 
 
-def html_to_text(html: Column, preserve_lines: bool = True) -> Column:
-    """Visible text of an HTML string as a single Column expression.
-
-    Pipeline: strip comments → drop ``<script>``/``<style>``/``<head>``
-    subtrees (their content is code, not text) → map closing block tags
-    and ``<br>`` to newlines (``preserve_lines``) → strip remaining
-    tags → decode the common named entities → collapse whitespace
-    (runs containing a newline become ONE newline; other runs one
-    space) → trim. NULL in → NULL out."""
-    s = html
+def _strip_subtrees(s: Column) -> Column:
+    """Comments and ``<script>``/``<style>``/``<head>`` subtrees → one
+    space (their content is code, not text)."""
     s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
     s = F.regexp_replace(
         s, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
     s = F.regexp_replace(
         s, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
-    s = F.regexp_replace(
+    return F.regexp_replace(
         s, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
-    if preserve_lines:
-        s = F.regexp_replace(s, _BLOCK_RE, "\n")
-    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+
+
+def _decode_entities(s: Column) -> Column:
     for ent, rep in _ENTITIES:
         s = F.regexp_replace(s, ent, rep)
-    if preserve_lines:
-        # a whitespace run containing a newline is one line break;
-        # anything else is one space
-        s = F.regexp_replace(s, r"[ \t\x0b\f\r]*\n[\s]*", "\n")
-        s = F.regexp_replace(s, r"[ \t\x0b\f\r]+", " ")
-        s = F.regexp_replace(s, r" ?\n ?", "\n")
-    else:
-        s = F.regexp_replace(s, r"\s+", " ")
-    # trim() strips only spaces — newlines at the edges need the regex
+    return s
+
+
+def _normalize_line_ws(s: Column) -> Column:
+    """Whitespace runs containing a newline become ONE newline; other
+    runs one space; edges trimmed (regex — trim() strips only spaces)."""
+    s = F.regexp_replace(s, r"[ \t\x0b\f\r]*\n[\s]*", "\n")
+    s = F.regexp_replace(s, r"[ \t\x0b\f\r]+", " ")
+    s = F.regexp_replace(s, r" ?\n ?", "\n")
     return F.regexp_replace(s, r"^\s+|\s+$", "")
 
 
+def html_to_text(html: Column, preserve_lines: bool = True) -> Column:
+    """Visible text of an HTML string as a single Column expression.
+
+    Pipeline: strip comments → drop ``<script>``/``<style>``/``<head>``
+    subtrees → map closing block tags and ``<br>`` to newlines
+    (``preserve_lines``) → strip remaining tags → decode the common
+    named entities → collapse whitespace (runs containing a newline
+    become ONE newline; other runs one space) → trim. NULL in → NULL
+    out."""
+    s = _strip_subtrees(html)
+    if preserve_lines:
+        s = F.regexp_replace(s, _BLOCK_RE, "\n")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    s = _decode_entities(s)
+    if preserve_lines:
+        return _normalize_line_ws(s)
+    s = F.regexp_replace(s, r"\s+", " ")
+    return F.regexp_replace(s, r"^\s+|\s+$", "")
+
+
+# sentinel chars marking anchor-text spans through the tag strip; any
+# pre-existing occurrence in the input is removed first, so they can
+# only mean "<a>...</a>" afterwards
+_A_OPEN, _A_CLOSE = "\x01", "\x02"
+
+
+def html_content_blocks(html: Column) -> Column:
+    """Per-LINE content features of an HTML string:
+    ``array<struct<line, n_chars, anchor_chars, link_density>>``.
+
+    The boilerpipe/Arc90/jusText family separates main content from
+    nav bars, footers and cookie banners by BLOCK-LEVEL text-vs-link
+    density — boilerplate blocks are short and link-saturated, body
+    prose is long and link-sparse. This is the JVM-side, pure-
+    expression version: ``<a>`` open/close tags are rewritten to
+    sentinel chars BEFORE the tag strip, so after extraction each
+    line knows how many of its characters sat inside anchors. An
+    anchor left unclosed on its line counts to the line end (the
+    conservative reading); an anchor spanning a block boundary counts
+    only its first line's span.
+
+    Built on the same strip/decode/normalize chain as
+    :func:`html_to_text` — whole-stage codegen, no Python."""
+    s = F.regexp_replace(html, f"[{_A_OPEN}{_A_CLOSE}]", "")
+    s = _strip_subtrees(s)
+    s = F.regexp_replace(s, _BLOCK_RE, "\n")
+    s = F.regexp_replace(s, r"(?is)<a\b[^>]*>", _A_OPEN)
+    s = F.regexp_replace(s, r"(?is)</a\s*>", _A_CLOSE)
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    s = _decode_entities(s)
+    s = _normalize_line_ws(s)
+
+    def line_struct(ln: Column) -> Column:
+        pieces = F.split(ln, _A_OPEN)
+        anchor = F.aggregate(
+            F.slice(pieces, 2, F.greatest(F.size(pieces) - 1, F.lit(0))),
+            F.lit(0),
+            lambda acc, p: acc + F.length(
+                F.substring_index(p, _A_CLOSE, 1)))
+        clean = F.regexp_replace(ln, f"[{_A_OPEN}{_A_CLOSE}]", "")
+        n = F.length(clean)
+        dens = F.when(n > 0, anchor.cast("double") / n) \
+            .otherwise(F.lit(0.0))
+        return F.struct(clean.alias("line"), n.alias("n_chars"),
+                        anchor.alias("anchor_chars"),
+                        dens.alias("link_density"))
+
+    return F.transform(F.split(s, "\n"), line_struct)
+
+
+def _is_content(b: Column, min_chars: int,
+                max_link_density: float) -> Column:
+    return (b["n_chars"] >= F.lit(int(min_chars))) & \
+        (b["link_density"] <= F.lit(float(max_link_density)))
+
+
+def html_main_content(html: Column, min_chars: int = 30,
+                      max_link_density: float = 0.30) -> Column:
+    """Main-content text: the lines of :func:`html_content_blocks`
+    that pass the content rule (≥ ``min_chars`` visible characters AND
+    ≤ ``max_link_density`` fraction of them inside anchors), joined
+    with newlines. Nav bars, footers, cookie banners and pagination
+    rows are short and link-dense, so they fall; body prose survives.
+    NULL in → NULL out; a page with no qualifying line yields ''."""
+    kept = F.filter(html_content_blocks(html),
+                    lambda b: _is_content(b, min_chars, max_link_density))
+    return F.array_join(F.transform(kept, lambda b: b["line"]), "\n")
+
+
+def html_content_score(html: Column, min_chars: int = 30,
+                       max_link_density: float = 0.30) -> Column:
+    """Fraction of the page's visible characters that live in content
+    lines (the :func:`html_main_content` keep-set) — a cheap page-level
+    boilerplate gauge: ~0 for link farms / pure chrome, → 1 for
+    article-shaped pages. ONE aggregate over the block array (the
+    expensive block expression appears exactly once in the plan).
+    NULL for NULL input or a page with no visible text at all."""
+    return F.aggregate(
+        html_content_blocks(html),
+        F.struct(F.lit(0).alias("kept"), F.lit(0).alias("tot")),
+        lambda a, b: F.struct(
+            (a["kept"] + F.when(
+                _is_content(b, min_chars, max_link_density),
+                b["n_chars"]).otherwise(F.lit(0))).alias("kept"),
+            (a["tot"] + b["n_chars"]).alias("tot")),
+        lambda a: F.when(a["tot"] > 0,
+                         a["kept"].cast("double") / a["tot"]))
+
+
 def html_documents(responses: DataFrame,
-                   preserve_lines: bool = True) -> DataFrame:
+                   preserve_lines: bool = True,
+                   main_content: bool = False,
+                   min_chars: int = 30,
+                   max_link_density: float = 0.30) -> DataFrame:
     """``(url, text)`` from a :func:`~deequ_spark.llm.warc.
     http_responses` frame: keep ``text/html`` (and missing-type)
     responses with a 2xx status, decode the body as UTF-8 with latin-1
     fallback semantics (Spark's binary→string cast replaces invalid
     sequences), and extract visible text. Map-only — composes with
-    ``read_warc`` into a raw-HTML ingest path parallel to the WET one."""
+    ``read_warc`` into a raw-HTML ingest path parallel to the WET one.
+
+    ``main_content=True`` swaps the extractor for
+    :func:`html_main_content` (link-density block scoring — nav/
+    footer/banner chrome dropped) and adds a ``content_score`` column
+    (fraction of visible chars kept) for downstream thresholding."""
     ok_type = (F.col("http_content_type").isNull()
                | F.lower(F.col("http_content_type"))
                .startswith("text/html"))
     ok_status = F.col("status").isNotNull() & \
         (F.col("status") >= 200) & (F.col("status") < 300)
-    return (responses.where(ok_type & ok_status)
-            .select("url",
-                    html_to_text(F.col("body").cast("string"),
-                                 preserve_lines=preserve_lines)
-                    .alias("text"))
-            .where(F.length("text") > 0))
+    body = F.col("body").cast("string")
+    if main_content:
+        out = (responses.where(ok_type & ok_status)
+               .select("url",
+                       html_main_content(body, min_chars,
+                                         max_link_density).alias("text"),
+                       html_content_score(body, min_chars,
+                                          max_link_density)
+                       .alias("content_score")))
+    else:
+        out = (responses.where(ok_type & ok_status)
+               .select("url",
+                       html_to_text(body, preserve_lines=preserve_lines)
+                       .alias("text")))
+    return out.where(F.length("text") > 0)

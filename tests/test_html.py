@@ -97,3 +97,103 @@ class TestHtmlDocuments:
         rows = {r["url"]: r["text"] for r in docs.collect()}
         assert rows == {"http://a.example.com/": "hello & welcome",
                         "http://e.example.com/": "typeless page kept."}
+
+
+class TestMainContent:
+    """r9: link-density block scoring (boilerpipe/Arc90-style) —
+    nav/footer chrome drops, body prose survives, score gauges the
+    page."""
+
+    PAGE = ("<html><head><title>skip</title></head><body>"
+            "<div><a href='/'>Home</a> | <a href='/a'>About</a> | "
+            "<a href='/c'>Contact</a></div>"
+            "<h1>Title</h1>"
+            "<p>This is the long body paragraph of the article with "
+            "plenty of prose and no links at all in it.</p>"
+            "<div><a href='/p'>Privacy</a> <a href='/t'>Terms</a> "
+            "<a href='/i'>(c) 2026 Example Corp</a></div>"
+            "</body></html>")
+
+    def test_blocks_features(self, spark):
+        from deequ_spark.llm import html_content_blocks
+        df = spark.createDataFrame([(self.PAGE,)], "h string")
+        rows = df.select(F.explode(html_content_blocks(F.col("h")))
+                         .alias("b")).select("b.*").collect()
+        by_line = {r["line"]: r for r in rows}
+        nav = by_line["Home | About | Contact"]
+        assert nav["anchor_chars"] == 16          # Home+About+Contact
+        assert nav["link_density"] == pytest.approx(16 / 22)
+        assert by_line["Title"]["anchor_chars"] == 0
+        body = [r for r in rows if r["line"].startswith("This is")][0]
+        assert body["link_density"] == 0.0
+
+    def test_main_content_drops_chrome(self, spark):
+        from deequ_spark.llm import html_content_score, html_main_content
+        df = spark.createDataFrame([(self.PAGE,)], "h string")
+        r = df.select(html_main_content(F.col("h")).alias("m"),
+                      html_content_score(F.col("h")).alias("s")) \
+            .collect()[0]
+        assert r["m"].startswith("This is the long body paragraph")
+        assert "Home" not in r["m"] and "Privacy" not in r["m"]
+        assert "Title" not in r["m"]              # short line
+        body_len = len("This is the long body paragraph of the article "
+                       "with plenty of prose and no links at all in it.")
+        total = 22 + 5 + body_len + 35
+        assert r["s"] == pytest.approx(body_len / total)
+
+    def test_unclosed_anchor_counts_to_line_end(self, spark):
+        from deequ_spark.llm import html_content_blocks
+        df = spark.createDataFrame(
+            [("<p><a href='/x'>open link rest of line</p>",)], "h string")
+        [b] = df.select(F.explode(html_content_blocks(F.col("h")))
+                        .alias("b")).select("b.*").collect()
+        assert b["anchor_chars"] == b["n_chars"]
+        assert b["link_density"] == 1.0
+
+    def test_sentinels_in_input_are_inert(self, spark):
+        from deequ_spark.llm import html_content_blocks
+        df = spark.createDataFrame(
+            [("<p>evil \x01 bytes \x02 inside a normal paragraph that "
+              "is otherwise fine</p>",)], "h string")
+        [b] = df.select(F.explode(html_content_blocks(F.col("h")))
+                        .alias("b")).select("b.*").collect()
+        assert b["anchor_chars"] == 0
+        assert "\x01" not in b["line"] and "\x02" not in b["line"]
+
+    def test_null_and_empty(self, spark):
+        from deequ_spark.llm import html_content_score, html_main_content
+        df = spark.createDataFrame([(None,), ("<br>",)], "h string")
+        rows = df.select(html_main_content(F.col("h")).alias("m"),
+                         html_content_score(F.col("h")).alias("s")) \
+            .collect()
+        assert rows[0]["m"] is None and rows[0]["s"] is None
+        assert rows[1]["m"] == "" and rows[1]["s"] is None  # no chars
+
+    def test_html_documents_main_content_mode(self, spark, tmp_path):
+        from deequ_spark.llm import html_documents
+        from deequ_spark.llm.warc import (build_warc_file,
+                                          build_warc_record,
+                                          http_responses, read_warc)
+        d = tmp_path / "warc_mc"
+        d.mkdir()
+        body = self.PAGE.encode()
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body)
+        rec = build_warc_record("response", http,
+                                target_uri="http://m.example.com/")
+        (d / "f.warc").write_bytes(build_warc_file([rec]))
+        docs = html_documents(http_responses(read_warc(spark, str(d))),
+                              main_content=True)
+        [r] = docs.collect()
+        assert r["text"].startswith("This is the long body")
+        assert 0.4 < r["content_score"] < 0.8
+        assert docs.columns == ["url", "text", "content_score"]
+
+    def test_plan_stays_jvm(self, spark):
+        from deequ_spark.llm import html_content_score, html_main_content
+        df = spark.createDataFrame([(self.PAGE,)], "h string")
+        out = df.select(html_main_content(F.col("h")).alias("m"),
+                        html_content_score(F.col("h")).alias("s"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
