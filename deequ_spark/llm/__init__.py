@@ -39,6 +39,7 @@ from .warc import (build_warc_file, build_warc_record, crawl_to_corpus,
                    read_warc_stream, wet_documents)
 from .classifier import score_quality, train_quality_classifier
 from .incremental import (band_hashes, compact_dedup_index,
+                           crawl_dedup_stream,
                           dedup_against_index, write_dedup_index)
 from .phash import (audio_fingerprint_bytes, audio_fingerprints,
                     audio_near_duplicates,

@@ -38,6 +38,24 @@ Lookup paths at classify time:
   partner ids, re-join ``docs`` for the bounded survivors' signatures,
   then similarity = fraction of agreeing signature positions (an
   unbiased Jaccard estimator, ±1/√k) — no text needed anywhere.
+
+Continuous-crawl recipe (:func:`crawl_dedup_stream`): the production
+loop is a Structured Streaming ``foreachBatch`` over a filling crawl
+segment directory —
+
+    WARC files land → ``read_warc_stream`` → ``wet_documents`` →
+    per micro-batch: classify against the index
+    (``dedup_against_index``) → hand FRESH rows to the caller's sink →
+    ``write_dedup_index(mode='append')`` so the NEXT batch dedupes
+    against them → ``compact_dedup_index`` every k batches to re-merge
+    the per-append ``fps``/``buckets`` rows.
+
+Each piece is independently tested; ``crawl_dedup_stream`` is the
+wired composition with the two easy-to-miss details handled: the
+fresh rows are eagerly materialized (localCheckpoint) BEFORE the
+append so the classify plan never re-executes against the directory
+it is appending to, and the first batch bootstraps the index with an
+``overwrite`` write.
 """
 
 from __future__ import annotations
@@ -52,7 +70,7 @@ from .dedup import minhash_signatures
 from .text import fingerprint
 
 __all__ = ["write_dedup_index", "dedup_against_index", "band_hashes",
-           "compact_dedup_index"]
+           "compact_dedup_index", "crawl_dedup_stream"]
 
 
 def band_hashes(signature: Column, bands: int) -> Column:
@@ -368,3 +386,78 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
     fresh = new_df.join(
         duplicates.select(F.col("id").alias(id_col)), id_col, "left_anti")
     return fresh, duplicates
+
+
+def crawl_dedup_stream(spark: SparkSession, warc_path: str,
+                       index_path: str, on_fresh,
+                       checkpoint: str,
+                       threshold: float = 0.8,
+                       num_hashes: int = 64, bands: int = 32,
+                       shingle_n: int = 3, partner_cap: int = 8,
+                       n_buckets: int = 32, shingles: str = "word",
+                       compact_every: int = 0,
+                       max_files_per_trigger=None,
+                       available_now: bool = False,
+                       on_duplicates=None):
+    """The continuous-crawl production loop (module doc): stream WARC
+    files landing under ``warc_path``, classify every micro-batch
+    against the persisted index at ``index_path``, hand the FRESH rows
+    ``(doc_id, url, text)`` to ``on_fresh(fresh_df, batch_id)``, append
+    them to the index (the NEXT batch dedupes against them), and
+    compact every ``compact_every`` batches (0 = never — run it from a
+    maintenance job instead).
+
+    Returns the started ``StreamingQuery``; ``available_now=True``
+    drains the current directory and stops (the deterministic test /
+    backfill mode). Doc ids are ``xxhash64(url, text)`` — stable across
+    re-fetches, distinct for changed content (``crawl_to_corpus``'s
+    convention). ``on_duplicates(dups_df, batch_id)`` optionally
+    receives each batch's ``(id, match_kind, matched_id, similarity)``
+    — e.g. to log dedup rates per crawl segment.
+
+    Scale notes: per batch, only the NEW files' records are parsed
+    (map-only); classify shuffles the batch onto the bucketed index
+    layout; the append writes the batch's own rows. Nothing in the
+    loop re-reads or re-bands history, so steady-state cost tracks the
+    BATCH size (SCALE b22). Fresh rows are localCheckpoint-ed before
+    the append so the classify plan is never re-executed against the
+    directory being appended to."""
+    from .warc import read_warc_stream, wet_documents
+
+    geometry = dict(num_hashes=num_hashes, bands=bands,
+                    shingle_n=shingle_n, partner_cap=partner_cap,
+                    shingles=shingles)
+
+    def handle(batch_df, batch_id):
+        docs = batch_df.select(
+            F.xxhash64(F.col("url"), F.col("text")).alias("doc_id"),
+            "url", "text")
+        if not _path_exists(spark, f"{index_path}/meta"):
+            fresh = docs.localCheckpoint(eager=True)
+            dups = None
+        else:
+            fresh, dups = dedup_against_index(
+                docs, "doc_id", "text", index_path,
+                threshold=threshold)
+            fresh = fresh.localCheckpoint(eager=True)
+        if on_duplicates is not None and dups is not None:
+            on_duplicates(dups, batch_id)
+        on_fresh(fresh, batch_id)
+        if fresh.limit(1).count():
+            mode = ("append"
+                    if _path_exists(spark, f"{index_path}/meta")
+                    else "overwrite")
+            write_dedup_index(fresh, "doc_id", "text", index_path,
+                              n_buckets=n_buckets, mode=mode,
+                              **geometry)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_dedup_index(spark, index_path)
+
+    stream = wet_documents(read_warc_stream(
+        spark, warc_path, warc_types={"conversion"},
+        max_files_per_trigger=max_files_per_trigger))
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -312,6 +312,86 @@ class TestStreamingWarc:
         assert streamed == batch and len(streamed) == 12
 
 
+class TestContinuousCrawlDedup:
+    def test_two_batches_second_dedupes_against_first(self, spark,
+                                                      tmp_path):
+        """r9: the wired production loop (crawl_dedup_stream) — batch 1
+        bootstraps the index; batch 2's re-fetches classify as
+        duplicates AGAINST BATCH 1's appended rows and only novel docs
+        reach the fresh sink."""
+        import os
+        import time as _time
+
+        from deequ_spark.llm import crawl_dedup_stream
+        d = tmp_path / "crawl_in"
+        d.mkdir()
+        t_a = ("the quick brown fox jumps over the lazy dog near the "
+               "river bank on a bright morning in early spring")
+        t_b = ("spark builds a logical plan then the optimizer picks "
+               "the physical strategy for every join in the query")
+        t_c = ("completely novel text about penguins waddling across "
+               "the antarctic ice sheet in the long polar night")
+
+        def wet(url, text):
+            return build_warc_record("conversion", text.encode(),
+                                     target_uri=url)
+
+        f0 = d / "seg0.warc.gz"
+        f0.write_bytes(build_warc_file(
+            [wet("http://x.com/a", t_a), wet("http://x.com/b", t_b)],
+            gzip_members=True))
+        f1 = d / "seg1.warc.gz"
+        f1.write_bytes(build_warc_file(
+            # /a re-fetched byte-identical (exact dup of batch 1's row)
+            # + one genuinely new page
+            [wet("http://x.com/a", t_a), wet("http://x.com/c", t_c)],
+            gzip_members=True))
+        # the file source orders batches by modification time — pin it
+        now = _time.time()
+        os.utime(f0, (now - 60, now - 60))
+        os.utime(f1, (now, now))
+
+        fresh_seen, dup_seen = [], []
+
+        def on_fresh(df, bid):
+            fresh_seen.append((bid, {r["url"]: r["doc_id"]
+                                     for r in df.collect()}))
+
+        def on_dups(df, bid):
+            dup_seen.append((bid, df.collect()))
+
+        idx = str(tmp_path / "crawl_idx")
+        q = crawl_dedup_stream(
+            spark, str(d), idx, on_fresh,
+            checkpoint=str(tmp_path / "ckpt_crawl"),
+            max_files_per_trigger=1, available_now=True,
+            on_duplicates=on_dups)
+        q.awaitTermination(180)
+
+        assert [bid for bid, _ in fresh_seen] == [0, 1]
+        assert set(fresh_seen[0][1]) == {"http://x.com/a",
+                                         "http://x.com/b"}
+        # batch 2: /a is an exact duplicate of BATCH 1's appended row,
+        # only /c is fresh
+        assert set(fresh_seen[1][1]) == {"http://x.com/c"}
+        [(bid, dups)] = [x for x in dup_seen if x[1]]
+        assert bid == 1
+        [dup] = dups
+        assert dup["match_kind"] == "exact"
+        assert dup["matched_id"] == fresh_seen[0][1]["http://x.com/a"]
+        # the index now holds all three docs — a later batch-mode
+        # classify sees them (stream + batch share one index)
+        from deequ_spark.llm import dedup_against_index
+        probe = spark.createDataFrame(
+            [(1, t_a), (2, t_c), (3, "something else entirely fresh "
+                                     "with brand new words")],
+            "doc_id long, text string")
+        fresh, dups = dedup_against_index(probe, "doc_id", "text", idx,
+                                          threshold=0.5)
+        assert sorted(r["id"] for r in dups.collect()) == [1, 2]
+        assert [r["doc_id"] for r in fresh.collect()] == [3]
+
+
 class TestWarcProperties:
     """Hypothesis: the parser inverts the builder for ARBITRARY payloads
     (binary-safe framing), in both plain and gzip-member encodings."""
