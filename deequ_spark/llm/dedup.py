@@ -249,11 +249,21 @@ def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
             F.array().cast("array<string>"))
 
     w = base.select("__did", F.posexplode(grams).alias("__pos", "__gram"))
-    agg = (w.groupBy("__gram")
-           .agg(F.min(F.struct(F.col("__did"), F.col("__pos")))
-                .alias("__win"),
-                F.count(F.lit(1)).alias("__c")))
-    losers = (w.join(agg, "__gram")
+    # winner + occurrence count as WINDOW functions over the key, not
+    # groupBy + join-back: the join's probe side would shuffle `w` a
+    # second time AND re-run the whole rolling-hash/explode subplan (the
+    # two exchanges differ — partial-agg below one of them — so
+    # ReuseExchange never fires; measured 2.2s -> 1.4s at sf0.1).
+    # Window keys are near-unique, so map-side combine bought nothing;
+    # ONE hash-partition + sort replaces both shuffles.
+    from pyspark.sql import Window
+    per_key = Window.partitionBy("__gram")
+    marked = w.select(
+        "__did", "__pos",
+        F.min(F.struct(F.col("__did"), F.col("__pos")))
+         .over(per_key).alias("__win"),
+        F.count(F.lit(1)).over(per_key).alias("__c"))
+    losers = (marked
               .where((F.col("__c") >= 2)
                      & ~((F.col("__win.__did") == F.col("__did"))
                          & (F.col("__win.__pos") == F.col("__pos"))))
