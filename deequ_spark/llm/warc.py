@@ -243,6 +243,7 @@ def wet_documents(records: DataFrame) -> DataFrame:
 def crawl_to_corpus(spark: SparkSession, path: str,
                     min_partitions: Optional[int] = None,
                     source: str = "wet",
+                    main_content: bool = False,
                     **pipeline_kwargs):
     """Crawl files → training corpus, end to end: ``read_warc`` →
     text extraction → URL-keyed doc ids →
@@ -251,21 +252,33 @@ def crawl_to_corpus(spark: SparkSession, path: str,
     pre-extracted ``conversion`` records; ``source='responses'``
     consumes raw HTTP ``response`` records through
     :func:`~deequ_spark.llm.html.html_documents` (status/content-type
-    gate + HTML→text) — the two halves of a real crawl feed. Returns
-    ``(chunks, stats)`` exactly like ``prepare_training_corpus``; all
-    its stage toggles pass through. The ingest stages are map-only, so
-    the first shuffle a crawl pays is the pipeline's own exact-dedup
-    groupBy."""
+    gate + HTML→text) — the two halves of a real crawl feed.
+    ``main_content=True`` (responses source only) swaps the extractor
+    for the link-density block scorer — nav/footer chrome never
+    reaches the pipeline instead of half-falling to the C4 line rules.
+    Returns ``(chunks, stats)`` exactly like
+    ``prepare_training_corpus``; all its stage toggles pass through.
+    The ingest stages are map-only, so the first shuffle a crawl pays
+    is the pipeline's own exact-dedup groupBy."""
     from .pipeline import prepare_training_corpus
     if source == "wet":
+        if main_content:
+            raise ValueError(
+                "main_content applies to source='responses' only: WET "
+                "records are already extracted text with no markup "
+                "left to score")
         docs = wet_documents(read_warc(spark, path,
                                        warc_types={"conversion"},
                                        min_partitions=min_partitions))
     elif source == "responses":
         from .html import html_documents
-        docs = html_documents(http_responses(
-            read_warc(spark, path, warc_types={"response"},
-                      min_partitions=min_partitions)))
+        docs = html_documents(
+            http_responses(
+                read_warc(spark, path, warc_types={"response"},
+                          min_partitions=min_partitions)),
+            main_content=main_content)
+        if main_content:
+            docs = docs.drop("content_score")
     else:
         raise ValueError("source must be 'wet' or 'responses'")
     # stable 64-bit doc id from (url, text): crawls re-fetch a URL

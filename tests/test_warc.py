@@ -418,3 +418,38 @@ class TestWarcProperties:
                 assert h["WARC-Type"] == "conversion"
 
         check()
+
+
+class TestCrawlMainContent:
+    def test_responses_main_content_drops_chrome(self, spark, tmp_path):
+        """r9: crawl_to_corpus(source='responses', main_content=True)
+        strips nav/footer chrome at EXTRACTION time."""
+        from deequ_spark.llm.warc import crawl_to_corpus
+        d = tmp_path / "warc_mc2"
+        d.mkdir()
+        prose = ("the quick brown fox jumps over the lazy dog daily "
+                 "and naps with one eye open beside the river " * 10)
+        page = ("<html><body>"
+                "<div><a href='/'>Home</a> | <a href='/x'>About</a> | "
+                "<a href='/y'>Contact</a></div>"
+                f"<p>{prose}</p>"
+                "<div><a href='/p'>Privacy</a> <a href='/t'>Terms</a> "
+                "<a href='/i'>(c) 2026 Example Corp</a></div>"
+                "</body></html>").encode()
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + page)
+        rec = build_warc_record("response", http,
+                                target_uri="http://mc.example.com/")
+        (d / "f.warc").write_bytes(build_warc_file([rec]))
+        chunks, _ = crawl_to_corpus(spark, str(d), source="responses",
+                                    main_content=True, near_dedup=False,
+                                    boilerplate=False, chunk=False)
+        [r] = chunks.collect()
+        assert r["text"].startswith("the quick brown fox")
+        assert "Home" not in r["text"] and "Privacy" not in r["text"]
+
+    def test_wet_main_content_rejected(self, spark, tmp_path):
+        from deequ_spark.llm.warc import crawl_to_corpus
+        with pytest.raises(ValueError, match="responses"):
+            crawl_to_corpus(spark, str(tmp_path), source="wet",
+                            main_content=True)
