@@ -4636,10 +4636,15 @@ def q_webdataset(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
     # size-targeted API (r9): no n_shards/shard_expr — the shard count
     # derives from exact USTAR framing bytes over target_shard_bytes,
-    # which the oracle recomputes in SQL (ceil(sum(member)/target));
-    # per-shard contents hash-assign (xxhash64, not SQL-replicable) so
-    # only count/total metrics are pinned
+    # which the oracle recomputes in SQL (ceil(sum(member)/target)).
+    # st_n_shards pins the DERIVED count (deterministic byte math, not
+    # len(manifest): xxhash64 assignment could leave a derived shard
+    # empty and the manifest row count with it — a probabilistic gate);
+    # the manifest is separately asserted <= derived, and sample totals
+    # pin the actual write/read round trip.
+    from deequ_spark.llm.shards import derive_n_shards
     target = 64 * 1024
+    derived = derive_n_shards(docs, ["text"], target)
     d2 = tempfile.mkdtemp(prefix="deequ_wds_st_")
     try:
         man2 = write_webdataset(docs, d2, "doc_id", {"text": "txt"},
@@ -4647,12 +4652,13 @@ def q_webdataset(spark, sf_dir):
         back2_n = read_webdataset(spark, d2, {"text": "txt"}).count()
     finally:
         shutil.rmtree(d2, ignore_errors=True)
+    assert len(man2) <= derived
     pairs = [("n_shards", len(man)),
              ("samples_total", sum(r["n_samples"] for r in man)),
              ("read_samples", ragg["n"]),
              ("read_chars_sum", ragg["chars"]),
              ("read_key_sum", ragg["keys"]),
-             ("st_n_shards", len(man2)),
+             ("st_n_shards", derived),
              ("st_samples_total", sum(r["n_samples"] for r in man2)),
              ("st_read_samples", back2_n)]
     pairs += [(f"shard{r['shard']}_bytes", r["n_bytes"]) for r in man]

@@ -110,8 +110,12 @@ def html_content_blocks(html: Column) -> Column:
     s = F.regexp_replace(html, f"[{_A_OPEN}{_A_CLOSE}]", "")
     s = _strip_subtrees(s)
     s = F.regexp_replace(s, _BLOCK_RE, "\n")
-    s = F.regexp_replace(s, r"(?is)<a\b[^>]*>", _A_OPEN)
-    s = F.regexp_replace(s, r"(?is)</a\s*>", _A_CLOSE)
+    # space OUTSIDE each sentinel: html_to_text turns every tag into a
+    # space, and without it 'foo<a>bar</a>baz' would fuse to
+    # 'foobarbaz' here (the normalizer collapses the extra spaces; the
+    # anchor span between the sentinels is unaffected)
+    s = F.regexp_replace(s, r"(?is)<a\b[^>]*>", " " + _A_OPEN)
+    s = F.regexp_replace(s, r"(?is)</a\s*>", _A_CLOSE + " ")
     s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
     s = _decode_entities(s)
     s = _normalize_line_ws(s)
@@ -151,6 +155,37 @@ def html_main_content(html: Column, min_chars: int = 30,
     kept = F.filter(html_content_blocks(html),
                     lambda b: _is_content(b, min_chars, max_link_density))
     return F.array_join(F.transform(kept, lambda b: b["line"]), "\n")
+
+
+def _content_struct(html: Column, min_chars: int,
+                    max_link_density: float) -> Column:
+    """``struct(text, content_score)`` in ONE aggregate over ONE block
+    array — the fused form :func:`html_documents` uses so the
+    expensive strip/decode/per-line chain runs once per page, not once
+    per output column (HOF expressions are CodegenFallback and get no
+    common-subexpression elimination)."""
+    def kept(a, b):
+        return _is_content(b, min_chars, max_link_density)
+
+    return F.aggregate(
+        html_content_blocks(html),
+        F.struct(F.lit("").alias("txt"), F.lit(0).alias("n"),
+                 F.lit(0).alias("kept"), F.lit(0).alias("tot")),
+        lambda a, b: F.struct(
+            F.when(kept(a, b),
+                   F.when(a["n"] == 0, b["line"])
+                    .otherwise(F.concat(a["txt"], F.lit("\n"),
+                                        b["line"])))
+             .otherwise(a["txt"]).alias("txt"),
+            (a["n"] + F.when(kept(a, b), F.lit(1)).otherwise(F.lit(0)))
+            .alias("n"),
+            (a["kept"] + F.when(kept(a, b), b["n_chars"])
+             .otherwise(F.lit(0))).alias("kept"),
+            (a["tot"] + b["n_chars"]).alias("tot")),
+        lambda a: F.struct(
+            a["txt"].alias("text"),
+            F.when(a["tot"] > 0, a["kept"].cast("double") / a["tot"])
+             .alias("content_score")))
 
 
 def html_content_score(html: Column, min_chars: int = 30,
@@ -196,13 +231,17 @@ def html_documents(responses: DataFrame,
         (F.col("status") >= 200) & (F.col("status") < 300)
     body = F.col("body").cast("string")
     if main_content:
+        # explode(array(struct)) is a PROJECTION BARRIER: the struct is
+        # computed once in the Generate node and text/content_score are
+        # field references on its output. Selecting two fields of the
+        # struct expression directly would let CollapseProject inline
+        # the whole blocks pipeline once per field (the known k-sibling
+        # recompute trap).
+        c = _content_struct(body, min_chars, max_link_density)
         out = (responses.where(ok_type & ok_status)
-               .select("url",
-                       html_main_content(body, min_chars,
-                                         max_link_density).alias("text"),
-                       html_content_score(body, min_chars,
-                                          max_link_density)
-                       .alias("content_score")))
+               .select("url", F.explode(F.array(c)).alias("__c"))
+               .select("url", F.col("__c.text").alias("text"),
+                       F.col("__c.content_score").alias("content_score")))
     else:
         out = (responses.where(ok_type & ok_status)
                .select("url",

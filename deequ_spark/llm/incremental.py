@@ -398,7 +398,8 @@ def crawl_dedup_stream(spark: SparkSession, warc_path: str,
                        compact_every: int = 0,
                        max_files_per_trigger=None,
                        available_now: bool = False,
-                       on_duplicates=None):
+                       on_duplicates=None,
+                       within_batch_near: bool = True):
     """The continuous-crawl production loop (module doc): stream WARC
     files landing under ``warc_path``, classify every micro-batch
     against the persisted index at ``index_path``, hand the FRESH rows
@@ -415,13 +416,28 @@ def crawl_dedup_stream(spark: SparkSession, warc_path: str,
     receives each batch's ``(id, match_kind, matched_id, similarity)``
     — e.g. to log dedup rates per crawl segment.
 
+    Each micro-batch also dedupes WITHIN itself before classifying
+    against history — a crawl segment re-fetches URLs and mirrors
+    pages inside one batch too: re-fetches collapse on ``doc_id``
+    (same (url, text) → same hash), byte-identical text under
+    different URLs collapses on the content fingerprint (min doc_id
+    survives), and near-duplicates within the batch collapse through
+    the same banded LSH machinery (``within_batch_near``, on by
+    default; intra-batch losers are not reported to
+    ``on_duplicates`` — they never reach the index, so there is no
+    surviving ``matched_id`` contract for them).
+
     Scale notes: per batch, only the NEW files' records are parsed
     (map-only); classify shuffles the batch onto the bucketed index
-    layout; the append writes the batch's own rows. Nothing in the
-    loop re-reads or re-bands history, so steady-state cost tracks the
-    BATCH size (SCALE b22). Fresh rows are localCheckpoint-ed before
-    the append so the classify plan is never re-executed against the
-    directory being appended to."""
+    layout; the append writes the batch's own rows; intra-batch
+    near-dedup is batch × batch through capped LSH, not batch ×
+    history. Nothing in the loop re-reads or re-bands history, so
+    steady-state cost tracks the BATCH size (SCALE b22). Both the
+    duplicates and the fresh rows are eagerly materialized
+    (localCheckpoint) before the append — a lazy plan held by a
+    callback, or the fresh rows themselves, must never re-execute
+    the classify against the directory being appended to."""
+    from .dedup import deduplicate_near, minhash_lsh_pairs
     from .warc import read_warc_stream, wet_documents
 
     geometry = dict(num_hashes=num_hashes, bands=bands,
@@ -432,14 +448,35 @@ def crawl_dedup_stream(spark: SparkSession, warc_path: str,
         docs = batch_df.select(
             F.xxhash64(F.col("url"), F.col("text")).alias("doc_id"),
             "url", "text")
+        # intra-batch dedup: re-fetches (same id), then exact content
+        # (same fingerprint, min id), then near (LSH over the batch)
+        docs = docs.dropDuplicates(["doc_id"])
+        fp_win = (docs
+                  .groupBy(fingerprint(F.col("text")).alias("__fp"))
+                  .agg(F.min("doc_id").alias("doc_id")))
+        docs = docs.join(fp_win.select("doc_id"), "doc_id", "semi")
+        if within_batch_near:
+            pairs = minhash_lsh_pairs(
+                docs, "doc_id", "text", threshold=threshold,
+                num_hashes=num_hashes, bands=bands,
+                shingle_n=shingle_n, shingles=shingles)
+            docs = deduplicate_near(docs, "doc_id", pairs)
+        docs = docs.localCheckpoint(eager=True)
+
         if not _path_exists(spark, f"{index_path}/meta"):
-            fresh = docs.localCheckpoint(eager=True)
-            dups = None
+            fresh, dups = docs, None
         else:
-            fresh, dups = dedup_against_index(
+            _, dups = dedup_against_index(
                 docs, "doc_id", "text", index_path,
                 threshold=threshold)
-            fresh = fresh.localCheckpoint(eager=True)
+            # classify runs ONCE (here); fresh re-derives from the
+            # checkpointed dups so neither it nor a deferred
+            # on_duplicates callback can replay the classify against
+            # the directory the append below is about to grow
+            dups = dups.localCheckpoint(eager=True)
+            fresh = docs.join(
+                dups.select(F.col("id").alias("doc_id")),
+                "doc_id", "left_anti").localCheckpoint(eager=True)
         if on_duplicates is not None and dups is not None:
             on_duplicates(dups, batch_id)
         on_fresh(fresh, batch_id)

@@ -31,7 +31,7 @@ import pandas  # noqa: F401 — mapInPandas type hints resolve at module scope
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_webdataset", "read_webdataset"]
+__all__ = ["write_webdataset", "read_webdataset", "derive_n_shards"]
 
 # tar framing constants (USTAR): per-member 512-byte header + content
 # padded to 512; 1024-byte end-of-archive; whole file padded to the
@@ -60,6 +60,24 @@ def _open_output(path: str):
         filesystem, p = pafs.FileSystem.from_uri(path)
         return filesystem.open_output_stream(p)
     return open(path, "wb")
+
+
+def derive_n_shards(df: DataFrame, cols, target_shard_bytes: int) -> int:
+    """``ceil(total_tar_bytes / target)`` from ONE column-pruned
+    aggregate — exact per-row USTAR framing: 512-byte header + content
+    padded to 512 per non-null member (end-marker/record padding are
+    per-shard constants, immaterial next to a ~1 GB target). This is
+    the size-targeted writer's pre-pass, exposed so callers (and the
+    driver oracle) can pin the derived count independently."""
+    member = [
+        F.when(F.col(c).isNotNull(),
+               _BLK + F.ceil(F.octet_length(F.col(c)) /
+                             float(_BLK)).cast("long") * _BLK)
+        .otherwise(F.lit(0)) for c in cols]
+    total = df.agg(F.coalesce(
+        F.sum(sum(member[1:], member[0])), F.lit(0)).alias("b")) \
+        .collect()[0]["b"]
+    return max(1, -(-int(total) // int(target_shard_bytes)))
 
 
 def write_webdataset(df: DataFrame, path: str, key_col: str,
@@ -96,18 +114,7 @@ def write_webdataset(df: DataFrame, path: str, key_col: str,
     _ensure_dir(path)
     cols = list(columns)
     if shard_expr is None and n_shards is None:
-        # exact per-row tar bytes: header + 512-padded content per
-        # non-null member (end-marker/record padding are per-shard
-        # constants, immaterial next to a ~1 GB target)
-        member = [
-            F.when(F.col(c).isNotNull(),
-                   _BLK + F.ceil(F.octet_length(F.col(c)) /
-                                 float(_BLK)).cast("long") * _BLK)
-            .otherwise(F.lit(0)) for c in cols]
-        total = df.agg(F.coalesce(
-            F.sum(sum(member[1:], member[0])), F.lit(0)).alias("b")) \
-            .collect()[0]["b"]
-        n_shards = max(1, -(-int(total) // int(target_shard_bytes)))
+        n_shards = derive_n_shards(df, cols, target_shard_bytes)
     if shard_expr is None:
         shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
     data = df.select(F.col(key_col).cast("string").alias("__key"),

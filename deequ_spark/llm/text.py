@@ -730,8 +730,9 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
     docs with no n-grams).
     """
     from .dedup import word_shingles
-    # word_shingles falls back to [whole text] for short docs — an EMPTY
-    # doc would contribute one "" gram and read as 100% novel; drop it
+    # blank docs yield [] shingles since r9 (no "" gram to guard
+    # against); the filter stays as defense against grams that are
+    # whitespace-only after tokenizer changes — it is a no-op today
     grams = df.select(F.col(id_col),
                       F.explode(F.filter(
                           word_shingles(F.col(text_col), n),

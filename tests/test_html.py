@@ -197,3 +197,19 @@ class TestMainContent:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+    def test_inline_anchor_does_not_fuse_words(self, spark):
+        """r9 review fix: <a>/<​a> became zero-width sentinels and
+        fused adjacent words ('foo<a>bar</a>baz' -> 'foobarbaz') while
+        html_to_text yields 'foo bar baz' — tags must still act as
+        separators in the content path."""
+        from deequ_spark.llm import html_main_content, html_to_text
+        h = ("<p>foo<a href='/x'>bar</a>baz plus thirty more chars of "
+             "plain prose to pass the minimum</p>")
+        df = spark.createDataFrame([(h,)], "h string")
+        r = df.select(html_to_text(F.col("h")).alias("t"),
+                      html_main_content(F.col("h"),
+                                        max_link_density=0.5).alias("m")) \
+            .collect()[0]
+        assert r["t"].startswith("foo bar baz")
+        assert r["m"] == r["t"]

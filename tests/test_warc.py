@@ -392,6 +392,75 @@ class TestContinuousCrawlDedup:
         assert [r["doc_id"] for r in fresh.collect()] == [3]
 
 
+class TestContinuousCrawlIntraBatch:
+    def test_within_batch_duplicates_collapse(self, spark, tmp_path):
+        """r9 review fix: a segment re-fetches URLs and mirrors pages
+        INSIDE one micro-batch too — re-fetches (same url+text), same
+        text under a different URL, and near-duplicate text must all
+        collapse to one survivor before anything reaches the sink or
+        the index."""
+        from deequ_spark.llm import crawl_dedup_stream
+        d = tmp_path / "crawl_ib"
+        d.mkdir()
+        t = ("the quick brown fox jumps over the lazy dog near the "
+             "river bank on a bright morning in early spring today")
+        t_near = t.replace("today", "tonight")
+
+        def wet(url, text):
+            return build_warc_record("conversion", text.encode(),
+                                     target_uri=url)
+
+        (d / "seg0.warc.gz").write_bytes(build_warc_file(
+            [wet("http://x.com/a", t),      # original
+             wet("http://x.com/a", t),      # re-fetch: same doc_id
+             wet("http://x.com/mirror", t),  # mirror: same fingerprint
+             wet("http://x.com/near", t_near)],  # near-dup in batch
+            gzip_members=True))
+
+        fresh_seen = []
+
+        def on_fresh(df, bid):
+            fresh_seen.append(df.collect())
+
+        q = crawl_dedup_stream(
+            spark, str(d), str(tmp_path / "ib_idx"), on_fresh,
+            checkpoint=str(tmp_path / "ckpt_ib"),
+            threshold=0.5, available_now=True)
+        q.awaitTermination(180)
+        [rows] = fresh_seen
+        assert len(rows) == 1              # ONE survivor of the cluster
+        # the index holds exactly that one doc
+        idx_docs = spark.read.parquet(str(tmp_path / "ib_idx" / "docs"))
+        assert idx_docs.count() == 1
+
+    def test_within_batch_near_toggle_off(self, spark, tmp_path):
+        """within_batch_near=False keeps near-dups (exact intra-batch
+        dedup still applies)."""
+        from deequ_spark.llm import crawl_dedup_stream
+        d = tmp_path / "crawl_ib2"
+        d.mkdir()
+        t = ("the quick brown fox jumps over the lazy dog near the "
+             "river bank on a bright morning in early spring today")
+        t_near = t.replace("today", "tonight")
+
+        def wet(url, text):
+            return build_warc_record("conversion", text.encode(),
+                                     target_uri=url)
+
+        (d / "seg0.warc.gz").write_bytes(build_warc_file(
+            [wet("http://x.com/a", t), wet("http://x.com/near", t_near)],
+            gzip_members=True))
+        fresh_seen = []
+        q = crawl_dedup_stream(
+            spark, str(d), str(tmp_path / "ib2_idx"),
+            lambda df, bid: fresh_seen.append(df.collect()),
+            checkpoint=str(tmp_path / "ckpt_ib2"),
+            threshold=0.5, available_now=True, within_batch_near=False)
+        q.awaitTermination(180)
+        [rows] = fresh_seen
+        assert len(rows) == 2
+
+
 class TestWarcProperties:
     """Hypothesis: the parser inverts the builder for ARBITRARY payloads
     (binary-safe framing), in both plain and gzip-member encodings."""

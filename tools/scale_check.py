@@ -279,7 +279,8 @@ def main() -> None:
     workloads = [
         ("b1_scan_fused", bench.b1_scan_fused, li1, li10),
         ("b24_crawl_ingest", crawl_ingest_workload, warc1, warc10),
-        ("b25_webdataset_write", webdataset_workload, docs1, docs10),
+        # b25 webdataset is timed inside its flat-memory evidence loop
+        # below (one write per scale point, not three)
         ("b19_asof_join", asof_workload, ev1, ev10),
         ("b20_interval_join", interval_workload, ev1, ev10),
         ("b21_rolling_stats", rolling_workload, ev1, ev10),
@@ -361,14 +362,20 @@ def main() -> None:
     out["candidate_growth"] = growth
     # flat-per-task-memory evidence for the size-targeted shard writer:
     # the LARGEST shard (≈ one task's buffered bytes) must stay ~target
-    # while the shard COUNT absorbs the 10x corpus growth
-    wds = {}
+    # while the shard COUNT absorbs the 10x corpus growth; doubles as
+    # the timed b25 sample (one write per scale point)
+    wds, wds_t = {}, {}
     for label, d in (("1x", docs1), ("10x", docs10)):
+        t0 = time.perf_counter()
         n_sh, mx = webdataset_workload(spark, d)
+        wds_t[label] = time.perf_counter() - t0
         wds[label] = {"n_shards": n_sh, "max_shard_bytes": mx,
                       "target_bytes": WDS_TARGET,
                       "ok": mx < 2 * WDS_TARGET}
     out["webdataset_flat_task_memory"] = wds
+    out["b25_webdataset_write"] = {
+        "t_1x": round(wds_t["1x"], 2), "t_10x": round(wds_t["10x"], 2),
+        "ratio": round(wds_t["10x"] / max(wds_t["1x"], 1e-9), 1)}
 
     for name, fn, small, big in workloads:
         fn(spark, small)                              # warm the path once
