@@ -416,15 +416,22 @@ def test_bm25_corpus_pass_no_shuffle(spark):
 
 
 def test_span_dedup_shuffle_budget(spark):
-    """llm/dedup.py duplicate_span_removal: window-keyed groupBy +
-    join-back + per-doc regroup — no corpus window function, no
-    cartesian, and with key='hash' the shuffled window key is the
-    8-byte xxhash64, never the n-gram string."""
+    """llm/dedup.py duplicate_span_removal (r9 shape): winner/count as
+    window functions over ONE hash-partitioning of the window rows —
+    exactly one Window node PARTITIONED BY the gram key (never a
+    global/empty-partition window, which would single-task the corpus),
+    no cartesian, no second shuffle of the window rows (the r8
+    groupBy+join-back executed the rolling-hash subplan twice), and
+    with key='hash' the shuffled window key is the 8-byte xxhash64,
+    never the n-gram string."""
     from deequ_spark.llm import duplicate_span_removal
     df = spark.range(300).selectExpr(
         "id", "concat('alpha beta gamma delta epsilon zeta ', "
         "CAST(id % 9 AS STRING)) AS text")
     plan = explain_str(duplicate_span_removal(df, "id", "text", n=4))
     assert "CartesianProduct" not in plan
-    assert count_nodes(plan, "Window") == 0
+    assert count_nodes(plan, "Window") == 1
+    # the window must be KEY-partitioned: a global window serializes
+    # the whole corpus through one task
+    assert "windowspecdefinition(__gram" in plan
     assert "xxhash64" in plan          # hash key reached the plan
