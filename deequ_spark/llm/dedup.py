@@ -134,6 +134,17 @@ def _default_shingle_n(shingle_n, shingles: str) -> int:
     return 5 if shingles == "char" else 3
 
 
+def _nonblank(df: DataFrame, text_col: str) -> DataFrame:
+    """Rows whose text yields a NON-EMPTY shingle set (either mode):
+    non-NULL with at least one non-whitespace char. This is the cheap
+    scan-side equivalent of ``signature IS NOT NULL`` — filtering on
+    the computed signature re-inlines the whole minhash aggregate into
+    the predicate (filter + project each evaluate it: 2x compute,
+    measured 1.9x on b6/b22)."""
+    c = F.col(text_col)
+    return df.where(c.isNotNull() & c.rlike(r"\S"))
+
+
 _LAMBDA_SEGMENT = 16
 
 
@@ -469,8 +480,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     rows = num_hashes // bands
     df = ensure_parallelism(df)
     shingle_n = _default_shingle_n(shingle_n, shingles)
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
-                              shingles=shingles)
+    # blank docs (no shingles → NULL signature) must never band:
+    # xxhash64 skips NULL inputs, so they would share one constant
+    # bucket per band. Filter INPUT-side (cheap text predicate) — a
+    # signature-IS-NOT-NULL filter re-inlines the minhash aggregate
+    # into the predicate and doubles the signature compute.
+    sigs = minhash_signatures(_nonblank(df, text_col), id_col, text_col,
+                              num_hashes, shingle_n, shingles=shingles)
     # one lambda over a band-index sequence instead of `bands` separate
     # struct subtrees — same banding, ~bands× smaller analyzed plan;
     # the bucket hash is xxhash64 of the band's signature slice (hashing
@@ -481,14 +497,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             i.alias("band"),
             F.xxhash64(F.slice(F.col("signature"), i * rows + 1, rows))
             .alias("bh"))))
-    # NULL signature = blank document (no shingles): never a candidate.
-    # The filter is load-bearing — xxhash64 skips NULL inputs, so an
-    # unfiltered NULL signature would band to a CONSTANT bucket hash and
-    # every blank document would collide with every other one.
-    buckets = (sigs.where(F.col("signature").isNotNull())
-               .select("id", band_cols.alias("band_struct")).select(
-                   "id", F.col("band_struct.band").alias("band"),
-                   F.col("band_struct.bh").alias("bh")))
+    buckets = sigs.select("id", band_cols.alias("band_struct")).select(
+        "id", F.col("band_struct.band").alias("band"),
+        F.col("band_struct.bh").alias("bh"))
     # ONE shuffle: group ids per (band, bucket) and expand in-bucket pairs
     # JVM-side — beats a bucket self-join (two shuffled sides) and keeps
     # the quadratic blow-up confined to each bucket

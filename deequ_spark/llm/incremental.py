@@ -351,14 +351,18 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
              .select("id", F.lit("exact").alias("match_kind"),
                      "matched_id", F.lit(1.0).alias("similarity")))
 
-    new_sigs = minhash_signatures(new_df, id_col, text_col,
+    # blank docs (no shingles → NULL signature) band to constants under
+    # xxhash64's NULL-skip — exclude them INPUT-side (cheap text
+    # predicate; a signature-IS-NOT-NULL filter would re-inline the
+    # minhash aggregate into the predicate and double the compute).
+    # They can still match EXACTLY above via their fingerprint.
+    from .dedup import _nonblank
+    new_sigs = minhash_signatures(_nonblank(new_df, text_col),
+                                  id_col, text_col,
                                   num_hashes=num_hashes,
                                   shingle_n=shingle_n, shingles=shingles)
-    # candidates only needed for docs not already exact-matched; blank
-    # docs (NULL signature) band to constants — skip them (they can
-    # still match EXACTLY above via their fingerprint)
-    remaining = (new_sigs.where(F.col("signature").isNotNull())
-                 .join(exact.select("id"), "id", "left_anti"))
+    # candidates only needed for docs not already exact-matched
+    remaining = new_sigs.join(exact.select("id"), "id", "left_anti")
     nb = remaining.select(
         "id", "signature",
         F.posexplode(band_hashes(F.col("signature"), bands))
