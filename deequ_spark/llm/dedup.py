@@ -397,9 +397,13 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     # accumulator at its all-MAX_LONG init — surface that as a NULL
     # signature (per-shingle hashes are < 2³¹, so MAX_LONG in slot 1 can
     # only mean "no shingles"). A sentinel array instead of NULL would
-    # make every blank document collide in every LSH band (and xxhash64
-    # SKIPS null inputs, so banding sites must also filter NULL
-    # signatures explicitly — they do).
+    # make every blank document collide in every LSH band — and
+    # xxhash64 SKIPS null inputs, so a NULL signature reaching a
+    # banding site hashes to a CONSTANT bucket. The contract: banding
+    # callers pre-filter their input with _nonblank (cheap text
+    # predicate; filtering on this computed column instead re-inlines
+    # the aggregate into the predicate, 2x compute) or filter a STORED
+    # signature column (_bucket_rows).
     sig = F.aggregate(
         F.transform(_shingle_fn(shingles)(F.col(text_col), shingle_n),
                     per_shingle),

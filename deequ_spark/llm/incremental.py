@@ -66,7 +66,7 @@ from typing import Tuple
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import minhash_signatures
+from .dedup import _nonblank, minhash_signatures
 from .text import fingerprint
 
 __all__ = ["write_dedup_index", "dedup_against_index", "band_hashes",
@@ -356,7 +356,6 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
     # predicate; a signature-IS-NOT-NULL filter would re-inline the
     # minhash aggregate into the predicate and double the compute).
     # They can still match EXACTLY above via their fingerprint.
-    from .dedup import _nonblank
     new_sigs = minhash_signatures(_nonblank(new_df, text_col),
                                   id_col, text_col,
                                   num_hashes=num_hashes,
