@@ -4796,6 +4796,74 @@ _HTML_EXTRACT_ORACLE_SQL = """
 """
 
 
+def q_link_graph(spark, sf_dir):
+    """Host link graph + deterministic integer PageRank
+    (llm/graph.py): every doc becomes a page on host h{doc_id%37} with
+    two absolute links (to h{(7·id+3)%37} and h{(11·id+5)%37}, both
+    quote styles), edges extract via regexp + host-scope + distinct +
+    self-drop, and 3 PageRank iterations run in integer micro-units
+    (rank DIV out_degree contributions, (85·Σ) DIV 100 update) — the
+    oracle replays the SAME integer recurrence in chained DuckDB CTEs,
+    so all 37 per-host ranks match EXACTLY, not fuzzily. Also pins
+    edge/node counts."""
+    from deequ_spark.llm import link_edges, pagerank
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("http://h"), did % 37,
+                   F.lit(".example.com/p"), did)
+    html = F.concat(
+        F.lit("<html><body><p>text</p><a href=\"http://h"),
+        (did * 7 + 3) % 37,
+        F.lit(".example.com/q\">l1</a> <a href='http://h"),
+        (did * 11 + 5) % 37,
+        F.lit(".example.com/r'>l2</a></body></html>"))
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    edges = link_edges(pages, "url", "html").localCheckpoint(eager=True)
+    ranks = pagerank(edges, iterations=3)
+    pairs = [("n_edges", edges.count()),
+             ("n_nodes", ranks.count())]
+    pairs += [("pr_" + r["node"].split(".")[0], r["rank_micro"])
+              for r in ranks.collect()]
+    return _metrics_df(spark, sorted(pairs))
+
+
+_LINK_GRAPH_ORACLE_SQL = """
+    WITH p AS (
+      SELECT doc_id % 37 AS s,
+             (doc_id * 7 + 3) % 37 AS d1,
+             (doc_id * 11 + 5) % 37 AS d2
+      FROM documents),
+    e AS (
+      SELECT DISTINCT s, d FROM (
+        SELECT s, d1 AS d FROM p UNION ALL SELECT s, d2 FROM p)
+      WHERE s <> d),
+    n AS (SELECT DISTINCT x AS node FROM (
+        SELECT s AS x FROM e UNION ALL SELECT d FROM e)),
+    deg AS (SELECT s, COUNT(*) AS od FROM e GROUP BY s),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+    c1 AS (SELECT e.d AS node, SUM(r0.r // dg.od) AS cs
+           FROM e JOIN deg dg ON dg.s = e.s JOIN r0 ON r0.node = e.s
+           GROUP BY e.d),
+    r1 AS (SELECT n.node, 150000 + (85 * COALESCE(c1.cs, 0)) // 100 AS r
+           FROM n LEFT JOIN c1 ON c1.node = n.node),
+    c2 AS (SELECT e.d AS node, SUM(r1.r // dg.od) AS cs
+           FROM e JOIN deg dg ON dg.s = e.s JOIN r1 ON r1.node = e.s
+           GROUP BY e.d),
+    r2 AS (SELECT n.node, 150000 + (85 * COALESCE(c2.cs, 0)) // 100 AS r
+           FROM n LEFT JOIN c2 ON c2.node = n.node),
+    c3 AS (SELECT e.d AS node, SUM(r2.r // dg.od) AS cs
+           FROM e JOIN deg dg ON dg.s = e.s JOIN r2 ON r2.node = e.s
+           GROUP BY e.d),
+    r3 AS (SELECT n.node, 150000 + (85 * COALESCE(c3.cs, 0)) // 100 AS r
+           FROM n LEFT JOIN c3 ON c3.node = n.node)
+    SELECT metric, value FROM (
+      SELECT 'n_edges' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM e
+      UNION ALL SELECT 'n_nodes', CAST(COUNT(*) AS DOUBLE) FROM n
+      UNION ALL SELECT 'pr_h' || node, CAST(r AS DOUBLE) FROM r3
+    ) ORDER BY metric
+"""
+
+
 def q_warc_ingest(spark, sf_dir):
     """WARC/WET crawl ingest (llm/warc.py): documents are serialized
     into 6 synthetic multi-record WARC files (odd files gzip-member
@@ -5665,6 +5733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash": q_image_phash,
         "audio_phash": q_audio_phash,
         "grouped_topk": q_grouped_topk,
+        "link_graph": q_link_graph,
         # --- tail: driver-green in some earlier round ---
         "size": q_size,
         "completeness": q_completeness,
@@ -6534,6 +6603,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _C4_FILTERS_ORACLE_SQL,
         "webdataset": _WEBDATASET_ORACLE_SQL,
         "html_extract": _HTML_EXTRACT_ORACLE_SQL,
+        "link_graph": _LINK_GRAPH_ORACLE_SQL,
         "warc_ingest": _WARC_INGEST_ORACLE_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE_SQL,
         "rolling_stats": _ROLLING_STATS_ORACLE_SQL,
