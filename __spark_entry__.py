@@ -4864,6 +4864,74 @@ _LINK_GRAPH_ORACLE_SQL = """
 """
 
 
+def q_sitemap_ops(spark, sf_dir):
+    """Sitemap parsing + crawl frontier (llm/sitemap.py): every doc
+    becomes a sitemap served from host h{doc_id%23} advertising a good
+    page (/p{id}, whitespace-padded loc), an entity-escaped query page
+    (/q?a=1&amp;b={id} — decode check), a CROSS-HOST spam entry, and
+    every 3rd doc a nested sitemap-index reference. Per-host robots
+    disallow /q. The oracle replays entry counts by kind, the decoded
+    &-loc count, and the frontier (same-host, robots-allowed pages
+    only) with its doc-id sum recovered from the /p{id} suffix."""
+    from deequ_spark.llm import parse_robots, parse_sitemap, \
+        sitemap_frontier
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did % 23
+    smurl = F.concat(F.lit("https://h"), k,
+                     F.lit(".example.com/sitemap"), did, F.lit(".xml"))
+    body = F.concat(
+        F.lit("<urlset>"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit("<sitemap><loc>https://h"), k,
+            F.lit(".example.com/sm"), did,
+            F.lit(".xml</loc></sitemap>"))).otherwise(F.lit("")),
+        F.lit("<url><loc> https://h"), k,
+        F.lit(".example.com/p"), did, F.lit(" </loc></url>"),
+        F.lit("<url><loc>https://h"), k,
+        F.lit(".example.com/q?a=1&amp;b="), did, F.lit("</loc></url>"),
+        F.lit("<url><loc>https://spam.example.com/x"), did,
+        F.lit("</loc></url></urlset>"))
+    sitemaps = docs.select(smurl.alias("url"), body.alias("body"))
+    entries = parse_sitemap(sitemaps, "url", "body")
+    ek = entries.groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+    kind_n = {r["kind"]: r["n"] for r in ek.collect()}
+    amp = entries.where(F.col("loc").contains("&")
+                        & ~F.col("loc").contains("&amp;")).count()
+    robots = (docs.select(k.alias("k")).distinct()
+              .select(F.concat(F.lit("http://h"), F.col("k"),
+                               F.lit(".example.com/robots.txt"))
+                      .alias("url"),
+                      F.lit("User-agent: *\nDisallow: /q\n")
+                      .alias("body")))
+    rules = parse_robots(robots, "url", "body")
+    frontier = sitemap_frontier(sitemaps, rules)
+    fagg = frontier.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.regexp_extract("url", r"/p(\d+)$", 1).cast("long"))
+        .alias("ids")).collect()[0]
+    return _metrics_df(spark, sorted([
+        ("sm_entries_url", kind_n.get("url", 0)),
+        ("sm_entries_sitemap", kind_n.get("sitemap", 0)),
+        ("sm_amp_locs", amp),
+        ("frontier_rows", fagg["n"]),
+        ("frontier_id_sum", fagg["ids"])]))
+
+
+_SITEMAP_OPS_ORACLE_SQL = """
+    WITH d AS (SELECT doc_id AS i FROM documents)
+    SELECT metric, value FROM (
+      SELECT 'sm_entries_url' AS metric,
+             CAST(3 * COUNT(*) AS DOUBLE) AS value FROM d
+      UNION ALL SELECT 'sm_entries_sitemap',
+        CAST(SUM(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM d
+      UNION ALL SELECT 'sm_amp_locs', CAST(COUNT(*) AS DOUBLE) FROM d
+      UNION ALL SELECT 'frontier_rows', CAST(COUNT(*) AS DOUBLE) FROM d
+      UNION ALL SELECT 'frontier_id_sum', CAST(SUM(i) AS DOUBLE) FROM d
+    ) ORDER BY metric
+"""
+
+
 def q_warc_ingest(spark, sf_dir):
     """WARC/WET crawl ingest (llm/warc.py): documents are serialized
     into 6 synthetic multi-record WARC files (odd files gzip-member
@@ -5734,6 +5802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_phash": q_audio_phash,
         "grouped_topk": q_grouped_topk,
         "link_graph": q_link_graph,
+        "sitemap_ops": q_sitemap_ops,
         # --- tail: driver-green in some earlier round ---
         "size": q_size,
         "completeness": q_completeness,
@@ -6604,6 +6673,7 @@ def oracle_sql() -> dict[str, str]:
         "webdataset": _WEBDATASET_ORACLE_SQL,
         "html_extract": _HTML_EXTRACT_ORACLE_SQL,
         "link_graph": _LINK_GRAPH_ORACLE_SQL,
+        "sitemap_ops": _SITEMAP_OPS_ORACLE_SQL,
         "warc_ingest": _WARC_INGEST_ORACLE_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE_SQL,
         "rolling_stats": _ROLLING_STATS_ORACLE_SQL,
