@@ -4491,11 +4491,16 @@ def q_robots_filter(spark, sf_dir):
     9309 longest match), tmp (disallowed). Kept/dropped counts and id
     sums are pure doc_id arithmetic in the oracle; n_rules pins the
     section/extract parsing."""
-    from deequ_spark.llm import filter_disallowed, parse_robots
+    from deequ_spark.llm import (filter_disallowed, parse_robots,
+                                 parse_robots_directives)
     docs = _load(spark, sf_dir, "documents")
-    body = ("User-agent: googlebot\nDisallow: /all-of-it/\n\n"
+    body = ("User-agent: googlebot\nDisallow: /all-of-it/\n"
+            "Crawl-delay: 2.5\n\n"
             "User-agent: *\nDisallow: /private/\n"
-            "Allow: /private/pub/\nDisallow: /tmp/\nDisallow:\n")
+            "Allow: /private/pub/\nDisallow: /tmp/\nDisallow:\n"
+            "Crawl-delay: 10\n\n"
+            "Sitemap: http://www.example.com/sitemap.xml\n"
+            "Sitemap: http://www.example.com/sitemap-news.xml\n")
     robots = spark.createDataFrame(
         [("http://www.example.com/robots.txt", body)],
         "url string, body string")
@@ -4516,17 +4521,29 @@ def q_robots_filter(spark, sf_dir):
     dropped = filter_disallowed(urls, rules, keep_disallowed=True).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").alias("ids")).collect()[0]
+    # r9: non-rule directives — Crawl-delay is agent-group-scoped
+    # (googlebot's own 2.5 beats the * group's 10), Sitemap: lines are
+    # global per sitemaps.org
+    [dstar] = parse_robots_directives(robots, "url", "body").collect()
+    [dgbot] = parse_robots_directives(robots, "url", "body",
+                                      user_agent="googlebot").collect()
     return _metrics_df(spark, sorted([
         ("n_rules", rules.count()),
         ("kept_count", kept["n"]), ("kept_id_sum", kept["ids"] or 0),
         ("dropped_count", dropped["n"]),
-        ("dropped_id_sum", dropped["ids"] or 0)]))
+        ("dropped_id_sum", dropped["ids"] or 0),
+        ("crawl_delay_star", dstar["crawl_delay"]),
+        ("crawl_delay_googlebot", dgbot["crawl_delay"]),
+        ("n_sitemaps", len(dstar["sitemaps"]))]))
 
 
 _ROBOTS_FILTER_ORACLE_SQL = """
     WITH d AS (SELECT doc_id AS i, doc_id % 4 AS f FROM documents)
     SELECT metric, value FROM (
       SELECT 'n_rules' AS metric, 3.0 AS value
+      UNION ALL SELECT 'crawl_delay_star', 10.0
+      UNION ALL SELECT 'crawl_delay_googlebot', 2.5
+      UNION ALL SELECT 'n_sitemaps', 2.0
       UNION ALL SELECT 'kept_count',
         CAST(SUM(CASE WHEN f IN (0, 2) THEN 1 ELSE 0 END) AS DOUBLE)
         FROM d

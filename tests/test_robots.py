@@ -242,3 +242,74 @@ class TestRobotsProperty:
             assert kept == want
 
         check()
+
+
+class TestDirectives:
+    BODY = """User-agent: googlebot
+Crawl-delay: 2.5
+Disallow: /g/
+
+User-agent: *
+Crawl-delay: 10
+Crawl-delay: 99
+Disallow: /private/
+
+Sitemap: https://a.example.com/sitemap.xml
+Sitemap: https://a.example.com/sitemap-news.xml
+"""
+
+    def _df(self, spark):
+        from deequ_spark.llm import parse_robots_directives
+        df = spark.createDataFrame(
+            [("http://a.example.com/robots.txt", self.BODY)],
+            "url string, body string")
+        return df, parse_robots_directives
+
+    def test_crawl_delay_agent_scoped_first_wins(self, spark):
+        df, parse = self._df(spark)
+        [r] = parse(df, "url", "body").collect()
+        assert r["host"] == "a.example.com"
+        assert r["crawl_delay"] == 10.0          # * group, first value
+        [g] = parse(df, "url", "body", user_agent="googlebot").collect()
+        assert g["crawl_delay"] == 2.5           # own group beats *
+
+    def test_sitemaps_are_global(self, spark):
+        df, parse = self._df(spark)
+        [g] = parse(df, "url", "body", user_agent="googlebot").collect()
+        assert list(g["sitemaps"]) == [
+            "https://a.example.com/sitemap.xml",
+            "https://a.example.com/sitemap-news.xml"]
+
+    def test_absent_and_garbage_delay_null(self, spark):
+        from deequ_spark.llm import parse_robots_directives
+        df = spark.createDataFrame(
+            [("http://b.com/robots.txt",
+              "User-agent: *\nCrawl-delay: soon\nDisallow: /x/\n"),
+             ("http://c.com/robots.txt", "User-agent: *\nDisallow:\n")],
+            "url string, body string")
+        got = {r["host"]: (r["crawl_delay"], list(r["sitemaps"])) for r in
+               parse_robots_directives(df, "url", "body").collect()}
+        assert got == {"b.com": (None, []), "c.com": (None, [])}
+
+    def test_feeds_sitemap_module(self, spark):
+        """Directive -> fetch -> parse: the Sitemap: URL from robots is
+        exactly what sitemap_frontier consumes downstream."""
+        from deequ_spark.llm import (parse_robots, parse_robots_directives,
+                                     sitemap_frontier)
+        robots = spark.createDataFrame(
+            [("http://a.example.com/robots.txt",
+              "User-agent: *\nDisallow: /private/\n"
+              "Sitemap: https://a.example.com/sm.xml\n")],
+            "url string, body string")
+        [d] = parse_robots_directives(robots, "url", "body").collect()
+        fetched_url = d["sitemaps"][0]
+        sitemaps = spark.createDataFrame(
+            [(fetched_url,
+              "<urlset><url><loc>https://a.example.com/ok</loc></url>"
+              "<url><loc>https://a.example.com/private/x</loc></url>"
+              "</urlset>")],
+            "url string, body string")
+        rules = parse_robots(robots, "url", "body")
+        got = {r["url"] for r in
+               sitemap_frontier(sitemaps, rules).collect()}
+        assert got == {"https://a.example.com/ok"}
