@@ -379,6 +379,33 @@ def b24_crawl_ingest(spark, warc_dir):
     return chunks.count()
 
 
+def b25_fuzzy_join(spark, cust):
+    """B25: PassJoin edit-distance self-join (linkage.py) — bounded
+    per-row signature explode, ONE equi-join on (seg, i, len), pair
+    distinct, thresholded-levenshtein verify. The exact pair set a
+    cross join would compute, without the cross join."""
+    from deequ_spark.linkage import edit_distance_join
+    return edit_distance_join(cust, "c_name", 1, "c_custkey").count()
+
+
+def b26_zorder_cluster(spark, orders):
+    """B26: Z-order re-layout (layout.py) — one min/max agg + one
+    repartitionByRange shuffle + task-local sort, written out (the
+    write IS the workload: clustering is a layout job whose payoff is
+    every later pruned scan)."""
+    import shutil
+    import tempfile
+    from deequ_spark.layout import cluster_by_zorder
+    out = cluster_by_zorder(orders, ["o_custkey", "o_totalprice"],
+                            bits=16, num_partitions=32)
+    d = tempfile.mkdtemp(prefix="bench_zorder_")
+    try:
+        out.write.mode("overwrite").parquet(f"{d}/c")
+        return 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main():
     spark = (SparkSession.builder
              .master(f"local[{CPUS}]")
@@ -393,6 +420,7 @@ def main():
 
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     # warm the JVM + file listing once
@@ -445,6 +473,8 @@ def main():
          lambda: b22_incremental_dedup(spark, idx_pair)),
         ("b23_image_phash", lambda: b23_image_phash(spark, images)),
         ("b24_crawl_ingest", lambda: b24_crawl_ingest(spark, warc_dir)),
+        ("b25_fuzzy_join", lambda: b25_fuzzy_join(spark, cust)),
+        ("b26_zorder_cluster", lambda: b26_zorder_cluster(spark, orders)),
     ]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples = {name: [] for name, _ in benches}

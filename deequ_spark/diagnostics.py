@@ -404,3 +404,86 @@ def grouped_topk(df: DataFrame, keys: Union[str, Sequence[str]],
     w = Window.partitionBy(*key_list).orderBy(order)
     return (df.withColumn(rank_col, F.row_number().over(w))
             .where(F.col(rank_col) <= k))
+
+
+def misra_gries_fold(counters: dict, weighted_items, cap: int) -> dict:
+    """Fold ``(value, count)`` pairs into a Misra-Gries summary of at
+    most ``cap`` counters.  Batched decrement: inserting past capacity
+    strips the minimum from every counter — that removes >= (cap+1)*m
+    total mass while charging any single counter only m, so the classic
+    undercount bound (true_count - mg_count <= total_mass/(cap+1))
+    survives batching, and with it the soundness guarantee both the
+    batch (:func:`exact_heavy_hitters`) and streaming
+    (``streaming.frequent``) consumers rely on: every value with mass
+    above total/(cap+1) keeps a positive counter."""
+    for v, c in weighted_items:
+        c = int(c)
+        if v in counters:
+            counters[v] += c
+        elif len(counters) < cap:
+            counters[v] = c
+        else:
+            counters[v] = c
+            m = min(counters.values())
+            counters = {k2: c2 - m for k2, c2 in counters.items()
+                        if c2 > m}
+    return counters
+
+
+def exact_heavy_hitters(df: DataFrame, column: str, min_fraction: float,
+                        capacity: Optional[int] = None) -> DataFrame:
+    """EXACT frequent items: every value of ``column`` occurring in at
+    least ``min_fraction`` of the non-null rows, with its exact count.
+
+    Two passes, both bounded-memory — the point at 100 TB is that the
+    obvious plan (``groupBy(col).count()`` then filter) keeps hash-agg
+    state proportional to the column's CARDINALITY, which for a URL or
+    user-id column is corpus-sized.  Here:
+
+    1. **Candidates** — one map-only pass running a Misra-Gries summary
+       (Misra & Gries 1982, "Finding repeated elements") per partition
+       with ``capacity = ceil(1/min_fraction) + 1`` counters.  MG
+       undercounts any value by at most ``n_p/(capacity+1) <
+       min_fraction * n_p``, and a globally frequent value must reach
+       ``min_fraction * n_p`` in at least one partition (pigeonhole), so
+       the union of per-partition survivors is a SUPERSET of the true
+       heavy hitters: the filter is sound, never lossy.  At most
+       ``capacity`` candidates per partition regardless of cardinality.
+    2. **Verify** — broadcast the candidate set (tiny: capacity x
+       n_partitions values), semi-join, exact count of the survivors
+       only, filter ``count >= min_fraction * total``.
+
+    Output: ``value, count, fraction`` (exact).  NULLs are ignored.
+    One extra cheap job computes the non-null total (count-only scan).
+    """
+    if not (0.0 < min_fraction <= 1.0):
+        raise ValueError("min_fraction must be in (0, 1]")
+    import math
+    cap = capacity if capacity is not None \
+        else int(math.ceil(1.0 / min_fraction)) + 1
+    if cap < 1:
+        raise ValueError("capacity must be >= 1")
+
+    values = df.select(F.col(column).alias("value")) \
+               .where(F.col("value").isNotNull())
+    schema = values.schema
+
+    def mg_partition(batches):
+        import pandas as pd
+        counters: dict = {}
+        for pdf in batches:
+            counters = misra_gries_fold(
+                counters, pdf["value"].value_counts(dropna=True).items(),
+                cap)
+        yield pd.DataFrame({"value": list(counters.keys())})
+
+    candidates = values.mapInPandas(mg_partition, schema).distinct()
+    total = values.count()
+    if total == 0:
+        return (values.groupBy("value").agg(F.count("*").alias("count"))
+                .withColumn("fraction", F.lit(0.0)).limit(0))
+    return (values.join(F.broadcast(candidates), "value", "leftsemi")
+            .groupBy("value").agg(F.count("*").alias("count"))
+            .where(F.col("count") >= F.lit(min_fraction) * F.lit(total))
+            .withColumn("fraction",
+                        (F.col("count") / F.lit(total)).cast("double")))

@@ -362,3 +362,39 @@ def rolling_stats(df: DataFrame, on: str, value: str,
         name = f"{s}{suffix}" if suffix else f"{value}_roll_{s}"
         out = out.withColumn(name, supported[s](F.col(value)).over(w))
     return out
+
+
+def salted_join(left: DataFrame, right: DataFrame,
+                on: Union[str, Sequence[str]], num_salts: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Replicated-salt equi-join — the skew weapon for when the hot-key
+    side is too big to broadcast WHOLE but each key's partner rows are
+    small.  A plain shuffle join puts every row of a hot key into one
+    task; AQE's skew-join splits the *partition* but still co-locates
+    each key.  Salting splits the KEY itself: the big (left) side gets a
+    salt in [0, num_salts), the small (right) side is replicated once
+    per salt value (``explode(sequence(...))`` — map-only, x num_salts
+    rows moved, the price of the spread), and the join key becomes
+    (key, salt) so a hot key fans out over num_salts tasks.
+
+    The result is row-for-row identical to ``left.join(right, on, how)``
+    — every left row matches exactly the one right replica carrying its
+    salt — so the transform is pure plan surgery, oracle-checkable
+    against the plain join.  Salt assignment hashes the left row's
+    columns (deterministic; fully-duplicate rows share a salt, which
+    only matters if the hot key's rows are all identical).  Supported
+    ``how``: inner, left (an unmatched right row would otherwise
+    surface once per replica).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if num_salts < 1:
+        raise ValueError("num_salts must be >= 1")
+    on_cols = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                  F.lit(num_salts)).cast("int")
+    lhs = left.withColumn("__salt", salt)
+    rhs = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
+    out = lhs.join(rhs, on_cols + ["__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,277 @@
+"""Similarity joins — record linkage without the cross product.
+
+Fuzzy matching is the join the reference cannot express: "find pairs of
+records whose names differ by at most k edits" or "documents whose token
+sets overlap by Jaccard >= t".  The naive plan is an O(n^2) cross join —
+at 100 TB that is not a plan at all.  Both operators here use *sound*
+signature schemes (no false negatives, pruned candidates verified
+exactly), so the result is EXACT — identical to the brute-force answer —
+while the executed plan is a bounded hash join:
+
+- :func:`edit_distance_join` — PassJoin-style pigeonhole segments
+  (Li, Deng & Feng, "PASS-JOIN: a partition-based method for similarity
+  joins", PVLDB 5(3), 2011).  If ``ed(s, t) <= k`` then at least one of
+  the k+1 contiguous segments of ``s`` survives all edits and appears in
+  ``t`` verbatim, shifted by at most k positions.  Index side emits k+1
+  segment keys per row; probe side emits every substring that could be
+  such a segment — at most ``(k+1)(2k+1)^2`` keys per row (27 at k=1,
+  75 at k=2), a constant.  One hash join on ``(segment, i, source_len)``
+  + a thresholded ``levenshtein`` verify (early-exit codegen, Spark's
+  3-arg form) gives the exact pair set.
+- :func:`token_jaccard_join` — prefix filtering (SSJoin/PPJoin;
+  Chaudhuri, Ganti & Kaushik ICDE'06, Xiao et al. WWW'08).  Order each
+  record's distinct tokens rarest-first by global document frequency;
+  two sets with Jaccard >= t must share a token within each other's
+  first ``n - ceil(t*n) + 1`` tokens.  Joining only on those prefix
+  tokens (instead of a full inverted index over ALL tokens, as
+  ``jaccard_similarity_pairs`` does) shrinks candidates by ~t/(1+t) and
+  — because prefixes are *rare* tokens — sidesteps the hot-token skew
+  that dominates a full inverted-index join.  Candidates are verified
+  with an exact ``array_intersect`` Jaccard.
+
+100 TB design notes
+-------------------
+Signature generation is map-only expression code (whole-stage codegen:
+``substr``/``sequence``/``transform``/``slice`` — no Python).  Each
+operator shuffles once to join signatures and once to distinct the
+candidate pairs; pair verification is codegen.  Skew: PassJoin keys
+carry ``(segment_index, source_length)`` alongside the text so common
+substrings spread across (k+1)(2k+1) key groups; prefix-filter keys are
+by construction the RAREST tokens of each record.  Residual skew is AQE
+skew-join territory — both joins are plain equi-joins, so
+``spark.sql.adaptive.optimizeSkewedJoin`` applies untouched.
+
+Reference parity: the reference repo has no similarity-join operator
+(closest is grouping-based uniqueness); this module is part of the
+beyond-reference training-data surface (record linkage, near-duplicate
+mining, entity resolution at crawl scale).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["edit_distance_join", "token_jaccard_join", "tokenize_set"]
+
+_EMPTY_INT_SEQ = "CAST(array() AS array<int>)"
+
+
+def _seg_geometry(l: Column, i: Column, k: int) -> Tuple[Column, Column]:
+    """(0-based start, length) of segment ``i`` of an ``l``-char string
+    split into k+1 contiguous parts: the first ``k+1 - (l mod (k+1))``
+    parts get ``floor(l/(k+1))`` chars, the remainder one char more.
+    Deterministic, so probe and index sides agree byte-for-byte."""
+    parts = F.lit(k + 1)
+    base = F.floor(l / parts).cast("int")
+    rem = (l % parts).cast("int")
+    cut = (parts - rem).cast("int")  # count of short segments
+    length = F.when(i < cut, base).otherwise(base + 1)
+    start = (F.when(i < cut, i * base)
+             .otherwise(i * base + (i - cut))).cast("int")
+    return start, length
+
+
+def _key_struct(seg: Column, i: Column, l: Column) -> Column:
+    return F.struct(seg.cast("string").alias("seg"),
+                    i.cast("int").alias("i"),
+                    l.cast("int").alias("l"))
+
+
+def _index_keys(s: Column, k: int) -> Column:
+    """k+1 segment keys for the indexed side; strings shorter than k+1
+    chars get the single short-string key ('', -1, len) instead (they
+    cannot be split into k+1 non-empty parts)."""
+    l = F.length(s)
+    idxs = F.sequence(F.lit(0), F.lit(k))
+
+    def make(i: Column) -> Column:
+        start, ln = _seg_geometry(l, i, k)
+        return _key_struct(s.substr(start + 1, ln), i, l)
+
+    long_keys = F.transform(idxs, make)
+    short_keys = F.array(_key_struct(F.lit(""), F.lit(-1), l))
+    return F.when(l >= k + 1, long_keys).otherwise(short_keys)
+
+
+def _probe_keys(t: Column, k: int) -> Column:
+    """Every key an indexed string s with ``|len(s) - len(t)| <= k`` and
+    ``ed(s, t) <= k`` could have produced: for each candidate source
+    length l and segment index i, the substrings of t of the segment's
+    length within +-k of the segment's home position (an untouched
+    segment shifts by at most the k net insertions/deletions)."""
+    m = F.length(t)
+
+    lo = F.greatest(F.lit(k + 1), m - k)
+    hi = m + k
+    lengths = F.when(hi >= lo, F.sequence(lo, hi)) \
+               .otherwise(F.expr(_EMPTY_INT_SEQ))
+
+    def per_l(l: Column) -> Column:
+        idxs = F.sequence(F.lit(0), F.lit(k))
+
+        def per_i(i: Column) -> Column:
+            start, ln = _seg_geometry(l, i, k)
+            p_lo = F.greatest(F.lit(0), start - k)
+            p_hi = F.least(m - ln, start + k)
+            positions = F.when(p_hi >= p_lo, F.sequence(p_lo, p_hi)) \
+                         .otherwise(F.expr(_EMPTY_INT_SEQ))
+            return F.transform(
+                positions, lambda p: _key_struct(t.substr(p + 1, ln), i, l))
+
+        return F.flatten(F.transform(idxs, per_i))
+
+    long_keys = F.flatten(F.transform(lengths, per_l))
+
+    # short-string partners: indexed strings with len < k+1
+    s_lo = F.greatest(F.lit(0), m - k)
+    s_hi = F.least(F.lit(k), m + k)
+    short_ls = F.when(s_hi >= s_lo, F.sequence(s_lo, s_hi)) \
+                .otherwise(F.expr(_EMPTY_INT_SEQ))
+    short_keys = F.transform(
+        short_ls, lambda l: _key_struct(F.lit(""), F.lit(-1), l))
+
+    return F.array_distinct(F.concat(long_keys, short_keys))
+
+
+def edit_distance_join(left: DataFrame, string_col: str, threshold: int,
+                       id_col: str,
+                       right: Optional[DataFrame] = None,
+                       right_string_col: Optional[str] = None,
+                       right_id_col: Optional[str] = None) -> DataFrame:
+    """Exact similarity join on Levenshtein distance <= ``threshold``.
+
+    Self-join when ``right`` is None: returns each unordered pair once
+    with ``id_a < id_b`` (self-pairs excluded).  Two-table mode returns
+    ``(id_a from left, id_b from right)``.  NULL strings never match.
+
+    Output columns: ``id_a, id_b, dist`` (dist = exact edit distance).
+
+    The executed plan: map-only signature explode on both sides (bounded
+    (k+1)(2k+1)^2 keys/row), one equi-join on ``(seg, i, l)``, one
+    distinct on the candidate pair, then Spark's thresholded
+    ``levenshtein(a, b, k)`` (returns -1 past the threshold, so the DP
+    early-exits after the band is exceeded).  No cross join at any size.
+    """
+    if threshold < 0:
+        raise ValueError("threshold must be >= 0")
+    k = int(threshold)
+    self_join = right is None
+    r_df = left if self_join else right
+    r_str = string_col if self_join else (right_string_col or string_col)
+    r_id = id_col if self_join else (right_id_col or id_col)
+
+    a = (left.where(F.col(string_col).isNotNull())
+         .select(F.col(id_col).alias("id_a"),
+                 F.col(string_col).alias("s_a"),
+                 F.explode(_index_keys(F.col(string_col), k)).alias("key"))
+         .select("id_a", "s_a", "key.seg", "key.i", "key.l"))
+    b = (r_df.where(F.col(r_str).isNotNull())
+         .select(F.col(r_id).alias("id_b"),
+                 F.col(r_str).alias("s_b"),
+                 F.explode(_probe_keys(F.col(r_str), k)).alias("key"))
+         .select("id_b", "s_b", "key.seg", "key.i", "key.l"))
+
+    cand = a.join(b, ["seg", "i", "l"]).select("id_a", "s_a", "id_b", "s_b")
+    if self_join:
+        # either direction of a true pair may be the one the pigeonhole
+        # found — canonicalize before the distinct so each survives once
+        cand = (cand.where(F.col("id_a") != F.col("id_b"))
+                .select(F.when(F.col("id_a") < F.col("id_b"),
+                               F.struct("id_a", "s_a", "id_b", "s_b"))
+                        .otherwise(F.struct(F.col("id_b").alias("id_a"),
+                                            F.col("s_b").alias("s_a"),
+                                            F.col("id_a").alias("id_b"),
+                                            F.col("s_a").alias("s_b")))
+                        .alias("p"))
+                .select("p.id_a", "p.s_a", "p.id_b", "p.s_b"))
+    cand = cand.distinct()
+
+    dist = F.levenshtein(F.col("s_a"), F.col("s_b"), k)
+    return (cand.withColumn("dist", dist)
+            .where(F.col("dist") >= 0)
+            .select("id_a", "id_b", "dist"))
+
+
+def tokenize_set(text: Column) -> Column:
+    """Distinct lowercase alphanumeric tokens of ``text`` — the token-set
+    domain for :func:`token_jaccard_join`.  Engine-portable: identical to
+    ``regexp_split_to_array(lower(x), '[^a-z0-9]+')`` + empty filter in
+    ANSI engines (the class is ASCII-only in both Java and RE2 regexes,
+    so non-Latin scripts tokenize to the empty set in both)."""
+    return F.array_distinct(
+        F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != ""))
+
+
+def token_jaccard_join(df: DataFrame, id_col: str, text_col: str,
+                       threshold: float) -> DataFrame:
+    """Exact self-join on token-set Jaccard similarity >= ``threshold``.
+
+    Output: ``id_a, id_b, jaccard`` (``id_a < id_b``, each pair once,
+    jaccard exact — ``|A∩B| / |A∪B|`` over :func:`tokenize_set` sets).
+
+    Prefix filter: tokens of each record are ordered rarest-first by
+    global document frequency (ties by token text, so the order is
+    deterministic and engine-portable); two sets with Jaccard >= t MUST
+    share a token inside each's first ``n - ceil(t*n) + 1`` tokens, so
+    only those prefix tokens enter the join.  Because prefixes hold the
+    RAREST tokens, the join keys are anti-skewed by construction — the
+    "the"/"and" hot buckets that cripple a full inverted index never
+    appear.  Plan: one groupBy for document frequencies, one join to
+    attach them (token-keyed, vocabulary-sized), one prefix equi-join,
+    distinct on the pair, two id-keyed joins to re-attach token arrays,
+    codegen ``array_intersect`` verify.  Records with empty token sets
+    are dropped (Jaccard undefined).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+
+    recs = (df.select(F.col(id_col).alias("id"),
+                      tokenize_set(F.col(text_col)).alias("toks"))
+            .where(F.size("toks") > 0))
+
+    tok_df = (recs.select(F.col("id"), F.explode("toks").alias("tok"))
+              .groupBy("tok").agg(F.count("*").alias("df")))
+
+    # rarest-first global order carried as a sortable (df, tok) struct —
+    # no global row_number window, so no single-partition shuffle
+    ranked = (recs.select("id", F.explode("toks").alias("tok"))
+              .join(tok_df, "tok")
+              .groupBy("id")
+              .agg(F.array_sort(F.collect_list(F.struct("df", "tok")))
+                   .alias("ordered")))
+    ranked = ranked.select(
+        "id",
+        F.transform("ordered", lambda s: s["tok"]).alias("toks"),
+        F.size("ordered").alias("n"))
+
+    prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n"))
+                  + F.lit(1)).cast("int")
+    prefix = (ranked.select(
+        "id", "n", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")))
+
+    pa = prefix.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+                       "tok")
+    pb = prefix.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"),
+                       "tok")
+    cand = (pa.join(pb, "tok")
+            .where((F.col("id_a") < F.col("id_b"))
+                   # |A| and |B| within a factor of t of each other —
+                   # necessary for Jaccard >= t
+                   & (F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
+                   & (F.col("n_a") * F.lit(threshold) <= F.col("n_b")))
+            .select("id_a", "id_b")
+            .distinct())
+
+    ta = ranked.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"),
+                       F.col("n").alias("n_a"))
+    tb = ranked.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"),
+                       F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    jacc = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("jaccard", jacc.cast("double"))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -430,3 +430,41 @@ def assemble_packs(packed: DataFrame, ids_df: DataFrame,
                                 p["id"].alias("id"),
                                 p["slice_tokens"].alias("n_tokens")))
                 .alias("doc_spans")))
+
+
+def assign_split(df: DataFrame, group_col: str,
+                 weights: dict, split_col: str = "split",
+                 salt: str = "") -> DataFrame:
+    """Leakage-safe train/validation/test assignment: every row of the
+    same ``group_col`` value (domain, URL host, author, dedup cluster)
+    lands in the SAME split, so near-duplicate documents sharing a group
+    can never straddle the train/eval boundary — the standard guard
+    against benchmark leakage when splitting a deduplicated-but-
+    clustered corpus.
+
+    ``weights`` maps split name -> fraction (must sum to ~1).  The
+    assignment is the md5 portable hash of the group key against the
+    cumulative weight thresholds (same mechanism as
+    :func:`hash_sample`): deterministic across engines, re-runs, and
+    cluster sizes, and purely map-only — no shuffle, no state, just a
+    string hash and a chain of threshold comparisons, so it costs
+    nothing at 100 TB.  ``salt`` re-rolls the assignment without
+    touching the weights (e.g. per-epoch re-splits).
+    """
+    names = list(weights)
+    if not names:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    h = portable_hash_hex(F.concat(F.col(group_col).cast("string"),
+                                   F.lit(salt)))
+    expr = F.lit(names[-1])  # last split takes the residual mass
+    cum = 0.0
+    branches = []
+    for name in names[:-1]:
+        cum += float(weights[name])
+        branches.append((name, _fraction_threshold(cum)))
+    for name, threshold in reversed(branches):
+        expr = F.when(h < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

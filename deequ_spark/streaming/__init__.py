@@ -223,3 +223,5 @@ from .dedup import (streaming_deduplicate,  # noqa: E402,F401
                     streaming_fingerprint_deduplicate)
 from .drift import (DriftBatchResult,  # noqa: E402,F401
                     StreamingDriftMonitor)
+from .frequent import (streaming_heavy_hitters,  # noqa: E402,F401
+                       verify_heavy_hitters)

@@ -1,0 +1,127 @@
+"""Z-order layout (deequ_spark/layout.py), salted_join, assign_split."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deequ_spark.layout import cluster_by_zorder, skipping_report, zorder_key
+from deequ_spark.joins import salted_join
+from deequ_spark.llm.packing import assign_split
+
+
+def _morton2(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_python_morton(spark):
+    rows = [(i, float(i % 17), float((i * 7) % 23)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, a double, b double")
+    bits = 8
+    got = dict((r["id"], r["z"]) for r in df.select(
+        "id", zorder_key(["a", "b"], [0.0, 0.0], [16.0, 22.0], bits)
+        .alias("z")).collect())
+    top = (1 << bits) - 1
+    import math
+    for i, a, b in rows:
+        ba = min(max(int(math.floor((a - 0.0) / 16.0 * top)), 0), top)
+        bb = min(max(int(math.floor((b - 0.0) / 22.0 * top)), 0), top)
+        assert got[i] == _morton2(ba, bb, bits), (i, a, b)
+
+
+def test_zorder_key_nulls_and_degenerate_range(spark):
+    df = spark.createDataFrame([(1, None, 5.0), (2, 3.0, 5.0)],
+                               "id int, a double, b double")
+    # b's range is degenerate (min == max) -> bucket 0; NULL a -> bucket 0
+    got = {r["id"]: r["z"] for r in df.select(
+        "id", zorder_key(["a", "b"], [0.0, 5.0], [10.0, 5.0], 4)
+        .alias("z")).collect()}
+    assert got[1] == 0
+    assert got[2] == _morton2(int(3.0 / 10.0 * 15), 0, 4)
+
+
+def test_zorder_key_validation(spark):
+    with pytest.raises(ValueError):
+        zorder_key([], [], [])
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c", "d"], [0] * 4, [1] * 4, bits=16)
+
+
+def test_cluster_by_zorder_improves_file_skipping(spark, tmp_path):
+    from deequ_spark.sources import write_manifest
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).cast("double").alias("x"),
+        F.pmod(F.col("id") * 37, 1000).cast("double").alias("y"))
+    clustered = cluster_by_zorder(df, ["x", "y"], bits=10,
+                                  num_partitions=16)
+    assert "_zorder" not in clustered.columns  # key dropped by default
+    p = str(tmp_path / "c")
+    clustered.write.parquet(p)
+    write_manifest(spark, p, ["x", "y"])
+    rep = skipping_report(spark, p, {"x": (0.0, 100.0),
+                                     "y": (0.0, 100.0)})
+    # a 10% range on each of two z-ordered columns must skip most files
+    assert rep["files_total"] == 16
+    assert rep["skip_ratio_x"] >= 0.5
+    assert rep["skip_ratio_y"] >= 0.5
+    # row counts survive the re-layout
+    assert spark.read.parquet(p).count() == n
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.createDataFrame(
+        [(i % 5, i) for i in range(1000)], "k int, v int")
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(4)], "k int, name string")
+    for how in ("inner", "left"):
+        plain = sorted(tuple(r) for r in left.join(right, "k", how)
+                       .select("k", "v", "name").collect())
+        salted = sorted(tuple(r) for r in
+                        salted_join(left, right, "k", num_salts=7, how=how)
+                        .select("k", "v", "name").collect())
+        assert salted == plain, how
+
+
+def test_salted_join_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "k int, v int")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="full")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", num_salts=0)
+
+
+def test_assign_split_group_atomic_and_weighted(spark):
+    rows = [(i, f"group{i % 200}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "id int, grp string")
+    out = assign_split(df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # no group straddles two splits
+    straddle = (out.groupBy("grp")
+                .agg(F.countDistinct("split").alias("ns"))
+                .where("ns > 1").count())
+    assert straddle == 0
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    assert sum(counts.values()) == 5000
+    # deterministic across invocations
+    again = {r["id"]: r["split"] for r in assign_split(
+        df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {r["id"]: r["split"] for r in out.collect()}
+    assert again == first
+    # salt re-rolls at least some assignments
+    salted = assign_split(df, "grp", {"train": 0.8, "val": 0.1,
+                                      "test": 0.1}, salt="epoch2")
+    resalted = {r["id"]: r["split"] for r in salted.collect()}
+    assert resalted != first
+
+
+def test_assign_split_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "id int, grp string")
+    with pytest.raises(ValueError):
+        assign_split(df, "grp", {})
+    with pytest.raises(ValueError):
+        assign_split(df, "grp", {"train": 0.5, "val": 0.1})

@@ -1,0 +1,191 @@
+"""Similarity joins (deequ_spark/linkage.py) + exact heavy hitters.
+
+Every assertion compares against a brute-force model computed in
+Python — the operators' claim is EXACTNESS despite pruned candidate
+generation, so the tests enumerate all pairs naively and demand set
+equality, including the edge geometries the pruning must not lose
+(short strings, empty strings, length-boundary pairs).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deequ_spark.linkage import (edit_distance_join, token_jaccard_join,
+                                 tokenize_set)
+from deequ_spark.diagnostics import exact_heavy_hitters
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute_pairs(rows, k):
+    out = set()
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1:]:
+            d = _lev(sa, sb)
+            if d <= k:
+                lo, hi = (ia, ib) if ia < ib else (ib, ia)
+                out.add((lo, hi, d))
+    return out
+
+
+WORDS = ["kitten", "sitten", "sitting", "mitten", "", "a", "ab", "abc",
+         "kittens", "smitten", "flag", "flap", "flaps", "xyzzy",
+         "mittens", "bitten", "bittern", "kitte", "itten", "kit"]
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_edit_distance_join_exact_vs_brute_force(spark, k):
+    rows = [(i, w) for i, w in enumerate(WORDS)]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {tuple(r) for r in
+           edit_distance_join(df, "s", k, "id").collect()}
+    assert got == _brute_pairs(rows, k)
+
+
+def test_edit_distance_join_short_and_empty_strings(spark):
+    # all strings shorter than k+1 — the short-string key path only
+    rows = [(1, ""), (2, "a"), (3, "b"), (4, "ab"), (5, "")]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {tuple(r) for r in
+           edit_distance_join(df, "s", 2, "id").collect()}
+    assert got == _brute_pairs(rows, 2)
+    assert (1, 5, 0) in got  # two empties match at distance 0
+
+
+def test_edit_distance_join_nulls_never_match(spark):
+    df = spark.createDataFrame([(1, None), (2, "x"), (3, None)],
+                               "id int, s string")
+    got = edit_distance_join(df, "s", 2, "id").collect()
+    assert got == []
+
+
+def test_edit_distance_join_two_table_mode(spark):
+    left = spark.createDataFrame([(1, "flag"), (2, "kitten")],
+                                 "lid int, ls string")
+    right = spark.createDataFrame([(10, "flap"), (11, "flag"),
+                                   (12, "mitten"), (13, "zzz")],
+                                  "rid int, rs string")
+    got = {tuple(r) for r in
+           edit_distance_join(left, "ls", 1, "lid", right=right,
+                              right_string_col="rs",
+                              right_id_col="rid").collect()}
+    assert got == {(1, 10, 1), (1, 11, 0), (2, 12, 1)}
+
+
+def test_edit_distance_join_no_cross_join_in_plan(spark):
+    df = spark.createDataFrame([(i, f"w{i}") for i in range(10)],
+                               "id int, s string")
+    plan = edit_distance_join(df, "s", 1, "id")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _brute_jaccard(rows, t):
+    import re
+    toks = {i: set(x for x in re.split(r"[^a-z0-9]+", s.lower()) if x)
+            for i, s in rows}
+    out = set()
+    ids = sorted(toks)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = toks[ids[i]], toks[ids[j]]
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                out.add((ids[i], ids[j], round(jac, 9)))
+    return out
+
+
+TEXTS = [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumped over the lazy dog"),
+         (3, "the quick brown fox jumps over a lazy dog"),
+         (4, "completely different words entirely here"),
+         (5, "Completely different WORDS entirely here!"),
+         (6, "quick brown fox"),
+         (7, ""),            # empty token set — dropped
+         (8, "架构 中文"),    # non-latin — empty token set
+         (9, "the quick brown fox jumps over the lazy dog")]
+
+
+@pytest.mark.parametrize("t", [0.5, 0.8, 1.0])
+def test_token_jaccard_join_exact_vs_brute_force(spark, t):
+    df = spark.createDataFrame(TEXTS, "id int, text string")
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+           for r in token_jaccard_join(df, "id", "text", t).collect()}
+    assert got == _brute_jaccard(TEXTS, t)
+
+
+def test_token_jaccard_join_threshold_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, text string")
+    with pytest.raises(ValueError):
+        token_jaccard_join(df, "id", "text", 0.0)
+    with pytest.raises(ValueError):
+        token_jaccard_join(df, "id", "text", 1.5)
+
+
+def test_tokenize_set_portable_semantics(spark):
+    df = spark.createDataFrame([("A b, C! a 7x",)], "t string")
+    [row] = df.select(tokenize_set(F.col("t")).alias("s")).collect()
+    assert sorted(row["s"]) == ["7x", "a", "b", "c"]
+
+
+def test_exact_heavy_hitters_skewed_synthetic(spark):
+    # 'hot' ~30%, 'warm' ~7%, long uniform tail — MG candidates must be
+    # a superset of the true hitters across any partitioning
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    n = 50000
+    vals = np.where(rng.random(n) < 0.3, "hot",
+                    np.where(rng.random(n) < 0.1, "warm",
+                             rng.integers(0, 20000, n).astype(str)))
+    pdf = pd.DataFrame({"v": vals})
+    df = spark.createDataFrame(pdf).repartition(13)
+    got = {r["value"]: r["count"]
+           for r in exact_heavy_hitters(df, "v", 0.05).collect()}
+    exp = {k: int(c) for k, c in pdf["v"].value_counts().items()
+           if c >= 0.05 * n}
+    assert got == exp
+    fr = {r["value"]: r["fraction"]
+          for r in exact_heavy_hitters(df, "v", 0.05).collect()}
+    for v, c in exp.items():
+        assert fr[v] == pytest.approx(c / n)
+
+
+def test_exact_heavy_hitters_ignores_nulls_and_empty(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,), (None,), (None,)], "v string")
+    got = {r["value"]: r["count"]
+           for r in exact_heavy_hitters(df, "v", 0.5).collect()}
+    assert got == {"a": 2}  # 2/3 of non-null rows; NULLs not counted
+    empty = spark.createDataFrame([], "v string")
+    assert exact_heavy_hitters(empty, "v", 0.5).collect() == []
+
+
+def test_exact_heavy_hitters_numeric_column(spark):
+    rows = [(1,)] * 60 + [(2,)] * 25 + [(i,) for i in range(100, 115)]
+    df = spark.createDataFrame(rows, "v int").repartition(7)
+    got = {r["value"]: r["count"]
+           for r in exact_heavy_hitters(df, "v", 0.2).collect()}
+    assert got == {1: 60, 2: 25}
+
+
+def test_exact_heavy_hitters_validation(spark):
+    df = spark.createDataFrame([(1,)], "v int")
+    with pytest.raises(ValueError):
+        exact_heavy_hitters(df, "v", 0.0)
+    with pytest.raises(ValueError):
+        exact_heavy_hitters(df, "v", 1.1)

@@ -64,6 +64,23 @@ COPY (
   FROM range(20000) t(i)
 ) TO '{workdir}/embeddings.parquet' (FORMAT PARQUET)
 """)
+    # 10x customers for the PassJoin gate: copies 1..9 get an 8-hex-char
+    # md5 COPY prefix — same-copy edit-distance structure is preserved
+    # verbatim, cross-copy names differ in >=2 prefix chars (and
+    # original-vs-copy lengths differ by 9 > k), so the true pair count
+    # must grow ~10x linearly, never cross-copy-quadratically
+    con.execute(f"""
+COPY (
+  WITH base AS (SELECT * FROM '{SF_DIR}/customer.parquet'),
+  copies AS (SELECT unnest(range(10)) AS c)
+  SELECT c * 10000000 + c_custkey AS c_custkey,
+         CASE WHEN c = 0 THEN c_name
+              ELSE substr(md5('copy' || c), 1, 8) || '#' || c_name
+         END AS c_name,
+         c_nationkey, c_acctbal, c_mktsegment
+  FROM base, copies
+) TO '{workdir}/customer.parquet' (FORMAT PARQUET)
+""")
 
 
 def main() -> None:
@@ -96,7 +113,13 @@ def main() -> None:
     emb10 = spark.read.parquet(f"{workdir}/embeddings.parquet")
     li1 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     li10 = reduce(lambda a, b: a.union(b), [li1] * 10).repartition(32).cache()
-    for df in (docs1, docs10, emb1, emb10, li1, li10):
+    cust1 = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    cust10 = spark.read.parquet(f"{workdir}/customer.parquet")
+    ord1 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ord10 = reduce(lambda a, b: a.union(b), [ord1] * 10) \
+        .repartition(32).cache()
+    for df in (docs1, docs10, emb1, emb10, li1, li10, cust1, cust10,
+               ord10):
         df.count()
 
     def packing_workload(spark_, docs):
@@ -291,6 +314,8 @@ def main() -> None:
         ("b17_span_dedup", span_dedup_workload, docs1, docs10),
         ("b18_semantic_dedup", semdedup_workload, emb1, emb10),
         ("b15_sequence_packing", packing_workload, docs1, docs10),
+        ("b25_fuzzy_join", bench.b25_fuzzy_join, cust1, cust10),
+        ("b26_zorder_cluster", bench.b26_zorder_cluster, ord1, ord10),
         ("b6_dedup_lsh", bench.b6_dedup_lsh, docs1, docs10),
         ("b7_ann", bench.b7_ann, emb1, emb10),
         ("b8_text_analysis", bench.b8_text_analysis, docs1, docs10),
@@ -359,6 +384,22 @@ def main() -> None:
                                    "bound": m_sd - 1, "ok": n_sd == m_sd - 1}
     assert n_sd == m_sd - 1, (
         f"semdedup min-partner expansion broken: {n_sd} != {m_sd - 1}")
+    # PassJoin pair growth: on the copy-disjoint 10x customer corpus the
+    # true k=1 pair count must grow ~linearly (same-copy pairs x10 plus
+    # nothing cross-copy); a superlinear count means the signature
+    # scheme started matching across copies (blocking regression)
+    from deequ_spark.linkage import edit_distance_join
+    fz = {}
+    for label, d in (("1x", cust1), ("10x", cust10)):
+        n_rows = d.count()
+        n_pairs = edit_distance_join(d, "c_name", 1, "c_custkey").count()
+        fz[label] = {"rows": n_rows, "pairs": n_pairs}
+    bound = int(fz["1x"]["pairs"] * 10.5) + 1
+    fz["ok"] = fz["10x"]["pairs"] <= bound
+    assert fz["ok"], (
+        f"fuzzy-join pair growth superlinear: {fz['10x']['pairs']} "
+        f"> {bound} (10.5x the 1x count)")
+    growth["fuzzy_join_pairs"] = fz
     out["candidate_growth"] = growth
     # flat-per-task-memory evidence for the size-targeted shard writer:
     # the LARGEST shard (≈ one task's buffered bytes) must stay ~target
