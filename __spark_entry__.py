@@ -5834,10 +5834,13 @@ def q_salted_join(spark, sf_dir):
         .withColumnRenamed("o_custkey", "c_custkey")
     cust = _load(spark, sf_dir, "customer")
     j = salted_join(orders, cust, "c_custkey", num_salts=4)
+    # per-row integer cents then a LONG sum: double summation order
+    # differs between engines/partitionings (floor(sum(double)*100)
+    # measurably flipped the last cent under row reordering)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     return (j.groupBy("c_mktsegment")
             .agg(F.count("*").cast("double").alias("n"),
-                 F.floor(F.sum("o_totalprice") * 100).cast("double")
-                 .alias("price_c")))
+                 F.sum(cents).cast("double").alias("price_c")))
 
 
 def q_assign_split(spark, sf_dir):
@@ -5866,35 +5869,34 @@ def q_streaming_hh(spark, sf_dir):
     import tempfile
     from deequ_spark.streaming import (streaming_heavy_hitters,
                                        verify_heavy_hitters)
-    src = f"/tmp/deequ_hh_src_{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(src, ignore_errors=True)
-    ev = _load(spark, sf_dir, "events").select("event_type")
-    ev.repartition(4).write.parquet(src)
-    static = spark.read.parquet(src)
-    stream = (spark.readStream.schema(static.schema)
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    hh = streaming_heavy_hitters(stream, "event_type",
-                                 capacity=16, num_buckets=4)
-    emitted = []
-    batches = []
-    ckpt = tempfile.mkdtemp(prefix="deequ_hh_ckpt_")
+    work = tempfile.mkdtemp(prefix="deequ_hh_")
+    src = os.path.join(work, "src")
     try:
+        ev = _load(spark, sf_dir, "events").select("event_type")
+        ev.repartition(4).write.parquet(src)
+        static = spark.read.parquet(src)
+        stream = (spark.readStream.schema(static.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        hh = streaming_heavy_hitters(stream, "event_type",
+                                     capacity=16, num_buckets=4)
+        emitted = []
+        batches = []
         q = (hh.writeStream.outputMode("update")
              .foreachBatch(lambda d, b: (emitted.extend(d.collect()),
                                          batches.append(b)))
-             .option("checkpointLocation", ckpt)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
              .trigger(availableNow=True).start())
         q.awaitTermination()
+        cand = spark.createDataFrame(
+            [(v,) for v in sorted({r["value"] for r in emitted})],
+            "value string")
+        verified = verify_heavy_hitters(static, "event_type", cand, 0.15)
+        rows = [(f"etype_{r['value']}", float(r["count"]))
+                for r in verified.collect()]
+        rows.append(("stream_batches", float(len(batches))))
+        return _metrics_df(spark, sorted(rows))
     finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    cand = spark.createDataFrame(
-        [(v,) for v in sorted({r["value"] for r in emitted})],
-        "value string")
-    verified = verify_heavy_hitters(static, "event_type", cand, 0.15)
-    rows = [(f"etype_{r['value']}", float(r["count"]))
-            for r in verified.collect()]
-    rows.append(("stream_batches", float(len(batches))))
-    return _metrics_df(spark, sorted(rows))
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _zorder_oracle() -> str:
@@ -5975,7 +5977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "sitemap_ops": q_sitemap_ops,
         # r9 late additions: slots 48-50 get driver rows this round; the
-        # remaining three are check_oracle-covered and rotate into the
+        # remaining four (heavy_hitters, streaming_hh, salted_join,
+        # assign_split) are check_oracle-covered and rotate into the
         # window next round
         "fuzzy_join": q_fuzzy_join,
         "token_jaccard": q_token_jaccard,
@@ -6250,7 +6253,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'etype_' || event_type AS metric,
                    CAST(COUNT(*) AS DOUBLE) AS value
             FROM events WHERE event_type IS NOT NULL GROUP BY event_type
-            HAVING COUNT(*) >= 0.15 *
+            HAVING COUNT(*) * 1000000 >= 150000 *
                    (SELECT COUNT(*) FROM events WHERE event_type IS NOT NULL)
             UNION ALL SELECT 'stream_batches', 4.0
             ORDER BY metric
@@ -6258,7 +6261,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": r"""
             SELECT c_mktsegment,
                    CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(FLOOR(SUM(o_totalprice) * 100) AS DOUBLE) AS price_c
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS DOUBLE) AS price_c
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -6293,11 +6297,11 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": r"""
             SELECT 'lang_' || lang AS metric, CAST(COUNT(*) AS DOUBLE) AS value
             FROM documents WHERE lang IS NOT NULL GROUP BY lang
-            HAVING COUNT(*) >= 0.13 * (SELECT COUNT(*) FROM documents WHERE lang IS NOT NULL)
+            HAVING COUNT(*) * 1000000 >= 130000 * (SELECT COUNT(*) FROM documents WHERE lang IS NOT NULL)
             UNION ALL
             SELECT 'etype_' || event_type, CAST(COUNT(*) AS DOUBLE)
             FROM events WHERE event_type IS NOT NULL GROUP BY event_type
-            HAVING COUNT(*) >= 0.15 * (SELECT COUNT(*) FROM events WHERE event_type IS NOT NULL)
+            HAVING COUNT(*) * 1000000 >= 150000 * (SELECT COUNT(*) FROM events WHERE event_type IS NOT NULL)
         """,
         "exact_dedup": r"""
             SELECT 'docs_total' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM documents

@@ -455,14 +455,23 @@ def exact_heavy_hitters(df: DataFrame, column: str, min_fraction: float,
 
     Output: ``value, count, fraction`` (exact).  NULLs are ignored.
     One extra cheap job computes the non-null total (count-only scan).
+    ``min_fraction`` is quantized to 1e-6 so the threshold comparison is
+    pure integer arithmetic — no float-boundary flakiness between this
+    and an ANSI-SQL replay of the same filter.
     """
     if not (0.0 < min_fraction <= 1.0):
         raise ValueError("min_fraction must be in (0, 1]")
     import math
     cap = capacity if capacity is not None \
         else int(math.ceil(1.0 / min_fraction)) + 1
-    if cap < 1:
-        raise ValueError("capacity must be >= 1")
+    # soundness needs undercount bound n_p/(cap+1) < min_fraction*n_p,
+    # i.e. (cap+1)*min_fraction > 1 — an explicit capacity below that
+    # would silently DROP true heavy hitters
+    if (cap + 1) * min_fraction <= 1.0:
+        raise ValueError(
+            f"capacity={cap} cannot guarantee exactness at "
+            f"min_fraction={min_fraction}: need capacity+1 > "
+            f"{1.0 / min_fraction:.1f}")
 
     values = df.select(F.col(column).alias("value")) \
                .where(F.col("value").isNotNull())
@@ -478,12 +487,30 @@ def exact_heavy_hitters(df: DataFrame, column: str, min_fraction: float,
         yield pd.DataFrame({"value": list(counters.keys())})
 
     candidates = values.mapInPandas(mg_partition, schema).distinct()
+    return verify_hitter_candidates(values, candidates, min_fraction)
+
+
+def verify_hitter_candidates(values: DataFrame, candidates: DataFrame,
+                             min_fraction: float) -> DataFrame:
+    """Exact pass 2 shared by the batch and streaming heavy-hitter
+    operators: broadcast the (tiny) candidate ``value`` set, semi-join,
+    exact count, keep values with ``count/total >= min_fraction``
+    (compared in integer micro-units — min_fraction quantized to 1e-6 —
+    so the boundary case is bit-stable and replayable in ANSI SQL).
+    ``values`` must be a single-column frame named ``value`` with NULLs
+    already removed."""
     total = values.count()
     if total == 0:
         return (values.groupBy("value").agg(F.count("*").alias("count"))
                 .withColumn("fraction", F.lit(0.0)).limit(0))
-    return (values.join(F.broadcast(candidates), "value", "leftsemi")
+    frac_micro = int(round(min_fraction * 1_000_000))
+    cand = candidates.select("value").distinct()
+    # long arithmetic: frac_micro * total exceeds int32 at ~2k rows and
+    # ANSI mode makes that a constant-folding crash, not a wrap
+    threshold = F.lit(frac_micro).cast("long") * F.lit(total).cast("long")
+    return (values.join(F.broadcast(cand), "value", "leftsemi")
             .groupBy("value").agg(F.count("*").alias("count"))
-            .where(F.col("count") >= F.lit(min_fraction) * F.lit(total))
+            .where(F.col("count") * F.lit(1_000_000).cast("long")
+                   >= threshold)
             .withColumn("fraction",
                         (F.col("count") / F.lit(total)).cast("double")))

@@ -106,17 +106,12 @@ def skipping_report(spark, path: str,
     over the (tiny) ``_manifest`` table — this is the before/after meter
     for :func:`cluster_by_zorder` (unclustered data skips ~0%%; clustered
     data skips ~(1 - selectivity) of files on every z-column)."""
-    from deequ_spark.sources import MANIFEST_DIR
+    from deequ_spark.sources import MANIFEST_DIR, file_misses_range
     manifest = spark.read.parquet(f"{path}/{MANIFEST_DIR}").collect()
     total = len(manifest)
     out = {"files_total": total}
     for c, (lo, hi) in predicates.items():
-        skipped = 0
-        for r in manifest:
-            mn, mx = r[f"min_{c}"], r[f"max_{c}"]
-            if (lo is not None and mx is not None and mx < lo) or \
-               (hi is not None and mn is not None and mn > hi):
-                skipped += 1
+        skipped = sum(1 for r in manifest if file_misses_range(r, c, lo, hi))
         out[f"skipped_{c}"] = skipped
         out[f"skip_ratio_{c}"] = skipped / total if total else 0.0
     return out

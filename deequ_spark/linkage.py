@@ -136,11 +136,55 @@ def _probe_keys(t: Column, k: int) -> Column:
     return F.array_distinct(F.concat(long_keys, short_keys))
 
 
+def _empty_str_array() -> Column:
+    return F.expr("CAST(array() AS array<string>)")
+
+
+def _deletion_variants(s: Column, k: int) -> Column:
+    """FastSS signature set (Bocek et al. 2007, "Fast similarity
+    search in large dictionaries"): every string reachable from ``s``
+    by deleting at most ``k`` characters.  If ``ed(s, t) <= k`` the two
+    strings share a variant (delete each side's edited positions along
+    an optimal alignment), so joining on variants is a SOUND blocking —
+    and, unlike fixed segments, the variants of common-prefix data stay
+    diverse (deleting different positions yields different strings), so
+    no single join bucket degenerates.  |variants| = O(n^k): only used
+    for k <= 2 over short strings."""
+    if k > 2:
+        raise ValueError("deletion variants implemented for k <= 2")
+    n = F.length(s)
+    parts = [F.array(s)]
+    if k >= 1:
+        d1 = F.when(n >= 1, F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat(s.substr(F.lit(1), i),
+                               s.substr(i + 2, n)))) \
+             .otherwise(_empty_str_array())
+        parts.append(d1)
+    if k >= 2:
+        d2 = F.when(n >= 2, F.flatten(F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.concat(s.substr(F.lit(1), i),
+                                   s.substr(i + 2, j - i - 1),
+                                   s.substr(j + 2, n)))))) \
+             .otherwise(_empty_str_array())
+        parts.append(d2)
+    return F.array_distinct(F.concat(*parts))
+
+
+#: auto method: deletion variants only when every string is at most this
+#: long — past it the O(n^k) signature count outweighs the skew immunity
+_DELETION_MAX_LEN = 64
+
+
 def edit_distance_join(left: DataFrame, string_col: str, threshold: int,
                        id_col: str,
                        right: Optional[DataFrame] = None,
                        right_string_col: Optional[str] = None,
-                       right_id_col: Optional[str] = None) -> DataFrame:
+                       right_id_col: Optional[str] = None,
+                       method: str = "auto") -> DataFrame:
     """Exact similarity join on Levenshtein distance <= ``threshold``.
 
     Self-join when ``right`` is None: returns each unordered pair once
@@ -149,32 +193,75 @@ def edit_distance_join(left: DataFrame, string_col: str, threshold: int,
 
     Output columns: ``id_a, id_b, dist`` (dist = exact edit distance).
 
-    The executed plan: map-only signature explode on both sides (bounded
-    (k+1)(2k+1)^2 keys/row), one equi-join on ``(seg, i, l)``, one
-    distinct on the candidate pair, then Spark's thresholded
+    Two sound blocking schemes, both verified with Spark's thresholded
     ``levenshtein(a, b, k)`` (returns -1 past the threshold, so the DP
-    early-exits after the band is exceeded).  No cross join at any size.
+    early-exits once the band is exceeded); ``method``:
+
+    - ``'deletions'`` — FastSS deletion neighborhoods: signatures =
+      all <=k-deletion variants (O(n^k) per row, k <= 2 only).  Join
+      buckets stay small even when every string shares a long prefix —
+      fixed-position segments degenerate there (one bucket holding ALL
+      rows => quadratic candidates; measured 225M candidate pairs on
+      15k 'Customer#...' names with segments vs seconds with
+      deletions).
+    - ``'segments'`` — PassJoin pigeonhole segments (bounded
+      (k+1)(2k+1)^2 keys/row regardless of length): the right scheme
+      for longer strings or k >= 3, but skew-prone on shared prefixes.
+    - ``'auto'`` (default) — deletions when k <= 2 and the longest
+      string is <= 64 chars (one cheap max(length) job), else segments.
+
+    Either way: map-only signature explode, ONE equi-join, one distinct
+    on the candidate pair, codegen verify.  No cross join at any size.
     """
     if threshold < 0:
         raise ValueError("threshold must be >= 0")
+    if method not in ("auto", "deletions", "segments"):
+        raise ValueError(f"unknown method {method!r}")
     k = int(threshold)
     self_join = right is None
     r_df = left if self_join else right
     r_str = string_col if self_join else (right_string_col or string_col)
     r_id = id_col if self_join else (right_id_col or id_col)
 
-    a = (left.where(F.col(string_col).isNotNull())
-         .select(F.col(id_col).alias("id_a"),
-                 F.col(string_col).alias("s_a"),
-                 F.explode(_index_keys(F.col(string_col), k)).alias("key"))
-         .select("id_a", "s_a", "key.seg", "key.i", "key.l"))
-    b = (r_df.where(F.col(r_str).isNotNull())
-         .select(F.col(r_id).alias("id_b"),
-                 F.col(r_str).alias("s_b"),
-                 F.explode(_probe_keys(F.col(r_str), k)).alias("key"))
-         .select("id_b", "s_b", "key.seg", "key.i", "key.l"))
+    if method == "auto":
+        if k <= 2:
+            mx = left.agg(F.max(F.length(string_col))).collect()[0][0]
+            if not self_join:
+                mx_r = r_df.agg(F.max(F.length(r_str))).collect()[0][0]
+                mx = max(mx or 0, mx_r or 0)
+            method = "deletions" if (mx or 0) <= _DELETION_MAX_LEN \
+                else "segments"
+        else:
+            method = "segments"
+    if method == "deletions" and k > 2:
+        raise ValueError("method='deletions' supports threshold <= 2")
 
-    cand = a.join(b, ["seg", "i", "l"]).select("id_a", "s_a", "id_b", "s_b")
+    if method == "deletions":
+        a = (left.where(F.col(string_col).isNotNull())
+             .select(F.col(id_col).alias("id_a"),
+                     F.col(string_col).alias("s_a"))
+             .withColumn("sig", F.explode(
+                 _deletion_variants(F.col("s_a"), k))))
+        b = (r_df.where(F.col(r_str).isNotNull())
+             .select(F.col(r_id).alias("id_b"),
+                     F.col(r_str).alias("s_b"))
+             .withColumn("sig", F.explode(
+                 _deletion_variants(F.col("s_b"), k))))
+        cand = a.join(b, "sig").select("id_a", "s_a", "id_b", "s_b")
+    else:
+        a = (left.where(F.col(string_col).isNotNull())
+             .select(F.col(id_col).alias("id_a"),
+                     F.col(string_col).alias("s_a"),
+                     F.explode(_index_keys(F.col(string_col), k))
+                     .alias("key"))
+             .select("id_a", "s_a", "key.seg", "key.i", "key.l"))
+        b = (r_df.where(F.col(r_str).isNotNull())
+             .select(F.col(r_id).alias("id_b"),
+                     F.col(r_str).alias("s_b"),
+                     F.explode(_probe_keys(F.col(r_str), k)).alias("key"))
+             .select("id_b", "s_b", "key.seg", "key.i", "key.l"))
+        cand = a.join(b, ["seg", "i", "l"]) \
+                .select("id_a", "s_a", "id_b", "s_b")
     if self_join:
         # either direction of a true pair may be the one the pigeonhole
         # found — canonicalize before the distinct so each survives once

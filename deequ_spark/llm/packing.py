@@ -457,8 +457,10 @@ def assign_split(df: DataFrame, group_col: str,
     total = float(sum(weights.values()))
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"weights must sum to 1, got {total}")
-    h = portable_hash_hex(F.concat(F.col(group_col).cast("string"),
-                                   F.lit(salt)))
+    # NULL groups hash as one sentinel group (md5 of NULL would be NULL,
+    # silently dumping every NULL row into the residual split)
+    key = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
+    h = portable_hash_hex(F.concat(key, F.lit(salt)))
     expr = F.lit(names[-1])  # last split takes the residual mass
     cum = 0.0
     branches = []

@@ -100,6 +100,20 @@ def write_manifest(spark: SparkSession, path: str, cols) -> None:
         f"{path}/{MANIFEST_DIR}")
 
 
+def file_misses_range(manifest_row, col: str, lo, hi) -> bool:
+    """True when a manifest row's ``[min_col, max_col]`` provably misses
+    the requested ``[lo, hi]`` range — THE pruning predicate, shared by
+    :func:`read_corpus` (which drops such files from the scan) and
+    ``layout.skipping_report`` (which merely counts them), so the meter
+    always measures exactly what the reader prunes."""
+    mn, mx = manifest_row[f"min_{col}"], manifest_row[f"max_{col}"]
+    if lo is not None and mx is not None and mx < lo:
+        return True
+    if hi is not None and mn is not None and mn > hi:
+        return True
+    return False
+
+
 def read_corpus(spark: SparkSession, path: str,
                 prune: dict | None = None) -> DataFrame:
     """Read a corpus written by :func:`write_corpus`, pruning data FILES
@@ -123,13 +137,8 @@ def read_corpus(spark: SparkSession, path: str,
     if manifest is not None:
         keep = []
         for row in manifest:
-            ok = True
-            for c, (lo, hi) in prune.items():
-                mn, mx = row[f"min_{c}"], row[f"max_{c}"]
-                if lo is not None and mx is not None and mx < lo:
-                    ok = False
-                if hi is not None and mn is not None and mn > hi:
-                    ok = False
+            ok = not any(file_misses_range(row, c, lo, hi)
+                         for c, (lo, hi) in prune.items())
             if ok:
                 keep.append(row["file"])
         # files the manifest does not know about (appended AFTER it was

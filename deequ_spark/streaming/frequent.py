@@ -95,15 +95,7 @@ def verify_heavy_hitters(df: DataFrame, column: str,
     (value, count, fraction), exact, provided ``min_fraction * total``
     exceeds every bucket's MG undercount bound (with the defaults,
     total/65 per bucket — amply true for any real threshold)."""
+    from deequ_spark.diagnostics import verify_hitter_candidates
     values = (df.select(F.col(column).cast("string").alias("value"))
               .where(F.col("value").isNotNull()))
-    total = values.count()
-    cand = candidates.select("value").distinct()
-    if total == 0:
-        return (values.groupBy("value").agg(F.count("*").alias("count"))
-                .withColumn("fraction", F.lit(0.0)).limit(0))
-    return (values.join(F.broadcast(cand), "value", "leftsemi")
-            .groupBy("value").agg(F.count("*").alias("count"))
-            .where(F.col("count") >= F.lit(min_fraction) * F.lit(total))
-            .withColumn("fraction",
-                        (F.col("count") / F.lit(total)).cast("double")))
+    return verify_hitter_candidates(values, candidates, min_fraction)

@@ -44,21 +44,45 @@ WORDS = ["kitten", "sitten", "sitting", "mitten", "", "a", "ab", "abc",
          "mittens", "bitten", "bittern", "kitte", "itten", "kit"]
 
 
+@pytest.mark.parametrize("method", ["deletions", "segments"])
 @pytest.mark.parametrize("k", [0, 1, 2])
-def test_edit_distance_join_exact_vs_brute_force(spark, k):
+def test_edit_distance_join_exact_vs_brute_force(spark, k, method):
     rows = [(i, w) for i, w in enumerate(WORDS)]
     df = spark.createDataFrame(rows, "id int, s string")
     got = {tuple(r) for r in
-           edit_distance_join(df, "s", k, "id").collect()}
+           edit_distance_join(df, "s", k, "id", method=method).collect()}
     assert got == _brute_pairs(rows, k)
 
 
-def test_edit_distance_join_short_and_empty_strings(spark):
+def test_edit_distance_join_segments_k3(spark):
+    # k=3 exercises the segments path (deletions is k<=2 only)
+    rows = [(i, w) for i, w in enumerate(WORDS)]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {tuple(r) for r in
+           edit_distance_join(df, "s", 3, "id").collect()}
+    assert got == _brute_pairs(rows, 3)
+
+
+def test_edit_distance_join_shared_prefix_corpus(spark):
+    # the skew wedge that melts fixed-position segments: every string
+    # shares a long constant prefix — both methods must stay EXACT
+    rows = [(i, f"Customer#{i:09d}") for i in range(0, 400, 3)]
+    df = spark.createDataFrame(rows, "id int, s string")
+    expected = _brute_pairs(rows, 1)
+    for method in ("deletions", "segments", "auto"):
+        got = {tuple(r) for r in
+               edit_distance_join(df, "s", 1, "id",
+                                  method=method).collect()}
+        assert got == expected, method
+
+
+@pytest.mark.parametrize("method", ["deletions", "segments"])
+def test_edit_distance_join_short_and_empty_strings(spark, method):
     # all strings shorter than k+1 — the short-string key path only
     rows = [(1, ""), (2, "a"), (3, "b"), (4, "ab"), (5, "")]
     df = spark.createDataFrame(rows, "id int, s string")
     got = {tuple(r) for r in
-           edit_distance_join(df, "s", 2, "id").collect()}
+           edit_distance_join(df, "s", 2, "id", method=method).collect()}
     assert got == _brute_pairs(rows, 2)
     assert (1, 5, 0) in got  # two empties match at distance 0
 
@@ -189,3 +213,27 @@ def test_exact_heavy_hitters_validation(spark):
         exact_heavy_hitters(df, "v", 0.0)
     with pytest.raises(ValueError):
         exact_heavy_hitters(df, "v", 1.1)
+    # an explicit capacity too small to guarantee exactness must raise,
+    # not silently drop hitters
+    with pytest.raises(ValueError):
+        exact_heavy_hitters(df, "v", 0.01, capacity=4)
+
+
+def test_exact_heavy_hitters_boundary_count_is_kept(spark):
+    # a value at EXACTLY min_fraction*total must be kept — the integer
+    # micro-unit comparison, immune to double(0.13)*total rounding up
+    rows = [("x",)] * 650 + [(f"t{i}",) for i in range(4350)]
+    df = spark.createDataFrame(rows, "v string").repartition(5)
+    got = {r["value"]: r["count"]
+           for r in exact_heavy_hitters(df, "v", 0.13).collect()}
+    assert got == {"x": 650}  # 650 == 0.13 * 5000 exactly
+
+
+def test_assign_split_null_groups_hash_as_one_group(spark):
+    from deequ_spark.llm.packing import assign_split
+    rows = [(i, None if i % 3 == 0 else f"g{i % 7}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id int, grp string")
+    out = assign_split(df, "grp", {"train": 0.5, "test": 0.5})
+    null_splits = {r["split"] for r in
+                   out.where("grp IS NULL").select("split").collect()}
+    assert len(null_splits) == 1  # all NULLs together, deterministically
