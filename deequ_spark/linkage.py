@@ -8,16 +8,20 @@ signature schemes (no false negatives, pruned candidates verified
 exactly), so the result is EXACT — identical to the brute-force answer —
 while the executed plan is a bounded hash join:
 
-- :func:`edit_distance_join` — PassJoin-style pigeonhole segments
-  (Li, Deng & Feng, "PASS-JOIN: a partition-based method for similarity
-  joins", PVLDB 5(3), 2011).  If ``ed(s, t) <= k`` then at least one of
-  the k+1 contiguous segments of ``s`` survives all edits and appears in
-  ``t`` verbatim, shifted by at most k positions.  Index side emits k+1
-  segment keys per row; probe side emits every substring that could be
-  such a segment — at most ``(k+1)(2k+1)^2`` keys per row (27 at k=1,
-  75 at k=2), a constant.  One hash join on ``(segment, i, source_len)``
-  + a thresholded ``levenshtein`` verify (early-exit codegen, Spark's
-  3-arg form) gives the exact pair set.
+- :func:`edit_distance_join` — two sound signature schemes.
+  Default (k <= 2, short strings): FastSS deletion neighborhoods
+  (Bocek et al. 2007) — signatures are all <=k-deletion variants, which
+  stay DIVERSE on shared-prefix data (ID schemes, catalog numbers),
+  where fixed-position segments collapse into one quadratic bucket
+  (measured: 358s -> 5.8s on 15k common-prefix names, see
+  tools/AB_B25_NOTE.md).  Fallback (longer strings, k >= 3): PassJoin
+  pigeonhole segments (Li, Deng & Feng, PVLDB 5(3), 2011) — if
+  ``ed(s, t) <= k`` at least one of the k+1 contiguous segments of
+  ``s`` survives all edits and appears in ``t`` verbatim shifted by at
+  most k, so the index side emits k+1 segment keys and the probe side
+  at most ``(k+1)(2k+1)^2`` substring keys per row.  Either way: one
+  hash join + a thresholded ``levenshtein`` verify (early-exit codegen,
+  Spark's 3-arg form) gives the exact pair set.
 - :func:`token_jaccard_join` — prefix filtering (SSJoin/PPJoin;
   Chaudhuri, Ganti & Kaushik ICDE'06, Xiao et al. WWW'08).  Order each
   record's distinct tokens rarest-first by global document frequency;
@@ -293,11 +297,20 @@ def tokenize_set(text: Column) -> Column:
 
 
 def token_jaccard_join(df: DataFrame, id_col: str, text_col: str,
-                       threshold: float) -> DataFrame:
-    """Exact self-join on token-set Jaccard similarity >= ``threshold``.
+                       threshold: float,
+                       right: Optional[DataFrame] = None,
+                       right_id_col: Optional[str] = None,
+                       right_text_col: Optional[str] = None) -> DataFrame:
+    """Exact join on token-set Jaccard similarity >= ``threshold``.
 
-    Output: ``id_a, id_b, jaccard`` (``id_a < id_b``, each pair once,
-    jaccard exact — ``|A∩B| / |A∪B|`` over :func:`tokenize_set` sets).
+    Self-join when ``right`` is None — output ``id_a, id_b, jaccard``
+    with ``id_a < id_b``, each pair once.  Two-table mode (the
+    cross-corpus shape: new crawl vs existing corpus, corpus vs
+    benchmark) emits ``id_a`` from ``df`` and ``id_b`` from ``right``;
+    token document frequencies — and with them the prefix order — are
+    computed over BOTH sides so the prefix-filter guarantee holds across
+    the join.  jaccard is exact — ``|A∩B| / |A∪B|`` over
+    :func:`tokenize_set` sets.
 
     Prefix filter: tokens of each record are ordered rarest-first by
     global document frequency (ties by token text, so the order is
@@ -314,48 +327,65 @@ def token_jaccard_join(df: DataFrame, id_col: str, text_col: str,
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    self_join = right is None
 
-    recs = (df.select(F.col(id_col).alias("id"),
-                      tokenize_set(F.col(text_col)).alias("toks"))
-            .where(F.size("toks") > 0))
+    def _recs(frame, idc, txtc):
+        return (frame.select(F.col(idc).alias("id"),
+                             tokenize_set(F.col(txtc)).alias("toks"))
+                .where(F.size("toks") > 0))
 
-    tok_df = (recs.select(F.col("id"), F.explode("toks").alias("tok"))
-              .groupBy("tok").agg(F.count("*").alias("df")))
+    recs_a = _recs(df, id_col, text_col)
+    recs_b = recs_a if self_join else _recs(
+        right, right_id_col or id_col, right_text_col or text_col)
 
-    # rarest-first global order carried as a sortable (df, tok) struct —
-    # no global row_number window, so no single-partition shuffle
-    ranked = (recs.select("id", F.explode("toks").alias("tok"))
-              .join(tok_df, "tok")
-              .groupBy("id")
-              .agg(F.array_sort(F.collect_list(F.struct("df", "tok")))
-                   .alias("ordered")))
-    ranked = ranked.select(
-        "id",
-        F.transform("ordered", lambda s: s["tok"]).alias("toks"),
-        F.size("ordered").alias("n"))
+    toks_a = recs_a.select("id", F.explode("toks").alias("tok"))
+    toks_b = toks_a if self_join \
+        else recs_b.select("id", F.explode("toks").alias("tok"))
+    # document frequencies over EVERY record entering the join — the
+    # prefix order must be one global order or the filter loses pairs
+    tok_src = toks_a if self_join else toks_a.unionByName(toks_b)
+    tok_df = tok_src.groupBy("tok").agg(F.count("*").alias("df"))
 
-    prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n"))
-                  + F.lit(1)).cast("int")
-    prefix = (ranked.select(
-        "id", "n", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")))
+    def _ranked(toks):
+        # rarest-first order carried as a sortable (df, tok) struct —
+        # no global row_number window, so no single-partition shuffle
+        r = (toks.join(tok_df, "tok")
+             .groupBy("id")
+             .agg(F.array_sort(F.collect_list(F.struct("df", "tok")))
+                  .alias("ordered")))
+        return r.select(
+            "id",
+            F.transform("ordered", lambda s: s["tok"]).alias("toks"),
+            F.size("ordered").alias("n"))
 
-    pa = prefix.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"),
-                       "tok")
-    pb = prefix.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"),
-                       "tok")
-    cand = (pa.join(pb, "tok")
-            .where((F.col("id_a") < F.col("id_b"))
-                   # |A| and |B| within a factor of t of each other —
-                   # necessary for Jaccard >= t
-                   & (F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
-                   & (F.col("n_a") * F.lit(threshold) <= F.col("n_b")))
+    def _prefix(ranked):
+        prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n"))
+                      + F.lit(1)).cast("int")
+        return ranked.select(
+            "id", "n", F.explode(F.slice("toks", 1, prefix_len))
+            .alias("tok"))
+
+    ranked_a = _ranked(toks_a)
+    ranked_b = ranked_a if self_join else _ranked(toks_b)
+    pa = _prefix(ranked_a).select(F.col("id").alias("id_a"),
+                                  F.col("n").alias("n_a"), "tok")
+    pb = _prefix(ranked_b).select(F.col("id").alias("id_b"),
+                                  F.col("n").alias("n_b"), "tok")
+    # |A| and |B| within a factor of t of each other — necessary for
+    # Jaccard >= t
+    size_ok = ((F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
+               & (F.col("n_a") * F.lit(threshold) <= F.col("n_b")))
+    pair_ok = (F.col("id_a") < F.col("id_b")) if self_join else F.lit(True)
+    cand = (pa.join(pb, "tok").where(pair_ok & size_ok)
             .select("id_a", "id_b")
             .distinct())
 
-    ta = ranked.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"),
-                       F.col("n").alias("n_a"))
-    tb = ranked.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"),
-                       F.col("n").alias("n_b"))
+    ta = ranked_a.select(F.col("id").alias("id_a"),
+                         F.col("toks").alias("t_a"),
+                         F.col("n").alias("n_a"))
+    tb = ranked_b.select(F.col("id").alias("id_b"),
+                         F.col("toks").alias("t_b"),
+                         F.col("n").alias("n_b"))
     inter = F.size(F.array_intersect("t_a", "t_b"))
     jacc = inter / (F.col("n_a") + F.col("n_b") - inter)
     return (cand.join(ta, "id_a").join(tb, "id_b")

@@ -152,6 +152,31 @@ def test_token_jaccard_join_exact_vs_brute_force(spark, t):
     assert got == _brute_jaccard(TEXTS, t)
 
 
+def test_token_jaccard_join_two_table_mode(spark):
+    left = spark.createDataFrame(TEXTS[:5], "id int, text string")
+    right = spark.createDataFrame(
+        [(100 + i, t) for i, t in TEXTS[4:]], "rid int, rtext string")
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+           for r in token_jaccard_join(
+               left, "id", "text", 0.5, right=right,
+               right_id_col="rid", right_text_col="rtext").collect()}
+    import re
+
+    def toks(s):
+        return set(x for x in re.split(r"[^a-z0-9]+", s.lower()) if x)
+    expected = set()
+    for i, ta in TEXTS[:5]:
+        for j, tb in TEXTS[4:]:
+            a, b = toks(ta), toks(tb)
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.5:
+                expected.add((i, 100 + j, round(jac, 9)))
+    assert got == expected
+    assert expected  # the fixture must actually produce matches
+
+
 def test_token_jaccard_join_threshold_validation(spark):
     df = spark.createDataFrame([(1, "x")], "id int, text string")
     with pytest.raises(ValueError):
