@@ -514,3 +514,55 @@ def verify_hitter_candidates(values: DataFrame, candidates: DataFrame,
                    >= threshold)
             .withColumn("fraction",
                         (F.col("count") / F.lit(total)).cast("double")))
+
+
+def plan_report(df: DataFrame, execute: bool = False) -> dict:
+    """Static lint of a DataFrame's EXECUTED plan — the pre-flight
+    answer to "will this plan survive a 100x scale-up?" as data, not a
+    wall of explain() text.  Counts the plan nodes that matter at scale:
+
+    - ``exchanges`` — shuffles (each is a full network rewrite of the
+      data; the first thing to minimize)
+    - ``broadcast_joins`` vs ``sortmerge_joins`` / ``shuffled_hash_joins``
+    - ``cartesian`` / ``nested_loop_joins`` — the do-not-ship nodes
+    - ``python_row_udfs`` (BatchEvalPython: row-at-a-time Python — the
+      slow path) vs ``arrow_python`` (ArrowEvalPython / MapInPandas /
+      FlatMapGroupsInPandas: vectorized)
+    - ``wholestage_codegen_spans`` — fused JVM pipelines (more/wider
+      is better)
+    - ``pushed_filters`` — predicates that reached the parquet scan
+
+    Pure string analysis of the physical plan; by default triggers
+    planning but never runs a job.  Under AQE the initial plan carries
+    no codegen annotations and join/exchange choices may still change —
+    pass ``execute=True`` to run the plan once (driving the physical
+    RDD directly, rows never collected) and lint the FINAL adaptive
+    plan instead; ``adaptive_final`` records which one you got.
+    """
+    qe = df._jdf.queryExecution()
+    if execute:
+        # executes THIS query execution (count on the InternalRow RDD),
+        # which is what finalizes an AdaptiveSparkPlan — a df.count()
+        # would plan and run a different (aggregated) query instead
+        qe.executedPlan().execute().count()
+    plan = qe.executedPlan().toString()
+    import re as _re
+    return {
+        "adaptive_final": ("isFinalPlan=true" in plan
+                           or "AdaptiveSparkPlan" not in plan),
+        "exchanges": plan.count("Exchange"),
+        "reused_exchanges": plan.count("ReusedExchange"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "python_row_udfs": plan.count("BatchEvalPython"),
+        "arrow_python": (plan.count("ArrowEvalPython")
+                         + plan.count("MapInPandas")
+                         + plan.count("FlatMapGroupsInPandas")),
+        "wholestage_codegen_spans": len(
+            set(_re.findall(r"\*\((\d+)\)", plan))),
+        "pushed_filters": len(_re.findall(
+            r"PushedFilters: \[([^\]]+)\]", plan)),
+    }

@@ -221,9 +221,13 @@ def edit_distance_join(left: DataFrame, string_col: str, threshold: int,
         raise ValueError("threshold must be >= 0")
     if method not in ("auto", "deletions", "segments"):
         raise ValueError(f"unknown method {method!r}")
+    from deequ_spark.llm.dedup import ensure_parallelism
     k = int(threshold)
     self_join = right is None
-    r_df = left if self_join else right
+    # signature explode is heavy per-row work — an under-partitioned
+    # input (single parquet file) would serialize it on one task
+    left = ensure_parallelism(left)
+    r_df = left if self_join else ensure_parallelism(right)
     r_str = string_col if self_join else (right_string_col or string_col)
     r_id = id_col if self_join else (right_id_col or id_col)
 
@@ -327,7 +331,11 @@ def token_jaccard_join(df: DataFrame, id_col: str, text_col: str,
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    from deequ_spark.llm.dedup import ensure_parallelism
     self_join = right is None
+    df = ensure_parallelism(df)
+    if not self_join:
+        right = ensure_parallelism(right)
 
     def _recs(frame, idc, txtc):
         return (frame.select(F.col(idc).alias("id"),

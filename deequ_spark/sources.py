@@ -100,6 +100,50 @@ def write_manifest(spark: SparkSession, path: str, cols) -> None:
         f"{path}/{MANIFEST_DIR}")
 
 
+def update_manifest(spark: SparkSession, path: str, cols) -> dict:
+    """Incrementally extend the per-file manifest at ``path``: scan ONLY
+    data files the manifest does not know yet and append their stats.
+
+    :func:`write_manifest` is a full-corpus scan — fine once, absurd
+    after every append at 100 TB.  Appends only ever ADD files (parquet
+    files are immutable), so the incremental contract is sound: stats of
+    known files cannot change.  Files deleted since the last manifest
+    are dropped from it (their stats are stale, and read_corpus would
+    otherwise prune on ghosts).  Returns
+    ``{"known": n, "scanned": n, "removed": n}``.  Falls back to a full
+    :func:`write_manifest` when no manifest exists."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    try:
+        existing = spark.read.parquet(f"{path}/{MANIFEST_DIR}").collect()
+    except Exception:  # noqa: BLE001 — first build
+        write_manifest(spark, path, cols)
+        n = len(spark.read.parquet(f"{path}/{MANIFEST_DIR}").collect())
+        return {"known": 0, "scanned": n, "removed": 0}
+    current = set(spark.read.parquet(path).inputFiles())
+    known_rows = [r for r in existing if r["file"] in current]
+    removed = len(existing) - len(known_rows)
+    known = {r["file"] for r in known_rows}
+    new_files = sorted(current - known)
+    if new_files:
+        data = spark.read.option("basePath", path).parquet(*new_files)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"),
+                     F.max(c).alias(f"max_{c}")]
+        new_rows = (data.groupBy(F.input_file_name().alias("file"))
+                    .agg(*aggs).collect())
+    else:
+        new_rows = []
+    # manifest is O(files): materialized on the driver so the overwrite
+    # never reads the directory it is replacing
+    schema = spark.read.parquet(f"{path}/{MANIFEST_DIR}").schema
+    merged = spark.createDataFrame(known_rows + new_rows, schema)
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{MANIFEST_DIR}")
+    return {"known": len(known_rows), "scanned": len(new_rows),
+            "removed": removed}
+
+
 def file_misses_range(manifest_row, col: str, lo, hi) -> bool:
     """True when a manifest row's ``[min_col, max_col]`` provably misses
     the requested ``[lo, hi]`` range — THE pruning predicate, shared by

@@ -125,3 +125,69 @@ def test_assign_split_validation(spark):
         assign_split(df, "grp", {})
     with pytest.raises(ValueError):
         assign_split(df, "grp", {"train": 0.5, "val": 0.1})
+
+
+def test_update_manifest_scans_only_new_files(spark, tmp_path):
+    from deequ_spark.sources import (read_corpus, update_manifest,
+                                     write_manifest)
+    p = str(tmp_path / "corpus")
+    spark.range(1000).select(F.col("id").cast("double").alias("x")) \
+        .repartition(4).write.parquet(p)
+    first = update_manifest(spark, p, ["x"])  # no manifest yet -> full
+    assert first["known"] == 0 and first["scanned"] == 4
+    # append 2 more files
+    spark.range(1000, 1500).select(
+        F.col("id").cast("double").alias("x")) \
+        .repartition(2).write.mode("append").parquet(p)
+    second = update_manifest(spark, p, ["x"])
+    assert second == {"known": 4, "scanned": 2, "removed": 0}
+    # pruned read over the updated manifest stays exact
+    got = read_corpus(spark, p, prune={"x": (1200.0, None)}).count()
+    assert got == 300
+    # idempotent when nothing changed
+    third = update_manifest(spark, p, ["x"])
+    assert third == {"known": 6, "scanned": 0, "removed": 0}
+
+
+def test_update_manifest_drops_deleted_files(spark, tmp_path):
+    import glob
+    import os
+    from deequ_spark.sources import update_manifest
+    p = str(tmp_path / "corpus2")
+    spark.range(100).select(F.col("id").cast("double").alias("x")) \
+        .repartition(3).write.parquet(p)
+    update_manifest(spark, p, ["x"])
+    os.remove(sorted(glob.glob(f"{p}/part-*.parquet"))[0])
+    rep = update_manifest(spark, p, ["x"])
+    assert rep["removed"] == 1 and rep["scanned"] == 0
+    from deequ_spark.sources import MANIFEST_DIR
+    assert spark.read.parquet(f"{p}/{MANIFEST_DIR}").count() == 2
+
+
+def test_plan_report_flags_the_right_nodes(spark):
+    from deequ_spark.diagnostics import plan_report
+    big = spark.range(10000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+    small = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+
+    agg = plan_report(big.groupBy("k").count())
+    assert agg["exchanges"] >= 1
+    assert agg["python_row_udfs"] == 0
+
+    # under AQE codegen spans only exist in the FINAL plan
+    final = plan_report(big.groupBy("k").count(), execute=True)
+    assert final["adaptive_final"]
+    assert final["wholestage_codegen_spans"] >= 1
+
+    bj = plan_report(big.join(F.broadcast(small), "k"))
+    assert bj["broadcast_joins"] == 1
+    assert bj["cartesian"] == 0
+
+    cross = plan_report(big.limit(10).crossJoin(small.limit(10)))
+    assert cross["cartesian"] + cross["nested_loop_joins"] >= 1
+
+    from pyspark.sql.types import LongType
+    slow = F.udf(lambda x: x + 1, LongType())
+    udf_plan = plan_report(big.select(slow("v").alias("v2")))
+    assert udf_plan["python_row_udfs"] == 1
