@@ -316,3 +316,119 @@ class TestDistanceMetricProperties:
         from deequ_spark.distance import l_infinity_distance
         d = l_infinity_distance(a, b)
         assert 0.0 <= d <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# similarity-join signature soundness (deequ_spark/linkage.py)
+# ---------------------------------------------------------------------------
+
+def _lev_py(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _del_variants_py(s: str, k: int) -> set:
+    """Python model of linkage._deletion_variants (FastSS)."""
+    out = {s}
+    if k >= 1:
+        out |= {s[:i] + s[i + 1:] for i in range(len(s))}
+    if k >= 2:
+        out |= {s[:i] + s[i + 1:j] + s[j + 1:]
+                for i in range(len(s) - 1) for j in range(i + 1, len(s))}
+    return out
+
+
+def _seg_geometry_py(l: int, i: int, k: int):
+    base, rem = divmod(l, k + 1)
+    cut = k + 1 - rem
+    if i < cut:
+        return i * base, base
+    return i * base + (i - cut), base + 1
+
+
+def _index_keys_py(s: str, k: int) -> set:
+    l = len(s)
+    if l >= k + 1:
+        out = set()
+        for i in range(k + 1):
+            start, ln = _seg_geometry_py(l, i, k)
+            out.add((s[start:start + ln], i, l))
+        return out
+    return {("", -1, l)}
+
+
+def _probe_keys_py(t: str, k: int) -> set:
+    m = len(t)
+    out = set()
+    for l in range(max(k + 1, m - k), m + k + 1):
+        for i in range(k + 1):
+            start, ln = _seg_geometry_py(l, i, k)
+            for p in range(max(0, start - k), min(m - ln, start + k) + 1):
+                out.add((t[p:p + ln], i, l))
+    for l in range(max(0, m - k), min(k, m + k) + 1):
+        out.add(("", -1, l))
+    return out
+
+
+short_strings = st.text(alphabet="ab", max_size=8)
+
+
+class TestSimilaritySignatureSoundness:
+    """The property the EXACTNESS of both joins rests on: any pair
+    within the distance threshold shares at least one signature, for
+    every string pair, so blocking can never lose a true pair."""
+
+    @given(short_strings, short_strings, st.integers(0, 2))
+    @settings(max_examples=1000, deadline=None)
+    def test_deletion_variants_sound(self, s, t, k):
+        if _lev_py(s, t) <= k:
+            assert _del_variants_py(s, k) & _del_variants_py(t, k)
+
+    @given(short_strings, short_strings, st.integers(0, 3))
+    @settings(max_examples=1000, deadline=None)
+    def test_segment_keys_sound(self, s, t, k):
+        # self-join generates BOTH directions; soundness needs only one
+        if _lev_py(s, t) <= k:
+            assert (_index_keys_py(s, k) & _probe_keys_py(t, k)) or \
+                   (_index_keys_py(t, k) & _probe_keys_py(s, k))
+
+    @given(short_strings, st.integers(1, 2))
+    @settings(max_examples=500, deadline=None)
+    def test_deletion_variant_count_bound(self, s, k):
+        # |variants| <= 1 + n + n(n-1)/2 — the O(n^k) budget the auto
+        # method gate relies on
+        n = len(s)
+        bound = 1 + n + (n * (n - 1) // 2 if k >= 2 else 0)
+        assert len(_del_variants_py(s, k)) <= bound
+
+
+def test_spark_signatures_match_python_model(spark):
+    """Bridge: the Spark expressions produce EXACTLY the Python model's
+    signatures, so the pure-Python property sweep above speaks for the
+    Spark implementation."""
+    from pyspark.sql import functions as F
+    from deequ_spark.linkage import (_deletion_variants, _index_keys,
+                                     _probe_keys)
+    fixtures = ["", "a", "ab", "aba", "abcd", "aaaa", "Customer#01",
+                "xyzzy", "ababab", "ü日本b"]
+    df = spark.createDataFrame([(s,) for s in fixtures], "s string")
+    for k in (0, 1, 2):
+        rows = df.select(
+            "s", _deletion_variants(F.col("s"), k).alias("d"),
+            _index_keys(F.col("s"), k).alias("ik"),
+            _probe_keys(F.col("s"), k).alias("pk")).collect()
+        for r in rows:
+            s = r["s"]
+            assert set(r["d"]) == _del_variants_py(s, k), (s, k)
+            assert {tuple(x) for x in r["ik"]} == _index_keys_py(s, k), \
+                (s, k)
+            assert {tuple(x) for x in r["pk"]} == _probe_keys_py(s, k), \
+                (s, k)
