@@ -316,6 +316,14 @@ def token_jaccard_join(df: DataFrame, id_col: str, text_col: str,
     the join.  jaccard is exact — ``|A∩B| / |A∪B|`` over
     :func:`tokenize_set` sets.
 
+    Output-size caveat: this enumerates the FULL exact pair set, which
+    is quadratic in duplicate-cluster size by definition (a cluster of m
+    copies IS m(m-1)/2 pairs).  On corpora dominated by near-duplicate
+    clusters, use the dedup stack instead (``llm.dedup``:
+    minhash_lsh_pairs + star caps + components emit O(m) per cluster);
+    this join is for moderate-similarity search where the pair list
+    itself is the deliverable.
+
     Prefix filter: tokens of each record are ordered rarest-first by
     global document frequency (ties by token text, so the order is
     deterministic and engine-portable); two sets with Jaccard >= t MUST
