@@ -504,6 +504,11 @@ def verify_hitter_candidates(values: DataFrame, candidates: DataFrame,
         return (values.groupBy("value").agg(F.count("*").alias("count"))
                 .withColumn("fraction", F.lit(0.0)).limit(0))
     frac_micro = int(round(min_fraction * 1_000_000))
+    if frac_micro <= 0:
+        # a fraction that quantizes to zero would keep EVERY candidate
+        raise ValueError(
+            f"min_fraction={min_fraction} is below the 1e-6 threshold "
+            f"resolution")
     cand = candidates.select("value").distinct()
     # long arithmetic: frac_micro * total exceeds int32 at ~2k rows and
     # ANSI mode makes that a constant-folding crash, not a wrap
@@ -521,8 +526,9 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict:
     answer to "will this plan survive a 100x scale-up?" as data, not a
     wall of explain() text.  Counts the plan nodes that matter at scale:
 
-    - ``exchanges`` — shuffles (each is a full network rewrite of the
-      data; the first thing to minimize)
+    - ``exchanges`` — SHUFFLE exchanges only (each is a full network
+      rewrite of the data; the first thing to minimize);
+      ``broadcast_exchanges`` counted separately
     - ``broadcast_joins`` vs ``sortmerge_joins`` / ``shuffled_hash_joins``
     - ``cartesian`` / ``nested_loop_joins`` — the do-not-ship nodes
     - ``python_row_udfs`` (BatchEvalPython: row-at-a-time Python — the
@@ -530,7 +536,8 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict:
       FlatMapGroupsInPandas: vectorized)
     - ``wholestage_codegen_spans`` — fused JVM pipelines (more/wider
       is better)
-    - ``pushed_filters`` — predicates that reached the parquet scan
+    - ``scans_with_pushed_filters`` — file scans whose PushedFilters
+      list is non-empty (predicates reached the format reader)
 
     Pure string analysis of the physical plan; by default triggers
     planning but never runs a job.  Under AQE the initial plan carries
@@ -546,11 +553,23 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict:
         # would plan and run a different (aggregated) query instead
         qe.executedPlan().execute().count()
     plan = qe.executedPlan().toString()
+    # an executed AdaptiveSparkPlan prints BOTH its final and initial
+    # plans — count nodes in the final section only or everything
+    # doubles
+    marker = "== Initial Plan =="
+    if marker in plan:
+        plan = plan.split(marker, 1)[0]
     import re as _re
     return {
         "adaptive_final": ("isFinalPlan=true" in plan
                            or "AdaptiveSparkPlan" not in plan),
-        "exchanges": plan.count("Exchange"),
+        # shuffle exchanges ONLY — a bare .count("Exchange") would also
+        # match BroadcastExchange/ReusedExchange and flag shuffle-free
+        # broadcast plans as shuffling
+        "exchanges": len(_re.findall(
+            r"(?<![A-Za-z])Exchange (hashpartitioning|rangepartitioning|"
+            r"SinglePartition|RoundRobinPartitioning)", plan)),
+        "broadcast_exchanges": plan.count("BroadcastExchange"),
         "reused_exchanges": plan.count("ReusedExchange"),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sortmerge_joins": plan.count("SortMergeJoin"),
@@ -563,6 +582,6 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict:
                          + plan.count("FlatMapGroupsInPandas")),
         "wholestage_codegen_spans": len(
             set(_re.findall(r"\*\((\d+)\)", plan))),
-        "pushed_filters": len(_re.findall(
+        "scans_with_pushed_filters": len(_re.findall(
             r"PushedFilters: \[([^\]]+)\]", plan)),
     }

@@ -114,11 +114,23 @@ def update_manifest(spark: SparkSession, path: str, cols) -> dict:
     :func:`write_manifest` when no manifest exists."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     try:
-        existing = spark.read.parquet(f"{path}/{MANIFEST_DIR}").collect()
+        manifest_df = spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+        existing = manifest_df.collect()
     except Exception:  # noqa: BLE001 — first build
         write_manifest(spark, path, cols)
-        n = len(spark.read.parquet(f"{path}/{MANIFEST_DIR}").collect())
+        n = spark.read.parquet(f"{path}/{MANIFEST_DIR}").count()
         return {"known": 0, "scanned": n, "removed": 0}
+    schema = manifest_df.schema
+    # the EXISTING manifest's column order is authoritative — merging
+    # rows built from a caller-supplied order would positionally
+    # transpose min/max stats between same-typed columns
+    manifest_cols = [f.name[4:] for f in schema.fields
+                     if f.name.startswith("min_")]
+    if set(cols) != set(manifest_cols):
+        raise ValueError(
+            f"manifest at {path} tracks columns {manifest_cols}, "
+            f"got {cols}; rebuild with write_manifest to change the "
+            f"tracked set")
     current = set(spark.read.parquet(path).inputFiles())
     known_rows = [r for r in existing if r["file"] in current]
     removed = len(existing) - len(known_rows)
@@ -127,7 +139,7 @@ def update_manifest(spark: SparkSession, path: str, cols) -> dict:
     if new_files:
         data = spark.read.option("basePath", path).parquet(*new_files)
         aggs = [F.count(F.lit(1)).alias("n_rows")]
-        for c in cols:
+        for c in manifest_cols:
             aggs += [F.min(c).alias(f"min_{c}"),
                      F.max(c).alias(f"max_{c}")]
         new_rows = (data.groupBy(F.input_file_name().alias("file"))
@@ -136,7 +148,6 @@ def update_manifest(spark: SparkSession, path: str, cols) -> dict:
         new_rows = []
     # manifest is O(files): materialized on the driver so the overwrite
     # never reads the directory it is replacing
-    schema = spark.read.parquet(f"{path}/{MANIFEST_DIR}").schema
     merged = spark.createDataFrame(known_rows + new_rows, schema)
     merged.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/{MANIFEST_DIR}")

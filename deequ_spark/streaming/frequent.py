@@ -96,6 +96,8 @@ def verify_heavy_hitters(df: DataFrame, column: str,
     exceeds every bucket's MG undercount bound (with the defaults,
     total/65 per bucket — amply true for any real threshold)."""
     from deequ_spark.diagnostics import verify_hitter_candidates
+    if not (0.0 < min_fraction <= 1.0):
+        raise ValueError("min_fraction must be in (0, 1]")
     values = (df.select(F.col(column).cast("string").alias("value"))
               .where(F.col("value").isNotNull()))
     return verify_hitter_candidates(values, candidates, min_fraction)

@@ -191,3 +191,41 @@ def test_plan_report_flags_the_right_nodes(spark):
     slow = F.udf(lambda x: x + 1, LongType())
     udf_plan = plan_report(big.select(slow("v").alias("v2")))
     assert udf_plan["python_row_udfs"] == 1
+
+
+def test_plan_report_broadcast_plan_has_zero_shuffles(spark):
+    from deequ_spark.diagnostics import plan_report
+    big = spark.range(10000).select((F.col("id") % 100).alias("k"))
+    small = spark.range(20).select(F.col("id").alias("k"))
+    rep = plan_report(big.join(F.broadcast(small), "k"), execute=True)
+    assert rep["broadcast_joins"] == 1
+    assert rep["broadcast_exchanges"] >= 1
+    assert rep["exchanges"] == 0  # broadcast plan shuffles nothing
+
+
+def test_update_manifest_rejects_mismatched_columns(spark, tmp_path):
+    import pytest as _pytest
+    from deequ_spark.sources import update_manifest, write_manifest
+    p = str(tmp_path / "corpus3")
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).cast("double").alias("y"))
+    df.repartition(2).write.parquet(p)
+    write_manifest(spark, p, ["x", "y"])
+    # different order is fine (the manifest's own order is used) ...
+    rep = update_manifest(spark, p, ["y", "x"])
+    assert rep["scanned"] == 0
+    # ... a different SET is not
+    with _pytest.raises(ValueError):
+        update_manifest(spark, p, ["x"])
+
+
+def test_verify_heavy_hitters_validation(spark):
+    import pytest as _pytest
+    from deequ_spark.streaming import verify_heavy_hitters
+    df = spark.createDataFrame([("a",)], "v string")
+    cand = spark.createDataFrame([("a",)], "value string")
+    with _pytest.raises(ValueError):
+        verify_heavy_hitters(df, "v", cand, 0.0)
+    with _pytest.raises(ValueError):
+        verify_heavy_hitters(df, "v", cand, 4e-7)  # below 1e-6 resolution
