@@ -5899,6 +5899,27 @@ def q_streaming_hh(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_fetch_schedule(spark, sf_dir):
+    """Politeness fetch plan (deequ_spark/llm/sitemap.py
+    fetch_schedule): frontier URLs synthesized from doc_id, per-host
+    Crawl-delay for hosts h0-h3, default 0.5s elsewhere, 30-URL
+    per-host quota — every (host, rank, scheduled_at) slot replayed by
+    a ROW_NUMBER window + CASE arithmetic in the oracle."""
+    from deequ_spark.llm import fetch_schedule
+    docs = _load(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.lit("http://h"), F.col("doc_id") % 7,
+                 F.lit(".test/p"), F.col("doc_id")).alias("url"))
+    delays = spark.createDataFrame(
+        [(f"h{k}.test", 1.0 + k % 3) for k in range(4)],
+        "host string, crawl_delay_s double")
+    out = fetch_schedule(urls, delays=delays, default_delay_s=0.5,
+                         max_per_host=30, start_ts=1000.0)
+    return out.select("host", "url",
+                      F.col("fetch_rank").cast("double")
+                      .alias("fetch_rank"), "scheduled_at")
+
+
 def _zorder_oracle() -> str:
     """orders z-key replay: same double math, same bit interleave."""
     def bucket(c):
@@ -5985,6 +6006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "heavy_hitters": q_heavy_hitters,
         "streaming_hh": q_streaming_hh,
+        "fetch_schedule": q_fetch_schedule,
         "salted_join": q_salted_join,
         "assign_split": q_assign_split,
         # --- tail: driver-green in some earlier round ---
@@ -6249,6 +6271,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'check_uniqueness', CASE WHEN uniq = 1.0 THEN 1.0 ELSE 0.0 END FROM u
         """,
         "zorder_layout": _zorder_oracle(),
+        "fetch_schedule": r"""
+            WITH urls AS (
+              SELECT 'http://h' || (doc_id % 7) || '.test/p' || doc_id AS url,
+                     'h' || (doc_id % 7) || '.test' AS host
+              FROM documents),
+            ranked AS (
+              SELECT host, url,
+                     ROW_NUMBER() OVER (PARTITION BY host
+                                        ORDER BY url ASC) AS r
+              FROM urls)
+            SELECT host, url, CAST(r AS DOUBLE) AS fetch_rank,
+                   CAST(1000.0 + (r - 1) *
+                        (CASE WHEN host IN ('h0.test','h1.test',
+                                            'h2.test','h3.test')
+                              THEN 1.0 + (CAST(substr(host, 2, 1) AS INT) % 3)
+                              ELSE 0.5 END) AS DOUBLE) AS scheduled_at
+            FROM ranked WHERE r <= 30
+        """,
         "streaming_hh": r"""
             SELECT 'etype_' || event_type AS metric,
                    CAST(COUNT(*) AS DOUBLE) AS value

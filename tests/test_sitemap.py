@@ -110,3 +110,45 @@ class TestFrontier:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestFetchSchedule:
+    def test_per_host_slots_respect_delay(self, spark):
+        from deequ_spark.llm import fetch_schedule
+        urls = spark.createDataFrame(
+            [(f"http://a.com/p{i}",) for i in range(4)]
+            + [(f"http://b.com/q{i}",) for i in range(3)], "url string")
+        delays = spark.createDataFrame(
+            [("a.com", 2.0)], "host string, crawl_delay_s double")
+        got = {(r["host"], r["fetch_rank"]): r["scheduled_at"]
+               for r in fetch_schedule(urls, delays=delays,
+                                       default_delay_s=0.5,
+                                       start_ts=100.0).collect()}
+        # a.com: crawl-delay 2s; b.com falls back to the 0.5s default
+        assert got[("a.com", 1)] == 100.0
+        assert got[("a.com", 4)] == 106.0
+        assert got[("b.com", 3)] == 101.0
+
+    def test_deterministic_rank_and_quota(self, spark):
+        from deequ_spark.llm import fetch_schedule
+        import random
+        rows = [(f"http://h.com/{i:03d}",) for i in range(50)]
+        random.Random(3).shuffle(rows)
+        df = spark.createDataFrame(rows, "url string").repartition(7)
+        a = fetch_schedule(df, max_per_host=10).collect()
+        assert len(a) == 10  # quota applied
+        ranks = {r["url"]: r["fetch_rank"] for r in a}
+        # lexicographic rank: the 10 smallest URLs survive, in order
+        assert sorted(ranks) == [f"http://h.com/{i:03d}" for i in range(10)]
+        b = {r["url"]: r["fetch_rank"]
+             for r in fetch_schedule(df, max_per_host=10).collect()}
+        assert b == ranks  # re-run produces the identical plan
+
+    def test_null_urls_dropped_and_validation(self, spark):
+        from deequ_spark.llm import fetch_schedule
+        import pytest as _pytest
+        df = spark.createDataFrame([("http://x.com/a",), (None,)],
+                                   "url string")
+        assert fetch_schedule(df).count() == 1
+        with _pytest.raises(ValueError):
+            fetch_schedule(df, default_delay_s=-1)
