@@ -5920,6 +5920,31 @@ def q_fetch_schedule(spark, sf_dir):
                       .alias("fetch_rank"), "scheduled_at")
 
 
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation (deequ_spark/llm/graph.py anchor_texts +
+    anchor_term_profile): pages synthesized from doc_id carry two
+    anchors with inner markup; extraction strips tags, drops
+    self-links, and the per-destination-host top-3 term profile is
+    replayed in SQL from the same doc_id arithmetic."""
+    from deequ_spark.llm import anchor_term_profile, anchor_texts
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("http://h"), did % 37,
+                   F.lit(".example.com/p"), did)
+    html = F.concat(
+        F.lit('<p>x</p><a href="http://h'), (did * 7 + 3) % 37,
+        F.lit('.example.com/q">visit <b>h'), (did * 7 + 3) % 37,
+        F.lit("</b> page "), did % 3,
+        F.lit("</a> <a href='http://h"), (did * 11 + 5) % 37,
+        F.lit(".example.com/r'>go to "), did % 5, F.lit("</a>"))
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    prof = anchor_term_profile(anchor_texts(pages, "url", "html"),
+                               top_k=3)
+    return prof.select("dst_host", "term",
+                       F.col("n").cast("double").alias("n"),
+                       F.col("rank").cast("double").alias("rank"))
+
+
 def _zorder_oracle() -> str:
     """orders z-key replay: same double math, same bit interleave."""
     def bucket(c):
@@ -6007,6 +6032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "streaming_hh": q_streaming_hh,
         "fetch_schedule": q_fetch_schedule,
+        "anchor_text": q_anchor_text,
         "salted_join": q_salted_join,
         "assign_split": q_assign_split,
         # --- tail: driver-green in some earlier round ---
@@ -6271,6 +6297,32 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'check_uniqueness', CASE WHEN uniq = 1.0 THEN 1.0 ELSE 0.0 END FROM u
         """,
         "zorder_layout": _zorder_oracle(),
+        "anchor_text": r"""
+            WITH p AS (
+              SELECT doc_id % 37 AS s, (doc_id * 7 + 3) % 37 AS d1,
+                     (doc_id * 11 + 5) % 37 AS d2,
+                     doc_id % 3 AS m3, doc_id % 5 AS m5
+              FROM documents),
+            a AS (
+              SELECT 'h' || d1 || '.example.com' AS dst_host, t.t AS term
+              FROM p, UNNEST(['visit', 'h' || d1, 'page',
+                              CAST(m3 AS VARCHAR)]) t(t)
+              WHERE d1 <> s
+              UNION ALL
+              SELECT 'h' || d2 || '.example.com', t.t
+              FROM p, UNNEST(['go', 'to', CAST(m5 AS VARCHAR)]) t(t)
+              WHERE d2 <> s),
+            c AS (SELECT dst_host, term, COUNT(*) AS n
+                  FROM a GROUP BY 1, 2),
+            r AS (SELECT dst_host, term, n,
+                         ROW_NUMBER() OVER (PARTITION BY dst_host
+                                            ORDER BY n DESC, term ASC)
+                             AS rank
+                  FROM c)
+            SELECT dst_host, term, CAST(n AS DOUBLE) AS n,
+                   CAST(rank AS DOUBLE) AS rank
+            FROM r WHERE rank <= 3
+        """,
         "fetch_schedule": r"""
             WITH urls AS (
               SELECT 'http://h' || (doc_id % 7) || '.test/p' || doc_id AS url,

@@ -28,7 +28,8 @@ from .text import (c4_line_clean, c4_page_flags, GOPHER_STOPWORDS, PII_PATTERNS,
                    normalize_text)
 from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
                    url_deduplicate)
-from .graph import extract_links, link_edges, pagerank
+from .graph import (anchor_term_profile, anchor_texts,
+                    extract_links, link_edges, pagerank)
 from .sitemap import fetch_schedule, parse_sitemap, sitemap_frontier
 from .html import (html_content_blocks, html_content_score,
                    html_documents, html_main_content, html_to_text)

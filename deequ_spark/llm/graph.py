@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 
 from .robots import url_host
 
-__all__ = ["extract_links", "link_edges", "pagerank"]
+__all__ = ["extract_links", "link_edges", "pagerank",
+           "anchor_texts", "anchor_term_profile"]
 
 # href value up to a quote/space/fragment; both quote styles and bare
 HREF_RE = r"""(?i)<a\b[^>]*?href\s*=\s*["']?([^"'#\s>]+)"""
@@ -133,3 +134,67 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                                    " div 100")).alias("rank_micro"))
                  .localCheckpoint(eager=True))
     return ranks
+
+
+# a whole <a> element (href + inner markup); inner text captured lazily
+ANCHOR_ELEM_RE = r"(?is)(<a\b[^>]*?href[^>]*>.*?</a>)"
+_ANCHOR_TEXT_RE = r"(?is)<a\b[^>]*>(.*)</a>"
+
+
+def anchor_texts(pages: DataFrame, url_col: str,
+                 html_col: str) -> DataFrame:
+    """(src_host, dst_host, anchor) rows — what the web CALLS each
+    host.  Anchor text is the classic relevance/quality signal the bare
+    link graph drops: a host described by thousands of independent
+    anchors as "official documentation" reads very differently from one
+    described as "cheap pills".
+
+    Extraction is pure expressions (whole-stage codegen): one
+    ``regexp_extract_all`` pulls whole ``<a ...>...</a>`` elements,
+    then per-element ``regexp_extract`` splits href and inner text;
+    inner markup (``<b>``, spans) is tag-stripped and whitespace
+    collapsed.  Only absolute http(s) targets with non-empty anchors
+    survive; self-links are dropped like :func:`link_edges` does.
+    Everything is a map-only projection — host strings and short
+    anchors, never page bytes, feed whatever aggregation follows.
+    """
+    u = F.col(url_col)
+    elems = F.explode(F.regexp_extract_all(
+        F.col(html_col), F.lit(ANCHOR_ELEM_RE), 1)).alias("__a")
+    rows = pages.select(url_host(u).alias("src_host"), elems)
+    href = F.regexp_extract(F.col("__a"), HREF_RE, 1)
+    inner = F.regexp_extract(F.col("__a"), _ANCHOR_TEXT_RE, 1)
+    anchor = F.trim(F.regexp_replace(
+        F.regexp_replace(inner, r"<[^>]*>", " "), r"\s+", " "))
+    out = (rows.withColumn("__href", href).withColumn("anchor", anchor)
+           .where(F.col("__href").rlike(r"(?i)^https?://"))
+           .select("src_host",
+                   url_host(F.col("__href")).alias("dst_host"),
+                   "anchor")
+           .where((F.col("dst_host") != F.col("src_host"))
+                  & (F.length("dst_host") > 0)
+                  & (F.length("anchor") > 0)))
+    return out
+
+
+def anchor_term_profile(anchors: DataFrame, top_k: int = 10) -> DataFrame:
+    """Per-destination-host anchor vocabulary: lowercase alphanumeric
+    terms of every anchor pointing AT the host, counted and ranked,
+    top ``top_k`` per host kept (``dst_host, term, n, rank``).  One
+    groupBy on (host, term) + one WindowGroupLimit-eligible rank — the
+    profile table is O(hosts x top_k), tiny next to the corpus."""
+    from deequ_spark.diagnostics import grouped_topk
+    terms = (anchors.select(
+        "dst_host",
+        F.explode(F.filter(F.split(F.lower("anchor"), "[^a-z0-9]+"),
+                           lambda x: x != "")).alias("term")))
+    counts = terms.groupBy("dst_host", "term").agg(
+        F.count("*").alias("n"))
+    # deterministic rank: count desc then term asc, encoded as ONE
+    # ascending struct key so grouped_topk's WindowGroupLimit applies
+    keyed = counts.withColumn(
+        "__ord", F.struct((-F.col("n")).alias("neg_n"),
+                          F.col("term").alias("term")))
+    ranked = grouped_topk(keyed, "dst_host", "__ord", top_k,
+                          descending=False)
+    return ranked.select("dst_host", "term", "n", "rank")

@@ -106,3 +106,42 @@ class TestPagerank:
         # localCheckpoint per iteration keeps the final plan flat —
         # a scan over the checkpointed RDD, not k stacked joins
         assert "CartesianProduct" not in plan
+
+
+class TestAnchorTexts:
+    def test_extraction_strips_markup_and_filters(self, spark):
+        from deequ_spark.llm import anchor_texts
+        pages = spark.createDataFrame([
+            ("http://src.com/a",
+             '<a href="http://t1.com/x">Great <b>Docs</b></a>'
+             "<a href='http://t2.com/y'>cheap   pills</a>"
+             '<a href="mailto:x@y.com">mail</a>'
+             '<a href="/rel">rel</a>'
+             '<a href="http://src.com/self">self</a>'
+             '<a href="http://t1.com/z"></a>')],
+            "url string, html string")
+        rows = sorted(tuple(r) for r in
+                      anchor_texts(pages, "url", "html").collect())
+        assert rows == [("src.com", "t1.com", "Great Docs"),
+                        ("src.com", "t2.com", "cheap pills")]
+
+    def test_term_profile_rank_deterministic(self, spark):
+        from deequ_spark.llm import anchor_term_profile
+        anchors = spark.createDataFrame(
+            [("s", "h.com", "alpha beta"), ("s", "h.com", "beta gamma"),
+             ("s", "h.com", "beta alpha")],
+            "src_host string, dst_host string, anchor string")
+        got = [(r["term"], r["n"], r["rank"]) for r in
+               anchor_term_profile(anchors, top_k=2)
+               .orderBy("rank").collect()]
+        # beta x3 first; alpha x2 beats gamma x1
+        assert got == [("beta", 3, 1), ("alpha", 2, 2)]
+
+    def test_plan_stays_jvm_side(self, spark):
+        from deequ_spark.llm import anchor_texts
+        from deequ_spark.diagnostics import plan_report
+        pages = spark.createDataFrame(
+            [("http://a.com/", '<a href="http://b.com/">x</a>')],
+            "url string, html string")
+        rep = plan_report(anchor_texts(pages, "url", "html"))
+        assert rep["python_row_udfs"] == 0 and rep["arrow_python"] == 0
