@@ -5899,6 +5899,21 @@ def q_streaming_hh(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_containment(spark, sf_dir):
+    """EXACT asymmetric containment join (|A∩B|/|A| >= 0.95) over
+    documents — deequ_spark/linkage.py token_containment_join:
+    contained-side prefix filter + full index on the containing side,
+    the quote-inclusion relation symmetric Jaccard misses. Full
+    ordered-pair set value-checked against the brute-force SQL."""
+    from deequ_spark.linkage import token_containment_join
+    docs = _load(spark, sf_dir, "documents")
+    out = token_containment_join(docs, "doc_id", "text", 0.95)
+    return out.select(
+        "id_a", "id_b",
+        F.floor(F.col("containment") * 1e6).cast("double")
+        .alias("cont_q"))
+
+
 def q_fetch_schedule(spark, sf_dir):
     """Politeness fetch plan (deequ_spark/llm/sitemap.py
     fetch_schedule): frontier URLs synthesized from doc_id, per-host
@@ -6033,6 +6048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hh": q_streaming_hh,
         "fetch_schedule": q_fetch_schedule,
         "anchor_text": q_anchor_text,
+        "containment": q_containment,
         "salted_join": q_salted_join,
         "assign_split": q_assign_split,
         # --- tail: driver-green in some earlier round ---
@@ -6297,6 +6313,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'check_uniqueness', CASE WHEN uniq = 1.0 THEN 1.0 ELSE 0.0 END FROM u
         """,
         "zorder_layout": _zorder_oracle(),
+        "containment": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+                FROM documents) u
+              WHERE tok <> ''
+            ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+              FROM toks a JOIN toks b
+                ON a.tok = b.tok AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b,
+                   CAST(FLOOR(1e6 * CAST(c AS DOUBLE) / sa.n) AS DOUBLE)
+                       AS cont_q
+            FROM inter JOIN sizes sa ON sa.doc_id = ia
+            WHERE CAST(c AS DOUBLE) / sa.n >= 0.95
+        """,
         "anchor_text": r"""
             WITH p AS (
               SELECT doc_id % 37 AS s, (doc_id * 7 + 3) % 37 AS d1,

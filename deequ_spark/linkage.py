@@ -58,7 +58,8 @@ from typing import Optional, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["edit_distance_join", "token_jaccard_join", "tokenize_set"]
+__all__ = ["edit_distance_join", "token_jaccard_join",
+           "token_containment_join", "tokenize_set"]
 
 _EMPTY_INT_SEQ = "CAST(array() AS array<int>)"
 
@@ -408,3 +409,69 @@ def token_jaccard_join(df: DataFrame, id_col: str, text_col: str,
             .withColumn("jaccard", jacc.cast("double"))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def token_containment_join(df: DataFrame, id_col: str, text_col: str,
+                           threshold: float) -> DataFrame:
+    """Exact ASYMMETRIC containment join: ordered pairs where at least
+    ``threshold`` of record A's token set appears in record B
+    (``|A∩B| / |A| >= t``, ``id_a != id_b``; both directions evaluated
+    independently).  This is the relation symmetric Jaccard misses: a
+    tweet quoted inside a news article, a doc swallowed by an
+    aggregator page — the small side is ~fully contained while the
+    Jaccard of the pair is tiny.
+
+    Prefix filter on the CONTAINED side only (the same pigeonhole as
+    :func:`token_jaccard_join`: containment >= t means A misses at most
+    ``nA - ceil(t*nA)`` tokens, so one of its first
+    ``nA - ceil(t*nA) + 1`` rarest tokens must be shared).  The
+    containing side cannot be prefix-filtered — its size is unbounded —
+    so it contributes a full token index; because A's prefixes hold
+    RARE tokens, the hot-token join buckets an inverted index suffers
+    mostly never match.  Size filter: ``nB >= ceil(t * nA)`` (B must
+    have room for the shared tokens).  Exact ``array_intersect``
+    verify.  Output: ``id_a, id_b, containment`` (A contained in B).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    from deequ_spark.llm.dedup import ensure_parallelism
+    df = ensure_parallelism(df)
+
+    recs = (df.select(F.col(id_col).alias("id"),
+                      tokenize_set(F.col(text_col)).alias("toks"))
+            .where(F.size("toks") > 0))
+    toks = recs.select("id", F.explode("toks").alias("tok"))
+    tok_df = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = (toks.join(tok_df, "tok")
+              .groupBy("id")
+              .agg(F.array_sort(F.collect_list(F.struct("df", "tok")))
+                   .alias("ordered")))
+    ranked = ranked.select(
+        "id", F.transform("ordered", lambda s: s["tok"]).alias("toks"),
+        F.size("ordered").alias("n"))
+
+    prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n"))
+                  + F.lit(1)).cast("int")
+    pa = (ranked.select("id", "n",
+                        F.explode(F.slice("toks", 1, prefix_len))
+                        .alias("tok"))
+          .select(F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+                  "tok"))
+    pb = toks.select(F.col("id").alias("id_b"), "tok")
+    cand = (pa.join(pb, "tok")
+            .where(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b", "n_a")
+            .distinct())
+
+    ta = ranked.select(F.col("id").alias("id_a"),
+                       F.col("toks").alias("t_a"))
+    tb = ranked.select(F.col("id").alias("id_b"),
+                       F.col("toks").alias("t_b"),
+                       F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    cont = inter / F.col("n_a")
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .where(F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            .withColumn("containment", cont.cast("double"))
+            .where(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment"))

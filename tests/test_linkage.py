@@ -262,3 +262,42 @@ def test_assign_split_null_groups_hash_as_one_group(spark):
     null_splits = {r["split"] for r in
                    out.where("grp IS NULL").select("split").collect()}
     assert len(null_splits) == 1  # all NULLs together, deterministically
+
+
+def _brute_containment(rows, t):
+    import re
+    toks = {i: set(x for x in re.split(r"[^a-z0-9]+", s.lower()) if x)
+            for i, s in rows}
+    out = set()
+    for ia, a in toks.items():
+        for ib, b in toks.items():
+            if ia == ib or not a or not b:
+                continue
+            c = len(a & b) / len(a)
+            if c >= t:
+                out.add((ia, ib, round(c, 9)))
+    return out
+
+
+@pytest.mark.parametrize("t", [0.5, 0.9, 1.0])
+def test_token_containment_join_exact_vs_brute_force(spark, t):
+    from deequ_spark.linkage import token_containment_join
+    rows = TEXTS + [(20, "quick fox"),  # contained in 1/2/3/6/9
+                    (21, "the quick brown fox jumps over the lazy dog "
+                         "plus a very long tail of extra words here")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {(r["id_a"], r["id_b"], round(r["containment"], 9))
+           for r in token_containment_join(df, "id", "text", t).collect()}
+    assert got == _brute_containment(rows, t)
+
+
+def test_token_containment_is_asymmetric(spark):
+    from deequ_spark.linkage import token_containment_join
+    df = spark.createDataFrame(
+        [(1, "alpha beta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "id int, text string")
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in token_containment_join(df, "id", "text", 0.9)
+           .collect()}
+    assert got == {(1, 2): 1.0}  # small doc contained; reverse is not
