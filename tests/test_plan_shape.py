@@ -435,3 +435,50 @@ def test_span_dedup_shuffle_budget(spark):
     # the whole corpus through one task
     assert "windowspecdefinition(__gram" in plan
     assert "xxhash64" in plan          # hash key reached the plan
+
+
+def test_edit_distance_join_shuffle_budget(spark):
+    """linkage.py edit_distance_join (deletions scheme): map-only
+    signature explode on both sides, ONE signature equi-join, one
+    pair-distinct — so at most 3 hash-partition exchanges (two join
+    inputs + the distinct; AQE may convert some to broadcast), and
+    NEVER a cartesian/nested-loop node or a Python eval."""
+    from deequ_spark.linkage import edit_distance_join
+    df = spark.range(200).selectExpr(
+        "id", "concat('name', CAST(id AS STRING)) AS s")
+    plan = explain_str(edit_distance_join(df, "s", 1, "id",
+                                          method="deletions"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert count_nodes(plan, "Exchange") <= 3
+    assert "levenshtein" in plan  # verify stayed in the JVM expression
+
+
+def test_token_jaccard_join_prefix_not_full_index(spark):
+    """linkage.py token_jaccard_join: the pair join must be fed by the
+    SLICED prefix (slice node present in the plan), not the full token
+    explode — the prefix filter is the operator's whole point — and no
+    Python eval or cartesian anywhere."""
+    from deequ_spark.linkage import token_jaccard_join
+    df = spark.range(100).selectExpr(
+        "id", "concat('alpha beta gamma doc ', CAST(id % 7 AS STRING))"
+        " AS text")
+    plan = explain_str(token_jaccard_join(df, "id", "text", 0.8))
+    assert "slice(" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_zorder_cluster_single_range_shuffle(spark):
+    """layout.py cluster_by_zorder: exactly one rangepartitioning
+    exchange (the re-layout shuffle) and a task-local sort — never a
+    global sort's second exchange."""
+    from deequ_spark.layout import cluster_by_zorder
+    df = spark.range(1000).selectExpr(
+        "CAST(id % 50 AS DOUBLE) AS x", "CAST(id % 31 AS DOUBLE) AS y")
+    out = cluster_by_zorder(df, ["x", "y"], bits=8, num_partitions=8)
+    plan = explain_str(out)
+    assert count_nodes(plan, "Exchange") == 1
+    assert "rangepartitioning" in plan
+    assert "hashpartitioning" not in plan
