@@ -6038,9 +6038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "sitemap_ops": q_sitemap_ops,
         # r9 late additions: slots 48-50 get driver rows this round; the
-        # remaining four (heavy_hitters, streaming_hh, salted_join,
-        # assign_split) are check_oracle-covered and rotate into the
-        # window next round
+        # remaining seven (heavy_hitters, streaming_hh, fetch_schedule,
+        # anchor_text, containment, salted_join, assign_split) are
+        # check_oracle-covered and rotate into the window next round
         "fuzzy_join": q_fuzzy_join,
         "token_jaccard": q_token_jaccard,
         "zorder_layout": q_zorder_layout,
