@@ -72,7 +72,8 @@ def zorder_key(cols: Sequence[str], mins: Sequence, maxs: Sequence,
 def cluster_by_zorder(df: DataFrame, cols: Sequence[str], bits: int = 16,
                       num_partitions: Optional[int] = None,
                       key_col: str = "_zorder",
-                      keep_key: bool = False) -> DataFrame:
+                      keep_key: bool = False,
+                      bounds: Optional[Dict[str, Tuple]] = None) -> DataFrame:
     """Re-layout ``df`` so rows near each other in the Z-curve over
     ``cols`` land in the same output partition (= same file on write),
     giving every z-column tight per-file min/max ranges.
@@ -82,14 +83,27 @@ def cluster_by_zorder(df: DataFrame, cols: Sequence[str], bits: int = 16,
     (task-local, no extra shuffle).  Write the result with
     ``sources.write_corpus`` + ``write_manifest(cols)`` and range reads
     through ``read_corpus(prune=...)`` skip files on ANY of the columns.
+
+    ``bounds`` (col -> (min, max)) skips the aggregate and pins the
+    normalization — the APPEND path: cluster a new batch with the
+    existing corpus's bounds (straight from its manifest min/max) so
+    appended files sit on the SAME Z-curve without rescanning anything;
+    out-of-range values clamp into the edge buckets, harmlessly.
     """
     cols = list(cols)
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
-    row = df.agg(*aggs).collect()[0]
-    mins = [row[f"mn_{c}"] for c in cols]
-    maxs = [row[f"mx_{c}"] for c in cols]
+    if bounds is not None:
+        missing = [c for c in cols if c not in bounds]
+        if missing:
+            raise ValueError(f"bounds missing for columns {missing}")
+        mins = [bounds[c][0] for c in cols]
+        maxs = [bounds[c][1] for c in cols]
+    else:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        mins = [row[f"mn_{c}"] for c in cols]
+        maxs = [row[f"mx_{c}"] for c in cols]
     keyed = df.withColumn(key_col, zorder_key(cols, mins, maxs, bits))
     parts = num_partitions or keyed.rdd.getNumPartitions()
     out = (keyed.repartitionByRange(parts, F.col(key_col))

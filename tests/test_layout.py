@@ -229,3 +229,38 @@ def test_verify_heavy_hitters_validation(spark):
         verify_heavy_hitters(df, "v", cand, 0.0)
     with _pytest.raises(ValueError):
         verify_heavy_hitters(df, "v", cand, 4e-7)  # below 1e-6 resolution
+
+
+def test_cluster_by_zorder_append_with_pinned_bounds(spark, tmp_path):
+    from deequ_spark.sources import write_manifest, update_manifest
+    from deequ_spark.layout import skipping_report
+    p = str(tmp_path / "zc")
+    base = spark.range(10000).select(
+        (F.col("id") % 500).cast("double").alias("x"),
+        F.pmod(F.col("id") * 13, 500).cast("double").alias("y"))
+    cluster_by_zorder(base, ["x", "y"], bits=10,
+                      num_partitions=16).write.parquet(p)
+    write_manifest(spark, p, ["x", "y"])
+    # append a new batch clustered with the SAME bounds (the manifest's
+    # global min/max) — no rescan of the existing corpus
+    bounds = {"x": (0.0, 499.0), "y": (0.0, 499.0)}
+    extra = spark.range(10000, 14000).select(
+        (F.col("id") % 500).cast("double").alias("x"),
+        F.pmod(F.col("id") * 13, 500).cast("double").alias("y"))
+    clustered_extra = cluster_by_zorder(extra, ["x", "y"], bits=10,
+                                        num_partitions=8, bounds=bounds)
+    clustered_extra.write.mode("append").parquet(p)
+    rep = update_manifest(spark, p, ["x", "y"])
+    assert rep["scanned"] == 8
+    skip = skipping_report(spark, p, {"x": (0.0, 50.0)})
+    # appended files keep tight ranges on the same curve: most of the
+    # 24 files still miss a 10% slice
+    assert skip["files_total"] == 24
+    assert skip["skip_ratio_x"] >= 0.5
+    # out-of-range values clamp instead of erroring
+    odd = spark.createDataFrame([(-5.0, 900.0)], "x double, y double")
+    assert cluster_by_zorder(odd, ["x", "y"], bits=10,
+                             bounds=bounds).count() == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cluster_by_zorder(odd, ["x", "y"], bounds={"x": (0, 1)})

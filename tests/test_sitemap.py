@@ -152,3 +152,17 @@ class TestFetchSchedule:
         assert fetch_schedule(df).count() == 1
         with _pytest.raises(ValueError):
             fetch_schedule(df, default_delay_s=-1)
+
+    def test_priority_ordering_keeps_best_under_quota(self, spark):
+        from deequ_spark.llm import fetch_schedule
+        rows = [(f"http://h.com/p{i}", float(i % 10)) for i in range(30)]
+        df = spark.createDataFrame(rows, "url string, score double")
+        got = fetch_schedule(df, priority_col="score",
+                             max_per_host=5).collect()
+        assert len(got) == 5
+        kept = {r["url"] for r in got}
+        # quota keeps the HIGHEST-scored pages (score 9 x3, then 8s)
+        assert all(r["url"].endswith(("9", "19", "29", "8", "18"))
+                   for r in got), kept
+        first = min(got, key=lambda r: r["fetch_rank"])
+        assert first["url"] == "http://h.com/p19"  # score 9, url asc
