@@ -5899,6 +5899,40 @@ def q_streaming_hh(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_html_metadata(spark, sf_dir):
+    """Head-metadata extraction (deequ_spark/llm/html.py html_metadata):
+    pages synthesized from doc_id carry title entities, conditionally a
+    meta description (did%3==0), a canonical link (did%4==0), and a
+    robots meta in both attribute orders (did%5 in {0,1}); every
+    extracted field is replayed by CASE arithmetic in the oracle."""
+    from deequ_spark.llm import html_metadata
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit(" &amp;  friends</title>"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit('<meta name="description" content="about '),
+                        did, F.lit('">'))).otherwise(F.lit("")),
+        F.when(did % 4 == 0,
+               F.concat(F.lit('<link rel="canonical" href="http://c.test/p'),
+                        did % 50, F.lit('">'))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(did % 5 == 1,
+              F.lit('<meta content="nofollow" name="robots">'))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"))
+    m = docs.select(did.alias("doc_id"),
+                    html_metadata(html).alias("m"))
+    return m.select(
+        "doc_id", F.col("m.title").alias("title"),
+        F.col("m.meta_description").alias("meta_description"),
+        F.col("m.canonical_url").alias("canonical_url"),
+        F.col("m.noindex").cast("double").alias("noindex"),
+        F.col("m.nofollow").cast("double").alias("nofollow"))
+
+
 def q_containment(spark, sf_dir):
     """EXACT asymmetric containment join (|A∩B|/|A| >= 0.95) over
     documents — deequ_spark/linkage.py token_containment_join:
@@ -6049,6 +6083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "anchor_text": q_anchor_text,
         "containment": q_containment,
+        "html_metadata": q_html_metadata,
         "salted_join": q_salted_join,
         "assign_split": q_assign_split,
         # --- tail: driver-green in some earlier round ---
@@ -6313,6 +6348,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'check_uniqueness', CASE WHEN uniq = 1.0 THEN 1.0 ELSE 0.0 END FROM u
         """,
         "zorder_layout": _zorder_oracle(),
+        "html_metadata": r"""
+            SELECT doc_id,
+                   'Doc ' || doc_id || ' & friends' AS title,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'about ' || doc_id END AS meta_description,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'http://c.test/p' || (doc_id % 50)
+                   END AS canonical_url,
+                   CASE WHEN doc_id % 5 = 0 THEN 1.0 ELSE 0.0 END
+                       AS noindex,
+                   CASE WHEN doc_id % 5 IN (0, 1) THEN 1.0 ELSE 0.0 END
+                       AS nofollow
+            FROM documents
+        """,
         "containment": r"""
             WITH toks AS (
               SELECT DISTINCT doc_id, tok FROM (

@@ -32,7 +32,8 @@ from .graph import (anchor_term_profile, anchor_texts,
                     extract_links, link_edges, pagerank)
 from .sitemap import fetch_schedule, parse_sitemap, sitemap_frontier
 from .html import (html_content_blocks, html_content_score,
-                   html_documents, html_main_content, html_to_text)
+                   html_documents, html_main_content, html_metadata,
+                   html_to_text)
 from .robots import (filter_disallowed, parse_robots,
                      parse_robots_directives, url_path)
 from .shards import read_webdataset, write_webdataset

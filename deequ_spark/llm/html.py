@@ -248,3 +248,68 @@ def html_documents(responses: DataFrame,
                        html_to_text(body, preserve_lines=preserve_lines)
                        .alias("text")))
     return out.where(F.length("text") > 0)
+
+
+# attribute order varies in the wild: name-then-content AND content-
+# then-name forms both occur; both are matched and coalesced
+_META_NC_RE = (r"""(?is)<meta\b[^>]*?name\s*=\s*["']?{name}["']?[^>]*?"""
+               r"""content\s*=\s*["']([^"']*)""")
+_META_CN_RE = (r"""(?is)<meta\b[^>]*?content\s*=\s*["']([^"']*)["']"""
+               r"""[^>]*?name\s*=\s*["']?{name}["']?""")
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_CANON_HL_RE = (r"""(?is)<link\b[^>]*?rel\s*=\s*["']?canonical["']?"""
+                r"""[^>]*?href\s*=\s*["']?([^"'\s>]+)""")
+_CANON_LH_RE = (r"""(?is)<link\b[^>]*?href\s*=\s*["']?([^"'\s>]+)["']?"""
+                r"""[^>]*?rel\s*=\s*["']?canonical["']?""")
+
+
+def _meta_content(html: Column, name: str) -> Column:
+    nc = F.regexp_extract(html, _META_NC_RE.format(name=name), 1)
+    cn = F.regexp_extract(html, _META_CN_RE.format(name=name), 1)
+    got = F.when(nc != "", nc).otherwise(cn)
+    return F.when(got != "", got)
+
+
+def html_metadata(html) -> Column:
+    """Head metadata of an HTML page as ONE struct column:
+    ``title``, ``meta_description``, ``canonical_url``, ``noindex``,
+    ``nofollow`` — the fields a crawl pipeline consumes before (or
+    instead of) the body:
+
+    - ``canonical_url`` (``<link rel=canonical>``) is the page's OWN
+      statement of its canonical address — feed it to
+      ``urls.url_deduplicate`` and syndicated copies collapse onto the
+      original even when their fetch URLs differ.
+    - ``noindex`` / ``nofollow`` (``<meta name=robots>``) are the
+      in-page half of robots control (RFC 9309 covers only the
+      crawl-time half); noindex pages are disproportionately
+      boilerplate, pagination, and faceted-search chaff — a cheap
+      pre-filter signal.
+    - ``title`` / ``meta_description`` are short human summaries —
+      classifier features and dedup keys far cheaper than the body.
+
+    All regexp extraction + entity decode, whole-stage codegen;
+    attribute order variants (name-before-content and the reverse)
+    both match.  Absent fields are NULL.
+    """
+    h = html if isinstance(html, Column) else F.col(html)
+    title_raw = F.regexp_extract(h, _TITLE_RE, 1)
+    # titles are single-line: collapse ALL whitespace (newlines too)
+    title = F.trim(F.regexp_replace(_decode_entities(
+        F.regexp_replace(title_raw, r"<[^>]*>", " ")), r"\s+", " "))
+    title = F.when(F.length(title) > 0, title)
+    canon_hl = F.regexp_extract(h, _CANON_HL_RE, 1)
+    canon_lh = F.regexp_extract(h, _CANON_LH_RE, 1)
+    canon = F.when(canon_hl != "", canon_hl) \
+             .when(canon_lh != "", canon_lh)
+    robots = F.lower(F.coalesce(_meta_content(h, "robots"), F.lit("")))
+    desc = _meta_content(h, "description")
+    return F.struct(
+        title.alias("title"),
+        F.when(desc.isNotNull(),
+               F.trim(F.regexp_replace(_decode_entities(desc),
+                                       r"\s+", " ")))
+        .alias("meta_description"),
+        canon.alias("canonical_url"),
+        robots.rlike(r"\bnoindex\b").alias("noindex"),
+        robots.rlike(r"\bnofollow\b").alias("nofollow"))

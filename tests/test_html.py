@@ -213,3 +213,54 @@ class TestMainContent:
             .collect()[0]
         assert r["t"].startswith("foo bar baz")
         assert r["m"] == r["t"]
+
+
+class TestHtmlMetadata:
+    def test_fields_extracted_and_decoded(self, spark):
+        from deequ_spark.llm import html_metadata
+        page = ("<html><head><title> Fast &amp; <b>Loose</b>\n guide "
+                "</title>"
+                '<meta name="description" content="A &quot;nice&quot; page">'
+                '<link rel="canonical" href="http://ex.com/real">'
+                '<meta name="robots" content="NOINDEX, follow">'
+                "</head><body>x</body></html>")
+        df = spark.createDataFrame([(page,)], "html string")
+        [r] = df.select(html_metadata("html").alias("m")).collect()
+        m = r["m"]
+        assert m["title"] == "Fast & Loose guide"
+        assert m["meta_description"] == 'A "nice" page'
+        assert m["canonical_url"] == "http://ex.com/real"
+        assert m["noindex"] is True and m["nofollow"] is False
+
+    def test_attribute_order_variants_and_absent_fields(self, spark):
+        from deequ_spark.llm import html_metadata
+        page = ('<meta content="rev order desc" name="description">'
+                '<link href="http://c.com/x" rel="canonical">')
+        df = spark.createDataFrame([(page,), ("<p>no head</p>",)],
+                                   "html string")
+        rows = df.select(html_metadata("html").alias("m")).collect()
+        m0 = rows[0]["m"]
+        assert m0["meta_description"] == "rev order desc"
+        assert m0["canonical_url"] == "http://c.com/x"
+        m1 = rows[1]["m"]
+        assert m1["title"] is None
+        assert m1["meta_description"] is None
+        assert m1["canonical_url"] is None
+        assert m1["noindex"] is False and m1["nofollow"] is False
+
+    def test_canonical_feeds_url_dedup(self, spark):
+        from deequ_spark.llm import html_metadata
+        from deequ_spark.llm.urls import url_deduplicate
+        from pyspark.sql import functions as F
+        pages = spark.createDataFrame(
+            [(1, "http://mirror1.com/a",
+              '<link rel="canonical" href="http://orig.com/a">'),
+             (2, "http://mirror2.com/a",
+              '<link rel="canonical" href="http://orig.com/a">'),
+             (3, "http://other.com/b", "<p>no canonical</p>")],
+            "id int, url string, html string")
+        with_canon = pages.withColumn(
+            "eff_url", F.coalesce(
+                html_metadata("html")["canonical_url"], F.col("url")))
+        kept = url_deduplicate(with_canon, "id", "eff_url")
+        assert kept.count() == 2  # mirrors collapse onto the canonical
