@@ -5899,6 +5899,38 @@ def q_streaming_hh(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_wet_export(spark, sf_dir):
+    """Distributed WET export (deequ_spark/llm/warc.py write_wet):
+    documents written as ISO 28500 conversion records with size-
+    targeted sharding; the oracle replays the EXACT per-record framing
+    arithmetic (204 + url + digits(len) + payload bytes per record) and
+    the shard-count pre-pass, so the actually-written byte total is
+    value-checked without gzip in the way."""
+    import shutil
+    import tempfile
+    from deequ_spark.llm import write_wet
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    corpus = docs.select(
+        F.concat(F.lit("http://h"), did % 37, F.lit(".test/p"), did)
+        .alias("url"), "text")
+    target = 256 * 1024
+    d = tempfile.mkdtemp(prefix="deequ_wet_")
+    try:
+        man = write_wet(corpus, f"{d}/wet", target_shard_bytes=target,
+                        gzip_members=False).collect()
+        derived = corpus.agg(F.coalesce(F.sum(
+            F.octet_length("text") + F.octet_length("url") + F.lit(220)),
+            F.lit(0))).collect()[0][0]
+        n_derived = max(1, -(-int(derived) // target))
+        return _metrics_df(spark, [
+            ("wet_records", float(sum(r["n_records"] for r in man))),
+            ("wet_bytes", float(sum(r["n_bytes"] for r in man))),
+            ("wet_n_shards_derived", float(n_derived))])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_html_metadata(spark, sf_dir):
     """Head-metadata extraction (deequ_spark/llm/html.py html_metadata):
     pages synthesized from doc_id carry title entities, conditionally a
@@ -6084,6 +6116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "containment": q_containment,
         "html_metadata": q_html_metadata,
+        "wet_export": q_wet_export,
         "salted_join": q_salted_join,
         "assign_split": q_assign_split,
         # --- tail: driver-green in some earlier round ---
@@ -6348,6 +6381,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'check_uniqueness', CASE WHEN uniq = 1.0 THEN 1.0 ELSE 0.0 END FROM u
         """,
         "zorder_layout": _zorder_oracle(),
+        "wet_export": r"""
+            WITH c AS (
+              SELECT 'http://h' || (doc_id % 37) || '.test/p' || doc_id
+                         AS url,
+                     text
+              FROM documents
+              WHERE text IS NOT NULL),
+            r AS (SELECT strlen(url) AS u, strlen(text) AS p
+                  FROM c)
+            SELECT 'wet_bytes' AS metric,
+                   CAST(SUM(204 + u + length(CAST(p AS VARCHAR)) + p)
+                        AS DOUBLE) AS value FROM r
+            UNION ALL SELECT 'wet_n_shards_derived',
+                   CAST(CEIL(SUM(p + u + 220) / 262144.0) AS DOUBLE) FROM r
+            UNION ALL SELECT 'wet_records', CAST(COUNT(*) AS DOUBLE) FROM r
+            ORDER BY metric
+        """,
         "html_metadata": r"""
             SELECT doc_id,
                    'Doc ' || doc_id || ' & friends' AS title,

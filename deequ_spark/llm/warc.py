@@ -325,3 +325,71 @@ def http_responses(records: DataFrame) -> DataFrame:
                        status.alias("status"),
                        ctype.alias("http_content_type"),
                        body.alias("body"))
+
+
+def write_wet(df: DataFrame, path: str, url_col: str = "url",
+              text_col: str = "text",
+              n_shards: Optional[int] = None,
+              target_shard_bytes: int = 1 << 30,
+              gzip_members: bool = True,
+              warc_date: str = "2024-01-01T00:00:00Z") -> DataFrame:
+    """Distributed WET export — the interchange mirror of
+    :func:`read_warc`: write a (url, text) corpus as
+    ``{path}/part-{id:05d}.warc.wet.gz`` files of ISO 28500
+    ``conversion`` records, readable by this module and any WET
+    consumer (the Common Crawl WET layout).
+
+    Same scale design as ``shards.write_webdataset``: shard assignment
+    is a hash expression, the shard COUNT is derived from one cheap
+    byte-sum pre-pass (``ceil(total_record_bytes / target)``, pre-
+    compression) so per-task memory stays target-shaped while the count
+    absorbs corpus growth; each shard is assembled in one applyInPandas
+    task, records sorted by URL and stamped with a fixed ``warc_date``
+    and a URL-derived record id — byte-deterministic output for a given
+    (data, sharding).  ``gzip_members=True`` writes one gzip member PER
+    RECORD (the ``.warc.gz`` convention), which is precisely what the
+    reader's member splitter exploits.  Paths may be POSIX or
+    ``scheme://`` URIs (pyarrow.fs on executors).  Returns the manifest
+    ``(shard, n_records, n_bytes)``; the write runs as it evaluates.
+    """
+    from .shards import _ensure_dir, _open_output
+    _ensure_dir(path)
+    if n_shards is None:
+        # ~record framing: headers (type/date/id/uri/length + blank
+        # lines) ≈ 220 bytes + URL + UTF-8 text
+        total = df.agg(F.coalesce(F.sum(
+            F.octet_length(F.col(text_col))
+            + F.octet_length(F.col(url_col)) + F.lit(220)),
+            F.lit(0))).collect()[0][0]
+        n_shards = max(1, -(-int(total) // int(target_shard_bytes)))
+    data = (df.where(F.col(url_col).isNotNull()
+                     & F.col(text_col).isNotNull())
+            .select(F.col(url_col).cast("string").alias("__url"),
+                    F.col(text_col).cast("string").alias("__text"))
+            .withColumn("__shard",
+                        F.pmod(F.xxhash64("__url"),
+                               F.lit(int(n_shards))).cast("int")))
+
+    def build(pdf):
+        import hashlib
+        import pandas as pd
+        shard = int(pdf["__shard"].iloc[0])
+        pdf = pdf.sort_values("__url")
+        records = []
+        for url, text in zip(pdf["__url"], pdf["__text"]):
+            payload = text.encode("utf-8")
+            rid = ("urn:sha1:"
+                   + hashlib.sha1(url.encode("utf-8")).hexdigest())
+            records.append(build_warc_record(
+                "conversion", payload, target_uri=url, record_id=rid,
+                warc_date=warc_date, content_type="text/plain"))
+        blob = build_warc_file(records, gzip_members=gzip_members)
+        suffix = ".warc.wet.gz" if gzip_members else ".warc.wet"
+        with _open_output(f"{path}/part-{shard:05d}{suffix}") as fh:
+            fh.write(blob)
+        return pd.DataFrame({"shard": [shard],
+                             "n_records": [len(records)],
+                             "n_bytes": [len(blob)]})
+
+    return (data.groupBy("__shard")
+            .applyInPandas(build, "shard int, n_records long, n_bytes long"))

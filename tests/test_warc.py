@@ -522,3 +522,47 @@ class TestCrawlMainContent:
         with pytest.raises(ValueError, match="responses"):
             crawl_to_corpus(spark, str(tmp_path), source="wet",
                             main_content=True)
+
+
+class TestWriteWet:
+    def test_round_trip_through_the_reader(self, spark, tmp_path):
+        from deequ_spark.llm import read_warc, wet_documents, write_wet
+        rows = [(f"http://h{i % 5}.test/p{i}",
+                 f"document {i} body with ünïcode ⚙ and\nnewlines")
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "url string, text string")
+        p = str(tmp_path / "wet_out")
+        manifest = write_wet(df, p, target_shard_bytes=4096).collect()
+        assert sum(m["n_records"] for m in manifest) == 200
+        assert len(manifest) > 1  # size targeting split the corpus
+        back = wet_documents(read_warc(spark, p))
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == sorted(rows)
+
+    def test_deterministic_bytes_and_plain_variant(self, spark, tmp_path):
+        from deequ_spark.llm import write_wet
+        import glob
+        df = spark.createDataFrame(
+            [("http://a.test/1", "alpha"), ("http://a.test/2", "beta")],
+            "url string, text string")
+        p1, p2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+        write_wet(df, p1, n_shards=1).collect()
+        write_wet(df, p2, n_shards=1).collect()
+        [f1] = glob.glob(f"{p1}/*.warc.wet.gz")
+        [f2] = glob.glob(f"{p2}/*.warc.wet.gz")
+        assert open(f1, "rb").read() == open(f2, "rb").read()
+        p3 = str(tmp_path / "w3")
+        write_wet(df, p3, n_shards=1, gzip_members=False).collect()
+        [f3] = glob.glob(f"{p3}/*.warc.wet")
+        raw = open(f3, "rb").read()
+        assert raw.startswith(b"WARC/1.0") and b"conversion" in raw
+
+    def test_null_rows_skipped(self, spark, tmp_path):
+        from deequ_spark.llm import read_warc, wet_documents, write_wet
+        df = spark.createDataFrame(
+            [("http://x.test/a", "keep"), (None, "drop"),
+             ("http://x.test/b", None)], "url string, text string")
+        p = str(tmp_path / "w4")
+        m = write_wet(df, p, n_shards=1).collect()
+        assert sum(r["n_records"] for r in m) == 1
+        assert wet_documents(read_warc(spark, p)).count() == 1
