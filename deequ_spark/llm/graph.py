@@ -162,10 +162,13 @@ def anchor_texts(pages: DataFrame, url_col: str,
     elems = F.explode(F.regexp_extract_all(
         F.col(html_col), F.lit(ANCHOR_ELEM_RE), 1)).alias("__a")
     rows = pages.select(url_host(u).alias("src_host"), elems)
+    from .html import _decode_entities
     href = F.regexp_extract(F.col("__a"), HREF_RE, 1)
     inner = F.regexp_extract(F.col("__a"), _ANCHOR_TEXT_RE, 1)
-    anchor = F.trim(F.regexp_replace(
-        F.regexp_replace(inner, r"<[^>]*>", " "), r"\s+", " "))
+    # entity decode BEFORE term splitting — 'Tips &amp; Tricks' must
+    # not leak an 'amp' term into the anchor vocabulary
+    anchor = F.trim(F.regexp_replace(_decode_entities(
+        F.regexp_replace(inner, r"<[^>]*>", " ")), r"\s+", " "))
     out = (rows.withColumn("__href", href).withColumn("anchor", anchor)
            .where(F.col("__href").rlike(r"(?i)^https?://"))
            .select("src_host",

@@ -251,21 +251,30 @@ def html_documents(responses: DataFrame,
 
 
 # attribute order varies in the wild: name-then-content AND content-
-# then-name forms both occur; both are matched and coalesced
-_META_NC_RE = (r"""(?is)<meta\b[^>]*?name\s*=\s*["']?{name}["']?[^>]*?"""
-               r"""content\s*=\s*["']([^"']*)""")
-_META_CN_RE = (r"""(?is)<meta\b[^>]*?content\s*=\s*["']([^"']*)["']"""
-               r"""[^>]*?name\s*=\s*["']?{name}["']?""")
+# then-name forms both occur; both are matched and coalesced.
+# Boundaries matter: the attribute VALUE must terminate right after the
+# name (quote/space/slash/tag-end) or name="robots-override" would
+# match name=robots; the content capture is keyed to its OPENING quote
+# (backreference) or content="It's fine" would truncate at the
+# apostrophe.  Java-regex-only features (backrefs, lookahead) are fine
+# here — these patterns never run in the SQL oracle.
+_NAME_BOUND = """["'\\s/>]"""
+_QUOTED_VAL = r"""(["'])((?:(?!\1).)*)\1"""
+_META_NC_RE = (r"""(?is)<meta\b[^>]*?name\s*=\s*["']?{name}"""
+               + _NAME_BOUND + r"""[^>]*?content\s*=\s*""" + _QUOTED_VAL)
+_META_CN_RE = (r"""(?is)<meta\b[^>]*?content\s*=\s*""" + _QUOTED_VAL
+               + r"""[^>]*?name\s*=\s*["']?{name}""" + _NAME_BOUND)
 _TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
-_CANON_HL_RE = (r"""(?is)<link\b[^>]*?rel\s*=\s*["']?canonical["']?"""
-                r"""[^>]*?href\s*=\s*["']?([^"'\s>]+)""")
+_CANON_HL_RE = (r"""(?is)<link\b[^>]*?rel\s*=\s*["']?canonical"""
+                + _NAME_BOUND
+                + r"""[^>]*?href\s*=\s*["']?([^"'\s>]+)""")
 _CANON_LH_RE = (r"""(?is)<link\b[^>]*?href\s*=\s*["']?([^"'\s>]+)["']?"""
-                r"""[^>]*?rel\s*=\s*["']?canonical["']?""")
+                r"""[^>]*?rel\s*=\s*["']?canonical""" + _NAME_BOUND)
 
 
 def _meta_content(html: Column, name: str) -> Column:
-    nc = F.regexp_extract(html, _META_NC_RE.format(name=name), 1)
-    cn = F.regexp_extract(html, _META_CN_RE.format(name=name), 1)
+    nc = F.regexp_extract(html, _META_NC_RE.format(name=name), 2)
+    cn = F.regexp_extract(html, _META_CN_RE.format(name=name), 2)
     got = F.when(nc != "", nc).otherwise(cn)
     return F.when(got != "", got)
 

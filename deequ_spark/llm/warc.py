@@ -105,7 +105,9 @@ def build_warc_file(records, gzip_members: bool = False) -> bytes:
     import gzip as _gzip
     if not gzip_members:
         return b"".join(records)
-    return b"".join(_gzip.compress(r) for r in records)
+    # mtime=0: the gzip header embeds a timestamp by default, which
+    # would make otherwise-identical shards differ between runs
+    return b"".join(_gzip.compress(r, mtime=0) for r in records)
 
 
 def _parse_headers(block: bytes) -> dict:

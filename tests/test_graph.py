@@ -145,3 +145,15 @@ class TestAnchorTexts:
             "url string, html string")
         rep = plan_report(anchor_texts(pages, "url", "html"))
         assert rep["python_row_udfs"] == 0 and rep["arrow_python"] == 0
+
+    def test_anchor_entities_decoded(self, spark):
+        from deequ_spark.llm import anchor_term_profile, anchor_texts
+        pages = spark.createDataFrame(
+            [("http://s.com/", '<a href="http://t.com/">Tips &amp; '
+                               "Tricks</a>")],
+            "url string, html string")
+        a = anchor_texts(pages, "url", "html")
+        [row] = a.collect()
+        assert row["anchor"] == "Tips & Tricks"
+        terms = {r["term"] for r in anchor_term_profile(a).collect()}
+        assert terms == {"tips", "tricks"}  # no 'amp' pollution

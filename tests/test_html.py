@@ -264,3 +264,17 @@ class TestHtmlMetadata:
                 html_metadata("html")["canonical_url"], F.col("url")))
         kept = url_deduplicate(with_canon, "id", "eff_url")
         assert kept.count() == 2  # mirrors collapse onto the canonical
+
+    def test_attribute_boundaries_and_quote_keyed_content(self, spark):
+        from deequ_spark.llm import html_metadata
+        page = ('<meta name="robots-override" content="noindex">'
+                '<meta name="description-policy" content="internal">'
+                '<link rel="canonicalize" href="http://wrong.com/x">'
+                '<meta name="description" content="It\'s a great page">')
+        df = spark.createDataFrame([(page,)], "html string")
+        [r] = df.select(html_metadata("html").alias("m")).collect()
+        m = r["m"]
+        assert m["noindex"] is False      # robots-override is NOT robots
+        assert m["canonical_url"] is None  # canonicalize != canonical
+        # apostrophe inside double-quoted content survives
+        assert m["meta_description"] == "It's a great page"
