@@ -5899,6 +5899,28 @@ def q_streaming_hh(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_feed_ops(spark, sf_dir):
+    """RSS/Atom feed parsing (deequ_spark/llm/sitemap.py parse_feed):
+    one synthesized RSS feed per doc with a titled+dated item and a
+    bare-link item; every parsed (feed_url, entry_url, title,
+    published) row — entity decode included — is replayed by string
+    arithmetic in the oracle."""
+    from deequ_spark.llm import parse_feed
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    rss = F.concat(
+        F.lit("<rss><channel><title>chan</title><item><title>Doc "),
+        did, F.lit(" &amp; notes</title><link>http://h"), did % 37,
+        F.lit(".test/p"), did, F.lit("</link><pubDate>2024-01-0"),
+        (did % 9) + 1,
+        F.lit("</pubDate></item><item><link>http://h"), did % 37,
+        F.lit(".test/q"), did, F.lit("</link></item></channel></rss>"))
+    feeds = docs.select(
+        F.concat(F.lit("http://h"), did % 37, F.lit(".test/feed.xml"))
+        .alias("url"), rss.alias("body"))
+    return parse_feed(feeds, "url", "body")
+
+
 def q_wet_export(spark, sf_dir):
     """Distributed WET export (deequ_spark/llm/warc.py write_wet):
     documents written as ISO 28500 conversion records with size-
@@ -6117,6 +6139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "html_metadata": q_html_metadata,
         "wet_export": q_wet_export,
+        "feed_ops": q_feed_ops,
         "salted_join": q_salted_join,
         "assign_split": q_assign_split,
         # --- tail: driver-green in some earlier round ---
@@ -6381,6 +6404,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'check_uniqueness', CASE WHEN uniq = 1.0 THEN 1.0 ELSE 0.0 END FROM u
         """,
         "zorder_layout": _zorder_oracle(),
+        "feed_ops": r"""
+            WITH d AS (SELECT doc_id, doc_id % 37 AS h,
+                              (doc_id % 9) + 1 AS pd
+                       FROM documents)
+            SELECT 'http://h' || h || '.test/feed.xml' AS feed_url,
+                   'http://h' || h || '.test/p' || doc_id AS entry_url,
+                   'Doc ' || doc_id || ' & notes' AS title,
+                   '2024-01-0' || pd AS published
+            FROM d
+            UNION ALL
+            SELECT 'http://h' || h || '.test/feed.xml',
+                   'http://h' || h || '.test/q' || doc_id,
+                   NULL, NULL
+            FROM d
+        """,
         "wet_export": r"""
             WITH c AS (
               SELECT 'http://h' || (doc_id % 37) || '.test/p' || doc_id

@@ -166,3 +166,57 @@ class TestFetchSchedule:
                    for r in got), kept
         first = min(got, key=lambda r: r["fetch_rank"])
         assert first["url"] == "http://h.com/p19"  # score 9, url asc
+
+
+class TestParseFeed:
+    RSS = ("<?xml version='1.0'?><rss><channel>"
+           "<title>Site feed</title><link>http://s.com/</link>"
+           "<item><title>Post &amp; notes</title>"
+           "<link>http://s.com/post1</link>"
+           "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+           "<item><link> http://s.com/post2 </link></item>"
+           "</channel></rss>")
+    ATOM = ("<feed xmlns='http://www.w3.org/2005/Atom'>"
+            "<title>blog</title>"
+            "<entry><title>Entry one</title>"
+            "<link href='http://b.com/a1'/>"
+            "<updated>2024-02-02T10:00:00Z</updated></entry>"
+            "<entry><link href=\"http://b.com/a2\"/></entry>"
+            "</feed>")
+
+    def test_rss_and_atom_entries(self, spark):
+        from deequ_spark.llm import parse_feed
+        df = spark.createDataFrame(
+            [("http://s.com/feed.xml", self.RSS),
+             ("http://b.com/atom.xml", self.ATOM)],
+            "url string, body string")
+        rows = {(r["feed_url"], r["entry_url"], r["title"], r["published"])
+                for r in parse_feed(df, "url", "body").collect()}
+        assert rows == {
+            ("http://s.com/feed.xml", "http://s.com/post1",
+             "Post & notes", "Mon, 01 Jan 2024 00:00:00 GMT"),
+            ("http://s.com/feed.xml", "http://s.com/post2", None, None),
+            ("http://b.com/atom.xml", "http://b.com/a1", "Entry one",
+             "2024-02-02T10:00:00Z"),
+            ("http://b.com/atom.xml", "http://b.com/a2", None, None)}
+        # channel-level title/link never leak into entries
+        assert not any(t == "Site feed" or t == "blog"
+                       for _, _, t, _ in rows)
+
+    def test_malformed_degrades_to_no_rows(self, spark):
+        from deequ_spark.llm import parse_feed
+        df = spark.createDataFrame(
+            [("http://x.com/f", "<rss><item><title>no link"),
+             ("http://y.com/f", "not xml at all")],
+            "url string, body string")
+        assert parse_feed(df, "url", "body").count() == 0
+
+    def test_feeds_compose_with_fetch_schedule(self, spark):
+        from deequ_spark.llm import fetch_schedule, parse_feed
+        df = spark.createDataFrame(
+            [("http://s.com/feed.xml", self.RSS)], "url string, body string")
+        entries = parse_feed(df, "url", "body") \
+            .withColumnRenamed("entry_url", "url")
+        plan = fetch_schedule(entries, default_delay_s=2.0).collect()
+        assert {r["fetch_rank"] for r in plan} == {1, 2}
+        assert all(r["host"] == "s.com" for r in plan)
