@@ -5921,6 +5921,31 @@ def q_feed_ops(spark, sf_dir):
     return parse_feed(feeds, "url", "body")
 
 
+def q_feed_discovery(spark, sf_dir):
+    """Feed autodiscovery (deequ_spark/llm/sitemap.py discover_feeds):
+    pages synthesized from doc_id advertise an RSS (even ids) or Atom
+    (odd ids) feed among decoy links; every discovered (page_url,
+    feed_url, feed_type) row is replayed by CASE arithmetic."""
+    from deequ_spark.llm import discover_feeds
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<head><link rel="stylesheet" href="/style.css">'),
+        F.when(did % 2 == 0,
+               F.concat(F.lit('<link rel="alternate" '
+                              'type="application/rss+xml" href="/r'),
+                        did, F.lit('.xml">')))
+        .otherwise(F.concat(
+            F.lit("<link type='application/atom+xml' href='/a"),
+            did, F.lit(".xml' rel='alternate'>"))),
+        F.lit('<link rel="alternate" type="text/html" href="/m">'
+              "</head>"))
+    pages = docs.select(
+        F.concat(F.lit("http://h"), did % 37, F.lit(".test/p"), did)
+        .alias("url"), html.alias("html"))
+    return discover_feeds(pages, "url", "html")
+
+
 def q_wet_export(spark, sf_dir):
     """Distributed WET export (deequ_spark/llm/warc.py write_wet):
     documents written as ISO 28500 conversion records with size-
@@ -6140,6 +6165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_metadata": q_html_metadata,
         "wet_export": q_wet_export,
         "feed_ops": q_feed_ops,
+        "feed_discovery": q_feed_discovery,
         "salted_join": q_salted_join,
         "assign_split": q_assign_split,
         # --- tail: driver-green in some earlier round ---
@@ -6404,6 +6430,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'check_uniqueness', CASE WHEN uniq = 1.0 THEN 1.0 ELSE 0.0 END FROM u
         """,
         "zorder_layout": _zorder_oracle(),
+        "feed_discovery": r"""
+            SELECT 'http://h' || (doc_id % 37) || '.test/p' || doc_id
+                       AS page_url,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '/r' || doc_id || '.xml'
+                        ELSE '/a' || doc_id || '.xml' END AS feed_url,
+                   CASE WHEN doc_id % 2 = 0 THEN 'rss'
+                        ELSE 'atom' END AS feed_type
+            FROM documents
+        """,
         "feed_ops": r"""
             WITH d AS (SELECT doc_id, doc_id % 37 AS h,
                               (doc_id % 9) + 1 AS pd

@@ -30,8 +30,8 @@ from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
                    url_deduplicate)
 from .graph import (anchor_term_profile, anchor_texts,
                     extract_links, link_edges, pagerank)
-from .sitemap import (fetch_schedule, parse_feed, parse_sitemap,
-                      sitemap_frontier)
+from .sitemap import (discover_feeds, fetch_schedule, parse_feed,
+                      parse_sitemap, sitemap_frontier)
 from .html import (html_content_blocks, html_content_score,
                    html_documents, html_main_content, html_metadata,
                    html_to_text)

@@ -220,3 +220,29 @@ class TestParseFeed:
         plan = fetch_schedule(entries, default_delay_s=2.0).collect()
         assert {r["fetch_rank"] for r in plan} == {1, 2}
         assert all(r["host"] == "s.com" for r in plan)
+
+
+class TestDiscoverFeeds:
+    def test_rel_alternate_feeds_found_any_attr_order(self, spark):
+        from deequ_spark.llm import discover_feeds
+        html = ('<head>'
+                '<link rel="alternate" type="application/rss+xml"'
+                ' href="/feed.xml">'
+                '<link type="application/atom+xml" href="http://s.com/a"'
+                " rel='alternate'>"
+                '<link rel="stylesheet" href="/style.css">'
+                '<link rel="alternate" type="text/html" href="/mobile">'
+                "</head>")
+        df = spark.createDataFrame([("http://s.com/p", html)],
+                                   "url string, html string")
+        rows = {(r["feed_url"], r["feed_type"]) for r in
+                discover_feeds(df, "url", "html").collect()}
+        assert rows == {("/feed.xml", "rss"), ("http://s.com/a", "atom")}
+
+    def test_rel_boundary_no_false_positives(self, spark):
+        from deequ_spark.llm import discover_feeds
+        html = ('<link rel="alternates" type="application/rss+xml"'
+                ' href="/x">')
+        df = spark.createDataFrame([("http://s.com/", html)],
+                                   "url string, html string")
+        assert discover_feeds(df, "url", "html").count() == 0
