@@ -246,3 +246,45 @@ class TestDiscoverFeeds:
         df = spark.createDataFrame([("http://s.com/", html)],
                                    "url string, html string")
         assert discover_feeds(df, "url", "html").count() == 0
+
+    def test_atom_rel_self_links_skipped(self, spark):
+        from deequ_spark.llm import parse_feed
+        atom = ("<feed><entry>"
+                "<link rel='self' href='http://api.b.com/entry/1'/>"
+                "<link rel='alternate' href='http://b.com/post1'/>"
+                "</entry><entry>"
+                "<link rel='edit' href='http://api.b.com/e2'/>"
+                "<link href='http://b.com/post2'/>"  # absent rel = alternate
+                "</entry></feed>")
+        df = spark.createDataFrame([("http://b.com/atom", atom)],
+                                   "url string, body string")
+        urls = {r["entry_url"] for r in
+                parse_feed(df, "url", "body").collect()}
+        assert urls == {"http://b.com/post1", "http://b.com/post2"}
+
+    def test_rss_cdata_title_and_no_body_href_injection(self, spark):
+        from deequ_spark.llm import parse_feed
+        rss = ("<rss><channel><item>"
+               "<title><![CDATA[Hello <b>x</b> &amp; y]]></title>"
+               "<link>http://s.com/p1</link></item>"
+               "<item><description><![CDATA[spam <link "
+               "href='http://evil.test/x'> here]]></description>"
+               "</item></channel></rss>")
+        df = spark.createDataFrame([("http://s.com/f", rss)],
+                                   "url string, body string")
+        rows = parse_feed(df, "url", "body").collect()
+        # item 2 has NO <link>text</link> — the CDATA href must NOT
+        # inject a frontier URL
+        assert {r["entry_url"] for r in rows} == {"http://s.com/p1"}
+        [r1] = [r for r in rows if r["entry_url"] == "http://s.com/p1"]
+        assert r1["title"] == "Hello x & y"
+
+    def test_discover_feeds_entity_decode_and_rel_token_set(self, spark):
+        from deequ_spark.llm import discover_feeds
+        html = ('<link rel="nofollow alternate" '
+                'type="application/rss+xml" href="/f?a=1&amp;b=2">')
+        df = spark.createDataFrame([("http://s.com/", html)],
+                                   "url string, html string")
+        [r] = discover_feeds(df, "url", "html").collect()
+        assert r["feed_url"] == "/f?a=1&b=2"
+        assert r["feed_type"] == "rss"
