@@ -453,7 +453,10 @@ def exact_heavy_hitters(df: DataFrame, column: str, min_fraction: float,
        n_partitions values), semi-join, exact count of the survivors
        only, filter ``count >= min_fraction * total``.
 
-    Output: ``value, count, fraction`` (exact).  NULLs are ignored.
+    Output: ``value, count, fraction`` (exact).  NULLs are ignored;
+    float NaN is a COUNTED value (Spark's groupBy/join treat NaN as
+    equal to itself, so the verify pass groups it like any other key —
+    dropping it in pass 1 only would break the superset guarantee).
     One extra cheap job computes the non-null total (count-only scan).
     ``min_fraction`` is quantized to 1e-6 so the threshold comparison is
     pure integer arithmetic — no float-boundary flakiness between this
@@ -479,14 +482,34 @@ def exact_heavy_hitters(df: DataFrame, column: str, min_fraction: float,
 
     def mg_partition(batches):
         import pandas as pd
+        # one canonical NaN object: distinct NaN floats hash apart in
+        # the fold's dict, but Spark's groupBy treats NaN as one value —
+        # canonicalize so pass 1 sees the domain pass 2 will count
+        canon_nan = float("nan")
+
+        def canon_items(vc):
+            for v, c in vc.items():
+                yield (canon_nan if isinstance(v, float) and v != v
+                       else v), c
+
         counters: dict = {}
         for pdf in batches:
             counters = misra_gries_fold(
-                counters, pdf["value"].value_counts(dropna=True).items(),
+                counters,
+                canon_items(pdf["value"].value_counts(dropna=False)),
                 cap)
         yield pd.DataFrame({"value": list(counters.keys())})
 
-    candidates = values.mapInPandas(mg_partition, schema).distinct()
+    candidates = values.mapInPandas(mg_partition, schema)
+    # pandas->Arrow nullifies float NaN on the way OUT of mapInPandas;
+    # inputs were null-filtered, so a NULL candidate can only be NaN —
+    # restore it so the semi-join (NaN = NaN in Spark) can match
+    vtype = schema["value"].dataType.simpleString()
+    if vtype in ("double", "float"):
+        candidates = candidates.select(
+            F.coalesce(F.col("value"),
+                       F.lit(float("nan")).cast(vtype)).alias("value"))
+    candidates = candidates.distinct()
     return verify_hitter_candidates(values, candidates, min_fraction)
 
 

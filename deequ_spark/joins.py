@@ -391,6 +391,13 @@ def salted_join(left: DataFrame, right: DataFrame,
     if num_salts < 1:
         raise ValueError("num_salts must be >= 1")
     on_cols = [on] if isinstance(on, str) else list(on)
+    # '__salt' is a working column; silently overwriting (then dropping)
+    # a user column of that name would corrupt the result
+    if "__salt" in left.columns or "__salt" in right.columns \
+            or "__salt" in on_cols:
+        raise ValueError(
+            "salted_join reserves the '__salt' column name; rename the "
+            "existing '__salt' column before joining")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
                   F.lit(num_salts)).cast("int")
     lhs = left.withColumn("__salt", salt)

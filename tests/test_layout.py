@@ -91,6 +91,13 @@ def test_salted_join_validation(spark):
         salted_join(df, df, "k", how="full")
     with pytest.raises(ValueError):
         salted_join(df, df, "k", num_salts=0)
+    # a pre-existing '__salt' column would be silently overwritten then
+    # dropped — must error, not corrupt the user's column
+    salted = spark.createDataFrame([(1, 9)], "k int, __salt int")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(salted, df, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(df, salted, "k")
 
 
 def test_assign_split_group_atomic_and_weighted(spark):

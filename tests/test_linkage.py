@@ -244,6 +244,24 @@ def test_exact_heavy_hitters_validation(spark):
         exact_heavy_hitters(df, "v", 0.01, capacity=4)
 
 
+def test_exact_heavy_hitters_counts_nan_as_a_value(spark):
+    # NaN is NOT null in Spark: a mostly-NaN double column must surface
+    # NaN as a heavy hitter (superset guarantee over the full groupBy
+    # domain), not silently drop it in the candidate pass
+    rows = [(float("nan"),)] * 80 + [(float(i),) for i in range(20)]
+    df = spark.createDataFrame(rows, "v double").repartition(6)
+    got = {("NaN" if r["value"] != r["value"] else r["value"]): r["count"]
+           for r in exact_heavy_hitters(df, "v", 0.3).collect()}
+    assert got == {"NaN": 80}
+    # and a mixed case: NaN plus a real hitter, both kept
+    rows2 = [(float("nan"),)] * 40 + [(7.0,)] * 40 \
+        + [(float(i),) for i in range(100, 120)]
+    df2 = spark.createDataFrame(rows2, "v double").repartition(5)
+    got2 = {("NaN" if r["value"] != r["value"] else r["value"]): r["count"]
+            for r in exact_heavy_hitters(df2, "v", 0.3).collect()}
+    assert got2 == {"NaN": 40, 7.0: 40}
+
+
 def test_exact_heavy_hitters_boundary_count_is_kept(spark):
     # a value at EXACTLY min_fraction*total must be kept — the integer
     # micro-unit comparison, immune to double(0.13)*total rounding up

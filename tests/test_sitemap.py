@@ -129,6 +129,23 @@ class TestFetchSchedule:
         assert got[("a.com", 4)] == 106.0
         assert got[("b.com", 3)] == 101.0
 
+    def test_duplicate_delay_rows_do_not_fan_out(self, spark):
+        # per-agent-group robots parsing yields duplicate host rows in
+        # the delays table; the join must not duplicate frontier rows —
+        # one slot per url, with the max (most polite) delay winning
+        from deequ_spark.llm import fetch_schedule
+        urls = spark.createDataFrame(
+            [(f"http://a.com/p{i}",) for i in range(3)], "url string")
+        delays = spark.createDataFrame(
+            [("a.com", 1.0), ("a.com", 3.0), ("a.com", 1.0)],
+            "host string, crawl_delay_s double")
+        rows = fetch_schedule(urls, delays=delays,
+                              start_ts=10.0).collect()
+        assert len(rows) == 3
+        assert sorted(r["fetch_rank"] for r in rows) == [1, 2, 3]
+        got = {r["fetch_rank"]: r["scheduled_at"] for r in rows}
+        assert got == {1: 10.0, 2: 13.0, 3: 16.0}
+
     def test_deterministic_rank_and_quota(self, spark):
         from deequ_spark.llm import fetch_schedule
         import random
