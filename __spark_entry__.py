@@ -3462,10 +3462,11 @@ def q_bpe_train(spark, sf_dir):
     """Full BPE training + retokenization (llm/bpe.py): 60 merges
     learned from the corpus word-frequency table (one Spark pass +
     driver loop), then per-document token counts under the trained
-    tokenizer. ITERATIVE — no SQL oracle (the driver records the
-    rows-only check; merge #1 and the word table are independently
-    verified by `bpe_stats`). Rows are fully deterministic: the merge
-    sequence is pinned by name/order, token totals are integers."""
+    tokenizer. VALUE-ORACLED (r10): the DuckDB oracle replays all 60
+    merge rounds via iterated ranked-pair CTEs (_bpe_train_oracle),
+    including the min_pair_count=2 early stop, then re-derives every
+    document's token count from the final segmentation table — merge
+    names/order, n_merges, and token totals are all hash-compared."""
     from deequ_spark.llm import bpe_token_count, train_bpe
     docs = _load(spark, sf_dir, "documents")
     merges = train_bpe(docs, "text", n_merges=60, min_pair_count=2)
@@ -4405,6 +4406,82 @@ seg_{k + 1} AS (
 
 
 _BPE_MERGES_ORACLE_SQL = _bpe_merges_oracle()
+
+
+def _bpe_train_oracle(n_merges: int = 60) -> str:
+    """Full-length replay of train_bpe + bpe_token_count in DuckDB: the
+    bpe_merges iterated ranked-pair CTE technique extended to all
+    ``n_merges`` rounds, PLUS the min_pair_count=2 stop rule (a best
+    pair below 2 freezes the segmentation via CASE, and its merge row
+    is filtered — every later round then recomputes the same sub-2 best,
+    so emitted merges exactly equal the trainer's early-stopped list)
+    PLUS retokenization: after the last round each word's symbol count
+    is its split length, and per-document token totals re-join those
+    counts onto the whitespace-split docs (greedy rank-order encoding
+    equals the trainer's replace-based segmentation for trained words —
+    the standard BPE equivalence, memoized the same way in
+    bpe_token_count)."""
+    sep = "chr(31)"
+    parts = [f"""
+wf AS MATERIALIZED (
+  SELECT word, COUNT(*) AS c FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS word FROM documents)
+  GROUP BY word),
+seg_0 AS MATERIALIZED (
+  SELECT word, c, {sep} || array_to_string(
+      list_append(string_split(word, ''), '</w>'), {sep} || {sep})
+      || {sep} AS s
+  FROM wf)"""]
+    for k in range(n_merges):
+        parts.append(f"""
+pairs_{k} AS MATERIALIZED (
+  SELECT p['a'] AS a, p['b'] AS b, SUM(c) AS cnt FROM (
+    SELECT c, unnest(list_transform(
+        generate_series(1, len(string_split(trim(s, {sep}),
+                                            {sep}||{sep})) - 1),
+        i -> {{'a': string_split(trim(s, {sep}), {sep}||{sep})[i],
+              'b': string_split(trim(s, {sep}), {sep}||{sep})[i+1]}})) AS p
+    FROM seg_{k}) GROUP BY 1, 2),
+best_{k} AS MATERIALIZED (SELECT a, b, cnt FROM pairs_{k}
+             ORDER BY cnt DESC, a, b LIMIT 1),
+seg_{k + 1} AS MATERIALIZED (
+  SELECT w.word, w.c,
+         CASE WHEN m.a IS NOT NULL AND m.cnt >= 2
+              THEN replace(w.s, {sep}||m.a||{sep}||{sep}||m.b||{sep},
+                           {sep}||m.a||m.b||{sep})
+              ELSE w.s END AS s
+  FROM seg_{k} w LEFT JOIN best_{k} m ON TRUE)""")
+    merge_rows = " UNION ALL ".join(
+        f"SELECT {k} AS k, a, b FROM best_{k} WHERE cnt >= 2"
+        for k in range(n_merges))
+    parts.append(f"""
+merges_all AS MATERIALIZED ({merge_rows}),
+symlen AS MATERIALIZED (
+  SELECT word,
+         len(string_split(trim(s, {sep}), {sep}||{sep})) AS n
+  FROM seg_{n_merges}),
+docw AS MATERIALIZED (
+  SELECT doc_id, unnest(list_filter(
+      string_split_regex(lower(text), '\\s+'), x -> x != '')) AS word
+  FROM documents),
+doctok AS MATERIALIZED (
+  SELECT doc_id, SUM(n) AS toks
+  FROM docw JOIN symlen USING (word) GROUP BY doc_id)""")
+    return ("WITH " + ",".join(parts) + """
+    SELECT metric, value FROM (
+      SELECT 'm' || lpad(CAST(k AS VARCHAR), 2, '0') || '_' || a || '+'
+             || b AS metric, CAST(k AS DOUBLE) AS value FROM merges_all
+      UNION ALL SELECT 'n_merges',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM merges_all)
+      UNION ALL SELECT 'bpe_tokens_total',
+        (SELECT CAST(SUM(toks) AS DOUBLE) FROM doctok)
+      UNION ALL SELECT 'bpe_tokens_max',
+        (SELECT CAST(MAX(toks) AS DOUBLE) FROM doctok)
+    ) ORDER BY metric""")
+
+
+_BPE_TRAIN_ORACLE_SQL = _bpe_train_oracle()
 
 
 def q_embedding_quantize(spark, sf_dir):
@@ -6094,6 +6171,233 @@ def _zorder_oracle() -> str:
     """
 
 
+def q_anomaly_gate(spark, sf_dir):
+    """Repository-backed anomaly-GATED verification — the reference's
+    isNewestPointNonAnomalous FLOW (checks/Check.scala:1512-1568 via
+    VerificationRunBuilder.addAnomalyCheck, VerificationRunBuilder
+    .scala:226-243), not just the strategies: two historical "days" of
+    Size metrics are saved to a repository (day d = o_orderkey % 4 < d,
+    so the series n1 < n2 < n3 is corpus-derived and strictly growing),
+    then the day-3 run gates on three strategies — relative growth
+    <= 2.0 (passes: n3/n2 ~ 1.5), relative growth <= 1.2 at ERROR level
+    (fails), any absolute growth at WARNING (fails). The oracle
+    recomputes the day counts and replays each bound check plus the
+    suite's worst-status fold as literal SQL arithmetic."""
+    from deequ_spark import CheckLevel, Size, VerificationSuite
+    from deequ_spark.anomaly import (AbsoluteChangeStrategy,
+                                     AnomalyCheckConfig,
+                                     RelativeRateOfChangeStrategy)
+    from deequ_spark.repository import InMemoryMetricsRepository, ResultKey
+
+    orders = _load(spark, sf_dir, "orders")
+    repo = InMemoryMetricsRepository()
+    sizes = {}
+    for day in (1, 2):
+        df = orders.where(F.col("o_orderkey") % 4 < day)
+        res = (VerificationSuite().on_data(df)
+               .use_repository(repo)
+               .add_required_analyzer(Size())
+               .save_or_append_result(ResultKey.make(dataset_date=day))
+               .run())
+        sizes[day] = next(m.value for a, m in
+                          res.metrics.metric_map.items()
+                          if isinstance(a, Size))
+    day3 = orders.where(F.col("o_orderkey") % 4 < 3)
+    result = (VerificationSuite().on_data(day3)
+              .use_repository(repo)
+              .add_anomaly_check(
+                  RelativeRateOfChangeStrategy(max_rate_increase=2.0),
+                  Size(),
+                  AnomalyCheckConfig(description="rel_loose"))
+              .add_anomaly_check(
+                  RelativeRateOfChangeStrategy(max_rate_increase=1.2),
+                  Size(),
+                  AnomalyCheckConfig(level=CheckLevel.ERROR,
+                                     description="rel_tight"))
+              .add_anomaly_check(
+                  AbsoluteChangeStrategy(max_rate_increase=0.0),
+                  Size(),
+                  AnomalyCheckConfig(description="abs_zero"))
+              .save_or_append_result(ResultKey.make(dataset_date=3))
+              .run())
+    gates = {c.description:
+             (1.0 if cr.status.value == "Success" else 0.0)
+             for c, cr in result.check_results.items()}
+    n3 = next(m.value for a, m in
+              result.metrics.metric_map.items()
+              if isinstance(a, Size))
+    order = {"Success": 0.0, "Warning": 1.0, "Error": 2.0}
+    return _metrics_df(spark, sorted([
+        ("size_day1", sizes[1]), ("size_day2", sizes[2]),
+        ("size_day3", n3),
+        ("gate_rel_loose", gates["rel_loose"]),
+        ("gate_rel_tight", gates["rel_tight"]),
+        ("gate_abs_zero", gates["abs_zero"]),
+        ("suite_status", order[result.status.value])]))
+
+
+_ANOMALY_GATE_ORACLE_SQL = """
+    WITH d AS (SELECT
+        SUM(CASE WHEN o_orderkey % 4 < 1 THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN o_orderkey % 4 < 2 THEN 1 ELSE 0 END) AS n2,
+        SUM(CASE WHEN o_orderkey % 4 < 3 THEN 1 ELSE 0 END) AS n3
+      FROM orders)
+    SELECT metric, value FROM (
+      SELECT 'size_day1' AS metric, CAST(n1 AS DOUBLE) AS value FROM d
+      UNION ALL SELECT 'size_day2', CAST(n2 AS DOUBLE) FROM d
+      UNION ALL SELECT 'size_day3', CAST(n3 AS DOUBLE) FROM d
+      UNION ALL SELECT 'gate_rel_loose',
+        CASE WHEN CAST(n3 AS DOUBLE) / n2 <= 2.0 THEN 1.0 ELSE 0.0 END
+        FROM d
+      UNION ALL SELECT 'gate_rel_tight',
+        CASE WHEN CAST(n3 AS DOUBLE) / n2 <= 1.2 THEN 1.0 ELSE 0.0 END
+        FROM d
+      UNION ALL SELECT 'gate_abs_zero',
+        CASE WHEN n3 - n2 <= 0 THEN 1.0 ELSE 0.0 END FROM d
+      UNION ALL SELECT 'suite_status', CAST(GREATEST(
+        CASE WHEN CAST(n3 AS DOUBLE) / n2 > 2.0 THEN 1 ELSE 0 END,
+        CASE WHEN CAST(n3 AS DOUBLE) / n2 > 1.2 THEN 2 ELSE 0 END,
+        CASE WHEN n3 - n2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM d
+    ) ORDER BY metric
+"""
+
+
+def q_mp3_profile(spark, sf_dir):
+    """Per-frame MP3 VBR profiling (llm/multimodal.py mp3_frame_profile):
+    every 13th doc gets a synthetic MPEG1 Layer III stream whose j-th
+    frame's bitrate cycles [64,96,128,160] by (doc_id+j)%4 at 48 kHz
+    (pad-free 3*kbps-byte frames), every 3rd doc prefixed with an ID3v2
+    tag of 1+(doc_id%4)*3 payload bytes. The profiler walks the real
+    byte stream (tag skip + frame-chain walk); the oracle regenerates
+    offsets/bitrates/frame sizes from the same doc_id arithmetic with a
+    window running sum — one mismatch in tag skipping, header parsing,
+    or chain stepping breaks a row."""
+    import pandas as pd
+    from deequ_spark.llm import encode_mp3_vbr, mp3_frame_profile
+
+    docs = _load(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 13 == 0)
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                n = 2 + i % 6
+                rates = [[64, 96, 128, 160][(i + j) % 4]
+                         for j in range(n)]
+                payloads.append(encode_mp3_vbr(
+                    rates,
+                    id3_payload=(1 + (i % 4) * 3) if i % 3 == 0 else 0))
+                ids.append(i)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary")
+    return mp3_frame_profile(media).orderBy("media_id", "frame_index")
+
+
+_MP3_PROFILE_ORACLE_SQL = """
+    WITH d AS (
+      SELECT doc_id AS i, 2 + doc_id % 6 AS n,
+             CASE WHEN doc_id % 3 = 0 THEN 11 + (doc_id % 4) * 3
+                  ELSE 0 END AS base
+      FROM documents WHERE doc_id % 13 = 0),
+    fr AS (SELECT i, base, unnest(range(0, n)) AS j FROM d),
+    c AS (SELECT i, j, base,
+                 ([64, 96, 128, 160])[CAST((i + j) % 4 AS INT) + 1] AS kbps
+          FROM fr)
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(j AS INT) AS frame_index,
+           CAST(base + COALESCE(SUM(3 * kbps) OVER (
+               PARTITION BY i ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS byte_offset,
+           CAST(kbps AS INT) AS bitrate_kbps,
+           48000 AS sample_rate,
+           CAST(3 * kbps AS INT) AS frame_bytes,
+           1152 AS samples
+    FROM c ORDER BY media_id, frame_index
+"""
+
+
+def q_gif_frames(spark, sf_dir):
+    """GIF animation compositing (llm/gif.py decode_gif_frames +
+    llm/multimodal.py gif_frame_features): every 11th doc gets a
+    synthetic 12x12 GIF89a animation of 2+doc_id%5 non-overlapping 3x3
+    solid-grey patches; frame j's grey is (doc_id*7+j*13)%200+1, its
+    top row is TRANSPARENT when (doc_id+j)%3==0, its disposal method
+    cycles 1/2/3 by (7*doc_id+5*j)%3, its delay is (doc_id+7*j)%100 cs.
+    Because patches never overlap on a black background, the composited
+    canvas sum after frame j is exactly 3*(own contribution + sum of
+    prior frames retained by disposal 1) — the oracle replays that with
+    a window sum, so any error in GCE parsing, transparency masking, or
+    disposal handling (restore-background vs restore-previous) breaks a
+    row."""
+    import numpy as np
+    import pandas as pd
+    from deequ_spark.llm import encode_gif_animation, gif_frame_features
+
+    docs = _load(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 11 == 0)
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                frames = []
+                for j in range(2 + i % 5):
+                    v = (i * 7 + j * 13) % 200 + 1
+                    mask = None
+                    if (i + j) % 3 == 0:
+                        mask = np.zeros((3, 3), bool)
+                        mask[0, :] = True
+                    frames.append({
+                        "patch": np.full((3, 3, 3), v, np.uint8),
+                        "left": 3 * (j % 4), "top": 3 * (j // 4),
+                        "disposal": 1 + (7 * i + 5 * j) % 3,
+                        "delay_cs": (i + 7 * j) % 100,
+                        "transparent_mask": mask})
+                ids.append(i)
+                payloads.append(encode_gif_animation((12, 12), frames))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary")
+    return gif_frame_features(media).orderBy("media_id", "frame_index")
+
+
+_GIF_FRAMES_ORACLE_SQL = """
+    WITH d AS (
+      SELECT doc_id AS i, 2 + doc_id % 5 AS n
+      FROM documents WHERE doc_id % 11 = 0),
+    fr AS (SELECT i, unnest(range(0, n)) AS k FROM d),
+    c AS (SELECT i, k,
+             (i * 7 + k * 13) % 200 + 1 AS v,
+             CASE WHEN (i + k) % 3 = 0 THEN 1 ELSE 0 END AS t,
+             1 + (7 * i + 5 * k) % 3 AS disp,
+             (i + 7 * k) % 100 AS delay
+          FROM fr),
+    e AS (SELECT i, k, disp, delay,
+                 v * (9 - 3 * t) AS contrib, 9 - 3 * t AS px
+          FROM c)
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(k AS INT) AS frame_index,
+           CAST(delay AS INT) AS delay_cs,
+           CAST(disp AS INT) AS disposal,
+           CAST(3 * (contrib + COALESCE(SUM(CASE WHEN disp = 1
+               THEN contrib ELSE 0 END) OVER (PARTITION BY i ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+             AS BIGINT) AS canvas_sum,
+           CAST(px + COALESCE(SUM(CASE WHEN disp = 1
+               THEN px ELSE 0 END) OVER (PARTITION BY i ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS lit_px
+    FROM e ORDER BY media_id, frame_index
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver snapshots the FIRST 50
     # entries into CORRECTNESS_r{N}.json.  Driver-green rows accumulate
@@ -6102,7 +6406,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row in some earlier round's CORRECTNESS file sit at the tail.
     # tools/check_oracle.py always verifies the FULL registry regardless.
     return {
-        # --- head: never driver-checked as of r9 + round-9 additions ---
+        # --- head: never driver-checked as of r10 ---
+        # the 11 r9-session-2 additions that landed after the r9 driver
+        # snapshot (judge-verified green; need driver-grade rows)
+        "heavy_hitters": q_heavy_hitters,
+        "streaming_hh": q_streaming_hh,
+        "fetch_schedule": q_fetch_schedule,
+        "anchor_text": q_anchor_text,
+        "containment": q_containment,
+        "html_metadata": q_html_metadata,
+        "wet_export": q_wet_export,
+        "feed_ops": q_feed_ops,
+        "feed_discovery": q_feed_discovery,
+        "salted_join": q_salted_join,
+        "assign_split": q_assign_split,
+        # bpe_train gains a VALUE oracle this round (was rows-only) —
+        # needs a fresh driver row under the new comparison
+        "bpe_train": q_bpe_train,
+        # --- r10 additions ---
+        "anomaly_gate": q_anomaly_gate,
+        "mp3_profile": q_mp3_profile,
+        "gif_frames": q_gif_frames,
+        # --- tail: driver-green in some earlier round ---
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
         "paragraph_dedup": q_paragraph_dedup,
@@ -6113,7 +6438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_ratio": q_near_dup_ratio,
         "dsir_sample": q_dsir_sample,
         "bpe_stats": q_bpe_stats,
-        "bpe_train": q_bpe_train,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
@@ -6150,25 +6474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk": q_grouped_topk,
         "link_graph": q_link_graph,
         "sitemap_ops": q_sitemap_ops,
-        # r9 late additions: slots 48-50 get driver rows this round; the
-        # remaining seven (heavy_hitters, streaming_hh, fetch_schedule,
-        # anchor_text, containment, salted_join, assign_split) are
-        # check_oracle-covered and rotate into the window next round
         "fuzzy_join": q_fuzzy_join,
         "token_jaccard": q_token_jaccard,
         "zorder_layout": q_zorder_layout,
-        "heavy_hitters": q_heavy_hitters,
-        "streaming_hh": q_streaming_hh,
-        "fetch_schedule": q_fetch_schedule,
-        "anchor_text": q_anchor_text,
-        "containment": q_containment,
-        "html_metadata": q_html_metadata,
-        "wet_export": q_wet_export,
-        "feed_ops": q_feed_ops,
-        "feed_discovery": q_feed_discovery,
-        "salted_join": q_salted_join,
-        "assign_split": q_assign_split,
-        # --- tail: driver-green in some earlier round ---
         "size": q_size,
         "completeness": q_completeness,
         "compliance": q_compliance,
@@ -7206,6 +7514,10 @@ def oracle_sql() -> dict[str, str]:
         "char_dedup": _CHAR_DEDUP_ORACLE_SQL,
         "bpe_ids": _BPE_IDS_ORACLE_SQL,
         "bpe_merges": _BPE_MERGES_ORACLE_SQL,
+        "bpe_train": _BPE_TRAIN_ORACLE_SQL,
+        "anomaly_gate": _ANOMALY_GATE_ORACLE_SQL,
+        "mp3_profile": _MP3_PROFILE_ORACLE_SQL,
+        "gif_frames": _GIF_FRAMES_ORACLE_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE_SQL,
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "c4_filters": _C4_FILTERS_ORACLE_SQL,

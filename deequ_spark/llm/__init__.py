@@ -52,13 +52,15 @@ from .phash import (audio_fingerprint_bytes, audio_fingerprints,
                     average_hash_bytes, dhash_bytes, image_hashes,
                     image_near_duplicates)
 from .multimodal import (attach_binary_payload, audio_features, decode_audio,
-                         decode_image, encode_mp3_frames, encode_mp4_skeleton,
-                         fake_resize,
+                         decode_image, encode_mp3_frames, encode_mp3_vbr,
+                         encode_mp4_skeleton, fake_resize, gif_frame_features,
+                         mp3_frame_profile,
                          probe_media, probe_media_features, resize_media,
                          extract_binary_features, sample_chunks,
                          sample_video_frames)
 from .jpeg import decode_jpeg, encode_jpeg, encode_progressive_jpeg
-from .gif import decode_gif, encode_gif
+from .gif import (decode_gif, decode_gif_frames, encode_gif,
+                  encode_gif_animation)
 from .pipeline import prepare_training_corpus
 from .bpe import (bpe_decode_ids, bpe_encode_ids, bpe_encode_word,
                   bpe_token_count, bpe_vocab, train_bpe,

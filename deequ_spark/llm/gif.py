@@ -7,12 +7,16 @@ environment-bound integration point; this codec (like ``png.py``-style
 decode in multimodal.py and ``jpeg.py``) makes the common formats real on
 a bare cluster image — spec-implementable with stdlib only.
 
-Decode semantics: returns the FIRST image frame composited at its
-(left, top) offset onto the logical screen (background-color-filled), in
-(height, width, 3) uint8 RGB — animation frames beyond the first and
-GCE transparency are out of scope (documented, not silently wrong:
-subsequent frames are simply not composited, matching a thumbnail/probe
-pipeline's needs).
+Decode semantics: ``decode_gif`` returns the FIRST image frame
+composited at its (left, top) offset onto the logical screen
+(background-color-filled), in (height, width, 3) uint8 RGB — the
+thumbnail/probe path. ``decode_gif_frames`` is the full ANIMATION path:
+every frame composited in sequence honoring the Graphic Control
+Extension (89a spec §23) — per-frame delay, transparency index, and
+disposal methods 1 (leave), 2 (restore to background color over the
+frame rect) and 3 (restore to the pre-frame canvas). The paired
+``encode_gif_animation`` writes multi-frame GCE streams so the
+compositing loop is round-trip-testable without PIL.
 
 LZW width-transition semantics follow the de-facto standard (giflib):
 a code is written/read at the CURRENT width, and the width grows to
@@ -208,6 +212,152 @@ def decode_gif(data: bytes):
         else:
             raise ValueError(f"unexpected GIF block 0x{block:02X}")
     raise ValueError("GIF stream contains no image frame")
+
+
+def decode_gif_frames(data: bytes):
+    """Composite every frame of a GIF89a animation: returns a list of
+    ``{"delay_cs", "disposal", "canvas"}`` dicts, ``canvas`` the full
+    logical-screen (sh, sw, 3) uint8 RGB AFTER this frame is drawn —
+    i.e. what a viewer shows during the frame's delay. GCE semantics
+    per the 89a spec §23: transparency index pixels leave the canvas
+    untouched; disposal is applied when ADVANCING to the next frame —
+    1/0 leave the canvas, 2 restores the frame rect to the background
+    color, 3 restores the pre-frame canvas snapshot."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF stream")
+    sw, sh, flags, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    at = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x7)
+        gct = np.frombuffer(data, np.uint8, n * 3, at).reshape(n, 3)
+        at += n * 3
+    bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+              else np.zeros(3, np.uint8))
+    canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
+    frames = []
+    gce = None                              # (disposal, delay_cs, tidx)
+    while at < len(data):
+        block = data[at]
+        if block == 0x21:                  # extension
+            label = data[at + 1]
+            at += 2
+            if label == 0xF9 and data[at] >= 4:
+                packed, delay, tidx = struct.unpack_from("<BHB", data,
+                                                         at + 1)
+                gce = ((packed >> 2) & 0x7, delay,
+                       tidx if packed & 0x1 else None)
+            while at < len(data) and data[at]:
+                at += 1 + data[at]
+            at += 1
+        elif block == 0x2C:                # image descriptor
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", data,
+                                                         at + 1)
+            at += 10
+            palette = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x7)
+                palette = np.frombuffer(data, np.uint8, n * 3,
+                                        at).reshape(n, 3)
+                at += n * 3
+            if palette is None:
+                raise ValueError("GIF frame without any color table")
+            mcs = data[at]
+            at += 1
+            lzw = bytearray()
+            while at < len(data) and data[at]:
+                size = data[at]
+                lzw += data[at + 1:at + 1 + size]
+                at += 1 + size
+            at += 1
+            idx = np.frombuffer(_lzw_decode(bytes(lzw), mcs, w * h),
+                                np.uint8)
+            if len(idx) < w * h:
+                idx = np.concatenate(
+                    [idx, np.full(w * h - len(idx), bg, np.uint8)])
+            idx = idx.reshape(h, w)
+            if iflags & 0x40:
+                out_rows = np.empty_like(idx)
+                out_rows[_interlace_order(h)] = idx
+                idx = out_rows
+            disposal, delay_cs, tidx = gce if gce is not None \
+                else (0, 0, None)
+            # clip the frame rect to the logical screen
+            ch, cw = min(h, sh - top), min(w, sw - left)
+            sub = idx[:ch, :cw]
+            rect = canvas[top:top + ch, left:left + cw]
+            snapshot = canvas.copy() if disposal == 3 else None
+            draw = np.ones((ch, cw), bool) if tidx is None \
+                else (sub != tidx)
+            rect[draw] = palette[np.minimum(sub, len(palette) - 1)][draw]
+            frames.append({"delay_cs": int(delay_cs),
+                           "disposal": int(disposal),
+                           "canvas": canvas.copy()})
+            if disposal == 2:
+                canvas[top:top + ch, left:left + cw] = bg_rgb
+            elif disposal == 3:
+                canvas = snapshot
+            gce = None                      # GCE applies to ONE frame
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02X}")
+    return frames
+
+
+def encode_gif_animation(screen_hw, frames, bg_rgb=(0, 0, 0)) -> bytes:
+    """Multi-frame GIF89a writer for animation fixtures: ``frames`` is a
+    list of dicts with ``patch`` ((h, w, 3) uint8 RGB), ``left``,
+    ``top``, ``disposal`` (0-3), ``delay_cs``, and an optional
+    ``transparent_mask`` ((h, w) bool — True pixels are written as the
+    reserved transparent index). One GLOBAL color table: background
+    color at index 0, every distinct patch color, plus one reserved
+    transparent slot; ≤ 256 total or ValueError."""
+    sh, sw = screen_hw
+    bg_rgb = np.asarray(bg_rgb, np.uint8)
+    colors = [bg_rgb.reshape(1, 3)]
+    for fr in frames:
+        colors.append(np.asarray(fr["patch"], np.uint8).reshape(-1, 3))
+    uniq = np.unique(np.concatenate(colors), axis=0)
+    # background first (index 0), then the rest in sorted order
+    rest = uniq[~(uniq == bg_rgb).all(axis=1)]
+    palette = np.concatenate([bg_rgb.reshape(1, 3), rest])
+    tidx = len(palette)                     # reserved transparent slot
+    if tidx + 1 > 256:
+        raise ValueError(f"GIF supports at most 256 colors, "
+                         f"got {tidx + 1}")
+    lut = {tuple(c): k for k, c in enumerate(palette)}
+    bits = max(1, int(tidx).bit_length())   # palette size = tidx + 1
+    padded = np.full((2 << (bits - 1), 3), 255, np.uint8)
+    padded[:len(palette)] = palette
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh,
+                       0x80 | (7 << 4) | (bits - 1), 0, 0)
+    out += padded.tobytes()
+    for fr in frames:
+        patch = np.asarray(fr["patch"], np.uint8)
+        h, w = patch.shape[:2]
+        mask = fr.get("transparent_mask")
+        idx = np.array([[lut[tuple(px)] for px in row] for row in patch],
+                       np.uint8)
+        if mask is not None:
+            idx[np.asarray(mask, bool)] = tidx
+        packed = ((int(fr.get("disposal", 0)) & 0x7) << 2) \
+            | (1 if mask is not None else 0)
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, packed,
+                           int(fr.get("delay_cs", 0)), tidx, 0)
+        out += struct.pack("<BHHHHB", 0x2C, int(fr.get("left", 0)),
+                           int(fr.get("top", 0)), w, h, 0)
+        out.append(mcs)
+        lzw = _lzw_encode(idx.tobytes(), mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
 
 
 def encode_gif(pixels: "np.ndarray", interlace: bool = False) -> bytes:

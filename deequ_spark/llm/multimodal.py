@@ -31,7 +31,7 @@ import io
 import struct
 import wave
 import zlib
-from typing import Callable, Iterator, Optional
+from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -354,7 +354,7 @@ def _mp3_frame_header(data: bytes, at: int):
     channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
     spf = 1152 if ver == 3 else 576     # Layer III samples per frame
     frame_len = (spf // 8) * kbps * 1000 // rate + padding
-    return frame_len, rate, channels, spf, ver
+    return frame_len, rate, channels, spf, ver, kbps
 
 
 def _probe_mp3(data: bytes) -> dict:
@@ -378,7 +378,7 @@ def _probe_mp3(data: bytes) -> dict:
         at += 1
     if first is None:
         return {}
-    _, rate, channels, spf, ver = first
+    _, rate, channels, spf, ver, _kbps = first
     out = {"format": "mp3", "kind": "audio", "sample_rate": rate,
            "n_channels": channels, "duration_ms": None}
     # Xing/Info tag (first frame, after the side info) carries the exact
@@ -434,6 +434,127 @@ def encode_mp3_frames(n_frames: int, sample_rate: int = 48000,
     for _ in range(n_frames - 1):
         out += frame
     return bytes(out)
+
+
+def encode_mp3_vbr(bitrates_kbps: "Sequence[int]",
+                   sample_rate: int = 48000, mono: bool = True,
+                   id3_payload: int = 0) -> bytes:
+    """Deterministic VBR fixture stream: one MPEG1 Layer III frame per
+    entry of ``bitrates_kbps``, each frame at its own bitrate (zeroed
+    payloads — header-parseable, not audio-decodable), optionally
+    prefixed with an ID3v2 tag of ``id3_payload`` bytes (syncsafe size)
+    so offset accounting across the tag skip is exercised too. At
+    48 kHz every legal MPEG1 bitrate gives a pad-free 3*kbps-byte frame
+    — closed-form oracle arithmetic."""
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    out = bytearray()
+    if id3_payload:
+        sz = id3_payload
+        out += bytes([0x49, 0x44, 0x33, 4, 0, 0,
+                      (sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                      (sz >> 7) & 0x7F, sz & 0x7F])
+        out += b"\x00" * id3_payload
+    for kbps in bitrates_kbps:
+        br_idx = _MP3_KBPS[3].index(kbps)
+        frame_len = 144 * kbps * 1000 // sample_rate
+        out += bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2),
+                      0xC0 if mono else 0x00])
+        out += b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+MP3_PROFILE_SCHEMA = ("media_id long, frame_index int, byte_offset long, "
+                      "bitrate_kbps int, sample_rate int, frame_bytes int, "
+                      "samples int")
+
+
+def mp3_frame_profile(df: DataFrame) -> DataFrame:
+    """Per-FRAME MP3 profile over (media_id, payload) blobs: one row per
+    MPEG audio frame with its byte offset, bitrate, sample rate, frame
+    length and sample count — the VBR-analysis primitive (bitrate
+    histograms, exact sample-accurate durations, splice points for
+    transcription chunking) that the single-row ``probe_media`` summary
+    cannot give. Pure frame-header struct parsing (ISO/IEC 11172-3
+    §2.4.2.3), no entropy decode — Arrow-batched ``mapInPandas``,
+    map-only, no shuffle; output size is frames-per-blob bound, so the
+    plan scales with corpus bytes, not cardinality. ID3v2 tags are
+    skipped (syncsafe size), leading garbage is resynced past, and the
+    walk stops at the first invalid chain header (truncation-safe)."""
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("media_id", "frame_index",
+                                    "byte_offset", "bitrate_kbps",
+                                    "sample_rate", "frame_bytes",
+                                    "samples")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = b"" if payload is None else bytes(payload)
+                at = 0
+                if data[:3] == b"ID3" and len(data) >= 10:
+                    size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+                    at = 10 + size
+                while at + 4 <= len(data):          # resync scan
+                    if _mp3_frame_header(data, at) is not None:
+                        break
+                    at += 1
+                idx = 0
+                while at + 4 <= len(data):
+                    hdr = _mp3_frame_header(data, at)
+                    if hdr is None:
+                        break
+                    flen, rate, _ch, spf, _ver, kbps = hdr
+                    cols["media_id"].append(int(mid))
+                    cols["frame_index"].append(idx)
+                    cols["byte_offset"].append(at)
+                    cols["bitrate_kbps"].append(kbps)
+                    cols["sample_rate"].append(rate)
+                    cols["frame_bytes"].append(flen)
+                    cols["samples"].append(spf)
+                    idx += 1
+                    at += flen
+            yield pd.DataFrame(cols)
+
+    return df.select("media_id", "payload").mapInPandas(
+        profile, MP3_PROFILE_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = ("media_id long, frame_index int, delay_cs int, "
+                    "disposal int, canvas_sum long, lit_px long")
+
+
+def gif_frame_features(df: DataFrame) -> DataFrame:
+    """Per-frame features of composited GIF animations over (media_id,
+    payload): one row per frame with its GCE delay/disposal and two
+    canvas statistics AFTER compositing — the RGB pixel sum and the
+    count of non-background (lit) pixels. The compositing loop
+    (``gif.decode_gif_frames``) honors transparency and disposal
+    methods 1/2/3, so these statistics change whenever inter-frame
+    state handling is wrong — a single-frame decoder cannot fake them.
+    Arrow-batched ``mapInPandas``, map-only; output rows are bounded by
+    frames-per-blob."""
+    from .gif import decode_gif_frames
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("media_id", "frame_index", "delay_cs",
+                                    "disposal", "canvas_sum", "lit_px")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_gif_frames(
+                    b"" if payload is None else bytes(payload))
+                for k, fr in enumerate(frames):
+                    canvas = fr["canvas"]
+                    cols["media_id"].append(int(mid))
+                    cols["frame_index"].append(k)
+                    cols["delay_cs"].append(fr["delay_cs"])
+                    cols["disposal"].append(fr["disposal"])
+                    cols["canvas_sum"].append(
+                        int(canvas.astype(np.int64).sum()))
+                    cols["lit_px"].append(int(canvas.any(axis=2).sum()))
+            yield pd.DataFrame(cols)
+
+    return df.select("media_id", "payload").mapInPandas(
+        feats, GIF_FRAME_SCHEMA)
 
 
 def _sniff_jpeg_dims(data: bytes):

@@ -2996,3 +2996,163 @@ class TestAssemblePacksProperty:
             assert got == want
 
         check()
+
+
+class TestGifAnimation:
+    """Multi-frame GIF compositing (gif.py decode_gif_frames /
+    encode_gif_animation): GCE delay/transparency/disposal semantics,
+    including the cases where restore-background and restore-previous
+    DIFFER (overlapping patches)."""
+
+    def _red(self):
+        import numpy as np
+        return np.full((2, 2, 3), 0, np.uint8) + np.array(
+            [200, 0, 0], np.uint8)
+
+    def test_disposal_1_accumulates(self):
+        import numpy as np
+        from deequ_spark.llm import decode_gif_frames, encode_gif_animation
+        f = [{"patch": np.full((2, 2, 3), 100, np.uint8), "left": 0,
+              "top": 0, "disposal": 1, "delay_cs": 5},
+             {"patch": np.full((2, 2, 3), 50, np.uint8), "left": 2,
+              "top": 2, "disposal": 1, "delay_cs": 7}]
+        frames = decode_gif_frames(encode_gif_animation((4, 4), f))
+        assert [fr["delay_cs"] for fr in frames] == [5, 7]
+        assert [fr["disposal"] for fr in frames] == [1, 1]
+        c0, c1 = frames[0]["canvas"], frames[1]["canvas"]
+        assert int(c0.sum()) == 4 * 3 * 100
+        # frame 0 retained under disposal 1
+        assert int(c1.sum()) == 4 * 3 * 100 + 4 * 3 * 50
+        assert tuple(c1[0, 0]) == (100, 100, 100)
+        assert tuple(c1[3, 3]) == (50, 50, 50)
+
+    def test_disposal_2_restores_background_rect(self):
+        import numpy as np
+        from deequ_spark.llm import decode_gif_frames, encode_gif_animation
+        f = [{"patch": np.full((2, 2, 3), 100, np.uint8), "left": 0,
+              "top": 0, "disposal": 2, "delay_cs": 1},
+             {"patch": np.full((1, 1, 3), 50, np.uint8), "left": 3,
+              "top": 3, "disposal": 1, "delay_cs": 1}]
+        frames = decode_gif_frames(encode_gif_animation((4, 4), f))
+        c1 = frames[1]["canvas"]
+        assert tuple(c1[0, 0]) == (0, 0, 0)      # frame 0 erased to bg
+        assert int(c1.sum()) == 3 * 50
+
+    def test_disposal_3_vs_2_differ_on_overlap(self):
+        """Overlapping patches: disposal 3 restores the PRE-FRAME canvas
+        (red pixel under the green patch comes back); disposal 2 would
+        black out the green rect including the red underneath."""
+        import numpy as np
+        from deequ_spark.llm import decode_gif_frames, encode_gif_animation
+        red = np.zeros((2, 2, 3), np.uint8); red[:, :, 0] = 200
+        green = np.zeros((2, 2, 3), np.uint8); green[:, :, 1] = 150
+        blue = np.zeros((1, 1, 3), np.uint8); blue[:, :, 2] = 90
+        base = [{"patch": red, "left": 0, "top": 0, "disposal": 1,
+                 "delay_cs": 1},
+                {"patch": green, "left": 1, "top": 1, "disposal": 3,
+                 "delay_cs": 1},
+                {"patch": blue, "left": 3, "top": 3, "disposal": 1,
+                 "delay_cs": 1}]
+        frames = decode_gif_frames(encode_gif_animation((4, 4), base))
+        c1, c2 = frames[1]["canvas"], frames[2]["canvas"]
+        assert tuple(c1[1, 1]) == (0, 150, 0)    # green over red
+        assert tuple(c2[1, 1]) == (200, 0, 0)    # restored by disposal 3
+        base[1]["disposal"] = 2
+        frames2 = decode_gif_frames(encode_gif_animation((4, 4), base))
+        assert tuple(frames2[2]["canvas"][1, 1]) == (0, 0, 0)  # bg rect
+
+    def test_transparency_shows_underlying_content(self):
+        """A transparent hole over an existing patch shows that patch,
+        not the background."""
+        import numpy as np
+        from deequ_spark.llm import decode_gif_frames, encode_gif_animation
+        red = np.zeros((2, 2, 3), np.uint8); red[:, :, 0] = 200
+        green = np.zeros((2, 2, 3), np.uint8); green[:, :, 1] = 150
+        mask = np.zeros((2, 2), bool); mask[0, 0] = True
+        f = [{"patch": red, "left": 0, "top": 0, "disposal": 1,
+              "delay_cs": 1},
+             {"patch": green, "left": 0, "top": 0, "disposal": 1,
+              "delay_cs": 1, "transparent_mask": mask}]
+        frames = decode_gif_frames(encode_gif_animation((2, 2), f))
+        c1 = frames[1]["canvas"]
+        assert tuple(c1[0, 0]) == (200, 0, 0)    # hole shows red
+        assert tuple(c1[0, 1]) == (0, 150, 0)
+        assert tuple(c1[1, 1]) == (0, 150, 0)
+
+    def test_still_gif_yields_one_frame_defaults(self):
+        """A plain encode_gif stream (no GCE) composites as one frame
+        with disposal 0 / delay 0."""
+        import numpy as np
+        from deequ_spark.llm import decode_gif_frames, encode_gif
+        img = np.full((3, 5, 3), 77, np.uint8)
+        frames = decode_gif_frames(encode_gif(img))
+        assert len(frames) == 1
+        assert (frames[0]["disposal"], frames[0]["delay_cs"]) == (0, 0)
+        assert np.array_equal(frames[0]["canvas"], img)
+
+    def test_gif_frame_features_distributed(self, spark):
+        import numpy as np
+        from deequ_spark.llm import encode_gif_animation, gif_frame_features
+        f = [{"patch": np.full((2, 2, 3), 10, np.uint8), "left": 0,
+              "top": 0, "disposal": 1, "delay_cs": 3},
+             {"patch": np.full((2, 2, 3), 20, np.uint8), "left": 2,
+              "top": 0, "disposal": 2, "delay_cs": 4}]
+        blob = encode_gif_animation((4, 4), f)
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "media_id long, payload binary")
+        rows = {r["frame_index"]: r for r in
+                gif_frame_features(df).collect()}
+        assert rows[0]["canvas_sum"] == 4 * 3 * 10
+        assert rows[0]["lit_px"] == 4
+        assert rows[1]["canvas_sum"] == 4 * 3 * 10 + 4 * 3 * 20
+        assert rows[1]["lit_px"] == 8
+        assert rows[1]["delay_cs"] == 4 and rows[1]["disposal"] == 2
+
+
+class TestMp3FrameProfile:
+    """Per-frame MP3 VBR profiling (multimodal.py mp3_frame_profile /
+    encode_mp3_vbr): frame chain walking with per-frame bitrates, ID3v2
+    skip, resync, truncation."""
+
+    def test_vbr_offsets_and_bitrates(self, spark):
+        from deequ_spark.llm import encode_mp3_vbr, mp3_frame_profile
+        rates = [64, 128, 96, 160]
+        blob = encode_mp3_vbr(rates, id3_payload=7)
+        df = spark.createDataFrame([(5, bytearray(blob))],
+                                   "media_id long, payload binary")
+        rows = sorted(mp3_frame_profile(df).collect(),
+                      key=lambda r: r["frame_index"])
+        assert [r["bitrate_kbps"] for r in rows] == rates
+        assert [r["frame_bytes"] for r in rows] == [3 * k for k in rates]
+        # 10-byte ID3 header + 7 payload bytes precede frame 0
+        offs = [17]
+        for k in rates[:-1]:
+            offs.append(offs[-1] + 3 * k)
+        assert [r["byte_offset"] for r in rows] == offs
+        assert all(r["sample_rate"] == 48000 and r["samples"] == 1152
+                   for r in rows)
+
+    def test_resync_and_truncation(self, spark):
+        from deequ_spark.llm import encode_mp3_vbr, mp3_frame_profile
+        blob = b"\x00garbage\xff\x00" + encode_mp3_vbr([64, 64, 64])
+        truncated = blob[:-50]               # cut into the last frame
+        df = spark.createDataFrame(
+            [(1, bytearray(blob)), (2, bytearray(truncated))],
+            "media_id long, payload binary")
+        got = {}
+        for r in mp3_frame_profile(df).collect():
+            got.setdefault(r["media_id"], []).append(r)
+        assert len(got[1]) == 3
+        assert got[1][0]["byte_offset"] == 10    # past the garbage
+        # the final truncated frame still profiles from its header;
+        # the chain stops after it (header-only parsing)
+        assert len(got[2]) == 3
+
+    def test_cbr_profile_agrees_with_probe(self):
+        from deequ_spark.llm import encode_mp3_frames, probe_media
+        from deequ_spark.llm.multimodal import (_mp3_frame_header)
+        blob = encode_mp3_frames(6)
+        p = probe_media(blob)
+        hdr = _mp3_frame_header(blob, 0)
+        assert hdr is not None and hdr[5] == 64   # kbps now exposed
+        assert p["duration_ms"] == 6 * 24
