@@ -6398,6 +6398,135 @@ _GIF_FRAMES_ORACLE_SQL = """
 """
 
 
+
+
+def q_mp4_profile(spark, sf_dir):
+    """MP4 stbl sample-table profiling (llm/multimodal.py
+    mp4_sample_profile + encode_mp4_samples): every 17th doc gets a
+    single-track MP4 whose sample tables are doc_id arithmetic — n =
+    3+doc_id%5 samples, size_j = 100+((doc_id+3j)%7)*10, decode delta
+    512 for the first ceil(n/2) samples then 256 (two stts runs), sync
+    samples where (doc_id+j)%3==0, 2-sample chunks with REAL two-pass
+    absolute offsets. The profiler re-derives every row from the byte
+    stream; the oracle regenerates sizes/dts/durations/sync from the
+    same arithmetic with window sums (offsets compared relative to the
+    first sample: chunks are laid out contiguously, so rel offset =
+    running size sum — the moov-size-dependent absolute base cancels)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from deequ_spark.llm import encode_mp4_samples, mp4_sample_profile
+
+    docs = _load(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 17 == 0)
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                n = 3 + i % 5
+                sizes = [100 + ((i + 3 * j) % 7) * 10 for j in range(n)]
+                deltas = [512 if j < (n + 1) // 2 else 256
+                          for j in range(n)]
+                sync = [j + 1 for j in range(n) if (i + j) % 3 == 0]
+                ids.append(i)
+                payloads.append(encode_mp4_samples(
+                    sizes, deltas, sync_samples=sync, chunk_size=2))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary")
+    prof = mp4_sample_profile(media)
+    w = Window.partitionBy("media_id")
+    return (prof
+            .withColumn("rel_offset",
+                        (F.col("byte_offset")
+                         - F.min("byte_offset").over(w)).cast("long"))
+            .select("media_id", "sample_index", "rel_offset",
+                    "size_bytes", "dts_ms", "duration_ms", "is_sync")
+            .orderBy("media_id", "sample_index"))
+
+
+_MP4_PROFILE_ORACLE_SQL = """
+    WITH d AS (
+      SELECT doc_id AS i, 3 + doc_id % 5 AS n
+      FROM documents WHERE doc_id % 17 = 0),
+    fr AS (SELECT i, n, unnest(range(0, n)) AS j FROM d),
+    c AS (SELECT i, n, j,
+                 100 + ((i + 3 * j) % 7) * 10 AS sz,
+                 CASE WHEN j < (n + 1) // 2 THEN 512 ELSE 256 END AS dl,
+                 CASE WHEN (i + j) % 3 = 0 THEN TRUE ELSE FALSE END
+                   AS sync
+          FROM fr)
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(j AS INT) AS sample_index,
+           CAST(COALESCE(SUM(sz) OVER (PARTITION BY i ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS rel_offset,
+           CAST(sz AS INT) AS size_bytes,
+           CAST(COALESCE(SUM(dl) OVER (PARTITION BY i ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS dts_ms,
+           CAST(dl AS BIGINT) AS duration_ms,
+           sync AS is_sync
+    FROM c ORDER BY media_id, sample_index
+"""
+
+
+
+
+def q_id3_tags(spark, sf_dir):
+    """ID3v2 text-frame metadata (llm/multimodal.py encode_id3v2 /
+    id3_text_frames): every 19th doc gets a tagged MP3 — even doc_ids
+    carry a v2.4 tag (syncsafe frame sizes, utf-8 title/album, utf-16
+    artist, TDRC year), odd doc_ids a v2.3 tag (big-endian frame sizes,
+    latin-1, TYER year) plus doc_id%16 padding bytes — composed with a
+    real 2-frame MP3 stream so the tag walk must stop exactly at the
+    audio. One row per text frame; the oracle regenerates every (frame,
+    value) pair from the doc_id arithmetic."""
+    import pandas as pd
+    from deequ_spark.llm import (encode_id3v2, encode_mp3_frames,
+                                 id3_text_frames)
+
+    docs = _load(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 19 == 0)
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                v4 = i % 2 == 0
+                frames = [
+                    ("TIT2", f"Title {i}", 3 if v4 else 0),
+                    ("TPE1", f"Artist {i % 7}", 1),
+                    ("TALB", f"Album {i % 5}", 3 if v4 else 0),
+                    ("TDRC" if v4 else "TYER",
+                     str(1990 + i % 30), 0)]
+                blob = encode_id3v2(frames, version=4 if v4 else 3,
+                                    padding=i % 16) \
+                    + encode_mp3_frames(2)
+                ids.append(i)
+                payloads.append(blob)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary")
+    return id3_text_frames(media).orderBy("media_id", "frame_id")
+
+
+_ID3_TAGS_ORACLE_SQL = """
+    WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id % 19 = 0)
+    SELECT CAST(i AS BIGINT) AS media_id, frame_id, value FROM (
+      SELECT i, 'TIT2' AS frame_id, 'Title ' || i AS value FROM d
+      UNION ALL SELECT i, 'TPE1', 'Artist ' || (i % 7) FROM d
+      UNION ALL SELECT i, 'TALB', 'Album ' || (i % 5) FROM d
+      UNION ALL SELECT i, CASE WHEN i % 2 = 0 THEN 'TDRC' ELSE 'TYER'
+        END, CAST(1990 + i % 30 AS VARCHAR) FROM d
+    ) ORDER BY media_id, frame_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver snapshots the FIRST 50
     # entries into CORRECTNESS_r{N}.json.  Driver-green rows accumulate
@@ -6427,6 +6556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_gate": q_anomaly_gate,
         "mp3_profile": q_mp3_profile,
         "gif_frames": q_gif_frames,
+        "mp4_profile": q_mp4_profile,
+        "id3_tags": q_id3_tags,
         # --- tail: driver-green in some earlier round ---
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -7518,6 +7649,8 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_gate": _ANOMALY_GATE_ORACLE_SQL,
         "mp3_profile": _MP3_PROFILE_ORACLE_SQL,
         "gif_frames": _GIF_FRAMES_ORACLE_SQL,
+        "mp4_profile": _MP4_PROFILE_ORACLE_SQL,
+        "id3_tags": _ID3_TAGS_ORACLE_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE_SQL,
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "c4_filters": _C4_FILTERS_ORACLE_SQL,

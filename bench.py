@@ -406,6 +406,35 @@ def b26_zorder_cluster(spark, orders):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def b27_pipeline_chain(spark, docs, emb):
+    """B27: the FULL corpus build chained in one run (llm/pipeline.py
+    prepare_training_corpus) — unicode normalize → Gopher quality →
+    boilerplate removal → exact dedup → MinHash near-dedup → SemDeDup
+    over embeddings → sequence packing. This is the job graph a real
+    100 TB run executes end-to-end; per-operator benches can't see
+    cross-stage effects (plan-tree blowup from self-referencing stages,
+    accidental recomputation when exchange reuse doesn't fire). Stage
+    boundaries are localCheckpoint-ed — materialize once, truncate the
+    plan — so each dedup stage's multiple self-references hit
+    materialized rows instead of re-deriving the upstream subtree
+    (tools/AB_B27_NOTE.md has the with/without measurements)."""
+    from deequ_spark.llm import prepare_training_corpus
+    out, _ = prepare_training_corpus(
+        docs, "doc_id", "text",
+        min_words=20, boilerplate_min_docs=2,
+        near_dup_threshold=0.5,
+        unicode_normalize=True,
+        embeddings=emb.select("vec_id", "embedding"),
+        embedding_cols=("vec_id", "embedding"),
+        semantic_threshold=0.97, semantic_clusters=8,
+        pack_budget=256,
+        collect_stats=False,
+        gopher_kwargs={"min_stopword_hits": 1})
+    n = out.count()
+    out.unpersist()
+    return n
+
+
 def main():
     spark = (SparkSession.builder
              .master(f"local[{CPUS}]")
@@ -475,6 +504,7 @@ def main():
         ("b24_crawl_ingest", lambda: b24_crawl_ingest(spark, warc_dir)),
         ("b25_fuzzy_join", lambda: b25_fuzzy_join(spark, cust)),
         ("b26_zorder_cluster", lambda: b26_zorder_cluster(spark, orders)),
+        ("b27_pipeline_chain", lambda: b27_pipeline_chain(spark, docs, emb)),
     ]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples = {name: [] for name, _ in benches}

@@ -431,6 +431,16 @@ def token_containment_join(df: DataFrame, id_col: str, text_col: str,
     mostly never match.  Size filter: ``nB >= ceil(t * nA)`` (B must
     have room for the shared tokens).  Exact ``array_intersect``
     verify.  Output: ``id_a, id_b, containment`` (A contained in B).
+
+    Output-size caveat (the token_jaccard_join caveat, amplified by
+    asymmetry): the prefix filter's leverage comes from DISCRIMINATIVE
+    tokens (a Zipf tail — real corpora).  On a low-diversity corpus
+    (tiny vocabulary, form letters) "rarest" tokens are still hot AND
+    the TRUE ordered pair set is itself near-quadratic — the pair list
+    is the deliverable and it is big by definition, not by plan defect
+    (tools/scale_check.py gates candidate growth on the realistic
+    shape).  For dedup-style use on such corpora, the dedup stack's
+    capped-bucket operators are the right tool, not an exact join.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")

@@ -53,8 +53,11 @@ from .phash import (audio_fingerprint_bytes, audio_fingerprints,
                     image_near_duplicates)
 from .multimodal import (attach_binary_payload, audio_features, decode_audio,
                          decode_image, encode_mp3_frames, encode_mp3_vbr,
-                         encode_mp4_skeleton, fake_resize, gif_frame_features,
-                         mp3_frame_profile,
+                         encode_id3v2, encode_mp4_samples,
+                         encode_mp4_skeleton, fake_resize,
+                         gif_frame_features, id3_text_frames,
+                         mp3_frame_profile, mp4_sample_profile,
+                         parse_id3_frames,
                          probe_media, probe_media_features, resize_media,
                          extract_binary_features, sample_chunks,
                          sample_video_frames)

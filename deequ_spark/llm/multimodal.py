@@ -285,6 +285,228 @@ def encode_mp4_skeleton(duration_ms: int, width: int, height: int,
     return ftyp + box(b"moov", mvhd + traks) + box(b"mdat", b"")
 
 
+def encode_mp4_samples(sample_sizes: "Sequence[int]",
+                       sample_deltas: "Sequence[int]",
+                       sync_samples: "Optional[Sequence[int]]" = None,
+                       chunk_size: int = 2, timescale: int = 1000,
+                       width: int = 160, height: int = 90) -> bytes:
+    """Structurally-valid single-track MP4 whose ``stbl`` sample tables
+    are REAL (ISO/IEC 14496-12 §8.5-8.7): per-sample sizes (``stsz``),
+    run-length decode deltas (``stts``), ``chunk_size``-sample chunks
+    with true absolute file offsets (``stsc``/``stco``; two-pass build —
+    offsets depend on the moov size, which is fixed once the table
+    shapes are), and optional sync-sample numbers (``stss``, 1-based;
+    omitted = every sample is sync, per spec). The mdat payload is
+    zeros of the exact summed size — timing/size/offset metadata is
+    true, codec payload is the documented ffmpeg boundary. No ``stsd``
+    codec entry is written (the profiler reads timing/size tables
+    only)."""
+    n = len(sample_sizes)
+    if len(sample_deltas) != n or n == 0:
+        raise ValueError("sample_sizes and sample_deltas must be "
+                         "equal-length and non-empty")
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    # stts: run-length (count, delta)
+    runs = []
+    for d in sample_deltas:
+        if runs and runs[-1][1] == d:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, d])
+    stts = box(b"stts", struct.pack(">II", 0, len(runs))
+               + b"".join(struct.pack(">II", c, d) for c, d in runs))
+    stsz = box(b"stsz", struct.pack(">III", 0, 0, n)
+               + b"".join(struct.pack(">I", s) for s in sample_sizes))
+    n_chunks = -(-n // chunk_size)
+    # constant samples-per-chunk, one trailing partial entry if needed
+    entries = [(1, chunk_size)]
+    last = n - chunk_size * (n_chunks - 1)
+    if n_chunks > 1 and last != chunk_size:
+        entries.append((n_chunks, last))
+    stsc = box(b"stsc", struct.pack(">II", 0, len(entries))
+               + b"".join(struct.pack(">III", fc, spc, 1)
+                          for fc, spc in entries))
+    stss = b""
+    if sync_samples is not None:
+        stss = box(b"stss", struct.pack(">II", 0, len(sync_samples))
+                   + b"".join(struct.pack(">I", s)
+                              for s in sync_samples))
+    duration = sum(sample_deltas)
+    mdhd = box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale,
+                                    duration)
+               + struct.pack(">HH", 0x55C4, 0))
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    tkhd = box(b"tkhd", struct.pack(">IIIIII", 7, 0, 0, 1, 0, duration)
+               + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+               + struct.pack(">II", width << 16, height << 16))
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale,
+                                    duration)
+               + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+               + b"\x00" * 8 + matrix + b"\x00" * 24
+               + struct.pack(">I", 2))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+
+    def assemble(chunk_offsets):
+        stco = box(b"stco", struct.pack(">II", 0, n_chunks)
+                   + b"".join(struct.pack(">I", o)
+                              for o in chunk_offsets))
+        stbl = box(b"stbl", stts + stsz + stsc + stco + stss)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + minf)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        return moov
+
+    # pass 1 with zero offsets fixes every box size; pass 2 writes the
+    # real absolute offsets (4-byte fields — sizes cannot change)
+    moov_len = len(assemble([0] * n_chunks))
+    mdat_payload_at = len(ftyp) + moov_len + 8
+    offsets, pos, i = [], mdat_payload_at, 0
+    while i < n:
+        offsets.append(pos)
+        pos += sum(sample_sizes[i:i + chunk_size])
+        i += chunk_size
+    moov = assemble(offsets)
+    mdat = box(b"mdat", b"\x00" * sum(sample_sizes))
+    return ftyp + moov + mdat
+
+
+MP4_SAMPLE_SCHEMA = ("media_id long, track_id int, sample_index int, "
+                     "byte_offset long, size_bytes int, dts_ms long, "
+                     "duration_ms long, is_sync boolean")
+
+
+def mp4_sample_profile(df: DataFrame) -> DataFrame:
+    """Per-SAMPLE MP4 profile over (media_id, payload) blobs: one row
+    per sample with its absolute byte offset, size, decode timestamp,
+    duration, and sync (keyframe) flag — derived purely from the
+    ``stbl`` tables (``stts``/``stsz``/``stsc``/``stco``/``stss``, ISO
+    14496-12 §8.5-8.7), no codec decode. This is what a video pipeline
+    needs to PLAN decode work: seek to keyframes, bound read ranges,
+    profile bitrate over time — the exact-timing complement to
+    ``sample_video_frames``'s uniform mvhd grid. Arrow-batched
+    ``mapInPandas``, map-only; tracks without a complete table set
+    yield no rows (truncation-safe)."""
+
+    def walk_samples(data: bytes):
+        tables: dict = {}
+
+        def walk(lo: int, hi: int, depth: int, ctx: dict) -> None:
+            at = lo
+            while at + 8 <= hi:
+                (size,) = struct.unpack_from(">I", data, at)
+                tag = data[at + 4:at + 8]
+                if size == 1:
+                    (size,) = struct.unpack_from(">Q", data, at + 8)
+                if size < 8 or at + size > hi:
+                    break
+                if tag in (b"moov", b"trak", b"mdia", b"minf",
+                           b"stbl") and depth < 6:
+                    sub = dict(ctx) if tag == b"trak" else ctx
+                    walk(at + 8, at + size, depth + 1, sub)
+                    if tag == b"trak" and "stsz" in sub:
+                        tables[sub.get("track_id", 0)] = dict(sub)
+                elif tag == b"tkhd" and size >= 8 + 24:
+                    ctx["track_id"] = struct.unpack_from(
+                        ">I", data, at + 20)[0]
+                elif tag == b"mdhd" and size >= 8 + 20:
+                    ver = data[at + 8]
+                    ctx["timescale"] = struct.unpack_from(
+                        ">I", data, at + (28 if ver == 1 else 20))[0]
+                elif tag == b"stts":
+                    (cnt,) = struct.unpack_from(">I", data, at + 12)
+                    ctx["stts"] = [struct.unpack_from(
+                        ">II", data, at + 16 + 8 * k)
+                        for k in range(cnt)]
+                elif tag == b"stsz":
+                    uniform, cnt = struct.unpack_from(">II", data,
+                                                      at + 12)
+                    ctx["stsz"] = ([uniform] * cnt if uniform else
+                                   [struct.unpack_from(
+                                       ">I", data, at + 20 + 4 * k)[0]
+                                    for k in range(cnt)])
+                elif tag == b"stsc":
+                    (cnt,) = struct.unpack_from(">I", data, at + 12)
+                    ctx["stsc"] = [struct.unpack_from(
+                        ">III", data, at + 16 + 12 * k)[:2]
+                        for k in range(cnt)]
+                elif tag == b"stco":
+                    (cnt,) = struct.unpack_from(">I", data, at + 12)
+                    ctx["stco"] = [struct.unpack_from(
+                        ">I", data, at + 16 + 4 * k)[0]
+                        for k in range(cnt)]
+                elif tag == b"stss":
+                    (cnt,) = struct.unpack_from(">I", data, at + 12)
+                    ctx["stss"] = {struct.unpack_from(
+                        ">I", data, at + 16 + 4 * k)[0]
+                        for k in range(cnt)}
+                at += size
+
+        if data[4:8] != b"ftyp":
+            return
+        walk(0, len(data), 0, {})
+        for tid, t in sorted(tables.items()):
+            if not all(k in t for k in ("stts", "stsz", "stsc",
+                                        "stco", "timescale")):
+                continue
+            sizes = t["stsz"]
+            deltas = []
+            for c, d in t["stts"]:
+                deltas.extend([d] * c)
+            if len(deltas) != len(sizes):
+                continue
+            ts = t["timescale"] or 1
+            sync = t.get("stss")
+            # expand stsc: samples-per-chunk of chunk c = entry with the
+            # greatest first_chunk <= c
+            stsc, stco = t["stsc"], t["stco"]
+            dts, si = 0, 0
+            for ci, coff in enumerate(stco, start=1):
+                spc = 0
+                for fc, s in stsc:
+                    if fc <= ci:
+                        spc = s
+                off = coff
+                for _ in range(spc):
+                    if si >= len(sizes):
+                        break
+                    yield (tid, si, off, sizes[si],
+                           dts * 1000 // ts, deltas[si] * 1000 // ts,
+                           sync is None or (si + 1) in sync)
+                    off += sizes[si]
+                    dts += deltas[si]
+                    si += 1
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("media_id", "track_id",
+                                    "sample_index", "byte_offset",
+                                    "size_bytes", "dts_ms",
+                                    "duration_ms", "is_sync")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = b"" if payload is None else bytes(payload)
+                if len(data) < 12:
+                    continue
+                for (tid, si, off, sz, dts_ms, dur_ms,
+                     is_sync) in walk_samples(data):
+                    cols["media_id"].append(int(mid))
+                    cols["track_id"].append(tid)
+                    cols["sample_index"].append(si)
+                    cols["byte_offset"].append(off)
+                    cols["size_bytes"].append(sz)
+                    cols["dts_ms"].append(dts_ms)
+                    cols["duration_ms"].append(dur_ms)
+                    cols["is_sync"].append(bool(is_sync))
+            yield pd.DataFrame(cols)
+
+    return df.select("media_id", "payload").mapInPandas(
+        profile, MP4_SAMPLE_SCHEMA)
+
+
 def _probe_mp4(data: bytes) -> dict:
     """Walk the top-level box tree for mvhd (duration/timescale) and
     trak/tkhd (count, dimensions) — header-only, no codec decode."""
@@ -461,6 +683,107 @@ def encode_mp3_vbr(bitrates_kbps: "Sequence[int]",
                       0xC0 if mono else 0x00])
         out += b"\x00" * (frame_len - 4)
     return bytes(out)
+
+
+def encode_id3v2(frames: "Sequence[tuple]", version: int = 4,
+                 padding: int = 0) -> bytes:
+    """ID3v2.3/2.4 tag block for fixtures: ``frames`` is a sequence of
+    (frame_id, text, encoding) with encoding in {0: latin-1, 1: utf-16
+    with BOM, 3: utf-8 (v2.4 only)}. Frame sizes are syncsafe in v2.4
+    and plain big-endian in v2.3, matching the spec split that trips
+    naive parsers."""
+    body = bytearray()
+    for fid, text, enc in frames:
+        if enc == 0:
+            payload = bytes([0]) + text.encode("latin-1")
+        elif enc == 1:
+            payload = bytes([1]) + text.encode("utf-16")  # BOM included
+        elif enc == 3:
+            payload = bytes([3]) + text.encode("utf-8")
+        else:
+            raise ValueError(f"unsupported text encoding {enc}")
+        n = len(payload)
+        size = (bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                       (n >> 7) & 0x7F, n & 0x7F])
+                if version == 4 else struct.pack(">I", n))
+        body += fid.encode("ascii") + size + b"\x00\x00" + payload
+    body += b"\x00" * padding
+    total = len(body)
+    return (b"ID3" + bytes([version, 0, 0,
+                            (total >> 21) & 0x7F, (total >> 14) & 0x7F,
+                            (total >> 7) & 0x7F, total & 0x7F])
+            + bytes(body))
+
+
+def parse_id3_frames(data: bytes):
+    """Text frames of a leading ID3v2.3/2.4 tag as (frame_id, value)
+    pairs — header-only struct parsing (id3.org spec): syncsafe sizes in
+    v2.4, big-endian in v2.3; $00 latin-1 / $01 utf-16-BOM / $02
+    utf-16-be / $03 utf-8 text encodings; stops at padding. Non-text
+    frames (no leading ``T``) are skipped structurally. Returns [] when
+    no tag leads the blob."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return []
+    version = data[3]
+    total = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+             | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+    end = min(10 + total, len(data))
+    at, out = 10, []
+    while at + 10 <= end:
+        fid = data[at:at + 4]
+        if fid[0] == 0:                     # padding
+            break
+        if version >= 4:
+            n = ((data[at + 4] & 0x7F) << 21 | (data[at + 5] & 0x7F) << 14
+                 | (data[at + 6] & 0x7F) << 7 | (data[at + 7] & 0x7F))
+        else:
+            (n,) = struct.unpack_from(">I", data, at + 4)
+        payload = data[at + 10:at + 10 + n]
+        at += 10 + n
+        if not fid.startswith(b"T") or not payload:
+            continue
+        enc, text = payload[0], payload[1:]
+        try:
+            if enc == 0:
+                val = text.decode("latin-1")
+            elif enc == 1:
+                val = text.decode("utf-16")
+            elif enc == 2:
+                val = text.decode("utf-16-be")
+            elif enc == 3:
+                val = text.decode("utf-8")
+            else:
+                continue
+        except UnicodeDecodeError:
+            continue
+        out.append((fid.decode("ascii"), val.rstrip("\x00")))
+    return out
+
+
+ID3_SCHEMA = "media_id long, frame_id string, value string"
+
+
+def id3_text_frames(df: DataFrame) -> DataFrame:
+    """ID3v2 text-frame extraction over (media_id, payload) audio blobs:
+    one row per text frame (TIT2 title, TPE1 artist, TALB album, TDRC
+    year, ...) — the metadata keys an audio-corpus pipeline dedups and
+    groups by before any sample ever decodes. Arrow-batched
+    ``mapInPandas``, map-only; blobs without a leading tag yield no
+    rows."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {"media_id": [], "frame_id": [], "value": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = b"" if payload is None else bytes(payload)
+                for fid, val in parse_id3_frames(data):
+                    cols["media_id"].append(int(mid))
+                    cols["frame_id"].append(fid)
+                    cols["value"].append(val)
+            yield pd.DataFrame(cols)
+
+    return df.select("media_id", "payload").mapInPandas(
+        extract, ID3_SCHEMA)
 
 
 MP3_PROFILE_SCHEMA = ("media_id long, frame_index int, byte_offset long, "

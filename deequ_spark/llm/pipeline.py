@@ -58,6 +58,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                             sample_fraction: Optional[float] = None,
                             pack_budget: Optional[int] = None,
                             collect_stats: bool = True,
+                            checkpoint_stages: bool = True,
                             gopher_kwargs: Optional[dict] = None,
                             paragraph_dedup_sep: Optional[str] = None,
                             span_dedup_n: Optional[int] = None,
@@ -109,6 +110,13 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     DSIR importance resampling toward the target corpus (runs after
     the quality/dedup stages so weights are fit on clean text).
 
+    ``checkpoint_stages=False`` disables the per-stage localCheckpoint
+    cuts — ONLY safe for short chains without self-referencing stages
+    (near/semantic dedup, LM filter, DSIR each reference the running
+    frame 2-3 times; without cuts the logical plan grows
+    multiplicatively and every reference RECOMPUTES the upstream
+    subtree — tools/AB_B27_NOTE.md has the measurements).
+
     Pre-filter hygiene stages (before the quality gate, cheapest first):
     ``url_col='url'`` dedupes by canonical URL (the CCNet/RefinedWeb
     first pass — one projection + one hash-groupBy, removes crawl
@@ -138,7 +146,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
         # grows multiplicatively with stage count and analysis OOMs
         # near 8 chained stages. Truncation also means every stage's
         # multiple downstream reads hit materialized rows.
-        if cut:
+        if cut and checkpoint_stages:
             frame = frame.localCheckpoint(eager=True)
         if collect_stats:
             stats[stage] = frame.count()

@@ -2736,6 +2736,30 @@ class TestLmQualityScore:
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
 
 
+class TestPipelineCheckpointKnob:
+    def test_uncut_chain_equals_cut_chain(self, spark):
+        """checkpoint_stages=False must produce the identical output
+        (the cuts are plan surgery, never semantics) — verified on a
+        short chain where the uncut plan stays analyzable."""
+        from deequ_spark.llm import prepare_training_corpus
+        rows = [(i, "the quick brown fox jumps over the lazy dog plus "
+                 + ("unique words " * (1 + i % 3)) + str(i % 5))
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        outs = {}
+        for cp in (True, False):
+            out, stats = prepare_training_corpus(
+                df, "doc_id", "text", min_words=3,
+                boilerplate_min_docs=50, near_dedup=False,
+                chunk_tokens=8, chunk_overlap=2,
+                checkpoint_stages=cp,
+                gopher_kwargs={"min_stopword_hits": 1})
+            outs[cp] = sorted(tuple(r) for r in out.collect())
+            if cp:
+                out.unpersist()
+        assert outs[True] == outs[False]
+
+
 class TestPipelineEndToEnd:
     """prepare_training_corpus with the r7 post-dedup stages: LM filter,
     deterministic sampling, sequence packing."""
@@ -3156,3 +3180,107 @@ class TestMp3FrameProfile:
         hdr = _mp3_frame_header(blob, 0)
         assert hdr is not None and hdr[5] == 64   # kbps now exposed
         assert p["duration_ms"] == 6 * 24
+
+
+class TestMp4SampleProfile:
+    """MP4 stbl sample-table profiling (multimodal.py mp4_sample_profile
+    / encode_mp4_samples): stts run expansion, per-sample stsz, stsc
+    chunk-map expansion against stco absolute offsets, stss sync flags,
+    two-pass offset correctness."""
+
+    def test_samples_offsets_timing_sync(self, spark):
+        from deequ_spark.llm import encode_mp4_samples, mp4_sample_profile
+        sizes = [100, 110, 120, 130, 140]
+        deltas = [512, 512, 512, 256, 256]
+        blob = encode_mp4_samples(sizes, deltas, sync_samples=[1, 4],
+                                  chunk_size=2)
+        df = spark.createDataFrame([(9, bytearray(blob))],
+                                   "media_id long, payload binary")
+        rows = sorted(mp4_sample_profile(df).collect(),
+                      key=lambda r: r["sample_index"])
+        assert [r["size_bytes"] for r in rows] == sizes
+        assert [r["duration_ms"] for r in rows] == deltas
+        assert [r["dts_ms"] for r in rows] == [0, 512, 1024, 1536, 1792]
+        assert [r["is_sync"] for r in rows] == [True, False, False,
+                                                True, False]
+        # absolute offsets: chunk 0 starts at the mdat payload; chunks
+        # are 2 samples each, contiguous
+        base = blob.find(b"mdat") + 4
+        assert [r["byte_offset"] for r in rows] == \
+            [base, base + 100, base + 210, base + 210 + 120,
+             base + 210 + 120 + 130]
+        # the stco entries must equal the real payload positions
+        assert rows[2]["byte_offset"] == base + 210
+
+    def test_no_stss_means_all_sync_and_uniform_stsz(self, spark):
+        from deequ_spark.llm import encode_mp4_samples, mp4_sample_profile
+        blob = encode_mp4_samples([64, 64, 64], [100, 100, 100],
+                                  chunk_size=3)
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "media_id long, payload binary")
+        rows = mp4_sample_profile(df).collect()
+        assert len(rows) == 3 and all(r["is_sync"] for r in rows)
+
+    def test_garbage_and_skeleton_yield_no_rows(self, spark):
+        from deequ_spark.llm import (encode_mp4_skeleton,
+                                     mp4_sample_profile)
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x00" * 64)),
+             (2, bytearray(encode_mp4_skeleton(1000, 160, 90)))],
+            "media_id long, payload binary")
+        assert mp4_sample_profile(df).count() == 0
+
+
+class TestId3TextFrames:
+    """ID3v2 text-frame extraction (multimodal.py encode_id3v2 /
+    parse_id3_frames / id3_text_frames): v2.3 big-endian vs v2.4
+    syncsafe frame sizes, all four text encodings, padding stop,
+    non-text frame skip, composition with a real MP3 stream."""
+
+    def test_both_versions_and_encodings(self, spark):
+        from deequ_spark.llm import (encode_id3v2, encode_mp3_frames,
+                                     id3_text_frames)
+        v4 = encode_id3v2([("TIT2", "Café Nights", 3),
+                           ("TPE1", "Artíst", 1)],
+                          version=4, padding=7) + encode_mp3_frames(2)
+        v3 = encode_id3v2([("TIT2", "Plain Title", 0),
+                           ("TALB", "Album X", 1)],
+                          version=3) + encode_mp3_frames(2)
+        df = spark.createDataFrame(
+            [(1, bytearray(v4)), (2, bytearray(v3))],
+            "media_id long, payload binary")
+        got = {(r["media_id"], r["frame_id"]): r["value"]
+               for r in id3_text_frames(df).collect()}
+        assert got == {(1, "TIT2"): "Café Nights",
+                       (1, "TPE1"): "Artíst",
+                       (2, "TIT2"): "Plain Title",
+                       (2, "TALB"): "Album X"}
+
+    def test_probe_still_reads_audio_past_big_tag(self):
+        """The syncsafe skip and the frame walk must agree: a tagged MP3
+        still probes its duration."""
+        from deequ_spark.llm import encode_id3v2, encode_mp3_frames
+        from deequ_spark.llm import probe_media
+        blob = encode_id3v2([("TIT2", "x" * 300, 3)]) \
+            + encode_mp3_frames(4)
+        p = probe_media(blob)
+        assert (p["format"], p["duration_ms"]) == ("mp3", 96)
+
+    def test_non_text_frames_skipped_and_no_tag_empty(self, spark):
+        import struct as _struct
+        from deequ_spark.llm import (encode_id3v2, encode_mp3_frames,
+                                     id3_text_frames, parse_id3_frames)
+        # hand-build a v2.4 tag with a binary APIC frame before TIT2
+        apic = b"APIC" + bytes([0, 0, 0, 5]) + b"\x00\x00" + b"\xff" * 5
+        tit2 = b"TIT2" + bytes([0, 0, 0, 6]) + b"\x00\x00" \
+            + b"\x03title"
+        body = apic + tit2
+        n = len(body)
+        tag = (b"ID3\x04\x00\x00"
+               + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                        (n >> 7) & 0x7F, n & 0x7F]) + body)
+        assert parse_id3_frames(tag) == [("TIT2", "title")]
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_mp3_frames(2)))],
+            "media_id long, payload binary")
+        assert id3_text_frames(df).count() == 0

@@ -482,3 +482,53 @@ def test_zorder_cluster_single_range_shuffle(spark):
     assert count_nodes(plan, "Exchange") == 1
     assert "rangepartitioning" in plan
     assert "hashpartitioning" not in plan
+
+
+def test_media_frame_profilers_map_only(spark):
+    """mp3_frame_profile / gif_frame_features are pure per-blob parsers:
+    ONE Arrow-vectorized MapInPandas stage straight off the source — no
+    exchange, no join, no row-at-a-time Python (at 100 TB of media the
+    only cost is IO + decode, never a shuffle of blob bytes)."""
+    import numpy as np
+    from deequ_spark.llm import (encode_gif_animation, encode_mp3_vbr,
+                                 encode_mp4_samples, gif_frame_features,
+                                 mp3_frame_profile, mp4_sample_profile)
+    mp3 = spark.createDataFrame(
+        [(1, bytearray(encode_mp3_vbr([64, 96])))],
+        "media_id long, payload binary")
+    mp4 = spark.createDataFrame(
+        [(1, bytearray(encode_mp4_samples([64, 64], [100, 100])))],
+        "media_id long, payload binary")
+    gif = spark.createDataFrame(
+        [(1, bytearray(encode_gif_animation(
+            (4, 4), [{"patch": np.full((2, 2, 3), 9, np.uint8),
+                      "left": 0, "top": 0, "disposal": 1,
+                      "delay_cs": 1}])))],
+        "media_id long, payload binary")
+    for out in (mp3_frame_profile(mp3), gif_frame_features(gif),
+                mp4_sample_profile(mp4)):
+        plan = explain_str(out)
+        assert count_nodes(plan, "MapInPandas") == 1
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_pipeline_chain_final_plan_truncated(spark):
+    """prepare_training_corpus with stage checkpoints (the b27 default):
+    the returned frame's plan must be TRUNCATED at the last cut — no
+    upstream exchanges survive into the final plan, so no stage can be
+    silently recomputed by a downstream reference (tools/AB_B27_NOTE.md:
+    uncut chain = 29 exchanges, 0 reused, 6.2x slower)."""
+    from deequ_spark.llm import prepare_training_corpus
+    df = spark.createDataFrame(
+        [(i, "some words repeated enough to pass the gate the the a of "
+          + str(i % 7)) for i in range(60)],
+        "doc_id long, text string")
+    out, _ = prepare_training_corpus(
+        df, "doc_id", "text", min_words=3, boilerplate_min_docs=50,
+        near_dedup=True, near_dup_threshold=0.9, pack_budget=16,
+        collect_stats=False, gopher_kwargs={"min_stopword_hits": 1})
+    plan = explain_str(out)
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    out.unpersist()
