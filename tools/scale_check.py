@@ -416,22 +416,24 @@ def main() -> None:
     from deequ_spark.linkage import token_containment_join
 
     def containment_corpus(n_copies: int):
+        # tokens are CONTIGUOUS alphanumerics (tokenize_set splits on
+        # [^a-z0-9]+ — a w{id}_{k} shape would shatter into hot digit
+        # tokens shared by every doc and quadratic the join)
         base = spark.range(2_000).selectExpr(
             "id AS doc_id",
             "concat_ws(' ', transform(sequence(0, 19), "
-            "k -> concat('w', id, '_', k))) AS text")
+            "k -> concat('w', id, 'x', k))) AS text")
         frag = (base.where("doc_id % 10 = 0")
                 .selectExpr(
                     "doc_id + 1000000 AS doc_id",
                     "concat_ws(' ', transform(sequence(0, 11), "
-                    "k -> concat('w', doc_id, '_', k))) AS text"))
+                    "k -> concat('w', doc_id, 'x', k))) AS text"))
         one = base.unionByName(frag)
         return one if n_copies == 1 else \
             spark.range(n_copies).crossJoin(one).selectExpr(
                 "id * 10000000 + doc_id AS doc_id",
-                "concat('c', id, ' ', replace(text, 'w', "
-                "concat('c', id, 'w'))) AS text")
-    # copy remap: token wN_k -> cCwN_k keeps copies token-disjoint
+                "replace(text, 'w', concat('c', id, 'w')) AS text")
+    # copy remap: token wNxK -> cCwNxK keeps copies token-disjoint
 
     cj = {}
     for label, d in (("1x", containment_corpus(1)),
