@@ -6527,6 +6527,75 @@ _ID3_TAGS_ORACLE_SQL = """
 """
 
 
+
+
+def q_warc_cdx(spark, sf_dir):
+    """CDX capture index (llm/warc.py warc_cdx_index + surt_key): docs
+    grouped into 8 plain WARC files (doc_id % 8, records in doc_id
+    order), each doc a response record with a doc_id-arithmetic URL and
+    payload. The index walk re-derives every on-disk span from the
+    actual bytes; the oracle REBUILDS each record's exact framing as a
+    string (same header lines build_warc_record writes) and replays
+    offset (window byte sum), length, SURT urlkey, 14-digit timestamp,
+    and sha256 digest in SQL — one framing byte off anywhere and the
+    whole tail of a file mismatches."""
+    import pandas as pd
+    from deequ_spark.llm import build_warc_record, warc_cdx_index
+
+    docs = _load(spark, sf_dir, "documents") \
+        .select("doc_id", (F.col("doc_id") % 8).alias("g"))
+
+    def build_files(pdf):
+        g = int(pdf["g"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        records = []
+        for i in pdf["doc_id"]:
+            i = int(i)
+            payload = (f"payload {i} " * (1 + i % 4)).encode()
+            records.append(build_warc_record(
+                "response", payload,
+                target_uri=f"http://h{i % 7}.example.com/p{i}",
+                record_id=f"urn:doc:{i}"))
+        return pd.DataFrame({"path": [f"f{g}"],
+                             "content": [b"".join(records)]})
+
+    files = docs.groupBy("g").applyInPandas(
+        build_files, "path string, content binary")
+    return warc_cdx_index(files).orderBy("path", "offset")
+
+
+_WARC_CDX_ORACLE_SQL = """
+    WITH d AS (
+      SELECT doc_id AS i, doc_id % 8 AS g,
+             repeat('payload ' || doc_id || ' ', 1 + doc_id % 4) AS pl
+      FROM documents),
+    rec AS (
+      SELECT i, g, pl,
+        'WARC/1.0' || chr(13) || chr(10)
+        || 'WARC-Type: response' || chr(13) || chr(10)
+        || 'WARC-Date: 2024-01-01T00:00:00Z' || chr(13) || chr(10)
+        || 'WARC-Record-ID: <urn:doc:' || i || '>' || chr(13) || chr(10)
+        || 'WARC-Target-URI: http://h' || (i % 7) || '.example.com/p'
+        || i || chr(13) || chr(10)
+        || 'Content-Length: ' || strlen(pl)
+        || chr(13) || chr(10) || chr(13) || chr(10)
+        || pl || chr(13) || chr(10) || chr(13) || chr(10) AS rec_str
+      FROM d)
+    SELECT 'f' || g AS path,
+           'com,example,h' || (i % 7) || ')/p' || i AS urlkey,
+           '20240101000000' AS "timestamp",
+           'http://h' || (i % 7) || '.example.com/p' || i AS url,
+           'response' AS warc_type,
+           CAST(COALESCE(SUM(strlen(rec_str)) OVER (
+               PARTITION BY g ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS "offset",
+           CAST(strlen(rec_str) AS BIGINT) AS length,
+           sha256(pl) AS digest
+    FROM rec ORDER BY path, "offset"
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver snapshots the FIRST 50
     # entries into CORRECTNESS_r{N}.json.  Driver-green rows accumulate
@@ -6558,6 +6627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frames": q_gif_frames,
         "mp4_profile": q_mp4_profile,
         "id3_tags": q_id3_tags,
+        "warc_cdx": q_warc_cdx,
         # --- tail: driver-green in some earlier round ---
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -7651,6 +7721,7 @@ def oracle_sql() -> dict[str, str]:
         "gif_frames": _GIF_FRAMES_ORACLE_SQL,
         "mp4_profile": _MP4_PROFILE_ORACLE_SQL,
         "id3_tags": _ID3_TAGS_ORACLE_SQL,
+        "warc_cdx": _WARC_CDX_ORACLE_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE_SQL,
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "c4_filters": _C4_FILTERS_ORACLE_SQL,

@@ -566,3 +566,70 @@ class TestWriteWet:
         m = write_wet(df, p, n_shards=1).collect()
         assert sum(r["n_records"] for r in m) == 1
         assert wet_documents(read_warc(spark, p)).count() == 1
+
+
+class TestCdxIndex:
+    """CDX(J) capture index (warc.py surt_key / warc_cdx_index):
+    on-disk spans must be directly seekable — the whole point of the
+    index — verified by re-reading every (offset, length) span and
+    parsing exactly the indexed record out of it."""
+
+    def _records(self):
+        from deequ_spark.llm import build_warc_record
+        return [build_warc_record(
+            "response", f"body {i}".encode(),
+            target_uri=f"http://www.site{i % 3}.org/page/{i}",
+            record_id=f"urn:x:{i}") for i in range(6)]
+
+    def test_gzip_member_spans_seekable(self, spark):
+        import gzip
+        from deequ_spark.llm import build_warc_file, warc_cdx_index
+        from deequ_spark.llm.warc import iter_warc_records
+        blob = build_warc_file(self._records(), gzip_members=True)
+        df = spark.createDataFrame([("f0", bytearray(blob))],
+                                   "path string, content binary")
+        rows = sorted(warc_cdx_index(df).collect(),
+                      key=lambda r: r["offset"])
+        assert len(rows) == 6
+        for k, r in enumerate(rows):
+            member = blob[r["offset"]:r["offset"] + r["length"]]
+            recs = list(iter_warc_records(gzip.decompress(member)))
+            assert len(recs) == 1
+            assert recs[0][0]["WARC-Target-URI"] == r["url"]
+            assert r["urlkey"] == f"org,site{k % 3})/page/{k}"
+            assert r["timestamp"] == "20240101000000"
+        # spans tile the file exactly
+        assert rows[0]["offset"] == 0
+        assert rows[-1]["offset"] + rows[-1]["length"] == len(blob)
+
+    def test_plain_spans_and_digest(self, spark):
+        import hashlib
+        from deequ_spark.llm import build_warc_file, warc_cdx_index
+        recs = self._records()
+        blob = build_warc_file(recs, gzip_members=False)
+        df = spark.createDataFrame([("f0", bytearray(blob))],
+                                   "path string, content binary")
+        rows = sorted(warc_cdx_index(df).collect(),
+                      key=lambda r: r["offset"])
+        # plain spans are the framing bytes, contiguous
+        assert [r["offset"] for r in rows] == \
+            [sum(len(x) for x in recs[:k]) for k in range(6)]
+        assert [r["length"] for r in rows] == [len(x) for x in recs]
+        assert rows[2]["digest"] == hashlib.sha256(b"body 2").hexdigest()
+
+    def test_truncated_tail_dropped(self, spark):
+        from deequ_spark.llm import build_warc_file, warc_cdx_index
+        blob = build_warc_file(self._records())[:-30]  # cut last record
+        df = spark.createDataFrame([("f0", bytearray(blob))],
+                                   "path string, content binary")
+        assert warc_cdx_index(df).count() == 5
+
+    def test_surt_key_rules(self):
+        from deequ_spark.llm import surt_key
+        assert surt_key("https://www.News.Example.com/a/B?q=1") == \
+            "com,example,news)/a/b?q=1"
+        assert surt_key("http://host.io") == "io,host)/"
+        assert surt_key("http://h.io:8080/x") == "io,h:8080)/x"
+        assert surt_key("ftp://h.io/x") is None
+        assert surt_key(None) is None
+        assert surt_key("not a url") is None
