@@ -1145,9 +1145,13 @@ def sample_video_frames(df: DataFrame, n_frames: int = 8,
     build), so ``frame_decoder(payload, ts_ms) -> bytes`` is the
     documented integration hook: absent, rows carry ``pixels = NULL,
     decoded = false``; present, its bytes land in ``pixels`` unchanged.
-    Non-video payloads (or videos whose header yields no positive
-    duration) produce ZERO rows — the operator is also the video
-    filter.
+    Exception: ANIMATED GIFs (>1 frame) decode fully in-process —
+    ``gif.decode_gif_frames`` composites the GCE timeline and each
+    sampled row carries the real canvas as BMP bytes with
+    ``decoded = true`` (zero-delay frames take the 10 cs viewers
+    substitute). Non-video payloads (or videos whose header yields no
+    positive duration) produce ZERO rows — the operator is also the
+    video filter.
 
     Spark shape: one ``mapInPandas`` (Arrow batch in, ≤ n·rows out),
     map-only — no shuffle; the n-fold row expansion happens inside the
@@ -1162,6 +1166,34 @@ def sample_video_frames(df: DataFrame, n_frames: int = 8,
                 data = b"" if payload is None else bytes(payload)
                 meta = probe_media(data)
                 dur = meta.get("duration_ms")
+                # animated GIF: the one video-like container this build
+                # DECODES end-to-end (gif.decode_gif_frames) — pixels
+                # are real composited canvases (BMP-encoded), timeline
+                # from the GCE delays, no external decoder needed
+                if (meta.get("format") == "gif"
+                        and (meta.get("n_tracks") or 0) > 1):
+                    from .gif import decode_gif_frames
+                    frames = decode_gif_frames(data)
+                    ends, t = [], 0
+                    for fr in frames:
+                        # zero-delay frames get the 10 cs viewers use
+                        t += (fr["delay_cs"] or 10) * 10
+                        ends.append(t)
+                    if t <= 0:
+                        continue
+                    for i in range(n_frames):
+                        ts = t * (i + 0.5) / n_frames
+                        k = next(j for j, e in enumerate(ends) if ts < e)
+                        canvas = frames[k]["canvas"]
+                        out["media_id"].append(mid)
+                        out["frame_index"].append(i)
+                        out["ts_ms"].append(ts)
+                        out["width"].append(canvas.shape[1])
+                        out["height"].append(canvas.shape[0])
+                        out["n_tracks"].append(len(frames))
+                        out["pixels"].append(encode_bmp(canvas))
+                        out["decoded"].append(True)
+                    continue
                 if meta.get("kind") != "video" or not dur or dur <= 0:
                     continue
                 for i in range(n_frames):

@@ -3284,3 +3284,54 @@ class TestId3TextFrames:
             [(1, bytearray(encode_mp3_frames(2)))],
             "media_id long, payload binary")
         assert id3_text_frames(df).count() == 0
+
+
+class TestGifVideoSampling:
+    """sample_video_frames over animated GIFs: the one video container
+    decoded end-to-end in-process — sampled rows carry REAL composited
+    canvases (BMP) on the GCE-delay timeline."""
+
+    def test_animated_gif_samples_decoded_canvases(self, spark):
+        import numpy as np
+        from deequ_spark.llm import (encode_gif_animation,
+                                     sample_video_frames)
+        from deequ_spark.llm.multimodal import decode_image
+        # two frames, delays 20 cs + 30 cs -> 200 ms + 300 ms timeline
+        f = [{"patch": np.full((2, 2, 3), 100, np.uint8), "left": 0,
+              "top": 0, "disposal": 1, "delay_cs": 20},
+             {"patch": np.full((2, 2, 3), 50, np.uint8), "left": 2,
+              "top": 2, "disposal": 1, "delay_cs": 30}]
+        blob = encode_gif_animation((4, 4), f)
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "media_id long, payload binary")
+        rows = sorted(sample_video_frames(df, n_frames=4).collect(),
+                      key=lambda r: r["frame_index"])
+        assert len(rows) == 4 and all(r["decoded"] for r in rows)
+        assert [round(r["ts_ms"], 1) for r in rows] == \
+            [62.5, 187.5, 312.5, 437.5]
+        # first two samples fall in frame 0 (ends 200ms), rest frame 1
+        sums = []
+        for r in rows:
+            h, w, _, px = decode_image(bytes(r["pixels"]))
+            assert (h, w) == (4, 4)
+            sums.append(int(px.sum()))
+        assert sums[0] == sums[1] == 4 * 3 * 100
+        assert sums[2] == sums[3] == 4 * 3 * 100 + 4 * 3 * 50
+        assert rows[0]["n_tracks"] == 2
+
+    def test_still_gif_yields_no_video_rows(self, spark):
+        import numpy as np
+        from deequ_spark.llm import encode_gif, sample_video_frames
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_gif(np.full((2, 2, 3), 7, np.uint8))))],
+            "media_id long, payload binary")
+        assert sample_video_frames(df, n_frames=3).count() == 0
+
+    def test_mp4_path_unchanged(self, spark):
+        from deequ_spark.llm import encode_mp4_skeleton, sample_video_frames
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_mp4_skeleton(800, 64, 32)))],
+            "media_id long, payload binary")
+        rows = sample_video_frames(df, n_frames=2).collect()
+        assert len(rows) == 2
+        assert all(not r["decoded"] and r["pixels"] is None for r in rows)
