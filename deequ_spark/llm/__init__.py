@@ -73,8 +73,8 @@ from .search import (bm25_corpus_stats, bm25_topk, corpus_drift,
                      corpus_token_stats, token_frequencies, word_tokens)
 from .semdedup import (assign_clusters, semantic_deduplicate,
                        semantic_duplicate_pairs)
-from .packing import (apportion_quotas, assemble_packs, dsir_weights,
-                      hash_sample,
+from .packing import (apportion_quotas, assemble_packs, assign_split,
+                      dsir_weights, hash_sample,
                       length_bucketize,
                       importance_sample, mixture_sample,
                       pack_sequences, pack_statistics,
