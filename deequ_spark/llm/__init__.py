@@ -57,7 +57,8 @@ from .multimodal import (attach_binary_payload, audio_features, decode_audio,
                          encode_id3v2, encode_mp4_samples,
                          encode_mp4_skeleton, fake_resize,
                          gif_frame_features, id3_text_frames,
-                         mp3_frame_profile, mp4_sample_profile,
+                         mp3_frame_profile, mp3_frames,
+                         mp4_sample_profile, mp4_samples,
                          parse_id3_frames,
                          probe_media, probe_media_features, resize_media,
                          extract_binary_features, sample_chunks,

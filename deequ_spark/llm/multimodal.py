@@ -380,106 +380,113 @@ MP4_SAMPLE_SCHEMA = ("media_id long, track_id int, sample_index int, "
                      "duration_ms long, is_sync boolean")
 
 
+def mp4_samples(data: bytes):
+    """Walk one MP4 blob's ``stbl`` tables (the per-blob unit of
+    :func:`mp4_sample_profile`, exposed for driver-side use and direct
+    testing): yields ``(track_id, sample_index, byte_offset, size,
+    dts_ms, duration_ms, is_sync)`` per sample. Tracks missing any of
+    stts/stsz/stsc/stco/timescale yield nothing (truncation-safe)."""
+    tables: dict = {}
+
+    def walk(lo: int, hi: int, depth: int, ctx: dict) -> None:
+        at = lo
+        while at + 8 <= hi:
+            (size,) = struct.unpack_from(">I", data, at)
+            tag = data[at + 4:at + 8]
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", data, at + 8)
+            if size < 8 or at + size > hi:
+                break
+            if tag in (b"moov", b"trak", b"mdia", b"minf",
+                       b"stbl") and depth < 6:
+                sub = dict(ctx) if tag == b"trak" else ctx
+                walk(at + 8, at + size, depth + 1, sub)
+                if tag == b"trak" and "stsz" in sub:
+                    tables[sub.get("track_id", 0)] = dict(sub)
+            elif tag == b"tkhd" and size >= 8 + 24:
+                ctx["track_id"] = struct.unpack_from(
+                    ">I", data, at + 20)[0]
+            elif tag == b"mdhd" and size >= 8 + 20:
+                ver = data[at + 8]
+                ctx["timescale"] = struct.unpack_from(
+                    ">I", data, at + (28 if ver == 1 else 20))[0]
+            elif tag == b"stts":
+                (cnt,) = struct.unpack_from(">I", data, at + 12)
+                ctx["stts"] = [struct.unpack_from(
+                    ">II", data, at + 16 + 8 * k)
+                    for k in range(cnt)]
+            elif tag == b"stsz":
+                uniform, cnt = struct.unpack_from(">II", data,
+                                                  at + 12)
+                ctx["stsz"] = ([uniform] * cnt if uniform else
+                               [struct.unpack_from(
+                                   ">I", data, at + 20 + 4 * k)[0]
+                                for k in range(cnt)])
+            elif tag == b"stsc":
+                (cnt,) = struct.unpack_from(">I", data, at + 12)
+                ctx["stsc"] = [struct.unpack_from(
+                    ">III", data, at + 16 + 12 * k)[:2]
+                    for k in range(cnt)]
+            elif tag == b"stco":
+                (cnt,) = struct.unpack_from(">I", data, at + 12)
+                ctx["stco"] = [struct.unpack_from(
+                    ">I", data, at + 16 + 4 * k)[0]
+                    for k in range(cnt)]
+            elif tag == b"stss":
+                (cnt,) = struct.unpack_from(">I", data, at + 12)
+                ctx["stss"] = {struct.unpack_from(
+                    ">I", data, at + 16 + 4 * k)[0]
+                    for k in range(cnt)}
+            at += size
+
+    if data[4:8] != b"ftyp":
+        return
+    walk(0, len(data), 0, {})
+    for tid, t in sorted(tables.items()):
+        if not all(k in t for k in ("stts", "stsz", "stsc",
+                                    "stco", "timescale")):
+            continue
+        sizes = t["stsz"]
+        deltas = []
+        for c, d in t["stts"]:
+            deltas.extend([d] * c)
+        if len(deltas) != len(sizes):
+            continue
+        ts = t["timescale"] or 1
+        sync = t.get("stss")
+        # expand stsc: samples-per-chunk of chunk c = entry with the
+        # greatest first_chunk <= c
+        stsc, stco = t["stsc"], t["stco"]
+        dts, si = 0, 0
+        for ci, coff in enumerate(stco, start=1):
+            spc = 0
+            for fc, s in stsc:
+                if fc <= ci:
+                    spc = s
+            off = coff
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                yield (tid, si, off, sizes[si],
+                       dts * 1000 // ts, deltas[si] * 1000 // ts,
+                       sync is None or (si + 1) in sync)
+                off += sizes[si]
+                dts += deltas[si]
+                si += 1
+
+
+
 def mp4_sample_profile(df: DataFrame) -> DataFrame:
     """Per-SAMPLE MP4 profile over (media_id, payload) blobs: one row
     per sample with its absolute byte offset, size, decode timestamp,
     duration, and sync (keyframe) flag — derived purely from the
     ``stbl`` tables (``stts``/``stsz``/``stsc``/``stco``/``stss``, ISO
-    14496-12 §8.5-8.7), no codec decode. This is what a video pipeline
-    needs to PLAN decode work: seek to keyframes, bound read ranges,
-    profile bitrate over time — the exact-timing complement to
-    ``sample_video_frames``'s uniform mvhd grid. Arrow-batched
-    ``mapInPandas``, map-only; tracks without a complete table set
-    yield no rows (truncation-safe)."""
-
-    def walk_samples(data: bytes):
-        tables: dict = {}
-
-        def walk(lo: int, hi: int, depth: int, ctx: dict) -> None:
-            at = lo
-            while at + 8 <= hi:
-                (size,) = struct.unpack_from(">I", data, at)
-                tag = data[at + 4:at + 8]
-                if size == 1:
-                    (size,) = struct.unpack_from(">Q", data, at + 8)
-                if size < 8 or at + size > hi:
-                    break
-                if tag in (b"moov", b"trak", b"mdia", b"minf",
-                           b"stbl") and depth < 6:
-                    sub = dict(ctx) if tag == b"trak" else ctx
-                    walk(at + 8, at + size, depth + 1, sub)
-                    if tag == b"trak" and "stsz" in sub:
-                        tables[sub.get("track_id", 0)] = dict(sub)
-                elif tag == b"tkhd" and size >= 8 + 24:
-                    ctx["track_id"] = struct.unpack_from(
-                        ">I", data, at + 20)[0]
-                elif tag == b"mdhd" and size >= 8 + 20:
-                    ver = data[at + 8]
-                    ctx["timescale"] = struct.unpack_from(
-                        ">I", data, at + (28 if ver == 1 else 20))[0]
-                elif tag == b"stts":
-                    (cnt,) = struct.unpack_from(">I", data, at + 12)
-                    ctx["stts"] = [struct.unpack_from(
-                        ">II", data, at + 16 + 8 * k)
-                        for k in range(cnt)]
-                elif tag == b"stsz":
-                    uniform, cnt = struct.unpack_from(">II", data,
-                                                      at + 12)
-                    ctx["stsz"] = ([uniform] * cnt if uniform else
-                                   [struct.unpack_from(
-                                       ">I", data, at + 20 + 4 * k)[0]
-                                    for k in range(cnt)])
-                elif tag == b"stsc":
-                    (cnt,) = struct.unpack_from(">I", data, at + 12)
-                    ctx["stsc"] = [struct.unpack_from(
-                        ">III", data, at + 16 + 12 * k)[:2]
-                        for k in range(cnt)]
-                elif tag == b"stco":
-                    (cnt,) = struct.unpack_from(">I", data, at + 12)
-                    ctx["stco"] = [struct.unpack_from(
-                        ">I", data, at + 16 + 4 * k)[0]
-                        for k in range(cnt)]
-                elif tag == b"stss":
-                    (cnt,) = struct.unpack_from(">I", data, at + 12)
-                    ctx["stss"] = {struct.unpack_from(
-                        ">I", data, at + 16 + 4 * k)[0]
-                        for k in range(cnt)}
-                at += size
-
-        if data[4:8] != b"ftyp":
-            return
-        walk(0, len(data), 0, {})
-        for tid, t in sorted(tables.items()):
-            if not all(k in t for k in ("stts", "stsz", "stsc",
-                                        "stco", "timescale")):
-                continue
-            sizes = t["stsz"]
-            deltas = []
-            for c, d in t["stts"]:
-                deltas.extend([d] * c)
-            if len(deltas) != len(sizes):
-                continue
-            ts = t["timescale"] or 1
-            sync = t.get("stss")
-            # expand stsc: samples-per-chunk of chunk c = entry with the
-            # greatest first_chunk <= c
-            stsc, stco = t["stsc"], t["stco"]
-            dts, si = 0, 0
-            for ci, coff in enumerate(stco, start=1):
-                spc = 0
-                for fc, s in stsc:
-                    if fc <= ci:
-                        spc = s
-                off = coff
-                for _ in range(spc):
-                    if si >= len(sizes):
-                        break
-                    yield (tid, si, off, sizes[si],
-                           dts * 1000 // ts, deltas[si] * 1000 // ts,
-                           sync is None or (si + 1) in sync)
-                    off += sizes[si]
-                    dts += deltas[si]
-                    si += 1
+    14496-12 §8.5-8.7) via :func:`mp4_samples`, no codec decode. This
+    is what a video pipeline needs to PLAN decode work: seek to
+    keyframes, bound read ranges, profile bitrate over time — the
+    exact-timing complement to ``sample_video_frames``'s uniform mvhd
+    grid. Arrow-batched ``mapInPandas``, map-only; tracks without a
+    complete table set yield no rows (truncation-safe)."""
 
     def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -492,7 +499,7 @@ def mp4_sample_profile(df: DataFrame) -> DataFrame:
                 if len(data) < 12:
                     continue
                 for (tid, si, off, sz, dts_ms, dur_ms,
-                     is_sync) in walk_samples(data):
+                     is_sync) in mp4_samples(data):
                     cols["media_id"].append(int(mid))
                     cols["track_id"].append(tid)
                     cols["sample_index"].append(si)
@@ -791,6 +798,33 @@ MP3_PROFILE_SCHEMA = ("media_id long, frame_index int, byte_offset long, "
                       "samples int")
 
 
+def mp3_frames(data: bytes):
+    """Walk one MP3 blob's frame chain (the per-blob unit of
+    :func:`mp3_frame_profile`, exposed for driver-side use and direct
+    testing): skip a leading ID3v2 tag (syncsafe size), resync past
+    garbage, then yield ``(frame_index, byte_offset, bitrate_kbps,
+    sample_rate, frame_bytes, samples)`` per valid Layer III header,
+    stopping at the first broken chain link."""
+    at = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        at = 10 + size
+    while at + 4 <= len(data):              # resync scan
+        if _mp3_frame_header(data, at) is not None:
+            break
+        at += 1
+    idx = 0
+    while at + 4 <= len(data):
+        hdr = _mp3_frame_header(data, at)
+        if hdr is None:
+            break
+        flen, rate, _ch, spf, _ver, kbps = hdr
+        yield idx, at, kbps, rate, flen, spf
+        idx += 1
+        at += flen
+
+
 def mp3_frame_profile(df: DataFrame) -> DataFrame:
     """Per-FRAME MP3 profile over (media_id, payload) blobs: one row per
     MPEG audio frame with its byte offset, bitrate, sample rate, frame
@@ -812,21 +846,7 @@ def mp3_frame_profile(df: DataFrame) -> DataFrame:
                                     "samples")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = b"" if payload is None else bytes(payload)
-                at = 0
-                if data[:3] == b"ID3" and len(data) >= 10:
-                    size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
-                            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
-                    at = 10 + size
-                while at + 4 <= len(data):          # resync scan
-                    if _mp3_frame_header(data, at) is not None:
-                        break
-                    at += 1
-                idx = 0
-                while at + 4 <= len(data):
-                    hdr = _mp3_frame_header(data, at)
-                    if hdr is None:
-                        break
-                    flen, rate, _ch, spf, _ver, kbps = hdr
+                for idx, at, kbps, rate, flen, spf in mp3_frames(data):
                     cols["media_id"].append(int(mid))
                     cols["frame_index"].append(idx)
                     cols["byte_offset"].append(at)
@@ -834,8 +854,6 @@ def mp3_frame_profile(df: DataFrame) -> DataFrame:
                     cols["sample_rate"].append(rate)
                     cols["frame_bytes"].append(flen)
                     cols["samples"].append(spf)
-                    idx += 1
-                    at += flen
             yield pd.DataFrame(cols)
 
     return df.select("media_id", "payload").mapInPandas(

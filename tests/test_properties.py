@@ -432,3 +432,139 @@ def test_spark_signatures_match_python_model(spark):
                 (s, k)
             assert {tuple(x) for x in r["pk"]} == _probe_keys_py(s, k), \
                 (s, k)
+
+
+class TestMediaWalkerProperties:
+    """Hypothesis equivalence of the byte-stream walkers against
+    independent pure-Python reference models — random fixtures cover
+    the run-length/chunk-map/encoding corners hand fixtures miss."""
+
+    def test_mp3_vbr_walk_matches_closed_form(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from deequ_spark.llm import encode_mp3_vbr, mp3_frames
+
+        legal = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320]
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.sampled_from(legal), min_size=1, max_size=20),
+               st.integers(0, 40))
+        def check(rates, id3):
+            blob = encode_mp3_vbr(rates, id3_payload=id3)
+            got = list(mp3_frames(blob))
+            assert [g[2] for g in got] == rates
+            # closed form: 48 kHz MPEG1 frame = 3*kbps bytes, pad-free
+            off = (10 + id3) if id3 else 0
+            for j, g in enumerate(got):
+                assert g[:2] == (j, off)
+                assert g[3:] == (48000, 3 * rates[j], 1152)
+                off += 3 * rates[j]
+
+        check()
+
+    def test_mp4_stbl_walk_matches_reference_model(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from deequ_spark.llm import encode_mp4_samples, mp4_samples
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.integers(1, 24).flatmap(lambda n: st.tuples(
+            st.lists(st.integers(1, 500), min_size=n, max_size=n),
+            st.lists(st.integers(1, 2000), min_size=n, max_size=n),
+            st.sets(st.integers(1, n)),
+            st.integers(1, 5))))
+        def check(case):
+            sizes, deltas, sync, chunk = case
+            blob = encode_mp4_samples(sizes, deltas,
+                                      sync_samples=sorted(sync) or None,
+                                      chunk_size=chunk, timescale=1000)
+            got = list(mp4_samples(blob))
+            assert len(got) == len(sizes)
+            base = blob.find(b"mdat") + 4
+            off, dts = base, 0
+            for j, g in enumerate(got):
+                want_sync = (j + 1) in sync if sync else True
+                assert g == (1, j, off, sizes[j], dts, deltas[j],
+                             want_sync)
+                off += sizes[j]
+                dts += deltas[j]
+
+        check()
+
+    def test_gif_animation_matches_numpy_compositor(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        import numpy as np
+        from deequ_spark.llm import decode_gif_frames, encode_gif_animation
+
+        frame_st = st.tuples(
+            st.integers(1, 200),       # grey value
+            st.integers(0, 5), st.integers(0, 5),  # left, top
+            st.integers(0, 3),         # disposal
+            st.integers(0, 99),        # delay
+            st.booleans())             # transparent top row
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.lists(frame_st, min_size=1, max_size=6))
+        def check(frames):
+            spec = []
+            for v, left, top, disp, delay, transp in frames:
+                mask = None
+                if transp:
+                    mask = np.zeros((3, 3), bool)
+                    mask[0, :] = True
+                spec.append({"patch": np.full((3, 3, 3), v, np.uint8),
+                             "left": left, "top": top, "disposal": disp,
+                             "delay_cs": delay, "transparent_mask": mask})
+            got = decode_gif_frames(encode_gif_animation((8, 8), spec))
+            # independent reference compositor
+            canvas = np.zeros((8, 8, 3), np.uint8)
+            for k, (v, left, top, disp, delay, transp) in \
+                    enumerate(frames):
+                snap = canvas.copy()
+                rows = range(1, 3) if transp else range(3)
+                for r in rows:
+                    canvas[top + r, left:left + 3] = v
+                assert got[k]["delay_cs"] == delay
+                assert got[k]["disposal"] == disp
+                assert np.array_equal(got[k]["canvas"], canvas), k
+                if disp == 2:
+                    canvas[top:top + 3, left:left + 3] = 0
+                elif disp == 3:
+                    canvas = snap
+
+        check()
+
+    def test_id3_round_trip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from deequ_spark.llm import encode_id3v2, parse_id3_frames
+
+        ids = st.sampled_from(["TIT2", "TPE1", "TALB", "TYER", "TCON"])
+        text = st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F),
+            min_size=0, max_size=40)
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.integers(3, 4), st.integers(0, 30),
+               st.lists(st.tuples(ids, text), min_size=1, max_size=5))
+        def check(version, padding, frames):
+            spec = []
+            for fid, t in frames:
+                # v2.3 has no utf-8 encoding byte; latin-1 only fits
+                # codepoints < 256 — pick per string
+                if version == 4:
+                    enc = 3
+                elif all(ord(c) < 256 for c in t):
+                    enc = 0
+                else:
+                    enc = 1
+                spec.append((fid, t, enc))
+            tag = encode_id3v2(spec, version=version, padding=padding)
+            got = parse_id3_frames(tag + b"\xffrest-of-stream")
+            # parser strips trailing NULs (spec padding convention)
+            want = [(fid, t.rstrip("\x00")) for fid, t, _ in spec]
+            assert got == want
+
+        check()
