@@ -6596,6 +6596,69 @@ _WARC_CDX_ORACLE_SQL = """
 """
 
 
+
+
+def q_wds_index(spark, sf_dir):
+    """WebDataset tar member index (llm/shards.py tar_members /
+    webdataset_index): documents written as 4 tar shards (shard =
+    doc_id % 4 so the assignment is SQL-replayable; two members per
+    doc: text as .txt and a derived title as .ttl, members sorted by
+    STRING key then column order — exactly write_webdataset's layout),
+    then indexed back from the raw tar bytes. The oracle regenerates
+    every member's data offset from pure USTAR arithmetic (512-byte
+    header + content padded to 512, cumulative within shard) and its
+    size from the corpus text lengths — one framing byte off and a
+    whole shard's tail mismatches."""
+    import shutil
+    import tempfile
+    from deequ_spark.llm import webdataset_index, write_webdataset
+
+    docs = (_load(spark, sf_dir, "documents")
+            .select("doc_id", "text",
+                    F.concat(F.lit("Title "), F.col("doc_id"))
+                    .alias("title")))
+    d = tempfile.mkdtemp(prefix="q_wds_index_")
+    try:
+        write_webdataset(docs, d, "doc_id",
+                         {"text": "txt", "title": "ttl"},
+                         shard_expr=F.pmod(F.col("doc_id"), F.lit(4))
+                         ).collect()
+        files = (spark.read.format("binaryFile").load(f"{d}/*.tar")
+                 .select("path", "content"))
+        rows = (webdataset_index(files)
+                .select(F.regexp_extract("path", r"(shard-\d+\.tar)$", 1)
+                        .alias("shard"),
+                        "key", "ext", "offset", "size")
+                .collect())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows, "shard string, key string, ext string, offset long, "
+              "size long")
+    return out.orderBy("shard", "offset")
+
+
+_WDS_INDEX_ORACLE_SQL = """
+    WITH d AS (
+      SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS k, doc_id % 4 AS s,
+             strlen(text) AS tlen,
+             strlen('Title ' || doc_id) AS ulen
+      FROM documents),
+    m AS (
+      SELECT i, k, s, 0 AS ci, 'txt' AS ext, tlen AS sz FROM d
+      UNION ALL
+      SELECT i, k, s, 1 AS ci, 'ttl' AS ext, ulen AS sz FROM d)
+    SELECT 'shard-0000' || s || '.tar' AS shard,
+           k AS key, ext,
+           CAST(512 + COALESCE(SUM(512 + ((sz + 511) // 512) * 512)
+               OVER (PARTITION BY s ORDER BY k, ci
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS "offset",
+           CAST(sz AS BIGINT) AS size
+    FROM m ORDER BY shard, "offset"
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver snapshots the FIRST 50
     # entries into CORRECTNESS_r{N}.json.  Driver-green rows accumulate
@@ -6628,6 +6691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_profile": q_mp4_profile,
         "id3_tags": q_id3_tags,
         "warc_cdx": q_warc_cdx,
+        "wds_index": q_wds_index,
         # --- tail: driver-green in some earlier round ---
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -7722,6 +7786,7 @@ def oracle_sql() -> dict[str, str]:
         "mp4_profile": _MP4_PROFILE_ORACLE_SQL,
         "id3_tags": _ID3_TAGS_ORACLE_SQL,
         "warc_cdx": _WARC_CDX_ORACLE_SQL,
+        "wds_index": _WDS_INDEX_ORACLE_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE_SQL,
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "c4_filters": _C4_FILTERS_ORACLE_SQL,

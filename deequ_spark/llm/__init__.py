@@ -37,7 +37,8 @@ from .html import (html_content_blocks, html_content_score,
                    html_to_text)
 from .robots import (filter_disallowed, parse_robots,
                      parse_robots_directives, url_path)
-from .shards import read_webdataset, write_webdataset
+from .shards import (read_webdataset, tar_members,
+                     webdataset_index, write_webdataset)
 from .vectors import (cosine_quantized, dequantize_embedding,
                       hashed_doc_vectors, quantize_embeddings)
 from .warc import (build_warc_file, build_warc_record, crawl_to_corpus,

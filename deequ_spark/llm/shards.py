@@ -31,7 +31,8 @@ import pandas  # noqa: F401 — mapInPandas type hints resolve at module scope
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_webdataset", "read_webdataset", "derive_n_shards"]
+__all__ = ["write_webdataset", "read_webdataset", "derive_n_shards",
+           "tar_members", "webdataset_index"]
 
 # tar framing constants (USTAR): per-member 512-byte header + content
 # padded to 512; 1024-byte end-of-archive; whole file padded to the
@@ -210,3 +211,67 @@ def read_webdataset(spark: SparkSession, path: str,
         files = files.repartition(min_partitions)
     return (files.select("content").mapInPandas(parse, schema)
             .withColumnRenamed("__key", "key"))
+
+
+def tar_members(data: bytes):
+    """Walk one tar file's USTAR headers WITHOUT extracting (the
+    per-blob unit of :func:`webdataset_index`): yields
+    ``(member_name, data_offset, size)`` per regular-file member —
+    header blocks are 512-aligned, content padded to 512, two zero
+    blocks end the archive. A truncated or corrupt header stops the
+    walk (never raises on partial shards)."""
+    at, n = 0, len(data)
+    while at + _BLK <= n:
+        hdr = data[at:at + _BLK]
+        if hdr == b"\0" * _BLK:                 # end-of-archive
+            return
+        name = hdr[:100].split(b"\0", 1)[0]
+        size_field = hdr[124:136].replace(b"\0", b" ").strip()
+        try:
+            size = int(size_field or b"0", 8)
+        except ValueError:
+            return
+        typeflag = hdr[156:157]
+        if typeflag in (b"0", b"\0") and name \
+                and at + _BLK + size <= n:      # data fully present
+            yield name.decode("utf-8", "replace"), at + _BLK, size
+        at += _BLK + -(-size // _BLK) * _BLK
+
+
+WDS_INDEX_SCHEMA = ("path string, key string, ext string, "
+                    "member string, offset long, size long")
+
+
+def webdataset_index(files: DataFrame, path_col: str = "path",
+                     content_col: str = "content") -> DataFrame:
+    """Member index over WebDataset tar shards: one row per (sample
+    key, extension) with the member's DATA byte span — the random-
+    access companion of :func:`read_webdataset` (a training loader
+    range-reads ``size`` bytes at ``offset`` instead of scanning the
+    tar; the same build-once/seek-forever role warc.warc_cdx_index
+    plays for WARC archives). Pure USTAR header arithmetic
+    (:func:`tar_members`) — no extraction, no decompression; one Arrow
+    ``mapInPandas`` pass, map-only. ``key``/``ext`` split follows the
+    WebDataset ``{key}.{ext}`` member convention (extension-less
+    members index with ext NULL)."""
+    import pandas as pd
+
+    def index(batches):
+        for pdf in batches:
+            cols = {k: [] for k in ("path", "key", "ext", "member",
+                                    "offset", "size")}
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                data = b"" if content is None else bytes(content)
+                for name, off, size in tar_members(data):
+                    stem, dot, ext = name.rpartition(".")
+                    cols["path"].append(path)
+                    cols["key"].append(stem if dot else name)
+                    cols["ext"].append(ext if dot and stem else None)
+                    cols["member"].append(name)
+                    cols["offset"].append(off)
+                    cols["size"].append(size)
+            yield pd.DataFrame(cols)
+
+    return files.select(F.col(path_col).alias(path_col),
+                        F.col(content_col).alias(content_col)) \
+        .mapInPandas(index, WDS_INDEX_SCHEMA)

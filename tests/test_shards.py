@@ -195,3 +195,62 @@ class TestShardsProperty:
             assert back == {i: b for i, b in enumerate(blobs)}
 
         check()
+
+
+class TestWebdatasetIndex:
+    """Tar member index (shards.py tar_members / webdataset_index):
+    USTAR header arithmetic only — every span must range-read back the
+    exact member bytes."""
+
+    def test_spans_seek_back_exact_members(self, spark, tmp_path):
+        from deequ_spark.llm import webdataset_index, write_webdataset
+        df = spark.createDataFrame(
+            [(i, f"text body {i} " * (1 + i % 3), f'{{"id": {i}}}')
+             for i in range(12)],
+            "doc_id long, text string, meta string")
+        out = str(tmp_path / "wds")
+        write_webdataset(df, out, "doc_id",
+                         {"text": "txt", "meta": "json"},
+                         n_shards=3).collect()
+        files = spark.read.format("binaryFile").load(f"{out}/*.tar") \
+            .select("path", "content")
+        idx = webdataset_index(files)
+        rows = idx.collect()
+        assert len(rows) == 24                       # 12 keys x 2 exts
+        assert {r["ext"] for r in rows} == {"txt", "json"}
+        by_path = {}
+        for r in rows:
+            by_path.setdefault(r["path"].replace("file:", ""), []).append(r)
+        for path, members in by_path.items():
+            blob = open(path, "rb").read()
+            for r in members:
+                raw = blob[r["offset"]:r["offset"] + r["size"]]
+                if r["ext"] == "txt":
+                    assert raw.decode() == \
+                        f'text body {r["key"]} ' * (1 + int(r["key"]) % 3)
+                else:
+                    assert raw.decode() == f'{{"id": {int(r["key"])}}}'
+
+    def test_truncated_and_garbage_tars(self, spark):
+        from deequ_spark.llm import webdataset_index
+        import io, tarfile
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tar:
+            for k in range(3):
+                info = tarfile.TarInfo(f"{k}.txt")
+                blob = b"y" * 100
+                info.size = len(blob)
+                tar.addfile(info, io.BytesIO(blob))
+        whole = buf.getvalue()
+        df = spark.createDataFrame(
+            [("ok", bytearray(whole)),
+             ("cut", bytearray(whole[:1700])),     # inside member 2\'s pad
+             ("junk", bytearray(b"\x00" * 2048))],
+            "path string, content binary")
+        got = {}
+        for r in webdataset_index(df).collect():
+            got.setdefault(r["path"], []).append(r["member"])
+        assert sorted(got["ok"]) == ["0.txt", "1.txt", "2.txt"]
+        assert sorted(got["cut"]) == ["0.txt", "1.txt"]
+        assert "junk" not in got
