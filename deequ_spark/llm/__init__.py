@@ -43,7 +43,8 @@ from .vectors import (cosine_quantized, dequantize_embedding,
                       hashed_doc_vectors, quantize_embeddings)
 from .warc import (build_warc_file, build_warc_record, crawl_to_corpus,
                    http_responses, parse_warc_files, read_warc,
-                   read_warc_stream, surt_key, warc_cdx_index,
+                   read_warc_stream, surt_key, update_cdx_index,
+                   warc_cdx_index,
                    wet_documents, write_wet)
 from .classifier import score_quality, train_quality_classifier
 from .incremental import (band_hashes, compact_dedup_index,

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 __all__ = ["read_warc", "parse_warc_files", "wet_documents",
            "http_responses", "iter_warc_records", "split_gzip_members",
            "build_warc_record", "build_warc_file",
-           "surt_key", "warc_cdx_index"]
+           "surt_key", "update_cdx_index", "warc_cdx_index"]
 
 _MAGIC = b"WARC/"
 
@@ -523,3 +523,46 @@ def warc_cdx_index(files: DataFrame, path_col: str = "path",
     return files.select(F.col(path_col).alias(path_col),
                         F.col(content_col).alias(content_col)) \
         .mapInPandas(index, CDX_SCHEMA)
+
+
+def update_cdx_index(spark: SparkSession, index_path: str,
+                     warc_glob: str) -> dict:
+    """Incrementally maintain a CDX index over a GROWING archive: index
+    ONLY WARC files the parquet index at ``index_path`` does not know
+    yet and append their rows — the daily-crawl companion of
+    :func:`warc_cdx_index` (a full re-index after every crawl round is
+    absurd at 100 TB; WARC files are immutable once written, so rows of
+    known files cannot change — the same incremental contract
+    ``sources.update_manifest`` relies on for parquet). Files deleted
+    since the last build have their rows dropped (dangling spans).
+    First call bootstraps a full build. Only NEW file bytes are read (a
+    binaryFile scan over exactly those paths); the ghost rewrite is
+    O(index) and happens only when files actually disappeared. Returns
+    ``{"known_files": n, "scanned_files": n, "removed_rows": n}``."""
+    from pyspark.errors import AnalysisException
+    files = spark.read.format("binaryFile").load(warc_glob)
+    current = {r["path"] for r in files.select("path").collect()}
+    try:
+        idx = spark.read.parquet(index_path)
+        known_paths = {r["path"] for r in
+                       idx.select("path").distinct().collect()}
+    except AnalysisException:
+        idx, known_paths = None, set()
+    new_paths = sorted(current - known_paths)
+    ghosts = known_paths - current
+    removed = 0
+    if ghosts:
+        removed = idx.where(F.col("path").isin(list(ghosts))).count()
+        # localCheckpoint: the overwrite must never lazily read the
+        # directory it is replacing
+        kept = idx.where(F.col("path").isin(list(current))) \
+            .localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(index_path)
+    if new_paths:
+        rows = warc_cdx_index(
+            spark.read.format("binaryFile").load(new_paths)
+            .select("path", "content"))
+        rows.write.mode("append").parquet(index_path)
+    return {"known_files": len(known_paths) - len(ghosts),
+            "scanned_files": len(new_paths),
+            "removed_rows": removed}

@@ -633,3 +633,43 @@ class TestCdxIndex:
         assert surt_key("ftp://h.io/x") is None
         assert surt_key(None) is None
         assert surt_key("not a url") is None
+
+
+class TestUpdateCdxIndex:
+    def test_incremental_append_and_ghost_drop(self, spark, tmp_path):
+        from deequ_spark.llm import (build_warc_file, build_warc_record,
+                                     update_cdx_index)
+        arch = tmp_path / "arch"
+        arch.mkdir()
+        idx_path = str(tmp_path / "cdx")
+
+        def warc(n, tag):
+            return build_warc_file([build_warc_record(
+                "conversion", f"{tag} body {k}".encode(),
+                target_uri=f"http://{tag}.io/{k}") for k in range(n)],
+                gzip_members=True)
+
+        (arch / "day1.warc.gz").write_bytes(warc(4, "a"))
+        st = update_cdx_index(spark, idx_path, f"{arch}/*.warc.gz")
+        assert st == {"known_files": 0, "scanned_files": 1,
+                      "removed_rows": 0}
+        assert spark.read.parquet(idx_path).count() == 4
+        # append a day: only the new file is scanned
+        (arch / "day2.warc.gz").write_bytes(warc(3, "b"))
+        st = update_cdx_index(spark, idx_path, f"{arch}/*.warc.gz")
+        assert st == {"known_files": 1, "scanned_files": 1,
+                      "removed_rows": 0}
+        idx = spark.read.parquet(idx_path)
+        assert idx.count() == 7
+        # no-op call touches nothing
+        st = update_cdx_index(spark, idx_path, f"{arch}/*.warc.gz")
+        assert st == {"known_files": 2, "scanned_files": 0,
+                      "removed_rows": 0}
+        # delete day1: its 4 rows are dropped, day2 rows survive
+        (arch / "day1.warc.gz").unlink()
+        st = update_cdx_index(spark, idx_path, f"{arch}/*.warc.gz")
+        assert st == {"known_files": 1, "scanned_files": 0,
+                      "removed_rows": 4}
+        left = spark.read.parquet(idx_path)
+        assert left.count() == 3
+        assert all("b.io" in r["url"] for r in left.collect())
