@@ -6659,6 +6659,91 @@ _WDS_INDEX_ORACLE_SQL = """
 """
 
 
+
+
+def q_cdx_update(spark, sf_dir):
+    """Incremental CDX maintenance end-to-end (llm/warc.py
+    update_cdx_index): documents grouped into 4 gzip WARC files; the
+    flow runs bootstrap (3 files) -> append (1 new file) -> no-op ->
+    ghost drop (1 file deleted), emitting every state-machine counter
+    plus the final index row/urlkey counts. All counters are per-group
+    document counts, replayed by the oracle from doc_id % 4 arithmetic
+    — a wrong known/scanned/removed transition anywhere flips a row."""
+    import os
+    import shutil
+    import tempfile
+    from deequ_spark.llm import (build_warc_file, build_warc_record,
+                                 update_cdx_index)
+
+    groups = {}
+    for r in _load(spark, sf_dir, "documents") \
+            .select("doc_id").collect():
+        groups.setdefault(int(r["doc_id"]) % 4, []).append(
+            int(r["doc_id"]))
+    d = tempfile.mkdtemp(prefix="q_cdx_update_")
+    idx = f"{d}/cdx"
+    arch = f"{d}/arch"
+    os.makedirs(arch)
+
+    def write_file(g):
+        recs = [build_warc_record(
+            "conversion", f"body {i}".encode(),
+            target_uri=f"http://g{g}.example.net/p{i}")
+            for i in sorted(groups[g])]
+        with open(f"{arch}/f{g}.warc.gz", "wb") as fh:
+            fh.write(build_warc_file(recs, gzip_members=True))
+
+    try:
+        rows = []
+        for g in (0, 1, 2):
+            write_file(g)
+        st = update_cdx_index(spark, idx, f"{arch}/*.warc.gz")
+        rows += [("boot_" + k, float(v)) for k, v in st.items()]
+        write_file(3)
+        st = update_cdx_index(spark, idx, f"{arch}/*.warc.gz")
+        rows += [("append_" + k, float(v)) for k, v in st.items()]
+        st = update_cdx_index(spark, idx, f"{arch}/*.warc.gz")
+        rows += [("noop_" + k, float(v)) for k, v in st.items()]
+        os.remove(f"{arch}/f1.warc.gz")
+        st = update_cdx_index(spark, idx, f"{arch}/*.warc.gz")
+        rows += [("ghost_" + k, float(v)) for k, v in st.items()]
+        final = spark.read.parquet(idx)
+        rows += [("final_rows", float(final.count())),
+                 ("final_urlkeys", float(
+                     final.select("urlkey").distinct().count()))]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return _metrics_df(spark, sorted(rows))
+
+
+_CDX_UPDATE_ORACLE_SQL = """
+    WITH g AS (SELECT doc_id % 4 AS grp, COUNT(*) AS n
+               FROM documents GROUP BY 1),
+    t AS (SELECT SUM(n) AS total,
+                 SUM(CASE WHEN grp = 1 THEN n ELSE 0 END) AS n1
+          FROM g)
+    SELECT metric, value FROM (
+      SELECT 'boot_known_files' AS metric, 0.0 AS value
+      UNION ALL SELECT 'boot_scanned_files', 3.0
+      UNION ALL SELECT 'boot_removed_rows', 0.0
+      UNION ALL SELECT 'append_known_files', 3.0
+      UNION ALL SELECT 'append_scanned_files', 1.0
+      UNION ALL SELECT 'append_removed_rows', 0.0
+      UNION ALL SELECT 'noop_known_files', 4.0
+      UNION ALL SELECT 'noop_scanned_files', 0.0
+      UNION ALL SELECT 'noop_removed_rows', 0.0
+      UNION ALL SELECT 'ghost_known_files', 3.0
+      UNION ALL SELECT 'ghost_scanned_files', 0.0
+      UNION ALL SELECT 'ghost_removed_rows',
+        (SELECT CAST(n1 AS DOUBLE) FROM t)
+      UNION ALL SELECT 'final_rows',
+        (SELECT CAST(total - n1 AS DOUBLE) FROM t)
+      UNION ALL SELECT 'final_urlkeys',
+        (SELECT CAST(total - n1 AS DOUBLE) FROM t)
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver snapshots the FIRST 50
     # entries into CORRECTNESS_r{N}.json.  Driver-green rows accumulate
@@ -6692,6 +6777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id3_tags": q_id3_tags,
         "warc_cdx": q_warc_cdx,
         "wds_index": q_wds_index,
+        "cdx_update": q_cdx_update,
         # --- tail: driver-green in some earlier round ---
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -7787,6 +7873,7 @@ def oracle_sql() -> dict[str, str]:
         "id3_tags": _ID3_TAGS_ORACLE_SQL,
         "warc_cdx": _WARC_CDX_ORACLE_SQL,
         "wds_index": _WDS_INDEX_ORACLE_SQL,
+        "cdx_update": _CDX_UPDATE_ORACLE_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE_SQL,
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "c4_filters": _C4_FILTERS_ORACLE_SQL,
