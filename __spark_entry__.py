@@ -6744,6 +6744,104 @@ _CDX_UPDATE_ORACLE_SQL = """
 """
 
 
+
+
+def q_keyframe_seek(spark, sf_dir):
+    """Keyframe-snapped video seek plan (llm/multimodal.py
+    sample_video_keyframes): the q_mp4_profile fixture streams (doc_id
+    arithmetic: n=3+i%5 samples, two stts runs, sync where (i+j)%3==0)
+    sampled on a 4-point uniform grid — each grid position must emit
+    its nearest PRECEDING stss sync sample. The oracle re-derives the
+    snap in SQL: per (doc, grid) the max sync sample with dts <=
+    duration*(grid+0.5)/4, falling back to the first sync; grid
+    timestamps are exact in IEEE doubles on both engines (small-int
+    products over a power-of-two divisor), so the <= boundary cannot
+    drift. Offsets compared relative to the first sample (contiguous
+    chunks — the moov-size base cancels)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from deequ_spark.llm import encode_mp4_samples, sample_video_keyframes
+
+    docs = _load(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 17 == 0)
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                n = 3 + i % 5
+                sizes = [100 + ((i + 3 * j) % 7) * 10 for j in range(n)]
+                deltas = [512 if j < (n + 1) // 2 else 256
+                          for j in range(n)]
+                sync = [j + 1 for j in range(n) if (i + j) % 3 == 0]
+                ids.append(i)
+                payloads.append(encode_mp4_samples(
+                    sizes, deltas, sync_samples=sync, chunk_size=2))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary")
+    kf = sample_video_keyframes(media, n_frames=4)
+    # rel offset: subtract each stream's first-sample offset (sample 0
+    # is not always emitted, but offset(sample j) - offset(sample 0) =
+    # prefix size sum, and offset(sample 0) = min over the FULL sample
+    # table = mdat payload start, constant per stream)
+    from deequ_spark.llm import mp4_sample_profile
+    base = (mp4_sample_profile(media)
+            .groupBy("media_id")
+            .agg(F.min("byte_offset").alias("__base")))
+    return (kf.join(base, "media_id")
+            .select("media_id", "grid_index", "sample_index", "ts_ms",
+                    (F.col("byte_offset") - F.col("__base"))
+                    .cast("long").alias("rel_offset"), "size_bytes")
+            .orderBy("media_id", "grid_index"))
+
+
+_KEYFRAME_SEEK_ORACLE_SQL = """
+    WITH d AS (
+      SELECT doc_id AS i, 3 + doc_id % 5 AS n
+      FROM documents WHERE doc_id % 17 = 0),
+    s AS (
+      SELECT i, n, unnest(range(0, n)) AS j FROM d),
+    c AS (
+      SELECT i, n, j,
+             100 + ((i + 3 * j) % 7) * 10 AS sz,
+             CASE WHEN j < (n + 1) // 2 THEN 512 ELSE 256 END AS dl,
+             CASE WHEN (i + j) % 3 = 0 THEN 1 ELSE 0 END AS sync
+      FROM s),
+    w AS (
+      SELECT i, j, sz, dl, sync,
+             COALESCE(SUM(dl) OVER (PARTITION BY i ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS dts,
+             COALESCE(SUM(sz) OVER (PARTITION BY i ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS rel,
+             SUM(dl) OVER (PARTITION BY i) AS duration
+      FROM c),
+    grid AS (
+      SELECT i, unnest(range(0, 4)) AS g FROM d),
+    pick AS (
+      SELECT grid.i, grid.g,
+             COALESCE(
+               MAX(CASE WHEN w.sync = 1 AND w.dts <=
+                 CAST(w.duration AS DOUBLE) * (grid.g + 0.5) / 4
+                 THEN w.j END),
+               MIN(CASE WHEN w.sync = 1 THEN w.j END)) AS bj
+      FROM grid JOIN w ON w.i = grid.i
+      GROUP BY grid.i, grid.g)
+    SELECT CAST(pick.i AS BIGINT) AS media_id,
+           CAST(pick.g AS INT) AS grid_index,
+           CAST(pick.bj AS INT) AS sample_index,
+           CAST(w.dts AS BIGINT) AS ts_ms,
+           CAST(w.rel AS BIGINT) AS rel_offset,
+           CAST(w.sz AS INT) AS size_bytes
+    FROM pick JOIN w ON w.i = pick.i AND w.j = pick.bj
+    ORDER BY media_id, grid_index
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver snapshots the FIRST 50
     # entries into CORRECTNESS_r{N}.json.  Driver-green rows accumulate
@@ -6778,6 +6876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx": q_warc_cdx,
         "wds_index": q_wds_index,
         "cdx_update": q_cdx_update,
+        "keyframe_seek": q_keyframe_seek,
         # --- tail: driver-green in some earlier round ---
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -7874,6 +7973,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_cdx": _WARC_CDX_ORACLE_SQL,
         "wds_index": _WDS_INDEX_ORACLE_SQL,
         "cdx_update": _CDX_UPDATE_ORACLE_SQL,
+        "keyframe_seek": _KEYFRAME_SEEK_ORACLE_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE_SQL,
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "c4_filters": _C4_FILTERS_ORACLE_SQL,

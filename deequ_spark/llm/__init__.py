@@ -61,6 +61,7 @@ from .multimodal import (attach_binary_payload, audio_features, decode_audio,
                          gif_frame_features, id3_text_frames,
                          mp3_frame_profile, mp3_frames,
                          mp4_sample_profile, mp4_samples,
+                         sample_video_keyframes,
                          parse_id3_frames,
                          probe_media, probe_media_features, resize_media,
                          extract_binary_features, sample_chunks,

@@ -514,6 +514,61 @@ def mp4_sample_profile(df: DataFrame) -> DataFrame:
         profile, MP4_SAMPLE_SCHEMA)
 
 
+KEYFRAME_SCHEMA = ("media_id long, grid_index int, sample_index int, "
+                   "ts_ms long, byte_offset long, size_bytes int")
+
+
+def sample_video_keyframes(df: DataFrame, n_frames: int = 8) -> DataFrame:
+    """Keyframe-SNAPPED sampling grid over MP4 blobs: for each of
+    ``n_frames`` midpoint-uniform timeline positions, emit the nearest
+    PRECEDING sync sample (``stss``) with its exact timestamp and byte
+    span — where a real decoder must START decoding to show that
+    moment. :func:`sample_video_frames` gives the uniform grid a
+    thumbnailer asks for; this gives the seek plan the decode job
+    actually executes (decode work between keyframes is what the
+    grid's cost model charges). Derived purely from the stbl tables
+    via :func:`mp4_samples` — no codec decode, map-only; blobs without
+    sample tables yield no rows. Multiple grid positions inside one
+    keyframe interval legitimately repeat the sample (grid_index
+    disambiguates)."""
+
+    def keyframes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("media_id", "grid_index",
+                                    "sample_index", "ts_ms",
+                                    "byte_offset", "size_bytes")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = b"" if payload is None else bytes(payload)
+                if len(data) < 12:
+                    continue
+                samples = [s for s in mp4_samples(data) if s[0] == 1]
+                syncs = [s for s in samples if s[6]]
+                if not syncs:
+                    continue
+                duration = samples[-1][4] + samples[-1][5]
+                if duration <= 0:
+                    continue
+                for i in range(n_frames):
+                    ts = duration * (i + 0.5) / n_frames
+                    # nearest preceding sync (first sync if before all)
+                    best = syncs[0]
+                    for s in syncs:
+                        if s[4] <= ts:
+                            best = s
+                        else:
+                            break
+                    cols["media_id"].append(int(mid))
+                    cols["grid_index"].append(i)
+                    cols["sample_index"].append(best[1])
+                    cols["ts_ms"].append(best[4])
+                    cols["byte_offset"].append(best[2])
+                    cols["size_bytes"].append(best[3])
+            yield pd.DataFrame(cols)
+
+    return df.select("media_id", "payload").mapInPandas(
+        keyframes, KEYFRAME_SCHEMA)
+
+
 def _probe_mp4(data: bytes) -> dict:
     """Walk the top-level box tree for mvhd (duration/timescale) and
     trak/tkhd (count, dimensions) — header-only, no codec decode."""

@@ -3335,3 +3335,46 @@ class TestGifVideoSampling:
         rows = sample_video_frames(df, n_frames=2).collect()
         assert len(rows) == 2
         assert all(not r["decoded"] and r["pixels"] is None for r in rows)
+
+
+class TestVideoKeyframeSampling:
+    """sample_video_keyframes: the seek plan — each uniform grid
+    position snaps to its nearest preceding stss sync sample."""
+
+    def test_grid_snaps_to_preceding_sync(self, spark):
+        from deequ_spark.llm import (encode_mp4_samples,
+                                     sample_video_keyframes)
+        # 8 samples x 250 ms, syncs at samples 1 and 5 (ts 0 / 1000 ms)
+        blob = encode_mp4_samples([10] * 8, [250] * 8,
+                                  sync_samples=[1, 5])
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "media_id long, payload binary")
+        rows = sorted(sample_video_keyframes(df, n_frames=4).collect(),
+                      key=lambda r: r["grid_index"])
+        # grid ts: 250, 750, 1250, 1750 -> syncs at 0, 0, 1000, 1000
+        assert [r["ts_ms"] for r in rows] == [0, 0, 1000, 1000]
+        assert [r["sample_index"] for r in rows] == [0, 0, 4, 4]
+        base = blob.find(b"mdat") + 4
+        assert rows[0]["byte_offset"] == base
+        assert rows[2]["byte_offset"] == base + 40
+        assert all(r["size_bytes"] == 10 for r in rows)
+
+    def test_no_stss_means_every_sample_seekable(self, spark):
+        from deequ_spark.llm import (encode_mp4_samples,
+                                     sample_video_keyframes)
+        blob = encode_mp4_samples([7, 7, 7, 7], [500] * 4)
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "media_id long, payload binary")
+        rows = sorted(sample_video_keyframes(df, n_frames=4).collect(),
+                      key=lambda r: r["grid_index"])
+        # all-sync: each grid point lands on its own sample
+        assert [r["sample_index"] for r in rows] == [0, 1, 2, 3]
+
+    def test_skeleton_and_garbage_yield_nothing(self, spark):
+        from deequ_spark.llm import (encode_mp4_skeleton,
+                                     sample_video_keyframes)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_mp4_skeleton(1000, 64, 32))),
+             (2, bytearray(b"\x00" * 32))],
+            "media_id long, payload binary")
+        assert sample_video_keyframes(df).count() == 0

@@ -568,3 +568,87 @@ class TestMediaWalkerProperties:
             assert got == want
 
         check()
+
+
+class TestArchiveWalkerProperties:
+    """Hypothesis equivalence for the archive indexers: spans must tile
+    files exactly and range-read back the indexed bytes."""
+
+    def test_tar_member_walk_matches_tarfile(self):
+        import io
+        import tarfile
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from deequ_spark.llm import tar_members
+
+        names = st.text(alphabet="abcdefghij0123456789._-",
+                        min_size=1, max_size=30).filter(
+            lambda s: not s.startswith(".") and s.strip("."))
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.lists(st.tuples(names, st.integers(0, 1500)),
+                        min_size=1, max_size=8, unique_by=lambda t: t[0]))
+        def check(members):
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w",
+                              format=tarfile.USTAR_FORMAT) as tar:
+                for name, size in members:
+                    info = tarfile.TarInfo(name)
+                    blob = bytes((size + k) % 251 for k in range(size))
+                    info.size = size
+                    tar.addfile(info, io.BytesIO(blob))
+            data = buf.getvalue()
+            got = list(tar_members(data))
+            assert [g[0] for g in got] == [m[0] for m in members]
+            for (name, size), (gname, off, gsize) in zip(members, got):
+                assert gsize == size
+                assert data[off:off + size] == bytes(
+                    (size + k) % 251 for k in range(size))
+
+        check()
+
+    def test_warc_span_walk_round_trip(self):
+        import gzip
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from deequ_spark.llm import build_warc_file, build_warc_record
+        from deequ_spark.llm.warc import (_iter_record_spans,
+                                          iter_warc_records)
+
+        payloads = st.lists(st.binary(min_size=0, max_size=400),
+                            min_size=1, max_size=6)
+
+        @settings(max_examples=50, deadline=None)
+        @given(payloads, st.booleans())
+        def check(bodies, gz):
+            recs = [build_warc_record(
+                "response", b, target_uri=f"http://h.io/{k}")
+                for k, b in enumerate(bodies)]
+            blob = build_warc_file(recs, gzip_members=gz)
+            spans = list(_iter_record_spans(blob))
+            assert len(spans) == len(bodies)
+            # spans tile the file in order, starting at 0
+            assert spans[0][0] == 0
+            for k, (off, ln, h, payload) in enumerate(spans):
+                assert payload == bodies[k]
+                piece = blob[off:off + ln]
+                if gz:
+                    piece = gzip.decompress(piece)
+                inner = list(iter_warc_records(piece))
+                assert len(inner) == 1 and inner[0][1] == bodies[k]
+            assert spans[-1][0] + spans[-1][1] == len(blob)
+
+        check()
+
+    def test_surt_key_total_on_arbitrary_text(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from deequ_spark.llm import surt_key
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(max_size=80))
+        def check(s):
+            out = surt_key(s)                 # never raises
+            assert out is None or ")" in out
+
+        check()
