@@ -6842,6 +6842,50 @@ _KEYFRAME_SEEK_ORACLE_SQL = """
 """
 
 
+
+
+def q_readability(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability (llm/text.py
+    readability_scores): per-doc raw counts (words, sentence-ending
+    punctuation runs, vowel-group syllables) plus both calibrated
+    scores, quantized floor(v*1e6) — the oracle recomputes the same
+    regexp counts and the IDENTICAL double-arithmetic expression in
+    DuckDB (same op order, so the quantized values are bit-stable)."""
+    from deequ_spark.llm import readability_scores
+    docs = _load(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 23 == 0)
+    out = readability_scores(docs, "text")
+    return (out.select(
+        "doc_id", "r_words", "r_sentences", "r_syllables",
+        F.floor(F.col("r_flesch") * 1e6).cast("long").alias("flesch_q"),
+        F.floor(F.col("r_fk_grade") * 1e6).cast("long").alias("grade_q"))
+        .orderBy("doc_id"))
+
+
+_READABILITY_ORACLE_SQL = """
+    WITH c AS (
+      SELECT doc_id,
+        GREATEST(len(list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x != '')), 1) AS w,
+        GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+        GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+          AS y
+      FROM documents WHERE doc_id % 23 = 0)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS r_words,
+           CAST(s AS BIGINT) AS r_sentences,
+           CAST(y AS BIGINT) AS r_syllables,
+           CAST(FLOOR((206.835 - 1.015 * CAST(w AS DOUBLE)
+                 / CAST(s AS DOUBLE)
+                 - 84.6 * CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) * 1e6)
+             AS BIGINT) AS flesch_q,
+           CAST(FLOOR((0.39 * CAST(w AS DOUBLE) / CAST(s AS DOUBLE)
+                 + 11.8 * CAST(y AS DOUBLE) / CAST(w AS DOUBLE)
+                 - 15.59) * 1e6) AS BIGINT) AS grade_q
+    FROM c ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver snapshots the FIRST 50
     # entries into CORRECTNESS_r{N}.json.  Driver-green rows accumulate
@@ -6877,6 +6921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_index": q_wds_index,
         "cdx_update": q_cdx_update,
         "keyframe_seek": q_keyframe_seek,
+        "readability": q_readability,
         # --- tail: driver-green in some earlier round ---
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -7974,6 +8019,7 @@ def oracle_sql() -> dict[str, str]:
         "wds_index": _WDS_INDEX_ORACLE_SQL,
         "cdx_update": _CDX_UPDATE_ORACLE_SQL,
         "keyframe_seek": _KEYFRAME_SEEK_ORACLE_SQL,
+        "readability": _READABILITY_ORACLE_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE_SQL,
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "c4_filters": _C4_FILTERS_ORACLE_SQL,

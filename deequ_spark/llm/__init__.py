@@ -22,7 +22,7 @@ from .text import (c4_line_clean, c4_page_flags, GOPHER_STOPWORDS, PII_PATTERNS,
                    gopher_quality_flags, language_id, lm_quality_score,
                    chunk_text, paragraph_dedup, remove_boilerplate_lines,
                    top_ngram_char_fraction,
-                   language_id_trigrams, pii_counts, redact_pii, text_quality,
+                   language_id_trigrams, pii_counts, readability_scores, redact_pii, text_quality,
                    token_count_regex, token_count_whitespace, trigram_score,
                    decontaminate, mojibake_marker_count, ngram_novelty,
                    normalize_text)

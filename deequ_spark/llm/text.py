@@ -201,6 +201,45 @@ def text_quality(df: DataFrame, text_col: str) -> DataFrame:
             .withColumn("q_distinct_ratio", distinct_ratio))
 
 
+def readability_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade level as pure
+    expressions — the classic educational-value signals (Flesch 1948;
+    Kincaid et al. 1975) that curation pipelines bucket corpora by.
+    Syllables use the standard automatable proxy: VOWEL GROUPS
+    (``[aeiouy]+`` runs, lowercased) — the convention every readability
+    library uses when no pronunciation dictionary ships with the job,
+    off by a near-constant factor that the formula's calibration
+    absorbs. Sentences = runs ending in ``.!?`` (min 1); words =
+    whitespace tokens (min 1). One projection, no shuffle, no UDF:
+
+    - ``r_words``, ``r_sentences``, ``r_syllables`` — the raw counts
+    - ``r_flesch`` = 206.835 − 1.015·(words/sentences)
+      − 84.6·(syllables/words)
+    - ``r_fk_grade`` = 0.39·(words/sentences)
+      + 11.8·(syllables/words) − 15.59
+    """
+    text = F.col(text_col)
+    words = F.greatest(
+        F.size(F.filter(F.split(text, r"\s+"), lambda t: t != "")),
+        F.lit(1)).cast("double")
+    sentences = F.greatest(
+        F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1)).cast("double")
+    syllables = F.greatest(
+        F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+")),
+        F.lit(1)).cast("double")
+    return (df
+            .withColumn("r_words", words.cast("long"))
+            .withColumn("r_sentences", sentences.cast("long"))
+            .withColumn("r_syllables", syllables.cast("long"))
+            .withColumn("r_flesch",
+                        F.lit(206.835) - F.lit(1.015) * words / sentences
+                        - F.lit(84.6) * syllables / words)
+            .withColumn("r_fk_grade",
+                        F.lit(0.39) * words / sentences
+                        + F.lit(11.8) * syllables / words
+                        - F.lit(15.59)))
+
+
 # PII patterns for training-data scrubbing — ordered so that broader
 # patterns (email, card) are redacted before their substrings could match
 # narrower ones; every pattern is valid in both Java regex and RE2, so

@@ -1844,3 +1844,43 @@ class TestC4Filters:
         out = c4_page_flags(c4_line_clean(df, "text"), "text_c4")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestReadability:
+    def test_known_text_hand_computed(self, spark):
+        from deequ_spark.llm import readability_scores
+        # 6 words, 2 sentences, vowel groups counted by hand:
+        # "the cat sat. it was happy!" ->
+        # the(1) cat(1) sat(1) it(1) was(1) happy(2) = 7
+        df = spark.createDataFrame([(1, "the cat sat. it was happy!")],
+                                   "id int, t string")
+        r = readability_scores(df, "t").collect()[0]
+        assert (r["r_words"], r["r_sentences"], r["r_syllables"]) == \
+            (6, 2, 7)
+        wps, spw = 6 / 2, 7 / 6
+        assert abs(r["r_flesch"] - (206.835 - 1.015 * wps - 84.6 * spw)) \
+            < 1e-9
+        assert abs(r["r_fk_grade"] - (0.39 * wps + 11.8 * spw - 15.59)) \
+            < 1e-9
+
+    def test_degenerate_inputs_never_divide_by_zero(self, spark):
+        from deequ_spark.llm import readability_scores
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "zzz qqq"), (4, "!!!")],
+            "id int, t string")
+        rows = readability_scores(df, "t").collect()
+        assert all(r["r_flesch"] is not None
+                   and r["r_fk_grade"] is not None for r in rows)
+
+    def test_complex_text_reads_harder(self, spark):
+        from deequ_spark.llm import readability_scores
+        simple = "the dog ran. the cat sat. we all saw it."
+        complex_ = ("notwithstanding considerable methodological "
+                    "heterogeneity, longitudinal epidemiological "
+                    "investigations demonstrate substantial association.")
+        df = spark.createDataFrame([(1, simple), (2, complex_)],
+                                   "id int, t string")
+        got = {r["id"]: r for r in
+               readability_scores(df, "t").collect()}
+        assert got[1]["r_flesch"] > got[2]["r_flesch"]
+        assert got[1]["r_fk_grade"] < got[2]["r_fk_grade"]
