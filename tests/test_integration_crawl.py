@@ -96,3 +96,39 @@ class TestCrawlToTrainingSet:
         got = {(r["url"], r["text"]) for r in
                back.select("url", "text").collect()}
         assert got == want
+
+
+class TestCdxLayoutComposition:
+    """The 100 TB lookup story end-to-end: a CDX index CLUSTERED by
+    urlkey (repartitionByRange + task sort) and written with a per-file
+    manifest lets a host-prefix lookup skip almost every file — the
+    build-once index composed with the layout/skipping machinery."""
+
+    def test_urlkey_clustered_index_prunes_host_lookups(
+            self, spark, crawl_dir, tmp_path):
+        from deequ_spark.llm import warc_cdx_index
+        from deequ_spark.sources import read_corpus, write_manifest
+
+        files = spark.read.format("binaryFile") \
+            .load(f"{crawl_dir}/*.warc.wet.gz").select("path", "content")
+        idx = warc_cdx_index(files)
+        out = str(tmp_path / "cdx_clustered")
+        # range-cluster by urlkey: every file gets a tight urlkey span
+        (idx.repartitionByRange(8, "urlkey")
+            .sortWithinPartitions("urlkey")
+            .write.mode("overwrite").parquet(out))
+        write_manifest(spark, out, ["urlkey"])
+        manifest = spark.read.parquet(f"{out}/_manifest").collect()
+        n_files = len(manifest)
+        assert n_files >= 4
+        # lookup: all captures of site2 (SURT prefix range)
+        lo, hi = "org,example,site2)/", "org,example,site2)0"
+        pruned = read_corpus(spark, out, prune={"urlkey": (lo, hi)})
+        got = pruned.where(
+            (F.col("urlkey") >= lo) & (F.col("urlkey") < hi))
+        assert got.count() == 20                  # 100 docs over 5 hosts
+        # the manifest keeps only files whose span intersects the host
+        kept = [r for r in manifest
+                if not (r["max_urlkey"] < lo or r["min_urlkey"] > hi)]
+        assert len(kept) < n_files               # real skipping
+        assert pruned.rdd.getNumPartitions() <= len(kept) + 1
