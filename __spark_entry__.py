@@ -6886,6 +6886,80 @@ _READABILITY_ORACLE_SQL = """
 """
 
 
+
+
+def q_token_mixture(spark, sf_dir):
+    """Token-budget domain mixture (llm/packing.py token_mixture_sample):
+    weights 5:3:2 over sources src0/src1/src2, total 4000 tokens — more
+    than src0 holds, so the availability cap fires while src1/src2
+    deliver their budgets as floors (crossing doc included). The oracle
+    replays the exact integer largest-remainder apportionment over the
+    domains' token TOTALS and the md5-ordered cumulative take in SQL —
+    per-source kept counts, token sums, and doc_id checksums pin the
+    exact selected sets."""
+    from deequ_spark.llm import token_mixture_sample
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", r"\s+"),
+                           lambda t: t != ""))
+    out = token_mixture_sample(
+        docs, "source", "doc_id", toks,
+        {"src0": 5, "src1": 3, "src2": 2}, total_tokens=4000)
+    per = (out.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(toks).alias("t"),
+                F.sum("doc_id").alias("ck")).collect())
+    rows = []
+    for r in per:
+        rows += [(f"{r['source']}_docs", r["n"]),
+                 (f"{r['source']}_tokens", r["t"]),
+                 (f"{r['source']}_checksum", r["ck"])]
+    return _metrics_df(spark, sorted(rows))
+
+
+_TOKEN_MIXTURE_ORACLE_SQL = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x != '')) AS t
+      FROM documents),
+    mixw AS (SELECT * FROM (VALUES ('src0', 5), ('src1', 3),
+                                   ('src2', 2)) AS w(source, wt)),
+    pres AS (SELECT m.source, m.wt, SUM(k.t) AS c
+             FROM mixw m JOIN toks k ON k.source = m.source
+             GROUP BY m.source, m.wt),
+    app AS (SELECT source, c, (4000 * wt) // den AS base,
+                   (4000 * wt) % den AS rem
+            FROM pres, (SELECT SUM(wt) AS den FROM pres)),
+    ranked AS (SELECT source, c, base,
+                      ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                        AS rk
+               FROM app),
+    quota AS (SELECT source,
+                     LEAST(base + CASE WHEN rk <=
+                         (SELECT 4000 - SUM(base) FROM app)
+                         THEN 1 ELSE 0 END, c) AS q
+              FROM ranked),
+    ordered AS (
+      SELECT k.doc_id, k.source, k.t,
+             COALESCE(SUM(k.t) OVER (PARTITION BY k.source
+               ORDER BY substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8),
+                        k.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev
+      FROM toks k JOIN mixw USING (source)),
+    kept AS (SELECT o.* FROM ordered o JOIN quota USING (source)
+             WHERE o.prev < quota.q)
+    SELECT metric, value FROM (
+      SELECT source || '_docs' AS metric,
+             CAST(COUNT(*) AS DOUBLE) AS value FROM kept GROUP BY source
+      UNION ALL SELECT source || '_tokens', CAST(SUM(t) AS DOUBLE)
+      FROM kept GROUP BY source
+      UNION ALL SELECT source || '_checksum', CAST(SUM(doc_id) AS DOUBLE)
+      FROM kept GROUP BY source
+    ) ORDER BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver snapshots the FIRST 50
     # entries into CORRECTNESS_r{N}.json.  Driver-green rows accumulate
@@ -6922,6 +6996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_update": q_cdx_update,
         "keyframe_seek": q_keyframe_seek,
         "readability": q_readability,
+        "token_mixture": q_token_mixture,
         # --- tail: driver-green in some earlier round ---
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -8020,6 +8095,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx_update": _CDX_UPDATE_ORACLE_SQL,
         "keyframe_seek": _KEYFRAME_SEEK_ORACLE_SQL,
         "readability": _READABILITY_ORACLE_SQL,
+        "token_mixture": _TOKEN_MIXTURE_ORACLE_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE_SQL,
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "c4_filters": _C4_FILTERS_ORACLE_SQL,

@@ -82,4 +82,5 @@ from .packing import (apportion_quotas, assemble_packs, assign_split,
                       length_bucketize,
                       importance_sample, mixture_sample,
                       pack_sequences, pack_statistics,
+                      token_mixture_sample,
                       portable_hash_hex, stratified_sample)

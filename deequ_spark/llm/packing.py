@@ -186,6 +186,56 @@ def mixture_sample(df: DataFrame, domain_col: str, key_col: str,
             .drop(rn, "__dq_quota"))
 
 
+def token_mixture_sample(df: DataFrame, domain_col: str, key_col: str,
+                         tokens_col: Column, weights: "dict",
+                         total_tokens: int,
+                         max_domains: int = 100_000) -> DataFrame:
+    """Sample down to a target domain mixture measured in TOKENS —
+    :func:`mixture_sample`'s unit is rows, but training mixtures are
+    specified in tokens (the Pile/LLaMA composition tables) and
+    document lengths vary by orders of magnitude, so row quotas
+    mis-deliver token mass. Per-domain token budgets come from
+    :func:`apportion_quotas` over the domains' token TOTALS (same
+    exact rational arithmetic, capped at availability, no shortfall
+    redistribution); within a domain, documents are taken in the
+    deterministic md5 order and a document is kept iff the PRECEDING
+    cumulative token count is below the budget — the crossing document
+    is included, so each domain delivers at least its budget whenever
+    it has the mass (overshoot bounded by one document).
+
+    Plan: one combinable per-domain token-sum agg (driver-bounded by
+    ``max_domains``), then ONE hash exchange on ``domain_col`` for the
+    cumulative window + a broadcast quota join — identical shuffle
+    budget to ``mixture_sample``."""
+    cnt_rows = (df.groupBy(domain_col)
+                .agg(F.sum(tokens_col).alias("__dq_tok"))
+                .limit(max_domains + 1).collect())
+    if len(cnt_rows) > max_domains:
+        raise ValueError(
+            f"more than {max_domains} distinct {domain_col} values — "
+            "mixture quotas are a driver-side table; raise max_domains "
+            "only if the domain cardinality is genuinely bounded")
+    counts = {r[domain_col]: int(r["__dq_tok"] or 0) for r in cnt_rows}
+    quotas = apportion_quotas(counts, weights, total_tokens)
+    if not quotas:
+        return df.where(F.lit(False))
+    spark = df.sparkSession
+    domain_type = df.schema[domain_col].dataType
+    qdf = spark.createDataFrame(
+        [(d, q) for d, q in quotas.items()],
+        T.StructType([T.StructField(domain_col, domain_type),
+                      T.StructField("__dq_quota", T.LongType())]))
+    w = (Window.partitionBy(domain_col)
+         .orderBy(portable_hash_hex(F.col(key_col)), F.col(key_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev = "__dq_mix_prev"
+    return (df.join(F.broadcast(qdf), domain_col)
+            .withColumn(prev, F.coalesce(F.sum(tokens_col).over(w),
+                                         F.lit(0)))
+            .where(F.col(prev) < F.col("__dq_quota"))
+            .drop(prev, "__dq_quota"))
+
+
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: Column,
                    budget: int,
                    n_groups: Optional[int] = None) -> DataFrame:

@@ -3378,3 +3378,75 @@ class TestVideoKeyframeSampling:
              (2, bytearray(b"\x00" * 32))],
             "media_id long, payload binary")
         assert sample_video_keyframes(df).count() == 0
+
+
+class TestTokenMixtureSample:
+    """token_mixture_sample: budgets are TOKEN floors per domain,
+    filled in the deterministic md5 order."""
+
+    def _corpus(self, spark):
+        rows = []
+        for d, n, toks in (("web", 30, 10), ("code", 30, 50)):
+            for k in range(n):
+                rows.append((f"{d}{k}", d, "w " * toks))
+        return spark.createDataFrame(rows, "key string, dom string, "
+                                     "text string")
+
+    def test_budgets_delivered_as_floors(self, spark):
+        from deequ_spark.llm import token_mixture_sample
+        from pyspark.sql import functions as F
+        df = self._corpus(spark)
+        toks = F.size(F.filter(F.split("text", r"\s+"),
+                               lambda t: t != ""))
+        out = token_mixture_sample(
+            df, "dom", "key", toks,
+            {"web": 0.5, "code": 0.5}, total_tokens=600).cache()
+        got = {r["dom"]: r["t"] for r in
+               out.groupBy("dom")
+               .agg(F.sum(toks).alias("t")).collect()}
+        # floors: each domain delivers >= 300 tokens, overshoot < 1 doc
+        assert 300 <= got["web"] < 310
+        assert 300 <= got["code"] < 350
+        # deterministic: identical keys on re-run
+        keys1 = sorted(r["key"] for r in out.collect())
+        out2 = token_mixture_sample(
+            df, "dom", "key", toks,
+            {"web": 0.5, "code": 0.5}, total_tokens=600)
+        assert keys1 == sorted(r["key"] for r in out2.collect())
+        out.unpersist()
+
+    def test_quota_caps_at_availability(self, spark):
+        from deequ_spark.llm import token_mixture_sample
+        from pyspark.sql import functions as F
+        df = self._corpus(spark)
+        toks = F.size(F.filter(F.split("text", r"\s+"),
+                               lambda t: t != ""))
+        # web has only 300 tokens total; a 10000-token ask caps there
+        out = token_mixture_sample(
+            df, "dom", "key", toks,
+            {"web": 1.0}, total_tokens=10_000)
+        rows = out.collect()
+        assert {r["dom"] for r in rows} == {"web"}
+        assert len(rows) == 30                      # everything kept
+
+    def test_row_vs_token_mixture_differ_on_skewed_lengths(self, spark):
+        """The reason this operator exists: with 5x length skew, row
+        quotas deliver 5x-off token mass; token quotas deliver even."""
+        from deequ_spark.llm import mixture_sample, token_mixture_sample
+        from pyspark.sql import functions as F
+        df = self._corpus(spark)
+        toks = F.size(F.filter(F.split("text", r"\s+"),
+                               lambda t: t != ""))
+        by_rows = mixture_sample(df, "dom", "key",
+                                 {"web": 0.5, "code": 0.5}, total=20)
+        got_r = {r["dom"]: r["t"] for r in
+                 by_rows.groupBy("dom").agg(F.sum(toks).alias("t"))
+                 .collect()}
+        assert got_r["code"] / got_r["web"] == 5.0  # rows even, tokens 5x
+        by_toks = token_mixture_sample(df, "dom", "key", toks,
+                                       {"web": 0.5, "code": 0.5},
+                                       total_tokens=600)
+        got_t = {r["dom"]: r["t"] for r in
+                 by_toks.groupBy("dom").agg(F.sum(toks).alias("t"))
+                 .collect()}
+        assert got_t["code"] / got_t["web"] < 1.2
