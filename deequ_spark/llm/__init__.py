@@ -38,6 +38,7 @@ from .html import (html_content_blocks, html_content_score,
 from .robots import (filter_disallowed, parse_robots,
                      parse_robots_directives, url_path)
 from .shards import (read_webdataset, tar_members,
+                     update_webdataset_index,
                      webdataset_index, write_webdataset)
 from .vectors import (cosine_quantized, dequantize_embedding,
                       hashed_doc_vectors, quantize_embeddings)

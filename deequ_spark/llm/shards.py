@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["write_webdataset", "read_webdataset", "derive_n_shards",
-           "tar_members", "webdataset_index"]
+           "tar_members", "update_webdataset_index",
+           "webdataset_index"]
 
 # tar framing constants (USTAR): per-member 512-byte header + content
 # padded to 512; 1024-byte end-of-archive; whole file padded to the
@@ -275,3 +276,39 @@ def webdataset_index(files: DataFrame, path_col: str = "path",
     return files.select(F.col(path_col).alias(path_col),
                         F.col(content_col).alias(content_col)) \
         .mapInPandas(index, WDS_INDEX_SCHEMA)
+
+
+def update_webdataset_index(spark, index_path: str,
+                            shard_glob: str) -> dict:
+    """Incrementally maintain a member index over a GROWING shard store:
+    index ONLY tar files the parquet index at ``index_path`` does not
+    know yet and append their rows — the same immutable-file contract
+    as ``warc.update_cdx_index`` (shards are write-once; a training-data
+    store grows by whole shards). Rows of deleted shards are dropped;
+    first call bootstraps. Returns ``{"known_files": n,
+    "scanned_files": n, "removed_rows": n}``."""
+    from pyspark.errors import AnalysisException
+    files = spark.read.format("binaryFile").load(shard_glob)
+    current = {r["path"] for r in files.select("path").collect()}
+    try:
+        idx = spark.read.parquet(index_path)
+        known_paths = {r["path"] for r in
+                       idx.select("path").distinct().collect()}
+    except AnalysisException:
+        idx, known_paths = None, set()
+    new_paths = sorted(current - known_paths)
+    ghosts = known_paths - current
+    removed = 0
+    if ghosts:
+        removed = idx.where(F.col("path").isin(list(ghosts))).count()
+        kept = idx.where(F.col("path").isin(list(current))) \
+            .localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(index_path)
+    if new_paths:
+        rows = webdataset_index(
+            spark.read.format("binaryFile").load(new_paths)
+            .select("path", "content"))
+        rows.write.mode("append").parquet(index_path)
+    return {"known_files": len(known_paths) - len(ghosts),
+            "scanned_files": len(new_paths),
+            "removed_rows": removed}

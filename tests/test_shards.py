@@ -254,3 +254,40 @@ class TestWebdatasetIndex:
         assert sorted(got["ok"]) == ["0.txt", "1.txt", "2.txt"]
         assert sorted(got["cut"]) == ["0.txt", "1.txt"]
         assert "junk" not in got
+
+
+class TestUpdateWebdatasetIndex:
+    def test_incremental_state_machine(self, spark, tmp_path):
+        from deequ_spark.llm import (update_webdataset_index,
+                                     write_webdataset)
+        store = tmp_path / "store"
+        store.mkdir()
+        idx = str(tmp_path / "idx")
+
+        def add_shards(sub, n_docs, base):
+            df = spark.createDataFrame(
+                [(base + i, f"t{base + i}") for i in range(n_docs)],
+                "doc_id long, text string")
+            write_webdataset(df, str(store), "doc_id",
+                             {"text": "txt"}, n_shards=1,
+                             shard_expr=None).collect()
+            # write_webdataset names shard-00000.tar; rename per batch
+            (store / "shard-00000.tar").rename(store / f"{sub}.tar")
+
+        add_shards("day1", 5, 0)
+        st = update_webdataset_index(spark, idx, f"{store}/*.tar")
+        assert st == {"known_files": 0, "scanned_files": 1,
+                      "removed_rows": 0}
+        assert spark.read.parquet(idx).count() == 5
+        add_shards("day2", 3, 100)
+        st = update_webdataset_index(spark, idx, f"{store}/*.tar")
+        assert st == {"known_files": 1, "scanned_files": 1,
+                      "removed_rows": 0}
+        assert spark.read.parquet(idx).count() == 8
+        (store / "day1.tar").unlink()
+        st = update_webdataset_index(spark, idx, f"{store}/*.tar")
+        assert st == {"known_files": 1, "scanned_files": 0,
+                      "removed_rows": 5}
+        left = spark.read.parquet(idx)
+        assert left.count() == 3
+        assert all(int(r["key"]) >= 100 for r in left.collect())
