@@ -489,8 +489,10 @@ def exact_heavy_hitters(df: DataFrame, column: str, min_fraction: float,
 
         def canon_items(vc):
             for v, c in vc.items():
-                yield (canon_nan if isinstance(v, float) and v != v
-                       else v), c
+                # self-inequality is THE NaN test that works across
+                # Python float and every numpy float width (float32
+                # keys are np.float32 — not a Python float subclass)
+                yield (canon_nan if v != v else v), c
 
         counters: dict = {}
         for pdf in batches:

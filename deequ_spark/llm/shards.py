@@ -300,8 +300,14 @@ def update_webdataset_index(spark, index_path: str,
     ghosts = known_paths - current
     removed = 0
     if ghosts:
-        removed = idx.where(F.col("path").isin(list(ghosts))).count()
-        kept = idx.where(F.col("path").isin(list(current))) \
+        # join against the (small, file-count-sized) current-path set —
+        # isin() over a 100k-file archive would inline a plan-sized
+        # literal list; a broadcast semi/anti join stays O(1) plan
+        cur_df = spark.createDataFrame(
+            [(p,) for p in sorted(current)], "path string")
+        removed = idx.join(F.broadcast(cur_df), "path",
+                           "left_anti").count()
+        kept = idx.join(F.broadcast(cur_df), "path", "left_semi") \
             .localCheckpoint(eager=True)
         kept.write.mode("overwrite").parquet(index_path)
     if new_paths:

@@ -319,3 +319,14 @@ def test_token_containment_is_asymmetric(spark):
            for r in token_containment_join(df, "id", "text", 0.9)
            .collect()}
     assert got == {(1, 2): 1.0}  # small doc contained; reverse is not
+
+
+def test_exact_heavy_hitters_float32_nan(spark):
+    # float columns arrive in pandas as float32 — whose NaN keys are
+    # np.float32, NOT Python-float instances; the NaN canonicalization
+    # must still fold them into one counter
+    rows = [(float("nan"),)] * 60 + [(float(i),) for i in range(30)]
+    df = spark.createDataFrame(rows, "v float").repartition(4)
+    got = {("NaN" if r["value"] != r["value"] else r["value"]): r["count"]
+           for r in exact_heavy_hitters(df, "v", 0.3).collect()}
+    assert got == {"NaN": 60}
