@@ -441,7 +441,13 @@ def mp4_samples(data: bytes):
 
     if data[4:8] != b"ftyp":
         return
-    walk(0, len(data), 0, {})
+    try:
+        walk(0, len(data), 0, {})
+    except (struct.error, IndexError):
+        # a lying box size (declared table longer than the payload)
+        # must drop the blob's unparsed tail, never kill the task —
+        # tracks fully parsed before the corruption still index
+        pass
     for tid, t in sorted(tables.items()):
         if not all(k in t for k in ("stts", "stsz", "stsc",
                                     "stco", "timescale")):
@@ -936,8 +942,13 @@ def gif_frame_features(df: DataFrame) -> DataFrame:
             cols = {k: [] for k in ("media_id", "frame_index", "delay_cs",
                                     "disposal", "canvas_sum", "lit_px")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames = decode_gif_frames(
-                    b"" if payload is None else bytes(payload))
+                try:
+                    frames = decode_gif_frames(
+                        b"" if payload is None else bytes(payload))
+                except (NotImplementedError, ValueError):
+                    # non-GIF or corrupt blob in a mixed corpus: skip
+                    # the blob, never the task
+                    continue
                 for k, fr in enumerate(frames):
                     canvas = fr["canvas"]
                     cols["media_id"].append(int(mid))

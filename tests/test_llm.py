@@ -3450,3 +3450,41 @@ class TestTokenMixtureSample:
                  by_toks.groupBy("dom").agg(F.sum(toks).alias("t"))
                  .collect()}
         assert got_t["code"] / got_t["web"] < 1.2
+
+
+class TestMediaRobustness:
+    """Corrupt/mixed blobs must skip, never kill the task — the 100 TB
+    contract for every media indexer."""
+
+    def test_gif_frame_features_skips_non_gif_and_corrupt(self, spark):
+        import numpy as np
+        from deequ_spark.llm import (encode_gif_animation,
+                                     gif_frame_features)
+        good = encode_gif_animation(
+            (4, 4), [{"patch": np.full((2, 2, 3), 9, np.uint8),
+                      "left": 0, "top": 0, "disposal": 1,
+                      "delay_cs": 1}])
+        corrupt = good[:20] + b"\x7f" + good[21:]   # break a block tag
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"not a gif at all")),
+             (3, bytearray(corrupt)), (4, None)],
+            "media_id long, payload binary")
+        rows = gif_frame_features(df).collect()
+        assert {r["media_id"] for r in rows} <= {1, 3}
+        assert any(r["media_id"] == 1 for r in rows)
+
+    def test_mp4_samples_survives_lying_box_sizes(self, spark):
+        from deequ_spark.llm import (encode_mp4_samples, mp4_samples,
+                                     mp4_sample_profile)
+        good = encode_mp4_samples([10, 10], [100, 100])
+        # corrupt the stsz entry count to claim far more samples than
+        # the payload holds — the walk must stop, not raise
+        at = good.find(b"stsz")
+        lying = bytearray(good)
+        lying[at + 12:at + 16] = (10_000_000).to_bytes(4, "big")
+        assert list(mp4_samples(bytes(lying))) == []
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(bytes(lying)))],
+            "media_id long, payload binary")
+        rows = mp4_sample_profile(df).collect()
+        assert {r["media_id"] for r in rows} == {1}
