@@ -478,6 +478,37 @@ def main() -> None:
             f"distinct column produced hitters at {label}: {n_empty}")
     hh["ok"] = True
     growth["exact_heavy_hitters"] = hh
+    # Archive indexers (r10): map-only byte walks — wall time must be
+    # ~linear in FILE COUNT and row output exactly proportional
+    import tempfile
+
+    from deequ_spark.llm import (build_warc_file, build_warc_record,
+                                 warc_cdx_index)
+
+    def make_warc_dir(n_files, recs_per_file=200):
+        d = tempfile.mkdtemp(prefix="scale_cdx_")
+        for f in range(n_files):
+            recs = [build_warc_record(
+                "conversion", (b"x" * 400),
+                target_uri=f"http://h{f}.io/{k}")
+                for k in range(recs_per_file)]
+            with open(f"{d}/f{f:04d}.warc.gz", "wb") as fh:
+                fh.write(build_warc_file(recs, gzip_members=True))
+        return d
+    cdx = {}
+    for label, nf in (("1x", 8), ("10x", 80)):
+        d = make_warc_dir(nf)
+        t0 = time.perf_counter()
+        n = warc_cdx_index(
+            spark.read.format("binaryFile").load(f"{d}/*.warc.gz")
+            .select("path", "content")).count()
+        cdx[label] = {"files": nf, "rows": n,
+                      "t": round(time.perf_counter() - t0, 2)}
+        import shutil as _sh
+        _sh.rmtree(d, ignore_errors=True)
+    cdx["ok"] = (cdx["1x"]["rows"] * 10 == cdx["10x"]["rows"])
+    assert cdx["ok"], f"cdx row growth not proportional: {cdx}"
+    growth["cdx_index"] = cdx
     out["candidate_growth"] = growth
     # flat-per-task-memory evidence for the size-targeted shard writer:
     # the LARGEST shard (≈ one task's buffered bytes) must stay ~target
