@@ -6960,6 +6960,98 @@ _TOKEN_MIXTURE_ORACLE_SQL = """
 """
 
 
+
+
+def q_url_quality(spark, sf_dir):
+    """URL-shape quality gate (llm/urls.py url_quality_flags): every
+    29th doc gets a synthetic URL whose SHAPE cycles six classes by
+    doc_id%6 — clean article path, hyphen-chained spam host,
+    digit-heavy host, 12-deep path trap, blockworded path, bare host.
+    Per-URL flags (length, depth, host digit ratio quantized, hyphen
+    count, blockword, keep) are replayed by the oracle with the SAME
+    string/regexp pipeline in SQL — scheme strip, userinfo/port strip,
+    path split — so the flag logic itself is engine-checked, not just
+    the per-class outcomes."""
+    from deequ_spark.llm import url_quality_flags
+    docs = _load(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 29 == 0)
+    m = F.col("doc_id") % 6
+    i = F.col("doc_id").cast("string")
+    url = (F.when(m == 0, F.concat(F.lit("https://news"), i,
+                                   F.lit(".example.org/world/"), i,
+                                   F.lit("/story")))
+           .when(m == 1, F.concat(F.lit("http://cheap-pills-"), i,
+                                  F.lit("-24x7-shop.biz/buy")))
+           .when(m == 2, F.concat(F.lit("http://"), i,
+                                  F.lit("0123456789.io/x")))
+           .when(m == 3, F.concat(
+               F.lit("http://a.io/"),
+               F.array_join(F.transform(F.sequence(F.lit(0), F.lit(11)),
+                                        lambda k: F.concat(F.lit("d"),
+                                                           k)),
+                            "/")))
+           .when(m == 4, F.concat(F.lit("http://ok"), i,
+                                  F.lit(".io/casino/page")))
+           .otherwise(F.concat(F.lit("https://host"), i, F.lit(".io"))))
+    flagged = url_quality_flags(
+        docs.select("doc_id", url.alias("url")), "url")
+    return (flagged.select(
+        "doc_id", "uq_len", "uq_depth",
+        F.floor(F.col("uq_host_digit_ratio") * 1e6).cast("long")
+        .alias("digit_q"),
+        "uq_host_hyphens", "uq_blockword", "uq_keep")
+        .orderBy("doc_id"))
+
+
+_URL_QUALITY_ORACLE_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+        CASE doc_id % 6
+          WHEN 0 THEN 'https://news' || doc_id || '.example.org/world/'
+                      || doc_id || '/story'
+          WHEN 1 THEN 'http://cheap-pills-' || doc_id
+                      || '-24x7-shop.biz/buy'
+          WHEN 2 THEN 'http://' || doc_id || '0123456789.io/x'
+          WHEN 3 THEN 'http://a.io/' || array_to_string(
+              list_transform(range(0, 12), k -> 'd' || k), '/')
+          WHEN 4 THEN 'http://ok' || doc_id || '.io/casino/page'
+          ELSE 'https://host' || doc_id || '.io' END AS url
+      FROM documents WHERE doc_id % 29 = 0),
+    p AS (
+      SELECT doc_id, lower(trim(url)) AS u,
+        regexp_replace(lower(trim(url)),
+                       '^[a-z][a-z0-9+.\\-]*://', '') AS rest
+      FROM d),
+    h AS (
+      SELECT doc_id, u,
+        regexp_replace(regexp_replace(
+          regexp_extract(rest, '^([^/?#]*)', 1),
+          '^[^@]*@', ''), ':\\d+$', '') AS host,
+        regexp_extract(rest, '^[^/?#]*(/[^?#]*)?', 1) AS path
+      FROM p),
+    f AS (
+      SELECT doc_id, u, host,
+        len(list_filter(string_split(path, '/'), x -> x != ''))
+          AS depth,
+        CAST(len(regexp_replace(host, '[^0-9]', '', 'g')) AS DOUBLE)
+          / GREATEST(len(host), 1) AS dr,
+        len(regexp_replace(host, '[^-]', '', 'g')) AS hy,
+        (u LIKE '%porn%' OR u LIKE '%xxx%' OR u LIKE '%casino%'
+         OR u LIKE '%viagra%' OR u LIKE '%escort%'
+         OR u LIKE '%gambling%') AS blocked
+      FROM h)
+    SELECT doc_id,
+           CAST(len(u) AS INT) AS uq_len,
+           CAST(depth AS INT) AS uq_depth,
+           CAST(FLOOR(dr * 1e6) AS BIGINT) AS digit_q,
+           CAST(hy AS INT) AS uq_host_hyphens,
+           blocked AS uq_blockword,
+           (len(u) <= 512 AND depth <= 10 AND dr <= 0.4 AND hy <= 3
+            AND NOT blocked AND len(host) > 0) AS uq_keep
+    FROM f ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver snapshots the FIRST 50
     # entries into CORRECTNESS_r{N}.json.  Driver-green rows accumulate
@@ -6997,6 +7089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyframe_seek": q_keyframe_seek,
         "readability": q_readability,
         "token_mixture": q_token_mixture,
+        "url_quality": q_url_quality,
         # --- tail: driver-green in some earlier round ---
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -8096,6 +8189,7 @@ def oracle_sql() -> dict[str, str]:
         "keyframe_seek": _KEYFRAME_SEEK_ORACLE_SQL,
         "readability": _READABILITY_ORACLE_SQL,
         "token_mixture": _TOKEN_MIXTURE_ORACLE_SQL,
+        "url_quality": _URL_QUALITY_ORACLE_SQL,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE_SQL,
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "c4_filters": _C4_FILTERS_ORACLE_SQL,

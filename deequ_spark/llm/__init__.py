@@ -27,7 +27,7 @@ from .text import (c4_line_clean, c4_page_flags, GOPHER_STOPWORDS, PII_PATTERNS,
                    decontaminate, mojibake_marker_count, ngram_novelty,
                    normalize_text)
 from .urls import (canonicalize_url, extract_domain, url_dedup_stats,
-                   url_deduplicate)
+                   url_deduplicate, url_quality_flags)
 from .graph import (anchor_term_profile, anchor_texts,
                     extract_links, link_edges, pagerank)
 from .sitemap import (discover_feeds, fetch_schedule, parse_feed,

@@ -176,3 +176,61 @@ def url_dedup_stats(df: DataFrame, url_col: str,
     return {"n_urls": n, "distinct_raw": int(row["distinct_raw"]),
             "distinct_canonical": dc,
             "duplicate_fraction": (n - dc) / n if n else 0.0}
+
+
+#: substrings whose presence in a URL marks it for the blocklist gate —
+#: the RefinedWeb-style URL filter's wordlist dimension (their list is
+#: thousands of entries; this default covers the structural categories
+#: and is a parameter, not a constant)
+DEFAULT_URL_BLOCKWORDS = (
+    "porn", "xxx", "casino", "viagra", "escort", "gambling",
+)
+
+
+def url_quality_flags(df: DataFrame, url_col: str,
+                      blockwords=DEFAULT_URL_BLOCKWORDS,
+                      max_len: int = 512, max_depth: int = 10,
+                      max_host_digit_ratio: float = 0.4,
+                      max_host_hyphens: int = 3) -> DataFrame:
+    """URL-SHAPE quality gate — the RefinedWeb/CCNet first-pass filter
+    that drops documents on the URL alone, before any content is
+    fetched or scored (at crawl scale the cheapest judgment is the one
+    that never touches the page). Pure codegen expressions, one
+    projection:
+
+    - ``uq_len`` / ``uq_depth`` — total length and path-segment depth
+      (machine-generated calendar/faceted-search traps run deep)
+    - ``uq_host_digit_ratio`` / ``uq_host_hyphens`` — spam hosts are
+      digit-heavy and hyphen-chained (``cheap-pills-4u-24x7``)
+    - ``uq_blockword`` — any ``blockwords`` substring in the lowered
+      URL (parameterized; production lists are domain policy)
+    - ``uq_keep`` — the conjunction of every bound
+
+    Flags, not a filter: callers inspect per-rule failure rates (the
+    Gopher-flags convention) and gate on ``uq_keep``."""
+    u = F.lower(F.trim(F.col(url_col)))
+    rest = F.regexp_replace(u, r"^[a-z][a-z0-9+.\-]*://", "")
+    host = F.regexp_replace(
+        F.regexp_replace(F.regexp_extract(rest, r"^([^/?#]*)", 1),
+                         r"^[^@]*@", ""), r":\d+$", "")
+    path = F.regexp_extract(rest, r"^[^/?#]*(/[^?#]*)?", 1)
+    host_len = F.greatest(F.length(host), F.lit(1))
+    digit_ratio = (F.length(F.regexp_replace(host, r"[^0-9]", ""))
+                   / host_len).cast("double")
+    hyphens = F.length(F.regexp_replace(host, r"[^-]", ""))
+    depth = F.when(F.length(path) == 0, F.lit(0)).otherwise(
+        F.size(F.filter(F.split(path, "/"), lambda s: s != "")))
+    blocked = F.lit(False)
+    for w in blockwords:
+        blocked = blocked | u.contains(w)
+    keep = ((F.length(u) <= max_len) & (depth <= max_depth)
+            & (digit_ratio <= max_host_digit_ratio)
+            & (hyphens <= max_host_hyphens) & ~blocked
+            & (F.length(host) > 0))
+    return (df
+            .withColumn("uq_len", F.length(u))
+            .withColumn("uq_depth", depth)
+            .withColumn("uq_host_digit_ratio", digit_ratio)
+            .withColumn("uq_host_hyphens", hyphens)
+            .withColumn("uq_blockword", blocked)
+            .withColumn("uq_keep", keep))

@@ -1884,3 +1884,52 @@ class TestReadability:
                readability_scores(df, "t").collect()}
         assert got[1]["r_flesch"] > got[2]["r_flesch"]
         assert got[1]["r_fk_grade"] < got[2]["r_fk_grade"]
+
+
+class TestUrlQualityFlags:
+    def test_rule_dimensions(self, spark):
+        from deequ_spark.llm import url_quality_flags
+        rows = [
+            (1, "https://news.example.org/world/2024/story"),     # clean
+            (2, "http://cheap-pills-4u-24x7-shop.biz/buy"),       # hyphens
+            (3, "http://0123456789abc.io/x"),                     # digits
+            (4, "http://a.io/" + "/".join(f"d{k}" for k in range(15))),
+            (5, "http://ok.io/" + "q" * 600),                     # length
+            (6, "http://site.io/free-casino-bonus"),              # block
+            (7, "nota url"),                                      # no host
+        ]
+        df = spark.createDataFrame(rows, "id int, url string")
+        got = {r["id"]: r for r in
+               url_quality_flags(df, "url").collect()}
+        assert got[1]["uq_keep"] is True
+        assert got[2]["uq_keep"] is False
+        assert got[2]["uq_host_hyphens"] == 4
+        assert got[3]["uq_keep"] is False
+        assert got[3]["uq_host_digit_ratio"] > 0.4
+        assert got[4]["uq_keep"] is False and got[4]["uq_depth"] == 15
+        assert got[5]["uq_keep"] is False and got[5]["uq_len"] > 512
+        assert got[6]["uq_keep"] is False and got[6]["uq_blockword"]
+        # schemeless text: host is the leading token — judged like any
+        # host; the point is it never crashes and flags are populated
+        assert got[7]["uq_keep"] in (True, False)
+
+    def test_depth_and_userinfo_and_port(self, spark):
+        from deequ_spark.llm import url_quality_flags
+        df = spark.createDataFrame(
+            [(1, "https://user:pw@host.io:8443/a/b/c?q=1#f"),
+             (2, "https://host.io")],
+            "id int, url string")
+        got = {r["id"]: r for r in
+               url_quality_flags(df, "url").collect()}
+        assert got[1]["uq_depth"] == 3
+        assert got[1]["uq_host_digit_ratio"] == 0.0   # port stripped
+        assert got[2]["uq_depth"] == 0 and got[2]["uq_keep"] is True
+
+    def test_custom_blockwords_and_bounds(self, spark):
+        from deequ_spark.llm import url_quality_flags
+        df = spark.createDataFrame(
+            [(1, "http://fine.io/widget"), (2, "http://fine.io/banned")],
+            "id int, url string")
+        got = {r["id"]: r["uq_keep"] for r in url_quality_flags(
+            df, "url", blockwords=("banned",)).collect()}
+        assert got == {1: True, 2: False}
