@@ -282,8 +282,10 @@ def decode_gif_frames(data: bytes):
                 idx = out_rows
             disposal, delay_cs, tidx = gce if gce is not None \
                 else (0, 0, None)
-            # clip the frame rect to the logical screen
-            ch, cw = min(h, sh - top), min(w, sw - left)
+            # clip the frame rect to the logical screen; frames whose
+            # origin lies past the screen edge clip to empty (legal to
+            # parse -- just contributes no pixels)
+            ch, cw = max(0, min(h, sh - top)), max(0, min(w, sw - left))
             sub = idx[:ch, :cw]
             rect = canvas[top:top + ch, left:left + cw]
             snapshot = canvas.copy() if disposal == 3 else None

@@ -321,9 +321,11 @@ def encode_mp4_samples(sample_sizes: "Sequence[int]",
     stsz = box(b"stsz", struct.pack(">III", 0, 0, n)
                + b"".join(struct.pack(">I", s) for s in sample_sizes))
     n_chunks = -(-n // chunk_size)
-    # constant samples-per-chunk, one trailing partial entry if needed
-    entries = [(1, chunk_size)]
+    # constant samples-per-chunk, one trailing partial entry if needed;
+    # a single partial chunk declares its TRUE count so the stsc never
+    # implies samples the n-entry stsz does not have
     last = n - chunk_size * (n_chunks - 1)
+    entries = [(1, chunk_size if n_chunks > 1 else last)]
     if n_chunks > 1 and last != chunk_size:
         entries.append((n_chunks, last))
     stsc = box(b"stsc", struct.pack(">II", 0, len(entries))
@@ -945,9 +947,11 @@ def gif_frame_features(df: DataFrame) -> DataFrame:
                 try:
                     frames = decode_gif_frames(
                         b"" if payload is None else bytes(payload))
-                except (NotImplementedError, ValueError):
-                    # non-GIF or corrupt blob in a mixed corpus: skip
-                    # the blob, never the task
+                except (NotImplementedError, ValueError, struct.error,
+                        IndexError):
+                    # non-GIF, truncated (struct.error / IndexError mid-
+                    # descriptor or mid-extension), or corrupt blob in a
+                    # mixed corpus: skip the blob, never the task
                     continue
                 for k, fr in enumerate(frames):
                     canvas = fr["canvas"]
@@ -1257,7 +1261,15 @@ def sample_video_frames(df: DataFrame, n_frames: int = 8,
                 if (meta.get("format") == "gif"
                         and (meta.get("n_tracks") or 0) > 1):
                     from .gif import decode_gif_frames
-                    frames = decode_gif_frames(data)
+                    try:
+                        frames = decode_gif_frames(data)
+                    except (NotImplementedError, ValueError, struct.error,
+                            IndexError):
+                        # the probe said "animated" but the full decode
+                        # failed (truncated/corrupt stream): skip the
+                        # blob, never the task -- the operator is also
+                        # the video filter for mixed corpora
+                        continue
                     ends, t = [], 0
                     for fr in frames:
                         # zero-delay frames get the 10 cs viewers use

@@ -219,9 +219,14 @@ def tar_members(data: bytes):
     per-blob unit of :func:`webdataset_index`): yields
     ``(member_name, data_offset, size)`` per regular-file member —
     header blocks are 512-aligned, content padded to 512, two zero
-    blocks end the archive. A truncated or corrupt header stops the
-    walk (never raises on partial shards)."""
+    blocks end the archive. Members longer than the 100-byte name
+    field resolve through the POSIX ustar ``prefix`` field (bytes
+    345-500, joined with ``/``) or a GNU ``L`` longname entry (whose
+    data block names the NEXT member), so long paths index under their
+    full names instead of silently truncated ones. A truncated or
+    corrupt header stops the walk (never raises on partial shards)."""
     at, n = 0, len(data)
+    longname = None                             # pending GNU 'L' name
     while at + _BLK <= n:
         hdr = data[at:at + _BLK]
         if hdr == b"\0" * _BLK:                 # end-of-archive
@@ -233,9 +238,25 @@ def tar_members(data: bytes):
         except ValueError:
             return
         typeflag = hdr[156:157]
-        if typeflag in (b"0", b"\0") and name \
+        if typeflag == b"L" and at + _BLK + size <= n:
+            # GNU longname: data block holds the next member's name
+            longname = data[at + _BLK:at + _BLK + size] \
+                .split(b"\0", 1)[0].decode("utf-8", "replace")
+        elif typeflag in (b"0", b"\0") and name \
                 and at + _BLK + size <= n:      # data fully present
-            yield name.decode("utf-8", "replace"), at + _BLK, size
+            if longname is not None:
+                full = longname
+            else:
+                full = name.decode("utf-8", "replace")
+                if hdr[257:262] == b"ustar":    # POSIX/GNU magic
+                    prefix = hdr[345:500].split(b"\0", 1)[0]
+                    if prefix:
+                        full = prefix.decode("utf-8", "replace") \
+                            + "/" + full
+            yield full, at + _BLK, size
+            longname = None
+        else:
+            longname = None
         at += _BLK + -(-size // _BLK) * _BLK
 
 

@@ -3221,6 +3221,22 @@ class TestMp4SampleProfile:
         rows = mp4_sample_profile(df).collect()
         assert len(rows) == 3 and all(r["is_sync"] for r in rows)
 
+    def test_single_partial_chunk_stsc_declares_true_count(self):
+        """r11 ADVICE: with n < chunk_size the lone stsc entry must say
+        (1, n), not (1, chunk_size) — a strict external parser derives
+        sample count from stsc and must agree with the n-entry stsz."""
+        import struct
+        from deequ_spark.llm import encode_mp4_samples, mp4_samples
+        blob = encode_mp4_samples([10, 20, 30], [100, 100, 100],
+                                  chunk_size=8)
+        at = blob.find(b"stsc")
+        n_entries, = struct.unpack(">I", blob[at + 8:at + 12])
+        assert n_entries == 1
+        first_chunk, spc, _ = struct.unpack(">III", blob[at + 12:at + 24])
+        assert (first_chunk, spc) == (1, 3)
+        # strict stsc-derived walk equals stsz-derived samples
+        assert len(list(mp4_samples(blob))) == 3
+
     def test_garbage_and_skeleton_yield_no_rows(self, spark):
         from deequ_spark.llm import (encode_mp4_skeleton,
                                      mp4_sample_profile)
@@ -3472,6 +3488,65 @@ class TestMediaRobustness:
         rows = gif_frame_features(df).collect()
         assert {r["media_id"] for r in rows} <= {1, 3}
         assert any(r["media_id"] == 1 for r in rows)
+
+    def test_gif_frame_features_skips_truncated_blobs(self, spark):
+        """A GIF cut mid-descriptor raises struct.error (not ValueError)
+        and one cut mid-extension raises IndexError; both must skip the
+        blob, never the task (r11 ADVICE hardening)."""
+        import numpy as np
+        from deequ_spark.llm import (encode_gif_animation,
+                                     gif_frame_features)
+        good = encode_gif_animation(
+            (4, 4), [{"patch": np.full((2, 2, 3), 9, np.uint8),
+                      "left": 0, "top": 0, "disposal": 1,
+                      "delay_cs": 1}])
+        cuts = [good[:k] for k in range(14, len(good), 3)]
+        df = spark.createDataFrame(
+            [(i, bytearray(c)) for i, c in enumerate(cuts)]
+            + [(999, bytearray(good))],
+            "media_id long, payload binary")
+        rows = gif_frame_features(df).collect()
+        assert any(r["media_id"] == 999 for r in rows)
+
+    def test_video_frames_skips_corrupt_animated_gif(self, spark):
+        """probe_media can call a blob 'animated' whose full decode
+        fails; sample_video_frames must skip it, not kill the task."""
+        import numpy as np
+        from deequ_spark.llm import (encode_gif_animation,
+                                     sample_video_frames)
+        good = encode_gif_animation(
+            (4, 4), [{"patch": np.full((2, 2, 3), 9, np.uint8),
+                      "left": 0, "top": 0, "disposal": 1,
+                      "delay_cs": 2},
+                     {"patch": np.full((2, 2, 3), 5, np.uint8),
+                      "left": 2, "top": 2, "disposal": 1,
+                      "delay_cs": 2}])
+        truncated = good[:len(good) - 12]   # probe sees 2 frames; decode dies
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(truncated))],
+            "media_id long, payload binary")
+        rows = sample_video_frames(df, n_frames=2).collect()
+        ids = {r["media_id"] for r in rows}
+        assert 1 in ids
+
+    def test_gif_offscreen_frame_clips_to_empty(self):
+        """A frame whose origin lies past the logical screen is legal to
+        parse; it must clip to zero pixels instead of raising."""
+        import numpy as np
+        from deequ_spark.llm.gif import (decode_gif_frames,
+                                         encode_gif_animation)
+        blob = encode_gif_animation(
+            (4, 4), [{"patch": np.full((2, 2, 3), 9, np.uint8),
+                      "left": 0, "top": 0, "disposal": 1,
+                      "delay_cs": 1}])
+        # move the frame descriptor's left/top past the 4x4 screen
+        at = blob.find(b"\x2c")          # image separator
+        off = bytearray(blob)
+        off[at + 1:at + 5] = (6).to_bytes(2, "little") \
+            + (6).to_bytes(2, "little")
+        frames = decode_gif_frames(bytes(off))
+        assert len(frames) == 1
+        assert not frames[0]["canvas"].any()    # nothing drawn
 
     def test_mp4_samples_survives_lying_box_sizes(self, spark):
         from deequ_spark.llm import (encode_mp4_samples, mp4_samples,

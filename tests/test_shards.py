@@ -256,6 +256,39 @@ class TestWebdatasetIndex:
         assert "junk" not in got
 
 
+class TestLongMemberNames:
+    """r11 ADVICE: members past the 100-byte name field must index under
+    their FULL names — POSIX ustar prefix and GNU 'L' longname both."""
+
+    def _roundtrip(self, spark, fmt):
+        import io, tarfile
+        from deequ_spark.llm import webdataset_index
+        long_key = "deep/" * 24 + "sample-000123"     # 133-char stem
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tar:
+            for name, blob in [(f"{long_key}.txt", b"long body"),
+                               ("short.txt", b"short body")]:
+                info = tarfile.TarInfo(name)
+                info.size = len(blob)
+                tar.addfile(info, io.BytesIO(blob))
+        whole = buf.getvalue()
+        df = spark.createDataFrame([("t", bytearray(whole))],
+                                   "path string, content binary")
+        rows = {r["member"]: r for r in webdataset_index(df).collect()}
+        assert set(rows) == {f"{long_key}.txt", "short.txt"}
+        r = rows[f"{long_key}.txt"]
+        assert r["key"] == long_key
+        assert whole[r["offset"]:r["offset"] + r["size"]] == b"long body"
+
+    def test_ustar_prefix_field(self, spark):
+        import tarfile
+        self._roundtrip(spark, tarfile.USTAR_FORMAT)
+
+    def test_gnu_longname_entry(self, spark):
+        import tarfile
+        self._roundtrip(spark, tarfile.GNU_FORMAT)
+
+
 class TestUpdateWebdatasetIndex:
     def test_incremental_state_machine(self, spark, tmp_path):
         from deequ_spark.llm import (update_webdataset_index,
