@@ -2143,6 +2143,159 @@ def q_ivf_ann_all(spark, sf_dir):
     ])
 
 
+# --- r11 registry consolidation: fold driver-stale single-operator
+# queries into family composites (judge ask #8).  Each part keeps its
+# own metric names (verified disjoint within a composite by
+# tests/test_entry_contract.py); oracle side composes the SAME parts
+# via _union_oracles, so a hash mismatch still attributes to one
+# operator's metric rows.  126 -> 97 registry names means full driver
+# coverage fits TWO 50-slot windows.
+
+def q_scan_basic_ops(spark, sf_dir):
+    """Composite: Size, Completeness, Compliance, PatternMatch."""
+    return _union_metrics([
+        q_size(spark, sf_dir),
+        q_completeness(spark, sf_dir),
+        q_compliance(spark, sf_dir),
+        q_pattern_match(spark, sf_dir),
+    ])
+
+
+def q_scan_stats_ops(spark, sf_dir):
+    """Composite: Min/Max/Range, Sum/Mean, moments (stddev/variance/
+    skew/kurtosis/corr), exact quantiles + IQR."""
+    return _union_metrics([
+        q_min_max(spark, sf_dir),
+        q_sum_mean(spark, sf_dir),
+        q_moments(spark, sf_dir),
+        q_quantiles(spark, sf_dir),
+    ])
+
+
+def q_scan_sketch_ops(spark, sf_dir):
+    """Composite: the sketch/inference analyzers — ApproxCountDistinct
+    (HLL), ApproxQuantile (KLL-backed), full KLLSketch, DataType
+    inference."""
+    return _union_metrics([
+        q_approx_count_distinct(spark, sf_dir),
+        q_approx_quantile(spark, sf_dir),
+        q_kll(spark, sf_dir),
+        q_datatype(spark, sf_dir),
+    ])
+
+
+def q_grouping_core_ops(spark, sf_dir):
+    """Composite: the grouping-analyzer family — Uniqueness/UVR/
+    Distinctness/CountDistinct, Entropy, DuplicateRowCount,
+    MutualInformation."""
+    return _union_metrics([
+        q_uniqueness(spark, sf_dir),
+        q_entropy(spark, sf_dir),
+        q_duplicate_rows(spark, sf_dir),
+        q_mutual_information(spark, sf_dir),
+    ])
+
+
+def q_histogram_ops(spark, sf_dir):
+    """Composite: Histogram (top-N), HistogramBinned (width_bucket),
+    MinLength/MaxLength/ZerosCount/RatioOfSums."""
+    return _union_metrics([
+        q_histogram(spark, sf_dir),
+        q_histogram_binned(spark, sf_dir),
+        q_length_zeros_ratio(spark, sf_dir),
+    ])
+
+
+def q_dqdl_ops(spark, sf_dir):
+    """Composite: core DQDL ruleset execution + the extended rule
+    types (CustomSql, composites, ColumnDataType)."""
+    return _union_metrics([
+        q_dqdl(spark, sf_dir),
+        q_dqdl_extended(spark, sf_dir),
+    ])
+
+
+def q_row_level_ops(spark, sf_dir):
+    """Composite: row-level constraint annotation + the filtered-rows
+    (NullBehavior / filtered_row) truth tables."""
+    return _union_metrics([
+        q_row_level(spark, sf_dir),
+        q_row_level_filtered(spark, sf_dir),
+    ])
+
+
+def q_check_flow_ops(spark, sf_dir):
+    """Composite: the end-to-end check flows — VerificationSuite run,
+    windowed (time-sliced) verification, multi-stage pipeline."""
+    return _union_metrics([
+        q_verification(spark, sf_dir),
+        q_windowed(spark, sf_dir),
+        q_pipeline(spark, sf_dir),
+    ])
+
+
+def q_drift_anomaly_ops(spark, sf_dir):
+    """Composite: distribution distances (KS/L-inf/chi-square/PSI) +
+    anomaly-detection strategies over a metric series."""
+    return _union_metrics([
+        q_distance(spark, sf_dir),
+        q_anomaly(spark, sf_dir),
+    ])
+
+
+def q_text_filter_ops(spark, sf_dir):
+    """Composite: text-quality heuristics, PII detection, LM
+    perplexity-proxy scoring."""
+    return _union_metrics([
+        q_text_quality(spark, sf_dir),
+        q_pii(spark, sf_dir),
+        q_lm_score(spark, sf_dir),
+    ])
+
+
+def q_lexical_dedup_ops(spark, sf_dir):
+    """Composite: exact dedup, n-gram Jaccard, MinHash-LSH banding,
+    hot-bucket capping."""
+    return _union_metrics([
+        q_exact_dedup(spark, sf_dir),
+        q_jaccard_dedup(spark, sf_dir),
+        q_minhash_lsh(spark, sf_dir),
+        q_hot_bucket_cap(spark, sf_dir),
+    ])
+
+
+def q_media_feature_ops(spark, sf_dir):
+    """Composite: multimodal decode/feature plumbing, media format
+    probes, audio feature extraction."""
+    return _union_metrics([
+        q_multimodal(spark, sf_dir),
+        q_media_probe(spark, sf_dir),
+        # audio metrics prefixed: media_probe also emits duration_ms_sum
+        _prefix_metrics(q_audio_ops(spark, sf_dir), "au_"),
+    ])
+
+
+def q_ann_ops(spark, sf_dir):
+    """Composite: brute-force / kNN-join top-k, IVF (+ on-disk index),
+    hyperplane-LSH embedding near-dup."""
+    return _union_metrics([
+        q_ann_topk(spark, sf_dir),
+        # IVF must find the same neighbors brute-force does, so its
+        # neighbor-id metric names collide by construction — prefix
+        _prefix_metrics(q_ivf_ann_all(spark, sf_dir), "ivf_"),
+        q_embedding_near_dup(spark, sf_dir),
+    ])
+
+
+def q_stream_ops(spark, sf_dir):
+    """Composite: Structured-Streaming incremental verification +
+    event sessionization."""
+    return _union_metrics([
+        q_streaming(spark, sf_dir),
+        q_sessionize(spark, sf_dir),
+    ])
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-style LM quality scoring (llm/text.py char_trigram_model +
     lm_quality_score): train an add-one-smoothed char-trigram model on
@@ -7055,30 +7208,110 @@ _URL_QUALITY_ORACLE_SQL = """
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver snapshots the FIRST 50
     # entries into CORRECTNESS_r{N}.json.  Driver-green rows accumulate
-    # across rounds, so each round rotates never-driver-checked queries
-    # into the head of the dict (round-8 verdict ask #1); queries with a
-    # green row in some earlier round's CORRECTNESS file sit at the tail.
-    # tools/check_oracle.py always verifies the FULL registry regardless.
+    # across rounds, so each round rotates the stalest-green queries into
+    # the head of the dict.  r11 folded 43 driver-stale single-operator
+    # queries into 14 family composites (126 -> 97 names) so full driver
+    # coverage fits two 50-slot windows; the composites (never driver-
+    # checked under their new names) lead, then the r6-green composites,
+    # the remaining r8-green singles, the r9-green block, and three
+    # r10-green entries fill the window.  tools/check_oracle.py always
+    # verifies the FULL registry regardless.
     return {
-        # --- head: never driver-checked as of r10 ---
-        # the 11 r9-session-2 additions that landed after the r9 driver
-        # snapshot (judge-verified green; need driver-grade rows)
+        # --- slots 1-14: r11 consolidation composites (never checked) ---
+        "scan_basic_ops": q_scan_basic_ops,
+        "scan_stats_ops": q_scan_stats_ops,
+        "scan_sketch_ops": q_scan_sketch_ops,
+        "grouping_core_ops": q_grouping_core_ops,
+        "histogram_ops": q_histogram_ops,
+        "dqdl_ops": q_dqdl_ops,
+        "row_level_ops": q_row_level_ops,
+        "check_flow_ops": q_check_flow_ops,
+        "drift_anomaly_ops": q_drift_anomaly_ops,
+        "text_filter_ops": q_text_filter_ops,
+        "lexical_dedup_ops": q_lexical_dedup_ops,
+        "media_feature_ops": q_media_feature_ops,
+        "ann_ops": q_ann_ops,
+        "stream_ops": q_stream_ops,
+        # --- slots 15-17: last driver-green r6 ---
+        "text_pipeline_ops": q_text_pipeline_ops,
+        "satellite_ops": q_satellite_ops,
+        "embedding_ops": q_embedding_ops,
+        # --- slots 18-24: last driver-green r8 ---
+        "comparison_ops": q_comparison_ops,
+        "decontamination": q_decontamination,
+        "language_id": q_language_id_all,
+        "near_dedup": q_near_dedup,
+        "profile": q_profile,
+        "simhash": q_simhash,
+        "suggestions": q_suggestions,
+        # --- slots 25-47: last driver-green r9 ---
+        "audio_phash": q_audio_phash,
+        "benford": q_benford,
+        "c4_filters": q_c4_filters,
+        "embedding_quantize": q_embedding_quantize,
+        "functional_dependency": q_functional_dependency,
+        "fuzzy_join": q_fuzzy_join,
+        "grouped_topk": q_grouped_topk,
+        "html_extract": q_html_extract,
+        "image_phash": q_image_phash,
+        "incremental_dedup": q_incremental_dedup,
+        "join_cardinality": q_join_cardinality,
+        "link_graph": q_link_graph,
+        "missingness": q_missingness,
+        "ngram_novelty": q_ngram_novelty,
+        "robots_filter": q_robots_filter,
+        "rolling_stats": q_rolling_stats,
+        "sitemap_ops": q_sitemap_ops,
+        "sliced_analysis": q_sliced_analysis,
+        "table_diff": q_table_diff,
+        "token_jaccard": q_token_jaccard,
+        "warc_ingest": q_warc_ingest,
+        "webdataset": q_webdataset,
+        "zorder_layout": q_zorder_layout,
+        # --- slots 48-50: oldest r10-green ---
+        "bm25_search": q_bm25_search,
+        "semantic_dedup": q_semantic_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        # --- tail: driver-green r10 (next window sweeps these) ---
+        "corpus_drift": q_corpus_drift,
+        "span_dedup": q_span_dedup,
+        "video_frames": q_video_frames,
+        "streaming_drift": q_streaming_drift,
+        "near_dup_ratio": q_near_dup_ratio,
+        "dsir_sample": q_dsir_sample,
+        "bpe_stats": q_bpe_stats,
+        "bpe_ids": q_bpe_ids,
+        "bpe_merges": q_bpe_merges,
+        "bpe_train": q_bpe_train,
+        "token_stats": q_token_stats,
+        "sequence_packing": q_sequence_packing,
+        "corpus_sampling": q_corpus_sampling,
+        "text_normalize": q_text_normalize,
+        "url_ops": q_url_ops,
+        "url_quality": q_url_quality,
+        "skew_report": q_skew_report,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "salted_join": q_salted_join,
+        "robust_stats": q_robust_stats,
+        "doc_vectors": q_doc_vectors,
+        "scale_utils": q_scale_utils,
+        "quality_score": q_quality_score,
+        "readability": q_readability,
+        "semantic_decon": q_semantic_decon,
+        "char_dedup": q_char_dedup,
         "heavy_hitters": q_heavy_hitters,
         "streaming_hh": q_streaming_hh,
+        "containment": q_containment,
+        "anomaly_gate": q_anomaly_gate,
+        "token_mixture": q_token_mixture,
+        "assign_split": q_assign_split,
         "fetch_schedule": q_fetch_schedule,
         "anchor_text": q_anchor_text,
-        "containment": q_containment,
         "html_metadata": q_html_metadata,
         "wet_export": q_wet_export,
         "feed_ops": q_feed_ops,
         "feed_discovery": q_feed_discovery,
-        "salted_join": q_salted_join,
-        "assign_split": q_assign_split,
-        # bpe_train gains a VALUE oracle this round (was rows-only) —
-        # needs a fresh driver row under the new comparison
-        "bpe_train": q_bpe_train,
-        # --- r10 additions ---
-        "anomaly_gate": q_anomaly_gate,
         "mp3_profile": q_mp3_profile,
         "gif_frames": q_gif_frames,
         "mp4_profile": q_mp4_profile,
@@ -7087,112 +7320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_index": q_wds_index,
         "cdx_update": q_cdx_update,
         "keyframe_seek": q_keyframe_seek,
-        "readability": q_readability,
-        "token_mixture": q_token_mixture,
-        "url_quality": q_url_quality,
-        # --- tail: driver-green in some earlier round ---
-        "bm25_search": q_bm25_search,
-        "semantic_dedup": q_semantic_dedup,
-        "paragraph_dedup": q_paragraph_dedup,
-        "corpus_drift": q_corpus_drift,
-        "span_dedup": q_span_dedup,
-        "video_frames": q_video_frames,
-        "streaming_drift": q_streaming_drift,
-        "near_dup_ratio": q_near_dup_ratio,
-        "dsir_sample": q_dsir_sample,
-        "bpe_stats": q_bpe_stats,
-        "token_stats": q_token_stats,
-        "sequence_packing": q_sequence_packing,
-        "corpus_sampling": q_corpus_sampling,
-        "text_normalize": q_text_normalize,
-        "url_ops": q_url_ops,
-        "skew_report": q_skew_report,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
-        "robust_stats": q_robust_stats,
-        "doc_vectors": q_doc_vectors,
-        "scale_utils": q_scale_utils,
-        "quality_score": q_quality_score,
-        "semantic_decon": q_semantic_decon,
-        "char_dedup": q_char_dedup,
-        "bpe_ids": q_bpe_ids,
-        "bpe_merges": q_bpe_merges,
-        "embedding_quantize": q_embedding_quantize,
-        "robots_filter": q_robots_filter,
-        "c4_filters": q_c4_filters,
-        "webdataset": q_webdataset,
-        "html_extract": q_html_extract,
-        "warc_ingest": q_warc_ingest,
-        "incremental_dedup": q_incremental_dedup,
-        "rolling_stats": q_rolling_stats,
-        "table_diff": q_table_diff,
-        "missingness": q_missingness,
-        "join_cardinality": q_join_cardinality,
-        "functional_dependency": q_functional_dependency,
-        "benford": q_benford,
-        "sliced_analysis": q_sliced_analysis,
-        "ngram_novelty": q_ngram_novelty,
-        "image_phash": q_image_phash,
-        "audio_phash": q_audio_phash,
-        "grouped_topk": q_grouped_topk,
-        "link_graph": q_link_graph,
-        "sitemap_ops": q_sitemap_ops,
-        "fuzzy_join": q_fuzzy_join,
-        "token_jaccard": q_token_jaccard,
-        "zorder_layout": q_zorder_layout,
-        "size": q_size,
-        "completeness": q_completeness,
-        "compliance": q_compliance,
-        "pattern_match": q_pattern_match,
-        "min_max": q_min_max,
-        "sum_mean": q_sum_mean,
-        "moments": q_moments,
-        "quantiles": q_quantiles,
-        "uniqueness": q_uniqueness,
-        "entropy": q_entropy,
-        "duplicate_rows": q_duplicate_rows,
-        "datatype": q_datatype,
-        "histogram": q_histogram,
-        "mutual_information": q_mutual_information,
-        "approx_count_distinct": q_approx_count_distinct,
-        "approx_quantile": q_approx_quantile,
-        "verification": q_verification,
-        "exact_dedup": q_exact_dedup,
-        "jaccard_dedup": q_jaccard_dedup,
-        "minhash_lsh": q_minhash_lsh,
-        "hot_bucket_cap": q_hot_bucket_cap,
-        "near_dedup": q_near_dedup,
-        "simhash": q_simhash,
-        "text_quality": q_text_quality,
-        "language_id": q_language_id_all,
-        "pii": q_pii,
-        "ann_topk": q_ann_topk,
-        "multimodal": q_multimodal,
-        "length_zeros_ratio": q_length_zeros_ratio,
-        "histogram_binned": q_histogram_binned,
-        "comparison_ops": q_comparison_ops,
-        "kll": q_kll,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ivf_ann": q_ivf_ann_all,
-        "streaming": q_streaming,
-        "row_level": q_row_level,
-        "row_level_filtered": q_row_level_filtered,
-        "pipeline": q_pipeline,
-        "decontamination": q_decontamination,
-        "profile": q_profile,
-        "dqdl": q_dqdl,
-        "dqdl_extended": q_dqdl_extended,
-        "windowed": q_windowed,
-        "suggestions": q_suggestions,
-        "distance": q_distance,
-        "sessionize": q_sessionize,
-        "anomaly": q_anomaly,
-        "audio_ops": q_audio_ops,
-        "media_probe": q_media_probe,
-        "lm_score": q_lm_score,
-        "text_pipeline_ops": q_text_pipeline_ops,
-        "satellite_ops": q_satellite_ops,
-        "embedding_ops": q_embedding_ops,
     }
 
 
@@ -8305,4 +8432,50 @@ def oracle_sql() -> dict[str, str]:
         d["ivf_ann"],
         "SELECT 'disk_' || metric AS metric, value FROM (\n"
         f"{d.pop('ivf_index_disk')}\n) AS dk")
+    # r11 registry consolidation: compose the folded families' oracles
+    # from the SAME parts the Spark composites union — part metric
+    # names are disjoint within each composite, so attribution survives
+    for comp, parts in _R11_FOLDS.items():
+        sqls = []
+        for part in parts:
+            sql = d.pop(part)
+            pfx = _R11_PART_PREFIX.get((comp, part))
+            if pfx:
+                sql = (f"SELECT '{pfx}' || metric AS metric, value "
+                       f"FROM (\n{sql}\n) AS pfx_{part}")
+            sqls.append(sql)
+        d[comp] = _union_oracles(*sqls)
     return d
+
+
+# r11 composite -> folded part queries (order matches the q_*_ops
+# _union_metrics order; both sides are order-insensitive under the
+# driver's sorted-hash compare)
+# parts whose metric names would collide with a sibling get a prefix,
+# applied identically on the Spark (_prefix_metrics) and oracle sides
+_R11_PART_PREFIX = {
+    ("ann_ops", "ivf_ann"): "ivf_",
+    ("media_feature_ops", "audio_ops"): "au_",
+}
+
+_R11_FOLDS = {
+    "scan_basic_ops": ["size", "completeness", "compliance",
+                       "pattern_match"],
+    "scan_stats_ops": ["min_max", "sum_mean", "moments", "quantiles"],
+    "scan_sketch_ops": ["approx_count_distinct", "approx_quantile",
+                        "kll", "datatype"],
+    "grouping_core_ops": ["uniqueness", "entropy", "duplicate_rows",
+                          "mutual_information"],
+    "histogram_ops": ["histogram", "histogram_binned",
+                      "length_zeros_ratio"],
+    "dqdl_ops": ["dqdl", "dqdl_extended"],
+    "row_level_ops": ["row_level", "row_level_filtered"],
+    "check_flow_ops": ["verification", "windowed", "pipeline"],
+    "drift_anomaly_ops": ["distance", "anomaly"],
+    "text_filter_ops": ["text_quality", "pii", "lm_score"],
+    "lexical_dedup_ops": ["exact_dedup", "jaccard_dedup", "minhash_lsh",
+                          "hot_bucket_cap"],
+    "media_feature_ops": ["multimodal", "media_probe", "audio_ops"],
+    "ann_ops": ["ann_topk", "ivf_ann", "embedding_near_dup"],
+    "stream_ops": ["streaming", "sessionize"],
+}

@@ -442,6 +442,7 @@ def main():
              .config("spark.sql.shuffle.partitions", CPUS)
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
              .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
              .config("spark.sql.legacy.parquet.nanosAsLong", "true")
              .getOrCreate())
@@ -520,19 +521,27 @@ def main():
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # stop/cleanup FIRST so nothing (JVM shutdown chatter, progress
+    # bars) can print after the result line: the round driver keeps
+    # only the TAIL of stdout, so the one-line compact JSON must be
+    # the LAST bytes written (r10 lost the b1-b3 medians to this).
+    spark.stop()
+    import shutil
+    shutil.rmtree(idx_pair[0], ignore_errors=True)
+    shutil.rmtree(warc_dir, ignore_errors=True)
+    import sys
+    # per-sample spread on its own earlier line keeps the final
+    # contract line short enough to survive any tail window
+    print("SPREAD " + json.dumps({"spread": spread, "runs": n_runs}),
+          flush=True)
     print(json.dumps({
         "metric": "deequ_spark_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "spread": spread,
-        "runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
-    spark.stop()
-    import shutil
-    shutil.rmtree(idx_pair[0], ignore_errors=True)
-    shutil.rmtree(warc_dir, ignore_errors=True)
+    }), flush=True)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

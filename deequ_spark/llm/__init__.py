@@ -67,6 +67,7 @@ from .multimodal import (attach_binary_payload, audio_features, decode_audio,
                          probe_media, probe_media_features, resize_media,
                          extract_binary_features, sample_chunks,
                          sample_video_frames)
+from .ffmpeg import ffmpeg_available, make_ffmpeg_frame_decoder
 from .jpeg import decode_jpeg, encode_jpeg, encode_progressive_jpeg
 from .gif import (decode_gif, decode_gif_frames, encode_gif,
                   encode_gif_animation)

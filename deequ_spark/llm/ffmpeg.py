@@ -1,0 +1,102 @@
+"""ffmpeg-backed ``frame_decoder`` for the video sampling hooks.
+
+``sample_video_frames`` / ``sample_video_keyframes``
+(:mod:`deequ_spark.llm.multimodal`) plan the TIMELINE from real header
+parsing (mvhd duration, stts/stss tables) but leave compressed-codec
+pixel decode to an injectable ``frame_decoder(payload, ts_ms) -> bytes``
+hook — codec decode is ffmpeg territory, deliberately environment-bound.
+This module is the documented reference implementation of that hook
+against a real codec stack.
+
+Why a subprocess and not a binding: the decode runs INSIDE Spark tasks
+(the hook is called from a ``mapInPandas`` worker), and a subprocess per
+sampled frame keeps the Python worker free of native-library state that
+can't be forked/pickled. ``-ss`` is placed BEFORE ``-i`` so ffmpeg does
+a keyframe-level demuxer seek and only decodes from the nearest sync
+sample forward — the same access pattern ``plan_keyframe_seeks``
+computes from the stss table, so cost per frame is bounded by the
+keyframe interval, not the file length. The payload is written to a
+private temp file because MP4 moov boxes may trail the mdat, which
+makes stdin-piping unseekable input a non-starter.
+
+At 100 TB scale this hook is the per-row leaf of a map-only operator:
+no shuffle, bounded memory (one frame in flight), and the subprocess
+cost amortizes with ``n_frames`` per blob. If throughput matters more
+than isolation, swap in a PyAV-based decoder with the same signature —
+the Spark-side plumbing (schema, batching, row expansion) is identical
+and already tested against a stub decoder.
+
+Everything here degrades loudly, not silently: constructing the decoder
+raises if no ffmpeg binary is on PATH, and a decode failure returns
+``None`` (the row lands with ``decoded = false``) instead of killing
+the task — mixed corpora always contain blobs ffmpeg rejects.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+from typing import Callable, Optional
+
+
+def ffmpeg_available(binary: str = "ffmpeg") -> bool:
+    """True when an ffmpeg binary is on PATH (tests skip when absent)."""
+    return shutil.which(binary) is not None
+
+
+def make_ffmpeg_frame_decoder(binary: str = "ffmpeg",
+                              output_format: str = "bmp",
+                              scale_width: Optional[int] = None,
+                              timeout_s: float = 30.0,
+                              ) -> Callable[[bytes, float], Optional[bytes]]:
+    """Build a ``frame_decoder(payload, ts_ms) -> bytes | None`` hook.
+
+    The returned closure is picklable (top-level module function +
+    captured primitives), so it ships to executors like any other
+    ``mapInPandas`` closure. ``output_format`` picks the still-image
+    encoder for the returned bytes (``bmp`` round-trips through this
+    repo's own ``decode_bmp``); ``scale_width`` optionally downsizes
+    (aspect-preserving) before encode — decode-at-target-size is the
+    single biggest cost lever when the consumer is a vision embedder.
+
+    Raises ``RuntimeError`` at CONSTRUCTION time when ffmpeg is absent:
+    failing on the driver before any task launches beats 1000 executors
+    discovering it row by row.
+    """
+    resolved = shutil.which(binary)
+    if resolved is None:
+        raise RuntimeError(
+            f"ffmpeg binary {binary!r} not found on PATH; install ffmpeg "
+            "or pass a different frame_decoder (this hook is the "
+            "documented codec boundary of sample_video_frames)")
+
+    def decode(payload: bytes, ts_ms: float) -> Optional[bytes]:
+        if not payload:
+            return None
+        fd, path = tempfile.mkstemp(prefix="dq_ffdec_")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(payload)
+            cmd = [resolved, "-v", "error", "-nostdin",
+                   "-ss", f"{max(ts_ms, 0.0) / 1000.0:.6f}",
+                   "-i", path,
+                   "-frames:v", "1"]
+            if scale_width:
+                cmd += ["-vf", f"scale={int(scale_width)}:-2"]
+            cmd += ["-f", "image2", "-c:v", output_format, "pipe:1"]
+            proc = subprocess.run(cmd, capture_output=True,
+                                  timeout=timeout_s)
+            if proc.returncode != 0 or not proc.stdout:
+                return None            # undecodable blob: row, not task
+            return proc.stdout
+        except (subprocess.TimeoutExpired, OSError):
+            return None
+        finally:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+
+    return decode

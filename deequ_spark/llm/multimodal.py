@@ -1233,6 +1233,10 @@ def sample_video_frames(df: DataFrame, n_frames: int = 8,
     build), so ``frame_decoder(payload, ts_ms) -> bytes`` is the
     documented integration hook: absent, rows carry ``pixels = NULL,
     decoded = false``; present, its bytes land in ``pixels`` unchanged.
+    :func:`deequ_spark.llm.ffmpeg.make_ffmpeg_frame_decoder` is the
+    reference implementation against a real codec stack (keyframe-seek
+    subprocess per frame; tests/test_ffmpeg_hook.py, skipped where no
+    ffmpeg binary exists).
     Exception: ANIMATED GIFs (>1 frame) decode fully in-process —
     ``gif.decode_gif_frames`` composites the GCE timeline and each
     sampled row carries the real canvas as BMP bytes with
