@@ -996,11 +996,21 @@ def q_kll(spark, sf_dir):
 
 def q_embedding_near_dup(spark, sf_dir):
     """Banded hyperplane-LSH near-dup pairs, exact-cosine verified —
-    oracled against the exact all-pairs SQL (recall ≈ 0.9998/pair)."""
+    oracled against the exact all-pairs SQL. The shape is pinned for
+    the exact-pair-list contract at BOTH oracle scales: 0.45 cosine is
+    below the ~0.6 floor where hyperplane LSH can prune (operator
+    docstring), so the defaults' shallow bands make every (band, sig)
+    bucket exceed hot_bucket_cap at sf0.1 (n=5000 -> ~1250/bucket) and
+    star-capping would truncate the pair list (caught by the r11 sf0.1
+    oracle run: 1 of 144 pairs survived). bands=24 puts the per-pair
+    miss at (1-p^2)^24 ~ 2e-6 (p = 1-acos(0.45)/pi); the cap is lifted
+    because the contract here is the full verified pair list, not
+    CC-preserving dedup."""
     from deequ_spark.llm import embedding_near_duplicates
     emb = _load(spark, sf_dir, "embeddings")
     pairs = embedding_near_duplicates(emb, "vec_id", "embedding",
-                                      threshold=0.45).collect()
+                                      threshold=0.45, planes=2, bands=24,
+                                      hot_bucket_cap=1_000_000).collect()
     rows = [(f"{r['id_a']}_{r['id_b']}", _fuzz(r["cosine"])) for r in pairs]
     rows.sort()
     rows.append(("near_dup_pairs", float(len(pairs))))
@@ -5657,8 +5667,11 @@ _FD_ORACLE_SQL = """
              (SELECT CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
                       AS DOUBLE) FROM ok) AS value
       UNION ALL SELECT 'ok_compliance_fuzz',
-        (SELECT FLOOR((1.0 - SUM(CASE WHEN d > 1 THEN n ELSE 0 END)
-                       * 1.0 / SUM(n)) * 1e6) FROM ok)
+        -- (rows - bad) / rows in THIS order: one division of exact
+        -- integers, matching fd_violations' (rows-bad_rows)/rows --
+        -- 1.0 - bad/rows rounds twice and diverges 1 ulp at sf0.1
+        (SELECT FLOOR((SUM(n) - SUM(CASE WHEN d > 1 THEN n ELSE 0 END))
+                       * 1.0 / SUM(n) * 1e6) FROM ok)
       UNION ALL SELECT 'bad_keys',
         (SELECT CAST(COUNT(*) AS DOUBLE) FROM bad)
       UNION ALL SELECT 'bad_violating_keys',
@@ -5668,8 +5681,8 @@ _FD_ORACLE_SQL = """
         (SELECT CAST(SUM(CASE WHEN d > 1 THEN n ELSE 0 END) AS DOUBLE)
          FROM bad)
       UNION ALL SELECT 'bad_compliance_fuzz',
-        (SELECT FLOOR((1.0 - SUM(CASE WHEN d > 1 THEN n ELSE 0 END)
-                       * 1.0 / SUM(n)) * 1e6) FROM bad)
+        (SELECT FLOOR((SUM(n) - SUM(CASE WHEN d > 1 THEN n ELSE 0 END))
+                       * 1.0 / SUM(n) * 1e6) FROM bad)
     ) ORDER BY metric
 """
 

@@ -800,8 +800,15 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     candidates (a pair is a candidate if ALL ``planes`` bits agree in ANY
     band), exact cosine verifies — precision 1, recall 1−(1−p^r)^b where
     p = 1−θ/π. ``hot_bucket_cap`` star-expands (band, sig) buckets above
-    the cap — O(m) pairs per mega-bucket instead of O(m²), lossless for
-    connected-components dedup. Band shape defaults adapt to the threshold: tight
+    the cap — O(m) pairs per mega-bucket instead of O(m²). Star edges
+    are still exact-verified, so capping is lossless for
+    connected-components dedup ONLY when the hot bucket is a duplicate
+    mega-cluster (mutually near-identical members — the regime the cap
+    exists for); a bucket made hot by an UNDER-PRUNED shape (threshold
+    below ~0.6, shallow planes at 10x the tuned corpus size) gets a
+    truncated pair list, because non-anchor pairs are never emitted.
+    When the full pair list is the contract, auto-tune the shape or
+    lift the cap. Band shape defaults adapt to the threshold: tight
     thresholds get deep bands (strong pruning, recall ≥ 0.999), loose
     thresholds get shallow bands (hyperplane LSH cannot prune much below
     ~0.6 cosine — the candidate set approaches all-pairs by nature).
