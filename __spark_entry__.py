@@ -6067,6 +6067,47 @@ def q_zorder_layout(spark, sf_dir):
     return orders.select("o_orderkey", z.cast("double").alias("z"))
 
 
+def q_bloom_join(spark, sf_dir):
+    """Bloom-filter join pruning (deequ_spark/bloom.py): the exactness
+    contract — bloom_semi_join / bloom_anti_join row sets must be
+    IDENTICAL to the plain left-semi / left-anti joins the oracle runs
+    (Bloom prunes map-side before the exchange; false positives are
+    removed by the exact join, false negatives cannot exist). lineitem
+    vs the URGENT slice of orders; per-returnflag counts + quantity
+    sums, anti-join survivor count, and a certain-miss sanity flag
+    (bloom negatives never exceed true non-members)."""
+    from deequ_spark import bloom_anti_join, bloom_might_contain, \
+        bloom_semi_join, build_bloom
+    li = _load(spark, sf_dir, "lineitem")
+    urgent = _load(spark, sf_dir, "orders") \
+        .where(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_orderkey")
+    semi = bloom_semi_join(li, urgent, "l_orderkey",
+                           small_on="o_orderkey")
+    per_flag = (semi.groupBy("l_returnflag")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("l_quantity").cast("long")).alias("q"))
+                .collect())
+    rows = []
+    for r in per_flag:
+        rows.append((f"bj_semi_{r['l_returnflag']}_n", float(r["n"])))
+        rows.append((f"bj_semi_{r['l_returnflag']}_qty", float(r["q"])))
+    anti_n = bloom_anti_join(li, urgent, "l_orderkey",
+                             small_on="o_orderkey").count()
+    rows.append(("bj_anti_n", float(anti_n)))
+    # sanity: bloom-certain-miss count can never exceed the true
+    # non-member count (no false negatives); emitted as a 0/1 flag the
+    # oracle pins to 1
+    bloom = build_bloom(urgent, "o_orderkey")
+    neg = li.where(~F.coalesce(
+        bloom_might_contain(bloom, F.col("l_orderkey")),
+        F.lit(False))).count()
+    true_miss = anti_n
+    rows.append(("bj_no_false_negatives", float(1 if neg <= true_miss
+                                                else 0)))
+    return _metrics_df(spark, sorted(rows))
+
+
 def q_salted_join(spark, sf_dir):
     """Replicated-salt skew join (deequ_spark/joins.py salted_join):
     orders x customer on custkey with 4 salts — result must be
@@ -7230,7 +7271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r10-green entries fill the window.  tools/check_oracle.py always
     # verifies the FULL registry regardless.
     return {
-        # --- slots 1-14: r11 consolidation composites (never checked) ---
+        # --- r11 new operator (never checked) ---
+        "bloom_join": q_bloom_join,
+        # --- slots 2-15: r11 consolidation composites (never checked) ---
         "scan_basic_ops": q_scan_basic_ops,
         "scan_stats_ops": q_scan_stats_ops,
         "scan_sketch_ops": q_scan_sketch_ops,
@@ -7281,11 +7324,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "webdataset": q_webdataset,
         "zorder_layout": q_zorder_layout,
-        # --- slots 48-50: oldest r10-green ---
+        # --- slots 49-50: oldest r10-green ---
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
-        "paragraph_dedup": q_paragraph_dedup,
         # --- tail: driver-green r10 (next window sweeps these) ---
+        "paragraph_dedup": q_paragraph_dedup,
         "corpus_drift": q_corpus_drift,
         "span_dedup": q_span_dedup,
         "video_frames": q_video_frames,
@@ -8445,6 +8488,24 @@ def oracle_sql() -> dict[str, str]:
         d["ivf_ann"],
         "SELECT 'disk_' || metric AS metric, value FROM (\n"
         f"{d.pop('ivf_index_disk')}\n) AS dk")
+    d["bloom_join"] = """
+        WITH urgent AS (SELECT o_orderkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT'),
+        matched AS (SELECT * FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM urgent))
+        SELECT 'bj_semi_' || l_returnflag || '_n' AS metric,
+               CAST(COUNT(*) AS DOUBLE) AS value FROM matched
+        GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'bj_semi_' || l_returnflag || '_qty',
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) FROM matched
+        GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'bj_anti_n', CAST(COUNT(*) AS DOUBLE) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM urgent)
+        UNION ALL
+        SELECT 'bj_no_false_negatives', CAST(1 AS DOUBLE)
+    """
     # r11 registry consolidation: compose the folded families' oracles
     # from the SAME parts the Spark composites union — part metric
     # names are disjoint within each composite, so attribution survives
