@@ -435,6 +435,24 @@ def b27_pipeline_chain(spark, docs, emb):
     return n
 
 
+def b28_bloom_join(spark, lineitem, orders):
+    """B28: Bloom-pruned semi join — the fact side is filtered by the
+    dim key-set's Bloom bits BEFORE its exchange, so the shuffle
+    carries only probable matches. Measured with auto-broadcast OFF:
+    the operator's regime is a dim too big to broadcast as rows
+    (tools/AB_B28_NOTE.md has the bloom-vs-plain AB)."""
+    from deequ_spark import bloom_semi_join
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return bloom_semi_join(lineitem, urgent, "l_orderkey",
+                               small_on="o_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def main():
     spark = (SparkSession.builder
              .master(f"local[{CPUS}]")
@@ -506,6 +524,7 @@ def main():
         ("b25_fuzzy_join", lambda: b25_fuzzy_join(spark, cust)),
         ("b26_zorder_cluster", lambda: b26_zorder_cluster(spark, orders)),
         ("b27_pipeline_chain", lambda: b27_pipeline_chain(spark, docs, emb)),
+        ("b28_bloom_join", lambda: b28_bloom_join(spark, lineitem, orders)),
     ]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples = {name: [] for name, _ in benches}

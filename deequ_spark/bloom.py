@@ -22,9 +22,18 @@ path, ANSI-safe arithmetic:
   off two ``xxhash64`` seeds — position_i = (h1 + i·h2) mod m computed
   in residue space so no intermediate exceeds 2^40), one
   ``groupBy(word)``/``bit_or`` over at most m/64 rows, collected as a
-  dense ``array<long>`` (m ≤ 2^24 bits → ≤ 2 MB).
-* probe: the bitmap rides the plan as an array literal; membership is
-  k O(1) ``element_at`` + bit tests inside whole-stage codegen.
+  dense bitmap (m ≤ 2^24 bits → ≤ 2 MB raw).
+* probe: SPLIT-BLOCK layout (the design parquet's own bloom filters
+  use): h1 picks the key's single 56-bit block, read ONCE per row with
+  one byte-addressed ``substring``+``hex``+``conv`` off a raw BINARY
+  literal; the k bit tests are integer shifts inside that block —
+  measured ~0.9us/row/core at k=7 (tools/AB_B28_NOTE.md). The
+  representation matters enormously: an ``array<long>`` literal
+  converts element-wise through py4j (seconds to build, a CreateArray
+  with thousands of children in the plan); a StringType literal makes
+  substring count CODE POINTS, walking the bitmap to the offset at
+  ~65us/row; per-position byte reads cost 7 allocation-heavy calls a
+  row. One block read is 24x the string version's throughput.
 
 Both joins return EXACT results: the Bloom filter only prunes.
 ``bloom_semi_join`` verifies bloom-positives with a real left-semi
@@ -51,19 +60,31 @@ from pyspark.sql import functions as F
 # (ANSI mode throws on long overflow): terms are < m ≤ 2^24, i ≤ 64
 _MAX_BITS_DEFAULT = 1 << 23          # 1 MB of plan literal
 _MAX_BITS_HARD = 1 << 24             # 2 MB — beyond this, rethink the dim
-_MAX_HASHES = 16
+_MAX_HASHES = 10
+# 56-bit (7-byte) blocks: the whole block parses as ONE conv() of 14
+# hex chars (a 64-bit block needs two, because conv of 16 hex chars
+# exceeds the signed-long range ANSI mode enforces)
+_BLOCK_BITS = 56
 
 
-def _positions(key: Column, k: int, m: int) -> list[Column]:
-    """k Bloom positions for a key: (h1 + i*h2) mod m, residue space."""
-    h1 = F.pmod(F.xxhash64(key), F.lit(m).cast("long"))
-    # a distinct second stream: mix a constant into the hash input; the
-    # +1 keeps h2 odd-ish and never lets double hashing degenerate to a
-    # single stream (h2 = 0 would probe one position k times)
+def _word_and_bits(key: Column, k: int, n_words: int
+                   ) -> "tuple[Column, list[Column]]":
+    """Split-block addressing: ONE 64-bit word per key (h1 selects it),
+    k bit indices within that word from disjoint 6-bit fields of a
+    second xxhash64 stream — the split-block Bloom design parquet's
+    own bloom filters use (one cache-line-local block per key, so the
+    probe reads ONE word however large k is). All arithmetic stays in
+    [0, 2^60): ANSI mode can never overflow."""
+    w = F.pmod(F.xxhash64(key), F.lit(n_words).cast("long"))
     h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)),
-                F.lit(m - 1).cast("long")) + F.lit(1)
-    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m).cast("long"))
+                F.lit(1 << 60).cast("long"))
+    # each bit index: a 6-bit hash field scaled into [0, 56) by
+    # multiply-shift (a plain mod-56 would double-weight bits 0-7)
+    bits = [F.shiftright(
+                F.pmod(F.shiftright(h2, 6 * i), F.lit(64)) * _BLOCK_BITS,
+                6).cast("int")
             for i in range(k)]
+    return w, bits
 
 
 def bloom_shape(expected_items: int, fpp: float = 0.01,
@@ -78,10 +99,16 @@ def bloom_shape(expected_items: int, fpp: float = 0.01,
     n = max(int(expected_items), 1)
     p = min(max(fpp, 1e-9), 0.5)
     m = int(math.ceil(-n * math.log(p) / (math.log(2) ** 2)))
-    m = max(64, ((m + 63) // 64) * 64)
+    # +30% for the split-block penalty: confining a key's k bits to one
+    # 64-bit word crowds them, costing roughly a third more bits for
+    # the same rate (Putze/Sanders/Singler 2007; parquet sizes its SBBF
+    # the same way)
+    m = int(math.ceil(m * 1.3))
+    m = max(_BLOCK_BITS,
+            ((m + _BLOCK_BITS - 1) // _BLOCK_BITS) * _BLOCK_BITS)
     if m > max_bits:
-        m = max_bits
-    k = max(1, min(_MAX_HASHES, round(m / n * math.log(2))))
+        m = (max_bits // _BLOCK_BITS) * _BLOCK_BITS
+    k = max(1, min(_MAX_HASHES, round(m / 1.3 / n * math.log(2))))
     return m, k
 
 
@@ -92,30 +119,35 @@ def build_bloom(df: DataFrame, key_col: str,
     """Build a Bloom filter over a key column, DISTRIBUTED: the corpus
     never funnels through the driver — k positions per row explode
     map-side, ONE ``groupBy(word)``/``bit_or`` shuffle of at most m/64
-    rows builds the words, and only the ≤ m/64 (word, bits) rows are
-    collected and densified. Returns ``{"bits": list[int], "m": int,
-    "k": int, "n": int}`` — a plain dict so it pickles into closures
-    and serializes into repositories."""
+    rows builds the words, and only the ≤ m/56 (block, bits) rows are
+    collected and densified. Returns ``{"bits": list[int], "raw":
+    bytes, "m": int, "k": int, "n": int}`` — a plain dict so it pickles
+    into closures and serializes into repositories. Pass
+    ``expected_items`` to skip the sizing count job."""
     if expected_items is None:
         expected_items = df.where(F.col(key_col).isNotNull()).count()
     m, k = bloom_shape(expected_items, fpp, max_bits)
-    pos = _positions(F.col(key_col), k, m)
+    n_words = m // _BLOCK_BITS
+    w, bits = _word_and_bits(F.col(key_col), k, n_words)
     words = (df.where(F.col(key_col).isNotNull())
-             .select(F.explode(F.array(*pos)).alias("p"))
-             .select((F.col("p") / 64).cast("long").alias("w"),
-                     # pyspark's shiftleft() insists on a Python-int
-                     # shift; call_function reaches the SQL overload
-                     # that shifts by a column
-                     F.call_function(
-                         "shiftleft", F.lit(1).cast("long"),
-                         F.pmod(F.col("p"), F.lit(64)).cast("int"))
-                     .alias("b"))
-             .groupBy("w").agg(F.bit_or("b").alias("bits"))
+             .select(w.alias("w"),
+                     F.explode(F.array(*bits)).alias("b"))
+             # pyspark's shiftleft() insists on a Python-int shift;
+             # call_function reaches the SQL overload that shifts by a
+             # column
+             .select("w", F.call_function(
+                 "shiftleft", F.lit(1).cast("long"), F.col("b"))
+                 .alias("mask"))
+             .groupBy("w").agg(F.bit_or("mask").alias("bits"))
              .collect())
-    dense = [0] * (m // 64)
+    dense = [0] * n_words
     for r in words:
         dense[int(r["w"])] = int(r["bits"])
-    return {"bits": dense, "m": m, "k": k, "n": int(expected_items)}
+    # raw big-endian 7-byte blocks: block w occupies raw[7w:7w+7]; the
+    # probe reads it with ONE byte-addressed substring + conv
+    raw = b"".join(x.to_bytes(7, "big") for x in dense)
+    return {"bits": dense, "raw": raw,
+            "m": m, "k": k, "n": int(expected_items)}
 
 
 def bloom_might_contain(bloom: dict, key: Column) -> Column:
@@ -123,13 +155,23 @@ def bloom_might_contain(bloom: dict, key: Column) -> Column:
     positions is set. No false negatives; false positives at the
     built fpp. NULL keys probe NULL (three-valued, like SQL IN)."""
     m, k = bloom["m"], bloom["k"]
-    lit_bits = F.lit(bloom["bits"]).cast("array<long>")
+    # BINARY literal, not string or array: one py4j transfer, one plan
+    # node, and substring on BinaryType is BYTE-addressed O(1) — on a
+    # StringType literal it counts code points, i.e. WALKS the bitmap
+    # to the offset (measured ~65us/row on a 72KB bitmap); an
+    # array<long> literal converts element-wise through py4j (seconds)
+    # and plans as a CreateArray with thousands of children
+    lit_raw = F.lit(bloom["raw"])
+    w, bits = _word_and_bits(key, k, m // _BLOCK_BITS)
+    # the key's single 56-bit block, read ONCE per row: 7 bytes -> 14
+    # hex chars -> one conv(), always < 2^56 so ANSI long math is safe
+    word_val = F.conv(
+        F.hex(F.substring(lit_raw, (w * 7).cast("int") + F.lit(1), 7)),
+        16, 10).cast("long")
     checks = []
-    for p in _positions(key, k, m):
-        word = F.element_at(lit_bits, ((p / 64).cast("int") + F.lit(1)))
-        bit = F.call_function("shiftleft", F.lit(1).cast("long"),
-                              F.pmod(p, F.lit(64)).cast("int"))
-        checks.append(word.bitwiseAND(bit) != 0)
+    for b in bits:
+        checks.append(F.call_function(
+            "shiftright", word_val, b).bitwiseAND(F.lit(1)) == 1)
     out = checks[0]
     for c in checks[1:]:
         out = out & c

@@ -81,9 +81,10 @@ class TestFilterProperties:
 
     def test_shape_math(self):
         m, k = bloom_shape(1000, 0.01)
-        assert m % 64 == 0 and 9000 < m < 10100 and 5 <= k <= 9
+        # classic m (~9600) +30% split-block penalty, whole 56-bit blocks
+        assert m % 56 == 0 and 12000 < m < 13200 and 5 <= k <= 9
         m_cap, _ = bloom_shape(10**9, 0.01, max_bits=1 << 20)
-        assert m_cap == 1 << 20          # capped, fpp degrades loudly
+        assert m_cap == ((1 << 20) // 56) * 56   # capped, fpp degrades
         with pytest.raises(ValueError):
             bloom_shape(10, max_bits=1 << 30)
 
@@ -111,5 +112,5 @@ class TestPlanShape:
             ._jdf.queryExecution().executedPlan().toString()
         plan = plan.split("== Initial Plan ==")[0]
         assert "might_contain" not in plan      # no JVM bloom node: ours
-        first_filter = plan.find("shiftleft")
-        assert first_filter != -1, "bloom probe expression not in plan"
+        assert "conv(hex(substring(" in plan.replace(" ", ""), \
+            "split-block probe expression not in plan"
