@@ -6108,6 +6108,57 @@ def q_bloom_join(spark, sf_dir):
     return _metrics_df(spark, sorted(rows))
 
 
+def q_bloom_skipping(spark, sf_dir):
+    """Manifest Bloom skipping (sources.py add_bloom_to_manifest /
+    read_corpus prune_eq + the xxh64.py driver-probe replica): orders
+    hash-scattered into 12 files by o_orderkey so every file's
+    [min, max] of o_custkey spans ~everything (zone maps provably
+    useless — pinned by the bs_minmax_useless flag); per-file Bloom
+    bits then prune point lookups driver-side. Three fixed custkeys
+    read through the pruned path must aggregate EXACTLY what the
+    oracle's plain WHERE computes (bloom false positives only add
+    files, the residual filter keeps results exact); a fourth metric
+    pins that the bloom pruned at least one file where min/max pruned
+    none."""
+    import shutil
+    import tempfile
+
+    from deequ_spark.sources import (add_bloom_to_manifest,
+                                     file_misses_key, file_misses_range,
+                                     read_corpus, write_manifest)
+    orders = _load(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="deequ_bloomskip_")
+    try:
+        orders.repartition(12, "o_orderkey").write             .mode("overwrite").parquet(f"{d}/c")
+        write_manifest(spark, f"{d}/c", ["o_custkey"])
+        add_bloom_to_manifest(spark, f"{d}/c", "o_custkey")
+        man = spark.read.parquet(f"{d}/c/_manifest").collect()
+        pairs = []
+        keys = [7, 451, 1202]
+        for key in keys:
+            got = read_corpus(spark, f"{d}/c",
+                              prune_eq={"o_custkey": key})
+            row = got.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.floor(F.col("o_totalprice") * 100
+                                         + 0.5).cast("long")),
+                           F.lit(0)).alias("cents")).collect()[0]
+            pairs += [(f"bs_k{key}_rows", float(row["n"])),
+                      (f"bs_k{key}_cents", float(row["cents"]))]
+        range_pruned = sum(file_misses_range(r, "o_custkey",
+                                             keys[0], keys[0])
+                           for r in man)
+        bloom_pruned = sum(file_misses_key(r, "o_custkey", keys[0])
+                           for r in man)
+        pairs.append(("bs_minmax_useless",
+                      float(1 if range_pruned == 0 else 0)))
+        pairs.append(("bs_bloom_prunes",
+                      float(1 if bloom_pruned > 0 else 0)))
+        return _metrics_df(spark, sorted(pairs))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_salted_join(spark, sf_dir):
     """Replicated-salt skew join (deequ_spark/joins.py salted_join):
     orders x customer on custkey with 4 salts — result must be
@@ -7271,8 +7322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r10-green entries fill the window.  tools/check_oracle.py always
     # verifies the FULL registry regardless.
     return {
-        # --- r11 new operator (never checked) ---
+        # --- r11 new operators (never checked) ---
         "bloom_join": q_bloom_join,
+        "bloom_skipping": q_bloom_skipping,
         # --- slots 2-15: r11 consolidation composites (never checked) ---
         "scan_basic_ops": q_scan_basic_ops,
         "scan_stats_ops": q_scan_stats_ops,
@@ -7324,10 +7376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "webdataset": q_webdataset,
         "zorder_layout": q_zorder_layout,
-        # --- slots 49-50: oldest r10-green ---
+        # --- slot 50: oldest r10-green ---
         "bm25_search": q_bm25_search,
-        "semantic_dedup": q_semantic_dedup,
         # --- tail: driver-green r10 (next window sweeps these) ---
+        "semantic_dedup": q_semantic_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "corpus_drift": q_corpus_drift,
         "span_dedup": q_span_dedup,
@@ -8505,6 +8557,22 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM urgent)
         UNION ALL
         SELECT 'bj_no_false_negatives', CAST(1 AS DOUBLE)
+    """
+    d["bloom_skipping"] = """
+        SELECT metric, value FROM (
+          SELECT 'bs_k' || k || '_rows' AS metric,
+                 CAST(COUNT(o_orderkey) AS DOUBLE) AS value
+          FROM (VALUES (7), (451), (1202)) keys(k)
+          LEFT JOIN orders ON o_custkey = k GROUP BY k
+          UNION ALL
+          SELECT 'bs_k' || k || '_cents',
+                 CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                        AS BIGINT)), 0) AS DOUBLE)
+          FROM (VALUES (7), (451), (1202)) keys(k)
+          LEFT JOIN orders ON o_custkey = k GROUP BY k
+          UNION ALL SELECT 'bs_minmax_useless', CAST(1 AS DOUBLE)
+          UNION ALL SELECT 'bs_bloom_prunes', CAST(1 AS DOUBLE)
+        ) ORDER BY metric
     """
     # r11 registry consolidation: compose the folded families' oracles
     # from the SAME parts the Spark composites union — part metric

@@ -67,15 +67,19 @@ _MAX_HASHES = 10
 _BLOCK_BITS = 56
 
 
-def _word_and_bits(key: Column, k: int, n_words: int
+def _word_and_bits(key: Column, k: int, n_words
                    ) -> "tuple[Column, list[Column]]":
-    """Split-block addressing: ONE 64-bit word per key (h1 selects it),
-    k bit indices within that word from disjoint 6-bit fields of a
+    """Split-block addressing: ONE 56-bit block per key (h1 selects it),
+    k bit indices within that block from disjoint 6-bit fields of a
     second xxhash64 stream — the split-block Bloom design parquet's
     own bloom filters use (one cache-line-local block per key, so the
-    probe reads ONE word however large k is). All arithmetic stays in
-    [0, 2^60): ANSI mode can never overflow."""
-    w = F.pmod(F.xxhash64(key), F.lit(n_words).cast("long"))
+    probe reads ONE word however large k is). ``n_words`` may be a
+    Column for per-row-sized bitmaps (the manifest path, where every
+    file's bloom is sized to its own row count). All arithmetic stays
+    in [0, 2^60): ANSI mode can never overflow."""
+    if not isinstance(n_words, Column):
+        n_words = F.lit(int(n_words)).cast("long")
+    w = F.pmod(F.xxhash64(key), n_words)
     h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)),
                 F.lit(1 << 60).cast("long"))
     # each bit index: a 6-bit hash field scaled into [0, 56) by
@@ -176,6 +180,31 @@ def bloom_might_contain(bloom: dict, key: Column) -> Column:
     for c in checks[1:]:
         out = out & c
     return F.when(key.isNull(), F.lit(None).cast("boolean")).otherwise(out)
+
+
+def bloom_contains_py(bloom: dict, value) -> bool:
+    """DRIVER-side membership probe: the same split-block math as
+    :func:`bloom_might_contain`, computed in plain Python via the
+    bit-for-bit xxhash64 replica (:mod:`deequ_spark.xxh64`). This is
+    what makes Bloom bits useful as MANIFEST metadata — the reader
+    prunes files per key without launching a job (sources.py
+    ``file_misses_key``). NULL follows SQL: returns None. No false
+    negatives: ``False`` is a certain miss."""
+    from .xxh64 import spark_xxhash64
+    if value is None:
+        return None
+    raw, k = bloom["raw"], bloom["k"]
+    n_words = len(raw) // 7
+    if n_words == 0:
+        return False
+    w = spark_xxhash64(value) % n_words
+    h2 = spark_xxhash64(value, 0x9E3779B9) % (1 << 60)
+    word = int.from_bytes(raw[w * 7:w * 7 + 7], "big")
+    for i in range(k):
+        b = (((h2 >> (6 * i)) % 64) * _BLOCK_BITS) >> 6
+        if not (word >> b) & 1:
+            return False
+    return True
 
 
 def bloom_semi_join(big: DataFrame, small: DataFrame, on: str,

@@ -155,6 +155,95 @@ def update_manifest(spark: SparkSession, path: str, cols) -> dict:
             "removed": removed}
 
 
+def add_bloom_to_manifest(spark: SparkSession, path: str, col: str,
+                          fpp: float = 0.01,
+                          max_bits: int = 1 << 20) -> dict:
+    """Attach a PER-FILE split-block Bloom filter of ``col`` to the
+    manifest: columns ``bloom_{col}`` (raw bitmap bytes) and
+    ``bloom_{col}_k``. This is the point-lookup companion of the
+    min/max stats — zone maps prune ranges, but on a high-cardinality
+    key whose values hash-scatter across files the [min, max] of every
+    file spans everything and prunes nothing; the Bloom bits answer
+    "could THIS key be in THIS file" instead. A Bloom "no" is certain,
+    so :func:`read_corpus` ``prune_eq`` drops bloom-negative files with
+    zero row loss; false positives only cost an extra file read.
+
+    Build is one distributed pass: every row emits k (file, block,
+    mask) triples, one groupBy(file, block)/bit_or shuffle of
+    O(files x blocks-per-file) rows, assembled driver-side into the
+    O(files) manifest. Each file's bitmap is sized to ITS row count
+    (via the manifest, so run write_manifest/update_manifest first);
+    ``max_bits`` caps huge files (fpp degrades loudly there — the
+    right fix is clustering the layout so files hold narrow key sets,
+    cf. layout.cluster_by_zorder, which also makes these bitmaps
+    sparse and selective). Returns ``{"files": n, "bytes": total}``.
+    """
+    from .bloom import _BLOCK_BITS, _word_and_bits, bloom_shape
+
+    manifest_df = spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+    manifest = manifest_df.collect()
+    shapes = {r["file"]: bloom_shape(max(int(r["n_rows"]), 1), fpp,
+                                     max_bits)
+              for r in manifest}
+    if not shapes:
+        return {"files": 0, "bytes": 0}
+    # k is fpp-derived and constant across files (m scales with n, so
+    # m/n is constant except under the cap, where we keep the same k
+    # and let fpp degrade); n_words varies per file
+    k = max(shapes[f][1] for f in shapes)
+    sizes = spark.createDataFrame(
+        [(f, m // _BLOCK_BITS) for f, (m, _) in shapes.items()],
+        "file string, n_words long")
+    data = (spark.read.parquet(path)
+            .select(F.input_file_name().alias("file"), F.col(col))
+            .where(F.col(col).isNotNull())
+            .join(F.broadcast(sizes), "file"))
+    w, bits = _word_and_bits(F.col(col), k, F.col("n_words"))
+    words = (data.select("file", w.alias("w"),
+                         F.explode(F.array(*bits)).alias("b"))
+             .select("file", "w",
+                     F.call_function("shiftleft",
+                                     F.lit(1).cast("long"), F.col("b"))
+                     .alias("mask"))
+             .groupBy("file", "w").agg(F.bit_or("mask").alias("bits"))
+             .collect())
+    per_file: dict = {f: [0] * (m // _BLOCK_BITS)
+                      for f, (m, _) in shapes.items()}
+    for r in words:
+        per_file[r["file"]][int(r["w"])] = int(r["bits"])
+    blobs = {f: b"".join(x.to_bytes(7, "big") for x in blocks)
+             for f, blocks in per_file.items()}
+    schema = (manifest_df.schema
+              .add(f"bloom_{col}", "binary")
+              .add(f"bloom_{col}_k", "integer"))
+    rows = [tuple(r) + (bytearray(blobs[r["file"]]), k) for r in manifest]
+    spark.createDataFrame(rows, schema).coalesce(1)         .write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
+    return {"files": len(manifest),
+            "bytes": sum(len(b) for b in blobs.values())}
+
+
+def file_misses_key(manifest_row, col: str, value) -> bool:
+    """True when a manifest row PROVABLY cannot contain ``value`` in
+    ``col`` — by min/max range, or by a Bloom-negative probe when
+    :func:`add_bloom_to_manifest` bits are present (driver-side Python
+    probe, bit-identical to the executor-built bitmap via the xxhash64
+    replica; no job launched). The pruning predicate of ``prune_eq``."""
+    if value is None:
+        return False
+    if file_misses_range(manifest_row, col, value, value):
+        return True
+    try:
+        raw = manifest_row[f"bloom_{col}"]
+        k = manifest_row[f"bloom_{col}_k"]
+    except ValueError:                  # no bloom columns in manifest
+        return False
+    if raw is None or k is None:
+        return False
+    from .bloom import bloom_contains_py
+    return bloom_contains_py({"raw": bytes(raw), "k": int(k)},
+                             value) is False
+
+
 def file_misses_range(manifest_row, col: str, lo, hi) -> bool:
     """True when a manifest row's ``[min_col, max_col]`` provably misses
     the requested ``[lo, hi]`` range — THE pruning predicate, shared by
@@ -170,7 +259,8 @@ def file_misses_range(manifest_row, col: str, lo, hi) -> bool:
 
 
 def read_corpus(spark: SparkSession, path: str,
-                prune: dict | None = None) -> DataFrame:
+                prune: dict | None = None,
+                prune_eq: dict | None = None) -> DataFrame:
     """Read a corpus written by :func:`write_corpus`, pruning data FILES
     through the manifest. ``prune`` maps column → ``(lo, hi)`` (either
     bound may be None): a file is read only if its [min, max] intersects
@@ -181,9 +271,17 @@ def read_corpus(spark: SparkSession, path: str,
     filters (they are read-side columns here); the manifest adds the
     per-file dimension partitioning can't give (e.g. a timestamp range
     inside every partition). Without ``prune`` (or without a manifest)
-    this is a plain parquet read."""
-    if not prune:
+    this is a plain parquet read.
+
+    ``prune_eq`` maps column → exact value (point lookups): files are
+    dropped via :func:`file_misses_key` — min/max range first, then the
+    per-file Bloom bits when :func:`add_bloom_to_manifest` has run —
+    and the exact equality filter is applied on top, so results stay
+    exact whatever the Bloom false-positive rate."""
+    if not prune and not prune_eq:
         return spark.read.parquet(path)
+    prune = prune or {}
+    prune_eq = prune_eq or {}
     try:
         manifest = spark.read.parquet(f"{path}/{MANIFEST_DIR}").collect()
     except Exception:  # noqa: BLE001 — no manifest written
@@ -192,8 +290,10 @@ def read_corpus(spark: SparkSession, path: str,
     if manifest is not None:
         keep = []
         for row in manifest:
-            ok = not any(file_misses_range(row, c, lo, hi)
-                         for c, (lo, hi) in prune.items())
+            ok = (not any(file_misses_range(row, c, lo, hi)
+                          for c, (lo, hi) in prune.items())
+                  and not any(file_misses_key(row, c, v)
+                              for c, v in prune_eq.items()))
             if ok:
                 keep.append(row["file"])
         # files the manifest does not know about (appended AFTER it was
@@ -215,6 +315,8 @@ def read_corpus(spark: SparkSession, path: str,
             df = df.where(F.col(c) >= F.lit(lo))
         if hi is not None:
             df = df.where(F.col(c) <= F.lit(hi))
+    for c, v in prune_eq.items():
+        df = df.where(F.col(c) == F.lit(v))
     return df
 
 

@@ -185,6 +185,12 @@ def build_plans(spark):
     plans["b26_zorder_cluster"] = cluster_by_zorder(
         orders, ["o_custkey", "o_totalprice"], bits=16, num_partitions=32)
 
+    from deequ_spark import bloom_semi_join
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_orderkey")
+    plans["b28_bloom_join"] = bloom_semi_join(
+        lineitem, urgent, "l_orderkey", small_on="o_orderkey")
+
     out, _ = prepare_training_corpus(
         docs, "doc_id", "text", min_words=20, boilerplate_min_docs=2,
         near_dup_threshold=0.5, unicode_normalize=True,
