@@ -6108,6 +6108,50 @@ def q_bloom_join(spark, sf_dir):
     return _metrics_df(spark, sorted(rows))
 
 
+def q_compaction(spark, sf_dir):
+    """Small-file compaction (sources.py compact_corpus): orders
+    scattered into 40 tiny files, bin-packed and rewritten — the
+    compacted corpus must aggregate EXACTLY what the oracle computes
+    on the original table (count, per-row integer cents, key sum), the
+    file count must drop (flag), the refreshed manifest must still
+    range-prune exactly, and a second pass must be a no-op (flag:
+    idempotence — compaction work is proportional to the small-file
+    tail, which the first pass removed)."""
+    import shutil
+    import tempfile
+
+    from deequ_spark.sources import (compact_corpus, read_corpus,
+                                     write_manifest)
+    orders = _load(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="deequ_compact_")
+    try:
+        orders.repartition(40).write.mode("overwrite").parquet(f"{d}/c")
+        write_manifest(spark, f"{d}/c", ["o_custkey"])
+        res = compact_corpus(spark, f"{d}/c", target_bytes=64 * 1024 * 1024)
+        after = spark.read.parquet(f"{d}/c")
+        row = after.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                  .cast("long")).alias("cents"),
+            F.sum("o_orderkey").alias("keys")).collect()[0]
+        pruned = read_corpus(spark, f"{d}/c",
+                             prune={"o_custkey": (100, 300)}).count()
+        res2 = compact_corpus(spark, f"{d}/c",
+                              target_bytes=64 * 1024 * 1024)
+        pairs = [
+            ("cp_rows", float(row["n"])),
+            ("cp_cents", float(row["cents"])),
+            ("cp_keys", float(row["keys"])),
+            ("cp_pruned_rows", float(pruned)),
+            ("cp_files_reduced",
+             float(1 if res["files_after"] < res["files_before"] else 0)),
+            ("cp_idempotent", float(1 if res2["bins"] == 0 else 0)),
+        ]
+        return _metrics_df(spark, sorted(pairs))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_bloom_skipping(spark, sf_dir):
     """Manifest Bloom skipping (sources.py add_bloom_to_manifest /
     read_corpus prune_eq + the xxh64.py driver-probe replica): orders
@@ -7325,6 +7369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r11 new operators (never checked) ---
         "bloom_join": q_bloom_join,
         "bloom_skipping": q_bloom_skipping,
+        "compaction": q_compaction,
         # --- slots 2-15: r11 consolidation composites (never checked) ---
         "scan_basic_ops": q_scan_basic_ops,
         "scan_stats_ops": q_scan_stats_ops,
@@ -7376,9 +7421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "webdataset": q_webdataset,
         "zorder_layout": q_zorder_layout,
-        # --- slot 50: oldest r10-green ---
-        "bm25_search": q_bm25_search,
         # --- tail: driver-green r10 (next window sweeps these) ---
+        "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "corpus_drift": q_corpus_drift,
@@ -8572,6 +8616,22 @@ def oracle_sql() -> dict[str, str]:
           LEFT JOIN orders ON o_custkey = k GROUP BY k
           UNION ALL SELECT 'bs_minmax_useless', CAST(1 AS DOUBLE)
           UNION ALL SELECT 'bs_bloom_prunes', CAST(1 AS DOUBLE)
+        ) ORDER BY metric
+    """
+    d["compaction"] = """
+        SELECT metric, value FROM (
+          SELECT 'cp_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+          FROM orders
+          UNION ALL SELECT 'cp_cents',
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS DOUBLE) FROM orders
+          UNION ALL SELECT 'cp_keys',
+            CAST(SUM(o_orderkey) AS DOUBLE) FROM orders
+          UNION ALL SELECT 'cp_pruned_rows',
+            CAST(SUM(CASE WHEN o_custkey BETWEEN 100 AND 300
+                     THEN 1 ELSE 0 END) AS DOUBLE) FROM orders
+          UNION ALL SELECT 'cp_files_reduced', CAST(1 AS DOUBLE)
+          UNION ALL SELECT 'cp_idempotent', CAST(1 AS DOUBLE)
         ) ORDER BY metric
     """
     # r11 registry consolidation: compose the folded families' oracles

@@ -155,6 +155,118 @@ def update_manifest(spark: SparkSession, path: str, cols) -> dict:
             "removed": removed}
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any scheme via the JVM Hadoop API."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def compact_corpus(spark: SparkSession, path: str,
+                   target_bytes: int = 128 * 1024 * 1024,
+                   small_ratio: float = 0.5,
+                   manifest_cols=None) -> dict:
+    """Compact the SMALL-FILE tail of a parquet corpus: bin-pack every
+    data file under ``small_ratio x target_bytes`` into
+    ~``target_bytes`` outputs (first-fit decreasing) and rewrite each
+    bin as one file; right-sized files are never touched or re-read.
+
+    The 100 TB problem: every streaming micro-batch, incremental
+    append, and skewed task leaves sub-megabyte files behind, and a
+    year of appends turns every scan into millions of opens — the
+    classic small-file death. Compaction here is proportional to the
+    TAIL, not the corpus: one job per bin reading only that bin's
+    files, written to a temp dir and MOVED in (write-new then
+    delete-old, so a crash can duplicate a bin's rows for a reader in
+    the window but never lose them — this is an offline maintenance
+    pass, like layout.cluster_by_zorder; run it when no writer is
+    live). The manifest is refreshed incrementally afterwards
+    (:func:`update_manifest` — only the new bins are scanned) when
+    ``manifest_cols`` is given or a manifest exists.
+
+    Returns ``{"files_before", "files_after", "bins",
+    "bytes_compacted"}``."""
+    fs, root = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+
+    def walk(jdir):
+        """(dir, [(file, size)]) per directory — bins never cross a
+        directory boundary, so hive partition dirs compact within
+        themselves and partition values stay directory-encoded."""
+        out, here = [], []
+        for st in fs.listStatus(jdir):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue            # _manifest, _compact_tmp, markers
+            if st.isDirectory():
+                out += walk(st.getPath())
+            elif st.isFile() and name.endswith(".parquet"):
+                here.append((str(st.getPath().toString()), st.getLen()))
+        if here:
+            out.append((str(jdir.toString()), here))
+        return out
+
+    by_dir = walk(root)
+    files = [f for _, fl in by_dir for f in fl]
+    bins, sizes, bin_dirs = [], [], []
+    for dirname, fl in by_dir:
+        small = sorted((f for f in fl
+                        if f[1] < target_bytes * small_ratio),
+                       key=lambda x: -x[1])
+        start = len(bins)
+        for f, sz in small:                  # first-fit decreasing
+            for i in range(start, len(bins)):
+                if sizes[i] + sz <= target_bytes:
+                    bins[i].append(f)
+                    sizes[i] += sz
+                    break
+            else:
+                bins.append([f])
+                sizes.append(sz)
+                bin_dirs.append(dirname)
+    keep = [i for i, b in enumerate(bins) if len(b) > 1]
+    bins = [bins[i] for i in keep]           # singletons gain nothing
+    bin_dirs = [bin_dirs[i] for i in keep]
+    if not bins:
+        return {"files_before": len(files), "files_after": len(files),
+                "bins": 0, "bytes_compacted": 0}
+    tmp = f"{path}/_compact_tmp"
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    moved_bytes = 0
+    for i, (bin_files, dirname) in enumerate(zip(bins, bin_dirs)):
+        # read the raw files (NO basePath: hive partition values must
+        # stay directory-encoded, never baked into the rewritten file)
+        (spark.read.parquet(*bin_files)
+         .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/bin{i}"))
+        # move the one data file in, THEN drop the originals
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(
+                f"{tmp}/bin{i}")):
+            nm = st.getPath().getName()
+            if st.isFile() and nm.endswith(".parquet"):
+                fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(
+                    f"{dirname}/compacted-{i:05d}-{nm}"))
+        for f in bin_files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+            moved_bytes += dict(files)[f]
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    n_after = len(files) - sum(len(b) for b in bins) + len(bins)
+    # refresh the manifest incrementally: old rows drop as ghosts, only
+    # the new bin files are scanned
+    cols = manifest_cols
+    if cols is None:
+        try:
+            man = spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+            cols = [f.name[4:] for f in man.schema.fields
+                    if f.name.startswith("min_")]
+        except Exception:  # noqa: BLE001 — no manifest: nothing to do
+            cols = None
+    if cols:
+        update_manifest(spark, path, cols)
+    return {"files_before": len(files), "files_after": n_after,
+            "bins": len(bins), "bytes_compacted": moved_bytes}
+
+
 def add_bloom_to_manifest(spark: SparkSession, path: str, col: str,
                           fpp: float = 0.01,
                           max_bits: int = 1 << 20) -> dict:
