@@ -6051,20 +6051,26 @@ def q_heavy_hitters(spark, sf_dir):
     return hl.unionAll(he)
 
 
-def q_zorder_layout(spark, sf_dir):
-    """Morton z-key over (o_custkey, o_totalprice) — the clustering key
-    behind deequ_spark/layout.py cluster_by_zorder. Pure shift/AND/OR
-    codegen from exact column bounds; the oracle replays the identical
-    double-normalization + bit-interleave in SQL, so every one of the
-    15k keys is value-checked."""
-    from deequ_spark.layout import zorder_key
+def q_layout_ops(spark, sf_dir):
+    """Composite: BOTH space-filling-curve clustering keys (layout.py
+    zorder_key + hilbert_key, bits=8) over (o_custkey, o_totalprice) —
+    one row per (order, curve) so all 2x15k key values are checked;
+    the oracle replays the Morton interleave closed-form and the
+    Hilbert xy2d walk via a recursive CTE."""
+    from deequ_spark.layout import hilbert_key, zorder_key
     orders = _load(spark, sf_dir, "orders")
     row = orders.agg(F.min("o_custkey"), F.max("o_custkey"),
                      F.min("o_totalprice"), F.max("o_totalprice")) \
                 .collect()[0]
-    z = zorder_key(["o_custkey", "o_totalprice"],
-                   [row[0], row[2]], [row[1], row[3]], bits=8)
-    return orders.select("o_orderkey", z.cast("double").alias("z"))
+    args = (["o_custkey", "o_totalprice"],
+            [row[0], row[2]], [row[1], row[3]])
+    z = orders.select("o_orderkey", F.lit("z").alias("curve"),
+                      zorder_key(*args, bits=8).cast("double")
+                      .alias("key"))
+    h = orders.select("o_orderkey", F.lit("h").alias("curve"),
+                      hilbert_key(*args, bits=8).cast("double")
+                      .alias("key"))
+    return z.unionByName(h)
 
 
 def q_bloom_join(spark, sf_dir):
@@ -7370,6 +7376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "bloom_skipping": q_bloom_skipping,
         "compaction": q_compaction,
+        "layout_ops": q_layout_ops,
         # --- slots 2-15: r11 consolidation composites (never checked) ---
         "scan_basic_ops": q_scan_basic_ops,
         "scan_stats_ops": q_scan_stats_ops,
@@ -7420,7 +7427,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard": q_token_jaccard,
         "warc_ingest": q_warc_ingest,
         "webdataset": q_webdataset,
-        "zorder_layout": q_zorder_layout,
         # --- tail: driver-green r10 (next window sweeps these) ---
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -8634,6 +8640,52 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 'cp_idempotent', CAST(1 AS DOUBLE)
         ) ORDER BY metric
     """
+    _HILBERT_SQL = """
+        WITH RECURSIVE bnds AS (SELECT
+            MIN(CAST(o_custkey AS DOUBLE)) AS mnx,
+            MAX(CAST(o_custkey AS DOUBLE)) AS mxx,
+            MIN(CAST(o_totalprice AS DOUBLE)) AS mny,
+            MAX(CAST(o_totalprice AS DOUBLE)) AS mxy
+            FROM orders),
+        grid AS (SELECT o_orderkey,
+            LEAST(GREATEST(CAST(FLOOR((CAST(o_custkey AS DOUBLE) - mnx)
+                / (mxx - mnx) * 255.0) AS BIGINT), 0), 255) AS x,
+            LEAST(GREATEST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mny)
+                / (mxy - mny) * 255.0) AS BIGINT), 0), 255) AS y
+            FROM orders, bnds),
+        walk AS (
+            SELECT o_orderkey, x, y, CAST(0 AS BIGINT) AS d, 7 AS lvl
+            FROM grid
+            UNION ALL
+            SELECT o_orderkey,
+                   CASE WHEN ry = 0 THEN yf ELSE xf END,
+                   CASE WHEN ry = 0 THEN xf ELSE yf END,
+                   d + s * s * xor(3 * rx, ry),
+                   lvl - 1
+            FROM (
+                SELECT o_orderkey, d, lvl, s, rx, ry,
+                       CASE WHEN ry = 0 AND rx = 1
+                            THEN 255 - x ELSE x END AS xf,
+                       CASE WHEN ry = 0 AND rx = 1
+                            THEN 255 - y ELSE y END AS yf
+                FROM (
+                    SELECT o_orderkey, x, y, d, lvl,
+                           (CAST(1 AS BIGINT) << lvl) AS s,
+                           CASE WHEN (x & (CAST(1 AS BIGINT) << lvl)) > 0
+                                THEN 1 ELSE 0 END AS rx,
+                           CASE WHEN (y & (CAST(1 AS BIGINT) << lvl)) > 0
+                                THEN 1 ELSE 0 END AS ry
+                    FROM walk WHERE lvl >= 0
+                ) raw
+            ) rot
+        )
+        SELECT o_orderkey, 'h' AS curve, CAST(d AS DOUBLE) AS key
+        FROM walk WHERE lvl = -1
+    """
+    d["layout_ops"] = _union_oracles(
+        "SELECT o_orderkey, 'z' AS curve, z AS key FROM (\n"
+        + d.pop("zorder_layout") + "\n) AS zz",
+        _HILBERT_SQL)
     # r11 registry consolidation: compose the folded families' oracles
     # from the SAME parts the Spark composites union — part metric
     # names are disjoint within each composite, so attribution survives

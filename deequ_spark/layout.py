@@ -69,6 +69,89 @@ def zorder_key(cols: Sequence[str], mins: Sequence, maxs: Sequence,
     return z
 
 
+def hilbert_key(cols: Sequence[str], mins: Sequence, maxs: Sequence,
+                bits: int = 16) -> Column:
+    """2D Hilbert index Column over two normalized bucket columns — the
+    locality-preserving alternative to :func:`zorder_key`: the Hilbert
+    curve never takes the Z-curve's long diagonal jumps, so consecutive
+    key ranges map to CONTIGUOUS plane regions and a range read touches
+    fewer files for the same predicate (measurably tighter per-file
+    boxes; see tests/test_layout.py's locality comparison).
+
+    The classic xy2d walk (one reflect/swap per level, d accumulating
+    s² per quadrant) runs as ONE ``aggregate`` fold over the bit
+    levels — the state struct is evaluated once per level, so the
+    expression tree stays LINEAR in ``bits`` (unrolling the loop would
+    double the tree per level: x' and y' each reference both x and y —
+    the chained-argmax codegen blowup all over again). All values stay
+    below 4^bits ≤ 2^32: ANSI-safe. 2D only — Hilbert generalizes to
+    d dimensions, but 2 covers the (key, time)/(lat, lon) cases and
+    keeps the fold simple; use :func:`zorder_key` beyond that."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_key is 2D: pass exactly two columns "
+                         "(zorder_key handles any arity)")
+    if 2 * bits >= 63:
+        raise ValueError(f"2*bits = {2 * bits} overflows a long")
+    n = 1 << bits
+    x0 = _bucketize(F.col(cols[0]), F.lit(mins[0]), F.lit(maxs[0]), bits)
+    y0 = _bucketize(F.col(cols[1]), F.lit(mins[1]), F.lit(maxs[1]), bits)
+
+    def step(acc, lvl):
+        s = F.call_function("shiftleft", F.lit(1).cast("long"),
+                            lvl.cast("int"))
+        rx = F.when(acc["x"].bitwiseAND(s) > 0,
+                    F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        ry = F.when(acc["y"].bitwiseAND(s) > 0,
+                    F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        d2 = acc["d"] + s * s * (rx * 3).bitwiseXOR(ry)
+        flip = (ry == 0) & (rx == 1)
+        xf = F.when(flip, F.lit(n - 1) - acc["x"]).otherwise(acc["x"])
+        yf = F.when(flip, F.lit(n - 1) - acc["y"]).otherwise(acc["y"])
+        return F.struct(
+            F.when(ry == 0, yf).otherwise(xf).alias("x"),
+            F.when(ry == 0, xf).otherwise(yf).alias("y"),
+            d2.alias("d"))
+
+    init = F.struct(x0.alias("x"), y0.alias("y"),
+                    F.lit(0).cast("long").alias("d"))
+    levels = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])
+
+
+def cluster_by_hilbert(df: DataFrame, cols: Sequence[str],
+                       bits: int = 16,
+                       num_partitions: Optional[int] = None,
+                       key_col: str = "_hilbert",
+                       keep_key: bool = False,
+                       bounds: Optional[Dict[str, Tuple]] = None
+                       ) -> DataFrame:
+    """:func:`cluster_by_zorder` with the Hilbert curve: same one
+    min/max aggregate, one ``repartitionByRange`` + task-local sort —
+    only the space-filling curve differs (2 columns only). Same
+    ``bounds`` append contract: pin the normalization to the existing
+    corpus's manifest min/max and appended files land on the SAME
+    curve."""
+    cols = list(cols)
+    if bounds is not None:
+        missing = [c for c in cols if c not in bounds]
+        if missing:
+            raise ValueError(f"bounds missing for columns {missing}")
+        mins = [bounds[c][0] for c in cols]
+        maxs = [bounds[c][1] for c in cols]
+    else:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        mins = [row[f"mn_{c}"] for c in cols]
+        maxs = [row[f"mx_{c}"] for c in cols]
+    keyed = df.withColumn(key_col, hilbert_key(cols, mins, maxs, bits))
+    parts = num_partitions or keyed.rdd.getNumPartitions()
+    out = (keyed.repartitionByRange(parts, F.col(key_col))
+           .sortWithinPartitions(key_col))
+    return out if keep_key else out.drop(key_col)
+
+
 def cluster_by_zorder(df: DataFrame, cols: Sequence[str], bits: int = 16,
                       num_partitions: Optional[int] = None,
                       key_col: str = "_zorder",

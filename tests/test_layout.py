@@ -71,6 +71,74 @@ def test_cluster_by_zorder_improves_file_skipping(spark, tmp_path):
     assert spark.read.parquet(p).count() == n
 
 
+def test_hilbert_key_matches_reference_walk(spark):
+    """hilbert_key must equal the canonical xy2d walk on every cell of
+    a 16x16 grid, be bijective, and take only unit steps — the
+    locality property that separates Hilbert from Z-order (whose curve
+    jumps across the plane at power-of-two boundaries)."""
+    from deequ_spark.layout import hilbert_key
+
+    def xy2d(order_n, x, y):
+        d, s = 0, order_n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = order_n - 1 - x, order_n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits, n = 4, 16
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long")
+    got = {(r["x"], r["y"]): r["h"] for r in df.select(
+        "x", "y", hilbert_key(["x", "y"], [0, 0], [n - 1, n - 1],
+                              bits).alias("h")).collect()}
+    assert all(h == xy2d(n, x, y) for (x, y), h in got.items())
+    assert len(set(got.values())) == n * n          # bijective
+    inv = {h: xy for xy, h in got.items()}
+    assert all(abs(inv[i][0] - inv[i + 1][0])
+               + abs(inv[i][1] - inv[i + 1][1]) == 1
+               for i in range(n * n - 1))           # unit steps only
+
+
+def test_hilbert_validation(spark):
+    from deequ_spark.layout import hilbert_key
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="2D"):
+        hilbert_key(["a"], [0], [1], 8)
+    with _pytest.raises(ValueError, match="overflows"):
+        hilbert_key(["a", "b"], [0, 0], [1, 1], bits=32)
+
+
+def test_cluster_by_hilbert_skips_at_least_as_well_as_zorder(
+        spark, tmp_path):
+    """Same corpus, same predicates, same file count: the Hilbert
+    layout's range skipping must match-or-beat the Z-order layout's
+    (its curve has no long diagonal jumps, so per-file boxes are
+    tighter or equal)."""
+    from deequ_spark.layout import cluster_by_hilbert
+    from deequ_spark.sources import write_manifest
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).cast("double").alias("x"),
+        F.pmod(F.col("id") * 37, 1000).cast("double").alias("y"))
+    preds = {"x": (0.0, 100.0), "y": (0.0, 100.0)}
+    ratios = {}
+    for name, fn in (("z", cluster_by_zorder), ("h", cluster_by_hilbert)):
+        p = str(tmp_path / name)
+        fn(df, ["x", "y"], bits=10, num_partitions=16).write.parquet(p)
+        write_manifest(spark, p, ["x", "y"])
+        rep = skipping_report(spark, p, preds)
+        ratios[name] = (rep["skip_ratio_x"], rep["skip_ratio_y"])
+        assert spark.read.parquet(p).count() == n
+    assert ratios["h"][0] >= ratios["z"][0] - 1e-9
+    assert ratios["h"][1] >= ratios["z"][1] - 1e-9
+
+
 def test_salted_join_equals_plain_join(spark):
     left = spark.createDataFrame(
         [(i % 5, i) for i in range(1000)], "k int, v int")
