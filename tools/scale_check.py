@@ -509,6 +509,38 @@ def main() -> None:
     cdx["ok"] = (cdx["1x"]["rows"] * 10 == cdx["10x"]["rows"])
     assert cdx["ok"], f"cdx row growth not proportional: {cdx}"
     growth["cdx_index"] = cdx
+    # Bloom join pruning (r11): the SHUFFLE-ROW REDUCTION — the whole
+    # point of the operator at 100 TB — must hold at both scales, and
+    # the bloom path must stay row-identical to the plain semi join.
+    # Survivors = true matches + ~fpp of non-members, so the reduction
+    # ratio is scale-INDEPENDENT by construction; gate it.
+    from deequ_spark import bloom_might_contain, bloom_semi_join, build_bloom
+    bj = {}
+    for label, (li_d, ord_d) in (("1x", (li1, ord1)),
+                                 ("10x", (li10, ord10))):
+        urgent = ord_d.where(F.col("o_orderpriority") == "1-URGENT") \
+            .select("o_orderkey")
+        total = li_d.count()
+        bl = build_bloom(urgent, "o_orderkey")
+        t0 = time.perf_counter()
+        survivors = li_d.where(
+            bloom_might_contain(bl, F.col("l_orderkey"))).count()
+        n_semi = bloom_semi_join(li_d, urgent, "l_orderkey",
+                                 small_on="o_orderkey").count()
+        n_plain = li_d.join(
+            urgent.withColumnRenamed("o_orderkey", "l_orderkey")
+            .distinct(), "l_orderkey", "left_semi").count()
+        bj[label] = {"fact_rows": total, "survivors": survivors,
+                     "reduction": round(total / max(survivors, 1), 2),
+                     "rows_match_plain": n_semi == n_plain,
+                     "t": round(time.perf_counter() - t0, 2)}
+        assert n_semi == n_plain, f"bloom semi diverged at {label}: {bj}"
+        assert bj[label]["reduction"] >= 2.0, (
+            f"bloom pruned <2x at {label}: {bj}")
+    bj["ok"] = abs(bj["1x"]["reduction"] - bj["10x"]["reduction"]) \
+        <= 0.5 * bj["1x"]["reduction"]
+    assert bj["ok"], f"bloom reduction not scale-stable: {bj}"
+    growth["bloom_join_reduction"] = bj
     out["candidate_growth"] = growth
     # flat-per-task-memory evidence for the size-targeted shard writer:
     # the LARGEST shard (≈ one task's buffered bytes) must stay ~target
