@@ -66,6 +66,35 @@ _MAX_HASHES = 10
 # exceeds the signed-long range ANSI mode enforces)
 _BLOCK_BITS = 56
 
+# xxhash64 is TYPE-sensitive: Spark hashes an IntegerType value through
+# hashInt and the same value as LongType through hashLong — different
+# bits. A bloom built over an int column but probed with a long (or by
+# the driver-side Python replica, which treats ints as longs) returns
+# false "certain miss"es and silently DROPS matching rows. Every build
+# and probe therefore goes through ONE canonical type per key: integral
+# columns cast to long; string/binary pass through; anything else is
+# rejected at build time (point-equality pruning on float/date/decimal
+# keys is better served by the min/max zone maps).
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _canon_key(df: DataFrame, col_name: str) -> "tuple[Column, str]":
+    """(canonical key Column, canonical type name) for ``col_name`` of
+    ``df``: integral → cast long, string/binary → unchanged; raises
+    TypeError on anything else so an inconsistent hash can never be
+    built silently."""
+    dtype = dict(df.dtypes).get(col_name)
+    if dtype is None:
+        raise ValueError(f"column {col_name!r} not in {df.columns}")
+    if dtype in _INTEGRAL_TYPES:
+        return F.col(col_name).cast("long"), "long"
+    if dtype in ("string", "binary"):
+        return F.col(col_name), dtype
+    raise TypeError(
+        f"bloom key column {col_name!r} has unsupported type {dtype}; "
+        "cast it to a long/string/binary key first (min/max zone maps "
+        "already prune range predicates on other types)")
+
 
 def _word_and_bits(key: Column, k: int, n_words
                    ) -> "tuple[Column, list[Column]]":
@@ -127,7 +156,16 @@ def build_bloom(df: DataFrame, key_col: str,
     collected and densified. Returns ``{"bits": list[int], "raw":
     bytes, "m": int, "k": int, "n": int}`` — a plain dict so it pickles
     into closures and serializes into repositories. Pass
-    ``expected_items`` to skip the sizing count job."""
+    ``expected_items`` to skip the sizing count job.
+
+    The key column is CANONICALIZED before hashing (integral → long,
+    see :func:`_canon_key`) and the canonical type is recorded as
+    ``"type"`` in the returned dict, so probes — expression-side
+    (:func:`bloom_might_contain` casts the same way through the join
+    helpers) and driver-side (:func:`bloom_contains_py` dispatches on
+    it) — always hash the bits the build wrote."""
+    canon, ktype = _canon_key(df, key_col)
+    df = df.select(canon.alias(key_col))
     if expected_items is None:
         expected_items = df.where(F.col(key_col).isNotNull()).count()
     m, k = bloom_shape(expected_items, fpp, max_bits)
@@ -151,7 +189,7 @@ def build_bloom(df: DataFrame, key_col: str,
     # probe reads it with ONE byte-addressed substring + conv
     raw = b"".join(x.to_bytes(7, "big") for x in dense)
     return {"bits": dense, "raw": raw,
-            "m": m, "k": k, "n": int(expected_items)}
+            "m": m, "k": k, "n": int(expected_items), "type": ktype}
 
 
 def bloom_might_contain(bloom: dict, key: Column) -> Column:
@@ -182,6 +220,31 @@ def bloom_might_contain(bloom: dict, key: Column) -> Column:
     return F.when(key.isNull(), F.lit(None).cast("boolean")).otherwise(out)
 
 
+def _probe_hash_value(value, ktype):
+    """Normalize a Python probe value to the bloom's canonical build
+    type (:func:`_canon_key`): the value Spark's ``col = lit(value)``
+    comparison would hash after coercion, or ``None`` when the pair is
+    un-probeable (unknown — the caller must NOT prune)."""
+    if ktype in (None, "long"):
+        # built over a long-cast column (or a legacy bloom, which only
+        # ever built correctly over longs): Python ints hash as longs;
+        # an integral-valued float coerces like Spark's long = double
+        # comparison does; anything else is not provably absent
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        return None if ktype == "long" else value
+    if ktype == "string":
+        return value if isinstance(value, str) else None
+    if ktype == "binary":
+        return bytes(value) if isinstance(value, (bytes, bytearray)) \
+            else None
+    return None
+
+
 def bloom_contains_py(bloom: dict, value) -> bool:
     """DRIVER-side membership probe: the same split-block math as
     :func:`bloom_might_contain`, computed in plain Python via the
@@ -189,9 +252,16 @@ def bloom_contains_py(bloom: dict, value) -> bool:
     what makes Bloom bits useful as MANIFEST metadata — the reader
     prunes files per key without launching a job (sources.py
     ``file_misses_key``). NULL follows SQL: returns None. No false
-    negatives: ``False`` is a certain miss."""
+    negatives: ``False`` is a certain miss; ``None`` means the probe
+    value cannot be hashed consistently with the build type
+    (``bloom["type"]``) — unknown, never pruned."""
     from .xxh64 import spark_xxhash64
     if value is None:
+        return None
+    value = _probe_hash_value(value, bloom.get("type"))
+    if value is None:
+        return None
+    if not isinstance(value, (int, str, bytes)):
         return None
     raw, k = bloom["raw"], bloom["k"]
     n_words = len(raw) // 7
@@ -219,13 +289,39 @@ def bloom_semi_join(big: DataFrame, small: DataFrame, on: str,
     shuffle + exact semi join. Result rows are identical to
     ``big.join(small, on, "left_semi")`` — the Bloom stage cannot drop
     a true match (no false negatives) and the exact join removes the
-    false positives."""
+    false positives. Both key columns canonicalize to ONE hash type
+    (integral → long) before build and probe — an int fact key against
+    a long dim key prunes correctly, exactly as the plain join's type
+    coercion matches them; a long-vs-string mismatch raises instead of
+    silently dropping every row."""
     key = small_on or on
-    bloom = build_bloom(small.select(key), key, expected_items=expected_items,
-                        fpp=fpp, max_bits=max_bits)
-    pre = big.where(bloom_might_contain(bloom, F.col(on)))
+    bloom, probe_col = _build_join_bloom(
+        big, small, on, key, fpp, expected_items, max_bits)
+    pre = big.where(bloom_might_contain(bloom, probe_col))
     rhs = small.select(F.col(key).alias(on)).distinct()
     return pre.join(rhs, on, "left_semi")
+
+
+def _build_join_bloom(big: DataFrame, small: DataFrame, on: str,
+                      key: str, fpp, expected_items, max_bits
+                      ) -> "tuple[dict, Column]":
+    """Shared build step of the bloom joins: canonicalize BOTH key
+    columns (build side inside :func:`build_bloom`, probe side here),
+    assert they land on the same hash type, and return the bloom plus
+    the probe Column. xxhash64 hashes int and long values of the same
+    number differently — without the shared cast an int-vs-long key
+    pair would bloom-drop true matches the exact join then never
+    sees."""
+    probe_col, big_type = _canon_key(big, on)
+    bloom = build_bloom(small.select(key), key,
+                        expected_items=expected_items,
+                        fpp=fpp, max_bits=max_bits)
+    if bloom["type"] != big_type:
+        raise TypeError(
+            f"bloom join key types diverge: big[{on!r}] canonicalizes "
+            f"to {big_type}, small[{key!r}] to {bloom['type']}; cast "
+            "one side so the join compares (and hashes) one type")
+    return bloom, probe_col
 
 
 def bloom_anti_join(big: DataFrame, small: DataFrame, on: str,
@@ -239,11 +335,14 @@ def bloom_anti_join(big: DataFrame, small: DataFrame, on: str,
     back in; bloom-positives — the small fraction at high selectivity —
     are verified with a real left-anti join. Row set identical to
     ``big.join(small, on, "left_anti")``. This is the 100 TB shape of a
-    referential-integrity scan: survivors are the orphans."""
+    referential-integrity scan: survivors are the orphans. Key types
+    canonicalize exactly as in :func:`bloom_semi_join` — essential
+    here, where a type-skewed false "certain miss" would route a
+    MATCHING row around the verify join straight into the output."""
     key = small_on or on
-    bloom = build_bloom(small.select(key), key, expected_items=expected_items,
-                        fpp=fpp, max_bits=max_bits)
-    probe = bloom_might_contain(bloom, F.col(on))
+    bloom, probe_col = _build_join_bloom(
+        big, small, on, key, fpp, expected_items, max_bits)
+    probe = bloom_might_contain(bloom, probe_col)
     certain_miss = big.where(F.col(on).isNull() | ~F.coalesce(probe, F.lit(False)))
     candidates = big.where(F.coalesce(probe, F.lit(False)))
     rhs = small.select(F.col(key).alias(on)).distinct()

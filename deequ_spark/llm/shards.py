@@ -248,7 +248,11 @@ def tar_members(data: bytes):
                 full = longname
             else:
                 full = name.decode("utf-8", "replace")
-                if hdr[257:262] == b"ustar":    # POSIX/GNU magic
+                # exact POSIX magic only ("ustar\0"): GNU tar's magic is
+                # "ustar  \0" and GNU headers never use the prefix field
+                # — oldgnu stores atime/ctime at offset 345, which a
+                # loose prefix gate would misread as a path prefix
+                if hdr[257:263] == b"ustar\0":
                     prefix = hdr[345:500].split(b"\0", 1)[0]
                     if prefix:
                         full = prefix.decode("utf-8", "replace") \

@@ -163,6 +163,13 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jpath
 
 
+def _fs_rename(fs, src, dst) -> bool:
+    """Hadoop FileSystem.rename, surfaced for tests: it reports failure
+    by RETURNING FALSE (not raising), which callers must check before
+    any destructive follow-up."""
+    return bool(fs.rename(src, dst))
+
+
 def compact_corpus(spark: SparkSession, path: str,
                    target_bytes: int = 128 * 1024 * 1024,
                    small_ratio: float = 0.5,
@@ -239,13 +246,21 @@ def compact_corpus(spark: SparkSession, path: str,
         # stay directory-encoded, never baked into the rewritten file)
         (spark.read.parquet(*bin_files)
          .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/bin{i}"))
-        # move the one data file in, THEN drop the originals
+        # move the one data file in, THEN drop the originals — and only
+        # if the move really happened: Hadoop rename() reports failure
+        # by returning FALSE, not raising, and deleting the originals
+        # after a silently failed rename would lose the whole bin
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(
                 f"{tmp}/bin{i}")):
             nm = st.getPath().getName()
             if st.isFile() and nm.endswith(".parquet"):
-                fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(
-                    f"{dirname}/compacted-{i:05d}-{nm}"))
+                dest = jvm.org.apache.hadoop.fs.Path(
+                    f"{dirname}/compacted-{i:05d}-{nm}")
+                if not _fs_rename(fs, st.getPath(), dest):
+                    raise IOError(
+                        f"compact_corpus: rename {st.getPath()} -> "
+                        f"{dest} failed; bin {i}'s original files are "
+                        "left intact (earlier bins are complete)")
         for f in bin_files:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
             moved_bytes += dict(files)[f]
@@ -289,10 +304,29 @@ def add_bloom_to_manifest(spark: SparkSession, path: str, col: str,
     right fix is clustering the layout so files hold narrow key sets,
     cf. layout.cluster_by_zorder, which also makes these bitmaps
     sparse and selective). Returns ``{"files": n, "bytes": total}``.
-    """
-    from .bloom import _BLOCK_BITS, _word_and_bits, bloom_shape
 
+    The column is canonicalized before hashing (integral types cast to
+    long — xxhash64 hashes int and long values of the same number
+    DIFFERENTLY, and the driver-side probe hashes Python ints as
+    longs; an un-canonicalized int column would make every probe a
+    false "certain miss" and read_corpus(prune_eq=...) would silently
+    drop matching files). The canonical type is recorded as
+    ``bloom_{col}_type`` so :func:`file_misses_key` dispatches the
+    probe the same way; unsupported column types (float/date/decimal…)
+    are rejected HERE, at build time, not mid-read. Re-running for the
+    same column replaces its bloom columns (idempotent).
+    """
+    from .bloom import _BLOCK_BITS, _canon_key, _word_and_bits, \
+        bloom_shape
+
+    corpus = spark.read.parquet(path)
+    key_expr, ktype = _canon_key(corpus, col)   # raises on bad types
     manifest_df = spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+    stale = [c for c in (f"bloom_{col}", f"bloom_{col}_k",
+                         f"bloom_{col}_type")
+             if c in manifest_df.columns]
+    if stale:                                   # re-run: replace, not dup
+        manifest_df = manifest_df.drop(*stale)
     manifest = manifest_df.collect()
     shapes = {r["file"]: bloom_shape(max(int(r["n_rows"]), 1), fpp,
                                      max_bits)
@@ -306,8 +340,9 @@ def add_bloom_to_manifest(spark: SparkSession, path: str, col: str,
     sizes = spark.createDataFrame(
         [(f, m // _BLOCK_BITS) for f, (m, _) in shapes.items()],
         "file string, n_words long")
-    data = (spark.read.parquet(path)
-            .select(F.input_file_name().alias("file"), F.col(col))
+    data = (corpus
+            .select(F.input_file_name().alias("file"),
+                    key_expr.alias(col))
             .where(F.col(col).isNotNull())
             .join(F.broadcast(sizes), "file"))
     w, bits = _word_and_bits(F.col(col), k, F.col("n_words"))
@@ -327,8 +362,10 @@ def add_bloom_to_manifest(spark: SparkSession, path: str, col: str,
              for f, blocks in per_file.items()}
     schema = (manifest_df.schema
               .add(f"bloom_{col}", "binary")
-              .add(f"bloom_{col}_k", "integer"))
-    rows = [tuple(r) + (bytearray(blobs[r["file"]]), k) for r in manifest]
+              .add(f"bloom_{col}_k", "integer")
+              .add(f"bloom_{col}_type", "string"))
+    rows = [tuple(r) + (bytearray(blobs[r["file"]]), k, ktype)
+            for r in manifest]
     spark.createDataFrame(rows, schema).coalesce(1)         .write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
     return {"files": len(manifest),
             "bytes": sum(len(b) for b in blobs.values())}
@@ -351,9 +388,15 @@ def file_misses_key(manifest_row, col: str, value) -> bool:
         return False
     if raw is None or k is None:
         return False
+    try:
+        ktype = manifest_row[f"bloom_{col}_type"]
+    except ValueError:                  # pre-r12 manifest: long/str only
+        ktype = None
     from .bloom import bloom_contains_py
-    return bloom_contains_py({"raw": bytes(raw), "k": int(k)},
-                             value) is False
+    # probe returns None (unknown) for values it cannot hash under the
+    # build's canonical type — never pruned, never a mid-read TypeError
+    return bloom_contains_py({"raw": bytes(raw), "k": int(k),
+                              "type": ktype}, value) is False
 
 
 def file_misses_range(manifest_row, col: str, lo, hi) -> bool:
@@ -363,10 +406,15 @@ def file_misses_range(manifest_row, col: str, lo, hi) -> bool:
     ``layout.skipping_report`` (which merely counts them), so the meter
     always measures exactly what the reader prunes."""
     mn, mx = manifest_row[f"min_{col}"], manifest_row[f"max_{col}"]
-    if lo is not None and mx is not None and mx < lo:
-        return True
-    if hi is not None and mn is not None and mn > hi:
-        return True
+    try:
+        if lo is not None and mx is not None and mx < lo:
+            return True
+        if hi is not None and mn is not None and mn > hi:
+            return True
+    except TypeError:
+        # bound/stat types don't compare (e.g. a string probe against a
+        # numeric column): nothing is PROVABLY missed — don't prune
+        return False
     return False
 
 
