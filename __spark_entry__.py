@@ -6052,15 +6052,19 @@ def q_heavy_hitters(spark, sf_dir):
 
 
 def q_layout_ops(spark, sf_dir):
-    """Composite: BOTH space-filling-curve clustering keys (layout.py
-    zorder_key + hilbert_key, bits=8) over (o_custkey, o_totalprice) —
-    one row per (order, curve) so all 2x15k key values are checked;
-    the oracle replays the Morton interleave closed-form and the
-    Hilbert xy2d walk via a recursive CTE."""
-    from deequ_spark.layout import hilbert_key, zorder_key
+    """Composite: ALL space-filling-curve clustering keys (layout.py
+    zorder_key + 2D hilbert_key at bits=8 over (o_custkey,
+    o_totalprice), plus the r12 d-dimensional hilbert_key_nd at bits=6
+    over (o_custkey, o_totalprice, o_orderkey)) — one row per (order,
+    curve) so all 3x15k key values are checked; the oracle replays the
+    Morton interleave closed-form, the Hilbert xy2d walk, and the 3D
+    Skilling transpose walk via recursive CTEs."""
+    from deequ_spark.layout import hilbert_key, hilbert_key_nd, \
+        zorder_key
     orders = _load(spark, sf_dir, "orders")
     row = orders.agg(F.min("o_custkey"), F.max("o_custkey"),
-                     F.min("o_totalprice"), F.max("o_totalprice")) \
+                     F.min("o_totalprice"), F.max("o_totalprice"),
+                     F.min("o_orderkey"), F.max("o_orderkey")) \
                 .collect()[0]
     args = (["o_custkey", "o_totalprice"],
             [row[0], row[2]], [row[1], row[3]])
@@ -6070,7 +6074,13 @@ def q_layout_ops(spark, sf_dir):
     h = orders.select("o_orderkey", F.lit("h").alias("curve"),
                       hilbert_key(*args, bits=8).cast("double")
                       .alias("key"))
-    return z.unionByName(h)
+    h3 = orders.select(
+        "o_orderkey", F.lit("h3").alias("curve"),
+        hilbert_key_nd(["o_custkey", "o_totalprice", "o_orderkey"],
+                       [row[0], row[2], row[4]],
+                       [row[1], row[3], row[5]], bits=6)
+        .cast("double").alias("key"))
+    return z.unionByName(h).unionByName(h3)
 
 
 def q_bloom_join(spark, sf_dir):
@@ -8682,10 +8692,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, 'h' AS curve, CAST(d AS DOUBLE) AS key
         FROM walk WHERE lvl = -1
     """
+    # 3D Skilling transpose walk (layout.hilbert_key_nd, bits=6):
+    # inverse-undo levels lvl=5..1 as a recursive CTE whose step nests
+    # the SEQUENTIAL i=0,1,2 coordinate updates as subqueries (i=0
+    # simplifies: t=(x0^x0)&P=0, only the x0&Q branch acts), then
+    # Gray-encode + rotation-correction + bit-interleave closed-form.
+    _B3 = 6
+    _interleave3 = " + ".join(
+        f"((((f{i} >> {q}) & 1)) << {q * 3 + (2 - i)})"
+        for q in range(_B3) for i in range(3))
+    _rot_t3 = "0"
+    for lvl in range(_B3 - 1, 0, -1):
+        _rot_t3 = (f"xor(CAST({_rot_t3} AS BIGINT), "
+                   f"CASE WHEN (g2 & {1 << lvl}) > 0 "
+                   f"THEN CAST({(1 << lvl) - 1} AS BIGINT) "
+                   f"ELSE CAST(0 AS BIGINT) END)")
+    _top3 = float((1 << _B3) - 1)
+    _HILBERT3_SQL = f"""
+        WITH RECURSIVE bnds3 AS (SELECT
+            MIN(CAST(o_custkey AS DOUBLE)) AS mn0,
+            MAX(CAST(o_custkey AS DOUBLE)) AS mx0,
+            MIN(CAST(o_totalprice AS DOUBLE)) AS mn1,
+            MAX(CAST(o_totalprice AS DOUBLE)) AS mx1,
+            MIN(CAST(o_orderkey AS DOUBLE)) AS mn2,
+            MAX(CAST(o_orderkey AS DOUBLE)) AS mx2
+            FROM orders),
+        grid3 AS (SELECT o_orderkey,
+            LEAST(GREATEST(CAST(FLOOR((CAST(o_custkey AS DOUBLE) - mn0)
+                / (mx0 - mn0) * {_top3}) AS BIGINT), 0),
+                {(1 << _B3) - 1}) AS x0,
+            LEAST(GREATEST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn1)
+                / (mx1 - mn1) * {_top3}) AS BIGINT), 0),
+                {(1 << _B3) - 1}) AS x1,
+            LEAST(GREATEST(CAST(FLOOR((CAST(o_orderkey AS DOUBLE) - mn2)
+                / (mx2 - mn2) * {_top3}) AS BIGINT), 0),
+                {(1 << _B3) - 1}) AS x2
+            FROM orders, bnds3),
+        undo3 AS (
+            SELECT o_orderkey, x0, x1, x2, {_B3 - 1} AS lvl FROM grid3
+            UNION ALL
+            SELECT o_orderkey,
+                CASE WHEN (x2 & q) > 0 THEN xor(a0, q - 1)
+                     ELSE xor(a0, xor(a0, x2) & (q - 1)) END,
+                b1,
+                CASE WHEN (x2 & q) > 0 THEN x2
+                     ELSE xor(x2, xor(a0, x2) & (q - 1)) END,
+                lvl - 1
+            FROM (
+                SELECT o_orderkey, lvl, q, x2,
+                    CASE WHEN (x1 & q) > 0 THEN xor(p0, q - 1)
+                         ELSE xor(p0, xor(p0, x1) & (q - 1)) END AS a0,
+                    CASE WHEN (x1 & q) > 0 THEN x1
+                         ELSE xor(x1, xor(p0, x1) & (q - 1)) END AS b1
+                FROM (
+                    SELECT o_orderkey, lvl, q,
+                        CASE WHEN (x0 & q) > 0 THEN xor(x0, q - 1)
+                             ELSE x0 END AS p0,
+                        x1, x2
+                    FROM (SELECT o_orderkey, x0, x1, x2, lvl,
+                                 (CAST(1 AS BIGINT) << lvl) AS q
+                          FROM undo3 WHERE lvl >= 1) raw3
+                ) s0
+            ) s1
+        ),
+        fin3 AS (
+            SELECT o_orderkey, g0, g1, g2, {_rot_t3} AS t
+            FROM (SELECT o_orderkey, x0 AS g0, xor(x0, x1) AS g1,
+                         xor(xor(x0, x1), x2) AS g2
+                  FROM undo3 WHERE lvl = 0) gr
+        )
+        SELECT o_orderkey, 'h3' AS curve,
+               CAST({_interleave3} AS DOUBLE) AS key
+        FROM (SELECT o_orderkey, xor(g0, t) AS f0, xor(g1, t) AS f1,
+                     xor(g2, t) AS f2 FROM fin3) ff
+    """
     d["layout_ops"] = _union_oracles(
         "SELECT o_orderkey, 'z' AS curve, z AS key FROM (\n"
         + d.pop("zorder_layout") + "\n) AS zz",
-        _HILBERT_SQL)
+        _HILBERT_SQL, _HILBERT3_SQL)
     # r11 registry consolidation: compose the folded families' oracles
     # from the SAME parts the Spark composites union — part metric
     # names are disjoint within each composite, so attribution survives

@@ -29,7 +29,8 @@ from typing import Dict, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "cluster_by_zorder", "skipping_report"]
+__all__ = ["zorder_key", "cluster_by_zorder", "hilbert_key",
+           "hilbert_key_nd", "cluster_by_hilbert", "skipping_report"]
 
 
 def _bucketize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
@@ -118,6 +119,85 @@ def hilbert_key(cols: Sequence[str], mins: Sequence, maxs: Sequence,
     return F.aggregate(levels, init, step, lambda acc: acc["d"])
 
 
+def hilbert_key_nd(cols: Sequence[str], mins: Sequence, maxs: Sequence,
+                   bits: int = 16) -> Column:
+    """d-dimensional Hilbert index Column (d ≥ 2) over normalized
+    bucket columns — Skilling's public-domain transpose algorithm
+    ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004),
+    property-verified in tests/test_layout.py: the induced order is
+    bijective and every consecutive pair of indices differs by exactly
+    one unit step in ONE coordinate, the defining Hilbert locality
+    guarantee Z-order lacks (its diagonal jumps are what loosen
+    per-file min/max boxes).
+
+    Plan shape mirrors :func:`hilbert_key`: the inverse-undo loop runs
+    as ONE ``aggregate`` fold over the bit levels (state = struct of d
+    longs, so the tree stays linear in ``bits``); the Gray-encode,
+    rotation-correction and bit-interleave passes run INSIDE the
+    fold's finish lambda — they reference the fold state d·bits times,
+    and referencing the aggregate RESULT that often would re-evaluate
+    the whole fold per reference (the CollapseProject re-inline trap).
+    All values stay below 2^(d·bits) < 2^63 — ANSI-safe. For d = 2 the
+    xy2d walk in :func:`hilbert_key` produces an equally valid (but
+    differently oriented) curve; both are kept because existing 2D
+    layouts and their manifests were built on the xy2d key."""
+    d = len(cols)
+    if d < 2:
+        raise ValueError("hilbert_key_nd needs at least two columns")
+    if d * bits >= 63:
+        raise ValueError(f"bits*len(cols) = {d * bits} overflows a long")
+    bucketed = [_bucketize(F.col(c), F.lit(mins[j]), F.lit(maxs[j]), bits)
+                for j, c in enumerate(cols)]
+
+    def step(acc, lvl):
+        # one inverse-undo level: Q = 2^lvl, P = Q-1; the i-loop is
+        # unrolled (d is a Python constant) with the SEQUENTIAL
+        # semantics of the original (each i sees i-1's updates)
+        q = F.call_function("shiftleft", F.lit(1).cast("long"),
+                            lvl.cast("int"))
+        p = q - F.lit(1).cast("long")
+        xs = [acc[f"x{i}"] for i in range(d)]
+        for i in range(d):
+            cond = xs[i].bitwiseAND(q) > 0
+            t = (xs[0].bitwiseXOR(xs[i])).bitwiseAND(p)
+            new_x0 = F.when(cond, xs[0].bitwiseXOR(p)) \
+                .otherwise(xs[0].bitwiseXOR(t))
+            new_xi = F.when(cond, xs[i]).otherwise(xs[i].bitwiseXOR(t))
+            xs = [new_x0 if j == 0 else (new_xi if j == i else xs[j])
+                  for j in range(d)]
+        return F.struct(*[xs[i].alias(f"x{i}") for i in range(d)])
+
+    def finish(acc):
+        # Gray encode: X[i] ^= X[i-1] sequentially = prefix XOR
+        xs = [acc[f"x{i}"] for i in range(d)]
+        gray = [xs[0]]
+        for i in range(1, d):
+            gray.append(gray[i - 1].bitwiseXOR(xs[i]))
+        # rotation correction: t = XOR of (Q-1) for every level where
+        # gray[d-1] has bit Q set (Q = 2^lvl, lvl = bits-1 .. 1)
+        t = F.lit(0).cast("long")
+        for lvl in range(bits - 1, 0, -1):
+            qm1 = F.lit((1 << lvl) - 1).cast("long")
+            t = t.bitwiseXOR(
+                F.when(gray[d - 1].bitwiseAND(F.lit(1 << lvl)) > 0,
+                       qm1).otherwise(F.lit(0).cast("long")))
+        fin = [g.bitwiseXOR(t) for g in gray]
+        # interleave the transpose: bit q of X[i] lands at position
+        # q*d + (d-1-i) — X[0] carries the most significant bit of
+        # each level group
+        h = F.lit(0).cast("long")
+        for qb in range(bits):
+            for i in range(d):
+                h = h.bitwiseOR(F.shiftleft(
+                    F.shiftright(fin[i], qb).bitwiseAND(F.lit(1)),
+                    qb * d + (d - 1 - i)))
+        return h
+
+    init = F.struct(*[b.alias(f"x{i}") for i, b in enumerate(bucketed)])
+    levels = F.sequence(F.lit(bits - 1), F.lit(1), F.lit(-1))
+    return F.aggregate(levels, init, step, finish)
+
+
 def cluster_by_hilbert(df: DataFrame, cols: Sequence[str],
                        bits: int = 16,
                        num_partitions: Optional[int] = None,
@@ -127,10 +207,14 @@ def cluster_by_hilbert(df: DataFrame, cols: Sequence[str],
                        ) -> DataFrame:
     """:func:`cluster_by_zorder` with the Hilbert curve: same one
     min/max aggregate, one ``repartitionByRange`` + task-local sort —
-    only the space-filling curve differs (2 columns only). Same
-    ``bounds`` append contract: pin the normalization to the existing
-    corpus's manifest min/max and appended files land on the SAME
-    curve."""
+    only the space-filling curve differs. Two columns use the original
+    xy2d walk (:func:`hilbert_key` — existing 2D layouts were built on
+    it); three or more use the d-dimensional Skilling transpose
+    (:func:`hilbert_key_nd`), so (lat, lon, time) or (host, time,
+    length) layouts get Hilbert locality instead of falling back to
+    Z-order. Same ``bounds`` append contract: pin the normalization to
+    the existing corpus's manifest min/max and appended files land on
+    the SAME curve."""
     cols = list(cols)
     if bounds is not None:
         missing = [c for c in cols if c not in bounds]
@@ -145,7 +229,8 @@ def cluster_by_hilbert(df: DataFrame, cols: Sequence[str],
         row = df.agg(*aggs).collect()[0]
         mins = [row[f"mn_{c}"] for c in cols]
         maxs = [row[f"mx_{c}"] for c in cols]
-    keyed = df.withColumn(key_col, hilbert_key(cols, mins, maxs, bits))
+    key_fn = hilbert_key if len(cols) == 2 else hilbert_key_nd
+    keyed = df.withColumn(key_col, key_fn(cols, mins, maxs, bits))
     parts = num_partitions or keyed.rdd.getNumPartitions()
     out = (keyed.repartitionByRange(parts, F.col(key_col))
            .sortWithinPartitions(key_col))

@@ -139,6 +139,99 @@ def test_cluster_by_hilbert_skips_at_least_as_well_as_zorder(
     assert ratios["h"][1] >= ratios["z"][1] - 1e-9
 
 
+def _skilling_py(coords, bits):
+    """Pure-Python Skilling transpose encode — the reference
+    hilbert_key_nd must reproduce bit-for-bit."""
+    X = list(coords)
+    n = len(X)
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t, Q = 0, 1 << (bits - 1)
+    while Q > 1:
+        if X[n - 1] & Q:
+            t ^= Q - 1
+        Q >>= 1
+    X = [x ^ t for x in X]
+    h = 0
+    for q in range(bits):
+        for i in range(n):
+            h |= ((X[i] >> q) & 1) << (q * n + (n - 1 - i))
+    return h
+
+
+def test_hilbert_nd_matches_reference_and_is_a_hilbert_curve(spark):
+    """hilbert_key_nd(3 cols) must equal the Python Skilling walk on
+    every cell of an 8x8x8 cube, be bijective, and take only unit
+    steps — the defining Hilbert property, in 3 dimensions."""
+    from deequ_spark.layout import hilbert_key_nd
+    bits, n = 3, 8
+    df = spark.createDataFrame(
+        [(x, y, z) for x in range(n) for y in range(n)
+         for z in range(n)], "x long, y long, z long")
+    got = {(r["x"], r["y"], r["z"]): r["h"] for r in df.select(
+        "x", "y", "z",
+        hilbert_key_nd(["x", "y", "z"], [0, 0, 0],
+                       [n - 1, n - 1, n - 1], bits).alias("h"))
+        .collect()}
+    assert all(h == _skilling_py(c, bits) for c, h in got.items())
+    assert len(set(got.values())) == n ** 3          # bijective
+    inv = {h: c for c, h in got.items()}
+    assert all(sum(abs(a - b) for a, b in zip(inv[i], inv[i + 1])) == 1
+               for i in range(n ** 3 - 1))           # unit steps only
+
+
+def test_hilbert_nd_4d_smoke_and_validation(spark):
+    from deequ_spark.layout import hilbert_key_nd
+    import pytest as _pytest
+    bits, n = 2, 4
+    df = spark.createDataFrame(
+        [(a, b, c, d) for a in range(n) for b in range(n)
+         for c in range(n) for d in range(n)],
+        "a long, b long, c long, d long")
+    hs = [r["h"] for r in df.select(hilbert_key_nd(
+        ["a", "b", "c", "d"], [0] * 4, [n - 1] * 4, bits).alias("h"))
+        .collect()]
+    assert sorted(hs) == list(range(n ** 4))         # bijective
+    with _pytest.raises(ValueError, match="at least two"):
+        hilbert_key_nd(["a"], [0], [1], 8)
+    with _pytest.raises(ValueError, match="overflows"):
+        hilbert_key_nd(["a", "b", "c"], [0] * 3, [1] * 3, bits=21)
+
+
+def test_cluster_by_hilbert_three_columns(spark, tmp_path):
+    """3-col clustering routes through hilbert_key_nd and gives every
+    participating column usable per-file skipping."""
+    from deequ_spark.layout import cluster_by_hilbert
+    from deequ_spark.sources import write_manifest
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 500).cast("double").alias("x"),
+        F.pmod(F.col("id") * 37, 500).cast("double").alias("y"),
+        F.pmod(F.col("id") * 101, 500).cast("double").alias("t"))
+    p = str(tmp_path / "h3")
+    cluster_by_hilbert(df, ["x", "y", "t"], bits=8,
+                       num_partitions=16).write.parquet(p)
+    write_manifest(spark, p, ["x", "y", "t"])
+    rep = skipping_report(
+        spark, p, {"x": (0.0, 50.0), "y": (0.0, 50.0),
+                   "t": (0.0, 50.0)})
+    assert spark.read.parquet(p).count() == n
+    # every dimension skips a solid share of files (unclustered ~0)
+    for c in ("x", "y", "t"):
+        assert rep[f"skip_ratio_{c}"] >= 0.3, rep
+
+
 def test_salted_join_equals_plain_join(spark):
     left = spark.createDataFrame(
         [(i % 5, i) for i in range(1000)], "k int, v int")
