@@ -2161,6 +2161,21 @@ def q_ivf_ann_all(spark, sf_dir):
 # operator's metric rows.  126 -> 97 registry names means full driver
 # coverage fits TWO 50-slot windows.
 
+def q_bpe_ops(spark, sf_dir):
+    """Composite (r12 fold): the full BPE family — word-frequency table
+    head + first merge (`bpe_stats`, unprefixed), 60-merge training +
+    retokenization (`tr_`), 5-merge loop induction with winning pair
+    counts (`mg_`), and the id encode/decode round trip (`id_`). Each
+    part keeps its r10 value-oracle, composed via _union_oracles with
+    the same prefixes."""
+    return _union_metrics([
+        q_bpe_stats(spark, sf_dir),
+        _prefix_metrics(q_bpe_train(spark, sf_dir), "tr_"),
+        _prefix_metrics(q_bpe_merges(spark, sf_dir), "mg_"),
+        _prefix_metrics(q_bpe_ids(spark, sf_dir), "id_"),
+    ])
+
+
 def q_scan_basic_ops(spark, sf_dir):
     """Composite: Size, Completeness, Compliance, PatternMatch."""
     return _union_metrics([
@@ -6124,6 +6139,74 @@ def q_bloom_join(spark, sf_dir):
     return _metrics_df(spark, sorted(rows))
 
 
+def q_optimize_corpus(spark, sf_dir):
+    """One-call corpus maintenance (sources.optimize_corpus): orders
+    scattered into 40 tiny files, then ONE pass clusters+compacts the
+    unoptimized tail on the Hilbert curve over (o_custkey,
+    o_totalprice), refreshes the manifest incrementally, and attaches
+    per-file Bloom bits for o_custkey. Pinned: exact content (count /
+    integer cents / key sum), exact range-pruned and point-lookup row
+    counts through read_corpus, plus layout flags — files reduced, all
+    data files carry the clustered- prefix, range skipping on the lead
+    cluster column actually prunes files, and a second pass is a
+    complete no-op (rewritten == manifest scans == bloom scans == 0:
+    maintenance cost is proportional to the unoptimized tail, which
+    the first pass emptied)."""
+    import shutil
+    import tempfile
+
+    from deequ_spark.layout import skipping_report
+    from deequ_spark.sources import (CLUSTERED_PREFIX, optimize_corpus,
+                                     read_corpus)
+    orders = _load(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="deequ_optimize_")
+    try:
+        orders.repartition(40).write.mode("overwrite").parquet(f"{d}/c")
+        res = optimize_corpus(spark, f"{d}/c",
+                              cluster_by=["o_custkey", "o_totalprice"],
+                              bloom_cols=["o_custkey"],
+                              target_bytes=128 * 1024)
+        after = spark.read.parquet(f"{d}/c")
+        row = after.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                  .cast("long")).alias("cents"),
+            F.sum("o_orderkey").alias("keys")).collect()[0]
+        pruned = read_corpus(spark, f"{d}/c",
+                             prune={"o_custkey": (100, 300)}).count()
+        eq = read_corpus(spark, f"{d}/c",
+                         prune_eq={"o_custkey": 451}).count()
+        names = [f.rsplit("/", 1)[-1] for f in after.inputFiles()]
+        rep = skipping_report(spark, f"{d}/c",
+                              {"o_custkey": (100.0, 300.0)})
+        res2 = optimize_corpus(spark, f"{d}/c",
+                               cluster_by=["o_custkey", "o_totalprice"],
+                               bloom_cols=["o_custkey"],
+                               target_bytes=128 * 1024)
+        noop = (res2["rewritten"] == 0
+                and res2["manifest"]["scanned"] == 0
+                and res2["blooms"]["o_custkey"]["scanned"] == 0)
+        pairs = [
+            ("oc_rows", float(row["n"])),
+            ("oc_cents", float(row["cents"])),
+            ("oc_keys", float(row["keys"])),
+            ("oc_pruned_rows", float(pruned)),
+            ("oc_eq_rows", float(eq)),
+            ("oc_files_reduced",
+             float(1 if res["files_after"] < res["files_before"]
+                   else 0)),
+            ("oc_all_clustered",
+             float(1 if all(n.startswith(CLUSTERED_PREFIX)
+                            for n in names) else 0)),
+            ("oc_skipping_works",
+             float(1 if rep["skip_ratio_o_custkey"] >= 0.3 else 0)),
+            ("oc_second_pass_noop", float(1 if noop else 0)),
+        ]
+        return _metrics_df(spark, sorted(pairs))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_compaction(spark, sf_dir):
     """Small-file compaction (sources.py compact_corpus): orders
     scattered into 40 tiny files, bin-packed and rewritten — the
@@ -7374,70 +7457,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver snapshots the FIRST 50
     # entries into CORRECTNESS_r{N}.json.  Driver-green rows accumulate
     # across rounds, so each round rotates the stalest-green queries into
-    # the head of the dict.  r11 folded 43 driver-stale single-operator
-    # queries into 14 family composites (126 -> 97 names) so full driver
-    # coverage fits two 50-slot windows; the composites (never driver-
-    # checked under their new names) lead, then the r6-green composites,
-    # the remaining r8-green singles, the r9-green block, and three
-    # r10-green entries fill the window.  tools/check_oracle.py always
+    # the head of the dict.  r12 rotates the r10-green block (last
+    # driver-graded on r10 code) back into the window, folding the four
+    # BPE queries into one `bpe_ops` composite (_R12_FOLDS) so the
+    # window also fits this round's new/changed entries: optimize_corpus
+    # (new), layout_ops (gained the 3D Skilling leg) and
+    # incremental_dedup (gained the Bloom-pre-filtered classify).  The
+    # r11-graded block moves to the tail; registry = 98 names, full
+    # coverage still fits two windows.  tools/check_oracle.py always
     # verifies the FULL registry regardless.
     return {
-        # --- r11 new operators (never checked) ---
-        "bloom_join": q_bloom_join,
-        "bloom_skipping": q_bloom_skipping,
-        "compaction": q_compaction,
+        # --- r12 new/changed (never checked in this form) ---
+        "optimize_corpus": q_optimize_corpus,
         "layout_ops": q_layout_ops,
-        # --- slots 2-15: r11 consolidation composites (never checked) ---
-        "scan_basic_ops": q_scan_basic_ops,
-        "scan_stats_ops": q_scan_stats_ops,
-        "scan_sketch_ops": q_scan_sketch_ops,
-        "grouping_core_ops": q_grouping_core_ops,
-        "histogram_ops": q_histogram_ops,
-        "dqdl_ops": q_dqdl_ops,
-        "row_level_ops": q_row_level_ops,
-        "check_flow_ops": q_check_flow_ops,
-        "drift_anomaly_ops": q_drift_anomaly_ops,
-        "text_filter_ops": q_text_filter_ops,
-        "lexical_dedup_ops": q_lexical_dedup_ops,
-        "media_feature_ops": q_media_feature_ops,
-        "ann_ops": q_ann_ops,
-        "stream_ops": q_stream_ops,
-        # --- slots 15-17: last driver-green r6 ---
-        "text_pipeline_ops": q_text_pipeline_ops,
-        "satellite_ops": q_satellite_ops,
-        "embedding_ops": q_embedding_ops,
-        # --- slots 18-24: last driver-green r8 ---
-        "comparison_ops": q_comparison_ops,
-        "decontamination": q_decontamination,
-        "language_id": q_language_id_all,
-        "near_dedup": q_near_dedup,
-        "profile": q_profile,
-        "simhash": q_simhash,
-        "suggestions": q_suggestions,
-        # --- slots 25-47: last driver-green r9 ---
-        "audio_phash": q_audio_phash,
-        "benford": q_benford,
-        "c4_filters": q_c4_filters,
-        "embedding_quantize": q_embedding_quantize,
-        "functional_dependency": q_functional_dependency,
-        "fuzzy_join": q_fuzzy_join,
-        "grouped_topk": q_grouped_topk,
-        "html_extract": q_html_extract,
-        "image_phash": q_image_phash,
         "incremental_dedup": q_incremental_dedup,
-        "join_cardinality": q_join_cardinality,
-        "link_graph": q_link_graph,
-        "missingness": q_missingness,
-        "ngram_novelty": q_ngram_novelty,
-        "robots_filter": q_robots_filter,
-        "rolling_stats": q_rolling_stats,
-        "sitemap_ops": q_sitemap_ops,
-        "sliced_analysis": q_sliced_analysis,
-        "table_diff": q_table_diff,
-        "token_jaccard": q_token_jaccard,
-        "warc_ingest": q_warc_ingest,
-        "webdataset": q_webdataset,
-        # --- tail: driver-green r10 (next window sweeps these) ---
+        # --- r10-green block rotated into the window ---
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
         "paragraph_dedup": q_paragraph_dedup,
@@ -7447,10 +7481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_drift": q_streaming_drift,
         "near_dup_ratio": q_near_dup_ratio,
         "dsir_sample": q_dsir_sample,
-        "bpe_stats": q_bpe_stats,
-        "bpe_ids": q_bpe_ids,
-        "bpe_merges": q_bpe_merges,
-        "bpe_train": q_bpe_train,
+        "bpe_ops": q_bpe_ops,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "corpus_sampling": q_corpus_sampling,
@@ -7488,6 +7519,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_index": q_wds_index,
         "cdx_update": q_cdx_update,
         "keyframe_seek": q_keyframe_seek,
+        # --- tail: driver-green r11 (next window sweeps these) ---
+        "bloom_join": q_bloom_join,
+        "bloom_skipping": q_bloom_skipping,
+        "compaction": q_compaction,
+        "scan_basic_ops": q_scan_basic_ops,
+        "scan_stats_ops": q_scan_stats_ops,
+        "scan_sketch_ops": q_scan_sketch_ops,
+        "grouping_core_ops": q_grouping_core_ops,
+        "histogram_ops": q_histogram_ops,
+        "dqdl_ops": q_dqdl_ops,
+        "row_level_ops": q_row_level_ops,
+        "check_flow_ops": q_check_flow_ops,
+        "drift_anomaly_ops": q_drift_anomaly_ops,
+        "text_filter_ops": q_text_filter_ops,
+        "lexical_dedup_ops": q_lexical_dedup_ops,
+        "media_feature_ops": q_media_feature_ops,
+        "ann_ops": q_ann_ops,
+        "stream_ops": q_stream_ops,
+        "text_pipeline_ops": q_text_pipeline_ops,
+        "satellite_ops": q_satellite_ops,
+        "embedding_ops": q_embedding_ops,
+        "comparison_ops": q_comparison_ops,
+        "decontamination": q_decontamination,
+        "language_id": q_language_id_all,
+        "near_dedup": q_near_dedup,
+        "profile": q_profile,
+        "simhash": q_simhash,
+        "suggestions": q_suggestions,
+        "audio_phash": q_audio_phash,
+        "benford": q_benford,
+        "c4_filters": q_c4_filters,
+        "embedding_quantize": q_embedding_quantize,
+        "functional_dependency": q_functional_dependency,
+        "fuzzy_join": q_fuzzy_join,
+        "grouped_topk": q_grouped_topk,
+        "html_extract": q_html_extract,
+        "image_phash": q_image_phash,
+        "join_cardinality": q_join_cardinality,
+        "link_graph": q_link_graph,
+        "missingness": q_missingness,
+        "ngram_novelty": q_ngram_novelty,
+        "robots_filter": q_robots_filter,
+        "rolling_stats": q_rolling_stats,
+        "sitemap_ops": q_sitemap_ops,
+        "sliced_analysis": q_sliced_analysis,
+        "table_diff": q_table_diff,
+        "token_jaccard": q_token_jaccard,
+        "warc_ingest": q_warc_ingest,
+        "webdataset": q_webdataset,
     }
 
 
@@ -8634,6 +8714,27 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 'bs_bloom_prunes', CAST(1 AS DOUBLE)
         ) ORDER BY metric
     """
+    d["optimize_corpus"] = """
+        SELECT metric, value FROM (
+          SELECT 'oc_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+          FROM orders
+          UNION ALL SELECT 'oc_cents',
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS DOUBLE) FROM orders
+          UNION ALL SELECT 'oc_keys',
+            CAST(SUM(o_orderkey) AS DOUBLE) FROM orders
+          UNION ALL SELECT 'oc_pruned_rows',
+            CAST(SUM(CASE WHEN o_custkey BETWEEN 100 AND 300
+                     THEN 1 ELSE 0 END) AS DOUBLE) FROM orders
+          UNION ALL SELECT 'oc_eq_rows',
+            CAST(SUM(CASE WHEN o_custkey = 451 THEN 1 ELSE 0 END)
+                 AS DOUBLE) FROM orders
+          UNION ALL SELECT 'oc_files_reduced', CAST(1 AS DOUBLE)
+          UNION ALL SELECT 'oc_all_clustered', CAST(1 AS DOUBLE)
+          UNION ALL SELECT 'oc_skipping_works', CAST(1 AS DOUBLE)
+          UNION ALL SELECT 'oc_second_pass_noop', CAST(1 AS DOUBLE)
+        ) ORDER BY metric
+    """
     d["compaction"] = """
         SELECT metric, value FROM (
           SELECT 'cp_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
@@ -8773,11 +8874,12 @@ def oracle_sql() -> dict[str, str]:
     # r11 registry consolidation: compose the folded families' oracles
     # from the SAME parts the Spark composites union — part metric
     # names are disjoint within each composite, so attribution survives
-    for comp, parts in _R11_FOLDS.items():
+    for comp, parts in {**_R11_FOLDS, **_R12_FOLDS}.items():
         sqls = []
         for part in parts:
             sql = d.pop(part)
-            pfx = _R11_PART_PREFIX.get((comp, part))
+            pfx = {**_R11_PART_PREFIX,
+                   **_R12_PART_PREFIX}.get((comp, part))
             if pfx:
                 sql = (f"SELECT '{pfx}' || metric AS metric, value "
                        f"FROM (\n{sql}\n) AS pfx_{part}")
@@ -8794,6 +8896,18 @@ def oracle_sql() -> dict[str, str]:
 _R11_PART_PREFIX = {
     ("ann_ops", "ivf_ann"): "ivf_",
     ("media_feature_ops", "audio_ops"): "au_",
+}
+
+# r12 fold: the four BPE queries (driver-green r10) collapse into one
+# family composite so the rotated-in r10 window plus this round's new
+# queries still fit one 50-slot driver window
+_R12_FOLDS = {
+    "bpe_ops": ["bpe_stats", "bpe_train", "bpe_merges", "bpe_ids"],
+}
+_R12_PART_PREFIX = {
+    ("bpe_ops", "bpe_train"): "tr_",
+    ("bpe_ops", "bpe_merges"): "mg_",
+    ("bpe_ops", "bpe_ids"): "id_",
 }
 
 _R11_FOLDS = {

@@ -142,8 +142,15 @@ def update_manifest(spark: SparkSession, path: str, cols) -> dict:
         for c in manifest_cols:
             aggs += [F.min(c).alias(f"min_{c}"),
                      F.max(c).alias(f"max_{c}")]
-        new_rows = (data.groupBy(F.input_file_name().alias("file"))
-                    .agg(*aggs).collect())
+        scanned = (data.groupBy(F.input_file_name().alias("file"))
+                   .agg(*aggs).collect())
+        # the manifest may carry extra columns (per-file bloom bits) —
+        # new files get NULLs there, positioned by NAME against the
+        # authoritative schema; add_bloom_to_manifest fills them in
+        # incrementally (it scans only NULL-bloom files)
+        names = [f.name for f in schema.fields]
+        new_rows = [tuple(r[n] if n in r.__fields__ else None
+                          for n in names) for r in scanned]
     else:
         new_rows = []
     # manifest is O(files): materialized on the driver so the overwrite
@@ -168,6 +175,26 @@ def _fs_rename(fs, src, dst) -> bool:
     by RETURNING FALSE (not raising), which callers must check before
     any destructive follow-up."""
     return bool(fs.rename(src, dst))
+
+
+def _walk_parquet_files(fs, jdir):
+    """[(dir, [(file, size)])] per directory, recursively, skipping
+    ``_``/``.``-prefixed entries (manifests, temp dirs, markers).
+    Maintenance passes never mix files across a directory boundary, so
+    hive partition dirs rewrite within themselves and partition values
+    stay directory-encoded."""
+    out, here = [], []
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        if st.isDirectory():
+            out += _walk_parquet_files(fs, st.getPath())
+        elif st.isFile() and name.endswith(".parquet"):
+            here.append((str(st.getPath().toString()), st.getLen()))
+    if here:
+        out.append((str(jdir.toString()), here))
+    return out
 
 
 def compact_corpus(spark: SparkSession, path: str,
@@ -196,25 +223,7 @@ def compact_corpus(spark: SparkSession, path: str,
     "bytes_compacted"}``."""
     fs, root = _hadoop_fs(spark, path)
     jvm = spark._jvm
-
-    def walk(jdir):
-        """(dir, [(file, size)]) per directory — bins never cross a
-        directory boundary, so hive partition dirs compact within
-        themselves and partition values stay directory-encoded."""
-        out, here = [], []
-        for st in fs.listStatus(jdir):
-            name = st.getPath().getName()
-            if name.startswith(("_", ".")):
-                continue            # _manifest, _compact_tmp, markers
-            if st.isDirectory():
-                out += walk(st.getPath())
-            elif st.isFile() and name.endswith(".parquet"):
-                here.append((str(st.getPath().toString()), st.getLen()))
-        if here:
-            out.append((str(jdir.toString()), here))
-        return out
-
-    by_dir = walk(root)
+    by_dir = _walk_parquet_files(fs, root)
     files = [f for _, fl in by_dir for f in fl]
     bins, sizes, bin_dirs = [], [], []
     for dirname, fl in by_dir:
@@ -284,7 +293,8 @@ def compact_corpus(spark: SparkSession, path: str,
 
 def add_bloom_to_manifest(spark: SparkSession, path: str, col: str,
                           fpp: float = 0.01,
-                          max_bits: int = 1 << 20) -> dict:
+                          max_bits: int = 1 << 20,
+                          rebuild: bool = False) -> dict:
     """Attach a PER-FILE split-block Bloom filter of ``col`` to the
     manifest: columns ``bloom_{col}`` (raw bitmap bytes) and
     ``bloom_{col}_k``. This is the point-lookup companion of the
@@ -313,8 +323,16 @@ def add_bloom_to_manifest(spark: SparkSession, path: str, col: str,
     drop matching files). The canonical type is recorded as
     ``bloom_{col}_type`` so :func:`file_misses_key` dispatches the
     probe the same way; unsupported column types (float/date/decimal…)
-    are rejected HERE, at build time, not mid-read. Re-running for the
-    same column replaces its bloom columns (idempotent).
+    are rejected HERE, at build time, not mid-read.
+
+    Re-running is INCREMENTAL: parquet files are immutable, so a file
+    whose manifest row already carries bits built with the same k and
+    canonical type keeps them — only files lacking bits are scanned
+    (the append path: update_manifest adds the new files' stats rows
+    with NULL bloom columns, this fills just those in). Pass
+    ``rebuild=True`` to force a full rebuild (e.g. after changing
+    ``fpp``). Returns ``{"files": total, "scanned": built_now,
+    "bytes": total_bytes}``.
     """
     from .bloom import _BLOCK_BITS, _canon_key, _word_and_bits, \
         bloom_shape
@@ -322,52 +340,73 @@ def add_bloom_to_manifest(spark: SparkSession, path: str, col: str,
     corpus = spark.read.parquet(path)
     key_expr, ktype = _canon_key(corpus, col)   # raises on bad types
     manifest_df = spark.read.parquet(f"{path}/{MANIFEST_DIR}")
-    stale = [c for c in (f"bloom_{col}", f"bloom_{col}_k",
-                         f"bloom_{col}_type")
-             if c in manifest_df.columns]
-    if stale:                                   # re-run: replace, not dup
-        manifest_df = manifest_df.drop(*stale)
-    manifest = manifest_df.collect()
-    shapes = {r["file"]: bloom_shape(max(int(r["n_rows"]), 1), fpp,
-                                     max_bits)
-              for r in manifest}
-    if not shapes:
-        return {"files": 0, "bytes": 0}
+    shapes_all = {}
+    manifest = []
+    for r in manifest_df.collect():
+        manifest.append(r)
+        shapes_all[r["file"]] = bloom_shape(max(int(r["n_rows"]), 1),
+                                            fpp, max_bits)
+    if not manifest:
+        return {"files": 0, "scanned": 0, "bytes": 0}
     # k is fpp-derived and constant across files (m scales with n, so
     # m/n is constant except under the cap, where we keep the same k
     # and let fpp degrade); n_words varies per file
-    k = max(shapes[f][1] for f in shapes)
-    sizes = spark.createDataFrame(
-        [(f, m // _BLOCK_BITS) for f, (m, _) in shapes.items()],
-        "file string, n_words long")
-    data = (corpus
-            .select(F.input_file_name().alias("file"),
-                    key_expr.alias(col))
-            .where(F.col(col).isNotNull())
-            .join(F.broadcast(sizes), "file"))
-    w, bits = _word_and_bits(F.col(col), k, F.col("n_words"))
-    words = (data.select("file", w.alias("w"),
-                         F.explode(F.array(*bits)).alias("b"))
-             .select("file", "w",
-                     F.call_function("shiftleft",
-                                     F.lit(1).cast("long"), F.col("b"))
-                     .alias("mask"))
-             .groupBy("file", "w").agg(F.bit_or("mask").alias("bits"))
-             .collect())
-    per_file: dict = {f: [0] * (m // _BLOCK_BITS)
-                      for f, (m, _) in shapes.items()}
-    for r in words:
-        per_file[r["file"]][int(r["w"])] = int(r["bits"])
-    blobs = {f: b"".join(x.to_bytes(7, "big") for x in blocks)
-             for f, blocks in per_file.items()}
-    schema = (manifest_df.schema
+    k = max(shapes_all[f][1] for f in shapes_all)
+    have_cols = f"bloom_{col}" in manifest_df.columns
+    reuse: dict = {}
+    if have_cols and not rebuild:
+        for r in manifest:
+            if (r[f"bloom_{col}"] is not None
+                    and r[f"bloom_{col}_k"] == k
+                    and (f"bloom_{col}_type" not in manifest_df.columns
+                         or r[f"bloom_{col}_type"] in (None, ktype))):
+                reuse[r["file"]] = bytes(r[f"bloom_{col}"])
+    build = {f: s for f, s in shapes_all.items() if f not in reuse}
+    if build:
+        sizes = spark.createDataFrame(
+            [(f, m // _BLOCK_BITS) for f, (m, _) in build.items()],
+            "file string, n_words long")
+        data = (spark.read.option("basePath", path)
+                .parquet(*sorted(build))
+                .select(F.input_file_name().alias("file"),
+                        key_expr.alias(col))
+                .where(F.col(col).isNotNull())
+                .join(F.broadcast(sizes), "file"))
+        w, bits = _word_and_bits(F.col(col), k, F.col("n_words"))
+        words = (data.select("file", w.alias("w"),
+                             F.explode(F.array(*bits)).alias("b"))
+                 .select("file", "w",
+                         F.call_function("shiftleft",
+                                         F.lit(1).cast("long"),
+                                         F.col("b")).alias("mask"))
+                 .groupBy("file", "w").agg(F.bit_or("mask")
+                                           .alias("bits"))
+                 .collect())
+        per_file: dict = {f: [0] * (m // _BLOCK_BITS)
+                          for f, (m, _) in build.items()}
+        for r in words:
+            per_file[r["file"]][int(r["w"])] = int(r["bits"])
+        built = {f: b"".join(x.to_bytes(7, "big") for x in blocks)
+                 for f, blocks in per_file.items()}
+    else:
+        built = {}
+    blobs = {**reuse, **built}
+    stale = [c for c in (f"bloom_{col}", f"bloom_{col}_k",
+                         f"bloom_{col}_type")
+             if c in manifest_df.columns]
+    base_fields = [f for f in manifest_df.schema.fields
+                   if f.name not in stale]
+    base_names = [f.name for f in base_fields]
+    from pyspark.sql.types import StructType
+    schema = (StructType(base_fields)
               .add(f"bloom_{col}", "binary")
               .add(f"bloom_{col}_k", "integer")
               .add(f"bloom_{col}_type", "string"))
-    rows = [tuple(r) + (bytearray(blobs[r["file"]]), k, ktype)
-            for r in manifest]
-    spark.createDataFrame(rows, schema).coalesce(1)         .write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
-    return {"files": len(manifest),
+    rows = [tuple(r[n] for n in base_names)
+            + (bytearray(blobs[r["file"]]), k, ktype) for r in manifest]
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
+    return {"files": len(manifest), "scanned": len(built),
             "bytes": sum(len(b) for b in blobs.values())}
 
 
@@ -478,6 +517,163 @@ def read_corpus(spark: SparkSession, path: str,
     for c, v in prune_eq.items():
         df = df.where(F.col(c) == F.lit(v))
     return df
+
+
+CLUSTERED_PREFIX = "clustered-"
+
+
+def optimize_corpus(spark: SparkSession, path: str,
+                    cluster_by=None, bloom_cols=None,
+                    target_bytes: int = 128 * 1024 * 1024,
+                    small_ratio: float = 0.5,
+                    bits: int = 16, curve: str = "auto",
+                    fpp: float = 0.01,
+                    bloom_max_bits: int = 1 << 20) -> dict:
+    """ONE incremental maintenance pass over a parquet corpus — the
+    entry point a 100 TB table actually runs (nightly, or after each
+    append window), instead of wiring compaction, clustering, manifest
+    refresh and Bloom attachment as four separate calls:
+
+    1. **Cluster + compact the unoptimized tail.** Files written by
+       appends/streaming (any name not starting with ``clustered-``),
+       plus accumulated SMALL clustered files (< ``small_ratio x
+       target_bytes``, when a directory has at least two — merging
+       re-clusters them, so locality is preserved, unlike blind
+       bin-packing), are read per directory (hive partition values
+       stay directory-encoded), re-keyed on the space-filling curve,
+       and rewritten as ~``target_bytes`` ``clustered-*`` files.
+       Work is proportional to the UNOPTIMIZED tail: right-sized
+       clustered files are never re-read. Without ``cluster_by`` the
+       pass degrades to plain :func:`compact_corpus` bin-packing.
+    2. **Curve bounds are pinned corpus-wide**: taken from the
+       manifest's global min/max when available (no scan), else one
+       aggregate — so every pass, and every future append pass, lands
+       on the SAME curve and files stay mutually range-disjoint.
+       ``curve="auto"`` picks Hilbert for 2+ columns (tighter boxes;
+       layout.hilbert_key / hilbert_key_nd) and Z-order for 1;
+       ``bits`` auto-shrinks so ``bits x len(cols) < 63``.
+    3. **Manifest refresh, incremental** (:func:`update_manifest`):
+       only the files this pass wrote are scanned; rewritten files
+       drop out as ghosts. Tracked columns = existing manifest set,
+       else ``cluster_by`` ∪ ``bloom_cols``.
+    4. **Bloom refresh, incremental** (:func:`add_bloom_to_manifest`):
+       untouched files keep their bits; only the new files' blooms are
+       built.
+
+    Like compact_corpus, this is an offline pass (run when no writer
+    is live); a crash between write-in and delete-old can duplicate a
+    directory's rows for a concurrent reader but never lose them.
+
+    Returns ``{"files_before", "files_after", "rewritten",
+    "clustered_files", "bytes_rewritten", "manifest", "blooms"}``.
+    """
+    bloom_cols = ([bloom_cols] if isinstance(bloom_cols, str)
+                  else list(bloom_cols or []))
+    cluster_by = ([cluster_by] if isinstance(cluster_by, str)
+                  else list(cluster_by or []))
+    jvm = spark._jvm
+    fs, root = _hadoop_fs(spark, path)
+
+    manifest_cols = None
+    try:
+        man = spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+        manifest_cols = [f.name[4:] for f in man.schema.fields
+                         if f.name.startswith("min_")]
+    except Exception:  # noqa: BLE001 — no manifest yet
+        man = None
+    tracked = manifest_cols or sorted(set(cluster_by) | set(bloom_cols))
+
+    out = {"rewritten": 0, "bytes_rewritten": 0, "clustered_files": 0}
+    if not cluster_by:
+        res = compact_corpus(spark, path, target_bytes=target_bytes,
+                             small_ratio=small_ratio,
+                             manifest_cols=tracked or None)
+        out.update(files_before=res["files_before"],
+                   files_after=res["files_after"],
+                   rewritten=res["bins"],
+                   bytes_rewritten=res["bytes_compacted"])
+    else:
+        bits = min(bits, 62 // len(cluster_by))
+        from .layout import cluster_by_hilbert, cluster_by_zorder
+        if curve == "auto":
+            curve = "hilbert" if len(cluster_by) >= 2 else "zorder"
+        cluster = (cluster_by_hilbert if curve == "hilbert"
+                   else cluster_by_zorder)
+        # corpus-wide curve bounds: manifest first, one aggregate else
+        if man is not None and all(c in manifest_cols
+                                   for c in cluster_by):
+            row = man.agg(*[f(f"{p}_{c}").alias(f"{p}_{c}")
+                            for c in cluster_by
+                            for p, f in (("min", F.min),
+                                         ("max", F.max))]).collect()[0]
+            bounds = {c: (row[f"min_{c}"], row[f"max_{c}"])
+                      for c in cluster_by}
+        else:
+            row = spark.read.parquet(path).agg(
+                *[f(c).alias(f"{p}_{c}") for c in cluster_by
+                  for p, f in (("min", F.min), ("max", F.max))]) \
+                .collect()[0]
+            bounds = {c: (row[f"min_{c}"], row[f"max_{c}"])
+                      for c in cluster_by}
+
+        by_dir = _walk_parquet_files(fs, root)
+        files_before = sum(len(fl) for _, fl in by_dir)
+        tmp = f"{path}/_optimize_tmp"
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        seq = 0
+        for dirname, fl in by_dir:
+            fresh = [(f, sz) for f, sz in fl
+                     if not f.rsplit("/", 1)[-1]
+                     .startswith(CLUSTERED_PREFIX)]
+            small_clustered = [
+                (f, sz) for f, sz in fl
+                if f.rsplit("/", 1)[-1].startswith(CLUSTERED_PREFIX)
+                and sz < target_bytes * small_ratio]
+            if len(small_clustered) < 2:
+                small_clustered = []    # a lone small file gains nothing
+            todo = fresh + small_clustered
+            if not todo:
+                continue
+            todo_files = [f for f, _ in todo]
+            todo_bytes = sum(sz for _, sz in todo)
+            n_parts = max(1, -(-todo_bytes // target_bytes))
+            batch = spark.read.parquet(*todo_files)
+            (cluster(batch, cluster_by, bits=bits,
+                     num_partitions=n_parts, bounds=bounds)
+             .write.mode("overwrite").parquet(f"{tmp}/d{seq}"))
+            moved = 0
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(
+                    f"{tmp}/d{seq}")):
+                nm = st.getPath().getName()
+                if st.isFile() and nm.endswith(".parquet"):
+                    dest = jvm.org.apache.hadoop.fs.Path(
+                        f"{dirname}/{CLUSTERED_PREFIX}{seq:05d}-{nm}")
+                    if not _fs_rename(fs, st.getPath(), dest):
+                        raise IOError(
+                            f"optimize_corpus: rename {st.getPath()} "
+                            f"-> {dest} failed; directory {dirname}'s "
+                            "original files are left intact")
+                    moved += 1
+            for f in todo_files:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+            out["rewritten"] += len(todo_files)
+            out["bytes_rewritten"] += todo_bytes
+            out["clustered_files"] += moved
+            seq += 1
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        out["files_before"] = files_before
+        out["files_after"] = (files_before - out["rewritten"]
+                              + out["clustered_files"])
+
+    if tracked:
+        out["manifest"] = update_manifest(spark, path, tracked)
+        out["blooms"] = {c: add_bloom_to_manifest(
+            spark, path, c, fpp=fpp, max_bits=bloom_max_bits)
+            for c in bloom_cols}
+    else:
+        out["manifest"] = None
+        out["blooms"] = {}
+    return out
 
 
 def write_bucketed(df: DataFrame, table_name: str, bucket_cols,

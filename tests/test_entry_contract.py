@@ -29,15 +29,18 @@ def test_registry_size_and_oracle_parity():
     assert set(qs) == set(oracles)
 
 
+_ALL_FOLDS = {**entry_mod._R11_FOLDS, **entry_mod._R12_FOLDS}
+
+
 def test_fold_map_matches_registry():
     qs = set(entry_mod.queries())
-    for comp, parts in entry_mod._R11_FOLDS.items():
+    for comp, parts in _ALL_FOLDS.items():
         assert comp in qs
         for part in parts:
             assert part not in qs, f"{part} folded into {comp} but still registered"
 
 
-@pytest.mark.parametrize("comp", sorted(entry_mod._R11_FOLDS))
+@pytest.mark.parametrize("comp", sorted(_ALL_FOLDS))
 def test_composite_metric_names_disjoint(spark, comp):
     df = entry_mod.queries()[comp](spark, SF)
     assert df.columns == ["metric", "value"]
