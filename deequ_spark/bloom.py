@@ -148,7 +148,8 @@ def bloom_shape(expected_items: int, fpp: float = 0.01,
 def build_bloom(df: DataFrame, key_col: str,
                 expected_items: Optional[int] = None,
                 fpp: float = 0.01,
-                max_bits: int = _MAX_BITS_DEFAULT) -> dict:
+                max_bits: int = _MAX_BITS_DEFAULT,
+                shape: "Optional[tuple[int, int]]" = None) -> dict:
     """Build a Bloom filter over a key column, DISTRIBUTED: the corpus
     never funnels through the driver — k positions per row explode
     map-side, ONE ``groupBy(word)``/``bit_or`` shuffle of at most m/64
@@ -163,12 +164,27 @@ def build_bloom(df: DataFrame, key_col: str,
     ``"type"`` in the returned dict, so probes — expression-side
     (:func:`bloom_might_contain` casts the same way through the join
     helpers) and driver-side (:func:`bloom_contains_py` dispatches on
-    it) — always hash the bits the build wrote."""
+    it) — always hash the bits the build wrote.
+
+    Pass ``shape=(m, k)`` to PIN the bitmap geometry instead of sizing
+    it from ``expected_items`` — required when the result will be
+    OR-merged into an existing bloom (:func:`merge_blooms`): two
+    bitmaps only union bitwise if they were built with identical m, k
+    and key type. ``m`` must be a whole number of 56-bit blocks."""
     canon, ktype = _canon_key(df, key_col)
     df = df.select(canon.alias(key_col))
-    if expected_items is None:
-        expected_items = df.where(F.col(key_col).isNotNull()).count()
-    m, k = bloom_shape(expected_items, fpp, max_bits)
+    if shape is not None:
+        m, k = shape
+        if m % _BLOCK_BITS or m <= 0:
+            raise ValueError(f"pinned m={m} is not a positive multiple "
+                             f"of {_BLOCK_BITS}")
+        if expected_items is None:
+            expected_items = df.where(F.col(key_col).isNotNull()).count()
+    else:
+        if expected_items is None:
+            expected_items = df.where(
+                F.col(key_col).isNotNull()).count()
+        m, k = bloom_shape(expected_items, fpp, max_bits)
     n_words = m // _BLOCK_BITS
     w, bits = _word_and_bits(F.col(key_col), k, n_words)
     words = (df.where(F.col(key_col).isNotNull())
@@ -192,32 +208,76 @@ def build_bloom(df: DataFrame, key_col: str,
             "m": m, "k": k, "n": int(expected_items), "type": ktype}
 
 
-def bloom_might_contain(bloom: dict, key: Column) -> Column:
-    """Pure-expression membership probe: true when every one of the k
-    positions is set. No false negatives; false positives at the
-    built fpp. NULL keys probe NULL (three-valued, like SQL IN)."""
-    m, k = bloom["m"], bloom["k"]
-    # BINARY literal, not string or array: one py4j transfer, one plan
-    # node, and substring on BinaryType is BYTE-addressed O(1) — on a
-    # StringType literal it counts code points, i.e. WALKS the bitmap
-    # to the offset (measured ~65us/row on a 72KB bitmap); an
-    # array<long> literal converts element-wise through py4j (seconds)
-    # and plans as a CreateArray with thousands of children
-    lit_raw = F.lit(bloom["raw"])
+def merge_blooms(a: dict, b: dict) -> dict:
+    """Union two blooms built with IDENTICAL geometry (same m, k, key
+    type — :func:`build_bloom` with a pinned ``shape``): the bitwise OR
+    of the bitmaps represents the union of the key sets exactly (still
+    no false negatives; fpp rises with total n, toward useless-but-
+    never-wrong saturation past the design capacity). This is what
+    makes a bloom maintainable INCREMENTALLY: an append builds a
+    same-shape bloom over just its own keys and ORs it in — no rescan
+    of history."""
+    if (a["m"], a["k"]) != (b["m"], b["k"]) \
+            or a.get("type") != b.get("type"):
+        raise ValueError(
+            f"bloom geometries differ: ({a['m']}, {a['k']}, "
+            f"{a.get('type')}) vs ({b['m']}, {b['k']}, "
+            f"{b.get('type')}); only same-shape blooms union bitwise")
+    raw = bytes(x | y for x, y in zip(a["raw"], b["raw"]))
+    n_words = a["m"] // _BLOCK_BITS
+    dense = [int.from_bytes(raw[i * 7:i * 7 + 7], "big")
+             for i in range(n_words)]
+    return {"bits": dense, "raw": raw, "m": a["m"], "k": a["k"],
+            "n": a["n"] + b["n"], "type": a.get("type")}
+
+
+def bloom_probe_expr(raw: Column, m: int, k: int, key: Column) -> Column:
+    """Membership probe against a bitmap COLUMN (raw 7-byte blocks as
+    produced by :func:`build_bloom`): true when every one of the k
+    positions is set. No false negatives; false positives at the built
+    fpp. NULL keys probe NULL (three-valued, like SQL IN).
+
+    Taking the bitmap as a Column (not baked-in bytes) lets callers
+    keep MEGABYTE bitmaps out of the plan: reference a persisted 1-row
+    bloom table through a scalar subquery (``F.expr("(SELECT
+    first(raw) FROM v)")``) and the plan carries a subquery node
+    instead of a literal that every plan-description render hex-prints
+    (llm/incremental.py's classify pre-filter does exactly this)."""
     w, bits = _word_and_bits(key, k, m // _BLOCK_BITS)
     # the key's single 56-bit block, read ONCE per row: 7 bytes -> 14
     # hex chars -> one conv(), always < 2^56 so ANSI long math is safe
     word_val = F.conv(
-        F.hex(F.substring(lit_raw, (w * 7).cast("int") + F.lit(1), 7)),
+        F.hex(F.substring(raw, (w * 7).cast("int") + F.lit(1), 7)),
         16, 10).cast("long")
-    checks = []
+    # ONE reference to the block (and so to the bitmap literal): the k
+    # bit tests fold into a mask — all bits set iff block & mask ==
+    # mask. k separate shiftright tests would each duplicate word_val,
+    # putting k copies of the (up to 2 MB) literal in the plan; plan
+    # RENDERING (AQE execution-update descriptions hex-print binary
+    # literals) then multiplies that by every operator the probe
+    # appears under — measured OOMing a 1 GB driver on a 1.6 MB bloom.
+    mask = None
     for b in bits:
-        checks.append(F.call_function(
-            "shiftright", word_val, b).bitwiseAND(F.lit(1)) == 1)
-    out = checks[0]
-    for c in checks[1:]:
-        out = out & c
+        one = F.call_function("shiftleft", F.lit(1).cast("long"), b)
+        mask = one if mask is None else mask.bitwiseOR(one)
+    out = word_val.bitwiseAND(mask) == mask
     return F.when(key.isNull(), F.lit(None).cast("boolean")).otherwise(out)
+
+
+def bloom_might_contain(bloom: dict, key: Column) -> Column:
+    """:func:`bloom_probe_expr` with the bitmap embedded as a BINARY
+    literal — the right form for bitmaps up to a few hundred KB (one
+    py4j transfer, one plan node; substring on BinaryType is
+    BYTE-addressed O(1), where a StringType literal counts code points
+    and WALKS the bitmap to the offset — measured ~65us/row on a 72KB
+    bitmap — and an array<long> literal converts element-wise through
+    py4j and plans as a CreateArray with thousands of children). For
+    megabyte bitmaps prefer the scalar-subquery form in
+    :func:`bloom_probe_expr` — plan renders hex-print binary literals,
+    and a large literal replicated across stages measurably drags (or
+    at worst OOMs) the driver."""
+    return bloom_probe_expr(F.lit(bloom["raw"]), bloom["m"], bloom["k"],
+                            key)
 
 
 def _probe_hash_value(value, ktype):

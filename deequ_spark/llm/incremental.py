@@ -120,6 +120,56 @@ def _delete(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, False)
 
 
+# design floor for the fps bloom capacity (so early appends don't
+# saturate a batch-sized bitmap): 128k keys ≈ 200 KB of bitmap. Sizing
+# is 4x the current key count on every (re)build, so capacity renews
+# at each compaction; past capacity the bloom saturates toward
+# prune-nothing but stays CORRECT (no false negatives). Ceiling math:
+# the 2^24-bit plan-literal cap holds ~1.3M keys at the nominal 1% fpp
+# and still prunes ~half of a fresh batch at ~10M keys (m/n ≈ 1.7,
+# k >= 1) — beyond that the pre-filter fades gracefully while the
+# exact join keeps results identical.
+_BLOOM_FLOOR_KEYS = 1 << 17
+
+
+def _bloom_shape_for(n: int) -> "tuple[int, int]":
+    from ..bloom import _MAX_BITS_HARD, bloom_shape
+    return bloom_shape(max(int(n) * 4, _BLOOM_FLOOR_KEYS),
+                       fpp=0.01, max_bits=_MAX_BITS_HARD)
+
+
+def _write_fps_bloom(spark: SparkSession, path: str, bloom: dict) -> None:
+    row = [(bytearray(bloom["raw"]), int(bloom["k"]), int(bloom["m"]),
+            int(bloom["n"]), bloom.get("type"))]
+    spark.createDataFrame(
+        row, "raw binary, k int, m long, n long, type string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{path}/fps_bloom")
+
+
+def _read_fps_bloom(spark: SparkSession, path: str):
+    """The index's fingerprint Bloom dict, or None (legacy index — the
+    classify join simply runs unfiltered; compact_dedup_index builds
+    the bloom on its next run)."""
+    if not _path_exists(spark, f"{path}/fps_bloom"):
+        return None
+    r = spark.read.parquet(f"{path}/fps_bloom").collect()[0]
+    return {"raw": bytes(r["raw"]), "k": int(r["k"]), "m": int(r["m"]),
+            "n": int(r["n"]), "type": r["type"]}
+
+
+def _fps_bloom_geometry(spark: SparkSession, path: str):
+    """(m, k) of the index's fingerprint Bloom WITHOUT pulling the
+    bitmap to the driver, or None. The classify pre-filter needs only
+    the geometry — the bits themselves stay in the fps_bloom table and
+    reach the probe through a scalar subquery."""
+    if not _path_exists(spark, f"{path}/fps_bloom"):
+        return None
+    r = spark.read.parquet(f"{path}/fps_bloom").select("m", "k") \
+        .collect()[0]
+    return int(r["m"]), int(r["k"])
+
+
 def _write_index_table(df: DataFrame, path: str, table: str,
                        bucket_cols, n_buckets: int, mode: str) -> None:
     """Write one index table bucketed by its join keys; on append,
@@ -241,15 +291,48 @@ def write_dedup_index(df: DataFrame, id_col: str, text_col: str,
     fps = df.select(F.col(id_col).alias("id"),
                     fingerprint(F.col(text_col)).alias("fingerprint"))
     docs = fps.join(sigs, "id").select("id", "fingerprint", "signature")
-    # docs feeds three derived writes — compute signatures once
+    # docs feeds four derived writes — compute signatures once
     docs = docs.persist()
     try:
+        # fingerprint Bloom (the classify pre-filter's bits): built
+        # FIRST, before any index write. The batch `df` is often a
+        # lazy classify plan over this very index (crawl loop); the
+        # appends below modify the directories/catalog entries that
+        # plan reads, and Spark's recache-by-path would then RE-RUN it
+        # against the grown index — the batch matches itself, the
+        # bloom gets built over zero rows, and every one of the
+        # batch's fingerprints becomes a future FALSE NEGATIVE (a
+        # later identical doc would be bloom-certified fresh and
+        # re-ingested). Counting here materializes the persisted docs
+        # so everything below reads the cache. Overwrite sizes from
+        # this batch (with a capacity floor); append builds a
+        # same-shape bloom over just the batch's keys and ORs it in —
+        # per-batch cost stays proportional to the batch, never the
+        # index (merge_blooms docstring).
+        from ..bloom import build_bloom, merge_blooms
+        existing = (_read_fps_bloom(spark, path)
+                    if mode == "append" else None)
+        if mode == "overwrite" or existing is not None:
+            n_batch = docs.where(
+                F.col("fingerprint").isNotNull()).count()
+            shape = ((existing["m"], existing["k"]) if existing
+                     else _bloom_shape_for(n_batch))
+            batch_bloom = build_bloom(docs.select("fingerprint"),
+                                      "fingerprint",
+                                      expected_items=n_batch,
+                                      shape=shape)
+        else:
+            batch_bloom = None
         docs.write.mode(mode).parquet(f"{path}/docs")
         _write_index_table(
             docs.groupBy("fingerprint").agg(F.min("id").alias("matched_id")),
             path, "fps", "fingerprint", n_buckets, mode)
         _write_index_table(_bucket_rows(docs, bands, partner_cap),
                            path, "buckets", ["band", "bh"], n_buckets, mode)
+        if batch_bloom is not None:
+            _write_fps_bloom(spark, path,
+                             merge_blooms(existing, batch_bloom)
+                             if existing else batch_bloom)
     finally:
         docs.unpersist()
     meta = df.sparkSession.createDataFrame(
@@ -287,6 +370,16 @@ def compact_dedup_index(spark: SparkSession, path: str) -> None:
                        meta["n_buckets"], "overwrite")
     _write_index_table(buckets, path, "buckets", ["band", "bh"],
                        meta["n_buckets"], "overwrite")
+    # re-size the fingerprint Bloom from the ACTUAL compacted key count
+    # (appends OR into a fixed-shape bitmap, drifting toward saturation
+    # past its design capacity; compaction is the re-sizing point) —
+    # this also retrofits the bloom onto a pre-r12 index
+    from ..bloom import build_bloom
+    n = fps.count()
+    _write_fps_bloom(spark, path,
+                     build_bloom(fps.select("fingerprint"),
+                                 "fingerprint", expected_items=n,
+                                 shape=_bloom_shape_for(n)))
 
 
 def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
@@ -341,6 +434,46 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
 
     new_fp = new_df.select(F.col(id_col).alias("id"),
                            fingerprint(F.col(text_col)).alias("fingerprint"))
+    # Bloom pre-filter (r12): the index's fingerprint bloom answers
+    # "could this batch row match history" map-side, BEFORE the join's
+    # exchange — a mostly-fresh crawl batch ships only its bloom-
+    # positive sliver into the fps join (and when that sliver is
+    # empty, AQE's empty-relation propagation skips the index scan
+    # entirely). A Bloom no is a certain no, so the join result is
+    # unchanged; false positives are removed by the exact join.
+    geom = None if legacy else _fps_bloom_geometry(spark, index_path)
+    if geom is not None:
+        from ..bloom import bloom_probe_expr
+        # the bitmap reaches the probe through a SCALAR SUBQUERY over
+        # the persisted 1-row fps_bloom table, never as a plan
+        # literal: a megabyte bitmap literal replicated across the
+        # classify's stages (and re-injected onto the fps scan by
+        # constraint inference) measured ~2.5s extra per action at a
+        # 10x index and OOMed plan-description rendering outright; the
+        # subquery executes once per query, the plan carries bytes of
+        # subquery node, and the batch-side filter stays a lazy
+        # map-only predicate
+        view = f"dedup_fps_bloom_{hashlib.md5(index_path.encode('utf-8')).hexdigest()[:12]}"
+        spark.read.parquet(f"{index_path}/fps_bloom") \
+            .createOrReplaceTempView(view)
+        m, k = geom
+        # the probed key is fingerprint + long(rand·0) — a runtime
+        # no-op whose ONLY job is making the predicate
+        # nondeterministic: a deterministic filter becomes a
+        # constraint that InferFiltersFromConstraints copies across
+        # the join equality onto the fps INDEX scan, where the probe
+        # would run per index row (plus a subquery execution per
+        # inferred site), making classify CPU scale with the INDEX
+        # when the whole design is batch-proportional. (A constant-
+        # true `when(rand()≥-1, probe)` guard does NOT work:
+        # SimplifyConditionalsInPredicate rewrites it into a
+        # conjunction and re-extracts the deterministic probe.)
+        noised = F.col("fingerprint") + \
+            (F.rand(0) * F.lit(0.0)).cast("long")
+        new_fp = new_fp.where(F.coalesce(
+            bloom_probe_expr(F.expr(f"(SELECT first(raw) FROM {view})"),
+                             m, k, noised),
+            F.lit(False)))
     # fps is pre-aggregated to one row per fingerprint at write time;
     # an append-grown index may hold one row per appended batch — the
     # fan-out is bounded by the append count, and min-of-mins below

@@ -890,6 +890,77 @@ class TestIncrementalDedup:
             dedup_against_index(new, "doc_id", "text", path,
                                 num_hashes=64, bands=128)
 
+    def test_fps_bloom_written_and_merged_on_append(self, spark,
+                                                    tmp_path):
+        """r12: write_dedup_index persists the fingerprint Bloom;
+        append builds a same-shape bloom over just the batch and ORs
+        it in (n grows, geometry fixed)."""
+        from deequ_spark.llm import dedup_against_index, \
+            write_dedup_index
+        from deequ_spark.llm.incremental import _read_fps_bloom
+        path = self._index(spark, tmp_path)
+        b0 = _read_fps_bloom(spark, path)
+        assert b0 is not None and b0["n"] == len(self.BASE)
+        assert b0["type"] == "long"
+        batch = spark.createDataFrame(
+            [(60, "appended novel doc about glaciers calving into a "
+                  "fjord under the midnight sun with seabirds")],
+            "doc_id long, text string")
+        fresh, _ = dedup_against_index(batch, "doc_id", "text", path)
+        write_dedup_index(fresh, "doc_id", "text", path, mode="append")
+        b1 = _read_fps_bloom(spark, path)
+        assert (b1["m"], b1["k"]) == (b0["m"], b0["k"])
+        assert b1["n"] == b0["n"] + 1
+        # OR-merge: every bit of b0 survives
+        assert all((x & y) == x for x, y in zip(b0["raw"], b1["raw"]))
+
+    def test_classify_identical_with_and_without_bloom(self, spark,
+                                                       tmp_path):
+        """The bloom is a pure pre-filter: deleting it must not change
+        a single classification (it only costs the fps join more
+        input)."""
+        import shutil
+
+        from deequ_spark.llm import dedup_against_index
+        path = self._index(spark, tmp_path)
+        new = spark.createDataFrame([
+            (70, self.BASE[0][1]),                       # exact
+            (71, self.BASE[1][1].replace("query", "job")),  # near
+            (72, "wholly fresh content lighthouse meridian tundra "
+                 "quasar bassoon parchment ember citadel harvest"),
+        ], "doc_id long, text string")
+        fresh_b, dups_b = dedup_against_index(new, "doc_id", "text",
+                                              path, threshold=0.5)
+        got_b = sorted((r["id"], r["match_kind"], r["matched_id"])
+                       for r in dups_b.collect())
+        fresh_b = sorted(r["doc_id"] for r in fresh_b.collect())
+        shutil.rmtree(f"{path}/fps_bloom")
+        fresh_n, dups_n = dedup_against_index(new, "doc_id", "text",
+                                              path, threshold=0.5)
+        got_n = sorted((r["id"], r["match_kind"], r["matched_id"])
+                       for r in dups_n.collect())
+        assert got_b == got_n
+        assert fresh_b == sorted(r["doc_id"] for r in fresh_n.collect())
+
+    def test_compact_retrofits_bloom_onto_bloomless_index(self, spark,
+                                                          tmp_path):
+        import shutil
+
+        from deequ_spark.llm import dedup_against_index
+        from deequ_spark.llm.incremental import (_read_fps_bloom,
+                                                 compact_dedup_index)
+        path = self._index(spark, tmp_path)
+        shutil.rmtree(f"{path}/fps_bloom")      # simulate pre-r12 index
+        assert _read_fps_bloom(spark, path) is None
+        compact_dedup_index(spark, path)
+        b = _read_fps_bloom(spark, path)
+        assert b is not None and b["n"] == len(self.BASE)
+        new = spark.createDataFrame([(80, self.BASE[0][1])],
+                                    "doc_id long, text string")
+        _, dups = dedup_against_index(new, "doc_id", "text", path)
+        [r] = dups.collect()
+        assert r["match_kind"] == "exact" and r["matched_id"] == 1
+
     def test_plain_append_invalidates_bucketed_catalog(self, spark,
                                                        tmp_path):
         """r9 review fix: appending plain parquet files into a
