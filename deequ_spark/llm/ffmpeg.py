@@ -46,6 +46,46 @@ def ffmpeg_available(binary: str = "ffmpeg") -> bool:
     return shutil.which(binary) is not None
 
 
+class _FfmpegFrameDecoder:
+    """Picklable ``frame_decoder(payload, ts_ms) -> bytes | None``
+    (module-level class + primitive fields: plain ``pickle`` works, not
+    just Spark's cloudpickle — pinned by tests/test_ffmpeg_hook.py)."""
+
+    def __init__(self, resolved: str, output_format: str,
+                 scale_width: Optional[int], timeout_s: float) -> None:
+        self.resolved = resolved
+        self.output_format = output_format
+        self.scale_width = scale_width
+        self.timeout_s = timeout_s
+
+    def __call__(self, payload: bytes, ts_ms: float) -> Optional[bytes]:
+        if not payload:
+            return None
+        fd, path = tempfile.mkstemp(prefix="dq_ffdec_")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(payload)
+            cmd = [self.resolved, "-v", "error", "-nostdin",
+                   "-ss", f"{max(ts_ms, 0.0) / 1000.0:.6f}",
+                   "-i", path,
+                   "-frames:v", "1"]
+            if self.scale_width:
+                cmd += ["-vf", f"scale={int(self.scale_width)}:-2"]
+            cmd += ["-f", "image2", "-c:v", self.output_format, "pipe:1"]
+            proc = subprocess.run(cmd, capture_output=True,
+                                  timeout=self.timeout_s)
+            if proc.returncode != 0 or not proc.stdout:
+                return None            # undecodable blob: row, not task
+            return proc.stdout
+        except (subprocess.TimeoutExpired, OSError):
+            return None
+        finally:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+
+
 def make_ffmpeg_frame_decoder(binary: str = "ffmpeg",
                               output_format: str = "bmp",
                               scale_width: Optional[int] = None,
@@ -53,8 +93,8 @@ def make_ffmpeg_frame_decoder(binary: str = "ffmpeg",
                               ) -> Callable[[bytes, float], Optional[bytes]]:
     """Build a ``frame_decoder(payload, ts_ms) -> bytes | None`` hook.
 
-    The returned closure is picklable (top-level module function +
-    captured primitives), so it ships to executors like any other
+    The returned callable is plain-picklable (module-level class +
+    primitive fields), so it ships to executors like any other
     ``mapInPandas`` closure. ``output_format`` picks the still-image
     encoder for the returned bytes (``bmp`` round-trips through this
     repo's own ``decode_bmp``); ``scale_width`` optionally downsizes
@@ -71,32 +111,5 @@ def make_ffmpeg_frame_decoder(binary: str = "ffmpeg",
             f"ffmpeg binary {binary!r} not found on PATH; install ffmpeg "
             "or pass a different frame_decoder (this hook is the "
             "documented codec boundary of sample_video_frames)")
-
-    def decode(payload: bytes, ts_ms: float) -> Optional[bytes]:
-        if not payload:
-            return None
-        fd, path = tempfile.mkstemp(prefix="dq_ffdec_")
-        try:
-            with os.fdopen(fd, "wb") as fh:
-                fh.write(payload)
-            cmd = [resolved, "-v", "error", "-nostdin",
-                   "-ss", f"{max(ts_ms, 0.0) / 1000.0:.6f}",
-                   "-i", path,
-                   "-frames:v", "1"]
-            if scale_width:
-                cmd += ["-vf", f"scale={int(scale_width)}:-2"]
-            cmd += ["-f", "image2", "-c:v", output_format, "pipe:1"]
-            proc = subprocess.run(cmd, capture_output=True,
-                                  timeout=timeout_s)
-            if proc.returncode != 0 or not proc.stdout:
-                return None            # undecodable blob: row, not task
-            return proc.stdout
-        except (subprocess.TimeoutExpired, OSError):
-            return None
-        finally:
-            try:
-                os.unlink(path)
-            except OSError:
-                pass
-
-    return decode
+    return _FfmpegFrameDecoder(resolved, output_format, scale_width,
+                               timeout_s)

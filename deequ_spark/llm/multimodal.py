@@ -6,18 +6,24 @@ Decoders: the heavyweight media libraries (PIL/ffmpeg/librosa) are NOT in
 this container, so the REAL decode path covers the spec-implementable
 formats — uncompressed BMP (``struct`` header parsing + numpy pixel
 reshape), non-interlaced 8-bit PNG (``zlib`` inflate + the five PNG
-scanline filters), BASELINE sequential JPEG (own T.81 Huffman + numpy
-IDCT decoder, see ``jpeg.py``), GIF87a/89a (own LZW decoder incl.
-interlace, see ``gif.py``) and PCM WAV (``wave`` module) — plus
-matching encoders so the round-trips are testable without any native
-codec. The remaining formats (progressive jpeg/mp3/mp4) raise
-NotImplementedError from the DECODERS at the documented integration
-point — but all of them still yield header-only metadata through
-``probe_media`` (JPEG SOFn dims, MP3 frame-header/Xing duration, MP4
-box tree), which is the pass a routing pipeline actually needs; a
-deterministic fake decoder additionally exercises the Spark-side
-plumbing (schema, batching, partitioning, UDF signature) independent of
-any format.
+scanline filters), full T.81 JPEG — BASELINE sequential AND progressive
+(own Huffman + successive-approximation/spectral-selection passes +
+numpy IDCT, see ``jpeg.py``), GIF87a/89a incl. animated-frame
+compositing (own LZW decoder incl. interlace, disposal methods 1/2/3,
+see ``gif.py``) and PCM WAV (``wave`` module) — plus matching encoders
+so the round-trips are testable without any native codec. Compressed
+AUDIO/VIDEO payloads (MP3 PCM, MP4 H.26x) are the one genuinely
+out-of-scope decode: they raise NotImplementedError from the DECODERS
+at the documented integration point (``llm/ffmpeg.py``'s
+make_ffmpeg_frame_decoder is the drop-in hook when a real ffmpeg binary
+exists) — but both still yield rich metadata WITHOUT decoding: header
+probes (``probe_media``: MP3 frame-header/Xing duration, MP4 box tree),
+per-frame profilers (``mp3_frame_profile`` VBR walk, ``mp4_sample_
+profile`` stbl tables, ID3v2 tags) and container-level frame/keyframe
+SAMPLING (stss-snapped seeks), which is the pass a routing pipeline
+actually needs; a deterministic fake decoder additionally exercises the
+Spark-side plumbing (schema, batching, partitioning, UDF signature)
+independent of any format.
 
 Scale notes: mapInPandas streams Arrow record batches — memory is bounded
 by ``spark.sql.execution.arrow.maxRecordsPerBatch``; set it low (e.g. 64)
@@ -183,7 +189,7 @@ def decode_image(data: bytes):
     numpy IDCT, grayscale/4:4:4/4:2:0, restart markers) — no PIL/opencv
     needed. Returns ``(height, width, channels, pixels)`` where
     ``pixels`` is a (height, width, channels) uint8 array in top-down
-    row order. Progressive JPEG and other compressed formats raise
+    row order. Formats outside these four (TIFF, WebP, ...) raise
     NotImplementedError at the documented PIL integration point."""
     if data[:8] == PNG_SIGNATURE:
         return decode_png(data)
