@@ -694,9 +694,39 @@ def tune_band_shape(n_rows: int, threshold: float,
     return planes, max(bands, 1)
 
 
+def _local_components(rows, id_a: str, id_b: str) -> dict:
+    """Union-find (min-id roots, path-halving) over collected edge rows
+    → {id: min reachable id}. The labeling is EXACTLY the fixpoint the
+    distributed loop converges to."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for row in rows:
+        a, b = row[id_a], row[id_b]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root: the root of every tree is the smallest
+            # id of its component, so find() IS the component label
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {v: find(v) for v in parent}
+
+
 def near_duplicate_components(pairs: DataFrame, id_a: str = "id_a",
                               id_b: str = "id_b",
-                              max_iterations: int = 20) -> DataFrame:
+                              max_iterations: int = 20,
+                              local_max_edges: Optional[int] = None
+                              ) -> DataFrame:
     """Connected components over a near-duplicate pair graph → (id,
     component) where component = MIN id reachable from the node.
 
@@ -707,8 +737,35 @@ def near_duplicate_components(pairs: DataFrame, id_a: str = "id_a",
     ≤ 2-3) converge in 2-3. Per round: two join shuffles + one groupBy,
     lineage cut with localCheckpoint so plans stay bounded. The pair graph
     is |pairs| edges — tiny next to the corpus at any scale.
-    """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+
+    SIZE-ADAPTIVE fast path (r12, guide §1.2: the distributed loop costs
+    2 joins + a groupBy + a convergence count PER ROUND — ~6-9 jobs of
+    pure scheduling overhead on a graph of a few hundred edges): when
+    the pair graph has at most ``local_max_edges`` edges (default from
+    Spark conf ``spark.deequ.dedup.ccLocalMaxEdges``, 200k — a few MB
+    of driver memory, milliseconds of union-find), the components are
+    computed driver-side with the IDENTICAL min-label result. The
+    probe is a bounded ``limit(n+1).collect()`` — never an unbounded
+    collect — and past the bound the distributed loop runs as before
+    (a 100 TB duplicate graph has billions of edges and stays out of
+    the driver)."""
+    edges_in = pairs.select(F.col(id_a).alias(id_a), F.col(id_b).alias(id_b))
+    spark = pairs.sparkSession
+    if local_max_edges is None:
+        local_max_edges = int(spark.conf.get(
+            "spark.deequ.dedup.ccLocalMaxEdges", str(200_000)))
+    if local_max_edges > 0:
+        probe = edges_in.limit(local_max_edges + 1).collect()
+        if len(probe) <= local_max_edges:
+            labels = _local_components(probe, id_a, id_b)
+            from pyspark.sql import types as T
+            id_type = pairs.schema[id_a].dataType
+            schema = T.StructType([T.StructField("id", id_type),
+                                   T.StructField("component", id_type)])
+            return spark.createDataFrame(
+                sorted(labels.items()), schema)
+    edges = edges_in.select(F.col(id_a).alias("src"),
+                            F.col(id_b).alias("dst"))
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
              .distinct().localCheckpoint(eager=False))

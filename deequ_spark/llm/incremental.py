@@ -61,7 +61,7 @@ it is appending to, and the first batch bootstraps the index with an
 from __future__ import annotations
 
 import hashlib
-from typing import Tuple
+from typing import Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -158,16 +158,52 @@ def _read_fps_bloom(spark: SparkSession, path: str):
             "n": int(r["n"]), "type": r["type"]}
 
 
-def _fps_bloom_geometry(spark: SparkSession, path: str):
-    """(m, k) of the index's fingerprint Bloom WITHOUT pulling the
-    bitmap to the driver, or None. The classify pre-filter needs only
-    the geometry — the bits themselves stay in the fps_bloom table and
-    reach the probe through a scalar subquery."""
-    if not _path_exists(spark, f"{path}/fps_bloom"):
+def _dir_state(spark: SparkSession, path: str):
+    """Content fingerprint of one table directory — (name, mtime, len)
+    per file via a single FileSystem listStatus — or None when absent.
+    Keys the metadata caches below: re-reading an unchanged 1-row
+    meta/bloom table cost ~0.1 s of parquet-read latency PER CLASSIFY
+    CALL (guide §1: measured), where a listStatus is sub-millisecond."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return None
-    r = spark.read.parquet(f"{path}/fps_bloom").select("m", "k") \
-        .collect()[0]
-    return int(r["m"]), int(r["k"])
+    return tuple(sorted(
+        (st.getPath().getName(), st.getModificationTime(), st.getLen())
+        for st in fs.listStatus(hpath)))
+
+
+_META_CACHE: dict = {}
+
+
+def _cached_row(spark: SparkSession, path: str, reader):
+    """Read-through cache for tiny single-row index tables, keyed by
+    the directory's file listing (any append/overwrite changes it).
+    Never caches data rows — only the driver-side dict/tuple derived
+    from a ≤1-row metadata table."""
+    state = _dir_state(spark, path)
+    if state is None:
+        return None
+    key = (path, state)
+    if key not in _META_CACHE:
+        if len(_META_CACHE) > 256:       # bound driver memory
+            _META_CACHE.clear()
+        _META_CACHE[key] = reader()
+    return _META_CACHE[key]
+
+
+def _fps_bloom_geometry(spark: SparkSession, path: str):
+    """(m, k, n) of the index's fingerprint Bloom WITHOUT pulling the
+    bitmap to the driver, or None. The classify pre-filter needs only
+    the geometry (n gates it adaptively); the bits themselves stay in
+    the fps_bloom table and reach the probe through a scalar
+    subquery."""
+    def read():
+        r = spark.read.parquet(f"{path}/fps_bloom") \
+            .select("m", "k", "n").collect()[0]
+        return int(r["m"]), int(r["k"]), int(r["n"])
+    return _cached_row(spark, f"{path}/fps_bloom", read)
 
 
 def _write_index_table(df: DataFrame, path: str, table: str,
@@ -344,8 +380,12 @@ def write_dedup_index(df: DataFrame, id_col: str, text_col: str,
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict:
-    row = spark.read.parquet(f"{path}/meta").collect()[0]
-    return row.asDict()
+    out = _cached_row(
+        spark, f"{path}/meta",
+        lambda: spark.read.parquet(f"{path}/meta").collect()[0].asDict())
+    if out is None:
+        raise FileNotFoundError(f"{path}/meta")
+    return out
 
 
 def compact_dedup_index(spark: SparkSession, path: str) -> None:
@@ -387,7 +427,9 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
                         num_hashes: int = 64, bands: int = 32,
                         shingle_n: int = 3,
                         partner_cap: int = 8,
-                        shingles: str = "word"
+                        shingles: str = "word",
+                        use_bloom: "Optional[bool]" = None,
+                        bloom_min_index_keys: "Optional[int]" = None
                         ) -> Tuple[DataFrame, DataFrame]:
     """Classify a new batch against a persisted index.
 
@@ -408,6 +450,19 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
     Per-batch cost is dominated by the NEW batch: its fingerprints and
     band hashes shuffle onto the index's bucketed layout; the index
     side is scanned but neither re-banded nor re-aggregated.
+
+    ``use_bloom`` controls the fps Bloom pre-filter. Default ``None`` =
+    adaptive: apply it only when the index's key count (fps_bloom ``n``)
+    is at least ``bloom_min_index_keys`` (default 2²⁰, overridable per
+    call or via the Spark conf ``spark.deequ.dedup.bloomMinIndexKeys``).
+    The pre-filter is a SCALE lever — its payoff is batch rows pruned
+    before the fps join's exchange (measured 10× at a 10%-dup crawl
+    batch, tools/AB_BLOOM_DEDUP_NOTE.md) — but it carries a fixed
+    ~1-2 s/call cost (bloom-table read, scalar-subquery execution,
+    probe-sliver materialization) that DWARFS the join it prunes on a
+    small index, so below the floor the exact join simply runs
+    unfiltered (bit-identical results either way; the bloom is a pure
+    pre-filter). Pass ``use_bloom=True/False`` to force.
     """
     if bands > num_hashes:
         raise ValueError(
@@ -442,38 +497,47 @@ def dedup_against_index(new_df: DataFrame, id_col: str, text_col: str,
     # entirely). A Bloom no is a certain no, so the join result is
     # unchanged; false positives are removed by the exact join.
     geom = None if legacy else _fps_bloom_geometry(spark, index_path)
-    if geom is not None:
+    if use_bloom is None:
+        # adaptive gate (guide §1/§2: scale-dependent knobs must adapt,
+        # not be tuned to one scale): the pre-filter's fixed cost only
+        # pays off once the index side is big enough that pruning the
+        # batch's join input matters
+        floor = bloom_min_index_keys if bloom_min_index_keys is not None \
+            else int(spark.conf.get("spark.deequ.dedup.bloomMinIndexKeys",
+                                    str(1 << 20)))
+        use_bloom = geom is not None and geom[2] >= floor
+    if use_bloom and geom is not None:
         from ..bloom import bloom_probe_expr
         # the bitmap reaches the probe through a SCALAR SUBQUERY over
         # the persisted 1-row fps_bloom table, never as a plan
         # literal: a megabyte bitmap literal replicated across the
-        # classify's stages (and re-injected onto the fps scan by
-        # constraint inference) measured ~2.5s extra per action at a
+        # classify's stages measured ~2.5s extra per action at a
         # 10x index and OOMed plan-description rendering outright; the
-        # subquery executes once per query, the plan carries bytes of
-        # subquery node, and the batch-side filter stays a lazy
-        # map-only predicate
+        # subquery executes once, the plan carries bytes of subquery
+        # node
         view = f"dedup_fps_bloom_{hashlib.md5(index_path.encode('utf-8')).hexdigest()[:12]}"
         spark.read.parquet(f"{index_path}/fps_bloom") \
             .createOrReplaceTempView(view)
-        m, k = geom
-        # the probed key is fingerprint + long(rand·0) — a runtime
-        # no-op whose ONLY job is making the predicate
-        # nondeterministic: a deterministic filter becomes a
-        # constraint that InferFiltersFromConstraints copies across
-        # the join equality onto the fps INDEX scan, where the probe
-        # would run per index row (plus a subquery execution per
-        # inferred site), making classify CPU scale with the INDEX
-        # when the whole design is batch-proportional. (A constant-
-        # true `when(rand()≥-1, probe)` guard does NOT work:
-        # SimplifyConditionalsInPredicate rewrites it into a
-        # conjunction and re-extracts the deterministic probe.)
-        noised = F.col("fingerprint") + \
-            (F.rand(0) * F.lit(0.0)).cast("long")
+        m, k, _n = geom
         new_fp = new_fp.where(F.coalesce(
             bloom_probe_expr(F.expr(f"(SELECT first(raw) FROM {view})"),
-                             m, k, noised),
+                             m, k, F.col("fingerprint")),
             F.lit(False)))
+        # materialize the bloom-positive SLIVER once (it is small by
+        # construction — that is the point of the filter). Two reasons,
+        # both measured (r12 AB, tools/ab_b22_b27_r12.py): (1) `exact`
+        # below is referenced twice (duplicates union + near-path
+        # anti-join) and the probed subtree defeated exchange reuse —
+        # the whole probe+join+groupBy executed TWICE (13 exchanges vs
+        # 9, +1.2 s/call); the checkpoint runs the probe and its scalar
+        # subquery exactly once. (2) Downstream sees a LogicalRDD with
+        # no predicate, so InferFiltersFromConstraints can no longer
+        # copy the probe across the join equality onto the fps INDEX
+        # scan — the hazard that previously required a
+        # nondeterministic rand() no-op in the probed key (now
+        # unnecessary: no probe expression survives into the join
+        # plan at all).
+        new_fp = new_fp.localCheckpoint(eager=True)
     # fps is pre-aggregated to one row per fingerprint at write time;
     # an append-grown index may hold one row per appended batch — the
     # fan-out is bounded by the append count, and min-of-mins below

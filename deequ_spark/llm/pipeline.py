@@ -18,10 +18,12 @@ before corpus-wide shuffles):
                     token budgets (salt-grouped window)
 
 Each stage can be toggled; ``prepare_training_corpus`` returns the final
-chunk table plus a small stats dict. Every stage boundary is
-localCheckpoint-ed: materialized once, logical plan truncated — the
-self-referencing stages would otherwise multiply the upstream plan tree
-per reference (``collect_stats=False`` only skips the count jobs).
+chunk table plus a small stats dict. The INPUT of every multi-
+referencing stage (and the returned frame) is localCheckpoint-ed:
+materialized once, logical plan truncated — the self-referencing stages
+would otherwise multiply the upstream plan tree per reference; single-
+reference map-only stages fuse into the next materialization instead of
+paying their own (``collect_stats=False`` only skips the count jobs).
 """
 
 from __future__ import annotations
@@ -134,29 +136,42 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     cosine ``semantic_decon_threshold`` of any eval embedding, the
     paraphrase-robust complement (requires ``embeddings``)."""
     stats: Dict[str, int] = {}
+    # localCheckpoint placement (r12, guide §2.4/§1.2): cuts happen at
+    # the INPUT of every stage that references the running frame more
+    # than once (boilerplate, paragraph/span dedup, exact/near/semantic
+    # dedup, decontamination, LM filter, DSIR) — a multi-referencing
+    # stage over an uncut plan would duplicate the whole upstream
+    # subtree per reference (plan growth is multiplicative; every
+    # reference RECOMPUTES) — and NOT after single-reference map-only
+    # stages (normalize, c4_clean, quality, sample, pack, chunk), which
+    # now fuse into the next materialization instead of paying their
+    # own. Measured on the bench chain: 7 cuts → 5, ~1.5 s less
+    # materialization per run, byte-identical output
+    # (tools/profile_pipeline_r12.py). `dirty` tracks whether any
+    # transform has been applied since the last cut, so the FIRST
+    # multi-ref stage straight off the raw source skips the cut — the
+    # raw input is a cheap re-scannable projection, and checkpointing
+    # it would copy the whole corpus into executor storage for
+    # nothing.
+    state = {"dirty": False}
 
-    def note(stage: str, frame: DataFrame, cut: bool = True) -> DataFrame:
-        # localCheckpoint: materializes each stage ONCE and TRUNCATES
-        # its logical plan. persist() alone is not enough — it caches
-        # rows but Catalyst still analyzes the full accumulated tree,
-        # and the SELF-REFERENCING stages (LM filter trains on `out`
-        # and scores `out`; near/semantic dedup pair-search `out` and
-        # anti-join `out`; DSIR references it three times) duplicate
-        # the entire upstream subtree PER REFERENCE — the logical plan
-        # grows multiplicatively with stage count and analysis OOMs
-        # near 8 chained stages. Truncation also means every stage's
-        # multiple downstream reads hit materialized rows.
-        if cut and checkpoint_stages:
-            frame = frame.localCheckpoint(eager=True)
+    def note(stage: str, frame: DataFrame) -> DataFrame:
+        state["dirty"] = True
         if collect_stats:
             stats[stage] = frame.count()
         return frame
 
-    # cut=False: the raw input is a single-reference projection straight
-    # off the source — checkpointing it would copy the whole corpus into
-    # executor storage for nothing; every TRANSFORMED stage cuts.
+    def cut_in(frame: DataFrame) -> DataFrame:
+        """Materialize + truncate before a multi-referencing stage."""
+        if state["dirty"] and checkpoint_stages:
+            frame = frame.localCheckpoint(eager=True)
+            state["dirty"] = False
+        return frame
+
     in_cols = [id_col, text_col] + ([url_col] if url_col else [])
-    out = note("input", df.select(*in_cols), cut=False)
+    out = df.select(*in_cols)
+    if collect_stats:
+        stats["input"] = out.count()
 
     if url_col is not None:
         out = note("url_dedup",
@@ -197,6 +212,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                    .select(id_col, text_col))
 
     if boilerplate:
+        out = cut_in(out)
         cleaned = remove_boilerplate_lines(out, id_col, text_col,
                                            min_docs=boilerplate_min_docs)
         out = note("boilerplate", cleaned
@@ -204,6 +220,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                    .where(F.length(text_col) > 0))
 
     if paragraph_dedup_sep is not None:
+        out = cut_in(out)
         span = paragraph_dedup(out, id_col, text_col,
                                sep=paragraph_dedup_sep)
         out = note("paragraph_dedup",
@@ -211,6 +228,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                    .where(F.length(text_col) > 0))
 
     if span_dedup_n is not None:
+        out = cut_in(out)
         span2 = duplicate_span_removal(out, id_col, text_col,
                                        n=span_dedup_n)
         out = note("span_dedup",
@@ -219,6 +237,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
 
     if exact_dedup:
         # keep one representative (min id) per identical normalized text
+        out = cut_in(out)
         w_fp = out.withColumn("__fp", fingerprint(F.col(text_col)))
         keep = (w_fp.groupBy("__fp")
                 .agg(F.min(id_col).alias(id_col)).select(id_col))
@@ -226,6 +245,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                    out.join(keep, id_col, "left_semi"))
 
     if near_dedup:
+        out = cut_in(out)
         pairs = minhash_lsh_pairs(out, id_col, text_col,
                                   threshold=near_dup_threshold)
         out = note("near_dedup", deduplicate_near(out, id_col, pairs))
@@ -233,6 +253,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     if embeddings is not None:
         emb_id, emb_vec = embedding_cols
         # restrict the (costlier) embedding pass to lexical survivors
+        out = cut_in(out)
         surv = embeddings.join(
             out.select(F.col(id_col).alias(emb_id)), emb_id, "left_semi")
         kept = semantic_deduplicate(surv, emb_id, emb_vec,
@@ -247,6 +268,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
             id_col, "left_anti"))
 
     if benchmark is not None:
+        out = cut_in(out)
         clean, _contaminated = decontaminate(
             out, id_col, text_col, benchmark, bench_text_col,
             n=decontaminate_ngram)
@@ -259,6 +281,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                 "side's embedding table)")
         from .similarity import semantic_decontaminate
         emb_id, emb_vec = embedding_cols
+        out = cut_in(out)
         surv = embeddings.join(
             out.select(F.col(id_col).alias(emb_id)), emb_id, "left_semi")
         _c, contam = semantic_decontaminate(
@@ -273,6 +296,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     if lm_filter_quantile is not None:
         if not 0.0 < lm_filter_quantile <= 1.0:
             raise ValueError("lm_filter_quantile must be in (0, 1]")
+        out = cut_in(out)
         model = char_trigram_model(out, text_col)
         scored = lm_quality_score(out, id_col, text_col, model)
         # exact quantile of the (per-doc, small) score column; docs too
@@ -289,6 +313,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
         if dsir_k is None:
             raise ValueError("dsir_k is required with dsir_target")
         from .packing import importance_sample
+        out = cut_in(out)
         out = note("dsir", importance_sample(
             out, id_col, text_col, dsir_target, k=dsir_k,
             temperature=dsir_temperature)
@@ -305,5 +330,8 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
         out = note("chunks", chunk_text(out, id_col, text_col,
                                         chunk_tokens=chunk_tokens,
                                         overlap=chunk_overlap))
-    # the final frame is localCheckpoint-ed (rows already materialized)
+    # contract: the RETURNED frame is materialized (localCheckpoint-ed)
+    # whenever any transform ran — callers re-read it freely without
+    # recomputing the chain
+    out = cut_in(out)
     return out, stats

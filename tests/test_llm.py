@@ -638,6 +638,21 @@ class TestNearDedupComponents:
                 for r in near_duplicate_components(chain).collect()}
         assert set(comp.values()) == {0}      # one 31-node component
 
+    def test_local_and_distributed_paths_identical(self, spark, pairs):
+        """r12 perf: small graphs take a driver-side union-find fast
+        path (gated by local_max_edges); its labeling must be
+        IDENTICAL to the distributed min-label loop, schema included."""
+        from deequ_spark.llm import near_duplicate_components
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)] + [(100, 90), (90, 80)],
+            "id_a long, id_b long")
+        for graph in (pairs, chain):
+            local = near_duplicate_components(graph)
+            dist = near_duplicate_components(graph, local_max_edges=0)
+            assert local.schema == dist.schema
+            assert sorted(map(tuple, local.collect())) == \
+                sorted(map(tuple, dist.collect()))
+
 
 class TestCharShingleDedup:
     """shingles='char': near-dup for unsegmented scripts where word

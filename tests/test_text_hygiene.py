@@ -929,8 +929,12 @@ class TestIncrementalDedup:
             (72, "wholly fresh content lighthouse meridian tundra "
                  "quasar bassoon parchment ember citadel harvest"),
         ], "doc_id long, text string")
+        # use_bloom=True: the r12 adaptive gate would otherwise skip
+        # the probe on an index this small and the test would be
+        # vacuous — forcing it exercises probe-vs-no-probe identity
         fresh_b, dups_b = dedup_against_index(new, "doc_id", "text",
-                                              path, threshold=0.5)
+                                              path, threshold=0.5,
+                                              use_bloom=True)
         got_b = sorted((r["id"], r["match_kind"], r["matched_id"])
                        for r in dups_b.collect())
         fresh_b = sorted(r["doc_id"] for r in fresh_b.collect())
@@ -941,6 +945,44 @@ class TestIncrementalDedup:
                        for r in dups_n.collect())
         assert got_b == got_n
         assert fresh_b == sorted(r["doc_id"] for r in fresh_n.collect())
+
+    def test_bloom_gate_adaptive_by_index_size(self, spark, tmp_path):
+        """r12 perf: the fps-bloom pre-filter is GATED on index key
+        count (fixed ~1-2 s/call cost vs a join it cannot meaningfully
+        prune at small scale). Observable: the probe registers a
+        dedup_fps_bloom_* temp view; the gate decides whether it runs.
+        Results are identical either way (bloom = pure pre-filter)."""
+        import hashlib
+
+        from deequ_spark.llm import dedup_against_index
+        path = self._index(spark, tmp_path)
+        view = ("dedup_fps_bloom_"
+                + hashlib.md5(path.encode("utf-8")).hexdigest()[:12])
+        new = spark.createDataFrame(
+            [(70, self.BASE[0][1]), (72, "novel fresh doc mountain "
+                                         "zephyr goblet lantern")],
+            "doc_id long, text string")
+
+        def classify(**kw):
+            _, dups = dedup_against_index(new, "doc_id", "text", path,
+                                          threshold=0.5, **kw)
+            return sorted((r["id"], r["match_kind"], r["matched_id"])
+                          for r in dups.collect())
+
+        spark.catalog.dropTempView(view) if spark.catalog.tableExists(
+            view) else None
+        base = classify()                      # tiny index: gate skips
+        assert not spark.catalog.tableExists(view)
+        assert classify(use_bloom=True) == base    # forced: probe runs
+        assert spark.catalog.tableExists(view)
+        spark.catalog.dropTempView(view)
+        spark.conf.set("spark.deequ.dedup.bloomMinIndexKeys", "1")
+        try:
+            assert classify() == base          # conf floor: gate opens
+            assert spark.catalog.tableExists(view)
+        finally:
+            spark.conf.unset("spark.deequ.dedup.bloomMinIndexKeys")
+            spark.catalog.dropTempView(view)
 
     def test_compact_retrofits_bloom_onto_bloomless_index(self, spark,
                                                           tmp_path):

@@ -71,8 +71,13 @@ def run(spark, scale):
             bloom_might_contain(bloom, F.col("f")), F.lit(False))).count()
 
         def classify():
+            # use_bloom=True: this AB measures the probe itself, so the
+            # r12 adaptive size gate (which would skip it at 20k/200k
+            # keys) is overridden; the off leg moves fps_bloom away,
+            # which wins over the flag (no bits to probe)
             fresh, dups = dedup_against_index(
-                batch, "doc_id", "text", idx, threshold=0.8)
+                batch, "doc_id", "text", idx, threshold=0.8,
+                use_bloom=True)
             return (sorted(r["doc_id"] for r in fresh.collect()),
                     sorted((r["id"], r["match_kind"], r["matched_id"])
                            for r in dups.collect()))
