@@ -526,9 +526,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # persist so the signature+banding subplan runs once, not twice
     # (the pair set is tiny — ids only)
     candidates = candidates.persist()
+    # no .distinct() on the id list: left_semi matches on EXISTENCE, so
+    # duplicate probe ids cost nothing — the distinct was a pure extra
+    # shuffle (r12, guide §2.4)
     cand_ids = (candidates.select(F.col("id_a").alias("id"))
-                .union(candidates.select(F.col("id_b").alias("id")))
-                .distinct())
+                .union(candidates.select(F.col("id_b").alias("id"))))
     shingled = (df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
                 .select(F.col(id_col).alias("id"),
                         _shingle_fn(shingles)(F.col(text_col), shingle_n)
@@ -876,8 +878,25 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     collisions — which grow as C(n,2)·bands/2^planes with any fixed shape
     — approximately linear in n; set it for any corpus beyond ~10⁴
     vectors."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from .similarity import cosine_similarity_expr
+
+    # ONE probe job (r12: this used to be TWO — an auto_tune df.count()
+    # plus a separate majority-dimension groupBy): the size histogram is
+    # a handful of rows, so collect it whole; n (ALL rows, null vectors
+    # included — the auto_tune input must not depend on null handling)
+    # is its count sum and the corpus dimension is the MAJORITY vector
+    # length among non-null rows (a limit(1) probe is partition-order-
+    # dependent and a single corrupt short row could silently select
+    # the wrong dimension and filter out the entire valid corpus).
+    size_hist = (df.groupBy(F.size(F.col(vec_col)).alias("d"))
+                 .count().collect())
+    n = sum(r["count"] for r in size_hist)
+    # size(NULL) is NULL; a NULL/negative d row is a null vector group
+    nonnull = [r for r in size_hist
+               if r["d"] is not None and r["d"] >= 0]
     if auto_tune and (planes is None or bands is None):
-        n = df.count()
         # below ~16k rows the quadratic random-collision term is negligible
         # and per-stage fixed costs dominate — static defaults win there
         # (measured: tuned shape 7.5s vs default 3.1s at n=2000, but
@@ -891,26 +910,16 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
             planes, bands = planes or 6, bands or 24
         else:
             planes, bands = planes or 2, bands or 16
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-    from .similarity import cosine_similarity_expr
 
     # NULL vectors are unscorable — drop scan-side instead of crashing
     # the signature matmul
     df = df.where(F.col(vec_col).isNotNull())
-    # corpus dimension = the MAJORITY vector length (one cheap agg over
-    # sizes) — a limit(1) probe is partition-order-dependent and a single
-    # corrupt short row could silently select the wrong dimension and
-    # filter out the entire valid corpus
-    probe = (df.groupBy(F.size(F.col(vec_col)).alias("d"))
-             .count().orderBy(F.desc("count"), F.asc("d"))
-             .limit(1).collect())
-    if not probe:
+    if not nonnull:
         # empty (or all-NULL) corpus: no pairs, typed like the real output
         id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, cosine double")
-    dims = probe[0]["d"]
+    dims = max(nonnull, key=lambda r: (r["count"], -r["d"]))["d"]
     # rows with a different vector length would make the batch ragged
     df = df.where(F.size(F.col(vec_col)) == dims)
     # deterministic Gaussian hyperplanes; tiny (dims × planes·bands) matrix

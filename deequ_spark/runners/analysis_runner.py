@@ -105,7 +105,8 @@ def do_analysis_run(data: DataFrame,
                     save_or_append_results_with_key=None,
                     save_states_with=None,
                     aggregate_with=None,
-                    fail_if_results_missing: bool = False) -> AnalyzerContext:
+                    fail_if_results_missing: bool = False,
+                    keep_state_cache: bool = False) -> AnalyzerContext:
     """Compute all metrics with minimal passes (parity:
     AnalysisRunner.scala:101-247). Reuse and save are SEPARATE keys (as in
     the reference): passing a reuse key never writes back — otherwise a
@@ -120,7 +121,16 @@ def do_analysis_run(data: DataFrame,
     both point at the SAME FileSystemStateProvider path, construct it
     with ``allow_overwrite=True`` — the merged write replaces the prior
     state file, and the default (HdfsStateProvider parity) refuses
-    overwrites."""
+    overwrites.
+
+    ``keep_state_cache=True`` (r12 perf) leaves DataFrame-valued states
+    (grouping frequency tables) CACHED when they are saved into
+    ``save_states_with`` — the caller owns the cache and must unpersist
+    via the state's ``frequencies`` once merged/consumed. Without it a
+    saved frequency state is a lazy plan whose every later merge
+    re-runs the batch groupBy (measured: the streaming path paid the
+    shuffle twice per micro-batch). Default False keeps the no-leak
+    contract for everyone else."""
     analyzers = _dedup(analyzers)
     if not analyzers:
         return AnalyzerContext()
@@ -205,7 +215,8 @@ def do_analysis_run(data: DataFrame,
         buckets.setdefault(key, []).append(a)
     for (cols_key, where), bucket in buckets.items():
         results += _run_grouping_analyzers(
-            data, list(bucket[0].grouping_columns), where, bucket, save_states_with)
+            data, list(bucket[0].grouping_columns), where, bucket,
+            save_states_with, keep_state_cache=keep_state_cache)
 
     # 6. everything else standalone (Histogram, HistogramBinned, CustomSql…)
     for a in others:
@@ -298,7 +309,9 @@ def _run_grouping_analyzers(data: DataFrame,
                             grouping_columns: List[str],
                             where: Optional[str],
                             analyzers: List[FrequencyBasedAnalyzer],
-                            save_states_with=None) -> AnalyzerContext:
+                            save_states_with=None,
+                            keep_state_cache: bool = False
+                            ) -> AnalyzerContext:
     """One shuffle for the whole bucket; fused second stage
     (AnalysisRunner.scala:560-628)."""
     ctx = AnalyzerContext()
@@ -367,7 +380,12 @@ def _run_grouping_analyzers(data: DataFrame,
         except Exception as exc:  # noqa: BLE001
             ctx.metric_map[a] = a.to_failure_metric(exc)
 
-    if needs_persist:
+    # keep_state_cache: the SAVED state keeps its materialized
+    # frequency table — the caller (streaming merge) reads it once more
+    # and unpersists; dropping it here would make every later state
+    # merge re-run the groupBy shuffle
+    if needs_persist and not (keep_state_cache
+                              and save_states_with is not None):
         frequencies.unpersist()
     return ctx
 

@@ -88,17 +88,25 @@ class StreamingVerification:
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_states = InMemoryStateProvider()
-        # fused single-pass scan + grouping over THIS batch only
+        # fused single-pass scan + grouping over THIS batch only.
+        # keep_state_cache: frequency states stay materialized so the
+        # cumulative merge below reads the cache instead of re-running
+        # the batch's groupBy shuffle (r12: the shuffle ran twice per
+        # micro-batch — once for batch metrics, once inside the merge
+        # checkpoint); _release_batch_states drops the cache afterward.
         batch_ctx = do_analysis_run(batch_df, self.analyzers,
-                                    save_states_with=batch_states)
+                                    save_states_with=batch_states,
+                                    keep_state_cache=True)
 
         if self.mode == "cumulative":
             self._merge_into_cumulative(batch_states)
             ctx = run_on_aggregated_states(
                 batch_df, self.analyzers, [self._cumulative])
         else:
-            # the batch context IS the result — no recompute needed
+            # the batch context IS the result — no recompute needed;
+            # cumulative mode releases batch caches inside the merge
             ctx = batch_ctx
+            self._release_batch_states(batch_states)
 
         check_results = {c: c.evaluate(ctx.metric_map) for c in self.checks}
         order = {CheckStatus.SUCCESS: 0, CheckStatus.WARNING: 1,
@@ -136,9 +144,35 @@ class StreamingVerification:
                 try:
                     object.__setattr__(merged, "frequencies",
                                        freq_df.localCheckpoint(eager=True))
+                    # the new checkpoint supersedes (1) the previous
+                    # round's checkpoint and (2) this batch's kept
+                    # cache (keep_state_cache) — release both now
+                    # instead of waiting on the ContextCleaner, so
+                    # executor storage stays bounded over long streams.
+                    # Identity guard: on the FIRST batch `merged` IS the
+                    # batch state and its frequencies were just swapped
+                    # to the checkpoint — never unpersist that.
+                    for old in (getattr(prev, "frequencies", None),
+                                getattr(new, "frequencies", None),
+                                freq_df):
+                        if old is not None \
+                                and old is not merged.frequencies:
+                            old.unpersist()
                 except Exception:  # noqa: BLE001 — best effort only
                     pass
             self._cumulative.persist(a, merged)
+
+    @staticmethod
+    def _release_batch_states(batch_states: InMemoryStateProvider):
+        """Drop the per-batch frequency caches kept alive by
+        keep_state_cache once their metrics and merges are done."""
+        for st in getattr(batch_states, "_states", {}).values():
+            freq = getattr(st, "frequencies", None)
+            if freq is not None:
+                try:
+                    freq.unpersist()
+                except Exception:  # noqa: BLE001 — best effort only
+                    pass
 
     # -- results ----------------------------------------------------------
 
