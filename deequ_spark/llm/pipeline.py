@@ -162,9 +162,26 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
         return frame
 
     def cut_in(frame: DataFrame) -> DataFrame:
-        """Materialize + truncate before a multi-referencing stage."""
+        """Materialize + truncate before a multi-referencing stage.
+
+        The PREVIOUS cut's blocks are released as soon as the new cut
+        is materialized (eager=True: the new RDD is complete before
+        unpersist runs): every stage reads only the latest cut, so the
+        superseded blocks would otherwise sit in executor storage until
+        the ContextCleaner notices — across a long chain (or repeated
+        runs in one session) that is hundreds of MB of dead rows
+        competing with execution memory (guide §5: cached data competes
+        with execution memory; unpersist when done). The FINAL cut is
+        never released here — it is the returned frame."""
         if state["dirty"] and checkpoint_stages:
             frame = frame.localCheckpoint(eager=True)
+            prev = state.get("last_cut")
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:  # noqa: BLE001 — best effort only
+                    pass
+            state["last_cut"] = frame
             state["dirty"] = False
         return frame
 
