@@ -526,6 +526,13 @@ def main():
         ("b27_pipeline_chain", lambda: b27_pipeline_chain(spark, docs, emb)),
         ("b28_bloom_join", lambda: b28_bloom_join(spark, lineitem, orders)),
     ]
+    # Dev-only subset filter for targeted same-session ABs (e.g.
+    # tools/ab_r12_opt.py): unset (the driver's case) = all workloads,
+    # so the driver contract and its timings are untouched.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {w.strip() for w in only.split(",") if w.strip()}
+        benches = [(n, f) for n, f in benches if n in keep]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples = {name: [] for name, _ in benches}
     for _ in range(n_runs):

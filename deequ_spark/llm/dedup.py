@@ -531,10 +531,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # shuffle (r12, guide §2.4)
     cand_ids = (candidates.select(F.col("id_a").alias("id"))
                 .union(candidates.select(F.col("id_b").alias("id"))))
+    # `shingled` feeds BOTH pair sides (sh_a by id_a, sh_b by id_b);
+    # unpersisted, the semi-join + shingle pass planned and EXECUTED
+    # twice (plans/r12/b6_lsh_verify_cached_before.txt: two full copies
+    # of the docs-scan + shingle subtree, ReusedExchange 0 — the two
+    # joins key on different attributes so exchange reuse never
+    # matches). Persist halves the candidate-doc shingle pass and the
+    # cand_ids broadcast build (after-capture: one docs shingle scan +
+    # one broadcast; r12 wave 2, guide §2.4: measured 3.07 -> 2.32 s
+    # interleaved medians at sf0.1, row-identical; at 100 TB this
+    # halves the verify stage's dominant pass). Released below with
+    # `candidates`.
     shingled = (df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
                 .select(F.col(id_col).alias("id"),
                         _shingle_fn(shingles)(F.col(text_col), shingle_n)
-                        .alias("sh")))
+                        .alias("sh"))
+                .persist())
     sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (candidates.join(sa, "id_a").join(sb, "id_b")
@@ -543,13 +555,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                             (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
                 .where(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
-    # the cache-manager entry for `candidates` is never GC-reclaimed, so a
-    # long-lived session calling this repeatedly would accumulate cached
-    # blocks; materialize the (tiny) verified pair set eagerly — its
-    # localCheckpoint blocks ARE ContextCleaner-managed — and release the
-    # candidate cache before returning
+    # the cache-manager entries for `candidates`/`shingled` are never
+    # GC-reclaimed, so a long-lived session calling this repeatedly
+    # would accumulate cached blocks; materialize the (tiny) verified
+    # pair set eagerly — its localCheckpoint blocks ARE
+    # ContextCleaner-managed — and release both caches before returning
     verified = verified.localCheckpoint(eager=True)
     candidates.unpersist()
+    shingled.unpersist()
     return verified
 
 
