@@ -61,6 +61,7 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                             pack_budget: Optional[int] = None,
                             collect_stats: bool = True,
                             checkpoint_stages: bool = True,
+                            checkpoint_input: bool = False,
                             gopher_kwargs: Optional[dict] = None,
                             paragraph_dedup_sep: Optional[str] = None,
                             span_dedup_n: Optional[int] = None,
@@ -119,6 +120,17 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     multiplicatively and every reference RECOMPUTES the upstream
     subtree — tools/AB_B27_NOTE.md has the measurements).
 
+    ``checkpoint_input=True`` additionally lets the FIRST
+    multi-referencing stage cut even when no transform has run yet.
+    Default off: for a re-scannable source (parquet) the extra
+    re-scans are cheaper than copying the raw corpus into executor
+    storage. Set it when ``df`` is EXPENSIVE to recompute — an opaque
+    parse, a Python stage, a remote read — because an uncut first
+    stage re-executes that source subtree once per reference
+    (crawl_to_corpus sets it: its WARC gunzip+parse ran 3-4x under the
+    boilerplate stage's references — r12 wave 3 measured the cut at
+    0.74x whole-chain, tools/AB_R12_WAVE3.json).
+
     Pre-filter hygiene stages (before the quality gate, cheapest first):
     ``url_col='url'`` dedupes by canonical URL (the CCNet/RefinedWeb
     first pass — one projection + one hash-groupBy, removes crawl
@@ -150,10 +162,12 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     # (tools/profile_pipeline_r12.py). `dirty` tracks whether any
     # transform has been applied since the last cut, so the FIRST
     # multi-ref stage straight off the raw source skips the cut — the
-    # raw input is a cheap re-scannable projection, and checkpointing
-    # it would copy the whole corpus into executor storage for
-    # nothing.
-    state = {"dirty": False}
+    # raw input is usually a cheap re-scannable projection, and
+    # checkpointing it would copy the whole corpus into executor
+    # storage for nothing. checkpoint_input=True pre-marks the source
+    # dirty for inputs that are NOT cheap to re-derive (an opaque
+    # parse — see the docstring).
+    state = {"dirty": bool(checkpoint_input)}
 
     def note(stage: str, frame: DataFrame) -> DataFrame:
         state["dirty"] = True

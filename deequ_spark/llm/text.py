@@ -523,7 +523,9 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str,
 def remove_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
                              min_docs: int = 10,
                              min_line_chars: int = 4,
-                             cleaned_col: str = "cleaned") -> DataFrame:
+                             cleaned_col: str = "cleaned",
+                             local_max_lines: Optional[int] = None
+                             ) -> DataFrame:
     """Corpus-level boilerplate removal: a line occurring in at least
     ``min_docs`` DISTINCT documents (headers, nav bars, terms-of-service
     blocks) is deleted from every document. Returns the input plus
@@ -531,11 +533,27 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
     preserved) and ``n_removed_lines``.
 
     Scale plan: explode lines → one groupBy(line) with a distinct-doc
-    count (map-side partial aggregation) → the boilerplate set is tiny
-    relative to the corpus, so the anti-semi-join back is broadcast by
-    AQE → one groupBy(id) to reassemble. Lines shorter than
-    ``min_line_chars`` are never treated as boilerplate (blank lines and
-    separators stay)."""
+    count (map-side partial aggregation) → that boilerplate set is
+    almost always TINY (real corpora have thousands of boilerplate
+    lines, not millions), so the default rebuild is a map-only
+    per-row ``filter`` of each document's line array against the set,
+    delivered executor-side through a scalar subquery — no second
+    explode, no corpus-wide reassembly shuffle, no join back (r12
+    wave 3: the join rebuild re-shuffled EVERY line of the corpus
+    through a groupBy(id) just to reassemble text the filter form
+    rewrites in place; measured 2x on the rebuild leg at sf0.1
+    — 0.88 s -> 0.44 s median, tools/profile_wave3_r12.py — and the
+    plan drops from 3 scans + 2 joins + 5 exchanges to 1 scan + 1
+    project, value-identical). When the set exceeds ``local_max_lines``
+    (argument, or ``spark.deequ.text.boilerplateLocalMaxLines``,
+    default 4096 — a per-line linear array scan stops being sane), the
+    original join path runs instead: anti-join the exploded lines,
+    groupBy(id) reassembly, join back — unbounded but heavier. Both
+    paths: lines shorter than ``min_line_chars`` are never treated as
+    boilerplate (blank lines and separators stay); deciding the path
+    costs one bounded ``limit(n+1)`` count on the (checkpointed)
+    boilerplate set, never an unbounded collect."""
+    spark = df.sparkSession
     lines = (df.select(F.col(id_col).alias("__bid"),
                        F.posexplode(F.split(F.col(text_col), "\n"))
                        .alias("__pos", "__line")))
@@ -545,6 +563,40 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
               .agg(F.countDistinct("__bid").alias("__docs"))
               .where(F.col("__docs") >= min_docs)
               .select("__line"))
+    if local_max_lines is None:
+        local_max_lines = int(spark.conf.get(
+            "spark.deequ.text.boilerplateLocalMaxLines", "4096"))
+    if local_max_lines > 0:
+        # one pass computes the set either way; checkpoint so the gate
+        # probe and the chosen rebuild both read the materialized rows
+        # (blocks are ContextCleaner-managed — no CacheManager entry)
+        boiler = boiler.localCheckpoint(eager=True)
+        if boiler.limit(local_max_lines + 1).count() <= local_max_lines:
+            import uuid
+            view = f"deequ_boiler_{uuid.uuid4().hex[:12]}"
+            boiler.createOrReplaceTempView(view)
+            # the set reaches every row ONCE via a scalar subquery (a
+            # literal array would plan as a CreateArray with one child
+            # per line); subqueries cannot appear inside HOF lambdas,
+            # so it lands in its own projected column first
+            blines = F.expr(
+                f"(SELECT coalesce(collect_list(__line), array()) "
+                f"FROM {view})")
+            parts = F.split(F.col(text_col), "\n")
+            kept_arr = F.filter(
+                parts, lambda l: ~F.array_contains(F.col("__blset"), l))
+            out = (df.withColumn("__blset", blines)
+                   .withColumn(cleaned_col,
+                               F.coalesce(F.array_join(kept_arr, "\n"),
+                                          F.lit("")))
+                   .withColumn("n_removed_lines",
+                               F.coalesce(
+                                   (F.size(parts) - F.size(kept_arr))
+                                   .cast("long"),
+                                   F.lit(0).cast("long")))
+                   .drop("__blset"))
+            spark.catalog.dropTempView(view)
+            return out
     kept = lines.join(boiler, "__line", "left_anti")
     removed = (lines.join(boiler, "__line", "left_semi")
                .groupBy("__bid").agg(F.count(F.lit(1)).alias("__nrm")))

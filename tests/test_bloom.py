@@ -60,6 +60,24 @@ class TestExactness:
                       .collect()) == [1, 3]
 
 
+class TestBuildSinglePass:
+    def test_auto_count_bloom_identical_and_cache_released(self, spark):
+        """r12 wave 3: with expected_items unknown, build_bloom persists
+        the projected keys across the sizing count + word build (one
+        source execution instead of two). The resulting bloom must be
+        bit-identical to an explicit-n build, and the persist must be
+        released before returning."""
+        df = spark.createDataFrame([(i * 3,) for i in range(500)]
+                                   + [(None,)], "k long")
+        jsc = spark.sparkContext._jsc.sc()
+        n_cached_before = jsc.getPersistentRDDs().size()
+        auto = build_bloom(df, "k")
+        explicit = build_bloom(df, "k", expected_items=500)
+        assert auto == explicit
+        assert auto["n"] == 500
+        assert jsc.getPersistentRDDs().size() == n_cached_before
+
+
 class TestFilterProperties:
     def test_no_false_negatives(self, spark):
         members = spark.createDataFrame(

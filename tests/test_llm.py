@@ -1036,6 +1036,47 @@ class TestBoilerplate:
         assert all(r["cleaned"] == "" and r["n_removed_lines"] == 1
                    for r in out)
 
+    def test_hof_and_join_rebuild_paths_identical(self, spark):
+        """r12 wave 3: the default map-only filter rebuild (boiler set
+        via scalar subquery) and the size-gated fallback join rebuild
+        must agree row-for-row, schema included — on shared lines,
+        duplicate in-doc occurrences, NULL and empty text."""
+        from deequ_spark.llm import remove_boilerplate_lines
+        docs = spark.createDataFrame(
+            [(1, "HEADER NAV\nbody one\nfooter terms"),
+             (2, "HEADER NAV\nbody two\nfooter terms"),
+             (3, "HEADER NAV\nHEADER NAV\nmiddle"),
+             (4, None), (5, ""), (6, "all unique\nab")],
+            "id long, text string")
+        hof = remove_boilerplate_lines(docs, "id", "text", min_docs=2)
+        join = remove_boilerplate_lines(docs, "id", "text", min_docs=2,
+                                        local_max_lines=0)
+        assert hof.schema == join.schema
+        assert sorted(tuple(r) for r in hof.collect()) == \
+            sorted(tuple(r) for r in join.collect())
+        # the fast path is a join-free plan; the fallback keeps the join
+        assert "Join" not in hof._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Join" in join._jdf.queryExecution() \
+            .executedPlan().toString()
+
+    def test_hof_gate_falls_back_when_set_exceeds_cap(self, spark):
+        """A boilerplate set larger than the cap must take the join
+        path (per-row linear array scans stop being sane) and still
+        produce identical values."""
+        from deequ_spark.llm import remove_boilerplate_lines
+        docs = spark.createDataFrame(
+            [(i, "shared line alpha\nshared line beta\nbody %d" % i)
+             for i in range(4)],
+            "id long, text string")
+        capped = remove_boilerplate_lines(docs, "id", "text", min_docs=2,
+                                          local_max_lines=1)
+        assert "Join" in capped._jdf.queryExecution() \
+            .executedPlan().toString()
+        rows = {r["id"]: r for r in capped.collect()}
+        assert all(rows[i]["cleaned"] == "body %d" % i and
+                   rows[i]["n_removed_lines"] == 2 for i in range(4))
+
 
 class TestParagraphDedup:
     """C4/RefinedWeb-style keep-first duplicate-span removal
@@ -2773,6 +2814,43 @@ class TestPipelineCheckpointKnob:
             if cp:
                 out.unpersist()
         assert outs[True] == outs[False]
+
+    def test_checkpoint_input_cuts_raw_source_once(self, spark):
+        """r12 wave 3: checkpoint_input=True lets the FIRST multi-ref
+        stage cut the raw source (one extra localCheckpoint, exactly),
+        and the output is identical — the knob is plan surgery for
+        expensive opaque inputs (crawl_to_corpus sets it), never
+        semantics."""
+        from pyspark.sql.classic.dataframe import DataFrame as CDF
+        from deequ_spark.llm import prepare_training_corpus
+        docs = spark.createDataFrame(
+            [(i, "shared header line\ncontent %d words here" % (i % 5))
+             for i in range(30)],
+            "doc_id long, text string")
+        calls = []
+        orig = CDF.localCheckpoint
+
+        def counted(self, eager=True):
+            calls.append(eager)
+            return orig(self, eager=eager)
+
+        CDF.localCheckpoint = counted
+        try:
+            outs, n_cuts = {}, {}
+            for ci in (False, True):
+                calls.clear()
+                out, _ = prepare_training_corpus(
+                    docs, "doc_id", "text", quality_filter=False,
+                    boilerplate_min_docs=5, near_dedup=False,
+                    chunk=False, collect_stats=False,
+                    checkpoint_input=ci)
+                outs[ci] = sorted(tuple(r) for r in out.collect())
+                n_cuts[ci] = len(calls)
+                out.unpersist()
+        finally:
+            CDF.localCheckpoint = orig
+        assert outs[False] == outs[True]
+        assert n_cuts[True] == n_cuts[False] + 1
 
 
 class TestPipelineEndToEnd:

@@ -159,6 +159,18 @@ def main():
         cleaned = normalize_text(docs, "text")
         write("text_normalize", cleaned, execute=True)
 
+    if wanted("boilerplate_rebuild"):
+        # --- remove_boilerplate_lines, pipeline projection (id +
+        # cleaned): wave 3 replaces the explode/anti-join/groupBy(id)
+        # reassembly with a per-row HOF filter against the boiler set
+        # (scalar subquery), size-gated -------------------------------
+        from deequ_spark.llm import remove_boilerplate_lines
+        bp = remove_boilerplate_lines(docs.select("doc_id", "text"),
+                                      "doc_id", "text", min_docs=2)
+        write("boilerplate_rebuild",
+              bp.select("doc_id", F.col("cleaned").alias("text")),
+              execute=True)
+
     spark.stop()
     if path is not None:
         import shutil
