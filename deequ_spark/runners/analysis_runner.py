@@ -98,6 +98,72 @@ def _dedup(analyzers: Sequence[Analyzer]) -> List[Analyzer]:
     return out
 
 
+class _LockingStateProvider:
+    """Serializes persist/load against a wrapped StateProvider: the
+    runner's execution groups save DISJOINT analyzer keys, but provider
+    internals (one backing dict, one filesystem directory) are shared
+    and make no thread-safety promise of their own."""
+
+    def __init__(self, inner):
+        import threading
+        self._inner = inner
+        self._lock = threading.Lock()
+
+    def persist(self, analyzer, state) -> None:
+        with self._lock:
+            self._inner.persist(analyzer, state)
+
+    def load(self, analyzer):
+        with self._lock:
+            return self._inner.load(analyzer)
+
+
+def _run_task_groups(data: DataFrame, tasks: List[Any]) -> AnalyzerContext:
+    """Execute the runner's independent per-group actions, overlapped.
+
+    Each task is one self-contained Spark action chain over a disjoint
+    analyzer set (fused scan / KLL pass / one grouping bucket / one
+    standalone analyzer). With ≥2 tasks they are submitted from a small
+    thread pool so one group's tasks back-fill executors idled by
+    another group's straggler tail (guide §2.6 — actions are only
+    sequential because the driver calls them sequentially); results
+    merge in SUBMISSION order, so the metric map is identical to a
+    sequential run, value for value and key-order included.
+    ``spark.deequ.runner.maxConcurrentGroups`` (default 3, guide §2.6:
+    "2-3 jobs in flight is plenty") bounds in-flight actions; ≤1 runs
+    sequentially in the calling thread. Pool threads run under
+    ``inheritable_thread_target`` so the caller's job group / job
+    description / other thread-local properties propagate to the jobs
+    the tasks submit (and cancellation via job group still reaches
+    them)."""
+    results = AnalyzerContext()
+    max_conc = 3
+    try:
+        max_conc = int(data.sparkSession.conf.get(
+            "spark.deequ.runner.maxConcurrentGroups", "3"))
+    except Exception:  # noqa: BLE001 — conf unreadable → default
+        pass
+    if len(tasks) <= 1 or max_conc <= 1:
+        for t in tasks:
+            results += t()
+        return results
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        from pyspark import inheritable_thread_target
+        # session form (Spark 3.5+/4.x): inherits job group, job
+        # description AND session tags into the pool threads
+        deco = inheritable_thread_target(data.sparkSession)
+        wrapped = [deco(t) for t in tasks]
+    except Exception:  # noqa: BLE001 — utility unavailable → plain tasks
+        wrapped = tasks
+    with ThreadPoolExecutor(max_workers=min(max_conc, len(tasks))) as pool:
+        futures = [pool.submit(t) for t in wrapped]
+        for fut in futures:
+            results += fut.result()
+    return results
+
+
 def do_analysis_run(data: DataFrame,
                     analyzers: Sequence[Analyzer],
                     metrics_repository=None,
@@ -190,43 +256,74 @@ def do_analysis_run(data: DataFrame,
     others = [a for a in passed
               if a not in scanning and a not in grouping and a not in klls]
 
-    # 4. fused single-pass scan (:342-387)
-    if scanning:
-        results += _run_scanning_analyzers(data, scanning, save_states_with)
+    # 4-6. the execution groups below — the fused scan, the shared KLL
+    # Arrow pass, each grouping bucket, and each standalone analyzer —
+    # are INDEPENDENT Spark actions over the same immutable input, yet
+    # they used to run strictly one after another, so every group's
+    # straggler tail left the cluster idle (guide §2.6 "overlap
+    # independent jobs": actions are only sequential because driver
+    # code calls them sequentially). They are built as task closures
+    # and submitted from a small thread pool; each task touches a
+    # DISJOINT set of analyzers and returns its own AnalyzerContext,
+    # and the contexts merge in submission order, so the resulting
+    # metric map (values AND iteration order) is identical to the
+    # sequential run. `spark.deequ.runner.maxConcurrentGroups` bounds
+    # the in-flight actions (guide: 2-3 in flight is plenty — enough to
+    # back-fill a tail, not enough to fight for executors); 1 restores
+    # fully sequential submission.
+    buckets: Dict[Tuple, List[FrequencyBasedAnalyzer]] = {}
+    for a in grouping:
+        key = (tuple(sorted(a.grouping_columns)), getattr(a, "where", None))
+        buckets.setdefault(key, []).append(a)
 
-    # 4b. ONE extra Arrow pass for ALL KLL columns combined
-    # (parity: KLLRunner.computeKLLSketchesInExtraPass, :162-167)
-    if klls:
+    def run_klls() -> AnalyzerContext:
+        # ONE extra Arrow pass for ALL KLL columns combined
+        # (parity: KLLRunner.computeKLLSketchesInExtraPass, :162-167)
+        ctx = AnalyzerContext()
         try:
             kll_states = compute_kll_states(data, klls)
             for a in klls:
                 state = kll_states.get(a)
                 if save_states_with is not None and state is not None:
                     save_states_with.persist(a, state)
-                results.metric_map[a] = a.compute_metric_from_state(state)
+                ctx.metric_map[a] = a.compute_metric_from_state(state)
         except Exception as exc:  # noqa: BLE001
             for a in klls:
-                results.metric_map[a] = a.to_failure_metric(exc)
+                ctx.metric_map[a] = a.to_failure_metric(exc)
+        return ctx
 
-    # 5. grouping fusion, bucketed by (sorted cols, filter) (:218-234)
-    buckets: Dict[Tuple, List[FrequencyBasedAnalyzer]] = {}
-    for a in grouping:
-        key = (tuple(sorted(a.grouping_columns)), getattr(a, "where", None))
-        buckets.setdefault(key, []).append(a)
-    for (cols_key, where), bucket in buckets.items():
-        results += _run_grouping_analyzers(
-            data, list(bucket[0].grouping_columns), where, bucket,
-            save_states_with, keep_state_cache=keep_state_cache)
-
-    # 6. everything else standalone (Histogram, HistogramBinned, CustomSql…)
-    for a in others:
+    def run_standalone(a: Analyzer) -> AnalyzerContext:
+        # standalone execution (Histogram, HistogramBinned, CustomSql…)
+        ctx = AnalyzerContext()
         try:
             state = a.compute_state_from(data)
             if save_states_with is not None and state is not None:
                 save_states_with.persist(a, state)
-            results.metric_map[a] = a.compute_metric_from_state(state)
+            ctx.metric_map[a] = a.compute_metric_from_state(state)
         except Exception as exc:  # noqa: BLE001
-            results.metric_map[a] = a.to_failure_metric(exc)
+            ctx.metric_map[a] = a.to_failure_metric(exc)
+        return ctx
+
+    # state providers make no thread-safety promise, so concurrent tasks
+    # persist through one lock (disjoint analyzer keys, shared provider
+    # internals — e.g. one backing dict or filesystem directory)
+    if save_states_with is not None:
+        save_states_with = _LockingStateProvider(save_states_with)
+
+    tasks: List[Any] = []
+    if scanning:
+        tasks.append(lambda: _run_scanning_analyzers(
+            data, scanning, save_states_with))
+    if klls:
+        tasks.append(run_klls)
+    for (_cols_key, where), bucket in buckets.items():
+        tasks.append(lambda b=bucket, w=where: _run_grouping_analyzers(
+            data, list(b[0].grouping_columns), w, b,
+            save_states_with, keep_state_cache=keep_state_cache))
+    for a in others:
+        tasks.append(lambda a=a: run_standalone(a))
+
+    results += _run_task_groups(data, tasks)
 
     # 7. store newly computed metrics ONLY under an explicit save key
     if metrics_repository is not None and save_or_append_results_with_key is not None:

@@ -236,3 +236,86 @@ class TestColumnDataTypeScanFusion:
         assert outcomes['ColumnDataType "d" = "DATE"'] == "Passed"
         assert outcomes['ColumnDataType "i" = "INTEGER"'] == "Passed"
         assert outcomes['ColumnDataType "f" = "DOUBLE"'] == "Failed"
+
+class TestConcurrentGroups:
+    """r12 wave 4 (guide §2.6): the runner's independent execution
+    groups — fused scan, shared KLL pass, each grouping bucket, each
+    standalone analyzer — run overlapped from a small thread pool.
+    Contract: identical metrics (values AND key order), identical saved
+    states, job-group propagation into the pooled actions."""
+
+    def _analyzers(self):
+        from deequ_spark import Histogram, KLLSketch
+        return [Size(), Mean("att1"), Maximum("att2"),        # scan group
+                KLLSketch("att1"),                            # KLL pass
+                Distinctness(("att1",)), Entropy("att1"),     # bucket 1
+                Uniqueness(("att1", "att2")),                 # bucket 2
+                Histogram("att2")]                            # standalone
+
+    def _run(self, spark, df, max_conc):
+        prev = spark.conf.get("spark.deequ.runner.maxConcurrentGroups",
+                              None)
+        spark.conf.set("spark.deequ.runner.maxConcurrentGroups",
+                       str(max_conc))
+        try:
+            return do_analysis_run(df, self._analyzers())
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.deequ.runner.maxConcurrentGroups")
+            else:
+                spark.conf.set("spark.deequ.runner.maxConcurrentGroups",
+                               prev)
+
+    def test_concurrent_equals_sequential(self, spark, df_numeric):
+        seq = self._run(spark, df_numeric, 1)
+        conc = self._run(spark, df_numeric, 3)
+        assert list(seq.metric_map.keys()) == list(conc.metric_map.keys())
+        for a in seq.metric_map:
+            ms, mc = seq.metric_map[a], conc.metric_map[a]
+            assert ms.is_success and mc.is_success, (a, ms, mc)
+            vs = getattr(ms.value, "buckets", ms.value)
+            vc = getattr(mc.value, "buckets", mc.value)
+            assert vs == vc, (a, ms.value, mc.value)
+
+    def test_states_identical_across_modes(self, spark, df_numeric):
+        from deequ_spark import InMemoryStateProvider, run_on_aggregated_states
+        analyzers = [Size(), Mean("att1"), Distinctness(("att1",)),
+                     Uniqueness(("att2",))]
+        metrics = {}
+        for conc in (1, 3):
+            prov = InMemoryStateProvider()
+            prev = spark.conf.get("spark.deequ.runner.maxConcurrentGroups",
+                                  None)
+            spark.conf.set("spark.deequ.runner.maxConcurrentGroups",
+                           str(conc))
+            try:
+                do_analysis_run(df_numeric, analyzers,
+                                save_states_with=prov)
+            finally:
+                if prev is None:
+                    spark.conf.unset(
+                        "spark.deequ.runner.maxConcurrentGroups")
+                else:
+                    spark.conf.set(
+                        "spark.deequ.runner.maxConcurrentGroups", prev)
+            # states must round-trip to the same metrics scan-free
+            ctx = run_on_aggregated_states(df_numeric, analyzers, [prov])
+            metrics[conc] = {a: m.value for a, m in ctx.metric_map.items()
+                             if m.is_success}
+            assert len(metrics[conc]) == len(analyzers)
+        assert metrics[1] == metrics[3]
+
+    def test_job_group_reaches_pooled_actions(self, spark, df_numeric):
+        """setJobGroup is thread-local; inheritable_thread_target must
+        carry it into the pool so cancellation/labeling still work."""
+        import uuid
+        tracker = spark.sparkContext.statusTracker()
+        group = f"conc-group-{uuid.uuid4().hex[:8]}"
+        spark.sparkContext.setJobGroup(group, group)
+        try:
+            self._run(spark, df_numeric, 3)
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        jobs = tracker.getJobIdsForGroup(group) or []
+        # scan + KLL + 2 buckets + histogram ≥ 5 actions, ALL in-group
+        assert len(jobs) >= 5, jobs
