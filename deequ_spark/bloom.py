@@ -173,39 +173,44 @@ def build_bloom(df: DataFrame, key_col: str,
     and key type. ``m`` must be a whole number of 56-bit blocks."""
     canon, ktype = _canon_key(df, key_col)
     df = df.select(canon.alias(key_col)).where(F.col(key_col).isNotNull())
-    cached = None
-    if expected_items is None:
-        # the sizing count must run before the geometry is known, so an
-        # unknown n costs a second pass over the key column (guide
-        # §3.2: "the small side is scanned twice"); persist the
-        # projected keys across count + build so the source subtree
-        # (scan, filters, upstream joins) executes once — released
-        # right after the word collect below
-        cached = df.persist()
-        expected_items = cached.count()
-        df = cached
+    # validate the pinned geometry BEFORE any job runs: rejecting an
+    # invalid shape must not first pay a sizing count or leak a
+    # persisted frame
     if shape is not None:
         m, k = shape
         if m % _BLOCK_BITS or m <= 0:
             raise ValueError(f"pinned m={m} is not a positive multiple "
                              f"of {_BLOCK_BITS}")
-    else:
-        m, k = bloom_shape(expected_items, fpp, max_bits)
-    n_words = m // _BLOCK_BITS
-    w, bits = _word_and_bits(F.col(key_col), k, n_words)
-    words = (df
-             .select(w.alias("w"),
-                     F.explode(F.array(*bits)).alias("b"))
-             # pyspark's shiftleft() insists on a Python-int shift;
-             # call_function reaches the SQL overload that shifts by a
-             # column
-             .select("w", F.call_function(
-                 "shiftleft", F.lit(1).cast("long"), F.col("b"))
-                 .alias("mask"))
-             .groupBy("w").agg(F.bit_or("mask").alias("bits"))
-             .collect())
-    if cached is not None:
-        cached.unpersist()
+    cached = None
+    try:
+        if expected_items is None:
+            # the sizing count must run before the geometry is known, so
+            # an unknown n costs a second pass over the key column (guide
+            # §3.2: "the small side is scanned twice"); persist the
+            # projected keys across count + build so the source subtree
+            # (scan, filters, upstream joins) executes once — released
+            # in the finally below even if a build job fails
+            cached = df.persist()
+            expected_items = cached.count()
+            df = cached
+        if shape is None:
+            m, k = bloom_shape(expected_items, fpp, max_bits)
+        n_words = m // _BLOCK_BITS
+        w, bits = _word_and_bits(F.col(key_col), k, n_words)
+        words = (df
+                 .select(w.alias("w"),
+                         F.explode(F.array(*bits)).alias("b"))
+                 # pyspark's shiftleft() insists on a Python-int shift;
+                 # call_function reaches the SQL overload that shifts by
+                 # a column
+                 .select("w", F.call_function(
+                     "shiftleft", F.lit(1).cast("long"), F.col("b"))
+                     .alias("mask"))
+                 .groupBy("w").agg(F.bit_or("mask").alias("bits"))
+                 .collect())
+    finally:
+        if cached is not None:
+            cached.unpersist()
     dense = [0] * n_words
     for r in words:
         dense[int(r["w"])] = int(r["bits"])

@@ -786,7 +786,8 @@ def near_duplicate_components(pairs: DataFrame, id_a: str = "id_a",
              .distinct().localCheckpoint(eager=False))
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("component", F.col("id")))
-    for _ in range(max_iterations):
+    from ..storage import release_checkpoint
+    for it in range(max_iterations):
         neighbor_min = (edges.join(labels, edges["dst"] == labels["id"])
                         .groupBy("src")
                         .agg(F.min("component").alias("nbr_component")))
@@ -812,9 +813,23 @@ def near_duplicate_components(pairs: DataFrame, id_a: str = "id_a",
                    .join(labels.alias("l"), "id")
                    .where(F.col("u.component") != F.col("l.component"))
                    .count())
+        # the convergence count above was the last reader of the
+        # superseded label checkpoint — free its blocks now (round 0's
+        # `labels` is the lazy seed plan, nothing to free) so executor
+        # storage holds ONE label table, not one per iteration (guide
+        # §5; release_checkpoint because unpersist() cannot reach
+        # checkpoint blocks)
+        if it > 0:
+            release_checkpoint(labels)
         labels = updated
         if changed == 0:
             break
+    # once any iteration ran, the returned labels table is an eager
+    # checkpoint and the symmetrized edge checkpoint has no further
+    # reader — free it (max_iterations=0 leaves labels a lazy plan
+    # OVER edges, so it must stay)
+    if max_iterations > 0:
+        release_checkpoint(edges)
     return labels
 
 

@@ -552,7 +552,14 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
     paths: lines shorter than ``min_line_chars`` are never treated as
     boilerplate (blank lines and separators stay); deciding the path
     costs one bounded ``limit(n+1)`` count on the (checkpointed)
-    boilerplate set, never an unbounded collect."""
+    boilerplate set, never an unbounded collect.
+
+    NOTE this default gate makes the call EAGER: two Spark jobs (the
+    boilerplate-set localCheckpoint and the gate count) run at CALL
+    time, not at the caller's first action — callers that need a fully
+    lazy transformation (building plans before data exists, streaming
+    frames) must pass ``local_max_lines=0``, which restores the
+    original all-lazy join rebuild."""
     spark = df.sparkSession
     lines = (df.select(F.col(id_col).alias("__bid"),
                        F.posexplode(F.split(F.col(text_col), "\n"))
@@ -573,7 +580,11 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
         boiler = boiler.localCheckpoint(eager=True)
         if boiler.limit(local_max_lines + 1).count() <= local_max_lines:
             import uuid
-            view = f"deequ_boiler_{uuid.uuid4().hex[:12]}"
+            uid = uuid.uuid4().hex[:12]
+            view = f"deequ_boiler_{uid}"
+            # uniquified temp column: a plain "__blset" would silently
+            # overwrite (and then drop) a caller's same-named column
+            tmp = f"__blset_{uid}"
             boiler.createOrReplaceTempView(view)
             # the set reaches every row ONCE via a scalar subquery (a
             # literal array would plan as a CreateArray with one child
@@ -584,8 +595,8 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
                 f"FROM {view})")
             parts = F.split(F.col(text_col), "\n")
             kept_arr = F.filter(
-                parts, lambda l: ~F.array_contains(F.col("__blset"), l))
-            out = (df.withColumn("__blset", blines)
+                parts, lambda l: ~F.array_contains(F.col(tmp), l))
+            out = (df.withColumn(tmp, blines)
                    .withColumn(cleaned_col,
                                F.coalesce(F.array_join(kept_arr, "\n"),
                                           F.lit("")))
@@ -594,7 +605,7 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
                                    (F.size(parts) - F.size(kept_arr))
                                    .cast("long"),
                                    F.lit(0).cast("long")))
-                   .drop("__blset"))
+                   .drop(tmp))
             spark.catalog.dropTempView(view)
             return out
     kept = lines.join(boiler, "__line", "left_anti")

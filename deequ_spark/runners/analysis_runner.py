@@ -159,8 +159,17 @@ def _run_task_groups(data: DataFrame, tasks: List[Any]) -> AnalyzerContext:
         wrapped = tasks
     with ThreadPoolExecutor(max_workers=min(max_conc, len(tasks))) as pool:
         futures = [pool.submit(t) for t in wrapped]
-        for fut in futures:
-            results += fut.result()
+        try:
+            for fut in futures:
+                results += fut.result()
+        except BaseException:
+            # first failure cancels every not-yet-started task so later
+            # groups cannot persist states after the run has raised —
+            # the closest a pool gets to sequential mode's
+            # stop-at-first-failure (in-flight tasks still drain)
+            for f in futures:
+                f.cancel()
+            raise
     return results
 
 

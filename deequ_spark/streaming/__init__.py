@@ -149,15 +149,20 @@ class StreamingVerification:
                     # cache (keep_state_cache) — release both now
                     # instead of waiting on the ContextCleaner, so
                     # executor storage stays bounded over long streams.
-                    # Identity guard: on the FIRST batch `merged` IS the
-                    # batch state and its frequencies were just swapped
-                    # to the checkpoint — never unpersist that.
+                    # release_checkpoint frees checkpoint RDD blocks
+                    # directly AND falls back to unpersist() for the
+                    # batch's plain cache (r12 verdict: unpersist alone
+                    # never touches checkpoint blocks). Identity guard:
+                    # on the FIRST batch `merged` IS the batch state and
+                    # its frequencies were just swapped to the
+                    # checkpoint — never release that.
+                    from ..storage import release_checkpoint
                     for old in (getattr(prev, "frequencies", None),
                                 getattr(new, "frequencies", None),
                                 freq_df):
                         if old is not None \
                                 and old is not merged.frequencies:
-                            old.unpersist()
+                            release_checkpoint(old)
                 except Exception:  # noqa: BLE001 — best effort only
                     pass
             self._cumulative.persist(a, merged)
