@@ -102,6 +102,38 @@ def frequencies_plan(data: DataFrame, grouping_columns: Sequence[str],
             .agg(F.count(F.lit(1)).alias(COUNT_COL)))
 
 
+def frequencies_plan_all(data: DataFrame, grouping_columns: Sequence[str],
+                         where: Optional[str] = None) -> DataFrame:
+    """Null-INCLUSIVE variant of :func:`frequencies_plan` — the same
+    GROUP BY without the at-least-one-key-not-null filter. The standard
+    table is EXACTLY this table minus the all-null-key group (groupBy
+    partitions rows by key, so excluding the all-null group post-shuffle
+    equals excluding all-null rows pre-shuffle) — see
+    :func:`exclude_all_null_groups`. Lets one corpus shuffle serve both
+    a grouping bucket and a same-column standalone Histogram (r13,
+    guide §2.4 "two operations keyed the same way share one
+    exchange")."""
+    columns = list(grouping_columns) if grouping_columns else list(data.columns)
+    if not columns:
+        raise ValueError("no grouping columns and DataFrame has no columns")
+    filtered = data.filter(where) if where is not None else data
+    projected = filtered.select(*[_col(c) for c in columns])
+    return (projected
+            .groupBy(*[_col(c) for c in columns])
+            .agg(F.count(F.lit(1)).alias(COUNT_COL)))
+
+
+def exclude_all_null_groups(freq: DataFrame,
+                            grouping_columns: Sequence[str]) -> DataFrame:
+    """Drop the all-null-key group from a null-inclusive frequency table:
+    yields a table value-identical to :func:`frequencies_plan`'s."""
+    at_least_one = None
+    for name in grouping_columns:
+        c = _col(name).isNotNull()
+        at_least_one = c if at_least_one is None else (at_least_one | c)
+    return freq.where(at_least_one)
+
+
 def compute_frequencies(data: DataFrame, grouping_columns: Sequence[str],
                         where: Optional[str] = None) -> FrequenciesAndNumRows:
     """State for the standalone path. num_rows stays LAZY — consumers fuse

@@ -984,6 +984,15 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                   .select("p.id_a", "p.id_b")
                   .where(F.col("id_a") < F.col("id_b"))
                   .distinct())
+    # NOTE (r13, examined and REJECTED): an eager empty-candidate early
+    # exit — localCheckpoint(candidates) + take(1), skip the verify
+    # joins when nothing survived — was implemented and AB-measured
+    # (tools/ab_r13_wave1.py, same-JVM conf flip, 8 warm rounds): every
+    # eager sample was SLOWER (median 2.37 vs 2.16 s, 1.10×); the
+    # candidate materialization + probe job cost more than the two
+    # small broadcast builds it skips, and at 100 TB the candidate set
+    # is never empty, so the probe had no scale story either. The
+    # verify plan stays fully lazy.
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (candidates.join(va, "id_a").join(vb, "id_b")

@@ -28,10 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..analyzers.base import Analyzer, ScanShareableAnalyzer, State
-from ..analyzers.grouping import (COUNT_COL, FrequenciesAndNumRows,
+from ..analyzers.grouping import (COUNT_COL, NULL_FIELD_REPLACEMENT,
+                                  FrequenciesAndNumRows,
                                   FrequencyBasedAnalyzer, Histogram,
                                   ScanShareableFrequencyBasedAnalyzer,
-                                  frequencies_plan)
+                                  exclude_all_null_groups, frequencies_plan,
+                                  frequencies_plan_all)
 from ..compat import CamelCaseMixin, PyDeequCompatMeta
 from ..metrics import DoubleMetric, Metric
 
@@ -285,6 +287,49 @@ def do_analysis_run(data: DataFrame,
         key = (tuple(sorted(a.grouping_columns)), getattr(a, "where", None))
         buckets.setdefault(key, []).append(a)
 
+    # r13 (guide §2.4 "two operations keyed the same way can share one
+    # exchange"): a standalone Histogram whose (column, where) matches a
+    # grouping bucket rides THAT bucket's shuffle instead of running its
+    # own corpus-wide groupBy. The shared table is the null-INCLUSIVE
+    # raw groupBy: the bucket's view is it minus the all-null-key group
+    # (exactly frequencies_plan's pre-shuffle exclusion) and the
+    # Histogram's view is a post-shuffle string-cast re-aggregation of
+    # it (cast is per-value deterministic, so regrouping the tiny
+    # frequency table by cast(key) sums to exactly the corpus-level
+    # counts). Guards: no binning/sum_column (those change the grouped
+    # expression), no float/double column (groupBy normalizes -0.0→0.0
+    # and NaN bit patterns BEFORE the cast, a corpus-level string
+    # groupBy would not), plain unquoted column name, and no state
+    # provider (the saved bucket state must keep its standalone cache
+    # lifecycle). Identical values either way — only one Exchange
+    # where two ran.
+    shared_hists: Dict[Tuple, List[Histogram]] = {}
+    others_canonical = list(others)
+    share = True
+    try:
+        share = str(data.sparkSession.conf.get(
+            "spark.deequ.runner.shareHistogramShuffle", "true")).lower() \
+            == "true"
+    except Exception:  # noqa: BLE001 — conf unreadable → default on
+        pass
+    if share and buckets and save_states_with is None:
+        schema_by_name = {f.name: f.dataType for f in schema.fields}
+        remaining = []
+        for a in others:
+            key = None
+            if (type(a) is Histogram and a.binning_udf is None
+                    and a.sum_column is None
+                    and a.column == a._plain_column
+                    and a.column in schema_by_name
+                    and schema_by_name[a.column].typeName()
+                    not in ("float", "double")):
+                key = ((a.column,), a.where)
+            if key is not None and key in buckets:
+                shared_hists.setdefault(key, []).append(a)
+            else:
+                remaining.append(a)
+        others = remaining
+
     def run_klls() -> AnalyzerContext:
         # ONE extra Arrow pass for ALL KLL columns combined
         # (parity: KLLRunner.computeKLLSketchesInExtraPass, :162-167)
@@ -325,14 +370,38 @@ def do_analysis_run(data: DataFrame,
             data, scanning, save_states_with))
     if klls:
         tasks.append(run_klls)
-    for (_cols_key, where), bucket in buckets.items():
-        tasks.append(lambda b=bucket, w=where: _run_grouping_analyzers(
-            data, list(b[0].grouping_columns), w, b,
-            save_states_with, keep_state_cache=keep_state_cache))
+    for (cols_key, where), bucket in buckets.items():
+        hists = shared_hists.get((cols_key, where), [])
+        tasks.append(lambda b=bucket, w=where, h=hists:
+                     _run_grouping_analyzers(
+                         data, list(b[0].grouping_columns), w, b,
+                         save_states_with, keep_state_cache=keep_state_cache,
+                         shared_histograms=h))
     for a in others:
         tasks.append(lambda a=a: run_standalone(a))
 
-    results += _run_task_groups(data, tasks)
+    task_results = _run_task_groups(data, tasks)
+    if shared_hists:
+        # histogram metrics were computed inside a bucket's task — put
+        # the merged map back in the exact order the unshared run
+        # produces (scan, KLL, buckets, standalones), so downstream
+        # metric rendering is byte-identical
+        canonical = list(scanning) + list(klls)
+        for b in buckets.values():
+            # a bucket task's map order is shareable-then-non-shareable
+            canonical += [a for a in b if isinstance(
+                a, ScanShareableFrequencyBasedAnalyzer)]
+            canonical += [a for a in b if not isinstance(
+                a, ScanShareableFrequencyBasedAnalyzer)]
+        canonical += others_canonical
+        ordered = AnalyzerContext()
+        for a in canonical:
+            if a in task_results.metric_map:
+                ordered.metric_map[a] = task_results.metric_map[a]
+        for a, m in task_results.metric_map.items():
+            ordered.metric_map.setdefault(a, m)
+        task_results = ordered
+    results += task_results
 
     # 7. store newly computed metrics ONLY under an explicit save key
     if metrics_repository is not None and save_or_append_results_with_key is not None:
@@ -416,15 +485,32 @@ def _run_grouping_analyzers(data: DataFrame,
                             where: Optional[str],
                             analyzers: List[FrequencyBasedAnalyzer],
                             save_states_with=None,
-                            keep_state_cache: bool = False
-                            ) -> AnalyzerContext:
+                            keep_state_cache: bool = False,
+                            shared_histograms: Optional[List[Histogram]]
+                            = None) -> AnalyzerContext:
     """One shuffle for the whole bucket; fused second stage
-    (AnalysisRunner.scala:560-628)."""
+    (AnalysisRunner.scala:560-628).
+
+    ``shared_histograms`` (r13, guide §2.4): standalone Histograms on
+    the bucket's single column/filter that would otherwise pay their own
+    corpus shuffle. The bucket then groups WITHOUT the null-key
+    exclusion (persisted once); the bucket's analyzers read the
+    all-null-group-excluded view (value-identical to frequencies_plan)
+    and each histogram reads a post-shuffle string-cast re-aggregation
+    of the same table (value-identical to its own corpus groupBy — cast
+    is per-value deterministic, so group sums equal corpus counts)."""
     ctx = AnalyzerContext()
+    hists = list(shared_histograms or [])
+    freq_incl = None
     try:
-        frequencies = frequencies_plan(data, grouping_columns, where)
+        if hists:
+            freq_incl = frequencies_plan_all(data, grouping_columns, where)
+            frequencies = exclude_all_null_groups(freq_incl,
+                                                  grouping_columns)
+        else:
+            frequencies = frequencies_plan(data, grouping_columns, where)
     except Exception as exc:  # noqa: BLE001  (e.g. invalid `where` SQL)
-        for a in analyzers:
+        for a in analyzers + hists:
             ctx.metric_map[a] = a.to_failure_metric(exc)
         return ctx
 
@@ -433,10 +519,41 @@ def _run_grouping_analyzers(data: DataFrame,
     non_shareable = [a for a in analyzers if a not in shareable]
 
     # persist the (small, post-shuffle) frequency table only when >1 action
-    # will consume it (parity :576-578, 626)
-    needs_persist = bool(non_shareable) or (save_states_with is not None)
+    # will consume it (parity :576-578, 626). With shared histograms the
+    # CACHED frame is the null-inclusive table — the bucket view and every
+    # histogram view are cheap post-shuffle derivations of it.
+    needs_persist = bool(non_shareable) or (save_states_with is not None) \
+        or bool(hists)
+    cached = None
     if needs_persist:
-        frequencies = frequencies.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = (freq_incl if freq_incl is not None else frequencies) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        if freq_incl is not None:
+            freq_incl = cached
+            frequencies = exclude_all_null_groups(freq_incl,
+                                                  grouping_columns)
+        else:
+            frequencies = cached
+
+    def _histogram_metrics() -> None:
+        """Derive each shared histogram's table from the cached
+        null-inclusive frequencies: coalesce(cast(key AS string),
+        NullValue), regroup, sum counts — a tiny post-shuffle exchange
+        over distinct values, not a corpus pass."""
+        for h in hists:
+            try:
+                plain = h._plain_column
+                key = F.col(f"`{plain}`")
+                derived = (freq_incl.select(
+                    F.coalesce(key.cast("string"),
+                               F.lit(NULL_FIELD_REPLACEMENT)).alias(plain),
+                    F.col(COUNT_COL))
+                    .groupBy(F.col(f"`{plain}`"))
+                    .agg(F.sum(COUNT_COL).cast("long").alias(COUNT_COL)))
+                ctx.metric_map[h] = h.compute_metric_from_state(
+                    FrequenciesAndNumRows(derived))
+            except Exception as exc:  # noqa: BLE001
+                ctx.metric_map[h] = h.to_failure_metric(exc)
 
     # fused second stage: SUM(absolute) at offset 0 recovers num_rows in the
     # SAME action as every analyzer's aggregates
@@ -451,8 +568,12 @@ def _run_grouping_analyzers(data: DataFrame,
             # fused second stage fails every analyzer sharing the GROUP BY
             for other in analyzers:
                 ctx.metric_map[other] = other.to_failure_metric(exc)
-            if needs_persist:
-                frequencies.unpersist()
+            # shared histograms do not share the second stage: compute
+            # them from the (still valid) inclusive table, as standalone
+            # execution would have succeeded
+            _histogram_metrics()
+            if cached is not None:
+                cached.unpersist()
             return ctx
         aggregations.extend(aggs)
         offsets.append(current)
@@ -468,8 +589,14 @@ def _run_grouping_analyzers(data: DataFrame,
                 ctx.metric_map[a] = a.compute_metric_from_state(state)
             except Exception as exc:  # noqa: BLE001
                 ctx.metric_map[a] = a.to_failure_metric(exc)
-        if needs_persist:
-            frequencies.unpersist()
+        for h in hists:
+            try:
+                state = h.compute_state_from(data)
+                ctx.metric_map[h] = h.compute_metric_from_state(state)
+            except Exception as exc:  # noqa: BLE001
+                ctx.metric_map[h] = h.to_failure_metric(exc)
+        if cached is not None:
+            cached.unpersist()
         return ctx
     num_rows = int(result[0] or 0)
 
@@ -486,13 +613,15 @@ def _run_grouping_analyzers(data: DataFrame,
         except Exception as exc:  # noqa: BLE001
             ctx.metric_map[a] = a.to_failure_metric(exc)
 
+    _histogram_metrics()
+
     # keep_state_cache: the SAVED state keeps its materialized
     # frequency table — the caller (streaming merge) reads it once more
     # and unpersists; dropping it here would make every later state
     # merge re-run the groupBy shuffle
-    if needs_persist and not (keep_state_cache
-                              and save_states_with is not None):
-        frequencies.unpersist()
+    if cached is not None and not (keep_state_cache
+                                   and save_states_with is not None):
+        cached.unpersist()
     return ctx
 
 

@@ -5,10 +5,12 @@ from pyspark.sql import SparkSession
 @pytest.fixture(scope="session")
 def spark():
     spark = (SparkSession.builder
-             .master("local[4]")
+             .master("local[8]")
              .appName("deequ-spark-tests")
-             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.driver.memory", "6g")
              .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.legacy.parquet.nanosAsLong", "true")
              .getOrCreate())

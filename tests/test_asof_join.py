@@ -372,7 +372,7 @@ _series = st.lists(
 
 
 class TestAsofProperty:
-    @settings(max_examples=12, deadline=None)
+    @settings(max_examples=7, deadline=None)
     @given(left=_series, right=_series,
            direction=st.sampled_from(["backward", "forward", "nearest"]))
     def test_equals_pandas_merge_asof(self, spark, left, right, direction):
@@ -405,7 +405,7 @@ class TestAsofProperty:
 
 
 class TestIntervalProperty:
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=6, deadline=None)
     @given(pts=st.lists(st.tuples(st.sampled_from(["a", "b"]),
                                   st.integers(0, 100)),
                         min_size=1, max_size=15),
@@ -428,7 +428,7 @@ class TestIntervalProperty:
 
 
 class TestRollingProperty:
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=6, deadline=None)
     @given(rows=st.lists(st.tuples(st.sampled_from(["a", "b"]),
                                    st.integers(0, 50),
                                    st.integers(-5, 5)),
@@ -452,7 +452,7 @@ class TestRollingProperty:
 
 
 class TestTableDiffProperty:
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=6, deadline=None)
     @given(old=st.dictionaries(st.integers(0, 30),
                                st.integers(0, 3), max_size=20),
            new=st.dictionaries(st.integers(0, 30),

@@ -191,7 +191,7 @@ class TestBpeProperty:
 
         @given(st.lists(doc, min_size=1, max_size=6),
                st.integers(min_value=0, max_value=25))
-        @settings(max_examples=12, deadline=None)
+        @settings(max_examples=7, deadline=None)
         def check(docs_txt, n_merges):
             df = spark.createDataFrame(
                 [(i, t) for i, t in enumerate(docs_txt)],

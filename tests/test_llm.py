@@ -3095,7 +3095,7 @@ class TestAssemblePacksProperty:
                           min_size=1, max_size=8)
 
         @given(docs_s, st.integers(min_value=2, max_value=7))
-        @settings(max_examples=15, deadline=None)
+        @settings(max_examples=8, deadline=None)
         def check(lengths, budget):
             rows = [(i, [i * 100 + j for j in range(n)])
                     for i, n in enumerate(lengths)]

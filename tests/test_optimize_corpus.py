@@ -27,7 +27,7 @@ class TestOptimizeCorpus:
     def test_full_pass_content_exact_and_layout(self, spark, tmp_path,
                                                 orders):
         d = str(tmp_path / "c")
-        orders.repartition(30).write.parquet(d)
+        orders.repartition(12).write.parquet(d)
         want = _sig(orders)
         res = optimize_corpus(spark, d,
                               cluster_by=["o_custkey", "o_totalprice"],
@@ -111,7 +111,7 @@ class TestOptimizeCorpus:
     def test_without_cluster_by_delegates_to_compaction(
             self, spark, tmp_path, orders):
         d = str(tmp_path / "c")
-        orders.repartition(25).write.parquet(d)
+        orders.repartition(10).write.parquet(d)
         res = optimize_corpus(spark, d, bloom_cols=["o_custkey"],
                               target_bytes=32 * 1024 * 1024)
         assert res["files_after"] < res["files_before"]

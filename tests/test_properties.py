@@ -254,7 +254,7 @@ class TestParagraphDedupModel:
         st.lists(st.sampled_from(["aaa", "bbb", "ccc", "dd", "e", "ffff"]),
                  min_size=1, max_size=5),
         min_size=1, max_size=7))
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=6, deadline=None)
     def test_matches_sequential_model(self, spark, corpora):
         from deequ_spark.llm import paragraph_dedup
         min_chars = 2

@@ -226,7 +226,7 @@ class TestRobotsProperty:
             return best_rule == "allow"
 
         @given(rules_s, paths_s)
-        @settings(max_examples=25, deadline=None)
+        @settings(max_examples=12, deadline=None)
         def check(rules, paths):
             rules_df = spark.createDataFrame(
                 [("h.example.com", r, p) for r, p in rules] or

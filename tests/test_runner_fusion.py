@@ -319,3 +319,108 @@ class TestConcurrentGroups:
         jobs = tracker.getJobIdsForGroup(group) or []
         # scan + KLL + 2 buckets + histogram ≥ 5 actions, ALL in-group
         assert len(jobs) >= 5, jobs
+
+
+class TestHistogramShuffleShare:
+    """r13 (guide §2.4): a standalone Histogram sharing (column, where)
+    with a grouping bucket rides the bucket's shuffle — one corpus
+    groupBy (null-inclusive, persisted) serves the bucket's analyzers
+    (all-null group excluded post-shuffle) and the Histogram (string-
+    cast re-aggregation post-shuffle). Values, metric-map order and the
+    saved-state path must be byte-identical to the unshared run."""
+
+    KNOB = "spark.deequ.runner.shareHistogramShuffle"
+
+    def _run(self, spark, df, analyzers, share):
+        spark.conf.set(self.KNOB, "true" if share else "false")
+        try:
+            return do_analysis_run(df, analyzers)
+        finally:
+            spark.conf.unset(self.KNOB)
+
+    def _assert_identical(self, spark, df, analyzers):
+        shared = self._run(spark, df, analyzers, True)
+        plain = self._run(spark, df, analyzers, False)
+        assert list(shared.metric_map.keys()) == list(plain.metric_map.keys())
+        for a in analyzers:
+            ms, mp = shared.metric_map[a], plain.metric_map[a]
+            assert ms.is_success and mp.is_success, (a, ms, mp)
+            vs = getattr(ms.value, "values", ms.value)
+            vp = getattr(mp.value, "values", mp.value)
+            assert vs == vp, (a, ms.value, mp.value)
+            if hasattr(ms.value, "number_of_bins"):
+                assert ms.value.number_of_bins == mp.value.number_of_bins
+                assert ms.value.tail_count == mp.value.tail_count
+
+    def test_string_column_with_nulls_identical(self, spark, df_missing):
+        """NULL rows: excluded from the bucket analyzers, a NullValue
+        bin for the Histogram — both derived from ONE shuffle."""
+        from deequ_spark import Histogram
+        self._assert_identical(spark, df_missing, [
+            Histogram("att1"), Entropy("att1"), Uniqueness(("att1",)),
+            Distinctness(("att1",)), CountDistinct(("att1",))])
+
+    def test_int_column_and_where_filter_identical(self, spark, df_numeric):
+        from deequ_spark import Histogram
+        self._assert_identical(spark, df_numeric, [
+            Histogram("att2", where="att1 > 1"),
+            Entropy("att2", where="att1 > 1"),
+            # different where -> must NOT pair with the filtered bucket
+            Histogram("att2")])
+
+    def test_double_column_never_shares(self, spark):
+        """float/double are excluded from sharing: groupBy normalizes
+        -0.0 to 0.0 (and NaN bit patterns) BEFORE any cast, while the
+        Histogram's corpus-level string groupBy distinguishes "-0.0" —
+        the guard keeps the reference semantics bit-exact."""
+        from deequ_spark import Histogram
+        df = spark.createDataFrame(
+            [(1, -0.0), (2, 0.0), (3, 1.5)], "id int, v double")
+        shared = self._run(spark, df, [Histogram("v"), Entropy("v")], True)
+        plain = self._run(spark, df, [Histogram("v"), Entropy("v")], False)
+        hist_s = [m for a, m in shared.metric_map.items()
+                  if a.name == "Histogram"][0]
+        hist_p = [m for a, m in plain.metric_map.items()
+                  if a.name == "Histogram"][0]
+        assert hist_s.value.values == hist_p.value.values
+        assert "-0.0" in hist_s.value.values      # corpus-level cast kept
+
+    def test_shared_run_scans_the_corpus_fewer_times(self, spark):
+        """Structural pin: with sharing the whole [Histogram, Entropy]
+        run reads the base data ONCE (persisted inclusive table);
+        without it the bucket scans once and the histogram's two lazy
+        post-state jobs scan twice more."""
+        from deequ_spark import Histogram
+        schema = "item string, att1 string"
+        rows = [(str(i), "abc"[i % 3]) for i in range(30)]
+
+        def passes(share):
+            acc = spark.sparkContext.accumulator(0)
+
+            def tick(it):
+                acc.add(1)
+                return it
+            base = spark.createDataFrame(rows, schema)
+            n_parts = base.rdd.getNumPartitions()
+            counted = spark.createDataFrame(
+                base.rdd.mapPartitions(tick), schema)
+            prev = spark.conf.get("spark.deequ.runner.maxConcurrentGroups",
+                                  None)
+            spark.conf.set("spark.deequ.runner.maxConcurrentGroups", "1")
+            try:
+                ctx = self._run(spark, counted,
+                                [Histogram("att1"), Entropy("att1")], share)
+            finally:
+                if prev is None:
+                    spark.conf.unset("spark.deequ.runner.maxConcurrentGroups")
+                else:
+                    spark.conf.set("spark.deequ.runner.maxConcurrentGroups",
+                                   prev)
+            assert all(m.is_success for m in ctx.metric_map.values())
+            assert acc.value % n_parts == 0
+            return acc.value // n_parts
+
+        shared_passes = passes(True)
+        plain_passes = passes(False)
+        assert shared_passes == 1, shared_passes
+        assert plain_passes >= 2, plain_passes

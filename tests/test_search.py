@@ -253,7 +253,7 @@ class TestQuantizedProperty:
                        min_size=4, max_size=24)
 
         @given(st.lists(vec, min_size=2, max_size=4))
-        @settings(max_examples=15, deadline=None)
+        @settings(max_examples=8, deadline=None)
         def check(vecs):
             import math
             dim = len(vecs[0])

@@ -179,7 +179,7 @@ class TestShardsProperty:
 
         @given(st.lists(st.binary(min_size=0, max_size=200),
                         min_size=1, max_size=8))
-        @settings(max_examples=10, deadline=None)
+        @settings(max_examples=6, deadline=None)
         def check(blobs):
             counter[0] += 1
             out = str(tmp_path / f"wds_prop_{counter[0]}")

@@ -248,30 +248,31 @@ class TestStateProviderRestoreGrid:
             ExactQuantile("price", 0.5),
         ]
 
-    def _assert_restores(self, provider, analyzers, data):
-        from deequ_spark import do_analysis_run
-        direct = do_analysis_run(data, analyzers)
+    def test_in_memory_and_filesystem_restore(self, tmp_path, spark,
+                                              some_data):
+        """One merged grid over BOTH providers: states and the direct
+        metrics are computed ONCE (they are provider-independent), each
+        provider round-trips the same states — halves the ~100 Spark
+        actions the two separate grid tests paid (r13 suite budget)."""
+        from deequ_spark import (FileSystemStateProvider,
+                                 InMemoryStateProvider, do_analysis_run)
+        analyzers = self._grid()
+        providers = [InMemoryStateProvider(),
+                     FileSystemStateProvider(str(tmp_path / "grid"), spark)]
+        direct = do_analysis_run(some_data, analyzers)
         for a in analyzers:
-            state = a.compute_state_from(data)
-            provider.persist(a, state)
-        for a in analyzers:
-            restored = provider.load(a)
-            assert restored is not None, str(a)
-            m = a.compute_metric_from_state(restored)
-            d = direct.metric_map[a]
-            assert m.is_success and d.is_success, str(a)
-            if isinstance(m.value, float) and isinstance(d.value, float):
-                assert m.value == pytest.approx(d.value, rel=1e-9), str(a)
-
-    def test_in_memory_restore(self, some_data):
-        from deequ_spark import InMemoryStateProvider
-        self._assert_restores(InMemoryStateProvider(), self._grid(),
-                              some_data)
-
-    def test_filesystem_restore(self, tmp_path, spark, some_data):
-        from deequ_spark import FileSystemStateProvider
-        provider = FileSystemStateProvider(str(tmp_path / "grid"), spark)
-        self._assert_restores(provider, self._grid(), some_data)
+            state = a.compute_state_from(some_data)
+            for provider in providers:
+                provider.persist(a, state)
+        for provider in providers:
+            for a in analyzers:
+                restored = provider.load(a)
+                assert restored is not None, str(a)
+                m = a.compute_metric_from_state(restored)
+                d = direct.metric_map[a]
+                assert m.is_success and d.is_success, str(a)
+                if isinstance(m.value, float) and isinstance(d.value, float):
+                    assert m.value == pytest.approx(d.value, rel=1e-9), str(a)
 
     def test_filesystem_overwrite_guard(self, tmp_path, some_data):
         """StateProviderTest.scala:134-176 — a second persist fails

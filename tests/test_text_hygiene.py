@@ -808,9 +808,20 @@ class TestIncrementalDedup:
         write_dedup_index(hist, "doc_id", "text", path)
         return path
 
-    def test_exact_near_fresh_classification(self, spark, tmp_path):
+    @pytest.fixture(scope="class")
+    def base_index(self, spark, tmp_path_factory):
+        """ONE shared BASE index for the read-only classify tests (the
+        build costs ~6 s of Spark jobs; tests that APPEND/COMPACT/delete
+        files keep their own private _index build)."""
+        from deequ_spark.llm import write_dedup_index
+        path = str(tmp_path_factory.mktemp("dedup_base") / "dedup_index")
+        hist = spark.createDataFrame(self.BASE, "doc_id long, text string")
+        write_dedup_index(hist, "doc_id", "text", path)
+        return path
+
+    def test_exact_near_fresh_classification(self, spark, base_index):
         from deequ_spark.llm import dedup_against_index
-        path = self._index(spark, tmp_path)
+        path = base_index
         near_text = self.BASE[0][1].replace("today", "tonight")
         new = spark.createDataFrame([
             (10, self.BASE[1][1]),                 # exact copy of 2
@@ -844,12 +855,12 @@ class TestIncrementalDedup:
         [r] = dups2.collect()
         assert r["match_kind"] == "exact" and r["matched_id"] == 20
 
-    def test_signature_similarity_tracks_jaccard(self, spark, tmp_path):
+    def test_signature_similarity_tracks_jaccard(self, spark, base_index):
         """Signature agreement must approximate exact shingle Jaccard
         (±1/sqrt(64) ≈ 0.125 at 64 hashes)."""
         from deequ_spark.llm import dedup_against_index
         from deequ_spark.llm.dedup import word_shingles
-        path = self._index(spark, tmp_path)
+        path = base_index
         near_text = self.BASE[2][1].replace("polar", "arctic")
         new = spark.createDataFrame([(40, near_text)],
                                     "doc_id long, text string")
@@ -881,9 +892,9 @@ class TestIncrementalDedup:
         [r] = dups.collect()          # one witness suffices
         assert r["match_kind"] == "near" and fresh.count() == 0
 
-    def test_bands_guard(self, spark, tmp_path):
+    def test_bands_guard(self, spark, base_index):
         from deequ_spark.llm import dedup_against_index
-        path = self._index(spark, tmp_path)
+        path = base_index
         new = spark.createDataFrame([(50, "x y z")],
                                     "doc_id long, text string")
         with pytest.raises(ValueError, match="band slices would"):
@@ -946,7 +957,7 @@ class TestIncrementalDedup:
         assert got_b == got_n
         assert fresh_b == sorted(r["doc_id"] for r in fresh_n.collect())
 
-    def test_bloom_gate_adaptive_by_index_size(self, spark, tmp_path):
+    def test_bloom_gate_adaptive_by_index_size(self, spark, base_index):
         """r12 perf: the fps-bloom pre-filter is GATED on index key
         count (fixed ~1-2 s/call cost vs a join it cannot meaningfully
         prune at small scale). Observable: the probe registers a
@@ -955,7 +966,7 @@ class TestIncrementalDedup:
         import hashlib
 
         from deequ_spark.llm import dedup_against_index
-        path = self._index(spark, tmp_path)
+        path = base_index
         view = ("dedup_fps_bloom_"
                 + hashlib.md5(path.encode("utf-8")).hexdigest()[:12])
         new = spark.createDataFrame(
