@@ -202,8 +202,16 @@ def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
     if key not in ("hash", "text"):
         raise ValueError("key must be 'hash' or 'text'")
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    base = (df.select(F.col(id_col).alias("__did"),
-                      toks.alias("__toks"))
+    # carry df's columns THROUGH the rebuild (r13): the rebuild used to
+    # re-attach them with a third corpus scan + a second join
+    # (df ⋈ rebuilt on id) — plans/r13/b17_span_dedup_before.txt shows 3
+    # parquet scans / 2 joins. The loser spans travel by id either way,
+    # so keeping the original columns alongside __toks removes that
+    # scan+join outright (guide §2.4). The null-id filter preserves the
+    # old inner join's behavior (a NULL id never equals itself).
+    base = (df.where(F.col(id_col).isNotNull())
+            .withColumn("__did", F.col(id_col))
+            .withColumn("__toks", toks)
             .withColumn("__sz", F.size("__toks")))
 
     # all n-token window keys in order; NONE for docs shorter than n
@@ -282,27 +290,26 @@ def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
     spans = (losers.groupBy("__did")
              .agg(F.sort_array(F.collect_list("__pos")).alias("__starts")))
 
-    rebuilt = (base.join(spans, "__did", "left")
-               .withColumn("__starts",
-                           F.coalesce(F.col("__starts"),
-                                      F.array().cast("array<int>")))
-               .select(
-                   "__did",
-                   F.array_join(
-                       F.filter(
-                           F.col("__toks"),
-                           lambda t, i: ~F.exists(
-                               F.col("__starts"),
-                               lambda s: (s <= i) & (i < s + F.lit(n)))),
-                       " ").alias(out_col),
-                   F.col("__sz").cast("long").alias("n_tokens"),
-                   F.size(F.filter(
-                       F.sequence(F.lit(0), F.greatest(sz - 1, F.lit(0))),
-                       lambda i: (sz > 0) & F.exists(
-                           F.col("__starts"),
-                           lambda s: (s <= i) & (i < s + F.lit(n)))))
-                   .cast("long").alias("n_removed_tokens")))
-    return df.join(rebuilt, df[id_col] == rebuilt["__did"]).drop("__did")
+    return (base.join(spans, "__did", "left")
+            .withColumn("__starts",
+                        F.coalesce(F.col("__starts"),
+                                   F.array().cast("array<int>")))
+            .select(
+                *[F.col(f"`{c}`") for c in df.columns],
+                F.array_join(
+                    F.filter(
+                        F.col("__toks"),
+                        lambda t, i: ~F.exists(
+                            F.col("__starts"),
+                            lambda s: (s <= i) & (i < s + F.lit(n)))),
+                    " ").alias(out_col),
+                F.col("__sz").cast("long").alias("n_tokens"),
+                F.size(F.filter(
+                    F.sequence(F.lit(0), F.greatest(sz - 1, F.lit(0))),
+                    lambda i: (sz > 0) & F.exists(
+                        F.col("__starts"),
+                        lambda s: (s <= i) & (i < s + F.lit(n)))))
+                .cast("long").alias("n_removed_tokens")))
 
 
 def jaccard_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
