@@ -33,7 +33,7 @@ from typing import Dict, Optional, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..storage import release_checkpoint
+from ..storage import checkpoint_materialized, release_checkpoint
 from .dedup import (deduplicate_near, duplicate_span_removal,
                     minhash_lsh_pairs)
 from .packing import hash_sample, pack_sequences
@@ -170,33 +170,53 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
     # parse — see the docstring).
     state = {"dirty": bool(checkpoint_input)}
 
+    def sweep_cuts() -> None:
+        """Release the longest prefix of superseded cuts whose successor
+        has materialized (a stage's own actions materialize its input
+        cut lazily; the predecessor becomes garbage the moment that
+        happens)."""
+        cuts = state.get("cuts", [])
+        while len(cuts) >= 2 and checkpoint_materialized(cuts[1]):
+            release_checkpoint(cuts.pop(0))
+
     def note(stage: str, frame: DataFrame) -> DataFrame:
         state["dirty"] = True
         if collect_stats:
             stats[stage] = frame.count()
+        sweep_cuts()
         return frame
 
-    def cut_in(frame: DataFrame) -> DataFrame:
-        """Materialize + truncate before a multi-referencing stage.
+    def cut_in(frame: DataFrame, eager: bool = False) -> DataFrame:
+        """Truncate (and eventually materialize) before a
+        multi-referencing stage.
 
-        The PREVIOUS cut's storage blocks are released as soon as the
-        new cut is materialized (eager=True: the new RDD is complete
-        before the release runs): every stage reads only the latest
-        cut, so the superseded blocks would otherwise sit in executor
-        storage until the ContextCleaner notices — across a long chain
-        (or repeated runs in one session) that is hundreds of MB of
-        dead rows competing with execution memory (guide §5).
-        ``release_checkpoint`` frees the checkpoint RDD's blocks
-        directly (``unpersist()`` alone only touches CacheManager
-        entries, which a localCheckpoint never has — r12 verdict;
-        verified by tests/test_r13_storage.py). The FINAL cut is never
-        released here — it is the returned frame."""
+        r13 (guide §2.4/§1.2): intermediate cuts are LAZY
+        (``eager=False``) — the plan is truncated immediately, but the
+        materialization job FUSES into the stage's first action instead
+        of paying a dedicated full-corpus job + barrier per cut (the
+        r12 chain ran 5 eager cut jobs back to back; the lazy form runs
+        the same work inside jobs the stages already pay). Correctness
+        is unchanged: a localCheckpoint RDD computes once and every
+        later reference reads its blocks, whether the first computation
+        was a dedicated job (eager) or the stage's own first action
+        (lazy). Only the FINAL cut stays eager — the documented
+        contract is that the RETURNED frame is materialized.
+
+        Release discipline (guide §5, r12): a superseded cut's blocks
+        are freed as soon as its SUCCESSOR is materialized — with lazy
+        cuts that is no longer guaranteed at creation time (the new
+        cut's first job still needs the old blocks), so each cut_in
+        releases the longest prefix of superseded cuts whose successor
+        has actually materialized (``checkpoint_materialized``), and
+        the final eager cut — which forces the whole chain — releases
+        everything but itself. ``release_checkpoint`` frees the
+        checkpoint RDD's blocks directly (``unpersist()`` alone only
+        touches CacheManager entries — r12 verdict; verified by
+        tests/test_r13_storage.py)."""
         if state["dirty"] and checkpoint_stages:
-            frame = frame.localCheckpoint(eager=True)
-            prev = state.get("last_cut")
-            if prev is not None:
-                release_checkpoint(prev)
-            state["last_cut"] = frame
+            frame = frame.localCheckpoint(eager=eager)
+            state.setdefault("cuts", []).append(frame)
+            sweep_cuts()
             state["dirty"] = False
         return frame
 
@@ -364,6 +384,12 @@ def prepare_training_corpus(df: DataFrame, id_col: str, text_col: str,
                                         overlap=chunk_overlap))
     # contract: the RETURNED frame is materialized (localCheckpoint-ed)
     # whenever any transform ran — callers re-read it freely without
-    # recomputing the chain
-    out = cut_in(out)
+    # recomputing the chain. The eager final cut forces every pending
+    # lazy cut in the chain to materialize, after which all superseded
+    # cuts are released — executor storage ends the call holding ONE
+    # corpus copy (plus operator-internal checkpoints), exactly as the
+    # r12 eager chain did.
+    out = cut_in(out, eager=True)
+    for prev in state.get("cuts", [])[:-1]:
+        release_checkpoint(prev)
     return out, stats

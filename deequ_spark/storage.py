@@ -16,6 +16,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def checkpoint_materialized(df: DataFrame) -> bool:
+    """True iff ``df`` is a localCheckpoint-ed frame whose RDD has
+    actually MATERIALIZED (a job ran over it and the lineage was
+    truncated). A lazy (eager=False) checkpoint that no action has
+    touched yet returns False — releasing its PREDECESSOR then would
+    destroy the only copy of the data its first materialization still
+    needs. Best effort: unknown shapes report False (never released
+    early)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return bool(plan.rdd().isCheckpointed())
+    except Exception:  # noqa: BLE001 — best effort only
+        pass
+    return False
+
+
 def release_checkpoint(df: DataFrame) -> None:
     """Free a superseded DataFrame's storage NOW, best effort.
 
