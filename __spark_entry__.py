@@ -7467,29 +7467,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver snapshots the FIRST 50
     # entries into CORRECTNESS_r{N}.json.  Driver-green rows accumulate
     # across rounds, so each round rotates the stalest-green queries into
-    # the head of the dict.  r12 rotates the r10-green block (last
-    # driver-graded on r10 code) back into the window, folding the four
-    # BPE queries into one `bpe_ops` composite (_R12_FOLDS) so the
-    # window also fits this round's new/changed entries: optimize_corpus
-    # (new), layout_ops (gained the 3D Skilling leg) and
-    # incremental_dedup (gained the Bloom-pre-filtered classify).  The
-    # r11-graded block moves to the tail; registry = 98 names, full
-    # coverage still fits two windows.  tools/check_oracle.py always
-    # verifies the FULL registry regardless.
+    # the head of the dict.  r13 rotates the r11-graded tail block back
+    # into the window — it holds every core-analyzer composite
+    # (scan/grouping/histogram/dqdl/profile/suggestions/stream_ops...),
+    # exactly the surface the r12 concurrent runner and this round's
+    # Histogram shuffle-sharing execute through (r12 verdict item 2) —
+    # plus the two r12-graded queries whose operators r13 touched:
+    # span_dedup (duplicate_span_removal lost its third scan + re-attach
+    # join) and near_dup_ratio (near_duplicate_components releases its
+    # superseded label checkpoints).  The r12-graded block moves to the
+    # tail; registry = 98 names, full coverage still fits two windows.
+    # tools/check_oracle.py always verifies the FULL registry regardless.
     return {
-        # --- r12 new/changed (never checked in this form) ---
+        # --- r13 touched (operators changed this round) ---
+        "span_dedup": q_span_dedup,
+        "near_dup_ratio": q_near_dup_ratio,
+        # --- r11-green block rotated into the window (core analyzer
+        # composites execute through the concurrent runner + histogram
+        # shuffle-sharing) ---
+        "histogram_ops": q_histogram_ops,
+        "grouping_core_ops": q_grouping_core_ops,
+        "scan_basic_ops": q_scan_basic_ops,
+        "scan_stats_ops": q_scan_stats_ops,
+        "scan_sketch_ops": q_scan_sketch_ops,
+        "dqdl_ops": q_dqdl_ops,
+        "row_level_ops": q_row_level_ops,
+        "check_flow_ops": q_check_flow_ops,
+        "drift_anomaly_ops": q_drift_anomaly_ops,
+        "text_filter_ops": q_text_filter_ops,
+        "lexical_dedup_ops": q_lexical_dedup_ops,
+        "media_feature_ops": q_media_feature_ops,
+        "ann_ops": q_ann_ops,
+        "stream_ops": q_stream_ops,
+        "text_pipeline_ops": q_text_pipeline_ops,
+        "satellite_ops": q_satellite_ops,
+        "embedding_ops": q_embedding_ops,
+        "comparison_ops": q_comparison_ops,
+        "decontamination": q_decontamination,
+        "language_id": q_language_id_all,
+        "near_dedup": q_near_dedup,
+        "profile": q_profile,
+        "simhash": q_simhash,
+        "suggestions": q_suggestions,
+        "bloom_join": q_bloom_join,
+        "bloom_skipping": q_bloom_skipping,
+        "compaction": q_compaction,
+        "audio_phash": q_audio_phash,
+        "benford": q_benford,
+        "c4_filters": q_c4_filters,
+        "embedding_quantize": q_embedding_quantize,
+        "functional_dependency": q_functional_dependency,
+        "fuzzy_join": q_fuzzy_join,
+        "grouped_topk": q_grouped_topk,
+        "html_extract": q_html_extract,
+        "image_phash": q_image_phash,
+        "join_cardinality": q_join_cardinality,
+        "link_graph": q_link_graph,
+        "missingness": q_missingness,
+        "ngram_novelty": q_ngram_novelty,
+        "robots_filter": q_robots_filter,
+        "rolling_stats": q_rolling_stats,
+        "sitemap_ops": q_sitemap_ops,
+        "sliced_analysis": q_sliced_analysis,
+        "table_diff": q_table_diff,
+        "token_jaccard": q_token_jaccard,
+        "warc_ingest": q_warc_ingest,
+        "webdataset": q_webdataset,
+        # --- tail: driver-green r12 (next window sweeps these) ---
         "optimize_corpus": q_optimize_corpus,
         "layout_ops": q_layout_ops,
         "incremental_dedup": q_incremental_dedup,
-        # --- r10-green block rotated into the window ---
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "corpus_drift": q_corpus_drift,
-        "span_dedup": q_span_dedup,
         "video_frames": q_video_frames,
         "streaming_drift": q_streaming_drift,
-        "near_dup_ratio": q_near_dup_ratio,
         "dsir_sample": q_dsir_sample,
         "bpe_ops": q_bpe_ops,
         "token_stats": q_token_stats,
@@ -7529,55 +7582,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_index": q_wds_index,
         "cdx_update": q_cdx_update,
         "keyframe_seek": q_keyframe_seek,
-        # --- tail: driver-green r11 (next window sweeps these) ---
-        "bloom_join": q_bloom_join,
-        "bloom_skipping": q_bloom_skipping,
-        "compaction": q_compaction,
-        "scan_basic_ops": q_scan_basic_ops,
-        "scan_stats_ops": q_scan_stats_ops,
-        "scan_sketch_ops": q_scan_sketch_ops,
-        "grouping_core_ops": q_grouping_core_ops,
-        "histogram_ops": q_histogram_ops,
-        "dqdl_ops": q_dqdl_ops,
-        "row_level_ops": q_row_level_ops,
-        "check_flow_ops": q_check_flow_ops,
-        "drift_anomaly_ops": q_drift_anomaly_ops,
-        "text_filter_ops": q_text_filter_ops,
-        "lexical_dedup_ops": q_lexical_dedup_ops,
-        "media_feature_ops": q_media_feature_ops,
-        "ann_ops": q_ann_ops,
-        "stream_ops": q_stream_ops,
-        "text_pipeline_ops": q_text_pipeline_ops,
-        "satellite_ops": q_satellite_ops,
-        "embedding_ops": q_embedding_ops,
-        "comparison_ops": q_comparison_ops,
-        "decontamination": q_decontamination,
-        "language_id": q_language_id_all,
-        "near_dedup": q_near_dedup,
-        "profile": q_profile,
-        "simhash": q_simhash,
-        "suggestions": q_suggestions,
-        "audio_phash": q_audio_phash,
-        "benford": q_benford,
-        "c4_filters": q_c4_filters,
-        "embedding_quantize": q_embedding_quantize,
-        "functional_dependency": q_functional_dependency,
-        "fuzzy_join": q_fuzzy_join,
-        "grouped_topk": q_grouped_topk,
-        "html_extract": q_html_extract,
-        "image_phash": q_image_phash,
-        "join_cardinality": q_join_cardinality,
-        "link_graph": q_link_graph,
-        "missingness": q_missingness,
-        "ngram_novelty": q_ngram_novelty,
-        "robots_filter": q_robots_filter,
-        "rolling_stats": q_rolling_stats,
-        "sitemap_ops": q_sitemap_ops,
-        "sliced_analysis": q_sliced_analysis,
-        "table_diff": q_table_diff,
-        "token_jaccard": q_token_jaccard,
-        "warc_ingest": q_warc_ingest,
-        "webdataset": q_webdataset,
     }
 
 

@@ -541,6 +541,80 @@ def main() -> None:
         <= 0.5 * bj["1x"]["reduction"]
     assert bj["ok"], f"bloom reduction not scale-stable: {bj}"
     growth["bloom_join_reduction"] = bj
+    # r12/r13 conf-knob gates (VERDICT r12 #8): each size-adaptive gate
+    # must flip to its DISTRIBUTED/corpus path past the bound with
+    # IDENTICAL output — the knobs' 100 TB story, asserted at 1x/10x.
+    from deequ_spark.llm import dedup_against_index
+    from deequ_spark.llm.dedup import near_duplicate_components
+    from deequ_spark.llm.text import remove_boilerplate_lines
+    knobs = {}
+    # (a) ccLocalMaxEdges: driver union-find vs distributed min-label
+    # loop — identical component labels on chain+clique graphs at both
+    # edge scales (10x crosses nothing; the flip is forced both ways).
+    cc = {}
+    for label, n_edges in (("1x", 2_000), ("10x", 20_000)):
+        pairs = spark.range(n_edges).selectExpr(
+            "CAST(id AS long) AS id_a",
+            # chains of 10 + a few cliques: id -> id+1 unless boundary
+            "CAST(CASE WHEN id % 10 = 9 THEN id ELSE id + 1 END AS long)"
+            " AS id_b")
+        local = sorted((r["id"], r["component"]) for r in
+                       near_duplicate_components(
+                           pairs, local_max_edges=10**9).collect())
+        dist = sorted((r["id"], r["component"]) for r in
+                      near_duplicate_components(
+                          pairs, local_max_edges=0).collect())
+        cc[label] = {"edges": n_edges, "ok": local == dist}
+        assert local == dist, f"cc paths diverge at {label}"
+    knobs["ccLocalMaxEdges_paths_identical"] = cc
+    # (b) boilerplateLocalMaxLines: per-row HOF rebuild vs the corpus
+    # join rebuild — identical (doc count, removed-line total, cleaned
+    # text checksum) at both corpus scales.
+    bp = {}
+    for label, d in (("1x", docs1), ("10x", docs10)):
+        def bp_sig(local_max_lines):
+            out_bp = remove_boilerplate_lines(
+                d, "doc_id", "text", min_docs=2,
+                local_max_lines=local_max_lines)
+            row = out_bp.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64(F.col("cleaned"))),
+                F.sum("n_removed_lines")).collect()[0]
+            return tuple(row)
+        hof, join_ = bp_sig(4096), bp_sig(0)
+        bp[label] = {"ok": hof == join_}
+        assert hof == join_, f"boilerplate paths diverge at {label}: " \
+            f"{hof} vs {join_}"
+    knobs["boilerplateLocalMaxLines_paths_identical"] = bp
+    # (c) bloomMinIndexKeys: the fps-bloom pre-filter is a pure
+    # pre-filter — classification identical with the probe forced ON
+    # vs forced OFF, against the 1x AND 10x indexes; and the conf
+    # floor opens the gate (observable: the probe's temp view).
+    import hashlib as _hl
+    bl = {}
+    for label, idx in (("1x", idx1), ("10x", idx10)):
+        def classify(**kw):
+            _f, dups = dedup_against_index(inc_batch, "doc_id", "text",
+                                           idx, threshold=0.5, **kw)
+            return sorted((r["id"], r["match_kind"], r["matched_id"])
+                          for r in dups.collect())
+        on, off = classify(use_bloom=True), classify(use_bloom=False)
+        view = ("dedup_fps_bloom_"
+                + _hl.md5(idx.encode("utf-8")).hexdigest()[:12])
+        spark.conf.set("spark.deequ.dedup.bloomMinIndexKeys", "1")
+        try:
+            floor = classify()
+            gate_opened = spark.catalog.tableExists(view)
+        finally:
+            spark.conf.unset("spark.deequ.dedup.bloomMinIndexKeys")
+            if spark.catalog.tableExists(view):
+                spark.catalog.dropTempView(view)
+        bl[label] = {"ok": on == off == floor,
+                     "gate_opened_at_floor": gate_opened}
+        assert on == off == floor, f"bloom classify diverges at {label}"
+        assert gate_opened, f"conf floor did not open the gate at {label}"
+    knobs["bloomMinIndexKeys_paths_identical"] = bl
+    growth["conf_knob_gates"] = knobs
     out["candidate_growth"] = growth
     # flat-per-task-memory evidence for the size-targeted shard writer:
     # the LARGEST shard (≈ one task's buffered bytes) must stay ~target
