@@ -600,12 +600,25 @@ class Histogram(FrequencyBasedAnalyzer):
     def compute_metric_from_state(self, state: Optional[FrequenciesAndNumRows]) -> Metric:
         if state is None:
             return self.to_failure_metric(EmptyStateError("Empty state"))
+        cached = None
         try:
+            # the metric needs TWO jobs over the frequency table (the
+            # stats agg and the top-N collect); with a LAZY state plan
+            # each job re-ran the corpus groupBy — persist the (tiny,
+            # post-shuffle) table across them so the corpus is scanned
+            # once, released below (r13, guide §2.4/§5; halves the
+            # profiler's pass-3 corpus scans)
+            from pyspark.storagelevel import StorageLevel
+            freqs = state.frequencies
+            if not freqs.storageLevel.useMemory \
+                    and not freqs.storageLevel.useDisk:
+                cached = freqs.persist(StorageLevel.MEMORY_AND_DISK)
+                freqs = cached
             # one job recovers both the bin count and (if still lazy) the
             # frequency-table total — the reference derives numRows in the
             # same pass family; a separate count() here would be an extra
             # post-shuffle job per histogram
-            stats = (state.frequencies
+            stats = (freqs
                      .agg(F.count(F.lit(1)).alias("__n_bins"),
                           F.sum(COUNT_COL).alias("__num_rows"))
                      .collect()[0])
@@ -614,7 +627,7 @@ class Histogram(FrequencyBasedAnalyzer):
                 state._num_rows = int(stats["__num_rows"] or 0)
             # descending frequency, ties broken by value ascending
             # (Histogram.scala:112-115)
-            top = (state.frequencies
+            top = (freqs
                    .orderBy(F.desc(COUNT_COL), _col(self._plain_column).asc())
                    .limit(self.max_detail_bins)
                    .collect())
@@ -636,6 +649,9 @@ class Histogram(FrequencyBasedAnalyzer):
             return HistogramMetric(Entity.COLUMN, self.name, self.column, dist)
         except Exception as exc:  # noqa: BLE001
             return self.to_failure_metric(exc)
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
 
 @dataclass(frozen=True, eq=False)

@@ -5,9 +5,9 @@ from pyspark.sql import SparkSession
 @pytest.fixture(scope="session")
 def spark():
     spark = (SparkSession.builder
-             .master("local[8]")
+             .master("local[4]")
              .appName("deequ-spark-tests")
-             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.sql.shuffle.partitions", "8")
              .config("spark.driver.memory", "6g")
              .config("spark.ui.enabled", "false")
              .config("spark.ui.showConsoleProgress", "false")

@@ -424,3 +424,27 @@ class TestHistogramShuffleShare:
         plain_passes = passes(False)
         assert shared_passes == 1, shared_passes
         assert plain_passes >= 2, plain_passes
+
+
+def test_standalone_histogram_single_corpus_pass(spark):
+    """r13: a standalone Histogram's metric needs two jobs over its
+    frequency table (stats agg + top-N collect); the lazy state plan
+    used to re-run the corpus groupBy in BOTH. The table is now
+    persisted across the two jobs — exactly one corpus pass."""
+    from deequ_spark import Histogram
+    schema = "item string, att1 string"
+    rows = [(str(i), "abc"[i % 3]) for i in range(30)]
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(it):
+        acc.add(1)
+        return it
+    base = spark.createDataFrame(rows, schema)
+    n_parts = base.rdd.getNumPartitions()
+    counted = spark.createDataFrame(base.rdd.mapPartitions(tick), schema)
+    ctx = do_analysis_run(counted, [Histogram("att1")])
+    m = next(iter(ctx.metric_map.values()))
+    assert m.is_success
+    assert m.value.values["a"].absolute == 10
+    assert acc.value == n_parts, \
+        f"expected 1 corpus pass, saw {acc.value / n_parts}"
