@@ -25,7 +25,7 @@ that pins their structure instead:
   tests/test_streaming.py pins batch counts and state merge.
 
 Usage: python tools/plan_sweep.py [sf_dir]
-Writes tools/PLAN_SWEEP_r12.json and exits non-zero on any violation.
+Writes tools/PLAN_SWEEP_r13.json and exits non-zero on any violation.
 """
 
 from __future__ import annotations
@@ -242,7 +242,7 @@ def main():
         "violations": violations,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "PLAN_SWEEP_r12.json"), "w") as fh:
+    with open(os.path.join(here, "PLAN_SWEEP_r13.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
 
     spark.stop()

@@ -578,7 +578,10 @@ def main() -> None:
                 local_max_lines=local_max_lines)
             row = out_bp.agg(
                 F.count(F.lit(1)),
-                F.sum(F.xxhash64(F.col("cleaned"))),
+                # bound the per-row hash so the ANSI-mode sum can't
+                # overflow (2^40 x 20k rows < 2^55)
+                F.sum(F.pmod(F.xxhash64(F.col("cleaned")),
+                             F.lit(1 << 40))),
                 F.sum("n_removed_lines")).collect()[0]
             return tuple(row)
         hof, join_ = bp_sig(4096), bp_sig(0)
